@@ -1,0 +1,123 @@
+"""Catalog: table loaders for the driver's parquet tables + the imaging-domain
+StructType schemas (the reference's 4 Postgres tables re-typed for Parquet).
+
+Reference schemas: /root/reference/imaging_db/database/{dataset,frames_global,
+frames,file_global}.py (SQLAlchemy ORM declarations); see SURVEY.md §1.
+
+Scale notes:
+- Dimension tables that are *fixed size* regardless of data volume (region,
+  nation) are always broadcast-joinable. Tables that grow with scale factor
+  (customer, part, orders, lineitem, events, documents, embeddings) must not
+  be hard-broadcast; AQE decides from runtime sizes.
+- At 100 TB the fact tables (lineitem / frames / events) would be written
+  partitioned by a time or dataset bucket so partition pruning applies; the
+  loaders below read whatever layout the directory has and rely on parquet
+  row-group pushdown for the rest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+TPCH_TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Fixed-cardinality dims (5 and 25 rows at every SF) — always broadcastable.
+FIXED_DIMS = {"region", "nation"}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver table. Column pruning + predicate pushdown reach the
+    parquet scan because callers chain .select/.filter on the returned DF."""
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every driver table as a temp view for spark.sql queries."""
+    for name in TPCH_TABLES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# ---------------------------------------------------------------------------
+# Imaging-domain schemas (reference: imaging_db/database/*.py; SURVEY.md §1.1)
+# ---------------------------------------------------------------------------
+# JSONB columns (frames_global.py:29, frames.py:25, file_global.py:22) become
+# a raw JSON string column queried with get_json_object / from_json — the
+# reference only ever uses flat single-key containment and field extraction
+# (notebooks/jsonb_queries.ipynb cells 4-6), which get_json_object covers.
+
+DATA_SET_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("dataset_serial", T.StringType(), False),
+        T.StructField("description", T.StringType(), True),
+        T.StructField("microscope", T.StringType(), True),
+        T.StructField("frames", T.BooleanType(), False),
+        # Derived from dataset_serial at ingest (dataset.py:9-18) so date-range
+        # queries are a pushed-down timestamp predicate, not string parsing.
+        T.StructField("date_time", T.TimestampType(), True),
+        T.StructField("parent_id", T.LongType(), True),
+    ]
+)
+
+FRAMES_GLOBAL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("nbr_frames", T.IntegerType(), True),
+        T.StructField("im_width", T.IntegerType(), True),
+        T.StructField("im_height", T.IntegerType(), True),
+        T.StructField("nbr_slices", T.IntegerType(), True),
+        T.StructField("nbr_channels", T.IntegerType(), True),
+        T.StructField("im_colors", T.IntegerType(), True),
+        T.StructField("nbr_timepoints", T.IntegerType(), True),
+        T.StructField("nbr_positions", T.IntegerType(), True),
+        T.StructField("bit_depth", T.StringType(), True),
+        T.StructField("storage_dir", T.StringType(), True),
+        T.StructField("metadata_json", T.StringType(), True),
+        T.StructField("dataset_id", T.LongType(), False),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("channel_idx", T.IntegerType(), True),
+        T.StructField("slice_idx", T.IntegerType(), True),
+        T.StructField("time_idx", T.IntegerType(), True),
+        T.StructField("pos_idx", T.IntegerType(), True),
+        T.StructField("channel_name", T.StringType(), True),
+        T.StructField("file_name", T.StringType(), True),
+        T.StructField("sha256", T.StringType(), True),
+        T.StructField("metadata_json", T.StringType(), True),
+        T.StructField("frames_global_id", T.LongType(), False),
+    ]
+)
+
+FILE_GLOBAL_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("storage_dir", T.StringType(), True),
+        T.StructField("file_name", T.StringType(), True),
+        T.StructField("metadata_json", T.StringType(), True),
+        T.StructField("dataset_id", T.LongType(), False),
+        T.StructField("sha256", T.StringType(), True),
+    ]
+)
+
+IMAGING_SCHEMAS = {
+    "data_set": DATA_SET_SCHEMA,
+    "frames_global": FRAMES_GLOBAL_SCHEMA,
+    "frames": FRAMES_SCHEMA,
+    "file_global": FILE_GLOBAL_SCHEMA,
+}

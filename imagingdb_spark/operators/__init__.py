@@ -1,0 +1,16 @@
+"""Operator inventory (SURVEY.md §2). Importing this package registers every
+named query + oracle into imagingdb_spark.registry."""
+
+from imagingdb_spark.operators import (  # noqa: F401
+    aggregates,
+    dedup,
+    filters,
+    joins,
+    scalars,
+    setops,
+    similarity,
+    sorts,
+    streaming_batch,
+    text,
+    windows,
+)

@@ -1,0 +1,203 @@
+"""Aggregation operators (SURVEY.md §2.4, A1-A5 + rollup/cube/sum-avg).
+
+The reference's only real aggregation is the imperative per-dataset global
+metadata computation (file_splitter.py:127-148): counts + countDistinct of
+each index dimension + frame-shape constants. That is exactly
+``groupBy(dataset).agg(...)`` — Spark executes it as partial (map-side)
+aggregation + final aggregation after a shuffle on the group key, which is
+the scalable shape: the shuffle carries one row per (partition, group), not
+one per input row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imagingdb_spark.catalog import table
+from imagingdb_spark.registry import query
+
+
+@query("a_count", oracle="SELECT COUNT(*) AS n_rows FROM lineitem")
+def a_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: COUNT (query_data.py:95). Parquet count uses footer row counts —
+    no data pages are read."""
+    return table(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "a_distinct",
+    oracle="SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def a_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: DISTINCT over low-cardinality columns (unique channel_name —
+    database_queries.ipynb cell 17). Partial-agg dedups map-side first, so
+    the shuffle moves at most (distinct values x partitions) rows."""
+    return table(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "a_count_distinct",
+    oracle="""
+    SELECT l_orderkey,
+           COUNT(DISTINCT l_suppkey) AS n_suppliers,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_orderkey
+    """,
+)
+def a_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-group COUNT DISTINCT — `nbr_slices = len(np.unique(slice_idx))`
+    per dataset (file_splitter.py:143-146, data_storage.py:50-55). Exact
+    countDistinct (Spark expands then de-dups); for 100 TB dashboards the
+    approx_count_distinct variant trades ~2% error for one fewer expand."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@query(
+    "a_group_summary",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT o_custkey) AS n_customers,
+           round(MIN(o_totalprice), 4) AS min_price,
+           round(MAX(o_totalprice), 4) AS max_price,
+           MIN(o_orderdate) AS first_order,
+           MAX(o_orderdate) AS last_order
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def a_group_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4+A5: the per-dataset global-metadata summary (file_splitter.py:
+    127-148) — counts, distincts, min/max guards (tif_id_splitter.py:154) —
+    as one grouped aggregation."""
+    return (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.round(F.min("o_totalprice"), 4).alias("min_price"),
+            F.round(F.max("o_totalprice"), 4).alias("max_price"),
+            F.min("o_orderdate").alias("first_order"),
+            F.max("o_orderdate").alias("last_order"),
+        )
+    )
+
+
+@query(
+    "a_sum_avg",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(SUM(l_quantity), 2) AS sum_qty,
+           round(SUM(l_extendedprice), 2) AS sum_base_price,
+           round(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(AVG(l_quantity), 4) AS avg_qty,
+           round(AVG(l_extendedprice), 4) AS avg_price,
+           round(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (pricing summary report): the canonical scan-heavy
+    partial+final aggregation. Groups are tiny (≤6) so virtually all
+    reduction happens map-side; whole-stage codegen covers scan→project→
+    partial agg in one generated loop."""
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "a_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def a_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals — not in the reference (SURVEY §2.4 'to add').
+    Spark expands the rollup into grouping sets before the shuffle; one pass."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+@query(
+    "a_cube",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           round(SUM(o_totalprice), 2) AS sum_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def a_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All grouping-set combinations (SURVEY §2.4 'to add')."""
+    return (
+        table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@query(
+    "a_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           round(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot = groupBy + conditional aggregation. Pivot values are given
+    explicitly — at scale, letting Spark scan for distinct pivot values is
+    an extra full pass over the fact table."""
+    return (
+        table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )

@@ -1,0 +1,153 @@
+"""Text-analysis operators over the `documents` table (SURVEY.md §2.10 D4 +
+north-star text surface): token stats, quality scoring, token frequency,
+language-ID heuristic, document fingerprinting.
+
+All tokenization is done with built-in JVM expressions (split / explode /
+higher-order array functions) — no Python in the hot path. Token definition
+shared by every query here (and mirrored exactly in the oracles):
+``lower(text)`` split on whitespace, empty strings dropped.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imagingdb_spark.catalog import table
+from imagingdb_spark.registry import query
+
+# Tiny deterministic stopword list used by quality scoring and lang-id.
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+
+def tokens_col(text: Column) -> Column:
+    """Shared token definition: lowercase, whitespace-split, no empties."""
+    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+
+
+@query(
+    "x_text_stats",
+    oracle="""
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_nonspace_chars,
+           round(length(regexp_replace(text, '\\s', '', 'g')) / len(toks), 4)
+             AS avg_token_len,
+           round(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in')))
+                 / len(toks), 4) AS stopword_ratio,
+           round(len(list_distinct(toks)) / len(toks), 4) AS distinct_ratio
+    FROM (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS toks
+      FROM documents
+    )
+    WHERE len(toks) > 0
+    """,
+)
+def x_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality stats: token count, average token length,
+    stopword ratio, distinct-token ratio — the standard pretraining quality
+    signals (length/punct/stopword heuristics). One narrow projection, no
+    shuffle: embarrassingly parallel at any scale."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    n = F.size(toks)
+    nonspace = F.length(F.regexp_replace("text", r"\s", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return (
+        d.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            nonspace.cast("bigint").alias("n_nonspace_chars"),
+            F.round(nonspace / n, 4).alias("avg_token_len"),
+            F.round(n_stop / n, 4).alias("stopword_ratio"),
+            F.round(F.size(F.array_distinct(toks)) / n, 4).alias("distinct_ratio"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+@query(
+    "x_token_freq",
+    oracle="""
+    SELECT tok, COUNT(*) AS n
+    FROM (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    )
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 100
+    """,
+)
+def x_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token frequency, top-100 (UDTF-shaped: explode → groupBy).
+    explode happens map-side and partial aggregation collapses each
+    partition to its distinct tokens before the shuffle, so the shuffle
+    volume is vocabulary-sized, not corpus-sized."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("tok").asc())
+        .limit(100)
+    )
+
+
+@query(
+    "x_lang_id",
+    oracle="""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN en_score >= 2 THEN 'en' ELSE 'unknown' END AS predicted_lang
+    FROM (
+      SELECT doc_id, lang,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t IN ('the','a','of','and','to','in'))) AS en_score
+      FROM documents
+    )
+    """,
+)
+def x_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: marker-word scoring (the n-gram/stopword
+    heuristic family). The driver's synthetic corpus draws every `lang` from
+    one shared English-ish vocabulary, so a real classifier is untrainable
+    here — the *operator structure* (per-language marker scores → argmax) is
+    what this implements; swap STOPWORDS for per-language marker lists to
+    get the real thing. Deterministic, oracle-checked."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    en_score = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        F.when(en_score >= 2, F.lit("en")).otherwise(F.lit("unknown")).alias("predicted_lang"),
+    )
+
+
+@query(
+    "x_fingerprint",
+    oracle="""
+    SELECT doc_id, MIN(sha256(tok)) AS fingerprint
+    FROM (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    )
+    GROUP BY doc_id
+    """,
+)
+def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: min-of-token-hashes (the 1-permutation MinHash /
+    winnowing-lite idea — equal fingerprints are near-dup candidates).
+    Entirely JVM-side: explode → sha2 → min per doc."""
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("doc_id")
+        .agg(F.min(F.sha2("tok", 256)).alias("fingerprint"))
+    )

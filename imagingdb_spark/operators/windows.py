@@ -1,0 +1,160 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+The reference has no SQL window functions, but its dense-stack coordinate
+computation (data_storage.py:232-238: position = rank of the sorted unique
+index values, `np.where(unique_ids == row.slice_idx)`) is exactly
+``dense_rank() over (partition by dataset order by idx) - 1``. Windows
+shuffle once on the partition key and sort within partitions — at 100 TB
+the partition key must be high-cardinality (it is: order/user/dataset) so
+no single partition exceeds executor memory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from imagingdb_spark.catalog import table
+from imagingdb_spark.registry import query
+
+
+@query(
+    "w_dense_rank",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY l_partkey) - 1
+             AS stack_coord
+    FROM lineitem
+    """,
+)
+def w_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-of-unique-index → dense stack coordinate (data_storage.py:
+    232-238). Non-contiguous, non-0-based raw indices map to contiguous
+    coordinates by rank, which is why this is dense_rank and not the raw
+    index (data_storage.py:49-55)."""
+    w = Window.partitionBy("l_orderkey").orderBy("l_partkey")
+    return table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        (F.dense_rank().over(w) - 1).alias("stack_coord"),
+    )
+
+
+@query(
+    "w_running",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           round(SUM(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS running_value
+    FROM events
+    """,
+)
+def w_running(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum per user over time. event_id tiebreak makes the frame
+    deterministic (ts collisions would otherwise make the prefix sum
+    engine-dependent)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.round(F.sum("value").over(w), 4).alias("running_value"),
+    )
+
+
+@query(
+    "w_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           date_diff('second',
+                     LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                     ts) AS secs_since_prev,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS next_event_type
+    FROM events
+    """,
+)
+def w_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead per user — inter-event gaps (feeds sessionization, st_session)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ts = F.lag("ts").over(w)
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.unix_timestamp("ts") - F.unix_timestamp(prev_ts)).alias("secs_since_prev"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )
+
+
+@query(
+    "w_rownum_page",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, rn
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+      FROM orders
+    )
+    WHERE rn BETWEEN 11 AND 20
+    """,
+)
+def w_rownum_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: offset slicing `datasets[2:5]` (database_queries.ipynb cells 7/11)
+    as row_number pagination. NOTE: a global ORDER BY window is a
+    single-partition sort — fine for paginating a catalog table, wrong for a
+    fact table at scale (use keyset pagination on the sort key instead)."""
+    w = Window.orderBy("o_orderkey")
+    return (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter((F.col("rn") >= 11) & (F.col("rn") <= 20))
+    )
+
+
+@query(
+    "w_topk_group",
+    oracle="""
+    SELECT n_nationkey, c_custkey, c_name, round(c_acctbal, 4) AS acctbal, rk
+    FROM (
+      SELECT n.n_nationkey, c.c_custkey, c.c_name, c.c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n.n_nationkey
+                                ORDER BY c.c_acctbal DESC, c.c_custkey) AS rk
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    )
+    WHERE rk <= 3
+    """,
+)
+def w_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (top-3 customers by balance per nation) — the
+    north-star top-k pattern partitioned so it scales: rank within groups,
+    never a global sort. c_custkey tiebreak keeps it deterministic."""
+    cust = table(spark, sf_dir, "customer")
+    nation = F.broadcast(table(spark, sf_dir, "nation"))
+    w = Window.partitionBy("n_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_nationkey",
+            "c_custkey",
+            "c_name",
+            "c_acctbal",
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .select(
+            "n_nationkey",
+            "c_custkey",
+            "c_name",
+            F.round(F.col("c_acctbal"), 4).alias("acctbal"),
+            "rk",
+        )
+    )

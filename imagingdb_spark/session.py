@@ -1,0 +1,42 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on local[N] (single JVM); the configs below are chosen so
+the same code scales to a real cluster:
+
+- AQE on (runtime coalescing + skew-join splitting) — at 100 TB the static
+  shuffle-partition count is always wrong for some stage; AQE re-plans from
+  actual map output sizes.
+- ``spark.sql.shuffle.partitions`` defaults to the local core count; on a
+  cluster this would be ~2-3x total cores (AQE coalesces down).
+- UTC session timezone: parquet timestamps are naive; pinning UTC makes Spark
+  and the DuckDB oracle read identical wall-clock values.
+- Arrow enabled for pandas interchange (pandas UDFs, toPandas).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+
+def get_spark(app_name: str = "imagingdb_spark", cpus: str | None = None) -> SparkSession:
+    cpus = cpus or DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
