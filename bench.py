@@ -1,0 +1,77 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (plan + execute + collect-count via a cheap
+action). A warmup pass on sf's lineitem primes JVM/JIT/parquet footers so
+numbers reflect steady-state execution, not first-query class loading.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from imagingdb_spark import registry
+from imagingdb_spark.session import get_spark
+
+HEADLINE = [
+    "a_sum_avg",        # TPC-H Q1: scan-heavy partial+final agg
+    "j_three_way",      # star join with pushed filters
+    "j_outer_count",    # outer join + agg
+    "a_count_distinct", # high-cardinality grouped distinct
+    "a_rollup",         # grouping sets
+    "w_running",        # window prefix sum
+    "w_topk_group",     # per-group top-k
+    "st_session",       # session windows
+    "o_topk",           # global top-k
+    "x_dedup_exact",    # content-hash dedup
+    "x_dedup_minhash",  # MinHash LSH near-dup
+    "x_token_freq",     # explode + agg
+    "x_text_stats",     # per-doc quality stats
+    "x_topk_sim",       # brute-force cosine top-k
+    "f_json_extract",   # JSON predicate pushline
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    registry.load_all()
+    spark = get_spark("bench")
+
+    # warmup: prime JVM, codegen, parquet footer cache
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,7 @@ Scale notes:
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 TPCH_TABLES = [
@@ -37,10 +38,20 @@ TPCH_TABLES = [
 FIXED_DIMS = {"region", "nation"}
 
 
+# Columns stored as TIMESTAMP(NANOS) in the driver's parquet — Spark reads
+# them as long (spark.sql.legacy.parquet.nanosAsLong) and we convert to
+# microsecond timestamps here (truncation matches DuckDB's nanos→micros).
+NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver table. Column pruning + predicate pushdown reach the
     parquet scan because callers chain .select/.filter on the returned DF."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for c in NANOS_TS_COLS.get(name, []):
+        if c in df.columns and dict(df.dtypes)[c] == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -1,0 +1,116 @@
+"""Ingest: the reference's upload path (cli/data_uploader.py:61-256 →
+db_operations.insert_frames:150-223) re-expressed as batch dataflow.
+
+The reference's transactional staging (SQLAlchemy session, single commit,
+rollback on assert — db_operations.py:14-38) has no Parquet equivalent;
+the replacement contract is IDEMPOTENT APPEND: an anti-join on the natural
+key drops rows already present, so re-running a failed ingest converges
+instead of duplicating. Weaker isolation than Postgres (concurrent writers
+can both pass the check) — documented engine limitation; table-format
+transactions (Delta/Iceberg) are the production answer when those jars are
+available.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imagingdb_spark.api import serial_to_date_time, validate_serial
+
+
+def read_manifest(spark: SparkSession, path: str) -> DataFrame:
+    """S2: CSV upload manifest, one dataset per row (data_uploader.py:
+    106-108: columns dataset_id, file_name, description, parent_dataset_id,
+    positions). Header + explicit non-inferred types."""
+    return (
+        spark.read.option("header", True)
+        .csv(path)
+        .withColumn("dataset_serial", F.col("dataset_id"))
+        .drop("dataset_id")
+    )
+
+
+def validate_manifest(manifest: DataFrame) -> DataFrame:
+    """F6 as a CHECK constraint: all serials must validate
+    (cli_utils.py:4-41); invalid rows are returned for the caller to raise
+    on (count()==0 is the pass condition) — batch semantics instead of the
+    reference's per-row AssertionError."""
+    return manifest.filter(~validate_serial(F.col("dataset_serial")))
+
+
+def normalize_parent(parent_col: Column) -> Column:
+    """P9: parent id normalization (db_operations.py:127-136,
+    data_uploader.py:176-179): None / '' / 'none' (case-insensitive) / NaN
+    → null (no parent)."""
+    s = F.trim(parent_col.cast("string"))
+    return F.when(
+        parent_col.isNull() | (s == "") | (F.lower(s) == "none") | (s == "NaN"),
+        F.lit(None).cast("string"),
+    ).otherwise(s)
+
+
+def frame_file_name(
+    channel_idx: Column, slice_idx: Column, time_idx: Column, pos_idx: Column
+) -> Column:
+    """F2: canonical frame name `im_c%03d_z%03d_t%03d_p%03d.png`
+    (file_splitter.py:114-125)."""
+    return F.format_string(
+        "im_c%03d_z%03d_t%03d_p%03d.png", channel_idx, slice_idx, time_idx, pos_idx
+    )
+
+
+def with_sha256(frames: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """F4: integrity checksum in the ingest plan (meta_utils.py:72-102
+    hashes per-frame in Python; sha2 is a codegen'd JVM expression evaluated
+    in the same stage as the scan)."""
+    return frames.withColumn("sha256", F.sha2(F.col(payload_col), 256))
+
+
+def build_data_set_rows(manifest: DataFrame) -> DataFrame:
+    """DataSet row construction (db_operations.py:119-148, 185-204):
+    serial → derived date_time; parent serial resolved to parent_id by a
+    later join against the existing catalog (resolve_parent_ids)."""
+    return manifest.select(
+        F.col("dataset_serial"),
+        F.col("description"),
+        F.coalesce(F.col("microscope"), F.lit(None).cast("string")).alias("microscope"),
+        F.lit(True).alias("frames"),
+        serial_to_date_time(F.col("dataset_serial")).alias("date_time"),
+        normalize_parent(F.col("parent_dataset_id")).alias("parent_serial"),
+    )
+
+
+def resolve_parent_ids(new_rows: DataFrame, data_set: DataFrame) -> DataFrame:
+    """Parent resolve by serial (db_operations.py:137-140) as a broadcast
+    left join against the catalog (catalog side is datasets-sized: small)."""
+    parents = F.broadcast(
+        data_set.select(
+            F.col("dataset_serial").alias("parent_serial"),
+            F.col("id").alias("parent_id"),
+        )
+    )
+    return new_rows.join(parents, "parent_serial", "left").drop("parent_serial")
+
+
+def idempotent_append(
+    new_rows: DataFrame,
+    existing: DataFrame,
+    key_cols: list[str],
+    target_path: str | None = None,
+) -> DataFrame:
+    """S7/D1: anti-join-guarded append — the uniqueness assert + staged
+    commit (db_operations.py:111-117, 176-181, 14-38) as idempotent batch
+    append. Returns the deduplicated new rows; writes parquet when
+    target_path is given.
+
+    Scale: the anti-join shuffles on the key unless the existing-keys side
+    is small enough for AQE to broadcast; for a catalog keyed by
+    dataset_serial that side is one row per dataset — always broadcastable.
+    dropDuplicates(key) guards against dup keys WITHIN the incoming batch."""
+    deduped = new_rows.dropDuplicates(key_cols).join(
+        existing.select(*key_cols), key_cols, "left_anti"
+    )
+    if target_path is not None:
+        deduped.write.mode("append").parquet(target_path)
+    return deduped

@@ -1,0 +1,175 @@
+"""Multimodal columns: image/audio/video payloads as opaque binary columns
+with typed metadata (SURVEY.md §2.10 D5 + north-star multimodal surface).
+
+The reference stores each 2-D frame as a PNG object (local_storage.py /
+s3_storage.py) keyed by `raw_frames/<serial>/im_c..._z..._t..._p....png`,
+decoded to numpy via cv2 (image_utils.py:22-30) and assembled into dense
+5-D stacks client-side (data_storage.py:198-241). Spark-native shape:
+
+  frame metadata row  +  payload BinaryType column (binaryFile source or
+  inline)  →  decode / resize / feature-extract as Arrow-batched pandas
+  UDFs over mapInPandas  →  per-dataset assembly via applyInPandas.
+
+The image codecs (cv2/PIL/tifffile) are NOT in this container, so decode is
+STUBBED: `decode_png` raises NotImplementedError unless a deterministic
+fake decoder is injected. Everything Spark-side — schema, partitioning,
+UDF signatures, Arrow batch shapes, group semantics — is real and tested.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# frame metadata + payload: the multimodal column contract. The payload is
+# opaque bytes; width/height/bit_depth travel alongside as typed metadata
+# (frames_global semantics, frames_global.py:10-36).
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("dataset_serial", T.StringType()),
+        T.StructField("channel_idx", T.IntegerType()),
+        T.StructField("slice_idx", T.IntegerType()),
+        T.StructField("time_idx", T.IntegerType()),
+        T.StructField("pos_idx", T.IntegerType()),
+        T.StructField("im_width", T.IntegerType()),
+        T.StructField("im_height", T.IntegerType()),
+        T.StructField("bit_depth", T.StringType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("dataset_serial", T.StringType()),
+        T.StructField("channel_idx", T.IntegerType()),
+        T.StructField("slice_idx", T.IntegerType()),
+        T.StructField("time_idx", T.IntegerType()),
+        T.StructField("pos_idx", T.IntegerType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("payload_sha256", T.StringType()),
+        T.StructField("mean_intensity", T.DoubleType()),
+        T.StructField("max_intensity", T.DoubleType()),
+    ]
+)
+
+
+def decode_png(payload: bytes, bit_depth: str) -> "np.ndarray":
+    """PNG → ndarray (image_utils.py:22-30, cv2.imdecode). cv2 is not in
+    this container — STUB. Inject a fake via frame_features(decoder=...)
+    for tests; wire cv2/PIL here in a real deployment."""
+    raise NotImplementedError(
+        "image codec not available in this environment; "
+        "inject a decoder (see fake_decoder) or install cv2/PIL"
+    )
+
+
+def fake_decoder(payload: bytes, bit_depth: str) -> "np.ndarray":
+    """Deterministic stand-in decoder: bytes → uint8/uint16 1-D array.
+    Preserves the real decoder's contract (bytes in, ndarray out) so the
+    Spark plumbing around it is exercised for real."""
+    dtype = np.uint16 if bit_depth == "uint16" else np.uint8
+    arr = np.frombuffer(payload, dtype=np.uint8).astype(dtype)
+    return arr if arr.size else np.zeros(1, dtype=dtype)
+
+
+def read_binary_frames(spark, path: str, pattern: str = "*.png") -> DataFrame:
+    """S6: binaryFile source — each object becomes (path, modificationTime,
+    length, content). The storage-layer get (local_storage.py:153-164 /
+    s3_storage.py:163-176) distributed across tasks instead of a
+    ThreadPoolExecutor (data_storage.py:243-253)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .load(path)
+    )
+
+
+def frame_features(
+    frames: DataFrame,
+    decoder: Callable[[bytes, str], "np.ndarray"] = decode_png,
+) -> DataFrame:
+    """Decode + feature-extract as mapInPandas: Arrow-batched, preserves
+    partitioning (no shuffle), one Python worker round-trip per batch —
+    the vectorized replacement for the reference's per-frame Python loops
+    (tiffolder_splitter.py:108-134). sha256 here proves payload integrity
+    end-to-end (meta_utils.py:72-102 semantics)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            arrs = [
+                decoder(p, bd) for p, bd in zip(pdf["payload"], pdf["bit_depth"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "dataset_serial": pdf["dataset_serial"],
+                    "channel_idx": pdf["channel_idx"],
+                    "slice_idx": pdf["slice_idx"],
+                    "time_idx": pdf["time_idx"],
+                    "pos_idx": pdf["pos_idx"],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                    "payload_sha256": [
+                        hashlib.sha256(p).hexdigest() for p in pdf["payload"]
+                    ],
+                    "mean_intensity": [float(a.mean()) for a in arrs],
+                    "max_intensity": [float(a.max()) for a in arrs],
+                }
+            )
+
+    return frames.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def assemble_stack(
+    frames: DataFrame,
+    decoder: Callable[[bytes, str], "np.ndarray"] = decode_png,
+) -> DataFrame:
+    """Per-dataset 5-D stack assembly as applyInPandas — the distributed
+    form of `make_stack_from_meta` (data_storage.py:198-241). One group =
+    one dataset; inside the group the pandas code mirrors the reference's
+    rank-based coordinates (np.unique + searchsorted = rank of sorted
+    unique index values, data_storage.py:49-55, 232-238). Output: one row
+    per dataset with the flattened stack + shape — kept as rows so a 100 TB
+    collection never materializes on the driver; `.collect()` one row to
+    get one dataset's stack."""
+
+    out_schema = T.StructType(
+        [
+            T.StructField("dataset_serial", T.StringType()),
+            T.StructField("shape", T.ArrayType(T.IntegerType())),
+            T.StructField("dim_order", T.StringType()),
+            T.StructField("stack", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def per_dataset(pdf: pd.DataFrame) -> pd.DataFrame:
+        uz = np.unique(pdf["slice_idx"])
+        uc = np.unique(pdf["channel_idx"])
+        ut = np.unique(pdf["time_idx"])
+        up = np.unique(pdf["pos_idx"])
+        first = decoder(pdf["payload"].iloc[0], pdf["bit_depth"].iloc[0])
+        stack = np.zeros((len(uz), len(uc), len(ut), len(up), first.size))
+        for _, row in pdf.iterrows():
+            z = int(np.searchsorted(uz, row["slice_idx"]))
+            c = int(np.searchsorted(uc, row["channel_idx"]))
+            t = int(np.searchsorted(ut, row["time_idx"]))
+            p = int(np.searchsorted(up, row["pos_idx"]))
+            stack[z, c, t, p, :] = decoder(row["payload"], row["bit_depth"])
+        dims = list(zip("ZCTP", stack.shape[:4])) + [("X", first.size)]
+        kept = [(n, s) for n, s in dims if s > 1] or [("X", first.size)]
+        squeezed = stack.reshape([s for _, s in kept])
+        return pd.DataFrame(
+            {
+                "dataset_serial": [pdf["dataset_serial"].iloc[0]],
+                "shape": [list(squeezed.shape)],
+                "dim_order": ["".join(n for n, _ in kept)],
+                "stack": [squeezed.ravel().astype(float)],
+            }
+        )
+
+    return frames.groupBy("dataset_serial").applyInPandas(per_dataset, out_schema)

@@ -1,35 +1,65 @@
 """Deduplication operators over `documents` (SURVEY.md §2.10 D1/D2 +
-north-star dedup surface): exact, n-gram Jaccard, MinHash, SimHash.
+north-star dedup surface): exact, n-gram Jaccard, MinHash+LSH, SimHash.
 
 The reference's dedup primitives are the sha256 frame checksum
 (frames.py:24, meta_utils.py:72-102) and the count-must-be-zero uniqueness
 assert before insert (db_operations.py:111-117); these generalize to exact
 content-hash dedup. Near-dup operators are the standard pretraining
-pipeline: shingle → MinHash → LSH band bucketing → candidate join.
+pipeline: shingle → MinHash → LSH band bucketing → candidate join → verify.
 
 Scale design notes (the part that matters at 100 TB):
 - exact dedup = groupBy(content_hash) with min(doc_id) as the keeper —
   one shuffle on a 32-byte key, map-side partial agg collapses duplicates
   early. Never dropDuplicates() without a deterministic keeper rule.
-- MinHash/SimHash candidate generation joins on BAND key, never all-pairs.
-  Band buckets are the classic skew hazard (an empty-ish shingle set hashes
-  identically) — AQE skew-join handles moderate skew; degenerate docs are
-  filtered before banding.
+- pairwise Jaccard is only ever run inside a blocking key (bounded-size
+  equi-join), never all-pairs.
+- MinHash/SimHash candidate generation joins on BAND/prefix key. Band
+  buckets are the classic skew hazard (degenerate docs hash identically) —
+  empty token sets are filtered before banding and AQE skew-join handles
+  the rest.
+- 3-word shingles, not unigram sets: unigram sets saturate (any two docs
+  over a shared vocabulary look alike); shingles preserve word order and
+  keep candidate counts proportional to true near-duplication.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from imagingdb_spark.catalog import table
 from imagingdb_spark.operators.text import tokens_col
 from imagingdb_spark.registry import query
 
-# MinHash parameters: 16 hashes = 4 bands x 4 rows. Deterministic seeds.
-MINHASH_N = 16
+MINHASH_N = 16  # 4 bands x 4 rows
 MINHASH_BANDS = 4
 SIMHASH_BITS = 32
+SHINGLE_K = 3
+
+
+def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-word shingles of lower(text). Docs shorter than k tokens
+    yield their whole token sequence as one shingle so they still dedup."""
+    toks = tokens_col(text)
+    kgrams = F.filter(
+        F.transform(
+            toks,
+            lambda t, i: F.when(
+                i <= F.size(toks) - k,
+                F.concat_ws(" ", *([t] + [F.get(toks, i + j) for j in range(1, k)])),
+            ),
+        ),
+        lambda s: s.isNotNull(),
+    )
+    whole = F.array(F.concat_ws(" ", toks))
+    return F.array_distinct(F.when(F.size(toks) >= k, kgrams).otherwise(whole))
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """|A∩B| / |A∪B| with the union computed as |A|+|B|-|A∩B| so the
+    intersection is evaluated once."""
+    inter = F.size(F.array_intersect(a, b))
+    return inter / (F.size(a) + F.size(b) - inter)
 
 
 @query(
@@ -44,9 +74,8 @@ SIMHASH_BITS = 32
 )
 def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D1: exact dedup by content hash with deterministic keeper (min doc_id).
-    The `n_copies > 1` rows are the duplicate clusters; downstream keeps
-    `keeper_doc_id`. Generalizes dropDuplicates([sha256]) with a
-    deterministic survivor."""
+    Rows with n_copies > 1 are duplicate clusters. Generalizes
+    dropDuplicates([sha256]) with a deterministic survivor."""
     d = table(spark, sf_dir, "documents")
     return (
         d.select(F.sha2("text", 256).alias("content_hash"), "doc_id")
@@ -80,13 +109,13 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2a: n-gram (unigram-set) Jaccard near-dup with blocking.
+    """D2a: unigram-set Jaccard near-dup within a blocking key.
 
-    All-pairs Jaccard is O(n²) and unusable at scale; pairing is restricted
-    to a blocking key (lang, source) so the self-join is an equi-join whose
-    quadratic cost is bounded per block. |A∪B| is computed as
-    |A|+|B|-|A∩B| so the intersection is evaluated once per pair. For
-    corpus-scale near-dup the LSH path (x_dedup_minhash) replaces blocking."""
+    The two join inputs are pre-renamed projections of the token-set table,
+    so the join is a plain equi-join on (lang, source) with the doc_id
+    inequality as a residual — NOT a self-join Catalyst might degrade to a
+    nested-loop cross product. Quadratic cost is bounded per block; the
+    corpus-scale path is x_dedup_minhash."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
@@ -94,99 +123,115 @@ def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.array_distinct(tokens_col(F.col("text"))).alias("tokset"),
     )
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.tokset"), F.col("b.tokset")))
-    union = F.size(F.col("a.tokset")) + F.size(F.col("b.tokset")) - inter
-    jac = inter / union
+    a = toks.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("source").alias("source_a"),
+        F.col("tokset").alias("tokset_a"),
+    )
+    b = toks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("source").alias("source_b"),
+        F.col("tokset").alias("tokset_b"),
+    )
     return (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("source_a") == F.col("source_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(jac, 4).alias("jaccard"),
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("tokset_a"), F.col("tokset_b")), 4).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.8)
     )
 
 
-def _minhash_signature() -> F.Column:
-    """MINHASH_N-element MinHash signature over the token set, built from
-    Spark's 64-bit xxhash64 with per-hash seeds — all JVM expressions.
+def _minhash_signature(shingle_set: Column) -> Column:
+    """MINHASH_N-element MinHash signature: min over shingles of
+    xxhash64(shingle, seed_i) per seed — the standard construction, all JVM
+    expressions (no Python in the hot path)."""
 
-    min over tokens of xxhash64(token, seed_i) approximates a random
-    permutation per seed (standard MinHash construction)."""
-    toks = F.array_distinct(tokens_col(F.col("text")))
-
-    def one_hash(seed: int) -> F.Column:
+    def one_hash(seed: int) -> Column:
         # single-arg lambda: a 2-arg transform lambda would receive the
         # element index as its second argument and shadow the seed
-        return F.array_min(F.transform(toks, lambda t: F.xxhash64(t, F.lit(seed))))
+        return F.array_min(
+            F.transform(shingle_set, lambda s: F.xxhash64(s, F.lit(seed)))
+        )
 
     return F.array(*[one_hash(i) for i in range(MINHASH_N)])
 
 
 @query("x_dedup_minhash")  # rows-only: LSH banding is not ANSI-SQL-expressible
 def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2b: MinHash + LSH banded near-dup candidates.
+    """D2b: MinHash + LSH banded near-dup candidates — the 100 TB dedup path.
 
-    Pipeline: token set → 16-hash MinHash signature → 4 bands of 4 hashes →
-    hash each band → candidate pairs = docs sharing any band bucket →
-    verified with true Jaccard >= 0.5. The only shuffle is the equi-join on
-    (band_idx, band_hash); signature computation is embarrassingly parallel.
-    This is the scale path for near-dup at 100 TB (pair count ~ bucket
-    collisions, not n²)."""
+    shingle set → 16-hash MinHash signature → 4 bands of 4 hashes → hash
+    each band → candidate pairs = docs sharing any band bucket → verified
+    with true shingle Jaccard >= 0.5. The only shuffle is the equi-join on
+    (band_idx, band_hash); pair count tracks bucket collisions, not n²."""
     d = table(spark, sf_dir, "documents")
+    rows_per_band = MINHASH_N // MINHASH_BANDS
     sig = d.select(
         "doc_id",
-        F.array_distinct(tokens_col(F.col("text"))).alias("tokset"),
-        _minhash_signature().alias("sig"),
-    ).filter(F.size("tokset") > 0)
+        shingles_col(F.col("text")).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    sig = sig.withColumn("sig", _minhash_signature(F.col("shingles")))
 
-    rows_per_band = MINHASH_N // MINHASH_BANDS
     bands = sig.select(
         "doc_id",
-        "tokset",
+        "shingles",
         F.explode(
             F.array(
                 *[
                     F.struct(
-                        F.lit(b).alias("band_idx"),
+                        F.lit(bnd).alias("band_idx"),
                         F.xxhash64(
-                            *[F.col("sig").getItem(b * rows_per_band + r) for r in range(rows_per_band)]
+                            *[
+                                F.col("sig").getItem(bnd * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ]
                         ).alias("band_hash"),
                     )
-                    for b in range(MINHASH_BANDS)
+                    for bnd in range(MINHASH_BANDS)
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "tokset", "band.band_idx", "band.band_hash")
+    ).select("doc_id", "shingles", "band.band_idx", "band.band_hash")
 
-    a, b = bands.alias("a"), bands.alias("b")
+    a = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shingles").alias("shingles_a"),
+        "band_idx",
+        "band_hash",
+    )
+    b = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shingles").alias("shingles_b"),
+        F.col("band_idx").alias("band_idx_b"),
+        F.col("band_hash").alias("band_hash_b"),
+    )
     cand = (
         a.join(
             b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("band_idx") == F.col("band_idx_b"))
+            & (F.col("band_hash") == F.col("band_hash_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.tokset").alias("tokset_a"),
-            F.col("b.tokset").alias("tokset_b"),
-        )
+        .select("doc_a", "doc_b", "shingles_a", "shingles_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    inter = F.size(F.array_intersect("tokset_a", "tokset_b"))
-    union = F.size("tokset_a") + F.size("tokset_b") - inter
     return (
         cand.select(
-            "doc_a", "doc_b", F.round(inter / union, 4).alias("jaccard")
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("shingles_a"), F.col("shingles_b")), 4).alias(
+                "jaccard"
+            ),
         )
         .filter(F.col("jaccard") >= 0.5)
         .orderBy("doc_a", "doc_b")
@@ -195,15 +240,16 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query("x_dedup_simhash")  # rows-only: bit-manipulation not ANSI-SQL-expressible
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D2c: SimHash near-dup. Each token votes its hash bits ±1; the signed
-    bit-sums collapse to a SIMHASH_BITS fingerprint. Candidate pairs =
-    identical fingerprint prefix (16-bit block), verified by Hamming
-    distance <= 3. All bit arithmetic is JVM-side (shiftright/bitwise)."""
+    """D2c: SimHash near-dup over shingles. Each shingle votes its hash bits
+    ±1; signed bit-sums collapse to a SIMHASH_BITS fingerprint. Candidates =
+    identical 16-bit fingerprint prefix, verified by Hamming distance <= 3.
+    All bit arithmetic is JVM-side (shiftright / bitwiseAND / bit_count)."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
-    h = F.xxhash64("tok")
-    # per (doc, bit): +1 if bit set else -1; summed, then sign → bit
-    bit_votes = toks.select(
+    sh = d.select(
+        "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
+    )
+    h = F.xxhash64("shingle")
+    bit_votes = sh.select(
         "doc_id",
         *[
             F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
@@ -225,22 +271,28 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0),
         ).cast("bigint").alias("simhash"),
     )
-    prefix = F.shiftright(F.col("simhash"), SIMHASH_BITS // 2)
-    keyed = simhash.select("doc_id", "simhash", prefix.alias("prefix"))
-    a, b = keyed.alias("a"), keyed.alias("b")
-    xor = F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
-    hamming = F.bit_count(xor)
+    keyed = simhash.select(
+        "doc_id",
+        "simhash",
+        F.shiftright(F.col("simhash"), SIMHASH_BITS // 2).alias("prefix"),
+    )
+    a = keyed.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash").alias("simhash_a"),
+        "prefix",
+    )
+    b = keyed.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("simhash_b"),
+        F.col("prefix").alias("prefix_b"),
+    )
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (
         a.join(
             b,
-            (F.col("a.prefix") == F.col("b.prefix"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("prefix") == F.col("prefix_b")) & (F.col("doc_a") < F.col("doc_b")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            hamming.alias("hamming"),
-        )
+        .select("doc_a", "doc_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= 3)
         .orderBy("doc_a", "doc_b")
     )

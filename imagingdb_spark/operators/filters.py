@@ -23,17 +23,18 @@ from imagingdb_spark.registry import query
     oracle="""
     SELECT p_partkey, p_name, p_type
     FROM part
-    WHERE p_name LIKE '%gre%' AND p_type LIKE '%ECO%'
+    WHERE p_name LIKE '%old%' AND p_type LIKE '%O%'
     """,
 )
 def f_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: `col.contains(x)` — the reference's LIKE '%x%' search over
     dataset_serial / microscope / description (db_operations.py:70-77).
-    Substring predicates can't use parquet min/max stats but still push to the
-    scan as a row-level filter; column pruning reaches the reader."""
+    'old' matches both 'old anvil' and 'cold widget' — substring, not word,
+    semantics. Substring predicates can't use parquet min/max stats but
+    still push to the scan as a row-level filter."""
     part = table(spark, sf_dir, "part")
     return part.filter(
-        F.col("p_name").contains("gre") & F.col("p_type").contains("ECO")
+        F.col("p_name").contains("old") & F.col("p_type").contains("O")
     ).select("p_partkey", "p_name", "p_type")
 
 

@@ -36,6 +36,10 @@ def get_spark(app_name: str = "imagingdb_spark", cpus: str | None = None) -> Spa
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's
+        # vectorized reader rejects; read as long and let catalog.table()
+        # convert back to (microsecond) timestamps.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

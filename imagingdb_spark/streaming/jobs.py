@@ -1,0 +1,128 @@
+"""Structured Streaming jobs over `events` (SURVEY.md §2.9).
+
+The reference has no streaming (S3 sync is an external daily batch,
+README.md:14); this is north-star surface. Design rule: the streaming
+aggregations are the SAME DataFrame expressions as their batch twins in
+operators/streaming_batch.py — Spark's unified API means one code path,
+and the DuckDB oracle on the batch twin checks the streaming semantics.
+
+Watermarks bound state: without one, a windowed agg on an unbounded stream
+keeps every window open forever. 10-minute watermark = late events beyond
+10 minutes are dropped (recorded in the query progress metrics).
+
+Local tests drive these with a file source over the same parquet and a
+memory sink via process_all() — the production shape swaps source/sink for
+Kafka + a transactional sink without touching the aggregation code.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+# events schema with ts as LONG nanos (how Spark reads the driver's parquet
+# under nanosAsLong; the stream converts to a real timestamp column).
+EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S: file-based stream over the events parquet (one-file-per-trigger
+    keeps local tests deterministic). Kafka swap-in:
+    spark.readStream.format('kafka')... with the same downstream plan."""
+    # the file stream source requires a directory; glob-filter to the events
+    # table (sf_dir holds the other tables' parquet too)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """st_tumbling with late-data bound: 1-hour windows per event_type."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """st_sliding: 1-hour windows sliding every 15 minutes."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def session_aggregate(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """st_session: session windows (30-minute inactivity gap) per user —
+    the stateful operator Structured Streaming tracks natively; state is
+    partitioned by user_id and merged as sessions extend."""
+    return (
+        events.withWatermark("ts", "10 minutes")
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """Stateful dedup within the watermark horizon — the streaming twin of
+    the uniqueness-check/D1 family (db_operations.py:111-117):
+    dropDuplicatesWithinWatermark keeps state only for the watermark window,
+    so dedup state is bounded (the unbounded dropDuplicates would grow
+    forever on a real stream)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory(df: DataFrame, name: str) -> StreamingQuery:
+    """Test/driver helper: run a streaming plan to a memory sink and block
+    until all available input is processed (deterministic local runs)."""
+    # aggregations need complete/update output mode; passthrough plans append
+    has_agg = any(
+        op in df._jdf.queryExecution().analyzed().toString()
+        for op in ("Aggregate", "SessionWindow")
+    )
+    q = (
+        df.writeStream.outputMode("complete" if has_agg else "append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,128 @@
+"""Extension-operator tests with planted ground truth: near-dup detection
+must actually find planted near-duplicates (the synthetic corpus has none),
+similarity search must rank an identical vector first, multimodal plumbing
+must round-trip payloads through Arrow batches."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from imagingdb_spark import multimodal
+from imagingdb_spark.operators.dedup import jaccard, shingles_col
+from imagingdb_spark.operators.similarity import cosine, dot
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden"
+)
+
+
+@pytest.fixture(scope="module")
+def planted_docs(spark):
+    rows = [
+        (0, BASE, "en", "src0"),
+        (1, BASE.replace("lazy", "sleepy"), "en", "src0"),        # near-dup of 0
+        (2, BASE, "en", "src1"),                                   # exact dup of 0
+        (3, "completely different text about spark query engines "
+            "and distributed joins at scale", "en", "src0"),
+        (4, "short doc", "en", "src1"),
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+
+
+class TestShingles:
+    def test_shingle_construction(self, spark):
+        df = spark.createDataFrame([("a b c d",)], "text string")
+        got = df.select(shingles_col(F.col("text")).alias("s")).collect()[0]["s"]
+        assert sorted(got) == ["a b c", "b c d"]
+
+    def test_short_doc_whole_text_shingle(self, spark):
+        df = spark.createDataFrame([("short doc",)], "text string")
+        got = df.select(shingles_col(F.col("text")).alias("s")).collect()[0]["s"]
+        assert got == ["short doc"]
+
+    def test_jaccard_identical_is_one(self, spark):
+        df = spark.createDataFrame([(["a", "b"], ["a", "b"])], "x array<string>, y array<string>")
+        got = df.select(jaccard(F.col("x"), F.col("y")).alias("j")).collect()[0]["j"]
+        assert got == 1.0
+
+
+class TestMinhashFindsPlantedDups:
+    def test_planted_pairs_found(self, spark, planted_docs, monkeypatch):
+        import imagingdb_spark.catalog as catalog
+        from imagingdb_spark.operators import dedup
+
+        monkeypatch.setattr(
+            catalog, "table", lambda spark_, sf, name: planted_docs
+        )
+        monkeypatch.setattr(dedup, "table", lambda spark_, sf, name: planted_docs)
+        got = dedup.x_dedup_minhash(spark, "ignored").collect()
+        pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in got}
+        assert (0, 2) in pairs and pairs[(0, 2)] == 1.0   # exact dup
+        assert (0, 1) in pairs and pairs[(0, 1)] > 0.5     # near dup
+        assert not any(3 in p or 4 in p for p in pairs)    # non-dups excluded
+
+
+class TestSimilarity:
+    def test_identical_vector_ranks_first(self, spark):
+        rng = np.random.default_rng(7)
+        vecs = [(i, [float(x) for x in rng.normal(size=8)], i % 2) for i in range(1, 50)]
+        vecs.append((0, vecs[0][1], 0))    # vec 0 == vec 1
+        df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>, label int")
+        probe = df.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q"))
+        scored = (
+            df.filter(F.col("vec_id") != 0)
+            .crossJoin(F.broadcast(probe))
+            .select("vec_id", cosine(F.col("embedding"), F.col("q")).alias("sim"))
+            .orderBy(F.desc("sim"))
+        )
+        top = scored.collect()[0]
+        assert top["vec_id"] == 1 and top["sim"] == pytest.approx(1.0)
+
+    def test_dot_matches_numpy(self, spark):
+        a, b = [1.0, 2.0, 3.0], [4.0, 5.0, 6.0]
+        df = spark.createDataFrame([(a, b)], "x array<double>, y array<double>")
+        got = df.select(dot(F.col("x"), F.col("y")).alias("d")).collect()[0]["d"]
+        assert got == pytest.approx(np.dot(a, b))
+
+
+class TestMultimodal:
+    @pytest.fixture()
+    def frames_df(self, spark):
+        rows = [
+            ("DS-1", c, z, 0, 0, 4, 2, "uint8", bytes([c * 10 + z + i for i in range(8)]))
+            for c in range(2)
+            for z in range(2)
+        ]
+        return spark.createDataFrame(rows, multimodal.FRAME_SCHEMA)
+
+    def test_decode_stub_raises(self):
+        with pytest.raises(NotImplementedError, match="codec"):
+            multimodal.decode_png(b"bytes", "uint8")
+
+    def test_frame_features_with_fake_decoder(self, frames_df):
+        got = multimodal.frame_features(frames_df, decoder=multimodal.fake_decoder)
+        rows = {(r["channel_idx"], r["slice_idx"]): r for r in got.collect()}
+        assert len(rows) == 4
+        r = rows[(1, 1)]
+        payload = bytes([1 * 10 + 1 + i for i in range(8)])
+        import hashlib
+
+        assert r["n_bytes"] == 8
+        assert r["payload_sha256"] == hashlib.sha256(payload).hexdigest()
+        assert r["mean_intensity"] == pytest.approx(np.frombuffer(payload, np.uint8).mean())
+
+    def test_assemble_stack_shape_and_order(self, frames_df):
+        got = multimodal.assemble_stack(frames_df, decoder=multimodal.fake_decoder)
+        rows = got.collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # Z=2, C=2 kept; T=P=1 squeezed; X=8 payload elements
+        assert r["dim_order"] == "ZCX"
+        assert r["shape"] == [2, 2, 8]
+        stack = np.array(r["stack"]).reshape(r["shape"])
+        # frame (c=1, z=0): payload bytes 10..17 at stack[z=0, c=1]
+        assert list(stack[0, 1]) == [10.0 + i for i in range(8)]
