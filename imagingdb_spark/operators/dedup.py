@@ -37,22 +37,40 @@ SIMHASH_BITS = 32
 SHINGLE_K = 3
 
 
-def shingles_col(text: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct k-word shingles of lower(text). Docs shorter than k tokens
-    yield their whole token sequence as one shingle so they still dedup."""
-    toks = tokens_col(text)
-    kgrams = F.filter(
-        F.transform(
-            toks,
-            lambda t, i: F.when(
-                i <= F.size(toks) - k,
-                F.concat_ws(" ", *([t] + [F.get(toks, i + j) for j in range(1, k)])),
-            ),
-        ),
-        lambda s: s.isNotNull(),
+def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-word shingles from a MATERIALIZED token-array column.
+    Docs shorter than k tokens yield their whole token sequence as one
+    shingle so they still dedup.
+
+    ``toks`` must be a bound column (projected in a previous select), not an
+    inline expression: higher-order lambdas are interpreted (no codegen), so
+    an inlined token expression would be re-evaluated per element — measured
+    ~20x slower at sf0.1. ``slice`` over a bound array is O(k) per shingle."""
+    kgrams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
     )
     whole = F.array(F.concat_ws(" ", toks))
     return F.array_distinct(F.when(F.size(toks) >= k, kgrams).otherwise(whole))
+
+
+def shingled_docs(spark: SparkSession, sf_dir: str, extra_cols: list[str] | None = None) -> DataFrame:
+    """(doc_id, shingles[, extra_cols]) with tokenization and shingling in
+    separate projections (see shingles_from_tokens). Shared by the near-dup
+    family."""
+    d = table(spark, sf_dir, "documents")
+    extra = extra_cols or []
+    # Shingling + MinHash are CPU-heavy interpreted expressions; a small
+    # parquet layout (one file → one partition) would serialize them on a
+    # single core. Round-robin repartition to the cluster's parallelism —
+    # at real scale the scan already has many splits and AQE coalesces.
+    npart = spark.sparkContext.defaultParallelism
+    toks_df = d.repartition(npart).select(
+        "doc_id", *extra, tokens_col(F.col("text")).alias("toks")
+    )
+    return toks_df.select(
+        "doc_id", *extra, shingles_from_tokens(F.col("toks")).alias("shingles")
+    ).filter(F.size("shingles") > 0)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -151,6 +169,36 @@ def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_BUCKET = 100  # drop degenerate LSH buckets (> this many docs) — see notes
+
+
+def _bucket_pairs(df: DataFrame, bucket_cols: list[str], id_col: str) -> DataFrame:
+    """Distinct unordered candidate pairs (doc_a < doc_b) of ids sharing a
+    bucket. One shuffle (the groupBy); pair generation is an in-bucket
+    nested-transform explode, quadratic only within a bucket and capped at
+    MAX_BUCKET docs per bucket."""
+    ids_df = (
+        df.groupBy(*bucket_cols)
+        .agg(F.collect_list(id_col).alias("ids_raw"))
+        .filter((F.size("ids_raw") > 1) & (F.size("ids_raw") <= MAX_BUCKET))
+        .select(F.array_sort("ids_raw").alias("ids"))
+    )
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    return (
+        ids_df.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 def _minhash_signature(shingle_set: Column) -> Column:
     """MINHASH_N-element MinHash signature: min over shingles of
     xxhash64(shingle, seed_i) per seed — the standard construction, all JVM
@@ -172,19 +220,28 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     shingle set → 16-hash MinHash signature → 4 bands of 4 hashes → hash
     each band → candidate pairs = docs sharing any band bucket → verified
-    with true shingle Jaccard >= 0.5. The only shuffle is the equi-join on
-    (band_idx, band_hash); pair count tracks bucket collisions, not n²."""
-    d = table(spark, sf_dir, "documents")
+    with true shingle Jaccard >= 0.5.
+
+    Scale shape:
+    - the banding stream is SLIM — (doc_id, band_idx, band_hash) only;
+      shingle arrays never ride through the n×4-row explode or the bucket
+      shuffle.
+    - candidate pairs come from groupBy(bucket) + in-bucket pair explode,
+      NOT a self-join: one evaluation of the signature pipeline and one
+      shuffle instead of two of each.
+    - degenerate buckets (boilerplate/empty docs all hashing together) are
+      the classic quadratic blowup; buckets over MAX_BUCKET docs are dropped
+      (standard production cap — such docs are better handled by exact dedup
+      upstream).
+    - verification re-joins the shingle table by doc_id: two extra narrow
+      shuffles beat shuffling 4x the shingle volume, and the candidate side
+      after dropDuplicates is tiny."""
     rows_per_band = MINHASH_N // MINHASH_BANDS
-    sig = d.select(
-        "doc_id",
-        shingles_col(F.col("text")).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
-    sig = sig.withColumn("sig", _minhash_signature(F.col("shingles")))
+    sh = shingled_docs(spark, sf_dir)
+    sig = sh.withColumn("sig", _minhash_signature(F.col("shingles")))
 
     bands = sig.select(
         "doc_id",
-        "shingles",
         F.explode(
             F.array(
                 *[
@@ -201,32 +258,15 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("band"),
-    ).select("doc_id", "shingles", "band.band_idx", "band.band_hash")
+    ).select("doc_id", "band.band_idx", "band.band_hash")
 
-    a = bands.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("shingles").alias("shingles_a"),
-        "band_idx",
-        "band_hash",
-    )
-    b = bands.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("shingles").alias("shingles_b"),
-        F.col("band_idx").alias("band_idx_b"),
-        F.col("band_hash").alias("band_hash_b"),
-    )
-    cand = (
-        a.join(
-            b,
-            (F.col("band_idx") == F.col("band_idx_b"))
-            & (F.col("band_hash") == F.col("band_hash_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
-        )
-        .select("doc_a", "doc_b", "shingles_a", "shingles_b")
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = _bucket_pairs(bands, ["band_idx", "band_hash"], "doc_id")
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("shingles_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shingles_b"))
     return (
-        cand.select(
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
             "doc_a",
             "doc_b",
             F.round(jaccard(F.col("shingles_a"), F.col("shingles_b")), 4).alias(
@@ -244,9 +284,8 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ±1; signed bit-sums collapse to a SIMHASH_BITS fingerprint. Candidates =
     identical 16-bit fingerprint prefix, verified by Hamming distance <= 3.
     All bit arithmetic is JVM-side (shiftright / bitwiseAND / bit_count)."""
-    d = table(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(shingles_col(F.col("text"))).alias("shingle")
+    sh = shingled_docs(spark, sf_dir).select(
+        "doc_id", F.explode("shingles").alias("shingle")
     )
     h = F.xxhash64("shingle")
     bit_votes = sh.select(
@@ -276,23 +315,34 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "simhash",
         F.shiftright(F.col("simhash"), SIMHASH_BITS // 2).alias("prefix"),
     )
-    a = keyed.select(
-        F.col("doc_id").alias("doc_a"),
-        F.col("simhash").alias("simhash_a"),
-        "prefix",
+    # Same bucket-pair shape as _bucket_pairs but carrying the scalar simhash
+    # through the bucket (cheap, unlike shingle arrays) so no join-back is
+    # needed: groupBy(prefix) → in-bucket pair explode → hamming filter.
+    buckets = (
+        keyed.groupBy("prefix")
+        .agg(F.collect_list(F.struct("doc_id", "simhash")).alias("ms_raw"))
+        .filter((F.size("ms_raw") > 1) & (F.size("ms_raw") <= MAX_BUCKET))
+        .select(F.array_sort("ms_raw").alias("ms"))
     )
-    b = keyed.select(
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("simhash_b"),
-        F.col("prefix").alias("prefix_b"),
-    )
-    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
-    return (
-        a.join(
-            b,
-            (F.col("prefix") == F.col("prefix_b")) & (F.col("doc_a") < F.col("doc_b")),
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ms"), i + 2, F.size(F.col("ms"))),
+                lambda y: F.struct(
+                    x["doc_id"].alias("doc_a"),
+                    y["doc_id"].alias("doc_b"),
+                    F.bit_count(x["simhash"].bitwiseXOR(y["simhash"])).alias(
+                        "hamming"
+                    ),
+                ),
+            ),
         )
-        .select("doc_a", "doc_b", hamming.alias("hamming"))
+    )
+    return (
+        buckets.select(F.explode(pairs).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.hamming")
         .filter(F.col("hamming") <= 3)
+        .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )

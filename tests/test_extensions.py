@@ -8,7 +8,14 @@ import pytest
 from pyspark.sql import functions as F
 
 from imagingdb_spark import multimodal
-from imagingdb_spark.operators.dedup import jaccard, shingles_col
+from imagingdb_spark.operators.dedup import jaccard, shingles_from_tokens
+from imagingdb_spark.operators.text import tokens_col
+
+
+def _shingles(df):
+    return df.select(tokens_col(F.col("text")).alias("toks")).select(
+        shingles_from_tokens(F.col("toks")).alias("s")
+    )
 from imagingdb_spark.operators.similarity import cosine, dot
 
 
@@ -36,12 +43,12 @@ def planted_docs(spark):
 class TestShingles:
     def test_shingle_construction(self, spark):
         df = spark.createDataFrame([("a b c d",)], "text string")
-        got = df.select(shingles_col(F.col("text")).alias("s")).collect()[0]["s"]
+        got = _shingles(df).collect()[0]["s"]
         assert sorted(got) == ["a b c", "b c d"]
 
     def test_short_doc_whole_text_shingle(self, spark):
         df = spark.createDataFrame([("short doc",)], "text string")
-        got = df.select(shingles_col(F.col("text")).alias("s")).collect()[0]["s"]
+        got = _shingles(df).collect()[0]["s"]
         assert got == ["short doc"]
 
     def test_jaccard_identical_is_one(self, spark):
