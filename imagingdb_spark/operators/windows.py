@@ -107,14 +107,21 @@ def w_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def w_rownum_page(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O3: offset slicing `datasets[2:5]` (database_queries.ipynb cells 7/11)
-    as row_number pagination. NOTE: a global ORDER BY window is a
-    single-partition sort — fine for paginating a catalog table, wrong for a
-    fact table at scale (use keyset pagination on the sort key instead)."""
+    as row_number pagination.
+
+    Scale shape: rn <= 20 means only the 20 globally-smallest keys matter, so
+    take them with a distributed top-k (TakeOrderedAndProject — per-partition
+    heaps, no global sort/shuffle) and only then window over that tiny set.
+    A bare Window.orderBy would move the whole fact table to one partition."""
     w = Window.orderBy("o_orderkey")
+    page_end = 20
     return (
         table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .limit(page_end)
         .select("o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
-        .filter((F.col("rn") >= 11) & (F.col("rn") <= 20))
+        .filter((F.col("rn") >= 11) & (F.col("rn") <= page_end))
     )
 
 

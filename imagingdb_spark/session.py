@@ -34,6 +34,19 @@ def get_spark(app_name: str = "imagingdb_spark", cpus: str | None = None) -> Spa
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # Whole-stage codegen emits one compiled class per distinct stage; a
+        # many-query session overflows the JVM's default 240 MB code cache,
+        # after which the JIT stops compiling and every task runs interpreted
+        # (measured: 15-30x slowdown mid-session). Size it up and let the JVM
+        # flush cold compiled code instead of disabling compilation.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
+        .config(
+            "spark.executor.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's

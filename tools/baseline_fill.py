@@ -1,0 +1,79 @@
+"""Measure every oracle-checked query on Spark (local[32]) and DuckDB at a
+given SF and rewrite the per-query table at the end of BASELINE.md.
+
+Usage: python tools/baseline_fill.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+import duckdb
+
+from imagingdb_spark import registry
+from imagingdb_spark.catalog import TPCH_TABLES
+from imagingdb_spark.session import get_spark
+
+MARKER = "| query | sf | spark (s) | duckdb oracle (s) | ratio | notes |"
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    registry.load_all()
+    spark = get_spark()
+
+    con = duckdb.connect()
+    for t in TPCH_TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+
+    # Warm both engines (JIT, file cache) on one cheap query.
+    next(iter(registry.QUERIES.values()))(spark, sf_dir).count()
+
+    lines = []
+    total_s = total_d = 0.0
+    for name in sorted(registry.QUERIES):
+        fn = registry.QUERIES[name]
+        t0 = time.time()
+        fn(spark, sf_dir).count()
+        spark_s = time.time() - t0
+        if name in registry.ORACLE:
+            t0 = time.time()
+            con.execute(registry.ORACLE[name]).fetchall()
+            duck_s = time.time() - t0
+            ratio = f"{spark_s / duck_s:.1f}x" if duck_s > 0 else "-"
+            duck_cell = f"{duck_s:.2f}"
+            total_d += duck_s
+        else:
+            duck_cell, ratio = "n/a (rows-only)", "-"
+        total_s += spark_s
+        lines.append(f"| {name} | {sf} | {spark_s:.2f} | {duck_cell} | {ratio} | |")
+        print(lines[-1], flush=True)
+    lines.append(
+        f"| **total** | {sf} | **{total_s:.2f}** | **{total_d:.2f}** "
+        f"(oracle-checked only) | | single process, local[32], warm |"
+    )
+
+    path = Path("/root/repo/BASELINE.md")
+    text = path.read_text()
+    head = text.split(MARKER)[0]
+    table = MARKER + "\n|---|---|---|---|---|---|\n" + "\n".join(lines) + "\n"
+    note = (
+        "\nSpark per-query times include full plan build + execution in a warm\n"
+        "session (the driver's bench does the same). DuckDB is the single-node\n"
+        "embedded oracle on identical parquet; Spark carries JVM task-scheduling\n"
+        "overhead at this tiny SF that amortizes away at real scale.\n"
+    )
+    path.write_text(head + table + note)
+    print("BASELINE.md updated")
+
+
+if __name__ == "__main__":
+    main()
