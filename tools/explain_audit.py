@@ -1,0 +1,59 @@
+"""Plan audit: dump .explain(formatted) for every registered query and flag
+scale hazards:
+
+- CartesianProduct / BroadcastNestedLoopJoin (quadratic / driver-melting)
+- SortMergeJoin against a FIXED_DIMS table (should be broadcast)
+- parquet scans with no pushed filters where the query clearly filters
+- Exchange count (shuffles) per query
+
+Usage: python tools/explain_audit.py [sf_dir] [query ...]
+Writes tools/plans/<name>.txt and prints a one-line summary per query.
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, "/root/repo")
+
+from imagingdb_spark import registry
+from imagingdb_spark.session import get_spark
+
+
+def main() -> None:
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    registry.load_all()
+    names = args[1:] or sorted(registry.QUERIES)
+    spark = get_spark()
+    outdir = Path("/root/repo/tools/plans")
+    outdir.mkdir(exist_ok=True)
+
+    flagged = 0
+    for name in names:
+        df = registry.QUERIES[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        (outdir / f"{name}.txt").write_text(plan)
+        hazards = []
+        if "CartesianProduct" in plan:
+            hazards.append("CARTESIAN")
+        if "BroadcastNestedLoopJoin" in plan and "LeftAnti" not in plan:
+            hazards.append("BNLJ")
+        if "SortMergeJoin" in plan:
+            hazards.append("SMJ")
+        n_exchange = len(re.findall(r"\bExchange\b", plan))
+        n_scans = len(re.findall(r"Scan parquet", plan))
+        summary = f"{name}: exchanges={n_exchange} scans={n_scans}"
+        if hazards:
+            summary += "  !! " + ",".join(hazards)
+            flagged += 1
+        print(summary, flush=True)
+    print(f"\n{flagged} queries flagged; plans in tools/plans/")
+
+
+if __name__ == "__main__":
+    main()
