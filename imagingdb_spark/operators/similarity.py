@@ -120,6 +120,61 @@ def x_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBED_DUP_THRESHOLD = 0.4  # synthetic corpus max-cos ≈ 0.47; real pipelines use ~0.95
+
+
+@query(
+    "x_dedup_embed",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v
+      FROM embeddings
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           round(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))), 4) AS cosine_sim
+    FROM e a
+    JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) /
+                (sqrt(list_dot_product(a.v, a.v)) *
+                 sqrt(list_dot_product(b.v, b.v))), 4) >= {EMBED_DUP_THRESHOLD}
+    """,
+)
+def x_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: within-label pairs with cosine >= threshold
+    (exact, oracle-checked; the blocking key bounds the quadratic exactly
+    like x_dedup_jaccard's (lang, source) block). The corpus-scale unblocked
+    path is hyperplane-LSH bucketing (x_ann_lsh's signature as the block
+    key). 64-float vectors are small enough to carry through the block join;
+    the filter is on the ROUNDED value so both engines cut at the same
+    boundary."""
+    e = table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", _as_double("embedding").alias("v"))
+    a = vecs.select(
+        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("v").alias("vb"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("label") == F.col("label_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select(
+            "vec_a",
+            "vec_b",
+            "label",
+            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"),
+        )
+        .filter(F.col("cosine_sim") >= EMBED_DUP_THRESHOLD)
+    )
+
+
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: components from a
     splitmix64-style integer scramble of (seed, i) mapped to [-1, 1).

@@ -130,3 +130,54 @@ def st_session(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+@query("st_anomaly")  # rows-only: order-dependent Welford state is not ANSI-SQL
+def st_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.jobs.anomaly_counts: per-user running anomaly
+    counter via applyInPandas (UDTF-shaped: one group in → one summary row
+    out). Same order-dependent semantics — an event is anomalous relative to
+    the running mean/stddev at its arrival time — which no built-in windowed
+    aggregate expresses; the streaming form keeps the Welford triple in
+    applyInPandasWithState state instead of recomputing per batch.
+
+    Scale: shuffles once on user_id; per-group work is O(events-per-user)
+    with Arrow batch transfer, state O(1) per user."""
+    import pandas as pd
+
+    z_threshold = 3.0
+
+    def summarize(pdf: pd.DataFrame) -> pd.DataFrame:
+        n, mean, m2, anomalies = 0, 0.0, 0.0, 0
+        for v in pdf.sort_values("ts")["value"]:
+            if n >= 2:
+                std = (m2 / (n - 1)) ** 0.5
+                if std > 0 and abs(v - mean) > z_threshold * std:
+                    anomalies += 1
+            n += 1
+            d = v - mean
+            mean += d / n
+            m2 += d * (v - mean)
+        std = (m2 / (n - 1)) ** 0.5 if n >= 2 else 0.0
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": int(pdf["user_id"].iloc[0]),
+                    "n_events": n,
+                    "mean": round(mean, 4),
+                    "stddev": round(std, 4),
+                    "anomalies": anomalies,
+                }
+            ]
+        )
+
+    e = table(spark, sf_dir, "events")
+    return (
+        e.select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandas(
+            summarize,
+            schema="user_id BIGINT, n_events BIGINT, mean DOUBLE, "
+            "stddev DOUBLE, anomalies BIGINT",
+        )
+    )

@@ -110,16 +110,79 @@ def streaming_dedup(events: DataFrame, watermark: str = "10 minutes") -> DataFra
     )
 
 
+ANOMALY_STATE_SCHEMA = "n BIGINT, mean DOUBLE, m2 DOUBLE, anomalies BIGINT"
+ANOMALY_OUT_SCHEMA = (
+    "user_id BIGINT, n_events BIGINT, mean DOUBLE, stddev DOUBLE, anomalies BIGINT"
+)
+
+
+def anomaly_counts(events: DataFrame, z_threshold: float = 3.0) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user running
+    anomaly counter. State = Welford (n, mean, M2) accumulated across
+    micro-batches; an event is anomalous when |value - running_mean| exceeds
+    z_threshold * running_stddev *at the moment it arrives* — order-dependent
+    semantics no built-in windowed agg expresses (the reason this operator
+    exists). Emits the updated per-user summary every batch (update mode).
+
+    State is partitioned by user_id — the same shuffle key as session_window,
+    so state size is O(distinct users), not O(events)."""
+    import pandas as pd  # local import: worker-side dependency
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        if state.exists:
+            n, mean, m2, anomalies = state.get
+        else:
+            n, mean, m2, anomalies = 0, 0.0, 0.0, 0
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for v in pdf["value"]:
+                if n >= 2:
+                    std = (m2 / (n - 1)) ** 0.5
+                    if std > 0 and abs(v - mean) > z_threshold * std:
+                        anomalies += 1
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+        state.update((n, mean, m2, anomalies))
+        std = (m2 / (n - 1)) ** 0.5 if n >= 2 else 0.0
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": key[0],
+                    "n_events": n,
+                    "mean": mean,
+                    "stddev": std,
+                    "anomalies": anomalies,
+                }
+            ]
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ANOMALY_OUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_to_memory(df: DataFrame, name: str) -> StreamingQuery:
     """Test/driver helper: run a streaming plan to a memory sink and block
     until all available input is processed (deterministic local runs)."""
-    # aggregations need complete/update output mode; passthrough plans append
-    has_agg = any(
-        op in df._jdf.queryExecution().analyzed().toString()
-        for op in ("Aggregate", "SessionWindow")
-    )
+    # aggregations need complete/update output mode; stateful apply declares
+    # update itself; passthrough plans append
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    if "FlatMapGroupsInPandasWithState" in analyzed:
+        mode = "update"
+    elif any(op in analyzed for op in ("Aggregate", "SessionWindow")):
+        mode = "complete"
+    else:
+        mode = "append"
     q = (
-        df.writeStream.outputMode("complete" if has_agg else "append")
+        df.writeStream.outputMode(mode)
         .format("memory")
         .queryName(name)
         .start()

@@ -46,6 +46,47 @@ def test_session_stream_matches_batch(spark, events_stream):
         stop_all(spark)
 
 
+def test_anomaly_counts_stateful_matches_reference(spark, events_stream):
+    try:
+        q = jobs.run_to_memory(jobs.anomaly_counts(events_stream), "t_anom")
+        got = {
+            r["user_id"]: r
+            for r in spark.sql(
+                # update-mode memory sink appends one row per user per batch;
+                # the last row per user is the final state
+                """SELECT user_id, n_events, mean, stddev, anomalies
+                   FROM (SELECT *, row_number() OVER
+                           (PARTITION BY user_id ORDER BY n_events DESC) rn
+                         FROM t_anom) WHERE rn = 1"""
+            ).collect()
+        }
+        q.stop()
+
+        # order-faithful reference: replay each user's events by ts in pandas
+        events = (
+            spark.read.parquet(f"{SF_DIR}/events.parquet")
+            .selectExpr("user_id", "timestamp_micros(ts div 1000) AS ts", "value")
+            .toPandas()
+        )
+        for user_id, pdf in events.groupby("user_id"):
+            n, mean, m2, anomalies = 0, 0.0, 0.0, 0
+            for v in pdf.sort_values("ts")["value"]:
+                if n >= 2:
+                    std = (m2 / (n - 1)) ** 0.5
+                    if std > 0 and abs(v - mean) > 3.0 * std:
+                        anomalies += 1
+                n += 1
+                d = v - mean
+                mean += d / n
+                m2 += d * (v - mean)
+            r = got[user_id]
+            assert r["n_events"] == n
+            assert r["anomalies"] == anomalies, f"user {user_id}"
+            assert r["mean"] == pytest.approx(mean)
+    finally:
+        stop_all(spark)
+
+
 def test_streaming_dedup_drops_in_horizon_dups(spark, events_stream):
     try:
         q = jobs.run_to_memory(jobs.streaming_dedup(events_stream), "t_dedup")
