@@ -151,3 +151,36 @@ def x_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.min(F.sha2("tok", 256)).alias("fingerprint"))
     )
+
+
+# BPE-ish pre-tokenizer pattern (GPT-2-style classes, ASCII-simplified so the
+# Java and RE2 regex engines agree): letter runs | digit runs | punct runs.
+BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+
+
+@query(
+    "x_token_bpe",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                                t -> t <> '')) AS INT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text,
+                '[A-Za-z]+|[0-9]+|[^A-Za-z0-9[:space:]]+')) AS INT)
+             AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def x_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways (north-star text surface): whitespace tokens
+    vs a BPE-ish pre-tokenizer regex (letter/digit/punct runs — the GPT-2
+    pre-tokenizer's character classes without the unicode/byte-level parts).
+    The regex count is what a train-data pipeline budgets against; both are
+    single-pass JVM regexp expressions, no shuffle."""
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_PATTERN), F.lit(0))).alias(
+            "n_bpe_tokens"
+        ),
+    )
