@@ -1,0 +1,91 @@
+"""Sink tests: blob fan-out (idempotent skip, atomic publish), CSV/JSON
+metadata writers, recursive JSON containment."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from imagingdb_spark import sinks
+
+
+@pytest.fixture()
+def frames(spark):
+    rows = [(f"im_c{c:03d}_z{z:03d}.png", bytes([c, z, 7])) for c in range(2) for z in range(3)]
+    return spark.createDataFrame(rows, "file_name string, payload binary")
+
+
+class TestWriteBlobs:
+    def test_writes_one_object_per_row(self, frames, tmp_path):
+        sinks.write_blobs(frames, str(tmp_path))
+        names = sorted(os.listdir(tmp_path))
+        assert len(names) == 6
+        with open(tmp_path / "im_c001_z002.png", "rb") as f:
+            assert f.read() == bytes([1, 2, 7])
+
+    def test_skips_existing_unless_overwrite(self, frames, tmp_path):
+        target = tmp_path / "im_c000_z000.png"
+        target.write_bytes(b"pre-existing")
+        sinks.write_blobs(frames, str(tmp_path))
+        assert target.read_bytes() == b"pre-existing"  # skipped
+        sinks.write_blobs(frames, str(tmp_path), overwrite=True)
+        assert target.read_bytes() == bytes([0, 0, 7])
+
+    def test_no_inprogress_files_left(self, frames, tmp_path):
+        sinks.write_blobs(frames, str(tmp_path))
+        assert not [n for n in os.listdir(tmp_path) if n.endswith(".inprogress")]
+
+
+class TestMetaSinks:
+    def test_csv_roundtrip(self, spark, frames, tmp_path):
+        meta = frames.select("file_name", F.length("payload").alias("n"))
+        sinks.write_frames_meta_csv(meta, str(tmp_path))
+        back = (
+            spark.read.option("header", True)
+            .csv(str(tmp_path / "frames_meta.csv"))
+            .collect()
+        )
+        assert len(back) == 6
+
+    def test_json_roundtrip_and_single_dict(self, spark, tmp_path):
+        gm = spark.createDataFrame(
+            [("DS-1", 6, 2, 3)],
+            "dataset_serial string, nbr_frames int, nbr_channels int, nbr_slices int",
+        )
+        sinks.write_global_meta_json(gm, str(tmp_path))
+        back = spark.read.json(str(tmp_path / "global_metadata.json"))
+        assert back.collect()[0]["nbr_frames"] == 6
+        d = sinks.collect_global_meta_dict(gm)
+        assert d["dataset_serial"] == "DS-1"
+
+    def test_single_dict_rejects_multirow(self, spark):
+        gm = spark.createDataFrame([(1,), (2,)], "x int")
+        with pytest.raises(ValueError):
+            sinks.collect_global_meta_dict(gm)
+
+
+class TestJsonContains:
+    def test_flat_containment(self):
+        doc = json.dumps({"protein_name": "TOPOR", "plate_id": "p1"})
+        assert sinks.json_contains(doc, {"protein_name": "TOPOR"})
+        assert not sinks.json_contains(doc, {"protein_name": "OTHER"})
+
+    def test_nested_and_array(self):
+        doc = json.dumps({"a": {"b": [1, 2, {"c": 3}]}, "d": 4})
+        assert sinks.json_contains(doc, {"a": {"b": [{"c": 3}, 1]}})
+        assert not sinks.json_contains(doc, {"a": {"b": [5]}})
+
+    def test_null_and_malformed(self):
+        assert not sinks.json_contains(None, {"k": 1})
+        assert not sinks.json_contains("{not json", {"k": 1})
+
+    def test_as_udf(self, spark):
+        docs = spark.createDataFrame(
+            [('{"protein_name": "TOPOR", "x": {"y": 1}}',), ('{"protein_name": "A"}',)],
+            "metadata_json string",
+        )
+        needle = {"x": {"y": 1}}
+        contains = F.udf(lambda s: sinks.json_contains(s, needle), "boolean")
+        got = docs.filter(contains("metadata_json")).collect()
+        assert len(got) == 1
