@@ -34,9 +34,12 @@ HEADLINE = [
     "o_topk",           # global top-k
     "x_dedup_exact",    # content-hash dedup
     "x_dedup_minhash",  # MinHash LSH near-dup
+    "x_dedup_embed",    # embedding-cosine near-dup (blocked exact)
     "x_token_freq",     # explode + agg
     "x_text_stats",     # per-doc quality stats
     "x_topk_sim",       # brute-force cosine top-k
+    "j_asof",           # as-of join via union + window
+    "st_anomaly",       # applyInPandas stateful scan
     "f_json_extract",   # JSON predicate pushline
 ]
 
