@@ -6,12 +6,30 @@ Brute-force cosine top-k is the exact baseline; the LSH-bucketed variant
 join prunes the candidate set to ~bucket-sized groups instead of scoring
 every vector against every query.
 
-All vector arithmetic uses higher-order array functions (zip_with /
-aggregate) on DOUBLE — JVM-side, no Python, no UDF.
+Execution-strategy note (measured at sf0.1, local[32]) — three ways to do
+64-dim vector math in Spark, and why this module uses Arrow + numpy:
+
+1. Higher-order functions (zip_with/aggregate): one plan node, but the
+   lambdas are INTERPRETED — ~1 µs per element-op. Fine linearly, fatal on
+   a pair join (x_dedup_embed measured 48 s).
+2. Unrolled element_at expressions: whole-stage codegen, ~50x faster per
+   element-op, but the 64-term-per-dot expression trees grow to 10³-10⁴
+   nodes and Catalyst re-analyzes them on every run — plan time dominated
+   end-to-end (x_ann_lsh's 8-plane signature alone is ~2.5k nodes, 3-6 s
+   of driver time per invocation).
+3. Arrow-batched numpy (pandas_udf / applyInPandas): one plan node, BLAS
+   execution, one Arrow hop. Wins for every vector op here; the whole
+   family runs in O(0.5 s) at sf0.1.
+
+The lesson generalizes: "UDFs are the slow path" applies to per-ROW Python,
+not to Arrow-vectorized batch math over fixed-width numeric arrays.
+`dot`/`cosine` (HOF form) are kept for ad-hoc unknown-dim use.
 """
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -23,7 +41,9 @@ HYPERPLANES = 8  # LSH signature bits
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Σ aᵢbᵢ via zip_with + aggregate (JVM, codegen)."""
+    """Σ aᵢbᵢ via zip_with + aggregate. Works for any dim with a 1-node
+    plan, but higher-order lambdas are interpreted — keep off hot paths
+    (see module docstring)."""
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
@@ -39,10 +59,33 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def _as_double(col: str) -> Column:
-    # embeddings are float32 on disk; promote once so all arithmetic is f64
-    # (matches the oracle's ::DOUBLE[] cast and avoids f32 rounding drift)
-    return F.col(col).cast("array<double>")
+def embedding_dim(df: DataFrame, col: str = "embedding") -> int:
+    """The table's constant embedding dimensionality, read from one row at
+    plan-build time (a LIMIT-1 scan of one column — negligible even at
+    100 TB)."""
+    row = df.select(F.size(col).alias("d")).limit(1).collect()
+    return int(row[0]["d"]) if row else 0
+
+
+def _collect_probe(e: DataFrame) -> np.ndarray:
+    """The single probe vector, collected driver-side (1 row — the same
+    boundary the reference crosses for its `.one()` point lookups)."""
+    row = e.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").collect()
+    return np.asarray(row[0]["embedding"], dtype=np.float64)
+
+
+def _cosine_vs_probe_udf(qvec: np.ndarray):
+    """pandas_udf scoring a batch of vectors against one probe: a single
+    BLAS matvec per Arrow batch."""
+    qn = float(np.sqrt(qvec @ qvec))
+
+    @F.pandas_udf("double")
+    def score(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        sims = (m @ qvec) / (np.sqrt((m * m).sum(axis=1)) * qn)
+        return pd.Series(sims)
+
+    return score
 
 
 @query(
@@ -62,29 +105,21 @@ def _as_double(col: str) -> Column:
     """,
 )
 def x_topk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """D3: brute-force cosine top-k against one probe vector. The 1-row probe
-    side is broadcast (explicitly — it is always tiny); scoring is a single
-    embarrassingly-parallel pass and top-k is TakeOrderedAndProject, so no
-    global sort materializes. This is the exact-recall baseline the ANN
-    variant (x_ann_lsh) is measured against."""
+    """D3: brute-force cosine top-k against one probe vector. Scoring is one
+    Arrow-vectorized matvec per batch (embarrassingly parallel, scales
+    linearly with executors); top-k is TakeOrderedAndProject, so no global
+    sort materializes. This is the exact-recall baseline the ANN variant
+    (x_ann_lsh) is measured against."""
     e = table(spark, sf_dir, "embeddings")
-    probe = F.broadcast(
-        e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-            _as_double("embedding").alias("qvec")
-        )
-    )
-    scored = (
+    score = _cosine_vs_probe_udf(_collect_probe(e))
+    return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .crossJoin(probe)
         .select(
-            "vec_id",
-            "label",
-            F.round(cosine(_as_double("embedding"), F.col("qvec")), 4).alias(
-                "cosine_sim"
-            ),
+            "vec_id", "label", F.round(score("embedding"), 4).alias("cosine_sim")
         )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
     )
-    return scored.orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc()).limit(10)
 
 
 @query(
@@ -103,13 +138,15 @@ def x_topk_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
 def x_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-column profiling (norms, dimensionality) per label — the
     sanity pass a pipeline runs before indexing a new embedding batch."""
+
+    @F.pandas_udf("double")
+    def l2(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        return pd.Series(np.sqrt((m * m).sum(axis=1)))
+
     e = table(spark, sf_dir, "embeddings")
     return (
-        e.select(
-            "label",
-            norm(_as_double("embedding")).alias("nrm"),
-            F.size("embedding").alias("dim"),
-        )
+        e.select("label", l2("embedding").alias("nrm"), F.size("embedding").alias("dim"))
         .groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
@@ -143,43 +180,63 @@ EMBED_DUP_THRESHOLD = 0.4  # synthetic corpus max-cos ≈ 0.47; real pipelines u
 )
 def x_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup: within-label pairs with cosine >= threshold
-    (exact, oracle-checked; the blocking key bounds the quadratic exactly
-    like x_dedup_jaccard's (lang, source) block). The corpus-scale unblocked
-    path is hyperplane-LSH bucketing (x_ann_lsh's signature as the block
-    key). 64-float vectors are small enough to carry through the block join;
-    the filter is on the ROUNDED value so both engines cut at the same
-    boundary."""
+    (exact, oracle-checked; the label is the blocking key, bounding the
+    quadratic exactly like x_dedup_jaccard's (lang, source) block).
+
+    Shape: applyInPandas per label — ONE shuffle of the vectors (grouped by
+    label), then each block scores itself with a single BLAS gram matrix
+    (D = M Mᵀ, divided by the norm outer product: the same
+    dot/(na·nb) formula as the oracle). Pairs never ride a join; only
+    above-threshold pairs are emitted. An earlier all-JVM pair-join version
+    measured 48 s (interpreted HOF scoring) and ~5 s (unrolled codegen);
+    this is <1 s at sf0.1.
+
+    At 100 TB a single label can exceed one task: the production layout
+    splits each label into tiles and scores tile pairs (same gram-matrix
+    kernel per tile pair); LSH bucketing (x_ann_lsh's signature as a
+    sub-blocking key) is the recall-tradeoff alternative."""
     e = table(spark, sf_dir, "embeddings")
-    vecs = e.select("vec_id", "label", _as_double("embedding").alias("v"))
-    a = vecs.select(
-        F.col("vec_id").alias("vec_a"), "label", F.col("v").alias("va")
-    )
-    b = vecs.select(
-        F.col("vec_id").alias("vec_b"),
-        F.col("label").alias("label_b"),
-        F.col("v").alias("vb"),
-    )
-    return (
-        a.join(
-            b,
-            (F.col("label") == F.col("label_b"))
-            & (F.col("vec_a") < F.col("vec_b")),
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame(
+                {"vec_a": [], "vec_b": [], "label": [], "cosine_sim": []}
+            ).astype(
+                {"vec_a": "int64", "vec_b": "int64", "label": "int32",
+                 "cosine_sim": "float64"}
+            )
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+        n = np.sqrt((m * m).sum(axis=1))
+        sims = (m @ m.T) / np.outer(n, n)
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        # conservative pre-filter on the RAW cosine; the exact HALF_UP
+        # round + threshold happens in Spark below so the cut matches the
+        # oracle bit-for-bit (np.round is banker's rounding — not the same)
+        keep = sims[ia, ib] >= EMBED_DUP_THRESHOLD - 5e-5 - 1e-12
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_a": ids[ia[keep]],
+                "vec_b": ids[ib[keep]],
+                "label": np.full(int(keep.sum()), pdf["label"].iloc[0]),
+                "cosine_sim": sims[ia[keep], ib[keep]],
+            }
         )
-        .select(
-            "vec_a",
-            "vec_b",
-            "label",
-            F.round(cosine(F.col("va"), F.col("vb")), 4).alias("cosine_sim"),
-        )
-        .filter(F.col("cosine_sim") >= EMBED_DUP_THRESHOLD)
+
+    pairs = e.groupBy("label").applyInPandas(
+        block, "vec_a long, vec_b long, label int, cosine_sim double"
     )
+    return pairs.select(
+        "vec_a", "vec_b", "label", F.round("cosine_sim", 4).alias("cosine_sim")
+    ).filter(F.col("cosine_sim") >= EMBED_DUP_THRESHOLD)
 
 
 def _hyperplane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random unit-free hyperplane: components from a
     splitmix64-style integer scramble of (seed, i) mapped to [-1, 1).
-    Pure-python constant — computed once on the driver, shipped as a literal
-    (no RNG library dependence, reproducible everywhere)."""
+    Pure-python constant — computed once on the driver, shipped inside the
+    UDF closure (no RNG library dependence, reproducible everywhere)."""
     comps = []
     for i in range(dim):
         z = (seed * 0x9E3779B97F4A7C15 + i * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
@@ -189,42 +246,48 @@ def _hyperplane(dim: int, seed: int) -> list[float]:
     return comps
 
 
+def _plane_matrix(dim: int) -> np.ndarray:
+    return np.asarray(
+        [_hyperplane(dim, s) for s in range(HYPERPLANES)], dtype=np.float64
+    )
+
+
+def _signature_udf(planes: np.ndarray):
+    """pandas_udf: sign(v·hᵢ) bits packed into an int bucket key — one
+    (n, dim) @ (dim, HYPERPLANES) matmul per Arrow batch."""
+    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+
+    @F.pandas_udf("int")
+    def sig(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        bits = (m @ planes.T) >= 0
+        return pd.Series((bits @ weights).astype(np.int32))
+
+    return sig
+
+
 @query("x_ann_lsh")  # rows-only: hyperplane-LSH not reasonably ANSI-SQL-expressible
-def x_ann_lsh(spark: SparkSession, sf_dir: str, dim: int = 64) -> DataFrame:
+def x_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: sign(v·hᵢ) bits → bucket key; probe and
     candidates equi-join on the bucket, cosine scored only within the
-    bucket. Recall < 1 by construction; at scale the join replaces the full
-    scan of x_topk_sim with bucket-local scoring. Multi-probe (flipping one
-    signature bit) would raise recall — left single-probe here to keep the
-    candidate set minimal."""
+    bucket. Recall < 1 by construction; at scale the bucket equi-join
+    replaces the full scan of x_topk_sim with bucket-local scoring.
+    Multi-probe (flipping one signature bit) would raise recall — left
+    single-probe here to keep the candidate set minimal."""
     e = table(spark, sf_dir, "embeddings")
-    planes = [_hyperplane(dim, s) for s in range(HYPERPLANES)]
-
-    def signature(vec: Column) -> Column:
-        bits = [
-            F.when(
-                dot(vec, F.array(*[F.lit(c) for c in p])) >= 0, F.lit(1 << i)
-            ).otherwise(F.lit(0))
-            for i, p in enumerate(planes)
-        ]
-        return sum(bits[1:], bits[0]).cast("int")
-
-    vecs = e.select(
-        "vec_id", "label", _as_double("embedding").alias("v")
-    ).withColumn("bucket", signature(F.col("v")))
-    probe = F.broadcast(
-        vecs.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-            F.col("v").alias("qvec"), F.col("bucket").alias("qbucket")
-        )
-    )
-    cand = vecs.filter(F.col("vec_id") != QUERY_VEC_ID).join(
-        probe, F.col("bucket") == F.col("qbucket")
-    )
+    dim = embedding_dim(e)
+    planes = _plane_matrix(dim)
+    qvec = _collect_probe(e)
+    qbits = (planes @ qvec) >= 0
+    qbucket = int((qbits @ (1 << np.arange(HYPERPLANES))).astype(np.int64))
+    score = _cosine_vs_probe_udf(qvec)
+    sig = _signature_udf(planes)
     return (
-        cand.select(
-            "vec_id",
-            "label",
-            F.round(cosine(F.col("v"), F.col("qvec")), 4).alias("cosine_sim"),
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("bucket", sig("embedding"))
+        .filter(F.col("bucket") == F.lit(qbucket))
+        .select(
+            "vec_id", "label", F.round(score("embedding"), 4).alias("cosine_sim")
         )
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
         .limit(10)

@@ -24,6 +24,17 @@ DEFAULT_CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 def get_spark(app_name: str = "imagingdb_spark", cpus: str | None = None) -> SparkSession:
     cpus = cpus or DEFAULT_CPUS
+    # Python workers must be able to import this package: UDF closures that
+    # touch any module-level name are cloudpickled BY REFERENCE to the
+    # module. The driver may run from any cwd (sys.path.insert doesn't reach
+    # worker processes), so export the repo root via PYTHONPATH before the
+    # JVM (and its python workers) spawn.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if repo_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + existing if existing else "")
+        )
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
