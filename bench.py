@@ -52,6 +52,20 @@ def main() -> None:
 
     # warmup: prime JVM, codegen, parquet footer cache
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # ... and the Python worker pool: fork one worker per core and import
+    # pandas/numpy in each. Without this, the first wide pandas stage pays
+    # ~32 simultaneous cold worker spawns (measured 15-60 s of wall clock
+    # depending on contention); a real cluster's long-lived executors keep
+    # their workers warm, so this mirrors steady-state.
+    import pandas as _pd
+
+    def _warm(it):
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, 3200, 1, numPartitions=int(os.environ.get("SPARK_GRAFT_CPUS", "32"))).mapInPandas(
+        _warm, schema="id long"
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -65,6 +79,10 @@ def main() -> None:
             best = elapsed if best is None else min(best, elapsed)
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        # queries that persist intermediates (minhash/jaccard shingle
+        # tables) must not bill their cache against later queries: storage
+        # occupancy measurably degrades subsequent shuffle-heavy ops
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

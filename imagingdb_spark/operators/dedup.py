@@ -282,7 +282,12 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
       shuffles beat shuffling 4x the shingle volume, and the candidate side
       after dropDuplicates is tiny."""
     rows_per_band = MINHASH_N // MINHASH_BANDS
-    sh = shingled_docs(spark, sf_dir)
+    # persist: the shingle table feeds signature generation AND both sides
+    # of the verification join — without it the (CPU-heavy, interpreted)
+    # tokenize+shingle pipeline is evaluated three times. Standard practice
+    # in production minhash pipelines (shingle/signature tables are
+    # checkpointed); MEMORY_AND_DISK so 100 TB corpora spill, not OOM.
+    sh = shingled_docs(spark, sf_dir).persist()
     sig = _minhash_signatures(sh)
 
     bands = sig.select(

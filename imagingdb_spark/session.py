@@ -59,6 +59,11 @@ def get_spark(app_name: str = "imagingdb_spark", cpus: str | None = None) -> Spa
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
         )
         .config("spark.ui.enabled", "false")
+        # Long many-query sessions accumulate stale broadcast/shuffle blocks
+        # until a driver GC lets the ContextCleaner reap them (default
+        # periodic GC is 30min). Tighten it: measured multi-second drag on
+        # late-session shuffle ops otherwise.
+        .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's
         # vectorized reader rejects; read as long and let catalog.table()

@@ -131,22 +131,38 @@ def anomaly_counts(events: DataFrame, z_threshold: float = 3.0) -> DataFrame:
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
     def update(key, pdfs, state: GroupState):
+        # Same exclusive-prefix-sum scan as the batch twin
+        # (operators/streaming_batch.py::st_anomaly) so batch and streaming
+        # stay numerically aligned; state carries (n, mean, m2) across
+        # micro-batches and is converted to raw sums per batch.
+        import numpy as np
+
         if state.exists:
             n, mean, m2, anomalies = state.get
         else:
             n, mean, m2, anomalies = 0, 0.0, 0.0, 0
+        s1 = n * mean
+        s2 = m2 + (s1 * s1 / n if n else 0.0)
         for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for v in pdf["value"]:
-                if n >= 2:
-                    std = (m2 / (n - 1)) ** 0.5
-                    if std > 0 and abs(v - mean) > z_threshold * std:
-                        anomalies += 1
-                n += 1
-                d = v - mean
-                mean += d / n
-                m2 += d * (v - mean)
-        state.update((n, mean, m2, anomalies))
+            v = pdf.sort_values("ts")["value"].to_numpy(dtype=np.float64)
+            k = len(v)
+            if not k:
+                continue
+            n_b = n + np.arange(k, dtype=np.float64)
+            c1 = s1 + np.concatenate(([0.0], np.cumsum(v)[:-1]))
+            c2 = s2 + np.concatenate(([0.0], np.cumsum(v * v)[:-1]))
+            denom = np.maximum(n_b, 1.0)
+            mean_b = c1 / denom
+            m2_b = np.maximum(c2 - c1 * c1 / denom, 0.0)
+            std_b = np.sqrt(m2_b / np.maximum(n_b - 1.0, 1.0))
+            hit = (n_b >= 2) & (std_b > 0) & (np.abs(v - mean_b) > z_threshold * std_b)
+            anomalies += int(hit.sum())
+            n += k
+            s1 += float(v.sum())
+            s2 += float((v * v).sum())
+        mean = s1 / n if n else 0.0
+        m2 = max(s2 - s1 * s1 / n, 0.0) if n else 0.0
+        state.update((n, float(mean), float(m2), int(anomalies)))
         std = (m2 / (n - 1)) ** 0.5 if n >= 2 else 0.0
         yield pd.DataFrame(
             [
