@@ -34,8 +34,14 @@ def main() -> None:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
-    # Warm both engines (JIT, file cache) on one cheap query.
+    # Warm both engines (JIT, file cache) on one cheap query, and the
+    # python worker pool (one worker per core imports pandas — the cold
+    # fork+import otherwise lands on the first wide pandas stage; see
+    # SCALING.md finding 8).
     next(iter(registry.QUERIES.values()))(spark, sf_dir).count()
+    spark.range(0, 3200, 1, numPartitions=32).mapInPandas(
+        lambda it: it, schema="id long"
+    ).count()
 
     lines = []
     total_s = total_d = 0.0
@@ -44,6 +50,7 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).count()
         spark_s = time.time() - t0
+        spark.catalog.clearCache()
         if name in registry.ORACLE:
             t0 = time.time()
             con.execute(registry.ORACLE[name]).fetchall()
