@@ -69,9 +69,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
         return wrapped
 
-    return {name: with_conf(fn) for name, fn in registry.QUERIES.items()}
+    return {name: with_conf(fn) for name, fn in registry.ordered_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB twin per query; rows-only ops are intentionally absent."""
-    return dict(registry.ORACLE)
+    """DuckDB twin per query; rows-only ops are intentionally absent.
+    Same priority order as queries() (the driver checks the first ~50)."""
+    return {
+        name: registry.ORACLE[name]
+        for name in registry.ordered_queries()
+        if name in registry.ORACLE
+    }

@@ -67,6 +67,21 @@ def with_sha256(frames: DataFrame, payload_col: str = "payload") -> DataFrame:
     return frames.withColumn("sha256", F.sha2(F.col(payload_col), 256))
 
 
+def reject_invalid_metadata(
+    frames: DataFrame, schema: dict | None = None, json_col: str = "metadata_json"
+) -> tuple[DataFrame, DataFrame]:
+    """S3 schema-on-write: split incoming frame rows on metadata_json
+    validity against a JSON Schema (default: the reference's MicroManager
+    frame schema, metadata_schema.json / json_operations.py:30-67). The
+    reference validates per-frame and raises ValidationError
+    (json_operations.py:70-98, applied at ometif_splitter.py:85-90); the
+    batch form returns (valid_rows + typed `parsed` struct, rejected_rows)
+    so one bad frame quarantines instead of killing a 100 TB ingest."""
+    from imagingdb_spark.jsonio import MICROMETA_SCHEMA, split_valid
+
+    return split_valid(frames, json_col, schema or MICROMETA_SCHEMA)
+
+
 def build_data_set_rows(manifest: DataFrame) -> DataFrame:
     """DataSet row construction (db_operations.py:119-148, 185-204):
     serial → derived date_time; parent serial resolved to parent_id by a
@@ -91,6 +106,66 @@ def resolve_parent_ids(new_rows: DataFrame, data_set: DataFrame) -> DataFrame:
         )
     )
     return new_rows.join(parents, "parent_serial", "left").drop("parent_serial")
+
+
+def insert_file(
+    new_files: DataFrame,
+    data_set: DataFrame,
+    file_global: DataFrame,
+    data_set_path: str | None = None,
+    file_global_path: str | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """`insert_file` (db_operations.py:225-274): the un-split upload path —
+    file stored as-is, one DataSet row (frames=False) + one FileGlobal row
+    (storage_dir, file_name, metadata_json, sha256) per file, batch form.
+
+    `new_files` columns: dataset_serial, description, microscope,
+    parent_dataset_id, storage_dir, file_name, metadata_json, sha256
+    (the sha256 computed upstream over the raw file, data_uploader.py:
+    222-256 / file_splitter.py:82-93 — or via with_sha256 when the payload
+    rides the DataFrame).
+
+    The reference's uniqueness assert + staged two-row transaction
+    (db_operations.py:247-252, session.add x2) becomes the idempotent
+    anti-join append on both tables; surrogate ids are allocated as
+    max(existing)+row_number — a 1-row driver-side agg on the
+    catalog-sized table, matching Postgres autoincrement semantics for
+    single-writer batch ingest. Returns the appended (data_set_rows,
+    file_global_rows)."""
+    from pyspark.sql import Window
+
+    ds_rows = new_files.select(
+        "dataset_serial",
+        "description",
+        F.col("microscope"),
+        F.lit(False).alias("frames"),
+        serial_to_date_time(F.col("dataset_serial")).alias("date_time"),
+        normalize_parent(F.col("parent_dataset_id")).alias("parent_serial"),
+    )
+    ds_rows = resolve_parent_ids(ds_rows, data_set)
+    max_ds_id = data_set.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+    w = Window.orderBy("dataset_serial")  # catalog-batch-sized: one task is fine
+    ds_rows = ds_rows.withColumn("id", F.row_number().over(w) + F.lit(max_ds_id))
+    appended_ds = idempotent_append(
+        ds_rows, data_set, ["dataset_serial"], data_set_path
+    )
+
+    max_fg_id = file_global.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+    fg_rows = (
+        new_files.select(
+            "dataset_serial", "storage_dir", "file_name", "metadata_json", "sha256"
+        )
+        .join(
+            appended_ds.select("dataset_serial", F.col("id").alias("dataset_id")),
+            "dataset_serial",
+        )
+        .withColumn("id", F.row_number().over(w) + F.lit(max_fg_id))
+        .select("id", "storage_dir", "file_name", "metadata_json", "dataset_id", "sha256")
+    )
+    appended_fg = idempotent_append(
+        fg_rows, file_global, ["dataset_id"], file_global_path
+    )
+    return appended_ds, appended_fg
 
 
 def idempotent_append(

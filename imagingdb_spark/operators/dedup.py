@@ -121,9 +121,9 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks a
     JOIN toks b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.tokset, b.tokset)) /
-          (len(a.tokset) + len(b.tokset)
-           - len(list_intersect(a.tokset, b.tokset))) >= 0.8
+    WHERE round(len(list_intersect(a.tokset, b.tokset)) /
+                (len(a.tokset) + len(b.tokset)
+                 - len(list_intersect(a.tokset, b.tokset))), 4) >= 0.8
     """,
 )
 def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -152,7 +152,10 @@ def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         F.array_distinct(tokens_col(F.col("text"))).alias("tokset"),
-    ).persist()  # feeds candidate generation AND both verify sides
+    ).persist()  # feeds candidate generation AND both verify sides.
+    # Lazy-returned DF ⇒ cannot unpersist here; callers running many queries
+    # in one session must spark.catalog.clearCache() after consuming
+    # (bench.py and tools/selfcheck.py do) or cached token tables accumulate.
 
     ex = toks.select("doc_id", "lang", "source", F.explode("tokset").alias("token"))
     dfreq = ex.groupBy("lang", "source", "token").agg(

@@ -187,6 +187,80 @@ def f_json_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "f_from_json",
+    oracle="""
+    WITH built AS (
+      SELECT doc_id,
+             printf('{"lang": "%s", "weight": %d, "src": "%s"}',
+                    lang, CAST(doc_id % 100 AS INT), source) AS raw
+      FROM documents
+    ), j AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 7 = 0 THEN substr(raw, 1, len(raw) - 1)
+                  ELSE raw END AS js
+      FROM built
+    )
+    SELECT doc_id,
+           json_valid(js) AS is_valid,
+           CASE WHEN json_valid(js) THEN json_extract_string(js, '$.lang') END
+             AS parsed_lang,
+           CASE WHEN json_valid(js) THEN CAST(json_extract(js, '$.weight') AS INT) END
+             AS parsed_weight,
+           CASE WHEN json_valid(js) THEN json_extract_string(js, '$.src') END
+             AS parsed_src
+    FROM j
+    """,
+)
+def f_from_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/F5: schema-validated JSON parsing — from_json with an explicit
+    compiled schema + required-key validity, the Spark-native form of
+    validate_schema (json_operations.py:70-98) / per-frame schema-driven
+    extraction (:162-189). Every 7th document's JSON is deterministically
+    truncated so the reject path is exercised: invalid rows parse to null
+    fields and is_valid=false (batch-wise rejection instead of the
+    reference's per-doc ValidationError)."""
+    from imagingdb_spark.jsonio import compile_schema, validity_col
+
+    schema = {
+        "type": "object",
+        "properties": {
+            "lang": {"type": "string"},
+            "weight": {"type": "integer"},
+            "src": {"type": "string"},
+        },
+        "required": ["lang", "weight", "src"],
+    }
+    d = table(spark, sf_dir, "documents")
+    raw = F.format_string(
+        '{"lang": "%s", "weight": %d, "src": "%s"}',
+        F.col("lang"),
+        (F.col("doc_id") % 100).cast("int"),
+        F.col("source"),
+    )
+    built = d.select("doc_id", raw.alias("raw")).withColumn(
+        "js",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.expr("substring(raw, 1, length(raw) - 1)"),
+        ).otherwise(F.col("raw")),
+    )
+    parsed = F.from_json("js", compile_schema(schema))
+    tagged = built.select("doc_id", parsed.alias("parsed")).withColumn(
+        "is_valid", validity_col(F.col("parsed"), schema)
+    )
+    # oracle emits INT32 weight (CAST ... AS INT); parsed.weight is LongType
+    return tagged.select(
+        "doc_id",
+        "is_valid",
+        F.when(F.col("is_valid"), F.col("parsed.lang")).alias("parsed_lang"),
+        F.when(F.col("is_valid"), F.col("parsed.weight").cast("int")).alias(
+            "parsed_weight"
+        ),
+        F.when(F.col("is_valid"), F.col("parsed.src")).alias("parsed_src"),
+    )
+
+
+@query(
     "f_path_ops",
     oracle="""
     SELECT doc_id,

@@ -55,11 +55,18 @@ def write_blobs(frames: DataFrame, dest_dir: str, payload_col: str = "payload",
     os.makedirs(dest_dir, exist_ok=True)
 
     def write_partition(rows: Iterator[Row]) -> None:
+        from pyspark import TaskContext
+
+        # temp name unique PER TASK ATTEMPT: with speculative execution or a
+        # zombie task racing a retry, a shared temp name would let two
+        # attempts interleave writes and publish a torn object
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
         for row in rows:
             path = os.path.join(dest_dir, row[name_col])
             if not overwrite and os.path.exists(path):
                 continue
-            tmp = path + ".inprogress"
+            tmp = f"{path}.inprogress.{attempt}"
             with open(tmp, "wb") as f:
                 f.write(bytes(row[payload_col]))
             os.replace(tmp, path)  # atomic publish: no torn reads

@@ -143,11 +143,15 @@ def anomaly_counts(events: DataFrame, z_threshold: float = 3.0) -> DataFrame:
             n, mean, m2, anomalies = 0, 0.0, 0.0, 0
         s1 = n * mean
         s2 = m2 + (s1 * s1 / n if n else 0.0)
-        for pdf in pdfs:
-            v = pdf.sort_values("ts")["value"].to_numpy(dtype=np.float64)
+        # a group's micro-batch arrives as MULTIPLE Arrow chunks in shuffle
+        # order; sorting each chunk independently would leave cross-chunk
+        # ordering arbitrary once a user exceeds maxRecordsPerBatch, and the
+        # order-dependent count would diverge from the batch twin (which
+        # sorts the whole partition). Concatenate, then sort once.
+        whole = pd.concat(list(pdfs), ignore_index=True)
+        if len(whole):
+            v = whole.sort_values("ts")["value"].to_numpy(dtype=np.float64)
             k = len(v)
-            if not k:
-                continue
             n_b = n + np.arange(k, dtype=np.float64)
             c1 = s1 + np.concatenate(([0.0], np.cumsum(v)[:-1]))
             c2 = s2 + np.concatenate(([0.0], np.cumsum(v * v)[:-1]))
@@ -185,18 +189,27 @@ def anomaly_counts(events: DataFrame, z_threshold: float = 3.0) -> DataFrame:
     )
 
 
-def run_to_memory(df: DataFrame, name: str) -> StreamingQuery:
+def run_to_memory(df: DataFrame, name: str, mode: str | None = None) -> StreamingQuery:
     """Test/driver helper: run a streaming plan to a memory sink and block
-    until all available input is processed (deterministic local runs)."""
-    # aggregations need complete/update output mode; stateful apply declares
-    # update itself; passthrough plans append
-    analyzed = df._jdf.queryExecution().analyzed().toString()
-    if "FlatMapGroupsInPandasWithState" in analyzed:
-        mode = "update"
-    elif any(op in analyzed for op in ("Aggregate", "SessionWindow")):
-        mode = "complete"
-    else:
-        mode = "append"
+    until all available input is processed (deterministic local runs).
+
+    ``mode`` overrides the output mode; when omitted it is inferred from the
+    PUBLIC explain string (aggregations → complete, stateful apply → update,
+    passthrough → append) — no private JVM access."""
+    if mode is None:
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain(extended=True)
+        analyzed = buf.getvalue()
+        if "FlatMapGroupsInPandasWithState" in analyzed:
+            mode = "update"
+        elif any(op in analyzed for op in ("Aggregate", "SessionWindow")):
+            mode = "complete"
+        else:
+            mode = "append"
     q = (
         df.writeStream.outputMode(mode)
         .format("memory")

@@ -83,6 +83,7 @@ def main() -> int:
             print(f"ok?  {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
             if len(sdf) == 0:
                 print(f"     WARNING {name}: 0 rows")
+            spark.catalog.clearCache()  # minhash/simhash persist intermediates
             continue
         try:
             odf = con.sql(registry.ORACLE[name]).df()
@@ -96,6 +97,9 @@ def main() -> int:
             failed.append(name)
         else:
             print(f"PASS {name} ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+        # queries that persist intermediates (dedup shingle/token tables)
+        # must not leave cache occupancy behind to degrade later queries
+        spark.catalog.clearCache()
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     return 1 if failed else 0
 
