@@ -171,6 +171,74 @@ def select_frames_subset(
     return df
 
 
+def get_filenames(
+    data_set: DataFrame,
+    frames_global: DataFrame,
+    frames: DataFrame,
+    file_global: DataFrame,
+    dataset_serial: str,
+    positions=None,
+    times=None,
+    channels=None,
+    slices=None,
+) -> tuple[str, list[str]]:
+    """`get_filenames` (db_operations.py:276-325): storage dir + file names
+    for one dataset — the join every download starts from.
+
+    frames=False datasets resolve through FileGlobal ⋈ DataSet (`.one()`
+    each, db_operations.py:300-307); frames=True through the J1 join with
+    the polymorphic subset filters (P4). Driver-side return value (a str +
+    list) is the reference's own API boundary — the result is one dataset's
+    file listing, catalog-sized, not fact-table-sized; the plan beneath it
+    is fully pushed down."""
+    ds_rows = (
+        data_set.filter(F.col("dataset_serial") == dataset_serial)
+        .select("id", "frames")
+        .limit(2)
+        .collect()
+    )
+    if len(ds_rows) != 1:
+        raise DatasetNotFoundError(
+            f"expected exactly one dataset for {dataset_serial}, got {len(ds_rows)}"
+        )
+    if not ds_rows[0]["frames"]:
+        fg_rows = (
+            file_global.join(
+                F.broadcast(
+                    data_set.filter(
+                        F.col("dataset_serial") == dataset_serial
+                    ).select(F.col("id").alias("_ds_id"))
+                ),
+                file_global.dataset_id == F.col("_ds_id"),
+            )
+            .select("storage_dir", "file_name")
+            .limit(2)
+            .collect()
+        )
+        if len(fg_rows) != 1:
+            raise DatasetNotFoundError(
+                f"expected exactly one file_global row for {dataset_serial}, "
+                f"got {len(fg_rows)}"
+            )
+        return fg_rows[0]["storage_dir"], [fg_rows[0]["file_name"]]
+    joined = _frames_join(frames, frames_global, data_set).filter(
+        F.col("dataset_serial") == dataset_serial
+    )
+    subset = select_frames_subset(
+        joined.select(*FRAMES_META_COLS, "storage_dir"),
+        channels=channels,
+        slices=slices,
+        times=times,
+        positions=positions,
+    )
+    rows = subset.select("storage_dir", "file_name").orderBy("file_name").collect()
+    if not rows:
+        raise AssertionError(
+            f"No frames in dataset {dataset_serial} match the given constraints"
+        )
+    return rows[0]["storage_dir"], [r["file_name"] for r in rows]
+
+
 def get_global_meta(
     data_set: DataFrame, frames_global: DataFrame, dataset_serial: str
 ) -> DataFrame:

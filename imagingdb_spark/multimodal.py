@@ -125,6 +125,72 @@ def frame_features(
     return frames.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+DIM_ORDER = "XYGZCTP"
+
+
+def squeeze_stack(im_stack: "np.ndarray") -> tuple["np.ndarray", str]:
+    """`squeeze_stack` (data_storage.py:68-85): drop singleton dims, return
+    the squeezed stack + the surviving-dims string out of XYGZCTP."""
+    single_dims = np.where(np.asarray(im_stack.shape) == 1)[0]
+    dim_str = "".join(
+        x for x in DIM_ORDER if DIM_ORDER.index(x) not in single_dims
+    )
+    return np.squeeze(im_stack), dim_str
+
+
+def to_numpy_stack(
+    frames_meta,
+    global_meta: dict,
+    get_im: Callable[[str], "np.ndarray"],
+) -> tuple["np.ndarray", str]:
+    """`get_stack_from_meta` (data_storage.py:198-241): the driver-side
+    collect boundary for SMALL results — one dataset's frames assembled
+    into a dense XYGZCTP numpy stack, squeezed, with the dim-order string.
+
+    Coordinates are the RANK of each sorted unique index value
+    (np.where(unique == idx), data_storage.py:232-238) — indices need not
+    start at 0 nor be contiguous (data_storage.py:49-55). `get_im` maps
+    file_name → 2-D (or HxWx3) ndarray, the storage get_im seam
+    (local_storage.py:153-164 / s3_storage.py:163-176).
+
+    This is deliberately NOT distributed: use it only after filtering to
+    one dataset / subset (the reference's own usage). The distributed twin
+    is assemble_stack (applyInPandas, one group per dataset)."""
+    pdf = (
+        frames_meta.toPandas()
+        if isinstance(frames_meta, DataFrame)
+        else frames_meta
+    )
+    unique_ids = {
+        "slices": np.unique(pdf["slice_idx"]),
+        "channels": np.unique(pdf["channel_idx"]),
+        "times": np.unique(pdf["time_idx"]),
+        "pos": np.unique(pdf["pos_idx"]),
+    }
+    im_stack = np.zeros(
+        (
+            global_meta["im_height"],
+            global_meta["im_width"],
+            global_meta["im_colors"],
+            len(unique_ids["slices"]),
+            len(unique_ids["channels"]),
+            len(unique_ids["times"]),
+            len(unique_ids["pos"]),
+        ),
+        global_meta["bit_depth"],
+    )
+    for _, row in pdf.iterrows():
+        im = np.atleast_3d(get_im(row["file_name"]))
+        im_stack[
+            :, :, :,
+            int(np.searchsorted(unique_ids["slices"], row["slice_idx"])),
+            int(np.searchsorted(unique_ids["channels"], row["channel_idx"])),
+            int(np.searchsorted(unique_ids["times"], row["time_idx"])),
+            int(np.searchsorted(unique_ids["pos"], row["pos_idx"])),
+        ] = im
+    return squeeze_stack(im_stack)
+
+
 def assemble_stack(
     frames: DataFrame,
     decoder: Callable[[bytes, str], "np.ndarray"] = decode_png,

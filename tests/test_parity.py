@@ -1,0 +1,148 @@
+"""Round-2 parity APIs: get_filenames (db_operations.py:276-325),
+insert_file (db_operations.py:225-274), to_numpy_stack
+(data_storage.py:198-241) — assertions mirror the reference's
+tests/database/db_operations_tests.py and
+tests/filestorage/data_storage_tests.py."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from imagingdb_spark import api, ingest, multimodal
+
+
+class TestGetFilenames:
+    def test_frames_dataset_all(self, imaging):
+        storage_dir, names = api.get_filenames(
+            imaging["data_set"], imaging["frames_global"], imaging["frames"],
+            imaging["file_global"], "TEST-2005-10-09-20-00-00-0001",
+        )
+        assert storage_dir == "raw_frames/TEST-2005-10-09-20-00-00-0001"
+        assert len(names) == 6
+        assert names == sorted(names)
+        assert names[0] == "im_c000_z005_t050_p007.png"
+
+    def test_frames_dataset_subset(self, imaging):
+        _, names = api.get_filenames(
+            imaging["data_set"], imaging["frames_global"], imaging["frames"],
+            imaging["file_global"], "TEST-2005-10-09-20-00-00-0001",
+            channels=["phase"], slices=[5],
+        )
+        assert names == ["im_c001_z005_t050_p007.png"]
+
+    def test_file_dataset(self, imaging):
+        storage_dir, names = api.get_filenames(
+            imaging["data_set"], imaging["frames_global"], imaging["frames"],
+            imaging["file_global"], "TEST-2005-10-12-20-00-00-0002",
+        )
+        assert storage_dir == "raw_files/TEST-2005-10-12-20-00-00-0002"
+        assert names == ["test_file.lif"]
+
+    def test_missing_dataset_raises(self, imaging):
+        with pytest.raises(api.DatasetNotFoundError):
+            api.get_filenames(
+                imaging["data_set"], imaging["frames_global"], imaging["frames"],
+                imaging["file_global"], "NOPE-2000-01-01-00-00-00-0000",
+            )
+
+    def test_empty_subset_raises(self, imaging):
+        with pytest.raises(AssertionError, match="No frames"):
+            api.get_filenames(
+                imaging["data_set"], imaging["frames_global"], imaging["frames"],
+                imaging["file_global"], "TEST-2005-10-09-20-00-00-0001",
+                slices=[99],
+            )
+
+
+class TestInsertFile:
+    @pytest.fixture()
+    def new_files(self, spark):
+        return spark.createDataFrame(
+            [
+                ("NEWF-2007-03-01-10-00-00-0001", "lif file", "scope1", "none",
+                 "raw_files/NEWF-2007-03-01-10-00-00-0001", "a.lif",
+                 '{"file_origin": "/data/a.lif"}', "b" * 64),
+                ("NEWF-2007-03-01-11-00-00-0002", "czi file", "scope2",
+                 "TEST-2005-10-09-20-00-00-0001",
+                 "raw_files/NEWF-2007-03-01-11-00-00-0002", "b.czi",
+                 '{"file_origin": "/data/b.czi"}', "c" * 64),
+            ],
+            "dataset_serial string, description string, microscope string, "
+            "parent_dataset_id string, storage_dir string, file_name string, "
+            "metadata_json string, sha256 string",
+        )
+
+    def test_rows_constructed(self, imaging, new_files):
+        ds, fg = ingest.insert_file(
+            new_files, imaging["data_set"], imaging["file_global"]
+        )
+        ds_rows = {r["dataset_serial"]: r for r in ds.collect()}
+        assert len(ds_rows) == 2
+        first = ds_rows["NEWF-2007-03-01-10-00-00-0001"]
+        assert first["frames"] is False
+        assert str(first["date_time"]) == "2007-03-01 10:00:00"
+        assert first["parent_id"] is None
+        # parent resolved through the existing catalog (serial -> id 1)
+        assert ds_rows["NEWF-2007-03-01-11-00-00-0002"]["parent_id"] == 1
+        # surrogate ids continue after the existing max (4 datasets in fixture)
+        assert sorted(r["id"] for r in ds_rows.values()) == [5, 6]
+        fg_rows = {r["file_name"]: r for r in fg.collect()}
+        assert fg_rows["a.lif"]["sha256"] == "b" * 64
+        assert fg_rows["a.lif"]["dataset_id"] == ds_rows[
+            "NEWF-2007-03-01-10-00-00-0001"]["id"]
+        assert sorted(r["id"] for r in fg_rows.values()) == [2, 3]
+
+    def test_idempotent_on_existing_serial(self, imaging, new_files):
+        dup = new_files.withColumn(
+            "dataset_serial", F.lit("TEST-2005-10-12-20-00-00-0002")
+        )
+        ds, fg = ingest.insert_file(dup, imaging["data_set"], imaging["file_global"])
+        assert ds.count() == 0  # serial already catalogued -> anti-join drops
+        assert fg.count() == 0
+
+
+class TestToNumpyStack:
+    """Synthetic 2-channel z-stack, mirroring data_storage_tests.py: 2x3
+    uint16 frames, channels {0,1}, non-0-based slices {5,6}, singleton
+    time/pos — G/T/P squeeze away, coordinates are ranks not raw indices."""
+
+    H, W = 2, 3
+
+    def _im(self, name):
+        seed = abs(hash(name)) % 1000
+        return (np.arange(self.H * self.W, dtype=np.uint16) + seed).reshape(
+            self.H, self.W
+        )
+
+    @pytest.fixture()
+    def frames_meta(self, imaging):
+        return (
+            imaging["frames"]
+            .filter(F.col("frames_global_id") == 1)
+            .filter(F.col("channel_idx") < 2)
+            .select("channel_idx", "slice_idx", "time_idx", "pos_idx", "file_name")
+        )
+
+    def test_shape_dim_order_and_rank_placement(self, frames_meta):
+        gm = {"im_height": self.H, "im_width": self.W, "im_colors": 1,
+              "bit_depth": "uint16"}
+        stack, dim_str = multimodal.to_numpy_stack(frames_meta, gm, self._im)
+        # X=2 Y=3 G=1 Z=2 C=2 T=1 P=1 -> squeeze G,T,P
+        assert dim_str == "XYZC"
+        assert stack.shape == (self.H, self.W, 2, 2)
+        assert stack.dtype == np.uint16
+        # slice 6 (rank 1), channel 1 (rank 1) holds that frame's pixels
+        want = self._im("im_c001_z006_t050_p007.png")
+        np.testing.assert_array_equal(stack[:, :, 1, 1], want)
+        want00 = self._im("im_c000_z005_t050_p007.png")
+        np.testing.assert_array_equal(stack[:, :, 0, 0], want00)
+
+    def test_all_singleton_but_xy(self, frames_meta):
+        one = frames_meta.filter(
+            (F.col("channel_idx") == 0) & (F.col("slice_idx") == 5)
+        )
+        gm = {"im_height": self.H, "im_width": self.W, "im_colors": 1,
+              "bit_depth": "uint16"}
+        stack, dim_str = multimodal.to_numpy_stack(one, gm, self._im)
+        assert dim_str == "XY"
+        assert stack.shape == (self.H, self.W)
