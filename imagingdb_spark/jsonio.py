@@ -182,6 +182,49 @@ def extract_required(
     return tagged.select(*cols)
 
 
+def global_json_from_tags(
+    df: DataFrame,
+    file_col: str = "file_path",
+    tags_col: str = "tags_json",
+) -> DataFrame:
+    """`get_global_json` (json_operations.py:192-211) + its first-page
+    application (ometif_splitter.py:169-173): global dataset metadata =
+    file origin + the IJMetadata `Info` tag, which MicroManager stores
+    EITHER as a nested JSON object OR as a JSON-encoded string of one —
+    the reference branch `if isinstance(meta_temp, str): json.loads(...)`.
+
+    `get_json_object('$.IJMetadata.Info')` normalizes both forms to the
+    inner JSON text in one pass (object values serialize, string values
+    unescape), so no Python and no double parse. Adds:
+    - `global_json`: '{"file_origin": <path>, "IJMetadata": <info>}'
+    - `ij_valid`: false where IJMetadata is absent or Info is not a JSON
+      document (the reference's "Can't read IJMetadata" ValueError,
+      batch-wise).
+    Callers splitting multi-page TIFFs apply this to page_idx == 0 rows
+    only — IJMetadata exists only on the first page."""
+    info = F.get_json_object(F.col(tags_col), "$.IJMetadata.Info")
+    # info is a JSON document iff a root-path extraction on it succeeds
+    is_doc = info.isNotNull() & F.get_json_object(info, "$").isNotNull()
+    # JSON-escape the path (backslash then quote; other control chars don't
+    # occur in storage keys) — to_json only accepts struct/map/array input
+    esc = F.regexp_replace(
+        F.regexp_replace(F.col(file_col), r"\\", r"\\\\"), '"', '\\\\"'
+    )
+    return df.withColumn(
+        "global_json",
+        F.when(
+            is_doc,
+            F.concat(
+                F.lit('{"file_origin": "'),
+                esc,
+                F.lit('", "IJMetadata": '),
+                info,
+                F.lit("}"),
+            ),
+        ),
+    ).withColumn("ij_valid", is_doc)
+
+
 def read_json(
     spark: SparkSession, path: str, schema: dict, multiline: bool = False
 ) -> DataFrame:

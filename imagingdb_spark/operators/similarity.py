@@ -158,6 +158,59 @@ def x_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBED_DUP_THRESHOLD = 0.4  # synthetic corpus max-cos ≈ 0.47; real pipelines use ~0.95
+EMBED_TILE_ROWS = 8192     # max rows per gram-matrix tile (peak sims = tile² f64)
+
+
+def _embed_block_pairs(
+    pdf: pd.DataFrame, threshold: float, tile: int = EMBED_TILE_ROWS
+) -> pd.DataFrame:
+    """All within-block pairs with cosine >= threshold (pre-filtered on the
+    RAW cosine with a guard band; the exact HALF_UP round + threshold cut
+    happens in the Spark plan so it matches the oracle bit-for-bit —
+    np.round is banker's rounding, not the same).
+
+    Blocks larger than `tile` rows are scored as the upper triangle of
+    tile pairs: diagonal tiles take their own upper triangle, off-diagonal
+    tiles take all cross pairs — identical output to the one-shot gram
+    matrix, but peak intermediate memory is tile × tile, not n × n."""
+    empty = pd.DataFrame(
+        {"vec_a": [], "vec_b": [], "label": [], "cosine_sim": []}
+    ).astype(
+        {"vec_a": "int64", "vec_b": "int64", "label": "int32",
+         "cosine_sim": "float64"}
+    )
+    if len(pdf) < 2:
+        return empty
+    pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+    m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
+    n = np.sqrt((m * m).sum(axis=1))
+    ids = pdf["vec_id"].to_numpy()
+    label = pdf["label"].iloc[0]
+    cut = threshold - 5e-5 - 1e-12
+    out_a, out_b, out_s = [], [], []
+    for i0 in range(0, len(pdf), tile):
+        mi, ni = m[i0 : i0 + tile], n[i0 : i0 + tile]
+        for j0 in range(i0, len(pdf), tile):
+            mj, nj = m[j0 : j0 + tile], n[j0 : j0 + tile]
+            sims = (mi @ mj.T) / np.outer(ni, nj)
+            mask = sims >= cut
+            if i0 == j0:
+                mask = np.triu(mask, k=1)
+            ia, ib = np.nonzero(mask)
+            out_a.append(ids[i0 + ia])
+            out_b.append(ids[j0 + ib])
+            out_s.append(sims[ia, ib])
+    a = np.concatenate(out_a)
+    if not len(a):
+        return empty
+    return pd.DataFrame(
+        {
+            "vec_a": a,
+            "vec_b": np.concatenate(out_b),
+            "label": np.full(len(a), label),
+            "cosine_sim": np.concatenate(out_s),
+        }
+    )
 
 
 @query(
@@ -184,45 +237,24 @@ def x_dedup_embed(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic exactly like x_dedup_jaccard's (lang, source) block).
 
     Shape: applyInPandas per label — ONE shuffle of the vectors (grouped by
-    label), then each block scores itself with a single BLAS gram matrix
+    label), then each block scores itself with BLAS gram matrices
     (D = M Mᵀ, divided by the norm outer product: the same
     dot/(na·nb) formula as the oracle). Pairs never ride a join; only
     above-threshold pairs are emitted. An earlier all-JVM pair-join version
     measured 48 s (interpreted HOF scoring) and ~5 s (unrolled codegen);
     this is <1 s at sf0.1.
 
-    At 100 TB a single label can exceed one task: the production layout
-    splits each label into tiles and scores tile pairs (same gram-matrix
-    kernel per tile pair); LSH bucketing (x_ann_lsh's signature as a
-    sub-blocking key) is the recall-tradeoff alternative."""
+    A label larger than EMBED_TILE_ROWS is scored as TILE PAIRS (upper
+    triangle of tiles, same kernel per pair) so one hot label bounds peak
+    memory at tile² instead of label² — the documented 100× skew risk. The
+    remaining limit is that one label's VECTORS must fit one task
+    (rows × dim × 8 bytes, e.g. 1M × 64-d ≈ 0.5 GB); beyond that, sub-block
+    the label with an LSH bucket key (x_ann_lsh's signature) before the
+    groupBy."""
     e = table(spark, sf_dir, "embeddings")
 
     def block(pdf: pd.DataFrame) -> pd.DataFrame:
-        if len(pdf) < 2:
-            return pd.DataFrame(
-                {"vec_a": [], "vec_b": [], "label": [], "cosine_sim": []}
-            ).astype(
-                {"vec_a": "int64", "vec_b": "int64", "label": "int32",
-                 "cosine_sim": "float64"}
-            )
-        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
-        m = np.stack(pdf["embedding"].to_numpy()).astype(np.float64, copy=False)
-        n = np.sqrt((m * m).sum(axis=1))
-        sims = (m @ m.T) / np.outer(n, n)
-        ia, ib = np.triu_indices(len(pdf), k=1)
-        # conservative pre-filter on the RAW cosine; the exact HALF_UP
-        # round + threshold happens in Spark below so the cut matches the
-        # oracle bit-for-bit (np.round is banker's rounding — not the same)
-        keep = sims[ia, ib] >= EMBED_DUP_THRESHOLD - 5e-5 - 1e-12
-        ids = pdf["vec_id"].to_numpy()
-        return pd.DataFrame(
-            {
-                "vec_a": ids[ia[keep]],
-                "vec_b": ids[ib[keep]],
-                "label": np.full(int(keep.sum()), pdf["label"].iloc[0]),
-                "cosine_sim": sims[ia[keep], ib[keep]],
-            }
-        )
+        return _embed_block_pairs(pdf, EMBED_DUP_THRESHOLD)
 
     pairs = e.groupBy("label").applyInPandas(
         block, "vec_a long, vec_b long, label int, cosine_sim double"
@@ -252,40 +284,88 @@ def _plane_matrix(dim: int) -> np.ndarray:
     )
 
 
-def _signature_udf(planes: np.ndarray):
-    """pandas_udf: sign(v·hᵢ) bits packed into an int bucket key — one
-    (n, dim) @ (dim, HYPERPLANES) matmul per Arrow batch."""
-    weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
+# Multi-table LSH config: L independent tables of k hyperplanes each, with
+# Hamming-1 multi-probe per table. Classic LSH recall math (Indyk-Motwani /
+# Charikar, public): a neighbor at angle θ matches one k-bit table with
+# P = (1-θ/π)^k; L tables + probing drive miss-rate to (1-P')^L. Defaults
+# tuned for the driver corpus's weak separation (max cosine ≈ 0.47 → per-bit
+# agreement only ~0.63): measured recall@10 ≈ 0.9 vs exact. On a real
+# near-dup corpus (cosine ≥ 0.9, per-bit agreement ~0.86) the same config
+# prunes far harder at the same recall — raise ANN_BITS to tighten buckets.
+ANN_BITS = 6
+ANN_TABLES = 8
 
-    @F.pandas_udf("int")
+
+def _ann_planes(dim: int) -> np.ndarray:
+    """(ANN_TABLES, ANN_BITS, dim) deterministic hyperplane tensor."""
+    return np.asarray(
+        [
+            [_hyperplane(dim, t * ANN_BITS + b) for b in range(ANN_BITS)]
+            for t in range(ANN_TABLES)
+        ],
+        dtype=np.float64,
+    )
+
+
+def _multi_signature_udf(planes: np.ndarray):
+    """pandas_udf: per-table sign-bit bucket keys, array<int> of length L —
+    one (n, dim) @ (dim, L·k) matmul per Arrow batch."""
+    ntab, nbits, dim = planes.shape
+    flat = planes.reshape(ntab * nbits, dim)
+    weights = (1 << np.arange(nbits)).astype(np.int64)
+
+    @F.pandas_udf("array<int>")
     def sig(emb: pd.Series) -> pd.Series:
         m = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
-        bits = (m @ planes.T) >= 0
-        return pd.Series((bits @ weights).astype(np.int32))
+        bits = (m @ flat.T >= 0).reshape(len(m), ntab, nbits)
+        buckets = (bits @ weights).astype(np.int32)
+        return pd.Series(list(buckets))
 
     return sig
 
 
+def _probe_buckets(qvec: np.ndarray, planes: np.ndarray) -> list[list[int]]:
+    """Per-table probe set: the query's bucket + every Hamming-1 neighbor
+    (flip each of the k bits once) — multi-probe LSH (Lv et al., public)."""
+    ntab, nbits, _ = planes.shape
+    weights = 1 << np.arange(nbits)
+    probes = []
+    for t in range(ntab):
+        qb = int(((planes[t] @ qvec >= 0) @ weights))
+        probes.append([qb] + [qb ^ (1 << i) for i in range(nbits)])
+    return probes
+
+
 @query("x_ann_lsh")  # rows-only: hyperplane-LSH not reasonably ANSI-SQL-expressible
 def x_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via random-hyperplane LSH: sign(v·hᵢ) bits → bucket key; probe and
-    candidates equi-join on the bucket, cosine scored only within the
-    bucket. Recall < 1 by construction; at scale the bucket equi-join
-    replaces the full scan of x_topk_sim with bucket-local scoring.
-    Multi-probe (flipping one signature bit) would raise recall — left
-    single-probe here to keep the candidate set minimal."""
+    """ANN top-k via multi-table, multi-probe random-hyperplane LSH:
+    ANN_TABLES independent k-bit signatures per vector; a vector is a
+    candidate when ANY table's bucket lands in that table's probe set
+    (query bucket + Hamming-1 neighbors). Candidates are cosine-scored,
+    then TakeOrderedAndProject gives top-k.
+
+    Scale shape: one scan; the signature is one Arrow-batched matmul; the
+    probe filter is a JVM boolean over L small int columns (no join, no
+    shuffle — at 100 TB the bucket columns would be precomputed at ingest
+    and the table partitioned by bucket so probing prunes whole files).
+    Recall vs the exact x_topk_sim baseline is measured in
+    tests/test_extensions.py (≥ 0.8 on the driver corpus)."""
     e = table(spark, sf_dir, "embeddings")
     dim = embedding_dim(e)
-    planes = _plane_matrix(dim)
+    planes = _ann_planes(dim)
     qvec = _collect_probe(e)
-    qbits = (planes @ qvec) >= 0
-    qbucket = int((qbits @ (1 << np.arange(HYPERPLANES))).astype(np.int64))
+    probes = _probe_buckets(qvec, planes)
     score = _cosine_vs_probe_udf(qvec)
-    sig = _signature_udf(planes)
+    sig = _multi_signature_udf(planes)
+    with_sig = e.filter(F.col("vec_id") != QUERY_VEC_ID).withColumn(
+        "buckets", sig("embedding")
+    )
+    is_candidate = None
+    for t in range(ANN_TABLES):
+        hit = F.element_at("buckets", t + 1).isin(probes[t])
+        is_candidate = hit if is_candidate is None else (is_candidate | hit)
     return (
-        e.filter(F.col("vec_id") != QUERY_VEC_ID)
-        .withColumn("bucket", sig("embedding"))
-        .filter(F.col("bucket") == F.lit(qbucket))
+        with_sig.filter(is_candidate)
         .select(
             "vec_id", "label", F.round(score("embedding"), 4).alias("cosine_sim")
         )

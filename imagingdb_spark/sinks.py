@@ -40,36 +40,80 @@ def write_global_meta_json(global_meta: DataFrame, dest_dir: str) -> None:
     )
 
 
-def write_blobs(frames: DataFrame, dest_dir: str, payload_col: str = "payload",
-                name_col: str = "file_name", overwrite: bool = False) -> None:
+class BlobBackend:
+    """Object-store seam for the blob sink: the two calls the reference's
+    storage layer makes per object — nonexistence check + upload
+    (local_storage.py:108-136, s3_storage.py:88-145). Implementations must
+    be CONSTRUCTIBLE ON THE EXECUTOR (a factory runs once per partition —
+    the reference's per-thread client re-creation, s3_storage.py:181-183);
+    never ship a live client in a closure."""
+
+    def exists(self, key: str) -> bool:  # pragma: no cover - interface
+        raise NotImplementedError
+
+    def put(self, key: str, payload: bytes) -> None:  # pragma: no cover
+        raise NotImplementedError
+
+
+class LocalFSBackend(BlobBackend):
+    """Local-filesystem backend (local_storage.py semantics): atomic
+    publish via per-attempt-unique temp name + os.replace, so speculative
+    or zombie task attempts can never interleave into one visible file."""
+
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _path(self, key: str) -> str:
+        return os.path.join(self.root, key)
+
+    def exists(self, key: str) -> bool:
+        return os.path.exists(self._path(key))
+
+    def put(self, key: str, payload: bytes) -> None:
+        from pyspark import TaskContext
+
+        path = self._path(key)
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+        tmp = f"{path}.inprogress.{attempt}"
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)  # atomic publish: no torn reads
+
+
+def write_blobs(frames: DataFrame, dest_dir: str | None = None,
+                payload_col: str = "payload", name_col: str = "file_name",
+                overwrite: bool = False,
+                backend_factory=None) -> None:
     """S8: blob sink — one object per frame row, written task-side via
     foreachPartition (the reference's pool fan-out, local_storage.py:105-106
     / s3_storage.py:113-145, as Spark tasks). Existing objects are skipped
     unless overwrite — the reference's idempotent write-skip
     (local_storage.py:108-120, s3_storage.py:88-104).
 
-    Local-FS implementation here; an object-store deployment swaps the two
-    io calls for its client, created once per partition (the reference
-    re-creates clients per thread for safety, s3_storage.py:181-183 — same
-    idea)."""
-    os.makedirs(dest_dir, exist_ok=True)
+    `backend_factory`: zero-arg callable → BlobBackend, invoked ONCE PER
+    PARTITION on the executor. Defaults to LocalFSBackend(dest_dir). An S3
+    deployment passes e.g. ``lambda: S3Backend(bucket, prefix)`` whose
+    __init__ creates the boto client executor-side — the factory closure
+    must carry only config strings, never a client handle."""
+    if backend_factory is None:
+        if dest_dir is None:
+            raise ValueError("write_blobs needs dest_dir or backend_factory")
+        root = dest_dir
+        os.makedirs(root, exist_ok=True)  # fail fast driver-side
+        backend_factory = lambda: LocalFSBackend(root)  # noqa: E731
 
     def write_partition(rows: Iterator[Row]) -> None:
-        from pyspark import TaskContext
-
-        # temp name unique PER TASK ATTEMPT: with speculative execution or a
-        # zombie task racing a retry, a shared temp name would let two
-        # attempts interleave writes and publish a torn object
-        ctx = TaskContext.get()
-        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+        backend = backend_factory()
         for row in rows:
-            path = os.path.join(dest_dir, row[name_col])
-            if not overwrite and os.path.exists(path):
+            key = row[name_col]
+            if not overwrite and backend.exists(key):
                 continue
-            tmp = f"{path}.inprogress.{attempt}"
-            with open(tmp, "wb") as f:
-                f.write(bytes(row[payload_col]))
-            os.replace(tmp, path)  # atomic publish: no torn reads
+            backend.put(key, bytes(row[payload_col]))
 
     frames.select(name_col, payload_col).foreachPartition(write_partition)
 

@@ -95,6 +95,40 @@ class TestSimilarity:
         got = df.select(dot(F.col("x"), F.col("y")).alias("d")).collect()[0]["d"]
         assert got == pytest.approx(np.dot(a, b))
 
+    def test_embed_tiling_equals_one_shot_gram(self):
+        """A skewed label bigger than the tile must produce EXACTLY the
+        pairs of the untiled gram matrix (tile pairs are a memory layout,
+        not an approximation)."""
+        import pandas as pd
+
+        from imagingdb_spark.operators.similarity import _embed_block_pairs
+
+        rng = np.random.default_rng(11)
+        base = rng.normal(size=16)
+        rows = []
+        for i in range(10):  # 10 rows >> tile=3; half are near-dups of base
+            v = base + rng.normal(scale=0.1 if i % 2 else 2.0, size=16)
+            rows.append({"vec_id": i, "label": np.int32(1), "embedding": v})
+        pdf = pd.DataFrame(rows)
+        one_shot = _embed_block_pairs(pdf, 0.4, tile=10_000)
+        tiled = _embed_block_pairs(pdf, 0.4, tile=3)
+        key = lambda df: sorted(zip(df["vec_a"], df["vec_b"], df["cosine_sim"].round(6)))
+        assert len(one_shot) > 0
+        assert key(one_shot) == key(tiled)
+
+    def test_ann_recall_vs_exact_topk(self, spark):
+        """Multi-table multi-probe LSH must recover >=80% of the exact
+        top-10 on the driver corpus (the VERDICT's recall bar). The driver
+        embeddings are weakly separated (max cosine ~0.47), so this is the
+        hard case for hyperplane LSH — a real near-dup corpus does better."""
+        from imagingdb_spark.operators import similarity as S
+
+        sf_dir = "/root/testdata/sf0.001"
+        exact = {r["vec_id"] for r in S.x_topk_sim(spark, sf_dir).collect()}
+        ann = {r["vec_id"] for r in S.x_ann_lsh(spark, sf_dir).collect()}
+        assert len(exact) == 10
+        assert len(ann & exact) / 10 >= 0.8
+
 
 class TestMultimodal:
     @pytest.fixture()

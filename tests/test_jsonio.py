@@ -129,6 +129,44 @@ def test_ingest_rejects_invalid_metadata(spark):
     assert sorted(r["id"] for r in bad.collect()) == [2, 3]
 
 
+class TestGlobalJsonFromTags:
+    """get_global_json parity (json_operations.py:192-211): Info as nested
+    object AND as JSON-encoded string both normalize; absent/undecodable
+    IJMetadata maps to ij_valid=false (the reference's ValueError)."""
+
+    def _run(self, spark, tags):
+        df = spark.createDataFrame(
+            [(f"/data/f{i}.ome.tif", t) for i, t in enumerate(tags)],
+            "file_path string, tags_json string",
+        )
+        return jsonio.global_json_from_tags(df).orderBy("file_path").collect()
+
+    def test_object_and_string_encoded_info_normalize(self, spark):
+        obj_form = json.dumps(
+            {"IJMetadata": {"Info": {"channels": 2, "scope": "s1"}}}
+        )
+        str_form = json.dumps(
+            {"IJMetadata": {"Info": json.dumps({"channels": 2, "scope": "s1"})}}
+        )
+        rows = self._run(spark, [obj_form, str_form])
+        for r in rows:
+            assert r["ij_valid"] is True
+            parsed = json.loads(r["global_json"])
+            assert parsed["IJMetadata"] == {"channels": 2, "scope": "s1"}
+            assert parsed["file_origin"].endswith(".ome.tif")
+
+    def test_missing_or_plain_text_info_invalid(self, spark):
+        rows = self._run(
+            spark,
+            [
+                json.dumps({"OtherTag": 1}),                     # no IJMetadata
+                json.dumps({"IJMetadata": {"Info": "plain text"}}),  # not JSON
+            ],
+        )
+        assert [r["ij_valid"] for r in rows] == [False, False]
+        assert all(r["global_json"] is None for r in rows)
+
+
 def test_write_json_roundtrip(spark, tmp_path):
     df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
     dest = str(tmp_path / "out.json")

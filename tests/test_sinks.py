@@ -37,6 +37,72 @@ class TestWriteBlobs:
         assert not [n for n in os.listdir(tmp_path) if n.endswith(".inprogress")]
 
 
+def _fake_backend_cls():
+    """S3-shaped fake (moto-style, as the reference's tests mock s3 —
+    tests/filestorage/s3_storage_tests.py): flat key→object namespace
+    backed by a directory with percent-encoded keys, constructed
+    per-partition on the executor like a real client would be. Defined at
+    function scope so cloudpickle ships it BY VALUE (test modules are not
+    importable on executors)."""
+
+    class FakeObjectStoreBackend(sinks.BlobBackend):
+        def __init__(self, root: str) -> None:
+            self.root = root
+            os.makedirs(root, exist_ok=True)
+
+        def _obj(self, key: str) -> str:
+            from urllib.parse import quote
+
+            return os.path.join(self.root, quote(key, safe=""))
+
+        def exists(self, key: str) -> bool:
+            return os.path.exists(self._obj(key))
+
+        def put(self, key: str, payload: bytes) -> None:
+            with open(self._obj(key), "wb") as f:
+                f.write(payload)
+
+    return FakeObjectStoreBackend
+
+
+class TestObjectStoreSeam:
+    """write_blobs must behave identically through a non-filesystem
+    backend: same objects, same idempotent skip (VERDICT item 10)."""
+
+    def test_writes_through_fake_object_store(self, frames, tmp_path):
+        Fake = _fake_backend_cls()
+        root = str(tmp_path / "store")
+        sinks.write_blobs(frames, backend_factory=lambda: Fake(root))
+        b = Fake(root)
+        assert b.exists("im_c001_z002.png")
+        with open(b._obj("im_c001_z002.png"), "rb") as f:
+            assert f.read() == bytes([1, 2, 7])
+        assert len(os.listdir(root)) == 6
+
+    def test_idempotent_skip_through_backend(self, frames, tmp_path):
+        Fake = _fake_backend_cls()
+        root = str(tmp_path / "store")
+        pre = Fake(root)
+        pre.put("im_c000_z000.png", b"pre-existing")
+        sinks.write_blobs(frames, backend_factory=lambda: Fake(root))
+        with open(pre._obj("im_c000_z000.png"), "rb") as f:
+            assert f.read() == b"pre-existing"
+        sinks.write_blobs(frames, overwrite=True, backend_factory=lambda: Fake(root))
+        with open(pre._obj("im_c000_z000.png"), "rb") as f:
+            assert f.read() == bytes([0, 0, 7])
+
+    def test_requires_dest_or_factory(self, frames):
+        with pytest.raises(ValueError, match="dest_dir or backend_factory"):
+            sinks.write_blobs(frames)
+
+    def test_local_backend_nested_keys(self, frames, tmp_path):
+        nested = frames.withColumn(
+            "file_name", F.concat(F.lit("raw_frames/ds1/"), F.col("file_name"))
+        )
+        sinks.write_blobs(nested, str(tmp_path))
+        assert (tmp_path / "raw_frames" / "ds1" / "im_c001_z002.png").exists()
+
+
 class TestMetaSinks:
     def test_csv_roundtrip(self, spark, frames, tmp_path):
         meta = frames.select("file_name", F.length("payload").alias("n"))
