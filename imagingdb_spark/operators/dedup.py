@@ -37,27 +37,34 @@ SIMHASH_BITS = 32
 SHINGLE_K = 3
 
 
-def shingles_from_tokens(toks: Column, k: int = SHINGLE_K) -> Column:
-    """Distinct k-word shingles from a MATERIALIZED token-array column.
-    Docs shorter than k tokens yield their whole token sequence as one
-    shingle so they still dedup.
+def shingles_from_tokens(th: Column, k: int = SHINGLE_K) -> Column:
+    """Distinct k-token shingle HASHES (bigint) from a MATERIALIZED
+    token-HASH array column. Docs shorter than k tokens hash their whole
+    token-hash sequence as one shingle so they still dedup.
 
-    ``toks`` must be a bound column (projected in a previous select), not an
-    inline expression: higher-order lambdas are interpreted (no codegen), so
-    an inlined token expression would be re-evaluated per element — measured
-    ~20x slower at sf0.1. ``slice`` over a bound array is O(k) per shingle."""
+    Two rules learned by measurement (sf0.1):
+    - ``th`` must be a bound column (projected in a previous select), not an
+      inline expression: higher-order lambdas are interpreted (no codegen),
+      so an inlined expression would be re-evaluated per element — ~20x
+      slower.
+    - shingles are HASHES, never strings: the old
+      array_join(slice(tokens)) form allocated a string per shingle and
+      measured 4x slower to build, and every downstream step (explode →
+      16 min-agg hashes, band shuffle, verify array_intersect) then moved
+      8-byte bigints instead of ~25-byte strings. MinHash/Jaccard only need
+      a consistent hash family, not the text (collision odds ~n²/2⁶⁴)."""
     kgrams = F.transform(
-        F.sequence(F.lit(0), F.size(toks) - k),
-        lambda i: F.array_join(F.slice(toks, i + 1, k), " "),
+        F.sequence(F.lit(0), F.size(th) - k),
+        lambda i: F.xxhash64(F.slice(th, i + 1, k)),
     )
-    whole = F.array(F.concat_ws(" ", toks))
-    return F.array_distinct(F.when(F.size(toks) >= k, kgrams).otherwise(whole))
+    whole = F.array(F.xxhash64(th))
+    return F.array_distinct(F.when(F.size(th) >= k, kgrams).otherwise(whole))
 
 
 def shingled_docs(spark: SparkSession, sf_dir: str, extra_cols: list[str] | None = None) -> DataFrame:
-    """(doc_id, shingles[, extra_cols]) with tokenization and shingling in
-    separate projections (see shingles_from_tokens). Shared by the near-dup
-    family."""
+    """(doc_id, shingles[, extra_cols]) with tokenization, token hashing,
+    and shingling in three separate projections (see shingles_from_tokens).
+    Shared by the near-dup family; `shingles` is array<bigint>."""
     d = table(spark, sf_dir, "documents")
     extra = extra_cols or []
     # Shingling + MinHash are CPU-heavy interpreted expressions; a small
@@ -68,8 +75,12 @@ def shingled_docs(spark: SparkSession, sf_dir: str, extra_cols: list[str] | None
     toks_df = d.repartition(npart).select(
         "doc_id", *extra, tokens_col(F.col("text")).alias("toks")
     )
-    return toks_df.select(
-        "doc_id", *extra, shingles_from_tokens(F.col("toks")).alias("shingles")
+    th_df = toks_df.select(
+        "doc_id", *extra,
+        F.transform("toks", lambda t: F.xxhash64(t)).alias("th"),
+    )
+    return th_df.select(
+        "doc_id", *extra, shingles_from_tokens(F.col("th")).alias("shingles")
     ).filter(F.size("shingles") > 0)
 
 

@@ -13,8 +13,10 @@ from imagingdb_spark.operators.text import tokens_col
 
 
 def _shingles(df):
-    return df.select(tokens_col(F.col("text")).alias("toks")).select(
-        shingles_from_tokens(F.col("toks")).alias("s")
+    return (
+        df.select(tokens_col(F.col("text")).alias("toks"))
+        .select(F.transform("toks", lambda t: F.xxhash64(t)).alias("th"))
+        .select(shingles_from_tokens(F.col("th")).alias("s"))
     )
 from imagingdb_spark.operators.similarity import cosine, dot
 
@@ -42,14 +44,28 @@ def planted_docs(spark):
 
 class TestShingles:
     def test_shingle_construction(self, spark):
-        df = spark.createDataFrame([("a b c d",)], "text string")
-        got = _shingles(df).collect()[0]["s"]
-        assert sorted(got) == ["a b c", "b c d"]
+        """Shingles are order-sensitive k-window HASHES: 'a b c d' gives
+        exactly 2 distinct shingles, and the same windows from a different
+        doc hash identically (set semantics survive the hashing)."""
+        df = spark.createDataFrame([("a b c d",), ("b c d a",)], "text string")
+        rows = _shingles(df).collect()
+        assert len(rows[0]["s"]) == 2                       # 'a b c', 'b c d'
+        # 'b c d a' windows: 'b c d', 'c d a' — shares exactly one shingle
+        assert len(set(rows[0]["s"]) & set(rows[1]["s"])) == 1
+
+    def test_order_sensitivity(self, spark):
+        """Reversed word order must produce disjoint shingles (this is why
+        shingles, not unigram sets: unigram sets would be identical)."""
+        df = spark.createDataFrame([("a b c d e",), ("e d c b a",)], "text string")
+        rows = _shingles(df).collect()
+        assert not set(rows[0]["s"]) & set(rows[1]["s"])
 
     def test_short_doc_whole_text_shingle(self, spark):
-        df = spark.createDataFrame([("short doc",)], "text string")
-        got = _shingles(df).collect()[0]["s"]
-        assert got == ["short doc"]
+        df = spark.createDataFrame([("short doc",), ("short doc",), ("doc short",)], "text string")
+        rows = _shingles(df).collect()
+        assert len(rows[0]["s"]) == 1
+        assert rows[0]["s"] == rows[1]["s"]      # same 2 tokens, same hash
+        assert rows[0]["s"] != rows[2]["s"]      # order matters
 
     def test_jaccard_identical_is_one(self, spark):
         df = spark.createDataFrame([(["a", "b"], ["a", "b"])], "x array<string>, y array<string>")
