@@ -6,6 +6,7 @@ from imagingdb_spark.operators import (  # noqa: F401
     dedup,
     filters,
     joins,
+    sampling,
     scalars,
     setops,
     similarity,

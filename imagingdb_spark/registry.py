@@ -81,16 +81,18 @@ PRIORITY: list[str] = [
     "f_validate_id",    # F6
     "f_cast_coerce",    # F7
     "x_text_stats",     # D4
-    "x_lang_id",        # D4
+    "x_split_hash",     # training-pipeline: deterministic dataset split
     "x_dedup_exact",    # D1
     "x_dedup_jaccard",  # D2 (oracle-exact)
     "x_dedup_embed",    # D2 (oracle-exact)
     "x_topk_sim",       # D3 (oracle-exact)
     # --- position 51+: redundant-within-category / rows-only / bonus ---
+    "x_sample_weighted",  # training-pipeline: deterministic data mixing
     "x_dedup_minhash",  # D2 rows-only (jaccard+embed cover the row)
     "x_dedup_simhash",  # D2 rows-only
     "x_ann_lsh",        # D3 rows-only (topk_sim covers the row)
-    "x_token_freq",     # D4 (stats+langid cover the row)
+    "x_lang_id",        # D4 (x_text_stats covers the row; green in r01)
+    "x_token_freq",     # D4 (stats cover the row)
     "x_token_bpe",      # D4
     "x_fingerprint",    # D4
     "s_intersect",      # set ops (union+except cover the row)
