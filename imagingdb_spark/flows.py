@@ -1,0 +1,232 @@
+"""End-to-end lifecycle flows (SURVEY.md §3): the reference's three CLI
+entry points composed from the library's DataFrame builders — what a user
+switching from the reference actually calls.
+
+- query flow   → api.get_datasets (already one function; SURVEY §3.1)
+- download flow → download_dataset (cli/data_downloader.py:106-229)
+- upload flow   → insert_frames batch twin (db_operations.py:150-223) +
+  ingest.insert_file (un-split path); splitters live in sources.py.
+
+Error parity: invalid id → AssertionError("Invalid ID…"); existing dest
+dir → FileExistsError; mixed channel types → TypeError; missing dataset →
+api.DatasetNotFoundError. Batch-wise where the reference is per-row.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from imagingdb_spark import sinks
+from imagingdb_spark.api import (
+    get_frames_meta,
+    get_global_meta,
+    select_frames_subset,
+    validate_serial,
+)
+from imagingdb_spark.ingest import (
+    idempotent_append,
+    normalize_parent,
+    resolve_parent_ids,
+)
+from imagingdb_spark.multimodal import read_binary_frames
+from imagingdb_spark.sources import basename
+
+
+def coerce_channels(channels):
+    """Channel str→int coercion (data_downloader.py:182-190): if every
+    element parses as int they are indices; otherwise all must be str
+    names. Mixed → TypeError raised later by select_frames_subset."""
+    if channels is None:
+        return None
+    if not isinstance(channels, list):
+        channels = [channels]
+    try:
+        return [int(c) for c in channels]
+    except (ValueError, TypeError):
+        return channels
+
+
+def insert_frames(
+    datasets: DataFrame,
+    frames_rows: DataFrame,
+    data_set: DataFrame,
+    frames_global: DataFrame,
+    frames: DataFrame,
+    paths: dict[str, str] | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """`insert_frames` (db_operations.py:150-223) as batch dataflow over
+    MANY datasets at once: one DataSet row (frames=True) + one FramesGlobal
+    row + N Frames rows per dataset, staged together and appended
+    idempotently (the reference's single transaction → anti-join guard on
+    dataset_serial for all three tables, so a re-run converges).
+
+    `datasets` columns: dataset_serial, description, microscope,
+    parent_dataset_id, storage_dir, bit_depth, im_width, im_height,
+    im_colors, metadata_json.
+    `frames_rows` columns: dataset_serial, channel_idx, slice_idx,
+    time_idx, pos_idx, channel_name, file_name, sha256, metadata_json.
+
+    The per-dataset global summary (nbr_frames + countDistinct per index
+    dim, file_splitter.py:127-148) is computed here from frames_rows —
+    one grouped aggregation, map-side partial, instead of the reference's
+    imperative per-dataset loop. Surrogate ids are max(existing)+row_number
+    (catalog-sized window; single-writer batch semantics)."""
+    from imagingdb_spark.api import serial_to_date_time
+
+    paths = paths or {}
+    w = Window.orderBy("dataset_serial")
+
+    ds_rows = datasets.select(
+        "dataset_serial",
+        "description",
+        "microscope",
+        F.lit(True).alias("frames"),
+        serial_to_date_time(F.col("dataset_serial")).alias("date_time"),
+        normalize_parent(F.col("parent_dataset_id")).alias("parent_serial"),
+    )
+    ds_rows = resolve_parent_ids(ds_rows, data_set)
+    max_ds = data_set.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+    ds_rows = ds_rows.withColumn("id", F.row_number().over(w) + F.lit(max_ds))
+    new_ds = idempotent_append(
+        ds_rows, data_set, ["dataset_serial"], paths.get("data_set")
+    ).select(*[f.name for f in ds_rows.schema.fields])
+
+    # A4: per-dataset global metadata from the actual frame rows
+    summary = frames_rows.groupBy("dataset_serial").agg(
+        F.count(F.lit(1)).alias("nbr_frames"),
+        F.countDistinct("slice_idx").alias("nbr_slices"),
+        F.countDistinct("channel_idx").alias("nbr_channels"),
+        F.countDistinct("time_idx").alias("nbr_timepoints"),
+        F.countDistinct("pos_idx").alias("nbr_positions"),
+    )
+    max_fg = frames_global.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+    fg_rows = (
+        datasets.join(summary, "dataset_serial")
+        .join(
+            new_ds.select("dataset_serial", F.col("id").alias("dataset_id")),
+            "dataset_serial",
+        )
+        .withColumn("id", F.row_number().over(w) + F.lit(max_fg))
+        .select(
+            "id",
+            F.col("nbr_frames").cast("int").alias("nbr_frames"),
+            "im_width", "im_height",
+            F.col("nbr_slices").cast("int").alias("nbr_slices"),
+            F.col("nbr_channels").cast("int").alias("nbr_channels"),
+            "im_colors",
+            F.col("nbr_timepoints").cast("int").alias("nbr_timepoints"),
+            F.col("nbr_positions").cast("int").alias("nbr_positions"),
+            "bit_depth", "storage_dir", "metadata_json", "dataset_id",
+            "dataset_serial",  # carried for the frames join; dropped at write
+        )
+    )
+    new_fg = idempotent_append(
+        fg_rows.drop("dataset_serial"),
+        frames_global,
+        ["dataset_id"],
+        paths.get("frames_global"),
+    )
+
+    max_fr = frames.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+    wf = Window.orderBy("dataset_serial", "file_name")
+    fr_rows = (
+        frames_rows.join(
+            fg_rows.select("dataset_serial", F.col("id").alias("frames_global_id")),
+            "dataset_serial",
+        )
+        .withColumn("id", F.row_number().over(wf) + F.lit(max_fr))
+        .select(
+            "id", "channel_idx", "slice_idx", "time_idx", "pos_idx",
+            "channel_name", "file_name", "sha256", "metadata_json",
+            "frames_global_id",
+        )
+    )
+    new_fr = idempotent_append(
+        fr_rows, frames, ["frames_global_id", "file_name"], paths.get("frames")
+    )
+    return new_ds, new_fg, new_fr
+
+
+def fetch_files(
+    spark: SparkSession, storage_dir: str, file_names: list[str], dest_dir: str
+) -> None:
+    """`download_files` (data_storage.py:243-253) distributed: binaryFile
+    scan of the storage dir filtered to the requested names, written to
+    dest via the blob sink — Spark tasks replace the thread pool."""
+    wanted = spark.createDataFrame([(n,) for n in file_names], "file_name string")
+    blobs = (
+        read_binary_frames(spark, storage_dir, pattern="*")
+        .select(basename(F.col("path")).alias("file_name"), F.col("content").alias("payload"))
+        .join(F.broadcast(wanted), "file_name")
+    )
+    sinks.write_blobs(blobs, dest_dir)
+
+
+def download_dataset(
+    spark: SparkSession,
+    catalog: dict[str, DataFrame],
+    dataset_serial: str,
+    dest: str,
+    metadata: bool = True,
+    download: bool = True,
+    positions=None,
+    times=None,
+    channels=None,
+    slices=None,
+    storage_root: str | None = None,
+) -> tuple[str, list[str]]:
+    """`download_data` (cli/data_downloader.py:106-229): metadata query +
+    subset + CSV/JSON sinks + blob fetch, with the reference's exact error
+    surface. Returns (storage_dir, file_names).
+
+    `catalog` maps table name → DataFrame (data_set, frames_global, frames,
+    file_global). `storage_root` prefixes storage_dir for the blob fetch
+    (the reference's mount_point / access_point)."""
+    ok = (
+        spark.createDataFrame([(dataset_serial,)], "s string")
+        .select(validate_serial(F.col("s")).alias("ok"))
+        .collect()[0]["ok"]
+    )
+    if not ok:
+        raise AssertionError(f"Invalid ID: {dataset_serial}")
+
+    dest_dir = os.path.join(dest, dataset_serial)
+    os.makedirs(dest_dir, exist_ok=False)  # FileExistsError on rerun — parity
+
+    channels = coerce_channels(channels)
+    if not metadata:
+        # "You set metadata *and* download to False. You get nothing."
+        assert download, "You set metadata *and* download to False. You get nothing."
+        from imagingdb_spark.api import get_filenames
+
+        storage_dir, file_names = get_filenames(
+            catalog["data_set"], catalog["frames_global"], catalog["frames"],
+            catalog["file_global"], dataset_serial,
+            positions=positions, times=times, channels=channels, slices=slices,
+        )
+    else:
+        frames_meta = get_frames_meta(
+            catalog["data_set"], catalog["frames_global"], catalog["frames"],
+            dataset_serial,
+        )
+        subset = select_frames_subset(
+            frames_meta, channels=channels, slices=slices,
+            times=times, positions=positions,
+        )
+        gm = get_global_meta(
+            catalog["data_set"], catalog["frames_global"], dataset_serial
+        )
+        sinks.write_global_meta_json(gm, dest_dir)
+        sinks.write_frames_meta_csv(subset, dest_dir)
+        storage_dir = gm.select("storage_dir").collect()[0]["storage_dir"]
+        rows = subset.select("file_name").orderBy("file_name").collect()
+        assert rows, f"No frames in dataset {dataset_serial} match the given constraints"
+        file_names = [r["file_name"] for r in rows]
+
+    if download:
+        src = os.path.join(storage_root, storage_dir) if storage_root else storage_dir
+        fetch_files(spark, src, file_names, dest_dir)
+    return storage_dir, file_names

@@ -67,6 +67,37 @@ def with_sha256(frames: DataFrame, payload_col: str = "payload") -> DataFrame:
     return frames.withColumn("sha256", F.sha2(F.col(payload_col), 256))
 
 
+REQUIRED_GLOBAL_META = [
+    "storage_dir",
+    "nbr_frames",
+    "im_width",
+    "im_height",
+    "nbr_slices",
+    "nbr_channels",
+    "im_colors",
+    "nbr_timepoints",
+    "nbr_positions",
+    "bit_depth",
+]
+
+
+def validate_global_meta(frames_global: DataFrame) -> DataFrame:
+    """`validate_global_meta` (utils/meta_utils.py:45-69): every required
+    global-metadata field must be present and non-null. Batch form: returns
+    the VIOLATING rows (count()==0 is the pass condition, same contract as
+    validate_manifest) instead of the reference's per-dict AssertionError.
+    Missing columns count as all-null — the `key in global_meta` check."""
+    cond = None
+    for key in REQUIRED_GLOBAL_META:
+        c = (
+            F.col(key).isNull()
+            if key in frames_global.columns
+            else F.lit(True)  # column absent -> every row violates
+        )
+        cond = c if cond is None else (cond | c)
+    return frames_global.filter(cond)
+
+
 def reject_invalid_metadata(
     frames: DataFrame, schema: dict | None = None, json_col: str = "metadata_json"
 ) -> tuple[DataFrame, DataFrame]:

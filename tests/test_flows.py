@@ -1,0 +1,158 @@
+"""End-to-end lifecycle flow tests (SURVEY.md §3): batch insert_frames
+(db_operations.py:150-223), download_dataset (cli/data_downloader.py:
+106-229) with the reference's error surface, and the distributed blob
+fetch — mirroring tests/cli/data_downloader_tests.py and
+tests/database/db_operations_tests.py round trips."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from imagingdb_spark import flows
+
+NEW_SERIAL = "FLOW-2008-04-01-12-00-00-0001"
+
+
+@pytest.fixture()
+def new_dataset(spark):
+    ds = spark.createDataFrame(
+        [
+            (NEW_SERIAL, "flow test ds", "scope9", "none",
+             f"raw_frames/{NEW_SERIAL}", "uint16", 64, 32, 1,
+             '{"protein_name": "FLOW1"}'),
+        ],
+        "dataset_serial string, description string, microscope string, "
+        "parent_dataset_id string, storage_dir string, bit_depth string, "
+        "im_width int, im_height int, im_colors int, metadata_json string",
+    )
+    frames_rows = spark.createDataFrame(
+        [
+            (NEW_SERIAL, c, z, 0, 0, f"ch{c}",
+             f"im_c{c:03d}_z{z:03d}_t000_p000.png", f"{c}{z}" * 32,
+             '{"k": "v"}')
+            for c in range(2)
+            for z in range(2)
+        ],
+        "dataset_serial string, channel_idx int, slice_idx int, time_idx int, "
+        "pos_idx int, channel_name string, file_name string, sha256 string, "
+        "metadata_json string",
+    )
+    return ds, frames_rows
+
+
+class TestInsertFrames:
+    def test_three_tables_constructed(self, imaging, new_dataset):
+        ds, fr = new_dataset
+        new_ds, new_fg, new_fr = flows.insert_frames(
+            ds, fr, imaging["data_set"], imaging["frames_global"], imaging["frames"]
+        )
+        d = new_ds.collect()[0]
+        assert d["frames"] is True
+        assert str(d["date_time"]) == "2008-04-01 12:00:00"
+        assert d["id"] == 5  # continues after fixture max (4)
+        g = new_fg.collect()[0]
+        # global summary derived from the actual frame rows (A4)
+        assert g["nbr_frames"] == 4
+        assert g["nbr_channels"] == 2
+        assert g["nbr_slices"] == 2
+        assert g["nbr_timepoints"] == 1
+        assert g["im_width"] == 64 and g["bit_depth"] == "uint16"
+        assert g["dataset_id"] == d["id"]
+        frs = new_fr.collect()
+        assert len(frs) == 4
+        assert all(r["frames_global_id"] == g["id"] for r in frs)
+        assert min(r["id"] for r in frs) == imaging["frames"].count() + 1
+
+    def test_idempotent_on_existing_serial(self, imaging, new_dataset):
+        ds, fr = new_dataset
+        dup = ds.withColumn(
+            "dataset_serial", F.lit("TEST-2005-10-09-20-00-00-0001")
+        )
+        dup_fr = fr.withColumn(
+            "dataset_serial", F.lit("TEST-2005-10-09-20-00-00-0001")
+        )
+        new_ds, new_fg, new_fr = flows.insert_frames(
+            dup, dup_fr, imaging["data_set"], imaging["frames_global"],
+            imaging["frames"],
+        )
+        assert new_ds.count() == 0
+        assert new_fg.count() == 0
+
+
+@pytest.fixture()
+def storage(tmp_path, imaging):
+    """Fake blob storage: payload files for dataset 1's frames + the raw
+    file dataset, laid out under the catalogued storage_dir keys."""
+    frames_dir = tmp_path / "raw_frames" / "TEST-2005-10-09-20-00-00-0001"
+    frames_dir.mkdir(parents=True)
+    for r in (
+        imaging["frames"].filter(F.col("frames_global_id") == 1).collect()
+    ):
+        (frames_dir / r["file_name"]).write_bytes(b"px-" + r["file_name"].encode())
+    file_dir = tmp_path / "raw_files" / "TEST-2005-10-12-20-00-00-0002"
+    file_dir.mkdir(parents=True)
+    (file_dir / "test_file.lif").write_bytes(b"raw-file-bytes")
+    return tmp_path
+
+
+class TestDownloadDataset:
+    def test_metadata_and_blobs_round_trip(self, spark, imaging, storage, tmp_path):
+        dest = str(tmp_path / "out")
+        storage_dir, names = flows.download_dataset(
+            spark, imaging, "TEST-2005-10-09-20-00-00-0001", dest,
+            channels=["phase"], slices=[5], storage_root=str(storage),
+        )
+        assert storage_dir == "raw_frames/TEST-2005-10-09-20-00-00-0001"
+        assert names == ["im_c001_z005_t050_p007.png"]
+        ddir = os.path.join(dest, "TEST-2005-10-09-20-00-00-0001")
+        entries = set(os.listdir(ddir))
+        assert "global_metadata.json" in entries
+        assert "frames_meta.csv" in entries
+        blob = os.path.join(ddir, "im_c001_z005_t050_p007.png")
+        with open(blob, "rb") as f:
+            assert f.read() == b"px-im_c001_z005_t050_p007.png"
+        # only the subset was fetched
+        assert not os.path.exists(os.path.join(ddir, "im_c000_z005_t050_p007.png"))
+        # frames_meta.csv holds exactly the subset rows
+        back = spark.read.option("header", True).csv(
+            os.path.join(ddir, "frames_meta.csv")
+        )
+        assert back.count() == 1
+
+    def test_existing_dest_raises(self, spark, imaging, storage, tmp_path):
+        dest = str(tmp_path / "out2")
+        os.makedirs(os.path.join(dest, "TEST-2005-10-09-20-00-00-0001"))
+        with pytest.raises(FileExistsError):
+            flows.download_dataset(
+                spark, imaging, "TEST-2005-10-09-20-00-00-0001", dest,
+                download=False,
+            )
+
+    def test_invalid_id_raises(self, spark, imaging, tmp_path):
+        with pytest.raises(AssertionError, match="Invalid ID"):
+            flows.download_dataset(spark, imaging, "NOT-AN-ID", str(tmp_path))
+
+    def test_metadata_false_fetches_raw_file(self, spark, imaging, storage, tmp_path):
+        dest = str(tmp_path / "out3")
+        storage_dir, names = flows.download_dataset(
+            spark, imaging, "TEST-2005-10-12-20-00-00-0002", dest,
+            metadata=False, storage_root=str(storage),
+        )
+        assert names == ["test_file.lif"]
+        got = os.path.join(dest, "TEST-2005-10-12-20-00-00-0002", "test_file.lif")
+        with open(got, "rb") as f:
+            assert f.read() == b"raw-file-bytes"
+
+    def test_metadata_and_download_both_false(self, spark, imaging, tmp_path):
+        with pytest.raises(AssertionError, match="You get nothing"):
+            flows.download_dataset(
+                spark, imaging, "TEST-2005-10-12-20-00-00-0002",
+                str(tmp_path / "out4"), metadata=False, download=False,
+            )
+
+    def test_channel_coercion(self):
+        assert flows.coerce_channels(["0", "1"]) == [0, 1]
+        assert flows.coerce_channels(["phase", "405"]) == ["phase", "405"]
+        assert flows.coerce_channels(None) is None
+        assert flows.coerce_channels(2) == [2]

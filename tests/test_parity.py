@@ -101,6 +101,27 @@ class TestInsertFile:
         assert fg.count() == 0
 
 
+class TestValidateGlobalMeta:
+    def test_fixture_rows_all_valid(self, imaging):
+        assert ingest.validate_global_meta(imaging["frames_global"]).count() == 0
+
+    def test_null_required_field_violates(self, imaging):
+        bad = imaging["frames_global"].withColumn(
+            "bit_depth",
+            F.when(F.col("id") == 2, F.lit(None)).otherwise(F.col("bit_depth")),
+        )
+        got = ingest.validate_global_meta(bad).collect()
+        assert [r["id"] for r in got] == [2]
+
+    def test_missing_column_violates_all(self, imaging):
+        assert (
+            ingest.validate_global_meta(
+                imaging["frames_global"].drop("storage_dir")
+            ).count()
+            == imaging["frames_global"].count()
+        )
+
+
 class TestToNumpyStack:
     """Synthetic 2-channel z-stack, mirroring data_storage_tests.py: 2x3
     uint16 frames, channels {0,1}, non-0-based slices {5,6}, singleton
