@@ -201,3 +201,33 @@ def a_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.round(F.sum("l_quantity"), 2))
     )
+
+
+@query("a_approx_sketch")  # rows-only: sketch estimates are engine-specific
+def a_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregation — the 100 TB cardinality/quantile path.
+    approx_count_distinct is HyperLogLog++ (fixed ~kB sketch per group,
+    mergeable map-side, ONE pass — exact countDistinct expands every
+    distinct value through the shuffle); percentile_approx is a mergeable
+    quantile sketch with bounded error. Estimates are engine-specific, so
+    no value oracle; the error bound vs exact is asserted in
+    tests/test_extensions.py."""
+    li = table(spark, sf_dir, "lineitem")
+    pcts = F.percentile_approx("l_extendedprice", [0.5, 0.95, 0.99], 10000)
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+            F.count(F.lit(1)).alias("n_rows"),
+            pcts.alias("pcts"),
+        )
+        .select(
+            "l_returnflag",
+            "approx_orders",
+            "n_rows",
+            F.round(F.element_at("pcts", 1), 2).alias("p50_price"),
+            F.round(F.element_at("pcts", 2), 2).alias("p95_price"),
+            F.round(F.element_at("pcts", 3), 2).alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -100,6 +100,7 @@ PRIORITY: list[str] = [
     "f_path_ops",       # F9
     "a_cube",           # A+ (rollup covers grouping sets)
     "a_pivot",          # A+
+    "a_approx_sketch",  # HLL++/quantile sketches (rows-only; error-bound test)
     "x_embed_stats",    # bonus profiling query
 ]
 

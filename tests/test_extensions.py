@@ -132,6 +132,28 @@ class TestSimilarity:
         assert len(one_shot) > 0
         assert key(one_shot) == key(tiled)
 
+    def test_approx_sketch_error_bounds(self, spark):
+        """HLL++ cardinality must land within 5% of exact; the p50 sketch
+        quantile within the [min, max] of its group (sanity bound)."""
+        from imagingdb_spark.operators.aggregates import a_approx_sketch
+        from imagingdb_spark.catalog import table
+
+        sf_dir = "/root/testdata/sf0.001"
+        got = {r["l_returnflag"]: r for r in a_approx_sketch(spark, sf_dir).collect()}
+        exact = {
+            r["l_returnflag"]: r
+            for r in table(spark, sf_dir, "lineitem")
+            .groupBy("l_returnflag")
+            .agg(
+                F.countDistinct("l_orderkey").alias("n"),
+                F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+            )
+            .collect()
+        }
+        for flag, row in got.items():
+            assert abs(row["approx_orders"] - exact[flag]["n"]) <= 0.05 * exact[flag]["n"]
+            assert abs(row["p50_price"] - exact[flag]["p50"]) <= 0.02 * exact[flag]["p50"]
+
     def test_ann_recall_vs_exact_topk(self, spark):
         """Multi-table multi-probe LSH must recover >=80% of the exact
         top-10 on the driver corpus (the VERDICT's recall bar). The driver

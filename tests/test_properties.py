@@ -1,0 +1,116 @@
+"""Property-based tests (hypothesis) over the engine's PURE functions —
+the checks SURVEY.md §5 calls out: dedup tiling/threshold invariants, JSONB
+containment laws, stack squeeze semantics. All driver-side (no Spark jobs),
+so hundreds of examples run in seconds."""
+
+import math
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from imagingdb_spark import sinks
+from imagingdb_spark.multimodal import squeeze_stack
+from imagingdb_spark.operators.similarity import _embed_block_pairs
+
+
+class TestPrefixArithmetic:
+    """x_dedup_jaccard's integer prefix length: floor((4n+4)/5) must equal
+    ceil(0.8*n) for every set size — the f64 form is off-by-one at
+    multiples of 5 (dedup.py docstring), which silently drops true pairs."""
+
+    @given(st.integers(min_value=1, max_value=10**9))
+    def test_integer_ceil_matches_exact_rational(self, n):
+        assert (4 * n + 4) // 5 == math.ceil(4 * n / 5)
+
+
+class TestEmbedTiling:
+    """Tiling is a memory layout, not an approximation: any matrix, any
+    tile size, any threshold → identical pair set to the one-shot gram."""
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        n=st.integers(min_value=2, max_value=24),
+        dim=st.integers(min_value=2, max_value=8),
+        tile=st.integers(min_value=1, max_value=30),
+        thr=st.floats(min_value=-0.5, max_value=0.9),
+        seed=st.integers(min_value=0, max_value=2**31 - 1),
+    )
+    def test_tiled_equals_one_shot(self, n, dim, tile, thr, seed):
+        rng = np.random.default_rng(seed)
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(n),
+                "label": np.full(n, np.int32(1)),
+                "embedding": list(rng.normal(size=(n, dim)) + 0.01),
+            }
+        )
+        a = _embed_block_pairs(pdf, thr, tile=10**9)
+        b = _embed_block_pairs(pdf, thr, tile=tile)
+        key = lambda df: sorted(
+            zip(df["vec_a"], df["vec_b"], np.round(df["cosine_sim"], 9))
+        )
+        assert key(a) == key(b)
+
+
+json_scalars = st.one_of(
+    st.integers(min_value=-10**6, max_value=10**6),
+    st.text(max_size=8),
+    st.booleans(),
+    st.none(),
+)
+json_docs = st.recursive(
+    json_scalars,
+    lambda children: st.one_of(
+        st.lists(children, max_size=4),
+        st.dictionaries(st.text(max_size=6), children, max_size=4),
+    ),
+    max_leaves=12,
+)
+
+
+class TestJsonContainment:
+    """Postgres `@>` laws: reflexivity (every object contains itself),
+    monotonicity (dropping needle keys preserves containment), and the
+    empty needle is contained in every object."""
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.dictionaries(st.text(max_size=6), json_docs, max_size=4))
+    def test_reflexive(self, doc):
+        import json
+
+        assert sinks.json_contains(json.dumps(doc), doc)
+
+    @settings(max_examples=100, deadline=None)
+    @given(
+        st.dictionaries(st.text(min_size=1, max_size=6), json_docs, min_size=1, max_size=4),
+        st.randoms(use_true_random=False),
+    )
+    def test_sub_needle_still_contained(self, doc, rnd):
+        import json
+
+        keys = sorted(doc)
+        sub = {k: doc[k] for k in keys[: max(1, len(keys) // 2)]}
+        assert sinks.json_contains(json.dumps(doc), sub)
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.dictionaries(st.text(max_size=6), json_docs, max_size=4))
+    def test_empty_needle_always_contained(self, doc):
+        import json
+
+        assert sinks.json_contains(json.dumps(doc), {})
+
+
+class TestSqueezeStack:
+    """squeeze_stack drops exactly the singleton dims and the dim string
+    tracks the survivors in XYGZCTP order (data_storage.py:68-85)."""
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.integers(min_value=1, max_value=3), min_size=7, max_size=7))
+    def test_shape_and_dim_string(self, dims):
+        stack = np.zeros(dims)
+        squeezed, dim_str = squeeze_stack(stack)
+        expected = [("XYGZCTP"[i], d) for i, d in enumerate(dims) if d > 1]
+        assert dim_str == "".join(n for n, _ in expected)
+        assert squeezed.shape == tuple(d for _, d in expected)
