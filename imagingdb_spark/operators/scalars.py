@@ -284,3 +284,40 @@ def f_path_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         key.alias("storage_key"),
         F.regexp_extract(key, r"([^/]+)$", 1).alias("base_name"),
     )
+
+
+@query(
+    "f_array_ops",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(embedding) AS INT) AS dim,
+           round(list_aggregate(embedding[1:8]::DOUBLE[], 'sum'), 4) AS head_sum,
+           round(list_aggregate(embedding::DOUBLE[], 'max'), 4) AS max_val,
+           round(embedding[1], 4) AS first_val,
+           CAST(list_position(embedding::DOUBLE[],
+                              list_aggregate(embedding::DOUBLE[], 'max')) AS INT)
+             AS argmax_pos
+    FROM embeddings
+    """,
+)
+def f_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8: array/tensor ops at the metadata level (SURVEY §2.8 — the
+    reference's stack/squeeze/atleast_3d numpy surface, data_storage.py:
+    34-85, re-expressed as Spark array functions): size, slice + fold
+    (aggregate), array_max, element_at, argmax via array_position. The
+    array is cast ONCE in its own projection (higher-order lambdas are
+    interpreted; re-casting per use would re-allocate per element-op).
+    Left-fold summation order is identical in both engines, so the rounded
+    values hash-match exactly."""
+    e = table(spark, sf_dir, "embeddings")
+    emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    return emb.select(
+        "vec_id",
+        F.size("v").alias("dim"),
+        F.round(
+            F.aggregate(F.slice("v", 1, 8), F.lit(0.0), lambda a, x: a + x), 4
+        ).alias("head_sum"),
+        F.round(F.array_max("v"), 4).alias("max_val"),
+        F.round(F.element_at("v", 1), 4).alias("first_val"),
+        F.array_position("v", F.array_max("v")).cast("int").alias("argmax_pos"),
+    )

@@ -62,10 +62,10 @@ PRIORITY: list[str] = [
     "j_two_way",        # J2
     "j_self_parent",    # J3
     "j_json_filter",    # J5
-    "j_semi",           # J+
     "j_outer_count",    # J+
     "j_range",          # J+
     "j_asof",           # J+
+    "f_array_ops",      # F8 (array/tensor ops — first oracle-checked row)
     "a_count",          # A1
     "a_distinct",       # A2
     "a_count_distinct", # A3
@@ -87,6 +87,7 @@ PRIORITY: list[str] = [
     "x_dedup_embed",    # D2 (oracle-exact)
     "x_topk_sim",       # D3 (oracle-exact)
     # --- position 51+: redundant-within-category / rows-only / bonus ---
+    "j_semi",           # J+ (outer/range/asof cover the row; green in r01)
     "x_sample_weighted",  # training-pipeline: deterministic data mixing
     "x_dedup_minhash",  # D2 rows-only (jaccard+embed cover the row)
     "x_dedup_simhash",  # D2 rows-only
