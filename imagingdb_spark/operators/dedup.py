@@ -156,13 +156,22 @@ def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ceil(0.8·n) is computed in INTEGER arithmetic (floor((4n+4)/5)):
     0.8 is not f64-representable and ceil(0.8*5.0) = ceil(4.0000000000000002)
-    = 5 would silently shorten the prefix and drop true pairs."""
+    = 5 would silently shorten the prefix and drop true pairs.
+
+    Tokens are xxhash64'd to bigints up front (same rule as shingles —
+    SCALING.md finding 9): set sizes, intersections, and document
+    frequencies are hash-invariant (collision odds ~vocab²/2⁶⁴), so the
+    Jaccard VALUES equal the oracle's string-set computation while the
+    dfreq explode/join, the prefix sort, and the verify intersects all
+    move 8-byte keys."""
     d = table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         "lang",
         "source",
-        F.array_distinct(tokens_col(F.col("text"))).alias("tokset"),
+        F.array_distinct(
+            F.transform(tokens_col(F.col("text")), lambda t: F.xxhash64(t))
+        ).alias("tokset"),
     ).persist()  # feeds candidate generation AND both verify sides.
     # Lazy-returned DF ⇒ cannot unpersist here; callers running many queries
     # in one session must spark.catalog.clearCache() after consuming
