@@ -189,6 +189,52 @@ def anomaly_counts(events: DataFrame, z_threshold: float = 3.0) -> DataFrame:
     )
 
 
+def streaming_catalog_append(
+    events: DataFrame,
+    target_path: str,
+    key_cols: list[str],
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+) -> StreamingQuery:
+    """Continuous catalog ingest: stream → watermark dedup → per-micro-batch
+    IDEMPOTENT append into the parquet catalog — the streaming twin of the
+    reference's staged transactional insert (db_operations.py:150-223 via
+    ingest.idempotent_append).
+
+    Two dedup layers, both needed:
+    - dropDuplicatesWithinWatermark: cross-batch duplicates inside the
+      watermark horizon, state bounded by the horizon.
+    - the foreachBatch anti-join vs the CURRENT target: replayed batches
+      after a restart (foreachBatch is at-least-once) and duplicates older
+      than the horizon. Re-reading the target per batch is catalog-appro-
+      priate (key set is small); a fact-scale sink would use a table
+      format's MERGE instead.
+    Checkpointing makes restarts resume from the last committed offset."""
+    from imagingdb_spark.ingest import idempotent_append
+
+    deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+    def append_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        try:
+            existing = spark.read.parquet(target_path)
+        except Exception:  # first batch: target does not exist yet
+            batch_df.dropDuplicates(key_cols).write.mode("append").parquet(
+                target_path
+            )
+            return
+        idempotent_append(batch_df, existing, key_cols, target_path)
+
+    return (
+        deduped.writeStream.foreachBatch(append_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 def run_to_memory(df: DataFrame, name: str, mode: str | None = None) -> StreamingQuery:
     """Test/driver helper: run a streaming plan to a memory sink and block
     until all available input is processed (deterministic local runs).
