@@ -125,6 +125,63 @@ def frame_features(
     return frames.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+def resize_frames(
+    frames: DataFrame,
+    out_height: int,
+    out_width: int,
+    resizer: Callable[["np.ndarray", int, int], "np.ndarray"] | None = None,
+    decoder: Callable[[bytes, str], "np.ndarray"] = decode_png,
+) -> DataFrame:
+    """Multimodal resize: decode → resize → re-emit payload + updated dims,
+    as mapInPandas (Arrow-batched, no shuffle — each task transforms its
+    partition in place). `resizer` is injectable like the codec (cv2.resize
+    in a real deployment); the default nearest-neighbor index sampler keeps
+    the plumbing testable without image libs."""
+
+    def nn_resize(arr: "np.ndarray", h: int, w: int) -> "np.ndarray":
+        flat = arr.ravel()
+        idx = (np.linspace(0, flat.size - 1, h * w)).astype(np.int64)
+        return flat[idx].reshape(h, w)
+
+    resize = resizer or nn_resize
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf.copy()
+            payloads = []
+            for p, bd in zip(pdf["payload"], pdf["bit_depth"]):
+                arr = resize(decoder(p, bd), out_height, out_width)
+                payloads.append(arr.tobytes())
+            out["payload"] = payloads
+            out["im_height"] = out_height
+            out["im_width"] = out_width
+            yield out
+
+    return frames.mapInPandas(batches, schema=frames.schema)
+
+
+def sample_frames(
+    frames: DataFrame,
+    every_nth: int,
+    order_cols: list[str] | None = None,
+    group_col: str = "dataset_serial",
+) -> DataFrame:
+    """Frame sampling (the video frame-sample analog): keep every n-th
+    frame per dataset in (time, slice, channel, pos) order — pure
+    DataFrame logic, one shuffle on the dataset key. Payloads are NOT
+    decoded: the filter runs on metadata and prunes before any expensive
+    decode stage downstream."""
+    from pyspark.sql import Window
+
+    order_cols = order_cols or ["time_idx", "slice_idx", "channel_idx", "pos_idx"]
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    return (
+        frames.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") - 1) % every_nth == 0)
+        .drop("_rn")
+    )
+
+
 DIM_ORDER = "XYGZCTP"
 
 

@@ -205,3 +205,55 @@ class TestMultimodal:
         stack = np.array(r["stack"]).reshape(r["shape"])
         # frame (c=1, z=0): payload bytes 10..17 at stack[z=0, c=1]
         assert list(stack[0, 1]) == [10.0 + i for i in range(8)]
+
+
+class TestMultimodalResizeSample:
+    @pytest.fixture()
+    def frames_df(self, spark):
+        rows = [
+            ("DS-1", c, z, t, 0, 4, 2, "uint8",
+             bytes([c * 10 + z + t + i for i in range(8)]))
+            for c in range(2)
+            for z in range(2)
+            for t in range(3)
+        ]
+        return spark.createDataFrame(rows, multimodal.FRAME_SCHEMA)
+
+    def test_resize_rewrites_payload_and_dims(self, frames_df):
+        got = multimodal.resize_frames(
+            frames_df, out_height=2, out_width=2,
+            decoder=multimodal.fake_decoder,
+        )
+        rows = got.collect()
+        assert len(rows) == frames_df.count()
+        for r in rows:
+            assert r["im_height"] == 2 and r["im_width"] == 2
+            assert len(bytes(r["payload"])) == 4  # 2x2 uint8
+        # deterministic nearest-neighbor sampling: first byte survives
+        first = next(r for r in rows if r["channel_idx"] == 0
+                     and r["slice_idx"] == 0 and r["time_idx"] == 0)
+        assert bytes(first["payload"])[0] == 0
+
+    def test_resize_with_injected_resizer(self, frames_df):
+        calls = []
+
+        def doubler(arr, h, w):
+            calls.append(1)
+            return np.full((h, w), 7, dtype=arr.dtype)
+
+        got = multimodal.resize_frames(
+            frames_df, 3, 3, resizer=doubler, decoder=multimodal.fake_decoder
+        ).collect()
+        assert all(bytes(r["payload"]) == bytes([7] * 9) for r in got)
+
+    def test_sample_every_nth_per_dataset(self, frames_df):
+        got = multimodal.sample_frames(frames_df, every_nth=3)
+        rows = got.collect()
+        # 12 frames per dataset, every 3rd in (t,z,c,p) order -> 4 kept
+        assert len(rows) == 4
+        # deterministic: ranks 1,4,7,10 of the (time,slice,channel,pos) order
+        kept = sorted((r["time_idx"], r["slice_idx"], r["channel_idx"]) for r in rows)
+        assert kept == [(0, 0, 0), (0, 1, 1), (1, 1, 0), (2, 0, 1)]
+
+    def test_sample_nth_one_keeps_all(self, frames_df):
+        assert multimodal.sample_frames(frames_df, 1).count() == frames_df.count()
