@@ -91,3 +91,41 @@ class TestBucketedLayout:
             spark.conf.set(
                 "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
             )
+
+
+class TestPartitionPruning:
+    """SCALING.md's other layout claim: facts partitioned by a time bucket
+    prune to the queried partitions — the filter must show up as a
+    PartitionFilter (directory pruning), not just a row-group filter."""
+
+    @pytest.fixture(scope="class")
+    def partitioned_events(self, spark, tmp_path_factory):
+        root = str(tmp_path_factory.mktemp("events_part"))
+        events = spark.range(0, 10_000).select(
+            F.col("id").alias("event_id"),
+            (F.col("id") % 24).cast("int").alias("hour"),
+            (F.col("id") % 5).cast("double").alias("value"),
+        )
+        events.write.partitionBy("hour").mode("overwrite").parquet(root)
+        return root
+
+    @staticmethod
+    def _partition_filters(plan: str) -> str:
+        import re
+
+        m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+        assert m is not None, plan
+        return m.group(1)
+
+    def test_hour_filter_becomes_partition_filter(self, spark, partitioned_events):
+        df = spark.read.parquet(partitioned_events).filter(F.col("hour") == 3)
+        # the hour predicate must be in the partition filters, meaning
+        # non-matching directories are never opened
+        assert "hour" in self._partition_filters(_plan(df))
+        assert df.count() == 10_000 // 24 + (1 if 3 < 10_000 % 24 else 0)
+
+    def test_unpartitioned_column_is_data_filter(self, spark, partitioned_events):
+        df = spark.read.parquet(partitioned_events).filter(F.col("value") == 1.0)
+        plan = _plan(df)
+        assert "value" not in self._partition_filters(plan)  # can't prune dirs
+        assert "PushedFilters: [IsNotNull(value), EqualTo(value,1.0)]" in plan
