@@ -419,3 +419,79 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["doc_a", "doc_b"])
         .orderBy("doc_a", "doc_b")
     )
+
+
+# Decontamination window: production pipelines use 8-13-gram overlap; the
+# synthetic corpus has no shared runs that long (0 hits at k>=6), so 4 keeps
+# the operator's output non-trivial while the shape is k-independent.
+CONTAM_K = 4
+
+
+@query(
+    "x_decontaminate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             list_distinct(
+               CASE WHEN len(t) >= {CONTAM_K}
+                    THEN list_transform(range(len(t) - {CONTAM_K} + 1),
+                                        i -> array_to_string(t[i+1:i+{CONTAM_K}], ' '))
+                    ELSE [array_to_string(t, ' ')] END) AS s
+      FROM toks
+      WHERE len(t) > 0
+    ), bench AS (
+      SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0
+    ), corpus AS (
+      SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0
+    )
+    SELECT c.doc_id, CAST(COUNT(DISTINCT c.g) AS BIGINT) AS n_overlap
+    FROM corpus c JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id
+    """,
+)
+def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    {CONTAM_K}-gram with the held-out benchmark set (here: doc_id % 97 == 0
+    stands in for the eval suite) and report the count of distinct
+    overlapping n-grams — the overlap filter run before every pretraining
+    corpus ships.
+
+    Scale shape: the benchmark side is SMALL by definition (eval suites,
+    not the corpus), so its distinct n-gram hashes broadcast; the corpus
+    side streams through one explode + broadcast-hash-join + per-doc
+    count-distinct — no shuffle of corpus n-grams except the final
+    doc-keyed partial aggregation. n-grams are bigint hashes end-to-end
+    (SCALING.md finding 9); counts are hash-invariant so the oracle's
+    string-n-gram counts match exactly."""
+    # not built on shingled_docs: decontamination wants a LONGER window
+    # than the near-dup shingles, so shingle at k=CONTAM_K
+    d = table(spark, sf_dir, "documents")
+    npart = spark.sparkContext.defaultParallelism
+    th = (
+        d.repartition(npart)
+        .select("doc_id", tokens_col(F.col("text")).alias("toks"))
+        .select(
+            "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("th")
+        )
+    )
+    sh = th.select(
+        "doc_id", shingles_from_tokens(F.col("th"), k=CONTAM_K).alias("shingles")
+    ).filter(F.size("shingles") > 0)
+    bench = (
+        sh.filter(F.col("doc_id") % 97 == 0)
+        .select(F.explode("shingles").alias("g"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") % 97 != 0).select(
+        "doc_id", F.explode("shingles").alias("g")
+    )
+    return (
+        corpus.join(F.broadcast(bench), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_overlap"))
+    )

@@ -102,6 +102,7 @@ PRIORITY: list[str] = [
     "a_cube",           # A+ (rollup covers grouping sets)
     "a_pivot",          # A+
     "a_approx_sketch",  # HLL++/quantile sketches (rows-only; error-bound test)
+    "x_decontaminate",  # training-pipeline: benchmark n-gram overlap check
     "x_embed_stats",    # bonus profiling query
 ]
 
