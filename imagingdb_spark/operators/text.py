@@ -184,3 +184,132 @@ def x_token_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bpe_tokens"
         ),
     )
+
+
+@query(
+    "x_quality_filter",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS toks,
+             length(regexp_replace(text, '\\s', '', 'g')) AS nonspace
+      FROM documents
+    ), s AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             nonspace / len(toks) AS avg_len,
+             len(list_filter(toks, t -> t IN ('the','a','of','and','to','in')))
+               / len(toks) AS stop_ratio,
+             len(list_distinct(toks)) / len(toks) AS distinct_ratio
+      FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           n_tokens >= 10 AS rule_min_tokens,
+           avg_len BETWEEN 2 AND 12 AS rule_token_len,
+           stop_ratio >= 0.02 AS rule_stopwords,
+           distinct_ratio >= 0.3 AS rule_distinct,
+           (n_tokens >= 10 AND avg_len BETWEEN 2 AND 12
+            AND stop_ratio >= 0.02 AND distinct_ratio >= 0.3) AS keep
+    FROM s
+    """,
+)
+def x_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filtering (public Rae et al. 2021
+    heuristics family): per-document boolean rules — minimum length, mean
+    word length in [2,12], stopword floor, distinct-token floor — plus the
+    conjunctive keep flag. Emitting flags rather than dropping rows is the
+    production shape: downstream consumers audit WHY a doc was cut, and
+    thresholds get re-tuned without recomputing stats. Pure projection,
+    zero shuffles."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    t = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.length(F.regexp_replace("text", r"\s", "")).alias("nonspace"),
+    ).filter(F.size("toks") > 0)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n = F.size("toks")
+    avg_len = F.col("nonspace") / n
+    stop_ratio = F.size(F.filter("toks", lambda x: F.array_contains(stop_arr, x))) / n
+    distinct_ratio = F.size(F.array_distinct("toks")) / n
+    rules = {
+        "rule_min_tokens": n >= 10,
+        "rule_token_len": (avg_len >= 2) & (avg_len <= 12),
+        "rule_stopwords": stop_ratio >= 0.02,
+        "rule_distinct": distinct_ratio >= 0.3,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return t.select(
+        "doc_id", *[c.alias(name) for name, c in rules.items()], keep.alias("keep")
+    )
+
+
+@query(
+    "x_repetition",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(len(toks) - 1),
+                                   i -> toks[i+1] || ' ' || toks[i+2])) AS g,
+             len(toks) AS n_toks,
+             len(list_distinct(toks)) AS n_distinct
+      FROM t WHERE len(toks) >= 2
+    ), cnt AS (
+      SELECT doc_id, g, n_toks, n_distinct, COUNT(*) AS c
+      FROM bg GROUP BY doc_id, g, n_toks, n_distinct
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           round(MAX(c) / SUM(c), 4) AS top_bigram_frac,
+           round(1 - n_distinct / CAST(n_toks AS DOUBLE), 4) AS dup_token_frac
+    FROM cnt
+    GROUP BY doc_id, n_toks, n_distinct
+    """,
+)
+def x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition signals (the Gopher repetition-filter family): fraction
+    of the document taken by its most frequent bigram + duplicate-token
+    fraction. Bigrams are bigint hashes (counts are hash-invariant, so the
+    oracle's string bigrams give identical fractions). Shuffle volume is
+    per-doc distinct bigrams (map-side partial count), then one per-doc
+    final aggregate."""
+    d = table(spark, sf_dir, "documents")
+    t = d.select("doc_id", tokens_col(F.col("text")).alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    th = t.select(
+        "doc_id",
+        F.transform("toks", lambda x: F.xxhash64(x)).alias("th"),
+        F.size("toks").alias("n_toks"),
+        F.size(F.array_distinct("toks")).alias("n_distinct"),
+    )
+    bigrams = th.select(
+        "doc_id",
+        "n_toks",
+        "n_distinct",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("th") - 2),
+                lambda i: F.xxhash64(F.slice("th", i + 1, 2)),
+            )
+        ).alias("g"),
+    )
+    cnt = bigrams.groupBy("doc_id", "g", "n_toks", "n_distinct").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return cnt.groupBy("doc_id", "n_toks", "n_distinct").agg(
+        F.sum("c").alias("n_bigrams"),
+        F.round(F.max("c") / F.sum("c"), 4).alias("top_bigram_frac"),
+        F.round(1 - F.col("n_distinct") / F.col("n_toks").cast("double"), 4).alias(
+            "dup_token_frac"
+        ),
+    ).select("doc_id", "n_bigrams", "top_bigram_frac", "dup_token_frac")

@@ -103,6 +103,8 @@ PRIORITY: list[str] = [
     "a_pivot",          # A+
     "a_approx_sketch",  # HLL++/quantile sketches (rows-only; error-bound test)
     "x_decontaminate",  # training-pipeline: benchmark n-gram overlap check
+    "x_quality_filter", # training-pipeline: Gopher-style rule flags
+    "x_repetition",     # training-pipeline: repetition signals
     "x_embed_stats",    # bonus profiling query
 ]
 
