@@ -31,7 +31,6 @@ from imagingdb_spark.ingest import (
     normalize_parent,
     resolve_parent_ids,
 )
-from imagingdb_spark.multimodal import read_binary_frames
 from imagingdb_spark.sources import basename
 
 
@@ -154,13 +153,18 @@ def fetch_files(
     spark: SparkSession, storage_dir: str, file_names: list[str], dest_dir: str
 ) -> None:
     """`download_files` (data_storage.py:243-253) distributed: binaryFile
-    scan of the storage dir filtered to the requested names, written to
-    dest via the blob sink — Spark tasks replace the thread pool."""
-    wanted = spark.createDataFrame([(n,) for n in file_names], "file_name string")
+    read of EXACTLY the requested objects (the source takes an explicit
+    path list, so unselected objects are never opened — a subset download
+    from a million-frame dataset reads only the subset), written to dest
+    via the blob sink. Spark tasks replace the reference's thread pool."""
+    paths = [os.path.join(storage_dir, n) for n in file_names]
     blobs = (
-        read_binary_frames(spark, storage_dir, pattern="*")
-        .select(basename(F.col("path")).alias("file_name"), F.col("content").alias("payload"))
-        .join(F.broadcast(wanted), "file_name")
+        spark.read.format("binaryFile")
+        .load(paths)
+        .select(
+            basename(F.col("path")).alias("file_name"),
+            F.col("content").alias("payload"),
+        )
     )
     sinks.write_blobs(blobs, dest_dir)
 
