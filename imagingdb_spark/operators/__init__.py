@@ -5,6 +5,7 @@ from imagingdb_spark.operators import (  # noqa: F401
     aggregates,
     dedup,
     filters,
+    graph,
     joins,
     sampling,
     scalars,

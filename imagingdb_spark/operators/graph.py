@@ -1,0 +1,116 @@
+"""Dedup clustering: connected components over near-dup pairs — the step
+that turns pairwise candidates (x_dedup_jaccard/minhash output) into
+cluster assignments with one deterministic keeper per cluster (min doc_id),
+so "drop all but the keeper" is a join, not a per-pair decision.
+
+Algorithm: iterative min-label propagation — every node repeatedly takes
+the minimum label among itself and its neighbors until fixpoint. Converges
+in O(component diameter) rounds; near-dup clusters are shallow (dozens of
+docs, diameter ≤ ~5), so the loop is short. Each round is ONE shuffle
+(join + min-aggregate on node id). At 100 TB-graph scale the alternating
+large-star/small-star variant (Kiveris et al., public) halves round count;
+the per-round dataflow below is the same building block.
+
+The driver-side loop with a convergence count per round is the documented
+exception to "no driver loops": the collected value is a single scalar per
+round and the round count is diameter-bounded, not data-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# imported for its registration side effect: _cluster_oracle() embeds the
+# jaccard oracle SQL, so dedup must be registered before this module loads
+from imagingdb_spark.operators import dedup  # noqa: F401
+from imagingdb_spark.registry import ORACLE, query
+
+CC_MAX_ITER = 50
+
+
+def connected_components(
+    pairs: DataFrame, src: str = "doc_a", dst: str = "doc_b",
+    max_iter: int = CC_MAX_ITER,
+) -> DataFrame:
+    """(node, cluster_id) for every node appearing in `pairs`, where
+    cluster_id = min node id in the connected component."""
+    edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u")).persist()
+    for i in range(max_iter):
+        # min over {own label} ∪ {neighbors' labels}, one shuffle
+        neighbor = edges.join(
+            labels.select(F.col("u").alias("v"), F.col("label")), "v"
+        ).select("u", "label")
+        new_labels = (
+            labels.select("u", "label")
+            .union(neighbor)
+            .groupBy("u")
+            .agg(F.min("label").alias("label"))
+            .persist()
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "u")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()  # materializes new_labels; 0/1 scalar on the driver
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        edges.unpersist()
+        labels.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds"
+        )
+    edges.unpersist()
+    # the final labels stay persisted (already materialized by the last
+    # convergence count) — same cache contract as the dedup shingle tables:
+    # multi-query callers clearCache() after consuming.
+    return labels.select(
+        F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
+    )
+
+
+def _cluster_oracle() -> str:
+    """Recursive-CTE twin: transitive closure by WITH RECURSIVE over the
+    same pair set x_dedup_jaccard's oracle produces (its SQL is embedded as
+    a CTE body), then cluster_id = min reachable node."""
+    jaccard_sql = ORACLE["x_dedup_jaccard"]
+    return f"""
+    WITH RECURSIVE pairs AS (
+      {jaccard_sql}
+    ), edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION
+      SELECT doc_b AS u, doc_a AS v FROM pairs
+    ), reach(u, v) AS (
+      SELECT u, v FROM edges
+      UNION
+      SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+    )
+    SELECT u AS doc_id,
+           LEAST(u, MIN(v)) AS cluster_id
+    FROM reach
+    GROUP BY u
+    """
+
+
+@query("x_dedup_cluster", oracle=_cluster_oracle())
+def x_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment over the Jaccard near-dup pairs: every document
+    in a pair gets the min doc_id of its connected component as cluster_id
+    (the deterministic keeper). Checked against a recursive-CTE transitive
+    closure in DuckDB — the iterative Spark loop and the recursive SQL
+    must agree exactly."""
+    from imagingdb_spark.operators.dedup import x_dedup_jaccard
+
+    pairs = x_dedup_jaccard(spark, sf_dir)
+    return connected_components(pairs)

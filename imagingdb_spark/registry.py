@@ -105,6 +105,7 @@ PRIORITY: list[str] = [
     "x_decontaminate",  # training-pipeline: benchmark n-gram overlap check
     "x_quality_filter", # training-pipeline: Gopher-style rule flags
     "x_repetition",     # training-pipeline: repetition signals
+    "x_dedup_cluster",  # connected components over near-dup pairs
     "x_embed_stats",    # bonus profiling query
 ]
 

@@ -257,3 +257,30 @@ class TestMultimodalResizeSample:
 
     def test_sample_nth_one_keeps_all(self, frames_df):
         assert multimodal.sample_frames(frames_df, 1).count() == frames_df.count()
+
+
+class TestConnectedComponents:
+    def test_chains_and_islands(self, spark):
+        from imagingdb_spark.operators.graph import connected_components
+
+        pairs = spark.createDataFrame(
+            # a 5-chain (needs multiple propagation rounds), a 2-island,
+            # and a triangle sharing no nodes with either
+            [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (20, 21), (21, 22), (20, 22)],
+            "doc_a long, doc_b long",
+        )
+        got = {r["doc_id"]: r["cluster_id"]
+               for r in connected_components(pairs).collect()}
+        spark.catalog.clearCache()
+        assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+                       10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+    def test_nonconvergence_raises(self, spark):
+        from imagingdb_spark.operators.graph import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(1, 8)], "doc_a long, doc_b long"
+        )
+        with pytest.raises(RuntimeError, match="converge"):
+            connected_components(pairs, max_iter=1)
+        spark.catalog.clearCache()
