@@ -217,3 +217,54 @@ def st_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stddev DOUBLE, anomalies BIGINT",
         )
     )
+
+
+@query(
+    "st_join",
+    oracle="""
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id,
+           CAST(date_diff('second', v.ts, p.ts) AS BIGINT) AS lag_seconds
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND v.event_type = 'view'
+     AND p.event_type = 'purchase'
+     AND p.ts > v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """,
+)
+def st_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of the stream-stream join (view→purchase attribution):
+    each view matched to same-user purchases within the following 30
+    minutes. Equi-key (user_id) first so the physical plan is a hash/merge
+    join with the time range as a residual — never a cartesian; the
+    streaming form (streaming/jobs.py::attribution_join) uses the same
+    predicate with watermarks bounding both sides' state."""
+    e = table(spark, sf_dir, "events")
+    v = e.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id"),
+        F.col("ts").alias("v_ts"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id"),
+        F.col("ts").alias("p_ts"),
+    )
+    return (
+        v.join(p, "user_id")
+        .filter(
+            (F.col("p_ts") > F.col("v_ts"))
+            & (F.col("p_ts") <= F.col("v_ts") + F.expr("interval 30 minutes"))
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            "user_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias(
+                "lag_seconds"
+            ),
+        )
+    )

@@ -106,6 +106,7 @@ PRIORITY: list[str] = [
     "x_quality_filter", # training-pipeline: Gopher-style rule flags
     "x_repetition",     # training-pipeline: repetition signals
     "x_dedup_cluster",  # connected components over near-dup pairs
+    "st_join",          # stream-stream join batch twin (attribution)
     "x_embed_stats",    # bonus profiling query
 ]
 

@@ -189,6 +189,37 @@ def anomaly_counts(events: DataFrame, z_threshold: float = 3.0) -> DataFrame:
     )
 
 
+def attribution_join(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stream-stream inner join (st_join's streaming twin): views matched
+    to same-user purchases within the following 30 minutes. Both sides are
+    watermarked and the join condition bounds event-time distance, so
+    Spark can size the join state: a buffered view can be dropped once the
+    purchase-side watermark passes view.ts + 30 min (state is
+    O(watermark-horizon x arrival rate), not unbounded)."""
+    v = events.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user"),
+        F.col("ts").alias("v_ts"),
+    ).withWatermark("v_ts", watermark)
+    p = events.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    ).withWatermark("p_ts", watermark)
+    return v.join(
+        p,
+        F.expr(
+            "v_user = p_user AND p_ts > v_ts "
+            "AND p_ts <= v_ts + interval 30 minutes"
+        ),
+    ).select(
+        "view_id",
+        "purchase_id",
+        F.col("v_user").alias("user_id"),
+        (F.unix_timestamp("p_ts") - F.unix_timestamp("v_ts")).alias("lag_seconds"),
+    )
+
+
 def streaming_catalog_append(
     events: DataFrame,
     target_path: str,

@@ -121,3 +121,17 @@ def test_streaming_catalog_append_idempotent(spark, events_stream, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(target).count() == n_events
+
+
+def test_stream_stream_join_matches_batch(spark, events_stream):
+    """Stream-stream attribution join must produce exactly the batch twin's
+    pairs (the unified-API guarantee extended to two-sided state)."""
+    q = jobs.run_to_memory(jobs.attribution_join(events_stream), "attrib")
+    got = spark.sql("SELECT view_id, purchase_id FROM attrib").collect()
+    q.stop()
+    batch = streaming_batch.st_join(spark, SF_DIR).select(
+        "view_id", "purchase_id"
+    ).collect()
+    key = lambda rows: sorted((r["view_id"], r["purchase_id"]) for r in rows)
+    assert key(got) == key(batch)
+    assert len(got) > 0
