@@ -24,6 +24,8 @@ Scale design notes (the part that matters at 100 TB):
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -356,32 +358,38 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2c: SimHash near-dup over shingles. Each shingle votes its hash bits
     ±1; signed bit-sums collapse to a SIMHASH_BITS fingerprint. Candidates =
     identical 16-bit fingerprint prefix, verified by Hamming distance <= 3.
-    All bit arithmetic is JVM-side (shiftright / bitwiseAND / bit_count)."""
-    sh = shingled_docs(spark, sf_dir).select(
-        "doc_id", F.explode("shingles").alias("shingle")
-    )
-    h = F.xxhash64("shingle")
-    bit_votes = sh.select(
-        "doc_id",
-        *[
-            F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
-            .otherwise(-1)
-            .alias(f"b{i}")
-            for i in range(SIMHASH_BITS)
-        ],
-    )
-    votes = bit_votes.groupBy("doc_id").agg(
-        *[F.sum(f"b{i}").alias(f"b{i}") for i in range(SIMHASH_BITS)]
-    )
-    simhash = votes.select(
-        "doc_id",
-        sum(
-            [
-                F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-                for i in range(SIMHASH_BITS)
-            ],
-            F.lit(0),
-        ).cast("bigint").alias("simhash"),
+
+    The fingerprint is computed MAP-SIDE in one Arrow-batched pandas_udf
+    over the un-exploded shingle arrays (bit matrix + per-doc segment sums
+    via np.add.reduceat): ZERO shuffles until the prefix bucketing. The
+    earlier all-JVM form exploded shingles into a 32-column vote
+    aggregation — a full extra shuffle of docs x shingles rows and a
+    32-accumulator hash agg. At sf0.1 wall-clock is shingle-build-bound
+    so both forms measure ~4s; the difference is the removed shuffle,
+    which grows with corpus size while the map-side matrix op stays
+    embarrassingly parallel (the Arrow-beats-wide-codegen tradeoff
+    documented in operators/similarity.py)."""
+    nbits = SIMHASH_BITS
+
+    @F.pandas_udf("long")
+    def simhash_of(sh: pd.Series) -> pd.Series:
+        lens = np.fromiter((len(a) for a in sh), dtype=np.int64, count=len(sh))
+        if not lens.sum():
+            return pd.Series(np.zeros(len(sh), dtype=np.int64))
+        allh = np.concatenate([np.asarray(a, dtype=np.int64) for a in sh]).view(
+            np.uint64
+        )
+        bits = ((allh[:, None] >> np.arange(nbits, dtype=np.uint64)) & 1).astype(
+            np.int64
+        )
+        starts = np.concatenate(([0], np.cumsum(lens)[:-1]))
+        ones = np.add.reduceat(bits, starts, axis=0)
+        votes = 2 * ones - lens[:, None]  # (+1 per set bit, -1 per clear)
+        weights = (1 << np.arange(nbits)).astype(np.int64)
+        return pd.Series((votes > 0) @ weights)
+
+    simhash = shingled_docs(spark, sf_dir).select(
+        "doc_id", simhash_of("shingles").alias("simhash")
     )
     keyed = simhash.select(
         "doc_id",
