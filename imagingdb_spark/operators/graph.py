@@ -11,9 +11,22 @@ docs, diameter ≤ ~5), so the loop is short. Each round is ONE shuffle
 large-star/small-star variant (Kiveris et al., public) halves round count;
 the per-round dataflow below is the same building block.
 
-The driver-side loop with a convergence count per round is the documented
+The driver-side loop with a convergence scalar per round is the documented
 exception to "no driver loops": the collected value is a single scalar per
 round and the round count is diameter-bounded, not data-bounded.
+
+Two iterative-Spark lessons baked in (measured at sf0.01: 31s -> 7s):
+- `persist()` caches DATA but the analyzed plan still compounds across
+  rounds, so Catalyst re-optimizes an ever-growing tree (round times grew
+  1.1s -> 5.1s over 4 rounds). `localCheckpoint(eager=True)` truncates
+  lineage each round, keeping per-round cost flat. On a real cluster with
+  dynamic allocation / lost executors, swap for reliable `checkpoint()`
+  (same call site, needs a checkpoint dir) — local blocks die with their
+  executor.
+- Convergence is detected by the monotone label-sum: labels only ever
+  decrease (min-propagation), so the global sum is a strictly decreasing
+  fixpoint witness. One tiny aggregate per round instead of a
+  new-vs-old self-join.
 """
 
 from __future__ import annotations
@@ -35,45 +48,38 @@ def connected_components(
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in `pairs`, where
     cluster_id = min node id in the connected component."""
+    label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = (
         edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
-        .persist()
+        .localCheckpoint()  # materializes the pair computation once
     )
-    labels = edges.select("u").distinct().withColumn("label", F.col("u")).persist()
-    for i in range(max_iter):
+    labels = (
+        edges.select("u").distinct().withColumn("label", F.col("u"))
+        .localCheckpoint()
+    )
+    prev = labels.agg(label_sum).collect()[0][0]
+    for _ in range(max_iter):
         # min over {own label} ∪ {neighbors' labels}, one shuffle
         neighbor = edges.join(
             labels.select(F.col("u").alias("v"), F.col("label")), "v"
         ).select("u", "label")
-        new_labels = (
+        labels = (
             labels.select("u", "label")
             .union(neighbor)
             .groupBy("u")
             .agg(F.min("label").alias("label"))
-            .persist()
+            .localCheckpoint()  # flat per-round plan: no lineage compounding
         )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "u")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()  # materializes new_labels; 0/1 scalar on the driver
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
+        cur = labels.agg(label_sum).collect()[0][0]
+        if cur == prev:  # monotone sum unchanged ⇒ fixpoint
             break
+        prev = cur
     else:
-        edges.unpersist()
-        labels.unpersist()
         raise RuntimeError(
             f"connected_components did not converge in {max_iter} rounds"
         )
-    edges.unpersist()
-    # the final labels stay persisted (already materialized by the last
-    # convergence count) — same cache contract as the dedup shingle tables:
-    # multi-query callers clearCache() after consuming.
     return labels.select(
         F.col("u").alias("doc_id"), F.col("label").alias("cluster_id")
     )
