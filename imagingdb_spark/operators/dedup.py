@@ -28,13 +28,19 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from imagingdb_spark.catalog import table
 from imagingdb_spark.operators.text import tokens_col
 from imagingdb_spark.registry import query
 
-MINHASH_N = 16  # 4 bands x 4 rows
-MINHASH_BANDS = 4
+# 16 hashes in 8 bands x 2 rows: the LSH S-curve midpoint is
+# (1/b)^(1/r) = (1/8)^(1/2) ~= 0.35, tuned BELOW the 0.5 verification
+# threshold so banding recall at j >= 0.5 is ~0.9+ (the earlier 4x4 config
+# had midpoint ~0.71 and missed true 0.76-jaccard pairs 20% of the time —
+# banding must over-generate and let the exact-jaccard verify step filter).
+MINHASH_N = 16
+MINHASH_BANDS = 8
 SIMHASH_BITS = 32
 SHINGLE_K = 3
 
@@ -63,27 +69,102 @@ def shingles_from_tokens(th: Column, k: int = SHINGLE_K) -> Column:
     return F.array_distinct(F.when(F.size(th) >= k, kgrams).otherwise(whole))
 
 
+# 64-bit odd mixing constants (xxhash/splitmix finalizer family)
+_P1 = np.uint64(0x9E3779B97F4A7C15)
+_P2 = np.uint64(0xC2B2AE3D27D4EB4F)
+_P3 = np.uint64(0x165667B19E3779F9)
+
+
+def _shingle_batch(tok_lists: list[list[str]], k: int) -> list[np.ndarray]:
+    """Vectorized per-batch shingling: distinct k-token-hash shingle hashes
+    per document, order-sensitive whole-sequence hash for docs shorter than
+    k tokens (mirrors shingles_from_tokens semantics with a numpy hash
+    family instead of xxhash64 — near-dup consumers only need consistency,
+    not a specific family)."""
+    ndocs = len(tok_lists)
+    lens = np.fromiter((len(t) for t in tok_lists), dtype=np.int64, count=ndocs)
+    total = int(lens.sum())
+    if total:
+        flat = np.empty(total, dtype=object)
+        pos = 0
+        for tl in tok_lists:
+            flat[pos : pos + len(tl)] = tl
+            pos += len(tl)
+        th = pd.util.hash_array(flat)  # uint64, deterministic (fixed key)
+    else:
+        th = np.empty(0, dtype=np.uint64)
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    # one k-gram per position with k-1 successors in the SAME doc
+    n_kg = np.maximum(lens - (k - 1), 0)
+    kg_doc = np.repeat(np.arange(ndocs), n_kg)
+    kg_off = np.arange(int(n_kg.sum())) - np.repeat(np.cumsum(n_kg) - n_kg, n_kg)
+    kg_first = np.repeat(starts, n_kg) + kg_off
+    sv = np.zeros(len(kg_first), dtype=np.uint64)
+    for j in range(k):
+        sv = (sv ^ th[kg_first + j]) * _P1
+    sv = (sv ^ (sv >> np.uint64(33))) * _P2
+    sv ^= sv >> np.uint64(29)
+    # distinct within doc: lexsort + first-occurrence mask
+    order = np.lexsort((sv, kg_doc))
+    sd, svs = kg_doc[order], sv[order]
+    keep = np.ones(len(sd), dtype=bool)
+    keep[1:] = (sd[1:] != sd[:-1]) | (svs[1:] != svs[:-1])
+    sd, svs = sd[keep], svs[keep].view(np.int64)
+    counts = np.bincount(sd, minlength=ndocs)
+    splits = np.split(svs, np.cumsum(counts)[:-1])
+    # short docs (< k tokens): order-sensitive mix of their ≤ k-1 token
+    # hashes + length, so '' / 'a' / 'a b' / 'b a' all hash apart
+    h0 = np.zeros(ndocs, dtype=np.uint64)
+    h1 = np.zeros(ndocs, dtype=np.uint64)
+    has1, has2 = lens >= 1, lens >= 2
+    h0[has1] = th[starts[has1]]
+    h1[has2] = th[starts[has2] + 1]
+    whole = ((h0 * _P1) ^ h1) * _P2 ^ lens.astype(np.uint64)
+    whole = ((whole ^ (whole >> np.uint64(33))) * _P3).view(np.int64)
+    return [
+        np.array([whole[i]], dtype=np.int64) if lens[i] < k else splits[i]
+        for i in range(ndocs)
+    ]
+
+
 def shingled_docs(spark: SparkSession, sf_dir: str, extra_cols: list[str] | None = None) -> DataFrame:
-    """(doc_id, shingles[, extra_cols]) with tokenization, token hashing,
-    and shingling in three separate projections (see shingles_from_tokens).
-    Shared by the near-dup family; `shingles` is array<bigint>."""
+    """(doc_id, shingles[, extra_cols]) via ONE Arrow mapInPandas pass:
+    tokenize, token-hash, and shingle vectorized in numpy/pandas. Shared by
+    the near-dup family; `shingles` is array<bigint>.
+
+    Why Arrow and not the shingles_from_tokens JVM expression: higher-order
+    lambdas are interpreted (no codegen), and the tokenize+hash+shingle
+    chain measured 3.0s of x_dedup_minhash's 4.0s at sf0.1; the vectorized
+    batch form does the same work in C loops. Both are map-side/zero-shuffle
+    and embarrassingly parallel, so the trade holds at any scale (the
+    Arrow-beats-interpreted-codegen tradeoff also used by x_dedup_simhash).
+    shingles_from_tokens stays the JVM reference implementation for
+    consumers whose oracle needs hash-count invariance (x_decontaminate)."""
     d = table(spark, sf_dir, "documents")
     extra = extra_cols or []
-    # Shingling + MinHash are CPU-heavy interpreted expressions; a small
-    # parquet layout (one file → one partition) would serialize them on a
-    # single core. Round-robin repartition to the cluster's parallelism —
-    # at real scale the scan already has many splits and AQE coalesces.
+    # Shingling is CPU-heavy; a small parquet layout (one file → one
+    # partition) would serialize it on a single core. Round-robin
+    # repartition to the cluster's parallelism — at real scale the scan
+    # already has many splits and AQE coalesces.
     npart = spark.sparkContext.defaultParallelism
-    toks_df = d.repartition(npart).select(
-        "doc_id", *extra, tokens_col(F.col("text")).alias("toks")
+    src = d.repartition(npart).select("doc_id", *extra, "text")
+    out_fields = [src.schema["doc_id"]] + [src.schema[c] for c in extra]
+    schema = T.StructType(
+        out_fields + [T.StructField("shingles", T.ArrayType(T.LongType()))]
     )
-    th_df = toks_df.select(
-        "doc_id", *extra,
-        F.transform("toks", lambda t: F.xxhash64(t)).alias("th"),
-    )
-    return th_df.select(
-        "doc_id", *extra, shingles_from_tokens(F.col("th")).alias("shingles")
-    ).filter(F.size("shingles") > 0)
+
+    def gen(batches):
+        for pdf in batches:
+            toks = [
+                t.lower().split() if isinstance(t, str) else []
+                for t in pdf["text"]
+            ]
+            out = pdf[["doc_id", *extra]].copy()
+            out["shingles"] = _shingle_batch(toks, SHINGLE_K)
+            yield out
+
+    return src.mapInPandas(gen, schema).filter(F.size("shingles") > 0)
 
 
 def jaccard(a: Column, b: Column) -> Column:
@@ -263,24 +344,47 @@ def _bucket_pairs(
     )
 
 
-def _minhash_signatures(sh: DataFrame) -> DataFrame:
-    """(doc_id, h0..h{N-1}): MinHash signature as N scalar columns via
-    explode(shingles) → N codegen'd xxhash64(shingle, seed) columns →
-    groupBy(doc_id).agg(min...).
+# MINHASH_N independent universal hashes h_i(s) = A_i*s + B_i (mod 2^64):
+# odd multipliers derived from the mixing constants, deterministic.
+_MH_A = (np.arange(MINHASH_N, dtype=np.uint64) * np.uint64(2) + np.uint64(1)) * _P1
+_MH_B = (np.arange(MINHASH_N, dtype=np.uint64) + np.uint64(1)) * _P2
 
-    Why this shape and not per-doc array_min(transform(...)) per seed:
-    higher-order lambdas are interpreted, so the per-doc form costs
-    N × |shingles| interpreted lambda calls per document (measured 27 s at
-    sf0.1). The exploded form keeps every hash inside whole-stage codegen,
-    and the hash aggregate's map-side partial min collapses each doc to one
-    136-byte row before the (only) shuffle — at 100 TB the shuffle volume is
-    docs × N × 8 bytes, never shingle volume."""
-    ex = sh.select("doc_id", F.explode("shingles").alias("s"))
-    return ex.groupBy("doc_id").agg(
-        *[
-            F.min(F.xxhash64("s", F.lit(seed))).alias(f"h{seed}")
-            for seed in range(MINHASH_N)
-        ]
+
+def _minhash_sig_batch(sh: pd.Series) -> pd.Series:
+    """MAP-SIDE MinHash signature: min over the doc's shingle hashes of N
+    universal hashes, computed as one flat numpy pass per Arrow batch
+    (np.minimum.reduceat over doc segments). Replaces the earlier
+    explode → groupBy(doc_id).agg(N mins) form: same signatures family-wise,
+    but ZERO shuffle — at 100 TB the old form shuffled docs × N × 8 bytes
+    and paid a stage barrier; this rides the shingle pass."""
+    lens = np.fromiter((len(a) for a in sh), dtype=np.int64, count=len(sh))
+    out = np.empty((len(sh), MINHASH_N), dtype=np.uint64)
+    nonempty = lens > 0
+    out[~nonempty] = np.uint64(0)
+    if nonempty.any():
+        allh = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a, n in zip(sh, lens) if n]
+        ).view(np.uint64)
+        ends = np.cumsum(lens[nonempty])
+        starts = ends - lens[nonempty]
+        sub = np.empty((int(nonempty.sum()), MINHASH_N), dtype=np.uint64)
+        for i in range(MINHASH_N):
+            sub[:, i] = np.minimum.reduceat(allh * _MH_A[i] + _MH_B[i], starts)
+        out[nonempty] = sub
+    signed = out.view(np.int64)
+    return pd.Series(list(signed))
+
+
+def _minhash_signatures(sh: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{N-1}): MinHash signature as N scalar columns, unpacked
+    from the map-side array UDF — no shuffle anywhere in signature
+    generation. (The pandas_udf is wrapped here, not at module level: DDL
+    return-type parsing needs an active SparkSession.)"""
+    sig_udf = F.pandas_udf(_minhash_sig_batch, "array<bigint>")
+    sig = sh.select("doc_id", sig_udf("shingles").alias("sig"))
+    return sig.select(
+        "doc_id",
+        *[F.col("sig")[i].alias(f"h{i}") for i in range(MINHASH_N)],
     )
 
 
@@ -288,7 +392,7 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
 def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2b: MinHash + LSH banded near-dup candidates — the 100 TB dedup path.
 
-    shingle set → 16-hash MinHash signature → 4 bands of 4 hashes → hash
+    shingle set → 16-hash MinHash signature → 8 bands of 2 hashes → hash
     each band → candidate pairs = docs sharing any band bucket → verified
     with true shingle Jaccard >= 0.5.
 
