@@ -113,22 +113,34 @@ def _shingle_batch(tok_lists: list[list[str]], k: int) -> list[np.ndarray]:
     sd, svs = sd[keep], svs[keep].view(np.int64)
     counts = np.bincount(sd, minlength=ndocs)
     splits = np.split(svs, np.cumsum(counts)[:-1])
-    # short docs (< k tokens): order-sensitive mix of their ≤ k-1 token
-    # hashes + length, so '' / 'a' / 'a b' / 'b a' all hash apart
-    h0 = np.zeros(ndocs, dtype=np.uint64)
-    h1 = np.zeros(ndocs, dtype=np.uint64)
-    has1, has2 = lens >= 1, lens >= 2
-    h0[has1] = th[starts[has1]]
-    h1[has2] = th[starts[has2] + 1]
-    whole = ((h0 * _P1) ^ h1) * _P2 ^ lens.astype(np.uint64)
+    # short docs (0 < len < k tokens): order-sensitive sequential mix of
+    # ALL their token hashes + length, so 'a b c' / 'a b d' / 'b a' all
+    # hash apart (count parity with string-n-gram oracles needs hash
+    # injectivity on every distinct token sequence, not just the first 2).
+    # Empty docs get NO shingle — mirrors the oracles' len(t) > 0 filter.
+    whole = np.zeros(ndocs, dtype=np.uint64)
+    for j in range(k - 1):
+        m = lens > j
+        if not m.any():
+            break
+        whole[m] = (whole[m] ^ th[starts[m] + j]) * _P1
+    whole ^= lens.astype(np.uint64) * _P2
     whole = ((whole ^ (whole >> np.uint64(33))) * _P3).view(np.int64)
+    empty = np.empty(0, dtype=np.int64)
     return [
-        np.array([whole[i]], dtype=np.int64) if lens[i] < k else splits[i]
+        splits[i]
+        if lens[i] >= k
+        else (np.array([whole[i]], dtype=np.int64) if lens[i] else empty)
         for i in range(ndocs)
     ]
 
 
-def shingled_docs(spark: SparkSession, sf_dir: str, extra_cols: list[str] | None = None) -> DataFrame:
+def shingled_docs(
+    spark: SparkSession,
+    sf_dir: str,
+    extra_cols: list[str] | None = None,
+    k: int = SHINGLE_K,
+) -> DataFrame:
     """(doc_id, shingles[, extra_cols]) via ONE Arrow mapInPandas pass:
     tokenize, token-hash, and shingle vectorized in numpy/pandas. Shared by
     the near-dup family; `shingles` is array<bigint>.
@@ -139,15 +151,25 @@ def shingled_docs(spark: SparkSession, sf_dir: str, extra_cols: list[str] | None
     batch form does the same work in C loops. Both are map-side/zero-shuffle
     and embarrassingly parallel, so the trade holds at any scale (the
     Arrow-beats-interpreted-codegen tradeoff also used by x_dedup_simhash).
-    shingles_from_tokens stays the JVM reference implementation for
-    consumers whose oracle needs hash-count invariance (x_decontaminate)."""
-    d = table(spark, sf_dir, "documents")
+    shingles_from_tokens stays the JVM reference implementation."""
+    return shingle_frame(table(spark, sf_dir, "documents"), extra_cols, k)
+
+
+def shingle_frame(
+    d: DataFrame,
+    extra_cols: list[str] | None = None,
+    k: int = SHINGLE_K,
+) -> DataFrame:
+    """shingled_docs over an arbitrary (doc_id, text[, extra]) DataFrame.
+    Callers that only need a SUBSET of docs must filter `d` BEFORE calling:
+    mapInPandas is opaque to Catalyst, so a filter applied after it cannot
+    be pushed below the (CPU-heavy) shingling."""
     extra = extra_cols or []
     # Shingling is CPU-heavy; a small parquet layout (one file → one
     # partition) would serialize it on a single core. Round-robin
     # repartition to the cluster's parallelism — at real scale the scan
     # already has many splits and AQE coalesces.
-    npart = spark.sparkContext.defaultParallelism
+    npart = d.sparkSession.sparkContext.defaultParallelism
     src = d.repartition(npart).select("doc_id", *extra, "text")
     out_fields = [src.schema["doc_id"]] + [src.schema[c] for c in extra]
     schema = T.StructType(
@@ -161,7 +183,7 @@ def shingled_docs(spark: SparkSession, sf_dir: str, extra_cols: list[str] | None
                 for t in pdf["text"]
             ]
             out = pdf[["doc_id", *extra]].copy()
-            out["shingles"] = _shingle_batch(toks, SHINGLE_K)
+            out["shingles"] = _shingle_batch(toks, k)
             yield out
 
     return src.mapInPandas(gen, schema).filter(F.size("shingles") > 0)
@@ -578,28 +600,20 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     side streams through one explode + broadcast-hash-join + per-doc
     count-distinct — no shuffle of corpus n-grams except the final
     doc-keyed partial aggregation. n-grams are bigint hashes end-to-end
-    (SCALING.md finding 9); counts are hash-invariant so the oracle's
-    string-n-gram counts match exactly."""
-    # not built on shingled_docs: decontamination wants a LONGER window
-    # than the near-dup shingles, so shingle at k=CONTAM_K
+    (SCALING.md finding 9); counts are hash-invariant (injective modulo
+    2^-64 collisions) so the oracle's string-n-gram counts match exactly.
+    Uses the vectorized Arrow shingler at the LONGER k=CONTAM_K window —
+    decontamination wants longer n-grams than near-dup shingling. Each
+    side filters doc_id BEFORE shingling (mapInPandas is opaque to
+    Catalyst, so a post-filter would shingle the whole corpus twice);
+    the bench side therefore only ever tokenizes the eval suite."""
     d = table(spark, sf_dir, "documents")
-    npart = spark.sparkContext.defaultParallelism
-    th = (
-        d.repartition(npart)
-        .select("doc_id", tokens_col(F.col("text")).alias("toks"))
-        .select(
-            "doc_id", F.transform("toks", lambda t: F.xxhash64(t)).alias("th")
-        )
-    )
-    sh = th.select(
-        "doc_id", shingles_from_tokens(F.col("th"), k=CONTAM_K).alias("shingles")
-    ).filter(F.size("shingles") > 0)
     bench = (
-        sh.filter(F.col("doc_id") % 97 == 0)
+        shingle_frame(d.filter(F.col("doc_id") % 97 == 0), k=CONTAM_K)
         .select(F.explode("shingles").alias("g"))
         .distinct()
     )
-    corpus = sh.filter(F.col("doc_id") % 97 != 0).select(
+    corpus = shingle_frame(d.filter(F.col("doc_id") % 97 != 0), k=CONTAM_K).select(
         "doc_id", F.explode("shingles").alias("g")
     )
     return (
