@@ -372,3 +372,101 @@ def x_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+# IVF (inverted-file) ANN config: K Voronoi cells from a k-means codebook,
+# query probes the IVF_PROBE nearest cells (FAISS IVF-Flat design, public).
+IVF_K = 16
+# The driver corpus is near-uniform in 64-dim (max cosine ~0.47), the
+# pathological case for IVF: true neighbors spread across many cells, so
+# the probe fraction must be generous (6/16 → recall@10 = 0.8 vs exact).
+# Clustered corpora (the production near-dup case) concentrate neighbors
+# in 1-2 cells and run IVF_PROBE=1-2 at the same recall.
+IVF_PROBE = 6
+IVF_ITER = 4
+IVF_TRAIN_MOD = 3  # deterministic ~1/3 training sample
+
+
+def _ivf_assign_udf(centroids: np.ndarray):
+    """pandas_udf: nearest-centroid cell id per vector — one
+    (n, dim) @ (dim, K) matmul + argmin per Arrow batch (||x-c||² ranks as
+    -2x·c + ||c||² since ||x|| is constant per row)."""
+    c = centroids.astype(np.float64)
+    c_sq = (c * c).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        scores = -2.0 * (m @ c.T) + c_sq
+        return pd.Series(np.argmin(scores, axis=1).astype(np.int32))
+
+    return assign
+
+
+def _ivf_centroids(e: DataFrame) -> np.ndarray:
+    """K-means codebook trained DISTRIBUTED on a deterministic sample.
+
+    Standard IVF practice (FAISS): the codebook is trained on a bounded
+    sample, then the full corpus is assigned map-side — so at 100 TB the
+    training shuffle is sample-sized, never corpus-sized. Init is the K
+    sample vectors with the smallest xxhash64(vec_id) (deterministic,
+    spread uniformly); each Lloyd iteration is one map-side assign + one
+    (cell, pos)-keyed mean of the SAMPLE only; the K×dim result collected
+    per iteration is tiny. Empty cells keep their previous centroid."""
+    sample = e.filter(F.xxhash64("vec_id") % IVF_TRAIN_MOD == 0)
+    seeds = (
+        sample.orderBy(F.xxhash64("vec_id", F.lit(1)), "vec_id")
+        .limit(IVF_K)
+        .select("embedding")
+        .collect()
+    )
+    centroids = np.asarray([r["embedding"] for r in seeds], dtype=np.float64)
+    for _ in range(IVF_ITER):
+        assign = _ivf_assign_udf(centroids)
+        sums = (
+            sample.select(assign("embedding").alias("cell"), "embedding")
+            .select("cell", F.posexplode("embedding").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        new_c = centroids.copy()
+        for r in sums:
+            new_c[r["cell"], r["pos"]] = r["mean"]
+        centroids = new_c
+    return centroids
+
+
+@query("x_ann_ivf")  # rows-only: k-means codebook not ANSI-SQL-expressible
+def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF-Flat: k-means codebook → every vector assigned to
+    its nearest cell map-side → query probes its IVF_PROBE nearest cells →
+    exact cosine re-rank of the candidate cells only.
+
+    Scale shape vs x_ann_lsh: LSH needs no training but its buckets ignore
+    the data distribution; IVF adapts cells to the corpus so probing
+    IVF_PROBE/IVF_K of the cells scans ~that fraction of the data with
+    higher recall on clustered corpora. Codebook training touches only a
+    deterministic sample (see _ivf_centroids); full-corpus assignment is
+    one Arrow matmul pass, no shuffle, no join — at 100 TB the cell id
+    would be precomputed at ingest and the table partitioned by cell so a
+    probe prunes whole files (same pruning story as LSH buckets).
+    Recall vs the exact x_topk_sim baseline is asserted in
+    tests/test_extensions.py."""
+    e = table(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(e)
+    qvec = _collect_probe(e)
+    d2 = ((centroids - qvec) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(d2)[:IVF_PROBE]]
+    assign = _ivf_assign_udf(centroids)
+    score = _cosine_vs_probe_udf(qvec)
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("cell", assign("embedding"))
+        .filter(F.col("cell").isin(probe_cells))
+        .select(
+            "vec_id", "label", F.round(score("embedding"), 4).alias("cosine_sim")
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

@@ -92,6 +92,7 @@ PRIORITY: list[str] = [
     "x_dedup_minhash",  # D2 rows-only (jaccard+embed cover the row)
     "x_dedup_simhash",  # D2 rows-only
     "x_ann_lsh",        # D3 rows-only (topk_sim covers the row)
+    "x_ann_ivf",        # D3 rows-only: IVF-Flat scale path
     "x_lang_id",        # D4 (x_text_stats covers the row; green in r01)
     "x_token_freq",     # D4 (stats cover the row)
     "x_token_bpe",      # D4

@@ -167,6 +167,19 @@ class TestSimilarity:
         assert len(exact) == 10
         assert len(ann & exact) / 10 >= 0.8
 
+    def test_ivf_recall_vs_exact_topk(self, spark):
+        """IVF-Flat with IVF_PROBE/IVF_K = 1/4 of the cells must recover
+        >=70% of the exact top-10 on the weakly-separated driver corpus
+        (near-neighbors concentrate in the query's nearest cells; corpora
+        with real cluster structure do much better)."""
+        from imagingdb_spark.operators import similarity as S
+
+        sf_dir = "/root/testdata/sf0.001"
+        exact = {r["vec_id"] for r in S.x_topk_sim(spark, sf_dir).collect()}
+        ivf = {r["vec_id"] for r in S.x_ann_ivf(spark, sf_dir).collect()}
+        assert len(exact) == 10
+        assert len(ivf & exact) / 10 >= 0.7
+
 
 class TestMultimodal:
     @pytest.fixture()
