@@ -326,6 +326,119 @@ def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x_dedup_incremental",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                       t -> t <> '')) AS tokset
+      FROM documents
+    )
+    SELECT a.doc_id AS new_doc, b.doc_id AS corpus_doc,
+           round(len(list_intersect(a.tokset, b.tokset)) /
+                 (len(a.tokset) + len(b.tokset)
+                  - len(list_intersect(a.tokset, b.tokset))), 4) AS jaccard
+    FROM toks a
+    JOIN toks b
+      ON a.lang = b.lang AND a.source = b.source
+     AND substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+     AND substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1')
+    WHERE round(len(list_intersect(a.tokset, b.tokset)) /
+                (len(a.tokset) + len(b.tokset)
+                 - len(list_intersect(a.tokset, b.tokset))), 4) >= 0.8
+    """,
+)
+def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup: match an INCOMING batch (stand-in: the ~1/8 of
+    docs whose md5(doc_id) starts with 0 or 1 — md5 because it is the one
+    hash Spark and DuckDB compute identically, and a PSEUDO-RANDOM slice
+    because the synthetic corpus plants duplicates at fixed id offsets
+    that any modular split would keep on one side) against the standing
+    corpus — the production
+    "dedup today's crawl against the 100 TB corpus" shape, where
+    re-clustering the whole corpus per batch is not an option.
+
+    Asymmetric PPJoin: both sides keep only their prefix tokens under one
+    global (block-dfreq asc, token asc) order — if J(A,B) >= 0.8 the pair
+    must share a token inside BOTH prefixes (same theorem as
+    x_dedup_jaccard) — then batch prefix x corpus prefix is an equi-join
+    on (lang, source, token) and survivors verify true Jaccard. Exact
+    w.r.t. the oracle's full batch x corpus join.
+
+    Scale shape: the batch prefix side is BROADCAST (a daily batch is
+    orders of magnitude smaller than the corpus), so the corpus side
+    streams map-side with zero corpus shuffle in candidate generation.
+    At 100 TB the corpus's sorted-prefix index and block dfreq table are
+    PRECOMPUTED at ingest and stored (they only grow append-only); here
+    they are derived in-query from the same documents table. Verification
+    joins tokset arrays back by doc_id — candidate-proportional, like
+    x_dedup_jaccard."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+        .isin("0", "1")
+        .alias("is_new"),
+        F.array_distinct(
+            F.transform(tokens_col(F.col("text")), lambda t: F.xxhash64(t))
+        ).alias("tokset"),
+    ).persist()  # feeds prefix generation AND both verify sides
+
+    ex = toks.select(
+        "doc_id", "lang", "source", "is_new", F.explode("tokset").alias("token")
+    )
+    # block dfreq over the WHOLE table: the prefix theorem needs one global
+    # total order shared by both sides (ingest-time maintained at scale)
+    dfreq = ex.groupBy("lang", "source", "token").agg(
+        F.count(F.lit(1)).alias("tdf")
+    )
+    sorted_toks = (
+        ex.join(dfreq, ["lang", "source", "token"])
+        .groupBy("doc_id", "lang", "source", "is_new")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tdf", "token"))),
+                lambda s: s["token"],
+            ).alias("toks_sorted")
+        )
+    )
+    sz = F.size("toks_sorted")
+    p_len = sz - F.floor((4 * sz + 4) / 5).cast("int") + 1
+    prefix = sorted_toks.select(
+        "doc_id",
+        "lang",
+        "source",
+        "is_new",
+        F.explode(F.slice("toks_sorted", 1, p_len)).alias("token"),
+    )
+    new_pref = prefix.filter("is_new").select(
+        F.col("doc_id").alias("new_doc"), "lang", "source", "token"
+    )
+    corpus_pref = prefix.filter(~F.col("is_new")).select(
+        F.col("doc_id").alias("corpus_doc"), "lang", "source", "token"
+    )
+    cand = (
+        corpus_pref.join(F.broadcast(new_pref), ["lang", "source", "token"])
+        .select("new_doc", "corpus_doc")
+        .dropDuplicates(["new_doc", "corpus_doc"])
+    )
+    ta = toks.select(F.col("doc_id").alias("new_doc"), F.col("tokset").alias("tokset_a"))
+    tb = toks.select(F.col("doc_id").alias("corpus_doc"), F.col("tokset").alias("tokset_b"))
+    return (
+        cand.join(ta, "new_doc")
+        .join(tb, "corpus_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            F.round(jaccard(F.col("tokset_a"), F.col("tokset_b")), 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
 MAX_BUCKET = 100  # drop degenerate LSH buckets (> this many docs) — see notes
 
 

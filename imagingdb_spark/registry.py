@@ -107,6 +107,7 @@ PRIORITY: list[str] = [
     "x_quality_filter", # training-pipeline: Gopher-style rule flags
     "x_repetition",     # training-pipeline: repetition signals
     "x_dedup_cluster",  # connected components over near-dup pairs
+    "x_dedup_incremental",  # batch-vs-corpus asymmetric PPJoin (oracle-exact)
     "st_join",          # stream-stream join batch twin (attribution)
     "x_embed_stats",    # bonus profiling query
 ]
