@@ -375,13 +375,29 @@ def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins tokset arrays back by doc_id — candidate-proportional, like
     x_dedup_jaccard."""
     d = table(spark, sf_dir, "documents")
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1"
+    )
+    return incremental_match(d.filter(is_new), d.filter(~is_new))
+
+
+def incremental_match(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """(new_doc, corpus_doc, jaccard) for every pair of an incoming doc and
+    a corpus doc in the same (lang, source) block with unigram-set Jaccard
+    >= 0.8 — the asymmetric-PPJoin core shared by x_dedup_incremental and
+    the streaming crawl-ingest gate (streaming/jobs.py). Both inputs need
+    (doc_id, lang, source, text); threshold is fixed at 0.8 so the prefix
+    length stays in exact integer arithmetic (see x_dedup_jaccard)."""
+    cols = ["doc_id", "lang", "source", "text"]
+    d = (
+        new_docs.select(*cols).withColumn("is_new", F.lit(True))
+        .unionByName(corpus.select(*cols).withColumn("is_new", F.lit(False)))
+    )
     toks = d.select(
         "doc_id",
         "lang",
         "source",
-        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
-        .isin("0", "1")
-        .alias("is_new"),
+        "is_new",
         F.array_distinct(
             F.transform(tokens_col(F.col("text")), lambda t: F.xxhash64(t))
         ).alias("tokset"),

@@ -17,7 +17,7 @@ Kafka + a transactional sink without touching the aggregation code.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
@@ -295,3 +295,80 @@ def run_to_memory(df: DataFrame, name: str, mode: str | None = None) -> Streamin
     )
     q.processAllAvailable()
     return q
+
+
+DOCS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ]
+)
+
+
+def read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-based stream over the documents parquet (Kafka swap-in at
+    production, same downstream plan)."""
+    return (
+        spark.readStream.schema(DOCS_RAW_SCHEMA)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def streaming_dedup_gate(
+    docs: DataFrame,
+    corpus_path: str,
+    matches_path: str,
+    checkpoint_dir: str,
+) -> StreamingQuery:
+    """Streaming crawl-ingest dedup gate — the continuous twin of
+    x_dedup_incremental: per micro-batch, (1) exact-dedup the batch
+    internally (content sha2, min doc_id keeper), (2) match survivors
+    against the standing corpus with the SAME asymmetric-PPJoin core
+    (operators/dedup.incremental_match), (3) append near-dup matches to an
+    audit log and ONLY novel docs to the corpus — so the corpus stays
+    dedup-clean as it grows and later batches are matched against
+    everything accepted so far.
+
+    Scale shape: the batch side of the PPJoin is broadcast (a micro-batch
+    is tiny vs the corpus); at 100 TB the corpus is a table format whose
+    sorted-prefix index is maintained incrementally instead of re-derived,
+    and the corpus re-read per batch becomes a MERGE — the gate logic and
+    match semantics are unchanged. foreachBatch is at-least-once: the
+    corpus append stays idempotent because a replayed batch's docs match
+    their already-appended twins (jaccard 1.0) and are filtered as dups;
+    the audit log can hold a replayed row, which a downstream reader
+    dedups by (new_doc, corpus_doc)."""
+    from imagingdb_spark.operators.dedup import incremental_match
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch = (
+            batch_df.withColumn("_h", F.sha2("text", 256))
+            .withColumn(
+                "_keep",
+                F.row_number().over(Window.partitionBy("_h").orderBy("doc_id")),
+            )
+            .filter(F.col("_keep") == 1)
+            .drop("_h", "_keep")
+        )
+        try:
+            corpus = spark.read.parquet(corpus_path)
+        except Exception:  # first batch: everything is novel
+            batch.write.mode("append").parquet(corpus_path)
+            return
+        pairs = incremental_match(batch, corpus).persist()
+        pairs.write.mode("append").parquet(matches_path)
+        dup_ids = pairs.select(F.col("new_doc").alias("doc_id")).distinct()
+        novel = batch.join(dup_ids, "doc_id", "left_anti")
+        novel.write.mode("append").parquet(corpus_path)
+        pairs.unpersist()
+
+    return (
+        docs.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )

@@ -135,3 +135,46 @@ def test_stream_stream_join_matches_batch(spark, events_stream):
     key = lambda rows: sorted((r["view_id"], r["purchase_id"]) for r in rows)
     assert key(got) == key(batch)
     assert len(got) > 0
+
+
+def test_streaming_dedup_gate_matches_batch_twin(spark, tmp_path):
+    """The streaming crawl-ingest gate, fed the x_dedup_incremental batch
+    slice as one micro-batch against a corpus pre-seeded with the rest,
+    must log exactly the batch twin's (new_doc, corpus_doc) matches and
+    append only novel docs to the corpus."""
+    from imagingdb_spark.operators.dedup import x_dedup_incremental
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1"
+    )
+    corpus_path = str(tmp_path / "corpus")
+    matches_path = str(tmp_path / "matches")
+    batch_path = str(tmp_path / "incoming")
+    docs.filter(~is_new).write.parquet(corpus_path)
+    # one file => one micro-batch
+    docs.filter(is_new).coalesce(1).write.parquet(batch_path)
+
+    stream = (
+        spark.readStream.schema(jobs.DOCS_RAW_SCHEMA)
+        .parquet(batch_path)
+    )
+    q = jobs.streaming_dedup_gate(
+        stream, corpus_path, matches_path, str(tmp_path / "ck")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in spark.read.parquet(matches_path).collect()
+    }
+    want_rows = x_dedup_incremental(spark, SF_DIR).collect()
+    want = {(r["new_doc"], r["corpus_doc"]) for r in want_rows}
+    assert got == want and len(want) > 0
+    # corpus grew by exactly the novel batch docs
+    n_batch = docs.filter(is_new).count()
+    n_dups = len({a for a, _ in want})
+    n_corpus0 = docs.filter(~is_new).count()
+    assert spark.read.parquet(corpus_path).count() == n_corpus0 + n_batch - n_dups
