@@ -429,7 +429,8 @@ def incremental_match(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
         "source",
         "is_new",
         F.explode(F.slice("toks_sorted", 1, p_len)).alias("token"),
-    )
+    ).persist()  # feeds BOTH join sides — unpersisted, the whole
+    # dfreq + sort pipeline would evaluate once per side
     new_pref = prefix.filter("is_new").select(
         F.col("doc_id").alias("new_doc"), "lang", "source", "token"
     )

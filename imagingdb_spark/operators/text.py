@@ -313,3 +313,142 @@ def x_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_token_frac"
         ),
     ).select("doc_id", "n_bigrams", "top_bigram_frac", "dup_token_frac")
+
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48  # 16-token overlap between consecutive chunks
+
+
+@query(
+    "x_chunk_docs",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), n AS (
+      SELECT doc_id, t, len(t) AS n_tok,
+             1 + CAST(floor((greatest(len(t) - {CHUNK_TOKENS}, 0)
+                             + {CHUNK_STRIDE} - 1) / {CHUNK_STRIDE}) AS BIGINT)
+               AS n_chunks
+      FROM toks WHERE len(t) > 0
+    )
+    , c AS (
+      SELECT doc_id, t, n_tok, unnest(range(n_chunks)) AS i FROM n
+    )
+    SELECT doc_id,
+           CAST(i AS BIGINT) AS chunk_idx,
+           CAST(least(n_tok - i * {CHUNK_STRIDE}, {CHUNK_TOKENS}) AS BIGINT)
+             AS chunk_len,
+           array_to_string(t[i * {CHUNK_STRIDE} + 1 :
+                             i * {CHUNK_STRIDE} + {CHUNK_TOKENS}], ' ')
+             AS chunk_text
+    FROM c
+    """,
+)
+def x_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-stride document chunking (the RAG / context-window prep op):
+    every doc becomes ceil-covering {CHUNK_TOKENS}-token windows advancing
+    by {CHUNK_STRIDE} (16-token overlap), last chunk ragged. n_chunks =
+    1 + ceil(max(n - CHUNK, 0) / STRIDE) in integer arithmetic on both
+    engines.
+
+    Scale shape: pure map-side explode — tokens are split once, chunk
+    windows are array slices of the bound token array (no re-tokenization
+    per chunk), output rows ≈ corpus tokens / STRIDE. 0 exchanges; scales
+    linearly like the other text ops."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    n = F.size("t")
+    n_chunks = 1 + F.floor(
+        (F.greatest(n - CHUNK_TOKENS, F.lit(0)) + CHUNK_STRIDE - 1) / CHUNK_STRIDE
+    ).cast("int")
+    return (
+        toks.select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_idx"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+            F.least(
+                F.size("t") - F.col("chunk_idx") * CHUNK_STRIDE,
+                F.lit(CHUNK_TOKENS),
+            ).cast("bigint").alias("chunk_len"),
+            F.array_join(
+                F.slice(
+                    "t", F.col("chunk_idx") * CHUNK_STRIDE + 1, CHUNK_TOKENS
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
+PACK_BUDGET = 256  # tokens per training bin
+
+
+@query("x_pack_sequences")  # rows-only: greedy first-fit not SQL-expressible
+def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (pretraining sample-packing prep): docs are packed
+    into PACK_BUDGET-token bins by first-fit-decreasing, one row per bin
+    (bin_id, n_docs, total_tokens, fill_frac). Docs longer than the budget
+    get a singleton bin (trimming is x_chunk_docs's job).
+
+    DETERMINISTIC by construction: docs are hash-partitioned on doc_id
+    (deterministic partitioner) and FFD-ordered (n_tok desc, doc_id asc)
+    within each partition, so reruns produce identical bins;
+    bin_id = partition_id << 32 | local_idx.
+
+    Scale shape: bins never span partitions — the standard production
+    approximation (packing is embarrassingly parallel; the cost is one
+    partial bin per partition, negligible when partitions hold >> budget
+    tokens). One shuffle (the repartition); the per-partition FFD scan is
+    a pandas pass whose memory is one partition of (doc_id, n_tok) pairs,
+    bounded by spark.sql.files.maxPartitionBytes at the scan."""
+    import pandas as pd
+    from pyspark.sql import types as T_
+    from pyspark.taskcontext import TaskContext
+
+    d = table(spark, sf_dir, "documents")
+    counts = d.select(
+        "doc_id", F.size(tokens_col(F.col("text"))).alias("n_tok")
+    ).filter(F.col("n_tok") > 0)
+    npart = spark.sparkContext.defaultParallelism
+    schema = T_.StructType(
+        [
+            T_.StructField("bin_id", T_.LongType()),
+            T_.StructField("n_docs", T_.LongType()),
+            T_.StructField("total_tokens", T_.LongType()),
+            T_.StructField("fill_frac", T_.DoubleType()),
+        ]
+    )
+
+    def pack(batches):
+        pdf = pd.concat(list(batches), ignore_index=True)
+        if pdf.empty:
+            return
+        pid = TaskContext.get().partitionId()
+        pdf = pdf.sort_values(["n_tok", "doc_id"], ascending=[False, True])
+        bins: list[tuple[int, int]] = []  # (n_docs, total_tokens)
+        for n_tok in pdf["n_tok"].to_numpy():
+            for i, (nd, tot) in enumerate(bins):
+                if tot + n_tok <= PACK_BUDGET:
+                    bins[i] = (nd + 1, tot + n_tok)
+                    break
+            else:
+                bins.append((1, int(n_tok)))
+        yield pd.DataFrame(
+            {
+                "bin_id": [(pid << 32) | i for i in range(len(bins))],
+                "n_docs": [nd for nd, _ in bins],
+                "total_tokens": [tot for _, tot in bins],
+                "fill_frac": [round(tot / PACK_BUDGET, 4) for _, tot in bins],
+            }
+        )
+
+    return counts.repartition(npart, "doc_id").mapInPandas(pack, schema)

@@ -108,6 +108,8 @@ PRIORITY: list[str] = [
     "x_repetition",     # training-pipeline: repetition signals
     "x_dedup_cluster",  # connected components over near-dup pairs
     "x_dedup_incremental",  # batch-vs-corpus asymmetric PPJoin (oracle-exact)
+    "x_chunk_docs",     # fixed-stride RAG chunking (oracle-exact)
+    "x_pack_sequences", # FFD token-budget packing (rows-only, deterministic)
     "st_join",          # stream-stream join batch twin (attribution)
     "x_embed_stats",    # bonus profiling query
 ]

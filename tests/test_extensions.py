@@ -297,3 +297,27 @@ class TestConnectedComponents:
         with pytest.raises(RuntimeError, match="converge"):
             connected_components(pairs, max_iter=1)
         spark.catalog.clearCache()
+
+
+class TestPacking:
+    def test_pack_constraints_and_determinism(self, spark):
+        """Every bin respects the token budget (singleton over-budget docs
+        excepted), every tokenized doc lands in exactly one bin, and two
+        runs produce identical bins (hash partitioner + FFD order are both
+        deterministic)."""
+        from imagingdb_spark.operators.text import (
+            PACK_BUDGET,
+            tokens_col,
+            x_pack_sequences,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        bins = x_pack_sequences(spark, sf_dir).collect()
+        for r in bins:
+            assert r["total_tokens"] <= PACK_BUDGET or r["n_docs"] == 1
+            assert r["n_docs"] >= 1
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        n_docs = docs.filter(F.size(tokens_col(F.col("text"))) > 0).count()
+        assert sum(r["n_docs"] for r in bins) == n_docs
+        again = x_pack_sequences(spark, sf_dir).collect()
+        assert sorted(map(tuple, bins)) == sorted(map(tuple, again))
