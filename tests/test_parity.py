@@ -167,3 +167,49 @@ class TestToNumpyStack:
         stack, dim_str = multimodal.to_numpy_stack(one, gm, self._im)
         assert dim_str == "XY"
         assert stack.shape == (self.H, self.W)
+
+
+class TestSaltedJoin:
+    def test_salted_equals_plain_join_under_skew(self, spark):
+        """A salted join over a pathologically skewed key (90% of fact rows
+        share one key) must produce exactly the plain join's rows — salting
+        is a partitioning layout, never a semantics change."""
+        import pandas as pd
+
+        from imagingdb_spark.operators.joins import salted_join
+
+        fact = spark.createDataFrame(
+            [(1 if i % 10 else i, f"v{i}") for i in range(1000)],
+            "k long, payload string",
+        )
+        dim = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(0, 1000, 1)][:50], "k long, attr string"
+        )
+        plain = sorted(
+            map(tuple, fact.join(dim, "k").select("k", "payload", "attr").collect())
+        )
+        salted = sorted(
+            map(
+                tuple,
+                salted_join(fact, dim, "k", n_salts=8)
+                .select("k", "payload", "attr")
+                .collect(),
+            )
+        )
+        assert plain == salted and len(plain) > 0
+
+    def test_salt_actually_spreads_hot_key(self, spark):
+        """The hot key's fact rows must land in >1 salt bucket (the whole
+        point); deterministic across runs (retry-safe)."""
+        from pyspark.sql import functions as F
+
+        from imagingdb_spark.operators.joins import salted_join
+
+        fact = spark.createDataFrame(
+            [(7, f"v{i}") for i in range(200)], "k long, payload string"
+        )
+        row_hash = F.xxhash64(*[F.col(c) for c in fact.columns])
+        salts = fact.select(
+            F.pmod(row_hash, F.lit(8)).cast("int").alias("s")
+        ).distinct()
+        assert salts.count() > 1
