@@ -296,3 +296,86 @@ def assemble_stack(
         )
 
     return frames.groupBy("dataset_serial").applyInPandas(per_dataset, out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Audio: same opaque-binary + typed-metadata pattern as frames. PCM decode is
+# a stub (no audio libs in this container); the Spark plumbing — schema,
+# mapInPandas batch shape, windowed feature math — is real and tested with
+# the injectable fake.
+
+AUDIO_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
+        T.StructField("peak", T.DoubleType()),
+        T.StructField("window_rms", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def decode_pcm(payload: bytes, sample_rate: int) -> "np.ndarray":
+    """Audio container → float samples in [-1, 1]. No audio codec ships in
+    this container — STUB; inject a decoder (see fake_pcm_decoder) or wire
+    soundfile/librosa here in a real deployment."""
+    raise NotImplementedError(
+        "audio codec not available in this environment; "
+        "inject a decoder (see fake_pcm_decoder) or install soundfile"
+    )
+
+
+def fake_pcm_decoder(payload: bytes, sample_rate: int) -> "np.ndarray":
+    """Deterministic stand-in: raw bytes as int16 little-endian PCM scaled
+    to [-1, 1] — the real decoder's contract (bytes in, float samples out)
+    so the Spark plumbing is exercised for real."""
+    n = len(payload) - (len(payload) % 2)
+    if not n:
+        return np.zeros(1, dtype=np.float64)
+    return (
+        np.frombuffer(payload[:n], dtype="<i2").astype(np.float64) / 32768.0
+    )
+
+
+def audio_features(
+    clips: DataFrame,
+    window: int = 1024,
+    decoder: Callable[[bytes, int], "np.ndarray"] = decode_pcm,
+) -> DataFrame:
+    """Decode + windowed energy features as mapInPandas over
+    (clip_id, payload, sample_rate): per-clip RMS/peak plus per-window RMS
+    (the frame-level feature a filtering pipeline thresholds on — silence/
+    clipping detection). Per clip the window sums come from one
+    np.add.reduceat over squared samples — no per-sample Python.
+
+    Same scale shape as frame_features: map-side, partition-preserving,
+    Arrow-batched; at 100 TB clips are size-bucketed files and this runs
+    embarrassingly parallel behind the scan."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for cid, p, sr in zip(
+                pdf["clip_id"], pdf["payload"], pdf["sample_rate"]
+            ):
+                a = decoder(p, int(sr))
+                sq = a * a
+                starts = np.arange(0, len(a), window)
+                counts = np.diff(starts, append=len(a))
+                wsums = np.add.reduceat(sq, starts) if len(a) else np.zeros(0)
+                rows.append(
+                    {
+                        "clip_id": cid,
+                        "n_samples": len(a),
+                        "n_windows": len(starts),
+                        "rms": float(np.sqrt(sq.mean())) if len(a) else 0.0,
+                        "peak": float(np.abs(a).max()) if len(a) else 0.0,
+                        "window_rms": np.sqrt(wsums / counts).round(6)
+                        if len(a)
+                        else np.zeros(0),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return clips.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)

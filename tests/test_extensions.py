@@ -321,3 +321,40 @@ class TestPacking:
         assert sum(r["n_docs"] for r in bins) == n_docs
         again = x_pack_sequences(spark, sf_dir).collect()
         assert sorted(map(tuple, bins)) == sorted(map(tuple, again))
+
+
+class TestAudioFeatures:
+    def test_audio_features_with_fake_decoder(self, spark):
+        """Windowed RMS math must match a straight numpy computation on the
+        decoded samples, the decode stub must raise, and empty payloads
+        must not crash the batch."""
+        import struct
+
+        samples = [1000, -2000, 3000, -4000, 500, -600]
+        payload = struct.pack(f"<{len(samples)}h", *samples)
+        df = spark.createDataFrame(
+            [("c1", payload, 16000), ("c2", b"", 16000)],
+            "clip_id string, payload binary, sample_rate int",
+        )
+        got = {
+            r["clip_id"]: r
+            for r in multimodal.audio_features(
+                df, window=4, decoder=multimodal.fake_pcm_decoder
+            ).collect()
+        }
+        a = np.array(samples, dtype=np.float64) / 32768.0
+        r1 = got["c1"]
+        assert r1["n_samples"] == 6 and r1["n_windows"] == 2
+        assert r1["rms"] == pytest.approx(float(np.sqrt((a * a).mean())))
+        assert r1["peak"] == pytest.approx(float(np.abs(a).max()))
+        assert r1["window_rms"][0] == pytest.approx(
+            float(np.sqrt((a[:4] ** 2).mean())), abs=1e-6
+        )
+        assert r1["window_rms"][1] == pytest.approx(
+            float(np.sqrt((a[4:] ** 2).mean())), abs=1e-6
+        )
+        # empty payload decodes to the 1-sample silence stand-in
+        assert got["c2"]["rms"] == 0.0
+
+        with pytest.raises(Exception):
+            multimodal.audio_features(df).collect()
