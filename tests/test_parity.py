@@ -213,3 +213,18 @@ class TestSaltedJoin:
             F.pmod(row_hash, F.lit(8)).cast("int").alias("s")
         ).distinct()
         assert salts.count() > 1
+
+
+class TestConnectedComponents:
+    def test_long_chain_converges_fast(self, spark):
+        """A 200-node path graph (diameter 200) must converge within the
+        round budget — pointer doubling makes rounds O(log d); plain
+        min-propagation would need 200 rounds and raise."""
+        from imagingdb_spark.operators.graph import connected_components
+
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+        )
+        got = connected_components(pairs, max_iter=15).collect()
+        assert len(got) == 201
+        assert {r["cluster_id"] for r in got} == {0}
