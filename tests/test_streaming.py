@@ -178,3 +178,36 @@ def test_streaming_dedup_gate_matches_batch_twin(spark, tmp_path):
     n_dups = len({a for a, _ in want})
     n_corpus0 = docs.filter(~is_new).count()
     assert spark.read.parquet(corpus_path).count() == n_corpus0 + n_batch - n_dups
+
+
+def test_streaming_dedup_gate_replay_idempotent(spark, tmp_path):
+    """Replaying the same input with a fresh checkpoint (at-least-once
+    semantics) must not grow the corpus: every replayed doc matches its
+    already-appended twin at jaccard 1.0 and is filtered as a duplicate."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1"
+    )
+    corpus_path = str(tmp_path / "corpus")
+    matches_path = str(tmp_path / "matches")
+    batch_path = str(tmp_path / "incoming")
+    docs.filter(~is_new).write.parquet(corpus_path)
+    docs.filter(is_new).coalesce(1).write.parquet(batch_path)
+
+    stream = spark.readStream.schema(jobs.DOCS_RAW_SCHEMA).parquet(batch_path)
+    q = jobs.streaming_dedup_gate(
+        stream, corpus_path, matches_path, str(tmp_path / "ck1")
+    )
+    q.processAllAvailable()
+    q.stop()
+    n_after_first = spark.read.parquet(corpus_path).count()
+
+    stream2 = spark.readStream.schema(jobs.DOCS_RAW_SCHEMA).parquet(batch_path)
+    q2 = jobs.streaming_dedup_gate(
+        stream2, corpus_path, matches_path, str(tmp_path / "ck2")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert spark.read.parquet(corpus_path).count() == n_after_first
