@@ -36,9 +36,7 @@ PRIORITY: list[str] = [
     # never-checked in r01: sorts tail, windows, streaming (VERDICT item 1)
     "o_topk",           # O5
     "o_natural_sort",   # O4
-    "w_dense_rank",     # W (stack coordinates)
     "w_running",        # W
-    "w_lag_lead",       # W
     "w_rownum_page",    # W + O3 offset slicing
     "w_topk_group",     # W
     "st_tumbling",      # St1 (batch twin)
@@ -62,18 +60,14 @@ PRIORITY: list[str] = [
     "j_two_way",        # J2
     "j_self_parent",    # J3
     "j_json_filter",    # J5
-    "j_outer_count",    # J+
-    "j_range",          # J+
-    "j_asof",           # J+
+    "j_asof",           # J+ (outer/range siblings cover the row from the tail)
     "f_array_ops",      # F8 (array/tensor ops — first oracle-checked row)
     "a_count",          # A1
     "a_distinct",       # A2
     "a_count_distinct", # A3
     "a_group_summary",  # A4/A5
-    "a_sum_avg",        # A+
-    "a_rollup",         # A+
-    "s_union",          # set ops
-    "s_except",
+    "a_rollup",         # A+ (sum-avg/cube/pivot siblings in the tail)
+    "s_union",          # set ops (except/intersect siblings in the tail)
     "f_string_parse",   # F1
     "f_format",         # F2
     "f_dates",          # F3
@@ -81,14 +75,27 @@ PRIORITY: list[str] = [
     "f_validate_id",    # F6
     "f_cast_coerce",    # F7
     "x_text_stats",     # D4
-    "x_split_hash",     # training-pipeline: deterministic dataset split
+    "x_split_hash",     # D7: deterministic dataset split
     "x_dedup_exact",    # D1
     "x_dedup_jaccard",  # D2 (oracle-exact)
     "x_dedup_embed",    # D2 (oracle-exact)
     "x_topk_sim",       # D3 (oracle-exact)
+    # round-2 rows with NO in-window sibling — each its own SURVEY §2.11 row
+    "x_dedup_incremental",  # D13 batch-vs-corpus PPJoin (oracle-exact)
+    "x_chunk_docs",     # D14 RAG chunking (oracle-exact)
+    "x_decontaminate",  # D9 benchmark decontamination (oracle-exact)
+    "x_quality_filter", # D10 Gopher-style rule flags (oracle-exact)
+    "x_repetition",     # D11 repetition signals (oracle-exact)
+    "x_dedup_cluster",  # D12 connected components (oracle-exact)
     # --- position 51+: redundant-within-category / rows-only / bonus ---
-    "j_semi",           # J+ (outer/range/asof cover the row; green in r01)
-    "x_sample_weighted",  # training-pipeline: deterministic data mixing
+    "w_dense_rank",     # W (3 of 5 window queries in-window cover the row)
+    "w_lag_lead",       # W
+    "j_outer_count",    # J+ (asof covers the row; green in r01)
+    "j_range",          # J+
+    "j_semi",           # J+
+    "a_sum_avg",        # A+ (rollup covers the row; green in r01)
+    "s_except",         # set ops (union covers the row; green in r01)
+    "x_sample_weighted",  # D8: deterministic data mixing
     "x_dedup_minhash",  # D2 rows-only (jaccard+embed cover the row)
     "x_dedup_simhash",  # D2 rows-only
     "x_ann_lsh",        # D3 rows-only (topk_sim covers the row)
@@ -103,13 +110,7 @@ PRIORITY: list[str] = [
     "a_cube",           # A+ (rollup covers grouping sets)
     "a_pivot",          # A+
     "a_approx_sketch",  # HLL++/quantile sketches (rows-only; error-bound test)
-    "x_decontaminate",  # training-pipeline: benchmark n-gram overlap check
-    "x_quality_filter", # training-pipeline: Gopher-style rule flags
-    "x_repetition",     # training-pipeline: repetition signals
-    "x_dedup_cluster",  # connected components over near-dup pairs
-    "x_dedup_incremental",  # batch-vs-corpus asymmetric PPJoin (oracle-exact)
-    "x_chunk_docs",     # fixed-stride RAG chunking (oracle-exact)
-    "x_pack_sequences", # FFD token-budget packing (rows-only, deterministic)
+    "x_pack_sequences", # D15 FFD token-budget packing (rows-only, deterministic)
     "st_join",          # stream-stream join batch twin (attribution)
     "x_embed_stats",    # bonus profiling query
 ]

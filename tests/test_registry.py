@@ -41,3 +41,22 @@ def test_expected_coverage():
 def test_query_plans(spark, name):
     df = registry.QUERIES[name](spark, SF_DIR)
     assert df.schema is not None and len(df.columns) > 0
+
+
+def test_category_coverage_inside_driver_window():
+    """The driver's correctness harness checks only the FIRST ~50 registered
+    queries; every SURVEY §2 row without an in-window sibling must sit
+    inside that window (round-1 lesson: tail-registered queries get no
+    correctness row)."""
+    window = list(registry.ordered_queries())[:50]
+    for name in [
+        # one per streaming/window/sort category (round-1's unchecked tail)
+        "st_tumbling", "st_sliding", "st_session", "st_anomaly",
+        "w_running", "w_rownum_page", "w_topk_group",
+        "o_topk", "o_natural_sort",
+        # round-2 rows with no sibling coverage
+        "x_dedup_incremental", "x_chunk_docs", "x_decontaminate",
+        "x_quality_filter", "x_repetition", "x_dedup_cluster",
+        "f_from_json", "x_split_hash",
+    ]:
+        assert name in window, f"{name} fell outside the driver's 50-query window"
