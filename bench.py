@@ -41,6 +41,8 @@ HEADLINE = [
     "j_asof",           # as-of join via union + window
     "st_anomaly",       # applyInPandas stateful scan
     "f_json_extract",   # JSON predicate pushline
+    "x_dedup_incremental",  # batch-vs-corpus asymmetric PPJoin
+    "x_chunk_docs",     # fixed-stride RAG chunking
 ]
 
 
