@@ -291,9 +291,9 @@ def f_path_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT vec_id,
            CAST(len(embedding) AS INT) AS dim,
-           round(list_aggregate(embedding[1:8]::DOUBLE[], 'sum'), 4) AS head_sum,
-           round(list_aggregate(embedding::DOUBLE[], 'max'), 4) AS max_val,
-           round(embedding[1], 4) AS first_val,
+           round(list_aggregate(embedding[1:8]::DOUBLE[], 'sum'), 4) + 0.0 AS head_sum,
+           round(list_aggregate(embedding::DOUBLE[], 'max'), 4) + 0.0 AS max_val,
+           round(embedding[1], 4) + 0.0 AS first_val,
            CAST(list_position(embedding::DOUBLE[],
                               list_aggregate(embedding::DOUBLE[], 'max')) AS INT)
              AS argmax_pos
@@ -308,16 +308,20 @@ def f_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     array is cast ONCE in its own projection (higher-order lambdas are
     interpreted; re-casting per use would re-allocate per element-op).
     Left-fold summation order is identical in both engines, so the rounded
-    values hash-match exactly."""
+    values hash-match exactly. Every rounded float gets ``+ 0.0`` on BOTH
+    sides: round() can yield -0.0 (a value in (-5e-5, 0)), the engines
+    disagree on zero's sign, and IEEE ``-0.0 + 0.0 = +0.0`` canonicalizes
+    it for free."""
     e = table(spark, sf_dir, "embeddings")
     emb = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    z = F.lit(0.0)
     return emb.select(
         "vec_id",
         F.size("v").alias("dim"),
-        F.round(
+        (F.round(
             F.aggregate(F.slice("v", 1, 8), F.lit(0.0), lambda a, x: a + x), 4
-        ).alias("head_sum"),
-        F.round(F.array_max("v"), 4).alias("max_val"),
-        F.round(F.element_at("v", 1), 4).alias("first_val"),
+        ) + z).alias("head_sum"),
+        (F.round(F.array_max("v"), 4) + z).alias("max_val"),
+        (F.round(F.element_at("v", 1), 4) + z).alias("first_val"),
         F.array_position("v", F.array_max("v")).cast("int").alias("argmax_pos"),
     )
