@@ -129,3 +129,45 @@ def x_dedup_cluster(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pairs = x_dedup_jaccard(spark, sf_dir)
     return connected_components(pairs)
+
+
+def compact(docs: DataFrame, clusters: DataFrame) -> DataFrame:
+    """Apply a cluster assignment to the corpus: keep every document that
+    is NOT a cluster loser (loser = assigned to a cluster whose keeper is
+    a different doc). Docs absent from `clusters` are singletons and always
+    kept. One anti-join; the loser set is only the near-dup docs minus the
+    keepers, so at a realistic dup rate it is a small fraction of the
+    corpus and AQE turns the anti-join into a broadcast."""
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    return docs.join(losers, "doc_id", "left_anti")
+
+
+@query(
+    "x_dedup_compact",
+    oracle=f"""
+    WITH clusters AS (
+      {_cluster_oracle()}
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d
+    LEFT JOIN clusters c
+      ON d.doc_id = c.doc_id AND c.doc_id <> c.cluster_id
+    WHERE c.doc_id IS NULL
+    """,
+)
+def x_dedup_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus compaction — the step that APPLIES near-dup dedup: drop every
+    cluster member except its keeper (min doc_id), keep all singletons.
+    This is the deliverable of the whole dedup pipeline (pairs -> clusters
+    -> cleaned corpus); downstream training jobs read this output. Parity:
+    the reference's dataset-level uniqueness guarantees
+    (/root/reference/imaging_db/database/db_operations.py:66-96
+    assert_unique_id) are row-identity checks; corpus compaction is the
+    LLM-pipeline generalization where identity is near-duplication."""
+    from imagingdb_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    clusters = x_dedup_cluster(spark, sf_dir)
+    return compact(d, clusters).select("doc_id", "lang", "source")

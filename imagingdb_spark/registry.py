@@ -111,6 +111,7 @@ PRIORITY: list[str] = [
     "a_pivot",          # A+
     "a_approx_sketch",  # HLL++/quantile sketches (rows-only; error-bound test)
     "x_pack_sequences", # D15 FFD token-budget packing (rows-only, deterministic)
+    "x_dedup_compact",  # D12 apply-the-dedup anti-join (cluster covers the row)
     "st_join",          # stream-stream join batch twin (attribution)
     "x_embed_stats",    # bonus profiling query
 ]

@@ -298,6 +298,20 @@ class TestConnectedComponents:
             connected_components(pairs, max_iter=1)
         spark.catalog.clearCache()
 
+    def test_compact_keeps_keepers_and_singletons(self, spark):
+        from imagingdb_spark.operators.graph import compact
+
+        docs = spark.createDataFrame(
+            [(i, f"d{i}") for i in range(1, 8)], "doc_id long, body string"
+        )
+        clusters = spark.createDataFrame(
+            # {1,2,3} keeper 1, {5,6} keeper 5; 4 and 7 never near-dupped
+            [(1, 1), (2, 1), (3, 1), (5, 5), (6, 5)],
+            "doc_id long, cluster_id long",
+        )
+        kept = sorted(r["doc_id"] for r in compact(docs, clusters).collect())
+        assert kept == [1, 4, 5, 7]
+
 
 class TestPacking:
     def test_pack_constraints_and_determinism(self, spark):
