@@ -135,9 +135,11 @@ def compact(docs: DataFrame, clusters: DataFrame) -> DataFrame:
     """Apply a cluster assignment to the corpus: keep every document that
     is NOT a cluster loser (loser = assigned to a cluster whose keeper is
     a different doc). Docs absent from `clusters` are singletons and always
-    kept. One anti-join; the loser set is only the near-dup docs minus the
-    keepers, so at a realistic dup rate it is a small fraction of the
-    corpus and AQE turns the anti-join into a broadcast."""
+    kept. One anti-join on doc_id. The loser set SCALES WITH THE CORPUS
+    (crawl dup rates run 30-80%), so this is deliberately left to plan as
+    a shuffled sort-merge anti-join rather than hinted to broadcast — the
+    checkpointed cluster frame carries no stats, and a broadcast of
+    billions of loser ids would kill the driver at 100 TB."""
     losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )

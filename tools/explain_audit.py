@@ -43,8 +43,15 @@ def main() -> None:
             hazards.append("CARTESIAN")
         if "BroadcastNestedLoopJoin" in plan and "LeftAnti" not in plan:
             hazards.append("BNLJ")
-        if "SortMergeJoin" in plan:
-            hazards.append("SMJ")
+        # SMJ is only a hazard when a FIXED-size dim sits on one side
+        # (should be broadcast); an SMJ between two data-scaled inputs —
+        # e.g. x_dedup_compact's corpus-vs-losers anti-join, where the
+        # loser set grows with the corpus — is exactly the plan that
+        # survives 100 TB, so a bare SMJ is reported but not flagged.
+        if "SortMergeJoin" in plan and any(
+            f"{t}.parquet" in plan for t in ("region", "nation")
+        ):
+            hazards.append("SMJ_FIXED_DIM")
         n_exchange = len(re.findall(r"\bExchange\b", plan))
         n_scans = len(re.findall(r"Scan parquet", plan))
         summary = f"{name}: exchanges={n_exchange} scans={n_scans}"
