@@ -97,3 +97,49 @@ def x_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", "lang", "source", h4.alias("h4"), threshold.alias("t")).filter(
         F.col("h4") < F.col("t")
     ).select("doc_id", "lang", "source")
+
+
+@query(
+    "x_shard_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, md5('shard-' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           substr(h, 1, 1) AS shard,
+           CAST(row_number() OVER (PARTITION BY substr(h, 1, 1)
+                                   ORDER BY h, doc_id) AS BIGINT)
+             AS pos_in_shard
+    FROM keyed
+    """,
+)
+def x_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus shuffle into training shards — the step that
+    fixes a pretraining dataloader's read order: shard = first md5 hex
+    char (16 shards; widen the prefix for more), position within shard =
+    rank of the full md5 (doc_id tiebreak). Content-addressed like every
+    sampling op here: reproducible across engines/runs/cluster sizes, and
+    appending docs never reorders existing shards' relative order.
+
+    Scale shape: this is deliberately NOT row_number() over a global
+    ORDER BY md5 — an unpartitioned window moves the whole corpus through
+    ONE task (Spark even warns "No Partition Defined for Window").
+    Partitioning the window by shard makes it one hash shuffle on the
+    shard key plus a per-shard sort, fully parallel across shards — at
+    100 TB you widen the shard prefix so each shard fits a task, which is
+    exactly how shard files are sized in practice."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    h = F.md5(F.concat(F.lit("shard-"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", h.alias("h"))
+        .withColumn("shard", F.substring("h", 1, 1))
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
+        )
+    )

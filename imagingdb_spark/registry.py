@@ -112,6 +112,7 @@ PRIORITY: list[str] = [
     "a_approx_sketch",  # HLL++/quantile sketches (rows-only; error-bound test)
     "x_pack_sequences", # D15 FFD token-budget packing (rows-only, deterministic)
     "x_dedup_compact",  # D12 apply-the-dedup anti-join (cluster covers the row)
+    "x_shard_shuffle",  # D16 deterministic training-shard order (split covers row)
     "st_join",          # stream-stream join batch twin (attribution)
     "x_embed_stats",    # bonus profiling query
 ]

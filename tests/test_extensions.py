@@ -298,6 +298,22 @@ class TestConnectedComponents:
             connected_components(pairs, max_iter=1)
         spark.catalog.clearCache()
 
+    def test_shard_shuffle_dense_and_deterministic(self, spark):
+        from tests.conftest import SF_DIR
+        from imagingdb_spark.operators.sampling import x_shard_shuffle
+
+        rows = x_shard_shuffle(spark, SF_DIR).collect()
+        by_shard: dict[str, list[int]] = {}
+        for r in rows:
+            by_shard.setdefault(r["shard"], []).append(r["pos_in_shard"])
+        # positions are dense 1..n within every shard (a dataloader can
+        # seek by (shard, pos) with no gaps)
+        for shard, ps in by_shard.items():
+            assert sorted(ps) == list(range(1, len(ps) + 1)), shard
+        # content-addressed: a second run reproduces the exact order
+        again = x_shard_shuffle(spark, SF_DIR).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
     def test_compact_keeps_keepers_and_singletons(self, spark):
         from imagingdb_spark.operators.graph import compact
 
