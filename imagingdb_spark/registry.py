@@ -32,6 +32,11 @@ ORACLE: dict[str, str] = {}
 # (e.g. a_cube when a_rollup is in-window, x_token_bpe when x_text_stats is).
 # Tail queries keep their implementations + unit tests; they only lose the
 # driver's oracle row if the cap is hit.
+#
+# Rotation plan: once round 2 records green rows for the 11 queries round 1
+# never checked, the in-window window/streaming redundancy (w_topk_group,
+# st_sliding, ...) can rotate to the tail in favor of newer oracle-exact
+# rows that have never had a driver row (x_dedup_compact, x_shard_shuffle).
 PRIORITY: list[str] = [
     # never-checked in r01: sorts tail, windows, streaming (VERDICT item 1)
     "o_topk",           # O5
