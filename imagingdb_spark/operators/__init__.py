@@ -7,6 +7,8 @@ from imagingdb_spark.operators import (  # noqa: F401
     filters,
     graph,
     joins,
+    lm,
+    merge,
     sampling,
     scalars,
     setops,

@@ -120,6 +120,9 @@ PRIORITY: list[str] = [
     "x_shard_shuffle",  # D16 deterministic training-shard order (split covers row)
     "st_join",          # stream-stream join batch twin (attribution)
     "x_embed_stats",    # bonus profiling query
+    "x_unigram_logprob",  # D17 CCNet-style LM quality score (oracle-exact)
+    "x_tfidf",          # D18 TF-IDF term ranking (oracle-exact)
+    "x_merge_upsert",   # S10 MERGE INTO / upsert corpus revision (oracle-exact)
 ]
 
 

@@ -22,6 +22,57 @@ from imagingdb_spark import registry
 from imagingdb_spark.session import get_spark
 
 
+def _bnlj_all_scalar(plan: str) -> bool:
+    """True when every BroadcastNestedLoopJoin in the formatted plan has a
+    SCALAR build side — a BroadcastExchange over a global (Keys: [])
+    aggregate, i.e. a 1-row total being attached to every row. That is the
+    plan Spark itself produces for scalar subqueries and is O(n), not the
+    quadratic BNLJ this audit exists to catch. (Catalyst constant-folds a
+    literal equi-key join back into a BNLJ, so a scalar attach cannot
+    avoid this node type.)"""
+    lines = plan.split("\n\n", 1)[0].splitlines()
+    scalar_agg_ids = {
+        m.group(1)
+        for m in re.finditer(
+            r"\((\d+)\) HashAggregate\n(?:[^\n]*\n)?Keys: \[\]", plan
+        )
+    }
+
+    def conn_col(line: str) -> int:
+        m = re.search(r"[:+]-", line)
+        return m.start() if m else -1
+
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        my_col = conn_col(line)
+        # subtree = following lines with a deeper connector; direct
+        # children sit at the minimal connector column within it
+        subtree: list[int] = []
+        for j in range(i + 1, len(lines)):
+            c = conn_col(lines[j])
+            if c <= my_col:
+                break
+            subtree.append(j)
+        if not subtree:
+            return False
+        child_col = min(conn_col(lines[j]) for j in subtree)
+        build_j = max(
+            (j for j in subtree
+             if conn_col(lines[j]) == child_col
+             and lines[j].lstrip(" :").startswith("+-")),
+            default=None,
+        )
+        if build_j is None or "BroadcastExchange" not in lines[build_j]:
+            return False
+        # the exchange's input (next line) must be the global aggregate
+        nxt = lines[build_j + 1] if build_j + 1 < len(lines) else ""
+        ids = re.findall(r"\((\d+)\)", nxt)
+        if "HashAggregate" not in nxt or not ids or ids[0] not in scalar_agg_ids:
+            return False
+    return True
+
+
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
@@ -41,7 +92,11 @@ def main() -> None:
         hazards = []
         if "CartesianProduct" in plan:
             hazards.append("CARTESIAN")
-        if "BroadcastNestedLoopJoin" in plan and "LeftAnti" not in plan:
+        if (
+            "BroadcastNestedLoopJoin" in plan
+            and "LeftAnti" not in plan
+            and not _bnlj_all_scalar(plan)
+        ):
             hazards.append("BNLJ")
         # SMJ is only a hazard when a FIXED-size dim sits on one side
         # (should be broadcast); an SMJ between two data-scaled inputs —
