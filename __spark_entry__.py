@@ -34,6 +34,7 @@ def entry(spark: SparkSession) -> DataFrame:
     # nanosAsLong must be set before any parquet read; the driver's session
     # may not have it, so set it here (it is a runtime-settable SQL conf).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     sf_dir = "/root/testdata/sf0.001"
     from imagingdb_spark.catalog import table
 
@@ -65,6 +66,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def with_conf(fn: Callable[[SparkSession, str], DataFrame]):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
             return fn(spark, sf_dir)
 
         return wrapped

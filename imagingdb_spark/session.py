@@ -69,6 +69,13 @@ def get_spark(app_name: str = "imagingdb_spark", cpus: str | None = None) -> Spa
         # vectorized reader rejects; read as long and let catalog.table()
         # convert back to (microsecond) timestamps.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # TIMESTAMP(MICROS) parquet (no isAdjustedToUTC) would infer as
+        # TIMESTAMP_NTZ under Spark 4's default; NTZ can't carry a watermark
+        # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE) and would diverge from the
+        # nanos path, which converts to TimestampType. Read all parquet
+        # timestamps as TimestampType (session tz is pinned UTC above, so
+        # values are identical either way).
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

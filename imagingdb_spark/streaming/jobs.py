@@ -22,33 +22,28 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-# events schema with ts as LONG nanos (how Spark reads the driver's parquet
-# under nanosAsLong; the stream converts to a real timestamp column).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
-
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S: file-based stream over the events parquet (one-file-per-trigger
     keeps local tests deterministic). Kafka swap-in:
-    spark.readStream.format('kafka')... with the same downstream plan."""
+    spark.readStream.format('kafka')... with the same downstream plan.
+
+    The stream schema is taken from a driver-side batch footer read so the
+    source tracks the physical type the data generator used for `ts`:
+    TIMESTAMP(NANOS) surfaces as LONG under nanosAsLong and is converted to
+    microsecond timestamps exactly like catalog.table does; a native
+    TIMESTAMP(MICROS) column passes through untouched."""
+    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source requires a directory; glob-filter to the events
     # table (sf_dir holds the other tables' parquet too)
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(batch_schema)
         .option("maxFilesPerTrigger", 1)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(batch_schema["ts"].dataType, T.LongType):
+        raw = raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

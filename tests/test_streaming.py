@@ -63,11 +63,9 @@ def test_anomaly_counts_stateful_matches_reference(spark, events_stream):
         q.stop()
 
         # order-faithful reference: replay each user's events by ts in pandas
-        events = (
-            spark.read.parquet(f"{SF_DIR}/events.parquet")
-            .selectExpr("user_id", "timestamp_micros(ts div 1000) AS ts", "value")
-            .toPandas()
-        )
+        from imagingdb_spark.catalog import table
+
+        events = table(spark, SF_DIR, "events").select("user_id", "ts", "value").toPandas()
         for user_id, pdf in events.groupby("user_id"):
             n, mean, m2, anomalies = 0, 0.0, 0.0, 0
             for v in pdf.sort_values("ts")["value"]:
