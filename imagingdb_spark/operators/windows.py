@@ -165,3 +165,39 @@ def w_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "w_range_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS trailing_n,
+           round(SUM(value) OVER w, 4) AS trailing_sum
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id ORDER BY epoch_us(ts)
+      RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW
+    )
+    """,
+)
+def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 10-minute per-user aggregate via a RANGE window frame —
+    time-based frames are value-bounded (all rows whose ts falls in
+    [current-10min, current]), unlike the row-counted frames in w_running.
+    The frame is keyed on epoch MICROS (unix_micros / epoch_us agree
+    exactly across engines; whole-second keys would truncate differently).
+    Range frames include ORDER BY peers, so ts ties need no tiebreaker —
+    the frame is deterministic by construction. One shuffle on user_id,
+    sort within partitions; user_id is high-cardinality so partitions
+    stay bounded at scale."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-600_000_000, 0)
+    )
+    return table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("trailing_n"),
+        F.round(F.sum("value").over(w), 4).alias("trailing_sum"),
+    )

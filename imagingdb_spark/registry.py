@@ -95,6 +95,7 @@ PRIORITY: list[str] = [
     # --- position 51+: redundant-within-category / rows-only / bonus ---
     "w_dense_rank",     # W (3 of 5 window queries in-window cover the row)
     "w_lag_lead",       # W
+    "w_range_frame",    # W: time-range (value-bounded) frame sibling
     "j_outer_count",    # J+ (asof covers the row; green in r01)
     "j_range",          # J+
     "j_semi",           # J+
