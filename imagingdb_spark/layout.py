@@ -1,0 +1,108 @@
+"""Parquet data-layout maintenance — the table-management side of running
+this engine at 100 TB, which the reference never needed (Postgres + one
+PNG per frame, local_storage.py:85-136).
+
+Two operations matter at scale:
+
+- **Small-file compaction.** Streaming ingest (streaming/jobs.py gate) and
+  per-batch idempotent appends (ingest.idempotent_append) each land one
+  file per task per trigger; after a day a table holds millions of KB-sized
+  files and every scan pays per-file open/footer costs (and the driver pays
+  listing). Compaction rewrites the table into ~target-sized files.
+
+- **Clustered writes.** Parquet row-group min/max statistics only prune
+  when each file/row-group covers a NARROW key range. A clustered write
+  (range-repartition + sort within partitions on the cluster key) makes
+  point/range predicates on that key skip almost every row group; an
+  append-ordered table has every file spanning the whole key range and
+  prunes nothing. This is the poor-man's Z-order: single-key clustering,
+  which covers the engine's dominant access paths (dataset_serial,
+  user_id, doc_id).
+
+Both write to a temp dir and swap via rename, mirroring the sink's
+atomic-publish pattern (sinks.write_blobs). The swap is atomic per rename
+but not transactional across concurrent writers — a real deployment layers
+a table format (Delta/Iceberg) on top for that; these utilities are the
+engine-level mechanics underneath.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+import uuid
+from urllib.parse import urlparse
+
+from pyspark.sql import DataFrame, SparkSession
+
+DEFAULT_TARGET_FILE_BYTES = 128 * 1024 * 1024
+
+
+def _local_path(uri: str) -> str:
+    """file:-URI or plain path → filesystem path (local backend only)."""
+    p = urlparse(uri)
+    return p.path if p.scheme in ("file", "") else uri
+
+
+def table_file_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_files, total_bytes) of a parquet table's data files, from the
+    public inputFiles() listing. Local-FS sizes via os.stat; an object-store
+    backend would swap in its own stat call (same seam as BlobBackend)."""
+    files = spark.read.parquet(path).inputFiles()
+    total = sum(os.path.getsize(_local_path(f)) for f in files)
+    return len(files), total
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = DEFAULT_TARGET_FILE_BYTES,
+) -> dict:
+    """Rewrite a parquet table into ceil(total_bytes / target) files.
+
+    Round-robin repartition (not coalesce): coalesce(n) would chain the
+    narrow dependency into the rewrite scan and leave the n output tasks
+    reading skewed subsets; repartition balances output file sizes, which
+    is the point of compaction. Returns before/after stats."""
+    n_before, total = table_file_stats(spark, path)
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    base = _local_path(path)
+    tmp = f"{base}.compact.{uuid.uuid4().hex[:8]}"
+    df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    old = f"{base}.old.{uuid.uuid4().hex[:8]}"
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old)
+    n_after, total_after = table_file_stats(spark, path)
+    return {
+        "files_before": n_before,
+        "files_after": n_after,
+        "bytes_total": total_after,
+    }
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_cols: list[str],
+    n_files: int | None = None,
+) -> None:
+    """Write `df` clustered on `cluster_cols`: range-repartition so each
+    output file owns a disjoint slice of the key space, then sort within
+    partitions so every ROW GROUP inside a file is narrow too. Range
+    boundaries come from Spark's reservoir sample of the key column —
+    balanced output without a full sort's single-stage bottleneck.
+
+    Reading back with a predicate on the cluster key then prunes at two
+    levels: file skip via footer min/max, row-group skip inside surviving
+    files — tests/test_layout.py asserts the disjointness that makes both
+    fire."""
+    n = n_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        df.repartitionByRange(n, *cluster_cols)
+        .sortWithinPartitions(*cluster_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

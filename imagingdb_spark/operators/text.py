@@ -452,3 +452,55 @@ def x_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return counts.repartition(npart, "doc_id").mapInPandas(pack, schema)
+
+
+@query(
+    "x_length_trim",
+    oracle="""
+    WITH sized AS (
+      SELECT doc_id, source,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '')) AS n_tokens
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, source, n_tokens,
+             PERCENT_RANK() OVER (PARTITION BY source
+                                  ORDER BY n_tokens, doc_id) AS pr
+      FROM sized
+    )
+    SELECT doc_id, source, n_tokens, round(pr, 4) AS length_pct
+    FROM ranked
+    WHERE pr >= 0.05 AND pr <= 0.95
+    """,
+)
+def x_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-relative length trimming (C4/Gopher family): drop each
+    source's shortest and longest 5% of documents by token count, keeping
+    docs whose within-source percent_rank falls in [0.05, 0.95]. Unlike
+    x_quality_filter's absolute thresholds, the cutoff adapts to each
+    source's own length distribution — the standard guard against boilerplate
+    stubs and concatenation blowups.
+
+    percent_rank = (rank-1)/(n-1) is an exact rational computed identically
+    by both engines (same operands, same IEEE division), so the filter can
+    run on the raw value; doc_id tiebreak makes ranks deterministic under
+    n_tokens ties. One shuffle on source; at 100 TB the per-source partition
+    only carries (doc_id, n_tokens) — the text never moves."""
+    d = table(spark, sf_dir, "documents")
+    from pyspark.sql import Window
+
+    sized = d.select(
+        "doc_id", "source", F.size(tokens_col(F.col("text"))).alias("n_tokens")
+    )
+    w = Window.partitionBy("source").orderBy("n_tokens", "doc_id")
+    return (
+        sized.withColumn("pr", F.percent_rank().over(w))
+        .filter((F.col("pr") >= 0.05) & (F.col("pr") <= 0.95))
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.round("pr", 4).alias("length_pct"),
+        )
+    )

@@ -1,0 +1,96 @@
+"""Data-layout maintenance: compaction shrinks file counts without
+changing data; clustered writes produce the disjoint per-file key ranges
+that parquet min/max pruning needs (the evidence is read straight from the
+parquet footers via pyarrow, not inferred)."""
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from imagingdb_spark import layout
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _sorted_rows(df):
+    return sorted(map(tuple, df.collect()))
+
+
+def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
+    path = str(tmp_path / "events_fragmented")
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    # simulate a streaming-ingested table: 64 tiny files
+    events.repartition(64).write.parquet(path)
+    before = _sorted_rows(spark.read.parquet(path))
+    n_before = len(glob.glob(f"{path}/part-*"))
+    assert n_before == 64
+
+    stats = layout.compact_parquet(spark, path, target_file_bytes=1 << 30)
+
+    assert stats["files_before"] == 64
+    assert stats["files_after"] == 1
+    assert len(glob.glob(f"{path}/part-*")) == 1
+    assert _sorted_rows(spark.read.parquet(path)) == before
+    # no leftover tmp/old dirs
+    assert not glob.glob(f"{path}.compact.*") and not glob.glob(f"{path}.old.*")
+
+
+def test_compact_parquet_respects_target_size(spark, tmp_path):
+    path = str(tmp_path / "events_target")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(32).write.parquet(path)
+    _, total = layout.table_file_stats(spark, path)
+    stats = layout.compact_parquet(spark, path, target_file_bytes=total // 4)
+    # ceil(total/target) with target=total/4 → 4 or 5 files (rewrite changes
+    # encoded size slightly); the point is ~target-sized, not 32 and not 1
+    assert 3 <= stats["files_after"] <= 6
+
+
+def _file_key_ranges(path: str, col: str):
+    """[(min, max)] of `col` per data file, straight from parquet footers."""
+    ranges = []
+    for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+        md = pq.ParquetFile(f).metadata
+        idx = md.schema.names.index(col)
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    return ranges
+
+
+def test_write_clustered_gives_prunable_ranges(spark, tmp_path):
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    lo, hi = events.selectExpr("min(user_id)", "max(user_id)").first()
+
+    unclustered = str(tmp_path / "unclustered")
+    events.repartition(8).write.parquet(unclustered)
+    clustered = str(tmp_path / "clustered")
+    layout.write_clustered(events, clustered, ["user_id"], n_files=8)
+
+    # unclustered: every file spans ~the whole key range → nothing prunes
+    un = _file_key_ranges(unclustered, "user_id")
+    assert all(mx - mn > 0.9 * (hi - lo) for mn, mx in un)
+
+    # clustered: per-file ranges are disjoint (sorted by min, each file's
+    # min exceeds the previous file's max) → a point predicate keeps 1 file
+    cl = sorted(_file_key_ranges(clustered, "user_id"))
+    for (_, prev_max), (nxt_min, _) in zip(cl, cl[1:]):
+        assert nxt_min >= prev_max  # boundary key may straddle two files
+    covering = [r for r in cl if r[0] <= lo <= r[1]]
+    assert len(covering) == 1
+
+    # row counts survive the rewrite
+    assert spark.read.parquet(clustered).count() == events.count()
+
+
+def test_write_clustered_rows_unchanged(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    out = str(tmp_path / "docs_clustered")
+    layout.write_clustered(docs, out, ["source", "doc_id"], n_files=4)
+    got = _sorted_rows(spark.read.parquet(out).select("doc_id", "source"))
+    want = _sorted_rows(docs.select("doc_id", "source"))
+    assert got == want
