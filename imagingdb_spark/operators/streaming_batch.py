@@ -268,3 +268,86 @@ def st_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "x_gapfill",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, h, value FROM (
+        SELECT user_id, date_trunc('hour', ts) AS h, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) WHERE rn = 1
+    ),
+    grid AS (
+      SELECT user_id,
+             unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS hour_ts
+      FROM (SELECT user_id, min(h) AS hmin, max(h) AS hmax
+            FROM hourly GROUP BY user_id)
+    )
+    SELECT g.user_id, g.hour_ts,
+           round(o.value, 4) AS filled_value,
+           (o.h < g.hour_ts) AS is_gap
+    FROM grid g
+    ASOF JOIN hourly o ON g.user_id = o.user_id AND g.hour_ts >= o.h
+    """,
+)
+def x_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + gap fill (the hypertable-rollup family): per
+    user, a DENSE 1-hour grid from first to last observed hour, each slot
+    carrying the most recent observed value (forward fill) and an is_gap
+    flag for slots with no observation of their own.
+
+    Shape: (1) last observation per (user, hour) via a partitioned
+    row_number — deterministic under ts ties by event_id; (2) per-user
+    [min, max] hour bounds → sequence() + explode builds the grid WITHOUT
+    a cross join against a calendar table; (3) left join grid↔hourly on
+    (user, hour) and forward-fill with last(ignorenulls) over the hour
+    order. Every step shuffles on user_id (high cardinality); the grid is
+    bounded by each user's own time span, so a 100 TB corpus with short-
+    lived users never explodes. The oracle states the same semantics with
+    DuckDB's native ASOF JOIN: forward fill IS an as-of match against the
+    hourly lasts (same union+window trick as j_asof, here a plain left
+    join because grid and observations share hour keys)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    by_hour = e.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wlast = Window.partitionBy("user_id", "hour_ts").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hourly = (
+        by_hour.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour_ts", "value")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_ts").alias("hmin"), F.max("hour_ts").alias("hmax"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+    )
+    wfill = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.join(hourly, ["user_id", "hour_ts"], "left").select(
+        "user_id",
+        "hour_ts",
+        F.round(F.last("value", ignorenulls=True).over(wfill), 4).alias(
+            "filled_value"
+        ),
+        F.col("value").isNull().alias("is_gap"),
+    )
