@@ -751,3 +751,62 @@ def x_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_overlap"))
     )
+
+
+@query(
+    "x_fuzzy_join",
+    oracle="""
+    SELECT a.p_brand AS brand, a.p_partkey AS key_a, b.p_partkey AS key_b,
+           a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist
+    FROM part a
+    JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+     AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+)
+def x_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string-similarity join: part-name pairs within edit distance 2
+    inside a (brand, size) block — the catalog-dedup shape for typo'd
+    entity names, complementing the token-set (Jaccard) and bit-signature
+    (SimHash) families with character-level similarity.
+
+    Scale shape: an EQUI-join on the blocking key with levenshtein as a
+    residual — never a cartesian string join. Two cheap residuals run
+    before the O(len²) edit distance: the length band |len(a)-len(b)| <= 2
+    (edit distance is bounded below by the length difference, so this
+    drops no true pair) and the key inequality. At 100 TB the blocking key
+    is the only shuffle; degenerate blocks would get the same salting
+    treatment as joins.salted_join."""
+    p = table(spark, sf_dir, "part")
+    a = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_a"),
+        F.col("p_name").alias("name_a"),
+    )
+    b = p.select(
+        F.col("p_brand").alias("brand"),
+        F.col("p_size").alias("size"),
+        F.col("p_partkey").alias("key_b"),
+        F.col("p_name").alias("name_b"),
+    )
+    return (
+        a.join(b, ["brand", "size"])
+        .filter(
+            (F.col("key_a") < F.col("key_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(2)
+            )
+            & (F.levenshtein("name_a", "name_b") <= F.lit(2))
+        )
+        .select(
+            "brand",
+            "key_a",
+            "key_b",
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+        )
+    )

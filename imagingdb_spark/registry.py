@@ -124,6 +124,7 @@ PRIORITY: list[str] = [
     "x_unigram_logprob",  # D17 CCNet-style LM quality score (oracle-exact)
     "x_length_trim",    # D10 sibling: corpus-relative percentile trimming
     "x_gapfill",        # T1 time-series resample + forward fill
+    "x_fuzzy_join",     # D2 sibling: blocked edit-distance entity join
     "x_tfidf",          # D18 TF-IDF term ranking (oracle-exact)
     "x_merge_upsert",   # S10 MERGE INTO / upsert corpus revision (oracle-exact)
 ]
