@@ -43,6 +43,8 @@ HEADLINE = [
     "f_json_extract",   # JSON predicate pushline
     "x_dedup_incremental",  # batch-vs-corpus asymmetric PPJoin
     "x_chunk_docs",     # fixed-stride RAG chunking
+    "w_range_frame",    # time-bounded RANGE window frame
+    "x_gapfill",        # dense-grid resample + forward fill
 ]
 
 
