@@ -48,10 +48,14 @@ def doc_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def attach_scalar(df: DataFrame, scalar: DataFrame) -> DataFrame:
-    """Attach a 1-row aggregate to every row of ``df`` via a constant-key
-    broadcast HASH join (a bare crossJoin plans as BroadcastNestedLoopJoin,
-    which the plan audit rightly flags; the equi-join on a literal key is
-    the same broadcast but stays a BHJ inside whole-stage codegen)."""
+    """Attach a 1-row aggregate to every row of ``df`` via a broadcast.
+
+    Written as an equi-join on a literal key, but Catalyst constant-folds
+    the key away and the physical plan is a BroadcastNestedLoopJoin with a
+    1-row build side (see tools/plans/x_tfidf.txt, x_unigram_logprob.txt)
+    — identical cost to a broadcast hash join here, since the build side
+    is a single row. explain_audit's ``_bnlj_all_scalar`` allowlists
+    exactly this shape; a bare ``crossJoin`` would produce the same plan."""
     k = "__one"
     return df.withColumn(k, F.lit(1)).join(
         F.broadcast(scalar.withColumn(k, F.lit(1))), k

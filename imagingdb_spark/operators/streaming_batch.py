@@ -309,7 +309,14 @@ def x_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     lived users never explodes. The oracle states the same semantics with
     DuckDB's native ASOF JOIN: forward fill IS an as-of match against the
     hourly lasts (same union+window trick as j_asof, here a plain left
-    join because grid and observations share hour keys)."""
+    join because grid and observations share hour keys).
+
+    Fill/flag semantics (round-3 fix, ADVICE r2): the join-miss itself —
+    not value nullability — decides is_gap, and the fill carries the last
+    MATCHED row's value via a forward-filled struct. A NULL-valued
+    observation therefore fills NULL forward (exactly what the oracle's
+    ASOF match does) instead of being skipped by last(ignorenulls) on the
+    raw value column, and its own slot is is_gap=false."""
     from pyspark.sql import Window
 
     e = table(spark, sf_dir, "events")
@@ -343,11 +350,19 @@ def x_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("hour_ts")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return grid.join(hourly, ["user_id", "hour_ts"], "left").select(
+    joined = grid.join(
+        hourly.withColumn("__obs", F.lit(True)), ["user_id", "hour_ts"], "left"
+    )
+    # struct is non-null iff the slot has its own observation; last() over
+    # it forward-fills the whole matched row, NULL value included
+    obs_row = F.when(
+        F.col("__obs").isNotNull(), F.struct(F.col("value").alias("v"))
+    )
+    return joined.select(
         "user_id",
         "hour_ts",
-        F.round(F.last("value", ignorenulls=True).over(wfill), 4).alias(
-            "filled_value"
-        ),
-        F.col("value").isNull().alias("is_gap"),
+        F.round(
+            F.last(obs_row, ignorenulls=True).over(wfill)["v"], 4
+        ).alias("filled_value"),
+        F.col("__obs").isNull().alias("is_gap"),
     )

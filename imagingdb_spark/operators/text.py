@@ -354,13 +354,21 @@ def x_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 + ceil(max(n - CHUNK, 0) / STRIDE) in integer arithmetic on both
     engines.
 
-    Scale shape: pure map-side explode — tokens are split once, chunk
-    windows are array slices of the bound token array (no re-tokenization
-    per chunk), output rows ≈ corpus tokens / STRIDE. 0 exchanges; scales
-    linearly like the other text ops."""
+    Scale shape: map-side explode — tokens are split once, chunk windows
+    are array slices of the bound token array (no re-tokenization per
+    chunk), output rows ≈ corpus tokens / STRIDE. The tokenize+explode is
+    CPU-heavy, so a small parquet layout (one file → one scan partition)
+    would serialize it on a single core; round-robin repartition to the
+    cluster's parallelism first (same rationale as dedup.shingle_frame —
+    at real scale the scan already has many splits and AQE coalesces, so
+    the exchange is a local-layout fix, not a scale cost)."""
     d = table(spark, sf_dir, "documents")
-    toks = d.select("doc_id", tokens_col(F.col("text")).alias("t")).filter(
-        F.size("t") > 0
+    npart = spark.sparkContext.defaultParallelism
+    toks = (
+        d.select("doc_id", "text")
+        .repartition(npart)
+        .select("doc_id", tokens_col(F.col("text")).alias("t"))
+        .filter(F.size("t") > 0)
     )
     n = F.size("t")
     n_chunks = 1 + F.floor(

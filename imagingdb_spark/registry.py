@@ -24,60 +24,64 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 # The driver's correctness harness checks the FIRST ~50 registered queries
-# (CORRECTNESS_r01 recorded exactly 50 of 61). Registration therefore follows
-# this explicit priority order, not module import order: positions 1-50 cover
-# every SURVEY.md §2 category (windows/streaming/sorts first — they were the
-# 11 unchecked in round 1 — then one-or-more queries per category); the tail
-# holds queries that are redundant WITHIN an already-covered category
-# (e.g. a_cube when a_rollup is in-window, x_token_bpe when x_text_stats is).
-# Tail queries keep their implementations + unit tests; they only lose the
-# driver's oracle row if the cap is hit.
+# (CORRECTNESS_r01/r02 each recorded exactly 50). Registration therefore
+# follows this explicit priority order, not module import order.
 #
-# Rotation plan: once round 2 records green rows for the 11 queries round 1
-# never checked, the in-window window/streaming redundancy (w_topk_group,
-# st_sliding, ...) can rotate to the tail in favor of newer oracle-exact
-# rows that have never had a driver row (x_dedup_compact, x_shard_shuffle).
+# Round-3 rotation (VERDICT r2 item 1, applied): the 16 queries that had
+# never received a driver CORRECTNESS row (w_dense_rank, w_lag_lead,
+# w_range_frame, x_sample_weighted, x_ann_ivf, a_approx_sketch,
+# x_pack_sequences, x_dedup_compact, x_shard_shuffle, st_join,
+# x_unigram_logprob, x_length_trim, x_gapfill, x_fuzzy_join, x_tfidf,
+# x_merge_upsert) rotate INTO the window; 16 rows that are double-verified
+# (green driver rows in r1 AND/OR r2, with in-window category siblings)
+# rotate to the tail: w_topk_group, st_sliding, st_anomaly, o_natural_sort,
+# o_limit, f_equality, f_not_exists, f_dates, f_format, f_sha2,
+# f_validate_id, j_two_way, j_self_parent, a_distinct, s_union,
+# x_quality_filter. Tail queries keep their implementations + unit tests
+# and their recorded green rows from prior rounds; they only lose a FRESH
+# driver row this round.
 PRIORITY: list[str] = [
-    # never-checked in r01: sorts tail, windows, streaming (VERDICT item 1)
+    # --- rotated IN for round 3: never driver-checked before (13 oracle-exact)
+    "w_dense_rank",     # W
+    "w_lag_lead",       # W
+    "w_range_frame",    # W: time-range (value-bounded) frame
+    "x_sample_weighted",  # D8: deterministic data mixing
+    "x_dedup_compact",  # D12 apply-the-dedup anti-join
+    "x_shard_shuffle",  # D16 deterministic training-shard order
+    "st_join",          # St6 stream-stream join batch twin (attribution)
+    "x_unigram_logprob",  # D17 CCNet-style LM quality score
+    "x_length_trim",    # D10 sibling: corpus-relative percentile trimming
+    "x_gapfill",        # T1 time-series resample + forward fill
+    "x_fuzzy_join",     # D2 sibling: blocked edit-distance entity join
+    "x_tfidf",          # D18 TF-IDF term ranking
+    "x_merge_upsert",   # S10 MERGE INTO / upsert corpus revision
+    # --- rotated IN: rows-only by design, for clean-run records
+    "x_ann_ivf",        # D3 IVF-Flat scale path (recall unit test)
+    "a_approx_sketch",  # HLL++/quantile sketches (error-bound unit test)
+    "x_pack_sequences", # D15 FFD token-budget packing (determinism test)
+    # --- retained core: one green-row holder per SURVEY §2 category
     "o_topk",           # O5
-    "o_natural_sort",   # O4
+    "o_sort",           # O1
     "w_running",        # W
     "w_rownum_page",    # W + O3 offset slicing
-    "w_topk_group",     # W
     "st_tumbling",      # St1 (batch twin)
-    "st_sliding",       # St2
     "st_session",       # St3
-    "st_anomaly",       # D6 custom stateful
-    # new in round 2
     "f_from_json",      # S3/F5: schema-validated JSON parsing
-    # core, one-or-more per SURVEY §2 row (all green in r01)
-    "o_sort",           # O1
-    "o_limit",          # O2
     "f_substring",      # P1
     "f_daterange",      # P2
-    "f_equality",       # P3
     "f_inlist",         # P4
     "f_json_extract",   # P5/P6
     "p_project",        # P7
-    "f_not_exists",     # P8
     "f_null_handling",  # P9
     "j_three_way",      # J1
-    "j_two_way",        # J2
-    "j_self_parent",    # J3
     "j_json_filter",    # J5
-    "j_asof",           # J+ (outer/range siblings cover the row from the tail)
-    "f_array_ops",      # F8 (array/tensor ops — first oracle-checked row)
+    "j_asof",           # J+
+    "f_array_ops",      # F8
     "a_count",          # A1
-    "a_distinct",       # A2
     "a_count_distinct", # A3
     "a_group_summary",  # A4/A5
-    "a_rollup",         # A+ (sum-avg/cube/pivot siblings in the tail)
-    "s_union",          # set ops (except/intersect siblings in the tail)
+    "a_rollup",         # A+
     "f_string_parse",   # F1
-    "f_format",         # F2
-    "f_dates",          # F3
-    "f_sha2",           # F4
-    "f_validate_id",    # F6
     "f_cast_coerce",    # F7
     "x_text_stats",     # D4
     "x_split_hash",     # D7: deterministic dataset split
@@ -85,27 +89,39 @@ PRIORITY: list[str] = [
     "x_dedup_jaccard",  # D2 (oracle-exact)
     "x_dedup_embed",    # D2 (oracle-exact)
     "x_topk_sim",       # D3 (oracle-exact)
-    # round-2 rows with NO in-window sibling — each its own SURVEY §2.11 row
+    # round-2 rows with NO sibling — each its own SURVEY §2.11 row
     "x_dedup_incremental",  # D13 batch-vs-corpus PPJoin (oracle-exact)
     "x_chunk_docs",     # D14 RAG chunking (oracle-exact)
     "x_decontaminate",  # D9 benchmark decontamination (oracle-exact)
-    "x_quality_filter", # D10 Gopher-style rule flags (oracle-exact)
     "x_repetition",     # D11 repetition signals (oracle-exact)
     "x_dedup_cluster",  # D12 connected components (oracle-exact)
-    # --- position 51+: redundant-within-category / rows-only / bonus ---
-    "w_dense_rank",     # W (3 of 5 window queries in-window cover the row)
-    "w_lag_lead",       # W
-    "w_range_frame",    # W: time-range (value-bounded) frame sibling
+    # --- position 51+: double-verified in r1/r2 (green rows on record) or
+    #     redundant-within-category; rotated out per VERDICT r2 item 1 ---
+    "w_topk_group",     # W — pass-r1 + pass-r2
+    "st_sliding",       # St2 — pass-r1 + pass-r2
+    "st_anomaly",       # D6 — clean-run r2 (rows-only by design)
+    "o_natural_sort",   # O4 — pass-r2
+    "o_limit",          # O2 — pass-r1 + pass-r2
+    "f_equality",       # P3 — pass-r1 + pass-r2
+    "f_not_exists",     # P8 — pass-r1 + pass-r2
+    "f_dates",          # F3 — pass-r1 + pass-r2
+    "f_format",         # F2 — pass-r1 + pass-r2
+    "f_sha2",           # F4 — pass-r1 + pass-r2
+    "f_validate_id",    # F6 — pass-r1 + pass-r2
+    "j_two_way",        # J2 — pass-r1 + pass-r2
+    "j_self_parent",    # J3 — pass-r1 + pass-r2
+    "a_distinct",       # A2 — pass-r1 + pass-r2
+    "s_union",          # set ops — pass-r1 + pass-r2
+    "x_quality_filter", # D10 — pass-r2 (x_length_trim now in-window)
+    # --- deeper tail: redundant-within-category, green r1 or rows-only ---
     "j_outer_count",    # J+ (asof covers the row; green in r01)
     "j_range",          # J+
     "j_semi",           # J+
     "a_sum_avg",        # A+ (rollup covers the row; green in r01)
     "s_except",         # set ops (union covers the row; green in r01)
-    "x_sample_weighted",  # D8: deterministic data mixing
     "x_dedup_minhash",  # D2 rows-only (jaccard+embed cover the row)
     "x_dedup_simhash",  # D2 rows-only
     "x_ann_lsh",        # D3 rows-only (topk_sim covers the row)
-    "x_ann_ivf",        # D3 rows-only: IVF-Flat scale path
     "x_lang_id",        # D4 (x_text_stats covers the row; green in r01)
     "x_token_freq",     # D4 (stats cover the row)
     "x_token_bpe",      # D4
@@ -115,18 +131,7 @@ PRIORITY: list[str] = [
     "f_path_ops",       # F9
     "a_cube",           # A+ (rollup covers grouping sets)
     "a_pivot",          # A+
-    "a_approx_sketch",  # HLL++/quantile sketches (rows-only; error-bound test)
-    "x_pack_sequences", # D15 FFD token-budget packing (rows-only, deterministic)
-    "x_dedup_compact",  # D12 apply-the-dedup anti-join (cluster covers the row)
-    "x_shard_shuffle",  # D16 deterministic training-shard order (split covers row)
-    "st_join",          # stream-stream join batch twin (attribution)
     "x_embed_stats",    # bonus profiling query
-    "x_unigram_logprob",  # D17 CCNet-style LM quality score (oracle-exact)
-    "x_length_trim",    # D10 sibling: corpus-relative percentile trimming
-    "x_gapfill",        # T1 time-series resample + forward fill
-    "x_fuzzy_join",     # D2 sibling: blocked edit-distance entity join
-    "x_tfidf",          # D18 TF-IDF term ranking (oracle-exact)
-    "x_merge_upsert",   # S10 MERGE INTO / upsert corpus revision (oracle-exact)
 ]
 
 

@@ -388,3 +388,39 @@ class TestAudioFeatures:
 
         with pytest.raises(Exception):
             multimodal.audio_features(df).collect()
+
+
+class TestGapfillNullValues:
+    """Round-3 ADVICE fix: is_gap comes from the join miss, and the fill
+    carries the matched row's value even when that value is NULL (a
+    NULL-valued observation must not be skipped by the forward fill,
+    matching the oracle's ASOF-join semantics)."""
+
+    def test_null_observation_fills_forward_and_is_not_gap(
+        self, spark, monkeypatch
+    ):
+        import datetime as dt
+
+        from imagingdb_spark.operators import streaming_batch as sb
+
+        rows = [
+            (1, dt.datetime(2024, 1, 1, 0, 5), 10, 1.0),
+            (2, dt.datetime(2024, 1, 1, 1, 10), 10, None),  # NULL-valued obs
+            # hour 2 has no observation at all → gap
+            (3, dt.datetime(2024, 1, 1, 3, 0), 10, 4.0),
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, ts timestamp, user_id long, value double"
+        )
+        monkeypatch.setattr(sb, "table", lambda s, sf, name: df)
+        out = {
+            r.hour_ts.hour: r
+            for r in sb.x_gapfill(spark, "ignored").collect()
+        }
+        assert len(out) == 4
+        assert out[0].filled_value == 1.0 and out[0].is_gap is False
+        # NULL-valued observation: its slot is NOT a gap, fill is NULL
+        assert out[1].filled_value is None and out[1].is_gap is False
+        # true gap: forward fill carries the NULL from hour 1, not 1.0
+        assert out[2].filled_value is None and out[2].is_gap is True
+        assert out[3].filled_value == 4.0 and out[3].is_gap is False

@@ -43,20 +43,44 @@ def test_query_plans(spark, name):
     assert df.schema is not None and len(df.columns) > 0
 
 
+ROTATED_IN_R3 = [
+    # the 16 queries that had never received a driver CORRECTNESS row
+    # before round 3 (VERDICT r2 item 1)
+    "w_dense_rank", "w_lag_lead", "w_range_frame",
+    "x_sample_weighted", "x_dedup_compact", "x_shard_shuffle", "st_join",
+    "x_unigram_logprob", "x_length_trim", "x_gapfill", "x_fuzzy_join",
+    "x_tfidf", "x_merge_upsert",
+    "x_ann_ivf", "a_approx_sketch", "x_pack_sequences",
+]
+
+
 def test_category_coverage_inside_driver_window():
     """The driver's correctness harness checks only the FIRST ~50 registered
-    queries; every SURVEY §2 row without an in-window sibling must sit
-    inside that window (round-1 lesson: tail-registered queries get no
-    correctness row)."""
+    queries; the round-3 rotation (registry.PRIORITY) must keep (a) every
+    never-driver-checked query inside that window so it finally gets a
+    CORRECTNESS row, and (b) at least one in-window representative per
+    SURVEY §2 category that lacks a prior green driver row."""
     window = list(registry.ordered_queries())[:50]
+    for name in ROTATED_IN_R3:
+        assert name in window, f"{name} fell outside the driver's 50-query window"
     for name in [
-        # one per streaming/window/sort category (round-1's unchecked tail)
-        "st_tumbling", "st_sliding", "st_session", "st_anomaly",
-        "w_running", "w_rownum_page", "w_topk_group",
-        "o_topk", "o_natural_sort",
-        # round-2 rows with no sibling coverage
+        # retained category representatives (no rotation slot spent twice
+        # per category; every rotated-OUT name holds a green r1/r2 row)
+        "st_tumbling", "st_session", "w_running", "w_rownum_page", "o_topk",
+        "o_sort", "f_from_json", "j_three_way", "j_asof", "a_rollup",
         "x_dedup_incremental", "x_chunk_docs", "x_decontaminate",
-        "x_quality_filter", "x_repetition", "x_dedup_cluster",
-        "f_from_json", "x_split_hash",
+        "x_repetition", "x_dedup_cluster", "x_split_hash", "x_dedup_jaccard",
+        "x_topk_sim",
     ]:
         assert name in window, f"{name} fell outside the driver's 50-query window"
+
+
+def test_rotation_window_is_exactly_full():
+    """All 50 driver slots are spent — an off-by-one in PRIORITY would
+    silently drop the last rotated-in query out of the window."""
+    ordered = list(registry.ordered_queries())
+    assert len(ordered) >= 50
+    # no name listed in PRIORITY is missing from the registry (a typo in
+    # the rotation would silently shrink the window)
+    missing = [n for n in registry.PRIORITY if n not in registry.QUERIES]
+    assert missing == [], f"PRIORITY names not registered: {missing}"
