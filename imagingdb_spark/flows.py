@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from imagingdb_spark import sinks
@@ -27,11 +27,39 @@ from imagingdb_spark.api import (
     validate_serial,
 )
 from imagingdb_spark.ingest import (
+    frame_file_name,
     idempotent_append,
+    insert_file,
     normalize_parent,
     resolve_parent_ids,
+    validate_manifest,
+    with_sha256,
 )
-from imagingdb_spark.sources import basename
+from imagingdb_spark.sources import basename, split_tiff_pages
+
+# Blob-namespace roots (cli/data_uploader.py:14-15)
+FILE_FOLDER_NAME = "raw_files"
+FRAME_FOLDER_NAME = "raw_frames"
+
+# config_json defaults for the splitter grid + image dims; the reference
+# reads dims/bit-depth from the decoded frames (file_splitter.py:153-176),
+# which this container cannot (no tiff codec) — they ride the config dict
+# through the same injectable seam as page_reader.
+DEFAULT_GLOBAL_META = {
+    "im_width": 0,
+    "im_height": 0,
+    "im_colors": 1,
+    "bit_depth": "uint16",
+    "nbr_channels": 1,
+    "nbr_slices": 1,
+    "nbr_positions": 1,
+}
+
+
+def _strip_scheme(path: Column) -> Column:
+    """binaryFile emits file:-URIs; manifests carry plain absolute paths.
+    Normalize both to /abs/path so they join."""
+    return F.regexp_replace(path, "^file:/*", "/")
 
 
 def coerce_channels(channels):
@@ -147,6 +175,202 @@ def insert_frames(
         fr_rows, frames, ["frames_global_id", "file_name"], paths.get("frames")
     )
     return new_ds, new_fg, new_fr
+
+
+def upload_dataset(
+    spark: SparkSession,
+    manifest: DataFrame,
+    catalog: dict[str, DataFrame],
+    storage_root: str,
+    upload_type: str = "frames",
+    page_reader=None,
+    global_meta: dict | None = None,
+    microscope: str | None = None,
+    global_json: str = "{}",
+    channel_names: list[str] | None = None,
+    paths: dict[str, str] | None = None,
+    overwrite: bool = False,
+) -> dict[str, DataFrame]:
+    """The reference's one-call upload flow `upload_data_and_update_db`
+    (cli/data_uploader.py:61-256) composed end-to-end: manifest row →
+    splitter → sha256 → blob store → catalog insert, batch-wise over every
+    manifest row at once instead of the reference's per-row loop.
+
+    `manifest` columns (ingest.read_manifest shape, data_uploader.py:
+    106-108): dataset_serial, file_name (source path), description,
+    parent_dataset_id. `upload_type` ∈ {"frames", "file"}
+    (data_uploader.py:119-123):
+
+    - **frames**: each source file is split into 2-D frame pages
+      (sources.split_tiff_pages with the injected `page_reader` codec
+      seam), each page sha256'd map-side, named
+      `im_c###_z###_t###_p###.png` (file_splitter.py:114-125), published
+      to `<storage_root>/raw_frames/<serial>/` via the idempotent blob
+      sink, and catalogued with flows.insert_frames (DataSet +
+      FramesGlobal + Frames rows).
+    - **file**: the source file is stored as-is under
+      `<storage_root>/raw_files/<serial>/` with a whole-file sha256 and
+      catalogued with ingest.insert_file (DataSet + FileGlobal rows);
+      metadata_json records {"file_origin": src} (data_uploader.py:240).
+
+    Idempotency: both the blob sink (existence-skip) and the catalog
+    appends (anti-join on serial) converge on re-run — the reference's
+    `assert_unique_id` + overwrite flag become convergent semantics; pass
+    `overwrite=True` only to force blob rewrite.
+
+    Scale shape: the split+hash runs as one Arrow-batched mapInPandas over
+    a binaryFile scan (one task per source file ≥ one split each), the
+    frame rows are persisted ONCE so the blob write and the catalog insert
+    don't re-decode (the payload rides executor memory/disk for the
+    duration of the upload batch — dataset-batch-sized, not corpus-sized),
+    and catalog appends are anti-join guarded. `paths` (table name →
+    parquet path) persists the three catalog tables.
+
+    Returns {"data_set": …, "frames_global"/"file_global": …, "frames": …}
+    of the newly appended rows."""
+    upload_type = upload_type.lower()
+    assert upload_type in {"file", "frames"}, (
+        f"upload_type should be 'file' or 'frames', not {upload_type}"
+    )
+    bad = validate_manifest(manifest).select("dataset_serial").collect()
+    if bad:  # manifest is catalog-batch-sized; collect is bounded
+        raise AssertionError(f"Invalid ID: {bad[0]['dataset_serial']}")
+
+    folder = FRAME_FOLDER_NAME if upload_type == "frames" else FILE_FOLDER_NAME
+    man = (
+        manifest.select(
+            "dataset_serial",
+            F.col("file_name").alias("src_path"),
+            "description",
+            "parent_dataset_id",
+        )
+        .withColumn(
+            "storage_dir",
+            F.concat_ws("/", F.lit(folder), F.col("dataset_serial")),
+        )
+    )
+    src_paths = [r["src_path"] for r in man.select("src_path").collect()]
+    blobs = (
+        spark.read.format("binaryFile")
+        .load(src_paths)
+        .select(_strip_scheme(F.col("path")).alias("src_path"), "content")
+    )
+    gm = dict(DEFAULT_GLOBAL_META)
+    gm.update(global_meta or {})
+    paths = paths or {}
+
+    if upload_type == "file":
+        files = (
+            blobs.join(F.broadcast(man), "src_path")
+            .select(
+                "dataset_serial",
+                "description",
+                F.lit(microscope).alias("microscope"),
+                "parent_dataset_id",
+                "storage_dir",
+                basename(F.col("src_path")).alias("file_name"),
+                F.to_json(
+                    F.struct(F.col("src_path").alias("file_origin"))
+                ).alias("metadata_json"),
+                F.col("content").alias("payload"),
+            )
+        )
+        files = with_sha256(files).persist()
+        try:
+            sinks.write_blobs(
+                files.select(
+                    F.concat_ws("/", "storage_dir", "file_name").alias(
+                        "file_name"
+                    ),
+                    "payload",
+                ),
+                dest_dir=storage_root,
+                overwrite=overwrite,
+            )
+            new_ds, new_fg = insert_file(
+                files.drop("payload"),
+                catalog["data_set"],
+                catalog["file_global"],
+                paths.get("data_set"),
+                paths.get("file_global"),
+            )
+            return {"data_set": new_ds, "file_global": new_fg}
+        finally:
+            files.unpersist()
+
+    split_kwargs = dict(
+        nbr_channels=gm["nbr_channels"],
+        nbr_slices=gm["nbr_slices"],
+        nbr_positions=gm["nbr_positions"],
+    )
+    if page_reader is not None:  # else keep the splitter's codec-seam default
+        split_kwargs["page_reader"] = page_reader
+    pages = split_tiff_pages(
+        blobs.withColumnRenamed("src_path", "path"), **split_kwargs
+    )
+    ch_name = (
+        F.element_at(
+            F.array(*[F.lit(n) for n in channel_names]),
+            F.col("channel_idx") + 1,
+        )
+        if channel_names
+        else F.lit(None).cast("string")
+    )
+    framed = (
+        pages.withColumn("src_path", _strip_scheme(F.col("file_path")))
+        .join(F.broadcast(man), "src_path")
+        .select(
+            "dataset_serial",
+            "channel_idx",
+            "slice_idx",
+            "time_idx",
+            "pos_idx",
+            ch_name.alias("channel_name"),
+            frame_file_name(
+                F.col("channel_idx"),
+                F.col("slice_idx"),
+                F.col("time_idx"),
+                F.col("pos_idx"),
+            ).alias("file_name"),
+            "sha256",
+            F.lit("{}").alias("metadata_json"),
+            "storage_dir",
+            "payload",
+        )
+        .persist()  # split once: blob write + catalog insert share it
+    )
+    try:
+        sinks.write_blobs(
+            framed.select(
+                F.concat_ws("/", "storage_dir", "file_name").alias("file_name"),
+                "payload",
+            ),
+            dest_dir=storage_root,
+            overwrite=overwrite,
+        )
+        datasets = man.select(
+            "dataset_serial",
+            "description",
+            F.lit(microscope).alias("microscope"),
+            "parent_dataset_id",
+            "storage_dir",
+            F.lit(gm["bit_depth"]).alias("bit_depth"),
+            F.lit(gm["im_width"]).cast("int").alias("im_width"),
+            F.lit(gm["im_height"]).cast("int").alias("im_height"),
+            F.lit(gm["im_colors"]).cast("int").alias("im_colors"),
+            F.lit(global_json).alias("metadata_json"),
+        )
+        new_ds, new_fg, new_fr = insert_frames(
+            datasets,
+            framed.drop("storage_dir", "payload"),
+            catalog["data_set"],
+            catalog["frames_global"],
+            catalog["frames"],
+            paths,
+        )
+        return {"data_set": new_ds, "frames_global": new_fg, "frames": new_fr}
+    finally:
+        framed.unpersist()
 
 
 def fetch_files(

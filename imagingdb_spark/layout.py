@@ -64,18 +64,42 @@ def compact_parquet(
     Round-robin repartition (not coalesce): coalesce(n) would chain the
     narrow dependency into the rewrite scan and leave the n output tasks
     reading skewed subsets; repartition balances output file sizes, which
-    is the point of compaction. Returns before/after stats."""
+    is the point of compaction. Returns before/after stats.
+
+    Failure ordering (round-3 fix, ADVICE r2): the rewritten copy is
+    validated (row count vs source — a parquet-footer metadata read, no
+    data scan) BEFORE the live table is touched, and the old directory is
+    deleted only AFTER the post-swap stats read proves the new table
+    readable in place; a failed validation rolls the swap back. A crash
+    exactly between the two renames still leaves the table path briefly
+    absent, but the data now always survives under ``<path>.old.*`` —
+    cross-directory rename pairs can't be made atomic on POSIX without a
+    table format (Delta/Iceberg) on top, as the module docstring notes."""
     n_before, total = table_file_stats(spark, path)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)
+    rows_before = df.count()
     base = _local_path(path)
     tmp = f"{base}.compact.{uuid.uuid4().hex[:8]}"
     df.repartition(n_out).write.mode("overwrite").parquet(tmp)
+    rows_tmp = spark.read.parquet(tmp).count()
+    if rows_tmp != rows_before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"compaction rewrite of {path} dropped rows "
+            f"({rows_before} -> {rows_tmp}); old table left untouched"
+        )
     old = f"{base}.old.{uuid.uuid4().hex[:8]}"
     os.rename(base, old)
     os.rename(tmp, base)
+    try:
+        n_after, total_after = table_file_stats(spark, path)
+    except Exception:
+        # new copy unreadable in place: swap the old table back
+        os.rename(base, tmp)
+        os.rename(old, base)
+        raise
     shutil.rmtree(old)
-    n_after, total_after = table_file_stats(spark, path)
     return {
         "files_before": n_before,
         "files_after": n_after,

@@ -156,3 +156,173 @@ class TestDownloadDataset:
         assert flows.coerce_channels(["phase", "405"]) == ["phase", "405"]
         assert flows.coerce_channels(None) is None
         assert flows.coerce_channels(2) == [2]
+
+
+PAGE_BYTES = 64
+UP_SERIAL = "TEST-2005-06-09-20-00-00-1000"
+
+
+def _make_page_reader():
+    """Deterministic stand-in for the tiff codec seam: fixed-size pages.
+    Built as a closure so cloudpickle ships it BY VALUE to executors (a
+    module-level function in tests/ would pickle by reference and fail to
+    import on the worker)."""
+
+    def reader(payload: bytes):
+        return [
+            payload[i : i + PAGE_BYTES]
+            for i in range(0, len(payload), PAGE_BYTES)
+        ]
+
+    return reader
+
+
+_fake_page_reader = _make_page_reader()
+
+
+class TestUploadDataset:
+    """End-to-end composed upload flow (cli/data_uploader.py:61-256),
+    mirroring tests/cli/data_uploader_tests.py:112-178: upload, then
+    query the catalog back and check every frame row + blob + sha256."""
+
+    @pytest.fixture()
+    def src_file(self, tmp_path):
+        # 6 frames: 2 channels x 3 slices, one page each
+        payload = b"".join(
+            bytes([c * 16 + z]) * PAGE_BYTES
+            for z in range(3)
+            for c in range(2)  # page order: c fastest (splitter grid)
+        )
+        p = tmp_path / "stack.tif"
+        p.write_bytes(payload)
+        return str(p)
+
+    def _manifest(self, spark, src, serial=UP_SERIAL):
+        return spark.createDataFrame(
+            [(serial, src, "Testing", "none")],
+            "dataset_serial string, file_name string, description string, "
+            "parent_dataset_id string",
+        )
+
+    def test_upload_frames_end_to_end(self, spark, imaging, src_file, tmp_path):
+        import hashlib
+
+        store = str(tmp_path / "store")
+        out = flows.upload_dataset(
+            spark,
+            self._manifest(spark, src_file),
+            imaging,
+            storage_root=store,
+            upload_type="frames",
+            page_reader=_fake_page_reader,
+            global_meta={
+                "im_width": 8, "im_height": 8, "nbr_channels": 2,
+                "nbr_slices": 3, "bit_depth": "uint16",
+            },
+            microscope="Leica microscope CAN bus adapter",
+            channel_names=["brightfield", "phase"],
+        )
+        d = out["data_set"].collect()[0]
+        assert d["frames"] is True and d["dataset_serial"] == UP_SERIAL
+        assert (d["date_time"].year, d["date_time"].month, d["date_time"].day) \
+            == (2005, 6, 9)
+        assert d["microscope"] == "Leica microscope CAN bus adapter"
+        assert d["description"] == "Testing"
+        g = out["frames_global"].collect()[0]
+        assert g["nbr_frames"] == 6
+        assert g["nbr_channels"] == 2 and g["nbr_slices"] == 3
+        assert g["nbr_timepoints"] == 1 and g["nbr_positions"] == 1
+        assert g["im_width"] == 8 and g["bit_depth"] == "uint16"
+        assert g["storage_dir"] == f"raw_frames/{UP_SERIAL}"
+        assert g["dataset_id"] == d["id"]
+
+        frs = {r["file_name"]: r for r in out["frames"].collect()}
+        assert len(frs) == 6
+        raw = open(src_file, "rb").read()
+        pages = _fake_page_reader(raw)
+        for i, page in enumerate(pages):
+            c, z = i % 2, i // 2
+            name = f"im_c{c:03d}_z{z:03d}_t000_p000.png"
+            r = frs[name]
+            assert r["sha256"] == hashlib.sha256(page).hexdigest()
+            assert r["channel_name"] == ["brightfield", "phase"][c]
+            assert r["frames_global_id"] == g["id"]
+            # blob published under the catalogued storage_dir key
+            blob = os.path.join(store, f"raw_frames/{UP_SERIAL}", name)
+            assert open(blob, "rb").read() == page
+
+        # query-back through the public API (the reference test's
+        # "query database to find data_set and frames" round trip)
+        from imagingdb_spark.api import get_frames_meta
+
+        cat2 = {
+            "data_set": imaging["data_set"].unionByName(out["data_set"]),
+            "frames_global": imaging["frames_global"].unionByName(
+                out["frames_global"]
+            ),
+            "frames": imaging["frames"].unionByName(out["frames"]),
+        }
+        meta = get_frames_meta(
+            cat2["data_set"], cat2["frames_global"], cat2["frames"], UP_SERIAL
+        )
+        assert meta.count() == 6
+
+        # idempotent re-run against the updated catalog: converges to 0 new
+        out2 = flows.upload_dataset(
+            spark,
+            self._manifest(spark, src_file),
+            {**cat2, "file_global": imaging["file_global"]},
+            storage_root=store,
+            upload_type="frames",
+            page_reader=_fake_page_reader,
+            global_meta={"im_width": 8, "im_height": 8,
+                         "nbr_channels": 2, "nbr_slices": 3},
+        )
+        assert out2["data_set"].count() == 0
+        assert out2["frames_global"].count() == 0
+        assert out2["frames"].count() == 0
+
+    def test_upload_file_end_to_end(self, spark, imaging, src_file, tmp_path):
+        import hashlib
+        import json
+
+        store = str(tmp_path / "store")
+        serial = "TEST-2005-06-09-20-00-00-2000"
+        out = flows.upload_dataset(
+            spark,
+            self._manifest(spark, src_file, serial),
+            imaging,
+            storage_root=store,
+            upload_type="file",
+        )
+        d = out["data_set"].collect()[0]
+        assert d["frames"] is False
+        fg = out["file_global"].collect()[0]
+        raw = open(src_file, "rb").read()
+        assert fg["sha256"] == hashlib.sha256(raw).hexdigest()
+        assert fg["file_name"] == "stack.tif"
+        assert fg["storage_dir"] == f"raw_files/{serial}"
+        assert json.loads(fg["metadata_json"])["file_origin"] == src_file
+        assert fg["dataset_id"] == d["id"]
+        blob = os.path.join(store, f"raw_files/{serial}", "stack.tif")
+        assert open(blob, "rb").read() == raw
+
+    def test_invalid_serial_raises(self, spark, imaging, src_file, tmp_path):
+        with pytest.raises(AssertionError, match="Invalid ID"):
+            flows.upload_dataset(
+                spark,
+                self._manifest(spark, src_file, "not-a-serial"),
+                imaging,
+                storage_root=str(tmp_path / "s"),
+                upload_type="file",
+            )
+
+    def test_bad_upload_type_raises(self, spark, imaging, src_file, tmp_path):
+        with pytest.raises(AssertionError, match="upload_type"):
+            flows.upload_dataset(
+                spark,
+                self._manifest(spark, src_file),
+                imaging,
+                storage_root=str(tmp_path / "s"),
+                upload_type="bogus",
+            )

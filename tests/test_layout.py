@@ -94,3 +94,29 @@ def test_write_clustered_rows_unchanged(spark, tmp_path):
     got = _sorted_rows(spark.read.parquet(out).select("doc_id", "source"))
     want = _sorted_rows(docs.select("doc_id", "source"))
     assert got == want
+
+
+def test_compact_rolls_back_when_new_copy_unreadable(spark, tmp_path, monkeypatch):
+    """Round-3 ADVICE fix: the old directory must survive until the
+    post-swap read proves the rewrite good; on failure the swap is rolled
+    back and the original data is still at the table path."""
+    path = str(tmp_path / "events_rollback")
+    spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(4).write.parquet(path)
+    before = _sorted_rows(spark.read.parquet(path))
+
+    real_stats = layout.table_file_stats
+    calls = {"n": 0}
+
+    def failing_stats(sp, p):
+        calls["n"] += 1
+        if calls["n"] == 2:  # the post-swap verification read
+            raise OSError("simulated unreadable rewrite")
+        return real_stats(sp, p)
+
+    monkeypatch.setattr(layout, "table_file_stats", failing_stats)
+    with pytest.raises(OSError):
+        layout.compact_parquet(spark, path, target_file_bytes=1 << 30)
+
+    # original table restored in place, rows intact
+    assert _sorted_rows(spark.read.parquet(path)) == before
+    assert not glob.glob(f"{path}.old.*")
