@@ -190,6 +190,7 @@ def upload_dataset(
     channel_names: list[str] | None = None,
     paths: dict[str, str] | None = None,
     overwrite: bool = False,
+    backend_factory=None,
 ) -> dict[str, DataFrame]:
     """The reference's one-call upload flow `upload_data_and_update_db`
     (cli/data_uploader.py:61-256) composed end-to-end: manifest row →
@@ -224,7 +225,11 @@ def upload_dataset(
     don't re-decode (the payload rides executor memory/disk for the
     duration of the upload batch — dataset-batch-sized, not corpus-sized),
     and catalog appends are anti-join guarded. `paths` (table name →
-    parquet path) persists the three catalog tables.
+    parquet path) persists the three catalog tables. `backend_factory`
+    overrides the blob store (the reference's local-vs-S3 storage_class
+    switch, data_uploader.py:127-134): pass e.g.
+    ``lambda: sinks.S3Backend(bucket, client_factory)`` and
+    `storage_root` is ignored for the blob write.
 
     Returns {"data_set": …, "frames_global"/"file_global": …, "frames": …}
     of the newly appended rows."""
@@ -286,6 +291,7 @@ def upload_dataset(
                 ),
                 dest_dir=storage_root,
                 overwrite=overwrite,
+                backend_factory=backend_factory,
             )
             new_ds, new_fg = insert_file(
                 files.drop("payload"),
@@ -347,6 +353,7 @@ def upload_dataset(
             ),
             dest_dir=storage_root,
             overwrite=overwrite,
+            backend_factory=backend_factory,
         )
         datasets = man.select(
             "dataset_serial",

@@ -326,3 +326,41 @@ class TestUploadDataset:
                 storage_root=str(tmp_path / "s"),
                 upload_type="bogus",
             )
+
+
+class TestUploadOverS3:
+    def test_file_upload_through_s3_backend(self, spark, imaging, tmp_path):
+        """The reference's storage_class switch (data_uploader.py:127-134):
+        same flow, blobs land in the object store instead of the FS."""
+        import hashlib
+
+        from imagingdb_spark import sinks
+
+        src = tmp_path / "raw.lif"
+        src.write_bytes(b"raw-lif-bytes")
+        bucket_root = str(tmp_path / "bucket")
+
+        def factory():
+            return sinks.S3Backend(
+                "imaging", lambda: sinks.FakeS3Client(bucket_root)
+            )
+
+        serial = "TEST-2005-06-09-20-00-00-3000"
+        out = flows.upload_dataset(
+            spark,
+            spark.createDataFrame(
+                [(serial, str(src), "s3 path", "none")],
+                "dataset_serial string, file_name string, description string, "
+                "parent_dataset_id string",
+            ),
+            imaging,
+            storage_root="ignored",
+            upload_type="file",
+            backend_factory=factory,
+        )
+        fg = out["file_global"].collect()[0]
+        b = factory()
+        key = f"raw_files/{serial}/raw.lif"
+        assert b.exists(key)
+        assert b.get(key) == b"raw-lif-bytes"
+        assert fg["sha256"] == hashlib.sha256(b"raw-lif-bytes").hexdigest()

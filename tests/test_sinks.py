@@ -155,3 +155,96 @@ class TestJsonContains:
         contains = F.udf(lambda s: sinks.json_contains(s, needle), "boolean")
         got = docs.filter(contains("metadata_json")).collect()
         assert len(got) == 1
+
+
+@pytest.fixture(params=["local", "s3"])
+def blob_env(request, tmp_path):
+    """The same write_blobs contract exercised over BOTH concrete backends
+    (VERDICT r2 item 5): (write_kwargs, read_back, pre_put). The s3 flavor
+    goes through sinks.S3Backend + the directory-backed FakeS3Client."""
+    if request.param == "local":
+        root = tmp_path / "local"
+
+        def read(key: str) -> bytes:
+            return (root / key).read_bytes()
+
+        def pre(key: str, payload: bytes) -> None:
+            p = root / key
+            p.parent.mkdir(parents=True, exist_ok=True)
+            p.write_bytes(payload)
+
+        return {"dest_dir": str(root)}, read, pre
+    bucket_root = str(tmp_path / "bucket")
+
+    def factory():
+        return sinks.S3Backend(
+            "test-bucket", lambda: sinks.FakeS3Client(bucket_root)
+        )
+
+    b = factory()
+    return {"backend_factory": factory}, b.get, b.put
+
+
+class TestBothBackends:
+    """Identical behavior through LocalFSBackend and S3Backend."""
+
+    def test_writes_one_object_per_row(self, frames, blob_env):
+        kw, read, _ = blob_env
+        sinks.write_blobs(frames, **kw)
+        assert read("im_c001_z002.png") == bytes([1, 2, 7])
+        assert read("im_c000_z000.png") == bytes([0, 0, 7])
+
+    def test_skips_existing_unless_overwrite(self, frames, blob_env):
+        kw, read, pre = blob_env
+        pre("im_c000_z000.png", b"pre-existing")
+        sinks.write_blobs(frames, **kw)
+        assert read("im_c000_z000.png") == b"pre-existing"
+        sinks.write_blobs(frames, overwrite=True, **kw)
+        assert read("im_c000_z000.png") == bytes([0, 0, 7])
+
+    def test_nested_keys(self, frames, blob_env):
+        kw, read, _ = blob_env
+        nested = frames.withColumn(
+            "file_name", F.concat(F.lit("raw_frames/ds1/"), F.col("file_name"))
+        )
+        sinks.write_blobs(nested, **kw)
+        assert read("raw_frames/ds1/im_c001_z002.png") == bytes([1, 2, 7])
+
+
+class TestS3Backend:
+    """Reference key-construction + existence semantics
+    (s3_storage.py:34-70)."""
+
+    def test_prefix_key_construction(self, tmp_path):
+        root = str(tmp_path / "bucket")
+        b = sinks.S3Backend(
+            "bkt", lambda: sinks.FakeS3Client(root), prefix="raw_frames/ds1"
+        )
+        b.put("im.png", b"x")
+        # the client saw the joined key (_get_key, s3_storage.py:63-70)
+        listing = sinks.FakeS3Client(root).list_objects_v2(
+            Bucket="bkt", Prefix="raw_frames/ds1/"
+        )
+        assert listing["KeyCount"] == 1
+        assert listing["Contents"][0]["Key"] == "raw_frames/ds1/im.png"
+        assert b.exists("im.png") and not b.exists("other.png")
+        assert b.get("im.png") == b"x"
+
+    def test_exists_is_prefix_listing(self, tmp_path):
+        # nonexistent_storage_path (s3_storage.py:47-61) checks KeyCount on
+        # the key AS PREFIX — reference-faithful, including the quirk that
+        # a longer key shadows a shorter prefix
+        b = sinks.S3Backend(
+            "bkt", lambda: sinks.FakeS3Client(str(tmp_path / "bucket"))
+        )
+        b.put("a.png.bak", b"x")
+        assert b.exists("a.png")  # prefix match, same as the reference
+
+    def test_assert_unique_prefix(self, tmp_path):
+        b = sinks.S3Backend(
+            "bkt", lambda: sinks.FakeS3Client(str(tmp_path / "bucket"))
+        )
+        b.assert_unique_prefix("raw_frames/DS-1")  # empty: passes
+        b.put("raw_frames/DS-1/im.png", b"x")
+        with pytest.raises(AssertionError, match="already exists on S3"):
+            b.assert_unique_prefix("raw_frames/DS-1")
