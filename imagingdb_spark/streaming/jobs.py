@@ -348,18 +348,24 @@ def streaming_dedup_gate(
             )
             .filter(F.col("_keep") == 1)
             .drop("_h", "_keep")
+            .persist()  # consumed twice per trigger (PPJoin + novel append);
+            # without this the source re-reads and re-windows per consumer
+            # (tools/stream_bench.py showed 2x numInputRows per batch)
         )
         try:
-            corpus = spark.read.parquet(corpus_path)
-        except Exception:  # first batch: everything is novel
-            batch.write.mode("append").parquet(corpus_path)
-            return
-        pairs = incremental_match(batch, corpus).persist()
-        pairs.write.mode("append").parquet(matches_path)
-        dup_ids = pairs.select(F.col("new_doc").alias("doc_id")).distinct()
-        novel = batch.join(dup_ids, "doc_id", "left_anti")
-        novel.write.mode("append").parquet(corpus_path)
-        pairs.unpersist()
+            try:
+                corpus = spark.read.parquet(corpus_path)
+            except Exception:  # first batch: everything is novel
+                batch.write.mode("append").parquet(corpus_path)
+                return
+            pairs = incremental_match(batch, corpus).persist()
+            pairs.write.mode("append").parquet(matches_path)
+            dup_ids = pairs.select(F.col("new_doc").alias("doc_id")).distinct()
+            novel = batch.join(dup_ids, "doc_id", "left_anti")
+            novel.write.mode("append").parquet(corpus_path)
+            pairs.unpersist()
+        finally:
+            batch.unpersist()
 
     return (
         docs.writeStream.foreachBatch(gate)
