@@ -10,10 +10,14 @@ decoded to numpy via cv2 (image_utils.py:22-30) and assembled into dense
   inline)  →  decode / resize / feature-extract as Arrow-batched pandas
   UDFs over mapInPandas  →  per-dataset assembly via applyInPandas.
 
-The image codecs (cv2/PIL/tifffile) are NOT in this container, so decode is
-STUBBED: `decode_png` raises NotImplementedError unless a deterministic
-fake decoder is injected. Everything Spark-side — schema, partitioning,
-UDF signatures, Arrow batch shapes, group semantics — is real and tested.
+PNG decode/encode is REAL (round 3): imagingdb_spark.png is a pure-numpy
+codec covering exactly the reference's frame contract (greyscale/RGB,
+uint8/uint16), so `decode_png` and `serialize_im`/`deserialize_im` run
+without cv2. The decoder seam stays injectable for other formats
+(tiff/jpeg still need cv2/PIL — `split_tiff_pages`' page_reader remains a
+seam); audio PCM decode remains stubbed (no soundfile in the container).
+Everything Spark-side — schema, partitioning, UDF signatures, Arrow batch
+shapes, group semantics — is real and tested.
 """
 
 from __future__ import annotations
@@ -59,13 +63,38 @@ FEATURE_SCHEMA = T.StructType(
 
 
 def decode_png(payload: bytes, bit_depth: str) -> "np.ndarray":
-    """PNG → ndarray (image_utils.py:22-30, cv2.imdecode). cv2 is not in
-    this container — STUB. Inject a fake via frame_features(decoder=...)
-    for tests; wire cv2/PIL here in a real deployment."""
-    raise NotImplementedError(
-        "image codec not available in this environment; "
-        "inject a decoder (see fake_decoder) or install cv2/PIL"
-    )
+    """PNG → ndarray (image_utils.py:22-30, cv2.imdecode semantics for
+    greyscale/RGB uint8/uint16) via the pure-numpy codec in
+    imagingdb_spark.png — real, no cv2 needed. `bit_depth` is the catalog's
+    declared dtype (frames_global.bit_depth); a mismatch with the payload's
+    actual depth raises, surfacing catalog/blob drift at decode time."""
+    from imagingdb_spark import png
+
+    im = png.decode_png(payload)
+    if bit_depth and str(im.dtype) != bit_depth:
+        raise ValueError(
+            f"catalog bit_depth {bit_depth!r} != payload dtype {im.dtype}"
+        )
+    return im
+
+
+def serialize_im(im: "np.ndarray", file_format: str = ".png") -> bytes:
+    """`serialize_im` (image_utils.py:5-19): frame array → storage bytes.
+    Only PNG is supported codec-side; other formats raise TypeError like
+    the reference does for a bad cv2 format."""
+    from imagingdb_spark import png
+
+    if file_format.lower() not in (".png", "png"):
+        raise TypeError(f"Wrong file format: {file_format}")
+    return png.encode_png(im)
+
+
+def deserialize_im(byte_string: bytes) -> "np.ndarray":
+    """`deserialize_im` (image_utils.py:22-30): storage bytes → frame
+    array, depth/colors from the payload itself."""
+    from imagingdb_spark import png
+
+    return png.decode_png(byte_string)
 
 
 def fake_decoder(payload: bytes, bit_depth: str) -> "np.ndarray":

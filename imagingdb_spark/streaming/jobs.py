@@ -31,7 +31,14 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     source tracks the physical type the data generator used for `ts`:
     TIMESTAMP(NANOS) surfaces as LONG under nanosAsLong and is converted to
     microsecond timestamps exactly like catalog.table does; a native
-    TIMESTAMP(MICROS) column passes through untouched."""
+    TIMESTAMP(MICROS) column passes through untouched.
+
+    Deployment note (ADVICE r2): re-inferring per start is right for this
+    test harness, where the driver regenerates the data (and its physical
+    types) between rounds. A durable deployment restarting from a
+    checkpoint must instead PIN the expected schema in the job config —
+    if newly arriving files drift (nanos→micros mid-stream) the fixed
+    schema chosen at stream start would silently misread them."""
     batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # the file stream source requires a directory; glob-filter to the events
     # table (sf_dir holds the other tables' parquet too)

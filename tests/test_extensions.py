@@ -191,8 +191,10 @@ class TestMultimodal:
         ]
         return spark.createDataFrame(rows, multimodal.FRAME_SCHEMA)
 
-    def test_decode_stub_raises(self):
-        with pytest.raises(NotImplementedError, match="codec"):
+    def test_decode_rejects_non_png(self):
+        # round 3: decode_png is REAL (pure-numpy codec); junk bytes now
+        # fail the signature check instead of hitting a stub
+        with pytest.raises(ValueError, match="PNG"):
             multimodal.decode_png(b"bytes", "uint8")
 
     def test_frame_features_with_fake_decoder(self, frames_df):
