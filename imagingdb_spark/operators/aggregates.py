@@ -231,3 +231,63 @@ def a_approx_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+MAD_K = 1.4826  # normal-consistency constant (public robust-stats standard)
+
+
+@query(
+    "x_mad_outlier",
+    oracle=f"""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY event_type
+    ), dev AS (
+      SELECT e.event_id, e.event_type, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m USING (event_type)
+    ), mad AS (
+      SELECT event_type, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY event_type
+    )
+    SELECT d.event_id, d.event_type,
+           round((d.value - d.med) / ({MAD_K} * t.mad), 4) + 0.0 AS robust_z,
+           (d.adev > 3 * {MAD_K} * t.mad) AS is_outlier
+    FROM dev d JOIN mad t USING (event_type)
+    """,
+)
+def x_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier scoring per event_type: median/MAD z-score (the
+    batch, exact-median sibling of the streaming Welford z-score in
+    st_anomaly). robust_z = (value - median) / (1.4826 * MAD); flagged
+    beyond 3 sigma-equivalents. Both engines compute the exact
+    interpolated median (Spark `percentile` == DuckDB `quantile_cont`,
+    index p*(n-1)), the flag compares the SAME raw arithmetic on both
+    sides, and robust_z rounds to 4 decimals.
+
+    Scale shape: two grouped EXACT percentiles (each buffers one
+    event_type's values per task — event-type cardinality is tiny, value
+    lists are per-group spillable sorts) + broadcast joins of the
+    group-stats tables back to the fact. At 100 TB with huge groups the
+    sketch twin is a_approx_sketch's percentile_approx — same plan with
+    the buffered sort swapped for a mergeable sketch; this operator is
+    the exact-arithmetic variant the oracle can verify."""
+    e = table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med")
+    )
+    dev = e.join(F.broadcast(med), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.expr("percentile(adev, 0.5)").alias("mad")
+    )
+    return dev.join(F.broadcast(mad), "event_type").select(
+        "event_id",
+        "event_type",
+        (
+            F.round((F.col("value") - F.col("med")) / (MAD_K * F.col("mad")), 4)
+            + 0.0
+        ).alias("robust_z"),
+        (F.col("adev") > 3 * MAD_K * F.col("mad")).alias("is_outlier"),
+    )

@@ -200,3 +200,89 @@ def x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.round("score", 4) + 0.0).alias("tfidf"),
         )
     )
+
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+# Fixed query terms (deterministic): common corpus tokens with distinct
+# document frequencies, so the idf weights actually differ.
+BM25_QUERY = ["join", "filter", "scan"]
+
+
+@query(
+    "x_bm25",
+    oracle=f"""
+    WITH dt AS (
+      SELECT doc_id, tok, COUNT(*) AS c
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+      )
+      GROUP BY doc_id, tok
+    ), dl AS (
+      SELECT doc_id, CAST(SUM(c) AS BIGINT) AS dl FROM dt GROUP BY doc_id
+    ), s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) AS tot
+      FROM dl
+    ), q AS (
+      SELECT doc_id, tok, c FROM dt
+      WHERE tok IN ('join', 'filter', 'scan')
+    ), df AS (
+      SELECT tok, CAST(COUNT(*) AS DOUBLE) AS df FROM q GROUP BY tok
+    )
+    SELECT q.doc_id,
+           round(SUM(
+             ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1)
+             * (q.c * ({BM25_K1} + 1))
+             / (q.c + {BM25_K1} * (1 - {BM25_B}
+                                   + {BM25_B} * dl.dl / (s.tot / s.n_docs)))
+           ), 4) + 0.0 AS bm25,
+           CAST(COUNT(*) AS INT) AS n_terms
+    FROM q JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN s
+    GROUP BY q.doc_id
+    """,
+)
+def x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 document scoring for a fixed query-term set — the
+    retrieval-ranking sibling of x_tfidf (Robertson & Zaragoza 2009,
+    public; the idf uses Lucene's +1 variant so scores stay positive).
+    Only docs containing at least one query term appear (join semantics,
+    same on both engines).
+
+    Determinism: doc length and total-token count are integer-exact sums,
+    so avgdl = tot/n_docs is the same double on both engines; per-doc
+    contributions are summed over at most len(BM25_QUERY) terms and
+    rounded to 4 decimals.
+
+    Plan shape: ONE corpus pass (the shared persisted term-count table);
+    the query-term filter cuts dt to a tiny frame BEFORE any join, the
+    per-term df aggregate is query-sized and broadcast, the (n_docs, tot)
+    scalar rides the constant-key broadcast, and the doc-length join is
+    doc_id-keyed (AQE broadcasts the filtered side when it fits). At
+    100 TB the expensive side is dt itself, which the pipeline already
+    shares across all lm.py scorers."""
+    dt = doc_term_counts(spark, sf_dir)
+    dl = dt.groupBy("doc_id").agg(F.sum("c").alias("dl"))
+    s = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.sum("dl").cast("double").alias("tot"),
+    )
+    q = dt.filter(F.col("tok").isin(BM25_QUERY))
+    df_ = q.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
+    scored = attach_scalar(
+        q.join(F.broadcast(df_), "tok").join(dl, "doc_id"), s
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+    )
+    denom = F.col("c") + BM25_K1 * (
+        1 - BM25_B + BM25_B * F.col("dl") / (F.col("tot") / F.col("n_docs"))
+    )
+    contrib = idf * (F.col("c") * (BM25_K1 + 1)) / denom
+    return scored.groupBy("doc_id").agg(
+        (F.round(F.sum(contrib), 4) + 0.0).alias("bm25"),
+        F.count(F.lit(1)).cast("int").alias("n_terms"),
+    )

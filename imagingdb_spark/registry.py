@@ -132,6 +132,10 @@ PRIORITY: list[str] = [
     "a_cube",           # A+ (rollup covers grouping sets)
     "a_pivot",          # A+
     "x_embed_stats",    # bonus profiling query
+    # round-3 additions (oracle-exact, tail: selfcheck-verified; siblings
+    # x_tfidf / st_anomaly hold the in-window slots for their families)
+    "x_bm25",           # D18 sibling: Okapi BM25 retrieval scoring
+    "x_mad_outlier",    # robust median/MAD outlier flag (st_anomaly's exact batch twin)
 ]
 
 
