@@ -186,16 +186,20 @@ def grid_indices(
     )
 
 
-def _no_page_reader(payload: bytes) -> list[bytes]:
-    raise NotImplementedError(
-        "tiff codec not available in this environment; inject a page_reader "
-        "(bytes -> list[page_bytes]) — see tests for a deterministic fake"
-    )
+def _default_page_reader(payload: bytes) -> list[bytes]:
+    """Round 3: the default is REAL — the pure-numpy TIFF reader + PNG
+    encoder (imagingdb_spark.tiff/png), covering the reference's frame
+    contract (uncompressed multi-page, 8/16-bit gray/RGB). Compressed or
+    exotic TIFFs raise with a clear message; inject a tifffile-backed
+    reader for those (the seam is unchanged)."""
+    from imagingdb_spark.tiff import png_page_reader
+
+    return png_page_reader(payload)
 
 
 def split_tiff_pages(
     binary_files: DataFrame,
-    page_reader: Callable[[bytes], list[bytes]] = _no_page_reader,
+    page_reader: Callable[[bytes], list[bytes]] = _default_page_reader,
     nbr_channels: int = 1,
     nbr_slices: int = 1,
     nbr_positions: int = 1,
@@ -205,7 +209,10 @@ def split_tiff_pages(
     DataFrame (path, content); output is FRAME_ROW_SCHEMA with grid-assigned
     indices and a sha256 per frame (file_splitter.py:82-93). Arrow-batched
     mapInPandas replaces the reference's ProcessPoolExecutor
-    (tiffolder_splitter.py:193-196): Spark tasks are the process pool."""
+    (tiffolder_splitter.py:193-196): Spark tasks are the process pool.
+    The default page_reader splits real uncompressed TIFFs into PNG frame
+    payloads (tiff.png_page_reader — the reference's TIFF-in/PNG-out
+    upload shape); inject a custom reader for compressed formats."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

@@ -1,0 +1,168 @@
+"""Minimal pure-numpy TIFF reader/writer — makes the multi-page splitter
+seam RUNNABLE without tifffile/cv2 (neither ships in this container).
+
+The reference splits multi-page TIFF stacks into 2-D frames
+(ometif_splitter.py:68-106, tif_id_splitter.py:111-175) via tifffile, with
+payloads constrained to uint8/uint16 grayscale or RGB
+(ometif_splitter.py:45-56, tif_id_splitter.py:55-58). That subset of the
+public TIFF 6.0 spec (Adobe, 1992) is small: a 8-byte header (byte order +
+magic 42 + first-IFD offset), a linked list of IFDs (one per page), and
+per-page strip-organized uncompressed sample data. This module implements
+exactly that:
+
+- ``read_tiff_pages``: walks the IFD chain, handles both byte orders
+  (II/MM), BitsPerSample 8/16, SamplesPerPixel 1/3, strip-based storage
+  (any RowsPerStrip), Compression=1 (none) only — compressed TIFFs raise
+  with a clear message (the codec seam stays injectable for those).
+- ``write_tiff``: emits a valid multi-page uncompressed TIFF
+  (little-endian, one strip per page) — used by tests and as the
+  synthetic-data twin.
+- ``png_page_reader``: the `split_tiff_pages` plug — TIFF bytes → list of
+  PNG-encoded frame payloads, mirroring the reference's TIFF-in /
+  PNG-frames-out pipeline (data_uploader FRAME_FILE_FORMAT '.png').
+
+Executor contract: pure functions of bytes, no state — safe inside
+mapInPandas batches.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# IFD tag ids (TIFF 6.0 §8)
+_WIDTH, _LENGTH, _BITS, _COMPRESSION = 256, 257, 258, 259
+_PHOTOMETRIC, _STRIP_OFFSETS, _SAMPLES, _ROWS_PER_STRIP = 262, 273, 277, 278
+_STRIP_COUNTS = 279
+
+# field type → (struct code, byte size); the subset real writers use
+_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}
+
+
+def _read_entry(buf: bytes, pos: int, bo: str) -> tuple[int, list[int]]:
+    """One 12-byte IFD entry → (tag, values)."""
+    tag, ftype, count = struct.unpack(bo + "HHI", buf[pos : pos + 8])
+    if ftype not in _TYPES:
+        return tag, []  # rational/ascii tags (resolution, software): unused
+    code, size = _TYPES[ftype]
+    total = size * count
+    if total <= 4:
+        raw = buf[pos + 8 : pos + 8 + total]
+    else:
+        (off,) = struct.unpack(bo + "I", buf[pos + 8 : pos + 12])
+        raw = buf[off : off + total]
+    return tag, list(struct.unpack(f"{bo}{count}{code}", raw))
+
+
+def read_tiff_pages(payload: bytes) -> list[np.ndarray]:
+    """Multi-page TIFF bytes → one ndarray per page: (H, W) grayscale or
+    (H, W, 3) RGB, dtype uint8/uint16 from BitsPerSample."""
+    buf = bytes(payload)
+    if buf[:4] == b"II*\x00":
+        bo = "<"
+    elif buf[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload (bad header)")
+    (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
+    pages: list[np.ndarray] = []
+    while ifd_off:
+        (n_entries,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
+        tags: dict[int, list[int]] = {}
+        for i in range(n_entries):
+            tag, vals = _read_entry(buf, ifd_off + 2 + 12 * i, bo)
+            tags[tag] = vals
+        (ifd_off,) = struct.unpack(
+            bo + "I",
+            buf[ifd_off + 2 + 12 * n_entries : ifd_off + 6 + 12 * n_entries],
+        )
+        comp = tags.get(_COMPRESSION, [1])[0]
+        if comp != 1:
+            raise ValueError(
+                f"compressed TIFF (Compression={comp}) not supported by the "
+                "built-in reader; inject a page_reader backed by tifffile"
+            )
+        w, h = tags[_WIDTH][0], tags[_LENGTH][0]
+        samples = tags.get(_SAMPLES, [1])[0]
+        bits = tags.get(_BITS, [8])[0]
+        if bits not in (8, 16) or samples not in (1, 3):
+            raise ValueError(
+                f"unsupported TIFF page ({bits}-bit, {samples} samples); the "
+                "frame contract is 8/16-bit grayscale or RGB"
+            )
+        data = b"".join(
+            buf[o : o + c]
+            for o, c in zip(tags[_STRIP_OFFSETS], tags[_STRIP_COUNTS])
+        )
+        dtype = np.dtype(f"{bo}u{bits // 8}")
+        arr = (
+            np.frombuffer(data, dtype=dtype, count=h * w * samples)
+            .astype(np.uint16 if bits == 16 else np.uint8)
+            .reshape((h, w) if samples == 1 else (h, w, samples))
+        )
+        pages.append(arr)
+    return pages
+
+
+def write_tiff(pages: list[np.ndarray]) -> bytes:
+    """Multi-page uncompressed little-endian TIFF from uint8/uint16
+    grayscale/RGB arrays — one strip per page, IFDs chained in order."""
+    bo = "<"
+    out = bytearray(b"II*\x00\x00\x00\x00\x00")
+
+    def _entry(tag: int, ftype: int, values: list[int]) -> bytes:
+        code, size = _TYPES[ftype]
+        packed = struct.pack(f"{bo}{len(values)}{code}", *values)
+        if len(packed) <= 4:
+            return struct.pack(bo + "HHI", tag, ftype, len(values)) + packed.ljust(
+                4, b"\x00"
+            )
+        off = len(out)
+        out.extend(packed)
+        return struct.pack(bo + "HHII", tag, ftype, len(values), off)
+
+    prev_link = 4  # header slot pointing at the first IFD
+    for im in pages:
+        im = np.asarray(im)
+        if im.dtype not in (np.uint8, np.uint16):
+            raise TypeError(f"TIFF frames are uint8/uint16 only, got {im.dtype}")
+        if im.ndim == 2:
+            samples = 1
+        elif im.ndim == 3 and im.shape[2] == 3:
+            samples = 3
+        else:
+            raise TypeError(f"expected (H,W) or (H,W,3) page, got {im.shape}")
+        h, w = im.shape[0], im.shape[1]
+        bits = im.dtype.itemsize * 8
+        strip = im.astype(f"{bo}u{bits // 8}").tobytes()
+        strip_off = len(out)
+        out.extend(strip)
+        entries = [
+            _entry(_WIDTH, 4, [w]),
+            _entry(_LENGTH, 4, [h]),
+            _entry(_BITS, 3, [bits] * samples),
+            _entry(_COMPRESSION, 3, [1]),
+            _entry(_PHOTOMETRIC, 3, [2 if samples == 3 else 1]),
+            _entry(_STRIP_OFFSETS, 4, [strip_off]),
+            _entry(_SAMPLES, 3, [samples]),
+            _entry(_ROWS_PER_STRIP, 4, [h]),
+            _entry(_STRIP_COUNTS, 4, [len(strip)]),
+        ]
+        ifd_off = len(out)
+        struct.pack_into(bo + "I", out, prev_link, ifd_off)
+        out.extend(struct.pack(bo + "H", len(entries)))
+        for e in sorted(entries, key=lambda b: struct.unpack(bo + "H", b[:2])[0]):
+            out.extend(e)
+        prev_link = len(out)
+        out.extend(b"\x00\x00\x00\x00")  # next-IFD link (patched or final)
+    return bytes(out)
+
+
+def png_page_reader(payload: bytes) -> list[bytes]:
+    """`split_tiff_pages` plug: TIFF stack → PNG payload per frame — the
+    reference's TIFF-in / PNG-frames-out upload shape (data_uploader.py
+    FRAME_FILE_FORMAT + file_splitter.py:82-93)."""
+    from imagingdb_spark import png
+
+    return [png.encode_png(p) for p in read_tiff_pages(payload)]

@@ -364,3 +364,49 @@ class TestUploadOverS3:
         assert b.exists(key)
         assert b.get(key) == b"raw-lif-bytes"
         assert fg["sha256"] == hashlib.sha256(b"raw-lif-bytes").hexdigest()
+
+
+class TestUploadRealCodecs:
+    def test_tiff_to_png_upload_no_fakes(self, spark, imaging, tmp_path):
+        """Round 3: the whole reference upload pipeline with REAL codecs —
+        a multi-page TIFF split by the built-in reader, frames re-encoded
+        as PNG, stored, catalogued; downloads decode back to the original
+        pixel data. No injected fakes anywhere."""
+        import hashlib
+
+        import numpy as np
+
+        from imagingdb_spark import png, tiff
+
+        rng = np.random.default_rng(5)
+        pages = [
+            rng.integers(0, 65535, size=(8, 6), endpoint=True).astype(np.uint16)
+            for _ in range(6)  # 2 channels x 3 slices
+        ]
+        src = tmp_path / "real_stack.tif"
+        src.write_bytes(tiff.write_tiff(pages))
+        store = str(tmp_path / "store")
+        serial = "TEST-2005-06-09-20-00-00-4000"
+        out = flows.upload_dataset(
+            spark,
+            spark.createDataFrame(
+                [(serial, str(src), "real codecs", "none")],
+                "dataset_serial string, file_name string, description string, "
+                "parent_dataset_id string",
+            ),
+            imaging,
+            storage_root=store,
+            upload_type="frames",
+            global_meta={"im_width": 6, "im_height": 8,
+                         "nbr_channels": 2, "nbr_slices": 3},
+        )
+        frs = {r["file_name"]: r for r in out["frames"].collect()}
+        assert len(frs) == 6
+        for i, page in enumerate(pages):
+            c, z = i % 2, i // 2
+            name = f"im_c{c:03d}_z{z:03d}_t000_p000.png"
+            blob_path = os.path.join(store, f"raw_frames/{serial}", name)
+            blob = open(blob_path, "rb").read()
+            # stored payload is a real PNG that decodes to the TIFF page
+            np.testing.assert_array_equal(png.decode_png(blob), page)
+            assert frs[name]["sha256"] == hashlib.sha256(blob).hexdigest()

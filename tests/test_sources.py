@@ -4,6 +4,7 @@ expressions, plus the mapInPandas splitter with a fake page reader."""
 
 import hashlib
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -145,10 +146,34 @@ class TestSplitTiffPages:
         assert r["payload"] == bytes([7] * 4)
         assert r["sha256"] == hashlib.sha256(bytes([7] * 4)).hexdigest()
 
-    def test_stub_raises_without_codec(self, spark):
+    def test_default_reader_rejects_non_tiff(self, spark):
+        # round 3: the default reader is the real TIFF codec; junk bytes
+        # fail the header check (ValueError surfaces as PythonException)
         df = spark.createDataFrame([("f.tif", b"\x01")], "path string, content binary")
-        with pytest.raises(Exception):  # NotImplementedError surfaces as PythonException
+        with pytest.raises(Exception):
             sources.split_tiff_pages(df).collect()
+
+    def test_default_reader_splits_real_tiff(self, spark):
+        from imagingdb_spark import png, tiff
+
+        rng2 = np.random.default_rng(3)
+        pages = [
+            rng2.integers(0, 65535, size=(6, 5), endpoint=True).astype(np.uint16)
+            for _ in range(4)
+        ]
+        df = spark.createDataFrame(
+            [("stack.tif", tiff.write_tiff(pages))], "path string, content binary"
+        )
+        got = sorted(
+            sources.split_tiff_pages(df, nbr_channels=2, nbr_slices=2).collect(),
+            key=lambda r: r["page_idx"],
+        )
+        assert len(got) == 4
+        for i, r in enumerate(got):
+            np.testing.assert_array_equal(
+                png.decode_png(bytes(r["payload"])), pages[i]
+            )
+            assert r["sha256"] == hashlib.sha256(bytes(r["payload"])).hexdigest()
 
     def test_grid_indices_expression_matches_python(self, spark):
         df = spark.range(12).select(F.col("id").cast("int").alias("page"))
