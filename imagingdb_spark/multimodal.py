@@ -348,13 +348,22 @@ AUDIO_FEATURE_SCHEMA = T.StructType(
 
 
 def decode_pcm(payload: bytes, sample_rate: int) -> "np.ndarray":
-    """Audio container → float samples in [-1, 1]. No audio codec ships in
-    this container — STUB; inject a decoder (see fake_pcm_decoder) or wire
-    soundfile/librosa here in a real deployment."""
-    raise NotImplementedError(
-        "audio codec not available in this environment; "
-        "inject a decoder (see fake_pcm_decoder) or install soundfile"
-    )
+    """Audio container → float samples in [-1, 1] — REAL for WAV (round 3:
+    imagingdb_spark.wav, pure-numpy RIFF parsing, PCM 8/16/32 + IEEE
+    float). Multi-channel clips downmix by channel mean (the common
+    feature-extraction convention). `sample_rate` is the catalog's
+    declared rate; a mismatch with the container's own rate raises,
+    surfacing catalog/blob drift like decode_png's bit-depth check.
+    Non-WAV payloads raise ValueError — inject a soundfile-backed decoder
+    for compressed formats (the seam is unchanged)."""
+    from imagingdb_spark import wav
+
+    a, rate, _channels = wav.decode_wav(payload)
+    if sample_rate and rate != sample_rate:
+        raise ValueError(
+            f"catalog sample_rate {sample_rate} != payload rate {rate}"
+        )
+    return a.mean(axis=1) if a.ndim == 2 else a
 
 
 def fake_pcm_decoder(payload: bytes, sample_rate: int) -> "np.ndarray":
