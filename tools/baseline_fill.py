@@ -43,18 +43,31 @@ def main() -> None:
         lambda it: it, schema="id long"
     ).count()
 
+    # min-of-N per query: a single sample in an 80+-query sweep picks up
+    # one-off GC pauses / worker-pool churn that recorded 4x-off rows two
+    # rounds running (r2 x_dedup_simhash 16.75s-vs-4s, r3 x_bm25
+    # 15.9s-vs-3.5s). min over independent same-state runs (cache cleared
+    # before each) is the standard noise-robust estimator.
+    reps = 2
     lines = []
     total_s = total_d = 0.0
     for name in sorted(registry.QUERIES):
         fn = registry.QUERIES[name]
-        t0 = time.time()
-        fn(spark, sf_dir).count()
-        spark_s = time.time() - t0
+        samples = []
+        for _ in range(reps):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, sf_dir).count()
+            samples.append(time.time() - t0)
+        spark_s = min(samples)
         spark.catalog.clearCache()
         if name in registry.ORACLE:
-            t0 = time.time()
-            con.execute(registry.ORACLE[name]).fetchall()
-            duck_s = time.time() - t0
+            d_samples = []
+            for _ in range(reps):
+                t0 = time.time()
+                con.execute(registry.ORACLE[name]).fetchall()
+                d_samples.append(time.time() - t0)
+            duck_s = min(d_samples)
             ratio = f"{spark_s / duck_s:.1f}x" if duck_s > 0 else "-"
             duck_cell = f"{duck_s:.2f}"
             total_d += duck_s
@@ -73,10 +86,13 @@ def main() -> None:
     head = text.split(MARKER)[0]
     table = MARKER + "\n|---|---|---|---|---|---|\n" + "\n".join(lines) + "\n"
     note = (
-        "\nSpark per-query times include full plan build + execution in a warm\n"
-        "session (the driver's bench does the same). DuckDB is the single-node\n"
-        "embedded oracle on identical parquet; Spark carries JVM task-scheduling\n"
-        "overhead at this tiny SF that amortizes away at real scale.\n"
+        "\nSpark per-query times are the MIN of 2 independent runs (cache\n"
+        "cleared before each) of full plan build + execution in a warm\n"
+        "session — one-sample sweeps recorded 4x-off rows from one-off GC\n"
+        "pauses two rounds running. DuckDB (same min-of-2) is the\n"
+        "single-node embedded oracle on identical parquet; Spark carries\n"
+        "JVM task-scheduling overhead at this tiny SF that amortizes away\n"
+        "at real scale.\n"
     )
     path.write_text(head + table + note)
     print("BASELINE.md updated")
