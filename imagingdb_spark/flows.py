@@ -304,6 +304,25 @@ def upload_dataset(
         finally:
             files.unpersist()
 
+    if not any(
+        k in (global_meta or {})
+        for k in ("nbr_channels", "nbr_slices", "nbr_positions")
+    ):
+        # tif_id behavior (tif_id_splitter.py:111-126): when the caller
+        # gives no grid, read the first source file's ImageDescription tag
+        # driver-side (a header-only read of one manifest file) and take
+        # channels/slices/positions from its ImageJ key=value lines.
+        from imagingdb_spark.tiff import parse_ij_description, read_description
+
+        try:
+            with open(src_paths[0], "rb") as f:
+                inferred = parse_ij_description(read_description(f.read()))
+            gm.update(
+                {k: inferred[k]
+                 for k in ("nbr_channels", "nbr_slices", "nbr_positions")}
+            )
+        except (ValueError, OSError):
+            pass  # not a readable TIFF: keep the 1/1/1 default grid
     split_kwargs = dict(
         nbr_channels=gm["nbr_channels"],
         nbr_slices=gm["nbr_slices"],
@@ -400,6 +419,42 @@ def fetch_files(
     sinks.write_blobs(blobs, dest_dir)
 
 
+def fetch_files_backend(
+    spark: SparkSession,
+    storage_dir: str,
+    file_names: list[str],
+    dest_dir: str,
+    backend_factory,
+) -> None:
+    """`download_file` (s3_storage.py:178-195) distributed through the
+    BlobBackend seam: tasks pull their partition's objects via a
+    per-partition backend client (the reference's client-per-thread) and
+    publish atomically into dest_dir. The filesystem twin is fetch_files
+    (binaryFile scan); this one serves object stores, where listing is
+    avoided entirely — keys come from the catalog. dest_dir must be
+    storage shared across executors (true on local[*] and on a cluster
+    writing to a mounted/teamed filesystem)."""
+    os.makedirs(dest_dir, exist_ok=True)
+    rows = [(f"{storage_dir}/{n}", n) for n in file_names]
+    df = spark.createDataFrame(rows, "key string, file_name string")
+
+    def pull(it) -> None:
+        from pyspark import TaskContext
+
+        backend = backend_factory()
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else os.getpid()
+        for row in it:
+            data = backend.get(row["key"])
+            path = os.path.join(dest_dir, row["file_name"])
+            tmp = f"{path}.inprogress.{attempt}"
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+
+    df.foreachPartition(pull)
+
+
 def download_dataset(
     spark: SparkSession,
     catalog: dict[str, DataFrame],
@@ -412,6 +467,7 @@ def download_dataset(
     channels=None,
     slices=None,
     storage_root: str | None = None,
+    backend_factory=None,
 ) -> tuple[str, list[str]]:
     """`download_data` (cli/data_downloader.py:106-229): metadata query +
     subset + CSV/JSON sinks + blob fetch, with the reference's exact error
@@ -462,6 +518,16 @@ def download_dataset(
         file_names = [r["file_name"] for r in rows]
 
     if download:
-        src = os.path.join(storage_root, storage_dir) if storage_root else storage_dir
-        fetch_files(spark, src, file_names, dest_dir)
+        if backend_factory is not None:
+            # object-store path (the reference's S3Storage.download_file)
+            fetch_files_backend(
+                spark, storage_dir, file_names, dest_dir, backend_factory
+            )
+        else:
+            src = (
+                os.path.join(storage_root, storage_dir)
+                if storage_root
+                else storage_dir
+            )
+            fetch_files(spark, src, file_names, dest_dir)
     return storage_dir, file_names

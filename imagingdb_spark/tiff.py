@@ -33,11 +33,12 @@ import numpy as np
 
 # IFD tag ids (TIFF 6.0 §8)
 _WIDTH, _LENGTH, _BITS, _COMPRESSION = 256, 257, 258, 259
-_PHOTOMETRIC, _STRIP_OFFSETS, _SAMPLES, _ROWS_PER_STRIP = 262, 273, 277, 278
-_STRIP_COUNTS = 279
+_PHOTOMETRIC, _DESCRIPTION, _STRIP_OFFSETS = 262, 270, 273
+_SAMPLES, _ROWS_PER_STRIP, _STRIP_COUNTS = 277, 278, 279
 
 # field type → (struct code, byte size); the subset real writers use
-_TYPES = {1: ("B", 1), 3: ("H", 2), 4: ("I", 4)}
+# (2 = ASCII, one byte per char incl. the NUL terminator)
+_TYPES = {1: ("B", 1), 2: ("B", 1), 3: ("H", 2), 4: ("I", 4)}
 
 
 def _read_entry(buf: bytes, pos: int, bo: str) -> tuple[int, list[int]]:
@@ -105,9 +106,59 @@ def read_tiff_pages(payload: bytes) -> list[np.ndarray]:
     return pages
 
 
-def write_tiff(pages: list[np.ndarray]) -> bytes:
+def read_description(payload: bytes) -> str | None:
+    """First page's ImageDescription tag (270) as text, or None — the
+    driver-side global-metadata read the reference's tif_id splitter does
+    (tif_id_splitter.py:111-126, `page.tags['ImageDescription']`)."""
+    buf = bytes(payload)
+    if buf[:4] == b"II*\x00":
+        bo = "<"
+    elif buf[:4] == b"MM\x00*":
+        bo = ">"
+    else:
+        raise ValueError("not a TIFF payload (bad header)")
+    (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
+    if not ifd_off:
+        return None
+    (n_entries,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
+    for i in range(n_entries):
+        tag, vals = _read_entry(buf, ifd_off + 2 + 12 * i, bo)
+        if tag == _DESCRIPTION and vals:
+            raw = bytes(vals)
+            return raw.rstrip(b"\x00").decode("ascii", errors="replace")
+    return None
+
+
+def parse_ij_description(description: str | None) -> dict[str, int]:
+    """ImageJ-style `key=value` lines → frame-grid counts, defaults 1 —
+    `_get_params_from_str` (tif_id_splitter.py:63-90): `channels=`,
+    `slices=`, `positions=`, and `frames=` meaning timepoints. The
+    acquisition-order assumption (channels fastest, then slices,
+    positions, frames; tif_id_splitter.py:100-103) matches
+    split_tiff_pages' grid."""
+    out = {
+        "nbr_channels": 1,
+        "nbr_timepoints": 1,
+        "nbr_slices": 1,
+        "nbr_positions": 1,
+    }
+    for line in (description or "").split("\n"):
+        for key, field in (
+            ("channels", "nbr_channels"),
+            ("frames", "nbr_timepoints"),
+            ("slices", "nbr_slices"),
+            ("positions", "nbr_positions"),
+        ):
+            if line.startswith(key + "="):
+                out[field] = int(line.split("=")[1])
+    return out
+
+
+def write_tiff(pages: list[np.ndarray], description: str | None = None) -> bytes:
     """Multi-page uncompressed little-endian TIFF from uint8/uint16
-    grayscale/RGB arrays — one strip per page, IFDs chained in order."""
+    grayscale/RGB arrays — one strip per page, IFDs chained in order.
+    `description` lands in page 0's ImageDescription tag (the ImageJ
+    grid-metadata convention the tif_id splitter reads)."""
     bo = "<"
     out = bytearray(b"II*\x00\x00\x00\x00\x00")
 
@@ -123,7 +174,7 @@ def write_tiff(pages: list[np.ndarray]) -> bytes:
         return struct.pack(bo + "HHII", tag, ftype, len(values), off)
 
     prev_link = 4  # header slot pointing at the first IFD
-    for im in pages:
+    for page_idx, im in enumerate(pages):
         im = np.asarray(im)
         if im.dtype not in (np.uint8, np.uint16):
             raise TypeError(f"TIFF frames are uint8/uint16 only, got {im.dtype}")
@@ -149,6 +200,12 @@ def write_tiff(pages: list[np.ndarray]) -> bytes:
             _entry(_ROWS_PER_STRIP, 4, [h]),
             _entry(_STRIP_COUNTS, 4, [len(strip)]),
         ]
+        if page_idx == 0 and description is not None:
+            entries.append(
+                _entry(
+                    _DESCRIPTION, 2, list(description.encode("ascii") + b"\x00")
+                )
+            )
         ifd_off = len(out)
         struct.pack_into(bo + "I", out, prev_link, ifd_off)
         out.extend(struct.pack(bo + "H", len(entries)))

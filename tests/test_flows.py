@@ -410,3 +410,99 @@ class TestUploadRealCodecs:
             # stored payload is a real PNG that decodes to the TIFF page
             np.testing.assert_array_equal(png.decode_png(blob), page)
             assert frs[name]["sha256"] == hashlib.sha256(blob).hexdigest()
+
+
+class TestUploadGridInference:
+    def test_grid_inferred_from_image_description(self, spark, imaging, tmp_path):
+        """tif_id behavior (tif_id_splitter.py:111-126): no grid in the
+        config -> channels/slices come from the first page's ImageJ
+        ImageDescription tag."""
+        import numpy as np
+
+        from imagingdb_spark import tiff
+
+        pages = [np.full((3, 3), i, np.uint8) for i in range(6)]
+        src = tmp_path / "ij_stack.tif"
+        src.write_bytes(
+            tiff.write_tiff(
+                pages, description="ImageJ=1.53\nimages=6\nchannels=2\nslices=3"
+            )
+        )
+        serial = "TEST-2005-06-09-20-00-00-5000"
+        out = flows.upload_dataset(
+            spark,
+            spark.createDataFrame(
+                [(serial, str(src), "ij grid", "none")],
+                "dataset_serial string, file_name string, description string, "
+                "parent_dataset_id string",
+            ),
+            imaging,
+            storage_root=str(tmp_path / "store"),
+            upload_type="frames",
+            global_meta={"im_width": 3, "im_height": 3},  # no grid keys
+        )
+        g = out["frames_global"].collect()[0]
+        assert g["nbr_channels"] == 2 and g["nbr_slices"] == 3
+        names = {r["file_name"] for r in out["frames"].collect()}
+        assert "im_c001_z002_t000_p000.png" in names  # page 5: c=1, z=2
+
+
+class TestS3RoundTrip:
+    def test_upload_then_download_through_backend(
+        self, spark, imaging, tmp_path
+    ):
+        """Full object-store lifecycle with real codecs: TIFF upload
+        through S3Backend, catalog insert, then download_dataset pulling
+        the PNG frames back through the same backend."""
+        import numpy as np
+
+        from imagingdb_spark import png, sinks, tiff
+
+        rng = np.random.default_rng(17)
+        pages = [
+            rng.integers(0, 255, size=(4, 4), endpoint=True).astype(np.uint8)
+            for _ in range(4)
+        ]
+        src = tmp_path / "s3_stack.tif"
+        src.write_bytes(tiff.write_tiff(pages))
+        bucket_root = str(tmp_path / "bucket")
+
+        def factory():
+            return sinks.S3Backend(
+                "imaging", lambda: sinks.FakeS3Client(bucket_root)
+            )
+
+        serial = "TEST-2005-06-09-20-00-00-6000"
+        out = flows.upload_dataset(
+            spark,
+            spark.createDataFrame(
+                [(serial, str(src), "s3 round trip", "none")],
+                "dataset_serial string, file_name string, description string, "
+                "parent_dataset_id string",
+            ),
+            imaging,
+            storage_root="unused",
+            upload_type="frames",
+            global_meta={"im_width": 4, "im_height": 4,
+                         "nbr_channels": 2, "nbr_slices": 2},
+            backend_factory=factory,
+        )
+        cat2 = {
+            "data_set": imaging["data_set"].unionByName(out["data_set"]),
+            "frames_global": imaging["frames_global"].unionByName(
+                out["frames_global"]
+            ),
+            "frames": imaging["frames"].unionByName(out["frames"]),
+            "file_global": imaging["file_global"],
+        }
+        dest = str(tmp_path / "dl")
+        storage_dir, names = flows.download_dataset(
+            spark, cat2, serial, dest, backend_factory=factory
+        )
+        assert len(names) == 4
+        ddir = os.path.join(dest, serial)
+        assert {"global_metadata.json", "frames_meta.csv"} <= set(os.listdir(ddir))
+        for i, page in enumerate(pages):
+            name = f"im_c{i % 2:03d}_z{i // 2:03d}_t000_p000.png"
+            blob = open(os.path.join(ddir, name), "rb").read()
+            np.testing.assert_array_equal(png.decode_png(blob), page)

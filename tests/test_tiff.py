@@ -96,3 +96,23 @@ def test_png_page_reader_plug():
     assert len(payloads) == 3
     for blob, want in zip(payloads, pages):
         np.testing.assert_array_equal(png.decode_png(blob), want)
+
+
+class TestImageDescription:
+    def test_description_roundtrip_and_parse(self):
+        desc = "ImageJ=1.53\nimages=6\nchannels=2\nslices=3\nframes=1"
+        pages = [np.zeros((2, 2), np.uint8) for _ in range(6)]
+        blob = tiff.write_tiff(pages, description=desc)
+        assert tiff.read_description(blob) == desc
+        got = tiff.parse_ij_description(desc)
+        assert got == {
+            "nbr_channels": 2, "nbr_slices": 3,
+            "nbr_timepoints": 1, "nbr_positions": 1,
+        }
+        # pages still decode identically with the extra ASCII entry
+        assert len(tiff.read_tiff_pages(blob)) == 6
+
+    def test_no_description_returns_none(self):
+        blob = tiff.write_tiff([np.zeros((2, 2), np.uint8)])
+        assert tiff.read_description(blob) is None
+        assert tiff.parse_ij_description(None)["nbr_channels"] == 1
