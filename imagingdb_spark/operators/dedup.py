@@ -621,7 +621,8 @@ def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier all-JVM form exploded shingles into a 32-column vote
     aggregation — a full extra shuffle of docs x shingles rows and a
     32-accumulator hash agg. At sf0.1 wall-clock is shingle-build-bound
-    so both forms measure ~4s; the difference is the removed shuffle,
+    so both forms measure ~2-4s (BASELINE.md min-of-2 row: 2.5s); the
+    difference is the removed shuffle,
     which grows with corpus size while the map-side matrix op stays
     embarrassingly parallel (the Arrow-beats-wide-codegen tradeoff
     documented in operators/similarity.py)."""

@@ -303,7 +303,7 @@ def x_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     row_number — deterministic under ts ties by event_id; (2) per-user
     [min, max] hour bounds → sequence() + explode builds the grid WITHOUT
     a cross join against a calendar table; (3) left join grid↔hourly on
-    (user, hour) and forward-fill with last(ignorenulls) over the hour
+    (user, hour) and forward-fill the matched row (struct) over the hour
     order. Every step shuffles on user_id (high cardinality); the grid is
     bounded by each user's own time span, so a 100 TB corpus with short-
     lived users never explodes. The oracle states the same semantics with
