@@ -506,3 +506,57 @@ class TestS3RoundTrip:
             name = f"im_c{i % 2:03d}_z{i // 2:03d}_t000_p000.png"
             blob = open(os.path.join(ddir, name), "rb").read()
             np.testing.assert_array_equal(png.decode_png(blob), page)
+
+
+class TestBatchUpload:
+    def test_two_datasets_one_manifest(self, spark, imaging, tmp_path):
+        """Batch-wise semantics: the reference loops the manifest per row
+        (data_uploader.py:150); upload_dataset processes ALL rows in one
+        dataflow — two datasets, one call, correct per-dataset grouping."""
+        import numpy as np
+
+        from imagingdb_spark import tiff
+
+        rng = np.random.default_rng(23)
+        srcs = []
+        for i in range(2):
+            pages = [
+                rng.integers(0, 255, size=(3, 3), endpoint=True).astype(np.uint8)
+                for _ in range(4)
+            ]
+            p = tmp_path / f"batch{i}.tif"
+            p.write_bytes(tiff.write_tiff(pages))
+            srcs.append(str(p))
+        serials = [
+            "TEST-2005-06-09-20-00-00-7000",
+            "TEST-2005-06-09-20-00-00-7001",
+        ]
+        manifest = spark.createDataFrame(
+            [(s, src, f"batch ds {i}", "none")
+             for i, (s, src) in enumerate(zip(serials, srcs))],
+            "dataset_serial string, file_name string, description string, "
+            "parent_dataset_id string",
+        )
+        out = flows.upload_dataset(
+            spark, manifest, imaging,
+            storage_root=str(tmp_path / "store"),
+            upload_type="frames",
+            global_meta={"im_width": 3, "im_height": 3,
+                         "nbr_channels": 2, "nbr_slices": 2},
+        )
+        ds = {r["dataset_serial"]: r for r in out["data_set"].collect()}
+        assert set(ds) == set(serials)
+        fgs = out["frames_global"].collect()
+        assert len(fgs) == 2
+        assert all(g["nbr_frames"] == 4 for g in fgs)
+        # frames map to the right dataset through frames_global_id
+        fg_by_id = {g["id"]: g["dataset_id"] for g in fgs}
+        frames = out["frames"].collect()
+        assert len(frames) == 8
+        assert {fg_by_id[r["frames_global_id"]] for r in frames} == {
+            ds[s]["id"] for s in serials
+        }
+        # blobs land under each dataset's own storage_dir
+        for s in serials:
+            d = tmp_path / "store" / "raw_frames" / s
+            assert len(list(d.iterdir())) == 4
