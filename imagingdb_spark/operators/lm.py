@@ -286,3 +286,187 @@ def x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.sum(contrib), 4) + 0.0).alias("bm25"),
         F.count(F.lit(1)).cast("int").alias("n_terms"),
     )
+
+
+PMI_TOP_TERMS = 20
+PMI_MIN_CODOCS = 5
+
+
+@query(
+    "x_cooccur_pmi",
+    oracle=f"""
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok
+      FROM (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+      )
+    ), dfreq AS (
+      SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok
+    ), top AS (
+      SELECT tok, c FROM (
+        SELECT tok, c,
+               row_number() OVER (ORDER BY c DESC, tok ASC) AS rk
+        FROM dfreq
+      ) WHERE rk <= {PMI_TOP_TERMS}
+    ), inc AS (
+      SELECT t.doc_id, t.tok, p.c FROM toks t JOIN top p USING (tok)
+    ), n AS (
+      SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM toks
+    ), pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, a.c AS ca, b.c AS cb,
+             COUNT(*) AS cab
+      FROM inc a JOIN inc b
+        ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2, 3, 4
+    )
+    SELECT tok_a, tok_b, CAST(cab AS BIGINT) AS co_docs,
+           round(ln(cab * n.n_docs / (ca * cb)), 4) + 0.0 AS pmi
+    FROM pairs CROSS JOIN n
+    WHERE cab >= {PMI_MIN_CODOCS}
+    """,
+)
+def x_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doc-level co-occurrence PMI over the corpus's top-{PMI_TOP_TERMS}
+    terms (Church & Hanks 1990, public) — the collocation / topic-signal
+    profiling op. PMI = ln(c_ab · N / (c_a · c_b)) on document incidence.
+
+    Determinism: top-term selection orders by (count DESC, tok ASC) —
+    integer counts, structural ties — and all PMI inputs are integer
+    counts, so the double arithmetic is identical on both engines;
+    rounded to 4 decimals.
+
+    Scale shape: the quadratic self-join is BOUNDED BY CONSTRUCTION — the
+    incidence table is filtered to the top-K broadcast term set before
+    the join, so each doc contributes at most K(K-1)/2 pairs and the
+    join is a doc_id-keyed equi-join with a tok inequality residual
+    (never a cross join). dfreq is a vocabulary-sized aggregate; the
+    doc-count scalar rides the constant-key broadcast. One corpus pass
+    via the shared persisted term-count table."""
+    # doc_term_counts is keyed by (doc_id, tok) — already the incidence
+    # set; a .distinct() here would re-shuffle the whole table for nothing
+    dt = doc_term_counts(spark, sf_dir).select("doc_id", "tok")
+    dfreq = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    # top-K via orderBy().limit() → TakeOrderedAndProject (per-partition
+    # heaps), never a global single-task window — the vocabulary is
+    # millions of rows at 100 TB
+    top = dfreq.orderBy(F.col("c").desc(), F.col("tok").asc()).limit(
+        PMI_TOP_TERMS
+    )
+    inc = dt.join(F.broadcast(top), "tok")
+    n = dt.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    a = inc.select(
+        "doc_id", F.col("tok").alias("tok_a"), F.col("c").alias("ca")
+    )
+    b = inc.select(
+        "doc_id", F.col("tok").alias("tok_b"), F.col("c").alias("cb")
+    )
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b", "ca", "cb")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .filter(F.col("cab") >= PMI_MIN_CODOCS)
+    )
+    return attach_scalar(pairs, n).select(
+        "tok_a",
+        "tok_b",
+        F.col("cab").cast("bigint").alias("co_docs"),
+        (
+            F.round(
+                F.log(F.col("cab") * F.col("n_docs") / (F.col("ca") * F.col("cb"))),
+                4,
+            )
+            + 0.0
+        ).alias("pmi"),
+    )
+
+
+@query(
+    "x_bigram_logprob",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS big
+      FROM t WHERE len(t) >= 2
+    ), db AS (
+      SELECT doc_id, big, COUNT(*) AS c FROM bg GROUP BY doc_id, big
+    ), cb AS (
+      SELECT big, CAST(SUM(c) AS BIGINT) AS cb FROM db GROUP BY big
+    ), cf AS (
+      SELECT split_part(big, ' ', 1) AS w1, CAST(SUM(cb) AS BIGINT) AS cf
+      FROM cb GROUP BY 1
+    )
+    SELECT db.doc_id,
+           CAST(SUM(db.c) AS BIGINT) AS n_bigrams,
+           round(SUM(db.c * ln(cb.cb * 1.0 / cf.cf)) / SUM(db.c), 4) + 0.0
+             AS avg_logprob
+    FROM db
+    JOIN cb USING (big)
+    JOIN cf ON split_part(db.big, ' ', 1) = cf.w1
+    GROUP BY db.doc_id
+    """,
+)
+def x_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram log-probability under the corpus's own
+    bigram LM — the order-2 upgrade of x_unigram_logprob (the CCNet
+    quality-signal family; an MLE bigram model, P(w_i | w_{i-1}) =
+    c(w_{i-1} w_i) / c(w_{i-1}·)). Context counts derive from the bigram
+    table itself (sum over continuations), so both engines use the same
+    integer counts and ln(cb/cf) is the same double; per-doc weighted
+    mean rounded to 4 decimals. Single-token docs are excluded on both
+    sides (no bigram to score).
+
+    Scale shape: bigram construction is a map-side array transform over
+    the token array (0 exchanges, same family as x_chunk_docs —
+    repartitioned first for local single-file layouts); then the unigram
+    pipeline's shape at bigram granularity: per-doc counts
+    partial-aggregate before the shuffle, the bigram-vocabulary table cb
+    and its context marginal cf are vocabulary-sized, and the score join
+    is big-keyed (AQE broadcasts when it fits)."""
+    d = table(spark, sf_dir, "documents")
+    npart = spark.sparkContext.defaultParallelism
+    toks = (
+        d.select("doc_id", "text")
+        .repartition(npart)
+        .select("doc_id", tokens_col(F.col("text")).alias("t"))
+        .filter(F.size("t") >= 2)
+    )
+    bigs = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(t) - 1),"
+                " i -> concat(t[i-1], ' ', t[i]))"
+            )
+        ).alias("big"),
+    )
+    db = bigs.groupBy("doc_id", "big").agg(F.count(F.lit(1)).alias("c"))
+    cb = db.groupBy("big").agg(F.sum("c").alias("cb"))
+    cf = (
+        cb.withColumn("w1", F.split(F.col("big"), " ").getItem(0))
+        .groupBy("w1")
+        .agg(F.sum("cb").alias("cf"))
+    )
+    scored = db.join(cb, "big").withColumn(
+        "w1", F.split(F.col("big"), " ").getItem(0)
+    ).join(cf, "w1")
+    return scored.groupBy("doc_id").agg(
+        F.sum("c").alias("n_bigrams"),
+        (
+            F.round(
+                F.sum(F.col("c") * F.log(F.col("cb") * 1.0 / F.col("cf")))
+                / F.sum("c"),
+                4,
+            )
+            + 0.0
+        ).alias("avg_logprob"),
+    )

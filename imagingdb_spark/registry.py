@@ -136,6 +136,8 @@ PRIORITY: list[str] = [
     # x_tfidf / st_anomaly hold the in-window slots for their families)
     "x_bm25",           # D18 sibling: Okapi BM25 retrieval scoring
     "x_mad_outlier",    # robust median/MAD outlier flag (st_anomaly's exact batch twin)
+    "x_cooccur_pmi",    # D4 sibling: top-K-bounded co-occurrence PMI
+    "x_bigram_logprob", # D17 sibling: bigram-LM quality score
 ]
 
 
