@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 import shutil
 import uuid
 from urllib.parse import urlparse
@@ -105,6 +106,54 @@ def compact_parquet(
         "files_after": n_after,
         "bytes_total": total_after,
     }
+
+
+def find_orphan_blobs(
+    spark: SparkSession,
+    frames: DataFrame,
+    frames_global: DataFrame,
+    storage_root: str,
+) -> DataFrame:
+    """Storage/catalog reconciliation: blobs on disk that no catalog row
+    references — the debris a crashed upload leaves behind (the blob
+    write lands before the catalog insert in flows.upload_dataset, and
+    the idempotent sink never deletes). Returns (path, storage_key,
+    length) rows for the orphans; deletion is left to the caller (an
+    irreversible op that should be a separate, audited step).
+
+    Shape: one binaryFile LISTING scan of the store (recursive glob,
+    metadata only — payloads are never read because only path/length are
+    projected) anti-joined against the catalog's (storage_dir, file_name)
+    keys. Both sides are slim key columns; at 100 TB the anti-join
+    shuffles keys, not data, and AQE broadcasts the catalog side when it
+    fits."""
+    from pyspark.sql import functions as F
+
+    listed = (
+        spark.read.format("binaryFile")
+        .option("recursiveFileLookup", True)
+        .load(storage_root)
+        .select("path", "length")
+        .withColumn(
+            "storage_key",
+            F.regexp_replace(
+                F.regexp_replace("path", "^file:/*", "/"),
+                re.escape(_local_path(storage_root).rstrip("/")) + "/",
+                "",
+            ),
+        )
+    )
+    referenced = frames.join(
+        frames_global.select(
+            F.col("id").alias("frames_global_id"), "storage_dir"
+        ),
+        "frames_global_id",
+    ).select(
+        F.concat_ws("/", "storage_dir", "file_name").alias("storage_key")
+    )
+    return listed.join(referenced, "storage_key", "left_anti").select(
+        "path", "storage_key", "length"
+    )
 
 
 def write_clustered(

@@ -120,3 +120,26 @@ def test_compact_rolls_back_when_new_copy_unreadable(spark, tmp_path, monkeypatc
     # original table restored in place, rows intact
     assert _sorted_rows(spark.read.parquet(path)) == before
     assert not glob.glob(f"{path}.old.*")
+
+
+def test_find_orphan_blobs(spark, tmp_path, imaging):
+    """Reconciliation: a blob with no catalog row is an orphan; every
+    catalogued blob is not."""
+    store = tmp_path / "store"
+    ds_dir = store / "raw_frames" / "TEST-2005-10-09-20-00-00-0001"
+    ds_dir.mkdir(parents=True)
+    cat_frames = imaging["frames"].filter("frames_global_id = 1").collect()
+    for r in cat_frames:
+        (ds_dir / r["file_name"]).write_bytes(b"blob")
+    (ds_dir / "im_c099_z099_t000_p000.png").write_bytes(b"crashed upload")
+    (store / "raw_frames" / "stray.png").parent.mkdir(exist_ok=True)
+    (store / "raw_frames" / "stray.png").write_bytes(b"stray")
+
+    orphans = layout.find_orphan_blobs(
+        spark, imaging["frames"], imaging["frames_global"], str(store)
+    )
+    keys = {r["storage_key"] for r in orphans.collect()}
+    assert keys == {
+        "raw_frames/TEST-2005-10-09-20-00-00-0001/im_c099_z099_t000_p000.png",
+        "raw_frames/stray.png",
+    }
