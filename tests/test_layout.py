@@ -143,3 +143,35 @@ def test_find_orphan_blobs(spark, tmp_path, imaging):
         "raw_frames/TEST-2005-10-09-20-00-00-0001/im_c099_z099_t000_p000.png",
         "raw_frames/stray.png",
     }
+
+
+def test_write_zordered_prunes_both_keys(spark, tmp_path):
+    """Morton clustering: per-file min/max envelopes (from the parquet
+    footers) must be narrow in BOTH dimensions, where single-key
+    clustering leaves the second key unprunable."""
+    events = spark.read.parquet(f"{SF_DIR}/events.parquet").select(
+        "user_id", "event_id", "value"
+    )
+
+    def avg_range_frac(path, col):
+        lo = min(mn for mn, _ in _file_key_ranges(path, col))
+        hi = max(mx for _, mx in _file_key_ranges(path, col))
+        span = hi - lo or 1
+        fracs = [
+            (mx - mn) / span for mn, mx in _file_key_ranges(path, col)
+        ]
+        return sum(fracs) / len(fracs)
+
+    zpath = str(tmp_path / "events_z")
+    layout.write_zordered(events, zpath, ["user_id", "event_id"], n_files=8)
+    cpath = str(tmp_path / "events_c")
+    layout.write_clustered(events, cpath, ["user_id"], n_files=8)
+
+    # z-order: both dimensions have narrow per-file envelopes
+    assert avg_range_frac(zpath, "user_id") < 0.6
+    assert avg_range_frac(zpath, "event_id") < 0.6
+    # single-key clustering: first key perfect, second key unpruned
+    assert avg_range_frac(cpath, "user_id") < 0.2
+    assert avg_range_frac(cpath, "event_id") > 0.8
+    # rows unchanged
+    assert spark.read.parquet(zpath).count() == events.count()
