@@ -291,3 +291,58 @@ def x_mad_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("robust_z"),
         (F.col("adev") > 3 * MAD_K * F.col("mad")).alias("is_outlier"),
     )
+
+
+@query(
+    "x_funnel",
+    oracle="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_view_click,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_view_click_purchase
+    """,
+)
+def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step funnel conversion (view → click → purchase): users
+    counted at each step only if the step's FIRST occurrence follows the
+    previous step's first occurrence — the product-analytics sequencing
+    query (strictly ordered min-timestamps, not mere co-occurrence).
+
+    Scale shape: each step is a pruned scan (event_type pushed to
+    parquet) → per-user min aggregate (map-side partial) → user-keyed
+    equi-join with a time residual against the previous step's (small,
+    converting-users-only) frame, which AQE broadcasts as the funnel
+    narrows. Timestamps and counts are exact on both engines."""
+    e = table(spark, sf_dir, "events")
+
+    def first_after(event_type: str, prev: DataFrame, prev_t: str, out_t: str):
+        step = e.filter(F.col("event_type") == event_type)
+        if prev is not None:
+            step = step.join(prev, "user_id").filter(F.col("ts") > F.col(prev_t))
+        return step.groupBy("user_id").agg(F.min("ts").alias(out_t))
+
+    v = first_after("view", None, "", "t1")
+    c = first_after("click", v, "t1", "t2")
+    p = first_after("purchase", c, "t2", "t3")
+    counts = [
+        df.agg(F.count(F.lit(1)).alias(name))
+        for df, name in ((v, "n_view"), (c, "n_view_click"),
+                         (p, "n_view_click_purchase"))
+    ]
+    out = counts[0]
+    for nxt in counts[1:]:
+        out = out.crossJoin(nxt)  # three 1-row frames
+    return out

@@ -40,6 +40,13 @@ ORACLE: dict[str, str] = {}
 # x_quality_filter. Tail queries keep their implementations + unit tests
 # and their recorded green rows from prior rounds; they only lose a FRESH
 # driver row this round.
+#
+# Round-4 rotation plan: once CORRECTNESS_r03 records green rows for the
+# 16 rotated-in queries, rotate the round-3 tail additions (x_bm25,
+# x_mad_outlier, x_cooccur_pmi, x_bigram_logprob, x_funnel — all
+# oracle-exact, selfcheck-verified) into the window in place of five more
+# double-green rows (e.g. f_substring, f_inlist, o_sort, a_count,
+# p_project), so every registered query eventually holds a driver record.
 PRIORITY: list[str] = [
     # --- rotated IN for round 3: never driver-checked before (13 oracle-exact)
     "w_dense_rank",     # W
@@ -138,6 +145,7 @@ PRIORITY: list[str] = [
     "x_mad_outlier",    # robust median/MAD outlier flag (st_anomaly's exact batch twin)
     "x_cooccur_pmi",    # D4 sibling: top-K-bounded co-occurrence PMI
     "x_bigram_logprob", # D17 sibling: bigram-LM quality score
+    "x_funnel",         # ordered-step funnel conversion (events)
 ]
 
 
