@@ -167,20 +167,28 @@ def x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the `tok ASC` tiebreak resolves them identically); rounding to 4
     decimals happens only in the projection.
 
-    Plan shape: ONE corpus pass (the persisted term-count table), then
-    document frequency and doc length as WINDOW aggregates over it — no
-    second table materialization, no join-backs: one exchange on tok (df
-    window), one on doc_id (doc-length window), and the top-k row_number
-    window REUSES the doc_id partitioning (same partition key → no third
-    exchange, just an in-partition sort). The doc-count scalar rides a
-    constant-key broadcast hash join. Never a global sort."""
+    Plan shape: ONE corpus pass (the persisted term-count table) and ONE
+    full-width exchange. Document frequency is a vocabulary-sized
+    ``groupBy(tok)`` aggregate (map-side partial combine → the shuffle
+    carries one row per (partition, term), not one per posting) joined
+    back by broadcast — the full term table is never re-shuffled by tok.
+    Doc length rides a WINDOW on doc_id, and the top-k row_number window
+    REUSES that doc_id partitioning (same key → no extra exchange, just
+    the in-partition sort). The doc-count scalar rides a constant-key
+    broadcast hash join. Never a global sort. (An earlier revision
+    computed df as a window over tok — correct, but it re-shuffled every
+    posting row by term; at 100 TB that's a corpus-sized exchange where
+    the aggregate+broadcast shape moves only vocabulary-sized data.)"""
     dt = doc_term_counts(spark, sf_dir)
     n = dt.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
-    w_tok = Window.partitionBy("tok")
+    df_tab = dt.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("double").alias("df")
+    )
     w_doc = Window.partitionBy("doc_id")
     scored = attach_scalar(
-        dt.withColumn("df", F.count(F.lit(1)).over(w_tok).cast("double"))
-        .withColumn("n_tok", F.sum("c").over(w_doc).cast("double")),
+        dt.join(F.broadcast(df_tab), "tok").withColumn(
+            "n_tok", F.sum("c").over(w_doc).cast("double")
+        ),
         n,
     ).select(
         "doc_id",
