@@ -346,3 +346,110 @@ def x_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for nxt in counts[1:]:
         out = out.crossJoin(nxt)  # three 1-row frames
     return out
+
+
+@query(
+    "x_retention",
+    oracle="""
+    WITH u AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT u.cohort_week,
+           CAST(datediff('day', CAST(u.cohort_week AS DATE),
+                         CAST(date_trunc('week', e.ts) AS DATE)) / 7 AS INT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN u USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention analysis: users grouped by the ISO week of their
+    FIRST event (the cohort), counted as active in each subsequent week —
+    the product-analytics retention triangle (n_active at week_offset 0 is
+    the cohort size). Both engines truncate weeks to Monday (ISO), week
+    offsets are exact integer day-diffs between week starts divided by 7
+    (always a multiple of 7, so the double division is exact), and the
+    count is a plain distinct — fully deterministic.
+
+    Scale shape: the cohort table is a per-user min aggregate (map-side
+    partial, shuffle one row per user) joined back to the fact on user_id
+    — a dimension-sized broadcast whenever users << events (AQE decides);
+    the retention cells are then a low-cardinality groupBy. No windows,
+    no global sort, the fact table is scanned once."""
+    e = table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        e.join(u, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.date_trunc("week", F.col("ts")).cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+HIST_WIDTH = 5000.0  # equi-width bucket size over l_extendedprice
+
+
+@query(
+    "x_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(floor(l_extendedprice / {HIST_WIDTH}) AS INT) AS bucket,
+             COUNT(*) AS n
+      FROM lineitem GROUP BY 1
+    )
+    SELECT bucket,
+           bucket * {HIST_WIDTH} AS lo,
+           (bucket + 1) * {HIST_WIDTH} AS hi,
+           CAST(n AS BIGINT) AS n,
+           round(n / SUM(n) OVER (), 4) + 0.0 AS share
+    FROM b
+    """,
+)
+def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of l_extendedprice (the profiling op behind
+    every data-quality dashboard and optimizer statistics collection).
+    Bucket ids are exact integer floors of an exact double division, so
+    both engines bin identically; the share denominator is an integer sum.
+
+    Scale shape: a pure projection + tiny groupBy — the shuffle carries
+    one row per (partition, bucket), i.e. dozens of rows regardless of
+    corpus size. The share window runs UNPARTITIONED but over the
+    aggregated bucket table only (≈ max_price/width rows), never the
+    fact table — the same aggregate-first-then-window pattern the
+    optimizer can't infer on its own."""
+    li = table(spark, sf_dir, "lineitem")
+    b = (
+        li.select(
+            F.floor(F.col("l_extendedprice") / HIST_WIDTH)
+            .cast("int")
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    from pyspark.sql import Window
+
+    w_all = Window.partitionBy()
+    return b.select(
+        "bucket",
+        (F.col("bucket") * HIST_WIDTH).alias("lo"),
+        ((F.col("bucket") + 1) * HIST_WIDTH).alias("hi"),
+        F.col("n").cast("bigint").alias("n"),
+        (F.round(F.col("n") / F.sum("n").over(w_all), 4) + 0.0).alias("share"),
+    )

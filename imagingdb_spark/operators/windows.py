@@ -201,3 +201,105 @@ def w_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("trailing_n"),
         F.round(F.sum("value").over(w), 4).alias("trailing_sum"),
     )
+
+
+ZSCORE_LOOKBACK = 19  # trailing frame = current row + 19 preceding
+ZSCORE_MIN_N = 5      # frames smaller than this give no score
+
+
+@query(
+    "x_rolling_zscore",
+    oracle=f"""
+    WITH q AS (
+      SELECT event_id, user_id, ts,
+             CAST(round(value * 100) AS BIGINT) AS vc
+      FROM events
+    ), w AS (
+      SELECT event_id, user_id, vc,
+             COUNT(*) OVER fr AS n,
+             SUM(vc) OVER fr AS s1,
+             SUM(vc * vc) OVER fr AS s2
+      FROM q
+      WINDOW fr AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN {ZSCORE_LOOKBACK} PRECEDING AND CURRENT ROW)
+    ), s AS (
+      SELECT event_id, user_id, vc, n, s1,
+             s1 / (n * 100.0) AS mu,
+             (s2 / 10000.0 - (s1 / 100.0) * (s1 / 100.0) / n) / (n - 1) AS var
+      FROM w WHERE n >= 2
+    )
+    SELECT s.event_id, s.user_id,
+           CAST(n AS BIGINT) AS roll_n,
+           floor(s1 * 100.0 / n + 0.5) / 10000.0 AS roll_mean,
+           CASE WHEN n >= {ZSCORE_MIN_N} AND var > 0
+                THEN floor((vc / 100.0 - mu) / sqrt(var) * 10000.0 + 0.5)
+                     / 10000.0 END AS z,
+           CASE WHEN n >= {ZSCORE_MIN_N} AND var > 0
+                THEN abs((vc / 100.0 - mu) / sqrt(var)) > 2 END AS is_spike
+    FROM s
+    """,
+)
+def x_rolling_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling z-score over a trailing {ZSCORE_LOOKBACK}+1-row
+    frame — the sliding-window anomaly signal (the ROWS-frame, exact
+    sibling of st_anomaly's streaming Welford state and x_mad_outlier's
+    global robust score). Rows with fewer than 2 frame rows are dropped;
+    short or zero-variance frames yield NULL scores on both sides.
+
+    Exactness contract: a naive AVG/STDDEV oracle FAILS here — DuckDB
+    evaluates moving-frame aggregates with segment trees, so its
+    floating-point summation ORDER differs from Spark's and the last-ulp
+    difference flips 4-decimal rounding on real data (observed on this
+    very query). The fix is integer frame state: value quantizes to
+    BIGINT cents, the window carries only COUNT/SUM/SUM-of-squares —
+    integer addition is associative, so segment-tree order cannot change
+    them — and mean/variance derive from those exact integers with the
+    SAME double expression on both engines (textually mirrored), making
+    every emitted double bit-identical, not just close.
+
+    Scale shape: ONE shuffle on user_id + an in-partition sort — the same
+    single-exchange shape as w_running/w_range_frame; the ROWS frame is
+    bounded (20 rows) so window state is O(frame), not O(partition)."""
+    e = table(spark, sf_dir, "events")
+    fr = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-ZSCORE_LOOKBACK, 0)
+    )
+    vc = F.round(F.col("value") * 100).cast("bigint")
+    q = e.select("event_id", "user_id", "ts", vc.alias("vc"))
+    w = q.select(
+        "event_id",
+        "user_id",
+        "vc",
+        F.count(F.lit(1)).over(fr).alias("n"),
+        F.sum("vc").over(fr).alias("s1"),
+        F.sum(F.col("vc") * F.col("vc")).over(fr).alias("s2"),
+    ).filter(F.col("n") >= 2)
+    mu = F.col("s1") / (F.col("n") * 100.0)
+    var = (
+        F.col("s2") / 10000.0
+        - (F.col("s1") / 100.0) * (F.col("s1") / 100.0) / F.col("n")
+    ) / (F.col("n") - 1)
+    s = w.select(
+        "event_id", "user_id", "vc", "n", "s1",
+        mu.alias("mu"), var.alias("var"),
+    )
+    ok = (F.col("n") >= ZSCORE_MIN_N) & (F.col("var") > 0)
+    z_raw = (F.col("vc") / 100.0 - F.col("mu")) / F.sqrt("var")
+    # NOT F.round: Spark rounds the double's shortest DECIMAL repr (Java
+    # BigDecimal) while DuckDB rounds the BINARY value, and cent-quantized
+    # means hit exact .xxxx5 boundaries constantly — the two engines split
+    # them. floor(x*1e4 + 0.5)/1e4 is half-up rounding with bit-identical
+    # semantics everywhere, given bit-identical x (which the integer frame
+    # state guarantees). Mirrored textually in the oracle.
+    mean4 = F.floor(F.col("s1") * 100.0 / F.col("n") + 0.5) / 10000.0
+    z4 = F.floor(z_raw * 10000.0 + 0.5) / 10000.0
+    return s.select(
+        "event_id",
+        "user_id",
+        F.col("n").cast("bigint").alias("roll_n"),
+        mean4.alias("roll_mean"),
+        F.when(ok, z4).alias("z"),
+        F.when(ok, F.abs(z_raw) > 2).alias("is_spike"),
+    )

@@ -146,6 +146,9 @@ PRIORITY: list[str] = [
     "x_cooccur_pmi",    # D4 sibling: top-K-bounded co-occurrence PMI
     "x_bigram_logprob", # D17 sibling: bigram-LM quality score
     "x_funnel",         # ordered-step funnel conversion (events)
+    "x_retention",      # cohort retention triangle (events)
+    "x_histogram",      # equi-width histogram profiling (lineitem)
+    "x_rolling_zscore", # bounded ROWS-frame anomaly score (events)
 ]
 
 
