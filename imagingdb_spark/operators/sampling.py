@@ -18,10 +18,11 @@ per-split audit count, map-side partial as always.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from imagingdb_spark.catalog import table
+from imagingdb_spark.operators.text import tokens_col
 from imagingdb_spark.registry import query
 
 # hex-string thresholds: uniform md5 hex compared lexicographically.
@@ -142,4 +143,169 @@ def x_shard_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "shard",
             F.row_number().over(w).cast("bigint").alias("pos_in_shard"),
         )
+    )
+
+
+MIX_BUCKETS = 65536  # 4 md5 hex chars of sampling resolution
+
+
+@query(
+    "x_domain_mix",
+    oracle=f"""
+    WITH c AS (
+      SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+    ), m AS (
+      SELECT MIN(c) AS cmin FROM c
+    ), r AS (
+      SELECT c.lang,
+             CAST(floor(sqrt(CAST(m.cmin AS DOUBLE) / c.c) * {MIX_BUCKETS})
+                  AS BIGINT) AS thr
+      FROM c CROSS JOIN m
+    )
+    SELECT d.doc_id, d.lang, d.source, r.thr
+    FROM documents d JOIN r USING (lang)
+    WHERE '0' || substr(md5('mix-' || CAST(d.doc_id AS VARCHAR)), 1, 4)
+          < printf('%05x', r.thr)
+    """,
+)
+def x_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-reweighted domain mixing (the Pile / DoReMi-family
+    corpus-mixing step, public): downsample each language toward a
+    temperature-alpha=0.5 mixture. Keep rate per language is
+    sqrt(c_min / c_lang) — the resulting mixture is proportional to
+    sqrt(share), normalized so the RAREST language is kept in full.
+
+    Determinism: the rate formula is deliberately SUM-FREE — normalizing
+    by a sum of per-language weights would hang the result on float
+    summation order; min/max are order-insensitive, integer counts are
+    exact, division and sqrt are IEEE-exact, so both engines compute
+    bit-identical rates. The rate becomes an integer md5-bucket threshold
+    rendered as FIVE lowercase hex chars (rate 1.0 → '10000' must sort
+    ABOVE every 4-char sample, so samples are zero-padded to 5), keeping
+    the whole filter in exact string/integer arithmetic — the same
+    content-addressed pattern as x_split_hash/x_sample_weighted.
+
+    Scale shape: the language histogram is a tiny aggregate (map-side
+    partial); rates broadcast back; assignment is a pure projection +
+    filter — zero corpus shuffles, append-stable, reproducible across
+    engines, runs, and cluster sizes."""
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("lang").agg(F.count(F.lit(1)).alias("c"))
+    m = c.agg(F.min("c").alias("cmin"))
+    r = c.crossJoin(F.broadcast(m)).select(
+        "lang",
+        F.floor(
+            F.sqrt(F.col("cmin").cast("double") / F.col("c")) * MIX_BUCKETS
+        )
+        .cast("bigint")
+        .alias("thr"),
+    )
+    h5 = F.concat(
+        F.lit("0"),
+        F.substring(
+            F.md5(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))), 1, 4
+        ),
+    )
+    return (
+        d.join(F.broadcast(r), "lang")
+        .filter(h5 < F.format_string("%05x", F.col("thr")))
+        .select("doc_id", "lang", "source", "thr")
+    )
+
+
+TOKEN_BUDGET = 10_000   # tokens to select at any SF (≈37% of sf0.01 corpus)
+BUDGET_BUCKETS = 50     # score-quantile buckets for the two-pass selection
+
+
+@query(
+    "x_token_budget",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) / len(toks) AS score
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents
+      )
+      WHERE len(toks) > 0
+    ), w AS (
+      SELECT doc_id, n_tokens, score,
+             SUM(n_tokens) OVER (ORDER BY score DESC, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, score
+    FROM w WHERE cum <= {TOKEN_BUDGET}
+    """,
+)
+def x_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus selection: keep the highest-quality documents
+    (quality = distinct-token ratio, doc_id tiebreak) until a fixed token
+    budget is exhausted — the data-selection step that turns "we can only
+    train on N tokens" into a concrete corpus. A document is kept iff its
+    inclusive running token total, in (score DESC, doc_id) order, stays
+    within the budget.
+
+    Scale shape: the oracle's global ORDER BY + running sum would move
+    the whole corpus through ONE task in Spark, so the implementation is
+    the two-pass equivalent: (1) quantize scores into {BUDGET_BUCKETS}+1
+    ordered buckets and aggregate per-bucket token sums — a tiny shuffle;
+    (2) the driver prefix-sums the ≤{BUDGET_BUCKETS}+1 bucket rows (a
+    scalar-sized collect, same documented boundary as graph.py's
+    convergence scalar) to classify each bucket as fully-kept,
+    fully-dropped, or THE single boundary bucket; (3) only the boundary
+    bucket — ~1/{BUDGET_BUCKETS} of the corpus — runs a within-bucket
+    running-sum window seeded with the preceding buckets' exact total.
+    Bucket boundaries respect the score order, and ties can't straddle
+    buckets (equal scores share a bucket), so the result is IDENTICAL to
+    the single-window semantics. At larger scale, widen BUDGET_BUCKETS or
+    recurse the same trick inside the boundary bucket.
+
+    Determinism: score is an exact integer ratio, token counts are
+    integers, and the running sums are integer — no float aggregation
+    anywhere."""
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    s = d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("score"),
+    ).filter(F.col("n_tokens") > 0)
+    s = s.withColumn(
+        "bucket", F.floor(F.col("score") * BUDGET_BUCKETS).cast("int")
+    ).persist()
+    # pass 1: per-bucket token totals, prefix-summed on the driver
+    btab = (
+        s.groupBy("bucket")
+        .agg(F.sum("n_tokens").alias("btok"))
+        .orderBy(F.col("bucket").desc())
+        .collect()
+    )
+    full, boundary, prefix = [], None, 0
+    for row in btab:
+        if prefix + row["btok"] <= TOKEN_BUDGET:
+            full.append(row["bucket"])
+            prefix += row["btok"]
+        else:
+            boundary, boundary_prefix = row["bucket"], prefix
+            break
+    out = s.filter(F.col("bucket").isin(full)) if full else None
+    if boundary is not None:
+        w = Window.partitionBy("bucket").orderBy(
+            F.col("score").desc(), F.col("doc_id")
+        ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        part = (
+            s.filter(F.col("bucket") == boundary)
+            .withColumn("cum", F.sum("n_tokens").over(w) + F.lit(boundary_prefix))
+            .filter(F.col("cum") <= TOKEN_BUDGET)
+            .drop("cum")
+        )
+        out = part if out is None else out.unionByName(part)
+    if out is None:  # budget smaller than the first doc, or empty corpus
+        out = s.limit(0)
+    return out.select(
+        "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "score"
     )

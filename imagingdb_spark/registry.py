@@ -149,6 +149,8 @@ PRIORITY: list[str] = [
     "x_retention",      # cohort retention triangle (events)
     "x_histogram",      # equi-width histogram profiling (lineitem)
     "x_rolling_zscore", # bounded ROWS-frame anomaly score (events)
+    "x_domain_mix",     # D8 sibling: temperature-0.5 corpus mixing
+    "x_token_budget",   # D8 sibling: quality-ordered token-budget selection
 ]
 
 
