@@ -470,3 +470,59 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+SEMDEDUP_THRESHOLD = EMBED_DUP_THRESHOLD
+
+
+@query("x_semdedup")  # rows-only: k-means codebook not ANSI-SQL-expressible
+def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, public): semantic deduplication by
+    k-means clustering + within-cluster cosine pruning. Where
+    x_dedup_embed blocks on a GIVEN key (label), SemDeDup LEARNS the
+    blocking from the data: cluster all embeddings with the IVF codebook,
+    then score pairs only within each cluster — near-dups land in the
+    same cell because they are near in the embedding space itself, so no
+    metadata key is needed. Deviation from the paper, for determinism: we
+    keep the MINIMUM vec_id of each duplicate adjacency (the paper keeps
+    the vector farthest from the centroid; any fixed rule is valid —
+    min-id is engine-independent). A vector is dropped iff it has a
+    smaller-id near-dup in its cell; the full transitive treatment is
+    graph.py's connected components over these same pairs.
+
+    Scale shape: codebook training touches a deterministic sample only
+    (_ivf_centroids); cell assignment is one map-side Arrow matmul; pair
+    scoring is ONE shuffle grouped by cell, each cell scored with tiled
+    BLAS gram matrices (peak memory tile², not cell²); the drop set is a
+    cell-local distinct. The quadratic is bounded by the cell size — at
+    100 TB you raise IVF_K so cells stay task-sized, exactly like FAISS
+    shards its index. Soundness (every dropped vector has a kept
+    above-threshold partner) and planted-duplicate recall are asserted in
+    tests/test_extensions.py."""
+    e = table(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(e)
+    assign = _ivf_assign_udf(centroids)
+    cells = e.withColumn("cell", assign("embedding"))
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _embed_block_pairs(pdf, SEMDEDUP_THRESHOLD)
+
+    pairs = (
+        cells.select("vec_id", "embedding", F.col("cell").alias("label"))
+        .groupBy("label")
+        .applyInPandas(
+            block, "vec_a long, vec_b long, label int, cosine_sim double"
+        )
+        .filter(
+            F.round("cosine_sim", 4) >= SEMDEDUP_THRESHOLD
+        )
+    )
+    losers = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
+    return (
+        cells.join(losers.withColumn("dropped", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce("dropped", F.lit(False)).alias("is_dropped"),
+        )
+    )

@@ -426,3 +426,81 @@ class TestGapfillNullValues:
         # true gap: forward fill carries the NULL from hour 1, not 1.0
         assert out[2].filled_value is None and out[2].is_gap is True
         assert out[3].filled_value == 4.0 and out[3].is_gap is False
+
+
+class TestSemDedup:
+    def test_soundness_every_drop_has_kept_partner(self, spark):
+        """A vector may only be dropped because of an above-threshold
+        near-dup with a smaller id in its cell — verify against exact
+        cosine recomputed in numpy for every dropped vector."""
+        import numpy as np
+
+        from imagingdb_spark.operators import similarity as S
+
+        sf_dir = "/root/testdata/sf0.001"
+        out = {
+            r["vec_id"]: (r["cell"], r["is_dropped"])
+            for r in S.x_semdedup(spark, sf_dir).collect()
+        }
+        emb = {
+            r["vec_id"]: np.asarray(r["embedding"], dtype=np.float64)
+            for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+        }
+        assert len(out) == len(emb)  # one verdict per vector
+        dropped = [v for v, (_, d) in out.items() if d]
+        for v in dropped:
+            cell = out[v][0]
+            partners = [
+                u
+                for u, (c, _) in out.items()
+                if c == cell and u < v
+            ]
+            best = max(
+                float(
+                    emb[v] @ emb[u]
+                    / (np.linalg.norm(emb[v]) * np.linalg.norm(emb[u]))
+                )
+                for u in partners
+            )
+            assert round(best, 4) >= S.SEMDEDUP_THRESHOLD, (v, best)
+
+    def test_planted_duplicates_are_found(self, spark, tmp_path):
+        """Recall on clustered data: plant exact near-duplicates (tiny
+        deterministic perturbations of existing vectors) — k-means must
+        put each copy in its original's cell and the copy (larger id)
+        must be dropped."""
+        import numpy as np
+
+        from imagingdb_spark.operators import similarity as S
+
+        base = spark.read.parquet(
+            "/root/testdata/sf0.001/embeddings.parquet"
+        ).collect()
+        rows, max_id = [], max(r["vec_id"] for r in base)
+        for r in base:
+            rows.append((r["vec_id"], r["label"], list(r["embedding"])))
+        planted = []
+        for i, r in enumerate(base[:10]):
+            v = np.asarray(r["embedding"], dtype=np.float32)
+            v = v * (1.0 + 1e-4 * (i + 1))  # same direction → cosine 1.0
+            planted.append(max_id + 1 + i)
+            rows.append((max_id + 1 + i, r["label"], [float(x) for x in v]))
+        df = spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<float>"
+        )
+        d = str(tmp_path / "sfplant")
+        df.coalesce(1).write.parquet(f"{d}/embeddings.parquet")
+        out = {
+            r["vec_id"]: r["is_dropped"]
+            for r in S.x_semdedup(spark, d).collect()
+        }
+        found = sum(out[p] for p in planted)
+        assert found >= 9, f"only {found}/10 planted dups dropped"
+
+    def test_deterministic(self, spark):
+        from imagingdb_spark.operators import similarity as S
+
+        sf_dir = "/root/testdata/sf0.001"
+        a = sorted(map(tuple, S.x_semdedup(spark, sf_dir).collect()))
+        b = sorted(map(tuple, S.x_semdedup(spark, sf_dir).collect()))
+        assert a == b
