@@ -103,3 +103,126 @@ def x_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("text").cast("bigint").alias("n_chars"),
         "action",
     )
+
+
+def merge_scd2(
+    history: DataFrame,
+    changes: DataFrame,
+    key: str,
+    change_ts: str = "change_ts",
+) -> DataFrame:
+    """Generic SCD-2 merge (Kimball slowly-changing-dimension type 2,
+    public): ``history`` rows carry validity intervals (``valid_from``,
+    ``valid_to`` NULL = current); a change row CLOSES the key's current
+    interval at its timestamp and OPENS a new one — but ONLY when some
+    tracked attribute actually changed (a change row identical to the
+    current attributes is a no-op, so re-deliveries don't fragment
+    history). Unknown keys open their first interval. Closed history is
+    immutable and passes through untouched.
+
+    Scale shape: one full-outer join of the CURRENT slice against the
+    change batch on the key (the same exchange profile as merge_upsert —
+    at 100 TB bucket the history by key and only the batch shuffles);
+    closed rows ride a union, no shuffle. The attribute comparison is a
+    null-safe conjunction evaluated inside the join project — no second
+    pass."""
+    attrs = [
+        c for c in history.columns if c not in (key, "valid_from", "valid_to")
+    ]
+    if set(changes.columns) != {key, change_ts, *attrs}:
+        raise ValueError("merge_scd2: changes must carry key + ts + attrs")
+    closed = history.filter(F.col("valid_to").isNotNull())
+    t = history.filter(F.col("valid_to").isNull()).alias("t")
+    c = changes.alias("c")
+    j = t.join(c, F.col(f"t.{key}") == F.col(f"c.{key}"), "full_outer")
+    same = F.lit(True)
+    for a in attrs:
+        same = same & F.col(f"t.{a}").eqNullSafe(F.col(f"c.{a}"))
+    matched = F.col(f"t.{key}").isNotNull() & F.col(f"c.{key}").isNotNull()
+    closes = matched & ~same
+    old_rows = j.filter(F.col(f"t.{key}").isNotNull()).select(
+        F.col(f"t.{key}").alias(key),
+        *[F.col(f"t.{a}").alias(a) for a in attrs],
+        F.col("t.valid_from").alias("valid_from"),
+        F.when(closes, F.col(f"c.{change_ts}")).alias("valid_to"),
+    )
+    new_rows = j.filter(closes | (matched == F.lit(False)) & F.col(f"c.{key}").isNotNull()).select(
+        F.col(f"c.{key}").alias(key),
+        *[F.col(f"c.{a}").alias(a) for a in attrs],
+        F.col(f"c.{change_ts}").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    return closed.unionByName(old_rows).unionByName(new_rows)
+
+
+SCD2_T0 = "2024-01-01 00:00:00"
+SCD2_T1 = "2024-02-01 00:00:00"
+
+
+@query(
+    "x_scd2_history",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT doc_id, lang,
+             substr(md5('scd-' || CAST(doc_id AS VARCHAR)), 1, 1) AS h
+      FROM documents
+    ), chg AS (
+      SELECT doc_id,
+             CASE WHEN h IN ('0','1','2','3') THEN lang || '-2'
+                  ELSE lang END AS new_lang
+      FROM keyed WHERE h IN ('0','1','2','3','4','5')
+    ), diff AS (
+      SELECT c.doc_id, c.new_lang
+      FROM chg c JOIN documents d USING (doc_id)
+      WHERE c.new_lang <> d.lang
+    )
+    SELECT d.doc_id, d.lang,
+           TIMESTAMP '{SCD2_T0}' AS valid_from,
+           CASE WHEN f.doc_id IS NOT NULL
+                THEN TIMESTAMP '{SCD2_T1}' END AS valid_to,
+           f.doc_id IS NULL AS is_current
+    FROM documents d LEFT JOIN diff f USING (doc_id)
+    UNION ALL
+    SELECT doc_id, new_lang, TIMESTAMP '{SCD2_T1}', NULL, TRUE FROM diff
+    """,
+)
+def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 dimension history over the documents corpus: a deterministic
+    re-classification batch (md5-sliced — ~25% of docs get a new lang,
+    another ~12% are re-delivered UNCHANGED to exercise the no-op path)
+    closes the original validity interval at T1 and opens a new current
+    row. Output: the full history with is_current, the lineage a training
+    pipeline needs to answer "which lang did this doc have when snapshot
+    X was cut?". The no-op slice must leave exactly one open row per key
+    — interval fragmentation on re-delivery is THE classic SCD-2 bug."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    history = d.select(
+        "doc_id",
+        "lang",
+        F.lit(SCD2_T0).cast("timestamp").alias("valid_from"),
+        F.lit(None).cast("timestamp").alias("valid_to"),
+    )
+    h = F.substring(
+        F.md5(F.concat(F.lit("scd-"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    changes = (
+        d.withColumn("h", h)
+        .filter(F.col("h").isin(*"012345"))
+        .select(
+            "doc_id",
+            F.when(
+                F.col("h").isin(*"0123"), F.concat("lang", F.lit("-2"))
+            )
+            .otherwise(F.col("lang"))
+            .alias("lang"),
+            F.lit(SCD2_T1).cast("timestamp").alias("change_ts"),
+        )
+    )
+    out = merge_scd2(history, changes, key="doc_id")
+    return out.select(
+        "doc_id",
+        "lang",
+        "valid_from",
+        "valid_to",
+        F.col("valid_to").isNull().alias("is_current"),
+    )

@@ -151,6 +151,7 @@ PRIORITY: list[str] = [
     "x_rolling_zscore", # bounded ROWS-frame anomaly score (events)
     "x_domain_mix",     # D8 sibling: temperature-0.5 corpus mixing
     "x_semdedup",       # D2 sibling: k-means-blocked semantic dedup (rows-only)
+    "x_scd2_history",   # S10 sibling: SCD-2 validity-interval history
     "x_token_budget",   # D8 sibling: quality-ordered token-budget selection
 ]
 

@@ -22,24 +22,28 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming import StreamingQuery
 
-def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, schema: T.StructType | None = None
+) -> DataFrame:
     """S: file-based stream over the events parquet (one-file-per-trigger
     keeps local tests deterministic). Kafka swap-in:
     spark.readStream.format('kafka')... with the same downstream plan.
 
-    The stream schema is taken from a driver-side batch footer read so the
-    source tracks the physical type the data generator used for `ts`:
-    TIMESTAMP(NANOS) surfaces as LONG under nanosAsLong and is converted to
-    microsecond timestamps exactly like catalog.table does; a native
-    TIMESTAMP(MICROS) column passes through untouched.
-
-    Deployment note (ADVICE r2): re-inferring per start is right for this
-    test harness, where the driver regenerates the data (and its physical
-    types) between rounds. A durable deployment restarting from a
-    checkpoint must instead PIN the expected schema in the job config —
-    if newly arriving files drift (nanos→micros mid-stream) the fixed
-    schema chosen at stream start would silently misread them."""
-    batch_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    Schema (ADVICE r2): pass ``schema`` to PIN the source schema — the
+    right mode for a durable deployment restarting from a checkpoint,
+    where a per-start re-inference would silently misread files whose
+    physical types drifted (nanos→micros) since the checkpoint was cut.
+    When omitted, the schema is taken from a driver-side batch footer
+    read, which is right for this test harness (the driver regenerates
+    the data, and its physical types, between rounds). Either way the
+    generator's TIMESTAMP(NANOS) `ts` surfaces as LONG under nanosAsLong
+    and is converted to microsecond timestamps exactly like catalog.table
+    does; a native TIMESTAMP(MICROS) column passes through untouched."""
+    batch_schema = (
+        schema
+        if schema is not None
+        else spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    )
     # the file stream source requires a directory; glob-filter to the events
     # table (sf_dir holds the other tables' parquet too)
     raw = (

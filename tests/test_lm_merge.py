@@ -108,3 +108,46 @@ class TestMergeUpsert:
         bad = spark.createDataFrame([(1, "x", 0)], "k long, v string, extra int")
         with pytest.raises(ValueError, match="schemas must match"):
             merge_upsert(t, bad, "k")
+
+
+class TestScd2:
+    def _hist(self, spark):
+        from imagingdb_spark.operators.merge import merge_scd2
+
+        hist = spark.createDataFrame(
+            [(1, "en", "2024-01-01 00:00:00", None),
+             (2, "de", "2024-01-01 00:00:00", None)],
+            "k long, lang string, valid_from string, valid_to string",
+        ).selectExpr(
+            "k", "lang",
+            "cast(valid_from as timestamp) valid_from",
+            "cast(valid_to as timestamp) valid_to",
+        )
+        chg = spark.createDataFrame(
+            [(1, "fr", "2024-02-01 00:00:00"),   # real change
+             (2, "de", "2024-02-01 00:00:00"),   # no-op redelivery
+             (3, "zh", "2024-02-01 00:00:00")],  # brand-new key
+            "k long, lang string, change_ts string",
+        ).selectExpr("k", "lang", "cast(change_ts as timestamp) change_ts")
+        return merge_scd2, hist, chg
+
+    def test_close_noop_insert(self, spark):
+        merge_scd2, hist, chg = self._hist(spark)
+        out = merge_scd2(hist, chg, key="k")
+        rows = {(r["k"], r["lang"]): r for r in out.collect()}
+        assert len(rows) == 4
+        assert rows[(1, "en")]["valid_to"] is not None      # closed
+        assert rows[(1, "fr")]["valid_to"] is None          # new current
+        assert rows[(2, "de")]["valid_to"] is None          # no-op kept open
+        assert rows[(3, "zh")]["valid_to"] is None          # first interval
+
+    def test_redelivery_is_idempotent(self, spark):
+        """Applying the SAME batch twice must not fragment intervals —
+        the second pass sees every change row equal to the now-current
+        attributes and does nothing."""
+        merge_scd2, hist, chg = self._hist(spark)
+        once = merge_scd2(hist, chg, key="k")
+        twice = merge_scd2(once, chg, key="k")
+        a = sorted(map(tuple, once.collect()))
+        b = sorted(map(tuple, twice.collect()))
+        assert a == b

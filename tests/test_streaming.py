@@ -209,3 +209,26 @@ def test_streaming_dedup_gate_replay_idempotent(spark, tmp_path):
     q2.processAllAvailable()
     q2.stop()
     assert spark.read.parquet(corpus_path).count() == n_after_first
+
+
+def test_pinned_schema_stream_matches_inferred(spark):
+    """ADVICE r2: a durable deployment pins the source schema instead of
+    re-inferring per start — the pinned stream must produce the same rows
+    as the inferred one on the same data."""
+    pinned = spark.read.parquet(f"{SF_DIR}/events.parquet").schema
+    s = jobs.read_events_stream(spark, SF_DIR, schema=pinned)
+    q = (
+        jobs.tumbling_counts(s)
+        .writeStream.format("memory")
+        .queryName("pinned_tumble")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) n FROM pinned_tumble").collect()[0]["n"]
+    from imagingdb_spark.operators import streaming_batch as sb
+
+    want = sb.st_tumbling(spark, SF_DIR).count()
+    q.stop()
+    assert got == want
