@@ -366,3 +366,69 @@ def x_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("filled_value"),
         F.col("__obs").isNull().alias("is_gap"),
     )
+
+
+SESSIONIZE_GAP_S = 1800  # 30-minute inactivity gap, matching st_session
+
+
+@query(
+    "x_sessionize",
+    oracle=f"""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_ts
+      FROM events
+    ), f AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN prev_ts IS NULL
+                    OR epoch_us(ts) - epoch_us(prev_ts)
+                       >= {SESSIONIZE_GAP_S} * 1000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM g
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS session_idx
+    FROM f
+    """,
+)
+def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-EVENT session assignment — the row-level twin of st_session's
+    per-session aggregates: every event gets its user's running session
+    index (1-based), computed with the lag + cumulative-sum idiom. The
+    gap test is `>=` on exact epoch micros, matching Spark's
+    session_window boundary semantics (an event at exactly prev + gap
+    opens a NEW session), so the two views of sessionization agree.
+
+    This is the assignment a feature pipeline joins ON — aggregates alone
+    can't tag the original events with their session.
+
+    Scale shape: ONE exchange on user_id shared by both stacked windows
+    (lag, then running sum — same partitioning AND same ordering, so
+    Catalyst plans a single sort); integer state only, exact on both
+    engines. The streaming twin is session_window + flatMapGroupsWithState
+    at the cost of holding open-session state; batch recomputation is the
+    cheaper shape for backfills."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.unix_micros(F.col("ts"))).over(w)
+    is_new = F.when(
+        prev.isNull()
+        | (F.unix_micros(F.col("ts")) - prev >= SESSIONIZE_GAP_S * 1_000_000),
+        1,
+    ).otherwise(0)
+    return (
+        e.select("event_id", "user_id", "ts", is_new.alias("is_new"))
+        .select(
+            "event_id",
+            "user_id",
+            F.sum("is_new")
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("bigint")
+            .alias("session_idx"),
+        )
+    )

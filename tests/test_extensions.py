@@ -504,3 +504,42 @@ class TestSemDedup:
         a = sorted(map(tuple, S.x_semdedup(spark, sf_dir).collect()))
         b = sorted(map(tuple, S.x_semdedup(spark, sf_dir).collect()))
         assert a == b
+
+
+class TestSessionize:
+    def test_agrees_with_session_window_aggregates(self, spark):
+        """The per-event assignment and Spark's session_window aggregates
+        must describe the SAME sessions: identical session count per user
+        and identical total session count."""
+        from imagingdb_spark.operators import streaming_batch as sb
+
+        sf_dir = "/root/testdata/sf0.001"
+        assigned = sb.x_sessionize(spark, sf_dir)
+        per_user = (
+            assigned.groupBy("user_id")
+            .agg(F.max("session_idx").alias("n_sessions"))
+            .collect()
+        )
+        agg = (
+            sb.st_session(spark, sf_dir)
+            .groupBy("user_id")
+            .count()
+            .collect()
+        )
+        a = {r["user_id"]: r["n_sessions"] for r in per_user}
+        b = {r["user_id"]: r["count"] for r in agg}
+        assert a == b
+
+    def test_single_exchange_plan(self, spark):
+        """Both stacked windows (lag + running sum) share one user_id
+        exchange — a second Exchange would mean the sort/partition reuse
+        regressed."""
+        from imagingdb_spark.operators import streaming_batch as sb
+
+        plan = (
+            sb.x_sessionize(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1, plan
