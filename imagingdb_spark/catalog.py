@@ -132,3 +132,61 @@ IMAGING_SCHEMAS = {
     "frames": FRAMES_SCHEMA,
     "file_global": FILE_GLOBAL_SCHEMA,
 }
+
+
+# ---------------------------------------------------------------------------
+# Multi-format table IO (S-ops: sources/sinks beyond parquet)
+# ---------------------------------------------------------------------------
+# The reference reads CSV manifests and JSON configs and stores rows in
+# Postgres; the engine's canonical table format is parquet. These helpers
+# add the remaining Spark-native columnar/interchange formats behind one
+# call so a deployment can land tables where its ecosystem needs them:
+# ORC (the other pushdown-capable columnar format — Hive/Trino
+# interchange), CSV and JSON-lines (interchange exports, schema required
+# on read — never inferred, inference is a full extra scan at 100 TB).
+
+TABLE_FORMATS = ("parquet", "orc", "csv", "json")
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+) -> None:
+    """Write a table in any supported format. CSV gets a header (the
+    manifest convention, data_uploader.py:106-108); partition_by produces
+    hive-style directory partitioning (partition pruning on read — see
+    tests/test_bucketing.py for the pruning evidence)."""
+    if fmt not in TABLE_FORMATS:
+        raise ValueError(f"unsupported table format: {fmt}")
+    w = df.write.mode(mode).format(fmt)
+    if fmt == "csv":
+        w = w.option("header", True)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.save(path)
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | None = None,
+) -> DataFrame:
+    """Read a table written by write_table. Parquet/ORC carry their own
+    schema; CSV/JSON REQUIRE the explicit schema — type inference would
+    silently widen/narrow types and costs a full extra pass."""
+    if fmt not in TABLE_FORMATS:
+        raise ValueError(f"unsupported table format: {fmt}")
+    r = spark.read.format(fmt)
+    if fmt in ("csv", "json"):
+        if schema is None:
+            raise ValueError(f"{fmt} read requires an explicit schema")
+        r = r.schema(schema)
+        if fmt == "csv":
+            r = r.option("header", True)
+    elif schema is not None:
+        r = r.schema(schema)
+    return r.load(path)
