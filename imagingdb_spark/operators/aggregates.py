@@ -453,3 +453,73 @@ def x_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         (F.round(F.col("n") / F.sum("n").over(w_all), 4) + 0.0).alias("share"),
     )
+
+
+INCR_SPLIT_DAY = "2024-01-15"  # events before = standing state, after = new batch
+
+
+@query(
+    "x_incr_agg",
+    oracle="""
+    SELECT event_type,
+           strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0
+             AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def x_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance: a standing daily rollup (state
+    from all events before INCR_SPLIT_DAY) is brought up to date by
+    MERGING the new batch's partial aggregates — never by recomputing
+    history. The oracle is the FULL recompute over all events, so the
+    driver check proves the incremental merge is lossless: this is the
+    mergeable-aggregate algebra (count and sum are commutative monoids —
+    merging partial states equals aggregating the union) that makes
+    hierarchical/resumable rollups possible at 100 TB, where the state
+    table is millions of rows but the daily increment is the only data
+    scanned.
+
+    Determinism: values quantize to BIGINT cents before summation
+    (integer addition is order-insensitive; a raw double SUM would differ
+    between engines in the last ulp), and the final /100.0 of an integer
+    is the same double everywhere.
+
+    Scale shape: each side aggregates with map-side partial combine; the
+    merge is a second groupBy over the UNION of two state-sized frames —
+    shuffle rows = group cardinality, not event count. In production the
+    state side is a parquet table written by the previous run; here both
+    sides derive from deterministic date slices of the same table so the
+    oracle can verify the algebra end-to-end."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias(
+            "day"
+        ),
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("s_cents"),
+        )
+
+    state = partial(e.filter(F.col("day") < INCR_SPLIT_DAY))
+    increment = partial(e.filter(F.col("day") >= INCR_SPLIT_DAY))
+    merged = (
+        state.unionByName(increment)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("s_cents").alias("s_cents"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (F.col("s_cents") / 100.0).alias("sum_value"),
+    )

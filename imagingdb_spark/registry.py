@@ -153,6 +153,7 @@ PRIORITY: list[str] = [
     "x_semdedup",       # D2 sibling: k-means-blocked semantic dedup (rows-only)
     "x_scd2_history",   # S10 sibling: SCD-2 validity-interval history
     "x_sessionize",     # St3 row-level twin: per-event session assignment
+    "x_incr_agg",       # A+ sibling: mergeable-aggregate incremental rollup
     "x_token_budget",   # D8 sibling: quality-ordered token-budget selection
 ]
 
