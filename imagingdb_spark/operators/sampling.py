@@ -309,3 +309,45 @@ def x_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", F.col("n_tokens").cast("bigint").alias("n_tokens"), "score"
     )
+
+
+STRATA_N = 20  # fixed sample size per language
+
+
+@query(
+    "x_stratified",
+    oracle=f"""
+    SELECT doc_id, lang, rk
+    FROM (
+      SELECT doc_id, lang,
+             CAST(row_number() OVER (
+               PARTITION BY lang
+               ORDER BY md5('strat-' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS rk
+      FROM documents
+    )
+    WHERE rk <= {STRATA_N}
+    """,
+)
+def x_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified fixed-count sampling: exactly {STRATA_N} documents per
+    language (fewer if the stratum is smaller), selected by
+    content-addressed rank — the eval-set construction op ("200 examples
+    per language, stable across reruns"). Hash-rank, not rand(): the
+    sample is reproducible across engines/runs and only churns minimally
+    under appends (a new doc displaces at most one sampled doc of its own
+    stratum).
+
+    Scale shape: the same per-group top-k window as w_topk_group — one
+    shuffle on the stratum key, per-partition sort, early filter. Group
+    skew (one giant stratum) is the known hazard; the mitigation is the
+    same two-level trick as x_token_budget: pre-filter each stratum by a
+    hash-prefix range that over-samples ~2x, then rank only the
+    survivors."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("strat-"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(h, "doc_id")
+    return (
+        d.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rk"))
+        .filter(F.col("rk") <= STRATA_N)
+    )

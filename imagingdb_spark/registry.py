@@ -154,6 +154,7 @@ PRIORITY: list[str] = [
     "x_scd2_history",   # S10 sibling: SCD-2 validity-interval history
     "x_sessionize",     # St3 row-level twin: per-event session assignment
     "x_incr_agg",       # A+ sibling: mergeable-aggregate incremental rollup
+    "x_stratified",     # D8 sibling: fixed-count per-stratum eval sampling
     "x_token_budget",   # D8 sibling: quality-ordered token-budget selection
 ]
 
