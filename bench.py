@@ -45,6 +45,9 @@ HEADLINE = [
     "x_chunk_docs",     # fixed-stride RAG chunking
     "w_range_frame",    # time-bounded RANGE window frame
     "x_gapfill",        # dense-grid resample + forward fill
+    "x_tfidf",          # shared term-count pass + broadcast df join-back
+    "x_retention",      # cohort retention triangle
+    "x_incr_agg",       # mergeable-aggregate incremental rollup
 ]
 
 
