@@ -384,3 +384,80 @@ def streaming_dedup_gate(
         .outputMode("append")
         .start()
     )
+
+
+SESSIONIZE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_idx", T.LongType()),
+    ]
+)
+SESSIONIZE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("session_idx", T.LongType()),
+    ]
+)
+
+
+def _sessionize_update(key, pdfs, state, gap_s: int):
+    """Per-user session assignment for one micro-batch; state carries
+    (last event epoch-micros, current session index) across batches.
+    Factored out of sessionize_stream so the cross-batch continuation
+    logic is unit-testable without a streaming query."""
+    import numpy as np
+    import pandas as pd
+
+    if state.exists:
+        last_us, idx = state.get
+    else:
+        last_us, idx = None, 0
+    whole = pd.concat(list(pdfs), ignore_index=True)
+    out = None
+    if len(whole):
+        whole = whole.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        us = (whole["ts"].astype("int64") // 1000).to_numpy()  # ns → µs
+        # sentinel for a brand-new user: one full gap before their first
+        # event, so it always opens session 1 (no int64 overflow games)
+        first_prev = last_us if last_us is not None else us[0] - gap_s * 1_000_000
+        prev = np.concatenate(([first_prev], us[:-1]))
+        is_new = (us - prev) >= gap_s * 1_000_000
+        sess = idx + np.cumsum(is_new.astype(np.int64))
+        out = pd.DataFrame(
+            {
+                "event_id": whole["event_id"].to_numpy(),
+                "user_id": np.full(len(whole), key[0], dtype=np.int64),
+                "session_idx": sess,
+            }
+        )
+        last_us, idx = int(us[-1]), int(sess[-1])
+    state.update((last_us, idx))
+    if out is not None:
+        yield out
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Streaming twin of operators/streaming_batch.x_sessionize: per-event
+    session ids assigned across micro-batches via applyInPandasWithState.
+    State per user is two longs (last event time, session counter) —
+    O(distinct users), same shuffle key as session_window.
+
+    In-order contract: like every lag-based sessionizer, assignment
+    assumes each user's events arrive in event-time order ACROSS
+    micro-batches (the in-order-source case: time-partitioned files, or
+    a Kafka topic keyed by user). An out-of-order source needs
+    watermark-horizon buffering inside the state — the batch twin is the
+    cheap backfill for that case."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def update(key, pdfs, state):
+        yield from _sessionize_update(key, pdfs, state, gap_s)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=SESSIONIZE_OUT_SCHEMA,
+        stateStructType=SESSIONIZE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

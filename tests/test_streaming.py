@@ -232,3 +232,82 @@ def test_pinned_schema_stream_matches_inferred(spark):
     want = sb.st_tumbling(spark, SF_DIR).count()
     q.stop()
     assert got == want
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _sessionize_update directly."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def test_sessionize_stream_matches_batch(spark):
+    """Single-batch parity: streaming per-event session ids == the batch
+    twin's assignment on the same data."""
+    s = jobs.read_events_stream(spark, SF_DIR)
+    q = (
+        jobs.sessionize_stream(s)
+        .writeStream.format("memory")
+        .queryName("sess_stream")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {
+        r["event_id"]: r["session_idx"]
+        for r in spark.sql("SELECT * FROM sess_stream").collect()
+    }
+    q.stop()
+    from imagingdb_spark.operators import streaming_batch as sb
+
+    want = {
+        r["event_id"]: r["session_idx"]
+        for r in sb.x_sessionize(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+def test_sessionize_state_continues_across_batches():
+    """Cross-batch continuation, driven directly: a second micro-batch
+    must continue the user's session when within the gap and open a new
+    one when beyond it — including a gap that SPANS the batch boundary."""
+    import pandas as pd
+
+    state = _FakeState()
+    hour = 3_600_000_000_000  # ns
+
+    def batch(rows):
+        return [
+            pd.DataFrame(
+                {
+                    "event_id": [r[0] for r in rows],
+                    "user_id": [7] * len(rows),
+                    "ts": pd.to_datetime([r[1] for r in rows], unit="ns"),
+                }
+            )
+        ]
+
+    out1 = list(
+        jobs._sessionize_update((7,), batch([(1, 0), (2, hour // 60)]), state, 1800)
+    )[0]
+    assert list(out1["session_idx"]) == [1, 1]  # 1 min apart → same session
+    # batch 2: first event 10 min after batch 1's last (same session),
+    # second event 2 h later (new session)
+    out2 = list(
+        jobs._sessionize_update(
+            (7,), batch([(3, hour // 6 + hour // 60), (4, 3 * hour)]), state, 1800
+        )
+    )[0]
+    assert list(out2["session_idx"]) == [1, 2]
+    # state carries (last_us, idx)
+    assert state.get == (3 * hour // 1000, 2)
