@@ -523,3 +523,48 @@ def x_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("bigint").alias("n_events"),
         (F.col("s_cents") / 100.0).alias("sum_value"),
     )
+
+
+@query(
+    "x_exact_quantiles",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+           round(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def x_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group percentiles (PERCENTILE_CONT semantics: linear
+    interpolation between adjacent order statistics — identical math in
+    Spark's `percentile` and DuckDB's `quantile_cont`). The exact twin of
+    a_approx_sketch's approx_percentile row: exact answers when group
+    count is small enough to sort, sketches when it is not.
+
+    Scale shape: ONE shuffle on the group key, then a per-group sort
+    inside the aggregate buffer. Exact grouped percentiles hold the whole
+    group's values in the aggregation buffer — fine for a handful of
+    groups at bench SF, memory-hazardous for billion-row groups, which is
+    exactly when a_approx_sketch's fixed-size KLL/GK sketch replaces this
+    operator (that tradeoff is the reason both rows exist)."""
+    li = table(spark, sf_dir, "lineitem")
+    pct = F.percentile("l_extendedprice", F.array(*[F.lit(x) for x in (0.25, 0.50, 0.75, 0.99)]))
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            pct.alias("q"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.round(F.col("q")[0], 4).alias("p25"),
+            F.round(F.col("q")[1], 4).alias("p50"),
+            F.round(F.col("q")[2], 4).alias("p75"),
+            F.round(F.col("q")[3], 4).alias("p99"),
+        )
+    )

@@ -811,3 +811,103 @@ def x_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
         )
     )
+
+
+SPAN_TOKENS = 8  # non-overlapping span width for line-level exact dedup
+
+
+@query(
+    "x_span_dedup",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), n AS (
+      SELECT doc_id, t,
+             CAST(ceil(len(t) / {SPAN_TOKENS}.0) AS BIGINT) AS n_spans
+      FROM toks WHERE len(t) > 0
+    ), s AS (
+      SELECT doc_id, t, unnest(range(n_spans)) AS i FROM n
+    ), spans AS (
+      SELECT doc_id, i,
+             array_to_string(t[i * {SPAN_TOKENS} + 1 :
+                               i * {SPAN_TOKENS} + {SPAN_TOKENS}], ' ')
+               AS span_text
+      FROM s
+    ), df AS (
+      SELECT span_text, count(DISTINCT doc_id) AS ndocs
+      FROM spans GROUP BY span_text
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(CASE WHEN ndocs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_spans,
+           coalesce(string_agg(CASE WHEN ndocs < 2 THEN span_text END,
+                               ' ' ORDER BY i), '') AS text_clean
+    FROM spans JOIN df USING (span_text)
+    GROUP BY doc_id
+    """,
+)
+def x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level exact dedup — the CCNet / RefinedWeb "remove duplicated
+    lines across documents" pass, expressed over fixed {SPAN_TOKENS}-token
+    non-overlapping spans (this corpus has no newlines; on real text the
+    splitter is `split(text, '\\n')` and everything downstream is
+    unchanged). A span appearing verbatim in ≥2 distinct documents
+    (boilerplate: headers, cookie banners, nav bars) is deleted from ALL
+    of them; each doc is reassembled from its surviving spans in order.
+
+    Scale shape: tokenize+slice is map-side (one explode, rows ≈ tokens /
+    {SPAN_TOKENS}); span frequency is one map-side-combined groupBy; the
+    join-back is span_text-keyed shuffle. At 100 TB the join-back carries
+    a 8-byte xxhash of the span instead of its text, and the reassembly
+    groupBy(doc_id) collects only (i, span_hash, keep) — the actual text
+    rewrite happens in the same pass via the collected keep-mask. Peak
+    state per doc is its own span list — bounded by doc length, never by
+    corpus size."""
+    d = table(spark, sf_dir, "documents")
+    npart = spark.sparkContext.defaultParallelism
+    toks = (
+        d.select("doc_id", "text")
+        .repartition(npart)
+        .select("doc_id", tokens_col(F.col("text")).alias("t"))
+        .filter(F.size("t") > 0)
+    )
+    n_spans = F.ceil(F.size("t") / float(SPAN_TOKENS)).cast("bigint")
+    spans = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_spans - 1)).alias("i"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "i",
+        F.array_join(
+            F.slice("t", (F.col("i") * SPAN_TOKENS + 1).cast("int"), SPAN_TOKENS),
+            " ",
+        ).alias("span_text"),
+    )
+    df_counts = spans.groupBy("span_text").agg(
+        F.count_distinct("doc_id").alias("ndocs")
+    )
+    joined = spans.join(df_counts, "span_text")
+    kept_struct = F.when(
+        F.col("ndocs") < 2, F.struct(F.col("i"), F.col("span_text"))
+    )
+    return joined.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dup_spans"),
+        F.coalesce(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(kept_struct)),
+                    lambda x: x["span_text"],
+                ),
+                " ",
+            ),
+            F.lit(""),
+        ).alias("text_clean"),
+    )

@@ -226,3 +226,78 @@ def x_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "valid_to",
         F.col("valid_to").isNull().alias("is_current"),
     )
+
+
+def table_diff(a: DataFrame, b: DataFrame, key: str, cmp: str) -> DataFrame:
+    """Snapshot reconciliation: full-outer join two keyed snapshots and
+    classify every key as added / removed / changed / unchanged by
+    comparing the ``cmp`` column (pass a content hash for wide rows).
+    The anti-entropy primitive behind replica repair, backup verification,
+    and "what did yesterday's pipeline run actually change" audits."""
+    ta = a.alias("a")
+    tb = b.alias("b")
+    joined = ta.join(tb, F.col(f"a.{key}") == F.col(f"b.{key}"), "full_outer")
+    status = (
+        F.when(F.col(f"a.{key}").isNull(), F.lit("added"))
+        .when(F.col(f"b.{key}").isNull(), F.lit("removed"))
+        .when(F.col(f"a.{cmp}") == F.col(f"b.{cmp}"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(
+        F.coalesce(F.col(f"b.{key}"), F.col(f"a.{key}")).alias(key),
+        status.alias("status"),
+    )
+
+
+@query(
+    "x_table_diff",
+    oracle=f"""
+    WITH b AS (
+      SELECT doc_id + {INSERT_ID_OFFSET} AS doc_id,
+             'new page ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents
+      WHERE substr(md5('add-' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+      UNION ALL
+      SELECT doc_id,
+             CASE WHEN substr(md5('chg-' || CAST(doc_id AS VARCHAR)), 1, 1)
+                         IN ('0', '1')
+                  THEN text || ' [edit]' ELSE text END AS text
+      FROM documents
+      WHERE substr(md5('del-' || CAST(doc_id AS VARCHAR)), 1, 1) <> '0'
+    )
+    SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
+           CASE WHEN a.doc_id IS NULL THEN 'added'
+                WHEN b.doc_id IS NULL THEN 'removed'
+                WHEN a.text = b.text THEN 'unchanged'
+                ELSE 'changed' END AS status
+    FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+    """,
+)
+def x_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diff two corpus snapshots: snapshot B is documents after a
+    content-addressed synthetic day of churn (~6% deleted, ~12% edited,
+    ~6% new pages in a disjoint key range — identical batch on both
+    engines by construction). Output: every key with its
+    added/removed/changed/unchanged status.
+
+    Scale shape: same as MERGE — one shuffle per side on the key, compare
+    on a content column (at 100 TB you diff sha256(text) columns so the
+    shuffle carries 32 bytes per row, never page bodies; the classify is
+    a pure projection after the join). Bucketed snapshots make it
+    shuffle-free."""
+    a = table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = lambda prefix: F.substring(  # noqa: E731
+        F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string"))), 1, 1
+    )
+    added = a.filter(h("add-") == "0").select(
+        (F.col("doc_id") + INSERT_ID_OFFSET).alias("doc_id"),
+        F.concat(F.lit("new page "), F.col("doc_id").cast("string")).alias("text"),
+    )
+    survived = a.filter(h("del-") != "0").select(
+        "doc_id",
+        F.when(
+            h("chg-").isin("0", "1"), F.concat("text", F.lit(" [edit]"))
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    b = added.unionByName(survived)
+    return table_diff(a, b, key="doc_id", cmp="text")

@@ -351,3 +351,48 @@ def x_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rk"))
         .filter(F.col("rk") <= STRATA_N)
     )
+
+
+SOURCE_CAP = 15  # max documents kept per source (sf0.01 has 25/source)
+
+
+@query(
+    "x_source_cap",
+    oracle=f"""
+    SELECT doc_id, source, rk,
+           rk <= {SOURCE_CAP} AS kept
+    FROM (
+      SELECT doc_id, source,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('cap-' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS BIGINT) AS rk
+      FROM documents
+    )
+    """,
+)
+def x_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (the Gopher/RefinedWeb "max N pages per
+    domain" rule): within each source, rank documents by a
+    content-addressed hash and keep at most {SOURCE_CAP}. Emits the full
+    audit frame (every doc with its in-source rank and kept flag) so the
+    downstream filter AND the drop report come from one pass.
+
+    Hash-rank, not rand() or crawl order: the cap is reproducible across
+    engines/runs, and a re-crawl that appends pages displaces at most the
+    marginal ranks of its own domain instead of resampling everything.
+
+    Scale shape: one shuffle on source + per-partition sort — identical to
+    w_topk_group. At 100 TB the hazard is domain skew (one domain with
+    10^8 pages); mitigation is the same two-level pre-filter as
+    x_stratified: a hash-prefix range that over-samples ~2x caps the
+    per-group sort input before ranking."""
+    d = table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("cap-"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy(h, "doc_id")
+    return d.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("bigint").alias("rk"),
+        (F.row_number().over(w) <= SOURCE_CAP).alias("kept"),
+    )

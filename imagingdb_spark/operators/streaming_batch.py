@@ -432,3 +432,63 @@ def x_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("session_idx"),
         )
     )
+
+
+TREND_K = 3  # event types reported per sliding window
+
+
+@query(
+    "st_topk_trend",
+    oracle=f"""
+    WITH counts AS (
+      SELECT window_start, event_type, COUNT(*) AS n_events
+      FROM (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                 - k * INTERVAL '15 minutes' AS window_start,
+               event_type
+        FROM events
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+      )
+      GROUP BY window_start, event_type
+    )
+    SELECT window_start, event_type, n_events, rk FROM (
+      SELECT *, CAST(row_number() OVER (
+               PARTITION BY window_start
+               ORDER BY n_events DESC, event_type
+             ) AS BIGINT) AS rk
+      FROM counts
+    ) WHERE rk <= {TREND_K}
+    """,
+)
+def st_topk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending items: top-{TREND_K} event types per sliding 1-hour window
+    (15-minute slide) — the "what's hot right now" dashboard query.
+    Deterministic tiebreak (count DESC, then event_type) so the result is
+    engine-independent.
+
+    Scale shape: the window expansion is map-side (each event lands in
+    exactly 4 windows); counting is one map-side-combined groupBy on
+    (window, type); ranking shuffles only the COUNTS (windows ×
+    active-types rows, corpus-size-independent) — so the per-group sort
+    behind row_number is over the type cardinality, never over events.
+    The streaming twin is the same agg under `readStream` with a
+    watermark, emitting per-window top-k on window close; at 100 TB/day
+    the count frame is small enough that the rank stage is a single
+    executor's work regardless of input volume."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    counts = e.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("w").orderBy(F.desc("n_events"), "event_type")
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TREND_K)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "rk",
+        )
+    )

@@ -512,3 +512,43 @@ def x_length_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("pr", 4).alias("length_pct"),
         )
     )
+
+
+# PII-style redaction pattern set. On this synthetic corpus only digit
+# runs fire (events.props carries numbers); on real crawl text the list
+# extends with email/phone/IP regexes — same operator, same plan shape.
+SCRUB_PATTERN = "[0-9]+"
+SCRUB_TOKEN = "<NUM>"
+
+
+@query(
+    "x_scrub",
+    oracle=f"""
+    SELECT event_id,
+           regexp_replace(props, '{SCRUB_PATTERN}', '{SCRUB_TOKEN}', 'g')
+             AS props_clean,
+           CAST(len(regexp_extract_all(props, '{SCRUB_PATTERN}')) AS BIGINT)
+             AS n_redactions
+    FROM events
+    """,
+)
+def x_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex redaction (the PII-scrub pass of a training-data pipeline):
+    replace every match of a pattern set with a typed placeholder token
+    and count redactions per record — the count column is the audit
+    signal ("how much PII did this source carry") that feeds per-source
+    quality decisions.
+
+    Scale shape: pure projection — zero shuffles, zero UDFs; both the
+    replace and the match count are JVM regex inside whole-stage codegen,
+    so it runs at scan speed and composes with any downstream op. The
+    only scale knob is regex cost per byte; anchored character-class
+    patterns like these are linear."""
+    e = table(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        F.regexp_replace("props", SCRUB_PATTERN, SCRUB_TOKEN).alias("props_clean"),
+        F.size(F.expr(f"regexp_extract_all(props, '{SCRUB_PATTERN}', 0)"))
+        .cast("bigint")
+        .alias("n_redactions"),
+    )

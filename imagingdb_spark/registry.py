@@ -156,6 +156,14 @@ PRIORITY: list[str] = [
     "x_incr_agg",       # A+ sibling: mergeable-aggregate incremental rollup
     "x_stratified",     # D8 sibling: fixed-count per-stratum eval sampling
     "x_token_budget",   # D8 sibling: quality-ordered token-budget selection
+    # round-3 late additions (oracle-exact unless noted; rotate into the
+    # driver window in later rounds per the round-4 plan above)
+    "x_source_cap",     # D8 sibling: Gopher-style per-domain page cap
+    "x_span_dedup",     # D2 sibling: CCNet line-level exact dedup analog
+    "x_table_diff",     # S10 sibling: snapshot reconciliation / anti-entropy
+    "x_exact_quantiles",  # A+ sibling: exact PERCENTILE_CONT twin of sketches
+    "x_scrub",          # D10 sibling: PII-style regex redaction + audit count
+    "st_topk_trend",    # St2 sibling: sliding-window trending top-k
 ]
 
 

@@ -543,3 +543,118 @@ class TestSessionize:
             .toString()
         )
         assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+class TestSpanDedup:
+    def test_boilerplate_removed_from_all_docs(self, spark):
+        """A span shared by >=2 docs must vanish from every doc's
+        text_clean; unique spans must all survive."""
+        from imagingdb_spark.operators import dedup as D
+
+        sf_dir = "/root/testdata/sf0.001"
+        rows = D.x_span_dedup(spark, sf_dir).collect()
+        assert all(r["n_dup_spans"] <= r["n_spans"] for r in rows)
+        # reassembled token count = (n_spans - n_dup_spans) spans' tokens;
+        # every kept doc's clean text is a subsequence of spans, so its
+        # token count is <= original and 0 iff all spans were duplicated
+        for r in rows:
+            n_clean = len([t for t in r["text_clean"].split(" ") if t])
+            if r["n_dup_spans"] == r["n_spans"]:
+                assert n_clean == 0
+            else:
+                assert 0 < n_clean <= r["n_spans"] * D.SPAN_TOKENS
+
+    def test_finds_cross_doc_duplicates(self, spark):
+        """The synthetic corpus's small vocabulary plants real cross-doc
+        span collisions — the operator must find some (else the test
+        would be vacuous)."""
+        from imagingdb_spark.operators import dedup as D
+
+        total = (
+            D.x_span_dedup(spark, "/root/testdata/sf0.001")
+            .agg(F.sum("n_dup_spans"))
+            .collect()[0][0]
+        )
+        assert total > 0
+
+
+class TestSourceCap:
+    def test_cap_enforced_and_stable(self, spark):
+        from imagingdb_spark.operators import sampling as S
+
+        sf_dir = "/root/testdata/sf0.001"
+        rows = S.x_source_cap(spark, sf_dir).collect()
+        kept_per_source = {}
+        for r in rows:
+            if r["kept"]:
+                kept_per_source[r["source"]] = kept_per_source.get(r["source"], 0) + 1
+            assert r["kept"] == (r["rk"] <= S.SOURCE_CAP)
+        assert kept_per_source and all(
+            v <= S.SOURCE_CAP for v in kept_per_source.values()
+        )
+        # content-addressed: a second run keeps the identical doc set
+        again = {
+            r["doc_id"] for r in S.x_source_cap(spark, sf_dir).collect() if r["kept"]
+        }
+        assert again == {r["doc_id"] for r in rows if r["kept"]}
+
+
+class TestTableDiff:
+    def test_statuses_partition_the_keyspace(self, spark):
+        from imagingdb_spark.operators import merge as M
+        from imagingdb_spark.catalog import table
+
+        sf_dir = "/root/testdata/sf0.001"
+        rows = M.x_table_diff(spark, sf_dir).collect()
+        by = {}
+        for r in rows:
+            by.setdefault(r["status"], set()).add(r["doc_id"])
+        # statuses are disjoint and every original doc is accounted for
+        assert not (by.get("removed", set()) & by.get("added", set()))
+        n_docs = table(spark, sf_dir, "documents").count()
+        assert (
+            len(by.get("removed", set()))
+            + len(by.get("changed", set()))
+            + len(by.get("unchanged", set()))
+            == n_docs
+        )
+        assert all(d > M.INSERT_ID_OFFSET for d in by.get("added", set()))
+
+    def test_diff_of_identical_snapshots_is_all_unchanged(self, spark):
+        from imagingdb_spark.operators.merge import table_diff
+        from imagingdb_spark.catalog import table
+
+        d = table(spark, "/root/testdata/sf0.001", "documents").select(
+            "doc_id", "text"
+        )
+        out = table_diff(d, d, key="doc_id", cmp="text")
+        assert out.filter(F.col("status") != "unchanged").count() == 0
+
+
+class TestScrub:
+    def test_redaction_is_complete_and_counted(self, spark):
+        from imagingdb_spark.operators import text as T
+
+        out = T.x_scrub(spark, "/root/testdata/sf0.001").collect()
+        import re
+
+        assert sum(r["n_redactions"] for r in out) > 0
+        for r in out:
+            assert not re.search(r"[0-9]", r["props_clean"])
+            assert r["props_clean"].count(T.SCRUB_TOKEN) == r["n_redactions"]
+
+
+class TestTrendTopK:
+    def test_rank_bounded_and_ordered(self, spark):
+        from imagingdb_spark.operators import streaming_batch as sb
+
+        rows = sb.st_topk_trend(spark, "/root/testdata/sf0.001").collect()
+        per_win = {}
+        for r in rows:
+            per_win.setdefault(r["window_start"], []).append(r)
+        for win, rs in per_win.items():
+            rs.sort(key=lambda r: r["rk"])
+            assert [r["rk"] for r in rs] == list(range(1, len(rs) + 1))
+            assert len(rs) <= sb.TREND_K
+            counts = [r["n_events"] for r in rs]
+            assert counts == sorted(counts, reverse=True)
