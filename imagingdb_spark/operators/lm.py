@@ -478,3 +478,61 @@ def x_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
             + 0.0
         ).alias("avg_logprob"),
     )
+
+
+@query(
+    "x_inverted_index",
+    oracle="""
+    WITH posting AS (
+      SELECT DISTINCT doc_id, unnest(
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           t -> t <> '')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT doc_id, unnest(
+                 list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '')) AS term
+        FROM documents
+      ) GROUP BY doc_id, term
+    )
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS cf,
+           list(doc_id ORDER BY doc_id) AS postings
+    FROM tf
+    GROUP BY term
+    """,
+)
+def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the inverted index: term → document frequency, collection
+    frequency, and the sorted posting list of doc_ids — the data
+    structure x_bm25's scoring presupposes, materialized as a table. A
+    retrieval system over a 100 TB corpus IS this table partitioned by
+    term; emitting it from the same engine that cleans the corpus removes
+    a whole export/import hop.
+
+    Scale shape: one tokenize+explode pass (map-side), one
+    (doc_id, term)-keyed partial-agg groupBy for tf, then the term-keyed
+    groupBy that builds postings. The posting ARRAY per term is the one
+    scale hazard — a stopword's posting list is corpus-sized. Real
+    deployments shard exactly there: posting lists above a block size
+    split into (term, block_idx) rows of bounded arrays; the query-time
+    reader concatenates. The demo vocabulary is small so arrays stay
+    tiny; the sharding is a one-line bucketing of the final groupBy
+    (F.floor(rank/BLOCK)) documented here rather than obscuring the
+    operator."""
+    d = table(spark, sf_dir, "documents")
+    npart = spark.sparkContext.defaultParallelism
+    tf = (
+        d.select("doc_id", "text")
+        .repartition(npart)
+        .select("doc_id", F.explode(tokens_col(F.col("text"))).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"),
+    )

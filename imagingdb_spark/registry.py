@@ -164,6 +164,8 @@ PRIORITY: list[str] = [
     "x_exact_quantiles",  # A+ sibling: exact PERCENTILE_CONT twin of sketches
     "x_scrub",          # D10 sibling: PII-style regex redaction + audit count
     "st_topk_trend",    # St2 sibling: sliding-window trending top-k
+    "j_temporal_lookup",  # J+ sibling: point-in-time SCD-2 dimension lookup
+    "x_inverted_index",   # D18 sibling: term -> postings index build
 ]
 
 

@@ -461,3 +461,24 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def rank_trending(counts: DataFrame, k: int = 3) -> DataFrame:
+    """Rank a (window_start, event_type, n_events) count table down to the
+    top-k types per window — the sink-side half of the trending-items job.
+    Streaming aggregates can't host window functions, so the standard
+    split is: the STREAM maintains sliding counts (sliding_counts — state
+    bounded by windows x types, never events), and each emitted batch of
+    counts is ranked HERE, either in foreachBatch or on read from the
+    sink table. The rank input is corpus-size-independent, so this half
+    is trivially cheap at any scale. Deterministic tiebreak matches
+    st_topk_trend (count DESC, then event_type)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start").orderBy(
+        F.desc("n_events"), "event_type"
+    )
+    return (
+        counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= k)
+    )

@@ -658,3 +658,42 @@ class TestTrendTopK:
             assert len(rs) <= sb.TREND_K
             counts = [r["n_events"] for r in rs]
             assert counts == sorted(counts, reverse=True)
+
+
+class TestTemporalLookup:
+    def test_one_tier_per_event_and_no_leakage(self, spark):
+        """Every event resolves to exactly one dimension interval, and no
+        event BEFORE a user's upgrade day ever sees 'pro' (the leakage
+        the point-in-time join exists to prevent)."""
+        from imagingdb_spark.operators import joins as J
+        from imagingdb_spark.catalog import table
+        from datetime import datetime, timedelta
+
+        sf_dir = "/root/testdata/sf0.001"
+        out = J.j_temporal_lookup(spark, sf_dir).collect()
+        n_events = table(spark, sf_dir, "events").count()
+        assert len(out) == n_events
+        ev = {
+            r["event_id"]: r["ts"]
+            for r in table(spark, sf_dir, "events")
+            .select("event_id", "ts")
+            .collect()
+        }
+        base = datetime(2024, 1, 3)
+        for r in out:
+            if r["tier"] == "pro":
+                up_ts = base + timedelta(days=r["user_id"] % 25)
+                assert ev[r["event_id"]] >= up_ts
+
+
+class TestInvertedIndex:
+    def test_postings_sorted_and_consistent(self, spark):
+        from imagingdb_spark.operators import lm
+
+        rows = lm.x_inverted_index(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        for r in rows:
+            p = list(r["postings"])
+            assert p == sorted(p)
+            assert len(p) == len(set(p)) == r["df"]
+            assert r["cf"] >= r["df"]

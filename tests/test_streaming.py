@@ -311,3 +311,23 @@ def test_sessionize_state_continues_across_batches():
     assert list(out2["session_idx"]) == [1, 2]
     # state carries (last_us, idx)
     assert state.get == (3 * hour // 1000, 2)
+
+
+def test_trending_topk_stream_matches_batch(spark, events_stream):
+    """sliding_counts (stream) + rank_trending (sink-side) must equal the
+    batch st_topk_trend operator."""
+    try:
+        q = jobs.run_to_memory(jobs.sliding_counts(events_stream), "t_trend")
+        counts = spark.sql(
+            "SELECT window_start, event_type, n_events FROM t_trend"
+        )
+        got = (
+            jobs.rank_trending(counts, k=streaming_batch.TREND_K)
+            .select("window_start", "event_type", "n_events", "rk")
+            .collect()
+        )
+        want = streaming_batch.st_topk_trend(spark, SF_DIR).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        q.stop()
+    finally:
+        stop_all(spark)

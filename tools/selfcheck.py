@@ -26,14 +26,15 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
 
     def canon(v):
+        # arrays first: `v != v` is ambiguous on ndarrays
+        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            return "[" + ",".join(canon(x) for x in v) + "]"
         if v is None or v != v:  # None/NaN/NaT
             return "␀"
         if isinstance(v, float):
             return f"{v:.6g}"
         if isinstance(v, pd.Timestamp):
             return v.isoformat()
-        if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
-            return "[" + ",".join(canon(x) for x in v) + "]"
         if isinstance(v, bool):
             return str(int(v))
         return str(v)
