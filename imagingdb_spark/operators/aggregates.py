@@ -568,3 +568,55 @@ def x_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("q")[3], 4).alias("p99"),
         )
     )
+
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "x_profile_stats",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}' AS col_name,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT({c}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {c}) AS BIGINT) AS ndv,
+           round(MIN({c}), 4) AS min_v,
+           round(MAX({c}), 4) AS max_v
+    FROM lineitem"""
+        for c in PROFILE_COLS
+    ),
+)
+def x_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling (the ANALYZE TABLE / data-catalog stats pass):
+    per-column row count, null count, exact distinct count, min and max —
+    the numbers that feed cost-based optimization, data-quality
+    monitoring, and partition-layout decisions. Long format (one row per
+    column) so adding columns never changes the schema.
+
+    Scale shape: ONE scan of the table computes every column's stats in
+    a single aggregate (the oracle's UNION-of-scans form is for DuckDB
+    clarity; Spark gets one pass + one 1-row-per-column unpivot). Exact
+    NDV per column makes the aggregate carry a distinct-expand — at
+    100 TB swap count_distinct for approx_count_distinct (HLL++, fixed
+    memory) exactly as a_approx_sketch demonstrates; everything else is
+    a constant-size partial agg."""
+    li = table(spark, sf_dir, "lineitem")
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(F.lit(1)).cast("bigint").alias(f"{c}__n"),
+            (F.count(F.lit(1)) - F.count(c)).cast("bigint").alias(f"{c}__n_null"),
+            F.count_distinct(c).cast("bigint").alias(f"{c}__ndv"),
+            F.round(F.min(c), 4).alias(f"{c}__min_v"),
+            F.round(F.max(c), 4).alias(f"{c}__max_v"),
+        ]
+    wide = li.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{c}', {c}__n, {c}__n_null, {c}__ndv, {c}__min_v, {c}__max_v"
+        for c in PROFILE_COLS
+    )
+    return wide.selectExpr(
+        f"stack({len(PROFILE_COLS)}, {stack_args}) "
+        "AS (col_name, n, n_null, ndv, min_v, max_v)"
+    )

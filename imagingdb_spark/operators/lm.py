@@ -536,3 +536,84 @@ def x_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("tf").cast("bigint").alias("cf"),
         F.sort_array(F.collect_list("doc_id")).alias("postings"),
     )
+
+
+VOCAB_SIZE = 20   # top-V terms by collection frequency become ids 0..V-1
+OOV_BUCKETS = 8   # out-of-vocab terms hash into ids V..V+B-1
+
+
+@query(
+    "x_token_ids",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, t, unnest(range(len(t))) AS i FROM toks
+      WHERE len(t) > 0
+    ), flat AS (
+      SELECT doc_id, i, t[i + 1] AS term FROM pos
+    ), vocab AS (
+      SELECT term,
+             CAST(row_number() OVER (ORDER BY cf DESC, term) - 1 AS BIGINT)
+               AS token_id
+      FROM (SELECT term, count(*) AS cf FROM flat GROUP BY term)
+      QUALIFY row_number() OVER (ORDER BY cf DESC, term) <= {VOCAB_SIZE}
+    )
+    SELECT f.doc_id,
+           list(COALESCE(v.token_id,
+                         {VOCAB_SIZE} + ascii(substr(md5(f.term), 1, 1))
+                           % {OOV_BUCKETS}) ORDER BY f.i) AS ids,
+           CAST(count(*) FILTER (WHERE v.term IS NULL) AS BIGINT) AS n_oov
+    FROM flat f LEFT JOIN vocab v USING (term)
+    GROUP BY f.doc_id
+    """,
+)
+def x_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize to ids (the numericalization step before training): the
+    vocabulary is the top-{VOCAB_SIZE} terms by collection frequency
+    (deterministic tiebreak by term), out-of-vocab terms hash into
+    {OOV_BUCKETS} overflow buckets (feature hashing — content-addressed
+    via md5 so both engines agree), and each document becomes its ordered
+    id sequence plus an OOV audit count.
+
+    Scale shape: the vocabulary is built with one tokenize+count pass
+    (vocabulary-sized shuffle, same as x_token_freq) and is tiny by
+    construction, so the id lookup joins BROADCAST; token order is
+    preserved by carrying the position through posexplode and sorting
+    the collected (pos, id) structs — per-doc state only. One
+    doc_id-keyed shuffle for the reassembly. At 100 TB: identical, the
+    vocab is still {VOCAB_SIZE} rows."""
+    d = table(spark, sf_dir, "documents")
+    npart = spark.sparkContext.defaultParallelism
+    flat = (
+        d.select("doc_id", "text")
+        .repartition(npart)
+        .select(
+            "doc_id",
+            F.posexplode(tokens_col(F.col("text"))).alias("i", "term"),
+        )
+    )
+    w = Window.orderBy(F.desc("cf"), "term")
+    vocab = (
+        flat.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cf"))
+        .withColumn("token_id", (F.row_number().over(w) - 1).cast("bigint"))
+        .filter(F.col("token_id") < VOCAB_SIZE)
+        .select("term", "token_id")
+    )
+    oov_id = VOCAB_SIZE + F.ascii(F.substring(F.md5("term"), 1, 1)) % OOV_BUCKETS
+    joined = flat.join(F.broadcast(vocab), "term", "left").select(
+        "doc_id",
+        "i",
+        F.coalesce("token_id", oov_id.cast("bigint")).alias("id"),
+        F.col("token_id").isNull().alias("is_oov"),
+    )
+    return joined.groupBy("doc_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("i", "id"))), lambda x: x["id"]
+        ).alias("ids"),
+        F.sum(F.col("is_oov").cast("int")).cast("bigint").alias("n_oov"),
+    )

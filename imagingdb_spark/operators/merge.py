@@ -301,3 +301,118 @@ def x_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = added.unionByName(survived)
     return table_diff(a, b, key="doc_id", cmp="text")
+
+
+def cdc_apply(base: DataFrame, log: DataFrame, key: str) -> DataFrame:
+    """Apply an ordered change-data-capture log to a keyed snapshot:
+    ``log`` rows are (key, seq, op in {'U','D'}, attrs); per key the
+    HIGHEST seq wins (last-write-wins), a winning 'D' removes the key,
+    and keys absent from the log pass through. Unlike merge_upsert
+    (unordered batch, one change per key) this is the replication-stream
+    shape: several competing changes per key, ordered by the log
+    sequence, with deletes.
+
+    Scale shape: one shuffle of the log on (key) for the per-key
+    max-seq reduction (log-sized, not corpus-sized), then one key-keyed
+    outer join against the base — the same exchange profile as MERGE.
+    The reduction is an aggregate (max_by), not a window: no per-key
+    sort, map-side partial applies."""
+    attrs = [c for c in base.columns if c != key]
+    latest = log.groupBy(key).agg(
+        F.max("seq").alias("last_seq"),
+        F.max_by("op", "seq").alias("op"),
+        *[F.max_by(a, "seq").alias(a) for a in attrs],
+    )
+    b = base.alias("b")
+    l = latest.alias("l")  # noqa: E741
+    j = b.join(l, F.col(f"b.{key}") == F.col(f"l.{key}"), "full_outer")
+    keep = F.col(f"l.{key}").isNull() | (F.col("l.op") != "D")
+    return j.filter(keep).select(
+        F.coalesce(F.col(f"l.{key}"), F.col(f"b.{key}")).alias(key),
+        *[
+            F.when(F.col(f"l.{key}").isNotNull(), F.col(f"l.{a}"))
+            .otherwise(F.col(f"b.{a}"))
+            .alias(a)
+            for a in attrs
+        ],
+        F.coalesce(F.col("l.last_seq"), F.lit(0)).cast("bigint").alias("last_seq"),
+    )
+
+
+@query(
+    "x_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT doc_id, 1 AS seq, 'U' AS op, text || ' v2' AS text
+      FROM documents
+      WHERE substr(md5('cdc1-' || CAST(doc_id AS VARCHAR)), 1, 1)
+              IN ('0','1','2','3')
+      UNION ALL
+      SELECT doc_id, 2, 'D', NULL
+      FROM documents
+      WHERE substr(md5('cdc2-' || CAST(doc_id AS VARCHAR)), 1, 1)
+              IN ('0','1')
+      UNION ALL
+      SELECT doc_id, 3, 'U', text || ' v3'
+      FROM documents
+      WHERE substr(md5('cdc3-' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
+    ), latest AS (
+      SELECT doc_id,
+             CAST(max(seq) AS BIGINT) AS last_seq,
+             arg_max(op, seq) AS op,
+             arg_max(text, seq) AS text
+      FROM log GROUP BY doc_id
+    )
+    SELECT COALESCE(l.doc_id, b.doc_id) AS doc_id,
+           CAST(length(CASE WHEN l.doc_id IS NOT NULL THEN l.text
+                            ELSE b.text END) AS BIGINT) AS n_chars,
+           COALESCE(l.last_seq, 0) AS last_seq
+    FROM documents b FULL OUTER JOIN latest l ON b.doc_id = l.doc_id
+    WHERE l.doc_id IS NULL OR l.op <> 'D'
+    """,
+)
+def x_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replay a CDC log onto the documents corpus: a content-addressed
+    synthetic log with three epochs (~25% updated at seq 1, ~12% deleted
+    at seq 2, ~6% re-updated at seq 3) — so some keys carry COMPETING
+    changes and the outcome depends on log order, which is the property
+    that separates CDC apply from plain MERGE. Projected to
+    (doc_id, n_chars, last_seq) for an order-free oracle hash. Note
+    seq-3 updates can resurrect-with-content keys deleted at seq 2 only
+    if the same key is in both slices — last-write-wins decides, on both
+    engines, by max seq."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = lambda p: F.substring(  # noqa: E731
+        F.md5(F.concat(F.lit(p), F.col("doc_id").cast("string"))), 1, 1
+    )
+    log = (
+        d.filter(h("cdc1-").isin(*"0123"))
+        .select(
+            "doc_id",
+            F.lit(1).alias("seq"),
+            F.lit("U").alias("op"),
+            F.concat("text", F.lit(" v2")).alias("text"),
+        )
+        .unionByName(
+            d.filter(h("cdc2-").isin(*"01")).select(
+                "doc_id",
+                F.lit(2).alias("seq"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("text"),
+            )
+        )
+        .unionByName(
+            d.filter(h("cdc3-") == "0").select(
+                "doc_id",
+                F.lit(3).alias("seq"),
+                F.lit("U").alias("op"),
+                F.concat("text", F.lit(" v3")).alias("text"),
+            )
+        )
+    )
+    out = cdc_apply(d, log, key="doc_id")
+    return out.select(
+        "doc_id",
+        F.length("text").cast("bigint").alias("n_chars"),
+        "last_seq",
+    )

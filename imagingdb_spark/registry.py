@@ -166,6 +166,10 @@ PRIORITY: list[str] = [
     "st_topk_trend",    # St2 sibling: sliding-window trending top-k
     "j_temporal_lookup",  # J+ sibling: point-in-time SCD-2 dimension lookup
     "x_inverted_index",   # D18 sibling: term -> postings index build
+    "x_cdc_apply",      # S10 sibling: ordered change-log replay (LWW + deletes)
+    "x_profile_stats",  # A+ sibling: per-column ANALYZE-style profiling
+    "x_token_ids",      # D4 sibling: numericalization w/ feature-hashed OOV
+    "x_pagerank",       # D12 sibling: centrality over the near-dup graph (rows-only)
 ]
 
 

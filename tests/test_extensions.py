@@ -697,3 +697,89 @@ class TestInvertedIndex:
             assert p == sorted(p)
             assert len(p) == len(set(p)) == r["df"]
             assert r["cf"] >= r["df"]
+
+
+class TestPageRank:
+    def test_matches_numpy_power_iteration(self, spark):
+        """Spark PageRank at sf0.001 must match a dense numpy power
+        iteration on the collected edge set to float tolerance."""
+        from imagingdb_spark.operators import graph as G
+        from imagingdb_spark.operators.dedup import x_dedup_jaccard
+
+        sf_dir = "/root/testdata/sf0.001"
+        pairs = x_dedup_jaccard(spark, sf_dir)
+        got_df, n = G.pagerank(pairs)
+        got = {r["doc_id"]: r["rank"] for r in got_df.collect()}
+        edges = {(r["doc_a"], r["doc_b"]) for r in pairs.collect()}
+        nodes = sorted({x for e in edges for x in e})
+        idx = {v: i for i, v in enumerate(nodes)}
+        import numpy as np
+
+        adj = np.zeros((len(nodes), len(nodes)))
+        for a, b in edges:
+            adj[idx[a], idx[b]] = 1.0
+            adj[idx[b], idx[a]] = 1.0
+        deg = adj.sum(axis=1)
+        r = np.ones(len(nodes))
+        for _ in range(G.PR_ITER):
+            r = (1 - G.PR_DAMPING) + G.PR_DAMPING * adj.T @ (r / deg)
+        assert n == len(nodes)
+        for v, i in idx.items():
+            assert abs(got[v] - r[i]) < 1e-9, v
+
+    def test_mass_conserved(self, spark):
+        from imagingdb_spark.operators import graph as G
+
+        out = G.x_pagerank(spark, "/root/testdata/sf0.001")
+        rows = out.collect()
+        total = sum(r["rank"] for r in rows)
+        assert abs(total - len(rows)) < 1e-3
+        assert all(r["rank"] > 0 for r in rows)
+
+
+class TestCdcApply:
+    def test_competing_changes_last_write_wins(self, spark):
+        from imagingdb_spark.operators.merge import cdc_apply
+
+        base = spark.createDataFrame(
+            [(1, "one"), (2, "two"), (3, "three")], "doc_id long, text string"
+        )
+        log = spark.createDataFrame(
+            [
+                (1, 1, "U", "one-v2"),
+                (1, 2, "U", "one-v3"),   # later seq wins
+                (2, 1, "D", None),
+                (3, 1, "U", "three-v2"),
+                (3, 2, "D", None),       # delete after update wins
+                (9, 1, "U", "nine"),     # insert-by-update of unknown key
+            ],
+            "doc_id long, seq long, op string, text string",
+        )
+        got = {r["doc_id"]: (r["text"], r["last_seq"])
+               for r in cdc_apply(base, log, "doc_id").collect()}
+        assert got == {1: ("one-v3", 2), 9: ("nine", 1)} | {
+            k: v for k, v in got.items() if k not in (1, 9)
+        }
+        assert 2 not in got and 3 not in got
+        assert got[9] == ("nine", 1)
+
+    def test_empty_log_is_identity(self, spark):
+        from imagingdb_spark.operators.merge import cdc_apply
+
+        base = spark.createDataFrame([(1, "a")], "doc_id long, text string")
+        log = spark.createDataFrame([], "doc_id long, seq long, op string, text string")
+        out = cdc_apply(base, log, "doc_id").collect()
+        assert [(r["doc_id"], r["text"], r["last_seq"]) for r in out] == [(1, "a", 0)]
+
+
+class TestTokenIds:
+    def test_round_trippable_for_in_vocab_and_bounded_ids(self, spark):
+        from imagingdb_spark.operators import lm
+
+        rows = lm.x_token_ids(spark, "/root/testdata/sf0.001").collect()
+        assert rows
+        max_id = lm.VOCAB_SIZE + lm.OOV_BUCKETS - 1
+        for r in rows:
+            assert all(0 <= i <= max_id for i in r["ids"])
+            n_oov_ids = sum(1 for i in r["ids"] if i >= lm.VOCAB_SIZE)
+            assert n_oov_ids == r["n_oov"]
