@@ -340,10 +340,10 @@ def x_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the same per-group top-k window as w_topk_group — one
     shuffle on the stratum key, per-partition sort, early filter. Group
-    skew (one giant stratum) is the known hazard; the mitigation is the
-    same two-level trick as x_token_budget: pre-filter each stratum by a
-    hash-prefix range that over-samples ~2x, then rank only the
-    survivors."""
+    skew (one giant stratum) is the known hazard; the mitigation is
+    implemented and equivalence-tested as ``capped_hash_rank`` below —
+    pre-filter each stratum by a hash-prefix range that over-samples
+    ~2x, rank only the survivors, audit-and-widen on undershoot."""
     d = table(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.lit("strat-"), F.col("doc_id").cast("string")))
     w = Window.partitionBy("lang").orderBy(h, "doc_id")
@@ -384,9 +384,9 @@ def x_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one shuffle on source + per-partition sort — identical to
     w_topk_group. At 100 TB the hazard is domain skew (one domain with
-    10^8 pages); mitigation is the same two-level pre-filter as
-    x_stratified: a hash-prefix range that over-samples ~2x caps the
-    per-group sort input before ranking."""
+    10^8 pages); the mitigation is implemented and equivalence-tested as
+    ``capped_hash_rank`` below: a hash-prefix pre-filter caps the
+    per-group sort input at ~2x the cap before ranking."""
     d = table(spark, sf_dir, "documents")
     h = F.md5(F.concat(F.lit("cap-"), F.col("doc_id").cast("string")))
     w = Window.partitionBy("source").orderBy(h, "doc_id")
@@ -395,4 +395,71 @@ def x_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.row_number().over(w).cast("bigint").alias("rk"),
         (F.row_number().over(w) <= SOURCE_CAP).alias("kept"),
+    )
+
+
+def capped_hash_rank(
+    df: DataFrame,
+    group_col: str,
+    hash_col: Column,
+    cap: int,
+    oversample: float = 2.0,
+    max_widen: int = 4,
+) -> DataFrame:
+    """Skew-safe per-group top-``cap`` by hash order — the executable form
+    of the "two-level pre-filter" mitigation x_stratified/x_source_cap
+    document. Exact same result as
+    ``row_number() OVER (PARTITION BY group ORDER BY hash) <= cap``,
+    but the per-group SORT never sees more than ~oversample*cap rows:
+
+      1. one map-side-combined groupBy counts each group;
+      2. groups small enough (n <= oversample*cap) skip the filter;
+         big groups keep only rows whose hash falls under a prefix
+         threshold sized to admit ~oversample*cap of n uniform hashes;
+      3. the survivors get the window rank (their sort is bounded);
+      4. a survivor-count audit per big group verifies >= cap rows made
+         the cut; undershoot (possible but exponentially unlikely at
+         2x oversample) widens the threshold and retries — correctness
+         never depends on the uniformity assumption, only speed does.
+
+    The group-size/threshold table is group-cardinality-sized and
+    broadcast; the audit collect is likewise bounded by the number of
+    BIG groups, never rows. At 100 TB with a 10^8-page domain and
+    cap=15 this turns a 10^8-row per-partition sort into ~30 rows."""
+    hashed = df.withColumn("__h", hash_col)
+    sizes = hashed.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
+    target = int(cap * oversample)
+    for attempt in range(max_widen + 1):
+        widen = 2**attempt
+        # fraction of the uniform hex space to admit: ~target*widen of n
+        frac = F.least(
+            F.lit(1.0), F.lit(float(target * widen)) / F.col("__n")
+        )
+        # 4-hex-digit prefix threshold (65536 buckets) — zero-padded so
+        # string compare == numeric compare
+        thr = F.lpad(
+            F.conv(F.ceil(frac * 65536).cast("int").cast("string"), 10, 16),
+            4,
+            "0",
+        )
+        bounds = sizes.select(group_col, F.col("__n"), thr.alias("__thr"))
+        survivors = hashed.join(F.broadcast(bounds), group_col).filter(
+            (F.col("__n") <= target) | (F.substring("__h", 1, 4) <= F.col("__thr"))
+        )
+        audit = (
+            survivors.groupBy(group_col)
+            .agg(F.count(F.lit(1)).alias("__kept"), F.first("__n").alias("__n"))
+            .filter(
+                (F.col("__n") > target)
+                & (F.col("__kept") < F.least(F.lit(cap), F.col("__n")))
+            )
+            .count()
+        )
+        if audit == 0:
+            break
+    w = Window.partitionBy(group_col).orderBy("__h")
+    return (
+        survivors.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= cap)
+        .drop("__h", "__n", "__thr")
     )

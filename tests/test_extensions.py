@@ -783,3 +783,42 @@ class TestTokenIds:
             assert all(0 <= i <= max_id for i in r["ids"])
             n_oov_ids = sum(1 for i in r["ids"] if i >= lm.VOCAB_SIZE)
             assert n_oov_ids == r["n_oov"]
+
+
+class TestCappedHashRank:
+    def test_equivalent_to_plain_window(self, spark):
+        """capped_hash_rank must return EXACTLY the rows+ranks the plain
+        (skew-unsafe) window query returns, on real data with groups well
+        above the oversampled prefilter threshold (cap=3 over 25-doc
+        sources at sf0.001 forces the prefilter path)."""
+        from pyspark.sql import Window
+        from imagingdb_spark.catalog import table
+        from imagingdb_spark.operators.sampling import capped_hash_rank
+
+        sf_dir = "/root/testdata/sf0.001"
+        d = table(spark, sf_dir, "documents").select("doc_id", "source")
+        h = F.md5(F.concat(F.lit("chr-"), F.col("doc_id").cast("string")))
+        cap = 3
+        got = {
+            (r["source"], r["doc_id"], r["rk"])
+            for r in capped_hash_rank(d, "source", h, cap).collect()
+        }
+        w = Window.partitionBy("source").orderBy(h)
+        want = {
+            (r["source"], r["doc_id"], r["rk"])
+            for r in d.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= cap)
+            .collect()
+        }
+        assert got == want and got
+
+    def test_small_groups_bypass_prefilter(self, spark):
+        """Groups under the oversample target must never lose rows."""
+        from imagingdb_spark.operators.sampling import capped_hash_rank
+
+        d = spark.createDataFrame(
+            [(i, "g") for i in range(4)], "doc_id long, grp string"
+        )
+        h = F.md5(F.col("doc_id").cast("string"))
+        out = capped_hash_rank(d, "grp", h, cap=10).collect()
+        assert len(out) == 4
