@@ -552,3 +552,61 @@ def x_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_redactions"),
     )
+
+
+@query(
+    "x_quality_norm",
+    oracle="""
+    WITH s AS (
+      SELECT doc_id, source,
+             len(list_distinct(t)) / len(t) AS score
+      FROM (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+      ) WHERE len(t) > 0
+    )
+    SELECT doc_id, source, round(score, 4) AS score,
+           round(percent_rank() OVER w, 4) AS pct_in_source,
+           CAST(ntile(10) OVER w AS BIGINT) AS decile
+    FROM s
+    WINDOW w AS (PARTITION BY source ORDER BY score, doc_id)
+    """,
+)
+def x_quality_norm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain quality-score calibration: raw quality signals are not
+    comparable across sources (a forum's median differs from an
+    encyclopedia's), so a single global threshold over- or under-prunes
+    whole domains. The calibrated form is RANK-based — percent_rank and
+    decile within source — which is also the only cross-engine-exact
+    normalization: a z-score needs mean/std, whose float summation order
+    differs between engines (SCALING.md 18a), while ranks are pure
+    comparisons. Downstream, "keep the top 60% of every source" is a
+    filter on pct_in_source.
+
+    Scale shape: one shuffle on source + per-group sort (the window),
+    with the same capped_hash_rank-style skew note as every per-group
+    rank; the score itself is a pure projection (distinct-ratio here —
+    swap in any per-doc signal, e.g. x_unigram_logprob's LM score)."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    toks = tokens_col(F.col("text"))
+    s = d.select(
+        "doc_id",
+        "source",
+        toks.alias("t"),
+    ).filter(F.size("t") > 0).select(
+        "doc_id",
+        "source",
+        (F.size(F.array_distinct("t")) / F.size("t")).alias("score"),
+    )
+    w = Window.partitionBy("source").orderBy("score", "doc_id")
+    return s.select(
+        "doc_id",
+        "source",
+        F.round("score", 4).alias("score"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_in_source"),
+        F.ntile(10).over(w).cast("bigint").alias("decile"),
+    )

@@ -170,6 +170,7 @@ PRIORITY: list[str] = [
     "x_profile_stats",  # A+ sibling: per-column ANALYZE-style profiling
     "x_token_ids",      # D4 sibling: numericalization w/ feature-hashed OOV
     "x_pagerank",       # D12 sibling: centrality over the near-dup graph (rows-only)
+    "x_quality_norm",   # D10 sibling: rank-based per-domain score calibration
 ]
 
 
