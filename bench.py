@@ -48,6 +48,10 @@ HEADLINE = [
     "x_tfidf",          # shared term-count pass + broadcast df join-back
     "x_retention",      # cohort retention triangle
     "x_incr_agg",       # mergeable-aggregate incremental rollup
+    "x_span_dedup",     # cross-doc span removal + in-order reassembly
+    "j_temporal_lookup",  # point-in-time SCD-2 interval join
+    "x_cdc_apply",      # ordered change-log replay (LWW + deletes)
+    "x_token_ids",      # numericalization w/ broadcast vocab + OOV hashing
 ]
 
 

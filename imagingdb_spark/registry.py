@@ -42,11 +42,20 @@ ORACLE: dict[str, str] = {}
 # driver row this round.
 #
 # Round-4 rotation plan: once CORRECTNESS_r03 records green rows for the
-# 16 rotated-in queries, rotate the round-3 tail additions (x_bm25,
-# x_mad_outlier, x_cooccur_pmi, x_bigram_logprob, x_funnel — all
-# oracle-exact, selfcheck-verified) into the window in place of five more
-# double-green rows (e.g. f_substring, f_inlist, o_sort, a_count,
-# p_project), so every registered query eventually holds a driver record.
+# 16 rotated-in queries, rotate the round-3 tail additions into the
+# window in place of double-green rows, oldest-addition first: (wave A)
+# x_bm25, x_mad_outlier, x_cooccur_pmi, x_bigram_logprob, x_funnel,
+# x_retention, x_histogram, x_rolling_zscore, x_domain_mix,
+# x_scd2_history, x_sessionize, x_incr_agg, x_stratified, x_token_budget;
+# (wave B, round 5) x_source_cap, x_span_dedup, x_table_diff,
+# x_exact_quantiles, x_scrub, st_topk_trend, j_temporal_lookup,
+# x_inverted_index, x_cdc_apply, x_profile_stats, x_token_ids,
+# x_quality_norm — all oracle-exact and selfcheck-verified at add time —
+# plus clean-run slots for x_semdedup and x_pagerank (rows-only). Rotate
+# out f_substring, f_inlist, o_sort, a_count, p_project, f_daterange,
+# f_null_handling, j_three_way (triple-green by then) and the round-3
+# window's freshly-green rows, so every registered query eventually
+# holds a driver record.
 PRIORITY: list[str] = [
     # --- rotated IN for round 3: never driver-checked before (13 oracle-exact)
     "w_dense_rank",     # W
