@@ -431,32 +431,43 @@ def capped_hash_rank(
     target = int(cap * oversample)
     for attempt in range(max_widen + 1):
         widen = 2**attempt
-        # fraction of the uniform hex space to admit: ~target*widen of n
-        frac = F.least(
-            F.lit(1.0), F.lit(float(target * widen)) / F.col("__n")
-        )
-        # 4-hex-digit prefix threshold (65536 buckets) — zero-padded so
-        # string compare == numeric compare
-        thr = F.lpad(
-            F.conv(F.ceil(frac * 65536).cast("int").cast("string"), 10, 16),
-            4,
-            "0",
+        # fraction of the uniform hex space to admit: ~target*widen of n;
+        # frac >= 1 admits the whole group (thr 'ffff' — md5 is lowercase,
+        # so the threshold must be lowercased too: conv() emits uppercase,
+        # and 'A' < 'a' would silently shrink the admitted range)
+        frac = F.lit(float(target * widen)) / F.col("__n")
+        thr_int = F.least(F.lit(65535), F.ceil(frac * 65536)).cast("int")
+        thr = F.lower(
+            F.lpad(F.conv(thr_int.cast("string"), 10, 16), 4, "0")
         )
         bounds = sizes.select(group_col, F.col("__n"), thr.alias("__thr"))
         survivors = hashed.join(F.broadcast(bounds), group_col).filter(
-            (F.col("__n") <= target) | (F.substring("__h", 1, 4) <= F.col("__thr"))
+            (F.col("__n") <= target * widen)
+            | (F.substring("__h", 1, 4) <= F.col("__thr"))
+        )
+        # audit against ALL groups (sizes), not the surviving ones — a
+        # group that lost every row to the prefilter must still flag
+        kept = survivors.groupBy(group_col).agg(
+            F.count(F.lit(1)).alias("__kept")
         )
         audit = (
-            survivors.groupBy(group_col)
-            .agg(F.count(F.lit(1)).alias("__kept"), F.first("__n").alias("__n"))
+            sizes.join(kept, group_col, "left")
             .filter(
-                (F.col("__n") > target)
-                & (F.col("__kept") < F.least(F.lit(cap), F.col("__n")))
+                (F.col("__n") > target * widen)
+                & (
+                    F.coalesce(F.col("__kept"), F.lit(0))
+                    < F.least(F.lit(cap), F.col("__n"))
+                )
             )
             .count()
         )
         if audit == 0:
             break
+    else:  # exhausted widening without a clean audit: admit everything —
+        # exactness beats speed; with uniform hashes this is unreachable
+        survivors = hashed.join(
+            F.broadcast(sizes.withColumn("__thr", F.lit("ffff"))), group_col
+        )
     w = Window.partitionBy(group_col).orderBy("__h")
     return (
         survivors.withColumn("rk", F.row_number().over(w).cast("bigint"))

@@ -822,3 +822,28 @@ class TestCappedHashRank:
         h = F.md5(F.col("doc_id").cast("string"))
         out = capped_hash_rank(d, "grp", h, cap=10).collect()
         assert len(out) == 4
+
+    def test_adversarial_hash_skew_still_exact(self, spark):
+        """All hashes crammed into the top of the hex space ('ff' prefix)
+        defeats the uniformity assumption — the audit-and-widen loop must
+        still return exactly the plain-window answer."""
+        from pyspark.sql import Window
+        from imagingdb_spark.operators.sampling import capped_hash_rank
+
+        d = spark.createDataFrame(
+            [(i, "g") for i in range(25)], "doc_id long, grp string"
+        )
+        h = F.concat(F.lit("ff"), F.md5(F.col("doc_id").cast("string")))
+        cap = 3
+        got = {
+            (r["doc_id"], r["rk"])
+            for r in capped_hash_rank(d, "grp", h, cap).collect()
+        }
+        w = Window.partitionBy("grp").orderBy(h)
+        want = {
+            (r["doc_id"], r["rk"])
+            for r in d.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= cap)
+            .collect()
+        }
+        assert got == want and len(got) == cap
