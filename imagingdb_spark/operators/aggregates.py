@@ -620,3 +620,52 @@ def x_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"stack({len(PROFILE_COLS)}, {stack_args}) "
         "AS (col_name, n, n_null, ndv, min_v, max_v)"
     )
+
+
+@query(
+    "a_geomean_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(exp(avg(ln(l_extendedprice))), 4) AS geomean
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def a_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a pandas GROUPED_AGG UDAF — the third leg of
+    the UDF surface (SURVEY §2.10: pandas_udf scalar for codecs,
+    applyInPandas for UDTF-shaped stack assembly, and THIS for custom
+    aggregation semantics Spark lacks as a builtin): per-group geometric
+    mean, the right average for multiplicative quantities (price
+    relatives, growth factors). exp(mean(ln x)) in one vectorized numpy
+    pass per group.
+
+    Scale shape: GROUPED_AGG UDAFs do NOT get map-side partial
+    aggregation — the whole group's column ships to one python worker
+    (Arrow batches). Fine for bounded groups; for billion-row groups the
+    decomposition is the usual monoid trick: ln() as a projection,
+    builtin AVG (partial-agg'd), exp() after — which is exactly how the
+    oracle states it. Both forms are kept deliberately: the UDAF
+    demonstrates the extension point, the docstring records when to
+    refuse it."""
+    import numpy as np
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit functionType: `from __future__ import annotations`
+    # stringifies hints, so signature inference can't see Series -> float
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def geomean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # Spark refuses mixed pandas/builtin aggregates in one agg(), so the
+    # row count is a second GROUPED_AGG over the same Arrow batch
+    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
+    def n_rows(v):
+        return len(v)
+
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        n_rows("l_extendedprice").alias("n"),
+        F.round(geomean("l_extendedprice"), 4).alias("geomean"),
+    )

@@ -180,6 +180,7 @@ PRIORITY: list[str] = [
     "x_token_ids",      # D4 sibling: numericalization w/ feature-hashed OOV
     "x_pagerank",       # D12 sibling: centrality over the near-dup graph (rows-only)
     "x_quality_norm",   # D10 sibling: rank-based per-domain score calibration
+    "a_geomean_udaf",   # §2.10 UDAF leg: pandas GROUPED_AGG geometric mean
 ]
 
 
