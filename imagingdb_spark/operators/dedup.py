@@ -887,7 +887,9 @@ def x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("t", (F.col("i") * SPAN_TOKENS + 1).cast("int"), SPAN_TOKENS),
             " ",
         ).alias("span_text"),
-    )
+    ).persist()  # consumed twice (frequency agg + join-back): one
+    # tokenize+slice corpus pass, not two — same convention as
+    # shingle_frame's persisted shingles
     df_counts = spans.groupBy("span_text").agg(
         F.count_distinct("doc_id").alias("ndocs")
     )

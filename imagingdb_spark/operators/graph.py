@@ -207,7 +207,6 @@ def pagerank(
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select("u", "deg").localCheckpoint()
-    n = nodes.count()  # scalar boundary: node count only
     ranks = nodes.select("u", F.lit(1.0).alias("rank"))
     for _ in range(n_iter):
         contrib = (
@@ -229,7 +228,7 @@ def pagerank(
             )
             .localCheckpoint()
         )
-    return ranks.select(F.col("u").alias("doc_id"), "rank"), n
+    return ranks.select(F.col("u").alias("doc_id"), "rank")
 
 
 @query("x_pagerank")  # rows-only: fixed-point float iteration isn't ANSI-SQL
@@ -244,5 +243,5 @@ def x_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from imagingdb_spark.operators.dedup import x_dedup_jaccard
 
     pairs = x_dedup_jaccard(spark, sf_dir)
-    ranks, _ = pagerank(pairs)
+    ranks = pagerank(pairs)
     return ranks.select("doc_id", F.round("rank", 6).alias("rank"))

@@ -595,6 +595,8 @@ def x_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.posexplode(tokens_col(F.col("text"))).alias("i", "term"),
         )
+        .persist()  # consumed twice (vocab count + id-lookup join):
+        # one tokenize+posexplode corpus pass, not two
     )
     w = Window.orderBy(F.desc("cf"), "term")
     vocab = (

@@ -240,7 +240,8 @@ def table_diff(a: DataFrame, b: DataFrame, key: str, cmp: str) -> DataFrame:
     status = (
         F.when(F.col(f"a.{key}").isNull(), F.lit("added"))
         .when(F.col(f"b.{key}").isNull(), F.lit("removed"))
-        .when(F.col(f"a.{cmp}") == F.col(f"b.{cmp}"), F.lit("unchanged"))
+        # null-safe: NULL content on both sides is unchanged, not changed
+        .when(F.col(f"a.{cmp}").eqNullSafe(F.col(f"b.{cmp}")), F.lit("unchanged"))
         .otherwise(F.lit("changed"))
     )
     return joined.select(
@@ -268,7 +269,7 @@ def table_diff(a: DataFrame, b: DataFrame, key: str, cmp: str) -> DataFrame:
     SELECT COALESCE(b.doc_id, a.doc_id) AS doc_id,
            CASE WHEN a.doc_id IS NULL THEN 'added'
                 WHEN b.doc_id IS NULL THEN 'removed'
-                WHEN a.text = b.text THEN 'unchanged'
+                WHEN a.text IS NOT DISTINCT FROM b.text THEN 'unchanged'
                 ELSE 'changed' END AS status
     FROM documents a FULL OUTER JOIN b ON a.doc_id = b.doc_id
     """,
@@ -315,13 +316,23 @@ def cdc_apply(base: DataFrame, log: DataFrame, key: str) -> DataFrame:
     Scale shape: one shuffle of the log on (key) for the per-key
     max-seq reduction (log-sized, not corpus-sized), then one key-keyed
     outer join against the base — the same exchange profile as MERGE.
-    The reduction is an aggregate (max_by), not a window: no per-key
-    sort, map-side partial applies."""
+    The reduction is an aggregate (struct max), not a window: no per-key
+    sort, map-side partial applies. The struct max resolves the winning
+    log ROW atomically — per-column max_by calls would mix columns from
+    different rows on a seq tie — and deterministically: ties on seq
+    break by (op, attrs) tuple order, and a NULL attribute on the winning
+    row is KEPT (max_by/arg_max variants silently skip NULL values,
+    resurrecting older content)."""
     attrs = [c for c in base.columns if c != key]
-    latest = log.groupBy(key).agg(
-        F.max("seq").alias("last_seq"),
-        F.max_by("op", "seq").alias("op"),
-        *[F.max_by(a, "seq").alias(a) for a in attrs],
+    latest = (
+        log.groupBy(key)
+        .agg(F.max(F.struct("seq", "op", *attrs)).alias("__m"))
+        .select(
+            key,
+            F.col("__m.seq").alias("last_seq"),
+            F.col("__m.op").alias("op"),
+            *[F.col(f"__m.{a}").alias(a) for a in attrs],
+        )
     )
     b = base.alias("b")
     l = latest.alias("l")  # noqa: E741
@@ -357,11 +368,13 @@ def cdc_apply(base: DataFrame, log: DataFrame, key: str) -> DataFrame:
       FROM documents
       WHERE substr(md5('cdc3-' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
     ), latest AS (
-      SELECT doc_id,
-             CAST(max(seq) AS BIGINT) AS last_seq,
-             arg_max(op, seq) AS op,
-             arg_max(text, seq) AS text
-      FROM log GROUP BY doc_id
+      -- whole-row resolution via max-seq join, NOT arg_max(col, seq):
+      -- arg_max skips NULL values, which would resurrect older content
+      -- when the winning row legitimately sets a column to NULL
+      SELECT l.doc_id, CAST(l.seq AS BIGINT) AS last_seq, l.op, l.text
+      FROM log l
+      JOIN (SELECT doc_id, max(seq) AS ms FROM log GROUP BY doc_id) m
+        ON l.doc_id = m.doc_id AND l.seq = m.ms
     )
     SELECT COALESCE(l.doc_id, b.doc_id) AS doc_id,
            CAST(length(CASE WHEN l.doc_id IS NOT NULL THEN l.text

@@ -426,7 +426,10 @@ def capped_hash_rank(
     broadcast; the audit collect is likewise bounded by the number of
     BIG groups, never rows. At 100 TB with a 10^8-page domain and
     cap=15 this turns a 10^8-row per-partition sort into ~30 rows."""
-    hashed = df.withColumn("__h", hash_col)
+    # consumed once per audit attempt plus the final ranking — persist so
+    # the input lineage is computed exactly once, which is the point of a
+    # utility whose target is 10^8-row skewed inputs
+    hashed = df.withColumn("__h", hash_col).persist()
     sizes = hashed.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n"))
     target = int(cap * oversample)
     for attempt in range(max_widen + 1):

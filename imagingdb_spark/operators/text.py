@@ -548,7 +548,7 @@ def x_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "event_id",
         F.regexp_replace("props", SCRUB_PATTERN, SCRUB_TOKEN).alias("props_clean"),
-        F.size(F.expr(f"regexp_extract_all(props, '{SCRUB_PATTERN}', 0)"))
+        F.size(F.regexp_extract_all("props", F.lit(SCRUB_PATTERN), F.lit(0)))
         .cast("bigint")
         .alias("n_redactions"),
     )
