@@ -482,3 +482,16 @@ def rank_trending(counts: DataFrame, k: int = 3) -> DataFrame:
         counts.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= k)
     )
+
+
+def enrich_with_dimension(events: DataFrame, dim: DataFrame) -> DataFrame:
+    """Stream-static temporal enrichment (j_temporal_lookup's streaming
+    twin): every streaming fact picks up the dimension attributes current
+    at ITS OWN event time. Stream-static joins need no watermark and no
+    state store — the static side is re-planned (and, dimension-sized,
+    broadcast) per micro-batch, which also means a dimension update
+    between batches is picked up automatically: the classic
+    slowly-changing enrichment topology."""
+    from imagingdb_spark.operators.joins import temporal_enrich
+
+    return temporal_enrich(events, dim)

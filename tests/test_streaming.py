@@ -331,3 +331,27 @@ def test_trending_topk_stream_matches_batch(spark, events_stream):
         q.stop()
     finally:
         stop_all(spark)
+
+
+def test_stream_static_enrichment_matches_batch(spark, events_stream):
+    """Stream-static temporal join must assign exactly the tiers the batch
+    j_temporal_lookup query assigns."""
+    from imagingdb_spark.catalog import table
+    from imagingdb_spark.operators import joins as J
+
+    try:
+        dim = J.user_tier_dim(
+            table(spark, SF_DIR, "events").select("event_id", "user_id", "ts")
+        )
+        q = jobs.run_to_memory(
+            jobs.enrich_with_dimension(events_stream, dim),
+            "t_enrich",
+            mode="append",
+        )
+        got = spark.sql("SELECT event_id, user_id, tier FROM t_enrich").collect()
+        want = J.j_temporal_lookup(spark, SF_DIR).collect()
+        assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+        assert len(got) > 0
+        q.stop()
+    finally:
+        stop_all(spark)
