@@ -11,6 +11,8 @@ one per input row.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level so stringified UDAF hints resolve
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -650,18 +652,20 @@ def a_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     demonstrates the extension point, the docstring records when to
     refuse it."""
     import numpy as np
-    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.functions import pandas_udf
 
-    # explicit functionType: `from __future__ import annotations`
-    # stringifies hints, so signature inference can't see Series -> float
-    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
-    def geomean(v):
+    # Series -> scalar hints mark these GROUPED_AGG; `from __future__
+    # import annotations` stringifies the hints, which resolve only
+    # because pandas is imported at MODULE level (function-local imports
+    # are invisible to typing.get_type_hints)
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
         return float(np.exp(np.log(v.to_numpy()).mean()))
 
     # Spark refuses mixed pandas/builtin aggregates in one agg(), so the
     # row count is a second GROUPED_AGG over the same Arrow batch
-    @pandas_udf("long", PandasUDFType.GROUPED_AGG)
-    def n_rows(v):
+    @pandas_udf("long")
+    def n_rows(v: pd.Series) -> int:
         return len(v)
 
     li = table(spark, sf_dir, "lineitem")

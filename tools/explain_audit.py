@@ -22,6 +22,18 @@ from imagingdb_spark import registry
 from imagingdb_spark.session import get_spark
 
 
+def plan_node_counts(plan: str) -> tuple[int, int]:
+    """(shuffle Exchange nodes, parquet scan nodes) of a formatted plan.
+    Counts the numbered DETAIL headers only — each node appears once
+    there, whereas the tree rendering repeats reused subtrees (a plan
+    that references one scan 4 times would otherwise count 5). Shared by
+    this audit and tools/gen_query_index.py so the two can never
+    disagree about the same plan file."""
+    n_exchange = len(re.findall(r"^\(\d+\) Exchange\b", plan, re.M))
+    n_scans = len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M))
+    return n_exchange, n_scans
+
+
 def _bnlj_all_scalar(plan: str) -> bool:
     """True when every BroadcastNestedLoopJoin in the formatted plan has a
     SCALAR build side — a BroadcastExchange over a global (Keys: [])
@@ -107,8 +119,7 @@ def main() -> None:
             f"{t}.parquet" in plan for t in ("region", "nation")
         ):
             hazards.append("SMJ_FIXED_DIM")
-        n_exchange = len(re.findall(r"\bExchange\b", plan))
-        n_scans = len(re.findall(r"Scan parquet", plan))
+        n_exchange, n_scans = plan_node_counts(plan)
         summary = f"{name}: exchanges={n_exchange} scans={n_scans}"
         if hazards:
             summary += "  !! " + ",".join(hazards)
