@@ -913,3 +913,67 @@ def x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(""),
         ).alias("text_clean"),
     )
+
+
+@query("x_dedup_eval")  # rows-only: metric of two pipelines, not a table op
+def x_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluate the approximate dedup pipeline against exact ground truth:
+    recall/precision of MinHash+LSH verified pairs (x_dedup_minhash)
+    versus the EXACT set of shingle-Jaccard >= 0.5 pairs, computed
+    losslessly with the same PPJoin prefix theorem as x_dedup_jaccard but
+    over SHINGLE sets with no block key (minhash runs unblocked, so its
+    ground truth must too). Same similarity, same threshold, same shingle
+    family — so precision must be exactly 1.0 (verified candidates are a
+    subset of the truth) and recall measures ONLY what banding misses;
+    the S-curve math in x_dedup_minhash's docstring predicts it. One
+    metrics row, promoted to a first-class query so the measurement ships
+    with the engine instead of living in a notebook.
+
+    Scale shape: truth generation is prefix-filtered (never all-pairs) —
+    prefix length |s| - ceil(|s|/2) + 1 in exact integer arithmetic;
+    both pair sets are near-dup-sized; the comparison is one join + a
+    global aggregate. At 100 TB you run it on a sampled block: recall of
+    a hash-based method is block-size-invariant."""
+    sh = shingled_docs(spark, sf_dir).filter(F.size("shingles") > 0).persist()
+    ex = sh.select("doc_id", F.explode("shingles").alias("sg"))
+    dfreq = ex.groupBy("sg").agg(F.count(F.lit(1)).alias("sdf"))
+    sorted_sh = (
+        ex.join(dfreq, "sg")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sdf", "sg"))),
+                lambda s: s["sg"],
+            ).alias("ss")
+        )
+    )
+    sz = F.size("ss")
+    p_len = (sz - F.floor((sz + 1) / 2) + 1).cast("int")
+    prefix = sorted_sh.select(
+        "doc_id", F.explode(F.slice("ss", 1, p_len)).alias("sg")
+    )
+    cand = _bucket_pairs(prefix, ["sg"], "doc_id", max_bucket=None)
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    truth = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+        .select("doc_a", "doc_b")
+    )
+    lsh = x_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    hits = truth.join(lsh, ["doc_a", "doc_b"], "inner")
+    n_truth = truth.count()
+    n_lsh = lsh.count()
+    n_hits = hits.count()
+    return spark.createDataFrame(
+        [(
+            n_truth,
+            n_lsh,
+            n_hits,
+            round(n_hits / n_truth, 4) if n_truth else 1.0,
+            round(n_hits / n_lsh, 4) if n_lsh else 1.0,
+        )],
+        "n_exact_pairs long, n_lsh_pairs long, n_hits long, "
+        "recall double, precision double",
+    )

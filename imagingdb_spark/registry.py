@@ -181,6 +181,7 @@ PRIORITY: list[str] = [
     "x_pagerank",       # D12 sibling: centrality over the near-dup graph (rows-only)
     "x_quality_norm",   # D10 sibling: rank-based per-domain score calibration
     "a_geomean_udaf",   # §2.10 UDAF leg: pandas GROUPED_AGG geometric mean
+    "x_dedup_eval",     # D2 meta: LSH recall/precision vs exact PPJoin truth
 ]
 
 

@@ -890,3 +890,16 @@ class TestReviewRegressions:
         assert [(r["doc_id"], r["text"], r["last_seq"]) for r in out] == [
             (1, None, 2)
         ]
+
+
+class TestDedupEval:
+    def test_recall_precision_bounds(self, spark):
+        """LSH with post-verification must hit high recall AND perfect
+        precision vs the exact pair set (verified candidates can't contain
+        false positives; banding may miss a tail of true pairs)."""
+        from imagingdb_spark.operators import dedup as D
+
+        row = D.x_dedup_eval(spark, "/root/testdata/sf0.001").collect()[0]
+        assert row["n_hits"] <= min(row["n_exact_pairs"], row["n_lsh_pairs"])
+        assert row["recall"] >= 0.9
+        assert row["precision"] >= 0.9
