@@ -492,3 +492,53 @@ def st_topk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+@query(
+    "x_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ), pairs AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    )
+    SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+           round(n / SUM(n) OVER (PARTITION BY prev_type), 4) AS p
+    FROM pairs
+    """,
+)
+def x_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    P(next event type | previous event type) — the user-behavior model
+    behind next-action prediction, anomaly scoring (improbable
+    transitions), and funnel design. Deterministic sequence order via the
+    (ts, event_id) tiebreak.
+
+    Scale shape: ONE shuffle on user_id for the lag window (sequences are
+    per-user state), then a map-side-combined groupBy whose output is
+    |event types|² rows — the probability-normalizing window runs over
+    that tiny matrix, never over events. The classic two-phase shape:
+    heavy work partitioned by entity, statistics finished on the
+    cardinality-bounded result."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    pairs = seq.groupBy("prev_type", F.col("event_type").alias("next_type")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wp = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wp), 4).alias("p"),
+    )

@@ -50,8 +50,9 @@ ORACLE: dict[str, str] = {}
 # (wave B, round 5) x_source_cap, x_span_dedup, x_table_diff,
 # x_exact_quantiles, x_scrub, st_topk_trend, j_temporal_lookup,
 # x_inverted_index, x_cdc_apply, x_profile_stats, x_token_ids,
-# x_quality_norm — all oracle-exact and selfcheck-verified at add time —
-# plus clean-run slots for x_semdedup and x_pagerank (rows-only). Rotate
+# x_quality_norm, a_geomean_udaf, x_transition_matrix — all oracle-exact
+# and selfcheck-verified at add time — plus clean-run slots for
+# x_semdedup, x_pagerank, and x_dedup_eval (rows-only). Rotate
 # out f_substring, f_inlist, o_sort, a_count, p_project, f_daterange,
 # f_null_handling, j_three_way (triple-green by then) and the round-3
 # window's freshly-green rows, so every registered query eventually
@@ -182,6 +183,7 @@ PRIORITY: list[str] = [
     "x_quality_norm",   # D10 sibling: rank-based per-domain score calibration
     "a_geomean_udaf",   # §2.10 UDAF leg: pandas GROUPED_AGG geometric mean
     "x_dedup_eval",     # D2 meta: LSH recall/precision vs exact PPJoin truth
+    "x_transition_matrix",  # St sibling: Markov P(next|prev) over sequences
 ]
 
 
