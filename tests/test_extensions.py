@@ -903,3 +903,88 @@ class TestDedupEval:
         assert row["n_hits"] <= min(row["n_exact_pairs"], row["n_lsh_pairs"])
         assert row["recall"] >= 0.9
         assert row["precision"] >= 0.9
+
+
+class TestCdcModelCheck:
+    def test_random_logs_match_python_model(self, spark):
+        """cdc_apply vs a driver-side reference model over randomized logs
+        with seq ties, deletes, NULL texts, and unknown keys. The model
+        mirrors Spark struct-max ordering (NULL field sorts smallest)."""
+        import random
+
+        from imagingdb_spark.operators.merge import cdc_apply
+
+        rng = random.Random(20260814)
+        for trial in range(8):
+            base_rows = [(k, f"base{k}") for k in range(4)]
+            log_rows = []
+            for _ in range(rng.randint(1, 12)):
+                k = rng.randint(0, 5)
+                seq = rng.randint(1, 4)
+                op = rng.choice(["U", "U", "D"])
+                text = None if (op == "D" or rng.random() < 0.2) else (
+                    f"t{rng.randint(0, 9)}"
+                )
+                log_rows.append((k, seq, op, text))
+            base = spark.createDataFrame(base_rows, "doc_id long, text string")
+            log = spark.createDataFrame(
+                log_rows, "doc_id long, seq long, op string, text string"
+            )
+            got = {
+                r["doc_id"]: (r["text"], r["last_seq"])
+                for r in cdc_apply(base, log, "doc_id").collect()
+            }
+            # reference model: struct-max per key (None sorts first)
+            want = {}
+            winners = {}
+            for k, seq, op, text in log_rows:
+                cand = (seq, op, (text is not None, text or ""))
+                if k not in winners or cand > winners[k]:
+                    winners[k] = cand
+            base_d = dict(base_rows)
+            keys = set(base_d) | set(winners)
+            for k in keys:
+                if k in winners:
+                    seq, op, (has_text, text) = winners[k]
+                    if op != "D":
+                        want[k] = (text if has_text else None, seq)
+                else:
+                    want[k] = (base_d[k], 0)
+            assert got == want, f"trial {trial}: {got} != {want}"
+
+
+class TestCappedRankModelCheck:
+    def test_random_caps_and_skews_match_plain_window(self, spark):
+        """capped_hash_rank over randomized group layouts, caps, and
+        oversample factors must equal the plain window exactly."""
+        import random
+
+        from pyspark.sql import Window
+        from imagingdb_spark.operators.sampling import capped_hash_rank
+
+        rng = random.Random(20260815)
+        for trial in range(5):
+            rows = []
+            doc = 0
+            for g in range(rng.randint(1, 4)):
+                for _ in range(rng.randint(1, 40)):
+                    rows.append((doc, f"g{g}"))
+                    doc += 1
+            cap = rng.randint(1, 6)
+            over = rng.choice([1.5, 2.0, 3.0])
+            d = spark.createDataFrame(rows, "doc_id long, grp string")
+            h = F.md5(F.concat(F.lit(f"s{trial}-"), F.col("doc_id").cast("string")))
+            got = {
+                (r["grp"], r["doc_id"], r["rk"])
+                for r in capped_hash_rank(d, "grp", h, cap, oversample=over).collect()
+            }
+            w = Window.partitionBy("grp").orderBy(h)
+            want = {
+                (r["grp"], r["doc_id"], r["rk"])
+                for r in d.withColumn(
+                    "rk", F.row_number().over(w).cast("bigint")
+                )
+                .filter(F.col("rk") <= cap)
+                .collect()
+            }
+            assert got == want, f"trial {trial} cap={cap} over={over}"
