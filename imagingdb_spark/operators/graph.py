@@ -207,11 +207,13 @@ def pagerank(
     )
     deg = edges.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     nodes = deg.select("u", "deg").localCheckpoint()
+    # fold the out-degree into the edge list ONCE — the per-round join is
+    # then ranks ⋈ edges only, not ranks ⋈ deg ⋈ edges
+    edges_deg = edges.join(nodes, "u").localCheckpoint()
     ranks = nodes.select("u", F.lit(1.0).alias("rank"))
     for _ in range(n_iter):
         contrib = (
-            ranks.join(nodes, "u")
-            .join(edges, "u")
+            ranks.join(edges_deg, "u")
             .select(F.col("v").alias("u"), (F.col("rank") / F.col("deg")).alias("c"))
             .groupBy("u")
             .agg(F.sum("c").alias("s"))
