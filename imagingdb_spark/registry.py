@@ -41,79 +41,111 @@ ORACLE: dict[str, str] = {}
 # and their recorded green rows from prior rounds; they only lose a FRESH
 # driver row this round.
 #
-# Round-4 rotation plan: once CORRECTNESS_r03 records green rows for the
-# 16 rotated-in queries, rotate the round-3 tail additions into the
-# window in place of double-green rows, oldest-addition first: (wave A)
-# x_bm25, x_mad_outlier, x_cooccur_pmi, x_bigram_logprob, x_funnel,
-# x_retention, x_histogram, x_rolling_zscore, x_domain_mix,
-# x_scd2_history, x_sessionize, x_incr_agg, x_stratified, x_token_budget;
-# (wave B, round 5) x_source_cap, x_span_dedup, x_table_diff,
-# x_exact_quantiles, x_scrub, st_topk_trend, j_temporal_lookup,
-# x_inverted_index, x_cdc_apply, x_profile_stats, x_token_ids,
-# x_quality_norm, a_geomean_udaf, x_transition_matrix — all oracle-exact
-# and selfcheck-verified at add time — plus clean-run slots for
-# x_semdedup, x_pagerank, and x_dedup_eval (rows-only). Rotate
-# out f_substring, f_inlist, o_sort, a_count, p_project, f_daterange,
-# f_null_handling, j_three_way (triple-green by then) and the round-3
-# window's freshly-green rows, so every registered query eventually
-# holds a driver record.
+# Round-4 rotation (VERDICT r3 item 1, applied): CORRECTNESS_r03 recorded
+# green rows for all 16 round-3 rotated-in queries, so waves A+B of the
+# round-4 plan rotate in TOGETHER (28 oracle-exact + 3 rows-only clean-run
+# slots = the 31 queries that have never held a driver row), plus the new
+# x_dedup_verified (round 4, oracle-exact). 18 single-green category
+# holders stay in-window; everything with 2+ green rows (or a fresh r3
+# row) rotates to the tail. Tail queries keep their implementations, unit
+# tests, and recorded green rows — they only lose a FRESH driver row.
+#
+# Round-5 rotation plan: once CORRECTNESS_r04 records green rows for the
+# 32 rotated-in queries, every registered query will hold at least one
+# driver record; round 5 can then rotate back any queries whose
+# implementation changed since their last green row, plus new additions.
 PRIORITY: list[str] = [
-    # --- rotated IN for round 3: never driver-checked before (13 oracle-exact)
-    "w_dense_rank",     # W
-    "w_lag_lead",       # W
-    "w_range_frame",    # W: time-range (value-bounded) frame
-    "x_sample_weighted",  # D8: deterministic data mixing
-    "x_dedup_compact",  # D12 apply-the-dedup anti-join
-    "x_shard_shuffle",  # D16 deterministic training-shard order
-    "st_join",          # St6 stream-stream join batch twin (attribution)
-    "x_unigram_logprob",  # D17 CCNet-style LM quality score
-    "x_length_trim",    # D10 sibling: corpus-relative percentile trimming
-    "x_gapfill",        # T1 time-series resample + forward fill
-    "x_fuzzy_join",     # D2 sibling: blocked edit-distance entity join
-    "x_tfidf",          # D18 TF-IDF term ranking
-    "x_merge_upsert",   # S10 MERGE INTO / upsert corpus revision
-    # --- rotated IN: rows-only by design, for clean-run records
-    "x_ann_ivf",        # D3 IVF-Flat scale path (recall unit test)
-    "a_approx_sketch",  # HLL++/quantile sketches (error-bound unit test)
-    "x_pack_sequences", # D15 FFD token-budget packing (determinism test)
-    # --- retained core: one green-row holder per SURVEY §2 category
-    "o_topk",           # O5
-    "o_sort",           # O1
+    # --- rotated IN for round 4 (wave A, round-3 additions; oracle-exact,
+    #     selfcheck-verified, never driver-checked) ---
+    "x_bm25",           # D18 sibling: Okapi BM25 retrieval scoring
+    "x_mad_outlier",    # robust median/MAD outlier flag (st_anomaly's exact batch twin)
+    "x_cooccur_pmi",    # D4 sibling: top-K-bounded co-occurrence PMI
+    "x_bigram_logprob", # D17 sibling: bigram-LM quality score
+    "x_funnel",         # ordered-step funnel conversion (events)
+    "x_retention",      # cohort retention triangle (events)
+    "x_histogram",      # equi-width histogram profiling (lineitem)
+    "x_rolling_zscore", # bounded ROWS-frame anomaly score (events)
+    "x_domain_mix",     # D8 sibling: temperature-0.5 corpus mixing
+    "x_scd2_history",   # S10 sibling: SCD-2 validity-interval history
+    "x_sessionize",     # St3 row-level twin: per-event session assignment
+    "x_incr_agg",       # A+ sibling: mergeable-aggregate incremental rollup
+    "x_stratified",     # D8 sibling: fixed-count per-stratum eval sampling
+    "x_token_budget",   # D8 sibling: quality-ordered token-budget selection
+    # --- rotated IN for round 4 (wave B, round-3 late additions) ---
+    "x_source_cap",     # D8 sibling: Gopher-style per-domain page cap
+    "x_span_dedup",     # D2 sibling: CCNet line-level exact dedup analog
+    "x_table_diff",     # S10 sibling: snapshot reconciliation / anti-entropy
+    "x_exact_quantiles",  # A+ sibling: exact PERCENTILE_CONT twin of sketches
+    "x_scrub",          # D10 sibling: PII-style regex redaction + audit count
+    "st_topk_trend",    # St2 sibling: sliding-window trending top-k
+    "j_temporal_lookup",  # J+ sibling: point-in-time SCD-2 dimension lookup
+    "x_inverted_index",   # D18 sibling: term -> postings index build
+    "x_cdc_apply",      # S10 sibling: ordered change-log replay (LWW + deletes)
+    "x_profile_stats",  # A+ sibling: per-column ANALYZE-style profiling
+    "x_token_ids",      # D4 sibling: numericalization (r4: bounded vocab window)
+    "x_quality_norm",   # D10 sibling: rank-based per-domain score calibration
+    "a_geomean_udaf",   # §2.10 UDAF leg: pandas GROUPED_AGG geometric mean
+    "x_transition_matrix",  # St sibling: Markov P(next|prev) over sequences
+    # --- rotated IN: rows-only by design, for clean-run records ---
+    "x_semdedup",       # D2 sibling: k-means-blocked semantic dedup
+    "x_pagerank",       # D12 sibling: centrality over the near-dup graph
+    "x_dedup_eval",     # D2 meta: LSH recall/precision vs exact PPJoin truth
+    # --- NEW in round 4 (VERDICT r3 item 7): LSH verified-pairs output
+    #     promoted to oracle-exact against the PPJoin exact ground truth ---
+    "x_dedup_verified", # D2: MinHash+LSH post-verify pairs == exact pairs it found
+    # --- retained core: one green-row holder per SURVEY §2 category ---
     "w_running",        # W
     "w_rownum_page",    # W + O3 offset slicing
     "st_tumbling",      # St1 (batch twin)
     "st_session",       # St3
     "f_from_json",      # S3/F5: schema-validated JSON parsing
-    "f_substring",      # P1
-    "f_daterange",      # P2
-    "f_inlist",         # P4
     "f_json_extract",   # P5/P6
-    "p_project",        # P7
-    "f_null_handling",  # P9
-    "j_three_way",      # J1
     "j_json_filter",    # J5
     "j_asof",           # J+
     "f_array_ops",      # F8
-    "a_count",          # A1
     "a_count_distinct", # A3
     "a_group_summary",  # A4/A5
     "a_rollup",         # A+
     "f_string_parse",   # F1
     "f_cast_coerce",    # F7
-    "x_text_stats",     # D4
-    "x_split_hash",     # D7: deterministic dataset split
     "x_dedup_exact",    # D1
     "x_dedup_jaccard",  # D2 (oracle-exact)
-    "x_dedup_embed",    # D2 (oracle-exact)
-    "x_topk_sim",       # D3 (oracle-exact)
-    # round-2 rows with NO sibling — each its own SURVEY §2.11 row
     "x_dedup_incremental",  # D13 batch-vs-corpus PPJoin (oracle-exact)
-    "x_chunk_docs",     # D14 RAG chunking (oracle-exact)
-    "x_decontaminate",  # D9 benchmark decontamination (oracle-exact)
-    "x_repetition",     # D11 repetition signals (oracle-exact)
     "x_dedup_cluster",  # D12 connected components (oracle-exact)
-    # --- position 51+: double-verified in r1/r2 (green rows on record) or
-    #     redundant-within-category; rotated out per VERDICT r2 item 1 ---
+    # --- position 51+: green driver rows on record (r1/r2/r3), rotated
+    #     out per the round-4 plan; implementations + unit tests intact ---
+    "o_topk",           # O5 — pass-r3
+    "o_sort",           # O1 — pass-r3
+    "w_dense_rank",     # W — pass-r3
+    "w_lag_lead",       # W — pass-r3
+    "w_range_frame",    # W — pass-r3
+    "x_sample_weighted",  # D8 — pass-r3
+    "x_dedup_compact",  # D12 — pass-r3
+    "x_shard_shuffle",  # D16 — pass-r3
+    "st_join",          # St6 — pass-r3
+    "x_unigram_logprob",  # D17 — pass-r3
+    "x_length_trim",    # D10 — pass-r3
+    "x_gapfill",        # T1 — pass-r3
+    "x_fuzzy_join",     # D2 — pass-r3
+    "x_tfidf",          # D18 — pass-r3
+    "x_merge_upsert",   # S10 — pass-r3
+    "x_ann_ivf",        # D3 — clean-run r3 (rows-only by design)
+    "a_approx_sketch",  # sketches — clean-run r3 (rows-only by design)
+    "x_pack_sequences", # D15 — clean-run r3 (rows-only by design)
+    "f_substring",      # P1 — pass-r1+r2+r3
+    "f_daterange",      # P2 — pass-r1+r2+r3
+    "f_inlist",         # P4 — pass-r1+r2+r3
+    "p_project",        # P7 — pass-r1+r2+r3
+    "f_null_handling",  # P9 — pass-r1+r2+r3
+    "j_three_way",      # J1 — pass-r1+r2+r3
+    "a_count",          # A1 — pass-r1+r2+r3
+    "x_text_stats",     # D4 — pass-r2+r3
+    "x_split_hash",     # D7 — pass-r2+r3
+    "x_dedup_embed",    # D2 — pass-r2+r3
+    "x_topk_sim",       # D3 — pass-r2+r3
+    "x_chunk_docs",     # D14 — pass-r2+r3
+    "x_decontaminate",  # D9 — pass-r2+r3
+    "x_repetition",     # D11 — pass-r2+r3
     "w_topk_group",     # W — pass-r1 + pass-r2
     "st_sliding",       # St2 — pass-r1 + pass-r2
     "st_anomaly",       # D6 — clean-run r2 (rows-only by design)
@@ -129,62 +161,27 @@ PRIORITY: list[str] = [
     "j_self_parent",    # J3 — pass-r1 + pass-r2
     "a_distinct",       # A2 — pass-r1 + pass-r2
     "s_union",          # set ops — pass-r1 + pass-r2
-    "x_quality_filter", # D10 — pass-r2 (x_length_trim now in-window)
-    # --- deeper tail: redundant-within-category, green r1 or rows-only ---
-    "j_outer_count",    # J+ (asof covers the row; green in r01)
-    "j_range",          # J+
-    "j_semi",           # J+
-    "a_sum_avg",        # A+ (rollup covers the row; green in r01)
-    "s_except",         # set ops (union covers the row; green in r01)
-    "x_dedup_minhash",  # D2 rows-only (jaccard+embed cover the row)
+    "x_quality_filter", # D10 — pass-r2
+    "j_outer_count",    # J+ — pass-r1
+    "j_range",          # J+ — pass-r1
+    "j_semi",           # J+ — pass-r1
+    "a_sum_avg",        # A+ — pass-r1
+    "s_except",         # set ops — pass-r1
+    "x_dedup_minhash",  # D2 rows-only (x_dedup_verified now oracle-exact)
     "x_dedup_simhash",  # D2 rows-only
     "x_ann_lsh",        # D3 rows-only (topk_sim covers the row)
-    "x_lang_id",        # D4 (x_text_stats covers the row; green in r01)
-    "x_token_freq",     # D4 (stats cover the row)
+    "x_lang_id",        # D4 — pass-r1
+    "x_token_freq",     # D4
     "x_token_bpe",      # D4
     "x_fingerprint",    # D4
-    "s_intersect",      # set ops (union+except cover the row)
-    "f_json_multi",     # F5 (json_extract + from_json cover the row)
+    "s_intersect",      # set ops
+    "f_json_multi",     # F5
     "f_path_ops",       # F9
-    "a_cube",           # A+ (rollup covers grouping sets)
+    "a_cube",           # A+
     "a_pivot",          # A+
     "x_embed_stats",    # bonus profiling query
-    # round-3 additions (oracle-exact, tail: selfcheck-verified; siblings
-    # x_tfidf / st_anomaly hold the in-window slots for their families)
-    "x_bm25",           # D18 sibling: Okapi BM25 retrieval scoring
-    "x_mad_outlier",    # robust median/MAD outlier flag (st_anomaly's exact batch twin)
-    "x_cooccur_pmi",    # D4 sibling: top-K-bounded co-occurrence PMI
-    "x_bigram_logprob", # D17 sibling: bigram-LM quality score
-    "x_funnel",         # ordered-step funnel conversion (events)
-    "x_retention",      # cohort retention triangle (events)
-    "x_histogram",      # equi-width histogram profiling (lineitem)
-    "x_rolling_zscore", # bounded ROWS-frame anomaly score (events)
-    "x_domain_mix",     # D8 sibling: temperature-0.5 corpus mixing
-    "x_semdedup",       # D2 sibling: k-means-blocked semantic dedup (rows-only)
-    "x_scd2_history",   # S10 sibling: SCD-2 validity-interval history
-    "x_sessionize",     # St3 row-level twin: per-event session assignment
-    "x_incr_agg",       # A+ sibling: mergeable-aggregate incremental rollup
-    "x_stratified",     # D8 sibling: fixed-count per-stratum eval sampling
-    "x_token_budget",   # D8 sibling: quality-ordered token-budget selection
-    # round-3 late additions (oracle-exact unless noted; rotate into the
-    # driver window in later rounds per the round-4 plan above)
-    "x_source_cap",     # D8 sibling: Gopher-style per-domain page cap
-    "x_span_dedup",     # D2 sibling: CCNet line-level exact dedup analog
-    "x_table_diff",     # S10 sibling: snapshot reconciliation / anti-entropy
-    "x_exact_quantiles",  # A+ sibling: exact PERCENTILE_CONT twin of sketches
-    "x_scrub",          # D10 sibling: PII-style regex redaction + audit count
-    "st_topk_trend",    # St2 sibling: sliding-window trending top-k
-    "j_temporal_lookup",  # J+ sibling: point-in-time SCD-2 dimension lookup
-    "x_inverted_index",   # D18 sibling: term -> postings index build
-    "x_cdc_apply",      # S10 sibling: ordered change-log replay (LWW + deletes)
-    "x_profile_stats",  # A+ sibling: per-column ANALYZE-style profiling
-    "x_token_ids",      # D4 sibling: numericalization w/ feature-hashed OOV
-    "x_pagerank",       # D12 sibling: centrality over the near-dup graph (rows-only)
-    "x_quality_norm",   # D10 sibling: rank-based per-domain score calibration
-    "a_geomean_udaf",   # §2.10 UDAF leg: pandas GROUPED_AGG geometric mean
-    "x_dedup_eval",     # D2 meta: LSH recall/precision vs exact PPJoin truth
-    "x_transition_matrix",  # St sibling: Markov P(next|prev) over sequences
 ]
+
 
 
 def ordered_queries() -> dict[str, QueryFn]:
