@@ -104,7 +104,7 @@ def insert_frames(
     from imagingdb_spark.api import serial_to_date_time
 
     paths = paths or {}
-    w = Window.orderBy("dataset_serial")
+    w = Window.partitionBy(F.lit(0)).orderBy("dataset_serial")  # catalog-batch-sized
 
     ds_rows = datasets.select(
         "dataset_serial",
@@ -158,7 +158,7 @@ def insert_frames(
     )
 
     max_fr = frames.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
-    wf = Window.orderBy("dataset_serial", "file_name")
+    wf = Window.partitionBy(F.lit(0)).orderBy("dataset_serial", "file_name")  # batch-sized
     fr_rows = (
         frames_rows.join(
             fg_rows.select("dataset_serial", F.col("id").alias("frames_global_id")),

@@ -175,7 +175,7 @@ def insert_file(
     )
     ds_rows = resolve_parent_ids(ds_rows, data_set)
     max_ds_id = data_set.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
-    w = Window.orderBy("dataset_serial")  # catalog-batch-sized: one task is fine
+    w = Window.partitionBy(F.lit(0)).orderBy("dataset_serial")  # catalog-batch-sized: one task is fine
     ds_rows = ds_rows.withColumn("id", F.row_number().over(w) + F.lit(max_ds_id))
     appended_ds = idempotent_append(
         ds_rows, data_set, ["dataset_serial"], data_set_path

@@ -137,7 +137,7 @@ def channel_index_by_first_appearance(
     )
     ranked = chans.select(
         channel_col,
-        (F.dense_rank().over(Window.orderBy("_first")) - 1).alias("channel_idx"),
+        (F.dense_rank().over(Window.partitionBy(F.lit(0)).orderBy("_first")) - 1).alias("channel_idx"),  # dims-sized
     )
     return df.join(F.broadcast(ranked), channel_col)
 
