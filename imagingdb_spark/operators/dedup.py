@@ -958,7 +958,11 @@ def x_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jaccard(F.col("sh_a"), F.col("sh_b")) >= 0.5)
+        # round(.., 4) >= 0.5 — the SAME filter x_dedup_minhash's verify
+        # step applies, so a pair with true Jaccard in [0.49995, 0.5)
+        # lands on the same side of the threshold in both sets and the
+        # precision-is-1.0 argument holds exactly (ADVICE r3 #1).
+        .filter(F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4) >= 0.5)
         .select("doc_a", "doc_b")
     )
     lsh = x_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")

@@ -202,6 +202,11 @@ def pagerank(
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = (
         edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # generic-utility guard (ADVICE r3 #4): a caller passing (x, x)
+        # pairs would get self-contributions that skew ranks; the
+        # x_pagerank caller never emits them (doc_a < doc_b), but the
+        # helper shouldn't rely on that
+        .filter(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )

@@ -405,6 +405,7 @@ def capped_hash_rank(
     cap: int,
     oversample: float = 2.0,
     max_widen: int = 4,
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Skew-safe per-group top-``cap`` by hash order — the executable form
     of the "two-level pre-filter" mitigation x_stratified/x_source_cap
@@ -425,7 +426,22 @@ def capped_hash_rank(
     The group-size/threshold table is group-cardinality-sized and
     broadcast; the audit collect is likewise bounded by the number of
     BIG groups, never rows. At 100 TB with a 10^8-page domain and
-    cap=15 this turns a 10^8-row per-partition sort into ~30 rows."""
+    cap=15 this turns a 10^8-row per-partition sort into ~30 rows.
+
+    Determinism: equal hashes survive or fail the prefix filter TOGETHER
+    (the filter reads only the hash), so the prefilter is tie-safe; only
+    the final rank among equal hashes is order-dependent. Pass
+    ``tiebreak`` (a unique column, e.g. doc_id) to pin it — same pattern
+    as x_source_cap/x_stratified — or guarantee ``hash_col`` is
+    injective over the input (ADVICE r3 #2).
+
+    Caching: the hashed input is persisted for the lifetime of the
+    returned (lazy) plan because audit attempts and the final rank all
+    reuse it; the repo-wide convention is that multi-query drivers call
+    ``spark.catalog.clearCache()`` between queries (bench.py and
+    tools/selfcheck.py do) rather than each operator guessing when its
+    consumer has materialized — same contract as lm.doc_term_counts and
+    dedup.shingled_docs (ADVICE r3 #3)."""
     # consumed once per audit attempt plus the final ranking — persist so
     # the input lineage is computed exactly once, which is the point of a
     # utility whose target is 10^8-row skewed inputs
@@ -471,7 +487,8 @@ def capped_hash_rank(
         survivors = hashed.join(
             F.broadcast(sizes.withColumn("__thr", F.lit("ffff"))), group_col
         )
-    w = Window.partitionBy(group_col).orderBy("__h")
+    order = ["__h"] if tiebreak is None else ["__h", tiebreak]
+    w = Window.partitionBy(group_col).orderBy(*order)
     return (
         survivors.withColumn("rk", F.row_number().over(w).cast("bigint"))
         .filter(F.col("rk") <= cap)

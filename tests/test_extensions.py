@@ -727,6 +727,22 @@ class TestPageRank:
         for v, i in idx.items():
             assert abs(got[v] - r[i]) < 1e-9, v
 
+    def test_self_loops_filtered(self, spark):
+        """A caller passing (x, x) pairs must get the same ranks as one
+        passing the loop-free edge set (ADVICE r3 #4): symmetrization
+        drops self-loops so they contribute nothing."""
+        from imagingdb_spark.operators import graph as G
+
+        clean = spark.createDataFrame(
+            [(1, 2), (2, 3)], "doc_a long, doc_b long"
+        )
+        loopy = clean.union(
+            spark.createDataFrame([(1, 1), (3, 3)], "doc_a long, doc_b long")
+        )
+        want = {r["doc_id"]: r["rank"] for r in G.pagerank(clean).collect()}
+        got = {r["doc_id"]: r["rank"] for r in G.pagerank(loopy).collect()}
+        assert got == want
+
     def test_mass_conserved(self, spark):
         from imagingdb_spark.operators import graph as G
 
@@ -811,6 +827,34 @@ class TestCappedHashRank:
             .collect()
         }
         assert got == want and got
+
+    def test_tiebreak_pins_rank_under_hash_collisions(self, spark):
+        """With a deliberately non-injective hash (constant), ranks within
+        a group are arbitrary WITHOUT a tiebreak; with tiebreak=doc_id the
+        result must equal the plain window ordered by (hash, doc_id)
+        exactly (ADVICE r3 #2)."""
+        from pyspark.sql import Window
+        from imagingdb_spark.operators.sampling import capped_hash_rank
+
+        d = spark.createDataFrame(
+            [(i, "g") for i in range(40)], "doc_id long, grp string"
+        )
+        h = F.lit("aaaa")  # every row collides
+        cap = 5
+        got = {
+            (r["doc_id"], r["rk"])
+            for r in capped_hash_rank(
+                d, "grp", h, cap, tiebreak="doc_id"
+            ).collect()
+        }
+        w = Window.partitionBy("grp").orderBy(h, "doc_id")
+        want = {
+            (r["doc_id"], r["rk"])
+            for r in d.withColumn("rk", F.row_number().over(w).cast("bigint"))
+            .filter(F.col("rk") <= cap)
+            .collect()
+        }
+        assert got == want and len(got) == cap
 
     def test_small_groups_bypass_prefilter(self, spark):
         """Groups under the oversample target must never lose rows."""
