@@ -609,6 +609,61 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "x_dedup_verified",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS toks
+      FROM documents
+    ), sh AS (
+      SELECT doc_id,
+             CASE
+               WHEN len(toks) >= 3 THEN list_distinct(
+                 list_transform(generate_series(1, len(toks) - 2),
+                                i -> toks[i] || ' ' || toks[i + 1]
+                                     || ' ' || toks[i + 2]))
+               ELSE [chr(1) || array_to_string(toks, ' ')]
+             END AS shset
+      FROM toks
+      WHERE len(toks) > 0
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.shset, b.shset)) /
+                 (len(a.shset) + len(b.shset)
+                  - len(list_intersect(a.shset, b.shset))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.shset, b.shset)) /
+                (len(a.shset) + len(b.shset)
+                 - len(list_intersect(a.shset, b.shset))), 4) >= 0.5
+    """,
+)
+def x_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2b promoted to oracle-exact (VERDICT r3 item 7): the MinHash+LSH
+    pipeline's POST-VERIFY pairs, checked against the exact quadratic
+    shingle-Jaccard ground truth in SQL.
+
+    Why equality (not just ⊆) holds here: the verify step recomputes the
+    TRUE shingle Jaccard on every candidate with the same
+    ``round(.., 4) >= 0.5`` filter as the truth set, so precision is
+    exactly 1.0 by construction; and on this corpus every true pair
+    collides in at least one of the 8 bands (x_dedup_eval measures
+    recall == 1.0 at sf0.001 and sf0.01 — deterministic, because the
+    MinHash seeds are fixed), so the verified set IS the exact set. In
+    general LSH recall < 1 is possible; the rows-only x_dedup_eval
+    sibling carries that guarantee as a measured recall bound rather
+    than an equality.
+
+    Jaccard values over 64-bit hashed shingles equal the oracle's
+    string-3-gram computation under hash injectivity on the distinct
+    shingles present (collision odds ~|shingles|²/2⁶⁴ — and a collision
+    would surface as a hash-mismatch in this very check). The oracle's
+    short-doc rule mirrors _shingle_batch: 0 < len < k docs contribute
+    ONE order-sensitive whole-doc shingle; empty docs none."""
+    return x_dedup_minhash(spark, sf_dir)
+
+
 @query("x_dedup_simhash")  # rows-only: bit-manipulation not ANSI-SQL-expressible
 def x_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2c: SimHash near-dup over shingles. Each shingle votes its hash bits
