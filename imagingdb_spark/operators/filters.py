@@ -11,7 +11,11 @@ replicated — see SURVEY.md §4).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+import json
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from imagingdb_spark.catalog import table
@@ -108,7 +112,14 @@ def f_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P5+P6: JSONB containment/extraction — `metadata_json @> {...}` and
     `metadata_json['k']` (jsonb_queries.ipynb cells 4-6) become
     get_json_object over the raw JSON string column. The flat single-key
-    case (all the reference uses) needs no UDF."""
+    case (all the reference uses) needs no UDF.
+
+    Path selection for the general `@>` form: ``jsonb_contains`` below
+    compiles a FLAT needle with identifier keys and unambiguous string
+    values to this same JVM get_json_object conjunction; nested needles,
+    non-string scalars, or string values that parse as JSON literals
+    (where get_json_object's unquoted rendering is ambiguous) fire the
+    exact recursive pandas_udf path instead."""
     events = table(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return (
@@ -183,3 +194,68 @@ def f_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.col("value"), 4))
         .alias("value_clean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive JSONB containment (VERDICT r3 item 4): Postgres `@>` as a real
+# Column predicate with a JVM fast path. Reference: metadata_json @> {...}
+# (notebooks/jsonb_queries.ipynb cell 4; SURVEY.md §4).
+# ---------------------------------------------------------------------------
+
+_FAST_KEY = re.compile(r"^[A-Za-z0-9_]+$")
+
+
+def _fast_path_eligible(needle: dict) -> bool:
+    """True when the flat get_json_object conjunction is EXACT Postgres
+    `@>`: every key is a plain identifier (JSONPath-safe without escaping)
+    and every value is a string that is NOT itself parseable as a JSON
+    literal. get_json_object renders doc strings unquoted, so a doc number
+    1 and a doc string "1" both render as "1" — values like "1", "true",
+    "null" are ambiguous and must take the exact recursive path."""
+    for k, v in needle.items():
+        if not isinstance(k, str) or not _FAST_KEY.match(k):
+            return False
+        if not isinstance(v, str):
+            return False
+        try:
+            json.loads(v)
+            return False  # parseable → ambiguous with a non-string scalar
+        except ValueError:
+            continue
+    return True
+
+
+def jsonb_contains(col: Column, needle: dict) -> Column:
+    """Postgres `@>` containment over a JSON string column.
+
+    Fast path (flat needle, identifier keys, unambiguous string values —
+    everything the reference's own queries use): a conjunction of
+    ``get_json_object(col, '$.k') == v`` comparisons — pure JVM
+    expressions inside whole-stage codegen, no Python in the hot path.
+
+    General path (nested objects/arrays, or any scalar whose JSON
+    rendering collides with a string): an Arrow-batched pandas_udf over
+    ``sinks.json_contains`` — full recursive Postgres semantics: objects
+    descend key-by-key, arrays must contain every needle element (any
+    order), scalars compare typed. Per-row cost only on the rows that
+    survive whatever JVM-side predicates Catalyst pushed before it."""
+    if not isinstance(needle, dict):
+        raise TypeError("needle must be a dict (Postgres `@>` rhs object)")
+    if not needle:
+        # Postgres: every JSON object contains the empty object; null
+        # documents contain nothing
+        return col.isNotNull()
+    if _fast_path_eligible(needle):
+        pred = None
+        for k, v in needle.items():
+            c = F.get_json_object(col, f"$.{k}") == F.lit(v)
+            pred = c if pred is None else (pred & c)
+        return pred
+
+    from imagingdb_spark.sinks import json_contains
+
+    @F.pandas_udf("boolean")
+    def _contains_udf(s: pd.Series) -> pd.Series:
+        return s.map(lambda doc: json_contains(doc, needle))
+
+    return _contains_udf(col)

@@ -234,9 +234,11 @@ def json_contains(doc: str | None, needle: dict) -> bool:
     objects; arrays contain all needle elements (any order, duplicates
     allowed). The reference only ever uses flat single-key containment
     (jsonb_queries.ipynb cell 4) — get_json_object covers that in the query
-    layer; this UDF is the full fallback for nested needles (SURVEY.md §4).
-    Pure function so it is unit-testable; register with
-    F.udf(json_contains_curried(needle), "boolean") at the call site."""
+    layer; this function is the full fallback for nested needles
+    (SURVEY.md §4). Pure and unit-testable; the shipped Column-level
+    operator is ``operators.filters.jsonb_contains``, which fronts this
+    with the flat-key get_json_object fast path and wraps the recursive
+    case in an Arrow-batched pandas_udf (VERDICT r3 item 4)."""
     if doc is None:
         return False
     try:
