@@ -85,6 +85,62 @@ def _bnlj_all_scalar(plan: str) -> bool:
     return True
 
 
+# Node types whose output is bounded regardless of input size — a window
+# directly over one of these is a deliberate "tiny total order", not the
+# move-everything-to-one-task hazard (w_rownum_page pattern).
+_BOUNDED_NODES = ("TakeOrderedAndProject", "GlobalLimit", "CollectLimit")
+
+
+def _top_level_groups(args_line: str) -> list[str]:
+    """The top-level [..] groups of a formatted Arguments: line."""
+    depth = 0
+    groups: list[str] = []
+    start = 0
+    for i, ch in enumerate(args_line):
+        if ch == "[":
+            if depth == 0:
+                start = i + 1
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(args_line[start:i])
+    return groups
+
+
+def unpartitioned_unbounded_windows(plan: str) -> list[str]:
+    """Node ids of Window nodes with NO partition spec whose direct child
+    is not a bounded operator — the exact x_token_ids-class scale killer
+    (Spark logs 'No Partition Defined ... Moving all data to a single
+    partition' for these at runtime). A formatted Window detail reads
+    `Arguments: [funcs], [partSpec], [orderSpec]`, with EMPTY specs
+    dropped — so two groups means either partition-only (fine) or
+    order-only (the hazard); only order specs carry ASC/DESC NULLS."""
+    bad: list[str] = []
+    tree = plan.split("\n\n", 1)[0].splitlines()
+    for m in re.finditer(
+        r"^\((\d+)\) Window\n(?:[^\n]*\n)*?Arguments: ([^\n]*)", plan, re.M
+    ):
+        node_id, args = m.group(1), m.group(2)
+        groups = _top_level_groups(args)
+        if len(groups) == 3:
+            continue  # [funcs], [partition], [order]
+        # two groups is ambiguous: [funcs], [partition] (partition-only
+        # whole-frame window — fine) vs [funcs], [order] (UNPARTITIONED —
+        # the hazard). Order specs always carry sort directions.
+        if len(groups) == 2 and not re.search(
+            r"(ASC|DESC) NULLS", groups[1]
+        ):
+            continue  # partition-only
+        for i, line in enumerate(tree):
+            if re.search(rf"Window(Group\w+)? \({node_id}\)$", line):
+                child = tree[i + 1] if i + 1 < len(tree) else ""
+                if not any(b in child for b in _BOUNDED_NODES):
+                    bad.append(node_id)
+                break
+    return bad
+
+
 def main() -> None:
     args = sys.argv[1:]
     sf_dir = args[0] if args else "/root/testdata/sf0.1"
@@ -96,6 +152,10 @@ def main() -> None:
 
     flagged = 0
     for name in names:
+        # cold-cache plans: a persisted intermediate from a PREVIOUS
+        # query's build would otherwise swap lineage for an
+        # InMemoryTableScan and make the archived counts order-dependent
+        spark.catalog.clearCache()
         df = registry.QUERIES[name](spark, sf_dir)
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
@@ -115,6 +175,8 @@ def main() -> None:
         # e.g. x_dedup_compact's corpus-vs-losers anti-join, where the
         # loser set grows with the corpus — is exactly the plan that
         # survives 100 TB, so a bare SMJ is reported but not flagged.
+        if unpartitioned_unbounded_windows(plan):
+            hazards.append("UNPART_WINDOW")
         if "SortMergeJoin" in plan and any(
             f"{t}.parquet" in plan for t in ("region", "nation")
         ):
