@@ -13,11 +13,12 @@ decoded to numpy via cv2 (image_utils.py:22-30) and assembled into dense
 PNG decode/encode is REAL (round 3): imagingdb_spark.png is a pure-numpy
 codec covering exactly the reference's frame contract (greyscale/RGB,
 uint8/uint16), so `decode_png` and `serialize_im`/`deserialize_im` run
-without cv2, and imagingdb_spark.tiff reads/writes uncompressed
-multi-page TIFF, so `split_tiff_pages` defaults to a REAL TIFF→PNG page
-reader. The decoder seam stays injectable for formats beyond the frame
-contract (compressed TIFF, jpeg → cv2/PIL/tifffile); audio PCM decode
-remains stubbed (no soundfile in the container).
+without cv2, and imagingdb_spark.tiff reads/writes multi-page TIFF
+(uncompressed, LZW, Deflate + predictor 2 as of round 4), so
+`split_tiff_pages` defaults to a REAL TIFF→PNG page reader. The decoder
+seam stays injectable only for formats beyond that (JPEG-in-TIFF,
+PackBits → cv2/PIL/tifffile); PCM WAV decode is real, compressed audio
+stays behind the seam (no soundfile in the container).
 Everything Spark-side — schema, partitioning, UDF signatures, Arrow batch
 shapes, group semantics — is real and tested.
 """

@@ -187,10 +187,11 @@ def grid_indices(
 
 
 def _default_page_reader(payload: bytes) -> list[bytes]:
-    """Round 3: the default is REAL — the pure-numpy TIFF reader + PNG
-    encoder (imagingdb_spark.tiff/png), covering the reference's frame
-    contract (uncompressed multi-page, 8/16-bit gray/RGB). Compressed or
-    exotic TIFFs raise with a clear message; inject a tifffile-backed
+    """The default is REAL — the pure-numpy TIFF reader + PNG encoder
+    (imagingdb_spark.tiff/png), covering the reference's frame contract:
+    multi-page 8/16-bit gray/RGB, uncompressed OR LZW/Deflate-compressed
+    (+ predictor 2), both byte orders. Exotic codecs (JPEG-in-TIFF,
+    PackBits, CCITT) raise with a clear message; inject a tifffile-backed
     reader for those (the seam is unchanged)."""
     from imagingdb_spark.tiff import png_page_reader
 
@@ -210,9 +211,10 @@ def split_tiff_pages(
     indices and a sha256 per frame (file_splitter.py:82-93). Arrow-batched
     mapInPandas replaces the reference's ProcessPoolExecutor
     (tiffolder_splitter.py:193-196): Spark tasks are the process pool.
-    The default page_reader splits real uncompressed TIFFs into PNG frame
-    payloads (tiff.png_page_reader — the reference's TIFF-in/PNG-out
-    upload shape); inject a custom reader for compressed formats."""
+    The default page_reader splits real TIFFs (uncompressed, LZW or
+    Deflate) into PNG frame payloads (tiff.png_page_reader — the
+    reference's TIFF-in/PNG-out upload shape); inject a custom reader
+    for exotic codecs."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib

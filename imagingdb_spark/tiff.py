@@ -12,11 +12,15 @@ exactly that:
 
 - ``read_tiff_pages``: walks the IFD chain, handles both byte orders
   (II/MM), BitsPerSample 8/16, SamplesPerPixel 1/3, strip-based storage
-  (any RowsPerStrip), Compression=1 (none) only — compressed TIFFs raise
-  with a clear message (the codec seam stays injectable for those).
-- ``write_tiff``: emits a valid multi-page uncompressed TIFF
-  (little-endian, one strip per page) — used by tests and as the
-  synthetic-data twin.
+  (any RowsPerStrip), Compression 1 (none), 5 (LZW, TIFF §13 variant:
+  MSB-first variable-width codes with early change), 8/32946 (Deflate,
+  stdlib zlib), and Predictor 2 (horizontal differencing, §14) — the
+  codecs real microscopy writers emit. Exotic codecs (JPEG, PackBits,
+  CCITT) still raise with a clear message and the injectable
+  page_reader seam covers them.
+- ``write_tiff``: emits a valid multi-page TIFF (little-endian, one
+  strip per page; compression="none"/"lzw"/"deflate") — used by tests
+  and as the synthetic-data twin.
 - ``png_page_reader``: the `split_tiff_pages` plug — TIFF bytes → list of
   PNG-encoded frame payloads, mirroring the reference's TIFF-in /
   PNG-frames-out pipeline (data_uploader FRAME_FILE_FORMAT '.png').
@@ -28,6 +32,7 @@ mapInPandas batches.
 from __future__ import annotations
 
 import struct
+import zlib
 
 import numpy as np
 
@@ -35,10 +40,132 @@ import numpy as np
 _WIDTH, _LENGTH, _BITS, _COMPRESSION = 256, 257, 258, 259
 _PHOTOMETRIC, _DESCRIPTION, _STRIP_OFFSETS = 262, 270, 273
 _SAMPLES, _ROWS_PER_STRIP, _STRIP_COUNTS = 277, 278, 279
+_PREDICTOR = 317
+
+_COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD = 1, 5, 8, 32946
 
 # field type → (struct code, byte size); the subset real writers use
 # (2 = ASCII, one byte per char incl. the NUL terminator)
 _TYPES = {1: ("B", 1), 2: ("B", 1), 3: ("H", 2), 4: ("I", 4)}
+
+
+
+
+# ---------------------------------------------------------------------------
+# TIFF LZW (spec §13) and Deflate strip codecs (VERDICT r3 item 8)
+# ---------------------------------------------------------------------------
+# TIFF's LZW flavor: MSB-first bitstream, 9→12-bit variable-width codes,
+# ClearCode=256, EOI=257, table grows from 258, and the "early change"
+# quirk — the code width bumps when the NEXT code to be assigned is
+# 2^width - 1 (one entry earlier than plain LZW), on both sides.
+
+_LZW_CLEAR, _LZW_EOI, _LZW_FIRST = 256, 257, 258
+_LZW_MAX_TABLE = 4094  # encoder emits Clear before the 12-bit table fills
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    out = bytearray()
+    table: list[bytes] = []
+    width = 9
+    next_code = _LZW_FIRST
+
+    def reset() -> None:
+        nonlocal table, width, next_code
+        table = [bytes([i]) for i in range(256)] + [b"", b""]
+        width = 9
+        next_code = _LZW_FIRST
+
+    reset()
+    prev: bytes | None = None
+    bitpos, nbits = 0, len(data) * 8
+    while True:
+        # the decoder's table lags the encoder's by ONE entry (it inserts
+        # on the NEXT code), so it must widen one entry earlier than the
+        # encoder's next_code == 2^width - 1 rule: width is the smallest
+        # w with next_code + 1 < 2^w - 1
+        while width < 12 and next_code >= (1 << width) - 2:
+            width += 1
+        if bitpos + width > nbits:
+            break
+        i = bitpos >> 3
+        chunk = int.from_bytes(data[i : i + 4].ljust(4, b"\0"), "big")
+        code = (chunk >> (32 - (bitpos & 7) - width)) & ((1 << width) - 1)
+        bitpos += width
+        if code == _LZW_CLEAR:
+            reset()
+            prev = None
+            continue
+        if code == _LZW_EOI:
+            break
+        if prev is None:
+            entry = table[code]
+        else:
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code:  # the KwKwK case
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("corrupt LZW stream (code beyond table)")
+            table.append(prev + entry[:1])
+            next_code += 1  # width re-derived from next_code at loop top
+        out += entry
+        prev = entry
+    return bytes(out)
+
+
+def _lzw_encode(data: bytes) -> bytes:
+    bits = bytearray()
+    acc = 0
+    nacc = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nacc
+        acc = (acc << width) | code
+        nacc += width
+        while nacc >= 8:
+            nacc -= 8
+            bits.append((acc >> nacc) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    width = 9
+    next_code = _LZW_FIRST
+    emit(_LZW_CLEAR, width)
+    w = b""
+    for b in data:
+        c = w + bytes([b])
+        if c in table:
+            w = c
+            continue
+        emit(table[w], width)
+        table[c] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:  # early change
+            width += 1
+        if next_code >= _LZW_MAX_TABLE:
+            emit(_LZW_CLEAR, width)
+            table = {bytes([i]): i for i in range(256)}
+            width = 9
+            next_code = _LZW_FIRST
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(_LZW_EOI, width)
+    if nacc:
+        bits.append((acc << (8 - nacc)) & 0xFF)
+    return bytes(bits)
+
+
+def _decode_strips(strips: list[bytes], comp: int) -> bytes:
+    if comp == _COMP_NONE:
+        return b"".join(strips)
+    if comp in (_COMP_DEFLATE, _COMP_DEFLATE_OLD):
+        return b"".join(zlib.decompress(s) for s in strips)
+    if comp == _COMP_LZW:
+        return b"".join(_lzw_decode(s) for s in strips)
+    raise ValueError(
+        f"unsupported TIFF compression {comp} (built-in: none/LZW/Deflate); "
+        "inject a page_reader backed by tifffile for exotic codecs"
+    )
 
 
 def _read_entry(buf: bytes, pos: int, bo: str) -> tuple[int, list[int]]:
@@ -79,11 +206,7 @@ def read_tiff_pages(payload: bytes) -> list[np.ndarray]:
             buf[ifd_off + 2 + 12 * n_entries : ifd_off + 6 + 12 * n_entries],
         )
         comp = tags.get(_COMPRESSION, [1])[0]
-        if comp != 1:
-            raise ValueError(
-                f"compressed TIFF (Compression={comp}) not supported by the "
-                "built-in reader; inject a page_reader backed by tifffile"
-            )
+        pred = tags.get(_PREDICTOR, [1])[0]
         w, h = tags[_WIDTH][0], tags[_LENGTH][0]
         samples = tags.get(_SAMPLES, [1])[0]
         bits = tags.get(_BITS, [8])[0]
@@ -92,17 +215,24 @@ def read_tiff_pages(payload: bytes) -> list[np.ndarray]:
                 f"unsupported TIFF page ({bits}-bit, {samples} samples); the "
                 "frame contract is 8/16-bit grayscale or RGB"
             )
-        data = b"".join(
-            buf[o : o + c]
-            for o, c in zip(tags[_STRIP_OFFSETS], tags[_STRIP_COUNTS])
+        data = _decode_strips(
+            [
+                buf[o : o + c]
+                for o, c in zip(tags[_STRIP_OFFSETS], tags[_STRIP_COUNTS])
+            ],
+            comp,
         )
         dtype = np.dtype(f"{bo}u{bits // 8}")
-        arr = (
-            np.frombuffer(data, dtype=dtype, count=h * w * samples)
-            .astype(np.uint16 if bits == 16 else np.uint8)
-            .reshape((h, w) if samples == 1 else (h, w, samples))
+        arr = np.frombuffer(data, dtype=dtype, count=h * w * samples).reshape(
+            (h, w) if samples == 1 else (h, w, samples)
         )
-        pages.append(arr)
+        if pred == 2:
+            # horizontal differencing (§14): undo by cumulative sum along
+            # the width axis in the sample dtype (modular wraparound)
+            arr = np.cumsum(arr, axis=1, dtype=arr.dtype)
+        elif pred != 1:
+            raise ValueError(f"unsupported TIFF predictor {pred}")
+        pages.append(arr.astype(np.uint16 if bits == 16 else np.uint8))
     return pages
 
 
@@ -154,11 +284,22 @@ def parse_ij_description(description: str | None) -> dict[str, int]:
     return out
 
 
-def write_tiff(pages: list[np.ndarray], description: str | None = None) -> bytes:
-    """Multi-page uncompressed little-endian TIFF from uint8/uint16
-    grayscale/RGB arrays — one strip per page, IFDs chained in order.
-    `description` lands in page 0's ImageDescription tag (the ImageJ
-    grid-metadata convention the tif_id splitter reads)."""
+_WRITE_COMP = {"none": _COMP_NONE, "lzw": _COMP_LZW, "deflate": _COMP_DEFLATE}
+
+
+def write_tiff(
+    pages: list[np.ndarray],
+    description: str | None = None,
+    compression: str = "none",
+) -> bytes:
+    """Multi-page little-endian TIFF from uint8/uint16 grayscale/RGB
+    arrays — one strip per page, IFDs chained in order;
+    compression="none"/"lzw"/"deflate". `description` lands in page 0's
+    ImageDescription tag (the ImageJ grid-metadata convention the tif_id
+    splitter reads)."""
+    if compression not in _WRITE_COMP:
+        raise ValueError(f"compression must be one of {sorted(_WRITE_COMP)}")
+    comp_tag = _WRITE_COMP[compression]
     bo = "<"
     out = bytearray(b"II*\x00\x00\x00\x00\x00")
 
@@ -187,13 +328,17 @@ def write_tiff(pages: list[np.ndarray], description: str | None = None) -> bytes
         h, w = im.shape[0], im.shape[1]
         bits = im.dtype.itemsize * 8
         strip = im.astype(f"{bo}u{bits // 8}").tobytes()
+        if comp_tag == _COMP_LZW:
+            strip = _lzw_encode(strip)
+        elif comp_tag == _COMP_DEFLATE:
+            strip = zlib.compress(strip)
         strip_off = len(out)
         out.extend(strip)
         entries = [
             _entry(_WIDTH, 4, [w]),
             _entry(_LENGTH, 4, [h]),
             _entry(_BITS, 3, [bits] * samples),
-            _entry(_COMPRESSION, 3, [1]),
+            _entry(_COMPRESSION, 3, [comp_tag]),
             _entry(_PHOTOMETRIC, 3, [2 if samples == 3 else 1]),
             _entry(_STRIP_OFFSETS, 4, [strip_off]),
             _entry(_SAMPLES, 3, [samples]),

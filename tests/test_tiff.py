@@ -1,6 +1,7 @@
-"""Pure-numpy TIFF codec: multi-page round trips over the frame contract,
-big-endian (MM) reads against a hand-built file, compression rejection,
-and the TIFF→PNG page-reader plug."""
+"""Pure-numpy TIFF codec: multi-page round trips over the frame contract
+(uncompressed, LZW, Deflate), big-endian (MM) reads against a hand-built
+file, predictor-2 undo, exotic-codec rejection, and the TIFF→PNG
+page-reader plug."""
 
 import struct
 
@@ -73,14 +74,18 @@ class TestErrors:
         with pytest.raises(ValueError, match="TIFF"):
             tiff.read_tiff_pages(b"definitely not a tiff")
 
-    def test_compressed_rejected(self):
+    def test_exotic_compression_rejected(self):
         blob = bytearray(tiff.write_tiff([np.zeros((2, 2), np.uint8)]))
         # patch the Compression entry's value (type SHORT, little-endian)
         at = blob.find(struct.pack("<HH", 259, 3))
         assert at > 0
-        struct.pack_into("<H", blob, at + 8, 5)  # 5 = LZW
-        with pytest.raises(ValueError, match="Compression"):
+        struct.pack_into("<H", blob, at + 8, 7)  # 7 = JPEG — not built in
+        with pytest.raises(ValueError, match="compression 7"):
             tiff.read_tiff_pages(bytes(blob))
+
+    def test_bad_write_compression_rejected(self):
+        with pytest.raises(ValueError, match="compression"):
+            tiff.write_tiff([np.zeros((2, 2), np.uint8)], compression="jpeg")
 
     def test_writer_rejects_bad_dtype(self):
         with pytest.raises(TypeError, match="uint8/uint16"):
@@ -116,3 +121,95 @@ class TestImageDescription:
         blob = tiff.write_tiff([np.zeros((2, 2), np.uint8)])
         assert tiff.read_description(blob) is None
         assert tiff.parse_ij_description(None)["nbr_channels"] == 1
+
+
+class TestCompressedRoundTrip:
+    """LZW + Deflate strip codecs (VERDICT r3 item 8): compressed
+    microscopy stacks clear the built-in reader, no injected fake."""
+
+    @pytest.mark.parametrize("compression", ["lzw", "deflate"])
+    @pytest.mark.parametrize(
+        "shapes,dtype",
+        [
+            ([(5, 7)], np.uint8),
+            ([(5, 7), (5, 7)], np.uint16),
+            ([(4, 6, 3)], np.uint8),
+        ],
+    )
+    def test_roundtrip(self, compression, shapes, dtype):
+        hi = np.iinfo(dtype).max
+        pages = [
+            rng.integers(0, hi, size=s, endpoint=True).astype(dtype)
+            for s in shapes
+        ]
+        blob = tiff.write_tiff(pages, compression=compression)
+        back = tiff.read_tiff_pages(blob)
+        assert len(back) == len(pages)
+        for want, got in zip(pages, back):
+            np.testing.assert_array_equal(want, got)
+
+    def test_compressed_smaller_on_redundant_data(self):
+        page = np.tile(np.arange(16, dtype=np.uint8), (64, 16))
+        raw = tiff.write_tiff([page])
+        for compression in ("lzw", "deflate"):
+            assert len(tiff.write_tiff([page], compression=compression)) < len(raw)
+
+    def test_lzw_table_reset_path(self):
+        """> _LZW_MAX_TABLE distinct phrases forces a mid-stream Clear;
+        the decoder must resynchronize."""
+        page = rng.integers(0, 255, size=(128, 128), endpoint=True).astype(
+            np.uint8
+        )
+        back = tiff.read_tiff_pages(tiff.write_tiff([page], compression="lzw"))
+        np.testing.assert_array_equal(page, back[0])
+
+    def test_lzw_known_vector(self):
+        """First codes of a fresh stream are fully determined by the spec:
+        Clear(256), then each literal at 9 bits."""
+        enc = tiff._lzw_encode(b"ab")
+        # 256, 'a'(97), 'b'(98), EOI(257) @ 9 bits each = 36 bits
+        bits = "".join(f"{byte:08b}" for byte in enc)
+        codes = [int(bits[i : i + 9], 2) for i in range(0, 36, 9)]
+        assert codes == [256, 97, 98, 257]
+
+    def test_predictor2_undone(self):
+        """Hand-build a predictor-2 deflate page: stored bytes are row
+        deltas; the reader must cumsum them back (TIFF §14)."""
+        import struct as _s
+        import zlib as _z
+
+        want = np.array([[10, 20, 30], [5, 5, 250]], dtype=np.uint8)
+        deltas = np.diff(want.astype(np.int16), axis=1) % 256
+        stored = np.concatenate(
+            [want[:, :1].astype(np.uint8), deltas.astype(np.uint8)], axis=1
+        )
+        comp = _z.compress(stored.tobytes())
+        out = bytearray(b"II*\x00\x00\x00\x00\x00")
+        strip_off = len(out)
+        out.extend(comp)
+
+        def entry(tag, ftype, value):
+            code = {3: "H", 4: "I"}[ftype]
+            packed = _s.pack(f"<{code}", value).ljust(4, b"\x00")
+            return _s.pack("<HHI", tag, ftype, 1) + packed
+
+        entries = [
+            entry(256, 4, 3),  # width
+            entry(257, 4, 2),  # length
+            entry(258, 3, 8),  # bits
+            entry(259, 3, 8),  # deflate
+            entry(262, 3, 1),
+            entry(273, 4, strip_off),
+            entry(277, 3, 1),
+            entry(278, 4, 2),
+            entry(279, 4, len(comp)),
+            entry(317, 3, 2),  # predictor = horizontal differencing
+        ]
+        ifd_off = len(out)
+        _s.pack_into("<I", out, 4, ifd_off)
+        out.extend(_s.pack("<H", len(entries)))
+        for e in entries:
+            out.extend(e)
+        out.extend(b"\x00\x00\x00\x00")
+        back = tiff.read_tiff_pages(bytes(out))
+        np.testing.assert_array_equal(back[0], want)
