@@ -79,3 +79,62 @@ def test_audio_features_with_default_decoder(spark):
     # 16-bit quantization: features match within quantization error
     assert r["rms"] == pytest.approx(float(np.sqrt((a * a).mean())), abs=1e-3)
     assert r["peak"] == pytest.approx(float(np.abs(a).max()), abs=1e-3)
+
+
+class TestG711:
+    """G.711 mu-law/A-law companded WAV (VERDICT r3 item 9)."""
+
+    def test_bytes_involutive(self):
+        """encode(decode(b)) must reproduce every byte whose decoded
+        magnitude is nonzero (zero has two companded representations)."""
+        all_bytes = np.arange(256, dtype=np.uint8)
+        for dec, enc in (
+            (wav.mulaw_decode, wav.mulaw_encode),
+            (wav.alaw_decode, wav.alaw_encode),
+        ):
+            lin = dec(all_bytes)
+            back = enc(lin)
+            nz = lin != 0
+            np.testing.assert_array_equal(back[nz], all_bytes[nz])
+
+    def test_mulaw_known_extremes(self):
+        """CCITT reference points: 0xFF decodes to 0, 0x80 to +32124,
+        0x00 to -32124."""
+        got = wav.mulaw_decode(np.array([0xFF, 0x80, 0x00], np.uint8))
+        np.testing.assert_array_equal(got, [0, 32124, -32124])
+
+    def test_alaw_known_extremes(self):
+        """A-law peak magnitude is 32256; 0x55 (all-zero after XOR
+        unmasking, negative sign) decodes to -8."""
+        got = wav.alaw_decode(np.array([0xAA, 0x2A, 0x55], np.uint8))
+        np.testing.assert_array_equal(got, [32256, -32256, -8])
+
+    @pytest.mark.parametrize("codec", ["mulaw", "alaw"])
+    def test_wav_roundtrip_within_quantization(self, codec):
+        rng = np.random.default_rng(5)
+        x = np.clip(rng.normal(0, 0.3, 4000), -1, 1)
+        back, rate, ch = wav.decode_wav(wav.encode_wav(x, 8000, codec=codec))
+        assert rate == 8000 and ch == 1 and len(back) == len(x)
+        # log companding: max error bounded by half the top-segment step
+        # (1024/32768 = 0.03 full-scale)
+        assert np.max(np.abs(back - x)) < 0.02
+        # 2:1 size vs 16-bit PCM
+        assert len(wav.encode_wav(x, 8000, codec=codec)) < len(
+            wav.encode_wav(x, 8000, bits=16)
+        ) * 0.6
+
+    def test_stereo_g711(self):
+        rng = np.random.default_rng(7)
+        x = np.clip(rng.normal(0, 0.2, (1000, 2)), -1, 1)
+        back, rate, ch = wav.decode_wav(wav.encode_wav(x, 44100, codec="mulaw"))
+        assert ch == 2 and back.shape == (1000, 2)
+        assert np.max(np.abs(back - x)) < 0.02
+
+    def test_adpcm_seam_is_permanent(self):
+        """Block-stateful codecs stay behind the injectable seam — the
+        error path is the contract now (not a TODO)."""
+        blob = bytearray(wav.encode_wav(np.zeros(16), 8000))
+        at = blob.find(b"fmt ")
+        struct.pack_into("<H", blob, at + 8, 17)  # 17 = IMA ADPCM
+        with pytest.raises(ValueError, match="ADPCM"):
+            wav.decode_wav(bytes(blob))
