@@ -43,34 +43,41 @@ def test_query_plans(spark, name):
     assert df.schema is not None and len(df.columns) > 0
 
 
-ROTATED_IN_R3 = [
-    # the 16 queries that had never received a driver CORRECTNESS row
-    # before round 3 (VERDICT r2 item 1)
-    "w_dense_rank", "w_lag_lead", "w_range_frame",
-    "x_sample_weighted", "x_dedup_compact", "x_shard_shuffle", "st_join",
-    "x_unigram_logprob", "x_length_trim", "x_gapfill", "x_fuzzy_join",
-    "x_tfidf", "x_merge_upsert",
-    "x_ann_ivf", "a_approx_sketch", "x_pack_sequences",
+ROTATED_IN_R4 = [
+    # waves A+B of the round-4 plan (VERDICT r3 item 1): the 28
+    # oracle-exact + 3 rows-only queries that had never received a driver
+    # CORRECTNESS row, plus the round-4-new x_dedup_verified
+    "x_bm25", "x_mad_outlier", "x_cooccur_pmi", "x_bigram_logprob",
+    "x_funnel", "x_retention", "x_histogram", "x_rolling_zscore",
+    "x_domain_mix", "x_scd2_history", "x_sessionize", "x_incr_agg",
+    "x_stratified", "x_token_budget",
+    "x_source_cap", "x_span_dedup", "x_table_diff", "x_exact_quantiles",
+    "x_scrub", "st_topk_trend", "j_temporal_lookup", "x_inverted_index",
+    "x_cdc_apply", "x_profile_stats", "x_token_ids", "x_quality_norm",
+    "a_geomean_udaf", "x_transition_matrix",
+    "x_semdedup", "x_pagerank", "x_dedup_eval",
+    "x_dedup_verified",
 ]
 
 
 def test_category_coverage_inside_driver_window():
     """The driver's correctness harness checks only the FIRST ~50 registered
-    queries; the round-3 rotation (registry.PRIORITY) must keep (a) every
+    queries; the round-4 rotation (registry.PRIORITY) must keep (a) every
     never-driver-checked query inside that window so it finally gets a
-    CORRECTNESS row, and (b) at least one in-window representative per
-    SURVEY §2 category that lacks a prior green driver row."""
+    CORRECTNESS row, and (b) at least one in-window category holder for
+    every family whose other members rotated out (all of which hold green
+    r1-r3 rows)."""
     window = list(registry.ordered_queries())[:50]
-    for name in ROTATED_IN_R3:
+    for name in ROTATED_IN_R4:
         assert name in window, f"{name} fell outside the driver's 50-query window"
     for name in [
-        # retained category representatives (no rotation slot spent twice
-        # per category; every rotated-OUT name holds a green r1/r2 row)
-        "st_tumbling", "st_session", "w_running", "w_rownum_page", "o_topk",
-        "o_sort", "f_from_json", "j_three_way", "j_asof", "a_rollup",
-        "x_dedup_incremental", "x_chunk_docs", "x_decontaminate",
-        "x_repetition", "x_dedup_cluster", "x_split_hash", "x_dedup_jaccard",
-        "x_topk_sim",
+        # retained category holders (single-green; rotated-out names all
+        # hold 2+ green rows or a fresh r3 row)
+        "w_running", "w_rownum_page", "st_tumbling", "st_session",
+        "f_from_json", "f_json_extract", "j_json_filter", "j_asof",
+        "f_array_ops", "a_count_distinct", "a_group_summary", "a_rollup",
+        "f_string_parse", "f_cast_coerce", "x_dedup_exact",
+        "x_dedup_jaccard", "x_dedup_incremental", "x_dedup_cluster",
     ]:
         assert name in window, f"{name} fell outside the driver's 50-query window"
 
