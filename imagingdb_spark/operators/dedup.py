@@ -628,12 +628,33 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS shset
       FROM toks
       WHERE len(toks) > 0
+    ), ex AS (
+      SELECT doc_id, unnest(shset) AS sg FROM sh
+    ), dfreq AS (
+      SELECT sg, COUNT(*) AS sdf FROM ex GROUP BY sg
+    ), sorted_sh AS (
+      -- PPJoin global order: (document frequency asc, shingle asc) —
+      -- same lossless prefix filter as the Spark side, so the oracle
+      -- is candidate-quadratic, not corpus-quadratic
+      SELECT e.doc_id, list(e.sg ORDER BY d.sdf, e.sg) AS ss
+      FROM ex e JOIN dfreq d USING (sg)
+      GROUP BY e.doc_id
+    ), pref AS (
+      SELECT doc_id,
+             unnest(ss[1:CAST(len(ss) - floor((len(ss) + 1) / 2) + 1 AS INT)])
+               AS sg
+      FROM sorted_sh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM pref a JOIN pref b ON a.sg = b.sg AND a.doc_id < b.doc_id
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+    SELECT c.doc_a, c.doc_b,
            round(len(list_intersect(a.shset, b.shset)) /
                  (len(a.shset) + len(b.shset)
                   - len(list_intersect(a.shset, b.shset))), 4) AS jaccard
-    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    FROM cand c
+    JOIN sh a ON a.doc_id = c.doc_a
+    JOIN sh b ON b.doc_id = c.doc_b
     WHERE round(len(list_intersect(a.shset, b.shset)) /
                 (len(a.shset) + len(b.shset)
                  - len(list_intersect(a.shset, b.shset))), 4) >= 0.5
