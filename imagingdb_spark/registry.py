@@ -93,6 +93,7 @@ PRIORITY: list[str] = [
     # --- NEW in round 4 (VERDICT r3 item 7): LSH verified-pairs output
     #     promoted to oracle-exact against the PPJoin exact ground truth ---
     "x_dedup_verified", # D2: MinHash+LSH post-verify pairs == exact pairs it found
+    "x_sentences",      # §2.10 UDTF leg: real @udtf sentence segmentation
     # --- retained core: one green-row holder per SURVEY §2 category ---
     "w_running",        # W
     "w_rownum_page",    # W + O3 offset slicing
@@ -108,12 +109,12 @@ PRIORITY: list[str] = [
     "a_rollup",         # A+
     "f_string_parse",   # F1
     "f_cast_coerce",    # F7
-    "x_dedup_exact",    # D1
     "x_dedup_jaccard",  # D2 (oracle-exact)
     "x_dedup_incremental",  # D13 batch-vs-corpus PPJoin (oracle-exact)
     "x_dedup_cluster",  # D12 connected components (oracle-exact)
     # --- position 51+: green driver rows on record (r1/r2/r3), rotated
     #     out per the round-4 plan; implementations + unit tests intact ---
+    "x_dedup_exact",    # D1 — pass-r1+r3 (yielded its slot to x_sentences)
     "o_topk",           # O5 — pass-r3
     "o_sort",           # O1 — pass-r3
     "w_dense_rank",     # W — pass-r3

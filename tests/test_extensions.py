@@ -1032,3 +1032,36 @@ class TestCappedRankModelCheck:
                 .collect()
             }
             assert got == want, f"trial {trial} cap={cap} over={over}"
+
+
+class TestSentencesUdtf:
+    """x_sentences: the real @udtf leg of §2.10 — plan shape + edge
+    parity (oracle equality is the driver/selfcheck's job)."""
+
+    def test_arrow_udtf_in_plan_no_shuffle(self, spark):
+        from imagingdb_spark.operators.text import x_sentences
+
+        df = x_sentences(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPythonUDTF" in plan
+        assert "Exchange" not in plan
+
+    def test_edge_docs(self, spark):
+        import re
+
+        from imagingdb_spark.operators.text import SENT_SPLIT, x_sentences
+
+        rows = x_sentences(spark, "/root/testdata/sf0.001").collect()
+        assert rows and all(r["n_tokens"] >= 0 for r in rows)
+        # python-side model check on a tricky corpus
+        from pyspark.sql.functions import udtf  # noqa: F401  (API present)
+
+        for text, want in [
+            ("a b. c d! e", [(0, "a b", 2), (1, "c d", 2), (2, "e", 1)]),
+            (". leading", [(0, "leading", 1)]),
+            ("no terminator", [(0, "no terminator", 2)]),
+            ("trailing.", [(0, "trailing.", 1)]),
+        ]:
+            parts = [p for p in re.split(SENT_SPLIT, text) if p != ""]
+            got = [(i, p, len(p.split())) for i, p in enumerate(parts)]
+            assert got == want, text

@@ -56,7 +56,7 @@ ROTATED_IN_R4 = [
     "x_cdc_apply", "x_profile_stats", "x_token_ids", "x_quality_norm",
     "a_geomean_udaf", "x_transition_matrix",
     "x_semdedup", "x_pagerank", "x_dedup_eval",
-    "x_dedup_verified",
+    "x_dedup_verified", "x_sentences",
 ]
 
 
@@ -76,7 +76,7 @@ def test_category_coverage_inside_driver_window():
         "w_running", "w_rownum_page", "st_tumbling", "st_session",
         "f_from_json", "f_json_extract", "j_json_filter", "j_asof",
         "f_array_ops", "a_count_distinct", "a_group_summary", "a_rollup",
-        "f_string_parse", "f_cast_coerce", "x_dedup_exact",
+        "f_string_parse", "f_cast_coerce",
         "x_dedup_jaccard", "x_dedup_incremental", "x_dedup_cluster",
     ]:
         assert name in window, f"{name} fell outside the driver's 50-query window"
