@@ -631,3 +631,107 @@ def x_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("ids"),
         F.sum(F.col("is_oov").cast("int")).cast("bigint").alias("n_oov"),
     )
+
+
+BPE_MERGES = 20  # merge-table size for the demo corpus
+
+
+def _bpe_apply_merge(a: str, b: str):
+    """Pandas generator: greedy left-to-right non-overlapping replacement
+    of adjacent (a, b) symbol pairs with the merged symbol a+b — the
+    textbook BPE apply step, vectorized per Arrow batch."""
+    merged = a + b
+
+    def gen(batches):
+        for pdf in batches:
+            out_syms = []
+            for syms in pdf["syms"]:
+                res = []
+                i, n = 0, len(syms)
+                while i < n:
+                    if i + 1 < n and syms[i] == a and syms[i + 1] == b:
+                        res.append(merged)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out_syms.append(res)
+            pdf = pdf.copy()
+            pdf["syms"] = out_syms
+            yield pdf
+
+    return gen
+
+
+@query("x_bpe_train")  # rows-only: N-round iterative training, not ANSI SQL
+def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE merge-table training (Sennrich et al. 2016,
+    public): learn the top-{BPE_MERGES} byte-pair merges of the corpus —
+    the actual tokenizer-TRAINING step that x_token_bpe's regex
+    tokenizer and x_token_ids' vocabulary presuppose. Output: one row
+    per learned merge, (rank, left, right, pair_freq), fully
+    deterministic (ties broken by (left, right) lexicographic order).
+
+    Scale shape — the key move is training on WORD TYPES, not tokens:
+    ONE corpus pass builds the (word, freq) table, and by Heaps' law
+    that table is vocabulary-sized (~√corpus), so the iterative loop
+    never touches the corpus again. Per round: explode each word's
+    symbol array into freq-weighted adjacent pairs (map-side), one
+    vocabulary-sized groupBy(pair) shuffle, a distributed top-1
+    (TakeOrderedAndProject — the ONLY driver transfer is that single
+    winning row, same class as pagerank's convergence scalar), then an
+    Arrow mapInPandas pass applies the merge to the symbol arrays.
+    localCheckpoint each round truncates the compounding lineage
+    exactly like graph.connected_components. {BPE_MERGES} rounds =
+    {BPE_MERGES} tiny shuffles; at 100 TB the word table is millions of
+    rows — megabytes — while driver-side trainers (every reference
+    implementation) must first ship the whole word-count dict to one
+    machine.
+
+    Verified against a pure-Python reference trainer on the same corpus
+    (tests/test_extensions.py::TestBpeTrain) — exact merge-table
+    equality, including tie rounds."""
+    d = table(spark, sf_dir, "documents")
+    npart = spark.sparkContext.defaultParallelism
+    words = (
+        d.select(F.explode(tokens_col(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    syms = (
+        words.select("freq", F.split("w", "").alias("syms"))
+        .repartition(npart)
+        .localCheckpoint()
+    )
+    schema = "freq bigint, syms array<string>"
+    merges: list[tuple[int, str, str, int]] = []
+    for r in range(BPE_MERGES):
+        sz = F.size("syms")
+        pairs = syms.filter(sz >= 2).select(
+            "freq",
+            F.explode(
+                F.transform(
+                    F.slice("syms", 1, sz - 1),
+                    lambda x, i: F.struct(
+                        x.alias("a"), F.element_at("syms", i + 2).alias("b")
+                    ),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+            .orderBy(F.desc("n"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        merges.append((r, row["a"], row["b"], int(row["n"])))
+        syms = syms.mapInPandas(
+            _bpe_apply_merge(row["a"], row["b"]), schema
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "rank int, left string, right string, pair_freq bigint"
+    )

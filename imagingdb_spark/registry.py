@@ -114,6 +114,8 @@ PRIORITY: list[str] = [
     "x_dedup_cluster",  # D12 connected components (oracle-exact)
     # --- position 51+: green driver rows on record (r1/r2/r3), rotated
     #     out per the round-4 plan; implementations + unit tests intact ---
+    "x_bpe_train",      # NEW r4, rows-only (exact parity unit test); rotate
+    #                     into the window in round 5 for a clean-run record
     "x_dedup_exact",    # D1 — pass-r1+r3 (yielded its slot to x_sentences)
     "o_topk",           # O5 — pass-r3
     "o_sort",           # O1 — pass-r3

@@ -1065,3 +1065,67 @@ class TestSentencesUdtf:
             parts = [p for p in re.split(SENT_SPLIT, text) if p != ""]
             got = [(i, p, len(p.split())) for i, p in enumerate(parts)]
             assert got == want, text
+
+
+class TestBpeTrain:
+    """x_bpe_train vs a pure-Python reference BPE trainer: exact
+    merge-table equality (same freq weighting, same greedy apply, same
+    (left, right) tiebreak)."""
+
+    @staticmethod
+    def _reference_bpe(word_freqs, n_merges):
+        syms = {w: list(w) for w in word_freqs}
+        merges = []
+        for r in range(n_merges):
+            counts = {}
+            for w, f in word_freqs.items():
+                s = syms[w]
+                for i in range(len(s) - 1):
+                    counts[(s[i], s[i + 1])] = counts.get((s[i], s[i + 1]), 0) + f
+            if not counts:
+                break
+            (a, b), n = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((r, a, b, n))
+            for w in syms:
+                s = syms[w]
+                res, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                syms[w] = res
+        return merges
+
+    def test_matches_reference(self, spark):
+        from collections import Counter
+
+        from imagingdb_spark.operators.lm import BPE_MERGES, x_bpe_train
+        from imagingdb_spark.catalog import table
+
+        sf_dir = "/root/testdata/sf0.001"
+        got = [
+            (r["rank"], r["left"], r["right"], r["pair_freq"])
+            for r in x_bpe_train(spark, sf_dir).orderBy("rank").collect()
+        ]
+        texts = [
+            r["text"]
+            for r in table(spark, sf_dir, "documents").select("text").collect()
+        ]
+        wf = Counter(
+            t for txt in texts if txt for t in txt.lower().split() if t
+        )
+        want = self._reference_bpe(dict(wf), BPE_MERGES)
+        assert got == want and len(got) == BPE_MERGES
+
+    def test_merged_symbols_compound(self, spark):
+        """Later merges must be able to consume earlier merged symbols
+        (the whole point of the iteration)."""
+        from imagingdb_spark.operators.lm import x_bpe_train
+
+        rows = x_bpe_train(spark, "/root/testdata/sf0.001").collect()
+        assert any(len(r["left"]) > 1 or len(r["right"]) > 1 for r in rows)
