@@ -1129,3 +1129,15 @@ class TestBpeTrain:
 
         rows = x_bpe_train(spark, "/root/testdata/sf0.001").collect()
         assert any(len(r["left"]) > 1 or len(r["right"]) > 1 for r in rows)
+
+
+class TestAnnEval:
+    def test_recall_floors(self, spark):
+        """The shipped recall metric must meet the same floors the unit
+        recall tests pin (LSH ≥ 0.8, IVF ≥ 0.7 at sf0.001)."""
+        from imagingdb_spark.operators.similarity import x_ann_eval
+
+        row = x_ann_eval(spark, "/root/testdata/sf0.001").collect()[0]
+        assert row["k"] == 10
+        assert row["recall_lsh"] >= 0.8
+        assert row["recall_ivf"] >= 0.7
