@@ -475,6 +475,28 @@ def x_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEMDEDUP_THRESHOLD = EMBED_DUP_THRESHOLD
 
 
+def _semdedup_cells_pairs(spark: SparkSession, sf_dir: str):
+    """(cells, within-cell near-dup pairs) — shared by x_semdedup and its
+    evaluation query."""
+    e = table(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(e)
+    assign = _ivf_assign_udf(centroids)
+    cells = e.withColumn("cell", assign("embedding"))
+
+    def block(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _embed_block_pairs(pdf, SEMDEDUP_THRESHOLD)
+
+    pairs = (
+        cells.select("vec_id", "embedding", F.col("cell").alias("label"))
+        .groupBy("label")
+        .applyInPandas(
+            block, "vec_a long, vec_b long, label int, cosine_sim double"
+        )
+        .filter(F.round("cosine_sim", 4) >= SEMDEDUP_THRESHOLD)
+    )
+    return cells, pairs
+
+
 @query("x_semdedup")  # rows-only: k-means codebook not ANSI-SQL-expressible
 def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023, public): semantic deduplication by
@@ -499,24 +521,7 @@ def x_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shards its index. Soundness (every dropped vector has a kept
     above-threshold partner) and planted-duplicate recall are asserted in
     tests/test_extensions.py."""
-    e = table(spark, sf_dir, "embeddings")
-    centroids = _ivf_centroids(e)
-    assign = _ivf_assign_udf(centroids)
-    cells = e.withColumn("cell", assign("embedding"))
-
-    def block(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _embed_block_pairs(pdf, SEMDEDUP_THRESHOLD)
-
-    pairs = (
-        cells.select("vec_id", "embedding", F.col("cell").alias("label"))
-        .groupBy("label")
-        .applyInPandas(
-            block, "vec_a long, vec_b long, label int, cosine_sim double"
-        )
-        .filter(
-            F.round("cosine_sim", 4) >= SEMDEDUP_THRESHOLD
-        )
-    )
+    cells, pairs = _semdedup_cells_pairs(spark, sf_dir)
     losers = pairs.select(F.col("vec_b").alias("vec_id")).distinct()
     return (
         cells.join(losers.withColumn("dropped", F.lit(True)), "vec_id", "left")
@@ -552,4 +557,46 @@ def x_ann_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             round(len(exact & ivf) / k, 4) if k else 1.0,
         )],
         "k long, recall_lsh double, recall_ivf double",
+    )
+
+
+@query("x_semdedup_eval")  # rows-only: metric of the learned blocking
+def x_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of SemDeDup's LEARNED (k-means cell) blocking against the
+    exact label-blocked near-dup truth set (x_dedup_embed, oracle-exact):
+    of the pairs known to be above-threshold, how many land in the same
+    learned cell and are therefore found? One row, engine-resident —
+    completes the eval triptych (x_dedup_eval for MinHash banding,
+    x_ann_eval for ANN probes, this for learned clustering). Precision
+    is NOT reported against this truth: SemDeDup legitimately finds
+    cross-label pairs the label-blocked truth cannot contain.
+
+    READ THE NUMBER IN CONTEXT — this metric exists to expose the
+    threshold/blocking interaction: cell-blocking only finds pairs that
+    are genuinely NEAR, and the synthetic corpus forces the threshold
+    down to {0.4} (its max cosine is ≈0.47 — the random-cosine regime),
+    where a "dup" pair is nearly orthogonal and k-means rightly
+    separates it, so recall here is expectedly poor. In SemDeDup's real
+    operating regime (cos ≥ 0.95) copies share a cell almost surely —
+    the planted-duplicate unit test (cos ≈ 1.0) measures 9-10/10
+    dropped (tests/test_extensions.py::TestSemDedup). A production
+    pipeline watches THIS query: recall collapsing means the threshold
+    has drifted below what the cell geometry can block.
+
+    Scale: both pair sets are near-dup-sized; the comparison is one
+    inner join + three counts."""
+    truth = x_dedup_embed(spark, sf_dir).select("vec_a", "vec_b")
+    _, pairs = _semdedup_cells_pairs(spark, sf_dir)
+    found = pairs.select("vec_a", "vec_b")
+    n_truth = truth.count()
+    n_found = found.count()
+    n_hit = truth.join(found, ["vec_a", "vec_b"], "inner").count()
+    return spark.createDataFrame(
+        [(
+            n_truth,
+            n_found,
+            n_hit,
+            round(n_hit / n_truth, 4) if n_truth else 1.0,
+        )],
+        "n_truth_pairs long, n_cell_pairs long, n_hits long, recall double",
     )

@@ -118,6 +118,9 @@ PRIORITY: list[str] = [
     #                     into the window in round 5 for a clean-run record
     "x_ann_eval",       # NEW r4, rows-only metric (recall@k of both ANN paths);
     #                     round-5 window candidate alongside x_bpe_train
+    "x_semdedup_eval",  # NEW r4, rows-only metric (learned-blocking recall
+    #                     vs exact truth; low ON PURPOSE at the synthetic
+    #                     threshold — see its docstring)
     "x_dedup_exact",    # D1 — pass-r1+r3 (yielded its slot to x_sentences)
     "o_topk",           # O5 — pass-r3
     "o_sort",           # O1 — pass-r3

@@ -1141,3 +1141,16 @@ class TestAnnEval:
         assert row["k"] == 10
         assert row["recall_lsh"] >= 0.8
         assert row["recall_ivf"] >= 0.7
+
+
+class TestSemdedupEval:
+    def test_counts_sound_and_planted_regime_documented(self, spark):
+        """n_hits ≤ min(n_truth, n_cell_pairs); recall in [0, 1]. The
+        absolute recall is intentionally low at the synthetic threshold
+        (random-cosine regime) — the planted-dup test above pins the real
+        operating regime."""
+        from imagingdb_spark.operators.similarity import x_semdedup_eval
+
+        r = x_semdedup_eval(spark, "/root/testdata/sf0.001").collect()[0]
+        assert r["n_hits"] <= min(r["n_truth_pairs"], r["n_cell_pairs"])
+        assert 0.0 <= r["recall"] <= 1.0
