@@ -187,3 +187,31 @@ class TestSplitTiffPages:
             assert r["g"]["slice_idx"] == (i // 2) % 3
             assert r["g"]["pos_idx"] == (i // 6) % 2
             assert r["g"]["time_idx"] == i // 12
+
+
+class TestSplitCompressedTiff:
+    def test_lzw_stack_through_default_reader(self, spark):
+        """An LZW-compressed multi-page stack splits through the DEFAULT
+        page reader end-to-end — frames decode to the same PNG payloads
+        as the uncompressed stack."""
+        import numpy as np
+
+        from imagingdb_spark import tiff
+
+        rng = np.random.default_rng(23)
+        pages = [
+            rng.integers(0, 255, size=(6, 5), endpoint=True).astype(np.uint8)
+            for _ in range(4)
+        ]
+        plain = tiff.write_tiff(pages)
+        lzw = tiff.write_tiff(pages, compression="lzw")
+        df = spark.createDataFrame(
+            [("plain.tif", plain), ("lzw.tif", lzw)],
+            "path string, content binary",
+        )
+        got = sources.split_tiff_pages(df, nbr_channels=2, nbr_slices=2).collect()
+        assert len(got) == 8
+        by = {}
+        for r in got:
+            by.setdefault(r["file_path"], {})[r["page_idx"]] = r["payload"]
+        assert by["plain.tif"] == by["lzw.tif"]

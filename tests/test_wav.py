@@ -138,3 +138,17 @@ class TestG711:
         struct.pack_into("<H", blob, at + 8, 17)  # 17 = IMA ADPCM
         with pytest.raises(ValueError, match="ADPCM"):
             wav.decode_wav(bytes(blob))
+
+
+def test_audio_features_with_g711_payload(spark):
+    """A mu-law WAV flows through the DEFAULT decoder seam end-to-end —
+    compressed audio no longer needs an injected decoder."""
+    a = rng.uniform(-0.5, 0.5, size=2048)
+    df = spark.createDataFrame(
+        [("c1", wav.encode_wav(a, 8000, codec="mulaw"), 8000)],
+        "clip_id string, payload binary, sample_rate int",
+    )
+    r = multimodal.audio_features(df, window=512).collect()[0]
+    assert r["n_samples"] == 2048 and r["n_windows"] == 4
+    # log companding: coarser than 16-bit PCM but still tight at |x|<=0.5
+    assert r["rms"] == pytest.approx(float(np.sqrt((a * a).mean())), abs=5e-3)
