@@ -188,3 +188,59 @@ class TestCodecRoundTrips:
         # encode rounds a*32767, decode divides by 32768: worst case
         # (|a| + 0.5) / 32768 <= 1.5/32768
         assert np.abs(back - a).max() <= 1.5 / 32768 + 1e-9
+
+
+class TestLzwRoundTrip:
+    """TIFF LZW codec laws: decode(encode(x)) == x for ARBITRARY byte
+    strings — including table-reset streams and every early-change
+    boundary hypothesis can find."""
+
+    @given(st.binary(min_size=0, max_size=4096))
+    @settings(max_examples=200, deadline=None)
+    def test_involutive(self, data):
+        from imagingdb_spark.tiff import _lzw_decode, _lzw_encode
+
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+    @given(st.integers(min_value=0, max_value=6), st.integers(0, 2**32 - 1))
+    @settings(max_examples=50, deadline=None)
+    def test_involutive_on_low_entropy_runs(self, nsyms, seed):
+        """Highly repetitive inputs grow the table fastest — the
+        mid-stream Clear path."""
+        from imagingdb_spark.tiff import _lzw_decode, _lzw_encode
+
+        rng = np.random.default_rng(seed)
+        data = rng.integers(0, nsyms + 1, 20000).astype(np.uint8).tobytes()
+        assert _lzw_decode(_lzw_encode(data)) == data
+
+
+class TestG711Laws:
+    @given(st.integers(min_value=-32768, max_value=32767))
+    @settings(max_examples=300, deadline=None)
+    def test_mulaw_quantization_bounded(self, x):
+        """|decode(encode(x)) - x| is bounded by half the segment step at
+        |x| (log companding's defining property), and sign is preserved."""
+        from imagingdb_spark.wav import mulaw_decode, mulaw_encode
+
+        y = int(mulaw_decode(mulaw_encode(np.array([x])))[0])
+        mag = min(abs(x), 32635)
+        # segment k covers biased magnitudes in [2^(k+8), 2^(k+9)) with
+        # quantization step 8*2^k -> k = bit_length(mag+132) - 9, and the
+        # clip at 32635 adds at most 32767-32635 further error
+        seg_step = 8 << max(0, (mag + 132).bit_length() - 9)
+        assert abs(y - x) <= seg_step + 132 + (32767 - 32635)
+        if abs(x) > 200:
+            assert (y >= 0) == (x >= 0)
+
+    @given(st.integers(min_value=-32768, max_value=32767))
+    @settings(max_examples=300, deadline=None)
+    def test_alaw_idempotent_fixed_point(self, x):
+        """encode∘decode is a projection: applying it twice equals once
+        (every companded byte decodes to a codebook value that re-encodes
+        to itself)."""
+        from imagingdb_spark.wav import alaw_decode, alaw_encode
+
+        b1 = alaw_encode(np.array([x]))
+        v1 = alaw_decode(b1)
+        b2 = alaw_encode(v1)
+        assert bytes(b1) == bytes(b2) or int(v1[0]) == 0
