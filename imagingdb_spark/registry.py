@@ -51,9 +51,13 @@ ORACLE: dict[str, str] = {}
 # tests, and recorded green rows — they only lose a FRESH driver row.
 #
 # Round-5 rotation plan: once CORRECTNESS_r04 records green rows for the
-# 32 rotated-in queries, every registered query will hold at least one
-# driver record; round 5 can then rotate back any queries whose
-# implementation changed since their last green row, plus new additions.
+# 33 rotated-in queries (waves A+B, the 3 rows-only slots, x_dedup_verified,
+# x_sentences), every query registered BEFORE round 4's late additions will
+# hold a driver record. Round 5 rotates IN the four round-4 tail additions
+# (x_bpe_train, x_ann_eval, x_semdedup_eval — rows-only clean-run slots —
+# plus any new oracle-exact queries), plus any query whose implementation
+# changed after its last green row; rotate OUT the freshly-green wave-A/B
+# rows, keeping one holder per SURVEY §2 family as before.
 PRIORITY: list[str] = [
     # --- rotated IN for round 4 (wave A, round-3 additions; oracle-exact,
     #     selfcheck-verified, never driver-checked) ---
