@@ -540,6 +540,51 @@ def _minhash_signatures(sh: DataFrame) -> DataFrame:
     )
 
 
+def minhash_pairs(d: DataFrame) -> DataFrame:
+    """DataFrame-level MinHash+LSH verified near-dup pairs over an
+    arbitrary (doc_id, text, ...) frame — the composable form used by
+    x_dedup_minhash (whole-table query) and pipelines.pretraining_pipeline
+    (runs it on the quality-surviving subset). Same algorithm, same
+    scale shape; see x_dedup_minhash's docstring."""
+    rows_per_band = MINHASH_N // MINHASH_BANDS
+    sh = shingle_frame(d).persist()
+    sig = _minhash_signatures(sh)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bnd).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.col(f"h{bnd * rows_per_band + r}")
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for bnd in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    cand = _bucket_pairs(bands, ["band_idx", "band_hash"], "doc_id")
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("shingles_a"))
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shingles_b"))
+    return (
+        cand.join(sh_a, "doc_a")
+        .join(sh_b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(jaccard(F.col("shingles_a"), F.col("shingles_b")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
 @query("x_dedup_minhash")  # rows-only: LSH banding is not ANSI-SQL-expressible
 def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2b: MinHash + LSH banded near-dup candidates — the 100 TB dedup path.
@@ -562,50 +607,13 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     - verification re-joins the shingle table by doc_id: two extra narrow
       shuffles beat shuffling 4x the shingle volume, and the candidate side
       after dropDuplicates is tiny."""
-    rows_per_band = MINHASH_N // MINHASH_BANDS
-    # persist: the shingle table feeds signature generation AND both sides
-    # of the verification join — without it the (CPU-heavy, interpreted)
-    # tokenize+shingle pipeline is evaluated three times. Standard practice
-    # in production minhash pipelines (shingle/signature tables are
-    # checkpointed); MEMORY_AND_DISK so 100 TB corpora spill, not OOM.
-    sh = shingled_docs(spark, sf_dir).persist()
-    sig = _minhash_signatures(sh)
-
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bnd).alias("band_idx"),
-                        F.xxhash64(
-                            *[
-                                F.col(f"h{bnd * rows_per_band + r}")
-                                for r in range(rows_per_band)
-                            ]
-                        ).alias("band_hash"),
-                    )
-                    for bnd in range(MINHASH_BANDS)
-                ]
-            )
-        ).alias("band"),
-    ).select("doc_id", "band.band_idx", "band.band_hash")
-
-    cand = _bucket_pairs(bands, ["band_idx", "band_hash"], "doc_id")
-    sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("shingles_a"))
-    sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shingles_b"))
-    return (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(jaccard(F.col("shingles_a"), F.col("shingles_b")), 4).alias(
-                "jaccard"
-            ),
-        )
-        .filter(F.col("jaccard") >= 0.5)
-        .orderBy("doc_a", "doc_b")
+    # persist inside minhash_pairs: the shingle table feeds signature
+    # generation AND both verification sides — without it the (CPU-heavy)
+    # tokenize+shingle pipeline would evaluate three times. Standard
+    # practice in production minhash pipelines (shingle/signature tables
+    # are checkpointed); MEMORY_AND_DISK so 100 TB corpora spill, not OOM.
+    return minhash_pairs(table(spark, sf_dir, "documents")).orderBy(
+        "doc_a", "doc_b"
     )
 
 

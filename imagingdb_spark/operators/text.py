@@ -222,7 +222,13 @@ def x_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     production shape: downstream consumers audit WHY a doc was cut, and
     thresholds get re-tuned without recomputing stats. Pure projection,
     zero shuffles."""
-    d = table(spark, sf_dir, "documents")
+    return quality_flags(table(spark, sf_dir, "documents"))
+
+
+def quality_flags(d: DataFrame) -> DataFrame:
+    """DataFrame-level form of x_quality_filter (used by
+    pipelines.pretraining_pipeline): (doc_id, rule_*, keep) flags for an
+    arbitrary (doc_id, text, ...) frame."""
     toks = tokens_col(F.col("text"))
     t = d.select(
         "doc_id",

@@ -125,6 +125,8 @@ PRIORITY: list[str] = [
     "x_semdedup_eval",  # NEW r4, rows-only metric (learned-blocking recall
     #                     vs exact truth; low ON PURPOSE at the synthetic
     #                     threshold — see its docstring)
+    "x_pipeline_audit", # NEW r4, rows-only: composed end-to-end pipeline
+    #                     stage audit; round-5 window candidate
     "x_dedup_exact",    # D1 — pass-r1+r3 (yielded its slot to x_sentences)
     "o_topk",           # O5 — pass-r3
     "o_sort",           # O1 — pass-r3
@@ -227,4 +229,4 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def load_all() -> None:
     """Import every operator module (registration happens at import)."""
-    from imagingdb_spark import operators  # noqa: F401
+    from imagingdb_spark import operators, pipelines  # noqa: F401
