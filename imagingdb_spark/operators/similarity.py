@@ -600,3 +600,110 @@ def x_semdedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         "n_truth_pairs long, n_cell_pairs long, n_hits long, recall double",
     )
+
+
+RETRIEVAL_K = 10
+
+
+@query(
+    "x_retrieval_metrics",
+    oracle=f"""
+    WITH q AS (
+      SELECT embedding::DOUBLE[] AS qv, label AS ql
+      FROM embeddings WHERE vec_id = {QUERY_VEC_ID}
+    ), s AS (
+      SELECT e.vec_id,
+             CASE WHEN e.label = q.ql THEN 1 ELSE 0 END AS rel,
+             round(list_dot_product(e.embedding::DOUBLE[], q.qv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(q.qv, q.qv))), 4) AS c
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> {QUERY_VEC_ID}
+    ), r AS (
+      SELECT rel, row_number() OVER (ORDER BY c DESC, vec_id ASC) AS rk
+      FROM s
+    ), nrel AS (
+      SELECT CAST(SUM(rel) AS BIGINT) AS n_rel FROM s
+    ), idcg AS (
+      SELECT COALESCE(list_sum(list_transform(
+               range(1, CAST(LEAST({RETRIEVAL_K}, n_rel) AS INT) + 1),
+               i -> 1.0 / log2(i + 1))), 0.0) AS v
+      FROM nrel
+    )
+    SELECT nrel.n_rel,
+           round(COALESCE(1.0 / (SELECT MIN(rk) FROM r WHERE rel = 1), 0.0), 4)
+             AS mrr,
+           round((SELECT COUNT(*) FILTER (rel = 1 AND rk <= {RETRIEVAL_K})
+                  FROM r) / {RETRIEVAL_K}.0, 4) AS p_at_k,
+           round(COALESCE(
+             (SELECT SUM(rel / log2(rk + 1)) FROM r WHERE rk <= {RETRIEVAL_K})
+               / NULLIF(idcg.v, 0.0), 0.0), 4) AS ndcg_at_k
+    FROM nrel, idcg
+    """,
+)
+def x_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metrics for the probe vector — MRR, precision@k,
+    NDCG@k with label-match relevance (the standard IR eval suite,
+    oracle-exact): ranking by ROUNDED cosine (4 decimals) with vec_id
+    tiebreak, which makes the rank — and therefore every metric —
+    engine-independent even where raw float dot products differ in the
+    last ulp (numpy pairwise summation vs sequential SQL; the same ulp
+    exposure x_topk_sim carries on raw scores is eliminated here because
+    a METRIC must not flip on it).
+
+    Scale shape: no global ranking materializes — first-relevant rank is
+    1 + a COUNT of strictly-better rows (two aggregates), precision/NDCG
+    come from the TakeOrderedAndProject top-k ({RETRIEVAL_K} rows to the
+    driver), and the relevant-count is a scalar. At 100 TB with a probe
+    SET you'd batch probes through one pandas_udf scoring pass and
+    groupBy(probe) the metrics — same shapes, keyed."""
+    e = table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        "embedding", "label"
+    ).collect()[0]
+    qvec = np.asarray(probe["embedding"], dtype=np.float64)
+    ql = probe["label"]
+    score = _cosine_vs_probe_udf(qvec)
+    s = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            (F.col("label") == F.lit(ql)).cast("int").alias("rel"),
+            F.round(score("embedding"), 4).alias("c"),
+        )
+        .persist()
+    )
+    n_rel = s.agg(F.sum("rel")).collect()[0][0] or 0
+    top = s.orderBy(F.desc("c"), F.asc("vec_id")).limit(RETRIEVAL_K).collect()
+    if n_rel:
+        best = (
+            s.filter(F.col("rel") == 1)
+            .orderBy(F.desc("c"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        n_better = s.filter(
+            (F.col("c") > best["c"])
+            | ((F.col("c") == best["c"]) & (F.col("vec_id") < best["vec_id"]))
+        ).count()
+        mrr = 1.0 / (n_better + 1)
+    else:
+        mrr = 0.0
+    import math
+
+    dcg = sum(
+        r["rel"] / math.log2(i + 2) for i, r in enumerate(top)
+    )
+    idcg = sum(
+        1.0 / math.log2(i + 2) for i in range(min(RETRIEVAL_K, n_rel))
+    )
+    return spark.createDataFrame(
+        [(
+            int(n_rel),
+            round(mrr, 4),
+            round(sum(r["rel"] for r in top) / RETRIEVAL_K, 4),
+            round(dcg / idcg, 4) if idcg else 0.0,
+        )],
+        "n_rel long, mrr double, p_at_k double, ndcg_at_k double",
+    )
