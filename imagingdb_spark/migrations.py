@@ -147,6 +147,40 @@ def upgrade_df(df: DataFrame, migrations: list[Migration]) -> DataFrame:
     return df
 
 
+def downgrade_df(df: DataFrame, migrations: list[Migration],
+                 to_revision: str | None = None) -> DataFrame:
+    """Alembic-parity downgrade: walk the chain BACKWARDS to (and
+    excluding) ``to_revision`` (None = all the way to the baseline),
+    inverting each op — RenameColumn reverses losslessly, AddColumn
+    drops the column (its data is lost, exactly like ``op.drop_column``
+    in the reference's downgrade functions, e.g.
+    alembic/versions/7a7422f19234:28-31). DropColumn cannot be inverted
+    (the data is gone) and raises — the reference has no DropColumn-only
+    migration either; its one drop rides a rename we model as
+    RenameColumn."""
+    chain = _chain_order(migrations)
+    if to_revision is not None and to_revision not in {m.revision for m in chain}:
+        raise ValueError(f"unknown revision {to_revision!r}")
+    for m in reversed(chain):
+        if m.revision == to_revision:
+            break
+        for op in reversed(m.ops):
+            if isinstance(op, AddColumn):
+                if op.name in df.columns:
+                    df = df.drop(op.name)
+            elif isinstance(op, RenameColumn):
+                if op.new in df.columns:
+                    df = df.withColumnRenamed(op.new, op.old)
+            elif isinstance(op, DropColumn):
+                raise ValueError(
+                    f"cannot downgrade through DropColumn({op.name!r}): "
+                    "the dropped data no longer exists"
+                )
+            else:
+                raise TypeError(f"unknown migration op: {op!r}")
+    return df
+
+
 def read_evolved(
     spark: SparkSession, path: str, migrations: list[Migration]
 ) -> DataFrame:

@@ -144,3 +144,35 @@ class TestChainOrder:
         c = M.Migration("c", "missing-b", "t")
         with pytest.raises(ValueError):
             M._chain_order([a, c])
+
+
+class TestDowngrade:
+    def test_full_downgrade_restores_baseline_schema(self, spark, mixed_table):
+        df = M.read_evolved(spark, mixed_table, M.FILE_GLOBAL_MIGRATIONS)
+        down = M.downgrade_df(df, M.FILE_GLOBAL_MIGRATIONS)
+        assert sorted(down.columns) == ["id", "s3_dir", "total_bytes"]
+        rows = {r["id"]: r["s3_dir"] for r in down.collect()}
+        # the rename reverses losslessly — including rows written at head
+        assert rows[1] == "raw/ds1" and rows[3] == "raw/ds3"
+
+    def test_partial_downgrade(self, spark, mixed_table):
+        df = M.read_evolved(spark, mixed_table, M.FILE_GLOBAL_MIGRATIONS)
+        down = M.downgrade_df(
+            df, M.FILE_GLOBAL_MIGRATIONS, to_revision="7a7422f19234"
+        )
+        # back to just-after-checksums: sha256 present, file_name gone,
+        # rename reversed
+        assert sorted(down.columns) == ["id", "s3_dir", "sha256", "total_bytes"]
+
+    def test_unknown_revision_rejected(self, spark, mixed_table):
+        df = M.read_evolved(spark, mixed_table, M.FILE_GLOBAL_MIGRATIONS)
+        with pytest.raises(ValueError, match="unknown revision"):
+            M.downgrade_df(df, M.FILE_GLOBAL_MIGRATIONS, to_revision="nope")
+
+    def test_drop_column_not_invertible(self, spark, tmp_path):
+        path = str(tmp_path / "t")
+        spark.createDataFrame([(1, "x")], "id long, junk string").write.parquet(path)
+        chain = [M.Migration("r1", None, "t", (M.DropColumn("junk"),))]
+        df = M.read_evolved(spark, path, chain)
+        with pytest.raises(ValueError, match="DropColumn"):
+            M.downgrade_df(df, chain)
