@@ -679,3 +679,71 @@ def a_geomean_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_rows("l_extendedprice").alias("n"),
         F.round(geomean("l_extendedprice"), 4).alias("geomean"),
     )
+
+
+CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+@query(
+    "x_corr_matrix",
+    oracle="""
+    WITH a AS (
+      SELECT corr(l_quantity, l_extendedprice) AS c01,
+             corr(l_quantity, l_discount)      AS c02,
+             corr(l_quantity, l_tax)           AS c03,
+             corr(l_extendedprice, l_discount) AS c12,
+             corr(l_extendedprice, l_tax)      AS c13,
+             corr(l_discount, l_tax)           AS c23
+      FROM lineitem
+    )
+    SELECT col_a, col_b, round(v, 4) + 0.0 AS pearson FROM a
+    UNPIVOT (v FOR pair IN (c01, c02, c03, c12, c13, c23))
+    CROSS JOIN LATERAL (SELECT
+      CASE pair WHEN 'c01' THEN 'l_quantity' WHEN 'c02' THEN 'l_quantity'
+                WHEN 'c03' THEN 'l_quantity' WHEN 'c12' THEN 'l_extendedprice'
+                WHEN 'c13' THEN 'l_extendedprice' ELSE 'l_discount' END AS col_a,
+      CASE pair WHEN 'c01' THEN 'l_extendedprice' WHEN 'c02' THEN 'l_discount'
+                WHEN 'c03' THEN 'l_tax' WHEN 'c12' THEN 'l_discount'
+                WHEN 'c13' THEN 'l_tax' ELSE 'l_tax' END AS col_b) t
+    """,
+)
+def x_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of the lineitem measures — the
+    multivariate leg of ANALYZE-style profiling (x_profile_stats covers
+    per-column moments; this covers the cross-moments feature-selection
+    and drift monitors read). Deterministic at 4 decimals: both engines
+    compute textbook co-moment sums whose reordering error is ~1e-12
+    relative — far below the rounding grain (the same argument every
+    round(.., 4) float aggregate in the registry relies on).
+
+    Scale shape: ALL pairs ride ONE aggregate over ONE scan — 6 corr
+    accumulators evaluate map-side with partial merge (corr is a
+    commutative monoid on (n, Σx, Σy, Σxy, Σx², Σy²)), so the shuffle is
+    6 accumulator structs regardless of corpus size; the unpivot to
+    (col_a, col_b, pearson) rows touches a 1-row table. For W columns
+    the accumulator count is W(W-1)/2 — at W beyond ~100 switch to the
+    Gram-matrix form (one pandas_udf pass + driver-side normalization,
+    similarity.py's tiling notes apply)."""
+    li = table(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        *[
+            F.corr(a, b).alias(f"{i}_{j}")
+            for i, a in enumerate(CORR_COLS)
+            for j, b in enumerate(CORR_COLS)
+            if i < j
+        ]
+    )
+    pairs = [
+        (a, b, f"{i}_{j}")
+        for i, a in enumerate(CORR_COLS)
+        for j, b in enumerate(CORR_COLS)
+        if i < j
+    ]
+    stack = ", ".join(
+        f"'{a}', '{b}', `{c}`" for a, b, c in pairs
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(pairs)}, {stack}) AS (col_a, col_b, raw)"
+        )
+    ).select("col_a", "col_b", (F.round("raw", 4) + 0.0).alias("pearson"))
