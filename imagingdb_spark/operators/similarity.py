@@ -707,3 +707,97 @@ def x_retrieval_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         )],
         "n_rel long, mrr double, p_at_k double, ndcg_at_k double",
     )
+
+
+HARDNEG_K = 3
+
+
+@query(
+    "x_hard_negatives",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+      SELECT a.vec_id AS anchor, a.label AS anchor_label,
+             b.vec_id AS negative,
+             round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+      FROM e a JOIN e b ON a.label <> b.label
+    )
+    SELECT anchor, anchor_label, negative, cos,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY anchor
+                                   ORDER BY cos DESC, negative ASC) AS rk
+      FROM s
+    )
+    WHERE rk <= {HARDNEG_K}
+    """,
+)
+def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training (SimCLR/DPR recipe
+    family, public): for every anchor vector, the top-{HARDNEG_K} most
+    similar vectors with a DIFFERENT label — the negatives that actually
+    teach the margin. Rank on ROUNDED cosine + vec_id tiebreak (the
+    x_retrieval_metrics determinism rule) so both engines agree
+    rank-for-rank.
+
+    Scale shape: the corpus matrix broadcasts once (executor-side numpy,
+    not a join) and each Arrow batch mines its anchors with ONE BLAS
+    gemm + per-row partial top-k against the different-label mask — no
+    shuffle at all until nothing; the output is already per-anchor.
+    This is the exact path, linear in anchors × corpus: right up to a
+    corpus whose matrix fits an executor (~1M × 64-d ≈ 0.5 GB). Past
+    that, mine within ANN cells (x_ann_ivf's codebook: probe the
+    anchor's nearest cells, mine negatives there — the FAISS-style
+    production recipe) and keep this kernel as the in-cell scorer."""
+    e = table(spark, sf_dir, "embeddings")
+    rows = e.select("vec_id", "label", "embedding").collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    labels = np.array([r["label"] for r in rows], dtype=np.int64)
+    mat = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_labels = spark.sparkContext.broadcast(labels)
+    b_mat = spark.sparkContext.broadcast(mat)
+    b_norms = spark.sparkContext.broadcast(norms)
+    k = HARDNEG_K
+
+    def mine(batches):
+        cids, clabels = b_ids.value, b_labels.value
+        cmat, cnorms = b_mat.value, b_norms.value
+        for pdf in batches:
+            out = []
+            a = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            an = np.linalg.norm(a, axis=1)
+            # raw-dot / (norm * norm): the oracle's algebra (one division,
+            # not a pre-normalized gemm) so the doubles track DuckDB's to
+            # the summation-order ulp before rounding
+            sims = np.round((a @ cmat.T) / (an[:, None] * cnorms[None, :]), 4)
+            for i in range(len(pdf)):
+                mask = clabels != pdf["label"].iat[i]
+                cand_s, cand_i = sims[i][mask], cids[mask]
+                # top-k by (-cos, vec_id): lexsort is exact and stable
+                order = np.lexsort((cand_i, -cand_s))[:k]
+                for rk, j in enumerate(order):
+                    out.append(
+                        (
+                            int(pdf["vec_id"].iat[i]),
+                            int(pdf["label"].iat[i]),
+                            int(cand_i[j]),
+                            float(cand_s[j]),
+                            rk + 1,
+                        )
+                    )
+            yield pd.DataFrame(
+                out,
+                columns=["anchor", "anchor_label", "negative", "cos", "rk"],
+            )
+
+    return e.select("vec_id", "label", "embedding").mapInPandas(
+        mine,
+        "anchor long, anchor_label int, negative long, cos double, rk int",
+    )

@@ -131,6 +131,8 @@ PRIORITY: list[str] = [
     #                     eval; round-5 window candidate
     "x_corr_matrix",    # NEW r4, oracle-exact: pairwise Pearson profiling;
     #                     round-5 window candidate
+    "x_hard_negatives", # NEW r4, oracle-exact: contrastive hard-negative
+    #                     mining; round-5 window candidate
     "x_dedup_exact",    # D1 — pass-r1+r3 (yielded its slot to x_sentences)
     "o_topk",           # O5 — pass-r3
     "o_sort",           # O1 — pass-r3
