@@ -196,6 +196,37 @@ def download_data(
     print("Downloaded {} file(s) from {}".format(len(file_names), storage_dir))
 
 
+def run_pipeline(
+    sf_dir: str,
+    out: str | None = None,
+    source_cap: int | None = None,
+    shards: int | None = None,
+) -> None:
+    """Extension subcommand (no reference twin): one-command corpus build
+    through pipelines.pretraining_pipeline, printing the stage audit in
+    the same fixed-width style as the query subcommand and optionally
+    writing the sharded corpus partitioned by shard (partition pruning on
+    shard-at-a-time training reads)."""
+    from imagingdb_spark import pipelines as P
+
+    spark = get_spark("imagingdb-cli")
+    kwargs = {}
+    if source_cap is not None:
+        kwargs["source_cap"] = source_cap
+    if shards is not None:
+        kwargs["n_shards"] = shards
+    sharded, audit = P.pretraining_pipeline(spark, sf_dir, **kwargs)
+    print(f"{'stage':<16}{'rows_in':>10}{'rows_out':>10}{'dropped':>10}")
+    for a in audit:
+        print(
+            f"{a.stage:<16}{a.rows_in:>10}{a.rows_out:>10}"
+            f"{a.rows_in - a.rows_out:>10}"
+        )
+    if out is not None:
+        sharded.write.mode("overwrite").partitionBy("shard").parquet(out)
+        print(f"Wrote {audit[-1].rows_out} docs to {out}")
+
+
 def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     """One parser, three subcommands — flag names match the reference's
     three scripts (query_data.py:10-53, data_uploader.py parse_args,
@@ -232,6 +263,18 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     d.add_argument("-c", "--channels", nargs="*", default=None)
     d.add_argument("-z", "--slices", type=int, nargs="*", default=None)
 
+    p = sub.add_parser(
+        "pipeline",
+        help="run the composed pretraining-data pipeline (extension — "
+        "no reference twin; see pipelines.py)",
+    )
+    p.add_argument("--sf-dir", type=str, required=True)
+    p.add_argument("--out", type=str, default=None,
+                   help="write sharded corpus parquet here (partitioned "
+                   "by shard); omit for audit-only")
+    p.add_argument("--source-cap", type=int, default=None)
+    p.add_argument("--shards", type=int, default=None)
+
     return parser.parse_args(argv)
 
 
@@ -252,6 +295,13 @@ def main(argv: list[str] | None = None) -> None:
             login=args.login,
             config=args.config,
             overwrite=args.overwrite,
+        )
+    elif args.command == "pipeline":
+        run_pipeline(
+            sf_dir=args.sf_dir,
+            out=args.out,
+            source_cap=args.source_cap,
+            shards=args.shards,
         )
     elif args.command == "download":
         download_data(

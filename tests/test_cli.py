@@ -182,3 +182,25 @@ class TestParseArgs:
     def test_upload_requires_config(self):
         with pytest.raises(SystemExit):
             cli.parse_args(["upload", "--csv", "m.csv", "--login", "l.json"])
+
+
+class TestPipelineCommand:
+    def test_audit_table_printed_and_output_written(self, spark, tmp_path, capsys):
+        from imagingdb_spark import cli
+
+        out = str(tmp_path / "corpus")
+        cli.main([
+            "pipeline", "--sf-dir", "/root/testdata/sf0.001", "--out", out,
+        ])
+        printed = capsys.readouterr().out
+        for stage in (
+            "quality_filter", "exact_dedup", "near_dedup",
+            "decontaminate", "source_cap",
+        ):
+            assert stage in printed
+        assert "Wrote" in printed
+        back = spark.read.parquet(out)
+        assert back.count() > 0
+        # hive-partitioned by shard → shard-at-a-time reads prune files
+        assert back.select("shard").distinct().count() > 1
+        spark.catalog.clearCache()
