@@ -98,6 +98,10 @@ PRIORITY: list[str] = [
     #     promoted to oracle-exact against the PPJoin exact ground truth ---
     "x_dedup_verified", # D2: MinHash+LSH post-verify pairs == exact pairs it found
     "x_sentences",      # §2.10 UDTF leg: real @udtf sentence segmentation
+    # --- NEW in round 4 (late additions, oracle-exact) ---
+    "x_retrieval_metrics",  # D3f: MRR/P@k/NDCG@k retrieval eval
+    "x_corr_matrix",    # A12: one-scan pairwise Pearson profiling
+    "x_hard_negatives", # D3g: contrastive hard-negative mining
     # --- retained core: one green-row holder per SURVEY §2 category ---
     "w_running",        # W
     "w_rownum_page",    # W + O3 offset slicing
@@ -110,9 +114,6 @@ PRIORITY: list[str] = [
     "f_array_ops",      # F8
     "a_count_distinct", # A3
     "a_group_summary",  # A4/A5
-    "a_rollup",         # A+
-    "f_string_parse",   # F1
-    "f_cast_coerce",    # F7
     "x_dedup_jaccard",  # D2 (oracle-exact)
     "x_dedup_incremental",  # D13 batch-vs-corpus PPJoin (oracle-exact)
     "x_dedup_cluster",  # D12 connected components (oracle-exact)
@@ -127,13 +128,10 @@ PRIORITY: list[str] = [
     #                     threshold — see its docstring)
     "x_pipeline_audit", # NEW r4, rows-only: composed end-to-end pipeline
     #                     stage audit; round-5 window candidate
-    "x_retrieval_metrics",  # NEW r4, oracle-exact: MRR/P@k/NDCG@k retrieval
-    #                     eval; round-5 window candidate
-    "x_corr_matrix",    # NEW r4, oracle-exact: pairwise Pearson profiling;
-    #                     round-5 window candidate
-    "x_hard_negatives", # NEW r4, oracle-exact: contrastive hard-negative
-    #                     mining; round-5 window candidate
     "x_dedup_exact",    # D1 — pass-r1+r3 (yielded its slot to x_sentences)
+    "f_string_parse",   # F1 — pass-r1+r3 (yielded its slot to a new r4 query)
+    "f_cast_coerce",    # F7 — pass-r1+r3 (yielded its slot to a new r4 query)
+    "a_rollup",         # A+ — pass-r1+r3 (yielded its slot to a new r4 query)
     "o_topk",           # O5 — pass-r3
     "o_sort",           # O1 — pass-r3
     "w_dense_rank",     # W — pass-r3

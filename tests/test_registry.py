@@ -57,6 +57,7 @@ ROTATED_IN_R4 = [
     "a_geomean_udaf", "x_transition_matrix",
     "x_semdedup", "x_pagerank", "x_dedup_eval",
     "x_dedup_verified", "x_sentences",
+    "x_retrieval_metrics", "x_corr_matrix", "x_hard_negatives",
 ]
 
 
@@ -75,8 +76,7 @@ def test_category_coverage_inside_driver_window():
         # hold 2+ green rows or a fresh r3 row)
         "w_running", "w_rownum_page", "st_tumbling", "st_session",
         "f_from_json", "f_json_extract", "j_json_filter", "j_asof",
-        "f_array_ops", "a_count_distinct", "a_group_summary", "a_rollup",
-        "f_string_parse", "f_cast_coerce",
+        "f_array_ops", "a_count_distinct", "a_group_summary",
         "x_dedup_jaccard", "x_dedup_incremental", "x_dedup_cluster",
     ]:
         assert name in window, f"{name} fell outside the driver's 50-query window"
