@@ -117,3 +117,27 @@ class TestSharding:
         key = lambda r: (r["shard"], r["pos_in_shard"], r["doc_id"])  # noqa: E731
         assert sorted(map(key, rows)) == sorted(map(key, rows2))
         assert audit == audit2
+
+
+class TestEmptyCorpus:
+    def test_pipeline_survives_empty_documents(self, spark, tmp_path):
+        """Every stage must tolerate a 0-row corpus (fresh deployments,
+        fully-filtered partitions): empty output, zeroed audit, no
+        crash."""
+        import pyspark.sql.types as T
+
+        schema = T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("text", T.StringType()),
+                T.StructField("lang", T.StringType()),
+                T.StructField("source", T.StringType()),
+                T.StructField("n_chars", T.LongType()),
+            ]
+        )
+        d = str(tmp_path / "sfempty")
+        spark.createDataFrame([], schema).write.parquet(f"{d}/documents.parquet")
+        shards, audit = P.pretraining_pipeline(spark, d)
+        assert shards.count() == 0
+        assert all(a.rows_in == 0 and a.rows_out == 0 for a in audit)
+        spark.catalog.clearCache()
