@@ -751,7 +751,14 @@ def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus whose matrix fits an executor (~1M × 64-d ≈ 0.5 GB). Past
     that, mine within ANN cells (x_ann_ivf's codebook: probe the
     anchor's nearest cells, mine negatives there — the FAISS-style
-    production recipe) and keep this kernel as the in-cell scorer."""
+    production recipe) and keep this kernel as the in-cell scorer.
+
+    Broadcast lifecycle: the three broadcasts live exactly as long as
+    the returned plan references them; once the caller drops the
+    DataFrame, Spark's ContextCleaner reclaims the blocks (no manual
+    unpersist — destroying them early would break a re-executed lazy
+    plan, the same reason the persist convention leaves cache cleanup
+    to clearCache between queries)."""
     e = table(spark, sf_dir, "embeddings")
     rows = e.select("vec_id", "label", "embedding").collect()
     ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
