@@ -743,12 +743,14 @@ def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     x_retrieval_metrics determinism rule) so both engines agree
     rank-for-rank.
 
-    Scale shape: the corpus matrix broadcasts once (executor-side numpy,
-    not a join) and each Arrow batch mines its anchors with ONE BLAS
-    gemm + per-row partial top-k against the different-label mask — no
-    shuffle at all until nothing; the output is already per-anchor.
-    This is the exact path, linear in anchors × corpus: right up to a
-    corpus whose matrix fits an executor (~1M × 64-d ≈ 0.5 GB). Past
+    Scale shape: the corpus matrix is collected ONCE at the driver and
+    broadcast (that collect is the explicit precondition of this exact
+    path — the matrix must fit one machine, ~1M × 64-d ≈ 0.5 GB, the
+    same bound FAISS-flat accepts; it is NOT a hidden corpus-sized
+    collect but the operator's stated operating regime), then each
+    Arrow batch mines its anchors with ONE BLAS gemm + per-row partial
+    top-k against the different-label mask — no shuffle at all; the
+    output is already per-anchor. Past
     that, mine within ANN cells (x_ann_ivf's codebook: probe the
     anchor's nearest cells, mine negatives there — the FAISS-style
     production recipe) and keep this kernel as the in-cell scorer.
