@@ -1065,3 +1065,86 @@ def x_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact_pairs long, n_lsh_pairs long, n_hits long, "
         "recall double, precision double",
     )
+
+
+NOVELTY_COMMON_DF = 3  # an n-gram in > this many docs counts as "common"
+
+
+@query(
+    "x_novelty",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         t -> t <> '') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             CASE
+               WHEN len(t) >= {CONTAM_K} THEN list_distinct(
+                 list_transform(generate_series(1, len(t) - {CONTAM_K} + 1),
+                   i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]
+                        || ' ' || t[i + 3]))
+               ELSE [chr(1) || array_to_string(t, ' ')]
+             END AS gs
+      FROM toks WHERE len(t) > 0
+    ), ex AS (
+      SELECT doc_id, unnest(gs) AS g FROM grams
+    ), df AS (
+      SELECT g, COUNT(*) AS gdf FROM ex GROUP BY g
+    )
+    SELECT ex.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           CAST(COUNT(*) FILTER (df.gdf > {NOVELTY_COMMON_DF}) AS BIGINT)
+             AS n_common,
+           round(1.0 - COUNT(*) FILTER (df.gdf > {NOVELTY_COMMON_DF})
+                 / CAST(COUNT(*) AS DOUBLE), 4) + 0.0 AS novelty
+    FROM ex JOIN df USING (g)
+    GROUP BY ex.doc_id
+    """,
+)
+def x_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document n-gram novelty: the share of a document's distinct
+    {CONTAM_K}-grams that are NOT corpus-common (document frequency >
+    {NOVELTY_COMMON_DF}) — the memorization-risk / boilerplate signal
+    that complements x_repetition (within-doc) and x_decontaminate
+    (vs a held-out set): a low-novelty doc is mostly text the model
+    sees many times anyway.
+
+    Scale shape: identical to x_decontaminate's — one vectorized
+    shingling pass (hashed {CONTAM_K}-grams, hash-invariant counts),
+    one vocabulary-sized df aggregate, one equi-join back (AQE
+    broadcasts the df side when it fits; at web scale the common-gram
+    table, filtered to gdf > {NOVELTY_COMMON_DF} BEFORE the join, is
+    far smaller than the full df table — the filter is pushed exactly
+    there), one doc-keyed aggregation. No windows, no quadratics."""
+    ex = (
+        shingled_docs(spark, sf_dir, k=CONTAM_K)
+        .select("doc_id", F.explode("shingles").alias("g"))
+        .persist()  # feeds df AND the join side; clearCache convention
+    )
+    # common-gram table filtered BEFORE the join back: at scale this is
+    # the small side (boilerplate grams), so it broadcasts
+    common = (
+        ex.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("gdf"))
+        .filter(F.col("gdf") > NOVELTY_COMMON_DF)
+        .select("g")
+    )
+    return (
+        ex.join(common.withColumn("is_common", F.lit(1)), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce("is_common", F.lit(0))).cast("bigint").alias("n_common"),
+            (
+                F.round(
+                    1.0
+                    - F.sum(F.coalesce("is_common", F.lit(0)))
+                    / F.count(F.lit(1)).cast("double"),
+                    4,
+                )
+                + 0.0
+            ).alias("novelty"),
+        )
+    )
