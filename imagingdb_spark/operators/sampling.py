@@ -494,3 +494,66 @@ def capped_hash_rank(
         .filter(F.col("rk") <= cap)
         .drop("__h", "__n", "__thr")
     )
+
+
+BATCH_SIZE = 16  # docs per training micro-batch
+
+
+@query(
+    "x_length_batches",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(lower(text), '\\s+'),
+                             t -> t <> '')) AS n_tokens,
+             md5('batch-' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor(log2(n_tokens)) AS INT) AS bucket,
+             CAST(row_number() OVER (PARTITION BY floor(log2(n_tokens))
+                                     ORDER BY h, doc_id) - 1 AS BIGINT) AS rn
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens, bucket,
+           CAST(rn // {BATCH_SIZE} AS BIGINT) AS batch_idx,
+           CAST(rn % {BATCH_SIZE} AS BIGINT) AS pos_in_batch
+    FROM b
+    """,
+)
+def x_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch assignment (dynamic-batching prep): docs
+    group into power-of-two length buckets so each training micro-batch
+    pads to at most 2× its shortest member; within a bucket, batch
+    membership and order are content-addressed (md5 of doc_id) — the
+    same reshuffle-free determinism as x_shard_shuffle, so batch
+    composition is reproducible and independent of partitioning.
+
+    Scale shape: one projection + one window PARTITIONED by bucket
+    (≈log2(max_len) partitions — a few dozen; per-bucket volume is
+    corpus-sized/buckets, and a pathologically hot bucket takes the
+    capped_hash_rank two-level prefilter, sampling.py:401). No global
+    sort; the hash order makes rank assignment independent of input
+    order."""
+    from pyspark.sql import Window
+
+    d = table(spark, sf_dir, "documents")
+    from imagingdb_spark.operators.text import tokens_col
+
+    t = d.select(
+        "doc_id",
+        F.size(tokens_col(F.col("text"))).alias("n_tokens"),
+        F.md5(F.concat(F.lit("batch-"), F.col("doc_id").cast("string"))).alias(
+            "h"
+        ),
+    ).filter(F.col("n_tokens") > 0)
+    bucket = F.floor(F.log2("n_tokens")).cast("int")
+    w = Window.partitionBy(bucket).orderBy("h", "doc_id")
+    rn = F.row_number().over(w) - 1
+    return t.select(
+        "doc_id",
+        "n_tokens",
+        bucket.alias("bucket"),
+        (rn / BATCH_SIZE).cast("bigint").alias("batch_idx"),
+        (rn % BATCH_SIZE).cast("bigint").alias("pos_in_batch"),
+    )

@@ -125,6 +125,8 @@ PRIORITY: list[str] = [
     #                     the trained merges; round-5 window candidate
     "x_novelty",        # NEW r4, oracle-exact: cross-doc n-gram novelty;
     #                     round-5 window candidate
+    "x_length_batches", # NEW r4, oracle-exact: length-bucketed batching;
+    #                     round-5 window candidate
     "x_ann_eval",       # NEW r4, rows-only metric (recall@k of both ANN paths);
     #                     round-5 window candidate alongside x_bpe_train
     "x_semdedup_eval",  # NEW r4, rows-only metric (learned-blocking recall
