@@ -355,3 +355,90 @@ def test_stream_static_enrichment_matches_batch(spark, events_stream):
         q.stop()
     finally:
         stop_all(spark)
+
+
+def test_streaming_cdc_apply_matches_batch_twin(spark, tmp_path):
+    """Three change micro-batches (insert epoch, competing update+delete
+    epoch, late re-update) must leave the state table exactly where the
+    BATCH cdc_apply leaves it for the concatenated log."""
+    from pyspark.sql import types as T
+
+    from imagingdb_spark.operators.merge import cdc_apply
+
+    base = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(1, 6)], "doc_id long, text string"
+    )
+    state_path = str(tmp_path / "state")
+    changes_path = str(tmp_path / "changes")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    batches = [
+        [(i, 1, "U", f"doc {i}") for i in range(1, 6)],
+        [(2, 2, "U", "doc 2 v2"), (2, 3, "U", "doc 2 v3"), (3, 2, "D", None)],
+        [(4, 4, "U", "doc 4 v4"), (5, 2, "D", None), (5, 3, "U", "doc 5 back")],
+    ]
+    # one file per micro-batch (maxFilesPerTrigger=1)
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(changes_path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_path)
+    )
+    q = jobs.streaming_cdc_apply(stream, state_path, str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["doc_id"]: (r["text"], r["last_seq"])
+        for r in spark.read.parquet(state_path).collect()
+    }
+    log = spark.createDataFrame(
+        [r for b in batches for r in b], schema
+    )
+    empty_base = spark.createDataFrame([], "doc_id long, text string")
+    want = {
+        r["doc_id"]: (r["text"], r["last_seq"])
+        for r in cdc_apply(empty_base, log, "doc_id").collect()
+    }
+    assert got == want
+    assert 3 not in got          # deleted, never resurrected
+    assert got[2][0] == "doc 2 v3"
+    assert got[5][0] == "doc 5 back"  # delete then later update wins
+
+
+def test_streaming_cdc_apply_replay_idempotent(spark, tmp_path):
+    """Applying the same micro-batch twice (at-least-once replay) must be
+    a no-op, and a LATE change older than the state must lose."""
+    from pyspark.sql import types as T
+
+    state_path = str(tmp_path / "state")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    b1 = spark.createDataFrame(
+        [(1, 5, "U", "v5"), (2, 1, "U", "x")], schema
+    )
+    jobs.cdc_apply_batch(b1, state_path)
+    jobs.cdc_apply_batch(b1, state_path)  # replay
+    late = spark.createDataFrame([(1, 3, "U", "stale")], schema)
+    jobs.cdc_apply_batch(late, state_path)
+    got = {
+        r["doc_id"]: (r["text"], r["last_seq"])
+        for r in spark.read.parquet(state_path).collect()
+    }
+    assert got == {1: ("v5", 5), 2: ("x", 1)}
