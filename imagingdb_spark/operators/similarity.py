@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from imagingdb_spark.catalog import table
@@ -809,4 +809,139 @@ def x_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", "label", "embedding").mapInPandas(
         mine,
         "anchor long, anchor_label int, negative long, cos double, rk int",
+    )
+
+
+PROBE_STRIDE = 100  # vec_id % stride == 0 selects the probe set
+
+
+@query(
+    "x_retrieval_batch",
+    oracle=f"""
+    WITH probes AS (
+      SELECT vec_id AS probe_id, label AS ql, embedding::DOUBLE[] AS qv
+      FROM embeddings WHERE vec_id % {PROBE_STRIDE} = 0
+    ), s AS (
+      SELECT p.probe_id, e.vec_id,
+             CASE WHEN e.label = p.ql THEN 1 ELSE 0 END AS rel,
+             round(list_dot_product(e.embedding::DOUBLE[], p.qv) /
+                   (sqrt(list_dot_product(e.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[])) *
+                    sqrt(list_dot_product(p.qv, p.qv))), 4) AS c
+      FROM embeddings e CROSS JOIN probes p
+      WHERE e.vec_id <> p.probe_id
+    ), r AS (
+      SELECT probe_id, rel,
+             row_number() OVER (PARTITION BY probe_id
+                                ORDER BY c DESC, vec_id ASC) AS rk
+      FROM s
+    ), per AS (
+      SELECT probe_id,
+             CAST(SUM(rel) AS BIGINT) AS n_rel,
+             MIN(CASE WHEN rel = 1 THEN rk END) AS first_rel,
+             COUNT(*) FILTER (rel = 1 AND rk <= {RETRIEVAL_K}) AS hits_k,
+             SUM(CASE WHEN rk <= {RETRIEVAL_K} THEN rel / log2(rk + 1)
+                      ELSE 0 END) AS dcg
+      FROM r GROUP BY probe_id
+    )
+    SELECT probe_id, n_rel,
+           round(COALESCE(1.0 / first_rel, 0.0), 4) AS mrr,
+           round(hits_k / {RETRIEVAL_K}.0, 4) AS p_at_k,
+           round(COALESCE(dcg / NULLIF(
+             list_sum(list_transform(
+               range(1, CAST(LEAST({RETRIEVAL_K}, n_rel) AS INT) + 1),
+               i -> 1.0 / log2(i + 1))), 0.0), 0.0), 4) AS ndcg_at_k
+    FROM per
+    """,
+)
+def x_retrieval_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-probe retrieval metrics for a PROBE SET — the keyed
+    generalization x_retrieval_metrics' docstring promises: every
+    vec_id % {PROBE_STRIDE} == 0 vector queries the corpus, and MRR /
+    precision@k / NDCG@k come out per probe (downstream averages them
+    into the eval-suite scalar).
+
+    Scale shape: the probe matrix (probe-set-sized — an eval suite, not
+    the corpus) broadcasts; ONE Arrow pass scores each corpus batch
+    against ALL probes with a single gemm, emitting the slim
+    (probe_id, vec_id, rel, c) stream; ranking is a window PARTITIONED
+    by probe_id (per-probe volume = corpus/|probes| after the gemm —
+    bounded per partition, never global), and the metrics reduce with
+    plain aggregates. At web scale you cut the ranked stream to its
+    per-probe top-K with the w_topk_group shape BEFORE the window-heavy
+    math and compute MRR from a count-of-better aggregate exactly as
+    the single-probe query does; the gemm pass is unchanged.
+
+    Determinism: rounded-cosine rank + vec_id tiebreak, matching
+    x_retrieval_metrics and x_hard_negatives."""
+    e = table(spark, sf_dir, "embeddings")
+    probes = e.filter(F.col("vec_id") % PROBE_STRIDE == 0).collect()
+    p_ids = np.array([r["vec_id"] for r in probes], dtype=np.int64)
+    p_labels = np.array([r["label"] for r in probes], dtype=np.int64)
+    p_mat = np.stack(
+        [np.asarray(r["embedding"], dtype=np.float64) for r in probes]
+    )
+    p_norms = np.linalg.norm(p_mat, axis=1)
+    b = spark.sparkContext.broadcast((p_ids, p_labels, p_mat, p_norms))
+
+    def score(batches):
+        ids, labels, mat, norms = b.value
+        for pdf in batches:
+            a = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in pdf["embedding"]]
+            )
+            an = np.linalg.norm(a, axis=1)
+            sims = np.round(
+                (a @ mat.T) / (an[:, None] * norms[None, :]), 4
+            )
+            n, p = sims.shape
+            vec_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            vlabels = pdf["label"].to_numpy(dtype=np.int64)
+            out = pd.DataFrame(
+                {
+                    "probe_id": np.tile(ids, n),
+                    "vec_id": np.repeat(vec_ids, p),
+                    "rel": (vlabels[:, None] == labels[None, :])
+                    .astype(np.int32)
+                    .ravel(),
+                    "c": sims.ravel(),
+                }
+            )
+            yield out[out["probe_id"] != out["vec_id"]]
+
+    s = e.select("vec_id", "label", "embedding").mapInPandas(
+        score, "probe_id long, vec_id long, rel int, c double"
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("c"), F.asc("vec_id"))
+    r = s.withColumn("rk", F.row_number().over(w))
+    per = r.groupBy("probe_id").agg(
+        F.sum("rel").cast("bigint").alias("n_rel"),
+        F.min(F.when(F.col("rel") == 1, F.col("rk"))).alias("first_rel"),
+        F.sum(
+            F.when((F.col("rel") == 1) & (F.col("rk") <= RETRIEVAL_K), 1)
+            .otherwise(0)
+        ).alias("hits_k"),
+        F.sum(
+            F.when(
+                F.col("rk") <= RETRIEVAL_K,
+                F.col("rel") / F.log2(F.col("rk") + 1),
+            ).otherwise(0.0)
+        ).alias("dcg"),
+    )
+    idcg = F.aggregate(
+        F.sequence(F.lit(1), F.least(F.lit(RETRIEVAL_K), F.col("n_rel")).cast("int")),
+        F.lit(0.0),
+        lambda acc, i: acc + 1.0 / F.log2(i + 1),
+    )
+    return per.select(
+        "probe_id",
+        "n_rel",
+        F.round(F.coalesce(1.0 / F.col("first_rel"), F.lit(0.0)), 4).alias("mrr"),
+        F.round(F.col("hits_k") / RETRIEVAL_K, 4).alias("p_at_k"),
+        F.round(
+            F.coalesce(
+                F.col("dcg") / F.nullif(idcg, F.lit(0.0)), F.lit(0.0)
+            ),
+            4,
+        ).alias("ndcg_at_k"),
     )

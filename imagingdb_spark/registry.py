@@ -127,6 +127,8 @@ PRIORITY: list[str] = [
     #                     round-5 window candidate
     "x_length_batches", # NEW r4, oracle-exact: length-bucketed batching;
     #                     round-5 window candidate
+    "x_retrieval_batch",  # NEW r4, oracle-exact: probe-SET retrieval metrics;
+    #                     round-5 window candidate
     "x_ann_eval",       # NEW r4, rows-only metric (recall@k of both ANN paths);
     #                     round-5 window candidate alongside x_bpe_train
     "x_semdedup_eval",  # NEW r4, rows-only metric (learned-blocking recall
