@@ -542,3 +542,155 @@ def x_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n") / F.sum("n").over(wp), 4).alias("p"),
     )
+
+
+@query(
+    "x_interp_linear",
+    oracle="""
+    WITH hourly AS (
+      SELECT user_id, hour_ts, value FROM (
+        SELECT user_id, date_trunc('hour', ts) AS hour_ts, value,
+               row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), bounds AS (
+      SELECT user_id, MIN(hour_ts) AS hmin, MAX(hour_ts) AS hmax
+      FROM hourly GROUP BY user_id
+    ), grid AS (
+      SELECT user_id,
+             unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS hour_ts
+      FROM bounds
+    ), j AS (
+      SELECT g.user_id, g.hour_ts,
+             CASE WHEN o.user_id IS NOT NULL
+                  THEN {'h': g.hour_ts, 'v': o.value} END AS m
+      FROM grid g LEFT JOIN hourly o
+        ON g.user_id = o.user_id AND g.hour_ts = o.hour_ts
+    ), f AS (
+      SELECT user_id, hour_ts, m,
+             last_value(m IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour_ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+             first_value(m IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY hour_ts
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+      FROM j
+    )
+    SELECT user_id, hour_ts,
+           -- floor(x*1e4 + 0.5)/1e4, NOT round(): Spark's round() works on
+           -- the double's shortest decimal repr while DuckDB rounds the
+           -- binary double, and interpolation halves LAND on .xxxx5
+           -- boundaries constantly (same fix as x_rolling_zscore)
+           floor(CASE
+             WHEN nxt IS NULL THEN prev.v
+             WHEN prev.h = nxt.h THEN prev.v
+             ELSE prev.v + (nxt.v - prev.v)
+                  * (date_diff('hour', prev.h, hour_ts)
+                     / CAST(date_diff('hour', prev.h, nxt.h) AS DOUBLE))
+           END * 10000.0 + 0.5) / 10000.0 AS value_interp,
+           (m IS NULL) AS is_gap
+    FROM f
+    """,
+)
+def x_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation over the dense per-user hour grid — the
+    `interpolate()` sibling of x_gapfill's forward fill (the hypertable
+    rollup pair every time-series store exposes): each gap slot gets the
+    straight line between its surrounding observations, slots past the
+    last observation carry it forward, observed slots pass through
+    exactly (prev == next collapses the formula to the observed value).
+
+    Shape: IDENTICAL exchange profile to x_gapfill — per-(user, hour)
+    last-observation window, sequence()-built grid (bounded by each
+    user's own span), one left join, then TWO frames over the same
+    user_id partitioning (forward last-match, backward first-match; one
+    exchange feeds both since key and ordering agree). The interpolation
+    fraction is a ratio of INTEGER hour distances — both engines compute
+    the same small-int division, then the same textual fma — so rounding
+    at 4 decimals is engine-stable like every float contract in the
+    registry. NULL-valued observations interpolate to NULL between their
+    neighbors' span (arithmetic with NULL propagates on both engines)."""
+    from pyspark.sql import Window
+
+    e = table(spark, sf_dir, "events")
+    by_hour = e.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("hour_ts"),
+        "value",
+        "ts",
+        "event_id",
+    )
+    wlast = Window.partitionBy("user_id", "hour_ts").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    hourly = (
+        by_hour.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "hour_ts", "value")
+    )
+    grid = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour_ts").alias("hmin"), F.max("hour_ts").alias("hmax"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour_ts"),
+        )
+    )
+    j = grid.join(
+        hourly.withColumnRenamed("value", "obs_value").withColumn(
+            "matched", F.lit(1)
+        ),
+        ["user_id", "hour_ts"],
+        "left",
+    ).select(
+        "user_id",
+        "hour_ts",
+        F.when(
+            F.col("matched").isNotNull(),
+            F.struct(
+                F.col("hour_ts").alias("h"), F.col("obs_value").alias("v")
+            ),
+        ).alias("m"),
+    )
+    fwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    bwd = (
+        Window.partitionBy("user_id")
+        .orderBy("hour_ts")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    f = j.select(
+        "user_id",
+        "hour_ts",
+        "m",
+        F.last("m", ignorenulls=True).over(fwd).alias("prev"),
+        F.first("m", ignorenulls=True).over(bwd).alias("nxt"),
+    )
+    hours = lambda a, b: (  # noqa: E731
+        F.unix_timestamp(b) - F.unix_timestamp(a)
+    ) / 3600
+    frac = hours(F.col("prev.h"), F.col("hour_ts")) / hours(
+        F.col("prev.h"), F.col("nxt.h")
+    ).cast("double")
+    val = (
+        F.when(F.col("nxt").isNull(), F.col("prev.v"))
+        .when(F.col("prev.h") == F.col("nxt.h"), F.col("prev.v"))
+        .otherwise(
+            F.col("prev.v") + (F.col("nxt.v") - F.col("prev.v")) * frac
+        )
+    )
+    return f.select(
+        "user_id",
+        "hour_ts",
+        # floor-based 4-decimal quantization — F.round would round the
+        # shortest decimal repr and disagree with DuckDB at the .xxxx5
+        # boundaries interpolation halves produce (see oracle comment)
+        (F.floor(val * 10000.0 + 0.5) / 10000.0).alias("value_interp"),
+        F.col("m").isNull().alias("is_gap"),
+    )

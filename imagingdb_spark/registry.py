@@ -129,6 +129,8 @@ PRIORITY: list[str] = [
     #                     round-5 window candidate
     "x_retrieval_batch",  # NEW r4, oracle-exact: probe-SET retrieval metrics;
     #                     round-5 window candidate
+    "x_interp_linear",  # NEW r4, oracle-exact: linear interpolation over the
+    #                     dense grid; round-5 window candidate
     "x_ann_eval",       # NEW r4, rows-only metric (recall@k of both ANN paths);
     #                     round-5 window candidate alongside x_bpe_train
     "x_semdedup_eval",  # NEW r4, rows-only metric (learned-blocking recall
