@@ -30,8 +30,10 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sf1.0"
 
-# data-scaled tables: primary key + FK columns, each shifted by i * (max
-# of its OWN domain in the source) so copies never collide
+# data-scaled tables: primary key + FK columns, each shifted by
+# i * (max - min + 1 of its OWN domain in the source) so copies never
+# collide (0-based id spaces collide under a bare max shift: with ids
+# 0..4999, copy3's doc 0 and copy2's doc 4999 would both land on 14997)
 KEYED = {
     "customer": {"c_custkey": "customer.c_custkey"},
     "supplier": {"s_suppkey": "supplier.s_suppkey"},
@@ -62,14 +64,15 @@ def main() -> None:
     dst.mkdir(parents=True, exist_ok=True)
     con = duckdb.connect()
 
-    maxes: dict[str, int] = {}
+    spans: dict[str, int] = {}
     for spec in KEYED.values():
         for ref in spec.values():
             t, c = ref.split(".")
-            if ref not in maxes:
-                maxes[ref] = con.execute(
-                    f"SELECT max({c}) FROM '{src}/{t}.parquet'"
-                ).fetchone()[0]
+            if ref not in spans:
+                lo, hi = con.execute(
+                    f"SELECT min({c}), max({c}) FROM '{src}/{t}.parquet'"
+                ).fetchone()
+                spans[ref] = hi - lo + 1
 
     for t in FIXED:
         con.execute(
@@ -90,7 +93,7 @@ def main() -> None:
             exprs = []
             for c in cols:
                 if c in keys:
-                    exprs.append(f"{c} + {i} * {maxes[keys[c]]} AS {c}")
+                    exprs.append(f"{c} + {i} * {spans[keys[c]]} AS {c}")
                 elif t == "documents" and c == "text" and i > 0:
                     exprs.append(
                         f"regexp_replace(text, '(\\S+)', 'c{i}\\1', 'g') AS text"
