@@ -693,10 +693,40 @@ class TestInvertedIndex:
         rows = lm.x_inverted_index(spark, "/root/testdata/sf0.001").collect()
         assert rows
         for r in rows:
-            p = list(r["postings"])
+            # postings is a serialized (comma-joined) list so the driver's
+            # canonicalizer can hash it (CORRECTNESS_r04 fix)
+            assert isinstance(r["postings"], str)
+            p = [int(x) for x in r["postings"].split(",")]
             assert p == sorted(p)
             assert len(p) == len(set(p)) == r["df"]
             assert r["cf"] >= r["df"]
+
+    def test_sharded_index_bounds_stopword_posting_lists(self, spark):
+        """A planted stopword appearing in every one of 600 docs must come
+        back as multiple (term, block_idx) rows whose posting arrays are
+        all bounded (~block_size, pinned at 2×), while a rare term stays a
+        single block; the union of a term's blocks must equal its exact
+        posting set."""
+        from imagingdb_spark.operators import lm
+
+        docs = spark.createDataFrame(
+            [(i, f"stopword unique{i}" + (" rare" if i < 7 else ""))
+             for i in range(600)],
+            "doc_id long, text string",
+        )
+        rows = lm.inverted_index_sharded(docs, block_size=50).collect()
+        by_term = {}
+        for r in rows:
+            by_term.setdefault(r["term"], []).append(r)
+        stop = by_term["stopword"]
+        assert len(stop) == 12  # ceil(600/50) hash blocks
+        assert max(len(r["postings"]) for r in stop) <= 100  # 2x block_size
+        assert sorted(d for r in stop for d in r["postings"]) == list(range(600))
+        assert all(r["df"] == 600 and r["cf"] == 600 for r in stop)
+        rare = by_term["rare"]
+        assert len(rare) == 1 and sorted(rare[0]["postings"]) == list(range(7))
+        for r in rows:  # within-block sort order holds everywhere
+            assert list(r["postings"]) == sorted(r["postings"])
 
 
 class TestPageRank:
@@ -796,8 +826,10 @@ class TestTokenIds:
         assert rows
         max_id = lm.VOCAB_SIZE + lm.OOV_BUCKETS - 1
         for r in rows:
-            assert all(0 <= i <= max_id for i in r["ids"])
-            n_oov_ids = sum(1 for i in r["ids"] if i >= lm.VOCAB_SIZE)
+            assert isinstance(r["ids"], str)  # driver-hashable serialization
+            ids = [int(x) for x in r["ids"].split(",")] if r["ids"] else []
+            assert all(0 <= i <= max_id for i in ids)
+            n_oov_ids = sum(1 for i in ids if i >= lm.VOCAB_SIZE)
             assert n_oov_ids == r["n_oov"]
 
 

@@ -43,41 +43,38 @@ def test_query_plans(spark, name):
     assert df.schema is not None and len(df.columns) > 0
 
 
-ROTATED_IN_R4 = [
-    # waves A+B of the round-4 plan (VERDICT r3 item 1): the 28
-    # oracle-exact + 3 rows-only queries that had never received a driver
-    # CORRECTNESS row, plus the round-4-new x_dedup_verified
-    "x_bm25", "x_mad_outlier", "x_cooccur_pmi", "x_bigram_logprob",
-    "x_funnel", "x_retention", "x_histogram", "x_rolling_zscore",
-    "x_domain_mix", "x_scd2_history", "x_sessionize", "x_incr_agg",
-    "x_stratified", "x_token_budget",
-    "x_source_cap", "x_span_dedup", "x_table_diff", "x_exact_quantiles",
-    "x_scrub", "st_topk_trend", "j_temporal_lookup", "x_inverted_index",
-    "x_cdc_apply", "x_profile_stats", "x_token_ids", "x_quality_norm",
-    "a_geomean_udaf", "x_transition_matrix",
-    "x_semdedup", "x_pagerank", "x_dedup_eval",
-    "x_dedup_verified", "x_sentences",
-    "x_retrieval_metrics", "x_corr_matrix", "x_hard_negatives",
+ROTATED_IN_R5 = [
+    # round-5 plan (VERDICT r4 items 1+2): the 11 queries with no driver
+    # record — the 2 fixed CORRECTNESS_r04 red rows plus the 9 round-4
+    # tail additions — and the 5 queries whose implementations changed
+    # this round (their last green rows predate current code)
+    "x_inverted_index", "x_token_ids",
+    "x_novelty", "x_length_batches", "x_retrieval_batch", "x_interp_linear",
+    "x_bpe_train", "x_bpe_encode", "x_ann_eval", "x_semdedup_eval",
+    "x_pipeline_audit",
+    "x_span_dedup", "x_dedup_eval", "x_pagerank", "a_geomean_udaf",
+    "x_hard_negatives",
 ]
 
 
 def test_category_coverage_inside_driver_window():
     """The driver's correctness harness checks only the FIRST ~50 registered
-    queries; the round-4 rotation (registry.PRIORITY) must keep (a) every
-    never-driver-checked query inside that window so it finally gets a
-    CORRECTNESS row, and (b) at least one in-window category holder for
-    every family whose other members rotated out (all of which hold green
-    r1-r3 rows)."""
+    queries; the round-5 rotation (registry.PRIORITY) must keep (a) every
+    never-driver-checked and impl-changed query inside that window so it
+    gets a current CORRECTNESS row, and (b) at least one in-window category
+    holder for every family whose other members rotated out (all of which
+    hold green r1-r4 rows)."""
     window = list(registry.ordered_queries())[:50]
-    for name in ROTATED_IN_R4:
+    for name in ROTATED_IN_R5:
         assert name in window, f"{name} fell outside the driver's 50-query window"
     for name in [
-        # retained category holders (single-green; rotated-out names all
-        # hold 2+ green rows or a fresh r3 row)
+        # retained category holders (rotated-out names all hold green rows)
         "w_running", "w_rownum_page", "st_tumbling", "st_session",
         "f_from_json", "f_json_extract", "j_json_filter", "j_asof",
         "f_array_ops", "a_count_distinct", "a_group_summary",
         "x_dedup_jaccard", "x_dedup_incremental", "x_dedup_cluster",
+        "x_scd2_history", "x_cdc_apply", "x_domain_mix", "x_bm25",
+        "x_scrub", "x_sentences",
     ]:
         assert name in window, f"{name} fell outside the driver's 50-query window"
 

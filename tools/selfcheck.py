@@ -75,7 +75,21 @@ def main() -> int:
     for name in names:
         t0 = time.time()
         try:
-            sdf = registry.QUERIES[name](spark, sf_dir).toPandas()
+            spark_q = registry.QUERIES[name](spark, sf_dir)
+            if name in registry.ORACLE:
+                # The driver's canonicalizer hashes via pandas sort_values,
+                # which crashes on list cells (CORRECTNESS_r04's two red
+                # rows). Oracle-exact queries must serialize array outputs.
+                bad = [
+                    f.name
+                    for f in spark_q.schema.fields
+                    if f.dataType.typeName() in ("array", "map", "struct")
+                ]
+                if bad:
+                    print(f"FAIL {name}: driver-unhashable output columns {bad}")
+                    failed.append(name)
+                    continue
+            sdf = spark_q.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failed.append(name)
