@@ -1175,6 +1175,50 @@ class TestAnnEval:
         assert row["recall_ivf"] >= 0.7
 
 
+class TestHardNegativesAnn:
+    def test_full_probe_reproduces_exact_path(self, spark):
+        """With probe=IVF_K every cell is scanned, so the cell-cogrouped
+        miner must reproduce the exact (collect+broadcast) path
+        bit-for-bit — same rounded cosines, same ranks, same tiebreaks —
+        while never collecting the corpus to the driver."""
+        from imagingdb_spark.catalog import table
+        from imagingdb_spark.operators import similarity as S
+
+        sf_dir = "/root/testdata/sf0.001"
+        e = table(spark, sf_dir, "embeddings")
+        cents = S._ivf_centroids(e)
+        got = {
+            (r["anchor"], r["rk"]): (r["negative"], r["cos"])
+            for r in S.hard_negatives_ann(e, cents, probe=S.IVF_K).collect()
+        }
+        want = {
+            (r["anchor"], r["rk"]): (r["negative"], r["cos"])
+            for r in S.x_hard_negatives(spark, sf_dir).collect()
+        }
+        assert got == want and want
+
+    def test_partial_probe_recall_floor(self, spark):
+        """At the default probe fraction (6/16 cells) the mined negative
+        sets must overlap the exact ones above a pinned floor, even on
+        this near-uniform corpus (IVF's worst case)."""
+        from imagingdb_spark.catalog import table
+        from imagingdb_spark.operators import similarity as S
+
+        sf_dir = "/root/testdata/sf0.001"
+        e = table(spark, sf_dir, "embeddings")
+        cents = S._ivf_centroids(e)
+        got = {}
+        for r in S.hard_negatives_ann(e, cents).collect():
+            got.setdefault(r["anchor"], set()).add(r["negative"])
+        exact = {}
+        for r in S.x_hard_negatives(spark, sf_dir).collect():
+            exact.setdefault(r["anchor"], set()).add(r["negative"])
+        assert set(got) == set(exact)  # every anchor mined
+        hits = sum(len(got[a] & exact[a]) for a in exact)
+        total = sum(len(v) for v in exact.values())
+        assert hits / total >= 0.5
+
+
 class TestSemdedupEval:
     def test_counts_sound_and_planted_regime_documented(self, spark):
         """n_hits ≤ min(n_truth, n_cell_pairs); recall in [0, 1]. The

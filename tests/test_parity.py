@@ -228,3 +228,27 @@ class TestConnectedComponents:
         got = connected_components(pairs, max_iter=15).collect()
         assert len(got) == 201
         assert {r["cluster_id"] for r in got} == {0}
+
+
+class TestGeomeanDecomposition:
+    def test_udaf_matches_builtin_rewrite(self, spark):
+        """The GROUPED_AGG pandas UDAF (extension-point demo) must agree
+        group-for-group with the default ln→AVG→exp builtin decomposition
+        at the query's 4-decimal contract."""
+        from imagingdb_spark.catalog import table
+        from imagingdb_spark.operators.aggregates import (
+            a_geomean_udaf,
+            geomean_grouped_udaf,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        want = {
+            r["l_returnflag"]: (r["n"], r["geomean"])
+            for r in a_geomean_udaf(spark, sf_dir).collect()
+        }
+        li = table(spark, sf_dir, "lineitem")
+        got = {
+            r["l_returnflag"]: (r["n"], r["geomean"])
+            for r in geomean_grouped_udaf(li, "l_returnflag", "l_extendedprice").collect()
+        }
+        assert got == want and want
