@@ -456,6 +456,86 @@ def incremental_match(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
     )
 
 
+def canonical_toksets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, source, tokset) with tokset the doc's DISTINCT token
+    hashes sorted ASCENDING BY HASH VALUE — a fixed, corpus-independent
+    global total order. The PPJoin prefix theorem holds under ANY shared
+    total order (dfreq order merely minimizes candidates); hash order
+    trades some candidate selectivity for a prefix that can be computed
+    per-doc at ingest time and therefore maintained INCREMENTALLY — the
+    property the streaming crawl gate needs (VERDICT r4 item 7). Pure
+    map-side: no shuffle, no corpus-wide aggregate."""
+    return docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_sort(
+            F.array_distinct(
+                F.transform(tokens_col(F.col("text")), lambda t: F.xxhash64(t))
+            )
+        ).alias("tokset"),
+    )
+
+
+def canonical_prefixes(toksets: DataFrame) -> DataFrame:
+    """Exploded (doc_id, lang, source, token) prefix rows of hash-ordered
+    toksets, prefix length |x| - ceil(0.8|x|) + 1 (same exact integer
+    arithmetic as incremental_match — threshold fixed at 0.8). Map-side
+    explode; this is the row shape the incremental index STORES, so a
+    standing corpus never recomputes it."""
+    sz = F.size("tokset")
+    p_len = sz - F.floor((4 * sz + 4) / 5).cast("int") + 1
+    return toksets.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.explode(F.slice("tokset", 1, p_len)).alias("token"),
+    )
+
+
+def incremental_match_indexed(
+    batch_toksets: DataFrame,
+    corpus_prefix: DataFrame,
+    corpus_toksets: DataFrame,
+) -> DataFrame:
+    """(new_doc, corpus_doc, jaccard ≥ 0.8) via a STORED corpus prefix
+    index — the incremental twin of incremental_match. The batch side
+    derives its hash-order prefixes map-side and broadcasts them; the
+    corpus side is a pure SCAN of the maintained index (no dfreq groupBy,
+    no per-doc re-sort — the per-trigger cost that used to grow with the
+    corpus). Verification is exact Jaccard on the full toksets, so the
+    output is IDENTICAL to incremental_match's (hash order only changes
+    the candidate superset, never the verified matches). At 100 TB the
+    index is bucketed by token so the candidate join co-locates and the
+    batch's prefix tokens prune index files."""
+    new_pref = canonical_prefixes(batch_toksets).select(
+        F.col("doc_id").alias("new_doc"), "lang", "source", "token"
+    )
+    cand = (
+        corpus_prefix.join(F.broadcast(new_pref), ["lang", "source", "token"])
+        .select(F.col("doc_id").alias("corpus_doc"), "new_doc")
+        .dropDuplicates(["new_doc", "corpus_doc"])
+    )
+    ta = batch_toksets.select(
+        F.col("doc_id").alias("new_doc"), F.col("tokset").alias("tokset_a")
+    )
+    tb = corpus_toksets.select(
+        F.col("doc_id").alias("corpus_doc"), F.col("tokset").alias("tokset_b")
+    )
+    return (
+        cand.join(F.broadcast(ta), "new_doc")
+        .join(tb, "corpus_doc")
+        .select(
+            "new_doc",
+            "corpus_doc",
+            F.round(jaccard(F.col("tokset_a"), F.col("tokset_b")), 4).alias(
+                "jaccard"
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.8)
+    )
+
+
 MAX_BUCKET = 100  # drop degenerate LSH buckets (> this many docs) — see notes
 
 
