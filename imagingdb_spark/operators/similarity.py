@@ -923,6 +923,42 @@ def hard_negatives_ann(
     )
 
 
+@query(
+    "x_hard_negatives_ann",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), s AS (
+      SELECT a.vec_id AS anchor, a.label AS anchor_label,
+             b.vec_id AS negative,
+             round(list_dot_product(a.v, b.v) /
+                   (sqrt(list_dot_product(a.v, a.v)) *
+                    sqrt(list_dot_product(b.v, b.v))), 4) AS cos
+      FROM e a JOIN e b ON a.label <> b.label
+    )
+    SELECT anchor, anchor_label, negative, cos,
+           CAST(rk AS INT) AS rk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY anchor
+                                   ORDER BY cos DESC, negative ASC) AS rk
+      FROM s
+    )
+    WHERE rk <= {HARDNEG_K}
+    """,
+)
+def x_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The distributed (cell-cogrouped) hard-negative miner under the
+    driver's oracle gate: at ``probe=IVF_K`` every codebook cell is
+    probed, so hard_negatives_ann is EXACT and shares x_hard_negatives'
+    brute-force oracle — the driver row certifies the cogroup path's
+    machinery (map-side assignment, per-cell gemm partials, bounded
+    per-anchor merge window) end to end. Production runs probe<K for the
+    approximate regime; that recall is pinned by unit test, the
+    x_ann_eval methodology."""
+    e = table(spark, sf_dir, "embeddings")
+    return hard_negatives_ann(e, _ivf_centroids(e), probe=IVF_K)
+
+
 PROBE_STRIDE = 100  # vec_id % stride == 0 selects the probe set
 
 

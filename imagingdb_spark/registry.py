@@ -87,6 +87,8 @@ PRIORITY: list[str] = [
     "x_pagerank",       # D12c: self-loop filter in symmetrization
     "a_geomean_udaf",   # UDAF: monoid (ln→AVG→exp) decomposition default
     "x_hard_negatives", # D3g: ANN-cell mining variant lands this round
+    "x_hard_negatives_ann",  # D3g+ NEW r5: cell-cogrouped miner, oracle-exact
+    #                     at full probe (certifies the no-collect path)
     # --- retained holders: one per SURVEY §2 family, preferring members
     #     whose only green row is r4 (double-verification) ---
     "w_running",        # W
@@ -119,12 +121,13 @@ PRIORITY: list[str] = [
     "x_stratified",     # D8 (single green row, r4)
     "x_token_budget",   # D8 (single green row, r4)
     "x_source_cap",     # D8 (single green row, r4)
-    "x_bm25",           # D18 (single green row, r4)
     "x_bigram_logprob", # D17 (single green row, r4)
     "x_scrub",          # D10 (single green row, r4)
     "x_sentences",      # UDTF (single green row, r4)
     # --- position 51+: green driver rows on record, rotated out per the
     #     round-5 plan; implementations + unit tests intact ---
+    "x_bm25",           # pass-r4 (yielded its slot to x_hard_negatives_ann;
+    #                     D18 still held in-window by x_inverted_index)
     "x_mad_outlier",    # pass-r4
     "x_cooccur_pmi",    # pass-r4
     "x_funnel",         # pass-r4

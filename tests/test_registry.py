@@ -53,7 +53,7 @@ ROTATED_IN_R5 = [
     "x_bpe_train", "x_bpe_encode", "x_ann_eval", "x_semdedup_eval",
     "x_pipeline_audit",
     "x_span_dedup", "x_dedup_eval", "x_pagerank", "a_geomean_udaf",
-    "x_hard_negatives",
+    "x_hard_negatives", "x_hard_negatives_ann",
 ]
 
 
@@ -73,7 +73,7 @@ def test_category_coverage_inside_driver_window():
         "f_from_json", "f_json_extract", "j_json_filter", "j_asof",
         "f_array_ops", "a_count_distinct", "a_group_summary",
         "x_dedup_jaccard", "x_dedup_incremental", "x_dedup_cluster",
-        "x_scd2_history", "x_cdc_apply", "x_domain_mix", "x_bm25",
+        "x_scd2_history", "x_cdc_apply", "x_domain_mix",
         "x_scrub", "x_sentences",
     ]:
         assert name in window, f"{name} fell outside the driver's 50-query window"
