@@ -9,10 +9,28 @@ parents). Fixed dims (region, nation) copy once. Two tables get a per-copy
 transform so that SIMILARITY STRUCTURE scales linearly the way a real
 bigger corpus would, instead of quadratically:
 
-- documents: every token of copy i>0 is prefixed `c{i}` — within-copy
-  near-dup pairs survive verbatim (Jaccard is prefix-invariant inside a
-  copy), cross-copy pairs vanish. 10 identical copies would otherwise turn
-  every doc into a 10-clique: 45× the near-dup pairs, not 10×.
+- documents (round 5: Heaps-consistent salting, VERDICT r4 item 8): copy
+  i>0 renames a SUBSET of token types to `c{i}`-prefixed variants instead
+  of every token. Renaming is a per-copy bijection on types, so
+  within-copy Jaccard — and every within-copy near-dup pair — is
+  preserved exactly; which types are renamed controls the two corpus
+  statistics being modeled:
+    * the COMMON head (most-frequent types covering COMMON_OCC_FRAC=40%
+      of token occurrences — a few hundred types under Zipf) renames in
+      EVERY copy, so any cross-copy doc pair disagrees on ≥40% of token
+      mass and its Jaccard falls below (1-.4)/(1+.4) ≈ 0.43 < 0.5, the
+      lowest near-dup threshold in the engine — cross-copy pairs still
+      vanish and the near-dup pair count scales linearly, not as an
+      R-clique (45× at R=10);
+    * RARE types (the other 60% of occurrences but ~all of the
+      vocabulary) rename with per-copy probability √(i+1)−√i, so the
+      expected new types after R copies total V·(√R − 1): vocabulary
+      grows ~√R — Heaps' law with β = 0.5 — instead of the old
+      all-tokens prefix's unrealistic R×, which overstated the scaling
+      ratios of vocabulary-bound queries (x_token_freq measured 4.40× at
+      10× data under R× vocabulary).
+  Reassembly normalizes inter-token whitespace to single spaces (the
+  engine tokenizes on \s+, so token sequences are unchanged).
 - embeddings: copy i's vector is circularly rotated by i — within-copy
   cosine geometry is exactly preserved (rotation is orthogonal on the
   index set), cross-copy cosine decorrelates.
@@ -22,10 +40,13 @@ Usage: python tools/gen_scaled_sf.py [R] [src_dir] [dst_dir]
 
 from __future__ import annotations
 
+import math
 import sys
 from pathlib import Path
 
 import duckdb
+
+COMMON_OCC_FRAC = 0.4  # occurrence share of the always-salted common head
 
 SRC = "/root/testdata/sf0.1"
 DST = "/tmp/sf1.0"
@@ -81,6 +102,31 @@ def main() -> None:
         )
         print(f"{t}: copied")
 
+    # documents: one-time token statistics for the Heaps-consistent
+    # salting (see module docstring). Positions come from
+    # generate_subscripts so each doc reassembles in original order.
+    con.execute(
+        f"""
+        CREATE OR REPLACE TEMP TABLE doc_toks AS
+        SELECT doc_id, generate_subscripts(l, 1) AS i, unnest(l) AS tok
+        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS l
+              FROM '{src}/documents.parquet')
+        """
+    )
+    con.execute(
+        """
+        CREATE OR REPLACE TEMP TABLE tok_stats AS
+        SELECT term,
+               sum(occ) OVER (ORDER BY occ DESC, term
+                              ROWS UNBOUNDED PRECEDING) * 1.0
+                 / (SELECT sum(occ) FROM (
+                      SELECT count(*) AS occ FROM doc_toks
+                      WHERE tok <> '' GROUP BY lower(tok))) AS cum_frac
+        FROM (SELECT lower(tok) AS term, count(*) AS occ
+              FROM doc_toks WHERE tok <> '' GROUP BY 1)
+        """
+    )
+
     for t, keys in KEYED.items():
         cols = [
             c[0]
@@ -90,24 +136,51 @@ def main() -> None:
         ]
         selects = []
         for i in range(r):
+            if t == "documents" and i > 0:
+                # copy i's salted type set: the whole common head + a
+                # √(i+1)−√i hash-slice of the rare types (per-copy seed,
+                # so slices are independent across copies)
+                f_i = math.sqrt(i + 1) - math.sqrt(i)
+                con.execute(
+                    f"""
+                    CREATE OR REPLACE TEMP TABLE new_text_{i} AS
+                    SELECT d.doc_id,
+                           string_agg(
+                             CASE WHEN s.term IS NOT NULL
+                                  THEN 'c{i}' || d.tok ELSE d.tok END,
+                             ' ' ORDER BY d.i) AS text
+                    FROM doc_toks d
+                    LEFT JOIN (
+                      SELECT term FROM tok_stats
+                      WHERE cum_frac <= {COMMON_OCC_FRAC}
+                         OR (hash(term || 'salt{i}') % 1000000)
+                              < {int(f_i * 1_000_000)}
+                    ) s ON lower(d.tok) = s.term
+                    GROUP BY d.doc_id
+                    """
+                )
             exprs = []
             for c in cols:
                 if c in keys:
-                    exprs.append(f"{c} + {i} * {spans[keys[c]]} AS {c}")
+                    exprs.append(f"b.{c} + {i} * {spans[keys[c]]} AS {c}")
                 elif t == "documents" and c == "text" and i > 0:
-                    exprs.append(
-                        f"regexp_replace(text, '(\\S+)', 'c{i}\\1', 'g') AS text"
-                    )
+                    # null-text docs never reach doc_toks; pass through
+                    exprs.append("coalesce(n.text, b.text) AS text")
                 elif t == "embeddings" and c == "embedding" and i > 0:
                     k = i % 8
                     exprs.append(
-                        f"list_concat(embedding[{k + 1}:], "
-                        f"embedding[1:{k}]) AS embedding"
+                        f"list_concat(b.embedding[{k + 1}:], "
+                        f"b.embedding[1:{k}]) AS embedding"
                     )
                 else:
-                    exprs.append(c)
+                    exprs.append(f"b.{c}")
+            join = (
+                f" LEFT JOIN new_text_{i} n USING (doc_id)"
+                if t == "documents" and i > 0
+                else ""
+            )
             selects.append(
-                f"SELECT {', '.join(exprs)} FROM '{src}/{t}.parquet'"
+                f"SELECT {', '.join(exprs)} FROM '{src}/{t}.parquet' b{join}"
             )
         con.execute(
             f"COPY ({' UNION ALL '.join(selects)}) TO '{dst}/{t}.parquet' "
@@ -115,6 +188,25 @@ def main() -> None:
         )
         n = con.execute(f"SELECT count(*) FROM '{dst}/{t}.parquet'").fetchone()[0]
         print(f"{t}: {n} rows")
+        if t == "documents":
+            v_src, v_dst = (
+                con.execute(
+                    f"""
+                    SELECT (SELECT count(DISTINCT lower(tok)) FROM doc_toks
+                            WHERE tok <> ''),
+                           (SELECT count(*) FROM (
+                              SELECT DISTINCT unnest(
+                                list_filter(string_split_regex(lower(text),
+                                                               '\\s+'),
+                                            x -> x <> ''))
+                              FROM '{dst}/documents.parquet'))
+                    """
+                ).fetchone()
+            )
+            print(
+                f"documents vocab: {v_src} -> {v_dst} "
+                f"({v_dst / v_src:.2f}x at R={r}; Heaps target ~{r**0.5:.2f}x)"
+            )
 
 
 if __name__ == "__main__":
