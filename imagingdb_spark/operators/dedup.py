@@ -407,7 +407,13 @@ def incremental_match(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
         "doc_id", "lang", "source", "is_new", F.explode("tokset").alias("token")
     )
     # block dfreq over the WHOLE table: the prefix theorem needs one global
-    # total order shared by both sides (ingest-time maintained at scale)
+    # total order shared by both sides. The ingest-time-maintained form of
+    # that order is no longer hypothetical: canonical_toksets /
+    # incremental_match_indexed below swap dfreq order for a fixed hash
+    # order so the corpus prefix index can be stored and appended to (the
+    # streaming gate uses it; parity pinned in tests) — dfreq order is kept
+    # HERE because a one-shot batch query gets better candidate
+    # selectivity from it at no storage cost
     dfreq = ex.groupBy("lang", "source", "token").agg(
         F.count(F.lit(1)).alias("tdf")
     )

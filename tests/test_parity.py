@@ -252,3 +252,40 @@ class TestGeomeanDecomposition:
             for r in geomean_grouped_udaf(li, "l_returnflag", "l_extendedprice").collect()
         }
         assert got == want and want
+
+
+class TestIncrementalMatchIndexed:
+    def test_matches_dfreq_ordered_form(self, spark):
+        """The stored-index (hash-canonical-order) matcher must return
+        exactly the same verified pairs as the per-run dfreq-ordered
+        PPJoin — the prefix theorem holds under any fixed total order and
+        verification is exact, so only the candidate superset may differ,
+        never the output."""
+        from imagingdb_spark.catalog import table
+        from imagingdb_spark.operators.dedup import (
+            canonical_prefixes,
+            canonical_toksets,
+            incremental_match,
+            incremental_match_indexed,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = spark.read.parquet(sf_dir + "/documents.parquet")
+        is_new = F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, 1
+        ).isin("0", "1", "2", "3")
+        batch, corpus = docs.filter(is_new), docs.filter(~is_new)
+        want = {
+            (r["new_doc"], r["corpus_doc"], r["jaccard"])
+            for r in incremental_match(batch, corpus).collect()
+        }
+        corpus_tok = canonical_toksets(corpus)
+        got = {
+            (r["new_doc"], r["corpus_doc"], r["jaccard"])
+            for r in incremental_match_indexed(
+                canonical_toksets(batch),
+                canonical_prefixes(corpus_tok),
+                corpus_tok,
+            ).collect()
+        }
+        assert got == want and want
