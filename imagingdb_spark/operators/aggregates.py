@@ -665,7 +665,17 @@ def geomean_grouped_udaf(df: DataFrame, group_col: str, val_col: str) -> DataFra
     applyInPandas for UDTF-shaped stack assembly, and THIS for custom
     aggregates). Whole-group Arrow transfer, NO map-side partials: use it
     only for semantics with no algebraic decomposition; a_geomean_udaf's
-    builtin rewrite is the production path for this particular one."""
+    builtin rewrite is the production path for this particular one.
+
+    Domain: the geometric mean is defined over STRICTLY POSITIVE values.
+    To match the builtin decomposition on dirty data, the kernel drops
+    NULL and non-positive entries the same way ``F.avg(F.log(x))`` does
+    (log of null/0/negative is NULL in Spark SQL and AVG skips nulls;
+    parity on a dirty group is pinned in tests). The one residual
+    divergence is literal NaN input — the builtin AVG propagates it,
+    this kernel drops it; feed finite data. ``n`` counts ALL group rows
+    on both forms, so it is the group size, not the geomean's support
+    size."""
     import numpy as np
     from pyspark.sql.functions import pandas_udf
 
@@ -675,7 +685,11 @@ def geomean_grouped_udaf(df: DataFrame, group_col: str, val_col: str) -> DataFra
     # are invisible to typing.get_type_hints)
     @pandas_udf("double")
     def geomean(v: pd.Series) -> float:
-        return float(np.exp(np.log(v.to_numpy()).mean()))
+        x = v.to_numpy(dtype="float64")
+        x = x[np.isfinite(x) & (x > 0)]
+        if len(x) == 0:
+            return None
+        return float(np.exp(np.log(x).mean()))
 
     # Spark refuses mixed pandas/builtin aggregates in one agg(), so the
     # row count is a second GROUPED_AGG over the same Arrow batch

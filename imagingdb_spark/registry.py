@@ -60,7 +60,8 @@ ORACLE: dict[str, str] = {}
 # x_pipeline_audit rows-only). Five queries whose implementations change
 # this round stay in-window so their records cover current code
 # (x_span_dedup, x_dedup_eval, x_pagerank, a_geomean_udaf,
-# x_hard_negatives); 34 family holders fill the rest, preferring members
+# x_hard_negatives, plus the new x_hard_negatives_ann); 33 family
+# holders fill the remaining window slots, preferring members
 # whose only green row is r4 (a second row double-verifies them). The 9
 # freshly-green r4 rows that rotate out keep their implementations, unit
 # tests, and recorded rows.

@@ -352,11 +352,21 @@ def streaming_dedup_gate(
     the flat-latency evidence). A pre-seeded corpus without an index gets
     one bootstrap derivation on first trigger. At 100 TB the index is a
     token-bucketed table so the candidate join co-locates and batch
-    prefix tokens prune files. foreachBatch is at-least-once: the corpus
-    and index appends stay idempotent because a replayed batch's docs
-    match their already-appended twins (jaccard 1.0) and are filtered as
-    dups; the audit log can hold a replayed row, which a downstream
-    reader dedups by (new_doc, corpus_doc)."""
+    prefix tokens prune files.
+
+    At-least-once discipline: a trigger performs THREE non-transactional
+    appends (matches, corpus, index), so a crash can land between any
+    two. Every append is therefore individually idempotent by doc_id:
+    self-matches (a replayed doc colliding with its own index entry at
+    jaccard 1.0) are filtered out of the duplicate set, and the corpus /
+    index appends each anti-join the already-present doc_ids (a
+    column-pruned id scan + broadcast anti-join per table — batch-sized
+    build side). Any torn state heals on the replay the streaming
+    checkpoint guarantees happens before new data: docs in the corpus
+    but missing index rows get them (and vice versa), and a torn
+    BOOTSTRAP rebuilds both index tables with overwrite. The audit log
+    can still hold a replayed row, which a downstream reader dedups by
+    (new_doc, corpus_doc)."""
     from imagingdb_spark.operators.dedup import (
         canonical_prefixes,
         canonical_toksets,
@@ -366,9 +376,9 @@ def streaming_dedup_gate(
     idx_tokset_path = corpus_path + "_idx_tokset"
     idx_prefix_path = corpus_path + "_idx_prefix"
 
-    def _append_index(toksets: DataFrame) -> None:
-        toksets.write.mode("append").parquet(idx_tokset_path)
-        canonical_prefixes(toksets).write.mode("append").parquet(idx_prefix_path)
+    def _write_index(toksets: DataFrame, mode: str) -> None:
+        toksets.write.mode(mode).parquet(idx_tokset_path)
+        canonical_prefixes(toksets).write.mode(mode).parquet(idx_prefix_path)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -386,31 +396,62 @@ def streaming_dedup_gate(
         )
         try:
             try:
-                spark.read.parquet(corpus_path)
+                corpus_ids = spark.read.parquet(corpus_path).select("doc_id")
             except Exception:  # first batch: everything is novel
                 batch.write.mode("append").parquet(corpus_path)
-                _append_index(canonical_toksets(batch))
+                _write_index(canonical_toksets(batch), "append")
                 return
             try:
                 corpus_tok = spark.read.parquet(idx_tokset_path)
                 corpus_prefix = spark.read.parquet(idx_prefix_path)
             except Exception:
-                # pre-seeded corpus, no index yet: bootstrap ONCE; every
-                # later trigger appends increments instead of re-deriving
-                _append_index(canonical_toksets(spark.read.parquet(corpus_path)))
+                # pre-seeded corpus with no index yet — or a torn
+                # bootstrap that wrote only one of the two tables:
+                # (re)derive BOTH with overwrite, which is idempotent
+                _write_index(
+                    canonical_toksets(spark.read.parquet(corpus_path)),
+                    "overwrite",
+                )
                 corpus_tok = spark.read.parquet(idx_tokset_path)
                 corpus_prefix = spark.read.parquet(idx_prefix_path)
             batch_tok = canonical_toksets(batch).persist()
-            pairs = incremental_match_indexed(
-                batch_tok, corpus_prefix, corpus_tok
-            ).persist()
-            pairs.write.mode("append").parquet(matches_path)
-            dup_ids = pairs.select(F.col("new_doc").alias("doc_id")).distinct()
-            novel = batch.join(dup_ids, "doc_id", "left_anti")
-            novel.write.mode("append").parquet(corpus_path)
-            _append_index(batch_tok.join(dup_ids, "doc_id", "left_anti"))
-            pairs.unpersist()
-            batch_tok.unpersist()
+            pairs = (
+                incremental_match_indexed(batch_tok, corpus_prefix, corpus_tok)
+                # a replayed doc matches its OWN index entry at jaccard
+                # 1.0; that is replay bookkeeping, not a duplicate — and
+                # counting it would drop the doc from a corpus append it
+                # never completed (data loss, not dedup)
+                .filter(F.col("new_doc") != F.col("corpus_doc"))
+                .persist()
+            )
+            try:
+                pairs.write.mode("append").parquet(matches_path)
+                dup_ids = pairs.select(
+                    F.col("new_doc").alias("doc_id")
+                ).distinct()
+                accepted = batch.join(dup_ids, "doc_id", "left_anti")
+                accepted_tok = batch_tok.join(dup_ids, "doc_id", "left_anti")
+                # per-table doc_id anti-joins: each append individually
+                # idempotent, so a crash between any two self-heals on
+                # replay (see docstring)
+                accepted.join(corpus_ids, "doc_id", "left_anti").write.mode(
+                    "append"
+                ).parquet(corpus_path)
+                accepted_tok.join(
+                    corpus_tok.select("doc_id"), "doc_id", "left_anti"
+                ).write.mode("append").parquet(idx_tokset_path)
+                canonical_prefixes(
+                    accepted_tok.join(
+                        spark.read.parquet(idx_prefix_path)
+                        .select("doc_id")
+                        .distinct(),
+                        "doc_id",
+                        "left_anti",
+                    )
+                ).write.mode("append").parquet(idx_prefix_path)
+            finally:
+                pairs.unpersist()
+                batch_tok.unpersist()
         finally:
             batch.unpersist()
 

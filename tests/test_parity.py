@@ -253,6 +253,34 @@ class TestGeomeanDecomposition:
         }
         assert got == want and want
 
+    def test_udaf_matches_builtin_on_dirty_groups(self, spark):
+        """NULLs and non-positive values must be excluded identically by
+        both forms (log→NULL→AVG-skip vs the kernel's mask), with n still
+        counting all rows."""
+        from imagingdb_spark.operators.aggregates import geomean_grouped_udaf
+
+        df = spark.createDataFrame(
+            [("a", 2.0), ("a", 8.0), ("a", 0.0), ("a", -3.0), ("a", None),
+             ("b", 0.0), ("b", None)],
+            "g string, v double",
+        )
+        want = {
+            r["g"]: (r["n"], r["geomean"])
+            for r in df.groupBy("g")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n"),
+                F.round(F.exp(F.avg(F.log("v"))), 4).alias("geomean"),
+            )
+            .collect()
+        }
+        got = {
+            r["g"]: (r["n"], r["geomean"])
+            for r in geomean_grouped_udaf(df, "g", "v").collect()
+        }
+        assert got == want
+        assert want["a"] == (5, 4.0)  # sqrt(2*8); dirty rows dropped
+        assert want["b"][1] is None  # no positive support -> NULL geomean
+
 
 class TestIncrementalMatchIndexed:
     def test_matches_dfreq_ordered_form(self, spark):

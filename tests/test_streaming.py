@@ -442,3 +442,109 @@ def test_streaming_cdc_apply_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(state_path).collect()
     }
     assert got == {1: ("v5", 5), 2: ("x", 1)}
+
+
+def _gate_fixture_frames(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin(
+        "0", "1"
+    )
+    return docs.filter(~is_new), docs.filter(is_new)
+
+
+def test_streaming_dedup_gate_heals_torn_index_append(spark, tmp_path):
+    """Crash window: the corpus append committed but the index appends did
+    not. The replayed trigger must not grow the corpus (doc_id anti-join)
+    and must backfill the missing index rows — the at-least-once
+    self-heal the gate's docstring promises."""
+    from pyspark.sql import functions as F
+    from imagingdb_spark.operators.dedup import (
+        canonical_prefixes,
+        canonical_toksets,
+        incremental_match,
+    )
+
+    rest, batch = _gate_fixture_frames(spark)
+    dups = (
+        incremental_match(batch, rest)
+        .select(F.col("new_doc").alias("doc_id"))
+        .distinct()
+    )
+    accepted = batch.join(dups, "doc_id", "left_anti")
+
+    corpus_path = str(tmp_path / "corpus")
+    # torn state: corpus already holds the accepted batch docs...
+    rest.unionByName(accepted).write.parquet(corpus_path)
+    # ...but the index only covers the pre-batch corpus
+    canonical_toksets(rest).write.parquet(corpus_path + "_idx_tokset")
+    canonical_prefixes(canonical_toksets(rest)).write.parquet(
+        corpus_path + "_idx_prefix"
+    )
+    batch_path = str(tmp_path / "incoming")
+    batch.coalesce(1).write.parquet(batch_path)
+
+    n_corpus_before = spark.read.parquet(corpus_path).count()
+    stream = spark.readStream.schema(jobs.DOCS_RAW_SCHEMA).parquet(batch_path)
+    q = jobs.streaming_dedup_gate(
+        stream, corpus_path, str(tmp_path / "matches"), str(tmp_path / "ck")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    assert spark.read.parquet(corpus_path).count() == n_corpus_before
+    idx_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(corpus_path + "_idx_tokset").collect()
+    }
+    want_ids = {r["doc_id"] for r in rest.unionByName(accepted).collect()}
+    assert idx_ids == want_ids  # backfilled, and no doc indexed twice
+    pref_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(corpus_path + "_idx_prefix")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    assert pref_ids == want_ids
+
+
+def test_streaming_dedup_gate_rebuilds_torn_bootstrap(spark, tmp_path):
+    """Crash window: a bootstrap wrote the tokset table but not the prefix
+    table. The next trigger must rebuild BOTH with overwrite (no
+    duplicated index rows) and still produce exactly the batch twin's
+    matches."""
+    from pyspark.sql import functions as F
+    from imagingdb_spark.operators.dedup import (
+        canonical_toksets,
+        x_dedup_incremental,
+    )
+
+    rest, batch = _gate_fixture_frames(spark)
+    corpus_path = str(tmp_path / "corpus")
+    rest.write.parquet(corpus_path)
+    canonical_toksets(rest).write.parquet(corpus_path + "_idx_tokset")
+    # idx_prefix deliberately absent: the torn-bootstrap state
+    batch_path = str(tmp_path / "incoming")
+    batch.coalesce(1).write.parquet(batch_path)
+
+    stream = spark.readStream.schema(jobs.DOCS_RAW_SCHEMA).parquet(batch_path)
+    matches_path = str(tmp_path / "matches")
+    q = jobs.streaming_dedup_gate(
+        stream, corpus_path, matches_path, str(tmp_path / "ck")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in spark.read.parquet(matches_path).collect()
+    }
+    want = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in x_dedup_incremental(spark, SF_DIR).collect()
+    }
+    assert got == want and want
+    tok = spark.read.parquet(corpus_path + "_idx_tokset")
+    assert tok.count() == tok.select("doc_id").distinct().count()

@@ -15,13 +15,19 @@ bigger corpus would, instead of quadratically:
   within-copy Jaccard — and every within-copy near-dup pair — is
   preserved exactly; which types are renamed controls the two corpus
   statistics being modeled:
-    * the COMMON head (most-frequent types covering COMMON_OCC_FRAC=40%
+    * the COMMON head (most-frequent types covering ≥ COMMON_OCC_FRAC=40%
       of token occurrences — a few hundred types under Zipf) renames in
-      EVERY copy, so any cross-copy doc pair disagrees on ≥40% of token
-      mass and its Jaccard falls below (1-.4)/(1+.4) ≈ 0.43 < 0.5, the
-      lowest near-dup threshold in the engine — cross-copy pairs still
-      vanish and the near-dup pair count scales linearly, not as an
-      R-clique (45× at R=10);
+      EVERY copy, so a typical cross-copy doc pair disagrees on ≥40% of
+      token OCCURRENCES and its expected Jaccard falls below
+      (1-.4)/(1+.4) ≈ 0.43 < 0.5, the lowest near-dup threshold in the
+      engine. This is an occurrence-mass bound, not a per-doc
+      distinct-SET bound: a doc dominated by rare types that also missed
+      both copies' rare slices can keep cross-copy set-Jaccard ≥ 0.5 —
+      measured at sf1.0: exactly 2 such pairs out of 2627 truth pairs
+      (tools/SELFCHECK_SF1_r5.txt), i.e. the near-dup pair count stays
+      ~linear with a sub-0.1% tail, versus the 45× R-clique naive
+      replication produces at R=10 (real corpora carry some cross-shard
+      near-dups too);
     * RARE types (the other 60% of occurrences but ~all of the
       vocabulary) rename with per-copy probability √(i+1)−√i, so the
       expected new types after R copies total V·(√R − 1): vocabulary
@@ -117,11 +123,19 @@ def main() -> None:
         """
         CREATE OR REPLACE TEMP TABLE tok_stats AS
         SELECT term,
-               sum(occ) OVER (ORDER BY occ DESC, term
-                              ROWS UNBOUNDED PRECEDING) * 1.0
+               -- EXCLUSIVE prefix share: the head predicate
+               -- (cum_before < frac) then INCLUDES the boundary type,
+               -- guaranteeing head coverage >= frac. An inclusive
+               -- cum <= frac would cover at most frac — and select an
+               -- EMPTY head if the single most frequent type alone
+               -- exceeds frac (cross-copy docs would then share all
+               -- their token mass: the R-clique the salting exists to
+               -- prevent).
+               (sum(occ) OVER (ORDER BY occ DESC, term
+                               ROWS UNBOUNDED PRECEDING) - occ) * 1.0
                  / (SELECT sum(occ) FROM (
                       SELECT count(*) AS occ FROM doc_toks
-                      WHERE tok <> '' GROUP BY lower(tok))) AS cum_frac
+                      WHERE tok <> '' GROUP BY lower(tok))) AS cum_before
         FROM (SELECT lower(tok) AS term, count(*) AS occ
               FROM doc_toks WHERE tok <> '' GROUP BY 1)
         """
@@ -152,7 +166,7 @@ def main() -> None:
                     FROM doc_toks d
                     LEFT JOIN (
                       SELECT term FROM tok_stats
-                      WHERE cum_frac <= {COMMON_OCC_FRAC}
+                      WHERE cum_before < {COMMON_OCC_FRAC}
                          OR (hash(term || 'salt{i}') % 1000000)
                               < {int(f_i * 1_000_000)}
                     ) s ON lower(d.tok) = s.term
@@ -167,7 +181,10 @@ def main() -> None:
                     # null-text docs never reach doc_toks; pass through
                     exprs.append("coalesce(n.text, b.text) AS text")
                 elif t == "embeddings" and c == "embedding" and i > 0:
-                    k = i % 8
+                    # modulo the REAL dimension (64): an earlier i % 8
+                    # left copy 8 unrotated — bit-identical to copy 0,
+                    # 2000 spurious cross-copy cos=1.0 pairs at R=10
+                    k = i % 64
                     exprs.append(
                         f"list_concat(b.embedding[{k + 1}:], "
                         f"b.embedding[1:{k}]) AS embedding"
