@@ -769,14 +769,14 @@ def x_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     general LSH recall < 1 is possible; the rows-only x_dedup_eval
     sibling carries that guarantee as a measured recall bound rather
     than an equality. That general bound became measurable in round 5:
-    the FULL sf1.0 selfcheck found recall 2625/2627 = 0.9992 — the two
-    missed pairs are cross-copy borderline pairs (jaccard 0.6 and
-    0.5714) with ZERO matching bands (verified directly against the
-    signature pipeline), i.e. the 8×2 S-curve's predicted ~3-4% miss
-    band at those similarities, not a bucket-cap artifact. Equality
-    remains exact at the driver's check SFs (0.001/0.01); at larger
-    corpora this query is an LSH-recall measurement, which is precisely
-    what it claims to be.
+    the FULL sf1.0 selfcheck found recall 2607/2608 = 0.9996 — the one
+    missed pair is a cross-copy borderline pair (jaccard 0.6) with ZERO
+    matching bands (verified directly against the signature pipeline),
+    i.e. the 8×2 S-curve's predicted ~3% miss probability at that
+    similarity, not a bucket-cap artifact. Equality remains exact at
+    the driver's check SFs (0.001/0.01); at larger corpora this query
+    is an LSH-recall measurement, which is precisely what it claims
+    to be.
 
     Jaccard values over 64-bit hashed shingles equal the oracle's
     string-3-gram computation under hash injectivity on the distinct

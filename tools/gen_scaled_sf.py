@@ -23,9 +23,9 @@ bigger corpus would, instead of quadratically:
       engine. This is an occurrence-mass bound, not a per-doc
       distinct-SET bound: a doc dominated by rare types that also missed
       both copies' rare slices can keep cross-copy set-Jaccard ≥ 0.5 —
-      measured at sf1.0: exactly 2 such pairs out of 2627 truth pairs
-      (tools/SELFCHECK_SF1_r5.txt), i.e. the near-dup pair count stays
-      ~linear with a sub-0.1% tail, versus the 45× R-clique naive
+      measured at sf1.0: 256 truth pairs at sf0.1 grow to 2608 at 10×
+      (10.19×; the ~1.9% above-linear tail is exactly these cross-copy
+      pairs — tools/SELFCHECK_SF1_r5.txt), versus the 45× R-clique naive
       replication produces at R=10 (real corpora carry some cross-shard
       near-dups too);
     * RARE types (the other 60% of occurrences but ~all of the
