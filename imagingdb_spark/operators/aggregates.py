@@ -671,9 +671,10 @@ def geomean_grouped_udaf(df: DataFrame, group_col: str, val_col: str) -> DataFra
     To match the builtin decomposition on dirty data, the kernel drops
     NULL and non-positive entries the same way ``F.avg(F.log(x))`` does
     (log of null/0/negative is NULL in Spark SQL and AVG skips nulls;
-    parity on a dirty group is pinned in tests). The one residual
-    divergence is literal NaN input — the builtin AVG propagates it,
-    this kernel drops it; feed finite data. ``n`` counts ALL group rows
+    parity on a dirty group is pinned in tests). The residual
+    divergence is non-finite input (NaN or +inf) — the builtin AVG
+    propagates those, this kernel's isfinite mask drops them; feed
+    finite data. ``n`` counts ALL group rows
     on both forms, so it is the group size, not the geomean's support
     size."""
     import numpy as np

@@ -359,14 +359,20 @@ def streaming_dedup_gate(
     two. Every append is therefore individually idempotent by doc_id:
     self-matches (a replayed doc colliding with its own index entry at
     jaccard 1.0) are filtered out of the duplicate set, and the corpus /
-    index appends each anti-join the already-present doc_ids (a
-    column-pruned id scan + broadcast anti-join per table — batch-sized
-    build side). Any torn state heals on the replay the streaming
+    index appends each screen out already-present doc_ids via a
+    broadcast-semi + broadcast-anti pair (``_not_already_present``: the
+    corpus-scale id column is scanned map-side under the broadcast batch
+    ids, never shuffled — a naive left-anti would sort-merge the full id
+    table per trigger). Any torn state heals on the replay the streaming
     checkpoint guarantees happens before new data: docs in the corpus
-    but missing index rows get them (and vice versa), and a torn
-    BOOTSTRAP rebuilds both index tables with overwrite. The audit log
-    can still hold a replayed row, which a downstream reader dedups by
-    (new_doc, corpus_doc)."""
+    but missing index rows get them (and vice versa); a torn BOOTSTRAP
+    is detected by the index dirs' _SUCCESS markers (partial overwrite
+    output READS fine, so a read-probe proves nothing) and rebuilds both
+    index tables with overwrite; a missing corpus is detected by an
+    explicit filesystem probe so a transient read error fails the
+    trigger for retry instead of masquerading as 'first batch'. The
+    audit log can still hold a replayed row, which a downstream reader
+    dedups by (new_doc, corpus_doc)."""
     from imagingdb_spark.operators.dedup import (
         canonical_prefixes,
         canonical_toksets,
@@ -379,6 +385,32 @@ def streaming_dedup_gate(
     def _write_index(toksets: DataFrame, mode: str) -> None:
         toksets.write.mode(mode).parquet(idx_tokset_path)
         canonical_prefixes(toksets).write.mode(mode).parquet(idx_prefix_path)
+
+    def _fs_exists(spark: SparkSession, path: str) -> bool:
+        """Hadoop-FS existence probe (works for local paths and object
+        stores alike). Used instead of read-and-catch: a TRANSIENT read
+        error must fail the trigger (streaming retries it) rather than
+        be misread as 'first batch' and bypass the dedup gate."""
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
+    def _not_already_present(small: DataFrame, ids: DataFrame) -> DataFrame:
+        """Rows of batch-sized ``small`` whose doc_id is absent from the
+        corpus-scale ``ids`` — WITHOUT shuffling ``ids``. A direct
+        ``small.join(ids, 'doc_id', 'left_anti')`` cannot broadcast
+        (LeftAnti only builds the RIGHT side, which is corpus-scale), so
+        it would sort-merge-shuffle the full id column per trigger. Two
+        broadcast steps instead: (1) semi-filter ids by the broadcast
+        batch ids — a map-side scan emitting ≤ |batch| matches; (2)
+        anti-join ``small`` against that batch-bounded 'present' set,
+        also broadcast. Per-trigger cost: one column-pruned scan of the
+        id table, zero shuffles of it."""
+        present = ids.join(
+            F.broadcast(small.select("doc_id").distinct()), "doc_id", "left_semi"
+        ).distinct()
+        return small.join(F.broadcast(present), "doc_id", "left_anti")
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -395,25 +427,31 @@ def streaming_dedup_gate(
             # (tools/stream_bench.py showed 2x numInputRows per batch)
         )
         try:
-            try:
-                corpus_ids = spark.read.parquet(corpus_path).select("doc_id")
-            except Exception:  # first batch: everything is novel
+            if not _fs_exists(spark, corpus_path):
+                # first batch ever: everything is novel
                 batch.write.mode("append").parquet(corpus_path)
                 _write_index(canonical_toksets(batch), "append")
                 return
-            try:
-                corpus_tok = spark.read.parquet(idx_tokset_path)
-                corpus_prefix = spark.read.parquet(idx_prefix_path)
-            except Exception:
+            # the index is complete only if BOTH overwrite jobs finished:
+            # a killed bootstrap leaves committed task files that READ
+            # fine, so presence of the dir proves nothing — the _SUCCESS
+            # marker (written at job commit) does. Append jobs re-stamp
+            # it; torn APPENDS are instead healed per-doc below (a doc's
+            # rows land in one task file, so doc presence => doc
+            # complete).
+            if not (
+                _fs_exists(spark, idx_tokset_path + "/_SUCCESS")
+                and _fs_exists(spark, idx_prefix_path + "/_SUCCESS")
+            ):
                 # pre-seeded corpus with no index yet — or a torn
-                # bootstrap that wrote only one of the two tables:
-                # (re)derive BOTH with overwrite, which is idempotent
+                # bootstrap: (re)derive BOTH with overwrite (idempotent)
                 _write_index(
                     canonical_toksets(spark.read.parquet(corpus_path)),
                     "overwrite",
                 )
-                corpus_tok = spark.read.parquet(idx_tokset_path)
-                corpus_prefix = spark.read.parquet(idx_prefix_path)
+            corpus_ids = spark.read.parquet(corpus_path).select("doc_id")
+            corpus_tok = spark.read.parquet(idx_tokset_path)
+            corpus_prefix = spark.read.parquet(idx_prefix_path)
             batch_tok = canonical_toksets(batch).persist()
             pairs = (
                 incremental_match_indexed(batch_tok, corpus_prefix, corpus_tok)
@@ -431,22 +469,18 @@ def streaming_dedup_gate(
                 ).distinct()
                 accepted = batch.join(dup_ids, "doc_id", "left_anti")
                 accepted_tok = batch_tok.join(dup_ids, "doc_id", "left_anti")
-                # per-table doc_id anti-joins: each append individually
+                # per-table doc_id screens: each append individually
                 # idempotent, so a crash between any two self-heals on
                 # replay (see docstring)
-                accepted.join(corpus_ids, "doc_id", "left_anti").write.mode(
+                _not_already_present(accepted, corpus_ids).write.mode(
                     "append"
                 ).parquet(corpus_path)
-                accepted_tok.join(
-                    corpus_tok.select("doc_id"), "doc_id", "left_anti"
+                _not_already_present(
+                    accepted_tok, corpus_tok.select("doc_id")
                 ).write.mode("append").parquet(idx_tokset_path)
                 canonical_prefixes(
-                    accepted_tok.join(
-                        spark.read.parquet(idx_prefix_path)
-                        .select("doc_id")
-                        .distinct(),
-                        "doc_id",
-                        "left_anti",
+                    _not_already_present(
+                        accepted_tok, corpus_prefix.select("doc_id")
                     )
                 ).write.mode("append").parquet(idx_prefix_path)
             finally:

@@ -511,12 +511,15 @@ def test_streaming_dedup_gate_heals_torn_index_append(spark, tmp_path):
 
 
 def test_streaming_dedup_gate_rebuilds_torn_bootstrap(spark, tmp_path):
-    """Crash window: a bootstrap wrote the tokset table but not the prefix
-    table. The next trigger must rebuild BOTH with overwrite (no
-    duplicated index rows) and still produce exactly the batch twin's
-    matches."""
+    """Crash window: a bootstrap committed some prefix task files but the
+    job never finished (no _SUCCESS marker) — the directory READS fine,
+    so the gate must detect the tear from the marker, rebuild BOTH index
+    tables with overwrite (no duplicated rows), and still produce exactly
+    the batch twin's matches."""
+    import os
     from pyspark.sql import functions as F
     from imagingdb_spark.operators.dedup import (
+        canonical_prefixes,
         canonical_toksets,
         x_dedup_incremental,
     )
@@ -525,7 +528,13 @@ def test_streaming_dedup_gate_rebuilds_torn_bootstrap(spark, tmp_path):
     corpus_path = str(tmp_path / "corpus")
     rest.write.parquet(corpus_path)
     canonical_toksets(rest).write.parquet(corpus_path + "_idx_tokset")
-    # idx_prefix deliberately absent: the torn-bootstrap state
+    # partial prefix output: only HALF the docs' rows committed, and the
+    # job-level _SUCCESS marker missing — the readable-but-torn state
+    half = canonical_prefixes(
+        canonical_toksets(rest.filter(F.col("doc_id") % 2 == 0))
+    )
+    half.write.parquet(corpus_path + "_idx_prefix")
+    os.remove(corpus_path + "_idx_prefix/_SUCCESS")
     batch_path = str(tmp_path / "incoming")
     batch.coalesce(1).write.parquet(batch_path)
 
@@ -548,3 +557,16 @@ def test_streaming_dedup_gate_rebuilds_torn_bootstrap(spark, tmp_path):
     assert got == want and want
     tok = spark.read.parquet(corpus_path + "_idx_tokset")
     assert tok.count() == tok.select("doc_id").distinct().count()
+    # the rebuild + increment must leave the prefix index covering every
+    # corpus doc (the half that was missing included)
+    pref_ids = {
+        r["doc_id"]
+        for r in spark.read.parquet(corpus_path + "_idx_prefix")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    }
+    corpus_ids = {
+        r["doc_id"] for r in spark.read.parquet(corpus_path).collect()
+    }
+    assert pref_ids == corpus_ids

@@ -101,6 +101,40 @@ def main() -> None:
                 ).fetchone()
                 spans[ref] = hi - lo + 1
 
+    # rotation modulus = the REAL embedding dimension (hardcoding 64
+    # reproduced the unrotated-copy bug for any other dim); R beyond the
+    # dimension would wrap k back to 0 — refuse rather than silently
+    # emit bit-identical copies
+    emb_dim = con.execute(
+        f"SELECT len(embedding) FROM '{src}/embeddings.parquet' LIMIT 1"
+    ).fetchone()[0]
+    if r > emb_dim:
+        raise SystemExit(
+            f"R={r} exceeds embedding dim {emb_dim}: copy {emb_dim} would "
+            "be an unrotated duplicate of copy 0"
+        )
+
+    # re-scaling an already-scaled output would salt 'foo' to 'c1foo'
+    # in a corpus that may already CONTAIN the type 'c1foo' — merging two
+    # types and breaking the within-copy renaming bijection the
+    # similarity-linearity argument rests on. Refuse loudly.
+    n_prefixed = con.execute(
+        f"""
+        SELECT count(DISTINCT t) FROM (
+          SELECT unnest(string_split_regex(lower(text), '\\s+')) AS t
+          FROM '{src}/documents.parquet')
+        WHERE regexp_matches(t, '^c[1-9][0-9]*\\S')
+        """
+    ).fetchone()[0]
+    if n_prefixed:
+        raise SystemExit(
+            f"{n_prefixed} source token types already carry the c<i> salt "
+            "prefix — re-scaling a scaled output is unsupported (prefix "
+            "collisions would merge token types); scale from the original "
+            "source instead"
+        )
+
+
     for t in FIXED:
         con.execute(
             f"COPY (SELECT * FROM '{src}/{t}.parquet') TO "
@@ -181,10 +215,12 @@ def main() -> None:
                     # null-text docs never reach doc_toks; pass through
                     exprs.append("coalesce(n.text, b.text) AS text")
                 elif t == "embeddings" and c == "embedding" and i > 0:
-                    # modulo the REAL dimension (64): an earlier i % 8
-                    # left copy 8 unrotated — bit-identical to copy 0,
-                    # 2000 spurious cross-copy cos=1.0 pairs at R=10
-                    k = i % 64
+                    # rotate by the copy index, bounded by the measured
+                    # dimension (an earlier hardcoded i % 8 left copy 8
+                    # unrotated — bit-identical to copy 0, 2000 spurious
+                    # cross-copy cos=1.0 pairs at R=10; R > dim is
+                    # refused above)
+                    k = i % emb_dim
                     exprs.append(
                         f"list_concat(b.embedding[{k + 1}:], "
                         f"b.embedding[1:{k}]) AS embedding"
