@@ -157,6 +157,81 @@ def x_embed_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SQ_LEVELS = 255  # int8 scalar-quantization levels (FAISS SQ8 family)
+
+
+@query(
+    "x_embed_quantize",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+    ), ex AS (
+      SELECT vec_id, generate_subscripts(v, 1) AS pos, unnest(v) AS x FROM e
+    ), stats AS (
+      SELECT pos, min(x) AS mn, max(x) AS mx FROM ex GROUP BY pos
+    ), errs AS (
+      SELECT ex.vec_id,
+             CASE WHEN mx = mn THEN 0.0
+                  ELSE abs(x - (mn + floor(least({SQ_LEVELS}.0,
+                                 (x - mn) * {SQ_LEVELS}.0 / (mx - mn)))
+                                 * (mx - mn) / {SQ_LEVELS}.0))
+             END AS err
+      FROM ex JOIN stats USING (pos)
+    )
+    SELECT e.vec_id, e.label,
+           round(max(err), 4) AS max_abs_err,
+           round(sum(err) / count(*), 4) AS mean_abs_err
+    FROM errs JOIN e USING (vec_id)
+    GROUP BY e.vec_id, e.label
+    """,
+)
+def x_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization (the FAISS SQ8 recipe, public) with a
+    per-vector reconstruction-error audit: per-DIMENSION global min/max
+    define {SQ_LEVELS}+1 uniform levels, each component quantizes to
+    ``floor`` of its level (floor, not round — Spark and DuckDB disagree
+    on exact-half rounding, the x_interp_linear lesson) and the query
+    reports each vector's max / mean absolute dequantization error — the
+    go/no-go audit before a pipeline ships 4×-smaller vectors to the
+    ANN index.
+
+    Scale shape: the per-dimension stats are ONE posexplode + dim-keyed
+    aggregate (shuffle rows = dim × partitions after partial agg, i.e.
+    tiny) collected as a dim-sized array (64 doubles — the bounded-
+    collect pattern the centroid/probe collects use); quantization and
+    the error fold are then pure map-side array math over literal
+    arrays — no join, no second shuffle, nothing corpus-sized anywhere.
+    At 100 TB: identical, the collected stats are still dim-sized."""
+    e = table(spark, sf_dir, "embeddings")
+    embd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    stats = (
+        e.select(F.posexplode(embd).alias("pos", "x"))
+        .groupBy("pos")
+        .agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+        .orderBy("pos")
+        .collect()
+    )
+    mns = F.array(*[F.lit(float(r["mn"])) for r in stats])
+    spans = F.array(*[F.lit(float(r["mx"] - r["mn"])) for r in stats])
+    lv = float(SQ_LEVELS)
+
+    def err(p, sp):
+        q = F.floor(F.least(F.lit(lv), (p["x"] - p["mn"]) * lv / sp))
+        deq = p["mn"] + q * sp / lv
+        return F.when(sp == 0.0, F.lit(0.0)).otherwise(F.abs(p["x"] - deq))
+
+    pairs = F.zip_with(embd, mns, lambda x, mn: F.struct(x.alias("x"), mn.alias("mn")))
+    errs = F.zip_with(pairs, spans, err)
+    return e.select(
+        "vec_id",
+        "label",
+        F.round(F.array_max(errs), 4).alias("max_abs_err"),
+        F.round(
+            F.aggregate(errs, F.lit(0.0), lambda a, x: a + x) / F.size(errs), 4
+        ).alias("mean_abs_err"),
+    )
+
+
 EMBED_DUP_THRESHOLD = 0.4  # synthetic corpus max-cos ≈ 0.47; real pipelines use ~0.95
 EMBED_TILE_ROWS = 8192     # max rows per gram-matrix tile (peak sims = tile² f64)
 

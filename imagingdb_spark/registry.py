@@ -127,6 +127,9 @@ PRIORITY: list[str] = [
     "x_sentences",      # UDTF (single green row, r4)
     # --- position 51+: green driver rows on record, rotated out per the
     #     round-5 plan; implementations + unit tests intact ---
+    "x_embed_quantize",  # NEW r5 late addition (D3h, int8 SQ + error
+    #                      audit): oracle-exact by selfcheck at
+    #                      sf0.001/0.01/sf1.0; round-6 window candidate
     "x_bm25",           # pass-r4 (yielded its slot to x_hard_negatives_ann;
     #                     D18 still held in-window by x_inverted_index)
     "x_mad_outlier",    # pass-r4
