@@ -1034,6 +1034,65 @@ def x_hard_negatives_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hard_negatives_ann(e, _ivf_centroids(e), probe=IVF_K)
 
 
+def ann_match_pairs(
+    batch: DataFrame,
+    corpus_cells: DataFrame,
+    centroids: np.ndarray,
+    threshold: float,
+    probe: int = IVF_PROBE,
+) -> DataFrame:
+    """(new_vec, corpus_vec, cos) for every batch/corpus vector pair with
+    rounded cosine ≥ ``threshold``, mined WITHIN IVF cells — the
+    embedding twin of dedup.incremental_match_indexed, built for the
+    streaming embedding-ingest gate. ``corpus_cells`` must carry a
+    precomputed ``cell`` column (the maintained corpus table stores it at
+    accept time, so the corpus side is a pure scan); batch vectors
+    compute their ``probe`` nearest cells map-side from the broadcast
+    codebook and cogroup with the corpus per cell — the same bounded
+    shapes as hard_negatives_ann (one cell's corpus matrix per task,
+    anchor side tiled). ``probe=len(centroids)`` scans every cell and is
+    exact; smaller probes trade recall exactly as x_ann_eval measures."""
+    c = centroids.astype(np.float64)
+    c_sq = (c * c).sum(axis=1)
+    n_probe = min(probe, len(c))
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(emb: pd.Series) -> pd.Series:
+        m = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        scores = -2.0 * (m @ c.T) + c_sq
+        idx = np.argsort(scores, axis=1)[:, :n_probe].astype(np.int32)
+        return pd.Series(list(idx))
+
+    anchors = batch.select(
+        F.col("vec_id").alias("new_vec"), F.col("embedding").alias("a_emb")
+    ).withColumn("cell", F.explode(probe_cells("a_emb")))
+
+    def score_cell(_key, a_pdf: pd.DataFrame, c_pdf: pd.DataFrame) -> pd.DataFrame:
+        cols = ["new_vec", "corpus_vec", "cos"]
+        if a_pdf.empty or c_pdf.empty:
+            return pd.DataFrame(columns=cols)
+        cm = np.stack([np.asarray(v, dtype=np.float64) for v in c_pdf["embedding"]])
+        cn = np.linalg.norm(cm, axis=1)
+        ci = c_pdf["vec_id"].to_numpy()
+        out = []
+        for start in range(0, len(a_pdf), HARDNEG_TILE):
+            tile = a_pdf.iloc[start : start + HARDNEG_TILE]
+            a = np.stack([np.asarray(v, dtype=np.float64) for v in tile["a_emb"]])
+            an = np.linalg.norm(a, axis=1)
+            sims = np.round((a @ cm.T) / (an[:, None] * cn[None, :]), 4)
+            hit_r, hit_c = np.nonzero(sims >= threshold)
+            ids = tile["new_vec"].to_numpy()
+            for r_, c_ in zip(hit_r, hit_c):
+                out.append((int(ids[r_]), int(ci[c_]), float(sims[r_, c_])))
+        return pd.DataFrame(out, columns=cols)
+
+    return (
+        anchors.groupBy("cell")
+        .cogroup(corpus_cells.groupBy("cell"))
+        .applyInPandas(score_cell, "new_vec long, corpus_vec long, cos double")
+    )
+
+
 PROBE_STRIDE = 100  # vec_id % stride == 0 selects the probe set
 
 

@@ -497,6 +497,153 @@ def streaming_dedup_gate(
     )
 
 
+VECS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ]
+)
+
+
+def streaming_embedding_gate(
+    vecs: DataFrame,
+    corpus_path: str,
+    matches_path: str,
+    checkpoint_dir: str,
+    threshold: float,
+    probe: int | None = None,
+) -> StreamingQuery:
+    """Streaming ANN-gated embedding ingest — the EMBEDDING twin of
+    streaming_dedup_gate (St9): per micro-batch, (1) exact-dedup the
+    batch by vec_id, (2) mine cosine-≥-threshold matches against the
+    standing vector corpus WITHIN IVF cells
+    (similarity.ann_match_pairs), (3) append matches to an audit log and
+    only novel vectors — with their cell assignment precomputed — to the
+    corpus. The maintained state is the cell-ASSIGNED corpus table plus
+    the K×dim codebook (``<corpus>_codebook``), trained ONCE on the
+    first batch (or derived from a pre-seeded corpus) and fixed
+    thereafter — the FAISS operational recipe: assignment drift from a
+    frozen codebook costs probe recall, not correctness, and retraining
+    is an offline rebuild, exactly like the text gate's index.
+
+    Scale shape: per trigger, the codebook read is K rows; batch probe
+    cells are computed map-side; the corpus side is a pure scan
+    cogrouped by its STORED cell column (at 100 TB the corpus table is
+    partitioned by cell, so a batch's probed cells prune files); the
+    appends reuse the same per-vec_id broadcast-semi screens as the text
+    gate, so every append is individually idempotent and torn states
+    heal on replay. ``probe`` defaults to similarity.IVF_PROBE;
+    ``probe >= IVF_K`` makes the match set exact (the equivalence the
+    unit test pins)."""
+    from imagingdb_spark.operators.similarity import (
+        IVF_PROBE,
+        _ivf_assign_udf,
+        _ivf_centroids,
+        ann_match_pairs,
+    )
+
+    n_probe = IVF_PROBE if probe is None else probe
+    codebook_path = corpus_path + "_codebook"
+
+    def _fs_exists(spark: SparkSession, path: str) -> bool:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
+    def _not_present(small: DataFrame, ids: DataFrame) -> DataFrame:
+        # same broadcast-semi + broadcast-anti screen as the text gate
+        present = ids.join(
+            F.broadcast(small.select("vec_id").distinct()), "vec_id", "left_semi"
+        ).distinct()
+        return small.join(F.broadcast(present), "vec_id", "left_anti")
+
+    def _write_codebook(spark: SparkSession, cents) -> None:
+        rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+        spark.createDataFrame(
+            rows, "cell int, centroid array<double>"
+        ).coalesce(1).write.mode("overwrite").parquet(codebook_path)
+
+    def _read_codebook(spark: SparkSession):
+        import numpy as np
+
+        rows = spark.read.parquet(codebook_path).orderBy("cell").collect()
+        return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+        import shutil
+
+        spark = batch_df.sparkSession
+        batch = batch_df.dropDuplicates(["vec_id"]).persist()
+        try:
+            if not _fs_exists(spark, corpus_path) and _fs_exists(
+                spark, corpus_path + "__old"
+            ):
+                # crash exactly between the bootstrap's two renames:
+                # restore the old table (compact_parquet's rollback rule)
+                os.rename(corpus_path + "__old", corpus_path)
+            if not _fs_exists(spark, corpus_path):
+                cents = _ivf_centroids(batch)
+                _write_codebook(spark, cents)
+                batch.withColumn(
+                    "cell", _ivf_assign_udf(cents)("embedding")
+                ).write.mode("append").parquet(corpus_path)
+                return
+            raw = spark.read.parquet(corpus_path)
+            if "cell" not in raw.columns or not _fs_exists(
+                spark, codebook_path + "/_SUCCESS"
+            ):
+                # bootstrap a pre-seeded corpus (or heal a torn one):
+                # train the codebook from the standing corpus, then
+                # rewrite the corpus WITH its cell column via the
+                # temp-dir + rename swap (layout.compact_parquet's
+                # discipline; local-FS rename like the rest of the local
+                # deployment — an object-store backend swaps this for
+                # its own atomic publish). Deterministic training makes
+                # a replayed bootstrap idempotent.
+                cents = _ivf_centroids(raw)
+                _write_codebook(spark, cents)
+                tmp, old = corpus_path + "__tmp", corpus_path + "__old"
+                raw.drop("cell").withColumn(
+                    "cell", _ivf_assign_udf(cents)("embedding")
+                ).write.mode("overwrite").parquet(tmp)
+                shutil.rmtree(old, ignore_errors=True)
+                os.rename(corpus_path, old)
+                os.rename(tmp, corpus_path)
+                shutil.rmtree(old, ignore_errors=True)
+            cents = _read_codebook(spark)
+            corpus = spark.read.parquet(corpus_path)
+            pairs = (
+                ann_match_pairs(batch, corpus, cents, threshold, n_probe)
+                # replayed vectors collide with their own corpus entry at
+                # cos 1.0 — replay bookkeeping, not a duplicate
+                .filter(F.col("new_vec") != F.col("corpus_vec"))
+                .persist()
+            )
+            try:
+                pairs.write.mode("append").parquet(matches_path)
+                dup_ids = pairs.select(
+                    F.col("new_vec").alias("vec_id")
+                ).distinct()
+                accepted = batch.join(dup_ids, "vec_id", "left_anti")
+                _not_present(accepted, corpus.select("vec_id")).withColumn(
+                    "cell", _ivf_assign_udf(cents)("embedding")
+                ).write.mode("append").parquet(corpus_path)
+            finally:
+                pairs.unpersist()
+        finally:
+            batch.unpersist()
+
+    return (
+        vecs.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 SESSIONIZE_OUT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

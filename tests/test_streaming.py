@@ -570,3 +570,97 @@ def test_streaming_dedup_gate_rebuilds_torn_bootstrap(spark, tmp_path):
         r["doc_id"] for r in spark.read.parquet(corpus_path).collect()
     }
     assert pref_ids == corpus_ids
+
+
+def _embed_fixture_frames(spark):
+    from pyspark.sql import functions as F
+
+    vecs = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    is_new = F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1).isin(
+        "0", "1", "2"
+    )
+    return vecs.filter(~is_new), vecs.filter(is_new)
+
+
+def test_streaming_embedding_gate_full_probe_matches_bruteforce(spark, tmp_path):
+    """St9: with probe=IVF_K every cell is scanned, so the gate's audit
+    log must equal the brute-force set of batch x corpus pairs with
+    rounded cosine >= threshold, and the corpus must grow by exactly the
+    unmatched vectors, each carrying its codebook cell."""
+    import numpy as np
+    from imagingdb_spark.operators.similarity import IVF_K
+
+    rest, batch = _embed_fixture_frames(spark)
+    corpus_path = str(tmp_path / "vcorpus")
+    rest_rows = rest.collect()
+    # pre-seeded corpus WITHOUT cells/codebook: first trigger bootstraps
+    # the codebook from it
+    rest.write.parquet(corpus_path)
+    batch_path = str(tmp_path / "vin")
+    batch.coalesce(1).write.parquet(batch_path)
+
+    threshold = 0.3
+    stream = spark.readStream.schema(jobs.VECS_RAW_SCHEMA).parquet(batch_path)
+    q = jobs.streaming_embedding_gate(
+        stream, corpus_path, str(tmp_path / "vmatches"),
+        str(tmp_path / "vck"), threshold, probe=IVF_K,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["new_vec"], r["corpus_vec"])
+        for r in spark.read.parquet(str(tmp_path / "vmatches")).collect()
+    }
+    cm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rest_rows])
+    ci = [r["vec_id"] for r in rest_rows]
+    want = set()
+    for r in batch.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        sims = np.round(
+            (cm @ v) / (np.linalg.norm(cm, axis=1) * np.linalg.norm(v)), 4
+        )
+        for j in np.nonzero(sims >= threshold)[0]:
+            want.add((r["vec_id"], ci[j]))
+    assert got == want and want
+    corpus = spark.read.parquet(corpus_path)
+    n_dup = len({a for a, _ in want})
+    assert corpus.count() == len(rest_rows) + batch.count() - n_dup
+    assert "cell" in corpus.columns
+    assert corpus.filter("vec_id IS NULL OR cell IS NULL").count() == 0
+
+
+def test_streaming_embedding_gate_replay_idempotent(spark, tmp_path):
+    """Replaying the same vector batch with a fresh checkpoint must not
+    grow the corpus (vec_id screens + self-match classification), and
+    the codebook must stay fixed."""
+    from imagingdb_spark.operators.similarity import IVF_K
+
+    rest, batch = _embed_fixture_frames(spark)
+    corpus_path = str(tmp_path / "vcorpus")
+    rest.write.parquet(corpus_path)
+    batch_path = str(tmp_path / "vin")
+    batch.coalesce(1).write.parquet(batch_path)
+
+    def run(ck):
+        stream = spark.readStream.schema(jobs.VECS_RAW_SCHEMA).parquet(batch_path)
+        q = jobs.streaming_embedding_gate(
+            stream, corpus_path, str(tmp_path / "vmatches"),
+            str(tmp_path / ck), 0.3, probe=IVF_K,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("ck1")
+    n_after_first = spark.read.parquet(corpus_path).count()
+    cb1 = sorted(
+        (r["cell"], tuple(r["centroid"]))
+        for r in spark.read.parquet(corpus_path + "_codebook").collect()
+    )
+    run("ck2")
+    assert spark.read.parquet(corpus_path).count() == n_after_first
+    cb2 = sorted(
+        (r["cell"], tuple(r["centroid"]))
+        for r in spark.read.parquet(corpus_path + "_codebook").collect()
+    )
+    assert cb1 == cb2
