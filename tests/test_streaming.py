@@ -664,3 +664,43 @@ def test_streaming_embedding_gate_replay_idempotent(spark, tmp_path):
         for r in spark.read.parquet(corpus_path + "_codebook").collect()
     )
     assert cb1 == cb2
+
+
+def test_streaming_embedding_gate_partial_probe_subset_with_recall(spark, tmp_path):
+    """At the default probe fraction the audit log must be a SUBSET of the
+    brute-force match set (precision 1.0 — in-cell scoring is exact) with
+    recall above a pinned floor on this worst-case near-uniform corpus."""
+    import numpy as np
+
+    rest, batch = _embed_fixture_frames(spark)
+    corpus_path = str(tmp_path / "vcorpus")
+    rest_rows = rest.collect()
+    rest.write.parquet(corpus_path)
+    batch_path = str(tmp_path / "vin")
+    batch.coalesce(1).write.parquet(batch_path)
+
+    threshold = 0.3
+    stream = spark.readStream.schema(jobs.VECS_RAW_SCHEMA).parquet(batch_path)
+    q = jobs.streaming_embedding_gate(
+        stream, corpus_path, str(tmp_path / "vmatches"),
+        str(tmp_path / "vck"), threshold,  # default probe=IVF_PROBE
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["new_vec"], r["corpus_vec"])
+        for r in spark.read.parquet(str(tmp_path / "vmatches")).collect()
+    }
+    cm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rest_rows])
+    ci = [r["vec_id"] for r in rest_rows]
+    want = set()
+    for r in batch.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        sims = np.round(
+            (cm @ v) / (np.linalg.norm(cm, axis=1) * np.linalg.norm(v)), 4
+        )
+        for j in np.nonzero(sims >= threshold)[0]:
+            want.add((r["vec_id"], ci[j]))
+    assert got <= want and want  # precision exactly 1.0
+    assert len(got) / len(want) >= 0.5  # probe-recall floor
