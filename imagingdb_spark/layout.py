@@ -224,6 +224,53 @@ def write_zordered(
     )
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_cols: list[str],
+    n_buckets: int,
+    sort_cols: list[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Bucketed-AT-REST write (SCALING.md partitioning table, backed by an
+    artifact since round 6): hash-partition the table into ``n_buckets``
+    files per write-task partition group by ``bucket_cols`` and record the
+    bucket spec in the catalog, so every subsequent join/aggregation ON
+    THE BUCKET KEY reads the table already hash-distributed and Catalyst
+    DROPS the Exchange — the layout IS the index (the same rationale as
+    the reference's derived-column indexing, README.md:53-55, applied to
+    distribution instead of lookup).
+
+    What this buys at 100 TB, proven by plan tests (tests/test_layout.py):
+    - fact⋈fact joins on the bucket key (lineitem⋈orders on orderkey)
+      become zero-Exchange sort-merge joins — neither 100 TB side ever
+      shuffles;
+    - groupBy(bucket key) aggregates skip the partial/final split's
+      Exchange entirely;
+    - MERGE (x_merge_upsert's full-outer join) shuffles ONLY the change
+      batch: the corpus side's Exchange disappears, which at a 100 TB
+      corpus vs a GB-sized batch is the whole cost of the merge.
+
+    ``sortBy`` additionally orders rows inside each bucket file so the
+    sort-merge join's per-task sort is a no-op and footer min/max stats
+    stay narrow per bucket. Spark's bucketing requires a catalog table
+    (saveAsTable — parquet files + bucket spec in the metastore); read it
+    back with ``spark.table(table_name)``, NOT spark.read.parquet, or the
+    bucket metadata is invisible and the Exchange returns. The bucket
+    count is the co-location contract: joins only skip the shuffle when
+    both sides bucket on the join key (equal counts, or one a multiple of
+    the other under spark.sql.bucketing.coalesceBucketsInJoin)."""
+    writer = (
+        df.write.format("parquet")
+        .mode("overwrite")
+        .bucketBy(n_buckets, *bucket_cols)
+        .sortBy(*(sort_cols or bucket_cols))
+    )
+    if path is not None:  # external table at an explicit location
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
+
+
 def write_clustered(
     df: DataFrame,
     path: str,

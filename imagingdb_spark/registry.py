@@ -50,158 +50,160 @@ ORACLE: dict[str, str] = {}
 # row) rotates to the tail. Tail queries keep their implementations, unit
 # tests, and recorded green rows — they only lose a FRESH driver row.
 #
-# Round-5 rotation (VERDICT r4 items 1+2, applied): CORRECTNESS_r04 was
-# green for 45 of the 50 window rows; the 2 red rows (x_inverted_index,
-# x_token_ids — the driver's canonicalizer cannot hash ArrayType cells)
-# are fixed by serializing the array outputs on both engine sides and
-# rotate back IN alongside the 9 round-4 tail additions that never held a
-# record (x_novelty, x_length_batches, x_retrieval_batch, x_interp_linear
-# oracle-exact; x_bpe_train, x_bpe_encode, x_ann_eval, x_semdedup_eval,
-# x_pipeline_audit rows-only). Five queries whose implementations change
-# this round stay in-window so their records cover current code
-# (x_span_dedup, x_dedup_eval, x_pagerank, a_geomean_udaf,
-# x_hard_negatives, plus the new x_hard_negatives_ann); 33 family
-# holders fill the remaining window slots, preferring members
-# whose only green row is r4 (a second row double-verifies them). The 9
-# freshly-green r4 rows that rotate out keep their implementations, unit
-# tests, and recorded rows.
+# Round-5 rotation (VERDICT r4 items 1+2, applied; see git history for the
+# full plan): CORRECTNESS_r05 came back 50/50 green (42 oracle-exact, 8
+# rows-only clean), so every rotated-in query now holds a current record.
+#
+# Round-6 rotation (VERDICT r5 items 1/2/5, applied):
+# - IN, no driver record: x_embed_quantize (the only such query).
+# - IN, implementation changed this round (last green rows predate the
+#   code): x_dedup_verified (candidate set now lossless — LSH ∪ PPJoin
+#   prefix), x_hard_negatives (headline swapped to the no-collect
+#   cell-cogrouped miner; the broadcast variant is demoted to a utility),
+#   x_embed_quantize again (mean_abs_err fold order pinned ascending on
+#   both engine sides — ADVICE r5 item 1).
+# - RETIRED: x_hard_negatives_ann — its plan IS the new x_hard_negatives;
+#   a second identical registration would be padding. Its green r5 row
+#   certified exactly the plan the headline now runs.
+# - IN for double-verification, continuing the single-green-row
+#   discipline: the 11 r5 rotated-in queries (only green row is r5), the
+#   10 r4 singles, 16 r3 singles, 2 r2 singles, 5 r1 singles, plus
+#   f_not_exists (P holder) and f_string_parse (F holder) so every SURVEY
+#   §2 family keeps an in-window member.
+# - OUT to the tail: everything that got its r5 row on unchanged code and
+#   has 2+ green rows (or whose family keeps a fresher holder).
 PRIORITY: list[str] = [
-    # --- rotated IN for round 5 (VERDICT r4 items 1+2): the 11 queries with
-    #     no driver record — the two CORRECTNESS_r04 red rows, now fixed by
-    #     serializing their array outputs (lm.py), the four r4 late
-    #     oracle-exact additions, and the five r4 rows-only additions ---
-    "x_inverted_index",   # D18 sibling: fixed — postings now comma-joined
-    "x_token_ids",      # D4 sibling: fixed — ids now comma-joined
-    "x_novelty",        # D11b: cross-doc n-gram novelty (oracle-exact)
-    "x_length_batches", # D15b: length-bucketed batching (oracle-exact)
-    "x_retrieval_batch",  # D3f+: probe-SET retrieval metrics (oracle-exact)
-    "x_interp_linear",  # T1+: linear interpolation on dense grid (oracle-exact)
-    "x_bpe_train",      # D4c: BPE merge-table training (rows-only)
-    "x_bpe_encode",     # D4d: BPE apply (rows-only)
-    "x_ann_eval",       # D3e: recall@10 of both ANN paths (rows-only)
-    "x_semdedup_eval",  # D2e+: learned-blocking recall eval (rows-only)
-    "x_pipeline_audit", # PIPE: composed pipeline stage audit (rows-only)
-    # --- kept IN: implementation touched in round 5 (VERDICT r4 items
-    #     3/5/9), so their last green rows predate the current code ---
-    "x_span_dedup",     # D2f: sampling.py persist-lifecycle cleanup
-    "x_dedup_eval",     # D2g: rounded-threshold truth-set parity fix
-    "x_pagerank",       # D12c: self-loop filter in symmetrization
-    "a_geomean_udaf",   # UDAF: monoid (ln→AVG→exp) decomposition default
-    "x_hard_negatives", # D3g: ANN-cell mining variant lands this round
-    "x_hard_negatives_ann",  # D3g+ NEW r5: cell-cogrouped miner, oracle-exact
-    #                     at full probe (certifies the no-collect path)
-    # --- retained holders: one per SURVEY §2 family, preferring members
-    #     whose only green row is r4 (double-verification) ---
-    "w_running",        # W
-    "w_rownum_page",    # W + O3 offset slicing
-    "st_tumbling",      # St1 (batch twin)
-    "st_session",       # St3
-    "st_topk_trend",    # St2 sibling (single green row, r4)
-    "x_sessionize",     # St3 row-level twin (single green row, r4)
-    "x_transition_matrix",  # St sibling (single green row, r4)
-    "f_from_json",      # S3/F5
-    "f_json_extract",   # P5/P6
-    "f_array_ops",      # F8
-    "j_json_filter",    # J5
-    "j_asof",           # J+
-    "j_temporal_lookup",  # J4b (single green row, r4)
-    "a_count_distinct", # A3
-    "a_group_summary",  # A4/A5
-    "x_exact_quantiles",  # A+ (single green row, r4)
-    "x_profile_stats",  # A+ (single green row, r4)
-    "x_incr_agg",       # A+ (single green row, r4)
-    "x_corr_matrix",    # A12 (single green row, r4)
-    "x_dedup_jaccard",  # D2 exact PPJoin
-    "x_dedup_incremental",  # D13
-    "x_dedup_cluster",  # D12
-    "x_dedup_verified", # D2b+ (single green row, r4)
-    "x_scd2_history",   # S10b (single green row, r4)
-    "x_table_diff",     # S10c (single green row, r4)
-    "x_cdc_apply",      # S10d (single green row, r4)
-    "x_domain_mix",     # D8 (single green row, r4)
-    "x_stratified",     # D8 (single green row, r4)
-    "x_token_budget",   # D8 (single green row, r4)
-    "x_source_cap",     # D8 (single green row, r4)
-    "x_bigram_logprob", # D17 (single green row, r4)
-    "x_scrub",          # D10 (single green row, r4)
-    "x_sentences",      # UDTF (single green row, r4)
-    # --- position 51+: green driver rows on record, rotated out per the
-    #     round-5 plan; implementations + unit tests intact ---
-    "x_embed_quantize",  # NEW r5 late addition (D3h, int8 SQ + error
-    #                      audit): oracle-exact by selfcheck at
-    #                      sf0.001/0.01/sf1.0; round-6 window candidate
-    "x_bm25",           # pass-r4 (yielded its slot to x_hard_negatives_ann;
-    #                     D18 still held in-window by x_inverted_index)
-    "x_mad_outlier",    # pass-r4
-    "x_cooccur_pmi",    # pass-r4
-    "x_funnel",         # pass-r4
-    "x_retention",      # pass-r4
-    "x_histogram",      # pass-r4
-    "x_rolling_zscore", # pass-r4
-    "x_quality_norm",   # pass-r4
-    "x_semdedup",       # clean-run r4 (rows-only by design)
-    "x_retrieval_metrics",  # pass-r4
-    "x_dedup_exact",    # D1 — pass-r1+r3 (yielded its slot to x_sentences)
-    "f_string_parse",   # F1 — pass-r1+r3 (yielded its slot to a new r4 query)
-    "f_cast_coerce",    # F7 — pass-r1+r3 (yielded its slot to a new r4 query)
-    "a_rollup",         # A+ — pass-r1+r3 (yielded its slot to a new r4 query)
-    "o_topk",           # O5 — pass-r3
-    "o_sort",           # O1 — pass-r3
-    "w_dense_rank",     # W — pass-r3
-    "w_lag_lead",       # W — pass-r3
-    "w_range_frame",    # W — pass-r3
-    "x_sample_weighted",  # D8 — pass-r3
-    "x_dedup_compact",  # D12 — pass-r3
-    "x_shard_shuffle",  # D16 — pass-r3
-    "st_join",          # St6 — pass-r3
-    "x_unigram_logprob",  # D17 — pass-r3
-    "x_length_trim",    # D10 — pass-r3
-    "x_gapfill",        # T1 — pass-r3
-    "x_fuzzy_join",     # D2 — pass-r3
-    "x_tfidf",          # D18 — pass-r3
-    "x_merge_upsert",   # S10 — pass-r3
-    "x_ann_ivf",        # D3 — clean-run r3 (rows-only by design)
-    "a_approx_sketch",  # sketches — clean-run r3 (rows-only by design)
-    "x_pack_sequences", # D15 — clean-run r3 (rows-only by design)
-    "f_substring",      # P1 — pass-r1+r2+r3
-    "f_daterange",      # P2 — pass-r1+r2+r3
-    "f_inlist",         # P4 — pass-r1+r2+r3
-    "p_project",        # P7 — pass-r1+r2+r3
-    "f_null_handling",  # P9 — pass-r1+r2+r3
-    "j_three_way",      # J1 — pass-r1+r2+r3
-    "a_count",          # A1 — pass-r1+r2+r3
-    "x_text_stats",     # D4 — pass-r2+r3
-    "x_split_hash",     # D7 — pass-r2+r3
-    "x_dedup_embed",    # D2 — pass-r2+r3
-    "x_topk_sim",       # D3 — pass-r2+r3
-    "x_chunk_docs",     # D14 — pass-r2+r3
-    "x_decontaminate",  # D9 — pass-r2+r3
-    "x_repetition",     # D11 — pass-r2+r3
-    "w_topk_group",     # W — pass-r1 + pass-r2
-    "st_sliding",       # St2 — pass-r1 + pass-r2
-    "st_anomaly",       # D6 — clean-run r2 (rows-only by design)
-    "o_natural_sort",   # O4 — pass-r2
-    "o_limit",          # O2 — pass-r1 + pass-r2
-    "f_equality",       # P3 — pass-r1 + pass-r2
-    "f_not_exists",     # P8 — pass-r1 + pass-r2
-    "f_dates",          # F3 — pass-r1 + pass-r2
-    "f_format",         # F2 — pass-r1 + pass-r2
-    "f_sha2",           # F4 — pass-r1 + pass-r2
-    "f_validate_id",    # F6 — pass-r1 + pass-r2
-    "j_two_way",        # J2 — pass-r1 + pass-r2
-    "j_self_parent",    # J3 — pass-r1 + pass-r2
-    "a_distinct",       # A2 — pass-r1 + pass-r2
-    "s_union",          # set ops — pass-r1 + pass-r2
-    "x_quality_filter", # D10 — pass-r2
-    "j_outer_count",    # J+ — pass-r1
-    "j_range",          # J+ — pass-r1
-    "j_semi",           # J+ — pass-r1
-    "a_sum_avg",        # A+ — pass-r1
-    "s_except",         # set ops — pass-r1
-    "x_dedup_minhash",  # D2 rows-only (x_dedup_verified now oracle-exact)
+    # --- rotated IN for round 6: no record / impl changed this round ---
+    "x_embed_quantize",  # D3h: int8 SQ + error audit — only query with no
+    #                      driver record; mean fold order pinned this round
+    "x_dedup_verified",  # D2b+: candidate set now LOSSLESS (LSH ∪ prefix)
+    "x_hard_negatives",  # D3g: headline is now the cell-cogrouped miner
+    # --- double-verification: the 11 queries whose only green row is r5 ---
+    "x_inverted_index",   # D18 sibling (single green row, r5)
+    "x_token_ids",      # D4 sibling (single green row, r5)
+    "x_novelty",        # D11b (single green row, r5)
+    "x_length_batches", # D15b (single green row, r5)
+    "x_retrieval_batch",  # D3f+ (single green row, r5)
+    "x_interp_linear",  # T1+ (single green row, r5)
+    "x_bpe_train",      # D4c rows-only (single clean run, r5)
+    "x_bpe_encode",     # D4d rows-only (single clean run, r5)
+    "x_ann_eval",       # D3e rows-only (single clean run, r5)
+    "x_semdedup_eval",  # D2e+ rows-only (single clean run, r5)
+    "x_pipeline_audit", # PIPE rows-only (single clean run, r5)
+    # --- double-verification: the 10 queries whose only green row is r4 ---
+    "x_bm25",           # D18 (single green row, r4)
+    "x_mad_outlier",    # A+ (single green row, r4)
+    "x_cooccur_pmi",    # D17 sibling (single green row, r4)
+    "x_funnel",         # A6 (single green row, r4)
+    "x_retention",      # A7 (single green row, r4)
+    "x_histogram",      # A8 (single green row, r4)
+    "x_rolling_zscore", # W (single green row, r4)
+    "x_quality_norm",   # D10c (single green row, r4)
+    "x_semdedup",       # D2e rows-only (single clean run, r4)
+    "x_retrieval_metrics",  # D3f (single green row, r4)
+    # --- double-verification: 16 queries whose only green row is r3 ---
+    "o_topk",           # O5 (single green row, r3)
+    "w_dense_rank",     # W (single green row, r3)
+    "w_lag_lead",       # W (single green row, r3)
+    "w_range_frame",    # W (single green row, r3)
+    "x_sample_weighted",  # D8 (single green row, r3)
+    "x_dedup_compact",  # D12 (single green row, r3)
+    "x_shard_shuffle",  # D16 (single green row, r3)
+    "st_join",          # St6 (single green row, r3)
+    "x_unigram_logprob",  # D17 (single green row, r3)
+    "x_length_trim",    # D10 (single green row, r3)
+    "x_gapfill",        # T1 (single green row, r3)
+    "x_fuzzy_join",     # D2 (single green row, r3)
+    "x_tfidf",          # D18 (single green row, r3)
+    "x_merge_upsert",   # S10 (single green row, r3)
+    "x_ann_ivf",        # D3 rows-only (single clean run, r3)
+    "x_pack_sequences", # D15 rows-only (single clean run, r3)
+    # --- double-verification: r2/r1 singles + P/F family holders ---
+    "o_natural_sort",   # O4 (single green row, r2)
+    "x_quality_filter", # D10 (single green row, r2)
+    "j_outer_count",    # J+ (single green row, r1)
+    "j_range",          # J+ (single green row, r1)
+    "a_sum_avg",        # A+ (single green row, r1)
+    "s_except",         # set ops (single green row, r1)
+    "x_lang_id",        # D4 (single green row, r1)
+    "f_not_exists",     # P8 — P-family holder (pass-r1 + pass-r2)
+    "f_string_parse",   # F1 — F-family holder (pass-r1 + pass-r3)
+    "a_approx_sketch",  # sketches rows-only (single clean run, r3)
+    # --- position 51+: green driver rows on record; implementations +
+    #     unit tests intact. Ordered roughly by record freshness. ---
+    "x_span_dedup",     # pass-r4 + pass-r5
+    "x_dedup_eval",     # clean-run r5 (rows-only)
+    "x_pagerank",       # clean-run r5 (rows-only)
+    "a_geomean_udaf",   # pass-r4 + pass-r5
+    "w_running",        # pass-r3 + pass-r5
+    "w_rownum_page",    # pass-r4 + pass-r5
+    "st_tumbling",      # pass-r1 + pass-r5
+    "st_session",       # pass-r2 + pass-r5
+    "st_topk_trend",    # pass-r4 + pass-r5
+    "x_sessionize",     # pass-r4 + pass-r5
+    "x_transition_matrix",  # pass-r4 + pass-r5
+    "f_from_json",      # pass-r2 + pass-r5
+    "f_json_extract",   # pass-r2 + pass-r5
+    "f_array_ops",      # pass-r2 + pass-r5
+    "j_json_filter",    # pass-r2 + pass-r5
+    "j_asof",           # pass-r1 + pass-r5
+    "j_temporal_lookup",  # pass-r4 + pass-r5
+    "a_count_distinct", # pass-r2 + pass-r5
+    "a_group_summary",  # pass-r2 + pass-r5
+    "x_exact_quantiles",  # pass-r4 + pass-r5
+    "x_profile_stats",  # pass-r4 + pass-r5
+    "x_incr_agg",       # pass-r4 + pass-r5
+    "x_corr_matrix",    # pass-r4 + pass-r5
+    "x_dedup_jaccard",  # pass-r3 + pass-r5
+    "x_dedup_incremental",  # pass-r3 + pass-r5
+    "x_dedup_cluster",  # pass-r3 + pass-r5
+    "x_scd2_history",   # pass-r4 + pass-r5
+    "x_table_diff",     # pass-r4 + pass-r5
+    "x_cdc_apply",      # pass-r4 + pass-r5
+    "x_domain_mix",     # pass-r4 + pass-r5
+    "x_stratified",     # pass-r4 + pass-r5
+    "x_token_budget",   # pass-r4 + pass-r5
+    "x_source_cap",     # pass-r4 + pass-r5
+    "x_bigram_logprob", # pass-r4 + pass-r5
+    "x_scrub",          # pass-r4 + pass-r5
+    "x_sentences",      # pass-r4 + pass-r5
+    "x_dedup_exact",    # pass-r1 + pass-r3
+    "f_cast_coerce",    # pass-r1 + pass-r3
+    "a_rollup",         # pass-r1 + pass-r3
+    "o_sort",           # pass-r3 (O family held in-window by o_topk,
+    #                     o_natural_sort)
+    "f_substring",      # pass-r1+r2+r3
+    "f_daterange",      # pass-r1+r2+r3
+    "f_inlist",         # pass-r1+r2+r3
+    "p_project",        # pass-r1+r2+r3
+    "f_null_handling",  # pass-r1+r2+r3
+    "j_three_way",      # pass-r1+r2+r3
+    "a_count",          # pass-r1+r2+r3
+    "x_text_stats",     # pass-r2+r3
+    "x_split_hash",     # pass-r2+r3
+    "x_dedup_embed",    # pass-r2+r3
+    "x_topk_sim",       # pass-r2+r3
+    "x_chunk_docs",     # pass-r2+r3
+    "x_decontaminate",  # pass-r2+r3
+    "x_repetition",     # pass-r2+r3
+    "w_topk_group",     # pass-r1+r2
+    "st_sliding",       # pass-r1+r2
+    "st_anomaly",       # clean-run r2 (rows-only by design)
+    "o_limit",          # pass-r1+r2
+    "f_equality",       # pass-r1+r2
+    "f_dates",          # pass-r1+r2
+    "f_format",         # pass-r1+r2
+    "f_sha2",           # pass-r1+r2
+    "f_validate_id",    # pass-r1+r2
+    "j_two_way",        # pass-r1+r2
+    "j_self_parent",    # pass-r1+r2
+    "a_distinct",       # pass-r1+r2
+    "s_union",          # pass-r1+r2
+    "j_semi",           # pass-r1 (J family held in-window by j_outer_count,
+    #                     j_range)
+    "x_dedup_minhash",  # D2 rows-only (x_dedup_verified is oracle-exact)
     "x_dedup_simhash",  # D2 rows-only
     "x_ann_lsh",        # D3 rows-only (topk_sim covers the row)
-    "x_lang_id",        # D4 — pass-r1
     "x_token_freq",     # D4
     "x_token_bpe",      # D4
     "x_fingerprint",    # D4

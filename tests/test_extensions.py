@@ -1177,8 +1177,9 @@ class TestAnnEval:
 
 class TestHardNegativesAnn:
     def test_full_probe_reproduces_exact_path(self, spark):
-        """With probe=IVF_K every cell is scanned, so the cell-cogrouped
-        miner must reproduce the exact (collect+broadcast) path
+        """With probe=IVF_K every cell is scanned, so the registered
+        cell-cogrouped miner (x_hard_negatives since round 6) must
+        reproduce the demoted one-machine collect+broadcast path
         bit-for-bit — same rounded cosines, same ranks, same tiebreaks —
         while never collecting the corpus to the driver."""
         from imagingdb_spark.catalog import table
@@ -1186,14 +1187,13 @@ class TestHardNegativesAnn:
 
         sf_dir = "/root/testdata/sf0.001"
         e = table(spark, sf_dir, "embeddings")
-        cents = S._ivf_centroids(e)
         got = {
             (r["anchor"], r["rk"]): (r["negative"], r["cos"])
-            for r in S.hard_negatives_ann(e, cents, probe=S.IVF_K).collect()
+            for r in S.x_hard_negatives(spark, sf_dir).collect()
         }
         want = {
             (r["anchor"], r["rk"]): (r["negative"], r["cos"])
-            for r in S.x_hard_negatives(spark, sf_dir).collect()
+            for r in S.hard_negatives_broadcast(e).collect()
         }
         assert got == want and want
 

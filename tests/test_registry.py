@@ -43,38 +43,39 @@ def test_query_plans(spark, name):
     assert df.schema is not None and len(df.columns) > 0
 
 
-ROTATED_IN_R5 = [
-    # round-5 plan (VERDICT r4 items 1+2): the 11 queries with no driver
-    # record — the 2 fixed CORRECTNESS_r04 red rows plus the 9 round-4
-    # tail additions — and the 5 queries whose implementations changed
-    # this round (their last green rows predate current code)
-    "x_inverted_index", "x_token_ids",
-    "x_novelty", "x_length_batches", "x_retrieval_batch", "x_interp_linear",
-    "x_bpe_train", "x_bpe_encode", "x_ann_eval", "x_semdedup_eval",
-    "x_pipeline_audit",
-    "x_span_dedup", "x_dedup_eval", "x_pagerank", "a_geomean_udaf",
-    "x_hard_negatives", "x_hard_negatives_ann",
+ROTATED_IN_R6 = [
+    # round-6 plan (VERDICT r5 items 1/2/5): the one query with no driver
+    # record plus the queries whose implementations changed this round
+    # (their last green rows predate current code)
+    "x_embed_quantize",   # no driver record; mean fold order pinned r6
+    "x_dedup_verified",   # candidate set made lossless (LSH ∪ prefix)
+    "x_hard_negatives",   # headline swapped to the cell-cogrouped miner
 ]
 
 
 def test_category_coverage_inside_driver_window():
     """The driver's correctness harness checks only the FIRST ~50 registered
-    queries; the round-5 rotation (registry.PRIORITY) must keep (a) every
+    queries; the round-6 rotation (registry.PRIORITY) must keep (a) every
     never-driver-checked and impl-changed query inside that window so it
     gets a current CORRECTNESS row, and (b) at least one in-window category
     holder for every family whose other members rotated out (all of which
-    hold green r1-r4 rows)."""
+    hold green r1-r5 rows)."""
     window = list(registry.ordered_queries())[:50]
-    for name in ROTATED_IN_R5:
+    for name in ROTATED_IN_R6:
         assert name in window, f"{name} fell outside the driver's 50-query window"
     for name in [
-        # retained category holders (rotated-out names all hold green rows)
-        "w_running", "w_rownum_page", "st_tumbling", "st_session",
-        "f_from_json", "f_json_extract", "j_json_filter", "j_asof",
-        "f_array_ops", "a_count_distinct", "a_group_summary",
-        "x_dedup_jaccard", "x_dedup_incremental", "x_dedup_cluster",
-        "x_scd2_history", "x_cdc_apply", "x_domain_mix",
-        "x_scrub", "x_sentences",
+        # single-green-row double-verification batch + family holders
+        "x_inverted_index", "x_token_ids", "x_novelty", "x_length_batches",
+        "x_retrieval_batch", "x_interp_linear", "x_bpe_train",
+        "x_bpe_encode", "x_ann_eval", "x_semdedup_eval", "x_pipeline_audit",
+        "x_bm25", "x_funnel", "x_retention", "x_histogram",
+        "x_rolling_zscore", "x_semdedup", "x_retrieval_metrics",
+        "o_topk", "w_dense_rank", "st_join", "x_tfidf", "x_merge_upsert",
+        "x_ann_ivf", "x_gapfill", "o_natural_sort", "j_outer_count",
+        "j_range", "a_sum_avg", "s_except", "x_lang_id",
+        "f_not_exists",      # P-family holder
+        "f_string_parse",    # F-family holder
+        "a_approx_sketch",   # sketch-family holder
     ]:
         assert name in window, f"{name} fell outside the driver's 50-query window"
 
