@@ -506,6 +506,110 @@ VECS_RAW_SCHEMA = T.StructType(
 )
 
 
+def write_embed_codebook(spark: SparkSession, codebook_path: str, cents) -> None:
+    """Persist a K×dim codebook as a (cell, centroid) parquet table —
+    K rows, one file; the _SUCCESS marker doubles as the gate's
+    torn-write detector."""
+    rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
+    spark.createDataFrame(
+        rows, "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(codebook_path)
+
+
+def read_embed_codebook(spark: SparkSession, codebook_path: str):
+    """K×dim float64 ndarray from a codebook table (K rows — a bounded
+    collect by construction)."""
+    import numpy as np
+
+    rows = spark.read.parquet(codebook_path).orderBy("cell").collect()
+    return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+
+
+def rebuild_embedding_cells(spark: SparkSession, corpus_path: str) -> dict:
+    """OFFLINE IVF codebook rebuild for streaming_embedding_gate's
+    maintained corpus (VERDICT r5 item 4 — the job the gate's docstring
+    promised): retrain the K-means codebook on the STANDING corpus,
+    re-assign every vector's cell map-side, swap the rewritten corpus in
+    atomically, and publish the new codebook. Run it when ingest has
+    drifted off the frozen codebook's distribution: the measured
+    pathology (pinned by test) is CELL COLLAPSE — a drifted cloud all
+    assigns to a few stale cells, so the per-task in-cell matrix bound
+    breaks and partial probe silently degenerates to brute force over
+    the cloud (recall stays high at unbounded cost). The rebuild
+    restores the balance that makes cells fit executors and the probe
+    fraction mean what it says; the gate picks the new codebook up on
+    its next trigger with no restart.
+
+    Crash safety rides the gate's EXISTING torn-bootstrap healing — the
+    step order makes every crash window heal FORWARD to the rebuilt
+    state instead of rolling back:
+
+      1. delete the codebook FIRST (its missing _SUCCESS is precisely
+         the gate's "torn" signal);
+      2. rewrite the corpus with new cells via temp-dir + validate +
+         rename swap (layout.compact_parquet's discipline);
+      3. publish the new codebook last.
+
+    A crash anywhere between 1 and 3 leaves the codebook torn, so the
+    gate's healing branch retrains from the standing corpus and rewrites
+    the cells — the healed state is always SELF-CONSISTENT (every stored
+    cell assigned by the published codebook; the crash test pins this),
+    and gate match results at full probe are identical under any
+    codebook, so correctness never depends on which of the two trainings
+    won. Must not run concurrently with an active trigger
+    (single-writer, like compaction); stop the stream or schedule
+    between triggers.
+
+    Scale shape: training samples the corpus (the _ivf_centroids bound),
+    re-assignment is one map-side Arrow pass, the rewrite is the only
+    full-corpus IO — the same cost as a compaction, amortized over the
+    ingest interval that drifted. Returns before/after stats including
+    the fraction of vectors whose cell changed (the drift measure).
+    """
+    import os
+    import shutil
+
+    from imagingdb_spark.operators.similarity import _ivf_assign_udf, _ivf_centroids
+
+    codebook_path = corpus_path + "_codebook"
+    raw = spark.read.parquet(corpus_path)
+    if "cell" not in raw.columns:
+        raise ValueError(
+            f"{corpus_path} has no cell column — not a gate-maintained corpus"
+        )
+    rows_before = raw.count()
+    cents = _ivf_centroids(raw.drop("cell"))
+    # step 1: mark torn — from here every crash heals forward
+    shutil.rmtree(codebook_path, ignore_errors=True)
+    # step 2: rewrite with new cells, validate, swap
+    tmp, old = corpus_path + "__tmp", corpus_path + "__old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    reassigned = raw.withColumnRenamed("cell", "cell_old").withColumn(
+        "cell", _ivf_assign_udf(cents)("embedding")
+    )
+    n_moved = reassigned.filter(F.col("cell") != F.col("cell_old")).count()
+    reassigned.drop("cell_old").write.mode("overwrite").parquet(tmp)
+    rows_tmp = spark.read.parquet(tmp).count()
+    if rows_tmp != rows_before:
+        shutil.rmtree(tmp)
+        raise RuntimeError(
+            f"cell rebuild of {corpus_path} dropped rows "
+            f"({rows_before} -> {rows_tmp}); corpus left untouched"
+        )
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(corpus_path, old)
+    os.rename(tmp, corpus_path)
+    shutil.rmtree(old, ignore_errors=True)
+    # step 3: publish the codebook the cells were assigned with
+    write_embed_codebook(spark, codebook_path, cents)
+    return {
+        "n_vectors": rows_before,
+        "n_cells": int(len(cents)),
+        "n_moved": int(n_moved),
+        "moved_frac": (n_moved / rows_before) if rows_before else 0.0,
+    }
+
+
 def streaming_embedding_gate(
     vecs: DataFrame,
     corpus_path: str,
@@ -560,16 +664,10 @@ def streaming_embedding_gate(
         return small.join(F.broadcast(present), "vec_id", "left_anti")
 
     def _write_codebook(spark: SparkSession, cents) -> None:
-        rows = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
-        spark.createDataFrame(
-            rows, "cell int, centroid array<double>"
-        ).coalesce(1).write.mode("overwrite").parquet(codebook_path)
+        write_embed_codebook(spark, codebook_path, cents)
 
     def _read_codebook(spark: SparkSession):
-        import numpy as np
-
-        rows = spark.read.parquet(codebook_path).orderBy("cell").collect()
-        return np.asarray([r["centroid"] for r in rows], dtype=np.float64)
+        return read_embed_codebook(spark, codebook_path)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -584,6 +682,15 @@ def streaming_embedding_gate(
                 # crash exactly between the bootstrap's two renames:
                 # restore the old table (compact_parquet's rollback rule)
                 os.rename(corpus_path + "__old", corpus_path)
+            elif _fs_exists(spark, corpus_path) and _fs_exists(
+                spark, corpus_path + "__old"
+            ):
+                # crash after the swap's second rename but before the
+                # cleanup rmtree: the live table exists, so __old is stale
+                # by definition — reap it unconditionally here (ADVICE r5:
+                # the bootstrap branch that used to clean it never runs
+                # again once the corpus has its cell column)
+                shutil.rmtree(corpus_path + "__old", ignore_errors=True)
             if not _fs_exists(spark, corpus_path):
                 cents = _ivf_centroids(batch)
                 _write_codebook(spark, cents)
@@ -615,11 +722,21 @@ def streaming_embedding_gate(
                 shutil.rmtree(old, ignore_errors=True)
             cents = _read_codebook(spark)
             corpus = spark.read.parquet(corpus_path)
+            batch_ids = batch.select(F.col("vec_id").alias("corpus_vec"))
             pairs = (
                 ann_match_pairs(batch, corpus, cents, threshold, n_probe)
-                # replayed vectors collide with their own corpus entry at
-                # cos 1.0 — replay bookkeeping, not a duplicate
-                .filter(F.col("new_vec") != F.col("corpus_vec"))
+                # screen out matches whose CORPUS side is a vector of the
+                # current batch (broadcast-anti on the batch's own ids,
+                # which subsumes the old new_vec != corpus_vec self-match
+                # filter): in a no-crash run the batch is matched against
+                # the PRE-batch corpus only, so a replay after a torn
+                # append — where some batch vectors already landed in the
+                # corpus — must not let the rest of the batch match them.
+                # Without this, a replayed batch with within-batch
+                # near-dups drops vectors and emits audit rows a no-crash
+                # run never produces (ADVICE r5); with it, replay
+                # reproduces the no-crash outcome exactly.
+                .join(F.broadcast(batch_ids), "corpus_vec", "left_anti")
                 .persist()
             )
             try:

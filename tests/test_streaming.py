@@ -704,3 +704,297 @@ def test_streaming_embedding_gate_partial_probe_subset_with_recall(spark, tmp_pa
             want.add((r["vec_id"], ci[j]))
     assert got <= want and want  # precision exactly 1.0
     assert len(got) / len(want) >= 0.5  # probe-recall floor
+
+
+def _maintained_corpus(spark, tmp_path, base):
+    """Build the gate's maintained state directly: corpus with cells
+    assigned under a codebook trained on it, codebook published."""
+    from imagingdb_spark.operators.similarity import _ivf_assign_udf, _ivf_centroids
+
+    corpus_path = str(tmp_path / "vcorpus")
+    cents = _ivf_centroids(base)
+    base.withColumn("cell", _ivf_assign_udf(cents)("embedding")).write.parquet(
+        corpus_path
+    )
+    jobs.write_embed_codebook(spark, corpus_path + "_codebook", cents)
+    return corpus_path, cents
+
+
+def _match_sets(spark, batch, corpus_path, cents, threshold, probe):
+    from imagingdb_spark.operators.similarity import ann_match_pairs
+
+    corpus = spark.read.parquet(corpus_path)
+    return {
+        (r["new_vec"], r["corpus_vec"])
+        for r in ann_match_pairs(batch, corpus, cents, threshold, probe).collect()
+    }
+
+
+def test_rebuild_embedding_cells_recovers_drifted_balance(spark, tmp_path):
+    """VERDICT r5 item 4: appends from a shifted distribution assigned
+    under the FROZEN codebook collapse into a handful of stale cells —
+    the measured drift pathology is cell-size blowup (the per-task
+    memory bound and probe cost, not recall: a collapsed cell makes
+    partial probe silently degenerate to brute force over the drifted
+    cloud, recall 1.0 at unbounded cost). rebuild_embedding_cells must
+    (a) leave full-probe match sets IDENTICAL, (b) leave every stored
+    cell consistent with the published codebook, and (c) restore cell
+    balance: the max cell shrinks and the probe's scanned fraction
+    drops while recall stays above the pinned partial-probe floor."""
+    from pyspark.sql import functions as F
+
+    from imagingdb_spark.operators.similarity import (
+        IVF_K,
+        IVF_PROBE,
+        _ivf_assign_udf,
+    )
+
+    vecs = spark.read.parquet(SF_DIR + "/embeddings.parquet")
+    base = vecs.filter("vec_id % 2 = 0")
+    corpus_path, old_cents = _maintained_corpus(spark, tmp_path, base)
+
+    # drift: the odd half lands later, shifted far off the trained
+    # distribution, but gets cells from the FROZEN codebook (what the
+    # gate does between rebuilds)
+    shift = F.transform("embedding", lambda x: (x + F.lit(5.0)).cast("float"))
+    drifted = vecs.filter("vec_id % 2 = 1").withColumn("embedding", shift)
+    drifted.withColumn(
+        "cell", _ivf_assign_udf(old_cents)("embedding")
+    ).write.mode("append").parquet(corpus_path)
+
+    # probe batch: perturbed copies of drifted vectors, disjoint ids
+    probe_batch = (
+        drifted.filter("vec_id % 10 = 1")
+        .select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"),
+            F.transform(
+                "embedding", lambda x: (x * F.lit(1.01)).cast("float")
+            ).alias("embedding"),
+            "label",
+        )
+        .persist()
+    )
+    def cell_stats(cents):
+        """(max cell fraction, mean fraction of the corpus a drifted
+        probe scans at IVF_PROBE)."""
+        import numpy as np
+
+        corpus = spark.read.parquet(corpus_path)
+        sizes = {
+            r["cell"]: r["n"]
+            for r in corpus.groupBy("cell").agg(F.count("*").alias("n")).collect()
+        }
+        total = sum(sizes.values())
+        c = cents.astype("float64")
+        c_sq = (c * c).sum(axis=1)
+        fracs = []
+        for r in probe_batch.select("embedding").collect():
+            v = np.asarray(r["embedding"], dtype=np.float64)
+            near = np.argsort(-2.0 * (c @ v) + c_sq)[:IVF_PROBE]
+            fracs.append(sum(sizes.get(int(i), 0) for i in near) / total)
+        return max(sizes.values()) / total, sum(fracs) / len(fracs)
+
+    threshold = 0.5
+    exact = _match_sets(spark, probe_batch, corpus_path, old_cents, threshold, IVF_K)
+    before = _match_sets(
+        spark, probe_batch, corpus_path, old_cents, threshold, IVF_PROBE
+    )
+    assert before <= exact and exact
+    max_frac_before, scan_before = cell_stats(old_cents)
+    # the drift pathology this job exists for: the shifted cloud (half
+    # the corpus) collapsed into few stale cells
+    assert max_frac_before > 0.25
+
+    stats = jobs.rebuild_embedding_cells(spark, corpus_path)
+    assert stats["n_vectors"] == vecs.count()
+    assert 0 < stats["n_moved"] <= stats["n_vectors"]
+
+    new_cents = jobs.read_embed_codebook(spark, corpus_path + "_codebook")
+    # (a) full probe unchanged — cells are irrelevant when every cell scans
+    assert (
+        _match_sets(spark, probe_batch, corpus_path, new_cents, threshold, IVF_K)
+        == exact
+    )
+    # (b) every stored cell is the published codebook's assignment
+    corpus = spark.read.parquet(corpus_path)
+    inconsistent = corpus.withColumn(
+        "want", _ivf_assign_udf(new_cents)("embedding")
+    ).filter("cell != want")
+    assert inconsistent.count() == 0
+    # (c) balance restored: max cell shrinks, the probe scans a smaller
+    # corpus fraction, and recall holds the partial-probe floor
+    max_frac_after, scan_after = cell_stats(new_cents)
+    assert max_frac_after < max_frac_before
+    assert scan_after < scan_before
+    after = _match_sets(
+        spark, probe_batch, corpus_path, new_cents, threshold, IVF_PROBE
+    )
+    assert after <= exact
+    assert len(after) / len(exact) >= 0.5
+    probe_batch.unpersist()
+
+
+def test_rebuild_crash_window_heals_forward(spark, tmp_path):
+    """Every rebuild crash window leaves the codebook torn (step 1 deletes
+    it first); the NEXT gate trigger's healing branch must restore a
+    self-consistent state — codebook published, every stored cell its
+    assignment — and still process its batch exactly (full-probe audit =
+    brute force)."""
+    import shutil
+
+    import numpy as np
+
+    from imagingdb_spark.operators.similarity import IVF_K, _ivf_assign_udf
+
+    rest, batch = _embed_fixture_frames(spark)
+    corpus_path, _ = _maintained_corpus(spark, tmp_path, rest)
+    rest_rows = spark.read.parquet(corpus_path).collect()
+
+    # crash between rebuild steps 1 and 3: codebook gone, cells stale
+    shutil.rmtree(corpus_path + "_codebook")
+
+    batch_path = str(tmp_path / "vin")
+    batch.coalesce(1).write.parquet(batch_path)
+    stream = spark.readStream.schema(jobs.VECS_RAW_SCHEMA).parquet(batch_path)
+    q = jobs.streaming_embedding_gate(
+        stream, corpus_path, str(tmp_path / "vmatches"),
+        str(tmp_path / "vck"), 0.3, probe=IVF_K,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    cents = jobs.read_embed_codebook(spark, corpus_path + "_codebook")
+    corpus = spark.read.parquet(corpus_path)
+    assert (
+        corpus.withColumn("want", _ivf_assign_udf(cents)("embedding"))
+        .filter("cell != want")
+        .count()
+        == 0
+    )
+    # the trigger that healed still gated its batch exactly
+    got = {
+        (r["new_vec"], r["corpus_vec"])
+        for r in spark.read.parquet(str(tmp_path / "vmatches")).collect()
+    }
+    cm = np.stack([np.asarray(r["embedding"], dtype=np.float64) for r in rest_rows])
+    ci = [r["vec_id"] for r in rest_rows]
+    want = set()
+    for r in batch.collect():
+        v = np.asarray(r["embedding"], dtype=np.float64)
+        sims = np.round(
+            (cm @ v) / (np.linalg.norm(cm, axis=1) * np.linalg.norm(v)), 4
+        )
+        for j in np.nonzero(sims >= 0.3)[0]:
+            want.add((r["vec_id"], ci[j]))
+    assert got == want and want
+
+
+def test_gate_reaps_stale_old_dir(spark, tmp_path):
+    """ADVICE r5: a crash after the swap's final rename but before the
+    cleanup leaves '<corpus>__old' on disk with the live table present;
+    the next trigger must delete it (it is stale by definition) rather
+    than leave it forever."""
+    import os
+
+    from imagingdb_spark.operators.similarity import IVF_K
+
+    rest, batch = _embed_fixture_frames(spark)
+    corpus_path, _ = _maintained_corpus(spark, tmp_path, rest)
+    os.makedirs(corpus_path + "__old")
+    with open(corpus_path + "__old/stale.parquet", "w") as f:
+        f.write("stale")
+
+    batch_path = str(tmp_path / "vin")
+    batch.coalesce(1).write.parquet(batch_path)
+    stream = spark.readStream.schema(jobs.VECS_RAW_SCHEMA).parquet(batch_path)
+    q = jobs.streaming_embedding_gate(
+        stream, corpus_path, str(tmp_path / "vmatches"),
+        str(tmp_path / "vck"), 0.3, probe=IVF_K,
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert not os.path.exists(corpus_path + "__old")
+
+
+def test_gate_replay_after_torn_append_matches_no_crash_run(spark, tmp_path):
+    """ADVICE r5: a replay after a torn corpus append must reproduce the
+    NO-CRASH outcome even when the batch contains near-duplicate pairs
+    within itself: the half-appended vectors are already in the corpus on
+    replay, and without the batch-id screen the rest of the batch would
+    match them (extra audit rows + dropped vectors)."""
+    from pyspark.sql import functions as F
+
+    from imagingdb_spark.operators.similarity import IVF_K, _ivf_assign_udf
+
+    rest, batch0 = _embed_fixture_frames(spark)
+    # make a batch with strong WITHIN-batch near-dups: each vector plus a
+    # barely-perturbed twin under a fresh id
+    twins = batch0.select(
+        (F.col("vec_id") + 2_000_000).alias("vec_id"),
+        F.transform("embedding", lambda x: (x * F.lit(1.001)).cast("float")).alias(
+            "embedding"
+        ),
+        "label",
+    )
+    batch = batch0.unionByName(twins)
+    corpus_path, cents = _maintained_corpus(spark, tmp_path, rest)
+    batch_path = str(tmp_path / "vin")
+    batch.coalesce(1).write.parquet(batch_path)
+
+    def run(ck):
+        stream = spark.readStream.schema(jobs.VECS_RAW_SCHEMA).parquet(batch_path)
+        q = jobs.streaming_embedding_gate(
+            stream, corpus_path, str(tmp_path / "vmatches"),
+            str(tmp_path / ck), 0.3, probe=IVF_K,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # no-crash run on a pristine copy of the state for the expectation
+    import shutil as _sh
+
+    pristine = str(tmp_path / "pristine")
+    _sh.copytree(corpus_path, pristine)
+    _sh.copytree(corpus_path + "_codebook", pristine + "_codebook")
+
+    run("ck_clean")
+    clean_corpus = {
+        r["vec_id"] for r in spark.read.parquet(corpus_path).collect()
+    }
+    clean_matches = {
+        (r["new_vec"], r["corpus_vec"])
+        for r in spark.read.parquet(str(tmp_path / "vmatches")).collect()
+    }
+    accepted = clean_corpus - {r["vec_id"] for r in rest.collect()}
+    assert accepted  # the batch contributed novel vectors
+
+    # rebuild the TORN state: pristine corpus + half of the ACCEPTED
+    # set already appended (the real crash window: the trigger's match
+    # append landed, the corpus append died half-way)
+    _sh.rmtree(corpus_path)
+    _sh.rmtree(corpus_path + "_codebook")
+    _sh.copytree(pristine, corpus_path)
+    _sh.copytree(pristine + "_codebook", corpus_path + "_codebook")
+    torn_half = batch.filter(
+        F.col("vec_id").isin([i for i in accepted if i % 2 == 0])
+    )
+    assert torn_half.count() > 0
+    # torn_half contains within-batch near-dup twins of vectors still
+    # waiting in the batch — the scenario the batch-id screen exists for
+    torn_half.withColumn(
+        "cell", _ivf_assign_udf(cents)("embedding")
+    ).write.mode("append").parquet(corpus_path)
+
+    run("ck_replay")  # replay of the full batch against the torn state
+    replay_corpus = {
+        r["vec_id"] for r in spark.read.parquet(corpus_path).collect()
+    }
+    # audit rows from before the crash are re-appended on replay; the
+    # documented downstream read is distinct-by-(new_vec, corpus_vec),
+    # which the set comprehension applies
+    replay_matches = {
+        (r["new_vec"], r["corpus_vec"])
+        for r in spark.read.parquet(str(tmp_path / "vmatches")).collect()
+    }
+    assert replay_corpus == clean_corpus
+    assert replay_matches == clean_matches
