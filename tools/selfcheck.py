@@ -95,9 +95,30 @@ def main() -> int:
             failed.append(name)
             continue
         if name not in registry.ORACLE:
-            print(f"ok?  {name}: rows-only ({len(sdf)} rows, {time.time()-t0:.1f}s)")
+            # rows-only queries get no value oracle, so the strongest
+            # machine check available is RUN-TO-RUN DETERMINISM: build the
+            # plan twice and require identical canonicalized content
+            # (VERDICT r5 item 8). Catches nondeterministic sampling,
+            # unordered LIMIT, and unstable floats that a row count can't.
+            spark.catalog.clearCache()  # re-run must not reuse run 1's cache
+            try:
+                sdf2 = registry.QUERIES[name](spark, sf_dir).toPandas()
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL {name}: rerun error: {e}")
+                failed.append(name)
+                continue
+            det = len(sdf) == len(sdf2) and (
+                len(sdf) == 0 or normalize(sdf).equals(normalize(sdf2))
+            )
+            verdict = "deterministic" if det else "NONDETERMINISTIC"
+            print(
+                f"ok?  {name}: rows-only, {verdict} "
+                f"({len(sdf)} rows, {time.time()-t0:.1f}s)"
+            )
             if len(sdf) == 0:
                 print(f"     WARNING {name}: 0 rows")
+            if not det:
+                failed.append(name)
             spark.catalog.clearCache()  # minhash/simhash persist intermediates
             continue
         try:
