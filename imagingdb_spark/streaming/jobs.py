@@ -323,11 +323,47 @@ def read_docs_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ISIN_SCREEN_MAX = 100_000  # present-id screens above this size fall back
+#                            to a broadcast anti-join (an IN-list this big
+#                            would bloat the plan; below it, a map-side
+#                            filter costs zero extra jobs)
+
+
+def _heal_interrupted_compaction(path: str) -> None:
+    """Recover a table from a compaction that crashed mid-swap
+    (layout.compact_parquet's windows): orphaned ``<path>.compact.*``
+    rewrite attempts are garbage whenever no compaction is running
+    (single-writer rule), ``<path>.old.*`` is the live data iff the table
+    path itself is missing (crash between the two renames), and stale
+    otherwise (crash before the final cleanup). Called at trigger start
+    for every gate-maintained table so a mid-stream compaction crash
+    never surfaces as a missing corpus (which the gate would misread as
+    'first batch' — silent data loss)."""
+    import glob as _glob
+    import os
+    import shutil
+
+    for t in _glob.glob(path + ".compact.*"):
+        shutil.rmtree(t, ignore_errors=True)
+    olds = sorted(_glob.glob(path + ".old.*"))
+    if not olds:
+        return
+    if os.path.exists(path):
+        for o in olds:
+            shutil.rmtree(o, ignore_errors=True)
+    else:
+        os.rename(olds[-1], path)
+        for o in olds[:-1]:
+            shutil.rmtree(o, ignore_errors=True)
+
+
 def streaming_dedup_gate(
     docs: DataFrame,
     corpus_path: str,
     matches_path: str,
     checkpoint_dir: str,
+    compact_every: int | None = None,
+    append_partitions: int | None = 8,
 ) -> StreamingQuery:
     """Streaming crawl-ingest dedup gate — the continuous twin of
     x_dedup_incremental: per micro-batch, (1) exact-dedup the batch
@@ -354,25 +390,34 @@ def streaming_dedup_gate(
     token-bucketed table so the candidate join co-locates and batch
     prefix tokens prune files.
 
-    At-least-once discipline: a trigger performs THREE non-transactional
-    appends (matches, corpus, index), so a crash can land between any
-    two. Every append is therefore individually idempotent by doc_id:
+    At-least-once discipline: a trigger performs FOUR non-transactional
+    appends (matches, corpus, tokset index, prefix index) — run as
+    CONCURRENT Spark jobs since round 6, so a crash can leave any SUBSET
+    landed. Every append is therefore individually idempotent by doc_id:
     self-matches (a replayed doc colliding with its own index entry at
     jaccard 1.0) are filtered out of the duplicate set, and the corpus /
-    index appends each screen out already-present doc_ids via a
-    broadcast-semi + broadcast-anti pair (``_not_already_present``: the
-    corpus-scale id column is scanned map-side under the broadcast batch
-    ids, never shuffled — a naive left-anti would sort-merge the full id
-    table per trigger). Any torn state heals on the replay the streaming
-    checkpoint guarantees happens before new data: docs in the corpus
-    but missing index rows get them (and vice versa); a torn BOOTSTRAP
-    is detected by the index dirs' _SUCCESS markers (partial overwrite
-    output READS fine, so a read-probe proves nothing) and rebuilds both
-    index tables with overwrite; a missing corpus is detected by an
-    explicit filesystem probe so a transient read error fails the
-    trigger for retry instead of masquerading as 'first batch'. The
-    audit log can still hold a replayed row, which a downstream reader
-    dedups by (new_doc, corpus_doc)."""
+    index appends each screen out already-present doc_ids
+    (``_present_sets``: ONE tagged union scan of the three id columns,
+    semi-filtered map-side under the broadcast batch ids and collected
+    batch-bounded — never shuffled, and one job where round 5 spent
+    three). Any torn state heals on the replay the streaming checkpoint
+    guarantees happens before new data: docs in the corpus but missing
+    index rows get them (and vice versa); a torn BOOTSTRAP is detected
+    by the index dirs' _SUCCESS markers (partial overwrite output READS
+    fine, so a read-probe proves nothing) and rebuilds both index tables
+    with overwrite; a missing corpus is detected by an explicit
+    filesystem probe so a transient read error fails the trigger for
+    retry instead of masquerading as 'first batch'. The audit log can
+    still hold a replayed row, which a downstream reader dedups by
+    (new_doc, corpus_doc).
+
+    Maintenance: ``append_partitions`` bounds each micro-batch write's
+    file count (None = leave parallelism alone); ``compact_every=N``
+    folds the per-trigger fragments back to target-sized files every N
+    triggers with layout.compact_parquet's crash-safe rewrite —
+    ``_heal_interrupted_compaction`` at trigger start recovers every
+    mid-swap crash window, so a compaction death never masquerades as a
+    missing corpus."""
     from imagingdb_spark.operators.dedup import (
         canonical_prefixes,
         canonical_toksets,
@@ -396,24 +441,66 @@ def streaming_dedup_gate(
         fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
         return bool(fs.exists(p))
 
-    def _not_already_present(small: DataFrame, ids: DataFrame) -> DataFrame:
-        """Rows of batch-sized ``small`` whose doc_id is absent from the
-        corpus-scale ``ids`` — WITHOUT shuffling ``ids``. A direct
-        ``small.join(ids, 'doc_id', 'left_anti')`` cannot broadcast
-        (LeftAnti only builds the RIGHT side, which is corpus-scale), so
-        it would sort-merge-shuffle the full id column per trigger. Two
-        broadcast steps instead: (1) semi-filter ids by the broadcast
-        batch ids — a map-side scan emitting ≤ |batch| matches; (2)
-        anti-join ``small`` against that batch-bounded 'present' set,
-        also broadcast. Per-trigger cost: one column-pruned scan of the
-        id table, zero shuffles of it."""
-        present = ids.join(
-            F.broadcast(small.select("doc_id").distinct()), "doc_id", "left_semi"
-        ).distinct()
-        return small.join(F.broadcast(present), "doc_id", "left_anti")
+    def _present_sets(spark: SparkSession, batch: DataFrame) -> dict[str, set]:
+        """Per-table sets of batch doc_ids already present in the corpus /
+        tokset / prefix tables, computed in ONE job — WITHOUT shuffling
+        any corpus-scale column. The three tables' id columns are scanned
+        under a single tagged union, semi-filtered map-side by the
+        broadcast batch ids (emitting ≤ 3·|batch| rows), and collected (a
+        batch-bounded collect, same pattern as the codebook reads). This
+        replaces three separate semi+anti screen jobs per trigger
+        (round-6 trigger-overhead cut: one column-pruned scan job instead
+        of three, and the downstream appends screen with a free map-side
+        IN filter instead of a broadcast join each)."""
+        corpus_ids = spark.read.parquet(corpus_path).select("doc_id")
+        tok_ids = spark.read.parquet(idx_tokset_path).select("doc_id")
+        pref_ids = spark.read.parquet(idx_prefix_path).select("doc_id")
+        tagged = (
+            corpus_ids.withColumn("tbl", F.lit("c"))
+            .unionByName(tok_ids.withColumn("tbl", F.lit("t")))
+            .unionByName(pref_ids.withColumn("tbl", F.lit("p")))
+        )
+        rows = (
+            tagged.join(
+                F.broadcast(batch.select("doc_id").distinct()),
+                "doc_id",
+                "left_semi",
+            )
+            .distinct()
+            .collect()
+        )
+        out: dict[str, set] = {"c": set(), "t": set(), "p": set()}
+        for r in rows:
+            out[r["tbl"]].add(r["doc_id"])
+        return out
+
+    def _screen(spark: SparkSession, small: DataFrame, present: set) -> DataFrame:
+        """Drop ``small`` rows whose doc_id is in the batch-bounded
+        ``present`` set: a zero-job map-side NOT-IN filter, with a
+        broadcast anti-join fallback should a giant batch ever overflow
+        the IN-list bound."""
+        if not present:
+            return small
+        if len(present) <= ISIN_SCREEN_MAX:
+            return small.filter(~F.col("doc_id").isin(*present))
+        ids = spark.createDataFrame(
+            [(int(i),) for i in present], "doc_id long"
+        )
+        return small.join(F.broadcast(ids), "doc_id", "left_anti")
+
+    def _co(df: DataFrame) -> DataFrame:
+        """Bound a micro-batch write's file count: 32 shuffle partitions
+        writing a few hundred rows cost 32 task commits + 32 files per
+        table per trigger (the fragmentation compact_every exists to
+        undo). None = leave the parallelism alone (bulk regime)."""
+        return df.coalesce(append_partitions) if append_partitions else df
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
         spark = batch_df.sparkSession
+        for p in (corpus_path, idx_tokset_path, idx_prefix_path, matches_path):
+            _heal_interrupted_compaction(p)
         batch = (
             batch_df.withColumn("_h", F.sha2("text", 256))
             .withColumn(
@@ -429,7 +516,7 @@ def streaming_dedup_gate(
         try:
             if not _fs_exists(spark, corpus_path):
                 # first batch ever: everything is novel
-                batch.write.mode("append").parquet(corpus_path)
+                _co(batch).write.mode("append").parquet(corpus_path)
                 _write_index(canonical_toksets(batch), "append")
                 return
             # the index is complete only if BOTH overwrite jobs finished:
@@ -449,7 +536,6 @@ def streaming_dedup_gate(
                     canonical_toksets(spark.read.parquet(corpus_path)),
                     "overwrite",
                 )
-            corpus_ids = spark.read.parquet(corpus_path).select("doc_id")
             corpus_tok = spark.read.parquet(idx_tokset_path)
             corpus_prefix = spark.read.parquet(idx_prefix_path)
             batch_tok = canonical_toksets(batch).persist()
@@ -463,29 +549,64 @@ def streaming_dedup_gate(
                 .persist()
             )
             try:
-                pairs.write.mode("append").parquet(matches_path)
+                # materialize the match BEFORE fanning out: the four
+                # writes below all hang off `pairs`, and a count from a
+                # persisted plan computes it exactly once instead of
+                # racing four concurrent evaluations
+                pairs.count()
+                present = _present_sets(spark, batch)
                 dup_ids = pairs.select(
                     F.col("new_doc").alias("doc_id")
                 ).distinct()
-                accepted = batch.join(dup_ids, "doc_id", "left_anti")
-                accepted_tok = batch_tok.join(dup_ids, "doc_id", "left_anti")
-                # per-table doc_id screens: each append individually
-                # idempotent, so a crash between any two self-heals on
-                # replay (see docstring)
-                _not_already_present(accepted, corpus_ids).write.mode(
-                    "append"
-                ).parquet(corpus_path)
-                _not_already_present(
-                    accepted_tok, corpus_tok.select("doc_id")
-                ).write.mode("append").parquet(idx_tokset_path)
-                canonical_prefixes(
-                    _not_already_present(
-                        accepted_tok, corpus_prefix.select("doc_id")
+                accepted = batch.join(F.broadcast(dup_ids), "doc_id", "left_anti")
+                accepted_tok = batch_tok.join(
+                    F.broadcast(dup_ids), "doc_id", "left_anti"
+                )
+                # per-table doc_id screens keep each append individually
+                # idempotent; the four appends are INDEPENDENT given the
+                # materialized pairs + present sets, so they run as
+                # concurrent Spark jobs — trigger wall-clock pays the
+                # slowest write once, not the sum of four (the round-6
+                # overhead cut; crash healing is unchanged because it
+                # never assumed an append ORDER, only per-append
+                # idempotence — any landed subset heals on replay)
+                writes = [
+                    lambda: _co(pairs).write.mode("append").parquet(matches_path),
+                    lambda: _co(_screen(spark, accepted, present["c"]))
+                    .write.mode("append")
+                    .parquet(corpus_path),
+                    lambda: _co(_screen(spark, accepted_tok, present["t"]))
+                    .write.mode("append")
+                    .parquet(idx_tokset_path),
+                    lambda: _co(
+                        canonical_prefixes(
+                            _screen(spark, accepted_tok, present["p"])
+                        )
                     )
-                ).write.mode("append").parquet(idx_prefix_path)
+                    .write.mode("append")
+                    .parquet(idx_prefix_path),
+                ]
+                with ThreadPoolExecutor(max_workers=4) as pool:
+                    for fut in [pool.submit(w) for w in writes]:
+                        fut.result()
             finally:
                 pairs.unpersist()
                 batch_tok.unpersist()
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                # periodic small-file maintenance: every trigger lands one
+                # fragment per table; fold them back to target-sized files
+                # with the crash-safe rewrite (heal at trigger start
+                # covers a compaction that dies mid-swap)
+                from imagingdb_spark.layout import compact_parquet
+
+                for p in (
+                    corpus_path,
+                    idx_tokset_path,
+                    idx_prefix_path,
+                    matches_path,
+                ):
+                    if _fs_exists(spark, p):
+                        compact_parquet(spark, p)
         finally:
             batch.unpersist()
 
@@ -617,6 +738,8 @@ def streaming_embedding_gate(
     checkpoint_dir: str,
     threshold: float,
     probe: int | None = None,
+    compact_every: int | None = None,
+    append_partitions: int | None = 8,
 ) -> StreamingQuery:
     """Streaming ANN-gated embedding ingest — the EMBEDDING twin of
     streaming_dedup_gate (St9): per micro-batch, (1) exact-dedup the
@@ -669,11 +792,17 @@ def streaming_embedding_gate(
     def _read_codebook(spark: SparkSession):
         return read_embed_codebook(spark, codebook_path)
 
+    def _co(df: DataFrame) -> DataFrame:
+        return df.coalesce(append_partitions) if append_partitions else df
+
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         import os
         import shutil
+        from concurrent.futures import ThreadPoolExecutor
 
         spark = batch_df.sparkSession
+        for p in (corpus_path, matches_path):
+            _heal_interrupted_compaction(p)
         batch = batch_df.dropDuplicates(["vec_id"]).persist()
         try:
             if not _fs_exists(spark, corpus_path) and _fs_exists(
@@ -694,8 +823,8 @@ def streaming_embedding_gate(
             if not _fs_exists(spark, corpus_path):
                 cents = _ivf_centroids(batch)
                 _write_codebook(spark, cents)
-                batch.withColumn(
-                    "cell", _ivf_assign_udf(cents)("embedding")
+                _co(
+                    batch.withColumn("cell", _ivf_assign_udf(cents)("embedding"))
                 ).write.mode("append").parquet(corpus_path)
                 return
             raw = spark.read.parquet(corpus_path)
@@ -740,16 +869,31 @@ def streaming_embedding_gate(
                 .persist()
             )
             try:
-                pairs.write.mode("append").parquet(matches_path)
+                # materialize once, then the two independent appends run
+                # as concurrent jobs (the text gate's round-6 fold)
+                pairs.count()
                 dup_ids = pairs.select(
                     F.col("new_vec").alias("vec_id")
                 ).distinct()
-                accepted = batch.join(dup_ids, "vec_id", "left_anti")
-                _not_present(accepted, corpus.select("vec_id")).withColumn(
+                accepted = batch.join(F.broadcast(dup_ids), "vec_id", "left_anti")
+                novel = _not_present(accepted, corpus.select("vec_id")).withColumn(
                     "cell", _ivf_assign_udf(cents)("embedding")
-                ).write.mode("append").parquet(corpus_path)
+                )
+                writes = [
+                    lambda: _co(pairs).write.mode("append").parquet(matches_path),
+                    lambda: _co(novel).write.mode("append").parquet(corpus_path),
+                ]
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    for fut in [pool.submit(w) for w in writes]:
+                        fut.result()
             finally:
                 pairs.unpersist()
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                from imagingdb_spark.layout import compact_parquet
+
+                for p in (corpus_path, matches_path):
+                    if _fs_exists(spark, p):
+                        compact_parquet(spark, p)
         finally:
             batch.unpersist()
 

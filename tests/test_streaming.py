@@ -998,3 +998,118 @@ def test_gate_replay_after_torn_append_matches_no_crash_run(spark, tmp_path):
     }
     assert replay_corpus == clean_corpus
     assert replay_matches == clean_matches
+
+
+def test_gate_compaction_mid_stream_preserves_results_and_replay(spark, tmp_path):
+    """compact_every folds per-trigger fragments mid-stream: over 4
+    micro-batches with compaction every 2 triggers, the corpus/matches
+    content must equal a no-compaction run's, the maintained tables must
+    hold FEWER files, and a subsequent replay (fresh checkpoint) must
+    still be idempotent — compaction must not disturb the _SUCCESS
+    markers or id screens the healing logic keys on."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+
+    def feed(batch_dir):
+        for i in range(4):
+            part = docs.filter(F.col("doc_id") % 3 == i % 3)  # batch 3 replays batch 0
+            part.coalesce(1).write.parquet(str(tmp_path / f"stage_{batch_dir}_{i}"))
+            import glob as _g
+            import shutil as _sh
+
+            src = _g.glob(str(tmp_path / f"stage_{batch_dir}_{i}" / "part-*.parquet"))[0]
+            (tmp_path / batch_dir).mkdir(exist_ok=True)
+            _sh.move(src, str(tmp_path / batch_dir / f"b{i:02d}.parquet"))
+
+    def run(batch_dir, corpus, matches, ck, compact_every):
+        stream = (
+            spark.readStream.schema(jobs.DOCS_RAW_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / batch_dir))
+        )
+        q = jobs.streaming_dedup_gate(
+            stream, corpus, matches, str(tmp_path / ck),
+            compact_every=compact_every,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    feed("in_a")
+    feed("in_b")
+    run("in_a", str(tmp_path / "corpus_a"), str(tmp_path / "match_a"), "ck_a", 2)
+    run("in_b", str(tmp_path / "corpus_b"), str(tmp_path / "match_b"), "ck_b", None)
+
+    ca = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus_a")).collect()}
+    cb = {r["doc_id"] for r in spark.read.parquet(str(tmp_path / "corpus_b")).collect()}
+    assert ca == cb
+    ma = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in spark.read.parquet(str(tmp_path / "match_a")).collect()
+    }
+    mb = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in spark.read.parquet(str(tmp_path / "match_b")).collect()
+    }
+    assert ma == mb and ma
+    # compaction actually shrank the maintained tables' file counts
+    for tbl in ("corpus", "corpus_idx_tokset", "corpus_idx_prefix"):
+        na = len(spark.read.parquet(str(tmp_path / (tbl.replace("corpus", "corpus_a")))).inputFiles())
+        nb = len(spark.read.parquet(str(tmp_path / (tbl.replace("corpus", "corpus_b")))).inputFiles())
+        assert na < nb, f"{tbl}: compacted {na} !< fragmented {nb}"
+    # replay across the compacted state stays idempotent
+    n_before = len(ca)
+    run("in_a", str(tmp_path / "corpus_a"), str(tmp_path / "match_a"), "ck_a2", 2)
+    assert spark.read.parquet(str(tmp_path / "corpus_a")).count() == n_before
+
+
+def test_gate_heals_compaction_crash_windows(spark, tmp_path):
+    """A compaction that dies mid-swap leaves either '<t>.old.*' beside a
+    missing table (between the renames) or beside the live table (before
+    cleanup), plus orphaned '<t>.compact.*' attempts; the next trigger
+    must restore/reap so the gate NEVER misreads a missing corpus as
+    'first batch'."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet").select(
+        "doc_id", "text", "lang", "source"
+    )
+    is_new = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0")
+    corpus_path = str(tmp_path / "corpus")
+    docs.filter(~is_new).write.parquet(corpus_path)
+    n_corpus0 = docs.filter(~is_new).count()
+    batch_path = str(tmp_path / "incoming")
+    docs.filter(is_new).coalesce(1).write.parquet(batch_path)
+
+    # crash window 1: between the two renames — table gone, .old has the data
+    shutil.move(corpus_path, corpus_path + ".old.deadbeef")
+    os.makedirs(corpus_path + ".compact.cafe")  # orphaned attempt too
+
+    stream = spark.readStream.schema(jobs.DOCS_RAW_SCHEMA).parquet(batch_path)
+    q = jobs.streaming_dedup_gate(
+        stream, corpus_path, str(tmp_path / "matches"), str(tmp_path / "ck1")
+    )
+    q.processAllAvailable()
+    q.stop()
+    # the corpus was RESTORED (not restarted from the batch): it holds the
+    # original docs plus the batch's novel ones
+    n_now = spark.read.parquet(corpus_path).count()
+    assert n_now > n_corpus0  # restored + grew; a 'first batch' restart would be tiny
+    assert not os.path.exists(corpus_path + ".old.deadbeef")
+    assert not os.path.exists(corpus_path + ".compact.cafe")
+
+    # crash window 2: stale .old beside the live table — reaped next trigger
+    os.makedirs(corpus_path + ".old.feed")
+    stream2 = spark.readStream.schema(jobs.DOCS_RAW_SCHEMA).parquet(batch_path)
+    q2 = jobs.streaming_dedup_gate(
+        stream2, corpus_path, str(tmp_path / "matches"), str(tmp_path / "ck2")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert not os.path.exists(corpus_path + ".old.feed")
+    assert spark.read.parquet(corpus_path).count() == n_now  # replay idempotent
