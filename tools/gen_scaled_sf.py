@@ -102,16 +102,40 @@ def main() -> None:
                 spans[ref] = hi - lo + 1
 
     # rotation modulus = the REAL embedding dimension (hardcoding 64
-    # reproduced the unrotated-copy bug for any other dim); R beyond the
-    # dimension would wrap k back to 0 — refuse rather than silently
-    # emit bit-identical copies
+    # reproduced the unrotated-copy bug for any other dim). For R beyond
+    # the dimension the rotation alone would wrap copy `dim` back to an
+    # unrotated duplicate of copy 0, so copy i composes rotation
+    # (i mod dim) with a per-GROUP sign flip (group g = i // dim): a
+    # deterministic diagonal ±1 matrix, which is orthogonal, so
+    # within-copy cosine geometry is still exactly preserved while
+    # cross-group pairs that share a rotation decorrelate (their dot
+    # product sums ~dim/2 sign-flipped terms). Group 0 uses the identity
+    # pattern, keeping every output for r <= dim bit-identical to the
+    # rotation-only scheme that sf1.0/sf3.0 evidence was generated with.
     emb_dim = con.execute(
         f"SELECT len(embedding) FROM '{src}/embeddings.parquet' LIMIT 1"
     ).fetchone()[0]
-    if r > emb_dim:
+
+    def flip_signs(g: int) -> list[int]:
+        if g == 0:
+            return [1] * emb_dim
+        # deterministic per-(group, coordinate) hash; coordinate g%dim is
+        # flipped unconditionally so no group's pattern can collapse to
+        # the identity
+        import hashlib
+
+        signs = []
+        for j in range(emb_dim):
+            h = hashlib.sha256(f"flip{g}_{j}".encode()).digest()[0]
+            signs.append(-1 if (h & 1) or j == g % emb_dim else 1)
+        return signs
+
+    groups = (r + emb_dim - 1) // emb_dim
+    patterns = [tuple(flip_signs(g)) for g in range(groups)]
+    if len(set(patterns)) != len(patterns):
         raise SystemExit(
-            f"R={r} exceeds embedding dim {emb_dim}: copy {emb_dim} would "
-            "be an unrotated duplicate of copy 0"
+            f"sign-flip patterns collide across groups at R={r}: two "
+            "copy groups would be bit-identical transforms"
         )
 
     # re-scaling an already-scaled output would salt 'foo' to 'c1foo'
@@ -215,16 +239,29 @@ def main() -> None:
                     # null-text docs never reach doc_toks; pass through
                     exprs.append("coalesce(n.text, b.text) AS text")
                 elif t == "embeddings" and c == "embedding" and i > 0:
-                    # rotate by the copy index, bounded by the measured
+                    # rotate by the copy index modulo the measured
                     # dimension (an earlier hardcoded i % 8 left copy 8
                     # unrotated — bit-identical to copy 0, 2000 spurious
-                    # cross-copy cos=1.0 pairs at R=10; R > dim is
-                    # refused above)
+                    # cross-copy cos=1.0 pairs at R=10), composed with
+                    # the copy group's sign-flip pattern (identity for
+                    # group 0 — see flip_signs above)
                     k = i % emb_dim
-                    exprs.append(
+                    rotated = (
                         f"list_concat(b.embedding[{k + 1}:], "
-                        f"b.embedding[1:{k}]) AS embedding"
+                        f"b.embedding[1:{k}])"
                     )
+                    signs = patterns[i // emb_dim]
+                    if all(s == 1 for s in signs):
+                        exprs.append(f"{rotated} AS embedding")
+                    else:
+                        sign_lit = "[" + ", ".join(
+                            f"{s}::FLOAT" for s in signs
+                        ) + "]"
+                        exprs.append(
+                            f"list_transform(list_zip({rotated}, "
+                            f"{sign_lit}), x -> (x[1] * x[2])"
+                            f"::FLOAT) AS embedding"
+                        )
                 else:
                     exprs.append(f"b.{c}")
             join = (
