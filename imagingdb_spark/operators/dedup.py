@@ -776,9 +776,11 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "x_dedup_verified",
-    oracle="""
+# Lossless verified-pairs truth set as a DuckDB CTE block, shared by the
+# x_dedup_verified and x_split_leakage oracles: PPJoin prefix candidates
+# (candidate-quadratic, not corpus-quadratic — same lossless filter as the
+# Spark side) exact-verified at round(jaccard, 4) >= 0.5.
+_VERIFIED_PAIRS_CTE = """
     WITH toks AS (
       SELECT doc_id,
              list_filter(string_split_regex(lower(text), '\\s+'),
@@ -814,17 +816,26 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM pref a JOIN pref b ON a.sg = b.sg AND a.doc_id < b.doc_id
+    ), vpairs AS (
+      SELECT c.doc_a, c.doc_b,
+             round(len(list_intersect(a.shset, b.shset)) /
+                   (len(a.shset) + len(b.shset)
+                    - len(list_intersect(a.shset, b.shset))), 4) AS jaccard
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b
+      WHERE round(len(list_intersect(a.shset, b.shset)) /
+                  (len(a.shset) + len(b.shset)
+                   - len(list_intersect(a.shset, b.shset))), 4) >= 0.5
     )
-    SELECT c.doc_a, c.doc_b,
-           round(len(list_intersect(a.shset, b.shset)) /
-                 (len(a.shset) + len(b.shset)
-                  - len(list_intersect(a.shset, b.shset))), 4) AS jaccard
-    FROM cand c
-    JOIN sh a ON a.doc_id = c.doc_a
-    JOIN sh b ON b.doc_id = c.doc_b
-    WHERE round(len(list_intersect(a.shset, b.shset)) /
-                (len(a.shset) + len(b.shset)
-                 - len(list_intersect(a.shset, b.shset))), 4) >= 0.5
+"""
+
+
+@query(
+    "x_dedup_verified",
+    oracle=_VERIFIED_PAIRS_CTE
+    + """
+    SELECT doc_a, doc_b, jaccard FROM vpairs
     """,
 )
 def x_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -852,6 +863,88 @@ def x_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     mirrors _shingle_batch: 0 < len < k docs contribute ONE
     order-sensitive whole-doc shingle; empty docs none."""
     return verified_pairs(table(spark, sf_dir, "documents"))
+
+
+@query(
+    "x_split_leakage",
+    oracle=_VERIFIED_PAIRS_CTE
+    + """
+    , labeled AS (
+      SELECT doc_a, doc_b, jaccard,
+             CASE
+               WHEN substr(md5('doc-' || CAST(doc_a AS VARCHAR)), 1, 2) < '0d'
+                 THEN 'test'
+               WHEN substr(md5('doc-' || CAST(doc_a AS VARCHAR)), 1, 2) < '1a'
+                 THEN 'val'
+               ELSE 'train'
+             END AS split_a,
+             CASE
+               WHEN substr(md5('doc-' || CAST(doc_b AS VARCHAR)), 1, 2) < '0d'
+                 THEN 'test'
+               WHEN substr(md5('doc-' || CAST(doc_b AS VARCHAR)), 1, 2) < '1a'
+                 THEN 'val'
+               ELSE 'train'
+             END AS split_b
+      FROM vpairs
+    )
+    SELECT CASE WHEN split_a = 'train' THEN doc_a ELSE doc_b END AS doc_train,
+           CASE WHEN split_a = 'train' THEN doc_b ELSE doc_a END AS doc_eval,
+           CASE WHEN split_a = 'train' THEN split_b ELSE split_a END
+             AS eval_split,
+           jaccard
+    FROM labeled
+    WHERE (split_a = 'train') <> (split_b = 'train')
+    """,
+)
+def x_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D20: train/eval LEAKAGE AUDIT — near-duplicate pairs that cross the
+    train/{val,test} boundary of the deterministic hash split
+    (sampling.split_col, the same assignment x_split_hash registers).
+    A benchmark doc whose near-twin sits in train is the leakage that
+    inflates eval scores; this query names every such pair with its
+    evidence (the exact shingle Jaccard), so the fix — drop the train
+    twin or quarantine the eval doc — is a doc_id-keyed anti-join.
+
+    Differs from x_decontaminate (dedup.py:1035) in both direction and
+    machinery: decontamination screens the corpus against a SMALL external
+    benchmark via broadcast n-grams; leakage audits the corpus against its
+    OWN split, so it rides the full lossless near-dup machinery
+    (verified_pairs: LSH ∪ PPJoin-prefix candidates, exact-verified —
+    recall 1.0 by construction, see x_dedup_verified).
+
+    Scale shape: the split label is a pure FUNCTION of doc_id (md5-bucket),
+    so labeling the pair stream is map-side column arithmetic on the
+    (already output-sized) verified-pairs frame — no join back to the
+    corpus, no extra shuffle beyond the ones verified_pairs already does.
+    val<->test pairs are NOT leakage (neither side trains) and are
+    excluded: a pair qualifies iff exactly one side is 'train'.
+
+    Reference analog: the uniqueness gate before insert
+    (db_operations.py:111-117) generalized to split-boundary uniqueness.
+    """
+    from imagingdb_spark.operators.sampling import split_col
+
+    def _split(idcol: str) -> Column:
+        return split_col(F.concat(F.lit("doc-"), F.col(idcol).cast("string")))
+
+    pairs = verified_pairs(table(spark, sf_dir, "documents"))
+    labeled = pairs.withColumn("split_a", _split("doc_a")).withColumn(
+        "split_b", _split("doc_b")
+    )
+    is_cross = (F.col("split_a") == "train") != (F.col("split_b") == "train")
+    a_is_train = F.col("split_a") == "train"
+    return labeled.filter(is_cross).select(
+        F.when(a_is_train, F.col("doc_a")).otherwise(F.col("doc_b")).alias(
+            "doc_train"
+        ),
+        F.when(a_is_train, F.col("doc_b")).otherwise(F.col("doc_a")).alias(
+            "doc_eval"
+        ),
+        F.when(a_is_train, F.col("split_b")).otherwise(F.col("split_a")).alias(
+            "eval_split"
+        ),
+        "jaccard",
+    )
 
 
 @query("x_dedup_simhash")  # rows-only: bit-manipulation not ANSI-SQL-expressible

@@ -557,3 +557,80 @@ def x_length_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         (rn / BATCH_SIZE).cast("bigint").alias("batch_idx"),
         (rn % BATCH_SIZE).cast("bigint").alias("pos_in_batch"),
     )
+
+
+@query(
+    "x_rebalance",
+    oracle="""
+    WITH cnt AS (
+      SELECT label, COUNT(*) AS n FROM embeddings GROUP BY label
+    ), mx AS (
+      SELECT max(n) AS m FROM cnt
+    ), spec AS (
+      SELECT label,
+             CAST((SELECT m FROM mx) // n AS BIGINT) AS base,
+             CAST((SELECT m FROM mx) % n AS BIGINT) AS rem
+      FROM cnt
+    ), ranked AS (
+      SELECT e.vec_id, e.label, s.base, s.rem,
+             row_number() OVER (
+               PARTITION BY e.label
+               ORDER BY md5('bal-' || CAST(e.vec_id AS VARCHAR)), e.vec_id
+             ) AS rk
+      FROM embeddings e JOIN spec s USING (label)
+    )
+    SELECT vec_id, label,
+           CAST(unnest(generate_series(
+             1, base + CASE WHEN rk <= rem THEN 1 ELSE 0 END)) AS INT)
+             AS copy_idx
+    FROM ranked
+    """,
+)
+def x_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8e: CLASS REBALANCING by deterministic oversampling — replicate
+    every class's rows to exactly the majority class's count (the
+    oversampling half of imbalanced-training prep; the undersampling half
+    is x_source_cap). Each row of class c gets floor(m/n_c) copies, and
+    the hash-ranked first (m mod n_c) rows one extra — so every class
+    lands on EXACTLY m rows, and which rows carry the extra copy is a
+    pure function of vec_id (stable under re-runs and appends, same
+    rationale as split_col; never rand()).
+
+    Scale shape: the class-count table is group-cardinality-sized and
+    broadcast both ways (counts join, scalar max); replication itself is
+    map-side explode(sequence(1, copies)) — output-proportional, no
+    shuffle. The only row-proportional shuffle is the per-class
+    row_number window that picks remainder rows; it keys on (label), the
+    classic skew shape when one class dominates — at 100 TB swap the
+    rank for capped_hash_rank (sampling.py:401), the skew-safe capped
+    per-group top-k, with cap = rem (rem < m/1 is bounded by the class
+    size); here the exact window keeps the oracle twin byte-exact.
+
+    Output (vec_id, label, copy_idx): downstream joins back to the
+    feature columns by vec_id, so the wide embedding arrays never ride
+    through the window or the explode."""
+    e = table(spark, sf_dir, "embeddings")
+    cnt = e.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    mx = cnt.agg(F.max("n").alias("m"))
+    spec = cnt.crossJoin(F.broadcast(mx)).select(
+        "label",
+        F.floor(F.col("m") / F.col("n")).alias("base"),
+        (F.col("m") % F.col("n")).alias("rem"),
+    )
+    rk = F.row_number().over(
+        Window.partitionBy("label").orderBy(
+            F.md5(F.concat(F.lit("bal-"), F.col("vec_id").cast("string"))),
+            "vec_id",
+        )
+    )
+    ranked = (
+        e.select("vec_id", "label")
+        .join(F.broadcast(spec), "label")
+        .withColumn("rk", rk)
+    )
+    copies = F.col("base") + F.when(F.col("rk") <= F.col("rem"), 1).otherwise(0)
+    return ranked.select(
+        "vec_id",
+        "label",
+        F.explode(F.sequence(F.lit(1), copies.cast("int"))).alias("copy_idx"),
+    )

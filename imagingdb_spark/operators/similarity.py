@@ -1218,3 +1218,111 @@ def x_retrieval_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("ndcg_at_k"),
     )
+
+
+PCA_Q = 8  # principal components kept by x_embed_pca
+
+
+def pca_components(
+    e: DataFrame, q: int = PCA_Q
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Fit PCA over an ``embedding`` column in ONE distributed pass:
+    per-partition sufficient statistics (count, component sum, X^T X outer
+    sum — float64) via mapInPandas, combined on the driver in ascending
+    partition-id order (a PINNED float fold order: collect() order is not
+    deterministic across runs, partition ids are), then a dim x dim
+    eigendecomposition driver-side.
+
+    Returns (mean[dim], components[dim, q], explained_variance[q]).
+
+    Scale shape: the collect is numPartitions x (dim^2 + dim + 2) doubles
+    (32 x ~4.2k here; ~33 MB even at 8k partitions) — the bounded-collect
+    pattern, independent of row count; everything row-proportional
+    happens map-side with one numpy gemm per Arrow batch. Eigh on a
+    64 x 64 (dim x dim) matrix is microseconds. Eigenvector SIGN is pinned
+    (largest-|coord| entry made positive, lowest index on ties) so results
+    don't flip between runs/libraries; eigenvalue ORDER is descending
+    with the eigenvalue itself as the sort key."""
+    from pyspark.taskcontext import TaskContext
+
+    def moments(batches):
+        n = 0
+        s = None
+        o = None
+        for pdf in batches:
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += x.shape[0]
+            s = x.sum(axis=0) if s is None else s + x.sum(axis=0)
+            xtx = x.T @ x
+            o = xtx if o is None else o + xtx
+        if n:
+            yield pd.DataFrame(
+                {
+                    "pid": [TaskContext.get().partitionId()],
+                    "n": [n],
+                    "s": [s.tolist()],
+                    "o": [o.ravel().tolist()],
+                }
+            )
+
+    parts = e.select("embedding").mapInPandas(
+        moments, schema="pid int, n long, s array<double>, o array<double>"
+    )
+    rows = sorted(parts.collect(), key=lambda r: r["pid"])
+    if not rows:
+        raise ValueError("pca_components: empty embedding frame")
+    n = sum(r["n"] for r in rows)
+    dim = len(rows[0]["s"])
+    s = np.zeros(dim)
+    o = np.zeros((dim, dim))
+    for r in rows:
+        s += np.asarray(r["s"])
+        o += np.asarray(r["o"]).reshape(dim, dim)
+    mean = s / n
+    cov = (o - n * np.outer(mean, mean)) / max(n - 1, 1)
+    eigvals, eigvecs = np.linalg.eigh(cov)  # ascending
+    order = np.argsort(eigvals)[::-1][:q]
+    comps = eigvecs[:, order]
+    for j in range(comps.shape[1]):
+        pivot = int(np.argmax(np.abs(comps[:, j])))  # lowest index on ties
+        if comps[pivot, j] < 0:
+            comps[:, j] = -comps[:, j]
+    return mean, comps, eigvals[order]
+
+
+@query("x_embed_pca")  # rows-only: eigendecomposition is not ANSI-SQL-
+#                        expressible; exact numpy-parity unit test instead
+def x_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3i: PCA dimensionality reduction of the embedding column — 64-dim
+    float vectors down to PCA_Q=8 principal-component scores per vector,
+    the standard pre-step before clustering / visualization / cheap
+    prefiltering (and the learned counterpart of x_embed_quantize's
+    per-dimension scalar quantization).
+
+    Two phases, both bounded:
+    - fit: one distributed pass of per-partition (count, sum, X^T X)
+      sufficient statistics — see pca_components; nothing corpus-sized
+      leaves the executors, the driver combines numPartitions rows of
+      ~dim^2 doubles in pinned partition-id order and eigendecomposes a
+      dim x dim matrix.
+    - transform: components ride into a pandas_udf closure (~4 KB; at
+      cluster scale an explicit broadcast variable, same mechanics) and
+      projection is one numpy gemm per Arrow batch — embarrassingly
+      parallel, zero shuffles.
+
+    Output is posexploded to (vec_id, label, pc, score) rows, scores
+    rounded to 4 decimals; with the fold order pinned and eigenvector
+    signs canonicalized the result is run-to-run deterministic (the
+    selfcheck determinism harness covers it)."""
+    e = table(spark, sf_dir, "embeddings")
+    mean, comps, _ = pca_components(e)
+
+    @F.pandas_udf("array<double>")
+    def project(emb: pd.Series) -> pd.Series:
+        x = np.stack(emb.to_numpy()).astype(np.float64)
+        scores = np.round((x - mean) @ comps, 4)
+        return pd.Series(list(scores))
+
+    return e.select(
+        "vec_id", "label", F.posexplode(project("embedding")).alias("pc", "score")
+    )

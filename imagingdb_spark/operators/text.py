@@ -685,3 +685,114 @@ def x_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __sent_docs d, LATERAL split_sentences(d.text) s
         """
     )
+
+
+# Heavy-hitters sketch parameters: report tokens covering >= HH_PHI of all
+# token occurrences. The Misra–Gries capacity must exceed 1/HH_PHI for the
+# no-false-negative guarantee (proof in _mg_sketch_partitions); 256 >> 50
+# keeps candidate counts tiny while leaving headroom to lower HH_PHI.
+HH_PHI = 0.02
+HH_SKETCH_K = 256
+
+
+def _mg_sketch_partitions(toks: DataFrame, k: int = HH_SKETCH_K) -> DataFrame:
+    """Per-partition Misra–Gries heavy-hitter CANDIDATES over a single
+    ``tok`` column (Misra & Gries 1982; batched compress à la Manku &
+    Motwani lossy counting): bounded state of at most ``k`` counters per
+    partition, merged per Arrow batch with exact value_counts, compressed
+    by subtracting the (k+1)-th largest count and dropping non-positives.
+
+    Guarantee (what makes the downstream EXACT recount lossless): each
+    compress subtracts its offset c* from at least k+1 distinct tokens
+    (the k survivors plus the (k+1)-th itself), so the total subtracted
+    per token is <= n_p/(k+1) where n_p is the partition's token count. A
+    token with partition frequency > n_p/(k+1) therefore survives with a
+    positive counter. Globally: share >= phi > 1/(k+1) implies frequency
+    > n_p/(k+1) in at least one partition (else summing the per-partition
+    bounds caps the global count at N/(k+1) < phi*N), so every true heavy
+    hitter appears in some partition's survivor set. False positives are
+    fine — the exact recount removes them.
+    """
+    import pandas as pd
+
+    def sketch(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok, n in pdf["tok"].value_counts().items():
+                counters[tok] = counters.get(tok, 0) + int(n)
+            if len(counters) > k:
+                offset = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    t: c - offset for t, c in counters.items() if c > offset
+                }
+        if counters:
+            yield pd.DataFrame({"tok": list(counters)})
+
+    return toks.mapInPandas(sketch, schema="tok string")
+
+
+@query(
+    "x_heavy_hitters",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                t -> t <> '')) AS tok
+      FROM documents
+    ), tot AS (SELECT COUNT(*) AS n_total FROM toks)
+    SELECT tok, CAST(COUNT(*) AS BIGINT) AS n_occ,
+           round(COUNT(*) * 1.0 / (SELECT n_total FROM tot), 4) AS share
+    FROM toks
+    GROUP BY tok
+    HAVING COUNT(*) * 1.0 / (SELECT n_total FROM tot) >= {HH_PHI}
+    """,
+)
+def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4e: EXACT corpus heavy hitters (tokens with occurrence share >=
+    HH_PHI) via sketch-then-verify — the same two-phase discipline as
+    x_dedup_verified: an approximate structure prunes the search space
+    with a no-false-negative guarantee, then an exact pass makes the
+    result provably correct.
+
+    Why not just x_token_freq's groupBy? That shuffle (and its partial-agg
+    hash map) is VOCABULARY-sized — fine for a 31-type toy corpus, a
+    problem for web-scale corpora where distinct token count grows with
+    corpus size (Heaps' law: billions of types at 100 TB, most of them
+    singletons that can never be heavy). Here:
+
+    - pass 1: per-partition Misra–Gries sketch (mapInPandas, bounded at
+      HH_SKETCH_K counters per partition regardless of vocabulary) emits
+      <= k * numPartitions candidate tokens — provably a superset of the
+      true heavy hitters (see _mg_sketch_partitions).
+    - pass 2: exact recount of ONLY the candidates — broadcast semi-join
+      against the candidate set, so the shuffle is candidate-sized, not
+      vocabulary-sized; singletons die map-side at the join.
+    - the denominator (total token count) comes from sum(size(tokens))
+      per document — no second explode — and rides in as a broadcast
+      1-row scalar (same scalar-BNLJ shape the plan guard allows for
+      x_tfidf).
+
+    Two corpus scans total (sketch + recount), each map-side until a
+    candidate-sized shuffle: the streaming-friendly tradeoff every
+    production heavy-hitter job makes. Output is EXACT (the sketch only
+    ever prunes), hence the SQL oracle.
+    """
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
+    cand = _mg_sketch_partitions(toks).dropDuplicates(["tok"])
+    total = d.select(
+        F.sum(F.size(tokens_col(F.col("text")))).alias("n_total")
+    )
+    counts = (
+        toks.join(F.broadcast(cand), "tok")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(F.col("n_occ") >= F.lit(HH_PHI) * F.col("n_total"))
+        .select(
+            "tok",
+            "n_occ",
+            F.round(F.col("n_occ") / F.col("n_total"), 4).alias("share"),
+        )
+    )

@@ -72,12 +72,25 @@ ORACLE: dict[str, str] = {}
 #   §2 family keeps an in-window member.
 # - OUT to the tail: everything that got its r5 row on unchanged code and
 #   has 2+ green rows (or whose family keeps a fresher holder).
+# - NEW this round, in-window (no driver record exists yet):
+#   x_split_leakage, x_heavy_hitters, x_rebalance, x_embed_pca. To keep
+#   the window at exactly 50, four r1/r3 singles rotate to the tail top
+#   (j_range, a_approx_sketch, s_except, x_lang_id) — each family keeps an
+#   in-window holder or 2+-green siblings; see the tail comments.
 PRIORITY: list[str] = [
     # --- rotated IN for round 6: no record / impl changed this round ---
     "x_embed_quantize",  # D3h: int8 SQ + error audit — only query with no
     #                      driver record; mean fold order pinned this round
     "x_dedup_verified",  # D2b+: candidate set now LOSSLESS (LSH ∪ prefix)
     "x_hard_negatives",  # D3g: headline is now the cell-cogrouped miner
+    # --- NEW in round 6 (no driver record yet, hence in-window; they
+    #     displace x_lang_id + s_except to 51-52, whose families keep
+    #     in-window or double-green coverage — see tail comments) ---
+    "x_split_leakage",  # D20: train/eval near-dup leakage audit (oracle)
+    "x_heavy_hitters",  # D4e: Misra–Gries sketch + exact recount (oracle)
+    "x_rebalance",      # D8e: deterministic class oversampling (oracle)
+    "x_embed_pca",      # D3i: distributed-moments PCA (rows-only + numpy
+    #                     parity unit test)
     # --- double-verification: the 11 queries whose only green row is r5 ---
     "x_inverted_index",   # D18 sibling (single green row, r5)
     "x_token_ids",      # D4 sibling (single green row, r5)
@@ -121,16 +134,21 @@ PRIORITY: list[str] = [
     # --- double-verification: r2/r1 singles + P/F family holders ---
     "o_natural_sort",   # O4 (single green row, r2)
     "x_quality_filter", # D10 (single green row, r2)
-    "j_outer_count",    # J+ (single green row, r1)
-    "j_range",          # J+ (single green row, r1)
-    "a_sum_avg",        # A+ (single green row, r1)
-    "s_except",         # set ops (single green row, r1)
-    "x_lang_id",        # D4 (single green row, r1)
+    "j_outer_count",    # J+ (single green row, r1; J-family holder)
+    "a_sum_avg",        # A+ (single green row, r1; A-family holder)
     "f_not_exists",     # P8 — P-family holder (pass-r1 + pass-r2)
     "f_string_parse",   # F1 — F-family holder (pass-r1 + pass-r3)
-    "a_approx_sketch",  # sketches rows-only (single clean run, r3)
     # --- position 51+: green driver rows on record; implementations +
     #     unit tests intact. Ordered roughly by record freshness. ---
+    "j_range",          # J+ (single green r1) — displaced by the four new
+    #                     round-6 queries; j_outer_count holds for J
+    "a_approx_sketch",  # sketches rows-only (clean r3) — displaced;
+    #                     a_sum_avg holds for A
+    "s_except",         # set ops (single green r1) — displaced by the four
+    #                     new round-6 queries; s_union/s_intersect hold
+    #                     r1+r2 double greens for the family
+    "x_lang_id",        # D4 (single green r1) — displaced; D4 keeps the
+    #                     new x_heavy_hitters in-window
     "x_span_dedup",     # pass-r4 + pass-r5
     "x_dedup_eval",     # clean-run r5 (rows-only)
     "x_pagerank",       # clean-run r5 (rows-only)

@@ -1284,3 +1284,198 @@ class TestBpeEncode:
         n_sub = sum(r["n_subwords"] for r in rows)
         n_words = sum(r["n_words"] for r in rows)
         assert n_words <= n_sub < n_chars
+
+
+class TestSplitLeakage:
+    @staticmethod
+    def _split_of(i: int) -> str:
+        import hashlib
+
+        b = hashlib.md5(f"doc-{i}".encode()).hexdigest()[:2]
+        return "test" if b < "0d" else ("val" if b < "1a" else "train")
+
+    def test_planted_cross_split_pair_found_oriented(self, spark, tmp_path):
+        """A planted near-dup pair with one side in train and one in an
+        eval split must be reported, oriented (doc_train, doc_eval); a
+        same-split near-dup pair and an eval<->eval pair must not."""
+        from imagingdb_spark.operators.dedup import x_split_leakage
+
+        splits = {i: self._split_of(i) for i in range(3000)}
+        train_ids = [i for i, s in splits.items() if s == "train"]
+        test_ids = [i for i, s in splits.items() if s == "test"]
+        val_ids = [i for i, s in splits.items() if s == "val"]
+        near = BASE.replace("lazy", "sleepy")
+        far = "unrelated words entirely disjoint tokens here nothing shared"
+        rows = [
+            (train_ids[0], BASE),          # train <-> test near-dup: leakage
+            (test_ids[0], near),
+            # train-only text, fourth disjoint family — no pair anywhere
+            (train_ids[1], "ingest manifest checksum frame dataset "
+                           "storage backend upload rollback ledger"),
+            (test_ids[1], far + " alpha"), # test <-> val near-dup: NOT leakage
+            (val_ids[0], far + " beta"),
+            # train <-> train near-dup (third text family, disjoint from
+            # both BASE and far, so it can't pair cross-split): NOT leakage
+            (train_ids[2], "metrics shuffle stage executor broadcast "
+                           "partition codegen catalyst tungsten arrow"),
+            (train_ids[3], "metrics shuffle stage executor broadcast "
+                           "partition codegen catalyst tungsten parquet"),
+        ]
+        d = str(tmp_path / "sfleak")
+        spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(d + "/documents.parquet")
+        got = x_split_leakage(spark, d).collect()
+        crossers = {(r["doc_train"], r["doc_eval"], r["eval_split"]) for r in got}
+        assert (train_ids[0], test_ids[0], "test") in crossers
+        reported_ids = {r["doc_train"] for r in got} | {r["doc_eval"] for r in got}
+        # train<->train pair and the eval<->eval pair must be absent
+        assert train_ids[2] not in reported_ids
+        assert train_ids[3] not in reported_ids
+        assert test_ids[1] not in reported_ids
+        assert val_ids[0] not in reported_ids
+        for r in got:  # orientation invariant: left is always the train doc
+            assert self._split_of(r["doc_train"]) == "train"
+            assert self._split_of(r["doc_eval"]) == r["eval_split"] != "train"
+            assert r["jaccard"] >= 0.5
+
+
+class TestHeavyHitters:
+    def test_mg_candidates_superset_of_true_heavy(self, spark):
+        """Misra–Gries guarantee: with capacity k, every token whose global
+        share exceeds 1/(k+1) must appear in the candidate set — exercised
+        with a tiny k against an adversarial long tail of singletons."""
+        import random
+
+        from imagingdb_spark.operators.text import _mg_sketch_partitions
+
+        rng = random.Random(20260814)
+        toks = (
+            ["heavy_a"] * 400 + ["heavy_b"] * 250
+            + [f"rare{i}" for i in range(600)]
+        )
+        rng.shuffle(toks)
+        df = spark.createDataFrame([(t,) for t in toks], "tok string").repartition(7)
+        k = 8
+        cand = {r["tok"] for r in _mg_sketch_partitions(df, k=k).collect()}
+        n = len(toks)
+        for tok, freq in (("heavy_a", 400), ("heavy_b", 250)):
+            assert freq / n > 1.0 / (k + 1)
+            assert tok in cand
+
+    def test_exact_vs_python_on_planted_corpus(self, spark, tmp_path):
+        """The registered query's output must EQUAL the exact heavy-hitter
+        set computed in pure Python — the sketch only prunes."""
+        from collections import Counter
+
+        from imagingdb_spark.operators.text import HH_PHI, x_heavy_hitters
+
+        docs = [
+            (0, "x x x x y y z " + " ".join(f"t{i}" for i in range(40))),
+            (1, "x x y w " + " ".join(f"u{i}" for i in range(30))),
+            (2, ""),
+            (3, None),
+        ]
+        d = str(tmp_path / "sfhh")
+        spark.createDataFrame(
+            [(i, t, "en", "s", 0) for i, t in docs],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).write.parquet(d + "/documents.parquet")
+        got = {r["tok"]: (r["n_occ"], r["share"]) for r in x_heavy_hitters(spark, d).collect()}
+        cnt = Counter(
+            t for _, txt in docs if txt for t in txt.lower().split() if t
+        )
+        n = sum(cnt.values())
+        want = {t: c for t, c in cnt.items() if c / n >= HH_PHI}
+        assert set(got) == set(want)
+        for t, c in want.items():
+            assert got[t][0] == c
+            assert got[t][1] == round(c / n, 4)
+
+
+class TestEmbedPca:
+    def test_components_match_pure_numpy(self, spark):
+        """pca_components (distributed sufficient statistics, pinned fold
+        order) must reproduce a pure-numpy PCA on the collected data to
+        float64 precision, including sign pinning and descending order."""
+        from imagingdb_spark.operators.similarity import PCA_Q, pca_components
+
+        rng = np.random.default_rng(7)
+        X = rng.normal(size=(257, 12)) @ np.diag(np.linspace(3, 0.1, 12))
+        df = spark.createDataFrame(
+            [(i, [float(v) for v in X[i]], int(i % 3)) for i in range(len(X))],
+            "vec_id long, embedding array<float>, label int",
+        ).repartition(5)
+        Xf = np.stack([np.asarray(r, dtype=np.float32) for r in X.astype(np.float32)]).astype(np.float64)
+        mean, comps, ev = pca_components(df, q=PCA_Q)
+        mean_np = Xf.mean(axis=0)
+        cov_np = np.cov(Xf, rowvar=False)
+        w, v = np.linalg.eigh(cov_np)
+        order = np.argsort(w)[::-1][:PCA_Q]
+        comps_np = v[:, order]
+        for j in range(comps_np.shape[1]):
+            p = int(np.argmax(np.abs(comps_np[:, j])))
+            if comps_np[p, j] < 0:
+                comps_np[:, j] = -comps_np[:, j]
+        assert np.allclose(mean, mean_np, atol=1e-9)
+        assert np.allclose(ev, w[order], atol=1e-8)
+        assert np.allclose(comps, comps_np, atol=1e-7)
+        assert list(ev) == sorted(ev, reverse=True)
+
+    def test_projection_parity_and_determinism(self, spark):
+        """x_embed_pca scores equal (X - mean) @ comps rounded to 4
+        decimals, and two runs produce identical output."""
+        from imagingdb_spark.operators import similarity as S
+
+        sf_dir = "/root/testdata/sf0.001"
+        rows = S.x_embed_pca(spark, sf_dir).collect()
+        again = S.x_embed_pca(spark, sf_dir).collect()
+        assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+        e = spark.read.parquet(sf_dir + "/embeddings.parquet")
+        X = np.stack(
+            [np.asarray(r["embedding"], dtype=np.float64) for r in e.collect()]
+        )
+        ids = [r["vec_id"] for r in e.collect()]
+        mean, comps, _ = S.pca_components(e)
+        want = np.round((X - mean) @ comps, 4)
+        got = {}
+        for r in rows:
+            got.setdefault(r["vec_id"], {})[r["pc"]] = r["score"]
+        for i, vid in enumerate(ids):
+            for q in range(S.PCA_Q):
+                assert got[vid][q] == pytest.approx(want[i, q], abs=1e-12)
+
+
+class TestRebalance:
+    def test_every_class_reaches_majority_count(self, spark):
+        """After oversampling, every label holds exactly max-class-count
+        rows; base rows all appear; copy_idx is dense 1..copies."""
+        from collections import Counter
+
+        from imagingdb_spark.operators.sampling import x_rebalance
+
+        sf_dir = "/root/testdata/sf0.001"
+        rows = x_rebalance(spark, sf_dir).collect()
+        e = spark.read.parquet(sf_dir + "/embeddings.parquet").collect()
+        orig = Counter(r["label"] for r in e)
+        m = max(orig.values())
+        per_label = Counter(r["label"] for r in rows)
+        assert set(per_label) == set(orig)
+        assert all(c == m for c in per_label.values())
+        # every source row appears at least once (oversampling never drops)
+        assert {r["vec_id"] for r in rows} == {r["vec_id"] for r in e}
+        # copies of one vec are dense 1..n
+        by_vec = {}
+        for r in rows:
+            by_vec.setdefault(r["vec_id"], []).append(r["copy_idx"])
+        for v, idxs in by_vec.items():
+            assert sorted(idxs) == list(range(1, len(idxs) + 1))
+
+    def test_deterministic_across_runs(self, spark):
+        from imagingdb_spark.operators.sampling import x_rebalance
+
+        sf_dir = "/root/testdata/sf0.001"
+        a = sorted(map(tuple, x_rebalance(spark, sf_dir).collect()))
+        b = sorted(map(tuple, x_rebalance(spark, sf_dir).collect()))
+        assert a == b

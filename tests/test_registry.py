@@ -50,6 +50,11 @@ ROTATED_IN_R6 = [
     "x_embed_quantize",   # no driver record; mean fold order pinned r6
     "x_dedup_verified",   # candidate set made lossless (LSH ∪ prefix)
     "x_hard_negatives",   # headline swapped to the cell-cogrouped miner
+    # new in round 6 — no driver record exists, so they must be in-window
+    "x_split_leakage",
+    "x_heavy_hitters",
+    "x_rebalance",
+    "x_embed_pca",
 ]
 
 
@@ -71,11 +76,12 @@ def test_category_coverage_inside_driver_window():
         "x_bm25", "x_funnel", "x_retention", "x_histogram",
         "x_rolling_zscore", "x_semdedup", "x_retrieval_metrics",
         "o_topk", "w_dense_rank", "st_join", "x_tfidf", "x_merge_upsert",
-        "x_ann_ivf", "x_gapfill", "o_natural_sort", "j_outer_count",
-        "j_range", "a_sum_avg", "s_except", "x_lang_id",
+        "x_ann_ivf", "x_gapfill", "o_natural_sort",
+        "j_outer_count",     # J-family holder (j_range displaced to 51+
+        #                      by the four new round-6 queries)
+        "a_sum_avg",         # A-family holder (a_approx_sketch displaced)
         "f_not_exists",      # P-family holder
         "f_string_parse",    # F-family holder
-        "a_approx_sketch",   # sketch-family holder
     ]:
         assert name in window, f"{name} fell outside the driver's 50-query window"
 

@@ -77,10 +77,26 @@ def _bnlj_all_scalar(plan: str) -> bool:
         )
         if build_j is None or "BroadcastExchange" not in lines[build_j]:
             return False
-        # the exchange's input (next line) must be the global aggregate
-        nxt = lines[build_j + 1] if build_j + 1 < len(lines) else ""
-        ids = re.findall(r"\((\d+)\)", nxt)
-        if "HashAggregate" not in nxt or not ids or ids[0] not in scalar_agg_ids:
+        # the exchange's input must be the global aggregate, possibly
+        # behind row-preserving-or-reducing wrappers (Filter / Project) —
+        # e.g. the isnotnull(total) filter Catalyst inserts when the join
+        # condition references the scalar; a wrapped 1-row build side is
+        # still at most 1 row
+        ok = False
+        for j in range(build_j + 1, len(lines)):
+            if conn_col(lines[j]) <= conn_col(lines[build_j]):
+                break
+            node = lines[j].lstrip(" :+-")
+            if node.startswith(("Filter", "Project")):
+                continue
+            ids = re.findall(r"\((\d+)\)", lines[j])
+            ok = (
+                "HashAggregate" in lines[j]
+                and bool(ids)
+                and ids[0] in scalar_agg_ids
+            )
+            break
+        if not ok:
             return False
     return True
 
