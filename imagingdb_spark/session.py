@@ -65,6 +65,20 @@ def get_spark(app_name: str = "imagingdb_spark", cpus: str | None = None) -> Spa
         # late-session shuffle ops otherwise.
         .config("spark.cleaner.periodicGC.interval", "2min")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Input-split floor. Spark sizes file splits at
+        # max(openCostInBytes, totalBytes/minPartitionNum) capped by
+        # maxPartitionBytes; the 4 MB openCost default exists to stop
+        # many-small-FILES fragmentation, but here it FLOORS the split size
+        # of single small compressed files — sf3's 19 MB documents.parquet
+        # scanned as 5 partitions, throttling the CPU-dense
+        # tokenize/xxhash/explode map stages to 5 of 32 cores (measured 2x
+        # end-to-end on x_dedup_incremental; the sf10/63 MB file got 16
+        # splits and ran FASTER than sf3). 512 KB restores
+        # totalBytes/minPartitionNum as the effective term, exactly how a
+        # real cluster reading multi-GB inputs behaves (there
+        # totalBytes/cores >> openCost, so this config is a no-op at
+        # 100 TB — it only de-skews the small-file local proxy).
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         # The driver's events.parquet stores TIMESTAMP(NANOS) which Spark's
         # vectorized reader rejects; read as long and let catalog.table()
         # convert back to (microsecond) timestamps.
