@@ -420,3 +420,218 @@ def audio_features(
             yield pd.DataFrame(rows)
 
     return clips.mapInPandas(batches, schema=AUDIO_FEATURE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash image near-dup (D5c): the image twin of the text engine's
+# SimHash path. A 64-bit pHash (downsample → 2-D DCT → low-frequency sign
+# bits) is robust to resizing, re-encoding, and small intensity shifts —
+# the transformations that defeat the exact payload_sha256 dedup — so a
+# multimodal training pipeline can catch "same picture, different file".
+# ---------------------------------------------------------------------------
+
+PHASH_BITS = 64          # 8x8 low-frequency block
+PHASH_INPUT_SIZE = 32    # downsample target before the DCT
+PHASH_BANDS = 8          # 8 bands x 8 bits: lossless for hamming <= 7
+PHASH_MAX_DISTANCE = 6   # near-dup threshold (standard pHash radius)
+
+
+def _dct_matrix(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II matrix (float64): D = C @ X @ C.T is the 2-D DCT."""
+    k = np.arange(n)
+    c = np.cos(np.pi * (2 * k[None, :] + 1) * k[:, None] / (2 * n))
+    c *= np.sqrt(2.0 / n)
+    c[0] *= np.sqrt(0.5)
+    return c
+
+
+def _phash_one(im: "np.ndarray") -> int:
+    """64-bit pHash of one 2-D (or RGB; averaged) frame: area-mean
+    downsample to PHASH_INPUT_SIZE², 2-D DCT, keep the top-left 8×8
+    low-frequency block minus DC, threshold at its median. Median (not
+    mean) makes exactly half the bits 1 — brightness/contrast invariant."""
+    a = np.asarray(im, dtype=np.float64)
+    if a.ndim == 3:  # RGB → luma-ish mean; channel order irrelevant to dedup
+        a = a.mean(axis=2)
+    n = PHASH_INPUT_SIZE
+    h, w = a.shape
+    if h < n or w < n:  # pad tiny frames up with edge values
+        a = np.pad(a, ((0, max(0, n - h)), (0, max(0, n - w))), mode="edge")
+        h, w = a.shape
+    # area-mean pooling via bucketed reduceat (no interpolation dependency)
+    ys = (np.arange(n) * h) // n
+    xs = (np.arange(n) * w) // n
+    pooled = np.add.reduceat(np.add.reduceat(a, ys, axis=0), xs, axis=1)
+    ycnt = np.diff(ys, append=h)[:, None]
+    xcnt = np.diff(xs, append=w)[None, :]
+    pooled = pooled / (ycnt * xcnt)
+    c = _dct_matrix(n)
+    d = c @ pooled @ c.T
+    block = d[:8, :8].ravel()[1:]  # drop DC: it is pure mean brightness
+    bits = block > np.median(block)
+    weights = 1 << np.arange(len(bits), dtype=np.uint64)
+    # 63 data bits (DC dropped) in a signed long; bit 63 stays 0
+    return int((bits @ weights).astype(np.int64))
+
+
+def phash_frames(
+    frames: DataFrame,
+    decoder: Callable[[bytes, str], "np.ndarray"] = decode_png,
+) -> DataFrame:
+    """Per-frame 64-bit perceptual hash over the FRAME_SCHEMA contract:
+    mapInPandas (Arrow-batched, no shuffle) decode → pHash, emitting the
+    frame's identity columns + `phash`. Mirrors frame_features' shape; the
+    decoder seam is the same injectable (real pure-numpy PNG by default).
+
+    Scale: embarrassingly parallel — payload bytes never leave the task,
+    only the (identity, 8-byte hash) rows flow on."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = pdf[[
+                "dataset_serial", "channel_idx", "slice_idx",
+                "time_idx", "pos_idx",
+            ]].copy()
+            out["phash"] = [
+                _phash_one(decoder(p, bd))
+                for p, bd in zip(pdf["payload"], pdf["bit_depth"])
+            ]
+            yield out
+
+    schema = (
+        "dataset_serial string, channel_idx int, slice_idx int, "
+        "time_idx int, pos_idx int, phash long"
+    )
+    return frames.mapInPandas(batches, schema=schema)
+
+
+def phash_near_dups(
+    hashed: DataFrame,
+    id_col: str = "frame_id",
+    max_distance: int = PHASH_MAX_DISTANCE,
+) -> DataFrame:
+    """Near-dup frame pairs with hamming(phash_a, phash_b) <= max_distance,
+    via LOSSLESS band bucketing over DISTINCT hash values: the 64-bit hash
+    splits into PHASH_BANDS 8-bit bands; two hashes within hamming distance
+    d < PHASH_BANDS must agree EXACTLY on at least one band (pigeonhole: d
+    differing bits can dirty at most d bands), so hash pairs sharing any
+    (band_idx, band_value) bucket cover every true pair at d <= 7 ⊇ the
+    d <= 6 threshold. Exact popcount verifies; dropDuplicates on the
+    canonical (phash_a < phash_b) pair merges multi-band hits.
+
+    Same candidate-generation discipline as the text engine (SimHash
+    prefix buckets, dedup.py x_dedup_simhash) but with a guarantee: 8×8
+    banding is lossless for the verify radius, so recall is 1.0 by
+    construction — the x_dedup_verified principle applied to images.
+
+    Scale shape (100 TB): the banding/verify stage runs over DISTINCT
+    phash values, not frames — identical frames (blank/padding frames
+    dominate real imaging corpora) collapse to one row per hash before any
+    quadratic step, so the degenerate all-identical corpus costs one
+    linear groupBy, not one giant bucket. hamming-0 pairs come from that
+    exact groupBy; hamming>=1 pairs come from distinct-hash banding joined
+    back to the id groups (a frame pair maps to exactly ONE hash pair, so
+    no frame-level dedup shuffle is needed). Within a band bucket of G
+    distinct hashes the candidate count is still O(G²) — with 8-bit bands
+    that is the multi-index-hashing bound of ~N²/256 per band over N
+    distinct hashes; callers with huge DISTINCT-hash populations should
+    tighten via more bands over a wider hash, not a bucket cap, which
+    would silently break the recall guarantee. Shuffles carry (id, hash)
+    and (band, hash) rows only — payloads never leave phash_frames' tasks.
+    Input: any frame with an `id_col` and a `phash` column (compose with
+    phash_frames + a concat_ws frame id)."""
+    if max_distance >= PHASH_BANDS:
+        raise ValueError(
+            f"banding is lossless only for distance < {PHASH_BANDS}"
+        )
+    # ids per distinct hash; array_sort fixes within-group pair order
+    groups = hashed.groupBy("phash").agg(
+        F.array_sort(F.collect_list(id_col)).alias("ids")
+    )
+    # hamming-0 pairs: all pairs within one identical-hash group
+    same_pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ids"), i + 2, F.size(F.col("ids"))),
+                lambda y: F.struct(
+                    x.alias("frame_a"), y.alias("frame_b")
+                ),
+            ),
+        )
+    )
+    same = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode(same_pairs).alias("p"))
+        .select("p.frame_a", "p.frame_b", F.lit(0).alias("hamming"))
+    )
+    # hamming>=1: band the DISTINCT hashes, pair within buckets, verify
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col("phash"), i * 8)
+                .bitwiseAND(F.lit(255))
+                .alias("band_value"),
+            )
+            for i in range(PHASH_BANDS)
+        ]
+    )
+    bands = (
+        groups.select("phash")
+        .select("phash", F.explode(band_structs).alias("b"))
+        .select("phash", "b.band_idx", "b.band_value")
+    )
+    buckets = (
+        bands.groupBy("band_idx", "band_value")
+        .agg(F.collect_list("phash").alias("hs_raw"))
+        .filter(F.size("hs_raw") > 1)
+        .select(F.array_sort("hs_raw").alias("hs"))
+    )
+    hash_pairs_col = F.flatten(
+        F.transform(
+            F.col("hs"),
+            lambda x, i: F.transform(
+                F.slice(F.col("hs"), i + 2, F.size(F.col("hs"))),
+                lambda y: F.struct(
+                    x.alias("phash_a"),
+                    y.alias("phash_b"),
+                    F.bit_count(x.bitwiseXOR(y)).alias("hamming"),
+                ),
+            ),
+        )
+    )
+    hash_pairs = (
+        buckets.select(F.explode(hash_pairs_col).alias("p"))
+        .select("p.phash_a", "p.phash_b", "p.hamming")
+        .filter(F.col("hamming") <= max_distance)
+        .dropDuplicates(["phash_a", "phash_b"])
+    )
+    cross = (
+        hash_pairs.join(
+            groups.select(
+                F.col("phash").alias("phash_a"), F.col("ids").alias("ids_a")
+            ),
+            "phash_a",
+        )
+        .join(
+            groups.select(
+                F.col("phash").alias("phash_b"), F.col("ids").alias("ids_b")
+            ),
+            "phash_b",
+        )
+        .select(
+            F.explode("ids_a").alias("fid_a"),
+            F.col("ids_b").alias("ids_b"),
+            F.col("hamming"),
+        )
+        .select(
+            F.col("fid_a"), F.explode("ids_b").alias("fid_b"), "hamming"
+        )
+        .select(
+            F.least("fid_a", "fid_b").alias("frame_a"),
+            F.greatest("fid_a", "fid_b").alias("frame_b"),
+            "hamming",
+        )
+    )
+    return same.unionByName(cross)

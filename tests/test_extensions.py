@@ -1479,3 +1479,114 @@ class TestRebalance:
         a = sorted(map(tuple, x_rebalance(spark, sf_dir).collect()))
         b = sorted(map(tuple, x_rebalance(spark, sf_dir).collect()))
         assert a == b
+
+
+class TestPhash:
+    @staticmethod
+    def _frames_df(spark, images):
+        rows = [
+            (f"DS-{i}", 0, 0, 0, i, im.shape[1], im.shape[0], "uint8",
+             multimodal.serialize_im(im))
+            for i, im in enumerate(images)
+        ]
+        return spark.createDataFrame(rows, multimodal.FRAME_SCHEMA)
+
+    def test_invariance_and_discrimination(self, spark):
+        """pHash must be close for the same image under brightness shift
+        and mild noise, close under downscaling, and far for independent
+        images — the properties payload-sha dedup lacks."""
+        rng = np.random.default_rng(11)
+        base = rng.integers(0, 200, size=(64, 64), dtype=np.uint8)
+        # smooth it so downsampling is well-behaved (natural images are
+        # low-frequency; pure white noise is the pathological case)
+        k = np.ones(5) / 5
+        smooth = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 0, base
+        )
+        smooth = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 1, smooth
+        ).astype(np.uint8)
+        brighter = np.clip(smooth.astype(np.int16) + 30, 0, 255).astype(np.uint8)
+        noisy = np.clip(
+            smooth.astype(np.int16) + rng.integers(-4, 5, smooth.shape),
+            0, 255,
+        ).astype(np.uint8)
+        half = smooth.reshape(32, 2, 32, 2).mean(axis=(1, 3)).astype(np.uint8)
+        other = rng.integers(0, 200, size=(64, 64), dtype=np.uint8)
+        other = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 0, other
+        )
+        other = np.apply_along_axis(
+            lambda r: np.convolve(r, k, mode="same"), 1, other
+        ).astype(np.uint8)
+
+        h = [multimodal._phash_one(x) for x in (smooth, brighter, noisy, half, other)]
+        def ham(a, b):
+            return bin(a ^ b).count("1")
+        assert ham(h[0], h[1]) <= multimodal.PHASH_MAX_DISTANCE  # brightness
+        assert ham(h[0], h[2]) <= multimodal.PHASH_MAX_DISTANCE  # noise
+        assert ham(h[0], h[3]) <= multimodal.PHASH_MAX_DISTANCE  # 2x downscale
+        assert ham(h[0], h[4]) > 20                               # different image
+
+    def test_near_dup_pairs_end_to_end(self, spark):
+        """phash_frames + phash_near_dups over real PNG payloads: the
+        planted near-dup pair (and only it) is found; within the lossless
+        band radius candidate generation cannot miss."""
+        rng = np.random.default_rng(12)
+        k = np.ones(5) / 5
+        def mk():
+            a = rng.integers(0, 200, size=(48, 48), dtype=np.uint8)
+            a = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 0, a)
+            return np.apply_along_axis(
+                lambda r: np.convolve(r, k, mode="same"), 1, a
+            ).astype(np.uint8)
+        im0 = mk()
+        im1 = np.clip(im0.astype(np.int16) + 15, 0, 255).astype(np.uint8)
+        im2, im3 = mk(), mk()
+        frames = self._frames_df(spark, [im0, im1, im2, im3])
+        hashed = multimodal.phash_frames(frames).withColumn(
+            "frame_id",
+            F.concat_ws("_", "dataset_serial", "pos_idx"),
+        )
+        pairs = multimodal.phash_near_dups(hashed).collect()
+        got = {(r["frame_a"], r["frame_b"]) for r in pairs}
+        assert got == {("DS-0_0", "DS-1_1")}
+        assert all(r["hamming"] <= multimodal.PHASH_MAX_DISTANCE for r in pairs)
+
+    def test_banding_is_lossless_within_radius(self, spark):
+        """Adversarial: craft hash pairs at exactly the max distance by
+        flipping bits spread across different bands — the pigeonhole
+        guarantee must still bucket them together."""
+        base = 0x123456789ABCDE7
+        flips = [0, 9, 18, 27, 36, 45]  # 6 bits in 6 DIFFERENT bands
+        h2 = base
+        for b in flips:
+            h2 ^= 1 << b
+        rows = [("a", base), ("b", h2), ("c", 0x7FAAAAAAAAAAAAAA)]
+        df = spark.createDataFrame(rows, "frame_id string, phash long")
+        got = {(r["frame_a"], r["frame_b"], r["hamming"])
+               for r in multimodal.phash_near_dups(df).collect()}
+        assert got == {("a", "b", 6)}
+        with pytest.raises(ValueError):
+            multimodal.phash_near_dups(df, max_distance=8)
+
+    def test_identical_hash_groups_collapse(self, spark):
+        """The degenerate case the bucket stage must survive at scale:
+        many frames sharing one phash (blank frames). hamming-0 pairs come
+        from the exact group; cross pairs expand to every member of both
+        groups; banding itself only ever sees DISTINCT hash values."""
+        base = 0x123456789ABCDE7
+        near = base ^ (1 << 5) ^ (1 << 40)  # hamming 2
+        far = 0x7F0F0F0F0F0F0F0F
+        rows = [("a", base), ("b", base), ("c", base),
+                ("d", near), ("e", near), ("f", far)]
+        df = spark.createDataFrame(rows, "frame_id string, phash long")
+        got = {(r["frame_a"], r["frame_b"], r["hamming"])
+               for r in multimodal.phash_near_dups(df).collect()}
+        expected = {
+            ("a", "b", 0), ("a", "c", 0), ("b", "c", 0),  # group base
+            ("d", "e", 0),                                 # group near
+            ("a", "d", 2), ("a", "e", 2), ("b", "d", 2),   # cross product
+            ("b", "e", 2), ("c", "d", 2), ("c", "e", 2),
+        }
+        assert got == expected
