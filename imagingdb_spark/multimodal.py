@@ -29,9 +29,11 @@ from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from imagingdb_spark.registry import query
 
 # frame metadata + payload: the multimodal column contract. The payload is
 # opaque bytes; width/height/bit_depth travel alongside as typed metadata
@@ -544,10 +546,14 @@ def phash_near_dups(
         raise ValueError(
             f"banding is lossless only for distance < {PHASH_BANDS}"
         )
-    # ids per distinct hash; array_sort fixes within-group pair order
+    # ids per distinct hash; array_sort fixes within-group pair order.
+    # persist(): feeds the hamming-0 pairs, the banding, AND both
+    # join-back sides — unpersisted, the upstream decode+pHash
+    # mapInPandas re-runs once per consumer (4 parquet scans in the
+    # archived plan), and payload decode is the expensive stage.
     groups = hashed.groupBy("phash").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
-    )
+    ).persist()
     # hamming-0 pairs: all pairs within one identical-hash group
     same_pairs = F.flatten(
         F.transform(
@@ -635,3 +641,80 @@ def phash_near_dups(
         )
     )
     return same.unionByName(cross)
+
+
+def _im_from_bits(h: int) -> "np.ndarray":
+    """Deterministic 32×32 uint8 test image: the 64 bits of `h` as an 8×8
+    black/white block grid (kron-upscaled 4×). Independent hashes give
+    pHash hamming ≥ ~20 (bits map near-independently to DCT signs), so a
+    synthetic corpus has controlled dup structure with no accidental
+    near-dups at any SF."""
+    bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    blocks = (bits.reshape(8, 8) * 255).astype(np.uint8)
+    return np.kron(blocks, np.ones((4, 4), dtype=np.uint8))
+
+
+def synth_frames(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic frame corpus derived from the documents
+    table (needs `doc_id`, `text`): every doc yields a base frame whose
+    image encodes sha256(text) as a block pattern; every 7th doc adds a
+    PLANTED NEAR-DUP (a 2×2-pixel local inversion — small enough to stay
+    within the pHash verify radius on this construction) and every 23rd
+    doc a PLANTED EXACT DUP (byte-identical payload). Text-level exact
+    dups collapse to identical images, so the image dedup sees the same
+    planted structure the text dedup family sees. All payloads are real
+    PNG bytes from the pure-numpy codec; generation is map-side
+    (mapInPandas), no shuffle."""
+    import hashlib
+
+    cols = [f.name for f in FRAME_SCHEMA.fields]
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                h = int.from_bytes(
+                    hashlib.sha256(text.encode()).digest()[:8], "big"
+                )
+                im = _im_from_bits(h)
+                serial = f"DOC-{doc_id}"
+                rows.append(
+                    (serial, 0, 0, 0, 0, 32, 32, "uint8", serialize_im(im))
+                )
+                if doc_id % 7 == 0:
+                    bi = h % 64
+                    by, bx = (bi // 8) * 4, (bi % 8) * 4
+                    a = im.copy()
+                    a[by : by + 2, bx : bx + 2] = (
+                        255 - a[by : by + 2, bx : bx + 2]
+                    )
+                    rows.append(
+                        (serial, 0, 0, 0, 1, 32, 32, "uint8", serialize_im(a))
+                    )
+                if doc_id % 23 == 0:
+                    rows.append(
+                        (serial, 0, 0, 0, 2, 32, 32, "uint8", serialize_im(im))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(synth, schema=FRAME_SCHEMA)
+
+
+@query("x_phash_dedup")  # rows-only: perceptual hashing (DCT + median
+#                          threshold over PNG payloads) is not
+#                          ANSI-SQL-expressible; parity vs a local
+#                          brute-force twin is pinned in
+#                          tests/test_extensions.py::TestPhash
+def x_phash_dedup(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """D5c end-to-end at driver level: documents → deterministic
+    synthetic PNG frames (planted exact + near dups, synth_frames) →
+    phash_frames → lossless banded near-dup pairs. Every stage is the
+    real registered code path — codec, Arrow decode batches, distinct-
+    hash banding, popcount verify."""
+    from imagingdb_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = phash_frames(synth_frames(docs)).withColumn(
+        "frame_id", F.concat_ws("_", "dataset_serial", "pos_idx")
+    )
+    return phash_near_dups(hashed).orderBy("frame_a", "frame_b")

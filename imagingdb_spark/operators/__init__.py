@@ -18,3 +18,4 @@ from imagingdb_spark.operators import (  # noqa: F401
     text,
     windows,
 )
+from imagingdb_spark import multimodal  # noqa: F401  (registers x_phash_dedup)

@@ -91,6 +91,10 @@ PRIORITY: list[str] = [
     "x_rebalance",      # D8e: deterministic class oversampling (oracle)
     "x_embed_pca",      # D3i: distributed-moments PCA (rows-only + numpy
     #                     parity unit test)
+    "x_phash_dedup",    # D5c: perceptual-hash image near-dup over synthetic
+    #                     PNG frames (rows-only + brute-force parity unit
+    #                     test); displaces f_string_parse, whose r1+r3
+    #                     double greens already cover the F family
     # --- double-verification: the 11 queries whose only green row is r5 ---
     "x_inverted_index",   # D18 sibling (single green row, r5)
     "x_token_ids",      # D4 sibling (single green row, r5)
@@ -137,9 +141,10 @@ PRIORITY: list[str] = [
     "j_outer_count",    # J+ (single green row, r1; J-family holder)
     "a_sum_avg",        # A+ (single green row, r1; A-family holder)
     "f_not_exists",     # P8 — P-family holder (pass-r1 + pass-r2)
-    "f_string_parse",   # F1 — F-family holder (pass-r1 + pass-r3)
     # --- position 51+: green driver rows on record; implementations +
     #     unit tests intact. Ordered roughly by record freshness. ---
+    "f_string_parse",   # F1 (pass-r1 + pass-r3) — displaced by the new
+    #                     x_phash_dedup; double greens cover the F family
     "j_range",          # J+ (single green r1) — displaced by the four new
     #                     round-6 queries; j_outer_count holds for J
     "a_approx_sketch",  # sketches rows-only (clean r3) — displaced;

@@ -1590,3 +1590,46 @@ class TestPhash:
             ("b", "e", 2), ("c", "d", 2), ("c", "e", 2),
         }
         assert got == expected
+
+    def test_x_phash_dedup_matches_bruteforce(self, spark):
+        """The registered rows-only query vs a local brute-force twin:
+        rebuild the synthetic frame corpus in plain Python over the same
+        documents, pHash each frame locally, compare EVERY pair — the
+        distributed banding+verify pipeline must produce exactly the
+        all-pairs answer (losslessness end-to-end, planted dups found)."""
+        import hashlib
+        import itertools
+
+        import pandas as pd
+
+        sf_dir = "/root/testdata/sf0.001"
+        got = {
+            (r["frame_a"], r["frame_b"], r["hamming"])
+            for r in multimodal.x_phash_dedup(spark, sf_dir).collect()
+        }
+        docs = pd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        local = {}
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            h = int.from_bytes(hashlib.sha256(text.encode()).digest()[:8],
+                               "big")
+            im = multimodal._im_from_bits(h)
+            local[f"DOC-{doc_id}_0"] = multimodal._phash_one(im)
+            if doc_id % 7 == 0:
+                bi = h % 64
+                by, bx = (bi // 8) * 4, (bi % 8) * 4
+                a = im.copy()
+                a[by:by + 2, bx:bx + 2] = 255 - a[by:by + 2, bx:bx + 2]
+                local[f"DOC-{doc_id}_1"] = multimodal._phash_one(a)
+            if doc_id % 23 == 0:
+                local[f"DOC-{doc_id}_2"] = multimodal._phash_one(im)
+        expected = set()
+        for fa, fb in itertools.combinations(sorted(local), 2):
+            d = bin(local[fa] ^ local[fb]).count("1")
+            if d <= multimodal.PHASH_MAX_DISTANCE:
+                expected.add((fa, fb, d))
+        assert got == expected
+        # planted structure is present: every 23rd doc's exact copy pairs
+        # at hamming 0 and some near-dup plants landed within the radius
+        assert any(h == 0 for _, _, h in got)
+        assert any(h > 0 for _, _, h in got)
