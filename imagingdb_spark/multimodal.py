@@ -507,6 +507,25 @@ def phash_frames(
     return frames.mapInPandas(batches, schema=schema)
 
 
+def phash_band_col() -> "F.Column":
+    """Array of (band_idx, band_value) structs for the `phash` column:
+    the 64-bit hash as PHASH_BANDS 8-bit bands. Shared by the batch
+    near-dup pairing and the streaming ingest gate's maintained band
+    index — one definition so the pigeonhole losslessness argument holds
+    for both."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band_idx"),
+                F.shiftright(F.col("phash"), i * 8)
+                .bitwiseAND(F.lit(255))
+                .alias("band_value"),
+            )
+            for i in range(PHASH_BANDS)
+        ]
+    )
+
+
 def phash_near_dups(
     hashed: DataFrame,
     id_col: str = "frame_id",
@@ -572,20 +591,9 @@ def phash_near_dups(
         .select("p.frame_a", "p.frame_b", F.lit(0).alias("hamming"))
     )
     # hamming>=1: band the DISTINCT hashes, pair within buckets, verify
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("band_idx"),
-                F.shiftright(F.col("phash"), i * 8)
-                .bitwiseAND(F.lit(255))
-                .alias("band_value"),
-            )
-            for i in range(PHASH_BANDS)
-        ]
-    )
     bands = (
         groups.select("phash")
-        .select("phash", F.explode(band_structs).alias("b"))
+        .select("phash", F.explode(phash_band_col()).alias("b"))
         .select("phash", "b.band_idx", "b.band_value")
     )
     buckets = (

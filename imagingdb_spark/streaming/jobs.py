@@ -905,6 +905,260 @@ def streaming_embedding_gate(
     )
 
 
+def read_frames_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based stream over a frames parquet directory (FRAME_SCHEMA
+    rows: identity + typed metadata + PNG payload bytes)."""
+    from imagingdb_spark.multimodal import FRAME_SCHEMA
+
+    return spark.readStream.schema(FRAME_SCHEMA).parquet(path)
+
+
+def streaming_phash_gate(
+    frames: DataFrame,
+    corpus_path: str,
+    matches_path: str,
+    checkpoint_dir: str,
+    compact_every: int | None = None,
+    append_partitions: int | None = 8,
+    max_distance: int | None = None,
+) -> StreamingQuery:
+    """Streaming image-ingest dedup gate — the multimodal twin of
+    streaming_dedup_gate (St7+): per micro-batch of FRAME_SCHEMA rows,
+    (1) pHash every frame map-side (real PNG decode + DCT,
+    multimodal.phash_frames), (2) collapse batch-internal EXACT dups
+    (identical phash, min-frame_id keeper — the same role sha2 plays in
+    the text gate), (3) match survivors against the standing corpus via
+    the maintained BAND INDEX (``<corpus>_idx_bands``: one row per
+    accepted frame per 8-bit band; pigeonhole makes the lookup lossless
+    for hamming <= PHASH_BANDS-1, multimodal.phash_near_dups), (4) append
+    near-dup matches (new_frame, corpus_frame, hamming) to the audit log
+    and ONLY novel frames — with their phash — to the corpus. Catches
+    "same picture, different file" dups that payload-sha ingest
+    (ingest.py's anti-join guard) cannot.
+
+    Scale shape: the batch side is tiny vs the corpus, so the candidate
+    join BROADCASTS the batch's band rows against ONE column-pruned scan
+    of the stored band index — no corpus shuffle, no per-trigger index
+    re-derivation (frames' phash is stored in the corpus, so a pre-seeded
+    or torn index rebuilds with one map-side explode, no payload
+    re-decode). Payload bytes never enter a shuffle: decode happens once
+    in phash_frames' tasks, and appends write the batch's own rows. At
+    100 TB the index is band-value-bucketed at rest so the broadcast join
+    prunes files.
+
+    At-least-once discipline mirrors the text gate exactly: a trigger's
+    THREE appends (matches, corpus, band index) run as concurrent jobs
+    and are each individually idempotent by frame_id (present-id screens
+    from one tagged union scan, batch-bounded collect); replayed frames
+    skip their own index entry (self-match filter) and any match whose
+    corpus side is in the CURRENT batch (a torn corpus append must not
+    make a replay drop within-batch near-dup peers a no-crash run keeps);
+    a torn index BOOTSTRAP is detected by the _SUCCESS marker and rebuilt
+    with overwrite; a missing corpus is detected by an explicit
+    filesystem probe; ``compact_every=N`` folds per-trigger fragments
+    with the crash-safe rewrite healed at trigger start."""
+    from imagingdb_spark.multimodal import (
+        PHASH_MAX_DISTANCE,
+        phash_band_col,
+        phash_frames,
+    )
+
+    if max_distance is None:
+        max_distance = PHASH_MAX_DISTANCE
+    idx_bands_path = corpus_path + "_idx_bands"
+    frame_id = F.concat_ws(
+        "_", "dataset_serial", "channel_idx", "slice_idx", "time_idx",
+        "pos_idx",
+    )
+
+    def _band_rows(hashed: DataFrame) -> DataFrame:
+        return hashed.select(
+            "frame_id", "phash", F.explode(phash_band_col()).alias("b")
+        ).select("frame_id", "phash", "b.band_idx", "b.band_value")
+
+    def _fs_exists(spark: SparkSession, path: str) -> bool:
+        jvm = spark._jvm
+        p = jvm.org.apache.hadoop.fs.Path(path)
+        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(p))
+
+    def _present_sets(spark: SparkSession, batch_ids: DataFrame) -> dict[str, set]:
+        """Batch-bounded present-id sets for the corpus and band-index
+        tables in ONE tagged-union scan (same pattern and rationale as
+        the text gate's _present_sets)."""
+        tagged = (
+            spark.read.parquet(corpus_path)
+            .select("frame_id").withColumn("tbl", F.lit("c"))
+            .unionByName(
+                spark.read.parquet(idx_bands_path)
+                .select("frame_id").withColumn("tbl", F.lit("b"))
+            )
+        )
+        rows = (
+            tagged.join(F.broadcast(batch_ids), "frame_id", "left_semi")
+            .distinct()
+            .collect()
+        )
+        out: dict[str, set] = {"c": set(), "b": set()}
+        for r in rows:
+            out[r["tbl"]].add(r["frame_id"])
+        return out
+
+    def _screen(spark: SparkSession, small: DataFrame, present: set) -> DataFrame:
+        if not present:
+            return small
+        if len(present) <= ISIN_SCREEN_MAX:
+            return small.filter(~F.col("frame_id").isin(*present))
+        ids = spark.createDataFrame([(i,) for i in present], "frame_id string")
+        return small.join(F.broadcast(ids), "frame_id", "left_anti")
+
+    def _co(df: DataFrame) -> DataFrame:
+        return df.coalesce(append_partitions) if append_partitions else df
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        from concurrent.futures import ThreadPoolExecutor
+
+        spark = batch_df.sparkSession
+        for p in (corpus_path, idx_bands_path, matches_path):
+            _heal_interrupted_compaction(p)
+        # decode+hash once, join the 8-byte hashes back onto the payload
+        # rows by identity (broadcast: a micro-batch is tiny), then
+        # collapse batch-internal exact dups
+        id_cols = [
+            "dataset_serial", "channel_idx", "slice_idx", "time_idx",
+            "pos_idx",
+        ]
+        hashed_ids = phash_frames(batch_df)
+        batch = (
+            batch_df.join(F.broadcast(hashed_ids), id_cols)
+            .withColumn("frame_id", frame_id)
+            .withColumn(
+                "_keep",
+                F.row_number().over(
+                    Window.partitionBy("phash").orderBy("frame_id")
+                ),
+            )
+            .filter(F.col("_keep") == 1)
+            .drop("_keep")
+            .persist()  # consumed by the match AND the appends
+        )
+        try:
+            if not _fs_exists(spark, corpus_path):
+                _co(batch).write.mode("append").parquet(corpus_path)
+                _co(_band_rows(batch)).write.mode("append").parquet(
+                    idx_bands_path
+                )
+                return
+            if not _fs_exists(spark, idx_bands_path + "/_SUCCESS"):
+                # pre-seeded corpus without an index, or a torn bootstrap:
+                # rebuild from the corpus's STORED hashes (no re-decode)
+                _band_rows(
+                    spark.read.parquet(corpus_path).select(
+                        "frame_id", "phash"
+                    )
+                ).write.mode("overwrite").parquet(idx_bands_path)
+            batch_ids = batch.select("frame_id").distinct().persist()
+            batch_id_set = {r["frame_id"] for r in batch_ids.collect()}
+            new_bands = _band_rows(batch.select("frame_id", "phash")).select(
+                F.col("frame_id").alias("new_frame"),
+                F.col("phash").alias("new_phash"),
+                "band_idx",
+                "band_value",
+            )
+            corpus_bands = spark.read.parquet(idx_bands_path).select(
+                F.col("frame_id").alias("corpus_frame"),
+                F.col("phash").alias("corpus_phash"),
+                "band_idx",
+                "band_value",
+            )
+            pairs = (
+                corpus_bands.join(
+                    F.broadcast(new_bands), ["band_idx", "band_value"]
+                )
+                .withColumn(
+                    "hamming",
+                    F.bit_count(
+                        F.col("new_phash").bitwiseXOR(F.col("corpus_phash"))
+                    ),
+                )
+                .filter(F.col("hamming") <= max_distance)
+                # a replayed frame's own index entry is bookkeeping, not a
+                # dup (it subsumes the corpus_frame == new_frame case)
+            )
+            # ...and a match against a CURRENT-batch peer that a torn
+            # append made visible must not change replay outcomes: screen
+            # out matches whose corpus side is in this batch (map-side
+            # IN-list; anti-join fallback for giant batches)
+            if not batch_id_set:
+                pass  # empty batch: no matches to screen
+            elif len(batch_id_set) <= ISIN_SCREEN_MAX:
+                pairs = pairs.filter(
+                    ~F.col("corpus_frame").isin(*batch_id_set)
+                )
+            else:
+                pairs = pairs.join(
+                    F.broadcast(
+                        batch_ids.select(
+                            F.col("frame_id").alias("corpus_frame")
+                        )
+                    ),
+                    "corpus_frame",
+                    "left_anti",
+                )
+            pairs = (
+                pairs.select("new_frame", "corpus_frame", "hamming")
+                .dropDuplicates(["new_frame", "corpus_frame"])
+                .persist()
+            )
+            try:
+                pairs.count()  # materialize once before the fan-out
+                present = _present_sets(spark, batch_ids)
+                dup_ids = pairs.select(
+                    F.col("new_frame").alias("frame_id")
+                ).distinct()
+                accepted = batch.join(
+                    F.broadcast(dup_ids), "frame_id", "left_anti"
+                )
+                writes = [
+                    lambda: _co(pairs).write.mode("append").parquet(
+                        matches_path
+                    ),
+                    lambda: _co(_screen(spark, accepted, present["c"]))
+                    .write.mode("append")
+                    .parquet(corpus_path),
+                    lambda: _co(
+                        _band_rows(
+                            _screen(spark, accepted, present["b"]).select(
+                                "frame_id", "phash"
+                            )
+                        )
+                    )
+                    .write.mode("append")
+                    .parquet(idx_bands_path),
+                ]
+                with ThreadPoolExecutor(max_workers=3) as pool:
+                    for fut in [pool.submit(w) for w in writes]:
+                        fut.result()
+            finally:
+                pairs.unpersist()
+                batch_ids.unpersist()
+            if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+                from imagingdb_spark.layout import compact_parquet
+
+                for p in (corpus_path, idx_bands_path, matches_path):
+                    if _fs_exists(spark, p):
+                        compact_parquet(spark, p)
+        finally:
+            batch.unpersist()
+
+    return (
+        frames.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+
+
 SESSIONIZE_OUT_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),

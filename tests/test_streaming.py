@@ -1113,3 +1113,332 @@ def test_gate_heals_compaction_crash_windows(spark, tmp_path):
     q2.stop()
     assert not os.path.exists(corpus_path + ".old.feed")
     assert spark.read.parquet(corpus_path).count() == n_now  # replay idempotent
+
+
+# ---------------------------------------------------------------------------
+# streaming_phash_gate (St7-image): image-ingest near-dup gate
+# ---------------------------------------------------------------------------
+
+
+def _smooth_image(rng, size=48):
+    """Low-frequency random image: pHash is designed for natural images,
+    so smooth the noise (same recipe as the batch pHash tests)."""
+    import numpy as np
+
+    k = np.ones(5) / 5
+    a = rng.integers(0, 200, size=(size, size)).astype("uint8")
+    a = np.apply_along_axis(lambda r: np.convolve(r, k, mode="same"), 0, a)
+    return np.apply_along_axis(
+        lambda r: np.convolve(r, k, mode="same"), 1, a
+    ).astype("uint8")
+
+
+def _noised(im, noise_seed=1000):
+    """Mild pixel noise: pHash is brightness/contrast INVARIANT (median
+    threshold), so a pure brightness shift hashes identically; noise is
+    what lands in the 1..PHASH_MAX_DISTANCE near-dup band. Seeds are
+    pinned to combos measured at hamming 2-4."""
+    import numpy as np
+
+    nr = np.random.default_rng(noise_seed)
+    return np.clip(
+        im.astype("int16") + nr.integers(-6, 7, im.shape), 0, 255
+    ).astype("uint8")
+
+
+def _frame_rows(images):
+    """(dataset_serial, image) pairs -> FRAME_SCHEMA rows with real PNG
+    payloads; frame_id per the gate's convention is '<serial>_0_0_0_0'."""
+    from imagingdb_spark import multimodal
+
+    return [
+        (serial, 0, 0, 0, 0, im.shape[1], im.shape[0], "uint8",
+         multimodal.serialize_im(im))
+        for serial, im in images
+    ]
+
+
+def _fid(serial):
+    return f"{serial}_0_0_0_0"
+
+
+def _hashed_frames(spark, images):
+    """Frames df in the gate's CORPUS shape: FRAME_SCHEMA + phash +
+    frame_id (what a bootstrap trigger writes), for pre-seeding."""
+    from pyspark.sql import functions as F
+
+    from imagingdb_spark import multimodal
+
+    frames = spark.createDataFrame(
+        _frame_rows(images), multimodal.FRAME_SCHEMA
+    )
+    id_cols = [
+        "dataset_serial", "channel_idx", "slice_idx", "time_idx", "pos_idx"
+    ]
+    return frames.join(
+        F.broadcast(multimodal.phash_frames(frames)), id_cols
+    ).withColumn(
+        "frame_id",
+        F.concat_ws("_", *id_cols),
+    )
+
+
+def _run_phash_gate(spark, tmp_path, batch_path, ck, **kw):
+    q = jobs.streaming_phash_gate(
+        jobs.read_frames_stream(spark, batch_path),
+        str(tmp_path / "fcorpus"),
+        str(tmp_path / "fmatches"),
+        str(tmp_path / ck),
+        **kw,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_streaming_phash_gate_matches_and_corpus_growth(spark, tmp_path):
+    """Pre-seeded corpus [A, B, C]; batch = [near-dup of A, exact copy of
+    B, novel E, within-batch exact copy of E]. The gate must log exactly
+    the two dup matches (hamming checked), accept exactly one novel frame
+    (the exact-dup pair collapses to its min-frame_id keeper, silently,
+    like the text gate's sha2 collapse), and keep the band index 1:1 with
+    the corpus at PHASH_BANDS rows per frame."""
+    import numpy as np
+
+    from imagingdb_spark import multimodal
+
+    rng = np.random.default_rng(21)
+    a, b, c, e = (_smooth_image(rng) for _ in range(4))
+    corpus_path = str(tmp_path / "fcorpus")
+    _hashed_frames(
+        spark, [("CA", a), ("CB", b), ("CC", c)]
+    ).write.parquet(corpus_path)
+
+    batch_path = str(tmp_path / "fin")
+    batch = spark.createDataFrame(
+        _frame_rows(
+            [("NA", _noised(a)), ("NB", b), ("NE", e), ("NE2", e)]
+        ),
+        multimodal.FRAME_SCHEMA,
+    )
+    batch.coalesce(1).write.parquet(batch_path)
+
+    _run_phash_gate(spark, tmp_path, batch_path, "ck1")
+
+    matches = spark.read.parquet(str(tmp_path / "fmatches")).collect()
+    got = {(r["new_frame"], r["corpus_frame"]) for r in matches}
+    assert got == {(_fid("NA"), _fid("CA")), (_fid("NB"), _fid("CB"))}
+    ham = {r["new_frame"]: r["hamming"] for r in matches}
+    assert ham[_fid("NB")] == 0  # identical image -> identical phash
+    assert 0 < ham[_fid("NA")] <= multimodal.PHASH_MAX_DISTANCE
+
+    corpus = spark.read.parquet(corpus_path)
+    ids = {r["frame_id"] for r in corpus.select("frame_id").collect()}
+    # exactly one of the within-batch exact-dup pair survives: the keeper
+    # is min(frame_id) = NE2 < NE?  No: 'NE2_...' > 'NE_...' is locale-free
+    # ASCII ('2' < '_'), so NE2 sorts FIRST and is the keeper.
+    assert ids == {_fid("CA"), _fid("CB"), _fid("CC"), _fid("NE2")}
+
+    idx = spark.read.parquet(corpus_path + "_idx_bands")
+    per_frame = {
+        r["frame_id"]: r["n"]
+        for r in idx.groupBy("frame_id").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert set(per_frame) == ids
+    assert all(n == multimodal.PHASH_BANDS for n in per_frame.values())
+
+
+def test_streaming_phash_gate_replay_idempotent(spark, tmp_path):
+    """Replaying the same batch with a fresh checkpoint must leave the
+    corpus and band index unchanged and add no new DISTINCT match pairs
+    (re-appended audit rows are the documented at-least-once residue)."""
+    import numpy as np
+
+    from imagingdb_spark import multimodal
+
+    rng = np.random.default_rng(22)
+    a, b, e = (_smooth_image(rng) for _ in range(3))
+    corpus_path = str(tmp_path / "fcorpus")
+    _hashed_frames(spark, [("CA", a), ("CB", b)]).write.parquet(corpus_path)
+
+    batch_path = str(tmp_path / "fin")
+    spark.createDataFrame(
+        _frame_rows([("NA", _noised(a, 1004)), ("NE", e)]),
+        multimodal.FRAME_SCHEMA,
+    ).coalesce(1).write.parquet(batch_path)
+
+    _run_phash_gate(spark, tmp_path, batch_path, "ck1")
+    n_corpus = spark.read.parquet(corpus_path).count()
+    n_idx = spark.read.parquet(corpus_path + "_idx_bands").count()
+    got1 = {
+        (r["new_frame"], r["corpus_frame"])
+        for r in spark.read.parquet(str(tmp_path / "fmatches")).collect()
+    }
+
+    _run_phash_gate(spark, tmp_path, batch_path, "ck2")
+    assert spark.read.parquet(corpus_path).count() == n_corpus
+    assert spark.read.parquet(corpus_path + "_idx_bands").count() == n_idx
+    got2 = {
+        (r["new_frame"], r["corpus_frame"])
+        for r in spark.read.parquet(str(tmp_path / "fmatches")).collect()
+    }
+    assert got2 == got1 == {(_fid("NA"), _fid("CA"))}
+
+
+def test_streaming_phash_gate_bootstrap_then_dedups(spark, tmp_path):
+    """No pre-seeded corpus: the first trigger bootstraps corpus + band
+    index from the batch itself; a second trigger's near-dup of a
+    bootstrapped frame is then caught through the maintained index."""
+    import numpy as np
+
+    from imagingdb_spark import multimodal
+
+    rng = np.random.default_rng(23)
+    a, b, c = (_smooth_image(rng) for _ in range(3))
+    corpus_path = str(tmp_path / "fcorpus")
+    batch_path = str(tmp_path / "fin")
+    spark.createDataFrame(
+        _frame_rows([("A1", a), ("B1", b)]), multimodal.FRAME_SCHEMA
+    ).coalesce(1).write.parquet(batch_path)
+
+    q = jobs.streaming_phash_gate(
+        jobs.read_frames_stream(spark, batch_path),
+        corpus_path,
+        str(tmp_path / "fmatches"),
+        str(tmp_path / "ck"),
+    )
+    q.processAllAvailable()  # trigger 1: bootstrap
+    assert spark.read.parquet(corpus_path).count() == 2
+
+    spark.createDataFrame(
+        _frame_rows([("A2", _noised(a)), ("C2", c)]),
+        multimodal.FRAME_SCHEMA,
+    ).coalesce(1).write.mode("append").parquet(batch_path)
+    q.processAllAvailable()  # trigger 2: against the bootstrapped index
+    q.stop()
+
+    got = {
+        (r["new_frame"], r["corpus_frame"])
+        for r in spark.read.parquet(str(tmp_path / "fmatches")).collect()
+    }
+    assert got == {(_fid("A2"), _fid("A1"))}
+    ids = {
+        r["frame_id"]
+        for r in spark.read.parquet(corpus_path).select("frame_id").collect()
+    }
+    assert ids == {_fid("A1"), _fid("B1"), _fid("C2")}
+
+
+def test_streaming_phash_gate_rebuilds_torn_index(spark, tmp_path):
+    """A band index missing its _SUCCESS marker (torn bootstrap) is
+    rebuilt from the corpus's STORED hashes before matching — a frame
+    absent from the torn index must still catch its near-dup."""
+    import os
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from imagingdb_spark import multimodal
+
+    rng = np.random.default_rng(24)
+    a, b = (_smooth_image(rng) for _ in range(2))
+    corpus_path = str(tmp_path / "fcorpus")
+    hashed = _hashed_frames(spark, [("CA", a), ("CB", b)])
+    hashed.write.parquet(corpus_path)
+    # torn index: only CA's bands made it, and no _SUCCESS
+    idx_path = corpus_path + "_idx_bands"
+    hashed.filter(F.col("dataset_serial") == "CA").select(
+        "frame_id", "phash", F.explode(multimodal.phash_band_col()).alias("b")
+    ).select("frame_id", "phash", "b.band_idx", "b.band_value").write.parquet(
+        idx_path
+    )
+    os.remove(os.path.join(idx_path, "_SUCCESS"))
+
+    batch_path = str(tmp_path / "fin")
+    spark.createDataFrame(
+        _frame_rows([("NB", _noised(b))]), multimodal.FRAME_SCHEMA
+    ).coalesce(1).write.parquet(batch_path)
+
+    _run_phash_gate(spark, tmp_path, batch_path, "ck")
+    got = {
+        (r["new_frame"], r["corpus_frame"])
+        for r in spark.read.parquet(str(tmp_path / "fmatches")).collect()
+    }
+    assert got == {(_fid("NB"), _fid("CB"))}  # missed without the rebuild
+    idx_ids = {
+        r["frame_id"]
+        for r in spark.read.parquet(idx_path).select("frame_id").collect()
+    }
+    assert idx_ids == {_fid("CA"), _fid("CB")}  # rebuilt complete
+
+
+def test_streaming_phash_gate_replay_after_torn_append(spark, tmp_path):
+    """ADVICE-r5 scenario, image flavor: a batch holding a WITHIN-batch
+    near-dup pair (both accepted in a clean run) is replayed after a torn
+    append landed one of the pair in the corpus + index. Without the
+    batch-id screen the still-pending twin would match its peer's corpus
+    copy and be dropped; the replay must reproduce the no-crash outcome
+    exactly (same corpus ids, same distinct match pairs)."""
+    import shutil
+
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from imagingdb_spark import multimodal
+
+    rng = np.random.default_rng(25)
+    a, f = (_smooth_image(rng) for _ in range(2))
+    corpus_path = str(tmp_path / "fcorpus")
+    idx_path = corpus_path + "_idx_bands"
+    _hashed_frames(spark, [("CA", a)]).write.parquet(corpus_path)
+
+    batch_path = str(tmp_path / "fin")
+    # F and F' are near-dups of EACH OTHER (not of the corpus): a clean
+    # run accepts both (the gate dedups batch-vs-corpus, by design)
+    batch_frames = _frame_rows([("NF", f), ("NG", _noised(f))])
+    spark.createDataFrame(
+        batch_frames, multimodal.FRAME_SCHEMA
+    ).coalesce(1).write.parquet(batch_path)
+
+    pristine = str(tmp_path / "pristine")
+    shutil.copytree(corpus_path, pristine)
+
+    _run_phash_gate(spark, tmp_path, batch_path, "ck_clean")
+    clean_ids = {
+        r["frame_id"]
+        for r in spark.read.parquet(corpus_path).select("frame_id").collect()
+    }
+    assert {_fid("NF"), _fid("NG")} <= clean_ids  # both accepted
+    clean_matches = {
+        (r["new_frame"], r["corpus_frame"])
+        for r in spark.read.parquet(str(tmp_path / "fmatches")).collect()
+    }
+
+    # torn state: pristine corpus + NG (and its bands) already appended
+    shutil.rmtree(corpus_path)
+    shutil.rmtree(idx_path)
+    shutil.copytree(pristine, corpus_path)
+    torn = _hashed_frames(spark, [("CA", a), ("NG", _noised(f))])
+    torn.filter(F.col("dataset_serial") == "NG").write.mode("append").parquet(
+        corpus_path
+    )
+    torn.select(
+        "frame_id", "phash", F.explode(multimodal.phash_band_col()).alias("b")
+    ).select("frame_id", "phash", "b.band_idx", "b.band_value").write.parquet(
+        idx_path
+    )
+
+    _run_phash_gate(spark, tmp_path, batch_path, "ck_replay")
+    replay_ids = {
+        r["frame_id"]
+        for r in spark.read.parquet(corpus_path).select("frame_id").collect()
+    }
+    replay_matches = {
+        (r["new_frame"], r["corpus_frame"])
+        for r in spark.read.parquet(str(tmp_path / "fmatches")).collect()
+    }
+    assert replay_ids == clean_ids
+    assert replay_matches == clean_matches
