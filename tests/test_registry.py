@@ -55,6 +55,7 @@ ROTATED_IN_R6 = [
     "x_heavy_hitters",
     "x_rebalance",
     "x_embed_pca",
+    "x_phash_dedup",
 ]
 
 
@@ -81,7 +82,9 @@ def test_category_coverage_inside_driver_window():
         #                      by the four new round-6 queries)
         "a_sum_avg",         # A-family holder (a_approx_sketch displaced)
         "f_not_exists",      # P-family holder
-        "f_string_parse",    # F-family holder
+        # f_string_parse (F family) is displaced to position 51 by
+        # x_phash_dedup: its r1+r3 double-green driver rows already
+        # certify the family, and every new query MUST take a slot
     ]:
         assert name in window, f"{name} fell outside the driver's 50-query window"
 
