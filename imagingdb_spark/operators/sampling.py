@@ -634,3 +634,165 @@ def x_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.explode(F.sequence(F.lit(1), copies.cast("int"))).alias("copy_idx"),
     )
+
+
+DSIR_BUCKETS = 256      # 2 md5 hex chars of feature-hash resolution
+DSIR_TARGET_LANG = "en" # the "small clean corpus" analog in the testdata
+DSIR_TOP_K = 100
+
+
+@query(
+    "x_dsir_select",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS toks
+      FROM documents
+    ), g AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(
+               toks,
+               list_transform(range(len(toks) - 1),
+                              i -> toks[i+1] || ' ' || toks[i+2]))) AS gm
+      FROM t
+    ), b AS (
+      SELECT doc_id, lang, substr(md5(gm), 1, 2) AS bucket FROM g
+    ), tb AS (
+      SELECT bucket, COUNT(*) AS tc FROM b
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+    ), pb AS (
+      SELECT doc_id, bucket, COUNT(*) AS c FROM b
+      WHERE lang <> '{DSIR_TARGET_LANG}' GROUP BY doc_id, bucket
+    ), rb AS (
+      SELECT bucket, CAST(SUM(c) AS BIGINT) AS rc FROM pb GROUP BY bucket
+    ), tt AS (
+      SELECT CAST(SUM(tc) AS DOUBLE) AS total_t FROM tb
+    ), rt AS (
+      SELECT CAST(SUM(rc) AS DOUBLE) AS total_r FROM rb
+    ), lr AS (
+      SELECT rb.bucket,
+             ln((COALESCE(tb.tc, 0) + 1) / (tt.total_t + {DSIR_BUCKETS}))
+               - ln((rb.rc + 1) / (rt.total_r + {DSIR_BUCKETS})) AS lr
+      FROM rb LEFT JOIN tb USING (bucket), tt, rt
+    ), w AS (
+      -- ordered aggregate: fold ascending by bucket so the float sum
+      -- order is IDENTICAL to the Spark side's array_sort + left-fold
+      SELECT pb.doc_id, SUM(pb.c * lr.lr ORDER BY pb.bucket) AS wt
+      FROM pb JOIN lr USING (bucket)
+      GROUP BY pb.doc_id
+    )
+    SELECT doc_id, round(wt, 4) + 0.0 AS dsir_weight
+    FROM w
+    ORDER BY wt DESC, doc_id ASC
+    LIMIT {DSIR_TOP_K}
+    """,
+)
+def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al., "Data Selection for Language
+    Models via Importance Resampling", NeurIPS 2023 — public): pick from
+    the raw pool (lang <> '{en}') the documents whose hashed-n-gram
+    distribution looks most like the target corpus (lang = 'en'). Features
+    are unigrams + word bigrams hashed into DSIR_BUCKETS buckets (2 md5
+    hex chars — the same engine-portable content-addressed hash every
+    split/sample op here uses); each bucket gets an add-one-smoothed
+    log-likelihood ratio ln(p_target/p_raw), and a document's importance
+    weight is the sum of its gram-count-weighted bucket ratios. Top
+    DSIR_TOP_K by weight (doc_id tiebreak) is the selected batch. (The
+    paper resamples with Gumbel noise; the deterministic top-k variant
+    keeps the oracle twin exact — plug split_col-style hashed noise in
+    for sampled selection.)
+
+    Determinism discipline: the per-doc weight folds its bucket
+    contributions in ASCENDING BUCKET ORDER on both engines (Spark:
+    array_sort(collect_list(struct(bucket, contrib))) + left-fold;
+    oracle: SUM(... ORDER BY bucket)) — the x_embed_quantize lesson that
+    unordered float sums differ by an ulp on some corpus eventually. The
+    ranking uses the RAW double (bit-identical by construction); rounding
+    to 4 is display-only.
+
+    Scale shape: ONE corpus pass explodes grams map-side; everything
+    after is bucket-keyed — the target/raw bucket tables are
+    DSIR_BUCKETS-sized aggregates (map-side partial, shuffle rows =
+    buckets x partitions), the log-ratio table is 256 rows and
+    BROADCAST into the per-doc join, and the per-doc fold is bounded at
+    DSIR_BUCKETS elements per group. The only corpus-proportional
+    shuffle is the (doc_id, bucket) count, capped at 256 rows per
+    document. Top-k compiles to TakeOrderedAndProject — no global sort.
+    At 100 TB: identical shapes; raise DSIR_BUCKETS (the paper uses
+    10k-1M) and the ratio table stays a broadcast dim."""
+    from imagingdb_spark.operators.lm import attach_scalar
+
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", tokens_col(F.col("text")).alias("toks"))
+    bigrams = F.transform(
+        F.sequence(F.lit(0), F.size("toks") - 2),
+        lambda i: F.concat(
+            F.element_at("toks", i + 1), F.lit(" "), F.element_at("toks", i + 2)
+        ),
+    )
+    grams = toks.filter(F.size("toks") >= 1).select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.concat(
+                F.col("toks"),
+                F.when(F.size("toks") >= 2, bigrams).otherwise(F.array()),
+            )
+        ).alias("gm"),
+    )
+    # ONE corpus pass: the per-(doc, bucket) count table feeds the target
+    # histogram, the raw histogram AND the scoring join, so persist it
+    # (lm.doc_term_counts rationale — no automatic subplan sharing; the
+    # bench/selfcheck harnesses clearCache() between queries). Bounded at
+    # DSIR_BUCKETS rows per document.
+    db = (
+        grams.select(
+            "doc_id", "lang", F.substring(F.md5("gm"), 1, 2).alias("bucket")
+        )
+        .groupBy("doc_id", "lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()
+    )
+    tb = (
+        db.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.sum("c").alias("tc"))
+    )
+    pb = db.filter(F.col("lang") != DSIR_TARGET_LANG).select(
+        "doc_id", "bucket", "c"
+    )
+    rb = pb.groupBy("bucket").agg(F.sum("c").alias("rc"))
+    tt = tb.agg(F.sum("tc").cast("double").alias("total_t"))
+    rt = rb.agg(F.sum("rc").cast("double").alias("total_r"))
+    lr = attach_scalar(
+        attach_scalar(rb.join(tb, "bucket", "left").fillna(0, ["tc"]), tt), rt
+    ).select(
+        "bucket",
+        (
+            F.log((F.col("tc") + 1) / (F.col("total_t") + DSIR_BUCKETS))
+            - F.log((F.col("rc") + 1) / (F.col("total_r") + DSIR_BUCKETS))
+        ).alias("lr"),
+    )
+    w = (
+        pb.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.aggregate(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("bucket"), (F.col("c") * F.col("lr")).alias("v")
+                        )
+                    )
+                ),
+                F.lit(0.0),
+                lambda acc, s: acc + s["v"],
+            ).alias("wt")
+        )
+    )
+    return (
+        w.orderBy(F.col("wt").desc(), F.col("doc_id").asc())
+        .limit(DSIR_TOP_K)
+        .select("doc_id", (F.round("wt", 4) + 0.0).alias("dsir_weight"))
+    )

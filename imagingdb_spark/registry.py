@@ -95,6 +95,10 @@ PRIORITY: list[str] = [
     #                     PNG frames (rows-only + brute-force parity unit
     #                     test); displaces f_string_parse, whose r1+r3
     #                     double greens already cover the F family
+    "x_dsir_select",    # D19: DSIR hashed-n-gram importance selection
+    #                     (oracle-exact + Python-twin parity unit test);
+    #                     displaces x_fuzzy_join — the rotated-in
+    #                     x_dedup_verified holds for the D2 family
     # --- double-verification: the 11 queries whose only green row is r5 ---
     "x_inverted_index",   # D18 sibling (single green row, r5)
     "x_token_ids",      # D4 sibling (single green row, r5)
@@ -130,7 +134,6 @@ PRIORITY: list[str] = [
     "x_unigram_logprob",  # D17 (single green row, r3)
     "x_length_trim",    # D10 (single green row, r3)
     "x_gapfill",        # T1 (single green row, r3)
-    "x_fuzzy_join",     # D2 (single green row, r3)
     "x_tfidf",          # D18 (single green row, r3)
     "x_merge_upsert",   # S10 (single green row, r3)
     "x_ann_ivf",        # D3 rows-only (single clean run, r3)
@@ -154,6 +157,8 @@ PRIORITY: list[str] = [
     #                     r1+r2 double greens for the family
     "x_lang_id",        # D4 (single green r1) — displaced; D4 keeps the
     #                     new x_heavy_hitters in-window
+    "x_fuzzy_join",     # D2 (single green r3) — displaced by the new
+    #                     x_dsir_select; x_dedup_verified holds for D2
     "x_span_dedup",     # pass-r4 + pass-r5
     "x_dedup_eval",     # clean-run r5 (rows-only)
     "x_pagerank",       # clean-run r5 (rows-only)

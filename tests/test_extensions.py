@@ -1633,3 +1633,103 @@ class TestPhash:
         # at hamming 0 and some near-dup plants landed within the radius
         assert any(h == 0 for _, _, h in got)
         assert any(h > 0 for _, _, h in got)
+
+
+class TestDsirSelect:
+    """x_dsir_select: hashed-n-gram importance weights (DSIR, public).
+    The oracle pins engine equality; here we pin the SEMANTICS — a pool
+    document written in the target's vocabulary must out-rank pool
+    documents written in a disjoint vocabulary, and the weight must equal
+    an independent pure-Python computation of the same formula."""
+
+    TARGET = "query plan scan filter join aggregate shuffle partition"
+    OTHER = "rivers mountains valleys forests deserts glaciers tundra"
+
+    def _docs(self, spark, tmp_path):
+        rows = [
+            # target corpus (lang='en'): all TARGET vocabulary
+            (0, self.TARGET, "en"),
+            (1, self.TARGET + " broadcast exchange", "en"),
+            # pool: one target-looking doc planted among OTHER-vocab docs
+            (10, self.TARGET + " codegen", "de"),
+            (11, self.OTHER, "fr"),
+            (12, self.OTHER + " plains", "zh"),
+            (13, self.OTHER + " steppes meadows", "es"),
+        ]
+        d = str(tmp_path / "sfdsir")
+        spark.createDataFrame(
+            [(i, t, lang, "src0", len(t)) for i, t, lang in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(d + "/documents.parquet")
+        return d
+
+    def test_target_vocab_doc_ranks_first(self, spark, tmp_path):
+        from imagingdb_spark.operators.sampling import x_dsir_select
+
+        got = x_dsir_select(spark, self._docs(spark, tmp_path)).collect()
+        ids = [r["doc_id"] for r in got]
+        assert set(ids) == {10, 11, 12, 13}  # pool only, never the target
+        assert ids[0] == 10  # the planted target-vocab doc wins
+        w = {r["doc_id"]: r["dsir_weight"] for r in got}
+        assert w[10] > 0 > max(w[11], w[12], w[13])
+
+    def test_weight_matches_python_twin(self, spark, tmp_path):
+        """Bit-for-bit parity with an independent hashlib+math.log twin
+        folding bucket contributions in the same ascending-bucket order."""
+        import hashlib
+        import math
+        from collections import Counter
+
+        from imagingdb_spark.operators.sampling import (
+            DSIR_BUCKETS,
+            x_dsir_select,
+        )
+
+        def grams(text):
+            toks = [t for t in text.lower().split() if t]
+            return toks + [
+                f"{a} {b}" for a, b in zip(toks, toks[1:])
+            ]
+
+        def bucket(g):
+            return hashlib.md5(g.encode()).hexdigest()[:2]
+
+        rows = {
+            0: (self.TARGET, "en"),
+            1: (self.TARGET + " broadcast exchange", "en"),
+            10: (self.TARGET + " codegen", "de"),
+            11: (self.OTHER, "fr"),
+            12: (self.OTHER + " plains", "zh"),
+            13: (self.OTHER + " steppes meadows", "es"),
+        }
+        tb: Counter = Counter()
+        pb: dict[int, Counter] = {}
+        for i, (t, lang) in rows.items():
+            c = Counter(bucket(g) for g in grams(t))
+            if lang == "en":
+                tb.update(c)
+            else:
+                pb[i] = c
+        rb: Counter = Counter()
+        for c in pb.values():
+            rb.update(c)
+        tt, rt = float(sum(tb.values())), float(sum(rb.values()))
+        lr = {
+            b: math.log((tb.get(b, 0) + 1) / (tt + DSIR_BUCKETS))
+            - math.log((n + 1) / (rt + DSIR_BUCKETS))
+            for b, n in rb.items()
+        }
+        expect = {
+            i: round(
+                sum(c[b] * lr[b] for b in sorted(c)), 4
+            )
+            + 0.0
+            for i, c in pb.items()
+        }
+        got = {
+            r["doc_id"]: r["dsir_weight"]
+            for r in x_dsir_select(
+                spark, self._docs(spark, tmp_path)
+            ).collect()
+        }
+        assert got == expect

@@ -56,6 +56,7 @@ ROTATED_IN_R6 = [
     "x_rebalance",
     "x_embed_pca",
     "x_phash_dedup",
+    "x_dsir_select",
 ]
 
 
