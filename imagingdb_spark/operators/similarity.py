@@ -1326,3 +1326,138 @@ def x_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "vec_id", "label", F.posexplode(project("embedding")).alias("pc", "score")
     )
+
+
+# --- D3h+: product quantization (Jégou, Douze, Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011 — public). The
+# learned counterpart of x_embed_quantize's scalar quantizer: the vector
+# splits into PQ_M subspaces and each subvector maps to one of PQ_K
+# learned centroids, so a 64-dim float32 vector becomes PQ_M 4-bit codes
+# (64x smaller) with far lower reconstruction error than SQ at the same
+# budget on clustered data.
+PQ_M = 8            # subspaces (dsub = dim / PQ_M)
+PQ_K = 16           # centroids per subspace -> 4-bit codes
+PQ_ITER = 4
+PQ_TRAIN_MOD = 3    # deterministic ~1/3 training sample (IVF discipline)
+
+
+def _pq_assign_codes(codebooks: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """(n, dim) -> (n, PQ_M) int codes: per-subspace nearest centroid.
+    Shared by the distributed UDF and the numpy-parity test so the two
+    can never disagree about the same math. ||x-c||^2 ranks as
+    -2 x.c + ||c||^2 per subspace (||x|| constant per row)."""
+    n, dim = x.shape
+    m_, k_, dsub = codebooks.shape
+    xs = x.reshape(n, m_, dsub)
+    # scores[n, m, k] = -2 * xs . c + ||c||^2
+    scores = -2.0 * np.einsum("nmd,mkd->nmk", xs, codebooks) + (
+        codebooks * codebooks
+    ).sum(axis=2)
+    return np.argmin(scores, axis=2).astype(np.int32)
+
+
+def _pq_reconstruct(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
+    """(n, PQ_M) codes -> (n, dim) decoded vectors."""
+    n = codes.shape[0]
+    return np.stack(
+        [codebooks[m_, codes[:, m_]] for m_ in range(codebooks.shape[0])],
+        axis=1,
+    ).reshape(n, -1)
+
+
+def _pq_codebooks(e: DataFrame) -> np.ndarray:
+    """(PQ_M, PQ_K, dsub) k-means codebooks trained DISTRIBUTED on a
+    deterministic sample — the _ivf_centroids discipline, except ALL
+    PQ_M subspace k-means run in the SAME distributed aggregate per
+    Lloyd iteration: the assign UDF emits the full code array, one
+    posexplode keys the means by (m, cell, pos-within-subspace), and the
+    collect is PQ_M*PQ_K*dsub rows (= dim*PQ_K, 1024 doubles here) per
+    iteration regardless of corpus size. Seeds are the subvectors of the
+    PQ_K sample vectors with the smallest xxhash64(vec_id) — the same
+    deterministic spread-uniform init IVF uses. Empty cells keep their
+    previous centroid."""
+    dim = embedding_dim(e)
+    dsub = dim // PQ_M
+    sample = e.filter(F.xxhash64("vec_id") % PQ_TRAIN_MOD == 0)
+    seeds = (
+        sample.orderBy(F.xxhash64("vec_id", F.lit(1)), "vec_id")
+        .limit(PQ_K)
+        .select("embedding")
+        .collect()
+    )
+    seed_m = np.asarray([r["embedding"] for r in seeds], dtype=np.float64)
+    codebooks = (
+        seed_m.reshape(PQ_K, PQ_M, dsub).transpose(1, 0, 2).copy()
+    )  # (M, K, dsub)
+
+    for _ in range(PQ_ITER):
+        cb = codebooks
+
+        @F.pandas_udf("array<int>")
+        def assign(emb: pd.Series) -> pd.Series:
+            x = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+            return pd.Series(list(_pq_assign_codes(cb, x)))
+
+        sums = (
+            sample.select(assign("embedding").alias("codes"), "embedding")
+            .select(
+                F.posexplode("codes").alias("m", "cell"),
+                F.col("embedding"),
+            )
+            .select(
+                "m",
+                "cell",
+                F.posexplode(
+                    F.slice("embedding", F.col("m") * dsub + 1, dsub)
+                ).alias("pos", "val"),
+            )
+            .groupBy("m", "cell", "pos")
+            .agg(F.avg("val").alias("mean"))
+            .collect()
+        )
+        new_c = codebooks.copy()
+        for r in sums:
+            new_c[r["m"], r["cell"], r["pos"]] = r["mean"]
+        codebooks = new_c
+    return codebooks
+
+
+@query("x_pq_quantize")  # rows-only: k-means codebooks not ANSI-SQL-
+#                          expressible; numpy-parity + determinism tests
+def x_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D3h+: product quantization of the embedding column with a
+    per-vector reconstruction-error audit — the go/no-go check before an
+    ANN index ships PQ codes instead of raw vectors (x_embed_quantize's
+    audit, for the learned quantizer). Output: (vec_id, label, codes as a
+    '-'-joined string — stable to hash, no array column in the driver
+    path — and the L2 reconstruction error rounded to 4).
+
+    Scale shape: training touches only the deterministic sample and
+    collects dim*PQ_K doubles per Lloyd round (see _pq_codebooks);
+    encoding is ONE Arrow einsum pass with the ~4 KB codebook riding in
+    the UDF closure (an explicit broadcast variable at cluster scale) —
+    embarrassingly parallel, zero shuffles, zero joins. At 100 TB:
+    identical; the codes column (PQ_M bytes/vector) is what lands in the
+    index, 64x smaller than the float32 vectors."""
+    e = table(spark, sf_dir, "embeddings")
+    codebooks = _pq_codebooks(e)
+
+    @F.pandas_udf("struct<codes: string, recon_l2: double>")
+    def encode(emb: pd.Series) -> pd.DataFrame:
+        x = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        codes = _pq_assign_codes(codebooks, x)
+        err = np.sqrt(
+            ((x - _pq_reconstruct(codebooks, codes)) ** 2).sum(axis=1)
+        )
+        return pd.DataFrame(
+            {
+                "codes": ["-".join(map(str, row)) for row in codes],
+                "recon_l2": np.round(err, 4),
+            }
+        )
+
+    enc = e.select("vec_id", "label", encode("embedding").alias("q"))
+    return enc.select(
+        "vec_id", "label", F.col("q.codes").alias("codes"),
+        F.col("q.recon_l2").alias("recon_l2"),
+    )

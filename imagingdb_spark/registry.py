@@ -99,6 +99,10 @@ PRIORITY: list[str] = [
     #                     (oracle-exact + Python-twin parity unit test);
     #                     displaces x_fuzzy_join — the rotated-in
     #                     x_dedup_verified holds for the D2 family
+    "x_pq_quantize",    # D3h+: product quantization (rows-only + numpy
+    #                     parity + planted zero-error corpus); displaces
+    #                     x_length_trim — D10 keeps x_quality_norm and
+    #                     x_quality_filter in-window
     # --- double-verification: the 11 queries whose only green row is r5 ---
     "x_inverted_index",   # D18 sibling (single green row, r5)
     "x_token_ids",      # D4 sibling (single green row, r5)
@@ -132,7 +136,6 @@ PRIORITY: list[str] = [
     "x_shard_shuffle",  # D16 (single green row, r3)
     "st_join",          # St6 (single green row, r3)
     "x_unigram_logprob",  # D17 (single green row, r3)
-    "x_length_trim",    # D10 (single green row, r3)
     "x_gapfill",        # T1 (single green row, r3)
     "x_tfidf",          # D18 (single green row, r3)
     "x_merge_upsert",   # S10 (single green row, r3)
@@ -159,6 +162,9 @@ PRIORITY: list[str] = [
     #                     new x_heavy_hitters in-window
     "x_fuzzy_join",     # D2 (single green r3) — displaced by the new
     #                     x_dsir_select; x_dedup_verified holds for D2
+    "x_length_trim",    # D10 (single green r3) — displaced by the new
+    #                     x_pq_quantize; x_quality_norm + x_quality_filter
+    #                     hold for D10
     "x_span_dedup",     # pass-r4 + pass-r5
     "x_dedup_eval",     # clean-run r5 (rows-only)
     "x_pagerank",       # clean-run r5 (rows-only)

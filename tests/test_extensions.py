@@ -1733,3 +1733,71 @@ class TestDsirSelect:
             ).collect()
         }
         assert got == expect
+
+
+class TestPqQuantize:
+    """x_pq_quantize: product quantization (rows-only — k-means codebooks
+    aren't SQL-expressible) gets its correctness from (1) bit-level
+    numpy parity of the distributed encode against the shared
+    _pq_assign_codes/_pq_reconstruct math, (2) run-to-run determinism,
+    (3) a planted corpus of exactly PQ_K distinct vectors that must
+    reconstruct with zero error."""
+
+    def test_encode_matches_numpy_twin(self, spark):
+        import numpy as np
+
+        from imagingdb_spark.catalog import table
+        from imagingdb_spark.operators import similarity as S
+
+        sf_dir = "/root/testdata/sf0.001"
+        e = table(spark, sf_dir, "embeddings")
+        codebooks = S._pq_codebooks(e)
+        rows = e.select("vec_id", "embedding").collect()
+        x = np.asarray([r["embedding"] for r in rows], dtype=np.float64)
+        codes = S._pq_assign_codes(codebooks, x)
+        err = np.sqrt(
+            ((x - S._pq_reconstruct(codebooks, codes)) ** 2).sum(axis=1)
+        )
+        expect = {
+            r["vec_id"]: ("-".join(map(str, c)), round(float(v), 4))
+            for r, c, v in zip(rows, codes, err)
+        }
+        got = {
+            r["vec_id"]: (r["codes"], r["recon_l2"])
+            for r in S.x_pq_quantize(spark, sf_dir).collect()
+        }
+        assert got == expect
+
+    def test_deterministic_across_runs(self, spark):
+        from imagingdb_spark.operators.similarity import x_pq_quantize
+
+        sf_dir = "/root/testdata/sf0.001"
+        a = sorted(map(tuple, x_pq_quantize(spark, sf_dir).collect()))
+        spark.catalog.clearCache()
+        b = sorted(map(tuple, x_pq_quantize(spark, sf_dir).collect()))
+        assert a == b
+
+    def test_planted_codebook_corpus_reconstructs_exactly(self, spark, tmp_path):
+        """A corpus drawn (with repetition) from 4 distinct vectors —
+        fewer modes than PQ_K seeds, so every mode is guaranteed a seed
+        centroid equal to it and Lloyd sits at a zero-error fixed point
+        (with modes == PQ_K a hash-sampled init can MISS a mode; k-means
+        promises a local optimum, not mode coverage). Every vector must
+        then reconstruct with zero L2 error."""
+        import numpy as np
+
+        from imagingdb_spark.operators.similarity import x_pq_quantize
+
+        rng = np.random.default_rng(7)
+        basis = rng.normal(size=(4, 64)).round(3)
+        rows = [
+            (i, int(i % 3), [float(v) for v in basis[i % 4]])
+            for i in range(200)
+        ]
+        d = str(tmp_path / "sfpq")
+        spark.createDataFrame(
+            rows, "vec_id long, label int, embedding array<double>"
+        ).coalesce(1).write.parquet(d + "/embeddings.parquet")
+        got = x_pq_quantize(spark, d).collect()
+        assert len(got) == 200
+        assert all(r["recon_l2"] == 0.0 for r in got)

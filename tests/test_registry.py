@@ -57,6 +57,7 @@ ROTATED_IN_R6 = [
     "x_embed_pca",
     "x_phash_dedup",
     "x_dsir_select",
+    "x_pq_quantize",
 ]
 
 
