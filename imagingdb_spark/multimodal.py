@@ -726,3 +726,213 @@ def x_phash_dedup(spark: "SparkSession", sf_dir: str) -> DataFrame:
         "frame_id", F.concat_ws("_", "dataset_serial", "pos_idx")
     )
     return phash_near_dups(hashed).orderBy("frame_a", "frame_b")
+
+
+# ---------------------------------------------------------------------------
+# Audio fingerprint near-dup (D5d): the AUDIO twin of the image pHash path.
+# A 64-bit clip fingerprint in the Haitsma–Kalker style ("A Highly Robust
+# Audio Fingerprinting System", ISMIR 2002 — public): sign bits of
+# second-order band-energy differences over a time×frequency energy grid.
+# Positive gain scales every band energy by g², so every difference keeps
+# its sign — the fingerprint is EXACTLY gain-invariant — and small additive
+# noise / lossy companding (G.711) flip only bits whose energy delta sits
+# near zero, landing re-encoded copies within a small hamming radius of the
+# original. Catches "same recording, different level/encoding" dups that
+# payload_sha256 cannot, exactly as pHash does for images.
+# ---------------------------------------------------------------------------
+
+AFP_SEGMENTS = 9         # time segments -> 8 delta rows
+AFP_BANDS = 9            # frequency bands -> 8 delta columns (8x8 = 64 bits)
+AFP_MAX_DISTANCE = 6     # near-dup threshold; banding lossless to 7
+
+
+def _afp_one(samples: "np.ndarray") -> int:
+    """64-bit audio fingerprint of a float-sample clip: the clip splits
+    into AFP_SEGMENTS equal time segments, each segment's rfft power
+    folds into AFP_BANDS equal frequency bands (DC bin excluded — DC
+    offset is not perceptual content), and bit (t, f) is the sign of the
+    time-delta of the band-delta:
+        E[t,f] - E[t,f+1] - (E[t-1,f] - E[t-1,f+1]) > 0
+    — the Haitsma–Kalker bit definition on an 8x8 grid. Clips shorter
+    than AFP_SEGMENTS samples zero-pad (their tail segments hash as
+    silence)."""
+    n = len(samples)
+    if n < AFP_SEGMENTS:
+        samples = np.pad(samples, (0, AFP_SEGMENTS - n))
+        n = AFP_SEGMENTS
+    seg = n // AFP_SEGMENTS
+    x = samples[: seg * AFP_SEGMENTS].reshape(AFP_SEGMENTS, seg)
+    spec = np.abs(np.fft.rfft(x, axis=1)) ** 2
+    spec = spec[:, 1:]  # drop DC
+    nb = spec.shape[1] // AFP_BANDS
+    if nb == 0:
+        e = np.pad(spec, ((0, 0), (0, AFP_BANDS - spec.shape[1])))
+    else:
+        e = spec[:, : nb * AFP_BANDS].reshape(AFP_SEGMENTS, AFP_BANDS, nb).sum(
+            axis=2
+        )
+    d = e[:, :-1] - e[:, 1:]          # band deltas, (SEGMENTS, BANDS-1)
+    bits = (d[1:] - d[:-1]) > 0       # time delta of band delta, 8x8
+    h = int(np.packbits(bits.reshape(-1).astype(np.uint8)).view(">u8")[0])
+    # reinterpret the uint64 bit pattern as int64 (Spark LongType has no
+    # unsigned twin; downstream arithmetic is bitwise, _phash_one style)
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+AFP_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("afp", T.LongType()),
+    ]
+)
+
+
+def afp_clips(
+    clips: DataFrame,
+    decoder: Callable[[bytes, int], "np.ndarray"] = decode_pcm,
+) -> DataFrame:
+    """(clip_id, afp): 64-bit audio fingerprint per clip via mapInPandas
+    over (clip_id, payload, sample_rate) — decode (real WAV codec) +
+    fingerprint once, map-side, payloads never shuffled (the
+    phash_frames discipline). The int64 reinterprets the uint64 bit
+    pattern (Spark has no unsigned type); band arithmetic downstream is
+    bitwise, so the sign bit is just bit 63."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for cid, p, sr in zip(
+                pdf["clip_id"], pdf["payload"], pdf["sample_rate"]
+            ):
+                rows.append(
+                    {"clip_id": cid, "afp": _afp_one(decoder(p, int(sr)))}
+                )
+            yield pd.DataFrame(rows)
+
+    return clips.mapInPandas(batches, schema=AFP_SCHEMA)
+
+
+def afp_near_dups(
+    hashed: DataFrame,
+    id_col: str = "clip_id",
+    max_distance: int = AFP_MAX_DISTANCE,
+) -> DataFrame:
+    """Near-dup clip pairs with hamming(afp_a, afp_b) <= max_distance —
+    EXACTLY phash_near_dups' lossless 8x8-bit band bucketing over
+    DISTINCT fingerprint values (pigeonhole: d < 8 differing bits must
+    leave one 8-bit band untouched), reused verbatim by renaming the
+    fingerprint column into the shared path. One fingerprint family, one
+    losslessness argument, one set of plan guarantees."""
+    pairs = phash_near_dups(
+        hashed.withColumnRenamed("afp", "phash"),
+        id_col=id_col,
+        max_distance=max_distance,
+    )
+    return pairs.select(
+        F.col("frame_a").alias("clip_a"),
+        F.col("frame_b").alias("clip_b"),
+        "hamming",
+    )
+
+
+CLIP_SCHEMA = T.StructType(
+    [
+        T.StructField("clip_id", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("payload", T.BinaryType()),
+    ]
+)
+
+SYNTH_CLIP_RATE = 8000
+SYNTH_CLIP_SEG = 512                              # one fingerprint segment
+SYNTH_CLIP_SAMPLES = SYNTH_CLIP_SEG * AFP_SEGMENTS
+
+
+def synth_clips(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic WAV corpus derived from the documents
+    table (synth_frames' audio twin): every doc yields a base clip with
+    dense TIME x FREQUENCY structure — one sinusoid per fingerprint band
+    whose amplitude varies per segment on a 9x9 grid seeded from
+    sha256(text) (the HK fingerprint thresholds second-order energy
+    DELTAS, so a stationary mixture would leave every bit riding
+    quantization noise; real audio is non-stationary, and so is this) —
+    every 7th doc adds a PLANTED NEAR-DUP (same clip at 1.2x gain +
+    seeded noise ~26 dB below the quietest band: gain flips no
+    fingerprint bits by construction, the noise only bits whose energy
+    delta sits near zero) and every 23rd doc a PLANTED EXACT DUP
+    (byte-identical payload). All payloads are real 16-bit PCM WAV bytes
+    from the pure-numpy codec; generation is map-side, no shuffle."""
+    import hashlib
+
+    ts = np.arange(SYNTH_CLIP_SEG, dtype=np.float64) / SYNTH_CLIP_RATE
+    # one carrier per fingerprint band, centered in the band: rfft of a
+    # 512-sample segment at 8 kHz puts band b over bins
+    # [1 + 28b, 1 + 28(b+1)); bin k = k * 15.625 Hz
+    band_bins = (SYNTH_CLIP_SEG // 2) // AFP_BANDS          # 28
+    carriers = np.array(
+        [
+            (1 + band_bins * b + band_bins // 2)
+            * SYNTH_CLIP_RATE
+            / SYNTH_CLIP_SEG
+            for b in range(AFP_BANDS)
+        ]
+    )
+
+    def clip_from_text(text: str) -> "np.ndarray":
+        seed = int.from_bytes(hashlib.sha256(text.encode()).digest()[:8], "big")
+        rng = np.random.default_rng(seed)
+        amps = 0.01 + 0.07 * rng.random((AFP_SEGMENTS, AFP_BANDS))
+        phases = 2 * np.pi * rng.random(AFP_BANDS)
+        segs = [
+            (
+                amps[s][None, :]
+                * np.sin(2 * np.pi * carriers[None, :] * ts[:, None] + phases)
+            ).sum(axis=1)
+            for s in range(AFP_SEGMENTS)
+        ]
+        return np.concatenate(segs)
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from imagingdb_spark import wav
+
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                base = clip_from_text(text)
+                payload = wav.encode_wav(base, SYNTH_CLIP_RATE)
+                cid = f"DOC-{doc_id}"
+                rows.append((f"{cid}_0", SYNTH_CLIP_RATE, payload))
+                if doc_id % 7 == 0:
+                    rng = np.random.default_rng(doc_id)
+                    near = 1.2 * base + 0.008 * rng.standard_normal(len(base))
+                    rows.append(
+                        (
+                            f"{cid}_1",
+                            SYNTH_CLIP_RATE,
+                            wav.encode_wav(near, SYNTH_CLIP_RATE),
+                        )
+                    )
+                if doc_id % 23 == 0:
+                    rows.append((f"{cid}_2", SYNTH_CLIP_RATE, payload))
+            yield pd.DataFrame(rows, columns=[f.name for f in CLIP_SCHEMA.fields])
+
+    return docs.mapInPandas(synth, schema=CLIP_SCHEMA)
+
+
+@query("x_audio_dedup")  # rows-only: FFT band-energy fingerprinting is not
+#                          ANSI-SQL-expressible; parity vs a local
+#                          brute-force twin is pinned in
+#                          tests/test_extensions.py::TestAudioFingerprint
+def x_audio_dedup(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """D5d end-to-end at driver level: documents → deterministic
+    synthetic WAV clips (planted exact + near dups, synth_clips) →
+    afp_clips → lossless banded near-dup pairs. Every stage is the real
+    registered code path — RIFF codec, Arrow decode batches,
+    distinct-hash banding, popcount verify (shared with the image
+    pipeline). Scale shape: identical to x_phash_dedup — fingerprints
+    travel, payloads never leave the decode tasks."""
+    from imagingdb_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = afp_clips(synth_clips(docs))
+    return afp_near_dups(hashed).orderBy("clip_a", "clip_b")

@@ -103,6 +103,10 @@ PRIORITY: list[str] = [
     #                     parity + planted zero-error corpus); displaces
     #                     x_length_trim — D10 keeps x_quality_norm and
     #                     x_quality_filter in-window
+    "x_audio_dedup",    # D5d: audio fingerprint near-dup over synthetic
+    #                     WAV clips (rows-only + brute-force parity +
+    #                     G.711/gain invariance tests); displaces
+    #                     x_sample_weighted — D8 keeps x_rebalance
     # --- double-verification: the 11 queries whose only green row is r5 ---
     "x_inverted_index",   # D18 sibling (single green row, r5)
     "x_token_ids",      # D4 sibling (single green row, r5)
@@ -131,7 +135,6 @@ PRIORITY: list[str] = [
     "w_dense_rank",     # W (single green row, r3)
     "w_lag_lead",       # W (single green row, r3)
     "w_range_frame",    # W (single green row, r3)
-    "x_sample_weighted",  # D8 (single green row, r3)
     "x_dedup_compact",  # D12 (single green row, r3)
     "x_shard_shuffle",  # D16 (single green row, r3)
     "st_join",          # St6 (single green row, r3)
@@ -165,6 +168,8 @@ PRIORITY: list[str] = [
     "x_length_trim",    # D10 (single green r3) — displaced by the new
     #                     x_pq_quantize; x_quality_norm + x_quality_filter
     #                     hold for D10
+    "x_sample_weighted",  # D8 (single green r3) — displaced by the new
+    #                     x_audio_dedup; x_rebalance holds for D8
     "x_span_dedup",     # pass-r4 + pass-r5
     "x_dedup_eval",     # clean-run r5 (rows-only)
     "x_pagerank",       # clean-run r5 (rows-only)

@@ -1801,3 +1801,120 @@ class TestPqQuantize:
         got = x_pq_quantize(spark, d).collect()
         assert len(got) == 200
         assert all(r["recon_l2"] == 0.0 for r in got)
+
+
+class TestAudioFingerprint:
+    """x_audio_dedup (D5d): the audio twin of TestPhash — fingerprint
+    invariances, lossless banding parity vs a local all-pairs popcount
+    twin, and the planted dup structure of the synthetic WAV corpus."""
+
+    def _clip(self, seed=3):
+        import numpy as np
+
+        from imagingdb_spark import multimodal as M
+
+        rng = np.random.default_rng(seed)
+        amps = 0.01 + 0.07 * rng.random((M.AFP_SEGMENTS, M.AFP_BANDS))
+        ts = np.arange(M.SYNTH_CLIP_SEG) / M.SYNTH_CLIP_RATE
+        band_bins = (M.SYNTH_CLIP_SEG // 2) // M.AFP_BANDS
+        carriers = np.array(
+            [
+                (1 + band_bins * b + band_bins // 2)
+                * M.SYNTH_CLIP_RATE
+                / M.SYNTH_CLIP_SEG
+                for b in range(M.AFP_BANDS)
+            ]
+        )
+        segs = [
+            (
+                amps[s][None, :]
+                * np.sin(2 * np.pi * carriers[None, :] * ts[:, None])
+            ).sum(axis=1)
+            for s in range(M.AFP_SEGMENTS)
+        ]
+        return np.concatenate(segs)
+
+    @staticmethod
+    def _ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    def test_gain_invariant_exactly(self):
+        """Positive gain scales every band energy by g^2, so every
+        delta-of-delta keeps its sign: hamming must be exactly 0."""
+        from imagingdb_spark.multimodal import _afp_one
+
+        a = self._clip()
+        for g in (0.25, 0.5, 2.0, 7.3):
+            assert self._ham(_afp_one(a), _afp_one(g * a)) == 0
+
+    def test_noise_lands_in_near_dup_band(self):
+        import numpy as np
+
+        from imagingdb_spark.multimodal import AFP_MAX_DISTANCE, _afp_one
+
+        a = self._clip()
+        rng = np.random.default_rng(99)
+        noisy = a + 0.008 * rng.standard_normal(len(a))
+        assert 0 <= self._ham(_afp_one(a), _afp_one(noisy)) <= AFP_MAX_DISTANCE
+
+    def test_independent_clips_are_far(self):
+        from imagingdb_spark.multimodal import _afp_one
+
+        h1, h2 = _afp_one(self._clip(1)), _afp_one(self._clip(2))
+        assert self._ham(h1, h2) > 20
+
+    def test_g711_roundtrip_stays_near(self):
+        """mulaw companding (8-bit G.711) is exactly the lossy re-encode
+        the fingerprint exists to catch: the round-tripped clip must stay
+        within the near-dup radius of the original."""
+        from imagingdb_spark import wav
+        from imagingdb_spark.multimodal import (
+            AFP_MAX_DISTANCE,
+            SYNTH_CLIP_RATE,
+            _afp_one,
+        )
+
+        a = self._clip()
+        rt, _, _ = wav.decode_wav(wav.encode_wav(a, SYNTH_CLIP_RATE, codec="mulaw"))
+        assert self._ham(_afp_one(a), _afp_one(rt)) <= AFP_MAX_DISTANCE
+
+    def test_pipeline_matches_bruteforce_twin(self, spark):
+        """afp_near_dups over the synthetic corpus == all-pairs popcount
+        at the same threshold (banding is lossless by pigeonhole)."""
+        from itertools import combinations
+
+        from imagingdb_spark import multimodal as M
+        from imagingdb_spark.catalog import table
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        hashed = M.afp_clips(M.synth_clips(docs)).collect()
+        byid = {r["clip_id"]: r["afp"] for r in hashed}
+        expect = {
+            (min(x, y), max(x, y), self._ham(byid[x], byid[y]))
+            for x, y in combinations(byid, 2)
+            if self._ham(byid[x], byid[y]) <= M.AFP_MAX_DISTANCE
+        }
+        got = {
+            (r["clip_a"], r["clip_b"], r["hamming"])
+            for r in M.x_audio_dedup(spark, sf_dir).collect()
+        }
+        assert got == expect
+
+    def test_planted_structure_found(self, spark):
+        """Every planted exact dup (X_0, X_2) must surface at hamming 0
+        and every planted near-dup (X_0, X_1) within the radius."""
+        from imagingdb_spark import multimodal as M
+        from imagingdb_spark.catalog import table
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+        n_docs = docs.count()
+        got = {
+            (r["clip_a"], r["clip_b"]): r["hamming"]
+            for r in M.x_audio_dedup(spark, sf_dir).collect()
+        }
+        for i in range(0, n_docs, 23):
+            assert got[(f"DOC-{i}_0", f"DOC-{i}_2")] == 0
+        for i in range(0, n_docs, 7):
+            assert got[(f"DOC-{i}_0", f"DOC-{i}_1")] <= M.AFP_MAX_DISTANCE

@@ -58,6 +58,7 @@ ROTATED_IN_R6 = [
     "x_phash_dedup",
     "x_dsir_select",
     "x_pq_quantize",
+    "x_audio_dedup",
 ]
 
 
