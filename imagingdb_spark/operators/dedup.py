@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -1401,4 +1401,132 @@ def x_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 0.0
             ).alias("novelty"),
         )
+    )
+
+
+SUBSTR_SEED_TOKENS = 8   # seed width: any shared run >= this is witnessed
+SUBSTR_OCC_CAP = 50      # boilerplate guard: seeds occurring more often are
+#                          dropped on BOTH engines (deterministic, mirrored)
+
+
+@query(
+    "x_substring_dedup",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(text), '\\s+'),
+                         x -> x <> '') AS t
+      FROM documents
+    ), p AS (
+      SELECT doc_id, t,
+             unnest(range(len(t) - {SUBSTR_SEED_TOKENS} + 1)) AS pos
+      FROM t WHERE len(t) >= {SUBSTR_SEED_TOKENS}
+    ), spans AS (
+      SELECT doc_id, pos,
+             md5(array_to_string(
+               t[pos + 1 : pos + {SUBSTR_SEED_TOKENS}], ' ')) AS h
+      FROM p
+    ), rare AS (
+      SELECT h FROM spans GROUP BY h
+      HAVING count(*) BETWEEN 2 AND {SUBSTR_OCC_CAP}
+    ), m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, b.pos - a.pos AS delta
+      FROM spans a JOIN rare USING (h) JOIN spans b USING (h)
+      WHERE a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT doc_a, doc_b, delta, pa,
+             pa - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, delta ORDER BY pa) AS grp
+      FROM m
+    ), runs AS (
+      SELECT doc_a, doc_b,
+             {SUBSTR_SEED_TOKENS} + count(*) - 1 AS run_len
+      FROM isl GROUP BY doc_a, doc_b, delta, grp
+    )
+    SELECT doc_a, doc_b,
+           CAST(max(run_len) AS BIGINT) AS max_shared_run,
+           CAST(count(*) AS BIGINT) AS n_runs
+    FROM runs
+    GROUP BY doc_a, doc_b
+    """,
+)
+def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variable-length exact substring dedup — the "Deduplicating Training
+    Data Makes Language Models Better" (Lee et al., ACL 2022 — public)
+    suffix-array pass re-expressed relationally: for every document pair
+    sharing a verbatim token run of >= SUBSTR_SEED_TOKENS tokens, report
+    the LONGEST shared run and the number of distinct shared runs.
+    Sliding {{L}}-token seed spans at every position witness any run
+    >= L; runs reconstruct from seed matches by gaps-and-islands — seeds
+    of one true run match at one aligned offset (delta = pos_b - pos_a)
+    at consecutive pos_a, so an island of k consecutive seeds proves a
+    run of exactly L + k - 1 tokens (consecutive same-delta seeds imply
+    token-level extension, so islands never overcount). Seeds occurring
+    more than SUBSTR_OCC_CAP times corpus-wide are boilerplate and are
+    dropped identically on both engines (the Lee et al. suffix-array
+    pipeline caps the same way), keeping the blowup bound at CAP^2 pairs
+    per seed.
+
+    Engine parity: the seed join keys on md5 of the span text in BOTH
+    the Spark plan and the oracle, so semantics (collisions included)
+    are identical by construction.
+
+    Scale shape: tokenize+slide is map-side (one explode, rows = token
+    count); the occurrence cap is one seed-keyed map-side-combined
+    groupBy; the pair join shuffles (h, doc, pos) only — never text —
+    and is bounded per seed by the cap; the islands window partitions by
+    (doc_a, doc_b, delta), groups no larger than a doc's token count. At
+    100 TB the seed table bucket-partitions by h (the span-dedup layout)
+    and the self-join co-locates; nothing is ever corpus x corpus."""
+    L = SUBSTR_SEED_TOKENS
+    d = table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", tokens_col(F.col("text")).alias("t")).filter(
+        F.size("t") >= L
+    )
+    # persist: the seed table feeds the occurrence cap AND both join
+    # sides (lm.doc_term_counts rationale)
+    spans = (
+        toks.select(
+            "doc_id",
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("t") - L),
+                    lambda i: F.md5(
+                        F.concat_ws(" ", F.slice("t", i + 1, L))
+                    ),
+                )
+            ).alias("pos", "h"),
+        )
+    ).persist()
+    rare = (
+        spans.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("occ"))
+        .filter((F.col("occ") >= 2) & (F.col("occ") <= SUBSTR_OCC_CAP))
+        .select("h")
+    )
+    a = spans.join(rare, "h").select(
+        "h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
+    )
+    b = spans.join(rare, "h").select(
+        "h", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
+    )
+    m = (
+        a.join(b, "h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "pa", (F.col("pb") - F.col("pa")).alias("delta"))
+    )
+    isl = m.withColumn(
+        "grp",
+        F.col("pa")
+        - F.row_number().over(
+            Window.partitionBy("doc_a", "doc_b", "delta").orderBy("pa")
+        ),
+    )
+    runs = isl.groupBy("doc_a", "doc_b", "delta", "grp").agg(
+        (F.lit(L) + F.count(F.lit(1)) - 1).alias("run_len")
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.max("run_len").cast("bigint").alias("max_shared_run"),
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
     )

@@ -107,6 +107,10 @@ PRIORITY: list[str] = [
     #                     WAV clips (rows-only + brute-force parity +
     #                     G.711/gain invariance tests); displaces
     #                     x_sample_weighted — D8 keeps x_rebalance
+    "x_substring_dedup",  # D2h: variable-length exact substring dedup
+    #                     (oracle-exact gaps-and-islands + planted-run
+    #                     tests); displaces x_unigram_logprob — D17 keeps
+    #                     x_cooccur_pmi in-window
     # --- double-verification: the 11 queries whose only green row is r5 ---
     "x_inverted_index",   # D18 sibling (single green row, r5)
     "x_token_ids",      # D4 sibling (single green row, r5)
@@ -138,7 +142,6 @@ PRIORITY: list[str] = [
     "x_dedup_compact",  # D12 (single green row, r3)
     "x_shard_shuffle",  # D16 (single green row, r3)
     "st_join",          # St6 (single green row, r3)
-    "x_unigram_logprob",  # D17 (single green row, r3)
     "x_gapfill",        # T1 (single green row, r3)
     "x_tfidf",          # D18 (single green row, r3)
     "x_merge_upsert",   # S10 (single green row, r3)
@@ -170,6 +173,8 @@ PRIORITY: list[str] = [
     #                     hold for D10
     "x_sample_weighted",  # D8 (single green r3) — displaced by the new
     #                     x_audio_dedup; x_rebalance holds for D8
+    "x_unigram_logprob",  # D17 (single green r3) — displaced by the new
+    #                     x_substring_dedup; x_cooccur_pmi holds for D17
     "x_span_dedup",     # pass-r4 + pass-r5
     "x_dedup_eval",     # clean-run r5 (rows-only)
     "x_pagerank",       # clean-run r5 (rows-only)

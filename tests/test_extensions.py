@@ -1918,3 +1918,69 @@ class TestAudioFingerprint:
             assert got[(f"DOC-{i}_0", f"DOC-{i}_2")] == 0
         for i in range(0, n_docs, 7):
             assert got[(f"DOC-{i}_0", f"DOC-{i}_1")] <= M.AFP_MAX_DISTANCE
+
+
+class TestSubstringDedup:
+    """x_substring_dedup: the oracle pins engine equality; here we pin the
+    SEMANTICS on planted runs — exact run length recovery, sub-seed runs
+    invisible, boilerplate cap enforced."""
+
+    def _write(self, spark, tmp_path, rows):
+        d = str(tmp_path / "sfsub")
+        spark.createDataFrame(
+            [(i, t, "en", "src0", len(t)) for i, t in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(d + "/documents.parquet")
+        return d
+
+    def test_planted_run_lengths_exact(self, spark, tmp_path):
+        from imagingdb_spark.operators.dedup import x_substring_dedup
+
+        run13 = " ".join(f"r{i}" for i in range(13))   # 13-token shared run
+        run7 = " ".join(f"s{i}" for i in range(7))     # below the 8 seed
+        rows = [
+            (0, f"alpha beta {run13} gamma delta epsilon zeta"),
+            (1, f"one two three four five six {run13} seven eight"),
+            (2, f"p q r s t u v w {run7} x y z aa bb"),
+            (3, f"ff gg hh ii jj kk ll mm {run7} nn oo pp qq rr"),
+        ]
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["max_shared_run"], r["n_runs"])
+            for r in x_substring_dedup(
+                spark, self._write(spark, tmp_path, rows)
+            ).collect()
+        }
+        assert got == {(0, 1): (13, 1)}  # 7 < seed width: pair 2-3 absent
+
+    def test_two_disjoint_runs_counted(self, spark, tmp_path):
+        from imagingdb_spark.operators.dedup import x_substring_dedup
+
+        ra = " ".join(f"a{i}" for i in range(9))
+        rb = " ".join(f"b{i}" for i in range(11))
+        rows = [
+            (0, f"{ra} filler0 filler1 filler2 {rb}"),
+            (1, f"start0 start1 {ra} mid0 mid1 mid2 mid3 {rb} end0"),
+        ]
+        got = {
+            (r["doc_a"], r["doc_b"]): (r["max_shared_run"], r["n_runs"])
+            for r in x_substring_dedup(
+                spark, self._write(spark, tmp_path, rows)
+            ).collect()
+        }
+        assert got == {(0, 1): (11, 2)}
+
+    def test_boilerplate_cap_drops_ubiquitous_seed(self, spark, tmp_path):
+        from imagingdb_spark.operators.dedup import (
+            SUBSTR_OCC_CAP,
+            x_substring_dedup,
+        )
+
+        banner = " ".join(f"nav{i}" for i in range(8))  # exactly one seed
+        rows = [
+            (i, f"u{i}a u{i}b {banner} u{i}c u{i}d")
+            for i in range(SUBSTR_OCC_CAP + 1)  # occ = CAP+1 > CAP
+        ]
+        got = x_substring_dedup(
+            spark, self._write(spark, tmp_path, rows)
+        ).collect()
+        assert got == []  # the only shared seed is over the cap

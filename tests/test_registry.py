@@ -59,6 +59,7 @@ ROTATED_IN_R6 = [
     "x_dsir_select",
     "x_pq_quantize",
     "x_audio_dedup",
+    "x_substring_dedup",
 ]
 
 
