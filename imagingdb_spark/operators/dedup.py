@@ -1457,7 +1457,7 @@ def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix-array pass re-expressed relationally: for every document pair
     sharing a verbatim token run of >= SUBSTR_SEED_TOKENS tokens, report
     the LONGEST shared run and the number of distinct shared runs.
-    Sliding {{L}}-token seed spans at every position witness any run
+    Sliding SUBSTR_SEED_TOKENS-token seed spans at every position witness any run
     >= L; runs reconstruct from seed matches by gaps-and-islands — seeds
     of one true run match at one aligned offset (delta = pos_b - pos_a)
     at consecutive pos_a, so an island of k consecutive seeds proves a

@@ -691,7 +691,7 @@ DSIR_TOP_K = 100
 def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR data selection (Xie et al., "Data Selection for Language
     Models via Importance Resampling", NeurIPS 2023 — public): pick from
-    the raw pool (lang <> '{en}') the documents whose hashed-n-gram
+    the raw pool (lang <> 'en') the documents whose hashed-n-gram
     distribution looks most like the target corpus (lang = 'en'). Features
     are unigrams + word bigrams hashed into DSIR_BUCKETS buckets (2 md5
     hex chars — the same engine-portable content-addressed hash every
