@@ -1365,8 +1365,8 @@ def _pq_reconstruct(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
     ).reshape(n, -1)
 
 
-def _pq_codebooks(e: DataFrame) -> np.ndarray:
-    """(PQ_M, PQ_K, dsub) k-means codebooks trained DISTRIBUTED on a
+def _pq_codebooks(e: DataFrame, m: int = PQ_M) -> np.ndarray:
+    """(m, PQ_K, dsub) k-means codebooks trained DISTRIBUTED on a
     deterministic sample — the _ivf_centroids discipline, except ALL
     PQ_M subspace k-means run in the SAME distributed aggregate per
     Lloyd iteration: the assign UDF emits the full code array, one
@@ -1377,7 +1377,7 @@ def _pq_codebooks(e: DataFrame) -> np.ndarray:
     deterministic spread-uniform init IVF uses. Empty cells keep their
     previous centroid."""
     dim = embedding_dim(e)
-    dsub = dim // PQ_M
+    dsub = dim // m
     sample = e.filter(F.xxhash64("vec_id") % PQ_TRAIN_MOD == 0)
     seeds = (
         sample.orderBy(F.xxhash64("vec_id", F.lit(1)), "vec_id")
@@ -1387,8 +1387,8 @@ def _pq_codebooks(e: DataFrame) -> np.ndarray:
     )
     seed_m = np.asarray([r["embedding"] for r in seeds], dtype=np.float64)
     codebooks = (
-        seed_m.reshape(PQ_K, PQ_M, dsub).transpose(1, 0, 2).copy()
-    )  # (M, K, dsub)
+        seed_m.reshape(PQ_K, m, dsub).transpose(1, 0, 2).copy()
+    )  # (m, K, dsub)
 
     for _ in range(PQ_ITER):
         cb = codebooks
@@ -1460,4 +1460,68 @@ def x_pq_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "vec_id", "label", F.col("q.codes").alias("codes"),
         F.col("q.recon_l2").alias("recon_l2"),
+    )
+
+
+PQ_ANN_M = 16      # finer codes for SERVING (64-bit): recall needs more
+#                    bits than the 32-bit storage audit grade; same K
+PQ_SHORTLIST = 100  # ADC candidates re-ranked exactly before the top-10
+
+
+@query("x_ann_pq")  # rows-only: PQ codebooks not ANSI-SQL-expressible;
+#                     recall vs the exact x_topk_sim baseline is pinned in
+#                     tests/test_extensions.py::TestAnnPq
+def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via PQ asymmetric distance computation (ADC — Jégou et
+    al. 2011, public): the corpus lives as PQ codes (PQ_ANN_M 4-bit
+    codes = 8 bytes/vector),
+    the query stays a float vector, and the approximate cosine comes
+    from PER-SUBSPACE LOOKUP TABLES — lut_dot[m][k] = q_m · c_mk and
+    lut_sq[m][k] = ||c_mk||², so cos(q, x̂) = Σ_m lut_dot[m, code_m] /
+    (||q|| · sqrt(Σ_m lut_sq[m, code_m])) is PQ_ANN_M table reads per
+    vector, never a dim-length dot product. The ADC shortlist of
+    PQ_SHORTLIST candidates is re-ranked with the exact cosine (the
+    standard IVF-PQ serving recipe), so the output schema and score
+    semantics match x_topk_sim exactly and recall is measurable.
+
+    Scale shape: encode + ADC are one fused Arrow pass (fancy-indexed
+    table lookups per batch; the ~4 KB codebook + 2 KB LUTs ride in the
+    closure — explicit broadcast at cluster scale); the shortlist is
+    TakeOrderedAndProject (no global sort); the exact re-rank touches
+    PQ_SHORTLIST rows. At 100 TB the codes column (8 bytes/vector, 64x
+    smaller than float32) is what the scan reads — THE reason PQ exists:
+    the ADC pass is I/O-bound on 1/64th the bytes. Here codes are
+    computed in the same pass because the testdata stores raw vectors;
+    materializing them is x_pq_quantize's job."""
+    e = table(spark, sf_dir, "embeddings")
+    codebooks = _pq_codebooks(e, m=PQ_ANN_M)
+    qvec = _collect_probe(e)
+    dsub = qvec.shape[0] // PQ_ANN_M
+    q_sub = qvec.reshape(PQ_ANN_M, dsub)
+    lut_dot = np.einsum("md,mkd->mk", q_sub, codebooks)        # (M, K)
+    lut_sq = (codebooks * codebooks).sum(axis=2)               # (M, K)
+    q_norm = float(np.sqrt((qvec * qvec).sum()))
+
+    @F.pandas_udf("double")
+    def adc(emb: pd.Series) -> pd.Series:
+        x = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        codes = _pq_assign_codes(codebooks, x)
+        m_idx = np.arange(PQ_ANN_M)[None, :]
+        dots = lut_dot[m_idx, codes].sum(axis=1)
+        norms = np.sqrt(lut_sq[m_idx, codes].sum(axis=1))
+        return pd.Series(dots / (q_norm * np.maximum(norms, 1e-12)))
+
+    score = _cosine_vs_probe_udf(qvec)
+    shortlist = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .withColumn("adc", adc("embedding"))
+        .orderBy(F.col("adc").desc(), F.col("vec_id").asc())
+        .limit(PQ_SHORTLIST)
+    )
+    return (
+        shortlist.select(
+            "vec_id", "label", F.round(score("embedding"), 4).alias("cosine_sim")
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
     )

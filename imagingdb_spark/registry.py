@@ -111,6 +111,10 @@ PRIORITY: list[str] = [
     #                     (oracle-exact gaps-and-islands + planted-run
     #                     tests); displaces x_unigram_logprob — D17 keeps
     #                     x_cooccur_pmi in-window
+    "x_ann_pq",         # D3j: PQ/ADC ANN serving path (rows-only +
+    #                     recall-vs-exact pinned); displaces w_lag_lead —
+    #                     W keeps w_dense_rank, w_range_frame,
+    #                     x_rolling_zscore in-window
     # --- double-verification: the 11 queries whose only green row is r5 ---
     "x_inverted_index",   # D18 sibling (single green row, r5)
     "x_token_ids",      # D4 sibling (single green row, r5)
@@ -137,7 +141,6 @@ PRIORITY: list[str] = [
     # --- double-verification: 16 queries whose only green row is r3 ---
     "o_topk",           # O5 (single green row, r3)
     "w_dense_rank",     # W (single green row, r3)
-    "w_lag_lead",       # W (single green row, r3)
     "w_range_frame",    # W (single green row, r3)
     "x_dedup_compact",  # D12 (single green row, r3)
     "x_shard_shuffle",  # D16 (single green row, r3)
@@ -175,6 +178,8 @@ PRIORITY: list[str] = [
     #                     x_audio_dedup; x_rebalance holds for D8
     "x_unigram_logprob",  # D17 (single green r3) — displaced by the new
     #                     x_substring_dedup; x_cooccur_pmi holds for D17
+    "w_lag_lead",       # W (single green r3) — displaced by the new
+    #                     x_ann_pq; w_dense_rank/w_range_frame hold for W
     "x_span_dedup",     # pass-r4 + pass-r5
     "x_dedup_eval",     # clean-run r5 (rows-only)
     "x_pagerank",       # clean-run r5 (rows-only)

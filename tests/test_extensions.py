@@ -1984,3 +1984,30 @@ class TestSubstringDedup:
             spark, self._write(spark, tmp_path, rows)
         ).collect()
         assert got == []  # the only shared seed is over the cap
+
+
+class TestAnnPq:
+    """x_ann_pq: ADC shortlist + exact re-rank must recover most of the
+    exact top-10 (the x_ann_lsh/x_ann_ivf recall discipline), and the
+    scores it reports are EXACT cosines (re-ranked), so overlapping ids
+    carry identical scores."""
+
+    def test_recall_vs_exact_topk(self, spark):
+        from imagingdb_spark.operators import similarity as S
+
+        sf_dir = "/root/testdata/sf0.001"
+        exact = {r["vec_id"] for r in S.x_topk_sim(spark, sf_dir).collect()}
+        pq = {r["vec_id"] for r in S.x_ann_pq(spark, sf_dir).collect()}
+        assert len(exact & pq) >= 8  # recall >= 0.8 on the testdata
+
+    def test_reported_scores_are_exact(self, spark):
+        from imagingdb_spark.operators import similarity as S
+
+        sf_dir = "/root/testdata/sf0.001"
+        exact = {
+            r["vec_id"]: r["cosine_sim"]
+            for r in S.x_topk_sim(spark, sf_dir).collect()
+        }
+        for r in S.x_ann_pq(spark, sf_dir).collect():
+            if r["vec_id"] in exact:
+                assert r["cosine_sim"] == exact[r["vec_id"]]

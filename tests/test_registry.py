@@ -60,6 +60,7 @@ ROTATED_IN_R6 = [
     "x_pq_quantize",
     "x_audio_dedup",
     "x_substring_dedup",
+    "x_ann_pq",
 ]
 
 
