@@ -641,9 +641,9 @@ DSIR_TARGET_LANG = "en" # the "small clean corpus" analog in the testdata
 DSIR_TOP_K = 100
 
 
-@query(
-    "x_dsir_select",
-    oracle=f"""
+# shared weight CTE: both DSIR oracles (top-k select, Gumbel resample)
+# compute the identical per-doc importance weight
+_DSIR_WT_SQL = f"""
     WITH t AS (
       SELECT doc_id, lang,
              list_filter(string_split_regex(lower(text), '\\s+'),
@@ -682,6 +682,13 @@ DSIR_TOP_K = 100
       FROM pb JOIN lr USING (bucket)
       GROUP BY pb.doc_id
     )
+"""
+
+
+@query(
+    "x_dsir_select",
+    oracle=_DSIR_WT_SQL
+    + f"""
     SELECT doc_id, round(wt, 4) + 0.0 AS dsir_weight
     FROM w
     ORDER BY wt DESC, doc_id ASC
@@ -721,6 +728,18 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     document. Top-k compiles to TakeOrderedAndProject — no global sort.
     At 100 TB: identical shapes; raise DSIR_BUCKETS (the paper uses
     10k-1M) and the ratio table stays a broadcast dim."""
+    w = dsir_weights(spark, sf_dir)
+    return (
+        w.orderBy(F.col("wt").desc(), F.col("doc_id").asc())
+        .limit(DSIR_TOP_K)
+        .select("doc_id", (F.round("wt", 4) + 0.0).alias("dsir_weight"))
+    )
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, wt): the shared DSIR importance-weight pipeline — see
+    x_dsir_select for the full rationale; x_dsir_resample adds hashed
+    Gumbel noise on top of the same weights."""
     from imagingdb_spark.operators.lm import attach_scalar
 
     d = table(spark, sf_dir, "documents")
@@ -791,8 +810,62 @@ def x_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("wt")
         )
     )
+    return w
+
+
+@query(
+    "x_dsir_resample",
+    oracle=_DSIR_WT_SQL
+    + f"""
+    SELECT doc_id,
+           round(wt, 4) + 0.0 AS dsir_weight,
+           round(wt - ln(-ln(
+             (CAST('0x' || substr(md5('gum-' || CAST(doc_id AS VARCHAR)), 1, 4)
+                   AS INTEGER) + 0.5) / 65536.0)), 4) + 0.0 AS gumbel_key
+    FROM w
+    ORDER BY wt - ln(-ln(
+      (CAST('0x' || substr(md5('gum-' || CAST(doc_id AS VARCHAR)), 1, 4)
+            AS INTEGER) + 0.5) / 65536.0)) DESC, doc_id ASC
+    LIMIT {DSIR_TOP_K}
+    """,
+)
+def x_dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR's actual selection rule — IMPORTANCE RESAMPLING, not top-k:
+    the paper samples documents without replacement with probability
+    proportional to exp(weight), which the Gumbel top-k trick turns into
+    an ordinary top-k over (weight + Gumbel noise). The noise is
+    CONTENT-ADDRESSED like every sampling op here: u = (md5-bucket of
+    'gum-'||doc_id + 0.5) / 65536 (the +0.5 keeps u strictly inside
+    (0, 1) so -ln(-ln u) is finite), g = -ln(-ln u) — no RNG, no seed
+    state, reproducible across engines/runs/cluster sizes, and appending
+    new documents never changes existing docs' noise. Ranking uses the
+    raw double key (weights and noise are bit-identical on both engines
+    by the same discipline as x_dsir_select); rounding is display-only.
+
+    Scale shape: x_dsir_select's shapes plus one map-side expression for
+    the noise — the hex-to-int, ln and subtraction never touch a
+    shuffle. Top-k is TakeOrderedAndProject."""
+    w = dsir_weights(spark, sf_dir)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("gum-"), F.col("doc_id").cast("string"))),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        + 0.5
+    ) / 65536.0
+    key = F.col("wt") - F.log(-F.log(u))
     return (
-        w.orderBy(F.col("wt").desc(), F.col("doc_id").asc())
+        w.withColumn("key", key)
+        .orderBy(F.col("key").desc(), F.col("doc_id").asc())
         .limit(DSIR_TOP_K)
-        .select("doc_id", (F.round("wt", 4) + 0.0).alias("dsir_weight"))
+        .select(
+            "doc_id",
+            (F.round("wt", 4) + 0.0).alias("dsir_weight"),
+            (F.round("key", 4) + 0.0).alias("gumbel_key"),
+        )
     )

@@ -115,6 +115,9 @@ PRIORITY: list[str] = [
     #                     recall-vs-exact pinned); displaces w_lag_lead —
     #                     W keeps w_dense_rank, w_range_frame,
     #                     x_rolling_zscore in-window
+    "x_dsir_resample",  # D19b: DSIR Gumbel-top-k importance resampling
+    #                     (oracle-exact + Python-twin + bias tests);
+    #                     displaces x_gapfill — T1 keeps x_interp_linear
     # --- double-verification: the 11 queries whose only green row is r5 ---
     "x_inverted_index",   # D18 sibling (single green row, r5)
     "x_token_ids",      # D4 sibling (single green row, r5)
@@ -145,7 +148,6 @@ PRIORITY: list[str] = [
     "x_dedup_compact",  # D12 (single green row, r3)
     "x_shard_shuffle",  # D16 (single green row, r3)
     "st_join",          # St6 (single green row, r3)
-    "x_gapfill",        # T1 (single green row, r3)
     "x_tfidf",          # D18 (single green row, r3)
     "x_merge_upsert",   # S10 (single green row, r3)
     "x_ann_ivf",        # D3 rows-only (single clean run, r3)
@@ -180,6 +182,8 @@ PRIORITY: list[str] = [
     #                     x_substring_dedup; x_cooccur_pmi holds for D17
     "w_lag_lead",       # W (single green r3) — displaced by the new
     #                     x_ann_pq; w_dense_rank/w_range_frame hold for W
+    "x_gapfill",        # T1 (single green r3) — displaced by the new
+    #                     x_dsir_resample; x_interp_linear holds for T
     "x_span_dedup",     # pass-r4 + pass-r5
     "x_dedup_eval",     # clean-run r5 (rows-only)
     "x_pagerank",       # clean-run r5 (rows-only)

@@ -2011,3 +2011,44 @@ class TestAnnPq:
         for r in S.x_ann_pq(spark, sf_dir).collect():
             if r["vec_id"] in exact:
                 assert r["cosine_sim"] == exact[r["vec_id"]]
+
+
+class TestDsirResample:
+    """x_dsir_resample: the oracle pins engine equality; here we pin (1)
+    the Gumbel key against an independent hashlib+math twin and (2) the
+    resampling bias — selected docs carry higher mean weight than the
+    pool at large."""
+
+    def test_gumbel_key_matches_python_twin(self, spark):
+        import hashlib
+        import math
+
+        from imagingdb_spark.operators.sampling import x_dsir_resample
+
+        sf_dir = "/root/testdata/sf0.001"
+        got = x_dsir_resample(spark, sf_dir).collect()
+        assert len(got) == 100
+        for r in got[:20]:
+            h4 = hashlib.md5(f"gum-{r['doc_id']}".encode()).hexdigest()[:4]
+            u = (int(h4, 16) + 0.5) / 65536.0
+            g = -math.log(-math.log(u))
+            assert r["gumbel_key"] == round(r["dsir_weight"] + g, 4) + 0.0 or \
+                abs(r["gumbel_key"] - (r["dsir_weight"] + g)) < 2e-4
+            # (weights are rounded for display; reconstruct within the
+            # rounding granularity)
+
+    def test_resampling_is_weight_biased(self, spark):
+        from pyspark.sql import functions as F
+
+        from imagingdb_spark.operators.sampling import (
+            dsir_weights,
+            x_dsir_resample,
+        )
+
+        sf_dir = "/root/testdata/sf0.001"
+        pool_mean = dsir_weights(spark, sf_dir).agg(
+            F.avg("wt")
+        ).collect()[0][0]
+        sel = x_dsir_resample(spark, sf_dir).collect()
+        sel_mean = sum(r["dsir_weight"] for r in sel) / len(sel)
+        assert sel_mean > pool_mean

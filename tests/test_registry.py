@@ -61,6 +61,7 @@ ROTATED_IN_R6 = [
     "x_audio_dedup",
     "x_substring_dedup",
     "x_ann_pq",
+    "x_dsir_resample",
 ]
 
 
@@ -82,7 +83,9 @@ def test_category_coverage_inside_driver_window():
         "x_bm25", "x_funnel", "x_retention", "x_histogram",
         "x_rolling_zscore", "x_semdedup", "x_retrieval_metrics",
         "o_topk", "w_dense_rank", "st_join", "x_tfidf", "x_merge_upsert",
-        "x_ann_ivf", "x_gapfill", "o_natural_sort",
+        "x_ann_ivf", "o_natural_sort",
+        # x_gapfill (T1) displaced to 51+ by x_dsir_resample; the T family
+        # keeps x_interp_linear in-window
         "j_outer_count",     # J-family holder (j_range displaced to 51+
         #                      by the four new round-6 queries)
         "a_sum_avg",         # A-family holder (a_approx_sketch displaced)
