@@ -1442,3 +1442,84 @@ def test_streaming_phash_gate_replay_after_torn_append(spark, tmp_path):
     }
     assert replay_ids == clean_ids
     assert replay_matches == clean_matches
+
+
+def test_phash_gate_compaction_mid_stream_preserves_results(spark, tmp_path):
+    """The image gate's compact_every path, mirroring the text gate's
+    test: over 4 frame micro-batches with compaction every 2 triggers the
+    corpus/band-index/match CONTENT must equal a no-compaction run's, the
+    maintained tables must hold fewer files, and a replay over the
+    compacted state (fresh checkpoint) must stay idempotent."""
+    import glob as _g
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from imagingdb_spark.multimodal import synth_frames
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def feed(batch_dir):
+        for i in range(4):
+            part = synth_frames(
+                docs.filter(F.col("doc_id") % 3 == i % 3)
+            )  # batch 3 replays batch 0
+            part.coalesce(1).write.parquet(
+                str(tmp_path / f"fstage_{batch_dir}_{i}")
+            )
+            src = _g.glob(
+                str(tmp_path / f"fstage_{batch_dir}_{i}" / "part-*.parquet")
+            )[0]
+            (tmp_path / batch_dir).mkdir(exist_ok=True)
+            _sh.move(src, str(tmp_path / batch_dir / f"b{i:02d}.parquet"))
+
+    def run(batch_dir, corpus, matches, ck, compact_every):
+        stream = (
+            spark.readStream.schema(
+                jobs.read_frames_stream(spark, str(tmp_path / batch_dir)).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / batch_dir))
+        )
+        q = jobs.streaming_phash_gate(
+            stream, corpus, matches, str(tmp_path / ck),
+            compact_every=compact_every,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    feed("fin_a")
+    feed("fin_b")
+    run("fin_a", str(tmp_path / "fcorp_a"), str(tmp_path / "fmat_a"), "fck_a", 2)
+    run("fin_b", str(tmp_path / "fcorp_b"), str(tmp_path / "fmat_b"), "fck_b", None)
+
+    ca = {
+        r["frame_id"]
+        for r in spark.read.parquet(str(tmp_path / "fcorp_a")).collect()
+    }
+    cb = {
+        r["frame_id"]
+        for r in spark.read.parquet(str(tmp_path / "fcorp_b")).collect()
+    }
+    assert ca == cb and ca
+    ma = {
+        (r["new_frame"], r["corpus_frame"])
+        for r in spark.read.parquet(str(tmp_path / "fmat_a")).collect()
+    }
+    mb = {
+        (r["new_frame"], r["corpus_frame"])
+        for r in spark.read.parquet(str(tmp_path / "fmat_b")).collect()
+    }
+    assert ma == mb
+    for a_tbl, b_tbl in (
+        ("fcorp_a", "fcorp_b"),
+        ("fcorp_a_idx_bands", "fcorp_b_idx_bands"),
+    ):
+        na = len(spark.read.parquet(str(tmp_path / a_tbl)).inputFiles())
+        nb = len(spark.read.parquet(str(tmp_path / b_tbl)).inputFiles())
+        assert na < nb, f"{a_tbl}: compacted {na} !< fragmented {nb}"
+    n_before = len(ca)
+    run("fin_a", str(tmp_path / "fcorp_a"), str(tmp_path / "fmat_a"), "fck_a2", 2)
+    assert spark.read.parquet(str(tmp_path / "fcorp_a")).count() == n_before
