@@ -1473,48 +1473,71 @@ def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     are identical by construction.
 
     Scale shape: tokenize+slide is map-side (one explode, rows = token
-    count); the occurrence cap is one seed-keyed map-side-combined
-    groupBy; the pair join shuffles (h, doc, pos) only — never text —
-    and is bounded per seed by the cap; the islands window partitions by
-    (doc_a, doc_b, delta), groups no larger than a doc's token count. At
-    100 TB the seed table bucket-partitions by h (the span-dedup layout)
-    and the self-join co-locates; nothing is ever corpus x corpus."""
+    count); ONE shuffle on the seed hash groups the occurrences, the cap
+    filters the collected group (never more than SUBSTR_OCC_CAP structs
+    per seed), and cross-doc pairs explode map-side from that bounded
+    array — the phash_near_dups candidate shape. Deliberately NOT a
+    spans-vs-rare-seeds self-join: a "rare seeds" table grows with the
+    corpus (it is not a dim), so a plan that lets the optimizer
+    broadcast it melts the driver at scale (observed at sf10 before this
+    shape). The islands window partitions by (doc_a, doc_b, delta),
+    groups no larger than a doc's token count; the shuffles carry
+    (hash, doc, pos) only — never text. Nothing is ever corpus x
+    corpus."""
     L = SUBSTR_SEED_TOKENS
     d = table(spark, sf_dir, "documents")
     toks = d.select("doc_id", tokens_col(F.col("text")).alias("t")).filter(
         F.size("t") >= L
     )
-    # persist: the seed table feeds the occurrence cap AND both join
-    # sides (lm.doc_term_counts rationale)
-    spans = (
-        toks.select(
-            "doc_id",
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.size("t") - L),
-                    lambda i: F.md5(
-                        F.concat_ws(" ", F.slice("t", i + 1, L))
-                    ),
-                )
-            ).alias("pos", "h"),
-        )
-    ).persist()
-    rare = (
+    spans = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - L),
+                lambda i: F.md5(F.concat_ws(" ", F.slice("t", i + 1, L))),
+            )
+        ).alias("pos", "h"),
+    )
+    # pair generation happens INSIDE the seed groups (the phash_near_dups
+    # shape) — one shuffle on h, occurrence cap applied to the collected
+    # group, cross-doc pairs exploded from the bounded array. No
+    # spans-vs-rare self-join: a "rare seeds" table GROWS WITH THE CORPUS
+    # (it is not a dim), so any plan that lets the optimizer broadcast it
+    # melts the driver at scale — observed as an sf10 broadcast OOM before
+    # this rewrite.
+    groups = (
         spans.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("occ"))
-        .filter((F.col("occ") >= 2) & (F.col("occ") <= SUBSTR_OCC_CAP))
-        .select("h")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occ"))
+        .filter((F.size("occ") >= 2) & (F.size("occ") <= SUBSTR_OCC_CAP))
     )
-    a = spans.join(rare, "h").select(
-        "h", F.col("doc_id").alias("doc_a"), F.col("pos").alias("pa")
+    pair_col = F.flatten(
+        F.transform(
+            F.col("occ"),
+            lambda x, i: F.filter(
+                F.transform(
+                    F.slice(F.col("occ"), i + 2, F.size(F.col("occ"))),
+                    lambda y: F.struct(
+                        F.least(x["doc_id"], y["doc_id"]).alias("doc_a"),
+                        F.greatest(x["doc_id"], y["doc_id"]).alias("doc_b"),
+                        F.when(x["doc_id"] < y["doc_id"], x["pos"])
+                        .otherwise(y["pos"])
+                        .alias("pa"),
+                        (
+                            F.when(x["doc_id"] < y["doc_id"], y["pos"]).otherwise(
+                                x["pos"]
+                            )
+                            - F.when(x["doc_id"] < y["doc_id"], x["pos"]).otherwise(
+                                y["pos"]
+                            )
+                        ).alias("delta"),
+                    ),
+                ),
+                lambda p: p["doc_a"] != p["doc_b"],
+            ),
+        )
     )
-    b = spans.join(rare, "h").select(
-        "h", F.col("doc_id").alias("doc_b"), F.col("pos").alias("pb")
-    )
-    m = (
-        a.join(b, "h")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", "pa", (F.col("pb") - F.col("pa")).alias("delta"))
+    m = groups.select(F.explode(pair_col).alias("p")).select(
+        "p.doc_a", "p.doc_b", "p.pa", "p.delta"
     )
     isl = m.withColumn(
         "grp",
