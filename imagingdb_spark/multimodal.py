@@ -29,7 +29,7 @@ from collections.abc import Callable, Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -936,3 +936,95 @@ def x_audio_dedup(spark: "SparkSession", sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents").select("doc_id", "text")
     hashed = afp_clips(synth_clips(docs))
     return afp_near_dups(hashed).orderBy("clip_a", "clip_b")
+
+
+# ---------------------------------------------------------------------------
+# Scene-change detection (D5e): the video-shaped multimodal op. A video in
+# this data model is what the reference's 5-D stacks already are — a frame
+# SERIES keyed by (dataset_serial, channel, slice, pos) ordered by
+# time_idx (frames_global semantics). Consecutive-frame pHash distance is
+# the classic shot-boundary signal (Haitsma/Zhang lineage, public): smooth
+# motion/lighting drift moves a perceptual hash a bit or two per step,
+# a cut jumps it far.
+# ---------------------------------------------------------------------------
+
+SCENE_SERIES_LEN = 8     # synthetic series length per doc
+SCENE_THRESHOLD = PHASH_MAX_DISTANCE  # > near-dup radius = a cut
+
+
+def scene_changes(hashed: DataFrame) -> DataFrame:
+    """Shot boundaries from a pHashed frame table: per series (all frame
+    identity columns except time_idx), hamming between each frame's hash
+    and its predecessor's; rows above SCENE_THRESHOLD are boundaries.
+    One window partitioned by the series key — group size = series
+    length, never corpus-size; the payloads were already reduced to
+    8-byte hashes upstream, so nothing heavy rides the shuffle."""
+    w = Window.partitionBy(
+        "dataset_serial", "channel_idx", "slice_idx", "pos_idx"
+    ).orderBy("time_idx")
+    return (
+        hashed.withColumn("prev", F.lag("phash").over(w))
+        .filter(F.col("prev").isNotNull())
+        .withColumn(
+            "hamming", F.bit_count(F.col("phash").bitwiseXOR(F.col("prev")))
+        )
+        .filter(F.col("hamming") > SCENE_THRESHOLD)
+        .select(
+            "dataset_serial", "channel_idx", "slice_idx", "pos_idx",
+            "time_idx", "hamming",
+        )
+    )
+
+
+def synth_frame_series(docs: DataFrame) -> DataFrame:
+    """Deterministic synthetic frame SERIES derived from documents: per
+    doc, SCENE_SERIES_LEN frames — smooth drift (one PIXEL inverted,
+    its position sliding with time: consecutive frames differ by <= 2
+    pixels, pHash hamming a bit or two) with ONE planted CUT at a digest-derived
+    time index, where the image switches to an independent pattern
+    (pHash hamming >= ~20). Real PNG payloads, map-side generation."""
+    import hashlib
+
+    cols = [f.name for f in FRAME_SCHEMA.fields]
+
+    def synth(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                dig = hashlib.sha256(text.encode()).digest()
+                h1 = int.from_bytes(dig[:8], "big")
+                h2 = int.from_bytes(dig[8:16], "big")
+                cut = 2 + dig[16] % (SCENE_SERIES_LEN - 3)  # never t=0/1/last
+                serial = f"DOC-{doc_id}"
+                for t in range(SCENE_SERIES_LEN):
+                    base = _im_from_bits(h1 if t < cut else h2)
+                    bi = (h1 + t) % 64
+                    by, bx = (bi // 8) * 4, (bi % 8) * 4
+                    im = base.copy()
+                    im[by : by + 1, bx : bx + 1] = (
+                        255 - im[by : by + 1, bx : bx + 1]
+                    )
+                    rows.append(
+                        (serial, 0, 0, t, 0, 32, 32, "uint8", serialize_im(im))
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return docs.mapInPandas(synth, schema=FRAME_SCHEMA)
+
+
+@query("x_scene_changes")  # rows-only: perceptual hashing not
+#                            ANSI-SQL-expressible; planted-cut recovery is
+#                            pinned in tests/test_extensions.py
+def x_scene_changes(spark: "SparkSession", sf_dir: str) -> DataFrame:
+    """D5e end-to-end at driver level: documents → deterministic frame
+    series with planted cuts (synth_frame_series) → phash_frames →
+    lag-window boundary detection. Scale shape: decode+hash map-side
+    (payloads never shuffled), ONE series-keyed window over 8-byte
+    hashes, boundary filter before anything else sees the rows. At
+    100 TB: frame tables are partitioned by series key at rest, so the
+    window's exchange prunes to in-partition sorts."""
+    from imagingdb_spark.catalog import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    hashed = phash_frames(synth_frame_series(docs))
+    return scene_changes(hashed).orderBy("dataset_serial", "time_idx")

@@ -118,6 +118,10 @@ PRIORITY: list[str] = [
     "x_dsir_resample",  # D19b: DSIR Gumbel-top-k importance resampling
     #                     (oracle-exact + Python-twin + bias tests);
     #                     displaces x_gapfill — T1 keeps x_interp_linear
+    "x_scene_changes",  # D5e: shot-boundary detection over frame series
+    #                     (rows-only + exact planted-cut recovery tests);
+    #                     displaces x_mad_outlier — A keeps a_sum_avg,
+    #                     x_funnel, x_retention, x_histogram in-window
     # --- double-verification: the 11 queries whose only green row is r5 ---
     "x_inverted_index",   # D18 sibling (single green row, r5)
     "x_token_ids",      # D4 sibling (single green row, r5)
@@ -132,7 +136,6 @@ PRIORITY: list[str] = [
     "x_pipeline_audit", # PIPE rows-only (single clean run, r5)
     # --- double-verification: the 10 queries whose only green row is r4 ---
     "x_bm25",           # D18 (single green row, r4)
-    "x_mad_outlier",    # A+ (single green row, r4)
     "x_cooccur_pmi",    # D17 sibling (single green row, r4)
     "x_funnel",         # A6 (single green row, r4)
     "x_retention",      # A7 (single green row, r4)
@@ -184,6 +187,9 @@ PRIORITY: list[str] = [
     #                     x_ann_pq; w_dense_rank/w_range_frame hold for W
     "x_gapfill",        # T1 (single green r3) — displaced by the new
     #                     x_dsir_resample; x_interp_linear holds for T
+    "x_mad_outlier",    # A+ (single green r4) — displaced by the new
+    #                     x_scene_changes; a_sum_avg/x_funnel/x_retention/
+    #                     x_histogram hold for A
     "x_span_dedup",     # pass-r4 + pass-r5
     "x_dedup_eval",     # clean-run r5 (rows-only)
     "x_pagerank",       # clean-run r5 (rows-only)

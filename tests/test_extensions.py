@@ -2052,3 +2052,60 @@ class TestDsirResample:
         sel = x_dsir_resample(spark, sf_dir).collect()
         sel_mean = sum(r["dsir_weight"] for r in sel) / len(sel)
         assert sel_mean > pool_mean
+
+
+class TestSceneChanges:
+    """x_scene_changes: every planted cut — and ONLY the planted cut —
+    must surface, at the exact digest-derived time index."""
+
+    def test_planted_cuts_recovered_exactly(self, spark):
+        import hashlib
+
+        from imagingdb_spark.catalog import table
+        from imagingdb_spark.multimodal import SCENE_SERIES_LEN, x_scene_changes
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+        expect = {}
+        for r in docs:
+            dig = hashlib.sha256(r["text"].encode()).digest()
+            expect[f"DOC-{r['doc_id']}"] = 2 + dig[16] % (SCENE_SERIES_LEN - 3)
+        got = {}
+        for r in x_scene_changes(spark, sf_dir).collect():
+            got.setdefault(r["dataset_serial"], []).append(r["time_idx"])
+        assert set(got) == set(expect)
+        for serial, cuts in got.items():
+            assert cuts == [expect[serial]], serial
+
+    def test_drift_never_crosses_threshold(self, spark):
+        """The smooth-drift steps (the non-cut transitions) must all sit
+        at or below the near-dup radius — scene detection's false-positive
+        guard on this construction."""
+        from pyspark.sql import functions as F
+        from pyspark.sql import Window as W
+
+        from imagingdb_spark.catalog import table
+        from imagingdb_spark import multimodal as M
+
+        sf_dir = "/root/testdata/sf0.001"
+        docs = table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+        hashed = M.phash_frames(M.synth_frame_series(docs))
+        w = W.partitionBy("dataset_serial").orderBy("time_idx")
+        steps = (
+            hashed.withColumn("prev", F.lag("phash").over(w))
+            .filter(F.col("prev").isNotNull())
+            .withColumn(
+                "ham", F.bit_count(F.col("phash").bitwiseXOR(F.col("prev")))
+            )
+        )
+        per = steps.groupBy("dataset_serial").agg(
+            F.sum(
+                F.when(F.col("ham") > M.SCENE_THRESHOLD, 1).otherwise(0)
+            ).alias("n_cuts"),
+            F.max(
+                F.when(F.col("ham") <= M.SCENE_THRESHOLD, F.col("ham"))
+            ).alias("max_drift"),
+        ).collect()
+        for r in per:
+            assert r["n_cuts"] == 1
+            assert r["max_drift"] <= M.SCENE_THRESHOLD

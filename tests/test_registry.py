@@ -62,6 +62,7 @@ ROTATED_IN_R6 = [
     "x_substring_dedup",
     "x_ann_pq",
     "x_dsir_resample",
+    "x_scene_changes",
 ]
 
 
