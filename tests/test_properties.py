@@ -244,3 +244,84 @@ class TestG711Laws:
         v1 = alaw_decode(b1)
         b2 = alaw_encode(v1)
         assert bytes(b1) == bytes(b2) or int(v1[0]) == 0
+
+
+class TestSubstringDedupProperty:
+    """x_substring_dedup vs an INDEPENDENT direct-extension twin on
+    repetition-heavy random corpora (vocab of 4 letters forces repeated
+    and periodic seeds — the stress case for the gaps-and-islands run
+    reconstruction). The twin computes shared runs by brute-force longest
+    common extension at every alignment, then mirrors the occurrence-cap
+    semantics by dropping capped seed positions before reconstructing
+    runs — a different algorithm arriving at the same answer."""
+
+    @staticmethod
+    def _twin(token_lists, L, cap):
+        from collections import defaultdict
+
+        # seed occurrences, global cap
+        occ = defaultdict(list)
+        for d, toks in token_lists.items():
+            for i in range(len(toks) - L + 1):
+                occ[tuple(toks[i : i + L])].append((d, i))
+        ok = {s for s, o in occ.items() if 2 <= len(o) <= cap}
+        # islands per (pair, delta) over SURVIVING seed positions —
+        # reconstructed directly from per-pair matched-position sets,
+        # not via window functions
+        out = {}
+        docs = sorted(token_lists)
+        for ai in range(len(docs)):
+            for bi in range(ai + 1, len(docs)):
+                a, b = docs[ai], docs[bi]
+                ta, tb = token_lists[a], token_lists[b]
+                matched = defaultdict(set)  # delta -> set of pa
+                for i in range(len(ta) - L + 1):
+                    if tuple(ta[i : i + L]) not in ok:
+                        continue
+                    for j in range(len(tb) - L + 1):
+                        if ta[i : i + L] == tb[j : j + L]:
+                            matched[j - i].add(i)
+                runs = []
+                for delta, pas in matched.items():
+                    for p in pas:
+                        if p - 1 not in pas:  # island start
+                            k = p
+                            while k + 1 in pas:
+                                k += 1
+                            runs.append(L + (k - p))
+                if runs:
+                    out[(a, b)] = (max(runs), len(runs))
+        return out
+
+    def test_matches_direct_extension_twin(self, spark, tmp_path):
+        import random
+
+        from imagingdb_spark.operators.dedup import (
+            SUBSTR_OCC_CAP,
+            SUBSTR_SEED_TOKENS,
+            x_substring_dedup,
+        )
+
+        rng = random.Random(42)
+        for trial in range(3):
+            n_docs = rng.randint(3, 6)
+            token_lists = {
+                d: [rng.choice("abcd") for _ in range(rng.randint(0, 40))]
+                for d in range(n_docs)
+            }
+            d_path = str(tmp_path / f"sfprop{trial}")
+            spark.createDataFrame(
+                [
+                    (d, " ".join(toks), "en", "src0", len(toks))
+                    for d, toks in token_lists.items()
+                ],
+                "doc_id long, text string, lang string, source string, n_chars long",
+            ).coalesce(1).write.parquet(d_path + "/documents.parquet")
+            got = {
+                (r["doc_a"], r["doc_b"]): (r["max_shared_run"], r["n_runs"])
+                for r in x_substring_dedup(spark, d_path).collect()
+            }
+            expect = self._twin(
+                token_lists, SUBSTR_SEED_TOKENS, SUBSTR_OCC_CAP
+            )
+            assert got == expect, f"trial {trial}"
