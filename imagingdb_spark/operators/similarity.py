@@ -1385,7 +1385,15 @@ def _pq_codebooks(e: DataFrame, m: int = PQ_M) -> np.ndarray:
         .select("embedding")
         .collect()
     )
+    if not seeds:
+        raise ValueError("PQ training sample is empty")
     seed_m = np.asarray([r["embedding"] for r in seeds], dtype=np.float64)
+    if seed_m.shape[0] < PQ_K:
+        # tiny corpus: cycle the available seeds — duplicate centroids
+        # never move (empty cells keep their previous centroid), so this
+        # degrades to k-means with k = sample size, not a crash
+        reps = -(-PQ_K // seed_m.shape[0])
+        seed_m = np.tile(seed_m, (reps, 1))[:PQ_K]
     codebooks = (
         seed_m.reshape(PQ_K, m, dsub).transpose(1, 0, 2).copy()
     )  # (m, K, dsub)

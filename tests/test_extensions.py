@@ -2109,3 +2109,24 @@ class TestSceneChanges:
         for r in per:
             assert r["n_cuts"] == 1
             assert r["max_drift"] <= M.SCENE_THRESHOLD
+
+
+def test_pq_codebooks_tiny_corpus_does_not_crash(spark, tmp_path):
+    """A corpus whose deterministic training sample holds fewer than PQ_K
+    vectors must still train (seeds cycle; duplicate centroids are
+    harmless fixed points) — the tiny-tenant edge case."""
+    import numpy as np
+
+    from imagingdb_spark.operators.similarity import PQ_K, x_pq_quantize
+
+    rng = np.random.default_rng(11)
+    rows = [
+        (i, 0, [float(v) for v in rng.normal(size=64)]) for i in range(6)
+    ]
+    d = str(tmp_path / "sftiny")
+    spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>"
+    ).coalesce(1).write.parquet(d + "/embeddings.parquet")
+    got = x_pq_quantize(spark, d).collect()
+    assert len(got) == 6
+    assert all(len(r["codes"].split("-")) == 8 for r in got)
