@@ -681,6 +681,9 @@ def synth_frames(docs: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue  # null-text docs yield no synthetic payload
+                    # (tokens_col/shingle handle nulls the same way)
                 h = int.from_bytes(
                     hashlib.sha256(text.encode()).digest()[:8], "big"
                 )
@@ -898,6 +901,9 @@ def synth_clips(docs: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue  # null-text docs yield no synthetic payload
+                    # (tokens_col/shingle handle nulls the same way)
                 base = clip_from_text(text)
                 payload = wav.encode_wav(base, SYNTH_CLIP_RATE)
                 cid = f"DOC-{doc_id}"
@@ -991,6 +997,9 @@ def synth_frame_series(docs: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if not isinstance(text, str):
+                    continue  # null-text docs yield no synthetic payload
+                    # (tokens_col/shingle handle nulls the same way)
                 dig = hashlib.sha256(text.encode()).digest()
                 h1 = int.from_bytes(dig[:8], "big")
                 h2 = int.from_bytes(dig[8:16], "big")

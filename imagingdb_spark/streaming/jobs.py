@@ -539,15 +539,38 @@ def streaming_dedup_gate(
             corpus_tok = spark.read.parquet(idx_tokset_path)
             corpus_prefix = spark.read.parquet(idx_prefix_path)
             batch_tok = canonical_toksets(batch).persist()
-            pairs = (
-                incremental_match_indexed(batch_tok, corpus_prefix, corpus_tok)
-                # a replayed doc matches its OWN index entry at jaccard
-                # 1.0; that is replay bookkeeping, not a duplicate — and
-                # counting it would drop the doc from a corpus append it
-                # never completed (data loss, not dedup)
-                .filter(F.col("new_doc") != F.col("corpus_doc"))
-                .persist()
+            # screen matches whose corpus side is in the CURRENT batch
+            # (subsumes the exact new_doc == corpus_doc self-match): the
+            # four appends run concurrently, so a crash can land the
+            # index appends without the corpus append — on replay,
+            # within-batch near-dup PEERS would then match each other's
+            # just-landed index entries and BOTH be dropped from a corpus
+            # append neither completed (permanent loss, not dedup). Same
+            # ADVICE-r5 discipline as the embedding and pHash gates.
+            batch_id_set = {
+                r["doc_id"]
+                for r in batch.select("doc_id").distinct().collect()
+            }
+            raw_pairs = incremental_match_indexed(
+                batch_tok, corpus_prefix, corpus_tok
             )
+            if not batch_id_set:
+                pass  # empty batch: nothing to screen
+            elif len(batch_id_set) <= ISIN_SCREEN_MAX:
+                raw_pairs = raw_pairs.filter(
+                    ~F.col("corpus_doc").isin(*batch_id_set)
+                )
+            else:
+                raw_pairs = raw_pairs.join(
+                    F.broadcast(
+                        batch.select(
+                            F.col("doc_id").alias("corpus_doc")
+                        ).distinct()
+                    ),
+                    "corpus_doc",
+                    "left_anti",
+                )
+            pairs = raw_pairs.persist()
             try:
                 # materialize the match BEFORE fanning out: the four
                 # writes below all hang off `pairs`, and a count from a
@@ -567,9 +590,11 @@ def streaming_dedup_gate(
                 # materialized pairs + present sets, so they run as
                 # concurrent Spark jobs — trigger wall-clock pays the
                 # slowest write once, not the sum of four (the round-6
-                # overhead cut; crash healing is unchanged because it
-                # never assumed an append ORDER, only per-append
-                # idempotence — any landed subset heals on replay)
+                # overhead cut). Crash healing needs per-append
+                # idempotence PLUS the batch-peer match screen above:
+                # with no append order, an index append can land without
+                # the corpus append, and only the screen keeps that
+                # replay from dropping within-batch near-dup peers.
                 writes = [
                     lambda: _co(pairs).write.mode("append").parquet(matches_path),
                     lambda: _co(_screen(spark, accepted, present["c"]))
@@ -965,6 +990,15 @@ def streaming_phash_gate(
 
     if max_distance is None:
         max_distance = PHASH_MAX_DISTANCE
+    from imagingdb_spark.multimodal import PHASH_BANDS
+
+    if max_distance >= PHASH_BANDS:
+        # the batch path (phash_near_dups) enforces the same bound: the
+        # 8x8-band pigeonhole is lossless only below the band count, and
+        # a wider radius would silently MISS pairs, not widen recall
+        raise ValueError(
+            f"band lookup is lossless only for distance < {PHASH_BANDS}"
+        )
     idx_bands_path = corpus_path + "_idx_bands"
     frame_id = F.concat_ws(
         "_", "dataset_serial", "channel_idx", "slice_idx", "time_idx",

@@ -2130,3 +2130,27 @@ def test_pq_codebooks_tiny_corpus_does_not_crash(spark, tmp_path):
     got = x_pq_quantize(spark, d).collect()
     assert len(got) == 6
     assert all(len(r["codes"].split("-")) == 8 for r in got)
+
+
+def test_multimodal_synth_tolerates_null_text(spark, tmp_path):
+    """A null-text document (which tokens_col and every oracle tolerate)
+    must not crash the synthetic frame/clip/series generators — it simply
+    yields no payload."""
+    from imagingdb_spark.multimodal import (
+        x_audio_dedup,
+        x_phash_dedup,
+        x_scene_changes,
+    )
+
+    d = str(tmp_path / "sfnull")
+    spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta", "en", "s", 22),
+            (1, None, "en", "s", 0),
+            (2, "epsilon zeta eta theta", "de", "s", 22),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(d + "/documents.parquet")
+    assert x_phash_dedup(spark, d).count() == 3   # doc 0's planted trio
+    assert x_audio_dedup(spark, d).count() == 3
+    assert x_scene_changes(spark, d).count() == 2  # one cut per real doc

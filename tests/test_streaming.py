@@ -1523,3 +1523,83 @@ def test_phash_gate_compaction_mid_stream_preserves_results(spark, tmp_path):
     n_before = len(ca)
     run("fin_a", str(tmp_path / "fcorp_a"), str(tmp_path / "fmat_a"), "fck_a2", 2)
     assert spark.read.parquet(str(tmp_path / "fcorp_a")).count() == n_before
+
+
+def test_dedup_gate_replay_after_torn_corpus_append(spark, tmp_path):
+    """The INVERSE crash window of test_streaming_dedup_gate_heals_torn_
+    index_append: the concurrent index appends landed but the corpus
+    append did not. The batch holds a WITHIN-batch near-dup pair (both
+    accepted in a clean run — the gate dedups batch-vs-corpus only);
+    without the batch-peer match screen the replay would see each peer in
+    the just-landed index, flag BOTH as dups, and drop them from a corpus
+    append neither completed. The replay must reproduce the no-crash
+    outcome exactly."""
+    import shutil
+
+    from imagingdb_spark.operators.dedup import (
+        canonical_prefixes,
+        canonical_toksets,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")  # jaccard 9/11 = 0.818 >= 0.8
+    corpus_text = "one two three four five six seven eight nine ten"
+    mk = lambda rows: spark.createDataFrame(rows, jobs.DOCS_RAW_SCHEMA)
+
+    corpus_path = str(tmp_path / "corpus")
+    mk([(1, corpus_text, "en", "src0")]).write.parquet(corpus_path)
+    canonical_toksets(spark.read.parquet(corpus_path)).write.parquet(
+        corpus_path + "_idx_tokset"
+    )
+    canonical_prefixes(
+        canonical_toksets(spark.read.parquet(corpus_path))
+    ).write.parquet(corpus_path + "_idx_prefix")
+    pristine = str(tmp_path / "pristine")
+    for suf in ("", "_idx_tokset", "_idx_prefix"):
+        shutil.copytree(corpus_path + suf, pristine + suf)
+
+    batch = [(10, base, "en", "src0"), (11, near, "en", "src0")]
+    batch_path = str(tmp_path / "incoming")
+    mk(batch).coalesce(1).write.parquet(batch_path)
+
+    def run(ck):
+        stream = spark.readStream.schema(jobs.DOCS_RAW_SCHEMA).parquet(batch_path)
+        q = jobs.streaming_dedup_gate(
+            stream, corpus_path, str(tmp_path / "matches"), str(tmp_path / ck)
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # clean run: both near-dup peers accepted
+    run("ck_clean")
+    clean_ids = {
+        r["doc_id"] for r in spark.read.parquet(corpus_path).collect()
+    }
+    assert {10, 11} <= clean_ids
+    clean_matches = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in spark.read.parquet(str(tmp_path / "matches")).collect()
+    }
+
+    # torn state: pristine corpus, but the INDEX holds both batch docs
+    for suf in ("", "_idx_tokset", "_idx_prefix"):
+        shutil.rmtree(corpus_path + suf)
+        shutil.copytree(pristine + suf, corpus_path + suf)
+    batch_df = mk(batch)
+    canonical_toksets(batch_df).write.mode("append").parquet(
+        corpus_path + "_idx_tokset"
+    )
+    canonical_prefixes(canonical_toksets(batch_df)).write.mode("append").parquet(
+        corpus_path + "_idx_prefix"
+    )
+
+    run("ck_replay")
+    replay_ids = {
+        r["doc_id"] for r in spark.read.parquet(corpus_path).collect()
+    }
+    replay_matches = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in spark.read.parquet(str(tmp_path / "matches")).collect()
+    }
+    assert replay_ids == clean_ids  # the torn peers made it into the corpus
+    assert replay_matches == clean_matches

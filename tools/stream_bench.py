@@ -44,7 +44,10 @@ def main() -> None:
         # gate's idempotency path (match-against-own-twin) is exercised and
         # its cost shows up in the recorded latencies.
         for i in range(n_batches):
-            part = docs.filter(F.col("doc_id") % (n_batches - 1) == i % (n_batches - 1))
+            part = docs.filter(
+                F.col("doc_id") % max(1, n_batches - 1)
+                == i % max(1, n_batches - 1)
+            )
             part.coalesce(1).write.parquet(str(work / f"stage{i}"))
             src = next((work / f"stage{i}").glob("part-*.parquet"))
             shutil.move(str(src), str(watch / f"batch{i:03d}.parquet"))

@@ -47,7 +47,8 @@ def main() -> None:
         for i in range(n_batches):
             part = synth_frames(
                 docs.filter(
-                    F.col("doc_id") % (n_batches - 1) == i % (n_batches - 1)
+                    F.col("doc_id") % max(1, n_batches - 1)
+                    == i % max(1, n_batches - 1)
                 )
             )
             part.coalesce(1).write.parquet(str(work / f"stage{i}"))
