@@ -487,6 +487,63 @@ def _ivf_assign_udf(centroids: np.ndarray):
     return assign
 
 
+def _lloyd_refine(
+    sample: DataFrame, codebooks: np.ndarray, iters: int
+) -> np.ndarray:
+    """Deterministic distributed Lloyd iterations over (m, K, dsub)
+    codebooks (IVF is the m=1, dsub=dim case). Each round is ONE
+    map-side pass emitting per-PARTITION sufficient statistics — sum
+    vector + count per (subspace, cell), a bounded
+    numPartitions x m x K x dsub collect — combined on the driver in
+    PINNED ascending partition-id order (the pca_components discipline).
+    An unordered distributed F.avg merges partials in shuffle-fetch
+    order, which varies run to run; a one-ulp drift in a centroid can
+    flip an argmin tie and fail the selfcheck determinism gate — the
+    x_embed_quantize float-fold lesson, applied to training. Empty cells
+    keep their previous centroid."""
+    m_, k_, dsub = codebooks.shape
+    schema = "pid int, s array<double>, n array<long>"
+    for _ in range(iters):
+        cb = codebooks
+
+        def stats(batches):
+            from pyspark.taskcontext import TaskContext
+
+            sums = np.zeros((m_, k_, dsub))
+            cnts = np.zeros((m_, k_), dtype=np.int64)
+            seen = False
+            for pdf in batches:
+                x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                codes = _pq_assign_codes(cb, x)
+                xs = x.reshape(len(x), m_, dsub)
+                for mm in range(m_):
+                    np.add.at(sums[mm], codes[:, mm], xs[:, mm])
+                    np.add.at(cnts[mm], codes[:, mm], 1)
+                seen = True
+            if seen:
+                yield pd.DataFrame(
+                    {
+                        "pid": [TaskContext.get().partitionId()],
+                        "s": [sums.reshape(-1).tolist()],
+                        "n": [cnts.reshape(-1).tolist()],
+                    }
+                )
+
+        rows = (
+            sample.select("embedding").mapInPandas(stats, schema=schema).collect()
+        )
+        total_s = np.zeros((m_, k_, dsub))
+        total_n = np.zeros((m_, k_), dtype=np.int64)
+        for r in sorted(rows, key=lambda r: r["pid"]):
+            total_s += np.asarray(r["s"]).reshape(m_, k_, dsub)
+            total_n += np.asarray(r["n"], dtype=np.int64).reshape(m_, k_)
+        new_c = codebooks.copy()
+        nz = total_n > 0
+        new_c[nz] = total_s[nz] / total_n[nz][:, None]
+        codebooks = new_c
+    return codebooks
+
+
 def _ivf_centroids(e: DataFrame) -> np.ndarray:
     """K-means codebook trained DISTRIBUTED on a deterministic sample.
 
@@ -494,9 +551,8 @@ def _ivf_centroids(e: DataFrame) -> np.ndarray:
     sample, then the full corpus is assigned map-side — so at 100 TB the
     training shuffle is sample-sized, never corpus-sized. Init is the K
     sample vectors with the smallest xxhash64(vec_id) (deterministic,
-    spread uniformly); each Lloyd iteration is one map-side assign + one
-    (cell, pos)-keyed mean of the SAMPLE only; the K×dim result collected
-    per iteration is tiny. Empty cells keep their previous centroid."""
+    spread uniformly); refinement is _lloyd_refine's pinned-order
+    sufficient statistics (bit-deterministic run to run)."""
     sample = e.filter(F.xxhash64("vec_id") % IVF_TRAIN_MOD == 0)
     seeds = (
         sample.orderBy(F.xxhash64("vec_id", F.lit(1)), "vec_id")
@@ -505,20 +561,7 @@ def _ivf_centroids(e: DataFrame) -> np.ndarray:
         .collect()
     )
     centroids = np.asarray([r["embedding"] for r in seeds], dtype=np.float64)
-    for _ in range(IVF_ITER):
-        assign = _ivf_assign_udf(centroids)
-        sums = (
-            sample.select(assign("embedding").alias("cell"), "embedding")
-            .select("cell", F.posexplode("embedding").alias("pos", "val"))
-            .groupBy("cell", "pos")
-            .agg(F.avg("val").alias("mean"))
-            .collect()
-        )
-        new_c = centroids.copy()
-        for r in sums:
-            new_c[r["cell"], r["pos"]] = r["mean"]
-        centroids = new_c
-    return centroids
+    return _lloyd_refine(sample, centroids[None, :, :], IVF_ITER)[0]
 
 
 @query("x_ann_ivf")  # rows-only: k-means codebook not ANSI-SQL-expressible
@@ -1367,12 +1410,11 @@ def _pq_reconstruct(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
 
 def _pq_codebooks(e: DataFrame, m: int = PQ_M) -> np.ndarray:
     """(m, PQ_K, dsub) k-means codebooks trained DISTRIBUTED on a
-    deterministic sample — the _ivf_centroids discipline, except ALL
-    PQ_M subspace k-means run in the SAME distributed aggregate per
-    Lloyd iteration: the assign UDF emits the full code array, one
-    posexplode keys the means by (m, cell, pos-within-subspace), and the
-    collect is PQ_M*PQ_K*dsub rows (= dim*PQ_K, 1024 doubles here) per
-    iteration regardless of corpus size. Seeds are the subvectors of the
+    deterministic sample — the _ivf_centroids discipline: ALL m subspace
+    k-means run in the SAME _lloyd_refine pass per iteration
+    (pinned-partition-order sufficient statistics, bit-deterministic;
+    the collect is numPartitions x m x PQ_K x dsub doubles per round
+    regardless of corpus size). Seeds are the subvectors of the
     PQ_K sample vectors with the smallest xxhash64(vec_id) — the same
     deterministic spread-uniform init IVF uses. Empty cells keep their
     previous centroid."""
@@ -1397,37 +1439,7 @@ def _pq_codebooks(e: DataFrame, m: int = PQ_M) -> np.ndarray:
     codebooks = (
         seed_m.reshape(PQ_K, m, dsub).transpose(1, 0, 2).copy()
     )  # (m, K, dsub)
-
-    for _ in range(PQ_ITER):
-        cb = codebooks
-
-        @F.pandas_udf("array<int>")
-        def assign(emb: pd.Series) -> pd.Series:
-            x = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
-            return pd.Series(list(_pq_assign_codes(cb, x)))
-
-        sums = (
-            sample.select(assign("embedding").alias("codes"), "embedding")
-            .select(
-                F.posexplode("codes").alias("m", "cell"),
-                F.col("embedding"),
-            )
-            .select(
-                "m",
-                "cell",
-                F.posexplode(
-                    F.slice("embedding", F.col("m") * dsub + 1, dsub)
-                ).alias("pos", "val"),
-            )
-            .groupBy("m", "cell", "pos")
-            .agg(F.avg("val").alias("mean"))
-            .collect()
-        )
-        new_c = codebooks.copy()
-        for r in sums:
-            new_c[r["m"], r["cell"], r["pos"]] = r["mean"]
-        codebooks = new_c
-    return codebooks
+    return _lloyd_refine(sample, codebooks, PQ_ITER)
 
 
 @query("x_pq_quantize")  # rows-only: k-means codebooks not ANSI-SQL-
