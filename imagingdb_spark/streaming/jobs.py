@@ -357,6 +357,80 @@ def _heal_interrupted_compaction(path: str) -> None:
             shutil.rmtree(o, ignore_errors=True)
 
 
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    """Hadoop-FS existence probe (works for local paths and object
+    stores alike). Used instead of read-and-catch: a TRANSIENT read
+    error must fail the trigger (streaming retries it) rather than be
+    misread as 'first batch' and bypass a dedup gate. Shared by all
+    three ingest gates."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
+
+
+def _present_id_sets(
+    spark: SparkSession,
+    batch_ids: DataFrame,
+    tables: list[tuple[str, str]],
+    id_col: str,
+) -> dict[str, set]:
+    """Per-table sets of batch ids already present in the gates'
+    maintained tables, computed in ONE job — WITHOUT shuffling any
+    corpus-scale column: the tables' id columns are scanned under a
+    single tagged union, semi-filtered map-side by the broadcast batch
+    ids (emitting <= len(tables) * |batch| rows), and collected (a
+    batch-bounded collect). One scan job instead of one per table, and
+    the downstream appends screen with a free map-side IN filter.
+    Shared by the text and pHash gates — the gate-plumbing fix for the
+    torn-append screen landed in two of three hand-copied versions
+    before this was hoisted."""
+    tagged = None
+    for tag, path in tables:
+        t = spark.read.parquet(path).select(id_col).withColumn(
+            "tbl", F.lit(tag)
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    rows = (
+        tagged.join(F.broadcast(batch_ids), id_col, "left_semi")
+        .distinct()
+        .collect()
+    )
+    out: dict[str, set] = {tag: set() for tag, _ in tables}
+    for r in rows:
+        out[r["tbl"]].add(r[id_col])
+    return out
+
+
+def _screen_ids(
+    spark: SparkSession,
+    small: DataFrame,
+    present: set,
+    id_col: str,
+    id_ddl: str,
+) -> DataFrame:
+    """Drop ``small`` rows whose id is in the batch-bounded ``present``
+    set: a zero-job map-side NOT-IN filter, with a broadcast anti-join
+    fallback should a giant batch ever overflow the IN-list bound.
+    ``id_ddl`` is the one-column DDL for the fallback frame (e.g.
+    "doc_id long")."""
+    if not present:
+        return small
+    if len(present) <= ISIN_SCREEN_MAX:
+        return small.filter(~F.col(id_col).isin(*present))
+    ids = spark.createDataFrame([(i,) for i in present], id_ddl)
+    return small.join(F.broadcast(ids), id_col, "left_anti")
+
+
+def _gate_coalesce(df: DataFrame, append_partitions: int | None) -> DataFrame:
+    """Bound a micro-batch write's file count: 32 shuffle partitions
+    writing a few hundred rows cost 32 task commits + 32 files per table
+    per trigger (the fragmentation compact_every exists to undo). None =
+    leave the parallelism alone (bulk regime)."""
+    return df.coalesce(append_partitions) if append_partitions else df
+
+
+
 def streaming_dedup_gate(
     docs: DataFrame,
     corpus_path: str,
@@ -431,69 +505,23 @@ def streaming_dedup_gate(
         toksets.write.mode(mode).parquet(idx_tokset_path)
         canonical_prefixes(toksets).write.mode(mode).parquet(idx_prefix_path)
 
-    def _fs_exists(spark: SparkSession, path: str) -> bool:
-        """Hadoop-FS existence probe (works for local paths and object
-        stores alike). Used instead of read-and-catch: a TRANSIENT read
-        error must fail the trigger (streaming retries it) rather than
-        be misread as 'first batch' and bypass the dedup gate."""
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(p))
-
     def _present_sets(spark: SparkSession, batch: DataFrame) -> dict[str, set]:
-        """Per-table sets of batch doc_ids already present in the corpus /
-        tokset / prefix tables, computed in ONE job — WITHOUT shuffling
-        any corpus-scale column. The three tables' id columns are scanned
-        under a single tagged union, semi-filtered map-side by the
-        broadcast batch ids (emitting ≤ 3·|batch| rows), and collected (a
-        batch-bounded collect, same pattern as the codebook reads). This
-        replaces three separate semi+anti screen jobs per trigger
-        (round-6 trigger-overhead cut: one column-pruned scan job instead
-        of three, and the downstream appends screen with a free map-side
-        IN filter instead of a broadcast join each)."""
-        corpus_ids = spark.read.parquet(corpus_path).select("doc_id")
-        tok_ids = spark.read.parquet(idx_tokset_path).select("doc_id")
-        pref_ids = spark.read.parquet(idx_prefix_path).select("doc_id")
-        tagged = (
-            corpus_ids.withColumn("tbl", F.lit("c"))
-            .unionByName(tok_ids.withColumn("tbl", F.lit("t")))
-            .unionByName(pref_ids.withColumn("tbl", F.lit("p")))
+        return _present_id_sets(
+            spark,
+            batch.select("doc_id").distinct(),
+            [
+                ("c", corpus_path),
+                ("t", idx_tokset_path),
+                ("p", idx_prefix_path),
+            ],
+            "doc_id",
         )
-        rows = (
-            tagged.join(
-                F.broadcast(batch.select("doc_id").distinct()),
-                "doc_id",
-                "left_semi",
-            )
-            .distinct()
-            .collect()
-        )
-        out: dict[str, set] = {"c": set(), "t": set(), "p": set()}
-        for r in rows:
-            out[r["tbl"]].add(r["doc_id"])
-        return out
 
     def _screen(spark: SparkSession, small: DataFrame, present: set) -> DataFrame:
-        """Drop ``small`` rows whose doc_id is in the batch-bounded
-        ``present`` set: a zero-job map-side NOT-IN filter, with a
-        broadcast anti-join fallback should a giant batch ever overflow
-        the IN-list bound."""
-        if not present:
-            return small
-        if len(present) <= ISIN_SCREEN_MAX:
-            return small.filter(~F.col("doc_id").isin(*present))
-        ids = spark.createDataFrame(
-            [(int(i),) for i in present], "doc_id long"
-        )
-        return small.join(F.broadcast(ids), "doc_id", "left_anti")
+        return _screen_ids(spark, small, present, "doc_id", "doc_id long")
 
     def _co(df: DataFrame) -> DataFrame:
-        """Bound a micro-batch write's file count: 32 shuffle partitions
-        writing a few hundred rows cost 32 task commits + 32 files per
-        table per trigger (the fragmentation compact_every exists to
-        undo). None = leave the parallelism alone (bulk regime)."""
-        return df.coalesce(append_partitions) if append_partitions else df
+        return _gate_coalesce(df, append_partitions)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         from concurrent.futures import ThreadPoolExecutor
@@ -798,12 +826,6 @@ def streaming_embedding_gate(
     n_probe = IVF_PROBE if probe is None else probe
     codebook_path = corpus_path + "_codebook"
 
-    def _fs_exists(spark: SparkSession, path: str) -> bool:
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(p))
-
     def _not_present(small: DataFrame, ids: DataFrame) -> DataFrame:
         # same broadcast-semi + broadcast-anti screen as the text gate
         present = ids.join(
@@ -818,7 +840,7 @@ def streaming_embedding_gate(
         return read_embed_codebook(spark, codebook_path)
 
     def _co(df: DataFrame) -> DataFrame:
-        return df.coalesce(append_partitions) if append_partitions else df
+        return _gate_coalesce(df, append_partitions)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         import os
@@ -1010,44 +1032,19 @@ def streaming_phash_gate(
             "frame_id", "phash", F.explode(phash_band_col()).alias("b")
         ).select("frame_id", "phash", "b.band_idx", "b.band_value")
 
-    def _fs_exists(spark: SparkSession, path: str) -> bool:
-        jvm = spark._jvm
-        p = jvm.org.apache.hadoop.fs.Path(path)
-        fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
-        return bool(fs.exists(p))
-
     def _present_sets(spark: SparkSession, batch_ids: DataFrame) -> dict[str, set]:
-        """Batch-bounded present-id sets for the corpus and band-index
-        tables in ONE tagged-union scan (same pattern and rationale as
-        the text gate's _present_sets)."""
-        tagged = (
-            spark.read.parquet(corpus_path)
-            .select("frame_id").withColumn("tbl", F.lit("c"))
-            .unionByName(
-                spark.read.parquet(idx_bands_path)
-                .select("frame_id").withColumn("tbl", F.lit("b"))
-            )
+        return _present_id_sets(
+            spark,
+            batch_ids,
+            [("c", corpus_path), ("b", idx_bands_path)],
+            "frame_id",
         )
-        rows = (
-            tagged.join(F.broadcast(batch_ids), "frame_id", "left_semi")
-            .distinct()
-            .collect()
-        )
-        out: dict[str, set] = {"c": set(), "b": set()}
-        for r in rows:
-            out[r["tbl"]].add(r["frame_id"])
-        return out
 
     def _screen(spark: SparkSession, small: DataFrame, present: set) -> DataFrame:
-        if not present:
-            return small
-        if len(present) <= ISIN_SCREEN_MAX:
-            return small.filter(~F.col("frame_id").isin(*present))
-        ids = spark.createDataFrame([(i,) for i in present], "frame_id string")
-        return small.join(F.broadcast(ids), "frame_id", "left_anti")
+        return _screen_ids(spark, small, present, "frame_id", "frame_id string")
 
     def _co(df: DataFrame) -> DataFrame:
-        return df.coalesce(append_partitions) if append_partitions else df
+        return _gate_coalesce(df, append_partitions)
 
     def gate(batch_df: DataFrame, batch_id: int) -> None:
         from concurrent.futures import ThreadPoolExecutor
