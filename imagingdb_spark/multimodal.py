@@ -507,17 +507,17 @@ def phash_frames(
     return frames.mapInPandas(batches, schema=schema)
 
 
-def phash_band_col() -> "F.Column":
-    """Array of (band_idx, band_value) structs for the `phash` column:
-    the 64-bit hash as PHASH_BANDS 8-bit bands. Shared by the batch
-    near-dup pairing and the streaming ingest gate's maintained band
-    index — one definition so the pigeonhole losslessness argument holds
-    for both."""
+def phash_band_col(col: str = "phash") -> "F.Column":
+    """Array of (band_idx, band_value) structs for a 64-bit fingerprint
+    column: the hash as PHASH_BANDS 8-bit bands. Shared by the batch
+    near-dup pairing (image pHash AND audio fingerprints — one band
+    arithmetic, one pigeonhole losslessness argument) and the streaming
+    ingest gates' maintained band indexes."""
     return F.array(
         *[
             F.struct(
                 F.lit(i).alias("band_idx"),
-                F.shiftright(F.col("phash"), i * 8)
+                F.shiftright(F.col(col), i * 8)
                 .bitwiseAND(F.lit(255))
                 .alias("band_value"),
             )

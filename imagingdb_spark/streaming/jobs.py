@@ -960,59 +960,45 @@ def read_frames_stream(spark: SparkSession, path: str) -> DataFrame:
     return spark.readStream.schema(FRAME_SCHEMA).parquet(path)
 
 
-def streaming_phash_gate(
-    frames: DataFrame,
+def _streaming_fingerprint_gate(
+    stream: DataFrame,
     corpus_path: str,
     matches_path: str,
     checkpoint_dir: str,
-    compact_every: int | None = None,
-    append_partitions: int | None = 8,
-    max_distance: int | None = None,
+    *,
+    fingerprinted,
+    id_col: str,
+    fp_col: str,
+    match_a: str,
+    match_b: str,
+    compact_every: int | None,
+    append_partitions: int | None,
+    max_distance: int,
 ) -> StreamingQuery:
-    """Streaming image-ingest dedup gate — the multimodal twin of
-    streaming_dedup_gate (St7+): per micro-batch of FRAME_SCHEMA rows,
-    (1) pHash every frame map-side (real PNG decode + DCT,
-    multimodal.phash_frames), (2) collapse batch-internal EXACT dups
-    (identical phash, min-frame_id keeper — the same role sha2 plays in
-    the text gate), (3) match survivors against the standing corpus via
-    the maintained BAND INDEX (``<corpus>_idx_bands``: one row per
-    accepted frame per 8-bit band; pigeonhole makes the lookup lossless
-    for hamming <= PHASH_BANDS-1, multimodal.phash_near_dups), (4) append
-    near-dup matches (new_frame, corpus_frame, hamming) to the audit log
-    and ONLY novel frames — with their phash — to the corpus. Catches
-    "same picture, different file" dups that payload-sha ingest
-    (ingest.py's anti-join guard) cannot.
+    """The shared engine behind the image (St10) and audio (St11) ingest
+    gates: per micro-batch, (1) ``fingerprinted(batch_df)`` returns the
+    batch rows with a string ``id_col`` and a 64-bit ``fp_col`` (decode
+    + hash happens map-side inside it; payloads never shuffle), (2)
+    batch-internal EXACT dups collapse (identical fingerprint,
+    min-id keeper — the role sha2 plays in the text gate), (3) survivors
+    match against the maintained 8x8-bit BAND INDEX
+    (``<corpus>_idx_bands``, pigeonhole-lossless for hamming <
+    PHASH_BANDS) via one broadcast join — no corpus shuffle, no payload
+    re-decode (fingerprints are stored in the corpus, so a pre-seeded or
+    torn index rebuilds with one map-side explode), (4) matches
+    (``match_a``, ``match_b``, hamming) append to the audit log and only
+    novel rows — with their fingerprint — to the corpus.
 
-    Scale shape: the batch side is tiny vs the corpus, so the candidate
-    join BROADCASTS the batch's band rows against ONE column-pruned scan
-    of the stored band index — no corpus shuffle, no per-trigger index
-    re-derivation (frames' phash is stored in the corpus, so a pre-seeded
-    or torn index rebuilds with one map-side explode, no payload
-    re-decode). Payload bytes never enter a shuffle: decode happens once
-    in phash_frames' tasks, and appends write the batch's own rows. At
-    100 TB the index is band-value-bucketed at rest so the broadcast join
-    prunes files.
-
-    At-least-once discipline mirrors the text gate exactly: a trigger's
-    THREE appends (matches, corpus, band index) run as concurrent jobs
-    and are each individually idempotent by frame_id (present-id screens
-    from one tagged union scan, batch-bounded collect); replayed frames
-    skip their own index entry (self-match filter) and any match whose
-    corpus side is in the CURRENT batch (a torn corpus append must not
-    make a replay drop within-batch near-dup peers a no-crash run keeps);
-    a torn index BOOTSTRAP is detected by the _SUCCESS marker and rebuilt
-    with overwrite; a missing corpus is detected by an explicit
-    filesystem probe; ``compact_every=N`` folds per-trigger fragments
-    with the crash-safe rewrite healed at trigger start."""
-    from imagingdb_spark.multimodal import (
-        PHASH_MAX_DISTANCE,
-        phash_band_col,
-        phash_frames,
-    )
-
-    if max_distance is None:
-        max_distance = PHASH_MAX_DISTANCE
-    from imagingdb_spark.multimodal import PHASH_BANDS
+    At-least-once discipline (identical for both modalities): the three
+    appends run as concurrent jobs and are each individually idempotent
+    by ``id_col`` (present-id screens from one tagged union scan);
+    replayed rows skip their own index entry and any match whose corpus
+    side is in the CURRENT batch (a torn corpus append must not make a
+    replay drop within-batch near-dup peers a no-crash run keeps); a
+    torn index BOOTSTRAP is detected by the _SUCCESS marker and rebuilt
+    with overwrite; ``compact_every=N`` folds per-trigger fragments with
+    the crash-safe rewrite healed at trigger start."""
+    from imagingdb_spark.multimodal import PHASH_BANDS, phash_band_col
 
     if max_distance >= PHASH_BANDS:
         # the batch path (phash_near_dups) enforces the same bound: the
@@ -1022,26 +1008,22 @@ def streaming_phash_gate(
             f"band lookup is lossless only for distance < {PHASH_BANDS}"
         )
     idx_bands_path = corpus_path + "_idx_bands"
-    frame_id = F.concat_ws(
-        "_", "dataset_serial", "channel_idx", "slice_idx", "time_idx",
-        "pos_idx",
-    )
 
     def _band_rows(hashed: DataFrame) -> DataFrame:
         return hashed.select(
-            "frame_id", "phash", F.explode(phash_band_col()).alias("b")
-        ).select("frame_id", "phash", "b.band_idx", "b.band_value")
+            id_col, fp_col, F.explode(phash_band_col(fp_col)).alias("b")
+        ).select(id_col, fp_col, "b.band_idx", "b.band_value")
 
     def _present_sets(spark: SparkSession, batch_ids: DataFrame) -> dict[str, set]:
         return _present_id_sets(
             spark,
             batch_ids,
             [("c", corpus_path), ("b", idx_bands_path)],
-            "frame_id",
+            id_col,
         )
 
     def _screen(spark: SparkSession, small: DataFrame, present: set) -> DataFrame:
-        return _screen_ids(spark, small, present, "frame_id", "frame_id string")
+        return _screen_ids(spark, small, present, id_col, f"{id_col} string")
 
     def _co(df: DataFrame) -> DataFrame:
         return _gate_coalesce(df, append_partitions)
@@ -1052,21 +1034,12 @@ def streaming_phash_gate(
         spark = batch_df.sparkSession
         for p in (corpus_path, idx_bands_path, matches_path):
             _heal_interrupted_compaction(p)
-        # decode+hash once, join the 8-byte hashes back onto the payload
-        # rows by identity (broadcast: a micro-batch is tiny), then
-        # collapse batch-internal exact dups
-        id_cols = [
-            "dataset_serial", "channel_idx", "slice_idx", "time_idx",
-            "pos_idx",
-        ]
-        hashed_ids = phash_frames(batch_df)
         batch = (
-            batch_df.join(F.broadcast(hashed_ids), id_cols)
-            .withColumn("frame_id", frame_id)
+            fingerprinted(batch_df)
             .withColumn(
                 "_keep",
                 F.row_number().over(
-                    Window.partitionBy("phash").orderBy("frame_id")
+                    Window.partitionBy(fp_col).orderBy(id_col)
                 ),
             )
             .filter(F.col("_keep") == 1)
@@ -1084,21 +1057,19 @@ def streaming_phash_gate(
                 # pre-seeded corpus without an index, or a torn bootstrap:
                 # rebuild from the corpus's STORED hashes (no re-decode)
                 _band_rows(
-                    spark.read.parquet(corpus_path).select(
-                        "frame_id", "phash"
-                    )
+                    spark.read.parquet(corpus_path).select(id_col, fp_col)
                 ).write.mode("overwrite").parquet(idx_bands_path)
-            batch_ids = batch.select("frame_id").distinct().persist()
-            batch_id_set = {r["frame_id"] for r in batch_ids.collect()}
-            new_bands = _band_rows(batch.select("frame_id", "phash")).select(
-                F.col("frame_id").alias("new_frame"),
-                F.col("phash").alias("new_phash"),
+            batch_ids = batch.select(id_col).distinct().persist()
+            batch_id_set = {r[id_col] for r in batch_ids.collect()}
+            new_bands = _band_rows(batch.select(id_col, fp_col)).select(
+                F.col(id_col).alias(match_a),
+                F.col(fp_col).alias("new_fp"),
                 "band_idx",
                 "band_value",
             )
             corpus_bands = spark.read.parquet(idx_bands_path).select(
-                F.col("frame_id").alias("corpus_frame"),
-                F.col("phash").alias("corpus_phash"),
+                F.col(id_col).alias(match_b),
+                F.col(fp_col).alias("corpus_fp"),
                 "band_idx",
                 "band_value",
             )
@@ -1109,12 +1080,12 @@ def streaming_phash_gate(
                 .withColumn(
                     "hamming",
                     F.bit_count(
-                        F.col("new_phash").bitwiseXOR(F.col("corpus_phash"))
+                        F.col("new_fp").bitwiseXOR(F.col("corpus_fp"))
                     ),
                 )
                 .filter(F.col("hamming") <= max_distance)
-                # a replayed frame's own index entry is bookkeeping, not a
-                # dup (it subsumes the corpus_frame == new_frame case)
+                # a replayed row's own index entry is bookkeeping, not a
+                # dup (it subsumes the match_b == match_a case)
             )
             # ...and a match against a CURRENT-batch peer that a torn
             # append made visible must not change replay outcomes: screen
@@ -1123,32 +1094,28 @@ def streaming_phash_gate(
             if not batch_id_set:
                 pass  # empty batch: no matches to screen
             elif len(batch_id_set) <= ISIN_SCREEN_MAX:
-                pairs = pairs.filter(
-                    ~F.col("corpus_frame").isin(*batch_id_set)
-                )
+                pairs = pairs.filter(~F.col(match_b).isin(*batch_id_set))
             else:
                 pairs = pairs.join(
                     F.broadcast(
-                        batch_ids.select(
-                            F.col("frame_id").alias("corpus_frame")
-                        )
+                        batch_ids.select(F.col(id_col).alias(match_b))
                     ),
-                    "corpus_frame",
+                    match_b,
                     "left_anti",
                 )
             pairs = (
-                pairs.select("new_frame", "corpus_frame", "hamming")
-                .dropDuplicates(["new_frame", "corpus_frame"])
+                pairs.select(match_a, match_b, "hamming")
+                .dropDuplicates([match_a, match_b])
                 .persist()
             )
             try:
                 pairs.count()  # materialize once before the fan-out
                 present = _present_sets(spark, batch_ids)
                 dup_ids = pairs.select(
-                    F.col("new_frame").alias("frame_id")
+                    F.col(match_a).alias(id_col)
                 ).distinct()
                 accepted = batch.join(
-                    F.broadcast(dup_ids), "frame_id", "left_anti"
+                    F.broadcast(dup_ids), id_col, "left_anti"
                 )
                 writes = [
                     lambda: _co(pairs).write.mode("append").parquet(
@@ -1160,7 +1127,7 @@ def streaming_phash_gate(
                     lambda: _co(
                         _band_rows(
                             _screen(spark, accepted, present["b"]).select(
-                                "frame_id", "phash"
+                                id_col, fp_col
                             )
                         )
                     )
@@ -1183,10 +1150,105 @@ def streaming_phash_gate(
             batch.unpersist()
 
     return (
-        frames.writeStream.foreachBatch(gate)
+        stream.writeStream.foreachBatch(gate)
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .start()
+    )
+
+
+def streaming_phash_gate(
+    frames: DataFrame,
+    corpus_path: str,
+    matches_path: str,
+    checkpoint_dir: str,
+    compact_every: int | None = None,
+    append_partitions: int | None = 8,
+    max_distance: int | None = None,
+) -> StreamingQuery:
+    """St10 — streaming IMAGE-ingest dedup gate: the multimodal twin of
+    streaming_dedup_gate, instantiating _streaming_fingerprint_gate with
+    the real PNG-decode + DCT pHash (multimodal.phash_frames) and the
+    frames identity key. Catches "same picture, different file" dups
+    that payload-sha ingest (ingest.py's anti-join guard) cannot. Scale
+    shape and crash discipline: see the engine docstring; at 100 TB the
+    band index is band-value-bucketed at rest so the broadcast join
+    prunes files."""
+    from imagingdb_spark.multimodal import PHASH_MAX_DISTANCE, phash_frames
+
+    id_cols = [
+        "dataset_serial", "channel_idx", "slice_idx", "time_idx", "pos_idx"
+    ]
+
+    def fingerprinted(batch_df: DataFrame) -> DataFrame:
+        # decode+hash once, join the 8-byte hashes back onto the payload
+        # rows by identity (broadcast: a micro-batch is tiny)
+        return batch_df.join(
+            F.broadcast(phash_frames(batch_df)), id_cols
+        ).withColumn("frame_id", F.concat_ws("_", *id_cols))
+
+    return _streaming_fingerprint_gate(
+        frames,
+        corpus_path,
+        matches_path,
+        checkpoint_dir,
+        fingerprinted=fingerprinted,
+        id_col="frame_id",
+        fp_col="phash",
+        match_a="new_frame",
+        match_b="corpus_frame",
+        compact_every=compact_every,
+        append_partitions=append_partitions,
+        max_distance=(
+            PHASH_MAX_DISTANCE if max_distance is None else max_distance
+        ),
+    )
+
+
+def read_clips_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based stream over a clips parquet directory (CLIP_SCHEMA
+    rows: clip_id + sample_rate + WAV payload bytes)."""
+    from imagingdb_spark.multimodal import CLIP_SCHEMA
+
+    return spark.readStream.schema(CLIP_SCHEMA).parquet(path)
+
+
+def streaming_afp_gate(
+    clips: DataFrame,
+    corpus_path: str,
+    matches_path: str,
+    checkpoint_dir: str,
+    compact_every: int | None = None,
+    append_partitions: int | None = 8,
+    max_distance: int | None = None,
+) -> StreamingQuery:
+    """St11 — streaming AUDIO-ingest dedup gate: the same engine as the
+    image gate, instantiated with the Haitsma–Kalker-style fingerprint
+    (multimodal.afp_clips, real RIFF decode + rfft band energies).
+    Catches "same recording, different level/encoding" dups — the
+    re-encoded (G.711) or gain-adjusted uploads a payload-sha gate
+    passes through. One engine, one band-index losslessness argument,
+    one crash discipline across both modalities."""
+    from imagingdb_spark.multimodal import AFP_MAX_DISTANCE, afp_clips
+
+    def fingerprinted(batch_df: DataFrame) -> DataFrame:
+        return batch_df.join(F.broadcast(afp_clips(batch_df)), "clip_id")
+
+    return _streaming_fingerprint_gate(
+        clips,
+        corpus_path,
+        matches_path,
+        checkpoint_dir,
+        fingerprinted=fingerprinted,
+        id_col="clip_id",
+        fp_col="afp",
+        match_a="new_clip",
+        match_b="corpus_clip",
+        compact_every=compact_every,
+        append_partitions=append_partitions,
+        max_distance=(
+            AFP_MAX_DISTANCE if max_distance is None else max_distance
+        ),
     )
 
 

@@ -1603,3 +1603,118 @@ def test_dedup_gate_replay_after_torn_corpus_append(spark, tmp_path):
     }
     assert replay_ids == clean_ids  # the torn peers made it into the corpus
     assert replay_matches == clean_matches
+
+
+# ---------------------------------------------------------------------------
+# streaming_afp_gate (St11): audio-ingest near-dup gate (shared engine —
+# the full crash-window matrix is pinned by the pHash suite above; these
+# pin the audio instantiation: fingerprint wiring, near-dup semantics,
+# replay idempotency)
+# ---------------------------------------------------------------------------
+
+
+def _clip_rows(pairs):
+    import numpy as np
+
+    from imagingdb_spark import wav
+    from imagingdb_spark.multimodal import SYNTH_CLIP_RATE
+
+    return [
+        (cid, SYNTH_CLIP_RATE, wav.encode_wav(a, SYNTH_CLIP_RATE))
+        for cid, a in pairs
+    ]
+
+
+def _mk_clip(seed):
+    import numpy as np
+
+    from imagingdb_spark import multimodal as M
+
+    rng = np.random.default_rng(seed)
+    amps = 0.01 + 0.07 * rng.random((M.AFP_SEGMENTS, M.AFP_BANDS))
+    ts = np.arange(M.SYNTH_CLIP_SEG) / M.SYNTH_CLIP_RATE
+    band_bins = (M.SYNTH_CLIP_SEG // 2) // M.AFP_BANDS
+    carriers = np.array(
+        [
+            (1 + band_bins * b + band_bins // 2) * M.SYNTH_CLIP_RATE / M.SYNTH_CLIP_SEG
+            for b in range(M.AFP_BANDS)
+        ]
+    )
+    return np.concatenate(
+        [
+            (
+                amps[s][None, :]
+                * np.sin(2 * np.pi * carriers[None, :] * ts[:, None])
+            ).sum(axis=1)
+            for s in range(M.AFP_SEGMENTS)
+        ]
+    )
+
+
+def test_streaming_afp_gate_matches_and_replay(spark, tmp_path):
+    """Pre-seeded audio corpus [A, B]; batch = [gain-adjusted noisy copy
+    of A, novel C]. The gate must log exactly the near-dup match, accept
+    only the novel clip, keep the band index 1:1 with the corpus, and a
+    replay with a fresh checkpoint must change nothing."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from imagingdb_spark import multimodal as M
+
+    a, b, c = _mk_clip(31), _mk_clip(32), _mk_clip(33)
+    corpus_path = str(tmp_path / "acorpus")
+    corpus = spark.createDataFrame(
+        _clip_rows([("CA", a), ("CB", b)]), M.CLIP_SCHEMA
+    )
+    M.afp_clips(corpus).join(F.broadcast(corpus), "clip_id").select(
+        "clip_id", "sample_rate", "payload", "afp"
+    ).write.parquet(corpus_path)
+
+    rng = np.random.default_rng(99)
+    near_a = 1.3 * a + 0.004 * rng.standard_normal(len(a))
+    batch_path = str(tmp_path / "ain")
+    spark.createDataFrame(
+        _clip_rows([("NA", near_a), ("NC", c)]), M.CLIP_SCHEMA
+    ).coalesce(1).write.parquet(batch_path)
+
+    def run(ck):
+        q = jobs.streaming_afp_gate(
+            jobs.read_clips_stream(spark, batch_path),
+            corpus_path,
+            str(tmp_path / "amatches"),
+            str(tmp_path / ck),
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run("ck1")
+    matches = spark.read.parquet(str(tmp_path / "amatches")).collect()
+    got = {(r["new_clip"], r["corpus_clip"]) for r in matches}
+    assert got == {("NA", "CA")}
+    assert all(
+        0 <= r["hamming"] <= M.AFP_MAX_DISTANCE for r in matches
+    )
+    ids = {
+        r["clip_id"]
+        for r in spark.read.parquet(corpus_path).select("clip_id").collect()
+    }
+    assert ids == {"CA", "CB", "NC"}
+    idx = spark.read.parquet(corpus_path + "_idx_bands")
+    per = {
+        r["clip_id"]: r["count"]
+        for r in idx.groupBy("clip_id").count().collect()
+    }
+    assert set(per) == ids
+    assert all(n == M.PHASH_BANDS for n in per.values())
+
+    n_corpus = spark.read.parquet(corpus_path).count()
+    n_idx = idx.count()
+    run("ck2")  # replay: idempotent
+    assert spark.read.parquet(corpus_path).count() == n_corpus
+    assert spark.read.parquet(corpus_path + "_idx_bands").count() == n_idx
+    got2 = {
+        (r["new_clip"], r["corpus_clip"])
+        for r in spark.read.parquet(str(tmp_path / "amatches")).collect()
+    }
+    assert got2 == got
