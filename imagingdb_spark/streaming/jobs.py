@@ -374,6 +374,7 @@ def _present_id_sets(
     batch_ids: DataFrame,
     tables: list[tuple[str, str]],
     id_col: str,
+    resident: tuple[str, int] | None = None,
 ) -> dict[str, set]:
     """Per-table sets of batch ids already present in the gates'
     maintained tables, computed in ONE job — WITHOUT shuffling any
@@ -384,19 +385,44 @@ def _present_id_sets(
     the downstream appends screen with a free map-side IN filter.
     Shared by the text and pHash gates — the gate-plumbing fix for the
     torn-append screen landed in two of three hand-copied versions
-    before this was hoisted."""
+    before this was hoisted.
+
+    ``resident=(corpus_path, current_batch_id)`` adds a tag ``"r"``: the
+    batch ids whose corpus entry was written by an EARLIER trigger
+    (append-provenance column ``_gate_batch``; a missing column or null —
+    pre-seeded corpora — counts as earlier). This is what separates a
+    RE-DELIVERED resident row (its near-dups must still be flagged) from
+    this trigger's own torn-append residue (matching it on replay would
+    drop within-batch peers a no-crash run keeps)."""
     tagged = None
     for tag, path in tables:
         t = spark.read.parquet(path).select(id_col).withColumn(
             "tbl", F.lit(tag)
         )
         tagged = t if tagged is None else tagged.unionByName(t)
+    if resident is not None:
+        corpus_path, current_batch = resident
+        # mergeSchema: a pre-seeded corpus gains _gate_batch only on its
+        # first gate append, so files mix schemas; without merging, the
+        # read could sample a pre-seeded footer and hide the column
+        c = spark.read.option("mergeSchema", "true").parquet(corpus_path)
+        if "_gate_batch" in c.columns:
+            bcol = F.coalesce(F.col("_gate_batch"), F.lit(-1))
+        else:
+            bcol = F.lit(-1)
+        tagged = tagged.unionByName(
+            c.filter(bcol != F.lit(current_batch))
+            .select(id_col)
+            .withColumn("tbl", F.lit("r"))
+        )
     rows = (
         tagged.join(F.broadcast(batch_ids), id_col, "left_semi")
         .distinct()
         .collect()
     )
     out: dict[str, set] = {tag: set() for tag, _ in tables}
+    if resident is not None:
+        out["r"] = set()
     for r in rows:
         out[r["tbl"]].add(r[id_col])
     return out
@@ -505,7 +531,9 @@ def streaming_dedup_gate(
         toksets.write.mode(mode).parquet(idx_tokset_path)
         canonical_prefixes(toksets).write.mode(mode).parquet(idx_prefix_path)
 
-    def _present_sets(spark: SparkSession, batch: DataFrame) -> dict[str, set]:
+    def _present_sets(
+        spark: SparkSession, batch: DataFrame, batch_id: int
+    ) -> dict[str, set]:
         return _present_id_sets(
             spark,
             batch.select("doc_id").distinct(),
@@ -515,6 +543,7 @@ def streaming_dedup_gate(
                 ("p", idx_prefix_path),
             ],
             "doc_id",
+            resident=(corpus_path, batch_id),
         )
 
     def _screen(spark: SparkSession, small: DataFrame, present: set) -> DataFrame:
@@ -544,7 +573,9 @@ def streaming_dedup_gate(
         try:
             if not _fs_exists(spark, corpus_path):
                 # first batch ever: everything is novel
-                _co(batch).write.mode("append").parquet(corpus_path)
+                _co(
+                    batch.withColumn("_gate_batch", F.lit(batch_id))
+                ).write.mode("append").parquet(corpus_path)
                 _write_index(canonical_toksets(batch), "append")
                 return
             # the index is complete only if BOTH overwrite jobs finished:
@@ -567,37 +598,34 @@ def streaming_dedup_gate(
             corpus_tok = spark.read.parquet(idx_tokset_path)
             corpus_prefix = spark.read.parquet(idx_prefix_path)
             batch_tok = canonical_toksets(batch).persist()
-            # screen matches whose corpus side is in the CURRENT batch
-            # (subsumes the exact new_doc == corpus_doc self-match): the
-            # four appends run concurrently, so a crash can land the
-            # index appends without the corpus append — on replay,
-            # within-batch near-dup PEERS would then match each other's
-            # just-landed index entries and BOTH be dropped from a corpus
-            # append neither completed (permanent loss, not dedup). Same
-            # ADVICE-r5 discipline as the embedding and pHash gates.
-            batch_id_set = {
-                r["doc_id"]
-                for r in batch.select("doc_id").distinct().collect()
-            }
+            # present sets come FIRST (pre-append corpus state): they
+            # feed the append screens below AND the phantom-id screen
+            batch_ids = batch.select("doc_id").distinct().persist()
+            present = _present_sets(spark, batch_ids, batch_id)
+            batch_id_set = {r["doc_id"] for r in batch_ids.collect()}
             raw_pairs = incremental_match_indexed(
                 batch_tok, corpus_prefix, corpus_tok
+            ).filter(
+                # a replayed doc matching its OWN index entry is
+                # bookkeeping, not a duplicate
+                F.col("new_doc") != F.col("corpus_doc")
             )
-            if not batch_id_set:
-                pass  # empty batch: nothing to screen
-            elif len(batch_id_set) <= ISIN_SCREEN_MAX:
-                raw_pairs = raw_pairs.filter(
-                    ~F.col("corpus_doc").isin(*batch_id_set)
-                )
-            else:
-                raw_pairs = raw_pairs.join(
-                    F.broadcast(
-                        batch.select(
-                            F.col("doc_id").alias("corpus_doc")
-                        ).distinct()
-                    ),
-                    "corpus_doc",
-                    "left_anti",
-                )
+            # PHANTOM screen: drop matches whose corpus side is a
+            # current-batch id not RESIDENT — i.e. absent from the
+            # corpus, or present only via THIS trigger's own torn
+            # append (provenance column _gate_batch; the replayed
+            # trigger reruns under the same batch_id). The appends run
+            # concurrently, so a crash can land index/corpus rows for a
+            # subset of the batch; on replay, within-batch near-dup
+            # PEERS would match each other's just-landed entries and be
+            # dropped from appends that never completed (permanent
+            # loss). Ids resident from EARLIER triggers stay matchable:
+            # a re-delivered doc alongside a new near-dup of it is a
+            # REAL duplicate the gate must flag.
+            phantom = batch_id_set - present["r"]
+            raw_pairs = _screen_ids(
+                spark, raw_pairs, phantom, "corpus_doc", "corpus_doc long"
+            )
             pairs = raw_pairs.persist()
             try:
                 # materialize the match BEFORE fanning out: the four
@@ -605,7 +633,6 @@ def streaming_dedup_gate(
                 # persisted plan computes it exactly once instead of
                 # racing four concurrent evaluations
                 pairs.count()
-                present = _present_sets(spark, batch)
                 dup_ids = pairs.select(
                     F.col("new_doc").alias("doc_id")
                 ).distinct()
@@ -625,7 +652,11 @@ def streaming_dedup_gate(
                 # replay from dropping within-batch near-dup peers.
                 writes = [
                     lambda: _co(pairs).write.mode("append").parquet(matches_path),
-                    lambda: _co(_screen(spark, accepted, present["c"]))
+                    lambda: _co(
+                        _screen(spark, accepted, present["c"]).withColumn(
+                            "_gate_batch", F.lit(batch_id)
+                        )
+                    )
                     .write.mode("append")
                     .parquet(corpus_path),
                     lambda: _co(_screen(spark, accepted_tok, present["t"]))
@@ -645,6 +676,7 @@ def streaming_dedup_gate(
             finally:
                 pairs.unpersist()
                 batch_tok.unpersist()
+                batch_ids.unpersist()
             if compact_every and batch_id > 0 and batch_id % compact_every == 0:
                 # periodic small-file maintenance: every trigger lands one
                 # fragment per table; fold them back to target-sized files
@@ -872,6 +904,7 @@ def streaming_embedding_gate(
                 _write_codebook(spark, cents)
                 _co(
                     batch.withColumn("cell", _ivf_assign_udf(cents)("embedding"))
+                    .withColumn("_gate_batch", F.lit(batch_id))
                 ).write.mode("append").parquet(corpus_path)
                 return
             raw = spark.read.parquet(corpus_path)
@@ -897,22 +930,42 @@ def streaming_embedding_gate(
                 os.rename(tmp, corpus_path)
                 shutil.rmtree(old, ignore_errors=True)
             cents = _read_codebook(spark)
-            corpus = spark.read.parquet(corpus_path)
-            batch_ids = batch.select(F.col("vec_id").alias("corpus_vec"))
+            corpus = spark.read.option("mergeSchema", "true").parquet(
+                corpus_path
+            )
+            if "_gate_batch" in corpus.columns:
+                bcol = F.coalesce(F.col("_gate_batch"), F.lit(-1))
+            else:
+                bcol = F.lit(-1)
+            # PHANTOM ids: current-batch vectors whose corpus entry is
+            # absent or was written by THIS trigger's own torn append
+            # (provenance column _gate_batch; a replay reruns under the
+            # same batch_id). A no-crash run matches the batch against
+            # the PRE-batch corpus only, so matching torn residue on
+            # replay would drop within-batch near-dup peers and emit
+            # audit rows a no-crash run never produces (ADVICE r5).
+            # Vectors RESIDENT from earlier triggers stay matchable: a
+            # re-delivered vector alongside a new near-dup of it is a
+            # REAL duplicate the gate must flag.
+            batch_vec_ids = batch.select(
+                F.col("vec_id").alias("corpus_vec")
+            ).distinct()
+            resident_ids = (
+                corpus.filter(bcol != F.lit(batch_id))
+                .select(F.col("vec_id").alias("corpus_vec"))
+                # corpus-scale scan, batch-bounded OUTPUT: semi-filter by
+                # the broadcast batch ids before anything else sees it
+                .join(F.broadcast(batch_vec_ids), "corpus_vec", "left_semi")
+            )
+            phantom_ids = batch_vec_ids.join(
+                resident_ids, "corpus_vec", "left_anti"
+            )
             pairs = (
                 ann_match_pairs(batch, corpus, cents, threshold, n_probe)
-                # screen out matches whose CORPUS side is a vector of the
-                # current batch (broadcast-anti on the batch's own ids,
-                # which subsumes the old new_vec != corpus_vec self-match
-                # filter): in a no-crash run the batch is matched against
-                # the PRE-batch corpus only, so a replay after a torn
-                # append — where some batch vectors already landed in the
-                # corpus — must not let the rest of the batch match them.
-                # Without this, a replayed batch with within-batch
-                # near-dups drops vectors and emits audit rows a no-crash
-                # run never produces (ADVICE r5); with it, replay
-                # reproduces the no-crash outcome exactly.
-                .join(F.broadcast(batch_ids), "corpus_vec", "left_anti")
+                # a replayed vector matching its OWN corpus entry is
+                # bookkeeping, not a duplicate
+                .filter(F.col("new_vec") != F.col("corpus_vec"))
+                .join(F.broadcast(phantom_ids), "corpus_vec", "left_anti")
                 .persist()
             )
             try:
@@ -923,8 +976,10 @@ def streaming_embedding_gate(
                     F.col("new_vec").alias("vec_id")
                 ).distinct()
                 accepted = batch.join(F.broadcast(dup_ids), "vec_id", "left_anti")
-                novel = _not_present(accepted, corpus.select("vec_id")).withColumn(
-                    "cell", _ivf_assign_udf(cents)("embedding")
+                novel = (
+                    _not_present(accepted, corpus.select("vec_id"))
+                    .withColumn("cell", _ivf_assign_udf(cents)("embedding"))
+                    .withColumn("_gate_batch", F.lit(batch_id))
                 )
                 writes = [
                     lambda: _co(pairs).write.mode("append").parquet(matches_path),
@@ -1014,12 +1069,15 @@ def _streaming_fingerprint_gate(
             id_col, fp_col, F.explode(phash_band_col(fp_col)).alias("b")
         ).select(id_col, fp_col, "b.band_idx", "b.band_value")
 
-    def _present_sets(spark: SparkSession, batch_ids: DataFrame) -> dict[str, set]:
+    def _present_sets(
+        spark: SparkSession, batch_ids: DataFrame, batch_id: int
+    ) -> dict[str, set]:
         return _present_id_sets(
             spark,
             batch_ids,
             [("c", corpus_path), ("b", idx_bands_path)],
             id_col,
+            resident=(corpus_path, batch_id),
         )
 
     def _screen(spark: SparkSession, small: DataFrame, present: set) -> DataFrame:
@@ -1048,7 +1106,9 @@ def _streaming_fingerprint_gate(
         )
         try:
             if not _fs_exists(spark, corpus_path):
-                _co(batch).write.mode("append").parquet(corpus_path)
+                _co(
+                    batch.withColumn("_gate_batch", F.lit(batch_id))
+                ).write.mode("append").parquet(corpus_path)
                 _co(_band_rows(batch)).write.mode("append").parquet(
                     idx_bands_path
                 )
@@ -1060,6 +1120,9 @@ def _streaming_fingerprint_gate(
                     spark.read.parquet(corpus_path).select(id_col, fp_col)
                 ).write.mode("overwrite").parquet(idx_bands_path)
             batch_ids = batch.select(id_col).distinct().persist()
+            # present sets come FIRST (pre-append corpus state): they
+            # feed the append screens AND the phantom-id screen below
+            present = _present_sets(spark, batch_ids, batch_id)
             batch_id_set = {r[id_col] for r in batch_ids.collect()}
             new_bands = _band_rows(batch.select(id_col, fp_col)).select(
                 F.col(id_col).alias(match_a),
@@ -1084,25 +1147,22 @@ def _streaming_fingerprint_gate(
                     ),
                 )
                 .filter(F.col("hamming") <= max_distance)
-                # a replayed row's own index entry is bookkeeping, not a
-                # dup (it subsumes the match_b == match_a case)
+                # a replayed row matching its OWN index entry is
+                # bookkeeping, not a duplicate
+                .filter(F.col(match_a) != F.col(match_b))
             )
-            # ...and a match against a CURRENT-batch peer that a torn
-            # append made visible must not change replay outcomes: screen
-            # out matches whose corpus side is in this batch (map-side
-            # IN-list; anti-join fallback for giant batches)
-            if not batch_id_set:
-                pass  # empty batch: no matches to screen
-            elif len(batch_id_set) <= ISIN_SCREEN_MAX:
-                pairs = pairs.filter(~F.col(match_b).isin(*batch_id_set))
-            else:
-                pairs = pairs.join(
-                    F.broadcast(
-                        batch_ids.select(F.col(id_col).alias(match_b))
-                    ),
-                    match_b,
-                    "left_anti",
-                )
+            # PHANTOM screen: drop matches whose corpus side is a
+            # current-batch id not RESIDENT — absent from the corpus, or
+            # present only via THIS trigger's own torn append (append
+            # provenance, _gate_batch; replays rerun under the same
+            # batch_id) — which must not make a replay drop within-batch
+            # near-dup peers a no-crash run keeps. Ids resident from
+            # EARLIER triggers stay matchable: a re-delivered row
+            # alongside a new near-dup of it is a REAL duplicate.
+            phantom = batch_id_set - present["r"]
+            pairs = _screen_ids(
+                spark, pairs, phantom, match_b, f"{match_b} string"
+            )
             pairs = (
                 pairs.select(match_a, match_b, "hamming")
                 .dropDuplicates([match_a, match_b])
@@ -1110,7 +1170,6 @@ def _streaming_fingerprint_gate(
             )
             try:
                 pairs.count()  # materialize once before the fan-out
-                present = _present_sets(spark, batch_ids)
                 dup_ids = pairs.select(
                     F.col(match_a).alias(id_col)
                 ).distinct()
@@ -1121,7 +1180,11 @@ def _streaming_fingerprint_gate(
                     lambda: _co(pairs).write.mode("append").parquet(
                         matches_path
                     ),
-                    lambda: _co(_screen(spark, accepted, present["c"]))
+                    lambda: _co(
+                        _screen(spark, accepted, present["c"]).withColumn(
+                            "_gate_batch", F.lit(batch_id)
+                        )
+                    )
                     .write.mode("append")
                     .parquet(corpus_path),
                     lambda: _co(

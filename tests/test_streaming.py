@@ -475,8 +475,12 @@ def test_streaming_dedup_gate_heals_torn_index_append(spark, tmp_path):
     accepted = batch.join(dups, "doc_id", "left_anti")
 
     corpus_path = str(tmp_path / "corpus")
-    # torn state: corpus already holds the accepted batch docs...
-    rest.unionByName(accepted).write.parquet(corpus_path)
+    # torn state: corpus already holds the accepted batch docs (written
+    # by the crashed trigger, so they carry ITS _gate_batch stamp — the
+    # replay reruns as the same batch id 0)...
+    rest.withColumn("_gate_batch", F.lit(None).cast("long")).unionByName(
+        accepted.withColumn("_gate_batch", F.lit(0))
+    ).write.parquet(corpus_path)
     # ...but the index only covers the pre-batch corpus
     canonical_toksets(rest).write.parquet(corpus_path + "_idx_tokset")
     canonical_prefixes(canonical_toksets(rest)).write.parquet(
@@ -981,9 +985,13 @@ def test_gate_replay_after_torn_append_matches_no_crash_run(spark, tmp_path):
     assert torn_half.count() > 0
     # torn_half contains within-batch near-dup twins of vectors still
     # waiting in the batch — the scenario the batch-id screen exists for
+    # the torn append came from the crashed trigger itself, so it
+    # carries that trigger's _gate_batch stamp (replay reruns as batch 0)
     torn_half.withColumn(
         "cell", _ivf_assign_udf(cents)("embedding")
-    ).write.mode("append").parquet(corpus_path)
+    ).withColumn("_gate_batch", F.lit(0)).write.mode("append").parquet(
+        corpus_path
+    )
 
     run("ck_replay")  # replay of the full batch against the torn state
     replay_corpus = {
@@ -1422,9 +1430,11 @@ def test_streaming_phash_gate_replay_after_torn_append(spark, tmp_path):
     shutil.rmtree(idx_path)
     shutil.copytree(pristine, corpus_path)
     torn = _hashed_frames(spark, [("CA", a), ("NG", _noised(f))])
-    torn.filter(F.col("dataset_serial") == "NG").write.mode("append").parquet(
-        corpus_path
-    )
+    # the torn append came from the crashed trigger itself: it carries
+    # that trigger's _gate_batch stamp (the replay reruns as batch 0)
+    torn.filter(F.col("dataset_serial") == "NG").withColumn(
+        "_gate_batch", F.lit(0)
+    ).write.mode("append").parquet(corpus_path)
     torn.select(
         "frame_id", "phash", F.explode(multimodal.phash_band_col()).alias("b")
     ).select("frame_id", "phash", "b.band_idx", "b.band_value").write.parquet(
@@ -1718,3 +1728,82 @@ def test_streaming_afp_gate_matches_and_replay(spark, tmp_path):
         for r in spark.read.parquet(str(tmp_path / "amatches")).collect()
     }
     assert got2 == got
+
+
+def test_dedup_gate_redelivered_doc_still_blocks_its_near_dups(spark, tmp_path):
+    """The phantom screen must NOT suppress real duplicate detection: a
+    batch that re-delivers a corpus-resident doc I together with a NEW
+    near-dup J of it must still flag and drop J (corpus side I is in the
+    batch AND in the pre-trigger corpus — matchable), while I's own
+    self-match stays bookkeeping."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    near = base.replace("kappa", "lambda")  # jaccard 9/11 >= 0.8
+    mk = lambda rows: spark.createDataFrame(rows, jobs.DOCS_RAW_SCHEMA)
+
+    corpus_path = str(tmp_path / "corpus")
+    mk([(1, base, "en", "src0")]).write.parquet(corpus_path)
+
+    batch_path = str(tmp_path / "incoming")
+    mk(
+        [(1, base, "en", "src0"), (20, near, "en", "src0")]
+    ).coalesce(1).write.parquet(batch_path)
+
+    stream = spark.readStream.schema(jobs.DOCS_RAW_SCHEMA).parquet(batch_path)
+    q = jobs.streaming_dedup_gate(
+        stream, corpus_path, str(tmp_path / "matches"), str(tmp_path / "ck")
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["new_doc"], r["corpus_doc"])
+        for r in spark.read.parquet(str(tmp_path / "matches")).collect()
+    }
+    assert got == {(20, 1)}  # the re-upload IS flagged against resident 1
+    ids = {r["doc_id"] for r in spark.read.parquet(corpus_path).collect()}
+    assert ids == {1}  # J dropped, I not duplicated
+
+
+def test_afp_gate_redelivered_clip_still_blocks_its_near_dups(spark, tmp_path):
+    """Engine-level twin of the text-gate re-delivery test: corpus clip C
+    re-delivered alongside a new gain-adjusted near-dup N — N must be
+    flagged against C and dropped, not silently accepted."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from imagingdb_spark import multimodal as M
+
+    c = _mk_clip(51)
+    corpus_path = str(tmp_path / "acorpus")
+    corpus = spark.createDataFrame(_clip_rows([("C", c)]), M.CLIP_SCHEMA)
+    M.afp_clips(corpus).join(F.broadcast(corpus), "clip_id").select(
+        "clip_id", "sample_rate", "payload", "afp"
+    ).write.parquet(corpus_path)
+
+    rng = np.random.default_rng(77)
+    near = 1.25 * c + 0.004 * rng.standard_normal(len(c))
+    batch_path = str(tmp_path / "ain")
+    spark.createDataFrame(
+        _clip_rows([("C", c), ("N", near)]), M.CLIP_SCHEMA
+    ).coalesce(1).write.parquet(batch_path)
+
+    q = jobs.streaming_afp_gate(
+        jobs.read_clips_stream(spark, batch_path),
+        corpus_path,
+        str(tmp_path / "amatches"),
+        str(tmp_path / "ck"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["new_clip"], r["corpus_clip"])
+        for r in spark.read.parquet(str(tmp_path / "amatches")).collect()
+    }
+    assert got == {("N", "C")}
+    ids = {
+        r["clip_id"]
+        for r in spark.read.parquet(corpus_path).select("clip_id").collect()
+    }
+    assert ids == {"C"}
