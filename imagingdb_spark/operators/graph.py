@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # imported for its registration side effect: _cluster_oracle() embeds the
 # jaccard oracle SQL, so dedup must be registered before this module loads
@@ -173,6 +174,82 @@ def x_dedup_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     clusters = x_dedup_cluster(spark, sf_dir)
     return compact(d, clusters).select("doc_id", "lang", "source")
+
+
+def retain_canonical(
+    docs: DataFrame, clusters: DataFrame, length_col: str = "n_chars"
+) -> DataFrame:
+    """Quality-aware canonical retention: within every dup cluster, keep
+    the LONGEST member (ties broken by min doc_id) and emit the full
+    provenance mapping — (doc_id, cluster_id, canonical_id, kept) for
+    every cluster member, so a downstream join can both drop losers AND
+    attribute each dropped doc to the copy that survives (the record
+    dataset cards and takedown audits need; min-id `compact` above keeps
+    an arbitrary member and keeps no mapping).
+
+    Longest-wins is the standard near-dup policy when members differ
+    (truncated mirrors, pagination fragments): the longest copy is the
+    information superset. The rank key (length desc, doc_id asc) is
+    all-integer, so cross-engine ordering is exact — no float ties.
+
+    Scale shape: one doc_id-keyed join (clusters are pair-participant-
+    sized, far smaller than the corpus) and ONE window partitioned by
+    cluster_id — per-partition state is bounded by cluster size, and the
+    canonical is read off the same window (first() over the ascending-
+    rank frame) instead of a rank-1 self-join, so the whole selection
+    costs a single cluster_id shuffle after clustering."""
+    w = (
+        Window.partitionBy("cluster_id")
+        .orderBy(F.desc(length_col), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = clusters.join(docs.select("doc_id", length_col), "doc_id")
+    canonical = F.first("doc_id").over(w)
+    return m.select(
+        "doc_id",
+        "cluster_id",
+        canonical.alias("canonical_id"),
+        (F.col("doc_id") == canonical).alias("kept"),
+    )
+
+
+@query(
+    "x_dedup_retain",
+    oracle=f"""
+    WITH clusters AS (
+      {_cluster_oracle()}
+    ), m AS (
+      SELECT c.doc_id, c.cluster_id, d.n_chars
+      FROM clusters c JOIN documents d USING (doc_id)
+    ), r AS (
+      SELECT doc_id, cluster_id,
+             row_number() OVER (PARTITION BY cluster_id
+                                ORDER BY n_chars DESC, doc_id) AS rn
+      FROM m
+    ), k AS (
+      SELECT cluster_id, doc_id AS canonical_id FROM r WHERE rn = 1
+    )
+    SELECT r.doc_id, r.cluster_id, k.canonical_id,
+           r.doc_id = k.canonical_id AS kept
+    FROM r JOIN k USING (cluster_id)
+    """,
+)
+def x_dedup_retain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12d: canonical-document retention over the Jaccard near-dup
+    clusters — for every cluster member, which doc survives (longest,
+    then min doc_id) and which canonical doc each loser maps to. The
+    provenance-mapping complement of x_dedup_compact: compact answers
+    "what remains", retain answers "what replaced what". Reference
+    parity: the reference keeps a provenance row for every ingested
+    frame even when content collides
+    (/root/reference/imaging_db/database/db_operations.py:66-96);
+    retention mapping is that bookkeeping generalized to near-dup
+    clusters."""
+    from imagingdb_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    clusters = x_dedup_cluster(spark, sf_dir)
+    return retain_canonical(d, clusters)
 
 
 PR_DAMPING = 0.85

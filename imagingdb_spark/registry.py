@@ -122,6 +122,10 @@ PRIORITY: list[str] = [
     #                     (rows-only + exact planted-cut recovery tests);
     #                     displaces x_mad_outlier — A keeps a_sum_avg,
     #                     x_funnel, x_retention, x_histogram in-window
+    "x_dedup_retain",   # D12d: quality-aware canonical retention with a
+    #                     loser→canonical provenance mapping (oracle-exact
+    #                     window twin); displaces o_natural_sort — O keeps
+    #                     o_topk in-window
     # --- double-verification: the 11 queries whose only green row is r5 ---
     "x_inverted_index",   # D18 sibling (single green row, r5)
     "x_token_ids",      # D4 sibling (single green row, r5)
@@ -156,7 +160,6 @@ PRIORITY: list[str] = [
     "x_ann_ivf",        # D3 rows-only (single clean run, r3)
     "x_pack_sequences", # D15 rows-only (single clean run, r3)
     # --- double-verification: r2/r1 singles + P/F family holders ---
-    "o_natural_sort",   # O4 (single green row, r2)
     "x_quality_filter", # D10 (single green row, r2)
     "j_outer_count",    # J+ (single green row, r1; J-family holder)
     "a_sum_avg",        # A+ (single green row, r1; A-family holder)
@@ -165,6 +168,8 @@ PRIORITY: list[str] = [
     #     unit tests intact. Ordered roughly by record freshness. ---
     "f_string_parse",   # F1 (pass-r1 + pass-r3) — displaced by the new
     #                     x_phash_dedup; double greens cover the F family
+    "o_natural_sort",   # O4 (single green r2) — displaced by the new
+    #                     x_dedup_retain; o_topk holds for O
     "j_range",          # J+ (single green r1) — displaced by the four new
     #                     round-6 queries; j_outer_count holds for J
     "a_approx_sketch",  # sketches rows-only (clean r3) — displaced;

@@ -300,6 +300,43 @@ class TestConnectedComponents:
             connected_components(pairs, max_iter=1)
         spark.catalog.clearCache()
 
+    def test_retain_canonical_longest_wins(self, spark):
+        from imagingdb_spark.operators.graph import retain_canonical
+
+        clusters = spark.createDataFrame(
+            # one 3-cluster, one 2-cluster with a length tie
+            [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+            "doc_id long, cluster_id long",
+        )
+        docs = spark.createDataFrame(
+            [(1, 50), (2, 90), (3, 90), (10, 7), (11, 7)],
+            "doc_id long, n_chars long",
+        )
+        rows = {r["doc_id"]: r for r in retain_canonical(docs, clusters).collect()}
+        spark.catalog.clearCache()
+        # cluster 1: docs 2 and 3 tie at 90 chars -> min doc_id 2 wins
+        assert [rows[i]["canonical_id"] for i in (1, 2, 3)] == [2, 2, 2]
+        assert [rows[i]["kept"] for i in (1, 2, 3)] == [False, True, False]
+        # cluster 10: tie at 7 chars -> min doc_id 10 wins
+        assert [rows[i]["canonical_id"] for i in (10, 11)] == [10, 10]
+        assert [rows[i]["kept"] for i in (10, 11)] == [True, False]
+
+    def test_retain_invariants_on_corpus(self, spark):
+        from imagingdb_spark.operators.graph import x_dedup_retain
+
+        rows = x_dedup_retain(spark, "/root/testdata/sf0.001").collect()
+        spark.catalog.clearCache()
+        assert rows, "sf0.001 has planted near-dup clusters"
+        by_cluster: dict[int, list] = {}
+        for r in rows:
+            by_cluster.setdefault(r["cluster_id"], []).append(r)
+        for cid, members in by_cluster.items():
+            kept = [r for r in members if r["kept"]]
+            assert len(kept) == 1, f"cluster {cid}: exactly one keeper"
+            canon = kept[0]["doc_id"]
+            assert all(r["canonical_id"] == canon for r in members)
+            assert all(r["kept"] == (r["doc_id"] == canon) for r in members)
+
     def test_shard_shuffle_dense_and_deterministic(self, spark):
         from tests.conftest import SF_DIR
         from imagingdb_spark.operators.sampling import x_shard_shuffle

@@ -63,6 +63,7 @@ ROTATED_IN_R6 = [
     "x_ann_pq",
     "x_dsir_resample",
     "x_scene_changes",
+    "x_dedup_retain",
 ]
 
 
@@ -84,7 +85,9 @@ def test_category_coverage_inside_driver_window():
         "x_bm25", "x_funnel", "x_retention", "x_histogram",
         "x_rolling_zscore", "x_semdedup", "x_retrieval_metrics",
         "o_topk", "w_dense_rank", "st_join", "x_tfidf", "x_merge_upsert",
-        "x_ann_ivf", "o_natural_sort",
+        "x_ann_ivf",
+        # o_natural_sort (O4) displaced to 51+ by x_dedup_retain; the O
+        # family keeps o_topk in-window
         # x_gapfill (T1) displaced to 51+ by x_dsir_resample; the T family
         # keeps x_interp_linear in-window
         "j_outer_count",     # J-family holder (j_range displaced to 51+
