@@ -21,9 +21,10 @@ Two operations matter at scale:
 
 Both write to a temp dir and swap via rename, mirroring the sink's
 atomic-publish pattern (sinks.write_blobs). The swap is atomic per rename
-but not transactional across concurrent writers — a real deployment layers
-a table format (Delta/Iceberg) on top for that; these utilities are the
-engine-level mechanics underneath.
+but not transactional across concurrent writers — snapshots.py is that
+transactional layer (manifest commit log, Delta/Iceberg-style); these
+utilities are the engine-level mechanics underneath it, for tables that
+opt out of the manifest log.
 """
 
 from __future__ import annotations
@@ -75,7 +76,8 @@ def compact_parquet(
     exactly between the two renames still leaves the table path briefly
     absent, but the data now always survives under ``<path>.old.*`` —
     cross-directory rename pairs can't be made atomic on POSIX without a
-    table format (Delta/Iceberg) on top, as the module docstring notes."""
+    table format on top; snapshots.snapshot_compact is that upgrade
+    (manifest-committed rewrite that also detects interleaved appends)."""
     n_before, total = table_file_stats(spark, path)
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = spark.read.parquet(path)

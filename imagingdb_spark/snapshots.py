@@ -1,0 +1,337 @@
+"""Manifest-based snapshot table format — the transactional layer that
+layout.py's docstring defers to "a table format (Delta/Iceberg) on top".
+This is that layer, minimally: an immutable commit log of JSON manifests
+over plain parquet data files, giving the engine what rename-swap alone
+cannot (layout.compact_parquet's documented gap):
+
+- **Atomic multi-file commits.** A writer lands any number of data files
+  under ``data/<commit-uuid>/`` — invisible to every reader until ONE
+  manifest file appears. Readers therefore never see a torn write, no
+  matter how many files or tasks the write involved.
+- **Snapshot-isolated reads + time travel.** A reader resolves the latest
+  manifest once and reads exactly that file set; concurrent commits
+  change the NEXT reader's view, never an in-flight one. Any retained
+  version stays readable (``snapshot_read(..., version=N)``).
+- **Optimistic concurrency.** The commit point is a hard link of the
+  fully-written manifest to ``v<NNNNNNNN>.json`` — ``os.link`` is atomic
+  and fails with EEXIST when the slot is taken, which is exactly
+  put-if-absent (object stores expose the same primitive as
+  If-None-Match / precondition puts; this module keeps every commit
+  behind the single ``_publish`` seam so that swap is one function).
+  Losing appends REBASE (appends commute: relink the same data files
+  onto the newer parent — no data rewrite); losing overwrites and
+  compactions raise ``SnapshotConflict`` because their result depends on
+  the parent they read.
+- **Crash safety by construction.** Every mutation is (1) write data
+  files, (2) write manifest to a dot-temp, (3) link. A crash anywhere
+  leaves either the old table exactly, or the new version exactly —
+  plus possibly unreferenced debris that ``snapshot_vacuum`` removes by
+  set-difference against every retained manifest (the reconciliation
+  idea of layout.find_orphan_blobs turned into a safe delete, because
+  the manifests are the complete reference set).
+
+Scale notes (100 TB): a manifest lists relative file paths + sizes —
+~800k entries at 128 MB files, a few tens of MB of JSON; Iceberg shards
+this into manifest trees, this module keeps one flat list per version
+and documents the seam. Reads hand Spark the exact file list, so
+planning never pays a recursive directory listing, and compaction
+(``snapshot_compact``) is the transactional upgrade of
+layout.compact_parquet: a concurrent append can no longer be silently
+dropped — the compact commit detects the new parent and retries against
+it.
+
+Reference parity: the reference relies on Postgres transactions for
+dataset-registration atomicity (/root/reference/imaging_db/database/
+db_operations.py); at Spark scale the table data itself needs the same
+all-or-nothing visibility, which is this module.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+MANIFEST_DIR = "_manifests"
+DATA_DIR = "data"
+_FMT = "v{:08d}.json"
+
+
+class SnapshotConflict(RuntimeError):
+    """A concurrent commit took the version this writer targeted and the
+    operation cannot be rebased (overwrite/compact read a parent that is
+    no longer the tip)."""
+
+
+def _mdir(table_dir: str) -> str:
+    return os.path.join(table_dir, MANIFEST_DIR)
+
+
+def _versions(table_dir: str) -> list[int]:
+    d = _mdir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.startswith("v") and n.endswith(".json") and not n.startswith("."):
+            try:
+                out.append(int(n[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(os.path.join(_mdir(table_dir), _FMT.format(version))) as f:
+        return json.load(f)
+
+
+def _publish(table_dir: str, version: int, manifest: dict) -> None:
+    """Atomic put-if-absent of one manifest version: write the full JSON
+    to a dot-temp in the same directory, hard-link it to the version
+    slot (atomic; EEXIST = lost race), then drop the temp. Readers can
+    never observe a partially-written manifest because the link only
+    exists after the temp is complete."""
+    d = _mdir(table_dir)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, os.path.join(d, _FMT.format(version)))
+    except FileExistsError:
+        raise SnapshotConflict(
+            f"version {version} of {table_dir} was committed concurrently"
+        )
+    finally:
+        os.unlink(tmp)
+
+
+def _write_data_files(df: DataFrame, table_dir: str) -> tuple[list[dict], int]:
+    """Land df's rows as parquet under data/<commit-uuid>/ (a fresh dir per
+    commit — task files can never collide across writers) and return
+    ([{path, bytes}], rows). Rows are counted from the written files'
+    footers (metadata-only), so the manifest's row count is the truth of
+    what landed, not of a recomputed plan."""
+    commit_id = uuid.uuid4().hex
+    rel = os.path.join(DATA_DIR, commit_id)
+    out = os.path.join(table_dir, rel)
+    df.write.mode("overwrite").parquet(out)
+    files = [
+        {
+            "path": os.path.join(rel, n),
+            "bytes": os.path.getsize(os.path.join(out, n)),
+        }
+        for n in sorted(os.listdir(out))
+        if n.endswith(".parquet") and not n.startswith((".", "_"))
+    ]
+    rows = (
+        df.sparkSession.read.parquet(out).count() if files else 0
+    )
+    return files, rows
+
+
+def snapshot_commit(
+    spark: SparkSession,
+    table_dir: str,
+    df: DataFrame,
+    mode: str = "append",
+    max_retries: int = 5,
+) -> int:
+    """Commit df to the snapshot table as one atomic version; returns the
+    committed version number. ``append`` adds to the live set and rebases
+    automatically on conflict (data files are written once, only the
+    manifest link retries); ``overwrite`` replaces the live set and raises
+    SnapshotConflict if any commit lands between read and publish."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"mode must be append|overwrite, got {mode!r}")
+    os.makedirs(table_dir, exist_ok=True)
+    new_files, new_rows = _write_data_files(df, table_dir)
+    schema_json = df.schema.json()
+    for _ in range(max_retries):
+        vs = _versions(table_dir)
+        parent = vs[-1] if vs else 0
+        if mode == "append" and parent:
+            base = _read_manifest(table_dir, parent)
+            if base["schema"] != schema_json:
+                raise ValueError(
+                    f"append schema differs from {table_dir} tip v{parent}; "
+                    "schema evolution goes through migrations.py, not append"
+                )
+            live = base["files"] + new_files
+            rows = base["rows"] + new_rows
+        else:
+            live, rows = new_files, new_rows
+        manifest = {
+            "version": parent + 1,
+            "parent": parent,
+            "mode": mode,
+            "files": live,
+            "rows": rows,
+            "schema": schema_json,
+        }
+        try:
+            _publish(table_dir, parent + 1, manifest)
+            return parent + 1
+        except SnapshotConflict:
+            if mode == "overwrite":
+                raise
+            continue  # append rebase: re-read tip, relink same data files
+    raise SnapshotConflict(
+        f"append to {table_dir} lost {max_retries} straight races"
+    )
+
+
+def snapshot_read(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Snapshot-isolated read: resolve ONE manifest (latest, or the pinned
+    ``version`` for time travel) and read exactly its file list. An empty
+    live set still returns a typed empty frame from the stored schema."""
+    vs = _versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"{table_dir} has no version {v}")
+    m = _read_manifest(table_dir, v)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    if not m["files"]:
+        return spark.createDataFrame([], schema)
+    paths = [os.path.join(table_dir, f["path"]) for f in m["files"]]
+    return spark.read.schema(schema).parquet(*paths)
+
+
+def snapshot_versions(table_dir: str) -> list[dict]:
+    """Commit log, oldest first: (version, parent, mode, n_files, bytes,
+    rows) per retained manifest — the audit surface for time travel."""
+    out = []
+    for v in _versions(table_dir):
+        m = _read_manifest(table_dir, v)
+        out.append(
+            {
+                "version": m["version"],
+                "parent": m["parent"],
+                "mode": m["mode"],
+                "n_files": len(m["files"]),
+                "bytes": sum(f["bytes"] for f in m["files"]),
+                "rows": m["rows"],
+            }
+        )
+    return out
+
+
+def snapshot_expire(table_dir: str, keep_last: int = 1) -> list[int]:
+    """Drop all but the newest ``keep_last`` manifests (their data files
+    become vacuum-eligible unless newer versions still reference them).
+    Returns the expired version numbers. Expiring is what turns an
+    overwritten table's old files into deletable debris — until then
+    vacuum keeps them because time travel still needs them."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1 (the tip must survive)")
+    vs = _versions(table_dir)
+    drop = vs[:-keep_last]
+    for v in drop:
+        os.unlink(os.path.join(_mdir(table_dir), _FMT.format(v)))
+    return drop
+
+
+def snapshot_vacuum(spark: SparkSession, table_dir: str) -> list[str]:
+    """Delete every file under data/ that NO retained manifest references
+    (crash debris from uncommitted writes, overwritten files past their
+    last retained version) plus stale manifest dot-temps. Returns the
+    deleted relative paths. Safe by construction: the retained manifests
+    are the complete reference set, and a concurrent in-flight commit's
+    files only become referenced at its publish — so vacuum must only
+    run when no write is in flight (the same contract as Delta VACUUM's
+    retention window, stated instead of time-based because this module
+    never consults the clock)."""
+    live = {
+        f["path"]
+        for v in _versions(table_dir)
+        for f in _read_manifest(table_dir, v)["files"]
+    }
+    deleted = []
+    droot = os.path.join(table_dir, DATA_DIR)
+    if os.path.isdir(droot):
+        for commit_id in sorted(os.listdir(droot)):
+            cdir = os.path.join(droot, commit_id)
+            if not os.path.isdir(cdir):
+                continue
+            # only DATA files are vacuum candidates — Spark's _SUCCESS
+            # markers and .crc sidecars are bookkeeping, never manifest-
+            # referenced, and must not make a clean table look dirty
+            data = [
+                n for n in sorted(os.listdir(cdir))
+                if n.endswith(".parquet") and not n.startswith((".", "_"))
+            ]
+            for n in data:
+                rel = os.path.join(DATA_DIR, commit_id, n)
+                if rel not in live:
+                    os.unlink(os.path.join(cdir, n))
+                    crc = os.path.join(cdir, f".{n}.crc")
+                    if os.path.exists(crc):
+                        os.unlink(crc)
+                    deleted.append(rel)
+            # commit dir holds no data files anymore -> only bookkeeping
+            # remains; drop the whole directory
+            if not any(
+                n.endswith(".parquet") and not n.startswith((".", "_"))
+                for n in os.listdir(cdir)
+            ):
+                shutil.rmtree(cdir)
+    mdir = _mdir(table_dir)
+    if os.path.isdir(mdir):
+        for n in sorted(os.listdir(mdir)):
+            if n.startswith(".tmp."):
+                os.unlink(os.path.join(mdir, n))
+                deleted.append(os.path.join(MANIFEST_DIR, n))
+    return deleted
+
+
+def snapshot_compact(
+    spark: SparkSession,
+    table_dir: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Transactional small-file compaction: read the tip snapshot, rewrite
+    it into ~target-sized files, and commit the rewrite AGAINST THAT TIP —
+    if any commit (e.g. a streaming append) lands in between, the publish
+    loses the version race and raises SnapshotConflict instead of silently
+    discarding the newcomer's rows, which is precisely the hazard
+    layout.compact_parquet documents it cannot close with renames. The
+    caller retries; rewritten-but-unpublished files are vacuum debris."""
+    import math
+
+    vs = _versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+    tip = vs[-1]
+    m = _read_manifest(table_dir, tip)
+    if not m["files"]:
+        return tip  # nothing to compact
+    total = sum(f["bytes"] for f in m["files"])
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = snapshot_read(spark, table_dir, version=tip).repartition(n_out)
+    new_files, new_rows = _write_data_files(df, table_dir)
+    if new_rows != m["rows"]:
+        raise RuntimeError(
+            f"compaction rewrite of {table_dir} changed rows "
+            f"({m['rows']} -> {new_rows}); nothing was published"
+        )
+    manifest = {
+        "version": tip + 1,
+        "parent": tip,
+        "mode": "compact",
+        "files": new_files,
+        "rows": new_rows,
+        "schema": m["schema"],
+    }
+    _publish(table_dir, tip + 1, manifest)  # raises SnapshotConflict on race
+    return tip + 1

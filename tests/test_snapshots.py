@@ -1,0 +1,212 @@
+"""Snapshot table format: atomicity, time travel, conflict detection,
+vacuum, transactional compaction (imagingdb_spark/snapshots.py)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+from imagingdb_spark import snapshots as S
+
+
+def _rows(df):
+    return sorted((r["k"], r["v"]) for r in df.collect())
+
+
+def _mk(spark, pairs):
+    return spark.createDataFrame(pairs, "k long, v string")
+
+
+class TestCommitAndRead:
+    def test_append_overwrite_time_travel(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        v1 = S.snapshot_commit(spark, t, _mk(spark, [(1, "a"), (2, "b")]))
+        v2 = S.snapshot_commit(spark, t, _mk(spark, [(3, "c")]))
+        assert (v1, v2) == (1, 2)
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a"), (2, "b"), (3, "c")]
+        v3 = S.snapshot_commit(spark, t, _mk(spark, [(9, "z")]), mode="overwrite")
+        assert v3 == 3
+        assert _rows(S.snapshot_read(spark, t)) == [(9, "z")]
+        # time travel: every retained version stays exactly readable
+        assert _rows(S.snapshot_read(spark, t, version=1)) == [(1, "a"), (2, "b")]
+        assert _rows(S.snapshot_read(spark, t, version=2)) == [
+            (1, "a"), (2, "b"), (3, "c")]
+        log = S.snapshot_versions(t)
+        assert [m["version"] for m in log] == [1, 2, 3]
+        assert [m["mode"] for m in log] == ["append", "append", "overwrite"]
+        assert [m["rows"] for m in log] == [2, 3, 1]
+
+    def test_empty_table_keeps_schema(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        empty = spark.createDataFrame([], "k long, v string")
+        S.snapshot_commit(spark, t, empty)
+        got = S.snapshot_read(spark, t)
+        assert got.count() == 0
+        assert [f.name for f in got.schema.fields] == ["k", "v"]
+
+    def test_append_schema_mismatch_raises(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        other = spark.createDataFrame([(1.5,)], "x double")
+        with pytest.raises(ValueError, match="schema"):
+            S.snapshot_commit(spark, t, other)
+
+    def test_missing_version_raises(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        with pytest.raises(FileNotFoundError):
+            S.snapshot_read(spark, t)
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        with pytest.raises(FileNotFoundError):
+            S.snapshot_read(spark, t, version=7)
+
+
+class TestCrashSafety:
+    def test_torn_data_write_is_invisible(self, spark, tmp_path):
+        """A crash after data files land but before the manifest link:
+        readers see the old snapshot exactly; vacuum removes the debris."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        # simulate the torn write: data files only, no manifest
+        S._write_data_files(_mk(spark, [(99, "torn")]), t)
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a")]
+        deleted = S.snapshot_vacuum(spark, t)
+        assert deleted and all(p.startswith("data/") for p in deleted)
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a")]
+        # second vacuum is a no-op: nothing referenced was touched
+        assert S.snapshot_vacuum(spark, t) == []
+
+    def test_torn_manifest_temp_is_ignored_and_vacuumed(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        stale = os.path.join(t, S.MANIFEST_DIR, ".tmp.deadbeef")
+        with open(stale, "w") as f:
+            f.write('{"half-written": ')
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a")]
+        assert S.snapshot_versions(t)[-1]["version"] == 1
+        deleted = S.snapshot_vacuum(spark, t)
+        assert os.path.join(S.MANIFEST_DIR, ".tmp.deadbeef") in deleted
+        assert not os.path.exists(stale)
+
+    def test_manifest_is_complete_before_visible(self, spark, tmp_path):
+        """The published manifest is valid JSON with the full file list —
+        the link-after-fsync protocol can't expose a partial one."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(i, "x") for i in range(10)]))
+        with open(os.path.join(t, S.MANIFEST_DIR, "v00000001.json")) as f:
+            m = json.load(f)
+        assert m["rows"] == 10 and m["files"]
+        for fe in m["files"]:
+            assert os.path.getsize(os.path.join(t, fe["path"])) == fe["bytes"]
+
+
+class TestConcurrency:
+    def test_append_rebases_past_a_lost_race(self, spark, tmp_path, monkeypatch):
+        """Two appends from the same parent: the loser relinks its data
+        files onto the winner's tip — both commits' rows survive."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        real = S._publish
+        raced = {"done": False}
+
+        def racing_publish(table_dir, version, manifest):
+            if not raced["done"]:
+                raced["done"] = True
+                real(table_dir, version, {
+                    "version": version, "parent": version - 1,
+                    "mode": "append",
+                    "files": S._read_manifest(table_dir, version - 1)["files"],
+                    "rows": S._read_manifest(table_dir, version - 1)["rows"],
+                    "schema": manifest["schema"],
+                })  # an interloper takes the slot first
+            return real(table_dir, version, manifest)
+
+        monkeypatch.setattr(S, "_publish", racing_publish)
+        v = S.snapshot_commit(spark, t, _mk(spark, [(2, "b")]))
+        monkeypatch.setattr(S, "_publish", real)
+        assert v == 3  # rebased past the interloper's v2
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a"), (2, "b")]
+
+    def test_overwrite_conflict_raises(self, spark, tmp_path, monkeypatch):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        real = S._publish
+
+        def racing_publish(table_dir, version, manifest):
+            parent = S._read_manifest(table_dir, version - 1)
+            real(table_dir, version, dict(parent, version=version,
+                                          parent=version - 1))
+            return real(table_dir, version, manifest)
+
+        monkeypatch.setattr(S, "_publish", racing_publish)
+        with pytest.raises(S.SnapshotConflict):
+            S.snapshot_commit(spark, t, _mk(spark, [(9, "z")]), mode="overwrite")
+        monkeypatch.setattr(S, "_publish", real)
+        # the loser published NOTHING: its rewrite is invisible debris
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a")]
+        assert S.snapshot_vacuum(spark, t), "the lost overwrite left debris"
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a")]
+
+
+class TestMaintenance:
+    def test_expire_then_vacuum_frees_overwritten_files(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a"), (2, "b")]))
+        S.snapshot_commit(spark, t, _mk(spark, [(9, "z")]), mode="overwrite")
+        # v1 retained -> its files are protected
+        assert S.snapshot_vacuum(spark, t) == []
+        assert S.snapshot_expire(t, keep_last=1) == [1]
+        deleted = S.snapshot_vacuum(spark, t)
+        assert deleted, "v1's files are unreferenced once v1 expires"
+        assert _rows(S.snapshot_read(spark, t)) == [(9, "z")]
+        with pytest.raises(FileNotFoundError):
+            S.snapshot_read(spark, t, version=1)
+
+    def test_expire_keeps_tip(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        with pytest.raises(ValueError):
+            S.snapshot_expire(t, keep_last=0)
+        assert S.snapshot_expire(t, keep_last=3) == []
+
+    def test_compact_preserves_content_and_counts(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        for i in range(4):  # 4 commits -> >= 4 small files
+            S.snapshot_commit(spark, t, _mk(spark, [(i, f"v{i}")]))
+        before = S.snapshot_versions(t)[-1]
+        v = S.snapshot_compact(spark, t)
+        after = S.snapshot_versions(t)[-1]
+        assert v == after["version"] == before["version"] + 1
+        assert after["mode"] == "compact"
+        assert after["rows"] == before["rows"]
+        assert after["n_files"] < before["n_files"]
+        assert _rows(S.snapshot_read(spark, t)) == [
+            (i, f"v{i}") for i in range(4)]
+        # pre-compaction version still time-travels
+        assert _rows(S.snapshot_read(spark, t, version=before["version"])) == [
+            (i, f"v{i}") for i in range(4)]
+
+    def test_compact_conflicts_with_interleaved_append(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """An append landing between compaction's read and publish must NOT
+        be silently discarded — the compact publish loses the race."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        S.snapshot_commit(spark, t, _mk(spark, [(2, "b")]))
+        real = S._publish
+
+        def racing_publish(table_dir, version, manifest):
+            if manifest["mode"] == "compact":
+                monkeypatch.setattr(S, "_publish", real)
+                S.snapshot_commit(spark, t, _mk(spark, [(3, "c")]))
+            return real(table_dir, version, manifest)
+
+        monkeypatch.setattr(S, "_publish", racing_publish)
+        with pytest.raises(S.SnapshotConflict):
+            S.snapshot_compact(spark, t)
+        # the interleaved append survived; compaction debris is vacuumable
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a"), (2, "b"), (3, "c")]
+        assert S.snapshot_vacuum(spark, t)
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a"), (2, "b"), (3, "c")]
