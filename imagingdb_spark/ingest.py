@@ -5,10 +5,11 @@ The reference's transactional staging (SQLAlchemy session, single commit,
 rollback on assert — db_operations.py:14-38) has no Parquet equivalent;
 the replacement contract is IDEMPOTENT APPEND: an anti-join on the natural
 key drops rows already present, so re-running a failed ingest converges
-instead of duplicating. Weaker isolation than Postgres (concurrent writers
-can both pass the check) — documented engine limitation; table-format
-transactions (Delta/Iceberg) are the production answer when those jars are
-available.
+instead of duplicating. On a bare parquet path this is weaker isolation
+than Postgres (concurrent writers can both pass the check); for tables
+that need the Postgres-grade guarantee, snapshots.snapshot_idempotent_append
+recomputes the anti-join against the exact snapshot version it commits
+onto, so concurrent overlapping ingests converge to exactly-once by key.
 """
 
 from __future__ import annotations

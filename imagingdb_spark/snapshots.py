@@ -113,12 +113,14 @@ def _publish(table_dir: str, version: int, manifest: dict) -> None:
         os.unlink(tmp)
 
 
-def _write_data_files(df: DataFrame, table_dir: str) -> tuple[list[dict], int]:
+def _write_data_files(
+    df: DataFrame, table_dir: str
+) -> tuple[list[dict], int, str]:
     """Land df's rows as parquet under data/<commit-uuid>/ (a fresh dir per
     commit — task files can never collide across writers) and return
-    ([{path, bytes}], rows). Rows are counted from the written files'
-    footers (metadata-only), so the manifest's row count is the truth of
-    what landed, not of a recomputed plan."""
+    ([{path, bytes}], rows, commit_dir_relpath). Rows are counted from the
+    written files' footers (metadata-only), so the manifest's row count is
+    the truth of what landed, not of a recomputed plan."""
     commit_id = uuid.uuid4().hex
     rel = os.path.join(DATA_DIR, commit_id)
     out = os.path.join(table_dir, rel)
@@ -134,7 +136,7 @@ def _write_data_files(df: DataFrame, table_dir: str) -> tuple[list[dict], int]:
     rows = (
         df.sparkSession.read.parquet(out).count() if files else 0
     )
-    return files, rows
+    return files, rows, rel
 
 
 def snapshot_commit(
@@ -152,7 +154,7 @@ def snapshot_commit(
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(table_dir, exist_ok=True)
-    new_files, new_rows = _write_data_files(df, table_dir)
+    new_files, new_rows, _ = _write_data_files(df, table_dir)
     schema_json = df.schema.json()
     for _ in range(max_retries):
         vs = _versions(table_dir)
@@ -185,6 +187,70 @@ def snapshot_commit(
             continue  # append rebase: re-read tip, relink same data files
     raise SnapshotConflict(
         f"append to {table_dir} lost {max_retries} straight races"
+    )
+
+
+def snapshot_idempotent_append(
+    spark: SparkSession,
+    table_dir: str,
+    new_rows: DataFrame,
+    key_cols: list[str],
+    max_retries: int = 5,
+) -> int:
+    """Serializable idempotent append — the Postgres-grade guarantee
+    ingest.idempotent_append documents it cannot give with bare parquet
+    (two concurrent writers can both pass the anti-join check and double-
+    insert). Here the anti-join is recomputed against the EXACT tip the
+    commit publishes onto: if another commit wins the version race, the
+    stale delta is discarded (vacuum debris), the anti-join re-runs
+    against the new tip, and the delta is rewritten — so concurrent
+    ingests of overlapping batches converge to exactly-once by keys.
+    Returns the tip version (unchanged when the whole batch was already
+    present). The retry rewrites data files, unlike snapshot_commit's
+    append rebase, precisely because idempotence is a READ-dependent
+    claim: relinking files checked against an older tip would reintroduce
+    the double-insert."""
+    new_rows = new_rows.dropDuplicates(key_cols)
+    schema_json = new_rows.schema.json()
+    for _ in range(max_retries):
+        vs = _versions(table_dir)
+        parent = vs[-1] if vs else 0
+        if parent:
+            base = _read_manifest(table_dir, parent)
+            if base["schema"] != schema_json:
+                raise ValueError(
+                    f"append schema differs from {table_dir} tip v{parent}"
+                )
+            existing = snapshot_read(spark, table_dir, parent)
+            deduped = new_rows.join(
+                existing.select(*key_cols), key_cols, "left_anti"
+            )
+        else:
+            base = None
+            deduped = new_rows
+        os.makedirs(table_dir, exist_ok=True)
+        files, rows, rel_dir = _write_data_files(deduped, table_dir)
+        if rows == 0 and base is not None:
+            # whole batch already present: converged, nothing to publish
+            # (and the just-written empty delta dir is removed, not left
+            # as vacuum debris)
+            shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
+            return parent
+        manifest = {
+            "version": parent + 1,
+            "parent": parent,
+            "mode": "append",
+            "files": (base["files"] if base else []) + files,
+            "rows": (base["rows"] if base else 0) + rows,
+            "schema": schema_json,
+        }
+        try:
+            _publish(table_dir, parent + 1, manifest)
+            return parent + 1
+        except SnapshotConflict:
+            continue  # stale anti-join: recompute against the new tip
+    raise SnapshotConflict(
+        f"idempotent append to {table_dir} lost {max_retries} straight races"
     )
 
 
@@ -319,7 +385,7 @@ def snapshot_compact(
     total = sum(f["bytes"] for f in m["files"])
     n_out = max(1, math.ceil(total / target_file_bytes))
     df = snapshot_read(spark, table_dir, version=tip).repartition(n_out)
-    new_files, new_rows = _write_data_files(df, table_dir)
+    new_files, new_rows, _ = _write_data_files(df, table_dir)
     if new_rows != m["rows"]:
         raise RuntimeError(
             f"compaction rewrite of {table_dir} changed rows "

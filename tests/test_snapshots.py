@@ -149,6 +149,54 @@ class TestConcurrency:
         assert _rows(S.snapshot_read(spark, t)) == [(1, "a")]
 
 
+class TestIdempotentAppend:
+    def test_replay_converges(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        batch = _mk(spark, [(1, "a"), (2, "b"), (2, "b2")])
+        v1 = S.snapshot_idempotent_append(spark, t, batch, ["k"])
+        assert v1 == 1
+        # within-batch dup collapsed; full replay publishes NOTHING new
+        assert S.snapshot_read(spark, t).count() == 2
+        v2 = S.snapshot_idempotent_append(spark, t, batch, ["k"])
+        assert v2 == 1 and len(S.snapshot_versions(t)) == 1
+        # the replay's empty delta dir was removed immediately, not left
+        # as vacuum debris
+        assert S.snapshot_vacuum(spark, t) == []
+        # partial overlap: only the new key lands
+        v3 = S.snapshot_idempotent_append(
+            spark, t, _mk(spark, [(2, "dup"), (3, "c")]), ["k"])
+        assert v3 == 2
+        got = dict(_rows(S.snapshot_read(spark, t)))
+        assert sorted(got) == [1, 2, 3] and got[2] in ("b", "b2")
+
+    def test_lost_race_recomputes_the_antijoin(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A concurrent ingest inserts key 2 between this writer's
+        anti-join and publish: the retry must re-check and drop key 2 —
+        relinking the stale delta (plain append rebase) would double-insert."""
+        t = str(tmp_path / "t")
+        S.snapshot_idempotent_append(spark, t, _mk(spark, [(1, "a")]), ["k"])
+        real = S._publish
+        raced = {"done": False}
+
+        def racing_publish(table_dir, version, manifest):
+            if not raced["done"]:
+                raced["done"] = True
+                monkeypatch.setattr(S, "_publish", real)
+                S.snapshot_commit(spark, t, _mk(spark, [(2, "theirs")]))
+                monkeypatch.setattr(S, "_publish", racing_publish)
+            return real(table_dir, version, manifest)
+
+        monkeypatch.setattr(S, "_publish", racing_publish)
+        v = S.snapshot_idempotent_append(
+            spark, t, _mk(spark, [(2, "mine"), (3, "c")]), ["k"])
+        monkeypatch.setattr(S, "_publish", real)
+        assert v == 3
+        got = dict(_rows(S.snapshot_read(spark, t)))
+        assert got == {1: "a", 2: "theirs", 3: "c"}  # exactly-once by key
+
+
 class TestMaintenance:
     def test_expire_then_vacuum_frees_overwritten_files(self, spark, tmp_path):
         t = str(tmp_path / "t")
