@@ -145,22 +145,50 @@ def snapshot_commit(
     df: DataFrame,
     mode: str = "append",
     max_retries: int = 5,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Commit df to the snapshot table as one atomic version; returns the
     committed version number. ``append`` adds to the live set and rebases
     automatically on conflict (data files are written once, only the
     manifest link retries); ``overwrite`` replaces the live set and raises
-    SnapshotConflict if any commit lands between read and publish."""
+    SnapshotConflict if any commit lands between read and publish.
+
+    ``txn=(app_id, seq)`` makes the commit an exactly-once transaction
+    (the Delta-style idempotent-writer marker, public pattern): each
+    manifest carries the highest seq committed per app_id, and a commit
+    whose seq is <= the tip's recorded seq is a no-op returning the tip —
+    including when the race is discovered only AT the publish link. This
+    is what a Structured Streaming foreachBatch sink needs: a replayed
+    micro-batch (same batch_id after a crash, or a zombie executor's
+    double-fire) lands zero duplicate rows even when rows have no natural
+    key to anti-join on."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(table_dir, exist_ok=True)
-    new_files, new_rows, _ = _write_data_files(df, table_dir)
+
+    def _tip_txns() -> dict:
+        vs = _versions(table_dir)
+        return (
+            _read_manifest(table_dir, vs[-1]).get("txns", {}) if vs else {}
+        )
+
+    def _already(seen: dict) -> bool:
+        return txn is not None and txn[1] <= seen.get(txn[0], -1)
+
+    if _already(_tip_txns()):
+        return _versions(table_dir)[-1]  # replay: nothing written at all
+    new_files, new_rows, rel_dir = _write_data_files(df, table_dir)
     schema_json = df.schema.json()
     for _ in range(max_retries):
         vs = _versions(table_dir)
         parent = vs[-1] if vs else 0
-        if mode == "append" and parent:
-            base = _read_manifest(table_dir, parent)
+        base = _read_manifest(table_dir, parent) if parent else None
+        if _already(base.get("txns", {}) if base else {}):
+            # another replica committed this txn between our check and
+            # now: drop our identical delta and converge
+            shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
+            return parent
+        if mode == "append" and base:
             if base["schema"] != schema_json:
                 raise ValueError(
                     f"append schema differs from {table_dir} tip v{parent}; "
@@ -170,6 +198,9 @@ def snapshot_commit(
             rows = base["rows"] + new_rows
         else:
             live, rows = new_files, new_rows
+        txns = dict(base.get("txns", {})) if base else {}
+        if txn is not None:
+            txns[txn[0]] = txn[1]
         manifest = {
             "version": parent + 1,
             "parent": parent,
@@ -177,6 +208,7 @@ def snapshot_commit(
             "files": live,
             "rows": rows,
             "schema": schema_json,
+            "txns": txns,
         }
         try:
             _publish(table_dir, parent + 1, manifest)
@@ -188,6 +220,32 @@ def snapshot_commit(
     raise SnapshotConflict(
         f"append to {table_dir} lost {max_retries} straight races"
     )
+
+
+def snapshot_stream_sink(table_dir: str, app_id: str):
+    """foreachBatch sink writing a stream into a snapshot table with
+    exactly-once semantics: every micro-batch commits atomically with
+    ``txn=(app_id, batch_id)``, so a post-crash replay of an already-
+    committed batch is a manifest-level no-op — no rows re-land, no
+    natural key required, and readers of the table only ever see whole
+    batches. Use one app_id per (query, table) pair — Spark's batch_id
+    is monotone within a checkpointed query, which is exactly the seq
+    contract the txn marker needs.
+
+        stream.writeStream.foreachBatch(
+            snapshot_stream_sink(table, "my-query")).start()
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        snapshot_commit(
+            batch_df.sparkSession,
+            table_dir,
+            batch_df,
+            mode="append",
+            txn=(app_id, int(batch_id)),
+        )
+
+    return _sink
 
 
 def snapshot_idempotent_append(
@@ -243,6 +301,9 @@ def snapshot_idempotent_append(
             "files": (base["files"] if base else []) + files,
             "rows": (base["rows"] if base else 0) + rows,
             "schema": schema_json,
+            # txn markers survive every commit, or replay protection
+            # would silently lapse after an interleaved write
+            "txns": dict(base.get("txns", {})) if base else {},
         }
         try:
             _publish(table_dir, parent + 1, manifest)
@@ -398,6 +459,7 @@ def snapshot_compact(
         "files": new_files,
         "rows": new_rows,
         "schema": m["schema"],
+        "txns": dict(m.get("txns", {})),  # replay markers survive compaction
     }
     _publish(table_dir, tip + 1, manifest)  # raises SnapshotConflict on race
     return tip + 1

@@ -197,6 +197,89 @@ class TestIdempotentAppend:
         assert got == {1: "a", 2: "theirs", 3: "c"}  # exactly-once by key
 
 
+class TestExactlyOnceTxn:
+    def test_replayed_batch_is_a_noop(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        sink = S.snapshot_stream_sink(t, "q1")
+        sink(_mk(spark, [(1, "a")]), 0)
+        sink(_mk(spark, [(2, "b")]), 1)
+        sink(_mk(spark, [(2, "b")]), 1)  # crash-replay of batch 1
+        sink(_mk(spark, [(1, "a")]), 0)  # very late replay of batch 0
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a"), (2, "b")]
+        assert len(S.snapshot_versions(t)) == 2
+        # replays wrote nothing at all — no debris for vacuum
+        assert S.snapshot_vacuum(spark, t) == []
+
+    def test_txn_apps_are_independent(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]), txn=("q1", 0))
+        S.snapshot_commit(spark, t, _mk(spark, [(2, "b")]), txn=("q2", 0))
+        assert S.snapshot_read(spark, t).count() == 2
+
+    def test_txn_survives_compaction(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        sink = S.snapshot_stream_sink(t, "q1")
+        sink(_mk(spark, [(1, "a")]), 0)
+        sink(_mk(spark, [(2, "b")]), 1)
+        S.snapshot_compact(spark, t)
+        sink(_mk(spark, [(2, "b")]), 1)  # replay AFTER compaction
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a"), (2, "b")]
+
+    def test_structured_streaming_end_to_end(self, spark, tmp_path):
+        """Real readStream -> foreachBatch(snapshot_stream_sink): the table
+        holds the stream's rows; restarting the query over the same input
+        with a FRESH checkpoint (everything replays as batch 0) appends
+        nothing."""
+        src = str(tmp_path / "src")
+        _mk(spark, [(1, "a"), (2, "b")]).write.parquet(src)
+        t = str(tmp_path / "t")
+
+        def run(ck):
+            q = (
+                spark.readStream.schema("k long, v string").parquet(src)
+                .writeStream.foreachBatch(S.snapshot_stream_sink(t, "e2e"))
+                .option("checkpointLocation", str(tmp_path / ck))
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run("ck1")
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a"), (2, "b")]
+        run("ck2")  # full replay
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a"), (2, "b")]
+        assert len(S.snapshot_versions(t)) == 1
+
+    def test_txn_race_discovered_at_publish_converges(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A second replica of the same batch passes the early check, then
+        loses the publish race to the first replica: it must drop its delta
+        and return, not double-append."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        real = S._publish
+        raced = {"done": False}
+
+        def racing_publish(table_dir, version, manifest):
+            if not raced["done"]:
+                raced["done"] = True
+                monkeypatch.setattr(S, "_publish", real)
+                S.snapshot_commit(
+                    spark, t, _mk(spark, [(2, "b")]), txn=("q1", 7))
+                monkeypatch.setattr(S, "_publish", racing_publish)
+            return real(table_dir, version, manifest)
+
+        monkeypatch.setattr(S, "_publish", racing_publish)
+        v = S.snapshot_commit(spark, t, _mk(spark, [(2, "b")]), txn=("q1", 7))
+        monkeypatch.setattr(S, "_publish", real)
+        assert v == 2  # converged on the winner's version
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a"), (2, "b")]
+        # the loser's identical delta was removed on the spot
+        assert S.snapshot_vacuum(spark, t) == []
+
+
 class TestMaintenance:
     def test_expire_then_vacuum_frees_overwritten_files(self, spark, tmp_path):
         t = str(tmp_path / "t")
