@@ -280,6 +280,40 @@ class TestExactlyOnceTxn:
         assert S.snapshot_vacuum(spark, t) == []
 
 
+class TestPublishPrimitive:
+    def test_true_thread_race_admits_exactly_one(self, tmp_path):
+        """32 threads race the SAME version slot through the real
+        os.link publish path (no mocks): exactly one wins, and the
+        published manifest is one loser-free winner, fully intact."""
+        import threading
+
+        t = str(tmp_path / "t")
+        results: list = [None] * 32
+        barrier = threading.Barrier(32)
+
+        def contender(i):
+            barrier.wait()
+            try:
+                S._publish(t, 1, {"version": 1, "writer": i, "payload": "x" * 4096})
+                results[i] = "won"
+            except S.SnapshotConflict:
+                results[i] = "lost"
+
+        threads = [threading.Thread(target=contender, args=(i,)) for i in range(32)]
+        for th in threads:
+            th.start()
+        for th in threads:
+            th.join()
+        assert results.count("won") == 1
+        assert results.count("lost") == 31
+        m = S._read_manifest(t, 1)  # valid, complete JSON
+        assert m["payload"] == "x" * 4096
+        # every loser's dot-temp was cleaned up
+        leftovers = [n for n in os.listdir(os.path.join(t, S.MANIFEST_DIR))
+                     if n.startswith(".tmp.")]
+        assert leftovers == []
+
+
 class TestMaintenance:
     def test_expire_then_vacuum_frees_overwritten_files(self, spark, tmp_path):
         t = str(tmp_path / "t")
