@@ -51,6 +51,18 @@ def connected_components(
 ) -> DataFrame:
     """(node, cluster_id) for every node appearing in `pairs`, where
     cluster_id = min node id in the connected component."""
+    # the monotone label-sum convergence witness below needs numeric ids:
+    # a non-numeric label would cast to NULL, sum to NULL every round, and
+    # None == None would exit after round 1 with silently wrong clusters —
+    # fail loudly instead (string ids: factorize to longs first)
+    from pyspark.sql.types import NumericType
+
+    id_type = pairs.schema[src].dataType
+    if not isinstance(id_type, NumericType):
+        raise TypeError(
+            f"connected_components needs numeric node ids, got {id_type}; "
+            "dense-rank string ids to longs before clustering"
+        )
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = (

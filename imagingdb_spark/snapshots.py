@@ -139,6 +139,33 @@ def _write_data_files(
     return files, rows, rel
 
 
+def _next_manifest(
+    base: dict | None,
+    mode: str,
+    files: list[dict],
+    rows: int,
+    schema_json: str,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """The ONE place a manifest is shaped. Every commit path goes through
+    here so an added field cannot be propagated in one writer and
+    forgotten in another (txn markers nearly suffered exactly that) —
+    in particular, txns ALWAYS carry forward from the parent or replay
+    protection would silently lapse after an interleaved write."""
+    txns = dict(base.get("txns", {})) if base else {}
+    if txn is not None:
+        txns[txn[0]] = txn[1]
+    return {
+        "version": (base["version"] if base else 0) + 1,
+        "parent": base["version"] if base else 0,
+        "mode": mode,
+        "files": files,
+        "rows": rows,
+        "schema": schema_json,
+        "txns": txns,
+    }
+
+
 def snapshot_commit(
     spark: SparkSession,
     table_dir: str,
@@ -198,23 +225,20 @@ def snapshot_commit(
             rows = base["rows"] + new_rows
         else:
             live, rows = new_files, new_rows
-        txns = dict(base.get("txns", {})) if base else {}
-        if txn is not None:
-            txns[txn[0]] = txn[1]
-        manifest = {
-            "version": parent + 1,
-            "parent": parent,
-            "mode": mode,
-            "files": live,
-            "rows": rows,
-            "schema": schema_json,
-            "txns": txns,
-        }
+        manifest = _next_manifest(base, mode, live, rows, schema_json, txn)
         try:
             _publish(table_dir, parent + 1, manifest)
             return parent + 1
         except SnapshotConflict:
             if mode == "overwrite":
+                # a same-txn replica may have won the link race: that is
+                # the documented no-op, not an error — only a FOREIGN
+                # commit makes the overwrite a genuine conflict
+                if _already(_tip_txns()):
+                    shutil.rmtree(
+                        os.path.join(table_dir, rel_dir), ignore_errors=True
+                    )
+                    return _versions(table_dir)[-1]
                 raise
             continue  # append rebase: re-read tip, relink same data files
     raise SnapshotConflict(
@@ -294,17 +318,13 @@ def snapshot_idempotent_append(
             # as vacuum debris)
             shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
             return parent
-        manifest = {
-            "version": parent + 1,
-            "parent": parent,
-            "mode": "append",
-            "files": (base["files"] if base else []) + files,
-            "rows": (base["rows"] if base else 0) + rows,
-            "schema": schema_json,
-            # txn markers survive every commit, or replay protection
-            # would silently lapse after an interleaved write
-            "txns": dict(base.get("txns", {})) if base else {},
-        }
+        manifest = _next_manifest(
+            base,
+            "append",
+            (base["files"] if base else []) + files,
+            (base["rows"] if base else 0) + rows,
+            schema_json,
+        )
         try:
             _publish(table_dir, parent + 1, manifest)
             return parent + 1
@@ -320,14 +340,30 @@ def snapshot_read(
 ) -> DataFrame:
     """Snapshot-isolated read: resolve ONE manifest (latest, or the pinned
     ``version`` for time travel) and read exactly its file list. An empty
-    live set still returns a typed empty frame from the stored schema."""
-    vs = _versions(table_dir)
-    if not vs:
-        raise FileNotFoundError(f"{table_dir} has no committed snapshots")
-    v = vs[-1] if version is None else version
-    if v not in vs:
-        raise FileNotFoundError(f"{table_dir} has no version {v}")
-    m = _read_manifest(table_dir, v)
+    live set still returns a typed empty frame from the stored schema.
+
+    A LATEST read that loses the list-then-open race to a concurrent
+    commit+expire simply re-resolves (the newer tip is by definition
+    retained); a PINNED read of an expired version fails, as it must —
+    see snapshot_expire's retention contract."""
+    for _ in range(3):
+        vs = _versions(table_dir)
+        if not vs:
+            raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+        v = vs[-1] if version is None else version
+        if v not in vs:
+            raise FileNotFoundError(f"{table_dir} has no version {v}")
+        try:
+            m = _read_manifest(table_dir, v)
+            break
+        except FileNotFoundError:
+            if version is not None:
+                raise  # pinned version expired: a real error
+            continue  # latest expired between list and open: re-resolve
+    else:
+        raise FileNotFoundError(
+            f"{table_dir}: tip kept expiring during resolution"
+        )
     schema = StructType.fromJson(json.loads(m["schema"]))
     if not m["files"]:
         return spark.createDataFrame([], schema)
@@ -359,7 +395,16 @@ def snapshot_expire(table_dir: str, keep_last: int = 1) -> list[int]:
     become vacuum-eligible unless newer versions still reference them).
     Returns the expired version numbers. Expiring is what turns an
     overwritten table's old files into deletable debris — until then
-    vacuum keeps them because time travel still needs them."""
+    vacuum keeps them because time travel still needs them.
+
+    Retention contract (the reader-side twin of vacuum's no-writer
+    contract): expiring a version invalidates pinned time-travel reads
+    of it — run expire+vacuum only when no reader still holds a pinned
+    version older than the retention floor (Delta/Iceberg express the
+    same contract as a retention WINDOW; this module states it in
+    versions because it never consults the clock). Latest-readers are
+    safe: snapshot_read re-resolves if the tip expires mid-read, and the
+    version expire keeps (the tip) always has its files retained."""
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1 (the tip must survive)")
     vs = _versions(table_dir)
@@ -452,14 +497,6 @@ def snapshot_compact(
             f"compaction rewrite of {table_dir} changed rows "
             f"({m['rows']} -> {new_rows}); nothing was published"
         )
-    manifest = {
-        "version": tip + 1,
-        "parent": tip,
-        "mode": "compact",
-        "files": new_files,
-        "rows": new_rows,
-        "schema": m["schema"],
-        "txns": dict(m.get("txns", {})),  # replay markers survive compaction
-    }
+    manifest = _next_manifest(m, "compact", new_files, new_rows, m["schema"])
     _publish(table_dir, tip + 1, manifest)  # raises SnapshotConflict on race
     return tip + 1

@@ -300,6 +300,17 @@ class TestConnectedComponents:
             connected_components(pairs, max_iter=1)
         spark.catalog.clearCache()
 
+    def test_non_numeric_ids_fail_loudly(self, spark):
+        """String ids would NULL the decimal convergence sum and exit after
+        one round with silently wrong clusters — must raise instead."""
+        from imagingdb_spark.operators.graph import connected_components
+
+        pairs = spark.createDataFrame(
+            [("a", "b"), ("b", "c")], "doc_a string, doc_b string"
+        )
+        with pytest.raises(TypeError, match="numeric node ids"):
+            connected_components(pairs)
+
     def test_retain_canonical_longest_wins(self, spark):
         from imagingdb_spark.operators.graph import retain_canonical
 

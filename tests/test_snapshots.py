@@ -251,6 +251,34 @@ class TestExactlyOnceTxn:
         assert _rows(S.snapshot_read(spark, t)) == [(1, "a"), (2, "b")]
         assert len(S.snapshot_versions(t)) == 1
 
+    def test_overwrite_same_txn_race_is_a_noop_not_a_conflict(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Two replicas of the SAME overwrite txn (complete-mode sink
+        double-fire): the loser of the link race must converge like any
+        replay, not surface SnapshotConflict for a committed transaction."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        real = S._publish
+        raced = {"done": False}
+
+        def racing_publish(table_dir, version, manifest):
+            if not raced["done"]:
+                raced["done"] = True
+                monkeypatch.setattr(S, "_publish", real)
+                S.snapshot_commit(spark, t, _mk(spark, [(9, "z")]),
+                                  mode="overwrite", txn=("q1", 7))
+                monkeypatch.setattr(S, "_publish", racing_publish)
+            return real(table_dir, version, manifest)
+
+        monkeypatch.setattr(S, "_publish", racing_publish)
+        v = S.snapshot_commit(spark, t, _mk(spark, [(9, "z")]),
+                              mode="overwrite", txn=("q1", 7))
+        monkeypatch.setattr(S, "_publish", real)
+        assert v == 2
+        assert _rows(S.snapshot_read(spark, t)) == [(9, "z")]
+        assert S.snapshot_vacuum(spark, t) == []  # loser's delta removed
+
     def test_txn_race_discovered_at_publish_converges(
         self, spark, tmp_path, monkeypatch
     ):
