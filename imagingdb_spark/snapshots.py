@@ -471,6 +471,7 @@ def snapshot_compact(
     spark: SparkSession,
     table_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
+    cluster_cols: list[str] | None = None,
 ) -> int:
     """Transactional small-file compaction: read the tip snapshot, rewrite
     it into ~target-sized files, and commit the rewrite AGAINST THAT TIP —
@@ -478,7 +479,16 @@ def snapshot_compact(
     loses the version race and raises SnapshotConflict instead of silently
     discarding the newcomer's rows, which is precisely the hazard
     layout.compact_parquet documents it cannot close with renames. The
-    caller retries; rewritten-but-unpublished files are vacuum debris."""
+    caller retries; rewritten-but-unpublished files are vacuum debris.
+
+    ``cluster_cols`` turns the rewrite into the OPTIMIZE-ZORDER analog:
+    one key clusters via range-repartition + in-partition sort (disjoint
+    per-file key slices — footer min/max prunes point/range predicates),
+    two+ keys via the Morton z-value (layout.zorder_col), all under the
+    same transactional commit. Streaming appends land time-ordered; the
+    periodic clustered compact is what restores predicate pruning on the
+    QUERY key — at 100 TB this is the difference between a point lookup
+    touching one file or every file the stream ever wrote."""
     import math
 
     vs = _versions(table_dir)
@@ -490,7 +500,22 @@ def snapshot_compact(
         return tip  # nothing to compact
     total = sum(f["bytes"] for f in m["files"])
     n_out = max(1, math.ceil(total / target_file_bytes))
-    df = snapshot_read(spark, table_dir, version=tip).repartition(n_out)
+    df = snapshot_read(spark, table_dir, version=tip)
+    if not cluster_cols:
+        df = df.repartition(n_out)
+    elif len(cluster_cols) == 1:
+        df = df.repartitionByRange(n_out, *cluster_cols).sortWithinPartitions(
+            *cluster_cols
+        )
+    else:
+        from imagingdb_spark.layout import zorder_col
+
+        df = (
+            df.withColumn("__z", zorder_col(df, cluster_cols))
+            .repartitionByRange(n_out, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__z")
+        )
     new_files, new_rows, _ = _write_data_files(df, table_dir)
     if new_rows != m["rows"]:
         raise RuntimeError(

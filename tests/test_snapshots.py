@@ -380,6 +380,36 @@ class TestMaintenance:
         assert _rows(S.snapshot_read(spark, t, version=before["version"])) == [
             (i, f"v{i}") for i in range(4)]
 
+    def test_clustered_compact_gives_disjoint_key_slices(self, spark, tmp_path):
+        """cluster_cols compaction: content preserved AND each output file
+        owns a disjoint key range (read straight from the parquet footers
+        via per-file min/max), so predicate pruning works post-compact."""
+        import pyarrow.parquet as pq
+
+        t = str(tmp_path / "t")
+        # interleaved appends: every delta spans the whole key space
+        for i in range(4):
+            S.snapshot_commit(
+                spark, t,
+                spark.createDataFrame(
+                    [(k, f"r{i}") for k in range(i, 4000, 4)],
+                    "k long, v string"),
+            )
+        v = S.snapshot_compact(spark, t, target_file_bytes=16 * 1024,
+                               cluster_cols=["k"])
+        m = S.snapshot_versions(t)[-1]
+        assert m["version"] == v and m["rows"] == 4000
+        assert S.snapshot_read(spark, t).count() == 4000
+        spans = []
+        for fe in S._read_manifest(t, v)["files"]:
+            md = pq.read_metadata(os.path.join(t, fe["path"]))
+            ks = [md.row_group(g).column(0).statistics for g in range(md.num_row_groups)]
+            spans.append((min(s.min for s in ks), max(s.max for s in ks)))
+        assert len(spans) > 1, "compaction produced multiple files to check"
+        spans.sort()
+        for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+            assert hi1 < lo2, "files own disjoint key slices"
+
     def test_compact_conflicts_with_interleaved_append(
         self, spark, tmp_path, monkeypatch
     ):
