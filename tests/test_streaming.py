@@ -121,6 +121,37 @@ def test_streaming_catalog_append_idempotent(spark, events_stream, tmp_path):
     assert spark.read.parquet(target).count() == n_events
 
 
+def test_streaming_catalog_append_snapshot(spark, events_stream, tmp_path):
+    """The snapshot-backed catalog sink: exactly-once by key across a full
+    fresh-checkpoint replay, every batch an atomic manifest commit."""
+    from imagingdb_spark import snapshots as S
+    from imagingdb_spark.streaming import jobs
+
+    target = str(tmp_path / "events_snap")
+    q = jobs.streaming_catalog_append_snapshot(
+        events_stream, target, ["event_id"], str(tmp_path / "ck1")
+    )
+    q.processAllAvailable()
+    q.stop()
+    n_events = spark.read.parquet(SF_DIR + "/events.parquet").count()
+    got = S.snapshot_read(spark, target)
+    assert got.count() == n_events
+    assert got.select("event_id").distinct().count() == n_events
+    versions_after_first = len(S.snapshot_versions(target))
+
+    # fresh checkpoint: every batch replays; the serializable anti-join
+    # must land zero rows and publish zero new versions
+    q2 = jobs.streaming_catalog_append_snapshot(
+        events_stream, target, ["event_id"], str(tmp_path / "ck2")
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert S.snapshot_read(spark, target).count() == n_events
+    assert len(S.snapshot_versions(target)) == versions_after_first
+    # replayed batches' empty deltas were cleaned eagerly
+    assert S.snapshot_vacuum(spark, target) == []
+
+
 def test_stream_stream_join_matches_batch(spark, events_stream):
     """Stream-stream attribution join must produce exactly the batch twin's
     pairs (the unified-API guarantee extended to two-sided state)."""
