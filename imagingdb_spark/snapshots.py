@@ -67,6 +67,25 @@ class SnapshotConflict(RuntimeError):
     no longer the tip)."""
 
 
+def _merged_schema(base_json: str, new_json: str) -> str | None:
+    """Additive schema merge (the Delta ``mergeSchema`` rule, public):
+    every field the two schemas SHARE must have an identical type; the
+    merged schema is the base's fields followed by the new fields the
+    base lacks, all original types preserved. Returns the merged schema
+    JSON, or None when the schemas conflict on a shared field (type
+    change / drop are migrations.py territory, never an append).
+    New-in-merge fields read as NULL from pre-evolution files — Spark's
+    by-name parquet resolution under an explicit read schema."""
+    base = StructType.fromJson(json.loads(base_json))
+    new = StructType.fromJson(json.loads(new_json))
+    by_name = {f.name: f for f in base.fields}
+    for f in new.fields:
+        if f.name in by_name and by_name[f.name].dataType != f.dataType:
+            return None
+    merged = list(base.fields) + [f for f in new.fields if f.name not in by_name]
+    return StructType(merged).json()
+
+
 def _mdir(table_dir: str) -> str:
     return os.path.join(table_dir, MANIFEST_DIR)
 
@@ -173,12 +192,20 @@ def snapshot_commit(
     mode: str = "append",
     max_retries: int = 5,
     txn: tuple[str, int] | None = None,
+    merge_schema: bool = False,
 ) -> int:
     """Commit df to the snapshot table as one atomic version; returns the
     committed version number. ``append`` adds to the live set and rebases
     automatically on conflict (data files are written once, only the
     manifest link retries); ``overwrite`` replaces the live set and raises
     SnapshotConflict if any commit lands between read and publish.
+
+    ``merge_schema=True`` lets an append ADD columns (the Delta
+    mergeSchema rule): shared fields must keep identical types, the
+    manifest's schema widens, pre-evolution files read the new columns
+    as NULL, and time travel to pre-evolution versions keeps the narrow
+    schema — the snapshot-native complement to migrations.py (which owns
+    type changes and drops).
 
     ``txn=(app_id, seq)`` makes the commit an exactly-once transaction
     (the Delta-style idempotent-writer marker, public pattern): each
@@ -215,17 +242,27 @@ def snapshot_commit(
             # now: drop our identical delta and converge
             shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
             return parent
+        commit_schema = schema_json
         if mode == "append" and base:
             if base["schema"] != schema_json:
-                raise ValueError(
-                    f"append schema differs from {table_dir} tip v{parent}; "
-                    "schema evolution goes through migrations.py, not append"
+                merged = (
+                    _merged_schema(base["schema"], schema_json)
+                    if merge_schema
+                    else None
                 )
+                if merged is None:
+                    raise ValueError(
+                        f"append schema differs from {table_dir} tip "
+                        f"v{parent}; additive widening needs "
+                        "merge_schema=True, type changes/drops go through "
+                        "migrations.py"
+                    )
+                commit_schema = merged
             live = base["files"] + new_files
             rows = base["rows"] + new_rows
         else:
             live, rows = new_files, new_rows
-        manifest = _next_manifest(base, mode, live, rows, schema_json, txn)
+        manifest = _next_manifest(base, mode, live, rows, commit_schema, txn)
         try:
             _publish(table_dir, parent + 1, manifest)
             return parent + 1

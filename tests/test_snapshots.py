@@ -53,6 +53,34 @@ class TestCommitAndRead:
         with pytest.raises(ValueError, match="schema"):
             S.snapshot_commit(spark, t, other)
 
+    def test_merge_schema_widens_additively(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        wide = spark.createDataFrame([(2, "b", 9.5)], "k long, v string, w double")
+        # without the flag: still refused
+        with pytest.raises(ValueError, match="merge_schema"):
+            S.snapshot_commit(spark, t, wide)
+        S.snapshot_commit(spark, t, wide, merge_schema=True)
+        got = S.snapshot_read(spark, t)
+        assert [f.name for f in got.schema.fields] == ["k", "v", "w"]
+        rows = {r["k"]: (r["v"], r["w"]) for r in got.collect()}
+        assert rows == {1: ("a", None), 2: ("b", 9.5)}  # old file -> NULL w
+        # time travel to the pre-evolution version keeps the narrow schema
+        v1 = S.snapshot_read(spark, t, version=1)
+        assert [f.name for f in v1.schema.fields] == ["k", "v"]
+        # narrow appends keep working against the widened tip (additive
+        # merge is symmetric: the delta lacking w is itself a widening)
+        S.snapshot_commit(spark, t, _mk(spark, [(3, "c")]), merge_schema=True)
+        got = {r["k"]: r["w"] for r in S.snapshot_read(spark, t).collect()}
+        assert got == {1: None, 2: 9.5, 3: None}
+
+    def test_merge_schema_refuses_type_change(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        retyped = spark.createDataFrame([(2.0, "b")], "k double, v string")
+        with pytest.raises(ValueError, match="migrations"):
+            S.snapshot_commit(spark, t, retyped, merge_schema=True)
+
     def test_missing_version_raises(self, spark, tmp_path):
         t = str(tmp_path / "t")
         with pytest.raises(FileNotFoundError):
