@@ -336,6 +336,54 @@ class TestExactlyOnceTxn:
         assert S.snapshot_vacuum(spark, t) == []
 
 
+class TestMerge:
+    def test_merge_updates_inserts_keeps(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a"), (2, "b")]))
+        v = S.snapshot_merge(
+            spark, t, _mk(spark, [(2, "B"), (3, "c")]), "k")
+        assert v == 2
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a"), (2, "B"), (3, "c")]
+        assert S.snapshot_versions(t)[-1]["mode"] == "merge"
+        # pre-merge version still time-travels
+        assert _rows(S.snapshot_read(spark, t, version=1)) == [(1, "a"), (2, "b")]
+
+    def test_merge_is_idempotent(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        batch = _mk(spark, [(1, "A"), (2, "b")])
+        S.snapshot_merge(spark, t, batch, "k")
+        S.snapshot_merge(spark, t, batch, "k")  # replay
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "A"), (2, "b")]
+
+    def test_merge_remerges_past_interleaved_append(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """An append landing between the merge's read and publish must
+        SURVIVE: the merge re-reads and re-merges instead of publishing
+        its stale rewrite onto the new tip."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        real = S._publish
+        raced = {"done": False}
+
+        def racing_publish(table_dir, version, manifest):
+            if manifest["mode"] == "merge" and not raced["done"]:
+                raced["done"] = True
+                monkeypatch.setattr(S, "_publish", real)
+                S.snapshot_commit(spark, t, _mk(spark, [(5, "interleaved")]))
+                monkeypatch.setattr(S, "_publish", racing_publish)
+            return real(table_dir, version, manifest)
+
+        monkeypatch.setattr(S, "_publish", racing_publish)
+        v = S.snapshot_merge(spark, t, _mk(spark, [(1, "A"), (2, "b")]), "k")
+        monkeypatch.setattr(S, "_publish", real)
+        assert v == 3
+        assert _rows(S.snapshot_read(spark, t)) == [
+            (1, "A"), (2, "b"), (5, "interleaved")]
+        assert S.snapshot_vacuum(spark, t) == []  # stale rewrite dropped eagerly
+
+
 class TestPublishPrimitive:
     def test_true_thread_race_admits_exactly_one(self, tmp_path):
         """32 threads race the SAME version slot through the real
