@@ -504,6 +504,45 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str) -> list[str]:
     return deleted
 
 
+def snapshot_rmw(
+    spark: SparkSession,
+    table_dir: str,
+    transform,
+    mode: str = "rmw",
+    max_retries: int = 5,
+) -> int:
+    """Serializable read-modify-write: ``transform(tip_df) -> new_df``
+    replaces the table, committed as one atomic version PINNED to the
+    tip the transform read. RMW overwrites are where optimistic
+    concurrency bites: publishing against a re-read tip would silently
+    discard any commit that landed between the read and the publish, so
+    the publish here targets exactly read-tip+1 (the snapshot_compact
+    discipline) and a lost race re-reads and re-runs the transform —
+    never a blind retry. The stale rewrite is dropped eagerly, not left
+    to vacuum. MERGE (snapshot_merge) and streaming CDC state
+    maintenance are the two shipped instances."""
+    for _ in range(max_retries):
+        vs = _versions(table_dir)
+        if not vs:
+            raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+        tip = vs[-1]
+        m = _read_manifest(table_dir, tip)
+        out = transform(snapshot_read(spark, table_dir, version=tip))
+        new_files, new_rows, rel_dir = _write_data_files(out, table_dir)
+        manifest = _next_manifest(
+            m, mode, new_files, new_rows, out.schema.json()
+        )
+        try:
+            _publish(table_dir, tip + 1, manifest)
+            return tip + 1
+        except SnapshotConflict:
+            shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
+            continue
+    raise SnapshotConflict(
+        f"{mode} into {table_dir} lost {max_retries} straight races"
+    )
+
+
 def snapshot_merge(
     spark: SparkSession,
     table_dir: str,
@@ -514,41 +553,21 @@ def snapshot_merge(
     """MERGE INTO a snapshot table (the operation merge.py's docstring and
     the CDC job defer to "a table format's MERGE"): source rows replace
     same-key tip rows, unmatched source rows insert, untouched tip rows
-    carry through — operators.merge.merge_upsert's SCD-1 semantics,
-    committed as one atomic version PINNED to the tip the merge read.
-    Read-modify-write overwrites are where optimistic concurrency bites:
-    publishing against a re-read tip would silently discard any commit
-    that landed between the merge's read and its publish, so the publish
-    here targets exactly read-tip+1 (the snapshot_compact discipline) and
-    a lost race triggers a full re-read + re-merge, never a blind retry.
+    carry through — operators.merge.merge_upsert's SCD-1 semantics under
+    snapshot_rmw's pinned-tip commit, so an interleaved commit is never
+    lost (it forces a re-merge instead).
 
     Scale shape: identical to the batch merge (one key shuffle per side
     of the full-outer join; bucket the table at rest to shuffle only the
     change batch) plus one manifest publish."""
     from imagingdb_spark.operators.merge import merge_upsert
 
-    for _ in range(max_retries):
-        vs = _versions(table_dir)
-        if not vs:
-            raise FileNotFoundError(f"{table_dir} has no committed snapshots")
-        tip = vs[-1]
-        m = _read_manifest(table_dir, tip)
-        merged = merge_upsert(
-            snapshot_read(spark, table_dir, version=tip), source, key
-        ).drop("action")
-        new_files, new_rows, rel_dir = _write_data_files(merged, table_dir)
-        manifest = _next_manifest(m, "merge", new_files, new_rows, m["schema"])
-        try:
-            _publish(table_dir, tip + 1, manifest)
-            return tip + 1
-        except SnapshotConflict:
-            # an interleaved commit made our merge stale: its rows must
-            # survive, so recompute the merge against the new tip (the
-            # stale rewrite is dropped eagerly, not left to vacuum)
-            shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
-            continue
-    raise SnapshotConflict(
-        f"merge into {table_dir} lost {max_retries} straight races"
+    return snapshot_rmw(
+        spark,
+        table_dir,
+        lambda tip_df: merge_upsert(tip_df, source, key).drop("action"),
+        mode="merge",
+        max_retries=max_retries,
     )
 
 

@@ -447,6 +447,74 @@ def test_streaming_cdc_apply_matches_batch_twin(spark, tmp_path):
     assert got[5][0] == "doc 5 back"  # delete then later update wins
 
 
+def test_streaming_cdc_apply_snapshot_matches_batch_twin(spark, tmp_path):
+    """The snapshot-state CDC job must land exactly the batch twin's state,
+    with one atomic 'cdc' version per micro-batch in the commit log."""
+    from pyspark.sql import types as T
+
+    from imagingdb_spark import snapshots as S
+    from imagingdb_spark.operators.merge import cdc_apply
+
+    table = str(tmp_path / "state_snap")
+    changes_path = str(tmp_path / "changes")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    batches = [
+        [(i, 1, "U", f"doc {i}") for i in range(1, 6)],
+        [(2, 2, "U", "doc 2 v2"), (2, 3, "U", "doc 2 v3"), (3, 2, "D", None)],
+        [(4, 4, "U", "doc 4 v4"), (5, 2, "D", None), (5, 3, "U", "doc 5 back")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(changes_path)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_path)
+    )
+    q = jobs.streaming_cdc_apply_snapshot(stream, table, str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        r["doc_id"]: (r["text"], r["last_seq"])
+        for r in S.snapshot_read(spark, table).collect()
+    }
+    log = spark.createDataFrame([r for b in batches for r in b], schema)
+    empty_base = spark.createDataFrame([], "doc_id long, text string")
+    want = {
+        r["doc_id"]: (r["text"], r["last_seq"])
+        for r in cdc_apply(empty_base, log, "doc_id").collect()
+    }
+    assert got == want
+    modes = [m["mode"] for m in S.snapshot_versions(table)]
+    assert modes[0] == "append" and set(modes[1:]) == {"cdc"}
+    assert len(modes) == 1 + len(batches)  # bootstrap + one commit per batch
+
+    # full fresh-checkpoint replay: every batch gates to a content no-op
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_path)
+    )
+    q2 = jobs.streaming_cdc_apply_snapshot(stream2, table, str(tmp_path / "ck2"))
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = {
+        r["doc_id"]: (r["text"], r["last_seq"])
+        for r in S.snapshot_read(spark, table).collect()
+    }
+    assert got2 == want
+
+
 def test_streaming_cdc_apply_replay_idempotent(spark, tmp_path):
     """Applying the same micro-batch twice (at-least-once replay) must be
     a no-op, and a LATE change older than the state must lose."""
