@@ -91,7 +91,12 @@ def main() -> None:
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         best = None
-        for _ in range(2):
+        # min-of-3 (was 2): measured hypervisor CPU steal on this box runs
+        # 0-13% in 5s bursts (vmstat st column, round 6) — with bursty
+        # steal, the chance all reps of a query land inside a stolen
+        # window drops geometrically per rep, and the min is the only
+        # estimator that ignores the stolen reps entirely.
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             n = df.count()
