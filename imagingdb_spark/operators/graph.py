@@ -264,6 +264,49 @@ def x_dedup_retain(spark: SparkSession, sf_dir: str) -> DataFrame:
     return retain_canonical(d, clusters)
 
 
+@query(
+    "x_dedup_weights",
+    oracle=f"""
+    WITH clusters AS (
+      {_cluster_oracle()}
+    ), sizes AS (
+      SELECT cluster_id, count(*) AS n FROM clusters GROUP BY cluster_id
+    ), m AS (
+      SELECT c.doc_id, s.n FROM clusters c JOIN sizes s USING (cluster_id)
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(m.n, 1) AS BIGINT) AS cluster_size,
+           round(1.0 / coalesce(m.n, 1), 4) AS weight
+    FROM documents d LEFT JOIN m USING (doc_id)
+    """,
+)
+def x_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D12f: SOFT dedup — instead of dropping duplicates, weight every
+    document by 1/cluster_size so each near-dup cluster contributes ONE
+    document's worth of gradient to training (the down-weighting family
+    of SoftDeDup-style pipelines, public; hard dedup = the weight->keep
+    special case x_dedup_compact implements). Singletons keep weight 1.
+    Soft weights preserve coverage (no document is lost) while removing
+    the frequency bias that makes boilerplate dominate the loss.
+
+    Scale shape: cluster sizes are ONE cluster-count-sized aggregate off
+    the CC output joined back by cluster_id (both sides pair-participant-
+    sized); the corpus touches one doc_id-keyed left join — no window, no
+    corpus shuffle beyond that join, weight is a map-side expression."""
+    from imagingdb_spark.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    clusters = x_dedup_cluster(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n"))
+    m = clusters.join(sizes, "cluster_id").select("doc_id", "n")
+    n = F.coalesce(F.col("n"), F.lit(1))
+    return d.select("doc_id").join(m, "doc_id", "left").select(
+        "doc_id",
+        n.cast("bigint").alias("cluster_size"),
+        F.round(F.lit(1.0) / n, 4).alias("weight"),
+    )
+
+
 PR_DAMPING = 0.85
 PR_ITER = 10  # fixed iteration count: deterministic, no convergence collect
 

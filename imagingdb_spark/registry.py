@@ -126,6 +126,9 @@ PRIORITY: list[str] = [
     #                     loser→canonical provenance mapping (oracle-exact
     #                     window twin); displaces o_natural_sort — O keeps
     #                     o_topk in-window
+    "x_dedup_weights",  # D12f: soft dedup (1/cluster_size down-weighting,
+    #                     oracle-exact); displaces x_quality_filter — D10
+    #                     keeps x_quality_norm in-window
     # --- double-verification: the 11 queries whose only green row is r5 ---
     "x_inverted_index",   # D18 sibling (single green row, r5)
     "x_token_ids",      # D4 sibling (single green row, r5)
@@ -160,7 +163,6 @@ PRIORITY: list[str] = [
     "x_ann_ivf",        # D3 rows-only (single clean run, r3)
     "x_pack_sequences", # D15 rows-only (single clean run, r3)
     # --- double-verification: r2/r1 singles + P/F family holders ---
-    "x_quality_filter", # D10 (single green row, r2)
     "j_outer_count",    # J+ (single green row, r1; J-family holder)
     "a_sum_avg",        # A+ (single green row, r1; A-family holder)
     "f_not_exists",     # P8 — P-family holder (pass-r1 + pass-r2)
@@ -170,6 +172,8 @@ PRIORITY: list[str] = [
     #                     x_phash_dedup; double greens cover the F family
     "o_natural_sort",   # O4 (single green r2) — displaced by the new
     #                     x_dedup_retain; o_topk holds for O
+    "x_quality_filter", # D10 (single green r2) — displaced by the new
+    #                     x_dedup_weights; x_quality_norm holds for D10
     "j_range",          # J+ (single green r1) — displaced by the four new
     #                     round-6 queries; j_outer_count holds for J
     "a_approx_sketch",  # sketches rows-only (clean r3) — displaced;

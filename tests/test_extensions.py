@@ -332,6 +332,33 @@ class TestConnectedComponents:
         assert [rows[i]["canonical_id"] for i in (10, 11)] == [10, 10]
         assert [rows[i]["kept"] for i in (10, 11)] == [True, False]
 
+    def test_soft_dedup_weights_sum_to_effective_corpus(self, spark):
+        """Soft dedup invariants on the real corpus: singletons weigh 1,
+        cluster members weigh 1/cluster_size, so total weight equals
+        (singletons + number of clusters) — one gradient-unit per unique
+        piece of content."""
+        from imagingdb_spark.operators.graph import (
+            x_dedup_cluster, x_dedup_weights,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        rows = x_dedup_weights(spark, sf).collect()
+        clusters = x_dedup_cluster(spark, sf).collect()
+        spark.catalog.clearCache()
+        n_docs = len(rows)
+        members = {r["doc_id"] for r in clusters}
+        n_clusters = len({r["cluster_id"] for r in clusters})
+        for r in rows:
+            if r["doc_id"] in members:
+                assert r["cluster_size"] > 1 or r["weight"] == 1.0
+                assert abs(r["weight"] - round(1 / r["cluster_size"], 4)) < 1e-9
+            else:
+                assert (r["cluster_size"], r["weight"]) == (1, 1.0)
+        total = sum(r["weight"] for r in rows)
+        expected = (n_docs - len(members)) + n_clusters
+        # rounding to 4 decimals perturbs each member by < 5e-5
+        assert abs(total - expected) < 5e-5 * len(members) + 1e-6
+
     def test_retain_invariants_on_corpus(self, spark):
         from imagingdb_spark.operators.graph import x_dedup_retain
 

@@ -64,6 +64,7 @@ ROTATED_IN_R6 = [
     "x_dsir_resample",
     "x_scene_changes",
     "x_dedup_retain",
+    "x_dedup_weights",
 ]
 
 
@@ -84,6 +85,8 @@ def test_category_coverage_inside_driver_window():
         "x_bpe_encode", "x_ann_eval", "x_semdedup_eval", "x_pipeline_audit",
         "x_bm25", "x_funnel", "x_retention", "x_histogram",
         "x_rolling_zscore", "x_semdedup", "x_retrieval_metrics",
+        # x_quality_filter (D10) displaced to 51+ by x_dedup_weights;
+        # x_quality_norm holds for D10
         "o_topk", "w_dense_rank", "st_join", "x_tfidf", "x_merge_upsert",
         "x_ann_ivf",
         # o_natural_sort (O4) displaced to 51+ by x_dedup_retain; the O
