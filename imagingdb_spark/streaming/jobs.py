@@ -1589,6 +1589,8 @@ def streaming_cdc_apply_snapshot(
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return  # an empty trigger must not rewrite the whole state
         attrs = [c for c in batch_df.columns if c not in (key, "seq", "op")]
         if not _versions(table_dir):
             snapshot_commit(
