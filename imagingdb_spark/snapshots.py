@@ -44,6 +44,13 @@ Reference parity: the reference relies on Postgres transactions for
 dataset-registration atomicity (/root/reference/imaging_db/database/
 db_operations.py); at Spark scale the table data itself needs the same
 all-or-nothing visibility, which is this module.
+
+Scope: commits are SINGLE-TABLE (same as Delta/Iceberg). The streaming
+gates' corpus+band-index pairs need cross-table consistency and keep
+their own discipline instead — individually idempotent appends plus
+torn-write healing that rebuilds the index from the corpus (streaming/
+jobs.py), which tolerates any crash interleaving without a two-table
+transaction.
 """
 
 from __future__ import annotations
