@@ -13,6 +13,7 @@ from imagingdb_spark.operators import (  # noqa: F401
     scalars,
     setops,
     similarity,
+    sketches,
     sorts,
     streaming_batch,
     text,

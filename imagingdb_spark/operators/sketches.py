@@ -1,0 +1,188 @@
+"""Mergeable HyperLogLog sketches (Flajolet et al. 2007 / HLL++ family,
+public) — the bounded-state answer to continuous COUNT(DISTINCT).
+
+Spark's built-in approx_count_distinct is HLL++ internally but its sketch
+never leaves the JVM aggregate, so it cannot be MERGED across triggers,
+tables, or days — which is the whole point at 100 TB: per-window register
+state (≤ 4096 rows per window) is stored, replay-safe (register max is
+idempotent AND commutative, so at-least-once redelivery converges
+bit-exactly), and a year of hourly windows is megabytes of state for any
+key cardinality.
+
+Everything stays JVM-side — this is the second design; the first built
+register arrays in applyInPandas and spent 3.5 ms of per-group Python
+overhead × 3600 groups (12.7 s at sf0.1 for a 0.3 s job):
+
+- rank: for hash h, register index = top P bits
+  (shiftrightunsigned(h, 64-P)) and rank = leading zeros of the
+  remaining 64-P bits + 1. ``bin(w)`` returns the minimal binary string
+  for positive longs (its LENGTH is the exact integer bit_length —
+  no float log2, which loses exactness above 2^53) and the full 64-char
+  two's-complement for negative ones (top bit set -> rank 1), so
+  rank = CASE w=0 -> 64-P+1 ELSE 65 - length(bin(w)) is exact.
+- registers: SPARSE rows (group, reg_idx, rank) via groupBy().max() —
+  map-side combined, shuffle carries at most 4096 rows per group.
+  Merging two sketches = union + the same max — no binary blobs, no
+  Python, and the idempotence argument is the aggregate itself.
+- estimate: sum over registers of 2^-rank, computed EXACTLY as scaled
+  integers — shiftleft(1, 53-rank) summed into DECIMAL(38,0), divided by
+  2^53 at the end — so the float never sees an order-dependent
+  accumulation (run-to-run determinism for the rows-only driver check);
+  absent registers contribute 2^0 = 1 each via (m - count). Small-range
+  linear counting (m·ln(m/V)) applies below 2.5m as usual.
+
+A numpy twin (registers_from_hashes / estimate_np) stays here for the
+tests to pin the JVM bit tricks against an independent implementation.
+
+Reference parity: the reference answers "how many distinct X" by
+scanning Postgres (db_operations.py get_datasets + len); sketches are
+that question made continuous and mergeable at data scale.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from imagingdb_spark.registry import query
+
+HLL_P = 12                 # 2^12 = 4096 registers -> ~1.6% relative error
+HLL_M = 1 << HLL_P
+_MAX_RANK = 64 - HLL_P + 1  # rank when the low 64-P bits are all zero
+_ALPHA = 0.7213 / (1 + 1.079 / HLL_M)
+
+
+def hll_partials(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Sparse register rows (group_cols..., reg_idx int, rank int): the
+    mergeable sketch of COUNT(DISTINCT key) per group. One JVM projection
+    + one map-side-combined groupBy max — no Python anywhere."""
+    h = F.xxhash64(F.col(key_col))
+    w = F.shiftleft(h, HLL_P)
+    rank = F.when(w == 0, F.lit(_MAX_RANK)).otherwise(
+        F.lit(65) - F.length(F.bin(w))
+    )
+    return (
+        df.select(
+            *group_cols,
+            F.shiftrightunsigned(h, 64 - HLL_P).cast("int").alias("reg_idx"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy(*group_cols, "reg_idx")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Union-max merge of two sparse sketches — associative, commutative,
+    IDEMPOTENT (re-merging an absorbed partial is a no-op), which is the
+    entire replay-safety argument of the streaming job."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "reg_idx")
+        .agg(F.max("rank").alias("rank"))
+    )
+
+
+def hll_estimate_col() -> tuple[list[Column], Column]:
+    """(aggregate exprs, post-agg estimate column) over sparse register
+    rows. The 2^-rank sum rides DECIMAL(38,0) scaled integers
+    (shiftleft(1, 53-rank)) so it is EXACT regardless of row order."""
+    aggs = [
+        # DataFrame-API shiftleft only takes a literal bit count; the SQL
+        # form shifts by an expression
+        F.sum(F.expr("shiftleft(1L, 53 - rank)"))
+        .cast("decimal(38,0)")
+        .alias("__scaled"),
+        F.count(F.lit(1)).alias("__nreg"),
+    ]
+    m = float(HLL_M)
+    s = (F.col("__scaled").cast("double") / F.lit(float(1 << 53))) + (
+        F.lit(m) - F.col("__nreg")
+    )
+    raw = F.lit(_ALPHA * m * m) / s
+    v = F.lit(m) - F.col("__nreg")  # zero registers (ranks are >= 1)
+    linear = F.lit(m) * F.log(F.lit(m) / v)
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0), linear).otherwise(raw)
+    return aggs, est
+
+
+def hll_distinct(
+    df: DataFrame, key_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Batch twin: approximate COUNT(DISTINCT key) per group off the
+    mergeable sparse registers — deterministic (seedless xxhash64 + the
+    exact scaled-integer estimator), so the streaming job's merged state
+    must reproduce these registers EXACTLY on the same data (pinned by
+    test)."""
+    aggs, est = hll_estimate_col()
+    return (
+        hll_partials(df, key_col, group_cols)
+        .groupBy(*group_cols)
+        .agg(*aggs)
+        .select(
+            *group_cols,
+            F.round(est).cast("long").alias("approx_distinct"),
+        )
+    )
+
+
+@query("st_distinct_hll")  # rows-only: HLL estimates aren't ANSI-SQL
+def st_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-cardinality batch twin: approximate distinct users per
+    (hour, event_type) window over events — the registers are the same
+    rows the streaming job (streaming_distinct_hll) accumulates, so this
+    IS the query a dashboard runs against the maintained state. Accuracy
+    pinned by test (~1.6% expected at 2^12 registers); determinism by the
+    seedless JVM hash + exact estimator arithmetic."""
+    from imagingdb_spark.catalog import table
+
+    e = table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        "event_type",
+        "user_id",
+    )
+    return hll_distinct(e, "user_id", ["window_start", "event_type"])
+
+
+# ---- numpy reference twin (tests pin the JVM bit tricks against it) ----
+
+
+def _bit_length(v: np.ndarray) -> np.ndarray:
+    """Vectorized exact bit_length for uint64 (no float log — log2 loses
+    exactness above 2^53, which is precisely where hashes live)."""
+    bl = np.zeros(v.shape, np.int64)
+    x = v.copy()
+    for s in (32, 16, 8, 4, 2, 1):
+        big = x >= np.uint64(1 << s)
+        bl[big] += s
+        x[big] >>= np.uint64(s)
+    return bl + (x > 0)
+
+
+def registers_from_hashes(hashes: np.ndarray) -> np.ndarray:
+    """int64 hashes -> dense uint8[HLL_M] register array (reference)."""
+    h = hashes.astype(np.int64).view(np.uint64)
+    idx = (h >> np.uint64(64 - HLL_P)).astype(np.int64)
+    w = h << np.uint64(HLL_P)
+    rank = np.where(
+        w == 0, np.int64(_MAX_RANK), np.int64(64) - _bit_length(w) + 1
+    ).astype(np.uint8)
+    regs = np.zeros(HLL_M, np.uint8)
+    np.maximum.at(regs, idx, rank)
+    return regs
+
+
+def estimate_np(regs: np.ndarray) -> float:
+    """Reference estimator over a dense register array."""
+    m = float(HLL_M)
+    r = regs.astype(np.float64)
+    e = _ALPHA * m * m / np.sum(np.exp2(-r))
+    v = float(np.count_nonzero(r == 0))
+    if e <= 2.5 * m and v > 0:
+        e = m * np.log(m / v)
+    return float(e)

@@ -129,6 +129,11 @@ PRIORITY: list[str] = [
     "x_dedup_weights",  # D12f: soft dedup (1/cluster_size down-weighting,
     #                     oracle-exact); displaces x_quality_filter — D10
     #                     keeps x_quality_norm in-window
+    "st_distinct_hll",  # St14/D21: mergeable-HLL continuous distinct
+    #                     (rows-only + accuracy/merge-algebra/streaming
+    #                     bit-parity tests); displaces st_join — St keeps
+    #                     this new member in-window, st_tumbling/
+    #                     st_session/st_topk_trend hold double greens
     # --- double-verification: the 11 queries whose only green row is r5 ---
     "x_inverted_index",   # D18 sibling (single green row, r5)
     "x_token_ids",      # D4 sibling (single green row, r5)
@@ -157,7 +162,6 @@ PRIORITY: list[str] = [
     "w_range_frame",    # W (single green row, r3)
     "x_dedup_compact",  # D12 (single green row, r3)
     "x_shard_shuffle",  # D16 (single green row, r3)
-    "st_join",          # St6 (single green row, r3)
     "x_tfidf",          # D18 (single green row, r3)
     "x_merge_upsert",   # S10 (single green row, r3)
     "x_ann_ivf",        # D3 rows-only (single clean run, r3)
@@ -174,6 +178,8 @@ PRIORITY: list[str] = [
     #                     x_dedup_retain; o_topk holds for O
     "x_quality_filter", # D10 (single green r2) — displaced by the new
     #                     x_dedup_weights; x_quality_norm holds for D10
+    "st_join",          # St6 (single green r3) — displaced by the new
+    #                     st_distinct_hll, which holds for St in-window
     "j_range",          # J+ (single green r1) — displaced by the four new
     #                     round-6 queries; j_outer_count holds for J
     "a_approx_sketch",  # sketches rows-only (clean r3) — displaced;

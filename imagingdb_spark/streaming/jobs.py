@@ -17,6 +17,7 @@ Kafka + a transactional sink without touching the aggregation code.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -305,6 +306,80 @@ def streaming_catalog_append_snapshot(
         .option("checkpointLocation", checkpoint_dir)
         .outputMode("append")
         .start()
+    )
+
+
+def streaming_distinct_hll(
+    events: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    group_cols: tuple[str, ...] = ("window_start", "event_type"),
+) -> StreamingQuery:
+    """Continuous COUNT(DISTINCT) with BOUNDED state: per micro-batch,
+    build mergeable HyperLogLog register partials per (hour, event_type)
+    window (operators/sketches.py — sparse (group, reg_idx, max rank)
+    rows, all JVM) and fold them into a snapshot-table state via the
+    union-max merge under snapshot_rmw. State is ≤4096 rows per window
+    at ANY key cardinality — the property a watermarked
+    dropDuplicates+count can never have (its state is key-cardinality-
+    sized) — and there is no watermark to tune: late events merge into
+    their window whenever they arrive.
+
+    Replay safety comes from ALGEBRA, not bookkeeping: register max is
+    idempotent, so an at-least-once redelivered batch merges to the
+    bit-identical state (pinned by test against the batch twin's
+    registers). hll_estimates() is the read side."""
+    from imagingdb_spark.operators.sketches import hll_merge, hll_partials
+    from imagingdb_spark.snapshots import (
+        _versions,
+        snapshot_commit,
+        snapshot_rmw,
+    )
+
+    windowed = events.select(
+        F.date_trunc("hour", F.col("ts")).alias("window_start"),
+        *[c for c in group_cols if c != "window_start"],
+        F.col(key_col),
+    )
+    gcols = list(group_cols)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if batch_df.isEmpty():
+            return
+        partial = hll_partials(batch_df, key_col, gcols)
+        if not _versions(table_dir):
+            snapshot_commit(spark, table_dir, partial.limit(0))
+        snapshot_rmw(
+            spark,
+            table_dir,
+            lambda state: hll_merge(state, partial, gcols),
+            mode="hll",
+        )
+
+    return (
+        windowed.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def hll_estimates(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Read side of streaming_distinct_hll: per-window approximate
+    distinct counts off the maintained sparse register state (one tiny
+    scan — the state is windows × ≤4096 rows, never data-sized)."""
+    from imagingdb_spark.operators.sketches import hll_estimate_col
+    from imagingdb_spark.snapshots import snapshot_read
+
+    state = snapshot_read(spark, table_dir)
+    gcols = [c for c in state.columns if c not in ("reg_idx", "rank")]
+    aggs, est = hll_estimate_col()
+    return (
+        state.groupBy(*gcols)
+        .agg(*aggs)
+        .select(*gcols, F.round(est).cast("long").alias("approx_distinct"))
     )
 
 

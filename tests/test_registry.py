@@ -65,6 +65,7 @@ ROTATED_IN_R6 = [
     "x_scene_changes",
     "x_dedup_retain",
     "x_dedup_weights",
+    "st_distinct_hll",
 ]
 
 
@@ -87,8 +88,10 @@ def test_category_coverage_inside_driver_window():
         "x_rolling_zscore", "x_semdedup", "x_retrieval_metrics",
         # x_quality_filter (D10) displaced to 51+ by x_dedup_weights;
         # x_quality_norm holds for D10
-        "o_topk", "w_dense_rank", "st_join", "x_tfidf", "x_merge_upsert",
+        "o_topk", "w_dense_rank", "x_tfidf", "x_merge_upsert",
         "x_ann_ivf",
+        # st_join (St6) displaced to 51+ by st_distinct_hll, which itself
+        # holds for St in-window
         # o_natural_sort (O4) displaced to 51+ by x_dedup_retain; the O
         # family keeps o_topk in-window
         # x_gapfill (T1) displaced to 51+ by x_dsir_resample; the T family
