@@ -94,9 +94,10 @@ def hll_estimate_col() -> tuple[list[Column], Column]:
     (shiftleft(1, 53-rank)) so it is EXACT regardless of row order."""
     aggs = [
         # DataFrame-API shiftleft only takes a literal bit count; the SQL
-        # form shifts by an expression
-        F.sum(F.expr("shiftleft(1L, 53 - rank)"))
-        .cast("decimal(38,0)")
+        # form shifts by an expression. The cast sits INSIDE the sum so
+        # the accumulator itself is DECIMAL(38,0) — terms reach 2^52 and
+        # a long accumulator could wrap past 2048 rank-1 registers
+        F.sum(F.expr("cast(shiftleft(1L, 53 - rank) as decimal(38,0))"))
         .alias("__scaled"),
         F.count(F.lit(1)).alias("__nreg"),
     ]
@@ -111,6 +112,22 @@ def hll_estimate_col() -> tuple[list[Column], Column]:
     return aggs, est
 
 
+def hll_estimate_df(registers: DataFrame, group_cols: list[str]) -> DataFrame:
+    """(group_cols..., approx_distinct long) from sparse register rows —
+    the ONE estimate shape, shared by the batch twin and the streaming
+    read side (jobs.hll_estimates) so the two can never drift apart on
+    alias/rounding/cast."""
+    aggs, est = hll_estimate_col()
+    return (
+        registers.groupBy(*group_cols)
+        .agg(*aggs)
+        .select(
+            *group_cols,
+            F.round(est).cast("long").alias("approx_distinct"),
+        )
+    )
+
+
 def hll_distinct(
     df: DataFrame, key_col: str, group_cols: list[str]
 ) -> DataFrame:
@@ -119,16 +136,7 @@ def hll_distinct(
     exact scaled-integer estimator), so the streaming job's merged state
     must reproduce these registers EXACTLY on the same data (pinned by
     test)."""
-    aggs, est = hll_estimate_col()
-    return (
-        hll_partials(df, key_col, group_cols)
-        .groupBy(*group_cols)
-        .agg(*aggs)
-        .select(
-            *group_cols,
-            F.round(est).cast("long").alias("approx_distinct"),
-        )
-    )
+    return hll_estimate_df(hll_partials(df, key_col, group_cols), group_cols)
 
 
 @query("st_distinct_hll")  # rows-only: HLL estimates aren't ANSI-SQL

@@ -97,6 +97,12 @@ def _mdir(table_dir: str) -> str:
     return os.path.join(table_dir, MANIFEST_DIR)
 
 
+def snapshot_exists(table_dir: str) -> bool:
+    """True when the table has at least one committed version — the
+    public existence probe (callers should not reach for _versions)."""
+    return bool(_versions(table_dir))
+
+
 def _versions(table_dir: str) -> list[int]:
     d = _mdir(table_dir)
     if not os.path.isdir(d):
@@ -258,6 +264,12 @@ def snapshot_commit(
                     else None
                 )
                 if merged is None:
+                    # abort: drop the already-written delta eagerly, like
+                    # every other abort path — a sink retrying a
+                    # mis-schemaed batch must not pile up full copies
+                    shutil.rmtree(
+                        os.path.join(table_dir, rel_dir), ignore_errors=True
+                    )
                     raise ValueError(
                         f"append schema differs from {table_dir} tip "
                         f"v{parent}; additive widening needs "

@@ -17,7 +17,6 @@ Kafka + a transactional sink without touching the aggregation code.
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -309,12 +308,49 @@ def streaming_catalog_append_snapshot(
     )
 
 
+def _snapshot_state_step(
+    spark: SparkSession,
+    table_dir: str,
+    seed_df: DataFrame,
+    transform,
+    mode: str,
+    batch_id: int,
+    expire_every: int,
+    keep_versions: int,
+) -> None:
+    """One micro-batch against a snapshot-held state table — the shared
+    plumbing of streaming_distinct_hll and streaming_cdc_apply_snapshot
+    (bootstrap, pinned-tip RMW, periodic retention): seed an empty typed
+    state on first contact, apply the transform under snapshot_rmw, and
+    every ``expire_every`` batches expire to ``keep_versions`` manifests
+    + vacuum the unreferenced rewrites. Retention is safe here precisely
+    because foreachBatch serializes this writer and vacuum's no-writer
+    contract is therefore held by construction; without it the state
+    table accumulates one full-state copy per trigger forever."""
+    from imagingdb_spark.snapshots import (
+        snapshot_commit,
+        snapshot_exists,
+        snapshot_expire,
+        snapshot_rmw,
+        snapshot_vacuum,
+    )
+
+    if not snapshot_exists(table_dir):
+        snapshot_commit(spark, table_dir, seed_df)
+    snapshot_rmw(spark, table_dir, transform, mode=mode)
+    if expire_every and batch_id > 0 and batch_id % expire_every == 0:
+        snapshot_expire(table_dir, keep_last=keep_versions)
+        snapshot_vacuum(spark, table_dir)
+
+
 def streaming_distinct_hll(
     events: DataFrame,
     table_dir: str,
     checkpoint_dir: str,
     key_col: str = "user_id",
     group_cols: tuple[str, ...] = ("window_start", "event_type"),
+    expire_every: int = 8,
+    keep_versions: int = 4,
 ) -> StreamingQuery:
     """Continuous COUNT(DISTINCT) with BOUNDED state: per micro-batch,
     build mergeable HyperLogLog register partials per (hour, event_type)
@@ -331,11 +367,6 @@ def streaming_distinct_hll(
     bit-identical state (pinned by test against the batch twin's
     registers). hll_estimates() is the read side."""
     from imagingdb_spark.operators.sketches import hll_merge, hll_partials
-    from imagingdb_spark.snapshots import (
-        _versions,
-        snapshot_commit,
-        snapshot_rmw,
-    )
 
     windowed = events.select(
         F.date_trunc("hour", F.col("ts")).alias("window_start"),
@@ -345,17 +376,18 @@ def streaming_distinct_hll(
     gcols = list(group_cols)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return
         partial = hll_partials(batch_df, key_col, gcols)
-        if not _versions(table_dir):
-            snapshot_commit(spark, table_dir, partial.limit(0))
-        snapshot_rmw(
-            spark,
+        _snapshot_state_step(
+            batch_df.sparkSession,
             table_dir,
+            partial.limit(0),
             lambda state: hll_merge(state, partial, gcols),
-            mode="hll",
+            "hll",
+            int(batch_id),
+            expire_every,
+            keep_versions,
         )
 
     return (
@@ -369,18 +401,15 @@ def streaming_distinct_hll(
 def hll_estimates(spark: SparkSession, table_dir: str) -> DataFrame:
     """Read side of streaming_distinct_hll: per-window approximate
     distinct counts off the maintained sparse register state (one tiny
-    scan — the state is windows × ≤4096 rows, never data-sized)."""
-    from imagingdb_spark.operators.sketches import hll_estimate_col
+    scan — the state is windows × ≤4096 rows, never data-sized). Shares
+    the estimate shape with the batch twin (sketches.hll_estimate_df) so
+    the two cannot drift."""
+    from imagingdb_spark.operators.sketches import hll_estimate_df
     from imagingdb_spark.snapshots import snapshot_read
 
     state = snapshot_read(spark, table_dir)
     gcols = [c for c in state.columns if c not in ("reg_idx", "rank")]
-    aggs, est = hll_estimate_col()
-    return (
-        state.groupBy(*gcols)
-        .agg(*aggs)
-        .select(*gcols, F.round(est).cast("long").alias("approx_distinct"))
-    )
+    return hll_estimate_df(state, gcols)
 
 
 def run_to_memory(df: DataFrame, name: str, mode: str | None = None) -> StreamingQuery:
@@ -1649,6 +1678,8 @@ def streaming_cdc_apply_snapshot(
     table_dir: str,
     checkpoint_dir: str,
     key: str = "doc_id",
+    expire_every: int = 8,
+    keep_versions: int = 4,
 ) -> StreamingQuery:
     """streaming_cdc_apply with the state held in a SNAPSHOT table — the
     "at 100 TB the state is a table format whose MERGE replaces the swap"
@@ -1660,22 +1691,20 @@ def streaming_cdc_apply_snapshot(
     instead of being lost) and the commit log is the replication audit
     trail. Replayed batches gate to a content no-op — the extra 'cdc'
     version they publish is harmless and visible in snapshot_versions."""
-    from imagingdb_spark.snapshots import snapshot_commit, snapshot_rmw, _versions
-
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return  # an empty trigger must not rewrite the whole state
         attrs = [c for c in batch_df.columns if c not in (key, "seq", "op")]
-        if not _versions(table_dir):
-            snapshot_commit(
-                spark, table_dir, _cdc_empty_state(spark, batch_df, key, attrs)
-            )
-        snapshot_rmw(
+        _snapshot_state_step(
             spark,
             table_dir,
+            _cdc_empty_state(spark, batch_df, key, attrs),
             lambda state: _cdc_next_state(state, batch_df, key),
-            mode="cdc",
+            "cdc",
+            int(batch_id),
+            expire_every,
+            keep_versions,
         )
 
     return (

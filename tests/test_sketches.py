@@ -108,6 +108,56 @@ class TestBatchTwin:
 
 
 class TestStreaming:
+    def test_retention_bounds_the_manifest_log(self, spark, tmp_path):
+        """With expire_every=2 over 6 micro-batches, the state table must
+        end with a bounded manifest log and vacuumed old rewrites while
+        the register state stays exactly the full-data sketch."""
+        from pyspark.sql import functions as F
+
+        from imagingdb_spark import snapshots as S
+        from imagingdb_spark.streaming import jobs
+
+        src = str(tmp_path / "src")
+        events = spark.read.parquet(SF_DIR + "/events.parquet").select(
+            "ts", "event_type", "user_id"
+        )
+        for i in range(6):
+            events.filter(F.col("user_id") % 6 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+        stream = (
+            spark.readStream.schema(events.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        table = str(tmp_path / "state")
+        q = jobs.streaming_distinct_hll(
+            stream, table, str(tmp_path / "ck"),
+            expire_every=2, keep_versions=2,
+        )
+        q.processAllAvailable()
+        q.stop()
+        versions = S.snapshot_versions(table)
+        assert len(versions) <= 4  # expired down; never 1-per-trigger
+        # vacuum reclaimed the expired rewrites: data dirs ≈ retained versions
+        import os
+        n_data_dirs = len(os.listdir(os.path.join(table, "data")))
+        assert n_data_dirs <= len(versions) + 1
+        # state still exactly the full-data sketch
+        batch = spark.read.parquet(SF_DIR + "/events.parquet").select(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+            "user_id",
+        )
+        key = lambda rows: sorted(
+            (r["window_start"], r["event_type"], r["reg_idx"], r["rank"])
+            for r in rows
+        )
+        want = key(SK.hll_partials(
+            batch, "user_id", ["window_start", "event_type"]).collect())
+        assert key(S.snapshot_read(spark, table).collect()) == want
+        spark.catalog.clearCache()
+
     def test_stream_state_matches_batch_and_replays_clean(
         self, spark, tmp_path
     ):
@@ -146,6 +196,12 @@ class TestStreaming:
 
         run("ck2")  # full replay: union-max is idempotent -> same rows
         assert key(S.snapshot_read(spark, table).collect()) == want
+
+        # retention ran (expire_every default 8 < batch count x 2 runs):
+        # the manifest log stays bounded instead of one-version-per-
+        # trigger-forever, and old full-state rewrites were vacuumed
+        versions = S.snapshot_versions(table)
+        assert len(versions) <= 8 + 4
 
         # the read side agrees with the batch twin's estimates exactly
         est = {
