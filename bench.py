@@ -105,6 +105,31 @@ def main() -> None:
         except Exception:
             return None
 
+    # fixed calibration job: ~1 s of pure 32-way JVM compute (hash + agg
+    # over a generated range — no I/O, no Python). Its time moves with
+    # the MACHINE (noisy-neighbor core/memory-bandwidth contention that
+    # steal ticks don't see moved this box 1.0->1.4x within one day,
+    # round 6), not with this repo's code — so value/calib_sec is the
+    # environment-normalized figure to compare across rounds.
+    def _calibrate() -> float:
+        # a SHUFFLE, not a codegen loop: pure register-resident compute
+        # stayed fast (0.13 s) through a contention episode that inflated
+        # every real query 1.4x, so the calibration must touch the same
+        # resources the queries do — shuffle write/read + hash aggregation
+        # over a million keys
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr("id % 1000000 as k", "shiftright(xxhash64(id), 32) as v")
+            .groupBy("k")
+            .sum("v")
+            .count()
+        )
+        return time.perf_counter() - t0
+
+    _calibrate()  # once untimed (codegen)
+    calib = min(_calibrate() for _ in range(2))
+
     stat0 = _stat_ticks()
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
@@ -128,6 +153,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "calib_sec": round(calib, 3),
     }
     # hypervisor CPU steal during the timed laps, so each recorded run
     # carries its own noise context: this box measures 0% at idle but has
