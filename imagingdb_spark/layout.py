@@ -80,7 +80,13 @@ def compact_parquet(
     (manifest-committed rewrite that also detects interleaved appends)."""
     n_before, total = table_file_stats(spark, path)
     n_out = max(1, math.ceil(total / target_file_bytes))
-    df = spark.read.parquet(path)
+    # mergeSchema: compaction must preserve the UNION schema across mixed-
+    # vintage files — a streaming gate compacting a pre-seeded corpus whose
+    # old files lack _gate_batch would otherwise let inference pick an old
+    # footer and silently strip the provenance column from every row
+    # (ADVICE r6), reopening the replay-divergence window the phantom
+    # screen exists to close.
+    df = spark.read.option("mergeSchema", "true").parquet(path)
     rows_before = df.count()
     base = _local_path(path)
     tmp = f"{base}.compact.{uuid.uuid4().hex[:8]}"

@@ -566,13 +566,18 @@ def phash_near_dups(
             f"banding is lossless only for distance < {PHASH_BANDS}"
         )
     # ids per distinct hash; array_sort fixes within-group pair order.
-    # persist(): feeds the hamming-0 pairs, the banding, AND both
-    # join-back sides — unpersisted, the upstream decode+pHash
-    # mapInPandas re-runs once per consumer (4 parquet scans in the
-    # archived plan), and payload decode is the expensive stage.
+    # localCheckpoint (not persist): feeds the hamming-0 pairs, the
+    # banding, AND both join-back sides — unmaterialized, the upstream
+    # decode+pHash mapInPandas re-runs once per consumer (4 parquet scans
+    # in the archived plan), and payload decode is the expensive stage.
+    # Eager checkpoint over persist because a lazy plan returned to the
+    # caller would pin the cache entry in the session CacheManager
+    # forever (ADVICE r6); checkpoint blocks are reclaimed by the
+    # ContextCleaner once the returned plan is dropped, and groups is
+    # small (distinct hashes + id lists — payloads never enter it).
     groups = hashed.groupBy("phash").agg(
         F.array_sort(F.collect_list(id_col)).alias("ids")
-    ).persist()
+    ).localCheckpoint(eager=True)
     # hamming-0 pairs: all pairs within one identical-hash group
     same_pairs = F.flatten(
         F.transform(

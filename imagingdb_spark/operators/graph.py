@@ -57,12 +57,17 @@ def connected_components(
     # fail loudly instead (string ids: factorize to longs first)
     from pyspark.sql.types import NumericType
 
-    id_type = pairs.schema[src].dataType
-    if not isinstance(id_type, NumericType):
-        raise TypeError(
-            f"connected_components needs numeric node ids, got {id_type}; "
-            "dense-rank string ids to longs before clustering"
-        )
+    # both endpoints: a numeric src with a string dst would pass a
+    # src-only guard, then dst labels cast to NULL in the union and the
+    # silent-wrong-clusters failure this guard exists to catch returns
+    for col in (src, dst):
+        id_type = pairs.schema[col].dataType
+        if not isinstance(id_type, NumericType):
+            raise TypeError(
+                f"connected_components needs numeric node ids, got "
+                f"{id_type} for {col!r}; dense-rank string ids to longs "
+                "before clustering"
+            )
     label_sum = F.sum(F.col("label").cast("decimal(38,0)")).alias("s")
     edges = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = (

@@ -311,6 +311,18 @@ class TestConnectedComponents:
         with pytest.raises(TypeError, match="numeric node ids"):
             connected_components(pairs)
 
+    def test_mixed_type_ids_fail_loudly(self, spark):
+        """ADVICE r6: numeric src + string dst slipped past a src-only
+        guard — dst labels cast to NULL in the union and clusters came
+        out silently wrong. Both endpoints must be checked."""
+        from imagingdb_spark.operators.graph import connected_components
+
+        pairs = spark.createDataFrame(
+            [(1, "b"), (2, "c")], "doc_a long, doc_b string"
+        )
+        with pytest.raises(TypeError, match="doc_b"):
+            connected_components(pairs)
+
     def test_retain_canonical_longest_wins(self, spark):
         from imagingdb_spark.operators.graph import retain_canonical
 
@@ -1627,6 +1639,18 @@ class TestPhash:
         got = {(r["frame_a"], r["frame_b"]) for r in pairs}
         assert got == {("DS-0_0", "DS-1_1")}
         assert all(r["hamming"] <= multimodal.PHASH_MAX_DISTANCE for r in pairs)
+
+    def test_near_dups_leave_no_cache_entry(self, spark):
+        """ADVICE r6: the distinct-hash groups frame used to be persist()ed
+        without an unpersist, leaking a CacheManager entry per invocation
+        in long-lived sessions. Now an eager localCheckpoint: blocks are
+        ContextCleaner-owned, and the session cache must stay empty."""
+        cm = spark._jsparkSession.sharedState().cacheManager()
+        assert cm.isEmpty(), "test requires a clean cache to be meaningful"
+        rows = [("a", 0x123456789ABCDE7), ("b", 0x123456789ABCDE7 ^ 3)]
+        df = spark.createDataFrame(rows, "frame_id string, phash long")
+        multimodal.phash_near_dups(df).collect()
+        assert cm.isEmpty(), "phash_near_dups leaked a cached plan"
 
     def test_banding_is_lossless_within_radius(self, spark):
         """Adversarial: craft hash pairs at exactly the max distance by

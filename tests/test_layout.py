@@ -39,6 +39,29 @@ def test_compact_parquet_shrinks_files_preserves_rows(spark, tmp_path):
     assert not glob.glob(f"{path}.compact.*") and not glob.glob(f"{path}.old.*")
 
 
+def test_compact_parquet_merges_mixed_vintage_schemas(spark, tmp_path):
+    """ADVICE r6: a table whose old files lack a later-added column (the
+    streaming gates' _gate_batch provenance column on a pre-seeded corpus)
+    must compact to the UNION schema — schema inference picking an old
+    footer would silently strip the column from every row."""
+    path = str(tmp_path / "mixed_vintage")
+    # vintage 1: no provenance column (many files → likely inference pick)
+    spark.range(0, 50).selectExpr("id", "id * 2 AS val").repartition(8) \
+        .write.parquet(path)
+    # vintage 2: one file WITH the provenance column
+    spark.range(50, 60).selectExpr(
+        "id", "id * 2 AS val", "CAST(7 AS LONG) AS _gate_batch"
+    ).coalesce(1).write.mode("append").parquet(path)
+
+    layout.compact_parquet(spark, path, target_file_bytes=1 << 30)
+
+    out = spark.read.option("mergeSchema", "true").parquet(path)
+    assert "_gate_batch" in out.columns
+    kept = out.filter("_gate_batch = 7").count()
+    assert kept == 10  # provenance survived the rewrite
+    assert out.count() == 60
+
+
 def test_compact_parquet_respects_target_size(spark, tmp_path):
     path = str(tmp_path / "events_target")
     spark.read.parquet(f"{SF_DIR}/events.parquet").repartition(32).write.parquet(path)
