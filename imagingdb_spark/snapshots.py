@@ -30,10 +30,18 @@ cannot (layout.compact_parquet's documented gap):
   idea of layout.find_orphan_blobs turned into a safe delete, because
   the manifests are the complete reference set).
 
-Scale notes (100 TB): a manifest lists relative file paths + sizes —
-~800k entries at 128 MB files, a few tens of MB of JSON; Iceberg shards
-this into manifest trees, this module keeps one flat list per version
-and documents the seam. Reads hand Spark the exact file list, so
+Scale notes (100 TB): the live file list is a TWO-LEVEL manifest tree
+(the Iceberg manifest-list/manifest-file split, public design): each
+commit writes its delta as ONE immutable manifest-group file under
+``_manifests/groups/`` and publishes a small version manifest that lists
+group REFERENCES (name + n_files + bytes), reusing the parent's groups
+untouched. Per-commit cost is therefore O(delta + group count), never
+O(live files) — at ~800k live files (100 TB at 128 MB) the old flat
+format copied tens of MB of JSON per commit; the tree copies a ≤32-entry
+ref list. The group count is bounded by LSM-style geometric coalescing:
+when a commit would exceed MAX_GROUPS refs it merges the smallest groups
+into one, so every file entry is rewritten O(log commits) times total.
+Reads resolve the tree once and hand Spark the exact file list, so
 planning never pays a recursive directory listing, and compaction
 (``snapshot_compact``) is the transactional upgrade of
 layout.compact_parquet: a concurrent append can no longer be silently
@@ -64,8 +72,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
 MANIFEST_DIR = "_manifests"
+GROUPS_DIR = "groups"  # manifest-group files, under MANIFEST_DIR
 DATA_DIR = "data"
 _FMT = "v{:08d}.json"
+# Ref-list ceiling before geometric coalescing kicks in. 32 keeps the
+# per-commit manifest at a few KB while the merge schedule bounds total
+# entry rewrites at O(log commits) per entry.
+MAX_GROUPS = 32
 
 
 class SnapshotConflict(RuntimeError):
@@ -117,9 +130,112 @@ def _versions(table_dir: str) -> list[int]:
     return sorted(out)
 
 
-def _read_manifest(table_dir: str, version: int) -> dict:
+def _gdir(table_dir: str) -> str:
+    return os.path.join(_mdir(table_dir), GROUPS_DIR)
+
+
+def _read_manifest_raw(table_dir: str, version: int) -> dict:
+    """The PHYSICAL manifest: group refs, not file entries. Internal
+    callers that only need counts/txns/schema use this to stay O(groups)
+    instead of paying the full tree resolution."""
     with open(os.path.join(_mdir(table_dir), _FMT.format(version))) as f:
         return json.load(f)
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    """The LOGICAL manifest: `files` is the fully-resolved live file list
+    (concatenated group contents). Legacy flat manifests (pre-tree, inline
+    `files`, and the concurrency tests' injected interlopers) read
+    unchanged with `groups = None`; the next commit folds them into the
+    tree."""
+    m = _read_manifest_raw(table_dir, version)
+    if m.get("groups") is not None:
+        m["files"] = [
+            fe
+            for g in m["groups"]
+            for fe in _read_group(table_dir, g["name"])
+        ]
+    else:
+        m["groups"] = None
+    return m
+
+
+def _read_group(table_dir: str, name: str) -> list[dict]:
+    with open(os.path.join(_gdir(table_dir), name)) as f:
+        return json.load(f)["files"]
+
+
+def _write_group(table_dir: str, files: list[dict]) -> dict:
+    """Write one immutable manifest-group file (tmp + fsync + rename; the
+    name is a fresh uuid so there is no slot to race for) and return its
+    ref: {name, n_files, bytes}. Refs carry the summary so version
+    listings and coalescing decisions never open the group."""
+    d = _gdir(table_dir)
+    os.makedirs(d, exist_ok=True)
+    name = f"g-{uuid.uuid4().hex}.json"
+    tmp = os.path.join(d, f".tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump({"files": files}, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(d, name))
+    return {
+        "name": name,
+        "n_files": len(files),
+        "bytes": sum(fe["bytes"] for fe in files),
+    }
+
+
+def _drop_groups(table_dir: str, created: list[str]) -> None:
+    """Eagerly remove group files a lost/aborted commit created (the same
+    no-debris discipline the data-file abort paths follow); vacuum is the
+    crash-path backstop."""
+    for name in created:
+        try:
+            os.unlink(os.path.join(_gdir(table_dir), name))
+        except FileNotFoundError:
+            pass
+    created.clear()
+
+
+def _child_groups(
+    table_dir: str,
+    base_groups: list[dict],
+    delta_files: list[dict],
+    created: list[str],
+) -> list[dict]:
+    """Groups list for a child commit: the parent's refs untouched + ONE
+    new group holding the delta — the O(delta + groups) commit shape.
+    When the list would exceed MAX_GROUPS, the smallest groups merge into
+    one (geometric/LSM schedule: each entry is rewritten O(log commits)
+    times over the table's life). Created group names are appended to
+    `created` so conflict paths can drop them."""
+    groups = list(base_groups)
+    if delta_files:
+        ref = _write_group(table_dir, delta_files)
+        created.append(ref["name"])
+        groups.append(ref)
+    if len(groups) > MAX_GROUPS:
+        groups.sort(key=lambda g: g["n_files"])
+        k = len(groups) - MAX_GROUPS // 2
+        merged: list[dict] = []
+        for g in groups[:k]:
+            merged.extend(_read_group(table_dir, g["name"]))
+        ref = _write_group(table_dir, merged)
+        created.append(ref["name"])
+        groups = groups[k:] + [ref]
+    return groups
+
+
+def _base_delta(base: dict | None) -> tuple[list[dict], list[dict]]:
+    """(parent group refs, extra delta entries) for a child commit. A
+    legacy flat parent (groups is None) contributes its inline file list
+    as delta, migrating the table into the tree at its next commit."""
+    if base is None:
+        return [], []
+    if base["groups"] is not None:
+        return base["groups"], []
+    return [], list(base["files"])
 
 
 def _publish(table_dir: str, version: int, manifest: dict) -> None:
@@ -174,7 +290,7 @@ def _write_data_files(
 def _next_manifest(
     base: dict | None,
     mode: str,
-    files: list[dict],
+    groups: list[dict],
     rows: int,
     schema_json: str,
     txn: tuple[str, int] | None = None,
@@ -183,7 +299,9 @@ def _next_manifest(
     here so an added field cannot be propagated in one writer and
     forgotten in another (txn markers nearly suffered exactly that) —
     in particular, txns ALWAYS carry forward from the parent or replay
-    protection would silently lapse after an interleaved write."""
+    protection would silently lapse after an interleaved write. The
+    physical manifest carries group REFS only; _read_manifest resolves
+    them to the logical file list."""
     txns = dict(base.get("txns", {})) if base else {}
     if txn is not None:
         txns[txn[0]] = txn[1]
@@ -191,7 +309,7 @@ def _next_manifest(
         "version": (base["version"] if base else 0) + 1,
         "parent": base["version"] if base else 0,
         "mode": mode,
-        "files": files,
+        "groups": groups,
         "rows": rows,
         "schema": schema_json,
         "txns": txns,
@@ -236,7 +354,9 @@ def snapshot_commit(
     def _tip_txns() -> dict:
         vs = _versions(table_dir)
         return (
-            _read_manifest(table_dir, vs[-1]).get("txns", {}) if vs else {}
+            _read_manifest_raw(table_dir, vs[-1]).get("txns", {})
+            if vs
+            else {}
         )
 
     def _already(seen: dict) -> bool:
@@ -246,10 +366,15 @@ def snapshot_commit(
         return _versions(table_dir)[-1]  # replay: nothing written at all
     new_files, new_rows, rel_dir = _write_data_files(df, table_dir)
     schema_json = df.schema.json()
+    created: list[str] = []  # group files this attempt wrote
     for _ in range(max_retries):
         vs = _versions(table_dir)
         parent = vs[-1] if vs else 0
-        base = _read_manifest(table_dir, parent) if parent else None
+        # commit paths only need refs/txns/schema/rows — never the
+        # resolved file list, which is the whole point of the tree
+        base = _read_manifest_raw(table_dir, parent) if parent else None
+        if base is not None and "groups" not in base:
+            base["groups"] = None  # legacy flat manifest
         if _already(base.get("txns", {}) if base else {}):
             # another replica committed this txn between our check and
             # now: drop our identical delta and converge
@@ -277,11 +402,15 @@ def snapshot_commit(
                         "migrations.py"
                     )
                 commit_schema = merged
-            live = base["files"] + new_files
+            base_groups, legacy_delta = _base_delta(base)
+            groups = _child_groups(
+                table_dir, base_groups, legacy_delta + new_files, created
+            )
             rows = base["rows"] + new_rows
         else:
-            live, rows = new_files, new_rows
-        manifest = _next_manifest(base, mode, live, rows, commit_schema, txn)
+            groups = _child_groups(table_dir, [], new_files, created)
+            rows = new_rows
+        manifest = _next_manifest(base, mode, groups, rows, commit_schema, txn)
         try:
             _publish(table_dir, parent + 1, manifest)
             return parent + 1
@@ -290,13 +419,17 @@ def snapshot_commit(
                 # a same-txn replica may have won the link race: that is
                 # the documented no-op, not an error — only a FOREIGN
                 # commit makes the overwrite a genuine conflict
+                _drop_groups(table_dir, created)
                 if _already(_tip_txns()):
                     shutil.rmtree(
                         os.path.join(table_dir, rel_dir), ignore_errors=True
                     )
                     return _versions(table_dir)[-1]
                 raise
-            continue  # append rebase: re-read tip, relink same data files
+            # append rebase: re-read tip, relink the same data files
+            # under fresh groups (the old refs pointed at a lost parent)
+            _drop_groups(table_dir, created)
+            continue
     raise SnapshotConflict(
         f"append to {table_dir} lost {max_retries} straight races"
     )
@@ -350,11 +483,14 @@ def snapshot_idempotent_append(
     the double-insert."""
     new_rows = new_rows.dropDuplicates(key_cols)
     schema_json = new_rows.schema.json()
+    created: list[str] = []
     for _ in range(max_retries):
         vs = _versions(table_dir)
         parent = vs[-1] if vs else 0
         if parent:
-            base = _read_manifest(table_dir, parent)
+            base = _read_manifest_raw(table_dir, parent)
+            if "groups" not in base:
+                base["groups"] = None  # legacy flat manifest
             if base["schema"] != schema_json:
                 raise ValueError(
                     f"append schema differs from {table_dir} tip v{parent}"
@@ -374,10 +510,14 @@ def snapshot_idempotent_append(
             # as vacuum debris)
             shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
             return parent
+        base_groups, legacy_delta = _base_delta(base)
+        groups = _child_groups(
+            table_dir, base_groups, legacy_delta + files, created
+        )
         manifest = _next_manifest(
             base,
             "append",
-            (base["files"] if base else []) + files,
+            groups,
             (base["rows"] if base else 0) + rows,
             schema_json,
         )
@@ -385,7 +525,10 @@ def snapshot_idempotent_append(
             _publish(table_dir, parent + 1, manifest)
             return parent + 1
         except SnapshotConflict:
-            continue  # stale anti-join: recompute against the new tip
+            # stale anti-join: recompute against the new tip (the stale
+            # delta's data files stay as vacuum debris, its groups don't)
+            _drop_groups(table_dir, created)
+            continue
     raise SnapshotConflict(
         f"idempotent append to {table_dir} lost {max_retries} straight races"
     )
@@ -432,14 +575,22 @@ def snapshot_versions(table_dir: str) -> list[dict]:
     rows) per retained manifest — the audit surface for time travel."""
     out = []
     for v in _versions(table_dir):
-        m = _read_manifest(table_dir, v)
+        # group refs carry the summary, so the log never resolves the
+        # tree — O(versions × groups), not O(versions × live files)
+        m = _read_manifest_raw(table_dir, v)
+        if m.get("groups") is not None:
+            n_files = sum(g["n_files"] for g in m["groups"])
+            n_bytes = sum(g["bytes"] for g in m["groups"])
+        else:  # legacy flat manifest
+            n_files = len(m["files"])
+            n_bytes = sum(f["bytes"] for f in m["files"])
         out.append(
             {
                 "version": m["version"],
                 "parent": m["parent"],
                 "mode": m["mode"],
-                "n_files": len(m["files"]),
-                "bytes": sum(f["bytes"] for f in m["files"]),
+                "n_files": n_files,
+                "bytes": n_bytes,
                 "rows": m["rows"],
             }
         )
@@ -480,11 +631,13 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str) -> list[str]:
     run when no write is in flight (the same contract as Delta VACUUM's
     retention window, stated instead of time-based because this module
     never consults the clock)."""
-    live = {
-        f["path"]
-        for v in _versions(table_dir)
-        for f in _read_manifest(table_dir, v)["files"]
-    }
+    live: set[str] = set()
+    live_groups: set[str] = set()
+    for v in _versions(table_dir):
+        m = _read_manifest(table_dir, v)  # resolved: needs every path
+        live.update(f["path"] for f in m["files"])
+        if m["groups"] is not None:
+            live_groups.update(g["name"] for g in m["groups"])
     deleted = []
     droot = os.path.join(table_dir, DATA_DIR)
     if os.path.isdir(droot):
@@ -520,6 +673,17 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str) -> list[str]:
             if n.startswith(".tmp."):
                 os.unlink(os.path.join(mdir, n))
                 deleted.append(os.path.join(MANIFEST_DIR, n))
+    # manifest-group files no retained version references (expired
+    # versions' exclusive groups, crashed commits' orphans) + group
+    # dot-temps — same set-difference rule as the data files
+    gdir = _gdir(table_dir)
+    if os.path.isdir(gdir):
+        for n in sorted(os.listdir(gdir)):
+            if n.startswith(".tmp.") or (
+                n.startswith("g-") and n not in live_groups
+            ):
+                os.unlink(os.path.join(gdir, n))
+                deleted.append(os.path.join(MANIFEST_DIR, GROUPS_DIR, n))
     return deleted
 
 
@@ -540,22 +704,27 @@ def snapshot_rmw(
     never a blind retry. The stale rewrite is dropped eagerly, not left
     to vacuum. MERGE (snapshot_merge) and streaming CDC state
     maintenance are the two shipped instances."""
+    created: list[str] = []
     for _ in range(max_retries):
         vs = _versions(table_dir)
         if not vs:
             raise FileNotFoundError(f"{table_dir} has no committed snapshots")
         tip = vs[-1]
-        m = _read_manifest(table_dir, tip)
+        m = _read_manifest_raw(table_dir, tip)
+        if "groups" not in m:
+            m["groups"] = None  # legacy flat manifest
         out = transform(snapshot_read(spark, table_dir, version=tip))
         new_files, new_rows, rel_dir = _write_data_files(out, table_dir)
+        groups = _child_groups(table_dir, [], new_files, created)
         manifest = _next_manifest(
-            m, mode, new_files, new_rows, out.schema.json()
+            m, mode, groups, new_rows, out.schema.json()
         )
         try:
             _publish(table_dir, tip + 1, manifest)
             return tip + 1
         except SnapshotConflict:
             shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
+            _drop_groups(table_dir, created)
             continue
     raise SnapshotConflict(
         f"{mode} into {table_dir} lost {max_retries} straight races"
@@ -645,6 +814,12 @@ def snapshot_compact(
             f"compaction rewrite of {table_dir} changed rows "
             f"({m['rows']} -> {new_rows}); nothing was published"
         )
-    manifest = _next_manifest(m, "compact", new_files, new_rows, m["schema"])
-    _publish(table_dir, tip + 1, manifest)  # raises SnapshotConflict on race
+    created: list[str] = []
+    groups = _child_groups(table_dir, [], new_files, created)
+    manifest = _next_manifest(m, "compact", groups, new_rows, m["schema"])
+    try:
+        _publish(table_dir, tip + 1, manifest)  # SnapshotConflict on race
+    except SnapshotConflict:
+        _drop_groups(table_dir, created)
+        raise
     return tip + 1

@@ -118,15 +118,21 @@ class TestCrashSafety:
         assert not os.path.exists(stale)
 
     def test_manifest_is_complete_before_visible(self, spark, tmp_path):
-        """The published manifest is valid JSON with the full file list —
-        the link-after-fsync protocol can't expose a partial one."""
+        """The published manifest is valid JSON whose group refs resolve
+        to the full file list — the link-after-fsync protocol (groups are
+        renamed into place BEFORE the version link) can't expose a
+        partial tree."""
         t = str(tmp_path / "t")
         S.snapshot_commit(spark, t, _mk(spark, [(i, "x") for i in range(10)]))
         with open(os.path.join(t, S.MANIFEST_DIR, "v00000001.json")) as f:
             m = json.load(f)
-        assert m["rows"] == 10 and m["files"]
-        for fe in m["files"]:
-            assert os.path.getsize(os.path.join(t, fe["path"])) == fe["bytes"]
+        assert m["rows"] == 10 and m["groups"]
+        for g in m["groups"]:
+            files = S._read_group(t, g["name"])
+            assert len(files) == g["n_files"]
+            assert sum(fe["bytes"] for fe in files) == g["bytes"]
+            for fe in files:
+                assert os.path.getsize(os.path.join(t, fe["path"])) == fe["bytes"]
 
 
 class TestConcurrency:
@@ -509,3 +515,98 @@ class TestMaintenance:
         assert _rows(S.snapshot_read(spark, t)) == [(1, "a"), (2, "b"), (3, "c")]
         assert S.snapshot_vacuum(spark, t)
         assert _rows(S.snapshot_read(spark, t)) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+class TestManifestTree:
+    """The two-level manifest tree (VERDICT r6 item 1): per-commit cost is
+    O(delta + groups), never O(live files)."""
+
+    def test_commit_manifest_stays_small_as_table_grows(self, spark, tmp_path):
+        """30 appends: every version manifest holds group REFS, the tip's
+        physical JSON stays bounded (refs, not 30 commits' file entries),
+        and the resolved view is still exactly the union."""
+        t = str(tmp_path / "t")
+        for i in range(30):
+            S.snapshot_commit(spark, t, _mk(spark, [(i, f"v{i}")]))
+        tip = S._versions(t)[-1]
+        raw = S._read_manifest_raw(t, tip)
+        assert raw["groups"] is not None and "files" not in raw
+        assert len(raw["groups"]) <= S.MAX_GROUPS
+        # the ref list is delta-sized per commit: parent refs + 1
+        prev = S._read_manifest_raw(t, tip - 1)
+        new_names = {g["name"] for g in raw["groups"]} - {
+            g["name"] for g in prev["groups"]}
+        assert len(new_names) == 1  # exactly one new group for the delta
+        assert _rows(S.snapshot_read(spark, t)) == [
+            (i, f"v{i}") for i in range(30)]
+        # summaries in the log match the resolved truth
+        log = S.snapshot_versions(t)[-1]
+        m = S._read_manifest(t, tip)
+        assert log["n_files"] == len(m["files"])
+        assert log["bytes"] == sum(f["bytes"] for f in m["files"])
+
+    def test_geometric_coalescing_bounds_group_count(self, spark, tmp_path):
+        """More commits than MAX_GROUPS: the smallest groups merge so the
+        ref list never exceeds the bound, shared refs stay immutable, and
+        no version (old or new) loses a row."""
+        t = str(tmp_path / "t")
+        n = S.MAX_GROUPS + 8
+        for i in range(n):
+            S.snapshot_commit(spark, t, _mk(spark, [(i, "x")]))
+        for v in S._versions(t):
+            raw = S._read_manifest_raw(t, v)
+            assert len(raw["groups"]) <= S.MAX_GROUPS
+        assert S.snapshot_read(spark, t).count() == n
+        # time travel across the coalesce point still resolves: version
+        # MAX_GROUPS (pre-merge) and the tip (post-merge) both exact
+        assert S.snapshot_read(spark, t, version=S.MAX_GROUPS).count() == \
+            S.MAX_GROUPS
+        # vacuum keeps every group a retained version references
+        S.snapshot_vacuum(spark, t)
+        assert S.snapshot_read(spark, t, version=S.MAX_GROUPS).count() == \
+            S.MAX_GROUPS
+
+    def test_legacy_flat_manifest_migrates_on_next_commit(
+        self, spark, tmp_path
+    ):
+        """A pre-tree table (inline `files` list) reads as-is; its next
+        append folds the flat list into the tree and both vintages stay
+        exact."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        # rewrite v1 as a legacy FLAT manifest (what an old writer left)
+        m = S._read_manifest(t, 1)
+        flat = {k: v for k, v in m.items() if k != "groups"}
+        p = os.path.join(t, S.MANIFEST_DIR, S._FMT.format(1))
+        os.unlink(p)
+        with open(p, "w") as f:
+            json.dump(flat, f)
+        # old vintage reads fine
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a")]
+        # next commit migrates into the tree
+        S.snapshot_commit(spark, t, _mk(spark, [(2, "b")]))
+        raw = S._read_manifest_raw(t, 2)
+        assert raw["groups"] is not None
+        assert _rows(S.snapshot_read(spark, t)) == [(1, "a"), (2, "b")]
+        # idempotent append and rmw also accept the (still flat) v1
+        assert _rows(S.snapshot_read(spark, t, version=1)) == [(1, "a")]
+
+    def test_vacuum_drops_orphan_and_expired_groups(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        S.snapshot_commit(spark, t, _mk(spark, [(9, "z")]), mode="overwrite")
+        # orphan group: a crashed commit that never published
+        orphan = S._write_group(t, [{"path": "data/dead/f.parquet", "bytes": 1}])
+        # clean table still references v1's group (time travel) — only the
+        # orphan goes
+        deleted = S.snapshot_vacuum(spark, t)
+        rel = os.path.join(S.MANIFEST_DIR, S.GROUPS_DIR, orphan["name"])
+        assert rel in deleted
+        assert _rows(S.snapshot_read(spark, t, version=1)) == [(1, "a")]
+        # expire v1: its exclusive group becomes vacuum-eligible
+        S.snapshot_expire(t, keep_last=1)
+        deleted = S.snapshot_vacuum(spark, t)
+        assert any(p.startswith(os.path.join(S.MANIFEST_DIR, S.GROUPS_DIR))
+                   for p in deleted)
+        assert _rows(S.snapshot_read(spark, t)) == [(9, "z")]
+        assert S.snapshot_vacuum(spark, t) == []

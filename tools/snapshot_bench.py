@@ -1,12 +1,18 @@
 """Snapshot-format commit-cost micro-benchmark: measure append latency
 against tables with growing LIVE FILE COUNTS to substantiate the
-SCALING.md claim that commit cost is O(delta) + O(manifest JSON copy),
-never O(table data).
+SCALING.md claim that commit cost is O(delta + manifest-group refs),
+never O(live files) and never O(table data).
 
-For each table size (files already live), time (a) a 1-file append via
-snapshot_commit, (b) the txn-marker replay no-op, and record the manifest
-byte size. The append's data work is constant, so any growth isolates the
-manifest-copy term — the known flat-manifest ceiling the module documents.
+Two sections:
+- real tables (10/100/1000 live files, actually written by Spark): time
+  (a) a 1-file append via snapshot_commit, (b) the txn-marker replay
+  no-op, and record the version-manifest byte size.
+- synthetic tables (10k/100k fabricated file entries, no data written):
+  the same append/replay timings at the live-file counts a 100 TB table
+  has (~800k files at 128 MB), which the flat manifest era could not
+  reach — its per-commit JSON copy was O(live files). With the manifest
+  tree the version manifest holds <= MAX_GROUPS group refs, so the
+  manifest_bytes and append_s columns must stay FLAT from 10 to 100k.
 
 Usage: python tools/snapshot_bench.py
 Prints ONE JSON line; results land in tools/SNAPSHOT_BENCH.json.
@@ -28,7 +34,49 @@ from imagingdb_spark import snapshots as S
 from imagingdb_spark.session import get_spark
 
 SIZES = [10, 100, 1000]
+SYNTH_SIZES = [10_000, 100_000]
 REPS = 3
+
+
+def _measure(spark, t: str, one) -> dict:
+    """Append + replay-noop timings and tip-manifest stats for table t."""
+    append_s = []
+    for _ in range(REPS):
+        t0 = time.time()
+        S.snapshot_commit(spark, t, one.coalesce(1))
+        append_s.append(time.time() - t0)
+    replay_s = []
+    S.snapshot_commit(spark, t, one.coalesce(1), txn=("bench", 0))
+    for _ in range(REPS):
+        t0 = time.time()
+        S.snapshot_commit(spark, t, one.coalesce(1), txn=("bench", 0))
+        replay_s.append(time.time() - t0)
+    v = S._versions(t)[-1]
+    raw = S._read_manifest_raw(t, v)
+    return {
+        "append_s": round(min(append_s), 4),
+        "replay_noop_s": round(min(replay_s), 4),
+        "manifest_bytes": os.path.getsize(
+            os.path.join(t, S.MANIFEST_DIR, S._FMT.format(v))
+        ),
+        "n_groups": len(raw["groups"]),
+        "live_files": S.snapshot_versions(t)[-1]["n_files"],
+    }
+
+
+def _seed_synthetic(spark, t: str, n_entries: int, schema_json: str) -> None:
+    """Publish v1 with n_entries FABRICATED file refs (no data on disk):
+    the manifest layer never opens data files on commit, so this measures
+    exactly the metadata term a real 100k-file table would pay."""
+    files = [
+        {"path": f"data/seed/f{i:07d}.parquet", "bytes": 1 << 20}
+        for i in range(n_entries)
+    ]
+    created: list[str] = []
+    groups = S._child_groups(t, [], files, created)
+    manifest = S._next_manifest(None, "append", groups, n_entries, schema_json)
+    os.makedirs(t, exist_ok=True)
+    S._publish(t, 1, manifest)
 
 
 def main() -> None:
@@ -36,7 +84,8 @@ def main() -> None:
     one = spark.range(1000).selectExpr("id as k", "string(id) as v")
     one.count()  # warm
 
-    results = {}
+    results: dict = {}
+    synth: dict = {}
     root = tempfile.mkdtemp(prefix="snapbench_")
     try:
         for n_files in SIZES:
@@ -51,32 +100,22 @@ def main() -> None:
             )
             tip = S.snapshot_versions(t)[-1]
             assert tip["n_files"] >= n_files * 0.9, tip
+            results[str(n_files)] = _measure(spark, t, one)
 
-            append_s = []
-            for r in range(REPS):
-                t0 = time.time()
-                S.snapshot_commit(spark, t, one.coalesce(1))
-                append_s.append(time.time() - t0)
-            replay_s = []
-            S.snapshot_commit(spark, t, one.coalesce(1), txn=("bench", 0))
-            for r in range(REPS):
-                t0 = time.time()
-                S.snapshot_commit(spark, t, one.coalesce(1), txn=("bench", 0))
-                replay_s.append(time.time() - t0)
-            v = S._versions(t)[-1]
-            manifest_bytes = os.path.getsize(
-                os.path.join(t, S.MANIFEST_DIR, S._FMT.format(v))
-            )
-            results[str(n_files)] = {
-                "append_s": round(min(append_s), 4),
-                "replay_noop_s": round(min(replay_s), 4),
-                "manifest_bytes": manifest_bytes,
-                "live_files": S.snapshot_versions(t)[-1]["n_files"],
-            }
+        for n_entries in SYNTH_SIZES:
+            t = os.path.join(root, f"s{n_entries}")
+            _seed_synthetic(spark, t, n_entries, one.schema.json())
+            synth[str(n_entries)] = _measure(spark, t, one)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
-    line = json.dumps({"metric": "snapshot_commit_cost", "by_live_files": results})
+    line = json.dumps(
+        {
+            "metric": "snapshot_commit_cost",
+            "by_live_files": results,
+            "synthetic_by_live_files": synth,
+        }
+    )
     print(line)
     (Path(__file__).parent / "SNAPSHOT_BENCH.json").write_text(line + "\n")
 
