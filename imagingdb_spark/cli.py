@@ -70,17 +70,42 @@ def assert_date_order(start_date: str, end_date: str) -> None:
 
 
 def load_catalog(spark: SparkSession, catalog_dir: str) -> dict[str, DataFrame]:
-    """Read the four catalog tables from ``<catalog_dir>/<name>.parquet``;
-    a table that does not exist yet (fresh catalog) is an empty DataFrame
+    """Read the four catalog tables. Snapshot-backed tables (the default
+    for catalogs this CLI creates — ``<catalog_dir>/<name>`` snapshot
+    dirs) read snapshot-isolated; legacy plain-parquet catalogs
+    (``<catalog_dir>/<name>.parquet``) keep reading as before; a table
+    that exists in neither form (fresh catalog) is an empty DataFrame
     with the declared schema — the `Base.metadata.create_all` analogue
     (db_operations.py:29)."""
+    from imagingdb_spark import snapshots as S
+
     out: dict[str, DataFrame] = {}
     for name, schema in IMAGING_SCHEMAS.items():
         p = Path(catalog_dir) / f"{name}.parquet"
+        snap = Path(catalog_dir) / name
         if p.exists():
             out[name] = spark.read.schema(schema).parquet(str(p))
+        elif S.snapshot_exists(str(snap)):
+            out[name] = S.snapshot_read(spark, str(snap))
         else:
             out[name] = spark.createDataFrame([], schema)
+    return out
+
+
+def catalog_targets(catalog_dir: str) -> dict[str, object]:
+    """Write targets for the four catalog tables: legacy plain-parquet
+    tables keep appending in place (never split one table's state across
+    two formats); everything else — including a fresh catalog — lands on
+    snapshot tables for the serializable, transactional ingest the
+    reference's Postgres commit scope provides."""
+    out: dict[str, object] = {}
+    for name in IMAGING_SCHEMAS:
+        p = Path(catalog_dir) / f"{name}.parquet"
+        out[name] = (
+            str(p)
+            if p.exists()
+            else ingest.SnapshotTarget(str(Path(catalog_dir) / name))
+        )
     return out
 
 
@@ -153,10 +178,7 @@ def upload_data(
         storage_root=cfg["storage_root"],
         upload_type="frames" if upload_type == "frames" else "file",
         microscope=conf.get("microscope"),
-        paths={
-            name: str(Path(cfg["catalog_dir"]) / f"{name}.parquet")
-            for name in IMAGING_SCHEMAS
-        },
+        paths=catalog_targets(cfg["catalog_dir"]),
         overwrite=overwrite,
     )
     for r in result["data_set"].select("dataset_serial").collect():

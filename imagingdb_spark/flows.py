@@ -116,7 +116,9 @@ def insert_frames(
     )
     ds_rows = resolve_parent_ids(ds_rows, data_set)
     max_ds = data_set.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
-    ds_rows = ds_rows.withColumn("id", F.row_number().over(w) + F.lit(max_ds))
+    ds_rows = ds_rows.withColumn(
+        "id", (F.row_number().over(w) + F.lit(max_ds)).cast("long")
+    )
     new_ds = idempotent_append(
         ds_rows, data_set, ["dataset_serial"], paths.get("data_set")
     ).select(*[f.name for f in ds_rows.schema.fields])
@@ -136,7 +138,7 @@ def insert_frames(
             new_ds.select("dataset_serial", F.col("id").alias("dataset_id")),
             "dataset_serial",
         )
-        .withColumn("id", F.row_number().over(w) + F.lit(max_fg))
+        .withColumn("id", (F.row_number().over(w) + F.lit(max_fg)).cast("long"))
         .select(
             "id",
             F.col("nbr_frames").cast("int").alias("nbr_frames"),
@@ -164,7 +166,7 @@ def insert_frames(
             fg_rows.select("dataset_serial", F.col("id").alias("frames_global_id")),
             "dataset_serial",
         )
-        .withColumn("id", F.row_number().over(wf) + F.lit(max_fr))
+        .withColumn("id", (F.row_number().over(wf) + F.lit(max_fr)).cast("long"))
         .select(
             "id", "channel_idx", "slice_idx", "time_idx", "pos_idx",
             "channel_name", "file_name", "sha256", "metadata_json",

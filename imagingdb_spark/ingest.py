@@ -177,7 +177,9 @@ def insert_file(
     ds_rows = resolve_parent_ids(ds_rows, data_set)
     max_ds_id = data_set.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
     w = Window.partitionBy(F.lit(0)).orderBy("dataset_serial")  # catalog-batch-sized: one task is fine
-    ds_rows = ds_rows.withColumn("id", F.row_number().over(w) + F.lit(max_ds_id))
+    ds_rows = ds_rows.withColumn(
+        "id", (F.row_number().over(w) + F.lit(max_ds_id)).cast("long")
+    )
     appended_ds = idempotent_append(
         ds_rows, data_set, ["dataset_serial"], data_set_path
     )
@@ -191,7 +193,7 @@ def insert_file(
             appended_ds.select("dataset_serial", F.col("id").alias("dataset_id")),
             "dataset_serial",
         )
-        .withColumn("id", F.row_number().over(w) + F.lit(max_fg_id))
+        .withColumn("id", (F.row_number().over(w) + F.lit(max_fg_id)).cast("long"))
         .select("id", "storage_dir", "file_name", "metadata_json", "dataset_id", "sha256")
     )
     appended_fg = idempotent_append(
@@ -200,21 +202,55 @@ def insert_file(
     return appended_ds, appended_fg
 
 
+class SnapshotTarget:
+    """Marker routing a catalog append through the snapshot table format
+    (snapshots.snapshot_idempotent_append_delta) instead of a plain
+    parquet `mode("append")` write. Pass instances in the `paths` dict of
+    flows.upload_dataset / insert_frames / ingest.insert_file to get the
+    serializable, exactly-once-by-key guarantee the reference's Postgres
+    transaction scope provides (db_operations.py:14-38): the anti-join is
+    recomputed against the exact snapshot tip the commit publishes onto,
+    so two concurrent uploads of the same serial land exactly one
+    dataset. Surrogate-id ALLOCATION keeps single-writer-batch semantics
+    (max+row_number over the view the caller read) — the serializable
+    guard is on the natural key."""
+
+    def __init__(self, table_dir: str):
+        self.table_dir = table_dir
+
+    def __repr__(self) -> str:  # shows up in paths-dict debugging
+        return f"SnapshotTarget({self.table_dir!r})"
+
+
 def idempotent_append(
     new_rows: DataFrame,
     existing: DataFrame,
     key_cols: list[str],
-    target_path: str | None = None,
+    target_path: str | SnapshotTarget | None = None,
 ) -> DataFrame:
     """S7/D1: anti-join-guarded append — the uniqueness assert + staged
     commit (db_operations.py:111-117, 176-181, 14-38) as idempotent batch
     append. Returns the deduplicated new rows; writes parquet when
     target_path is given.
 
+    target_path as a SnapshotTarget upgrades the append to the
+    serializable snapshot variant: the returned frame is then the delta
+    that actually COMMITTED (anti-join recomputed against the published-
+    onto tip inside the commit loop), not the pre-commit view — a
+    concurrent writer landing the same keys makes it empty, which is the
+    convergence downstream inserts need.
+
     Scale: the anti-join shuffles on the key unless the existing-keys side
     is small enough for AQE to broadcast; for a catalog keyed by
     dataset_serial that side is one row per dataset — always broadcastable.
     dropDuplicates(key) guards against dup keys WITHIN the incoming batch."""
+    if isinstance(target_path, SnapshotTarget):
+        from imagingdb_spark.snapshots import snapshot_idempotent_append_delta
+
+        _, delta = snapshot_idempotent_append_delta(
+            new_rows.sparkSession, target_path.table_dir, new_rows, key_cols
+        )
+        return delta
     deduped = new_rows.dropDuplicates(key_cols).join(
         existing.select(*key_cols), key_cols, "left_anti"
     )

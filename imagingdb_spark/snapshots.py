@@ -87,6 +87,29 @@ class SnapshotConflict(RuntimeError):
     no longer the tip)."""
 
 
+def _canon_schema_json(schema: StructType) -> str:
+    """Schema as stored in manifests: every nullability flag forced True,
+    recursively. Parquet cannot enforce non-null on read, so two
+    logically-identical commits can otherwise disagree on nothing but
+    expression-derived nullable flags (a row_number-built id is non-null;
+    the same id read back from the committed files is nullable) and a
+    replayed append would fail the exact-schema check spuriously. Types
+    and field order stay strict."""
+
+    def _relax(node):
+        if isinstance(node, dict):
+            return {
+                k: (True if k in ("nullable", "containsNull",
+                                  "valueContainsNull") else _relax(v))
+                for k, v in node.items()
+            }
+        if isinstance(node, list):
+            return [_relax(v) for v in node]
+        return node
+
+    return json.dumps(_relax(json.loads(schema.json())))
+
+
 def _merged_schema(base_json: str, new_json: str) -> str | None:
     """Additive schema merge (the Delta ``mergeSchema`` rule, public):
     every field the two schemas SHARE must have an identical type; the
@@ -365,7 +388,7 @@ def snapshot_commit(
     if _already(_tip_txns()):
         return _versions(table_dir)[-1]  # replay: nothing written at all
     new_files, new_rows, rel_dir = _write_data_files(df, table_dir)
-    schema_json = df.schema.json()
+    schema_json = _canon_schema_json(df.schema)
     created: list[str] = []  # group files this attempt wrote
     for _ in range(max_retries):
         vs = _versions(table_dir)
@@ -481,8 +504,29 @@ def snapshot_idempotent_append(
     append rebase, precisely because idempotence is a READ-dependent
     claim: relinking files checked against an older tip would reintroduce
     the double-insert."""
+    version, _delta = snapshot_idempotent_append_delta(
+        spark, table_dir, new_rows, key_cols, max_retries
+    )
+    return version
+
+
+def snapshot_idempotent_append_delta(
+    spark: SparkSession,
+    table_dir: str,
+    new_rows: DataFrame,
+    key_cols: list[str],
+    max_retries: int = 5,
+) -> tuple[int, DataFrame]:
+    """snapshot_idempotent_append, returning (tip version, the rows THIS
+    call actually committed) — the committed delta read back from the
+    commit's own data files, which is what a composed ingest flow joins
+    its child-table rows against (flows.insert_frames): on a replay or a
+    lost same-key race the delta is the typed EMPTY frame, so downstream
+    inserts converge to nothing instead of re-deriving from the stale
+    pre-commit view."""
     new_rows = new_rows.dropDuplicates(key_cols)
-    schema_json = new_rows.schema.json()
+    schema_json = _canon_schema_json(new_rows.schema)
+    schema = new_rows.schema
     created: list[str] = []
     for _ in range(max_retries):
         vs = _versions(table_dir)
@@ -509,7 +553,7 @@ def snapshot_idempotent_append(
             # (and the just-written empty delta dir is removed, not left
             # as vacuum debris)
             shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
-            return parent
+            return parent, spark.createDataFrame([], schema)
         base_groups, legacy_delta = _base_delta(base)
         groups = _child_groups(
             table_dir, base_groups, legacy_delta + files, created
@@ -523,7 +567,14 @@ def snapshot_idempotent_append(
         )
         try:
             _publish(table_dir, parent + 1, manifest)
-            return parent + 1
+            delta = (
+                spark.read.schema(schema).parquet(
+                    *[os.path.join(table_dir, f["path"]) for f in files]
+                )
+                if files
+                else spark.createDataFrame([], schema)
+            )
+            return parent + 1, delta
         except SnapshotConflict:
             # stale anti-join: recompute against the new tip (the stale
             # delta's data files stay as vacuum debris, its groups don't)
@@ -717,7 +768,7 @@ def snapshot_rmw(
         new_files, new_rows, rel_dir = _write_data_files(out, table_dir)
         groups = _child_groups(table_dir, [], new_files, created)
         manifest = _next_manifest(
-            m, mode, groups, new_rows, out.schema.json()
+            m, mode, groups, new_rows, _canon_schema_json(out.schema)
         )
         try:
             _publish(table_dir, tip + 1, manifest)

@@ -560,3 +560,122 @@ class TestBatchUpload:
         for s in serials:
             d = tmp_path / "store" / "raw_frames" / s
             assert len(list(d.iterdir())) == 4
+
+
+class TestSnapshotBackedCatalog:
+    """VERDICT r6 item 2: the composed upload flow on SNAPSHOT catalog
+    tables — the serializable guarantee the reference's transaction scope
+    provides (db_operations.py:14-38, staged inserts + single commit),
+    now end-to-end instead of only in the streaming jobs."""
+
+    def _fresh(self, spark, tmp_path):
+        from imagingdb_spark.catalog import IMAGING_SCHEMAS
+        from imagingdb_spark.ingest import SnapshotTarget
+
+        cat = {n: spark.createDataFrame([], s)
+               for n, s in IMAGING_SCHEMAS.items()}
+        targets = {n: SnapshotTarget(str(tmp_path / "cat" / n))
+                   for n in IMAGING_SCHEMAS}
+        return cat, targets
+
+    def _upload(self, spark, src_file, tmp_path, cat, targets,
+                serial=UP_SERIAL):
+        man = spark.createDataFrame(
+            [(serial, src_file, "Testing", "none")],
+            "dataset_serial string, file_name string, description string, "
+            "parent_dataset_id string",
+        )
+        return flows.upload_dataset(
+            spark, man, cat,
+            storage_root=str(tmp_path / "store"),
+            upload_type="frames",
+            page_reader=_fake_page_reader,
+            global_meta={"im_width": 8, "im_height": 8,
+                         "nbr_channels": 2, "nbr_slices": 3},
+            paths=targets,
+        )
+
+    @pytest.fixture()
+    def src_file(self, tmp_path):
+        payload = b"".join(
+            bytes([c * 16 + z]) * PAGE_BYTES
+            for z in range(3) for c in range(2)
+        )
+        p = tmp_path / "stack.tif"
+        p.write_bytes(payload)
+        return str(p)
+
+    def test_upload_query_download_on_snapshot_tables(
+        self, spark, src_file, tmp_path
+    ):
+        from imagingdb_spark import snapshots as S
+
+        cat, targets = self._fresh(spark, tmp_path)
+        out = self._upload(spark, src_file, tmp_path, cat, targets)
+        assert out["data_set"].count() == 1
+        assert out["frames"].count() == 6
+
+        # the committed catalog IS snapshot tables: atomic versions exist
+        ds_dir = targets["data_set"].table_dir
+        assert S.snapshot_exists(ds_dir)
+        committed = {
+            n: S.snapshot_read(spark, targets[n].table_dir)
+            for n in ("data_set", "frames_global", "frames")
+        }
+        assert committed["data_set"].count() == 1
+        assert committed["frames"].count() == 6
+
+        # query + download against the snapshot-read catalog
+        dest = tmp_path / "dl"
+        dest.mkdir()
+        committed["file_global"] = cat["file_global"]
+        storage_dir, names = flows.download_dataset(
+            spark, committed, UP_SERIAL, str(dest),
+            storage_root=str(tmp_path / "store"),
+        )
+        assert len(names) == 6
+
+        # replay converges: no new version, no new rows
+        v_before = S.snapshot_versions(ds_dir)[-1]["version"]
+        out2 = self._upload(
+            spark, src_file, tmp_path,
+            {**committed, "file_global": cat["file_global"]}, targets,
+        )
+        assert out2["data_set"].count() == 0
+        assert out2["frames"].count() == 0
+        assert S.snapshot_versions(ds_dir)[-1]["version"] == v_before
+
+    def test_concurrent_same_serial_uploads_land_one_dataset(
+        self, spark, src_file, tmp_path
+    ):
+        """Two concurrent upload_dataset calls with the SAME serial: the
+        snapshot-pinned anti-join makes exactly one dataset land — the
+        race the plain-parquet anti-join documents it cannot close (both
+        writers can pass the check before either writes)."""
+        import threading
+
+        from imagingdb_spark import snapshots as S
+
+        cat, targets = self._fresh(spark, tmp_path)
+        errs = []
+
+        def run():
+            try:
+                self._upload(spark, src_file, tmp_path, cat, targets)
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                errs.append(e)
+
+        ts = [threading.Thread(target=run) for _ in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+
+        ds = S.snapshot_read(spark, targets["data_set"].table_dir)
+        assert ds.count() == 1  # exactly one dataset row
+        assert ds.collect()[0]["dataset_serial"] == UP_SERIAL
+        fg = S.snapshot_read(spark, targets["frames_global"].table_dir)
+        assert fg.count() == 1
+        fr = S.snapshot_read(spark, targets["frames"].table_dir)
+        assert fr.count() == 6  # one set of frames, not two
