@@ -194,3 +194,160 @@ def estimate_np(regs: np.ndarray) -> float:
     if e <= 2.5 * m and v > 0:
         e = m * np.log(m / v)
     return float(e)
+
+
+# ---------------------------------------------------------------------------
+# Mergeable quantile sketch (St16/D22): DDSketch-style log-bucketed
+# histogram ("DDSketch: a fast and fully-mergeable quantile sketch with
+# relative-error guarantees", Masson et al., VLDB 2019 — public). Bucket
+# index = ceil(log_gamma(v)) with gamma = (1+alpha)/(1-alpha): any value
+# in bucket i sits within relative error alpha of the bucket estimate
+# 2*gamma^i/(gamma+1). Merging = bucket-count SUM — commutative and
+# associative but NOT idempotent (a replayed batch double-counts), so the
+# streaming fold rides snapshot_rmw's txn marker exactly like the MG
+# heavy-hitter state and unlike the HLL register max. State is
+# O(log(max/min)/alpha) rows per group (~1-2k buckets across 18 decades
+# at 1%) at ANY row count — the bounded-state property percentile_approx
+# has inside one job but cannot persist across triggers/tables/days.
+# All JVM: one log-projection + one groupBy sum.
+# ---------------------------------------------------------------------------
+
+DD_ALPHA = 0.01
+DD_GAMMA = (1 + DD_ALPHA) / (1 - DD_ALPHA)
+_DD_LN_GAMMA = float(np.log(DD_GAMMA))
+
+
+def dd_partials(
+    df: DataFrame, value_col: str, group_cols: list[str]
+) -> DataFrame:
+    """Sparse bucket rows (group_cols..., sign tinyint, bkt int, cnt
+    long): the mergeable sketch of `value_col`'s distribution per group.
+    sign ∈ {-1, 0, 1} handles negatives (mirrored buckets) and exact
+    zeros (their own bucket). One projection + one map-side-combined
+    groupBy sum."""
+    v = F.col(value_col).cast("double")
+    sign = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(
+        F.lit(0)
+    )
+    bkt = F.when(
+        v == 0, F.lit(0)
+    ).otherwise(F.ceil(F.log(F.abs(v)) / F.lit(_DD_LN_GAMMA)))
+    return (
+        df.select(
+            *group_cols,
+            sign.cast("tinyint").alias("sign"),
+            bkt.cast("int").alias("bkt"),
+        )
+        .groupBy(*group_cols, "sign", "bkt")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dd_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union-sum merge — associative + commutative, NOT idempotent: the
+    replay screen is the caller's job (snapshot_rmw txn marker in the
+    streaming fold)."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "sign", "bkt")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def dd_quantiles(
+    buckets: DataFrame, group_cols: list[str], qs: list[float]
+) -> DataFrame:
+    """(group_cols..., q, value) per requested quantile off the sparse
+    bucket rows: order buckets by true value order (sign asc, sign*bkt
+    asc), running-sum the counts under ONE per-group window, and for each
+    q pick the bucket whose cumulative range covers ceil(q*N). The
+    estimate 2*gamma^bkt/(gamma+1) (sign-adjusted; 0 for the zero bucket)
+    is within relative error DD_ALPHA of the true quantile value by the
+    bucket invariant. Shuffle: one exchange on the group key; the window
+    is per-group over <= a few thousand bucket rows."""
+    from pyspark.sql.window import Window
+
+    key = (F.col("sign").cast("int") * F.col("bkt")).alias("__key")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("sign", "__key")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy(*group_cols)
+    cum = (
+        buckets.select(*group_cols, "sign", "bkt", "cnt", key)
+        .withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("n_total", F.sum("cnt").over(wn))
+    )
+    qlits = F.explode(F.array(*[F.lit(float(q)) for q in qs])).alias("q")
+    est = (
+        F.when(F.col("sign") == 0, F.lit(0.0))
+        .otherwise(
+            F.col("sign")
+            * F.lit(2.0 / (DD_GAMMA + 1))
+            * F.pow(F.lit(DD_GAMMA), F.col("bkt"))
+        )
+    )
+    rank = F.ceil(F.col("q") * F.col("n_total"))
+    return (
+        cum.select(*group_cols, "sign", "bkt", "cnt", "cum", "n_total", qlits)
+        .filter(
+            (F.col("cum") >= rank) & (F.col("cum") - F.col("cnt") < rank)
+        )
+        .select(*group_cols, "q", F.round(est, 6).alias("value"))
+    )
+
+
+@query("st_quantiles")  # rows-only: log-bucket quantile estimates aren't
+#                         ANSI-SQL; the relative-error bound vs exact
+#                         quantiles and the stream==batch fold parity are
+#                         pinned in tests/test_sketches.py
+def st_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-quantiles batch twin: p50/p90/p99 of lineitem extended
+    price per return flag off the mergeable bucket sketch — the same rows
+    the streaming job (streaming_quantiles) folds into snapshot state, so
+    this IS the query a latency/price dashboard runs against the
+    maintained sketch. Relative error <= DD_ALPHA by construction;
+    deterministic (integer bucket counts + exact rank selection)."""
+    from imagingdb_spark.catalog import table
+
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    parts = dd_partials(li, "l_extendedprice", ["l_returnflag"])
+    return dd_quantiles(parts, ["l_returnflag"], [0.5, 0.9, 0.99]).orderBy(
+        "l_returnflag", "q"
+    )
+
+
+# ---- numpy reference twin (tests pin the JVM bucket math against it) ----
+
+
+def dd_bucket_np(values: np.ndarray) -> dict[tuple[int, int], int]:
+    """(sign, bkt) -> count, independently of Spark."""
+    out: dict[tuple[int, int], int] = {}
+    for v in np.asarray(values, dtype=np.float64):
+        if v == 0:
+            k = (0, 0)
+        else:
+            s = 1 if v > 0 else -1
+            k = (s, int(np.ceil(np.log(abs(v)) / _DD_LN_GAMMA)))
+        out[k] = out.get(k, 0) + 1
+    return out
+
+
+def dd_quantile_np(
+    buckets: dict[tuple[int, int], int], q: float
+) -> float:
+    """Reference rank selection over a (sign, bkt) -> count dict."""
+    items = sorted(buckets.items(), key=lambda kv: (kv[0][0], kv[0][0] * kv[0][1]))
+    n = sum(buckets.values())
+    rank = int(np.ceil(q * n))
+    cum = 0
+    for (s, b), c in items:
+        cum += c
+        if cum >= rank:
+            if s == 0:
+                return 0.0
+            return round(s * 2.0 / (DD_GAMMA + 1) * DD_GAMMA ** b, 6)
+    raise ValueError("empty sketch")

@@ -726,9 +726,14 @@ def _mg_sketch_partitions(toks: DataFrame, k: int = HH_SKETCH_K) -> DataFrame:
                     t: c - offset for t, c in counters.items() if c > offset
                 }
         if counters:
-            yield pd.DataFrame({"tok": list(counters)})
+            yield pd.DataFrame(
+                {"tok": list(counters), "cnt": list(counters.values())}
+            )
 
-    return toks.mapInPandas(sketch, schema="tok string")
+    # cnt is the partition-local residual counter (an UNDERestimate of the
+    # partition frequency by <= n_p/(k+1)); x_heavy_hitters ignores it, the
+    # streaming fold (mg_merge_state) sums it into the maintained state
+    return toks.mapInPandas(sketch, schema="tok string, cnt long")
 
 
 @query(
@@ -778,7 +783,7 @@ def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = table(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens_col(F.col("text"))).alias("tok"))
-    cand = _mg_sketch_partitions(toks).dropDuplicates(["tok"])
+    cand = _mg_sketch_partitions(toks).select("tok").dropDuplicates(["tok"])
     total = d.select(
         F.sum(F.size(tokens_col(F.col("text")))).alias("n_total")
     )
@@ -796,3 +801,116 @@ def x_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_occ") / F.col("n_total"), 4).alias("share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Continuous heavy hitters (St15): the streaming twin of x_heavy_hitters.
+# A maintained Misra–Gries state (<= HH_SKETCH_K counter rows + one total
+# row) folded batch-by-batch — the "mergeable summaries" MG merge
+# (Agarwal et al., PODS 2012, public): sum same-token counters, then
+# subtract the (k+1)-th largest count and drop non-positives. Unlike the
+# HLL register max, this fold is NOT idempotent (a replayed batch would
+# double-count), so the streaming job screens replays with the snapshot
+# txn marker BEFORE folding (snapshots.snapshot_rmw txn) — the asymmetry
+# that distinguishes the two sketch families.
+# ---------------------------------------------------------------------------
+
+# reserved token that accumulates the EXACT total occurrence count (the
+# heavy-hitter denominator); excluded from compression — \x00 cannot
+# appear in a whitespace-split token
+MG_TOTAL = "\x00__total__"
+
+
+def mg_batch_partial(toks: DataFrame, k: int = HH_SKETCH_K) -> DataFrame:
+    """One micro-batch's contribution to the maintained MG state: the
+    per-partition sketch rows (bounded at k counters per partition) plus
+    the exact batch total under the reserved token. Map-side except the
+    1-row total aggregate."""
+    return _mg_sketch_partitions(toks, k).unionByName(
+        toks.agg(
+            F.lit(MG_TOTAL).alias("tok"),
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+        )
+    )
+
+
+def mg_merge_state(
+    state: DataFrame, partial: DataFrame, k: int = HH_SKETCH_K
+) -> DataFrame:
+    """Fold one batch partial into the maintained state: sum same-token
+    counters, then ONE compress — when more than k counters survive,
+    subtract the (k+1)-th largest and drop non-positives. The compress
+    subtracts its offset from >= k+1 distinct tokens, so across the whole
+    stream the total undercount per token stays <= N/(k+1) (the mergeable
+    MG bound) — any token with true share > 1/(k+1) is always present.
+    The shuffle carries <= k + k*batch_partitions rows; the total row
+    bypasses compression. Deterministic: which counters survive depends
+    only on counts, never on row order."""
+    merged = (
+        state.unionByName(partial)
+        .groupBy("tok")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    counters = merged.filter(F.col("tok") != MG_TOTAL)
+    total = merged.filter(F.col("tok") == MG_TOTAL)
+    # (k+1)-th largest counter as a broadcast scalar; 0 when <= k survive
+    kth = counters.orderBy(F.col("cnt").desc(), "tok").limit(k + 1)
+    off = kth.agg(
+        F.count(F.lit(1)).alias("__n"), F.min("cnt").alias("__kth")
+    )
+    offset = F.when(F.col("__n") > k, F.col("__kth")).otherwise(F.lit(0))
+    compressed = (
+        counters.crossJoin(F.broadcast(off))
+        .select("tok", (F.col("cnt") - offset).alias("cnt"))
+        .filter(F.col("cnt") > 0)
+    )
+    return compressed.unionByName(total)
+
+
+def mg_heavy_hitters(
+    state: DataFrame, phi: float = HH_PHI, k: int = HH_SKETCH_K
+) -> DataFrame:
+    """Read side over the maintained state: every token whose TRUE share
+    could reach phi — counters underestimate by <= N/(k+1), so the
+    threshold is cnt >= (phi - 1/(k+1)) * N. Output (tok, cnt_min,
+    share_min) is a guaranteed SUPERSET of the true phi-heavy tokens
+    (the no-false-negative half of x_heavy_hitters' contract; the exact
+    recount half needs the corpus, which a stream no longer has)."""
+    total = state.filter(F.col("tok") == MG_TOTAL).select(
+        F.col("cnt").alias("n_total")
+    )
+    thresh = F.lit(phi - 1.0 / (k + 1)) * F.col("n_total")
+    return (
+        state.filter(F.col("tok") != MG_TOTAL)
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= thresh)
+        .select(
+            "tok",
+            F.col("cnt").alias("cnt_min"),
+            F.round(F.col("cnt") / F.col("n_total"), 4).alias("share_min"),
+        )
+    )
+
+
+@query("st_heavy_hitters")  # rows-only: the MG fold (bounded-state counter
+#                             compression) is not ANSI-SQL-expressible;
+#                             superset-of-exact + stream==fold parity are
+#                             pinned in tests/test_sketches.py
+def st_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous heavy hitters, batch-fold twin: split documents into 4
+    deterministic micro-batches (pmod(doc_id, 4) — the arrival-order
+    simulation the streaming parity test replays), fold each through
+    mg_merge_state exactly as streaming_heavy_hitters does per trigger,
+    and read the survivors out with mg_heavy_hitters. This IS the query a
+    dashboard runs against the maintained state table; the streaming job
+    (streaming/jobs.py streaming_heavy_hitters) must land bit-identical
+    state on the same batches (pinned by test)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "text")
+    state = None
+    for b in range(4):
+        toks = d.filter(F.pmod("doc_id", F.lit(4)) == b).select(
+            F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        partial = mg_batch_partial(toks)
+        state = partial if state is None else mg_merge_state(state, partial)
+    return mg_heavy_hitters(state).orderBy("tok")

@@ -744,6 +744,7 @@ def snapshot_rmw(
     transform,
     mode: str = "rmw",
     max_retries: int = 5,
+    txn: tuple[str, int] | None = None,
 ) -> int:
     """Serializable read-modify-write: ``transform(tip_df) -> new_df``
     replaces the table, committed as one atomic version PINNED to the
@@ -754,7 +755,21 @@ def snapshot_rmw(
     discipline) and a lost race re-reads and re-runs the transform —
     never a blind retry. The stale rewrite is dropped eagerly, not left
     to vacuum. MERGE (snapshot_merge) and streaming CDC state
-    maintenance are the two shipped instances."""
+    maintenance are the two shipped instances.
+
+    ``txn=(app_id, seq)`` makes the RMW EXACTLY-ONCE (the same marker
+    snapshot_commit carries): a transform whose seq the tip already
+    records is skipped entirely and the tip returned. This is what
+    NON-IDEMPOTENT streaming folds need — HLL register max converges
+    under replay by algebra, but a Misra–Gries counter sum or a quantile
+    bucket sum applied twice double-counts, so the replay screen must
+    happen BEFORE the fold, at the state table itself (the checkpoint
+    alone cannot promise it: foreachBatch can fire twice for one
+    batch_id around a crash)."""
+
+    def _already(m: dict) -> bool:
+        return txn is not None and txn[1] <= m.get("txns", {}).get(txn[0], -1)
+
     created: list[str] = []
     for _ in range(max_retries):
         vs = _versions(table_dir)
@@ -764,11 +779,13 @@ def snapshot_rmw(
         m = _read_manifest_raw(table_dir, tip)
         if "groups" not in m:
             m["groups"] = None  # legacy flat manifest
+        if _already(m):
+            return tip  # replayed txn: the fold already happened
         out = transform(snapshot_read(spark, table_dir, version=tip))
         new_files, new_rows, rel_dir = _write_data_files(out, table_dir)
         groups = _child_groups(table_dir, [], new_files, created)
         manifest = _next_manifest(
-            m, mode, groups, new_rows, _canon_schema_json(out.schema)
+            m, mode, groups, new_rows, _canon_schema_json(out.schema), txn
         )
         try:
             _publish(table_dir, tip + 1, manifest)

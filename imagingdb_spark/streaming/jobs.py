@@ -317,16 +317,25 @@ def _snapshot_state_step(
     batch_id: int,
     expire_every: int,
     keep_versions: int,
+    txn_app: str | None = None,
 ) -> None:
     """One micro-batch against a snapshot-held state table — the shared
-    plumbing of streaming_distinct_hll and streaming_cdc_apply_snapshot
-    (bootstrap, pinned-tip RMW, periodic retention): seed an empty typed
-    state on first contact, apply the transform under snapshot_rmw, and
-    every ``expire_every`` batches expire to ``keep_versions`` manifests
-    + vacuum the unreferenced rewrites. Retention is safe here precisely
+    plumbing of streaming_distinct_hll / streaming_heavy_hitters /
+    streaming_quantiles / streaming_cdc_apply_snapshot (bootstrap,
+    pinned-tip RMW, periodic retention): seed an empty typed state on
+    first contact, apply the transform under snapshot_rmw, and every
+    ``expire_every`` batches expire to ``keep_versions`` manifests +
+    vacuum the unreferenced rewrites. Retention is safe here precisely
     because foreachBatch serializes this writer and vacuum's no-writer
     contract is therefore held by construction; without it the state
-    table accumulates one full-state copy per trigger forever."""
+    table accumulates one full-state copy per trigger forever.
+
+    ``txn_app`` turns the fold exactly-once: the RMW carries
+    (txn_app, batch_id) and a replayed batch is skipped at the state
+    table itself. REQUIRED for non-idempotent folds (Misra–Gries counter
+    sums, quantile bucket sums); the HLL register max doesn't need it —
+    replay convergence is its algebra — and leaving it off there keeps
+    that property load-bearing and tested."""
     from imagingdb_spark.snapshots import (
         snapshot_commit,
         snapshot_exists,
@@ -337,7 +346,8 @@ def _snapshot_state_step(
 
     if not snapshot_exists(table_dir):
         snapshot_commit(spark, table_dir, seed_df)
-    snapshot_rmw(spark, table_dir, transform, mode=mode)
+    txn = (txn_app, int(batch_id)) if txn_app is not None else None
+    snapshot_rmw(spark, table_dir, transform, mode=mode, txn=txn)
     if expire_every and batch_id > 0 and batch_id % expire_every == 0:
         snapshot_expire(table_dir, keep_last=keep_versions)
         snapshot_vacuum(spark, table_dir)
@@ -410,6 +420,144 @@ def hll_estimates(spark: SparkSession, table_dir: str) -> DataFrame:
     state = snapshot_read(spark, table_dir)
     gcols = [c for c in state.columns if c not in ("reg_idx", "rank")]
     return hll_estimate_df(state, gcols)
+
+
+def streaming_heavy_hitters(
+    docs: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    k: int | None = None,
+    expire_every: int = 8,
+    keep_versions: int = 4,
+) -> StreamingQuery:
+    """Continuous heavy hitters with BOUNDED state (St15): per micro-batch,
+    per-partition Misra–Gries partials over the batch's tokens + the exact
+    batch total (operators/text.py mg_batch_partial), folded into a
+    snapshot-held state of <= k counter rows via mg_merge_state. State is
+    k+1 rows at ANY vocabulary size; the undercount bound N/(k+1) holds
+    across the whole stream (mergeable-summaries MG), so
+    mg_heavy_hitters() reads a guaranteed superset of the true
+    phi-heavy tokens at any moment.
+
+    Replay safety is BOOKKEEPING here, not algebra: counter sums applied
+    twice double-count (unlike the HLL register max), so the fold carries
+    the snapshot txn marker — a post-crash re-fire of an already-folded
+    batch_id is screened at the state table before any row moves. That
+    asymmetry between the two sketch families is pinned by test."""
+    from imagingdb_spark.operators.text import (
+        HH_SKETCH_K,
+        mg_batch_partial,
+        mg_merge_state,
+        tokens_col,
+    )
+
+    kk = HH_SKETCH_K if k is None else k
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        toks = batch_df.select(
+            F.explode(tokens_col(F.col(text_col))).alias("tok")
+        )
+        partial = mg_batch_partial(toks, kk)
+        _snapshot_state_step(
+            batch_df.sparkSession,
+            table_dir,
+            partial.limit(0),
+            lambda state: mg_merge_state(state, partial, kk),
+            "mg",
+            int(batch_id),
+            expire_every,
+            keep_versions,
+            txn_app="mg-heavy-hitters",
+        )
+
+    return (
+        docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def heavy_hitter_estimates(
+    spark: SparkSession, table_dir: str, phi: float | None = None
+) -> DataFrame:
+    """Read side of streaming_heavy_hitters: (tok, cnt_min, share_min)
+    for every token whose true share could reach phi — one tiny scan of
+    the <= k+1-row state. Shares the read-out with the batch twin
+    (text.mg_heavy_hitters) so the two cannot drift."""
+    from imagingdb_spark.operators.text import HH_PHI, mg_heavy_hitters
+    from imagingdb_spark.snapshots import snapshot_read
+
+    return mg_heavy_hitters(
+        snapshot_read(spark, table_dir), HH_PHI if phi is None else phi
+    )
+
+
+def streaming_quantiles(
+    events: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    value_col: str,
+    group_cols: tuple[str, ...] = (),
+    expire_every: int = 8,
+    keep_versions: int = 4,
+) -> StreamingQuery:
+    """Continuous quantiles with BOUNDED state (St16): per micro-batch,
+    DDSketch log-bucket partials per group (operators/sketches.py
+    dd_partials — one projection + one map-side-combined sum, all JVM)
+    folded into snapshot state via the union-sum merge. State is
+    O(log(range)/alpha) bucket rows per group at ANY row count, and
+    dd_quantiles reads any quantile with relative error <= DD_ALPHA —
+    the property percentile_approx has inside one job but cannot persist
+    across triggers/tables/days.
+
+    Bucket-count sums are NOT idempotent, so like the heavy-hitter fold
+    (and unlike HLL) the fold carries the snapshot txn marker: a
+    replayed batch is screened at the state table before it can
+    double-count."""
+    from imagingdb_spark.operators.sketches import dd_merge, dd_partials
+
+    gcols = list(group_cols)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = dd_partials(batch_df, value_col, gcols)
+        _snapshot_state_step(
+            batch_df.sparkSession,
+            table_dir,
+            partial.limit(0),
+            lambda state: dd_merge(state, partial, gcols),
+            "ddsketch",
+            int(batch_id),
+            expire_every,
+            keep_versions,
+            txn_app="dd-quantiles",
+        )
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def quantile_estimates(
+    spark: SparkSession, table_dir: str, qs: list[float]
+) -> DataFrame:
+    """Read side of streaming_quantiles: per-group quantile values off
+    the maintained bucket state — one tiny scan (groups × <= a few
+    thousand buckets). Shares dd_quantiles with the batch twin."""
+    from imagingdb_spark.operators.sketches import dd_quantiles
+    from imagingdb_spark.snapshots import snapshot_read
+
+    state = snapshot_read(spark, table_dir)
+    gcols = [c for c in state.columns if c not in ("sign", "bkt", "cnt")]
+    return dd_quantiles(state, gcols, qs)
 
 
 def run_to_memory(df: DataFrame, name: str, mode: str | None = None) -> StreamingQuery:

@@ -216,3 +216,311 @@ class TestStreaming:
         }
         spark.catalog.clearCache()
         assert est == twin
+
+
+# ---------------------------------------------------------------------------
+# Misra–Gries heavy hitters, continuous (operators/text.py mg_* +
+# streaming_heavy_hitters): superset guarantee, fold determinism, stream ==
+# batch-fold parity, and the txn-gated replay screen (the NON-idempotent
+# asymmetry vs the HLL register max).
+# ---------------------------------------------------------------------------
+
+
+def _mg_batches(spark, n=4):
+    """The same deterministic batch split st_heavy_hitters simulates."""
+    from pyspark.sql import functions as F
+
+    d = spark.read.parquet(SF_DIR + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+    return [d.filter(F.pmod("doc_id", F.lit(n)) == i) for i in range(n)]
+
+
+def _fold_state(spark, batches):
+    from pyspark.sql import functions as F
+
+    from imagingdb_spark.operators import text as TX
+
+    state = None
+    for b in batches:
+        toks = b.select(F.explode(TX.tokens_col(F.col("text"))).alias("tok"))
+        p = TX.mg_batch_partial(toks)
+        state = p if state is None else TX.mg_merge_state(state, p)
+    return state
+
+
+class TestHeavyHittersSketch:
+    def test_superset_of_exact_heavies_with_bounded_undercount(self, spark):
+        """Every EXACT phi-heavy token must appear in the read-out
+        (no-false-negative), and each reported cnt_min must underestimate
+        its true count by at most N/(k+1)."""
+        from pyspark.sql import functions as F
+
+        from imagingdb_spark.operators import text as TX
+
+        d = spark.read.parquet(SF_DIR + "/documents.parquet")
+        toks = d.select(F.explode(TX.tokens_col(F.col("text"))).alias("tok"))
+        exact = {r["tok"]: r["n"] for r in toks.groupBy("tok")
+                 .agg(F.count(F.lit(1)).alias("n")).collect()}
+        n_total = sum(exact.values())
+        heavies = {t for t, n in exact.items() if n >= TX.HH_PHI * n_total}
+
+        got = {r["tok"]: r["cnt_min"]
+               for r in TX.mg_heavy_hitters(
+                   _fold_state(spark, _mg_batches(spark))).collect()}
+        spark.catalog.clearCache()
+        assert heavies <= set(got), heavies - set(got)
+        bound = n_total / (TX.HH_SKETCH_K + 1)
+        for t, c in got.items():
+            assert c <= exact[t], (t, c, exact[t])          # never overcount
+            assert exact[t] - c <= bound + 1, (t, c, exact[t])
+
+    def test_state_stays_bounded_and_total_exact(self, spark):
+        from pyspark.sql import functions as F
+
+        from imagingdb_spark.operators import text as TX
+
+        state = _fold_state(spark, _mg_batches(spark)).collect()
+        counters = [r for r in state if r["tok"] != TX.MG_TOTAL]
+        totals = [r for r in state if r["tok"] == TX.MG_TOTAL]
+        assert len(counters) <= TX.HH_SKETCH_K
+        d = spark.read.parquet(SF_DIR + "/documents.parquet")
+        n_total = d.select(
+            F.sum(F.size(TX.tokens_col(F.col("text"))))
+        ).collect()[0][0]
+        spark.catalog.clearCache()
+        assert len(totals) == 1 and totals[0]["cnt"] == n_total
+
+    def test_registered_query_runs_and_is_deterministic(self, spark):
+        from imagingdb_spark.operators.text import st_heavy_hitters
+
+        a = sorted(map(tuple, st_heavy_hitters(spark, SF_DIR).collect()))
+        b = sorted(map(tuple, st_heavy_hitters(spark, SF_DIR).collect()))
+        spark.catalog.clearCache()
+        assert a == b and len(a) > 0
+
+    def test_stream_state_matches_batch_fold_and_replays_clean(
+        self, spark, tmp_path
+    ):
+        """streaming_heavy_hitters over the same 4 batches (mtime-pinned
+        file order) must land the exact batch-fold state; a fresh-
+        checkpoint FULL REPLAY must leave it untouched — which for this
+        non-idempotent fold is the txn gate working, not algebra."""
+        import os
+        import time
+
+        from imagingdb_spark import snapshots as S
+        from imagingdb_spark.streaming import jobs
+
+        import glob
+        import shutil
+
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        for i, b in enumerate(_mg_batches(spark)):
+            tmp = str(tmp_path / f"stage{i}")
+            b.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.copyfile(part, dst)
+            t = time.time() + i * 10  # pin source order = fold order
+            os.utime(dst, (t, t))
+
+        table = str(tmp_path / "mg_state")
+
+        def run(ck):
+            stream = (
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = jobs.streaming_heavy_hitters(
+                stream, table, str(tmp_path / ck)
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run("ck1")
+        key = lambda rows: sorted((r["tok"], r["cnt"]) for r in rows)
+        want = key(_fold_state(spark, _mg_batches(spark)).collect())
+        assert key(S.snapshot_read(spark, table).collect()) == want
+
+        run("ck2")  # fresh checkpoint: every batch_id re-fires; the txn
+        #             marker screens each one BEFORE the fold
+        assert key(S.snapshot_read(spark, table).collect()) == want
+
+        # read side == batch twin read-out
+        got = sorted(map(tuple,
+                     jobs.heavy_hitter_estimates(spark, table).collect()))
+        from imagingdb_spark.operators.text import mg_heavy_hitters
+        twin = sorted(map(tuple, mg_heavy_hitters(
+            _fold_state(spark, _mg_batches(spark))).collect()))
+        spark.catalog.clearCache()
+        assert got == twin
+
+    def test_rmw_txn_marker_screens_replays(self, spark, tmp_path):
+        """The primitive itself: a snapshot_rmw re-run with an already-
+        recorded (app, seq) must skip the transform entirely."""
+        from imagingdb_spark import snapshots as S
+
+        t = str(tmp_path / "t")
+        S.snapshot_commit(
+            spark, t, spark.createDataFrame([(1,)], "v long")
+        )
+        calls = []
+
+        def double(df):
+            calls.append(1)
+            return df.selectExpr("v * 2 AS v")
+
+        v1 = S.snapshot_rmw(spark, t, double, txn=("app", 0))
+        v2 = S.snapshot_rmw(spark, t, double, txn=("app", 0))  # replay
+        assert v1 == v2 == 2 and len(calls) == 1
+        assert [r["v"] for r in S.snapshot_read(spark, t).collect()] == [2]
+        v3 = S.snapshot_rmw(spark, t, double, txn=("app", 1))  # next batch
+        assert v3 == 3 and len(calls) == 2
+        assert [r["v"] for r in S.snapshot_read(spark, t).collect()] == [4]
+
+
+# ---------------------------------------------------------------------------
+# DDSketch quantiles (operators/sketches.py dd_* + streaming_quantiles):
+# relative-error bound vs exact, JVM-vs-numpy bucket parity, merge == whole,
+# stream == batch parity with the txn-gated replay screen.
+# ---------------------------------------------------------------------------
+
+
+class TestQuantileSketch:
+    def test_relative_error_bound_vs_exact(self, spark):
+        """p50/p90/p99 off the sketch must sit within DD_ALPHA relative
+        error of the exact quantiles — positives, negatives, and zeros."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        rng = np.random.RandomState(11)
+        vals = np.concatenate([
+            rng.lognormal(4, 2, 20_000),            # heavy-tailed positives
+            -rng.lognormal(2, 1, 5_000),            # negatives
+            np.zeros(500),
+        ])
+        df = spark.createDataFrame(
+            [(float(v),) for v in vals], "v double"
+        ).withColumn("g", F.lit(1))
+        qs = [0.05, 0.25, 0.5, 0.9, 0.99]
+        got = {r["q"]: r["value"] for r in SK.dd_quantiles(
+            SK.dd_partials(df, "v", ["g"]), ["g"], qs).collect()}
+        spark.catalog.clearCache()
+        svals = np.sort(vals)
+        for q in qs:
+            true = svals[int(np.ceil(q * len(svals))) - 1]
+            if true == 0:
+                assert got[q] == 0.0
+            else:
+                rel = abs(got[q] - true) / abs(true)
+                assert rel <= SK.DD_ALPHA + 1e-9, (q, true, got[q], rel)
+
+    def test_jvm_buckets_match_numpy(self, spark):
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        rng = np.random.RandomState(3)
+        vals = np.concatenate(
+            [rng.lognormal(0, 3, 5_000), -rng.lognormal(0, 3, 1_000),
+             np.zeros(7)]
+        )
+        df = spark.createDataFrame(
+            [(float(v),) for v in vals], "v double"
+        ).withColumn("g", F.lit(1))
+        got = {(r["sign"], r["bkt"]): r["cnt"]
+               for r in SK.dd_partials(df, "v", ["g"]).collect()}
+        spark.catalog.clearCache()
+        assert got == SK.dd_bucket_np(vals)
+        # and the rank selection agrees with the numpy twin
+        for q in (0.1, 0.5, 0.95):
+            jvm = SK.dd_quantiles(
+                SK.dd_partials(df, "v", ["g"]), ["g"], [q]
+            ).collect()[0]["value"]
+            assert jvm == SK.dd_quantile_np(SK.dd_bucket_np(vals), q)
+
+    def test_merge_equals_whole(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.range(30_000).select(
+            (F.col("id") % 997 + 1).cast("double").alias("v"),
+            (F.col("id") < 11_000).alias("half"),
+            F.lit(1).alias("g"),
+        )
+        whole = SK.dd_partials(df, "v", ["g"])
+        merged = SK.dd_merge(
+            SK.dd_partials(df.filter("half"), "v", ["g"]),
+            SK.dd_partials(df.filter("NOT half"), "v", ["g"]),
+            ["g"],
+        )
+        key = lambda rows: sorted(
+            (r["sign"], r["bkt"], r["cnt"]) for r in rows)
+        assert key(merged.collect()) == key(whole.collect())
+        spark.catalog.clearCache()
+
+    def test_registered_query_runs_and_is_deterministic(self, spark):
+        from imagingdb_spark.operators.sketches import st_quantiles
+
+        a = sorted(map(tuple, st_quantiles(spark, SF_DIR).collect()))
+        b = sorted(map(tuple, st_quantiles(spark, SF_DIR).collect()))
+        spark.catalog.clearCache()
+        assert a == b and len(a) > 0
+
+    def test_stream_state_matches_batch_and_replays_clean(
+        self, spark, tmp_path
+    ):
+        """streaming_quantiles folds to exactly the one-shot batch sketch
+        (bucket sums are order-free), and a fresh-checkpoint full replay
+        leaves the state untouched — the txn gate, since a double-applied
+        bucket sum would double every count."""
+        from pyspark.sql import functions as F
+
+        from imagingdb_spark import snapshots as S
+        from imagingdb_spark.streaming import jobs
+
+        src = str(tmp_path / "src")
+        li = spark.read.parquet(SF_DIR + "/lineitem.parquet").select(
+            "l_returnflag", "l_extendedprice"
+        )
+        # 4 batches split by a hash of the price (no orderkey carried)
+        for i in range(4):
+            li.filter(F.pmod(F.abs(F.xxhash64("l_extendedprice")), F.lit(4)) == i) \
+                .coalesce(1).write.mode("append").parquet(src)
+
+        table = str(tmp_path / "dd_state")
+
+        def run(ck):
+            stream = (
+                spark.readStream.schema(
+                    "l_returnflag string, l_extendedprice double"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = jobs.streaming_quantiles(
+                stream, table, str(tmp_path / ck),
+                "l_extendedprice", ("l_returnflag",),
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run("ck1")
+        key = lambda rows: sorted(
+            (r["l_returnflag"], r["sign"], r["bkt"], r["cnt"]) for r in rows)
+        want = key(SK.dd_partials(
+            li, "l_extendedprice", ["l_returnflag"]).collect())
+        assert key(S.snapshot_read(spark, table).collect()) == want
+
+        run("ck2")  # full replay screened by the txn marker
+        assert key(S.snapshot_read(spark, table).collect()) == want
+
+        # read side == batch twin
+        got = sorted(map(tuple, jobs.quantile_estimates(
+            spark, table, [0.5, 0.9, 0.99]).collect()))
+        twin = sorted(map(tuple, SK.dd_quantiles(
+            SK.dd_partials(li, "l_extendedprice", ["l_returnflag"]),
+            ["l_returnflag"], [0.5, 0.9, 0.99]).collect()))
+        spark.catalog.clearCache()
+        assert got == twin
