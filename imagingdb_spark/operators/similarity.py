@@ -1545,3 +1545,117 @@ def x_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
         .limit(10)
     )
+
+
+@query("x_ann_ivfpq")  # rows-only: k-means codebooks not ANSI-SQL-
+#                        expressible; recall vs the exact x_topk_sim
+#                        baseline is pinned in tests/test_extensions.py::
+#                        TestAnnIvfPq
+def x_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via IVF×PQ — the actual FAISS IVFPQ/IVFADC serving
+    recipe (Jégou et al. 2011, public), composing the two shipped halves:
+    IVF cell pruning (x_ann_ivf's trained coarse quantizer) over PQ/ADC
+    distances (x_ann_pq's lookup tables) with an exact re-rank of the
+    shortlist. Codes are RESIDUAL codes (x − its cell centroid), the
+    detail PQ alone can't capture once the coarse quantizer has absorbed
+    the cluster structure — so the PQ codebooks train on the sample's
+    residuals, and each probed cell gets its OWN ADC tables built from
+    (q − centroid_cell):
+
+      dot(q, x̂)   = q·c  + Σ_m lut_dot[cell][m, code_m]
+      ||x̂||²      = ||c||² + Σ_m (2·lut_cross[cell][m, code_m]
+                                   + lut_sq[m, code_m])
+
+    — IVF_PROBE × PQ_ANN_M × PQ_K doubles of driver-side tables, a few
+    KB riding the UDF closure (an explicit broadcast at cluster scale).
+
+    Scale shape (what a 100 TB vector store serves): cell assignment and
+    residual-ADC run in ONE fused Arrow pass over ONLY the probed cells
+    (map-side filter on the cell id — with the table partitioned by cell
+    at ingest this prunes whole files, the x_ann_ivf story); there is no
+    corpus-wide shuffle anywhere; the shortlist TakeOrderedAndProject
+    carries (vec_id, label, adc) — ids and code-derived scores, never
+    float vectors; the exact re-rank fetches PQ_SHORTLIST embeddings by
+    broadcast semi-join (the point-lookup a vector store does by id). At
+    rest the corpus is (cell, codes): 8 bytes/vector scanned instead of
+    the float32 vectors — the ADC pass is I/O-bound on 1/64th the bytes."""
+    e = table(spark, sf_dir, "embeddings")
+    centroids = _ivf_centroids(e)  # (IVF_K, dim) coarse quantizer
+    c_sq = (centroids * centroids).sum(axis=1)
+
+    # residual corpus for PQ training: x − nearest centroid, map-side
+    @F.pandas_udf("array<double>")
+    def residual(emb: pd.Series) -> pd.Series:
+        x = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        cells = np.argmin(-2.0 * (x @ centroids.T) + c_sq, axis=1)
+        return pd.Series(list(x - centroids[cells]))
+
+    e_res = e.withColumn("embedding", residual("embedding"))
+    codebooks = _pq_codebooks(e_res, m=PQ_ANN_M)  # (M, K, dsub) residual
+
+    qvec = _collect_probe(e)
+    d2 = ((centroids - qvec) ** 2).sum(axis=1)
+    probe_cells = [int(c) for c in np.argsort(d2)[:IVF_PROBE]]
+    dsub = qvec.shape[0] // PQ_ANN_M
+    # per-probed-cell ADC tables from the CELL-SPECIFIC query residual
+    cell_pos = {c: i for i, c in enumerate(probe_cells)}
+    lut_dot = np.zeros((IVF_PROBE, PQ_ANN_M, PQ_K))
+    lut_cross = np.zeros((IVF_PROBE, PQ_ANN_M, PQ_K))
+    lut_sq = (codebooks * codebooks).sum(axis=2)               # (M, K)
+    q_dot_c = np.zeros(IVF_PROBE)
+    for c, i in cell_pos.items():
+        q_sub = qvec.reshape(PQ_ANN_M, dsub)
+        c_sub = centroids[c].reshape(PQ_ANN_M, dsub)
+        lut_dot[i] = np.einsum("md,mkd->mk", q_sub, codebooks)
+        lut_cross[i] = np.einsum("md,mkd->mk", c_sub, codebooks)
+        q_dot_c[i] = float(qvec @ centroids[c])
+    cell_sq = c_sq[probe_cells]
+    q_norm = float(np.sqrt((qvec * qvec).sum()))
+    probed = np.asarray(probe_cells)
+
+    @F.pandas_udf("struct<cell: int, adc: double>")
+    def cell_adc(emb: pd.Series) -> pd.DataFrame:
+        x = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+        cells = np.argmin(-2.0 * (x @ centroids.T) + c_sq, axis=1)
+        out_cell = cells.astype(np.int32)
+        adc = np.full(len(x), -2.0)  # below any cosine: unprobed cells
+        in_probe = np.isin(cells, probed)
+        if in_probe.any():
+            xi = x[in_probe]
+            ci = cells[in_probe]
+            # map cell id -> ADC table row (probed is IVF_PROBE-sized)
+            order = np.argsort(probed)
+            pos = order[np.searchsorted(probed[order], ci)]
+            codes = _pq_assign_codes(codebooks, xi - centroids[ci])
+            m_idx = np.arange(PQ_ANN_M)[None, :]
+            dots = q_dot_c[pos] + lut_dot[pos[:, None], m_idx, codes].sum(
+                axis=1
+            )
+            sq = cell_sq[pos] + (
+                2.0 * lut_cross[pos[:, None], m_idx, codes]
+                + lut_sq[m_idx, codes]
+            ).sum(axis=1)
+            adc[in_probe] = dots / (
+                q_norm * np.maximum(np.sqrt(np.maximum(sq, 0.0)), 1e-12)
+            )
+        return pd.DataFrame({"cell": out_cell, "adc": adc})
+
+    shortlist = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select("vec_id", cell_adc("embedding").alias("s"))
+        .select("vec_id", "s.cell", "s.adc")
+        .filter(F.col("cell").isin(probe_cells))  # pruned map-side
+        .orderBy(F.col("adc").desc(), F.col("vec_id").asc())
+        .limit(PQ_SHORTLIST)
+        .select("vec_id")  # ids only: no float payload past this point
+    )
+    score = _cosine_vs_probe_udf(qvec)
+    return (
+        e.join(F.broadcast(shortlist), "vec_id")  # point lookup by id
+        .select(
+            "vec_id", "label",
+            F.round(score("embedding"), 4).alias("cosine_sim"),
+        )
+        .orderBy(F.col("cosine_sim").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )

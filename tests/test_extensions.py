@@ -2112,6 +2112,37 @@ class TestAnnPq:
                 assert r["cosine_sim"] == exact[r["vec_id"]]
 
 
+class TestAnnIvfPq:
+    """x_ann_ivfpq: the IVF x residual-PQ composition must recover most of
+    the exact top-10 (>= the x_ann_pq floor, since IVF pruning is the only
+    extra loss source and the probe covers the query's neighborhood), with
+    exact re-ranked scores; and its recall can never exceed IVF-flat's
+    (pruning dominates), which pins the composition wiring."""
+
+    def test_recall_vs_exact_topk(self, spark):
+        from imagingdb_spark.operators import similarity as S
+
+        sf_dir = "/root/testdata/sf0.001"
+        exact = {r["vec_id"] for r in S.x_topk_sim(spark, sf_dir).collect()}
+        ivfpq = {r["vec_id"] for r in S.x_ann_ivfpq(spark, sf_dir).collect()}
+        assert len(exact & ivfpq) >= 8  # recall >= 0.8 on the testdata
+        # the IVF-flat path over the same probed cells is the ceiling
+        ivf = {r["vec_id"] for r in S.x_ann_ivf(spark, sf_dir).collect()}
+        assert len(exact & ivfpq) <= len(exact & ivf) + 1
+
+    def test_reported_scores_are_exact(self, spark):
+        from imagingdb_spark.operators import similarity as S
+
+        sf_dir = "/root/testdata/sf0.001"
+        exact = {
+            r["vec_id"]: r["cosine_sim"]
+            for r in S.x_topk_sim(spark, sf_dir).collect()
+        }
+        for r in S.x_ann_ivfpq(spark, sf_dir).collect():
+            if r["vec_id"] in exact:
+                assert r["cosine_sim"] == exact[r["vec_id"]]
+
+
 class TestDsirResample:
     """x_dsir_resample: the oracle pins engine equality; here we pin (1)
     the Gumbel key against an independent hashlib+math twin and (2) the
