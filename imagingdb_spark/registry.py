@@ -54,239 +54,184 @@ ORACLE: dict[str, str] = {}
 # full plan): CORRECTNESS_r05 came back 50/50 green (42 oracle-exact, 8
 # rows-only clean), so every rotated-in query now holds a current record.
 #
-# Round-6 rotation (VERDICT r5 items 1/2/5, applied):
-# - IN, no driver record: x_embed_quantize (the only such query).
-# - IN, implementation changed this round (last green rows predate the
-#   code): x_dedup_verified (candidate set now lossless — LSH ∪ PPJoin
-#   prefix), x_hard_negatives (headline swapped to the no-collect
-#   cell-cogrouped miner; the broadcast variant is demoted to a utility),
-#   x_embed_quantize again (mean_abs_err fold order pinned ascending on
-#   both engine sides — ADVICE r5 item 1).
-# - RETIRED: x_hard_negatives_ann — its plan IS the new x_hard_negatives;
-#   a second identical registration would be padding. Its green r5 row
-#   certified exactly the plan the headline now runs.
-# - IN for double-verification, continuing the single-green-row
-#   discipline: the 11 r5 rotated-in queries (only green row is r5), the
-#   10 r4 singles, 16 r3 singles, 2 r2 singles, 5 r1 singles, plus
-#   f_not_exists (P holder) and f_string_parse (F holder) so every SURVEY
-#   §2 family keeps an in-window member.
-# - OUT to the tail: everything that got its r5 row on unchanged code and
-#   has 2+ green rows (or whose family keeps a fresher holder).
-# - NEW this round, in-window (no driver record exists yet):
-#   x_split_leakage, x_heavy_hitters, x_rebalance, x_embed_pca. To keep
-#   the window at exactly 50, four r1/r3 singles rotate to the tail top
-#   (j_range, a_approx_sketch, s_except, x_lang_id) — each family keeps an
-#   in-window holder or 2+-green siblings; see the tail comments.
+# Round-6 rotation (VERDICT r5 items 1/2/5, applied; see git history for
+# the full plan): 19 new/changed queries in, the r5/r4/r3/r1 singles held
+# for double-verification, x_hard_negatives_ann retired.
+#
+# Round-7 rotation (VERDICT r6 item 3, applied):
+# - IN, no driver record: st_heavy_hitters, st_quantiles (the two new
+#   continuous-monitoring twins), x_ann_ivfpq (the IVFxPQ composition).
+# - IN, implementation changed this round: x_phash_dedup + x_audio_dedup
+#   (groups frame persist -> eager localCheckpoint, ADVICE r6) and
+#   x_heavy_hitters (_mg_sketch_partitions now emits counters for the
+#   streaming fold).
+# - IN for double-verification, the single-green-r6 rows: the 15 queries
+#   NEW in round 6 plus x_embed_quantize / x_dedup_verified /
+#   x_hard_negatives (whose pre-r6 greens predate their r6 impls).
+# - IN, oldest/weakest records: the 19 queries whose ONLY green row is a
+#   single r1-r5 run (x_gapfill .. st_anomaly below), x_merge_upsert as
+#   the S10 family holder, and 9 r1+r2 doubles not re-checked since
+#   round 2 (w_topk_group .. s_union).
+# - OUT to the tail: everything that got its second+ green row in r6 on
+#   unchanged code (the r5/r4/r3 double-verification blocks of the r6
+#   window). Tail queries keep implementations, unit tests, and recorded
+#   green rows - they only lose a FRESH driver row this round.
 PRIORITY: list[str] = [
-    # --- rotated IN for round 6: no record / impl changed this round ---
-    "x_embed_quantize",  # D3h: int8 SQ + error audit — only query with no
-    #                      driver record; mean fold order pinned this round
-    "x_dedup_verified",  # D2b+: candidate set now LOSSLESS (LSH ∪ prefix)
-    "x_hard_negatives",  # D3g: headline is now the cell-cogrouped miner
-    # --- NEW in round 6 (no driver record yet, hence in-window; they
-    #     displace x_lang_id + s_except to 51-52, whose families keep
-    #     in-window or double-green coverage — see tail comments) ---
-    "x_split_leakage",  # D20: train/eval near-dup leakage audit (oracle)
-    "x_heavy_hitters",  # D4e: Misra–Gries sketch + exact recount (oracle)
-    "x_rebalance",      # D8e: deterministic class oversampling (oracle)
-    "x_embed_pca",      # D3i: distributed-moments PCA (rows-only + numpy
-    #                     parity unit test)
-    "x_phash_dedup",    # D5c: perceptual-hash image near-dup over synthetic
-    #                     PNG frames (rows-only + brute-force parity unit
-    #                     test); displaces f_string_parse, whose r1+r3
-    #                     double greens already cover the F family
-    "x_dsir_select",    # D19: DSIR hashed-n-gram importance selection
-    #                     (oracle-exact + Python-twin parity unit test);
-    #                     displaces x_fuzzy_join — the rotated-in
-    #                     x_dedup_verified holds for the D2 family
-    "x_pq_quantize",    # D3h+: product quantization (rows-only + numpy
-    #                     parity + planted zero-error corpus); displaces
-    #                     x_length_trim — D10 keeps x_quality_norm and
-    #                     x_quality_filter in-window
-    "x_audio_dedup",    # D5d: audio fingerprint near-dup over synthetic
-    #                     WAV clips (rows-only + brute-force parity +
-    #                     G.711/gain invariance tests); displaces
-    #                     x_sample_weighted — D8 keeps x_rebalance
-    "x_substring_dedup",  # D2h: variable-length exact substring dedup
-    #                     (oracle-exact gaps-and-islands + planted-run
-    #                     tests); displaces x_unigram_logprob — D17 keeps
-    #                     x_cooccur_pmi in-window
-    "x_ann_pq",         # D3j: PQ/ADC ANN serving path (rows-only +
-    #                     recall-vs-exact pinned); displaces w_lag_lead —
-    #                     W keeps w_dense_rank, w_range_frame,
-    #                     x_rolling_zscore in-window
-    "x_dsir_resample",  # D19b: DSIR Gumbel-top-k importance resampling
-    #                     (oracle-exact + Python-twin + bias tests);
-    #                     displaces x_gapfill — T1 keeps x_interp_linear
-    "x_scene_changes",  # D5e: shot-boundary detection over frame series
-    #                     (rows-only + exact planted-cut recovery tests);
-    #                     displaces x_mad_outlier — A keeps a_sum_avg,
-    #                     x_funnel, x_retention, x_histogram in-window
-    "x_dedup_retain",   # D12d: quality-aware canonical retention with a
-    #                     loser→canonical provenance mapping (oracle-exact
-    #                     window twin); displaces o_natural_sort — O keeps
-    #                     o_topk in-window
-    "x_dedup_weights",  # D12f: soft dedup (1/cluster_size down-weighting,
-    #                     oracle-exact); displaces x_quality_filter — D10
-    #                     keeps x_quality_norm in-window
-    "st_distinct_hll",  # St14/D21: mergeable-HLL continuous distinct
-    #                     (rows-only + accuracy/merge-algebra/streaming
-    #                     bit-parity tests); displaces st_join — St keeps
-    #                     this new member in-window, st_tumbling/
-    #                     st_session/st_topk_trend hold double greens
-    # --- double-verification: the 11 queries whose only green row is r5 ---
-    "x_inverted_index",   # D18 sibling (single green row, r5)
-    "x_token_ids",      # D4 sibling (single green row, r5)
-    "x_novelty",        # D11b (single green row, r5)
-    "x_length_batches", # D15b (single green row, r5)
-    "x_retrieval_batch",  # D3f+ (single green row, r5)
-    "x_interp_linear",  # T1+ (single green row, r5)
-    "x_bpe_train",      # D4c rows-only (single clean run, r5)
-    "x_bpe_encode",     # D4d rows-only (single clean run, r5)
-    "x_ann_eval",       # D3e rows-only (single clean run, r5)
-    "x_semdedup_eval",  # D2e+ rows-only (single clean run, r5)
-    "x_pipeline_audit", # PIPE rows-only (single clean run, r5)
-    # --- double-verification: the 10 queries whose only green row is r4 ---
-    "x_bm25",           # D18 (single green row, r4)
-    "x_cooccur_pmi",    # D17 sibling (single green row, r4)
-    "x_funnel",         # A6 (single green row, r4)
-    "x_retention",      # A7 (single green row, r4)
-    "x_histogram",      # A8 (single green row, r4)
-    "x_rolling_zscore", # W (single green row, r4)
-    "x_quality_norm",   # D10c (single green row, r4)
-    "x_semdedup",       # D2e rows-only (single clean run, r4)
-    "x_retrieval_metrics",  # D3f (single green row, r4)
-    # --- double-verification: 16 queries whose only green row is r3 ---
-    "o_topk",           # O5 (single green row, r3)
-    "w_dense_rank",     # W (single green row, r3)
-    "w_range_frame",    # W (single green row, r3)
-    "x_dedup_compact",  # D12 (single green row, r3)
-    "x_shard_shuffle",  # D16 (single green row, r3)
-    "x_tfidf",          # D18 (single green row, r3)
-    "x_merge_upsert",   # S10 (single green row, r3)
-    "x_ann_ivf",        # D3 rows-only (single clean run, r3)
-    "x_pack_sequences", # D15 rows-only (single clean run, r3)
-    # --- double-verification: r2/r1 singles + P/F family holders ---
-    "j_outer_count",    # J+ (single green row, r1; J-family holder)
-    "a_sum_avg",        # A+ (single green row, r1; A-family holder)
-    "f_not_exists",     # P8 — P-family holder (pass-r1 + pass-r2)
+    # --- NEW in round 7: no driver record exists yet ---
+    "st_heavy_hitters",  # St15: continuous Misra-Gries heavy hitters
+    "st_quantiles",      # St16: continuous DDSketch quantiles
+    "x_ann_ivfpq",       # D3k: IVF x residual-PQ serving composition
+    # --- r6 singles whose implementation ALSO changed in round 7 ---
+    "x_phash_dedup",     # D5c (groups checkpoint swap, ADVICE r6)
+    "x_audio_dedup",     # D5d (shares the phash engine)
+    "x_heavy_hitters",   # D4e (sketch partials now carry counters)
+    # --- double-verification: single-green-r6 rows ---
+    "x_embed_quantize",  # D3h (r6 was its first driver row)
+    "x_dedup_verified",  # D2b+ (r6 impl: lossless LSH u prefix)
+    "x_hard_negatives",  # D3g (r6 impl: cell-cogrouped miner)
+    "x_split_leakage",   # D20
+    "x_rebalance",       # D8e
+    "x_embed_pca",       # D3i rows-only
+    "x_dsir_select",     # D19
+    "x_pq_quantize",     # D3h+ rows-only
+    "x_substring_dedup", # D2h
+    "x_ann_pq",          # D3j rows-only
+    "x_dsir_resample",   # D19b
+    "x_scene_changes",   # D5e rows-only
+    "x_dedup_retain",    # D12d
+    "x_dedup_weights",   # D12f
+    "st_distinct_hll",   # St14/D21 rows-only
+    # --- oldest/weakest records: single green row ever ---
+    "x_gapfill",         # T1 (single green r3)
+    "o_natural_sort",    # O4 (single green r2)
+    "x_quality_filter",  # D10 (single green r2)
+    "st_join",           # St6 (single green r3)
+    "j_range",           # J+ (single green r1)
+    "a_approx_sketch",   # sketches rows-only (single clean r3)
+    "s_except",          # set ops (single green r1)
+    "x_lang_id",         # D4 (single green r1)
+    "x_fuzzy_join",      # D2 (single green r3)
+    "x_length_trim",     # D10 (single green r3)
+    "x_sample_weighted", # D8 (single green r3)
+    "x_unigram_logprob", # D17 (single green r3)
+    "w_lag_lead",        # W (single green r3)
+    "x_mad_outlier",     # A+ (single green r4)
+    "x_dedup_eval",      # D2 rows-only (single clean r5)
+    "x_pagerank",        # D12c rows-only (single clean r5)
+    "o_sort",            # O1 (single green r3)
+    "j_semi",            # J+ (single green r1)
+    "st_anomaly",        # D6 rows-only (single clean r2)
+    # --- family holder + r1+r2 doubles unchecked since round 2 ---
+    "x_merge_upsert",    # S10 holder (r3+r6)
+    "w_topk_group",      # W (r1+r2)
+    "st_sliding",        # St2 (r1+r2)
+    "o_limit",           # O2 (r1+r2)
+    "f_equality",        # P3 (r1+r2)
+    "f_dates",           # F3 (r1+r2)
+    "f_format",          # F2 (r1+r2)
+    "j_two_way",         # J2 (r1+r2)
+    "a_distinct",        # A2 (r1+r2)
+    "s_union",           # set ops (r1+r2)
     # --- position 51+: green driver rows on record; implementations +
     #     unit tests intact. Ordered roughly by record freshness. ---
-    "f_string_parse",   # F1 (pass-r1 + pass-r3) — displaced by the new
-    #                     x_phash_dedup; double greens cover the F family
-    "o_natural_sort",   # O4 (single green r2) — displaced by the new
-    #                     x_dedup_retain; o_topk holds for O
-    "x_quality_filter", # D10 (single green r2) — displaced by the new
-    #                     x_dedup_weights; x_quality_norm holds for D10
-    "st_join",          # St6 (single green r3) — displaced by the new
-    #                     st_distinct_hll, which holds for St in-window
-    "j_range",          # J+ (single green r1) — displaced by the four new
-    #                     round-6 queries; j_outer_count holds for J
-    "a_approx_sketch",  # sketches rows-only (clean r3) — displaced;
-    #                     a_sum_avg holds for A
-    "s_except",         # set ops (single green r1) — displaced by the four
-    #                     new round-6 queries; s_union/s_intersect hold
-    #                     r1+r2 double greens for the family
-    "x_lang_id",        # D4 (single green r1) — displaced; D4 keeps the
-    #                     new x_heavy_hitters in-window
-    "x_fuzzy_join",     # D2 (single green r3) — displaced by the new
-    #                     x_dsir_select; x_dedup_verified holds for D2
-    "x_length_trim",    # D10 (single green r3) — displaced by the new
-    #                     x_pq_quantize; x_quality_norm + x_quality_filter
-    #                     hold for D10
-    "x_sample_weighted",  # D8 (single green r3) — displaced by the new
-    #                     x_audio_dedup; x_rebalance holds for D8
-    "x_unigram_logprob",  # D17 (single green r3) — displaced by the new
-    #                     x_substring_dedup; x_cooccur_pmi holds for D17
-    "w_lag_lead",       # W (single green r3) — displaced by the new
-    #                     x_ann_pq; w_dense_rank/w_range_frame hold for W
-    "x_gapfill",        # T1 (single green r3) — displaced by the new
-    #                     x_dsir_resample; x_interp_linear holds for T
-    "x_mad_outlier",    # A+ (single green r4) — displaced by the new
-    #                     x_scene_changes; a_sum_avg/x_funnel/x_retention/
-    #                     x_histogram hold for A
-    "x_span_dedup",     # pass-r4 + pass-r5
-    "x_dedup_eval",     # clean-run r5 (rows-only)
-    "x_pagerank",       # clean-run r5 (rows-only)
-    "a_geomean_udaf",   # pass-r4 + pass-r5
-    "w_running",        # pass-r3 + pass-r5
-    "w_rownum_page",    # pass-r4 + pass-r5
-    "st_tumbling",      # pass-r1 + pass-r5
-    "st_session",       # pass-r2 + pass-r5
-    "st_topk_trend",    # pass-r4 + pass-r5
-    "x_sessionize",     # pass-r4 + pass-r5
-    "x_transition_matrix",  # pass-r4 + pass-r5
-    "f_from_json",      # pass-r2 + pass-r5
-    "f_json_extract",   # pass-r2 + pass-r5
-    "f_array_ops",      # pass-r2 + pass-r5
-    "j_json_filter",    # pass-r2 + pass-r5
-    "j_asof",           # pass-r1 + pass-r5
-    "j_temporal_lookup",  # pass-r4 + pass-r5
-    "a_count_distinct", # pass-r2 + pass-r5
-    "a_group_summary",  # pass-r2 + pass-r5
-    "x_exact_quantiles",  # pass-r4 + pass-r5
-    "x_profile_stats",  # pass-r4 + pass-r5
-    "x_incr_agg",       # pass-r4 + pass-r5
-    "x_corr_matrix",    # pass-r4 + pass-r5
-    "x_dedup_jaccard",  # pass-r3 + pass-r5
-    "x_dedup_incremental",  # pass-r3 + pass-r5
-    "x_dedup_cluster",  # pass-r3 + pass-r5
-    "x_scd2_history",   # pass-r4 + pass-r5
-    "x_table_diff",     # pass-r4 + pass-r5
-    "x_cdc_apply",      # pass-r4 + pass-r5
-    "x_domain_mix",     # pass-r4 + pass-r5
-    "x_stratified",     # pass-r4 + pass-r5
-    "x_token_budget",   # pass-r4 + pass-r5
-    "x_source_cap",     # pass-r4 + pass-r5
-    "x_bigram_logprob", # pass-r4 + pass-r5
-    "x_scrub",          # pass-r4 + pass-r5
-    "x_sentences",      # pass-r4 + pass-r5
-    "x_dedup_exact",    # pass-r1 + pass-r3
-    "f_cast_coerce",    # pass-r1 + pass-r3
-    "a_rollup",         # pass-r1 + pass-r3
-    "o_sort",           # pass-r3 (O family held in-window by o_topk,
-    #                     o_natural_sort)
-    "f_substring",      # pass-r1+r2+r3
-    "f_daterange",      # pass-r1+r2+r3
-    "f_inlist",         # pass-r1+r2+r3
-    "p_project",        # pass-r1+r2+r3
-    "f_null_handling",  # pass-r1+r2+r3
-    "j_three_way",      # pass-r1+r2+r3
-    "a_count",          # pass-r1+r2+r3
-    "x_text_stats",     # pass-r2+r3
-    "x_split_hash",     # pass-r2+r3
-    "x_dedup_embed",    # pass-r2+r3
-    "x_topk_sim",       # pass-r2+r3
-    "x_chunk_docs",     # pass-r2+r3
-    "x_decontaminate",  # pass-r2+r3
-    "x_repetition",     # pass-r2+r3
-    "w_topk_group",     # pass-r1+r2
-    "st_sliding",       # pass-r1+r2
-    "st_anomaly",       # clean-run r2 (rows-only by design)
-    "o_limit",          # pass-r1+r2
-    "f_equality",       # pass-r1+r2
-    "f_dates",          # pass-r1+r2
-    "f_format",         # pass-r1+r2
-    "f_sha2",           # pass-r1+r2
-    "f_validate_id",    # pass-r1+r2
-    "j_two_way",        # pass-r1+r2
-    "j_self_parent",    # pass-r1+r2
-    "a_distinct",       # pass-r1+r2
-    "s_union",          # pass-r1+r2
-    "j_semi",           # pass-r1 (J family held in-window by j_outer_count,
-    #                     j_range)
-    "x_dedup_minhash",  # D2 rows-only (x_dedup_verified is oracle-exact)
-    "x_dedup_simhash",  # D2 rows-only
-    "x_ann_lsh",        # D3 rows-only (topk_sim covers the row)
-    "x_token_freq",     # D4
-    "x_token_bpe",      # D4
-    "x_fingerprint",    # D4
-    "s_intersect",      # set ops
-    "f_json_multi",     # F5
-    "f_path_ops",       # F9
-    "a_cube",           # A+
-    "a_pivot",          # A+
-    "x_embed_stats",    # bonus profiling query
+    "x_inverted_index",  # r5+r6
+    "x_token_ids",       # r5+r6
+    "x_novelty",         # r5+r6
+    "x_length_batches",  # r5+r6
+    "x_retrieval_batch", # r5+r6
+    "x_interp_linear",   # r5+r6
+    "x_bpe_train",       # clean r5+r6 (rows-only)
+    "x_bpe_encode",      # clean r5+r6 (rows-only)
+    "x_ann_eval",        # clean r5+r6 (rows-only)
+    "x_semdedup_eval",   # clean r5+r6 (rows-only)
+    "x_pipeline_audit",  # clean r5+r6 (rows-only)
+    "x_bm25",            # r4+r6
+    "x_cooccur_pmi",     # r4+r6
+    "x_funnel",          # r4+r6
+    "x_retention",       # r4+r6
+    "x_histogram",       # r4+r6
+    "x_rolling_zscore",  # r4+r6
+    "x_quality_norm",    # r4+r6
+    "x_semdedup",        # clean r4+r6 (rows-only)
+    "x_retrieval_metrics",  # r4+r6
+    "o_topk",            # r3+r6
+    "w_dense_rank",      # r3+r6
+    "w_range_frame",     # r3+r6
+    "x_dedup_compact",   # r3+r6
+    "x_shard_shuffle",   # r3+r6
+    "x_tfidf",           # r3+r6
+    "x_ann_ivf",         # clean r3+r6 (rows-only)
+    "x_pack_sequences",  # clean r3+r6 (rows-only)
+    "j_outer_count",     # r1+r6
+    "a_sum_avg",         # r1+r6
+    "f_not_exists",      # r1+r2+r6
+    "f_string_parse",    # r1+r3
+    "x_span_dedup",      # r4+r5
+    "a_geomean_udaf",    # r4+r5
+    "w_running",         # r3+r5
+    "w_rownum_page",     # r4+r5
+    "st_tumbling",       # r1+r5
+    "st_session",        # r2+r5
+    "st_topk_trend",     # r4+r5
+    "x_sessionize",      # r4+r5
+    "x_transition_matrix",  # r4+r5
+    "f_from_json",       # r2+r5
+    "f_json_extract",    # r2+r5
+    "f_array_ops",       # r2+r5
+    "j_json_filter",     # r2+r5
+    "j_asof",            # r1+r5
+    "j_temporal_lookup", # r4+r5
+    "a_count_distinct",  # r2+r5
+    "a_group_summary",   # r2+r5
+    "x_exact_quantiles", # r4+r5
+    "x_profile_stats",   # r4+r5
+    "x_incr_agg",        # r4+r5
+    "x_corr_matrix",     # r4+r5
+    "x_dedup_jaccard",   # r3+r5
+    "x_dedup_incremental",  # r3+r5
+    "x_dedup_cluster",   # r3+r5
+    "x_scd2_history",    # r4+r5
+    "x_table_diff",      # r4+r5
+    "x_cdc_apply",       # r4+r5
+    "x_domain_mix",      # r4+r5
+    "x_stratified",      # r4+r5
+    "x_token_budget",    # r4+r5
+    "x_source_cap",      # r4+r5
+    "x_bigram_logprob",  # r4+r5
+    "x_scrub",           # r4+r5
+    "x_sentences",       # r4+r5
+    "x_dedup_exact",     # r1+r3
+    "f_cast_coerce",     # r1+r3
+    "a_rollup",          # r1+r3
+    "f_substring",       # r1+r2+r3
+    "f_daterange",       # r1+r2+r3
+    "f_inlist",          # r1+r2+r3
+    "p_project",         # r1+r2+r3
+    "f_null_handling",   # r1+r2+r3
+    "j_three_way",       # r1+r2+r3
+    "a_count",           # r1+r2+r3
+    "x_text_stats",      # r2+r3
+    "x_split_hash",      # r2+r3
+    "x_dedup_embed",     # r2+r3
+    "x_topk_sim",        # r2+r3
+    "x_chunk_docs",      # r2+r3
+    "x_decontaminate",   # r2+r3
+    "x_repetition",      # r2+r3
+    "f_sha2",            # r1+r2
+    "f_validate_id",     # r1+r2
+    "j_self_parent",     # r1+r2
+    "x_dedup_minhash",   # D2 rows-only
+    "x_dedup_simhash",   # D2 rows-only
+    "x_ann_lsh",         # D3 rows-only
+    "x_token_freq",      # D4
+    "x_token_bpe",       # D4
+    "x_fingerprint",     # D4
+    "s_intersect",       # set ops
+    "f_json_multi",      # F5
+    "f_path_ops",        # F9
+    "a_cube",            # A+
+    "a_pivot",           # A+
+    "x_embed_stats",     # bonus profiling query
 ]
 
 
