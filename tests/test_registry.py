@@ -43,66 +43,50 @@ def test_query_plans(spark, name):
     assert df.schema is not None and len(df.columns) > 0
 
 
-ROTATED_IN_R6 = [
-    # round-6 plan (VERDICT r5 items 1/2/5): the one query with no driver
-    # record plus the queries whose implementations changed this round
-    # (their last green rows predate current code)
-    "x_embed_quantize",   # no driver record; mean fold order pinned r6
-    "x_dedup_verified",   # candidate set made lossless (LSH ∪ prefix)
-    "x_hard_negatives",   # headline swapped to the cell-cogrouped miner
-    # new in round 6 — no driver record exists, so they must be in-window
-    "x_split_leakage",
-    "x_heavy_hitters",
-    "x_rebalance",
-    "x_embed_pca",
-    "x_phash_dedup",
-    "x_dsir_select",
-    "x_pq_quantize",
-    "x_audio_dedup",
-    "x_substring_dedup",
-    "x_ann_pq",
-    "x_dsir_resample",
-    "x_scene_changes",
-    "x_dedup_retain",
-    "x_dedup_weights",
+ROTATED_IN_R7 = [
+    # round-7 plan (VERDICT r6 item 3): queries with no driver record plus
+    # queries whose implementations changed this round (their last green
+    # rows predate current code)
+    "st_heavy_hitters",   # NEW: continuous Misra-Gries heavy hitters
+    "st_quantiles",       # NEW: continuous DDSketch quantiles
+    "x_ann_ivfpq",        # NEW: IVF x residual-PQ serving composition
+    "x_phash_dedup",      # impl touched r7: groups persist -> checkpoint
+    "x_audio_dedup",      # shares the phash engine
+    "x_heavy_hitters",    # impl touched r7: sketch partials carry counters
+]
+
+# single-green-r6 rows held in-window for double-verification
+HELD_R6_SINGLES = [
+    "x_embed_quantize", "x_dedup_verified", "x_hard_negatives",
+    "x_split_leakage", "x_rebalance", "x_embed_pca", "x_dsir_select",
+    "x_pq_quantize", "x_substring_dedup", "x_ann_pq", "x_dsir_resample",
+    "x_scene_changes", "x_dedup_retain", "x_dedup_weights",
     "st_distinct_hll",
 ]
 
 
 def test_category_coverage_inside_driver_window():
     """The driver's correctness harness checks only the FIRST ~50 registered
-    queries; the round-6 rotation (registry.PRIORITY) must keep (a) every
+    queries; the round-7 rotation (registry.PRIORITY) must keep (a) every
     never-driver-checked and impl-changed query inside that window so it
-    gets a current CORRECTNESS row, and (b) at least one in-window category
-    holder for every family whose other members rotated out (all of which
-    hold green r1-r5 rows)."""
+    gets a current CORRECTNESS row, (b) the single-green-r6 rows for
+    double-verification, and (c) the weakest-record queries (single green
+    ever / unchecked since round 2) plus the S10 family holder. Families
+    whose members all rotated out hold 2+ green rows each."""
     window = list(registry.ordered_queries())[:50]
-    for name in ROTATED_IN_R6:
+    for name in ROTATED_IN_R7 + HELD_R6_SINGLES:
         assert name in window, f"{name} fell outside the driver's 50-query window"
     for name in [
-        # single-green-row double-verification batch + family holders
-        "x_inverted_index", "x_token_ids", "x_novelty", "x_length_batches",
-        "x_retrieval_batch", "x_interp_linear", "x_bpe_train",
-        "x_bpe_encode", "x_ann_eval", "x_semdedup_eval", "x_pipeline_audit",
-        "x_bm25", "x_funnel", "x_retention", "x_histogram",
-        "x_rolling_zscore", "x_semdedup", "x_retrieval_metrics",
-        # x_quality_filter (D10) displaced to 51+ by x_dedup_weights;
-        # x_quality_norm holds for D10
-        "o_topk", "w_dense_rank", "x_tfidf", "x_merge_upsert",
-        "x_ann_ivf",
-        # st_join (St6) displaced to 51+ by st_distinct_hll, which itself
-        # holds for St in-window
-        # o_natural_sort (O4) displaced to 51+ by x_dedup_retain; the O
-        # family keeps o_topk in-window
-        # x_gapfill (T1) displaced to 51+ by x_dsir_resample; the T family
-        # keeps x_interp_linear in-window
-        "j_outer_count",     # J-family holder (j_range displaced to 51+
-        #                      by the four new round-6 queries)
-        "a_sum_avg",         # A-family holder (a_approx_sketch displaced)
-        "f_not_exists",      # P-family holder
-        # f_string_parse (F family) is displaced to position 51 by
-        # x_phash_dedup: its r1+r3 double-green driver rows already
-        # certify the family, and every new query MUST take a slot
+        # single-green-ever batch
+        "x_gapfill", "o_natural_sort", "x_quality_filter", "st_join",
+        "j_range", "a_approx_sketch", "s_except", "x_lang_id",
+        "x_fuzzy_join", "x_length_trim", "x_sample_weighted",
+        "x_unigram_logprob", "w_lag_lead", "x_mad_outlier", "x_dedup_eval",
+        "x_pagerank", "o_sort", "j_semi", "st_anomaly",
+        # S10 family holder + r1+r2 doubles unchecked since round 2
+        "x_merge_upsert", "w_topk_group", "st_sliding", "o_limit",
+        "f_equality", "f_dates", "f_format", "j_two_way", "a_distinct",
+        "s_union",
     ]:
         assert name in window, f"{name} fell outside the driver's 50-query window"
 
