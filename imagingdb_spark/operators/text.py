@@ -876,8 +876,14 @@ def mg_heavy_hitters(
     share_min) is a guaranteed SUPERSET of the true phi-heavy tokens
     (the no-false-negative half of x_heavy_hitters' contract; the exact
     recount half needs the corpus, which a stream no longer has)."""
-    total = state.filter(F.col("tok") == MG_TOTAL).select(
-        F.col("cnt").alias("n_total")
+    # the total as a GLOBAL aggregate (not a filtered row): the broadcast
+    # attach is then the scalar-subquery BNLJ shape the plan guard can
+    # prove is O(n) — a filter-to-one-row build side is 1 row by data, not
+    # by plan structure, and would be flagged as a quadratic hazard
+    total = state.agg(
+        F.max(
+            F.when(F.col("tok") == MG_TOTAL, F.col("cnt"))
+        ).alias("n_total")
     )
     thresh = F.lit(phi - 1.0 / (k + 1)) * F.col("n_total")
     return (
@@ -913,4 +919,11 @@ def st_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         partial = mg_batch_partial(toks)
         state = partial if state is None else mg_merge_state(state, partial)
+        # materialize each fold (the connected_components driver-loop
+        # exception: 4 rounds, state <= k+1 rows) — lazy chaining would
+        # compound the plan ~3x per fold (state feeds the merge, the
+        # offset top-k, AND the total split), re-scanning documents ~3^4
+        # times in the final plan; the streaming twin gets the same
+        # truncation for free from the snapshot state table
+        state = state.localCheckpoint(eager=True)
     return mg_heavy_hitters(state).orderBy("tok")
