@@ -1645,8 +1645,9 @@ class TestPhash:
         without an unpersist, leaking a CacheManager entry per invocation
         in long-lived sessions. Now an eager localCheckpoint: blocks are
         ContextCleaner-owned, and the session cache must stay empty."""
+        spark.catalog.clearCache()  # earlier tests may have left entries
         cm = spark._jsparkSession.sharedState().cacheManager()
-        assert cm.isEmpty(), "test requires a clean cache to be meaningful"
+        assert cm.isEmpty()
         rows = [("a", 0x123456789ABCDE7), ("b", 0x123456789ABCDE7 ^ 3)]
         df = spark.createDataFrame(rows, "frame_id string, phash long")
         multimodal.phash_near_dups(df).collect()
