@@ -351,3 +351,201 @@ def dd_quantile_np(
                 return 0.0
             return round(s * 2.0 / (DD_GAMMA + 1) * DD_GAMMA ** b, 6)
     raise ValueError("empty sketch")
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketch (St17/D23): mergeable distinct sketches that support
+# SET ALGEBRA — the question HLL registers cannot answer. K-minimum-values
+# (Bar-Yossef et al. 2002; the Apache DataSketches theta family, public):
+# keep the k smallest distinct hash values per group; theta = the k-th
+# minimum (as a fraction of hash space) is an unbiased density, so
+# distinct ≈ (k-1)/theta, and INTERSECTIONS estimate by counting common
+# sample values below the pairwise min-theta. Relative error ~1/sqrt(k-2)
+# (~3% at k=1024). The fold (union + re-truncate to the k smallest) is
+# idempotent, commutative, and associative — replay-safe BY ALGEBRA like
+# the HLL register max, and unlike the MG/DDSketch counter sums: the
+# streaming twin deliberately carries NO txn marker, and the test suite
+# pins that the algebraic path (not bookkeeping) absorbs replays.
+# All JVM: hashes ride DECIMAL(20,0) exact unsigned values; one distinct
+# + one per-group rank; floats appear only in the final estimate.
+# ---------------------------------------------------------------------------
+
+KMV_K = 1024
+_U64 = "cast('18446744073709551616' as decimal(21,0))"   # 2^64
+_BIAS = "cast('9223372036854775808' as decimal(20,0))"   # 2^63
+
+
+def kmv_partials(
+    df: DataFrame, key_col: str, group_cols: list[str], k: int = KMV_K
+) -> DataFrame:
+    """Sparse sample rows (group_cols..., u decimal(20,0)): the k smallest
+    distinct unsigned-hash values of `key_col` per group. Shuffle carries
+    (group, u) only; the rank window partitions by group."""
+    from pyspark.sql.window import Window
+
+    u = (
+        F.xxhash64(F.col(key_col)).cast("decimal(20,0)") + F.expr(_BIAS)
+    ).alias("u")
+    w = Window.partitionBy(*group_cols).orderBy("u")
+    return (
+        df.select(*group_cols, u)
+        .dropDuplicates([*group_cols, "u"])
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def kmv_merge(
+    a: DataFrame, b: DataFrame, group_cols: list[str], k: int = KMV_K
+) -> DataFrame:
+    """Union + re-truncate to the k smallest — idempotent (re-merging an
+    absorbed sample is a no-op), so the streaming fold needs no replay
+    bookkeeping."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("u")
+    return (
+        a.unionByName(b)
+        .dropDuplicates([*group_cols, "u"])
+        .withColumn("__r", F.row_number().over(w))
+        .filter(F.col("__r") <= k)
+        .drop("__r")
+    )
+
+
+def _kmv_stats(sketch: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """(group..., n long, theta_raw decimal(21,0)): theta is the sketch's
+    largest kept value when FULL (k samples), else 2^64 — i.e. a partial
+    sketch has seen its whole population and is exact."""
+    return sketch.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.when(F.count(F.lit(1)) < k, F.expr(_U64))
+        .otherwise(F.max("u").cast("decimal(21,0)"))
+        .alias("theta_raw"),
+    )
+
+
+def kmv_estimate_df(
+    sketch: DataFrame, group_cols: list[str], k: int = KMV_K
+) -> DataFrame:
+    """(group..., approx_distinct long): exact when the population fit in
+    the sketch, (k-1)/theta otherwise."""
+    s = _kmv_stats(sketch, group_cols, k)
+    theta = F.col("theta_raw").cast("double") / F.lit(float(1 << 64))
+    est = F.when(F.col("n") < k, F.col("n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / theta
+    )
+    return s.select(
+        *group_cols, F.round(est).cast("long").alias("approx_distinct")
+    )
+
+
+def kmv_overlaps(
+    sketch: DataFrame, group_col: str, k: int = KMV_K
+) -> DataFrame:
+    """Pairwise set algebra over per-group sketches: for every group pair
+    (a < b), the estimated common-key count and Jaccard. theta_pair =
+    min(theta_a, theta_b); common samples strictly below it scale by
+    1/theta (the DataSketches intersection rule). When both sketches are
+    partial the estimate is EXACT (theta = 1, samples = whole
+    populations) — pinned by test against a direct distinct intersection.
+
+    Plan shape: the sketch materializes ONCE (eager localCheckpoint — it
+    feeds the stats pass and both sides of the sample join; k rows per
+    group, never the corpus); per-group stats are a GROUPS-sized collect
+    (a segment taxonomy, bounded like every dim collect in the repo), so
+    the group-pair frame is built driver-side with its thetas and
+    per-group estimates as literals — a non-equi g_a < g_b join would be
+    the quadratic-BNLJ shape the plan guard rejects. The only distributed
+    join is the equi-join of sample rows on u (k × groups rows)."""
+    from decimal import Decimal
+
+    sketch = sketch.localCheckpoint(eager=True)
+    spark = sketch.sparkSession
+    stats = {
+        r[group_col]: (int(r["n"]), int(r["theta_raw"]))
+        for r in _kmv_stats(sketch, [group_col], k).collect()
+    }
+
+    def _est(g: str) -> float:
+        n, th = stats[g]
+        return float(n) if n < k else (k - 1) / (th / float(1 << 64))
+
+    pair_rows = []
+    groups = sorted(stats)
+    for i, a in enumerate(groups):
+        for b in groups[i + 1:]:
+            th_pair = min(stats[a][1], stats[b][1])
+            pair_rows.append(
+                (a, b, Decimal(th_pair),
+                 th_pair / float(1 << 64), _est(a), _est(b))
+            )
+    pairs = spark.createDataFrame(
+        pair_rows,
+        f"g_a string, g_b string, th_pair decimal(21,0), "
+        f"theta double, est_a double, est_b double",
+    )
+    common_n = (
+        sketch.select(F.col(group_col).alias("g_a"), "u")
+        .join(sketch.select(F.col(group_col).alias("g_b"), "u"), "u")
+        .filter(F.col("g_a") < F.col("g_b"))
+        .join(F.broadcast(pairs.select("g_a", "g_b", "th_pair")),
+              ["g_a", "g_b"])
+        .filter(F.col("u").cast("decimal(21,0)") < F.col("th_pair"))
+        .groupBy("g_a", "g_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    est_common = (
+        F.coalesce(F.col("n_common"), F.lit(0)) / F.col("theta")
+    )
+    union_est = F.col("est_a") + F.col("est_b") - est_common
+    return (
+        pairs.join(common_n, ["g_a", "g_b"], "left")
+        .select(
+            "g_a",
+            "g_b",
+            F.round(est_common).cast("long").alias("common_est"),
+            F.round("est_a").cast("long").alias("distinct_a_est"),
+            F.round("est_b").cast("long").alias("distinct_b_est"),
+            F.round(est_common / union_est, 4).alias("jaccard_est"),
+        )
+    )
+
+
+@query("st_theta_overlap")  # rows-only: KMV estimates aren't ANSI-SQL; the
+#                             exact-when-partial parity and the error bound
+#                             are pinned in tests/test_sketches.py
+def st_theta_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous audience-overlap batch twin: for every event-type pair,
+    the estimated common-user count, per-type distincts, and Jaccard off
+    per-type KMV sketches — the segment-overlap question (users doing BOTH
+    X and Y) that HLL registers cannot answer and an exact distinct
+    intersection would answer with a corpus-sized shuffle per pair. The
+    sketches are the same rows the streaming job (streaming_theta_sketch)
+    maintains in snapshot state, so this IS the dashboard query over the
+    maintained state. Deterministic: seedless hash, exact decimal order,
+    float division only in the final estimate."""
+    from imagingdb_spark.catalog import table
+
+    e = table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = kmv_partials(e, "user_id", ["event_type"])
+    return kmv_overlaps(sk, "event_type").orderBy("g_a", "g_b")
+
+
+# ---- python reference twin (tests pin the JVM decimal order against it) --
+
+
+def kmv_sketch_py(hashes, k: int = KMV_K) -> list[int]:
+    """Signed xxhash64 values -> the k smallest distinct unsigned values."""
+    us = sorted({h + (1 << 63) for h in hashes})
+    return us[:k]
+
+
+def kmv_overlap_py(sa: list[int], sb: list[int], k: int = KMV_K) -> float:
+    """Estimated |A ∩ B| from two KMV samples."""
+    th_a = (1 << 64) if len(sa) < k else sa[-1]
+    th_b = (1 << 64) if len(sb) < k else sb[-1]
+    th = min(th_a, th_b)
+    common = len({u for u in sa if u < th} & {u for u in sb if u < th})
+    return common / (th / float(1 << 64))

@@ -81,6 +81,7 @@ PRIORITY: list[str] = [
     "st_heavy_hitters",  # St15: continuous Misra-Gries heavy hitters
     "st_quantiles",      # St16: continuous DDSketch quantiles
     "x_ann_ivfpq",       # D3k: IVF x residual-PQ serving composition
+    "st_theta_overlap",  # St17: continuous KMV/theta set-algebra sketches
     # --- r6 singles whose implementation ALSO changed in round 7 ---
     "x_phash_dedup",     # D5c (groups checkpoint swap, ADVICE r6)
     "x_audio_dedup",     # D5d (shares the phash engine)
@@ -131,9 +132,10 @@ PRIORITY: list[str] = [
     "f_format",          # F2 (r1+r2)
     "j_two_way",         # J2 (r1+r2)
     "a_distinct",        # A2 (r1+r2)
-    "s_union",           # set ops (r1+r2)
     # --- position 51+: green driver rows on record; implementations +
     #     unit tests intact. Ordered roughly by record freshness. ---
+    "s_union",           # set ops (r1+r2) — displaced by the new
+    #                      st_theta_overlap; s_except holds in-window
     "x_inverted_index",  # r5+r6
     "x_token_ids",       # r5+r6
     "x_novelty",         # r5+r6

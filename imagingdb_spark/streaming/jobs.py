@@ -546,6 +546,68 @@ def streaming_quantiles(
     )
 
 
+def streaming_theta_sketch(
+    events: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+    group_cols: tuple[str, ...] = ("event_type",),
+    expire_every: int = 8,
+    keep_versions: int = 4,
+) -> StreamingQuery:
+    """Continuous per-group KMV/theta sketches with BOUNDED state (St17):
+    per micro-batch, the batch's k smallest distinct hash values per group
+    (operators/sketches.py kmv_partials) folded into snapshot state via
+    union + re-truncate. State is <= k rows per group at ANY key
+    cardinality, and the read side (theta_overlap_estimates) answers the
+    SET-ALGEBRA questions HLL cannot: common users across segments,
+    Jaccard between audiences, any-pair intersections — off sketch rows,
+    never the corpus.
+
+    Replay safety is ALGEBRA here, like HLL and unlike the MG/DDSketch
+    folds: union + k-smallest is idempotent, so this job deliberately
+    carries NO txn marker — the parity test asserts the state table
+    records zero txns and a fresh-checkpoint full replay still lands the
+    bit-identical sample set."""
+    from imagingdb_spark.operators.sketches import kmv_merge, kmv_partials
+
+    gcols = list(group_cols)
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = kmv_partials(batch_df, key_col, gcols)
+        _snapshot_state_step(
+            batch_df.sparkSession,
+            table_dir,
+            partial.limit(0),
+            lambda state: kmv_merge(state, partial, gcols),
+            "kmv",
+            int(batch_id),
+            expire_every,
+            keep_versions,
+        )
+
+    return (
+        events.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def theta_overlap_estimates(
+    spark: SparkSession, table_dir: str, group_col: str
+) -> DataFrame:
+    """Read side of streaming_theta_sketch: pairwise common/Jaccard
+    estimates off the maintained sample state — one tiny scan (groups × k
+    rows). Shares kmv_overlaps with the batch twin."""
+    from imagingdb_spark.operators.sketches import kmv_overlaps
+    from imagingdb_spark.snapshots import snapshot_read
+
+    return kmv_overlaps(snapshot_read(spark, table_dir), group_col)
+
+
 def quantile_estimates(
     spark: SparkSession, table_dir: str, qs: list[float]
 ) -> DataFrame:

@@ -50,6 +50,7 @@ ROTATED_IN_R7 = [
     "st_heavy_hitters",   # NEW: continuous Misra-Gries heavy hitters
     "st_quantiles",       # NEW: continuous DDSketch quantiles
     "x_ann_ivfpq",        # NEW: IVF x residual-PQ serving composition
+    "st_theta_overlap",   # NEW: continuous KMV/theta set-algebra sketches
     "x_phash_dedup",      # impl touched r7: groups persist -> checkpoint
     "x_audio_dedup",      # shares the phash engine
     "x_heavy_hitters",    # impl touched r7: sketch partials carry counters
@@ -86,7 +87,6 @@ def test_category_coverage_inside_driver_window():
         # S10 family holder + r1+r2 doubles unchecked since round 2
         "x_merge_upsert", "w_topk_group", "st_sliding", "o_limit",
         "f_equality", "f_dates", "f_format", "j_two_way", "a_distinct",
-        "s_union",
     ]:
         assert name in window, f"{name} fell outside the driver's 50-query window"
 

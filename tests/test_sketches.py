@@ -524,3 +524,156 @@ class TestQuantileSketch:
             ["l_returnflag"], [0.5, 0.9, 0.99]).collect()))
         spark.catalog.clearCache()
         assert got == twin
+
+
+# ---------------------------------------------------------------------------
+# KMV / theta sketches (operators/sketches.py kmv_* + streaming_theta_sketch):
+# exact-when-partial parity, error bounds at forced-full sketches, merge
+# algebra (idempotent — the HLL side of the replay-safety dichotomy), python
+# twin parity, stream == batch with a NO-txn replay (algebra, not bookkeeping).
+# ---------------------------------------------------------------------------
+
+
+class TestThetaSketch:
+    def test_exact_when_population_fits(self, spark):
+        """Sketches that never filled (n < k) are exact: estimates equal
+        the true distincts and intersections on the real events table."""
+        from pyspark.sql import functions as F
+
+        e = spark.read.parquet(SF_DIR + "/events.parquet").select(
+            "event_type", "user_id"
+        )
+        sk = SK.kmv_partials(e, "user_id", ["event_type"])
+        got = {(r["g_a"], r["g_b"]): r for r in
+               SK.kmv_overlaps(sk, "event_type").collect()}
+        types = [r[0] for r in e.select("event_type").distinct().collect()]
+        users = {
+            t: {r[0] for r in e.filter(F.col("event_type") == t)
+                .select("user_id").distinct().collect()}
+            for t in types
+        }
+        spark.catalog.clearCache()
+        for (a, b), r in got.items():
+            assert r["common_est"] == len(users[a] & users[b])
+            assert r["distinct_a_est"] == len(users[a])
+            assert r["distinct_b_est"] == len(users[b])
+
+    def test_error_bound_when_full(self, spark):
+        """Forced-full sketches (50k+50k keys, 10k overlap, k=1024): the
+        distinct and intersection estimates land within ~5 standard errors
+        (1/sqrt(k-2) ~ 3.1%)."""
+        from pyspark.sql import functions as F
+
+        a = spark.range(0, 50_000).select(
+            F.lit("A").alias("g"), F.col("id").cast("string").alias("k"))
+        b = spark.range(40_000, 90_000).select(
+            F.lit("B").alias("g"), F.col("id").cast("string").alias("k"))
+        sk = SK.kmv_partials(a.union(b), "k", ["g"])
+        est = {r["g_a"]: r for r in SK.kmv_overlaps(sk, "g").collect()}["A"]
+        d = {r["g"]: r["approx_distinct"]
+             for r in SK.kmv_estimate_df(sk, ["g"]).collect()}
+        spark.catalog.clearCache()
+        assert abs(d["A"] - 50_000) / 50_000 < 0.16
+        assert abs(d["B"] - 50_000) / 50_000 < 0.16
+        # intersection error compounds (scaled count of ~k/5 samples):
+        # allow a wider, still-tight band
+        assert abs(est["common_est"] - 10_000) / 10_000 < 0.25
+        true_j = 10_000 / 90_000
+        assert abs(est["jaccard_est"] - true_j) / true_j < 0.25
+
+    def test_merge_equals_whole_and_is_idempotent(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.range(30_000).select(
+            F.col("id").cast("string").alias("k"),
+            (F.col("id") < 11_000).alias("half"),
+            F.lit(1).alias("g"),
+        )
+        whole = SK.kmv_partials(df, "k", ["g"])
+        a = SK.kmv_partials(df.filter("half"), "k", ["g"])
+        b = SK.kmv_partials(df.filter("NOT half"), "k", ["g"])
+        merged = SK.kmv_merge(a, b, ["g"])
+        key = lambda rows: sorted(r["u"] for r in rows)
+        w = key(whole.collect())
+        assert key(merged.collect()) == w
+        assert key(SK.kmv_merge(merged, a, ["g"]).collect()) == w  # idempotent
+        spark.catalog.clearCache()
+
+    def test_python_twin_parity(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.range(5_000).select(
+            F.col("id").cast("string").alias("k"), F.lit(1).alias("g"))
+        jvm = sorted(int(r["u"]) for r in
+                     SK.kmv_partials(df, "k", ["g"]).collect())
+        hashes = [r["h"] for r in
+                  df.select(F.xxhash64("k").alias("h")).collect()]
+        spark.catalog.clearCache()
+        assert jvm == SK.kmv_sketch_py(hashes)
+        # and the overlap estimator agrees with the python rule
+        est = SK.kmv_overlap_py(jvm, jvm)
+        assert round(est) == len(jvm) if len(jvm) < SK.KMV_K else est > 0
+
+    def test_registered_query_runs_and_is_deterministic(self, spark):
+        from imagingdb_spark.operators.sketches import st_theta_overlap
+
+        a = sorted(map(tuple, st_theta_overlap(spark, SF_DIR).collect()))
+        b = sorted(map(tuple, st_theta_overlap(spark, SF_DIR).collect()))
+        spark.catalog.clearCache()
+        assert a == b and len(a) > 0
+
+    def test_stream_state_matches_batch_and_replays_by_algebra(
+        self, spark, tmp_path
+    ):
+        """streaming_theta_sketch lands exactly the one-shot batch sample
+        set; a fresh-checkpoint FULL REPLAY leaves it untouched WITHOUT
+        any txn bookkeeping — the state manifests must record zero txns,
+        pinning that idempotent algebra (not the marker) is what absorbs
+        the replay (the deliberate contrast with the MG/DDSketch folds)."""
+        from pyspark.sql import functions as F
+
+        from imagingdb_spark import snapshots as S
+        from imagingdb_spark.streaming import jobs
+
+        src = str(tmp_path / "src")
+        e = spark.read.parquet(SF_DIR + "/events.parquet").select(
+            "event_type", "user_id"
+        )
+        for i in range(4):
+            e.filter(F.pmod(F.abs(F.xxhash64("user_id")), F.lit(4)) == i) \
+                .coalesce(1).write.mode("append").parquet(src)
+
+        table = str(tmp_path / "kmv_state")
+
+        def run(ck):
+            stream = (
+                spark.readStream.schema("event_type string, user_id long")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = jobs.streaming_theta_sketch(
+                stream, table, str(tmp_path / ck)
+            )
+            q.processAllAvailable()
+            q.stop()
+
+        run("ck1")
+        key = lambda rows: sorted((r["event_type"], int(r["u"]))
+                                  for r in rows)
+        want = key(SK.kmv_partials(e, "user_id", ["event_type"]).collect())
+        assert key(S.snapshot_read(spark, table).collect()) == want
+
+        run("ck2")  # full replay: absorbed by union+truncate idempotence
+        assert key(S.snapshot_read(spark, table).collect()) == want
+        # NO txn markers anywhere in the retained manifests: the algebra,
+        # not bookkeeping, is the replay screen here
+        for v in S._versions(table):
+            assert S._read_manifest_raw(table, v).get("txns", {}) == {}
+
+        got = sorted(map(tuple, jobs.theta_overlap_estimates(
+            spark, table, "event_type").collect()))
+        twin = sorted(map(tuple, SK.kmv_overlaps(
+            SK.kmv_partials(e, "user_id", ["event_type"]),
+            "event_type").collect()))
+        spark.catalog.clearCache()
+        assert got == twin

@@ -28,9 +28,11 @@ from pyspark.sql import functions as F
 from imagingdb_spark import snapshots as S
 from imagingdb_spark.operators.text import HH_SKETCH_K
 from imagingdb_spark.session import get_spark
+from imagingdb_spark.operators.sketches import KMV_K
 from imagingdb_spark.streaming.jobs import (
     streaming_heavy_hitters,
     streaming_quantiles,
+    streaming_theta_sketch,
 )
 
 
@@ -141,6 +143,38 @@ def main() -> None:
             "n_groups": n_groups,
             "state_rows_per_group": round(state_rows / max(1, n_groups), 1),
         }
+        # --- theta sketches over events (user_id per event_type) ---
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+            "event_type", "user_id"
+        )
+        parts = [
+            ev.filter(F.pmod(F.abs(F.xxhash64("user_id")), F.lit(m)) == i % m)
+            for i in range(n_batches)
+        ]
+        watch = _stage_batches(work, parts, "kmv")
+        table = str(work / "kmv_state")
+        batches, wall = _run(
+            spark,
+            lambda s: streaming_theta_sketch(s, table, str(work / "ck_kmv")),
+            watch,
+            "event_type string, user_id long",
+        )
+        lat = sorted(b["trigger_ms"] for b in batches)
+        state = S.snapshot_read(spark, table)
+        n_groups = state.select("event_type").distinct().count()
+        state_rows = state.count()
+        out["theta"] = {
+            "n_batches": len(batches),
+            "p50_ms": lat[len(lat) // 2] if lat else None,
+            "max_ms": lat[-1] if lat else None,
+            "wall_sec": round(wall, 2),
+            "batches": batches,
+            "state_rows": state_rows,
+            "n_groups": n_groups,
+            "state_rows_bound_per_group": KMV_K,
+        }
+        assert state_rows <= n_groups * KMV_K, state_rows
+
         line = json.dumps(out)
         print(line)
         Path("/root/repo/tools/STREAM_BENCH_SKETCHES.json").write_text(
