@@ -106,22 +106,35 @@ def insert_frames(
     paths = paths or {}
     w = Window.partitionBy(F.lit(0)).orderBy("dataset_serial")  # catalog-batch-sized
 
-    ds_rows = datasets.select(
-        "dataset_serial",
-        "description",
-        "microscope",
-        F.lit(True).alias("frames"),
-        serial_to_date_time(F.col("dataset_serial")).alias("date_time"),
-        normalize_parent(F.col("parent_dataset_id")).alias("parent_serial"),
-    )
-    ds_rows = resolve_parent_ids(ds_rows, data_set)
-    max_ds = data_set.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
-    ds_rows = ds_rows.withColumn(
-        "id", (F.row_number().over(w) + F.lit(max_ds)).cast("long")
-    )
+    # Row construction is BUILDER-shaped (a function of the table's
+    # current view): on the snapshot path the builder re-runs against the
+    # exact tip inside the commit retry, so surrogate-id allocation is
+    # serializable — two concurrent uploads of DIFFERENT serials no
+    # longer both bake max(id)+1 into colliding ids (round-7 review
+    # finding). Plain-parquet callers get the identical single-run
+    # semantics they always had.
+    def _ds_build(existing: DataFrame) -> DataFrame:
+        rows = datasets.select(
+            "dataset_serial",
+            "description",
+            "microscope",
+            F.lit(True).alias("frames"),
+            serial_to_date_time(F.col("dataset_serial")).alias("date_time"),
+            normalize_parent(F.col("parent_dataset_id")).alias("parent_serial"),
+        )
+        rows = resolve_parent_ids(rows, existing)
+        mx = existing.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+        return rows.withColumn(
+            "id", (F.row_number().over(w) + F.lit(mx)).cast("long")
+        )
+
+    ds_fields = [
+        "dataset_serial", "description", "microscope", "frames",
+        "date_time", "parent_id", "id",
+    ]
     new_ds = idempotent_append(
-        ds_rows, data_set, ["dataset_serial"], paths.get("data_set")
-    ).select(*[f.name for f in ds_rows.schema.fields])
+        _ds_build, data_set, ["dataset_serial"], paths.get("data_set")
+    ).select(*ds_fields)
 
     # A4: per-dataset global metadata from the actual frame rows
     summary = frames_rows.groupBy("dataset_serial").agg(
@@ -131,50 +144,81 @@ def insert_frames(
         F.countDistinct("time_idx").alias("nbr_timepoints"),
         F.countDistinct("pos_idx").alias("nbr_positions"),
     )
-    max_fg = frames_global.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
-    fg_rows = (
-        datasets.join(summary, "dataset_serial")
-        .join(
-            new_ds.select("dataset_serial", F.col("id").alias("dataset_id")),
-            "dataset_serial",
+
+    def _fg_build(existing: DataFrame) -> DataFrame:
+        mx = existing.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+        return (
+            datasets.join(summary, "dataset_serial")
+            .join(
+                new_ds.select(
+                    "dataset_serial", F.col("id").alias("dataset_id")
+                ),
+                "dataset_serial",
+            )
+            .withColumn(
+                "id", (F.row_number().over(w) + F.lit(mx)).cast("long")
+            )
+            .select(
+                "id",
+                F.col("nbr_frames").cast("int").alias("nbr_frames"),
+                "im_width", "im_height",
+                F.col("nbr_slices").cast("int").alias("nbr_slices"),
+                F.col("nbr_channels").cast("int").alias("nbr_channels"),
+                "im_colors",
+                F.col("nbr_timepoints").cast("int").alias("nbr_timepoints"),
+                F.col("nbr_positions").cast("int").alias("nbr_positions"),
+                "bit_depth", "storage_dir", "metadata_json", "dataset_id",
+            )
         )
-        .withColumn("id", (F.row_number().over(w) + F.lit(max_fg)).cast("long"))
-        .select(
-            "id",
-            F.col("nbr_frames").cast("int").alias("nbr_frames"),
-            "im_width", "im_height",
-            F.col("nbr_slices").cast("int").alias("nbr_slices"),
-            F.col("nbr_channels").cast("int").alias("nbr_channels"),
-            "im_colors",
-            F.col("nbr_timepoints").cast("int").alias("nbr_timepoints"),
-            F.col("nbr_positions").cast("int").alias("nbr_positions"),
-            "bit_depth", "storage_dir", "metadata_json", "dataset_id",
-            "dataset_serial",  # carried for the frames join; dropped at write
-        )
-    )
+
     new_fg = idempotent_append(
-        fg_rows.drop("dataset_serial"),
-        frames_global,
-        ["dataset_id"],
-        paths.get("frames_global"),
+        _fg_build, frames_global, ["dataset_id"], paths.get("frames_global")
     )
 
-    max_fr = frames.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
-    wf = Window.partitionBy(F.lit(0)).orderBy("dataset_serial", "file_name")  # batch-sized
-    fr_rows = (
-        frames_rows.join(
-            fg_rows.select("dataset_serial", F.col("id").alias("frames_global_id")),
-            "dataset_serial",
+    # serial -> frames_global id through the COMMITTED deltas (not the
+    # pre-commit view): on a replay both deltas are empty and the frame
+    # rows converge to nothing. Materialized driver-side — it is
+    # catalog-BATCH-sized (one row per uploaded dataset, like the max-id
+    # scalars above), and a lazy plan here would weave new_ds and new_fg
+    # lineage into the returned frames frame, tripping Spark's ambiguous-
+    # self-join detection when callers re-join the three outputs
+    mapping = (
+        new_ds.select("dataset_serial", F.col("id").alias("dataset_id"))
+        .join(
+            new_fg.select(
+                "dataset_id", F.col("id").alias("frames_global_id")
+            ),
+            "dataset_id",
         )
-        .withColumn("id", (F.row_number().over(wf) + F.lit(max_fr)).cast("long"))
-        .select(
-            "id", "channel_idx", "slice_idx", "time_idx", "pos_idx",
-            "channel_name", "file_name", "sha256", "metadata_json",
-            "frames_global_id",
-        )
+        .select("dataset_serial", "frames_global_id")
+        .collect()
     )
+    serial_to_fg = datasets.sparkSession.createDataFrame(
+        [(r["dataset_serial"], r["frames_global_id"]) for r in mapping],
+        "dataset_serial string, frames_global_id long",
+    )
+    wf = Window.partitionBy(F.lit(0)).orderBy("dataset_serial", "file_name")  # batch-sized
+
+    def _fr_build(existing: DataFrame) -> DataFrame:
+        mx = existing.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+        return (
+            frames_rows.join(
+                serial_to_fg.select("dataset_serial", "frames_global_id"),
+                "dataset_serial",
+            )
+            .withColumn(
+                "id", (F.row_number().over(wf) + F.lit(mx)).cast("long")
+            )
+            .select(
+                "id", "channel_idx", "slice_idx", "time_idx", "pos_idx",
+                "channel_name", "file_name", "sha256", "metadata_json",
+                "frames_global_id",
+            )
+        )
+
     new_fr = idempotent_append(
-        fr_rows, frames, ["frames_global_id", "file_name"], paths.get("frames")
+        _fr_build, frames, ["frames_global_id", "file_name"],
+        paths.get("frames"),
     )
     return new_ds, new_fg, new_fr
 

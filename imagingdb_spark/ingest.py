@@ -166,38 +166,54 @@ def insert_file(
     file_global_rows)."""
     from pyspark.sql import Window
 
-    ds_rows = new_files.select(
-        "dataset_serial",
-        "description",
-        F.col("microscope"),
-        F.lit(False).alias("frames"),
-        serial_to_date_time(F.col("dataset_serial")).alias("date_time"),
-        normalize_parent(F.col("parent_dataset_id")).alias("parent_serial"),
-    )
-    ds_rows = resolve_parent_ids(ds_rows, data_set)
-    max_ds_id = data_set.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
     w = Window.partitionBy(F.lit(0)).orderBy("dataset_serial")  # catalog-batch-sized: one task is fine
-    ds_rows = ds_rows.withColumn(
-        "id", (F.row_number().over(w) + F.lit(max_ds_id)).cast("long")
-    )
+
+    # builder-shaped so the snapshot path re-allocates ids against the
+    # exact committed-onto tip (see idempotent_append); plain path is
+    # single-run as before
+    def _ds_build(existing: DataFrame) -> DataFrame:
+        rows = new_files.select(
+            "dataset_serial",
+            "description",
+            F.col("microscope"),
+            F.lit(False).alias("frames"),
+            serial_to_date_time(F.col("dataset_serial")).alias("date_time"),
+            normalize_parent(F.col("parent_dataset_id")).alias("parent_serial"),
+        )
+        rows = resolve_parent_ids(rows, existing)
+        mx = existing.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+        return rows.withColumn(
+            "id", (F.row_number().over(w) + F.lit(mx)).cast("long")
+        )
+
     appended_ds = idempotent_append(
-        ds_rows, data_set, ["dataset_serial"], data_set_path
+        _ds_build, data_set, ["dataset_serial"], data_set_path
     )
 
-    max_fg_id = file_global.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
-    fg_rows = (
-        new_files.select(
-            "dataset_serial", "storage_dir", "file_name", "metadata_json", "sha256"
+    def _fg_build(existing: DataFrame) -> DataFrame:
+        mx = existing.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+        return (
+            new_files.select(
+                "dataset_serial", "storage_dir", "file_name",
+                "metadata_json", "sha256",
+            )
+            .join(
+                appended_ds.select(
+                    "dataset_serial", F.col("id").alias("dataset_id")
+                ),
+                "dataset_serial",
+            )
+            .withColumn(
+                "id", (F.row_number().over(w) + F.lit(mx)).cast("long")
+            )
+            .select(
+                "id", "storage_dir", "file_name", "metadata_json",
+                "dataset_id", "sha256",
+            )
         )
-        .join(
-            appended_ds.select("dataset_serial", F.col("id").alias("dataset_id")),
-            "dataset_serial",
-        )
-        .withColumn("id", (F.row_number().over(w) + F.lit(max_fg_id)).cast("long"))
-        .select("id", "storage_dir", "file_name", "metadata_json", "dataset_id", "sha256")
-    )
+
     appended_fg = idempotent_append(
-        fg_rows, file_global, ["dataset_id"], file_global_path
+        _fg_build, file_global, ["dataset_id"], file_global_path
     )
     return appended_ds, appended_fg
 
@@ -223,7 +239,7 @@ class SnapshotTarget:
 
 
 def idempotent_append(
-    new_rows: DataFrame,
+    new_rows,  # DataFrame | Callable[[DataFrame], DataFrame]
     existing: DataFrame,
     key_cols: list[str],
     target_path: str | SnapshotTarget | None = None,
@@ -232,6 +248,15 @@ def idempotent_append(
     commit (db_operations.py:111-117, 176-181, 14-38) as idempotent batch
     append. Returns the deduplicated new rows; writes parquet when
     target_path is given.
+
+    ``new_rows`` may be a BUILDER ``build(existing) -> DataFrame`` for
+    rows derived from the table's current state (surrogate-id allocation,
+    parent resolution). On the plain path it runs once against the passed
+    `existing`; on the snapshot path it re-runs against the EXACT tip
+    inside the commit retry loop, which is what makes id allocation
+    serializable — two concurrent ingests of different serials would
+    otherwise both bake max(id)+1 into their rows and commit colliding
+    surrogate ids.
 
     target_path as a SnapshotTarget upgrades the append to the
     serializable snapshot variant: the returned frame is then the delta
@@ -244,14 +269,23 @@ def idempotent_append(
     is small enough for AQE to broadcast; for a catalog keyed by
     dataset_serial that side is one row per dataset — always broadcastable.
     dropDuplicates(key) guards against dup keys WITHIN the incoming batch."""
+    build = new_rows if callable(new_rows) else None
     if isinstance(target_path, SnapshotTarget):
         from imagingdb_spark.snapshots import snapshot_idempotent_append_delta
 
+        # fresh table (tip None): the builder sees the caller's typed
+        # empty/legacy view so schemas and max(id) still resolve
+        rows_arg = (
+            (lambda tip: build(tip if tip is not None else existing))
+            if build is not None
+            else new_rows
+        )
         _, delta = snapshot_idempotent_append_delta(
-            new_rows.sparkSession, target_path.table_dir, new_rows, key_cols
+            existing.sparkSession, target_path.table_dir, rows_arg, key_cols
         )
         return delta
-    deduped = new_rows.dropDuplicates(key_cols).join(
+    rows_df = build(existing) if build is not None else new_rows
+    deduped = rows_df.dropDuplicates(key_cols).join(
         existing.select(*key_cols), key_cols, "left_anti"
     )
     if target_path is not None:

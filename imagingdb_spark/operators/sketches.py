@@ -233,7 +233,13 @@ def dd_partials(
         v == 0, F.lit(0)
     ).otherwise(F.ceil(F.log(F.abs(v)) / F.lit(_DD_LN_GAMMA)))
     return (
-        df.select(
+        # percentile semantics ignore NULL and NaN (the SQL
+        # percentile/percentile_approx contract): unfiltered, a NULL
+        # lands in the otherwise(0) sign branch and a NaN in sign=1 with
+        # a null bucket — both inflate n_total and drag every quantile
+        # toward 0 (round-7 review finding)
+        df.filter(v.isNotNull() & ~F.isnan(v))
+        .select(
             *group_cols,
             sign.cast("tinyint").alias("sign"),
             bkt.cast("int").alias("bkt"),

@@ -918,7 +918,14 @@ def st_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(tokens_col(F.col("text"))).alias("tok")
         )
         partial = mg_batch_partial(toks)
-        state = partial if state is None else mg_merge_state(state, partial)
+        # batch 0 folds through mg_merge_state from an EMPTY state, exactly
+        # like the streaming job (seed empty, then fold) — taking the raw
+        # partial as the initial state would skip batch 0's compress and
+        # break the pinned bit-parity whenever the first batch arrives in
+        # enough partitions to exceed k counters (round-7 review finding)
+        state = mg_merge_state(
+            partial.limit(0) if state is None else state, partial
+        )
         # materialize each fold (the connected_components driver-loop
         # exception: 4 rounds, state <= k+1 rows) — lazy chaining would
         # compound the plan ~3x per fold (state feeds the merge, the

@@ -70,8 +70,11 @@ ORACLE: dict[str, str] = {}
 #   x_hard_negatives (whose pre-r6 greens predate their r6 impls).
 # - IN, oldest/weakest records: the 19 queries whose ONLY green row is a
 #   single r1-r5 run (x_gapfill .. st_anomaly below), x_merge_upsert as
-#   the S10 family holder, and 9 r1+r2 doubles not re-checked since
-#   round 2 (w_topk_group .. s_union).
+#   the S10 family holder, and 8 r1+r2 doubles not re-checked since
+#   round 2 (w_topk_group .. a_distinct). Window arithmetic: 4 new + 3
+#   r7-impl-changed + 15 r6 singles + 19 weakest + 1 holder + 8 doubles
+#   = 50; s_union was displaced to position 51 by st_theta_overlap
+#   (s_except holds the set-ops family in-window).
 # - OUT to the tail: everything that got its second+ green row in r6 on
 #   unchanged code (the r5/r4/r3 double-verification blocks of the r6
 #   window). Tail queries keep implementations, unit tests, and recorded

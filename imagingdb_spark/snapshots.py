@@ -87,14 +87,19 @@ class SnapshotConflict(RuntimeError):
     no longer the tip)."""
 
 
-def _canon_schema_json(schema: StructType) -> str:
-    """Schema as stored in manifests: every nullability flag forced True,
-    recursively. Parquet cannot enforce non-null on read, so two
-    logically-identical commits can otherwise disagree on nothing but
-    expression-derived nullable flags (a row_number-built id is non-null;
-    the same id read back from the committed files is nullable) and a
-    replayed append would fail the exact-schema check spuriously. Types
-    and field order stay strict."""
+def _canon_schema_json(schema: StructType | str) -> str:
+    """ONE canonical schema string for every comparison and every store:
+    every nullability flag forced True recursively (parquet cannot
+    enforce non-null on read, so two logically-identical commits can
+    otherwise disagree on nothing but expression-derived nullable flags —
+    a row_number-built id is non-null; the same id read back from the
+    committed files is nullable) and keys/spacing normalized via
+    sort_keys json.dumps. Accepts a StructType OR any stored schema JSON
+    string, so manifests written by OLDER code (compact separators,
+    original nullable flags) compare equal to their canonical form —
+    comparing raw strings from two serializer vintages was a confirmed
+    round-7 review bug that spuriously refused appends to legacy and
+    schema-widened tables. Types and field order stay strict."""
 
     def _relax(node):
         if isinstance(node, dict):
@@ -107,7 +112,8 @@ def _canon_schema_json(schema: StructType) -> str:
             return [_relax(v) for v in node]
         return node
 
-    return json.dumps(_relax(json.loads(schema.json())))
+    raw = schema if isinstance(schema, str) else schema.json()
+    return json.dumps(_relax(json.loads(raw)), sort_keys=True)
 
 
 def _merged_schema(base_json: str, new_json: str) -> str | None:
@@ -115,10 +121,11 @@ def _merged_schema(base_json: str, new_json: str) -> str | None:
     every field the two schemas SHARE must have an identical type; the
     merged schema is the base's fields followed by the new fields the
     base lacks, all original types preserved. Returns the merged schema
-    JSON, or None when the schemas conflict on a shared field (type
-    change / drop are migrations.py territory, never an append).
-    New-in-merge fields read as NULL from pre-evolution files — Spark's
-    by-name parquet resolution under an explicit read schema."""
+    in CANONICAL form (the one format every comparison uses), or None
+    when the schemas conflict on a shared field (type change / drop are
+    migrations.py territory, never an append). New-in-merge fields read
+    as NULL from pre-evolution files — Spark's by-name parquet resolution
+    under an explicit read schema."""
     base = StructType.fromJson(json.loads(base_json))
     new = StructType.fromJson(json.loads(new_json))
     by_name = {f.name: f for f in base.fields}
@@ -126,7 +133,7 @@ def _merged_schema(base_json: str, new_json: str) -> str | None:
         if f.name in by_name and by_name[f.name].dataType != f.dataType:
             return None
     merged = list(base.fields) + [f for f in new.fields if f.name not in by_name]
-    return StructType(merged).json()
+    return _canon_schema_json(StructType(merged))
 
 
 def _mdir(table_dir: str) -> str:
@@ -405,7 +412,10 @@ def snapshot_commit(
             return parent
         commit_schema = schema_json
         if mode == "append" and base:
-            if base["schema"] != schema_json:
+            # canonicalize the STORED side too: manifests written by older
+            # serializer vintages (compact JSON, strict nullable flags)
+            # must compare equal to their canonical form
+            if _canon_schema_json(base["schema"]) != schema_json:
                 merged = (
                     _merged_schema(base["schema"], schema_json)
                     if merge_schema
@@ -513,7 +523,7 @@ def snapshot_idempotent_append(
 def snapshot_idempotent_append_delta(
     spark: SparkSession,
     table_dir: str,
-    new_rows: DataFrame,
+    new_rows,  # DataFrame | Callable[[DataFrame | None], DataFrame]
     key_cols: list[str],
     max_retries: int = 5,
 ) -> tuple[int, DataFrame]:
@@ -523,29 +533,50 @@ def snapshot_idempotent_append_delta(
     its child-table rows against (flows.insert_frames): on a replay or a
     lost same-key race the delta is the typed EMPTY frame, so downstream
     inserts converge to nothing instead of re-deriving from the stale
-    pre-commit view."""
-    new_rows = new_rows.dropDuplicates(key_cols)
-    schema_json = _canon_schema_json(new_rows.schema)
-    schema = new_rows.schema
+    pre-commit view.
+
+    ``new_rows`` may be a CALLABLE ``build(tip_df | None) -> DataFrame``:
+    it is re-invoked with the exact tip snapshot inside every retry, so
+    rows DERIVED from the table's current state — surrogate ids allocated
+    as max(existing)+row_number, parent-id resolution — recompute against
+    the tip the commit actually publishes onto. A static DataFrame only
+    serializes the natural key; two concurrent ingests of DIFFERENT keys
+    that both baked max(id)+1 into their rows would otherwise both
+    commit colliding ids (the round-7 review finding). With the builder,
+    the loser's retry rebuilds from the winner's tip and allocates past
+    it."""
+    build = new_rows if callable(new_rows) else None
+    if build is None:
+        static_rows = new_rows.dropDuplicates(key_cols)
+        schema = static_rows.schema
+        schema_json = _canon_schema_json(schema)
     created: list[str] = []
     for _ in range(max_retries):
         vs = _versions(table_dir)
         parent = vs[-1] if vs else 0
+        existing = (
+            snapshot_read(spark, table_dir, parent) if parent else None
+        )
+        if build is not None:
+            rows_df = build(existing).dropDuplicates(key_cols)
+            schema = rows_df.schema
+            schema_json = _canon_schema_json(schema)
+        else:
+            rows_df = static_rows
         if parent:
             base = _read_manifest_raw(table_dir, parent)
             if "groups" not in base:
                 base["groups"] = None  # legacy flat manifest
-            if base["schema"] != schema_json:
+            if _canon_schema_json(base["schema"]) != schema_json:
                 raise ValueError(
                     f"append schema differs from {table_dir} tip v{parent}"
                 )
-            existing = snapshot_read(spark, table_dir, parent)
-            deduped = new_rows.join(
+            deduped = rows_df.join(
                 existing.select(*key_cols), key_cols, "left_anti"
             )
         else:
             base = None
-            deduped = new_rows
+            deduped = rows_df
         os.makedirs(table_dir, exist_ok=True)
         files, rows, rel_dir = _write_data_files(deduped, table_dir)
         if rows == 0 and base is not None:

@@ -482,17 +482,26 @@ def streaming_heavy_hitters(
 
 
 def heavy_hitter_estimates(
-    spark: SparkSession, table_dir: str, phi: float | None = None
+    spark: SparkSession, table_dir: str, phi: float | None = None,
+    k: int | None = None,
 ) -> DataFrame:
     """Read side of streaming_heavy_hitters: (tok, cnt_min, share_min)
     for every token whose true share could reach phi — one tiny scan of
     the <= k+1-row state. Shares the read-out with the batch twin
-    (text.mg_heavy_hitters) so the two cannot drift."""
-    from imagingdb_spark.operators.text import HH_PHI, mg_heavy_hitters
+    (text.mg_heavy_hitters) so the two cannot drift. ``k`` MUST match the
+    k the stream folds with: the read threshold subtracts the undercount
+    bound N/(k+1), so reading a k=64 stream with the default k=256 bound
+    silently drops true heavy tokens from the guaranteed superset
+    (round-7 review finding)."""
+    from imagingdb_spark.operators.text import (
+        HH_PHI, HH_SKETCH_K, mg_heavy_hitters,
+    )
     from imagingdb_spark.snapshots import snapshot_read
 
     return mg_heavy_hitters(
-        snapshot_read(spark, table_dir), HH_PHI if phi is None else phi
+        snapshot_read(spark, table_dir),
+        HH_PHI if phi is None else phi,
+        HH_SKETCH_K if k is None else k,
     )
 
 

@@ -679,3 +679,76 @@ class TestSnapshotBackedCatalog:
         assert fg.count() == 1
         fr = S.snapshot_read(spark, targets["frames"].table_dir)
         assert fr.count() == 6  # one set of frames, not two
+
+
+class TestConcurrentDistinctSerials:
+    """Round-7 review finding: two concurrent uploads of DIFFERENT serials
+    used to both read max(id) from the same stale view and commit
+    colliding surrogate ids, silently cross-linking datasets. With
+    builder-shaped appends the loser's retry re-allocates against the
+    winner's tip."""
+
+    def test_two_serials_land_with_distinct_ids(self, spark, tmp_path):
+        import threading
+
+        from imagingdb_spark import snapshots as S
+        from imagingdb_spark.catalog import IMAGING_SCHEMAS
+        from imagingdb_spark.ingest import SnapshotTarget
+
+        payload = b"".join(
+            bytes([c * 16 + z]) * PAGE_BYTES
+            for z in range(3) for c in range(2)
+        )
+        src = tmp_path / "stack.tif"
+        src.write_bytes(payload)
+        cat = {n: spark.createDataFrame([], s)
+               for n, s in IMAGING_SCHEMAS.items()}
+        targets = {n: SnapshotTarget(str(tmp_path / "cat" / n))
+                   for n in IMAGING_SCHEMAS}
+        serials = ["RACE-2005-06-09-20-00-00-1000",
+                   "RACE-2005-06-09-20-00-00-2000"]
+        errs = []
+
+        def run(serial):
+            try:
+                man = spark.createDataFrame(
+                    [(serial, str(src), "Testing", "none")],
+                    "dataset_serial string, file_name string, "
+                    "description string, parent_dataset_id string",
+                )
+                flows.upload_dataset(
+                    spark, man, cat,
+                    storage_root=str(tmp_path / "store"),
+                    upload_type="frames",
+                    page_reader=_fake_page_reader,
+                    global_meta={"im_width": 8, "im_height": 8,
+                                 "nbr_channels": 2, "nbr_slices": 3},
+                    paths=targets,
+                )
+            except Exception as e:  # noqa: BLE001 — surfaced below
+                errs.append(e)
+
+        ts = [threading.Thread(target=run, args=(s,)) for s in serials]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs, errs
+
+        ds = S.snapshot_read(spark, targets["data_set"].table_dir).collect()
+        assert sorted(r["dataset_serial"] for r in ds) == sorted(serials)
+        ids = [r["id"] for r in ds]
+        assert len(set(ids)) == 2, f"surrogate ids collided: {ids}"
+        # referential integrity: each frames_global row links to exactly
+        # one dataset, and each dataset's frames resolve unambiguously
+        fg = S.snapshot_read(
+            spark, targets["frames_global"].table_dir).collect()
+        assert sorted(r["dataset_id"] for r in fg) == sorted(ids)
+        assert len({r["id"] for r in fg}) == 2
+        fr = S.snapshot_read(spark, targets["frames"].table_dir).collect()
+        assert len(fr) == 12  # 6 frames per dataset, none cross-linked
+        by_fg = {}
+        for r in fr:
+            by_fg.setdefault(r["frames_global_id"], set()).add(r["file_name"])
+        assert all(len(v) == 6 for v in by_fg.values())
+        assert len({r["id"] for r in fr}) == 12  # frame ids unique too

@@ -245,7 +245,8 @@ def _fold_state(spark, batches):
     for b in batches:
         toks = b.select(F.explode(TX.tokens_col(F.col("text"))).alias("tok"))
         p = TX.mg_batch_partial(toks)
-        state = p if state is None else TX.mg_merge_state(state, p)
+        # batch 0 folds from an empty state, like the streaming job
+        state = TX.mg_merge_state(p.limit(0) if state is None else state, p)
     return state
 
 
@@ -677,3 +678,71 @@ class TestThetaSketch:
             "event_type").collect()))
         spark.catalog.clearCache()
         assert got == twin
+
+
+class TestHeavyHittersEdges:
+    def test_first_batch_folds_through_compress(self, spark):
+        """Batch 0 must fold through mg_merge_state from an EMPTY state:
+        with k smaller than the first batch's distinct-token count the
+        compress applies immediately (the streaming job's exact path) —
+        taking the raw partial as initial state would skip it."""
+        from pyspark.sql import functions as F
+
+        from imagingdb_spark.operators import text as TX
+
+        toks = spark.range(1000).repartition(4).select(
+            F.concat(F.lit("t"), (F.col("id") % 40)).alias("tok")
+        )
+        p = TX.mg_batch_partial(toks, k=8)
+        folded = TX.mg_merge_state(p.limit(0), p, k=8).collect()
+        counters = [r for r in folded if r["tok"] != TX.MG_TOTAL]
+        totals = [r for r in folded if r["tok"] == TX.MG_TOTAL]
+        spark.catalog.clearCache()
+        assert len(counters) <= 8  # compress ran on the very first fold
+        assert totals[0]["cnt"] == 1000  # exact total untouched by compress
+
+    def test_read_side_threshold_respects_custom_k(self, spark, tmp_path):
+        """heavy_hitter_estimates(k=...) must use the stream's own k for
+        the undercount bound — reading a small-k stream with the default
+        bound silently shrinks the guaranteed superset. Pinned on a
+        hand-built state: counter 'b' holds a residual of 8 out of
+        N=400; at k=8 the threshold is (0.03 − 1/9)·400 < 0, so 'b'
+        must report (its true count could be as high as 8 + 400/9 ≈ 52);
+        at the default k=256 the threshold is (0.03 − 1/257)·400 ≈ 10.4
+        and 'b' would be silently dropped."""
+        from imagingdb_spark import snapshots as S
+        from imagingdb_spark.operators.text import MG_TOTAL
+        from imagingdb_spark.streaming import jobs
+
+        table = str(tmp_path / "state")
+        state = spark.createDataFrame(
+            [(MG_TOTAL, 400), ("a", 150), ("b", 8)], "tok string, cnt long"
+        )
+        S.snapshot_commit(spark, table, state)
+        wide = {r["tok"] for r in jobs.heavy_hitter_estimates(
+            spark, table, phi=0.03, k=8).collect()}
+        narrow = {r["tok"] for r in jobs.heavy_hitter_estimates(
+            spark, table, phi=0.03).collect()}
+        spark.catalog.clearCache()
+        assert wide == {"a", "b"}      # the k=8 bound keeps 'b'
+        assert narrow == {"a"}         # the default bound would lose it
+
+
+class TestQuantileSketchEdges:
+    def test_nulls_and_nans_are_ignored(self, spark):
+        """percentile semantics: NULL/NaN rows must not enter the sketch —
+        unfiltered they doubled n_total and dragged p50 to 0."""
+        from pyspark.sql import functions as F
+
+        vals = ([None] * 500 + [float("nan")] * 100
+                + [float(i) for i in range(1, 1001)])
+        df = spark.createDataFrame(
+            [(v,) for v in vals], "v double"
+        ).withColumn("g", F.lit(1))
+        parts = SK.dd_partials(df, "v", ["g"])
+        n_total = parts.agg(F.sum("cnt")).collect()[0][0]
+        assert n_total == 1000  # only the real values counted
+        got = {r["q"]: r["value"] for r in SK.dd_quantiles(
+            parts, ["g"], [0.5]).collect()}
+        spark.catalog.clearCache()
+        assert abs(got[0.5] - 500) / 500 <= SK.DD_ALPHA + 1e-9

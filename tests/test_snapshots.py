@@ -610,3 +610,76 @@ class TestManifestTree:
                    for p in deleted)
         assert _rows(S.snapshot_read(spark, t)) == [(9, "z")]
         assert S.snapshot_vacuum(spark, t) == []
+
+
+class TestSchemaCanonicalization:
+    """Round-7 review findings (both CONFIRMED by execution before the
+    fix): schema strings from different serializer vintages must compare
+    through ONE canonical form, or identical-schema appends are refused."""
+
+    def test_append_after_merge_schema_widening(self, spark, tmp_path):
+        """After a merge_schema widening, appending the (now identical)
+        wide schema must succeed — the merged schema used to be stored in
+        StructType.json() form while appends compared canonical strings,
+        refusing every subsequent append forever."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        wide = spark.createDataFrame(
+            [(2, "b", 7.5)], "k long, v string, score double"
+        )
+        S.snapshot_commit(spark, t, wide, merge_schema=True)
+        # identical wide schema, plain append: must not raise
+        v = S.snapshot_commit(
+            spark, t, spark.createDataFrame(
+                [(3, "c", 1.0)], "k long, v string, score double")
+        )
+        assert v == 3
+        assert S.snapshot_read(spark, t).count() == 3
+        # the serializable ingest path too (it has no merge_schema escape)
+        v2, delta = S.snapshot_idempotent_append_delta(
+            spark, t,
+            spark.createDataFrame(
+                [(4, "d", 2.0)], "k long, v string, score double"),
+            ["k"],
+        )
+        assert v2 == 4 and delta.count() == 1
+
+    def test_append_to_pre_canonical_manifest(self, spark, tmp_path):
+        """A manifest whose schema was stored by OLDER code — compact
+        separators, strict nullable=false flags — must accept an
+        identical-schema append (the advertised in-place legacy
+        migration; it used to crash on the first post-upgrade batch)."""
+        from pyspark.sql.types import (
+            LongType, StringType, StructField, StructType,
+        )
+
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        # rewrite v1's schema field in the OLD format: StructType.json()
+        # (compact, unsorted) with non-null flags
+        old_schema = StructType([
+            StructField("k", LongType(), False),
+            StructField("v", StringType(), True),
+        ]).json()
+        p = os.path.join(t, S.MANIFEST_DIR, S._FMT.format(1))
+        with open(p) as f:
+            m = json.load(f)
+        m["schema"] = old_schema
+        os.unlink(p)
+        with open(p, "w") as f:
+            json.dump(m, f)
+        # both append paths must accept the logically-identical schema
+        v = S.snapshot_commit(spark, t, _mk(spark, [(2, "b")]))
+        assert v == 2
+        v2, delta = S.snapshot_idempotent_append_delta(
+            spark, t, _mk(spark, [(2, "dup"), (3, "c")]), ["k"]
+        )
+        assert v2 == 3 and delta.count() == 1  # and the anti-join still ran
+        assert sorted(r["k"] for r in S.snapshot_read(spark, t).collect()) \
+            == [1, 2, 3]
+        # a genuinely different type still refuses
+        with pytest.raises(ValueError, match="schema differs"):
+            S.snapshot_commit(
+                spark, t,
+                spark.createDataFrame([("x", "y")], "k string, v string"),
+            )

@@ -74,7 +74,9 @@ def _seed_synthetic(spark, t: str, n_entries: int, schema_json: str) -> None:
     ]
     created: list[str] = []
     groups = S._child_groups(t, [], files, created)
-    manifest = S._next_manifest(None, "append", groups, n_entries, schema_json)
+    manifest = S._next_manifest(
+        None, "append", groups, n_entries, S._canon_schema_json(schema_json)
+    )
     os.makedirs(t, exist_ok=True)
     S._publish(t, 1, manifest)
 

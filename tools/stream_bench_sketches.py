@@ -1,12 +1,17 @@
 """Per-trigger latency + state-size evidence for the two NON-idempotent
 sketch streams (streaming_heavy_hitters / streaming_quantiles): drive each
 over N file-based micro-batches and record the engine's triggerExecution
-per batch plus the state-table row count after the run. Claims under test:
-FLAT trigger latency (the fold is state × batch-partial, both bounded,
-never input-history-sized — the state table is <= k+1 counter rows /
-groups × O(log range / alpha) bucket rows) and the txn replay screen's
-cost (the LAST batch re-delivers batch 0's rows; for these folds the
-screen is the txn marker, so its latency rides in the recorded numbers).
+per batch plus the state-table row count after the run. Claim under
+test: FLAT trigger latency (the fold is state × batch-partial, both
+bounded, never input-history-sized — the state table is <= k+1 counter
+rows / groups × O(log range / alpha) bucket rows). Batches are all
+DISTINCT slices: re-delivering a slice under a NEW batch_id would not be
+a replay (the txn marker keys on batch_id) and would double-count these
+non-idempotent folds — replay behavior is pinned by the fresh-checkpoint
+tests in tests/test_sketches.py, not measured here. The theta section
+keeps a wrapped final batch on purpose: KMV union+truncate is
+idempotent on ROW CONTENT, so the duplicate slice exercises the
+algebraic-absorption path and must leave the sample set unchanged.
 
 Usage: python tools/stream_bench_sketches.py [sf_dir] [n_batches]
 Prints ONE JSON line and rewrites tools/STREAM_BENCH_SKETCHES.json.
@@ -80,12 +85,11 @@ def main() -> None:
     out: dict = {"metric": "stream_sketch_trigger_latency", "unit": "ms",
                  "sf": sf_dir.rstrip("/").split("sf")[-1]}
     try:
-        # --- heavy hitters over documents; last batch replays batch 0 ---
+        # --- heavy hitters over documents (all batches distinct) ---
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
             "doc_id", "text"
         )
-        m = max(1, n_batches - 1)
-        parts = [docs.filter(F.pmod("doc_id", F.lit(m)) == i % m)
+        parts = [docs.filter(F.pmod("doc_id", F.lit(n_batches)) == i)
                  for i in range(n_batches)]
         watch = _stage_batches(work, parts, "mg")
         table = str(work / "mg_state")
@@ -114,7 +118,8 @@ def main() -> None:
         )
         parts = [
             li.filter(
-                F.pmod(F.abs(F.xxhash64("l_extendedprice")), F.lit(m)) == i % m
+                F.pmod(F.abs(F.xxhash64("l_extendedprice")),
+                       F.lit(n_batches)) == i
             )
             for i in range(n_batches)
         ]
@@ -147,6 +152,11 @@ def main() -> None:
         ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
             "event_type", "user_id"
         )
+        # the LAST batch re-delivers slice 0's ROWS under a new batch_id:
+        # legitimate here (and only here) because the KMV fold is
+        # idempotent on content — the duplicate slice exercises the
+        # algebraic absorption path
+        m = max(1, n_batches - 1)
         parts = [
             ev.filter(F.pmod(F.abs(F.xxhash64("user_id")), F.lit(m)) == i % m)
             for i in range(n_batches)
