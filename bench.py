@@ -52,6 +52,9 @@ HEADLINE = [
     "j_temporal_lookup",  # point-in-time SCD-2 interval join
     "x_cdc_apply",      # ordered change-log replay (LWW + deletes)
     "x_token_ids",      # numericalization w/ broadcast vocab + OOV hashing
+    "x_ann_ivfpq",      # IVF x residual-PQ ADC serving + exact re-rank
+    "st_quantiles",     # DDSketch mergeable quantiles (batch twin)
+    "st_theta_overlap", # KMV set-algebra audience overlaps (batch twin)
 ]
 
 
