@@ -683,3 +683,54 @@ class TestSchemaCanonicalization:
                 spark, t,
                 spark.createDataFrame([("x", "y")], "k string, v string"),
             )
+
+
+class TestManifestTreeStress:
+    def test_hundred_commits_with_retention_stay_bounded_and_exact(
+        self, spark, tmp_path
+    ):
+        """The flagship claim under sustained load: 100 appends with
+        periodic expire+vacuum (the streaming-sink lifecycle) keep every
+        version manifest at <= MAX_GROUPS refs, the physical manifest
+        bytes flat, reads exact at every checkpoint, and vacuum
+        reclaiming merged-away + expired group files without ever
+        touching a referenced one."""
+        import glob
+
+        t = str(tmp_path / "t")
+        sizes = []
+        for i in range(100):
+            S.snapshot_commit(spark, t, _mk(spark, [(i, f"v{i}")]))
+            if i % 10 == 9:
+                S.snapshot_expire(t, keep_last=3)
+                S.snapshot_vacuum(spark, t)
+                # mid-stream exactness checkpoint
+                assert S.snapshot_read(spark, t).count() == i + 1
+            tip = S._versions(t)[-1]
+            raw = S._read_manifest_raw(t, tip)
+            assert len(raw["groups"]) <= S.MAX_GROUPS
+            sizes.append(os.path.getsize(
+                os.path.join(t, S.MANIFEST_DIR, S._FMT.format(tip))))
+        # manifest size flat-ish: the 100th commit's manifest is ref-list-
+        # sized, never live-file-sized (100 entries x ~135B would be 13KB+)
+        assert max(sizes) < 8192, max(sizes)
+        # final content exact
+        assert _rows(S.snapshot_read(spark, t)) == [
+            (i, f"v{i}") for i in range(100)]
+        # group files on disk = exactly the set the retained manifests
+        # reference (no leaked merged-away groups, nothing missing)
+        referenced = {
+            g["name"]
+            for v in S._versions(t)
+            for g in S._read_manifest_raw(t, v)["groups"]
+        }
+        S.snapshot_expire(t, keep_last=1)
+        S.snapshot_vacuum(spark, t)
+        on_disk = {os.path.basename(p)
+                   for p in glob.glob(os.path.join(S._gdir(t), "g-*.json"))}
+        tip_refs = {g["name"] for g in S._read_manifest_raw(
+            t, S._versions(t)[-1])["groups"]}
+        assert on_disk == tip_refs
+        assert tip_refs <= referenced
+        assert _rows(S.snapshot_read(spark, t)) == [
+            (i, f"v{i}") for i in range(100)]
