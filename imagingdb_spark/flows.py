@@ -76,6 +76,23 @@ def coerce_channels(channels):
         return channels
 
 
+def _table_view(spark: SparkSession, fallback: DataFrame, target) -> DataFrame:
+    """The current truth of a catalog table AFTER this flow's own commit:
+    the snapshot tip when the target is a snapshot table — which includes
+    any row a TORN prior attempt left behind, not just what this run
+    inserted — else the caller's view. The torn-upload healing below
+    hinges on this distinction: a replay's delta is empty precisely when
+    the parent row already landed, and only the tip can say so."""
+    from imagingdb_spark.ingest import SnapshotTarget
+    from imagingdb_spark.snapshots import snapshot_exists, snapshot_read
+
+    if isinstance(target, SnapshotTarget) and snapshot_exists(
+        target.table_dir
+    ):
+        return snapshot_read(spark, target.table_dir)
+    return fallback
+
+
 def insert_frames(
     datasets: DataFrame,
     frames_rows: DataFrame,
@@ -136,6 +153,33 @@ def insert_frames(
         _ds_build, data_set, ["dataset_serial"], paths.get("data_set")
     ).select(*ds_fields)
 
+    # serial -> ds id for EVERY batch serial, from post-commit truth:
+    # this run's delta plus rows already catalogued — including a parent
+    # row a TORN prior attempt committed before crashing. Without the
+    # healing term a replay's empty ds delta would starve the child
+    # builds and the dataset would stay frames-less forever (the torn
+    # window the reference's single Postgres transaction never has; here
+    # the repair is convergence, not atomicity). Batch-sized driver
+    # mapping, like the max-id scalars.
+    spark = datasets.sparkSession
+    batch_serials = [
+        r[0] for r in datasets.select("dataset_serial").distinct().collect()
+    ]
+    ds_view = _table_view(spark, data_set, paths.get("data_set"))
+    ds_ids = {
+        r["dataset_serial"]: r["id"]
+        for r in ds_view.filter(
+            F.col("dataset_serial").isin(batch_serials)
+        ).select("dataset_serial", "id").collect()
+    }
+    for r in new_ds.select("dataset_serial", "id").collect():
+        ds_ids[r["dataset_serial"]] = r["id"]
+    ds_map = spark.createDataFrame(
+        list(ds_ids.items()), "dataset_serial string, dataset_id long"
+    ) if ds_ids else spark.createDataFrame(
+        [], "dataset_serial string, dataset_id long"
+    )
+
     # A4: per-dataset global metadata from the actual frame rows
     summary = frames_rows.groupBy("dataset_serial").agg(
         F.count(F.lit(1)).alias("nbr_frames"),
@@ -149,12 +193,7 @@ def insert_frames(
         mx = existing.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
         return (
             datasets.join(summary, "dataset_serial")
-            .join(
-                new_ds.select(
-                    "dataset_serial", F.col("id").alias("dataset_id")
-                ),
-                "dataset_serial",
-            )
+            .join(F.broadcast(ds_map), "dataset_serial")
             .withColumn(
                 "id", (F.row_number().over(w) + F.lit(mx)).cast("long")
             )
@@ -175,26 +214,23 @@ def insert_frames(
         _fg_build, frames_global, ["dataset_id"], paths.get("frames_global")
     )
 
-    # serial -> frames_global id through the COMMITTED deltas (not the
-    # pre-commit view): on a replay both deltas are empty and the frame
-    # rows converge to nothing. Materialized driver-side — it is
-    # catalog-BATCH-sized (one row per uploaded dataset, like the max-id
-    # scalars above), and a lazy plan here would weave new_ds and new_fg
-    # lineage into the returned frames frame, tripping Spark's ambiguous-
-    # self-join detection when callers re-join the three outputs
-    mapping = (
-        new_ds.select("dataset_serial", F.col("id").alias("dataset_id"))
-        .join(
-            new_fg.select(
-                "dataset_id", F.col("id").alias("frames_global_id")
-            ),
-            "dataset_id",
-        )
-        .select("dataset_serial", "frames_global_id")
-        .collect()
-    )
+    # serial -> frames_global id from post-commit truth (delta + tip),
+    # same healing rule as ds_map: a replay whose fg rows already landed
+    # still maps the frames correctly. Materialized driver-side — batch-
+    # sized, and a lazy plan here would weave new_ds and new_fg lineage
+    # into the returned frames frame, tripping Spark's ambiguous-self-
+    # join detection when callers re-join the three outputs
+    fg_view = _table_view(spark, frames_global, paths.get("frames_global"))
+    fg_ids = {
+        r["dataset_id"]: r["id"]
+        for r in fg_view.filter(
+            F.col("dataset_id").isin(list(ds_ids.values()) or [-1])
+        ).select("dataset_id", "id").collect()
+    }
+    for r in new_fg.select("dataset_id", "id").collect():
+        fg_ids[r["dataset_id"]] = r["id"]
     serial_to_fg = datasets.sparkSession.createDataFrame(
-        [(r["dataset_serial"], r["frames_global_id"]) for r in mapping],
+        [(s, fg_ids[d]) for s, d in ds_ids.items() if d in fg_ids],
         "dataset_serial string, frames_global_id long",
     )
     wf = Window.partitionBy(F.lit(0)).orderBy("dataset_serial", "file_name")  # batch-sized

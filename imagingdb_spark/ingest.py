@@ -190,6 +190,29 @@ def insert_file(
         _ds_build, data_set, ["dataset_serial"], data_set_path
     )
 
+    # serial -> ds id from post-commit truth (delta + tip): a TORN prior
+    # attempt's parent row still maps its file_global child, so a re-run
+    # repairs the crash window between the two commits (the healing rule
+    # flows.insert_frames documents). Batch-sized driver mapping.
+    from imagingdb_spark.flows import _table_view
+
+    spark = new_files.sparkSession
+    batch_serials = [
+        r[0] for r in new_files.select("dataset_serial").distinct().collect()
+    ]
+    ds_view = _table_view(spark, data_set, data_set_path)
+    ds_ids = {
+        r["dataset_serial"]: r["id"]
+        for r in ds_view.filter(
+            F.col("dataset_serial").isin(batch_serials)
+        ).select("dataset_serial", "id").collect()
+    }
+    for r in appended_ds.select("dataset_serial", "id").collect():
+        ds_ids[r["dataset_serial"]] = r["id"]
+    ds_map = spark.createDataFrame(
+        list(ds_ids.items()), "dataset_serial string, dataset_id long"
+    )
+
     def _fg_build(existing: DataFrame) -> DataFrame:
         mx = existing.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
         return (
@@ -197,12 +220,7 @@ def insert_file(
                 "dataset_serial", "storage_dir", "file_name",
                 "metadata_json", "sha256",
             )
-            .join(
-                appended_ds.select(
-                    "dataset_serial", F.col("id").alias("dataset_id")
-                ),
-                "dataset_serial",
-            )
+            .join(F.broadcast(ds_map), "dataset_serial")
             .withColumn(
                 "id", (F.row_number().over(w) + F.lit(mx)).cast("long")
             )

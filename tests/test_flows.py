@@ -752,3 +752,127 @@ class TestConcurrentDistinctSerials:
             by_fg.setdefault(r["frames_global_id"], set()).add(r["file_name"])
         assert all(len(v) == 6 for v in by_fg.values())
         assert len({r["id"] for r in fr}) == 12  # frame ids unique too
+
+
+class TestTornUploadHealing:
+    """A crash BETWEEN the three per-table snapshot commits leaves a torn
+    catalog (the window the reference's single Postgres transaction never
+    has). The repair contract is CONVERGENCE: re-running the upload must
+    complete the missing children by mapping through the committed tips,
+    not skip them because the parent's anti-join came back empty."""
+
+    def _setup(self, spark, tmp_path):
+        from imagingdb_spark.catalog import IMAGING_SCHEMAS
+        from imagingdb_spark.ingest import SnapshotTarget
+
+        payload = b"".join(
+            bytes([c * 16 + z]) * PAGE_BYTES
+            for z in range(3) for c in range(2)
+        )
+        src = tmp_path / "stack.tif"
+        src.write_bytes(payload)
+        cat = {n: spark.createDataFrame([], s)
+               for n, s in IMAGING_SCHEMAS.items()}
+        targets = {n: SnapshotTarget(str(tmp_path / "cat" / n))
+                   for n in IMAGING_SCHEMAS}
+        man = spark.createDataFrame(
+            [(UP_SERIAL, str(src), "Testing", "none")],
+            "dataset_serial string, file_name string, description string, "
+            "parent_dataset_id string",
+        )
+        return cat, targets, man
+
+    def _upload(self, spark, man, cat, targets, tmp_path):
+        return flows.upload_dataset(
+            spark, man, cat,
+            storage_root=str(tmp_path / "store"),
+            upload_type="frames",
+            page_reader=_fake_page_reader,
+            global_meta={"im_width": 8, "im_height": 8,
+                         "nbr_channels": 2, "nbr_slices": 3},
+            paths=targets,
+        )
+
+    def _crash_after(self, monkeypatch, n_commits):
+        """Patch the flow's append seam to crash after n successful
+        table commits — the exact torn windows."""
+        from imagingdb_spark import flows as FL
+
+        real = FL.idempotent_append
+        calls = {"n": 0}
+
+        def crashing(*a, **kw):
+            if calls["n"] >= n_commits:
+                raise RuntimeError("simulated crash between table commits")
+            calls["n"] += 1
+            return real(*a, **kw)
+
+        monkeypatch.setattr(FL, "idempotent_append", crashing)
+        return lambda: monkeypatch.setattr(FL, "idempotent_append", real)
+
+    def _assert_complete(self, spark, targets):
+        from imagingdb_spark import snapshots as S
+
+        ds = S.snapshot_read(spark, targets["data_set"].table_dir).collect()
+        fg = S.snapshot_read(
+            spark, targets["frames_global"].table_dir).collect()
+        fr = S.snapshot_read(spark, targets["frames"].table_dir).collect()
+        assert len(ds) == 1 and len(fg) == 1 and len(fr) == 6
+        assert fg[0]["dataset_id"] == ds[0]["id"]
+        assert all(r["frames_global_id"] == fg[0]["id"] for r in fr)
+        assert fg[0]["nbr_frames"] == 6
+
+    def _reloaded(self, spark, targets):
+        """What a restarted process sees: the snapshot tips."""
+        from imagingdb_spark import snapshots as S
+        from imagingdb_spark.catalog import IMAGING_SCHEMAS
+
+        out = {}
+        for n, schema in IMAGING_SCHEMAS.items():
+            d = targets[n].table_dir
+            out[n] = (S.snapshot_read(spark, d) if S.snapshot_exists(d)
+                      else spark.createDataFrame([], schema))
+        return out
+
+    def test_crash_after_dataset_commit_heals_on_rerun(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import pytest as _pytest
+
+        cat, targets, man = self._setup(spark, tmp_path)
+        restore = self._crash_after(monkeypatch, 1)  # ds lands, fg doesn't
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            self._upload(spark, man, cat, targets, tmp_path)
+        restore()
+        # torn: dataset exists, no frames_global / frames
+        from imagingdb_spark import snapshots as S
+        assert S.snapshot_read(
+            spark, targets["data_set"].table_dir).count() == 1
+        assert not S.snapshot_exists(targets["frames_global"].table_dir) or \
+            S.snapshot_read(
+                spark, targets["frames_global"].table_dir).count() == 0
+
+        out = self._upload(
+            spark, man, self._reloaded(spark, targets), targets, tmp_path)
+        assert out["data_set"].count() == 0          # parent already there
+        assert out["frames_global"].count() == 1     # child HEALED
+        assert out["frames"].count() == 6
+        self._assert_complete(spark, targets)
+
+    def test_crash_after_frames_global_commit_heals_on_rerun(
+        self, spark, tmp_path, monkeypatch
+    ):
+        import pytest as _pytest
+
+        cat, targets, man = self._setup(spark, tmp_path)
+        restore = self._crash_after(monkeypatch, 2)  # ds+fg land, frames don't
+        with _pytest.raises(RuntimeError, match="simulated crash"):
+            self._upload(spark, man, cat, targets, tmp_path)
+        restore()
+
+        out = self._upload(
+            spark, man, self._reloaded(spark, targets), targets, tmp_path)
+        assert out["data_set"].count() == 0
+        assert out["frames_global"].count() == 0
+        assert out["frames"].count() == 6            # frames HEALED
+        self._assert_complete(spark, targets)
