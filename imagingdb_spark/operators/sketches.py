@@ -215,6 +215,15 @@ def estimate_np(regs: np.ndarray) -> float:
 DD_ALPHA = 0.01
 DD_GAMMA = (1 + DD_ALPHA) / (1 - DD_ALPHA)
 _DD_LN_GAMMA = float(np.log(DD_GAMMA))
+# Hard per-group bucket ceiling (the paper's collapsing variant): real
+# value distributions stay far below it (~2k buckets spans 18 decades at
+# 1%), but an adversarial range (subnormal..1e300 doubles is ~60k
+# buckets) must not grow the state — the LOWEST-value buckets merge into
+# the collapse boundary, preserving the alpha guarantee for every
+# quantile above the collapsed mass (upper quantiles are what latency/
+# price monitoring reads; the paper proves this is the right end to give
+# up).
+DD_MAX_BUCKETS = 2048
 
 
 def dd_partials(
@@ -249,15 +258,60 @@ def dd_partials(
     )
 
 
-def dd_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
-    """Union-sum merge — associative + commutative, NOT idempotent: the
-    replay screen is the caller's job (snapshot_rmw txn marker in the
-    streaming fold)."""
+def dd_collapse(
+    buckets: DataFrame,
+    group_cols: list[str],
+    max_buckets: int = DD_MAX_BUCKETS,
+) -> DataFrame:
+    """The DDSketch collapsing rule as a plan: per group, when more than
+    ``max_buckets`` bucket rows exist, the LOWEST-value buckets merge
+    into the lowest KEPT bucket (the collapse boundary). Quantiles at or
+    above the boundary keep the full alpha guarantee; quantiles inside
+    the collapsed mass report the boundary estimate (an upward-biased,
+    still-monotone floor). One per-group rank window + a boundary-row
+    broadcast join-back; a no-op plan when every group is under the
+    ceiling. Deterministic: the rank key is the exact value order."""
+    from pyspark.sql.window import Window
+
+    key = F.col("sign").cast("int") * F.col("bkt")
+    # rank 1 = HIGHEST value bucket; ranks >= max_buckets collapse
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.col("sign").desc(), key.desc()
+    )
+    ranked = buckets.withColumn("__r", F.row_number().over(w))
+    keep = ranked.filter(F.col("__r") < max_buckets).drop("__r")
+    boundary = ranked.filter(F.col("__r") == max_buckets).select(
+        *group_cols,
+        F.col("sign").alias("__bsign"),
+        F.col("bkt").alias("__bbkt"),
+    )
+    collapsed = (
+        ranked.filter(F.col("__r") >= max_buckets)
+        .join(F.broadcast(boundary), group_cols)
+        .select(
+            *group_cols,
+            F.col("__bsign").alias("sign"),
+            F.col("__bbkt").alias("bkt"),
+            "cnt",
+        )
+    )
     return (
+        keep.unionByName(collapsed)
+        .groupBy(*group_cols, "sign", "bkt")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def dd_merge(a: DataFrame, b: DataFrame, group_cols: list[str]) -> DataFrame:
+    """Union-sum merge + collapse to the bucket ceiling — associative +
+    commutative, NOT idempotent: the replay screen is the caller's job
+    (snapshot_rmw txn marker in the streaming fold)."""
+    merged = (
         a.unionByName(b)
         .groupBy(*group_cols, "sign", "bkt")
         .agg(F.sum("cnt").alias("cnt"))
     )
+    return dd_collapse(merged, group_cols)
 
 
 def dd_quantiles(

@@ -746,3 +746,71 @@ class TestQuantileSketchEdges:
             parts, ["g"], [0.5]).collect()}
         spark.catalog.clearCache()
         assert abs(got[0.5] - 500) / 500 <= SK.DD_ALPHA + 1e-9
+
+
+class TestQuantileCollapse:
+    def test_adversarial_range_stays_bounded_upper_quantiles_exact(
+        self, spark
+    ):
+        """A value range spanning ~260 decades (~60k natural buckets at
+        1%) must collapse to <= DD_MAX_BUCKETS rows per group while p90 /
+        p99 keep the full alpha guarantee; quantiles inside the collapsed
+        mass report the (upward-biased, monotone) boundary floor."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        exps = np.linspace(-130, 130, 20_000)
+        vals = np.power(10.0, exps)
+        df = spark.createDataFrame(
+            [(float(v),) for v in vals], "v double"
+        ).withColumn("g", F.lit(1))
+        collapsed = SK.dd_collapse(SK.dd_partials(df, "v", ["g"]), ["g"])
+        n = collapsed.count()
+        assert n <= SK.DD_MAX_BUCKETS, n
+        got = {r["q"]: r["value"] for r in SK.dd_quantiles(
+            collapsed, ["g"], [0.05, 0.9, 0.99]).collect()}
+        svals = np.sort(vals)
+        for q in (0.9, 0.99):  # above the collapsed mass: full guarantee
+            true = svals[int(np.ceil(q * len(svals))) - 1]
+            assert abs(got[q] - true) / true <= SK.DD_ALPHA + 1e-9
+        # inside the collapsed mass: floor at the boundary, never below
+        true_p05 = svals[int(np.ceil(0.05 * len(svals))) - 1]
+        assert got[0.05] >= true_p05
+        spark.catalog.clearCache()
+
+    def test_collapse_is_a_noop_under_the_ceiling(self, spark):
+        from pyspark.sql import functions as F
+
+        df = spark.range(10_000).select(
+            (F.col("id") % 997 + 1).cast("double").alias("v"),
+            F.lit(1).alias("g"),
+        )
+        parts = SK.dd_partials(df, "v", ["g"])
+        key = lambda rows: sorted(
+            (r["sign"], r["bkt"], r["cnt"]) for r in rows)
+        assert key(SK.dd_collapse(parts, ["g"]).collect()) == \
+            key(parts.collect())
+        spark.catalog.clearCache()
+
+    def test_merge_collapses_and_stays_mergeable(self, spark):
+        """Folding two over-ceiling sketches through dd_merge keeps the
+        bound and total counts exact (collapse moves counts, never drops
+        them)."""
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        exps = np.linspace(-130, 130, 8_000)
+        a_vals = np.power(10.0, exps)
+        b_vals = np.power(10.0, exps + 0.3)
+        mk = lambda vs: spark.createDataFrame(
+            [(float(v),) for v in vs], "v double"
+        ).withColumn("g", F.lit(1))
+        merged = SK.dd_merge(
+            SK.dd_partials(mk(a_vals), "v", ["g"]),
+            SK.dd_partials(mk(b_vals), "v", ["g"]),
+            ["g"],
+        )
+        assert merged.count() <= SK.DD_MAX_BUCKETS
+        total = merged.agg(F.sum("cnt")).collect()[0][0]
+        spark.catalog.clearCache()
+        assert total == 16_000
