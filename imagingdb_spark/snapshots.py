@@ -42,7 +42,12 @@ ref list. The group count is bounded by LSM-style geometric coalescing:
 when a commit would exceed MAX_GROUPS refs it merges the smallest groups
 into one, so every file entry is rewritten O(log commits) times total.
 Reads resolve the tree once and hand Spark the exact file list, so
-planning never pays a recursive directory listing, and compaction
+planning never pays a recursive directory listing. File entries carry
+footer-derived min/max/null column stats and group refs carry merged
+ranges, so a predicate read (``snapshot_read(..., where=...)``) skips
+whole groups without opening them and prunes files before Spark ever
+sees a path — the Iceberg data-skipping design; ``snapshot_scan_plan``
+exposes the skip counters. Compaction
 (``snapshot_compact``) is the transactional upgrade of
 layout.compact_parquet: a concurrent append can no longer be silently
 dropped — the compact commit detects the new parent and retries against
@@ -195,6 +200,193 @@ def _read_group(table_dir: str, name: str) -> list[dict]:
         return json.load(f)["files"]
 
 
+# ---------------------------------------------------------------------------
+# Column statistics + predicate file pruning (the Iceberg min/max data-skip
+# design, public). Stats are harvested ONCE, at write time, from the parquet
+# footers the commit just produced (metadata-only — no data pages read), and
+# ride the manifest tree at both levels:
+#   - file entries carry {col: {min, max, nulls, rows}} so a pruned read can
+#     drop individual files;
+#   - group refs carry the merged {col: [min, max]} of their member files so
+#     a pruned read can skip WHOLE groups without opening them — at 100 TB
+#     the group summary is what keeps scan planning O(groups + matching
+#     files) instead of O(live files).
+# Pruning is conservative by construction: a column missing from the stats
+# (nested field, unsupported type, legacy pre-stats entry, truncated upper
+# bound) keeps the file. snapshot_read re-applies the predicate in Spark, so
+# pruning can only ever remove files that PROVABLY contain no matching row.
+
+# Upper bounds for long strings cannot be truncated safely (a prefix of the
+# max underestimates it), so past this cap the max is dropped and only the
+# (prefix-truncated, still valid) min survives — same rule as Iceberg's
+# truncate(16) lower/upper asymmetry.
+_STAT_STR_CAP = 64
+
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _stat_value(v):
+    """JSON-safe scalar for a footer min/max, or None when the type has no
+    sound total order for pruning (binary, nested, timestamps)."""
+    if isinstance(v, bool) or v is None:
+        return None  # bool ranges prune nothing useful; nulls handled apart
+    if isinstance(v, (int, float)):
+        # NaN min/max bounds nothing (parquet writers disagree on NaN
+        # ordering); keep the file by dropping the stat
+        return None if isinstance(v, float) and v != v else v
+    if isinstance(v, bytes):
+        try:
+            v = v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+    if isinstance(v, str):
+        return v
+    return None
+
+
+def _file_stats(abs_path: str) -> dict | None:
+    """Per-column {min, max, nulls, rows} for one parquet file, merged
+    across its row groups, from footer metadata only. Columns whose
+    statistics are absent or unsupported are omitted (⇒ never pruned on).
+    Returns None when the footer is unreadable — the entry then simply
+    carries no stats, which is always safe."""
+    try:
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(abs_path).metadata
+    except Exception:
+        return None
+    out: dict[str, dict] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaf: not a top-level column
+                continue
+            s = col.statistics
+            rows = g.num_rows
+            nulls = s.null_count if s is not None and s.null_count is not None else None
+            mn = mx = None
+            if s is not None and s.has_min_max:
+                mn, mx = _stat_value(s.min), _stat_value(s.max)
+            if isinstance(mn, str) and len(mn) > _STAT_STR_CAP:
+                mn = mn[:_STAT_STR_CAP]  # prefix is a valid LOWER bound
+            if isinstance(mx, str) and len(mx) > _STAT_STR_CAP:
+                mx = None  # a prefix is NOT a valid upper bound
+            cur = out.get(name)
+            if cur is None:
+                out[name] = {"min": mn, "max": mx, "nulls": nulls, "rows": rows}
+            else:
+                cur["rows"] += rows
+                cur["nulls"] = (
+                    None
+                    if cur["nulls"] is None or nulls is None
+                    else cur["nulls"] + nulls
+                )
+                cur["min"] = (
+                    None
+                    if cur["min"] is None or mn is None
+                    else min(cur["min"], mn)
+                )
+                cur["max"] = (
+                    None
+                    if cur["max"] is None or mx is None
+                    else max(cur["max"], mx)
+                )
+    return out or None
+
+
+def _comparable(a, b) -> bool:
+    """Same comparison domain: numeric-vs-numeric or str-vs-str. A
+    mismatched predicate value (e.g. '5' against an int column) prunes
+    nothing — Spark's cast semantics decide, not the manifest."""
+    num = (int, float)
+    if isinstance(a, num) and isinstance(b, num):
+        return not isinstance(a, bool) and not isinstance(b, bool)
+    return isinstance(a, str) and isinstance(b, str)
+
+
+def _range_matches(op: str, value, mn, mx) -> bool:
+    """Can ANY x with mn <= x <= mx satisfy ``x <op> value``? Missing
+    bounds (None) are treated as unbounded on that side."""
+    if op == "=":
+        return (mn is None or not _comparable(mn, value) or value >= mn) and (
+            mx is None or not _comparable(mx, value) or value <= mx
+        )
+    if op in ("<", "<="):
+        if mn is None or not _comparable(mn, value):
+            return True
+        return mn < value if op == "<" else mn <= value
+    if op in (">", ">="):
+        if mx is None or not _comparable(mx, value):
+            return True
+        return mx > value if op == ">" else mx >= value
+    return True
+
+
+def _check_where(where: list) -> list:
+    for c in where:
+        if len(c) != 3 or c[1] not in _PRUNE_OPS or not isinstance(c[0], str):
+            raise ValueError(
+                f"predicate must be (col, op, value) with op in "
+                f"{_PRUNE_OPS}, got {c!r}"
+            )
+    return list(where)
+
+
+def _file_matches(entry: dict, where: list) -> bool:
+    """False only when the entry's stats PROVE no row satisfies the
+    conjunction. Entries without stats always match."""
+    stats = entry.get("stats") or {}
+    for col, op, value in where:
+        s = stats.get(col)
+        if not s:
+            continue
+        nulls, rows = s.get("nulls"), s.get("rows")
+        if nulls is not None and rows is not None and nulls == rows and rows > 0:
+            return False  # all-null column: no comparison ever matches
+        if not _range_matches(op, value, s.get("min"), s.get("max")):
+            return False
+    return True
+
+
+def _group_matches(ref: dict, where: list) -> bool:
+    """Group-level skip using the ref's merged ranges; refs without a
+    summary (legacy, or a column any member file lacks) always match."""
+    ranges = ref.get("stats") or {}
+    for col, op, value in where:
+        r = ranges.get(col)
+        if r and not _range_matches(op, value, r[0], r[1]):
+            return False
+    return True
+
+
+def _group_summary(files: list[dict]) -> dict:
+    """Merged {col: [min, max]} over member files — a column appears only
+    when EVERY member carries both bounds for it (otherwise the summary
+    would not bound the stat-less members and group skips would be
+    unsound)."""
+    out: dict[str, list] = {}
+    for i, fe in enumerate(files):
+        stats = fe.get("stats") or {}
+        if i == 0:
+            for col, s in stats.items():
+                if s.get("min") is not None and s.get("max") is not None:
+                    out[col] = [s["min"], s["max"]]
+            continue
+        for col in list(out):
+            s = stats.get(col)
+            if not s or s.get("min") is None or s.get("max") is None:
+                del out[col]
+            else:
+                out[col][0] = min(out[col][0], s["min"])
+                out[col][1] = max(out[col][1], s["max"])
+        if not out:
+            break
+    return out
+
+
 def _write_group(table_dir: str, files: list[dict]) -> dict:
     """Write one immutable manifest-group file (tmp + fsync + rename; the
     name is a fresh uuid so there is no slot to race for) and return its
@@ -209,11 +401,15 @@ def _write_group(table_dir: str, files: list[dict]) -> dict:
         f.flush()
         os.fsync(f.fileno())
     os.rename(tmp, os.path.join(d, name))
-    return {
+    ref = {
         "name": name,
         "n_files": len(files),
         "bytes": sum(fe["bytes"] for fe in files),
     }
+    summary = _group_summary(files)
+    if summary:
+        ref["stats"] = summary
+    return ref
 
 
 def _drop_groups(table_dir: str, created: list[str]) -> None:
@@ -303,14 +499,18 @@ def _write_data_files(
     rel = os.path.join(DATA_DIR, commit_id)
     out = os.path.join(table_dir, rel)
     df.write.mode("overwrite").parquet(out)
-    files = [
-        {
+    files = []
+    for n in sorted(os.listdir(out)):
+        if not n.endswith(".parquet") or n.startswith((".", "_")):
+            continue
+        fe = {
             "path": os.path.join(rel, n),
             "bytes": os.path.getsize(os.path.join(out, n)),
         }
-        for n in sorted(os.listdir(out))
-        if n.endswith(".parquet") and not n.startswith((".", "_"))
-    ]
+        stats = _file_stats(os.path.join(out, n))
+        if stats:
+            fe["stats"] = stats
+        files.append(fe)
     rows = (
         df.sparkSession.read.parquet(out).count() if files else 0
     )
@@ -616,17 +816,13 @@ def snapshot_idempotent_append_delta(
     )
 
 
-def snapshot_read(
-    spark: SparkSession, table_dir: str, version: int | None = None
-) -> DataFrame:
-    """Snapshot-isolated read: resolve ONE manifest (latest, or the pinned
-    ``version`` for time travel) and read exactly its file list. An empty
-    live set still returns a typed empty frame from the stored schema.
-
-    A LATEST read that loses the list-then-open race to a concurrent
-    commit+expire simply re-resolves (the newer tip is by definition
-    retained); a PINNED read of an expired version fails, as it must —
-    see snapshot_expire's retention contract."""
+def _resolve_manifest_raw(table_dir: str, version: int | None) -> dict:
+    """Resolve ONE physical manifest (latest, or the pinned ``version`` for
+    time travel) with the expire-race retry shared by every reader: a
+    LATEST read that loses the list-then-open race to a concurrent
+    commit+expire re-resolves (the newer tip is by definition retained); a
+    PINNED read of an expired version fails, as it must — see
+    snapshot_expire's retention contract."""
     for _ in range(3):
         vs = _versions(table_dir)
         if not vs:
@@ -635,21 +831,111 @@ def snapshot_read(
         if v not in vs:
             raise FileNotFoundError(f"{table_dir} has no version {v}")
         try:
-            m = _read_manifest(table_dir, v)
-            break
+            m = _read_manifest_raw(table_dir, v)
+            if m.get("groups") is None:
+                m["groups"] = None  # legacy flat manifest
+            return m
         except FileNotFoundError:
             if version is not None:
                 raise  # pinned version expired: a real error
             continue  # latest expired between list and open: re-resolve
+    raise FileNotFoundError(f"{table_dir}: tip kept expiring during resolution")
+
+
+def _resolve_pruned(
+    table_dir: str, m: dict, where: list | None, plan: dict | None = None
+) -> list[dict]:
+    """The live file list under an optional predicate, skipping whole
+    groups by their ref summary before opening them and then pruning
+    file entries by footer stats. ``plan`` (when given) collects the
+    skip counters the tests and bench read."""
+    where = _check_where(where) if where else []
+    if m["groups"] is None:
+        entries = list(m["files"])
+        total, groups, opened = len(entries), 0, 0
     else:
-        raise FileNotFoundError(
-            f"{table_dir}: tip kept expiring during resolution"
+        groups, opened, total, entries = len(m["groups"]), 0, 0, []
+        for g in m["groups"]:
+            total += g["n_files"]
+            if where and not _group_matches(g, where):
+                continue
+            opened += 1
+            entries.extend(_read_group(table_dir, g["name"]))
+    kept = [fe for fe in entries if not where or _file_matches(fe, where)]
+    if plan is not None:
+        plan.update(
+            files_total=total,
+            files_kept=len(kept),
+            groups_total=groups,
+            groups_opened=opened if m["groups"] is not None else None,
         )
+    return kept
+
+
+def snapshot_scan_plan(
+    table_dir: str, where: list, version: int | None = None
+) -> dict:
+    """Planning-only view of a pruned read: how many manifest groups a
+    ``snapshot_read(..., where=...)`` would open and how many files it
+    would hand Spark. Cost is O(groups + files in matching groups) —
+    never the data. This is the observability seam the pruning tests and
+    SNAPSHOT_BENCH assert against."""
+    m = _resolve_manifest_raw(table_dir, version)
+    plan: dict = {}
+    _resolve_pruned(table_dir, m, where, plan)
+    return plan
+
+
+def _where_column(where: list):
+    """The Spark Column equivalent of the conjunctive triples — re-applied
+    after pruning so a pruned read is ALWAYS semantically the filtered
+    full read (pruning is an optimization, never the semantics)."""
+    from pyspark.sql import functions as F
+
+    ops = {
+        "=": lambda c, v: c == v,
+        "<": lambda c, v: c < v,
+        "<=": lambda c, v: c <= v,
+        ">": lambda c, v: c > v,
+        ">=": lambda c, v: c >= v,
+    }
+    expr = None
+    for col, op, value in where:
+        term = ops[op](F.col(col), F.lit(value))
+        expr = term if expr is None else (expr & term)
+    return expr
+
+
+def snapshot_read(
+    spark: SparkSession,
+    table_dir: str,
+    version: int | None = None,
+    where: list | None = None,
+) -> DataFrame:
+    """Snapshot-isolated read: resolve ONE manifest (latest, or the pinned
+    ``version`` for time travel) and read exactly its file list. An empty
+    live set still returns a typed empty frame from the stored schema.
+
+    ``where`` — an optional conjunction of ``(col, op, value)`` triples
+    (ops ``= < <= > >=``) — turns the read into a DATA-SKIPPING scan:
+    manifest groups whose merged column ranges exclude the predicate are
+    never opened, file entries whose footer min/max/null stats prove no
+    row can match are never given to Spark, and the surviving files are
+    read with the predicate re-applied as a DataFrame filter (so Spark
+    still pushes it to the row-group level and the result is exactly the
+    filtered full scan). At 100 TB this is the difference between planning
+    over ~800k file entries and planning over the handful of groups and
+    files a selective predicate touches."""
+    m = _resolve_manifest_raw(table_dir, version)
+    files = _resolve_pruned(table_dir, m, where)
     schema = StructType.fromJson(json.loads(m["schema"]))
-    if not m["files"]:
-        return spark.createDataFrame([], schema)
-    paths = [os.path.join(table_dir, f["path"]) for f in m["files"]]
-    return spark.read.schema(schema).parquet(*paths)
+    cond = _where_column(_check_where(where)) if where else None
+    if not files:
+        df = spark.createDataFrame([], schema)
+        return df.filter(cond) if cond is not None else df
+    paths = [os.path.join(table_dir, f["path"]) for f in files]
+    df = spark.read.schema(schema).parquet(*paths)
+    return df.filter(cond) if cond is not None else df
 
 
 def snapshot_versions(table_dir: str) -> list[dict]:

@@ -734,3 +734,154 @@ class TestManifestTreeStress:
         assert tip_refs <= referenced
         assert _rows(S.snapshot_read(spark, t)) == [
             (i, f"v{i}") for i in range(100)]
+
+
+class TestStatsPruning:
+    """Manifest-level data skipping: footer min/max/null stats on file
+    entries, merged ranges on group refs, and ``snapshot_read(where=...)``
+    returning exactly the filtered full scan while handing Spark only the
+    files that can match."""
+
+    def _mkr(self, spark, lo, hi, parts=4):
+        # disjoint k-ranges per file: repartitionByRange gives each output
+        # file a tight, non-overlapping footer min/max
+        return (
+            spark.range(lo, hi)
+            .selectExpr("id AS k", "concat('s', lpad(id, 6, '0')) AS v")
+            .repartitionByRange(parts, "k")
+        )
+
+    def test_pruned_read_equals_filtered_full_scan(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, self._mkr(spark, 0, 400))
+        for where in (
+            [("k", "=", 7)],
+            [("k", "<", 30)],
+            [("k", ">=", 390)],
+            [("k", ">", 100), ("k", "<=", 120)],
+            [("v", "=", "s000007")],
+            [("k", ">=", 400)],  # empty result
+        ):
+            full = S.snapshot_read(spark, t)
+            cond = S._where_column(where)
+            want = sorted(tuple(r) for r in full.filter(cond).collect())
+            got = sorted(
+                tuple(r) for r in S.snapshot_read(spark, t, where=where).collect()
+            )
+            assert got == want, where
+        # the selective point lookup provably skipped files
+        plan = S.snapshot_scan_plan(t, [("k", "=", 7)])
+        assert plan["files_total"] == 4
+        assert plan["files_kept"] == 1
+
+    def test_group_level_skip_never_opens_excluded_groups(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, self._mkr(spark, 0, 100, parts=2))
+        S.snapshot_commit(spark, t, self._mkr(spark, 1000, 1100, parts=2))
+        plan = S.snapshot_scan_plan(t, [("k", ">=", 1000)])
+        assert plan["groups_total"] == 2
+        assert plan["groups_opened"] == 1  # the low-range group never opens
+        assert plan["files_kept"] == 2
+        got = sorted(
+            r["k"] for r in S.snapshot_read(
+                spark, t, where=[("k", ">=", 1000)]).collect()
+        )
+        assert got == list(range(1000, 1100))
+
+    def test_legacy_entries_without_stats_always_match(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, self._mkr(spark, 0, 100, parts=2))
+        # strip stats everywhere, as a pre-stats writer would have left it
+        raw = S._read_manifest_raw(t, 1)
+        for g in raw["groups"]:
+            g.pop("stats", None)
+            gp = os.path.join(S._gdir(t), g["name"])
+            with open(gp) as f:
+                files = json.load(f)["files"]
+            for fe in files:
+                fe.pop("stats", None)
+            with open(gp, "w") as f:
+                json.dump({"files": files}, f)
+        p = os.path.join(t, S.MANIFEST_DIR, S._FMT.format(1))
+        os.unlink(p)
+        with open(p, "w") as f:
+            json.dump(raw, f)
+        plan = S.snapshot_scan_plan(t, [("k", "=", 7)])
+        assert plan["files_kept"] == plan["files_total"]  # nothing provable
+        got = [r["k"] for r in S.snapshot_read(
+            spark, t, where=[("k", "=", 7)]).collect()]
+        assert got == [7]  # residual filter still gives exact semantics
+
+    def test_type_mismatch_prunes_nothing(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, self._mkr(spark, 0, 40, parts=2))
+        # '5' against the long column: the manifest must not guess casts
+        plan = S.snapshot_scan_plan(t, [("k", "=", "5")])
+        assert plan["files_kept"] == plan["files_total"]
+
+    def test_all_null_file_pruned_for_comparisons(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(
+            spark,
+            t,
+            spark.createDataFrame([(1, None), (2, None)], "k long, v string")
+            .coalesce(1),
+        )
+        S.snapshot_commit(
+            spark,
+            t,
+            spark.createDataFrame([(3, "x")], "k long, v string").coalesce(1),
+        )
+        plan = S.snapshot_scan_plan(t, [("v", "=", "x")])
+        assert plan["files_total"] == 2
+        assert plan["files_kept"] == 1  # the all-null file can never match
+        got = [r["k"] for r in S.snapshot_read(
+            spark, t, where=[("v", "=", "x")]).collect()]
+        assert got == [3]
+
+    def test_long_string_upper_bound_is_dropped_not_trusted(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "t")
+        long_v = "z" * 200  # past _STAT_STR_CAP: max must NOT be truncated
+        S.snapshot_commit(
+            spark,
+            t,
+            spark.createDataFrame([(1, long_v)], "k long, v string").coalesce(1),
+        )
+        m = S._read_manifest(t, 1)
+        s = m["files"][0]["stats"]["v"]
+        assert s["max"] is None  # dropped, not a (wrong) prefix
+        assert s["min"] is not None and len(s["min"]) <= S._STAT_STR_CAP
+        # a > predicate that only an untruncated max could exclude keeps
+        # the file, and the residual filter returns the row
+        got = [r["k"] for r in S.snapshot_read(
+            spark, t, where=[("v", ">", "zz")]).collect()]
+        assert got == [1]
+
+    def test_time_travel_with_pruning(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, self._mkr(spark, 0, 100, parts=2))
+        S.snapshot_commit(spark, t, self._mkr(spark, 100, 200, parts=2))
+        got = [r["k"] for r in S.snapshot_read(
+            spark, t, version=1, where=[("k", ">=", 90)]).collect()]
+        assert sorted(got) == list(range(90, 100))  # v2's files invisible
+
+    def test_bad_predicate_rejected(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, self._mkr(spark, 0, 10, parts=1))
+        with pytest.raises(ValueError, match="predicate"):
+            S.snapshot_read(spark, t, where=[("k", "!=", 5)])
+
+    def test_compaction_preserves_skipping(self, spark, tmp_path):
+        """Rewritten (compacted) files get FRESH footer stats — skipping
+        keeps working after the file set changes shape."""
+        t = str(tmp_path / "t")
+        for lo in (0, 100, 200):
+            S.snapshot_commit(spark, t, self._mkr(spark, lo, lo + 100, parts=2))
+        S.snapshot_compact(spark, t, target_file_bytes=2048, cluster_cols=["k"])
+        plan = S.snapshot_scan_plan(t, [("k", "=", 5)])
+        assert plan["files_kept"] < plan["files_total"]
+        got = [r["k"] for r in S.snapshot_read(
+            spark, t, where=[("k", "=", 5)]).collect()]
+        assert got == [5]

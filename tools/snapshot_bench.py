@@ -81,6 +81,54 @@ def _seed_synthetic(spark, t: str, n_entries: int, schema_json: str) -> None:
     S._publish(t, 1, manifest)
 
 
+def _seed_synthetic_with_stats(
+    spark, t: str, n_entries: int, schema_json: str
+) -> None:
+    """Like _seed_synthetic but every fabricated entry carries a disjoint
+    k-range stat, so group refs get merged summaries and a point predicate
+    must resolve to exactly one file — the 100k-entry data-skipping case."""
+    files = [
+        {
+            "path": f"data/seed/f{i:07d}.parquet",
+            "bytes": 1 << 20,
+            "stats": {
+                "k": {
+                    "min": i * 100,
+                    "max": i * 100 + 99,
+                    "nulls": 0,
+                    "rows": 100,
+                }
+            },
+        }
+        for i in range(n_entries)
+    ]
+    # MAX_GROUPS range-disjoint groups, the shape a clustered compaction
+    # leaves: the point-predicate plan must open exactly ONE of them
+    per = (n_entries + S.MAX_GROUPS - 1) // S.MAX_GROUPS
+    groups = [
+        S._write_group(t, files[i : i + per])
+        for i in range(0, n_entries, per)
+    ]
+    manifest = S._next_manifest(
+        None, "append", groups, n_entries * 100, S._canon_schema_json(schema_json)
+    )
+    os.makedirs(t, exist_ok=True)
+    S._publish(t, 1, manifest)
+
+
+def _measure_pruning(spark, t: str, point) -> dict:
+    """Scan-plan latency + skip counters for a point predicate, plus (when
+    the table has real data) pruned-read vs full-filter wall."""
+    where = [("k", "=", point)]
+    plan_s = []
+    for _ in range(REPS):
+        t0 = time.time()
+        plan = S.snapshot_scan_plan(t, where)
+        plan_s.append(time.time() - t0)
+    out = {"plan_s": round(min(plan_s), 4), **plan}
+    return out
+
+
 def main() -> None:
     spark = get_spark("snapshot_bench")
     one = spark.range(1000).selectExpr("id as k", "string(id) as v")
@@ -108,6 +156,37 @@ def main() -> None:
             t = os.path.join(root, f"s{n_entries}")
             _seed_synthetic(spark, t, n_entries, one.schema.json())
             synth[str(n_entries)] = _measure(spark, t, one)
+
+        # data skipping: a point predicate against a clustered real table
+        # (disjoint per-commit ranges) and against 10k/100k synthetic
+        # entries with fabricated stats — plan cost must stay group-ref
+        # sized and kept-file counts ~1 regardless of live-file count
+        pruning: dict = {}
+        t = os.path.join(root, "prune_real")
+        for c in range(64):
+            seed = spark.range(c * 1000, (c + 1) * 1000).selectExpr(
+                "id as k", "string(id) as v"
+            )
+            S.snapshot_commit(spark, t, seed.repartitionByRange(4, "k"))
+        real = _measure_pruning(spark, t, 31_500)
+        t0 = time.time()
+        pruned_rows = S.snapshot_read(
+            spark, t, where=[("k", "=", 31_500)]
+        ).count()
+        real["pruned_read_s"] = round(time.time() - t0, 4)
+        t0 = time.time()
+        full_rows = (
+            S.snapshot_read(spark, t).filter("k = 31500").count()
+        )
+        real["full_filter_read_s"] = round(time.time() - t0, 4)
+        assert pruned_rows == full_rows == 1
+        pruning["real_256_files"] = real
+        for n_entries in SYNTH_SIZES:
+            t = os.path.join(root, f"ps{n_entries}")
+            _seed_synthetic_with_stats(spark, t, n_entries, one.schema.json())
+            pruning[f"synthetic_{n_entries}"] = _measure_pruning(
+                spark, t, (n_entries // 2) * 100 + 50
+            )
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -116,6 +195,7 @@ def main() -> None:
             "metric": "snapshot_commit_cost",
             "by_live_files": results,
             "synthetic_by_live_files": synth,
+            "pruning": pruning,
         }
     )
     print(line)
