@@ -55,6 +55,8 @@ HEADLINE = [
     "x_ann_ivfpq",      # IVF x residual-PQ ADC serving + exact re-rank
     "st_quantiles",     # DDSketch mergeable quantiles (batch twin)
     "st_theta_overlap", # KMV set-algebra audience overlaps (batch twin)
+    "x_perplexity_bucket",  # CCNet per-language LM terciles
+    "x_containment",    # asymmetric containment near-dup (prefix-indexed)
 ]
 
 

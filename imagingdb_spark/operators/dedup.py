@@ -1553,3 +1553,116 @@ def x_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("run_len").cast("bigint").alias("max_shared_run"),
         F.count(F.lit(1)).cast("bigint").alias("n_runs"),
     )
+
+
+CONTAIN_T = 0.9  # directed containment threshold |A∩B|/|A|
+
+
+@query(
+    "x_containment",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                       t -> t <> '')) AS tokset
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_sub, b.doc_id AS doc_sup,
+           round(len(list_intersect(a.tokset, b.tokset)) / len(a.tokset), 4)
+             AS containment
+    FROM toks a
+    JOIN toks b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
+    WHERE len(a.tokset) > 0
+      AND round(len(list_intersect(a.tokset, b.tokset)) / len(a.tokset), 4)
+          >= 0.9
+    """,
+)
+def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D2i: ASYMMETRIC containment near-dup — directed pairs where ≥90%
+    of doc_sub's token set appears in doc_sup, within a (lang, source)
+    block. Containment C(A→B) = |A∩B|/|A| is what catches quote-inside-
+    article, excerpt-inside-page, and template-subset duplication that
+    symmetric Jaccard misses (C ≥ J always, and a short doc fully quoted
+    by a long one has high C but low J) — the SSJoin containment variant
+    (Chaudhuri et al. 2006, public).
+
+    Lossless asymmetric prefix filter: if |A∩B| ≥ ceil(t·|A|) then fewer
+    than ceil(t·|A|) tokens of A sit OUTSIDE its first
+    |A| − ceil(t·|A|) + 1 tokens under the global (block-df asc, token)
+    order, so at least one intersecting token is in A's prefix — and that
+    token is anywhere in B. Candidates therefore join A's PREFIX tokens
+    against B's FULL posting list (the asymmetry vs x_dedup_jaccard's
+    prefix-vs-prefix: only the contained side gets to shrink). Prefix
+    tokens are the rarest in their block, so each posting bucket is small
+    by construction; the verify step computes the exact containment on
+    the full token sets for candidates only. ceil(0.9·n) is INTEGER
+    floor((9n+9)/10) — float ceil(0.9*10.0) under-shoots and would drop
+    true pairs (same guard as x_dedup_jaccard's 0.8).
+
+    Scale: the posting side is the corpus token table keyed by (block,
+    token) — the same maintained index shape incremental_match_indexed
+    already builds — and the prefix side is ~(1−t) of each doc's tokens;
+    no block-quadratic pair generation anywhere."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(
+            F.transform(tokens_col(F.col("text")), lambda t: F.xxhash64(t))
+        ).alias("tokset"),
+    ).filter(F.size("tokset") > 0).persist()
+    # callers running many queries per session must clearCache() after
+    # consuming (bench.py / tools/selfcheck.py do) — same contract as
+    # x_dedup_jaccard's token table.
+
+    ex = toks.select(
+        "doc_id", "lang", "source", F.explode("tokset").alias("token")
+    )
+    dfreq = ex.groupBy("lang", "source", "token").agg(
+        F.count(F.lit(1)).alias("tdf")
+    )
+    sorted_toks = (
+        ex.join(dfreq, ["lang", "source", "token"])
+        .groupBy("doc_id", "lang", "source")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tdf", "token"))),
+                lambda s: s["token"],
+            ).alias("toks_sorted")
+        )
+    )
+    sz = F.size("toks_sorted")
+    p_len = sz - F.floor((9 * sz + 9) / 10).cast("int") + 1
+    prefix = sorted_toks.select(
+        F.col("doc_id").alias("doc_sub"),
+        "lang",
+        "source",
+        F.explode(F.slice("toks_sorted", 1, p_len)).alias("token"),
+    )
+    postings = ex.select(
+        F.col("doc_id").alias("doc_sup"), "lang", "source", "token"
+    )
+    cand = (
+        prefix.join(postings, ["lang", "source", "token"])
+        .filter(F.col("doc_sub") != F.col("doc_sup"))
+        .select("doc_sub", "doc_sup")
+        .distinct()
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_sub"), F.col("tokset").alias("set_sub"))
+    tb = toks.select(F.col("doc_id").alias("doc_sup"), F.col("tokset").alias("set_sup"))
+    return (
+        cand.join(ta, "doc_sub")
+        .join(tb, "doc_sup")
+        .select(
+            "doc_sub",
+            "doc_sup",
+            F.round(
+                F.size(F.array_intersect("set_sub", "set_sup"))
+                / F.size("set_sub"),
+                4,
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= CONTAIN_T)
+    )

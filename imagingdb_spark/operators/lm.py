@@ -885,3 +885,102 @@ def x_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     d = table(spark, sf_dir, "documents")
     return bpe_encode_frame(d, merges).orderBy("doc_id")
+
+
+@query(
+    "x_perplexity_bucket",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id, lang, tok, COUNT(*) AS c
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+      )
+      GROUP BY doc_id, lang, tok
+    ), v AS (
+      SELECT lang, tok, CAST(SUM(c) AS BIGINT) AS cnt
+      FROM dt GROUP BY lang, tok
+    ), tot AS (
+      SELECT lang, CAST(SUM(cnt) AS DOUBLE) AS total FROM v GROUP BY lang
+    ), scored AS (
+      SELECT dt.doc_id, dt.lang,
+             round(SUM(dt.c * ln(v.cnt / tot.total)) / SUM(dt.c), 4) + 0.0
+               AS avg_logprob
+      FROM dt
+      JOIN v ON dt.lang = v.lang AND dt.tok = v.tok
+      JOIN tot ON dt.lang = tot.lang
+      GROUP BY dt.doc_id, dt.lang
+    )
+    SELECT doc_id, lang, avg_logprob,
+           CASE ntile(3) OVER (PARTITION BY lang
+                               ORDER BY avg_logprob DESC, doc_id)
+             WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail'
+           END AS bucket
+    FROM scored
+    """,
+)
+def x_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al. 2020,
+    public): score every document under its OWN language's unigram LM,
+    then split each language into head/middle/tail terciles by score —
+    the standard Common-Crawl curation signal ("train on head+middle,
+    drop tail") that a single cross-language threshold cannot express,
+    because languages have different intrinsic entropy.
+
+    Cross-engine determinism: the tercile is computed on the ROUNDED
+    (4-decimal) mean logprob with doc_id as the tiebreak — the raw
+    per-doc float sum is summation-order-dependent across engines, the
+    rounded value is not (same contract x_unigram_logprob's hash
+    equality already proves).
+
+    Plan shape: ONE corpus pass — per-(doc, lang, tok) counts feed the
+    per-language vocabulary aggregate (vocab-sized shuffle), the
+    language-total dim (broadcast), and the score join. The tercile is
+    an ntile window partitioned by lang; languages are few, so at 100 TB
+    the production swap is broadcast quantile CUTOFFS (computed from the
+    doc-count-sized score table) instead of a per-language global sort —
+    the registered form keeps exact ntile for oracle parity, and the
+    window input is already reduced to one row per document."""
+    d = table(spark, sf_dir, "documents")
+    dt = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(tokens_col(F.col("text"))).alias("tok"),
+        )
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist()  # feeds vocab agg + lang totals + score join: 1 scan
+    )
+    v = dt.groupBy("lang", "tok").agg(F.sum("c").alias("cnt"))
+    tot = v.groupBy("lang").agg(F.sum("cnt").cast("double").alias("total"))
+    scored = (
+        dt.join(v, ["lang", "tok"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("c") * F.log(F.col("cnt") / F.col("total")))
+                    / F.sum("c"),
+                    4,
+                )
+                + 0.0
+            ).alias("avg_logprob")
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    )
+    n3 = F.ntile(3).over(w)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "avg_logprob",
+        F.when(n3 == 1, "head")
+        .when(n3 == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

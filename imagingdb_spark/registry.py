@@ -79,7 +79,16 @@ ORACLE: dict[str, str] = {}
 #   unchanged code (the r5/r4/r3 double-verification blocks of the r6
 #   window). Tail queries keep implementations, unit tests, and recorded
 #   green rows - they only lose a FRESH driver row this round.
+# Round-7 SECOND-SESSION amendment: three new queries with no driver
+# record (x_perplexity_bucket, x_triangles, x_containment) enter at the
+# head of the window; the last three r1+r2 doubles of the round-7 window
+# (f_format, j_two_way, a_distinct — each holding two green rows on
+# unchanged code) are displaced to position 51+.
 PRIORITY: list[str] = [
+    # --- NEW in round-7 second session: no driver record exists yet ---
+    "x_perplexity_bucket",  # D24: CCNet per-language perplexity terciles
+    "x_triangles",       # D25: degree-ordered basket triangle counting
+    "x_containment",     # D2i: asymmetric containment near-dup
     # --- NEW in round 7: no driver record exists yet ---
     "st_heavy_hitters",  # St15: continuous Misra-Gries heavy hitters
     "st_quantiles",      # St16: continuous DDSketch quantiles
@@ -132,11 +141,11 @@ PRIORITY: list[str] = [
     "o_limit",           # O2 (r1+r2)
     "f_equality",        # P3 (r1+r2)
     "f_dates",           # F3 (r1+r2)
-    "f_format",          # F2 (r1+r2)
-    "j_two_way",         # J2 (r1+r2)
-    "a_distinct",        # A2 (r1+r2)
     # --- position 51+: green driver rows on record; implementations +
     #     unit tests intact. Ordered roughly by record freshness. ---
+    "f_format",          # F2 (r1+r2) — displaced by the second-session
+    "j_two_way",         # J2 (r1+r2)    three (x_perplexity_bucket,
+    "a_distinct",        # A2 (r1+r2)    x_triangles, x_containment)
     "s_union",           # set ops (r1+r2) — displaced by the new
     #                      st_theta_overlap; s_except holds in-window
     "x_inverted_index",  # r5+r6

@@ -2285,3 +2285,136 @@ def test_multimodal_synth_tolerates_null_text(spark, tmp_path):
     assert x_phash_dedup(spark, d).count() == 3   # doc 0's planted trio
     assert x_audio_dedup(spark, d).count() == 3
     assert x_scene_changes(spark, d).count() == 2  # one cut per real doc
+
+
+class TestTriangles:
+    """x_triangles semantics on planted graphs (the oracle pins engine
+    equality at sf0.01/sf1.0; here the triangle enumeration itself)."""
+
+    def test_known_graphs(self, spark):
+        from imagingdb_spark.operators.graph import triangle_counts
+
+        def counts(pairs):
+            df = spark.createDataFrame(pairs, "u long, v long")
+            return {
+                r["node"]: r["n_triangles"]
+                for r in triangle_counts(df).collect()
+            }
+
+        # K4: every node is in C(3,2)=3 triangles
+        k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+        assert counts(k4) == {0: 3, 1: 3, 2: 3, 3: 3}
+        # triangle + pendant: pendant node participates in none
+        assert counts([(1, 2), (2, 3), (1, 3), (3, 4)]) == {1: 1, 2: 1, 3: 1}
+        # path: triangle-free
+        assert counts([(1, 2), (2, 3), (3, 4)]) == {}
+        # duplicate edges are deduped, not double-counted
+        assert counts([(1, 2), (1, 2), (2, 3), (1, 3)]) == {1: 1, 2: 1, 3: 1}
+
+    def test_basket_graph_and_cap(self, spark, tmp_path):
+        from imagingdb_spark.operators.graph import (
+            TRI_MAX_BASKET,
+            x_triangles,
+        )
+
+        rows = [(1, 1), (1, 2), (2, 2), (2, 3), (3, 1), (3, 3)]
+        # an over-cap basket whose parts would otherwise form many
+        # triangles must contribute NO edges
+        rows += [(9, 100 + i) for i in range(TRI_MAX_BASKET + 1)]
+        d = str(tmp_path / "sft")
+        spark.createDataFrame(
+            rows, "l_orderkey long, l_partkey long"
+        ).coalesce(1).write.parquet(d + "/lineitem.parquet")
+        got = {
+            r["part"]: r["n_triangles"] for r in x_triangles(spark, d).collect()
+        }
+        assert got == {1: 1, 2: 1, 3: 1}  # no part >= 100 appears
+
+
+class TestContainment:
+    """x_containment semantics: directed sub/sup detection, the >= 0.9
+    boundary, and block isolation (oracle pins engine equality)."""
+
+    def _write(self, spark, tmp_path, rows):
+        d = str(tmp_path / "sfc")
+        spark.createDataFrame(
+            [(i, t, lang, "src0", len(t)) for i, t, lang in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(d + "/documents.parquet")
+        return d
+
+    def test_directed_subset_detected_once(self, spark, tmp_path):
+        from imagingdb_spark.operators.dedup import x_containment
+
+        sub = " ".join(f"t{i}" for i in range(10))
+        sup = sub + " " + " ".join(f"extra{i}" for i in range(20))
+        got = {
+            (r["doc_sub"], r["doc_sup"]): r["containment"]
+            for r in x_containment(
+                spark, self._write(spark, tmp_path, [(0, sub, "en"), (1, sup, "en")])
+            ).collect()
+        }
+        # 0 ⊂ 1 at containment 1.0; the reverse is 10/30 and absent
+        assert got == {(0, 1): 1.0}
+
+    def test_boundary_is_inclusive(self, spark, tmp_path):
+        from imagingdb_spark.operators.dedup import x_containment
+
+        a = " ".join(f"t{i}" for i in range(10))          # 10 tokens
+        b = " ".join(f"t{i}" for i in range(9)) + " zzz"  # 9 shared
+        got = {
+            (r["doc_sub"], r["doc_sup"]): r["containment"]
+            for r in x_containment(
+                spark, self._write(spark, tmp_path, [(0, a, "en"), (1, b, "en")])
+            ).collect()
+        }
+        # both directions are exactly 9/10 = 0.9: >= is inclusive
+        assert got == {(0, 1): 0.9, (1, 0): 0.9}
+
+    def test_blocks_isolate_languages(self, spark, tmp_path):
+        from imagingdb_spark.operators.dedup import x_containment
+
+        t = " ".join(f"t{i}" for i in range(10))
+        got = x_containment(
+            spark, self._write(spark, tmp_path, [(0, t, "en"), (1, t, "fr")])
+        ).collect()
+        assert got == []
+
+
+class TestPerplexityBucket:
+    """x_perplexity_bucket semantics: per-language terciles ordered by the
+    language's own LM score (oracle pins engine equality)."""
+
+    def _write(self, spark, tmp_path, rows):
+        d = str(tmp_path / "sfp")
+        spark.createDataFrame(
+            [(i, t, lang, "src0", len(t)) for i, t, lang in rows],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        ).coalesce(1).write.parquet(d + "/documents.parquet")
+        return d
+
+    def test_terciles_order_by_own_language_lm(self, spark, tmp_path):
+        from imagingdb_spark.operators.lm import x_perplexity_bucket
+
+        rows = [
+            # en: d0 all common tokens, d1 mixed, d2 all-singleton -> tail
+            (0, "alpha alpha beta beta alpha beta", "en"),
+            (1, "alpha beta odd1 odd2", "en"),
+            (2, "uniq1 uniq2 uniq3 uniq4", "en"),
+            # fr: its own LM — one doc per tercile even with 3 docs
+            (10, "bon bon bon", "fr"),
+            (11, "bon jour", "fr"),
+            (12, "rare1 rare2", "fr"),
+        ]
+        d = self._write(spark, tmp_path, rows)
+        out = x_perplexity_bucket(spark, d).collect()
+        by_id = {r["doc_id"]: (r["bucket"], r["avg_logprob"]) for r in out}
+        assert by_id[0][0] == "head" and by_id[2][0] == "tail"
+        assert by_id[1][0] == "middle"
+        assert by_id[10][0] == "head" and by_id[12][0] == "tail"
+        # within each language: head score >= middle >= tail
+        assert by_id[0][1] >= by_id[1][1] >= by_id[2][1]
+        assert by_id[10][1] >= by_id[11][1] >= by_id[12][1]
+        # deterministic across rebuilds
+        out2 = x_perplexity_bucket(spark, d).collect()
+        assert sorted(map(tuple, out)) == sorted(map(tuple, out2))

