@@ -300,7 +300,12 @@ def _file_stats(abs_path: str) -> dict | None:
 def _comparable(a, b) -> bool:
     """Same comparison domain: numeric-vs-numeric or str-vs-str. A
     mismatched predicate value (e.g. '5' against an int column) prunes
-    nothing — Spark's cast semantics decide, not the manifest."""
+    nothing — Spark's cast semantics decide, not the manifest. A NaN
+    predicate value also prunes nothing: Spark orders NaN GREATER than
+    every value while Python comparisons make it unmatchable, so range
+    logic on it would prune files whose rows Spark's filter keeps."""
+    if isinstance(b, float) and b != b:
+        return False
     num = (int, float)
     if isinstance(a, num) and isinstance(b, num):
         return not isinstance(a, bool) and not isinstance(b, bool)
@@ -880,10 +885,19 @@ def snapshot_scan_plan(
     would hand Spark. Cost is O(groups + files in matching groups) —
     never the data. This is the observability seam the pruning tests and
     SNAPSHOT_BENCH assert against."""
-    m = _resolve_manifest_raw(table_dir, version)
     plan: dict = {}
-    _resolve_pruned(table_dir, m, where, plan)
-    return plan
+    for _ in range(3):
+        m = _resolve_manifest_raw(table_dir, version)
+        try:
+            _resolve_pruned(table_dir, m, where, plan)
+            return plan
+        except FileNotFoundError:
+            if version is not None:
+                raise
+            continue
+    raise FileNotFoundError(
+        f"{table_dir}: tip kept expiring during resolution"
+    )
 
 
 def _where_column(where: list):
@@ -926,8 +940,22 @@ def snapshot_read(
     filtered full scan). At 100 TB this is the difference between planning
     over ~800k file entries and planning over the handful of groups and
     files a selective predicate touches."""
-    m = _resolve_manifest_raw(table_dir, version)
-    files = _resolve_pruned(table_dir, m, where)
+    # group files resolve INSIDE the expire-race retry: a concurrent
+    # expire+vacuum between the manifest read and the group read must
+    # re-resolve (latest mode) exactly like a vanished manifest does
+    for _ in range(3):
+        m = _resolve_manifest_raw(table_dir, version)
+        try:
+            files = _resolve_pruned(table_dir, m, where)
+            break
+        except FileNotFoundError:
+            if version is not None:
+                raise  # pinned version's groups vacuumed: a real error
+            continue
+    else:
+        raise FileNotFoundError(
+            f"{table_dir}: tip kept expiring during resolution"
+        )
     schema = StructType.fromJson(json.loads(m["schema"]))
     cond = _where_column(_check_where(where)) if where else None
     if not files:

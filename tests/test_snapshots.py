@@ -885,3 +885,49 @@ class TestStatsPruning:
         got = [r["k"] for r in S.snapshot_read(
             spark, t, where=[("k", "=", 5)]).collect()]
         assert got == [5]
+
+    def test_nan_predicate_never_prunes(self, spark, tmp_path):
+        """Spark orders NaN GREATER than every double while Python makes
+        it unmatchable — range logic on a NaN literal must keep every
+        file and let Spark's filter decide."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(
+            spark,
+            t,
+            spark.range(0, 40)
+            .selectExpr("CAST(id AS DOUBLE) AS k", "string(id) AS v")
+            .repartitionByRange(2, "k"),
+        )
+        nan = float("nan")
+        plan = S.snapshot_scan_plan(t, [("k", "<", nan)])
+        assert plan["files_kept"] == plan["files_total"]
+        full = S.snapshot_read(spark, t)
+        want = full.filter(full.k < nan).count()
+        got = S.snapshot_read(spark, t, where=[("k", "<", nan)]).count()
+        assert got == want  # 40 in Spark's NaN ordering — not 0
+
+    def test_group_vanishing_mid_read_re_resolves(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """The expire-race contract extended to the tree: a LATEST read
+        whose group file vanishes between manifest and group resolution
+        (concurrent expire+vacuum) re-resolves instead of leaking
+        FileNotFoundError; a PINNED read of vacuumed groups raises."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, self._mkr(spark, 0, 40, parts=2))
+        real = S._read_group
+        calls = {"n": 0}
+
+        def flaky(table_dir, name):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                raise FileNotFoundError(name)  # vacuumed under our feet
+            return real(table_dir, name)
+
+        monkeypatch.setattr(S, "_read_group", flaky)
+        got = sorted(
+            r["k"] for r in S.snapshot_read(
+                spark, t, where=[("k", "<", 5)]).collect()
+        )
+        assert got == [0, 1, 2, 3, 4]
+        assert calls["n"] >= 2  # first attempt failed, retry resolved
