@@ -92,6 +92,63 @@ def load_catalog(spark: SparkSession, catalog_dir: str) -> dict[str, DataFrame]:
     return out
 
 
+def load_catalog_slice(
+    spark: SparkSession, catalog_dir: str, dataset_serial: str
+) -> dict[str, DataFrame]:
+    """Pruned catalog views containing exactly ONE dataset's rows — the
+    data-skipping fast path for serial point lookups (download, frame
+    queries). Uploads commit per dataset, so every snapshot data file
+    holds one dataset's rows and its footer stats bound the serial / the
+    surrogate ids tightly: the manifest prunes to O(1) files per table no
+    matter how many datasets the catalog holds (the reference's analogue
+    is the Postgres index on dataset_serial — this is the same point
+    lookup, resolved in manifest metadata instead of a B-tree).
+
+    Resolution is a two-hop driver-side walk (each hop collects the
+    dataset-sized key set of the PREVIOUS table — 1 row per hop, the
+    documented collect exception): serial → data_set.id → frames_global /
+    file_global by dataset_id → frames by frames_global_id. Legacy
+    plain-parquet tables fall back to the same filters without pruning;
+    results are always exactly the full view filtered to the dataset."""
+    from imagingdb_spark import snapshots as S
+
+    full = load_catalog(spark, catalog_dir)
+
+    def _pruned(name: str, where: list) -> DataFrame:
+        snap = Path(catalog_dir) / name
+        legacy = Path(catalog_dir) / f"{name}.parquet"
+        if not legacy.exists() and S.snapshot_exists(str(snap)):
+            return S.snapshot_read(spark, str(snap), where=where)
+        df = full[name]
+        for col, op, value in where:  # same semantics, no pruning
+            df = df.filter(f"`{col}` {op} {value!r}")
+        return df
+
+    out = dict(full)
+    out["data_set"] = _pruned(
+        "data_set", [("dataset_serial", "=", dataset_serial)]
+    )
+    ds_ids = [r["id"] for r in out["data_set"].select("id").collect()]
+    if len(ds_ids) != 1:
+        # absent or (impossibly) duplicated serial: hand back the full
+        # views so the caller's own error surface fires unchanged
+        out["data_set"] = full["data_set"]
+        return out
+    out["frames_global"] = _pruned(
+        "frames_global", [("dataset_id", "=", ds_ids[0])]
+    )
+    out["file_global"] = _pruned(
+        "file_global", [("dataset_id", "=", ds_ids[0])]
+    )
+    fg_ids = [r["id"] for r in out["frames_global"].select("id").collect()]
+    out["frames"] = (
+        _pruned("frames", [("frames_global_id", "=", fg_ids[0])])
+        if len(fg_ids) == 1
+        else full["frames"]
+    )
+    return out
+
+
 def catalog_targets(catalog_dir: str) -> dict[str, object]:
     """Write targets for the four catalog tables: legacy plain-parquet
     tables keep appending in place (never split one table's state across
@@ -201,7 +258,9 @@ def download_data(
     CSV/JSON sinks + blob fetch into ``<dest>/<id>/``."""
     cfg = read_login(login)
     spark = spark or get_spark("imagingdb-cli")
-    catalog = load_catalog(spark, cfg["catalog_dir"])
+    # single-dataset point lookup: the pruned slice reads O(1) manifest
+    # files per table instead of the whole catalog (load_catalog_slice)
+    catalog = load_catalog_slice(spark, cfg["catalog_dir"], id)
     storage_dir, file_names = flows.download_dataset(
         spark,
         catalog,

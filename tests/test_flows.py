@@ -876,3 +876,88 @@ class TestTornUploadHealing:
         assert out["frames_global"].count() == 0
         assert out["frames"].count() == 6            # frames HEALED
         self._assert_complete(spark, targets)
+
+
+class TestCatalogSliceSkipping:
+    """cli.load_catalog_slice: a serial point lookup over a snapshot
+    catalog reads O(1) manifest files per table (uploads commit per
+    dataset, so footer stats isolate each dataset's files) and returns
+    exactly the full views filtered to that dataset."""
+
+    def _setup(self, spark, tmp_path, n_datasets=3):
+        payload = b"".join(
+            bytes([c * 16 + z]) * PAGE_BYTES
+            for z in range(3) for c in range(2)
+        )
+        src = tmp_path / "stack.tif"
+        src.write_bytes(payload)
+        from imagingdb_spark.catalog import IMAGING_SCHEMAS
+        from imagingdb_spark.ingest import SnapshotTarget
+
+        cat = {n: spark.createDataFrame([], s)
+               for n, s in IMAGING_SCHEMAS.items()}
+        targets = {n: SnapshotTarget(str(tmp_path / "cat" / n))
+                   for n in IMAGING_SCHEMAS}
+        serials = [
+            f"TEST-2005-06-0{i + 1}-20-00-00-1000" for i in range(n_datasets)
+        ]
+        for s in serials:
+            man = spark.createDataFrame(
+                [(s, str(src), "Testing", "none")],
+                "dataset_serial string, file_name string, description string, "
+                "parent_dataset_id string",
+            )
+            flows.upload_dataset(
+                spark, man, cat,
+                storage_root=str(tmp_path / "store"),
+                upload_type="frames",
+                page_reader=_fake_page_reader,
+                global_meta={"im_width": 8, "im_height": 8,
+                             "nbr_channels": 2, "nbr_slices": 3},
+                paths=targets,
+            )
+        return str(tmp_path / "cat"), serials, targets
+
+    def test_slice_equals_filtered_full_and_prunes(self, spark, tmp_path):
+        from imagingdb_spark import snapshots as S
+        from imagingdb_spark.cli import load_catalog, load_catalog_slice
+
+        cat_dir, serials, targets = self._setup(spark, tmp_path)
+        target = serials[1]
+        full = load_catalog(spark, cat_dir)
+        sl = load_catalog_slice(spark, cat_dir, target)
+
+        assert sl["data_set"].count() == 1
+        ds_id = sl["data_set"].collect()[0]["id"]
+        for name, key in (
+            ("frames_global", "dataset_id"),
+            ("file_global", "dataset_id"),
+        ):
+            want = sorted(
+                map(tuple, full[name].filter(f"{key} = {ds_id}").collect())
+            )
+            got = sorted(map(tuple, sl[name].collect()))
+            assert got == want, name
+        fg_id = sl["frames_global"].collect()[0]["id"]
+        want = sorted(map(tuple, full["frames"].filter(
+            f"frames_global_id = {fg_id}").collect()))
+        assert sorted(map(tuple, sl["frames"].collect())) == want
+
+        # manifest-level evidence: the point lookup kept a strict subset
+        # of the frames table's files (one upload's files, not three)
+        plan = S.snapshot_scan_plan(
+            targets["frames"].table_dir, [("frames_global_id", "=", fg_id)]
+        )
+        assert plan["files_kept"] < plan["files_total"]
+        assert plan["files_kept"] >= 1
+
+    def test_missing_serial_falls_back_to_full_views(self, spark, tmp_path):
+        from imagingdb_spark.cli import load_catalog_slice
+
+        cat_dir, serials, _ = self._setup(spark, tmp_path, n_datasets=1)
+        sl = load_catalog_slice(
+            spark, cat_dir, "TEST-2099-01-01-00-00-00-0001"
+        )
+        # full views returned: the caller's own not-found surface fires
+        assert sl["data_set"].count() == 1  # the one uploaded dataset
+        assert sl["frames"].count() == 6
