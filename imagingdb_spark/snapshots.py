@@ -1236,3 +1236,72 @@ def snapshot_compact(
         _drop_groups(table_dir, created)
         raise
     return tip + 1
+
+
+def snapshot_cluster_report(
+    table_dir: str, col: str, version: int | None = None
+) -> dict:
+    """How well the live files are clustered on ``col`` — the "when to
+    re-cluster" signal a maintenance loop reads (the OPTIMIZE-scheduling
+    analogue of Delta's file-skipping metrics, from manifest stats only,
+    no data reads).
+
+    The metric is POINT OVERLAP: for each file's own min, how many live
+    files' [min, max] ranges contain it. Perfectly clustered (disjoint
+    ranges, what snapshot_compact(cluster_cols=[col]) produces) scores
+    1.0; K time-ordered stream appends of the same key range score ~K —
+    a point predicate on col must open that many files. Comparison-only,
+    so it works for strings exactly like numbers (no midpoint
+    arithmetic). Returns {files_total, files_with_stats, max_overlap,
+    avg_overlap}; files lacking stats on col are counted in files_total
+    but excluded from the overlap measure (they match every predicate,
+    so they degrade skipping regardless of layout)."""
+    m = _resolve_manifest_raw(table_dir, version)
+    entries = _resolve_pruned(table_dir, m, None)
+    ranges = []
+    for fe in entries:
+        s = (fe.get("stats") or {}).get(col)
+        if s and s.get("min") is not None and s.get("max") is not None:
+            ranges.append((s["min"], s["max"]))
+    out = {
+        "files_total": len(entries),
+        "files_with_stats": len(ranges),
+        "max_overlap": 0,
+        "avg_overlap": 0.0,
+    }
+    if not ranges:
+        return out
+    overlaps = [
+        sum(1 for g in ranges if g[0] <= r[0] <= g[1]) for r in ranges
+    ]
+    out["max_overlap"] = max(overlaps)
+    out["avg_overlap"] = round(sum(overlaps) / len(overlaps), 3)
+    return out
+
+
+def snapshot_maintain(
+    spark: SparkSession,
+    table_dir: str,
+    cluster_col: str,
+    max_avg_overlap: float = 2.0,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int | None:
+    """One step of the table-maintenance loop: re-cluster on
+    ``cluster_col`` when point overlap says skipping has degraded past
+    ``max_avg_overlap``, else do nothing. Returns the compact commit's
+    version, or None when the layout is still good (the cheap common
+    case: one manifest resolution, no data touched). A SnapshotConflict
+    from a racing append propagates — the loop just runs again next
+    tick, exactly like the streaming gates' compaction discipline."""
+    report = snapshot_cluster_report(table_dir, cluster_col)
+    if (
+        report["files_with_stats"] < 2
+        or report["avg_overlap"] <= max_avg_overlap
+    ):
+        return None
+    return snapshot_compact(
+        spark,
+        table_dir,
+        target_file_bytes=target_file_bytes,
+        cluster_cols=[cluster_col],
+    )

@@ -931,3 +931,54 @@ class TestStatsPruning:
         )
         assert got == [0, 1, 2, 3, 4]
         assert calls["n"] >= 2  # first attempt failed, retry resolved
+
+
+class TestClusterMaintenance:
+    """snapshot_cluster_report + snapshot_maintain: manifest-only overlap
+    measurement drives re-clustering exactly when skipping degraded."""
+
+    def _append_overlapping(self, spark, t, n=4):
+        for _ in range(n):  # every commit covers the SAME key range
+            S.snapshot_commit(
+                spark,
+                t,
+                spark.range(0, 100)
+                .selectExpr("id AS k", "string(id) AS v")
+                .coalesce(1),
+            )
+
+    def test_report_scores_layouts(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._append_overlapping(spark, t, n=4)
+        bad = S.snapshot_cluster_report(t, "k")
+        assert bad["files_with_stats"] == 4
+        assert bad["avg_overlap"] == 4.0  # every file's min inside all 4
+        # clustered rewrite -> disjoint ranges -> overlap 1.0
+        S.snapshot_compact(spark, t, target_file_bytes=2048, cluster_cols=["k"])
+        good = S.snapshot_cluster_report(t, "k")
+        assert good["files_with_stats"] >= 2
+        assert good["avg_overlap"] == 1.0
+        # a column with no stats anywhere reports zeros, never divides
+        assert S.snapshot_cluster_report(t, "nope")["files_with_stats"] == 0
+
+    def test_maintain_triggers_only_past_threshold(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._append_overlapping(spark, t, n=4)
+        rows_before = sorted(
+            tuple(r) for r in S.snapshot_read(spark, t).collect()
+        )
+        v = S.snapshot_maintain(
+            spark, t, "k", max_avg_overlap=2.0, target_file_bytes=2048
+        )
+        assert v is not None  # overlap 4.0 > 2.0: re-clustered
+        assert S.snapshot_cluster_report(t, "k")["avg_overlap"] == 1.0
+        assert sorted(
+            tuple(r) for r in S.snapshot_read(spark, t).collect()
+        ) == rows_before  # maintenance never changes content
+        # second tick: layout is good, nothing happens
+        tip = S._versions(t)[-1]
+        assert S.snapshot_maintain(spark, t, "k", max_avg_overlap=2.0) is None
+        assert S._versions(t)[-1] == tip
+        # a point predicate now opens ~1 file instead of 4+
+        plan = S.snapshot_scan_plan(t, [("k", "=", 42)])
+        assert plan["files_kept"] == 1
