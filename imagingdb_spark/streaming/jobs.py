@@ -278,6 +278,9 @@ def streaming_catalog_append_snapshot(
     key_cols: list[str],
     checkpoint_dir: str,
     watermark: str = "10 minutes",
+    maintain_every: int = 0,
+    cluster_col: str | None = None,
+    max_avg_overlap: float = 2.0,
 ) -> StreamingQuery:
     """streaming_catalog_append upgraded onto the snapshot table format —
     the "a fact-scale sink would use a table format's MERGE instead"
@@ -288,8 +291,23 @@ def streaming_catalog_append_snapshot(
     key, which the bare-parquet variant documents it cannot prevent),
     every batch is an atomic manifest commit (readers never see a torn
     append), and the commit log doubles as the ingest audit trail.
-    Watermark dedup still bounds in-flight state exactly as above."""
-    from imagingdb_spark.snapshots import snapshot_idempotent_append
+    Watermark dedup still bounds in-flight state exactly as above.
+
+    ``maintain_every=N`` with ``cluster_col`` adds the layout-health tick
+    (same cadence discipline as the dedup gates' index compaction): every
+    N batches, snapshot_maintain re-clusters the table transactionally
+    IF point overlap on the query key degraded past ``max_avg_overlap``
+    — stream appends land time-ordered, so without this a point lookup
+    eventually opens every file the stream ever wrote. A maintenance
+    tick that loses its commit race to the NEXT append simply waits for
+    a later tick (SnapshotConflict is swallowed here, exactly the
+    streaming-gate compaction contract); the appends themselves are
+    never blocked."""
+    from imagingdb_spark.snapshots import (
+        SnapshotConflict,
+        snapshot_idempotent_append,
+        snapshot_maintain,
+    )
 
     deduped = events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         key_cols
@@ -299,6 +317,21 @@ def streaming_catalog_append_snapshot(
         snapshot_idempotent_append(
             batch_df.sparkSession, table_dir, batch_df, key_cols
         )
+        if (
+            maintain_every
+            and cluster_col
+            and batch_id > 0
+            and batch_id % maintain_every == 0
+        ):
+            try:
+                snapshot_maintain(
+                    batch_df.sparkSession,
+                    table_dir,
+                    cluster_col,
+                    max_avg_overlap=max_avg_overlap,
+                )
+            except SnapshotConflict:
+                pass  # a racing writer won; the next tick re-checks
 
     return (
         deduped.writeStream.foreachBatch(append_batch)

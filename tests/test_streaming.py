@@ -1906,3 +1906,67 @@ def test_afp_gate_redelivered_clip_still_blocks_its_near_dups(spark, tmp_path):
         for r in spark.read.parquet(corpus_path).select("clip_id").collect()
     }
     assert ids == {"C"}
+
+
+def test_streaming_catalog_maintenance_tick(spark, tmp_path):
+    """The layout-health tick inside the snapshot catalog sink: stream
+    appends land time-ordered (every file covers the same key range), the
+    every-N-batches snapshot_maintain re-clusters transactionally, and
+    exactly-once-by-key survives — content is never changed by
+    maintenance, replays land nothing."""
+    from pyspark.sql import functions as F
+    from imagingdb_spark import snapshots as S
+    from imagingdb_spark.streaming import jobs
+
+    src = str(tmp_path / "src")
+    (
+        spark.range(600)
+        .select(
+            F.col("id").alias("event_id"),
+            # offset past epoch 0: the INITIAL event-time watermark is 0,
+            # and a ts equal to it is dropped as late — data artifact,
+            # not sink behavior
+            F.timestamp_micros((F.col("id") + 1000) * 1000000).alias("ts"),
+            (F.col("id") % 100).alias("v"),
+        )
+        .repartition(6)  # 6 files, each spanning ~the full v range
+        .write.parquet(src)
+    )
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, v long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    target = str(tmp_path / "tbl")
+    q = jobs.streaming_catalog_append_snapshot(
+        stream, target, ["event_id"], str(tmp_path / "ck1"),
+        maintain_every=3, cluster_col="v", max_avg_overlap=1.5,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = S.snapshot_read(spark, target)
+    assert got.count() == 600
+    assert got.select("event_id").distinct().count() == 600
+    # the tick actually fired: a transactional compact is in the log
+    modes = [m["mode"] for m in S.snapshot_versions(target)]
+    assert "compact" in modes
+    # fresh-checkpoint replay: anti-join lands nothing, maintenance
+    # no-ops or re-clusters — content identical either way
+    q2 = jobs.streaming_catalog_append_snapshot(
+        stream, target, ["event_id"], str(tmp_path / "ck2"),
+        maintain_every=3, cluster_col="v", max_avg_overlap=1.5,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    assert S.snapshot_read(spark, target).count() == 600
+    # a healthy layout does NOT retrigger maintenance...
+    assert S.snapshot_maintain(spark, target, "v",
+                               max_avg_overlap=1.5) is None
+    # ...and an explicit multi-file clustered rewrite shows the point
+    # plan opening a strict subset of live files
+    S.snapshot_compact(spark, target, target_file_bytes=1024,
+                       cluster_cols=["v"])
+    plan = S.snapshot_scan_plan(target, [("v", "=", 42)])
+    assert plan["files_total"] > 1  # the tiny target forces a split
+    assert plan["files_kept"] < plan["files_total"]
