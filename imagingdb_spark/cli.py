@@ -109,22 +109,32 @@ def load_catalog_slice(
     documented collect exception): serial → data_set.id → frames_global /
     file_global by dataset_id → frames by frames_global_id. Legacy
     plain-parquet tables fall back to the same filters without pruning;
-    results are always exactly the full view filtered to the dataset."""
+    results are always exactly the full view filtered to the dataset.
+    Full (unpruned) views are built LAZILY — only for tables that need a
+    fallback — so the found-serial fast path never resolves any table's
+    full manifest file list (at ~800k entries that resolution is itself
+    the cost this function exists to avoid)."""
     from imagingdb_spark import snapshots as S
 
-    full = load_catalog(spark, catalog_dir)
+    def _full(name: str) -> DataFrame:
+        p = Path(catalog_dir) / f"{name}.parquet"
+        snap = Path(catalog_dir) / name
+        if p.exists():
+            return spark.read.schema(IMAGING_SCHEMAS[name]).parquet(str(p))
+        if S.snapshot_exists(str(snap)):
+            return S.snapshot_read(spark, str(snap))
+        return spark.createDataFrame([], IMAGING_SCHEMAS[name])
 
     def _pruned(name: str, where: list) -> DataFrame:
         snap = Path(catalog_dir) / name
         legacy = Path(catalog_dir) / f"{name}.parquet"
         if not legacy.exists() and S.snapshot_exists(str(snap)):
             return S.snapshot_read(spark, str(snap), where=where)
-        df = full[name]
-        for col, op, value in where:  # same semantics, no pruning
-            df = df.filter(f"`{col}` {op} {value!r}")
-        return df
+        # same semantics, no pruning — reuse the snapshot module's
+        # triple→Column builder (F.col/F.lit, no string interpolation)
+        return _full(name).filter(S._where_column(S._check_where(where)))
 
-    out = dict(full)
+    out: dict[str, DataFrame] = {}
     out["data_set"] = _pruned(
         "data_set", [("dataset_serial", "=", dataset_serial)]
     )
@@ -132,8 +142,7 @@ def load_catalog_slice(
     if len(ds_ids) != 1:
         # absent or (impossibly) duplicated serial: hand back the full
         # views so the caller's own error surface fires unchanged
-        out["data_set"] = full["data_set"]
-        return out
+        return load_catalog(spark, catalog_dir)
     out["frames_global"] = _pruned(
         "frames_global", [("dataset_id", "=", ds_ids[0])]
     )
@@ -144,7 +153,7 @@ def load_catalog_slice(
     out["frames"] = (
         _pruned("frames", [("frames_global_id", "=", fg_ids[0])])
         if len(fg_ids) == 1
-        else full["frames"]
+        else _full("frames")
     )
     return out
 

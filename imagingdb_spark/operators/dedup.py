@@ -196,6 +196,19 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / (F.size(a) + F.size(b) - inter)
 
 
+def jaccard_ge(a: Column, b: Column, num: int, den: int) -> Column:
+    """J(A,B) >= num/den in INTEGER arithmetic: den·i >= num·(|A|+|B|−i).
+    Thresholding the EXACT value matters twice: (1) the prefix/band
+    candidate filters are lossless only w.r.t. the exact threshold, so a
+    filter on the 4-decimal ROUNDED value would admit pairs at
+    [t − 5e-5, t) that never got a candidate — a silent cross-engine
+    recall hole on big token sets; (2) integer comparison is immune to
+    the float-ceil class of bugs (ceil(0.8·5.0) = 5, see the prefix-length
+    note below)."""
+    inter = F.size(F.array_intersect(a, b))
+    return den * inter >= num * (F.size(a) + F.size(b) - inter)
+
+
 @query(
     "x_dedup_exact",
     oracle="""
@@ -237,9 +250,9 @@ def x_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM toks a
     JOIN toks b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    WHERE round(len(list_intersect(a.tokset, b.tokset)) /
-                (len(a.tokset) + len(b.tokset)
-                 - len(list_intersect(a.tokset, b.tokset))), 4) >= 0.8
+    WHERE 5 * len(list_intersect(a.tokset, b.tokset)) >=
+          4 * (len(a.tokset) + len(b.tokset)
+               - len(list_intersect(a.tokset, b.tokset)))
     """,
 )
 def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -317,12 +330,12 @@ def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(ta, "doc_a")
         .join(tb, "doc_b")
+        .filter(jaccard_ge(F.col("tokset_a"), F.col("tokset_b"), 4, 5))
         .select(
             "doc_a",
             "doc_b",
             F.round(jaccard(F.col("tokset_a"), F.col("tokset_b")), 4).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.8)
     )
 
 
@@ -344,9 +357,9 @@ def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
       ON a.lang = b.lang AND a.source = b.source
      AND substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
      AND substr(md5(CAST(b.doc_id AS VARCHAR)), 1, 1) NOT IN ('0', '1')
-    WHERE round(len(list_intersect(a.tokset, b.tokset)) /
-                (len(a.tokset) + len(b.tokset)
-                 - len(list_intersect(a.tokset, b.tokset))), 4) >= 0.8
+    WHERE 5 * len(list_intersect(a.tokset, b.tokset)) >=
+          4 * (len(a.tokset) + len(b.tokset)
+               - len(list_intersect(a.tokset, b.tokset)))
     """,
 )
 def x_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -453,12 +466,12 @@ def incremental_match(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
     return (
         cand.join(ta, "new_doc")
         .join(tb, "corpus_doc")
+        .filter(jaccard_ge(F.col("tokset_a"), F.col("tokset_b"), 4, 5))
         .select(
             "new_doc",
             "corpus_doc",
             F.round(jaccard(F.col("tokset_a"), F.col("tokset_b")), 4).alias("jaccard"),
         )
-        .filter(F.col("jaccard") >= 0.8)
     )
 
 
@@ -531,6 +544,7 @@ def incremental_match_indexed(
     return (
         cand.join(F.broadcast(ta), "new_doc")
         .join(tb, "corpus_doc")
+        .filter(jaccard_ge(F.col("tokset_a"), F.col("tokset_b"), 4, 5))
         .select(
             "new_doc",
             "corpus_doc",
@@ -538,7 +552,6 @@ def incremental_match_indexed(
                 "jaccard"
             ),
         )
-        .filter(F.col("jaccard") >= 0.8)
     )
 
 
@@ -692,17 +705,22 @@ def _shingle_prefix_candidates(sh: DataFrame, threshold: float = 0.5) -> DataFra
 
 
 def _verify_shingle_pairs(
-    cand: DataFrame, sh: DataFrame, threshold: float
+    cand: DataFrame, sh: DataFrame, num: int = 1, den: int = 2
 ) -> DataFrame:
     """Exact-verify candidate pairs against the true shingle Jaccard —
     re-joins the shingle table by doc_id (two narrow shuffles beat
     shuffling shingle arrays through candidate generation). Precision 1.0
-    by construction for any candidate generator."""
+    by construction for any candidate generator. The threshold is a
+    RATIONAL (num/den) applied to the exact Jaccard in integer arithmetic
+    (jaccard_ge) — the candidate filters are lossless w.r.t. the exact
+    threshold, so filtering the rounded value would admit oracle-side
+    pairs at [t − 5e-5, t) that never got a Spark candidate."""
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("shingles_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shingles_b"))
     return (
         cand.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
+        .filter(jaccard_ge(F.col("shingles_a"), F.col("shingles_b"), num, den))
         .select(
             "doc_a",
             "doc_b",
@@ -710,7 +728,6 @@ def _verify_shingle_pairs(
                 "jaccard"
             ),
         )
-        .filter(F.col("jaccard") >= threshold)
     )
 
 
@@ -721,7 +738,7 @@ def minhash_pairs(d: DataFrame) -> DataFrame:
     (runs it on the quality-surviving subset). Same algorithm, same
     scale shape; see x_dedup_minhash's docstring."""
     sh = shingle_frame(d).persist()
-    return _verify_shingle_pairs(_lsh_band_candidates(sh), sh, 0.5)
+    return _verify_shingle_pairs(_lsh_band_candidates(sh), sh)
 
 
 def verified_pairs(d: DataFrame) -> DataFrame:
@@ -741,7 +758,7 @@ def verified_pairs(d: DataFrame) -> DataFrame:
         .unionByName(_shingle_prefix_candidates(sh))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return _verify_shingle_pairs(cand, sh, 0.5)
+    return _verify_shingle_pairs(cand, sh)
 
 
 @query("x_dedup_minhash")  # rows-only: LSH banding is not ANSI-SQL-expressible
@@ -779,7 +796,7 @@ def x_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Lossless verified-pairs truth set as a DuckDB CTE block, shared by the
 # x_dedup_verified and x_split_leakage oracles: PPJoin prefix candidates
 # (candidate-quadratic, not corpus-quadratic — same lossless filter as the
-# Spark side) exact-verified at round(jaccard, 4) >= 0.5.
+# Spark side) exact-verified at the INTEGER threshold 2·i >= u (J >= 1/2).
 _VERIFIED_PAIRS_CTE = """
     WITH toks AS (
       SELECT doc_id,
@@ -824,9 +841,9 @@ _VERIFIED_PAIRS_CTE = """
       FROM cand c
       JOIN sh a ON a.doc_id = c.doc_a
       JOIN sh b ON b.doc_id = c.doc_b
-      WHERE round(len(list_intersect(a.shset, b.shset)) /
-                  (len(a.shset) + len(b.shset)
-                   - len(list_intersect(a.shset, b.shset))), 4) >= 0.5
+      WHERE 2 * len(list_intersect(a.shset, b.shset)) >=
+            (len(a.shset) + len(b.shset)
+             - len(list_intersect(a.shset, b.shset)))
     )
 """
 
@@ -842,7 +859,7 @@ def x_dedup_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D2b+ made LOSSLESS (VERDICT r5 item 1): verified near-dup pairs
     whose candidate set is the UNION of the MinHash/LSH band buckets and
     the PPJoin shingle-prefix buckets, exact-verified with the true
-    shingle Jaccard at ``round(.., 4) >= 0.5``.
+    shingle Jaccard at the exact integer threshold ``2·i >= u``.
 
     Why equality with the exact quadratic truth set now holds at EVERY
     corpus and SF (not just the ones where LSH happens to recall 1.0):
@@ -1296,11 +1313,12 @@ def x_dedup_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     truth = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
-        # round(.., 4) >= 0.5 — the SAME filter x_dedup_minhash's verify
-        # step applies, so a pair with true Jaccard in [0.49995, 0.5)
-        # lands on the same side of the threshold in both sets and the
-        # precision-is-1.0 argument holds exactly (ADVICE r3 #1).
-        .filter(F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4) >= 0.5)
+        # exact integer threshold — the SAME filter x_dedup_minhash's
+        # verify step applies, so every pair lands on the same side of
+        # the threshold in both sets and the precision-is-1.0 argument
+        # holds exactly (ADVICE r3 #1; rounded-value filtering retired
+        # with the jaccard_ge sweep).
+        .filter(jaccard_ge(F.col("sh_a"), F.col("sh_b"), 1, 2))
         .select("doc_a", "doc_b")
     )
     lsh = x_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
@@ -1574,8 +1592,7 @@ CONTAIN_T = 0.9  # directed containment threshold |A∩B|/|A|
     JOIN toks b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id <> b.doc_id
     WHERE len(a.tokset) > 0
-      AND round(len(list_intersect(a.tokset, b.tokset)) / len(a.tokset), 4)
-          >= 0.9
+      AND 10 * len(list_intersect(a.tokset, b.tokset)) >= 9 * len(a.tokset)
     """,
 )
 def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1652,17 +1669,18 @@ def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = toks.select(F.col("doc_id").alias("doc_sub"), F.col("tokset").alias("set_sub"))
     tb = toks.select(F.col("doc_id").alias("doc_sup"), F.col("tokset").alias("set_sup"))
+    inter = F.size(F.array_intersect("set_sub", "set_sup"))
     return (
         cand.join(ta, "doc_sub")
         .join(tb, "doc_sup")
+        # threshold in INTEGER arithmetic on the UNROUNDED containment —
+        # filtering the rounded value admits pairs at [t - 5e-5, t) that
+        # the prefix filter never generated candidates for (lossless only
+        # w.r.t. the exact threshold); rounding is presentation only
+        .filter(10 * inter >= 9 * F.size("set_sub"))
         .select(
             "doc_sub",
             "doc_sup",
-            F.round(
-                F.size(F.array_intersect("set_sub", "set_sup"))
-                / F.size("set_sub"),
-                4,
-            ).alias("containment"),
+            F.round(inter / F.size("set_sub"), 4).alias("containment"),
         )
-        .filter(F.col("containment") >= CONTAIN_T)
     )

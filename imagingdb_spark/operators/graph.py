@@ -537,6 +537,8 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
         .withColumn("ww", F.array_intersect("nbrs_u", "nbrs_v"))
         .filter(F.size("ww") > 0)
         .select("src", "dst", "ww")
+        .persist()  # three attribution branches below: without this the
+        # dominant closing join + intersect executes once PER BRANCH
     )
     pernode = (
         closed.select(F.col("src").alias("node"), F.size("ww").alias("c"))

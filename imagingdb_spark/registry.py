@@ -81,14 +81,27 @@ ORACLE: dict[str, str] = {}
 #   green rows - they only lose a FRESH driver row this round.
 # Round-7 SECOND-SESSION amendment: three new queries with no driver
 # record (x_perplexity_bucket, x_triangles, x_containment) enter at the
-# head of the window; the last three r1+r2 doubles of the round-7 window
-# (f_format, j_two_way, a_distinct — each holding two green rows on
-# unchanged code) are displaced to position 51+.
+# head of the window; the jaccard_ge sweep (exact integer thresholds
+# replacing rounded-value filters — a latent candidate/filter mismatch
+# class) changed the implementation AND shared oracle text of the
+# jaccard dedup family, so its four oracle-exact members not already
+# in-window (x_dedup_jaccard, x_dedup_incremental, x_dedup_cluster,
+# x_dedup_compact) also enter. Displaced to 51+: seven r1+r2 doubles
+# (f_format, j_two_way, a_distinct, w_topk_group, st_sliding, o_limit,
+# f_equality — each holding two green rows on unchanged code). The
+# sweep's rows-only members (x_dedup_minhash, x_dedup_eval, x_pagerank)
+# stay at 51+: a rows-only driver row is the weakest check, and their
+# determinism/parity coverage lives in selfcheck + unit tests.
 PRIORITY: list[str] = [
     # --- NEW in round-7 second session: no driver record exists yet ---
     "x_perplexity_bucket",  # D24: CCNet per-language perplexity terciles
     "x_triangles",       # D25: degree-ordered basket triangle counting
     "x_containment",     # D2i: asymmetric containment near-dup
+    # --- jaccard_ge sweep: impl+oracle changed in round-7 2nd session ---
+    "x_dedup_jaccard",   # D2a (exact integer threshold)
+    "x_dedup_incremental",  # D13 (both match paths)
+    "x_dedup_cluster",   # D12 (consumes jaccard; oracle embeds its SQL)
+    "x_dedup_compact",   # D12b (same)
     # --- NEW in round 7: no driver record exists yet ---
     "st_heavy_hitters",  # St15: continuous Misra-Gries heavy hitters
     "st_quantiles",      # St16: continuous DDSketch quantiles
@@ -136,16 +149,16 @@ PRIORITY: list[str] = [
     "st_anomaly",        # D6 rows-only (single clean r2)
     # --- family holder + r1+r2 doubles unchecked since round 2 ---
     "x_merge_upsert",    # S10 holder (r3+r6)
-    "w_topk_group",      # W (r1+r2)
-    "st_sliding",        # St2 (r1+r2)
-    "o_limit",           # O2 (r1+r2)
-    "f_equality",        # P3 (r1+r2)
     "f_dates",           # F3 (r1+r2)
     # --- position 51+: green driver rows on record; implementations +
     #     unit tests intact. Ordered roughly by record freshness. ---
     "f_format",          # F2 (r1+r2) — displaced by the second-session
-    "j_two_way",         # J2 (r1+r2)    three (x_perplexity_bucket,
-    "a_distinct",        # A2 (r1+r2)    x_triangles, x_containment)
+    "j_two_way",         # J2 (r1+r2)    additions (3 new queries + the
+    "a_distinct",        # A2 (r1+r2)    4 jaccard_ge sweep members)
+    "w_topk_group",      # W (r1+r2)
+    "st_sliding",        # St2 (r1+r2)
+    "o_limit",           # O2 (r1+r2)
+    "f_equality",        # P3 (r1+r2)
     "s_union",           # set ops (r1+r2) — displaced by the new
     #                      st_theta_overlap; s_except holds in-window
     "x_inverted_index",  # r5+r6
@@ -171,7 +184,6 @@ PRIORITY: list[str] = [
     "o_topk",            # r3+r6
     "w_dense_rank",      # r3+r6
     "w_range_frame",     # r3+r6
-    "x_dedup_compact",   # r3+r6
     "x_shard_shuffle",   # r3+r6
     "x_tfidf",           # r3+r6
     "x_ann_ivf",         # clean r3+r6 (rows-only)
@@ -201,9 +213,6 @@ PRIORITY: list[str] = [
     "x_profile_stats",   # r4+r5
     "x_incr_agg",        # r4+r5
     "x_corr_matrix",     # r4+r5
-    "x_dedup_jaccard",   # r3+r5
-    "x_dedup_incremental",  # r3+r5
-    "x_dedup_cluster",   # r3+r5
     "x_scd2_history",    # r4+r5
     "x_table_diff",      # r4+r5
     "x_cdc_apply",       # r4+r5

@@ -254,8 +254,15 @@ def _file_stats(abs_path: str) -> dict | None:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(abs_path).metadata
+        return _footer_stats(md)
     except Exception:
+        # best-effort CONTRACT: any stats failure (unreadable footer OR
+        # malformed per-column statistics) degrades to "no stats", never
+        # to a failed commit
         return None
+
+
+def _footer_stats(md) -> dict | None:
     out: dict[str, dict] = {}
     for rg in range(md.num_row_groups):
         g = md.row_group(rg)
@@ -1256,8 +1263,23 @@ def snapshot_cluster_report(
     avg_overlap}; files lacking stats on col are counted in files_total
     but excluded from the overlap measure (they match every predicate,
     so they degrade skipping regardless of layout)."""
-    m = _resolve_manifest_raw(table_dir, version)
-    entries = _resolve_pruned(table_dir, m, None)
+    # same expire-race retry as snapshot_read/snapshot_scan_plan: a group
+    # vacuumed between manifest and group reads must re-resolve, not leak
+    # FileNotFoundError into the maintenance tick (which swallows only
+    # SnapshotConflict)
+    for _ in range(3):
+        m = _resolve_manifest_raw(table_dir, version)
+        try:
+            entries = _resolve_pruned(table_dir, m, None)
+            break
+        except FileNotFoundError:
+            if version is not None:
+                raise
+            continue
+    else:
+        raise FileNotFoundError(
+            f"{table_dir}: tip kept expiring during resolution"
+        )
     ranges = []
     for fe in entries:
         s = (fe.get("stats") or {}).get(col)

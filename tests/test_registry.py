@@ -50,6 +50,10 @@ ROTATED_IN_R7 = [
     "x_perplexity_bucket",  # NEW (2nd session): CCNet perplexity terciles
     "x_triangles",        # NEW (2nd session): degree-ordered triangles
     "x_containment",      # NEW (2nd session): asymmetric containment
+    "x_dedup_jaccard",    # jaccard_ge sweep (2nd session): impl+oracle
+    "x_dedup_incremental",  # jaccard_ge sweep
+    "x_dedup_cluster",    # jaccard_ge sweep (oracle embeds jaccard SQL)
+    "x_dedup_compact",    # jaccard_ge sweep
     "st_heavy_hitters",   # NEW: continuous Misra-Gries heavy hitters
     "st_quantiles",       # NEW: continuous DDSketch quantiles
     "x_ann_ivfpq",        # NEW: IVF x residual-PQ serving composition
@@ -87,11 +91,10 @@ def test_category_coverage_inside_driver_window():
         "x_fuzzy_join", "x_length_trim", "x_sample_weighted",
         "x_unigram_logprob", "w_lag_lead", "x_mad_outlier", "x_dedup_eval",
         "x_pagerank", "o_sort", "j_semi", "st_anomaly",
-        # S10 family holder + r1+r2 doubles unchecked since round 2
-        # (f_format/j_two_way/a_distinct displaced to 51+ by the
-        # second-session additions — each holds two green rows)
-        "x_merge_upsert", "w_topk_group", "st_sliding", "o_limit",
-        "f_equality", "f_dates",
+        # S10 family holder + the remaining r1+r2 double (the other six
+        # doubles displaced to 51+ by the second-session additions —
+        # each holds two green rows on unchanged code)
+        "x_merge_upsert", "f_dates",
     ]:
         assert name in window, f"{name} fell outside the driver's 50-query window"
 
