@@ -1327,3 +1327,30 @@ def snapshot_maintain(
         target_file_bytes=target_file_bytes,
         cluster_cols=[cluster_col],
     )
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    table_dir: str,
+    v_old: int,
+    v_new: int,
+    key: str,
+    cmp: str,
+) -> DataFrame:
+    """What changed between two retained versions of one snapshot table:
+    (key, status ∈ added/removed/changed/unchanged) — time travel
+    composed with operators.merge.table_diff, so "what did yesterday's
+    pipeline run actually change" is two manifest resolutions and ONE
+    full-outer join on the key, never a data copy. ``cmp`` names the
+    column compared for change detection (pass a content hash for wide
+    rows). Both versions must still be retained (snapshot_expire's
+    contract); reading them is snapshot-isolated, so the diff is exact
+    even under concurrent commits."""
+    from imagingdb_spark.operators.merge import table_diff
+
+    return table_diff(
+        snapshot_read(spark, table_dir, version=v_old),
+        snapshot_read(spark, table_dir, version=v_new),
+        key,
+        cmp,
+    )

@@ -982,3 +982,30 @@ class TestClusterMaintenance:
         # a point predicate now opens ~1 file instead of 4+
         plan = S.snapshot_scan_plan(t, [("k", "=", 42)])
         assert plan["files_kept"] == 1
+
+
+class TestSnapshotDiff:
+    def test_diff_between_versions(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a"), (2, "b"), (3, "c")]))
+        S.snapshot_commit(
+            spark,
+            t,
+            _mk(spark, [(1, "a"), (2, "B"), (4, "d")]),
+            mode="overwrite",
+        )
+        got = {
+            r["k"]: r["status"]
+            for r in S.snapshot_diff(spark, t, 1, 2, "k", "v").collect()
+        }
+        assert got == {1: "unchanged", 2: "changed", 3: "removed", 4: "added"}
+        # reversed direction flips added/removed
+        rev = {
+            r["k"]: r["status"]
+            for r in S.snapshot_diff(spark, t, 2, 1, "k", "v").collect()
+        }
+        assert rev[3] == "added" and rev[4] == "removed"
+        # an expired endpoint raises, as time travel must
+        S.snapshot_expire(t, keep_last=1)
+        with pytest.raises(FileNotFoundError):
+            S.snapshot_diff(spark, t, 1, 2, "k", "v")
