@@ -984,3 +984,120 @@ def x_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+def lang_term_counts(docs: DataFrame) -> DataFrame:
+    """(lang, tok, c): one micro-batch's language-conditional unigram
+    counts — the map-side-combined partial the continuous LM monitor
+    folds (explode never shuffles; the groupBy shuffle carries one row
+    per (partition, lang, term))."""
+    return (
+        docs.select("lang", F.explode(tokens_col(F.col("text"))).alias("tok"))
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def lm_merge_state(state: DataFrame, partial: DataFrame) -> DataFrame:
+    """Fold one batch partial into the maintained LM: union + sum per
+    (lang, tok). Exact integer sums — NON-idempotent under replay (a
+    re-applied batch double-counts), so the streaming fold carries the
+    snapshot txn marker, same asymmetry class as the MG/DDSketch folds
+    (vs the HLL max, which replays converge by algebra). State size is
+    the language-conditional VOCABULARY — Heaps-law-sized, the same
+    megabytes-at-100TB argument as x_unigram_logprob's broadcast, not a
+    fixed sketch bound (the LM is the payload here, not a summary)."""
+    return (
+        state.unionByName(partial)
+        .groupBy("lang", "tok")
+        .agg(F.sum("c").alias("c"))
+    )
+
+
+def lm_score(docs: DataFrame, state: DataFrame) -> DataFrame:
+    """(doc_id, lang, avg_logprob): score documents under a maintained
+    (lang, tok, c) LM state — identical arithmetic to x_perplexity_bucket
+    (weighted mean of ln(c/total) over the doc's tokens, rounded to 4
+    decimals), so scores under the full-corpus state EQUAL the batch
+    query's (pinned by oracle + test). Tokens the state has never seen
+    are skipped (the doc's mean is over its in-vocabulary tokens);
+    out-of-vocabulary docs drop — the monitor scores against what the
+    stream has learned so far, by definition."""
+    dt = (
+        docs.select(
+            "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("dc"))
+    )
+    tot = state.groupBy("lang").agg(F.sum("c").cast("double").alias("total"))
+    return (
+        dt.join(state, ["lang", "tok"])
+        .join(F.broadcast(tot), "lang")
+        .groupBy("doc_id", "lang")
+        .agg(
+            (
+                F.round(
+                    F.sum(F.col("dc") * F.log(F.col("c") / F.col("total")))
+                    / F.sum("dc"),
+                    4,
+                )
+                + 0.0
+            ).alias("avg_logprob")
+        )
+    )
+
+
+@query(
+    "st_perplexity",
+    oracle="""
+    WITH dt AS (
+      SELECT doc_id, lang, tok, COUNT(*) AS c
+      FROM (
+        SELECT doc_id, lang,
+               unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                                  t -> t <> '')) AS tok
+        FROM documents
+      )
+      GROUP BY doc_id, lang, tok
+    ), v AS (
+      SELECT lang, tok, CAST(SUM(c) AS BIGINT) AS cnt
+      FROM dt GROUP BY lang, tok
+    ), tot AS (
+      SELECT lang, CAST(SUM(cnt) AS DOUBLE) AS total FROM v GROUP BY lang
+    )
+    SELECT dt.doc_id, dt.lang,
+           round(SUM(dt.c * ln(v.cnt / tot.total)) / SUM(dt.c), 4) + 0.0
+             AS avg_logprob
+    FROM dt
+    JOIN v ON dt.lang = v.lang AND dt.tok = v.tok
+    JOIN tot ON dt.lang = tot.lang
+    GROUP BY dt.doc_id, dt.lang
+    """,
+)
+def st_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous data-quality monitor, batch-fold twin (St18): fold the
+    corpus through the maintained per-language LM in 4 deterministic
+    micro-batches (pmod(doc_id, 4) — the arrival order the streaming
+    parity test replays), exactly as streaming_perplexity does per
+    trigger, then score every document under the final state. Integer
+    count sums are fold-order-invariant, so the final state IS the
+    full-corpus LM and the scores equal x_perplexity_bucket's — which is
+    why this twin can be ORACLE-EXACT where the sketch twins
+    (st_distinct_hll / st_heavy_hitters / st_quantiles) are rows-only:
+    the maintained state here is exact counts, not a compressed summary.
+
+    This is the learned-state member of the continuous-monitoring family:
+    the state a crawl pipeline maintains is the quality MODEL itself
+    (CCNet scores incoming shards against an LM of what it already
+    kept), refreshed per trigger instead of retrained per epoch."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    state = None
+    for b in range(4):
+        part = lang_term_counts(d.filter(F.pmod("doc_id", F.lit(4)) == b))
+        state = part if state is None else lm_merge_state(state, part)
+        # materialize each fold (the documented driver-loop exception:
+        # 4 rounds, vocab-sized state) — lazy chaining compounds the plan
+        # per fold and re-scans documents exponentially
+        state = state.localCheckpoint(eager=True)
+    return lm_score(d, state)

@@ -97,6 +97,7 @@ PRIORITY: list[str] = [
     "x_perplexity_bucket",  # D24: CCNet per-language perplexity terciles
     "x_triangles",       # D25: degree-ordered basket triangle counting
     "x_containment",     # D2i: asymmetric containment near-dup
+    "st_perplexity",     # St18: maintained-LM continuous quality monitor
     # --- jaccard_ge sweep: impl+oracle changed in round-7 2nd session ---
     "x_dedup_jaccard",   # D2a (exact integer threshold)
     "x_dedup_incremental",  # D13 (both match paths)
@@ -147,11 +148,12 @@ PRIORITY: list[str] = [
     "o_sort",            # O1 (single green r3)
     "j_semi",            # J+ (single green r1)
     "st_anomaly",        # D6 rows-only (single clean r2)
-    # --- family holder + r1+r2 doubles unchecked since round 2 ---
+    # --- family holder (the last r1+r2 double, f_dates, displaced by
+    #     st_perplexity — it holds two green rows on unchanged code) ---
     "x_merge_upsert",    # S10 holder (r3+r6)
-    "f_dates",           # F3 (r1+r2)
     # --- position 51+: green driver rows on record; implementations +
     #     unit tests intact. Ordered roughly by record freshness. ---
+    "f_dates",           # F3 (r1+r2)
     "f_format",          # F2 (r1+r2) — displaced by the second-session
     "j_two_way",         # J2 (r1+r2)    additions (3 new queries + the
     "a_distinct",        # A2 (r1+r2)    4 jaccard_ge sweep members)

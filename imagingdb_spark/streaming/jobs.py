@@ -538,6 +538,66 @@ def heavy_hitter_estimates(
     )
 
 
+def streaming_perplexity(
+    docs: DataFrame,
+    table_dir: str,
+    checkpoint_dir: str,
+    expire_every: int = 8,
+    keep_versions: int = 4,
+) -> StreamingQuery:
+    """Continuous per-language LM maintenance (St18): per micro-batch,
+    the batch's (lang, tok, c) unigram partials (operators/lm.py
+    lang_term_counts — map-side combined, one vocab-sized shuffle) fold
+    into a snapshot-held LM state via exact count sums. State is the
+    language-conditional vocabulary — Heaps-law-sized, not data-sized —
+    and the read side (perplexity_scores) scores any docs frame against
+    the LM the stream has learned so far: the CCNet quality gate as a
+    MAINTAINED model instead of a per-epoch retrain.
+
+    Replay safety is BOOKKEEPING (txn marker), not algebra: count sums
+    applied twice double-count, exactly like the MG/DDSketch folds and
+    unlike the HLL register max — the fourth data point on the repo's
+    replay-safety spectrum, pinned by a fresh-checkpoint full-replay
+    test."""
+    from imagingdb_spark.operators.lm import lang_term_counts, lm_merge_state
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = lang_term_counts(batch_df)
+        _snapshot_state_step(
+            batch_df.sparkSession,
+            table_dir,
+            partial.limit(0),
+            lambda state: lm_merge_state(state, partial),
+            "lm",
+            int(batch_id),
+            expire_every,
+            keep_versions,
+            txn_app="lm-perplexity",
+        )
+
+    return (
+        docs.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+        .start()
+    )
+
+
+def perplexity_scores(
+    spark: SparkSession, table_dir: str, docs: DataFrame
+) -> DataFrame:
+    """Read side of streaming_perplexity: (doc_id, lang, avg_logprob) for
+    ``docs`` under the maintained LM state — one state scan + the shared
+    scoring aggregate (lm.lm_score), so the monitor and the batch twin
+    cannot drift."""
+    from imagingdb_spark.operators.lm import lm_score
+    from imagingdb_spark.snapshots import snapshot_read
+
+    return lm_score(docs, snapshot_read(spark, table_dir))
+
+
 def streaming_quantiles(
     events: DataFrame,
     table_dir: str,

@@ -54,6 +54,7 @@ ROTATED_IN_R7 = [
     "x_dedup_incremental",  # jaccard_ge sweep
     "x_dedup_cluster",    # jaccard_ge sweep (oracle embeds jaccard SQL)
     "x_dedup_compact",    # jaccard_ge sweep
+    "st_perplexity",      # NEW (2nd session): maintained-LM monitor twin
     "st_heavy_hitters",   # NEW: continuous Misra-Gries heavy hitters
     "st_quantiles",       # NEW: continuous DDSketch quantiles
     "x_ann_ivfpq",        # NEW: IVF x residual-PQ serving composition
@@ -91,10 +92,10 @@ def test_category_coverage_inside_driver_window():
         "x_fuzzy_join", "x_length_trim", "x_sample_weighted",
         "x_unigram_logprob", "w_lag_lead", "x_mad_outlier", "x_dedup_eval",
         "x_pagerank", "o_sort", "j_semi", "st_anomaly",
-        # S10 family holder + the remaining r1+r2 double (the other six
-        # doubles displaced to 51+ by the second-session additions —
-        # each holds two green rows on unchanged code)
-        "x_merge_upsert", "f_dates",
+        # S10 family holder (all seven r1+r2 doubles displaced to 51+ by
+        # the second-session additions — each holds two green rows on
+        # unchanged code)
+        "x_merge_upsert",
     ]:
         assert name in window, f"{name} fell outside the driver's 50-query window"
 

@@ -814,3 +814,128 @@ class TestQuantileCollapse:
         total = merged.agg(F.sum("cnt")).collect()[0][0]
         spark.catalog.clearCache()
         assert total == 16_000
+
+
+class TestPerplexityMonitor:
+    """streaming_perplexity (St18): maintained per-language LM state —
+    stream state == exact batch fold, txn-gated replay safety, and the
+    read-side scores EQUAL the batch query (exact counts, not a sketch)."""
+
+    def _batches(self, spark, n=4):
+        from pyspark.sql import functions as F
+
+        d = spark.read.parquet(SF_DIR + "/documents.parquet").select(
+            "doc_id", "lang", "text"
+        )
+        return d, [d.filter(F.pmod("doc_id", F.lit(n)) == i) for i in range(n)]
+
+    def _fold(self, spark, batches):
+        from imagingdb_spark.operators.lm import (
+            lang_term_counts,
+            lm_merge_state,
+        )
+
+        state = None
+        for b in batches:
+            p = lang_term_counts(b)
+            state = p if state is None else lm_merge_state(state, p)
+            state = state.localCheckpoint(eager=True)
+        return state
+
+    def test_stream_state_matches_batch_fold_and_replays_clean(
+        self, spark, tmp_path
+    ):
+        import glob
+        import os
+        import shutil
+        import time
+
+        from imagingdb_spark import snapshots as S
+        from imagingdb_spark.streaming import jobs
+
+        d, batches = self._batches(spark)
+        src = str(tmp_path / "src")
+        os.makedirs(src)
+        for i, b in enumerate(batches):
+            tmp = str(tmp_path / f"stage{i}")
+            b.coalesce(1).write.parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(src, f"b{i}.parquet")
+            shutil.copyfile(part, dst)
+            t = time.time() + i * 10
+            os.utime(dst, (t, t))
+
+        table = str(tmp_path / "lm_state")
+
+        def run(ck):
+            stream = (
+                spark.readStream.schema("doc_id long, lang string, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(src)
+            )
+            q = jobs.streaming_perplexity(stream, table, str(tmp_path / ck))
+            q.processAllAvailable()
+            q.stop()
+
+        run("ck1")
+        key = lambda rows: sorted((r["lang"], r["tok"], r["c"]) for r in rows)
+        want = key(self._fold(spark, batches).collect())
+        assert key(S.snapshot_read(spark, table).collect()) == want
+
+        run("ck2")  # fresh checkpoint: every batch re-fires; the txn
+        #             marker screens each fold (sums would double-count)
+        assert key(S.snapshot_read(spark, table).collect()) == want
+
+        # read side: scores under the maintained LM == the batch query's
+        # avg_logprob (the state IS the full-corpus LM after all batches)
+        from imagingdb_spark.operators.lm import x_perplexity_bucket
+
+        got = {
+            r["doc_id"]: (r["lang"], r["avg_logprob"])
+            for r in jobs.perplexity_scores(spark, table, d).collect()
+        }
+        want_scores = {
+            r["doc_id"]: (r["lang"], r["avg_logprob"])
+            for r in x_perplexity_bucket(spark, SF_DIR).collect()
+        }
+        spark.catalog.clearCache()
+        assert got == want_scores
+
+    def test_registered_twin_equals_batch_scores(self, spark):
+        """st_perplexity (the 4-batch fold twin) must produce exactly the
+        batch query's scores — integer sums are fold-order-invariant."""
+        from imagingdb_spark.operators.lm import (
+            st_perplexity,
+            x_perplexity_bucket,
+        )
+
+        a = {
+            r["doc_id"]: (r["lang"], r["avg_logprob"])
+            for r in st_perplexity(spark, SF_DIR).collect()
+        }
+        b = {
+            r["doc_id"]: (r["lang"], r["avg_logprob"])
+            for r in x_perplexity_bucket(spark, SF_DIR).collect()
+        }
+        spark.catalog.clearCache()
+        assert a == b and len(a) > 0
+
+    def test_scores_unseen_tokens_skipped(self, spark):
+        """Scoring docs against a PARTIAL LM: out-of-vocabulary tokens are
+        skipped, a fully-unseen doc drops — the monitor scores against
+        what the stream has learned."""
+        from imagingdb_spark.operators.lm import lang_term_counts, lm_score
+
+        seen = spark.createDataFrame(
+            [(1, "en", "alpha beta alpha")], "doc_id long, lang string, text string"
+        )
+        state = lang_term_counts(seen)
+        probe = spark.createDataFrame(
+            [(2, "en", "alpha zzz"), (3, "en", "zzz www")],
+            "doc_id long, lang string, text string",
+        )
+        got = {r["doc_id"]: r["avg_logprob"] for r in lm_score(probe, state).collect()}
+        import math
+
+        assert set(got) == {2}  # doc 3 fully unseen: dropped
+        assert abs(got[2] - round(math.log(2 / 3), 4)) < 1e-9

@@ -36,6 +36,7 @@ from imagingdb_spark.session import get_spark
 from imagingdb_spark.operators.sketches import KMV_K
 from imagingdb_spark.streaming.jobs import (
     streaming_heavy_hitters,
+    streaming_perplexity,
     streaming_quantiles,
     streaming_theta_sketch,
 )
@@ -184,6 +185,36 @@ def main() -> None:
             "state_rows_bound_per_group": KMV_K,
         }
         assert state_rows <= n_groups * KMV_K, state_rows
+
+        # --- maintained per-language LM over documents (St18) ---
+        ldocs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "lang", "text"
+        )
+        parts = [ldocs.filter(F.pmod("doc_id", F.lit(n_batches)) == i)
+                 for i in range(n_batches)]
+        watch = _stage_batches(work, parts, "lm")
+        table = str(work / "lm_state")
+        batches, wall = _run(
+            spark,
+            lambda s: streaming_perplexity(s, table, str(work / "ck_lm")),
+            watch,
+            "doc_id long, lang string, text string",
+        )
+        lat = sorted(b["trigger_ms"] for b in batches)
+        state = S.snapshot_read(spark, table)
+        vocab_rows = state.count()
+        n_langs = state.select("lang").distinct().count()
+        out["perplexity_lm"] = {
+            "n_batches": len(batches),
+            "p50_ms": lat[len(lat) // 2] if lat else None,
+            "max_ms": lat[-1] if lat else None,
+            "wall_sec": round(wall, 2),
+            "batches": batches,
+            # state = language-conditional vocabulary (Heaps-sized), the
+            # one monitor whose state IS the model, not a fixed sketch
+            "state_rows": vocab_rows,
+            "n_langs": n_langs,
+        }
 
         line = json.dumps(out)
         print(line)
