@@ -57,6 +57,7 @@ HEADLINE = [
     "st_theta_overlap", # KMV set-algebra audience overlaps (batch twin)
     "x_perplexity_bucket",  # CCNet per-language LM terciles
     "x_containment",    # asymmetric containment near-dup (prefix-indexed)
+    "st_perplexity",    # maintained-LM quality monitor (batch-fold twin)
 ]
 
 
