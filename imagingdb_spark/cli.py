@@ -132,7 +132,7 @@ def load_catalog_slice(
             return S.snapshot_read(spark, str(snap), where=where)
         # same semantics, no pruning — reuse the snapshot module's
         # triple→Column builder (F.col/F.lit, no string interpolation)
-        return _full(name).filter(S._where_column(S._check_where(where)))
+        return _full(name).filter(S.where_to_column(where))
 
     out: dict[str, DataFrame] = {}
     out["data_set"] = _pruned(

@@ -167,10 +167,15 @@ def shingle_frame(
     extra = extra_cols or []
     # Shingling is CPU-heavy; a small parquet layout (one file → one
     # partition) would serialize it on a single core. Round-robin
-    # repartition to the cluster's parallelism — at real scale the scan
-    # already has many splits and AQE coalesces.
+    # repartition to the cluster's parallelism — but ONLY when the input
+    # is actually under-split: at 100 TB the scan already has thousands
+    # of splits and an unconditional repartition would shuffle the whole
+    # corpus text for nothing. getNumPartitions is plan-time only (no
+    # job runs).
     npart = d.sparkSession.sparkContext.defaultParallelism
-    src = d.repartition(npart).select("doc_id", *extra, "text")
+    src = d.select("doc_id", *extra, "text")
+    if src.rdd.getNumPartitions() < npart:
+        src = src.repartition(npart)
     out_fields = [src.schema["doc_id"]] + [src.schema[c] for c in extra]
     schema = T.StructType(
         out_fields + [T.StructField("shingles", T.ArrayType(T.LongType()))]
@@ -207,6 +212,36 @@ def jaccard_ge(a: Column, b: Column, num: int, den: int) -> Column:
     note below)."""
     inter = F.size(F.array_intersect(a, b))
     return den * inter >= num * (F.size(a) + F.size(b) - inter)
+
+
+def _jaccard_verified(
+    joined: DataFrame,
+    id_cols: list[str],
+    a: str,
+    b: str,
+    num: int,
+    den: int,
+    jcol: str = "jaccard",
+) -> DataFrame:
+    """Shared exact-verify tail for every candidate-pair generator:
+    compute |A∩B| and |A|+|B| ONCE in a projection that also DROPS the
+    token/shingle arrays, then derive both the integer-exact threshold
+    predicate (see jaccard_ge's rationale) and the reported jaccard from
+    those two scalars. The earlier per-site form repeated
+    size(array_intersect(...)) four times across the filter and the
+    output projection (Column ops copy expression subtrees); this form
+    leaves at most one evaluation per row per operator and slims the
+    post-join rows to ids + two ints before any further work."""
+    i, s = F.col("__i"), F.col("__s")
+    sized = joined.select(
+        *id_cols,
+        F.size(F.array_intersect(a, b)).alias("__i"),
+        (F.size(a) + F.size(b)).alias("__s"),
+    )
+    return (
+        sized.filter(den * i >= num * (s - i))
+        .select(*id_cols, F.round(i / (s - i), 4).alias(jcol))
+    )
 
 
 @query(
@@ -327,15 +362,13 @@ def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("tokset").alias("tokset_a"))
     tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("tokset").alias("tokset_b"))
-    return (
-        cand.join(ta, "doc_a")
-        .join(tb, "doc_b")
-        .filter(jaccard_ge(F.col("tokset_a"), F.col("tokset_b"), 4, 5))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(jaccard(F.col("tokset_a"), F.col("tokset_b")), 4).alias("jaccard"),
-        )
+    return _jaccard_verified(
+        cand.join(ta, "doc_a").join(tb, "doc_b"),
+        ["doc_a", "doc_b"],
+        "tokset_a",
+        "tokset_b",
+        4,
+        5,
     )
 
 
@@ -463,15 +496,13 @@ def incremental_match(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
     )
     ta = toks.select(F.col("doc_id").alias("new_doc"), F.col("tokset").alias("tokset_a"))
     tb = toks.select(F.col("doc_id").alias("corpus_doc"), F.col("tokset").alias("tokset_b"))
-    return (
-        cand.join(ta, "new_doc")
-        .join(tb, "corpus_doc")
-        .filter(jaccard_ge(F.col("tokset_a"), F.col("tokset_b"), 4, 5))
-        .select(
-            "new_doc",
-            "corpus_doc",
-            F.round(jaccard(F.col("tokset_a"), F.col("tokset_b")), 4).alias("jaccard"),
-        )
+    return _jaccard_verified(
+        cand.join(ta, "new_doc").join(tb, "corpus_doc"),
+        ["new_doc", "corpus_doc"],
+        "tokset_a",
+        "tokset_b",
+        4,
+        5,
     )
 
 
@@ -541,17 +572,13 @@ def incremental_match_indexed(
     tb = corpus_toksets.select(
         F.col("doc_id").alias("corpus_doc"), F.col("tokset").alias("tokset_b")
     )
-    return (
-        cand.join(F.broadcast(ta), "new_doc")
-        .join(tb, "corpus_doc")
-        .filter(jaccard_ge(F.col("tokset_a"), F.col("tokset_b"), 4, 5))
-        .select(
-            "new_doc",
-            "corpus_doc",
-            F.round(jaccard(F.col("tokset_a"), F.col("tokset_b")), 4).alias(
-                "jaccard"
-            ),
-        )
+    return _jaccard_verified(
+        cand.join(F.broadcast(ta), "new_doc").join(tb, "corpus_doc"),
+        ["new_doc", "corpus_doc"],
+        "tokset_a",
+        "tokset_b",
+        4,
+        5,
     )
 
 
@@ -717,17 +744,13 @@ def _verify_shingle_pairs(
     pairs at [t − 5e-5, t) that never got a Spark candidate."""
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("shingles_a"))
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("shingles_b"))
-    return (
-        cand.join(sh_a, "doc_a")
-        .join(sh_b, "doc_b")
-        .filter(jaccard_ge(F.col("shingles_a"), F.col("shingles_b"), num, den))
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(jaccard(F.col("shingles_a"), F.col("shingles_b")), 4).alias(
-                "jaccard"
-            ),
-        )
+    return _jaccard_verified(
+        cand.join(sh_a, "doc_a").join(sh_b, "doc_b"),
+        ["doc_a", "doc_b"],
+        "shingles_a",
+        "shingles_b",
+        num,
+        den,
     )
 
 
@@ -1669,18 +1692,25 @@ def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ta = toks.select(F.col("doc_id").alias("doc_sub"), F.col("tokset").alias("set_sub"))
     tb = toks.select(F.col("doc_id").alias("doc_sup"), F.col("tokset").alias("set_sup"))
-    inter = F.size(F.array_intersect("set_sub", "set_sup"))
-    return (
+    # threshold in INTEGER arithmetic on the UNROUNDED containment —
+    # filtering the rounded value admits pairs at [t - 5e-5, t) that
+    # the prefix filter never generated candidates for (lossless only
+    # w.r.t. the exact threshold); rounding is presentation only.
+    # Intersection size computed ONCE in a projection that drops the
+    # token arrays (same single-evaluation shape as _jaccard_verified).
+    i, n = F.col("__i"), F.col("__n")
+    sized = (
         cand.join(ta, "doc_sub")
         .join(tb, "doc_sup")
-        # threshold in INTEGER arithmetic on the UNROUNDED containment —
-        # filtering the rounded value admits pairs at [t - 5e-5, t) that
-        # the prefix filter never generated candidates for (lossless only
-        # w.r.t. the exact threshold); rounding is presentation only
-        .filter(10 * inter >= 9 * F.size("set_sub"))
         .select(
             "doc_sub",
             "doc_sup",
-            F.round(inter / F.size("set_sub"), 4).alias("containment"),
+            F.size(F.array_intersect("set_sub", "set_sup")).alias("__i"),
+            F.size("set_sub").alias("__n"),
         )
+    )
+    return sized.filter(10 * i >= 9 * n).select(
+        "doc_sub",
+        "doc_sup",
+        F.round(i / n, 4).alias("containment"),
     )

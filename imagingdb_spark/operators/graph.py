@@ -549,6 +549,15 @@ def triangle_counts(edges: DataFrame) -> DataFrame:
             closed.select(F.explode("ww").alias("node"), F.lit(1).alias("c"))
         )
     )
-    return pernode.groupBy("node").agg(
+    out = pernode.groupBy("node").agg(
         F.sum("c").cast("bigint").alias("n_triangles")
     )
+    # eager barrier: the per-node result is tiny (nodes in ≥1 triangle),
+    # so localCheckpoint it and release ALL three cached intermediates
+    # before returning — this is a public helper, and leaked persists
+    # accumulate across calls in a long session until storage eviction
+    out = out.localCheckpoint(eager=True)
+    closed.unpersist()
+    oriented.unpersist()
+    edges.unpersist()
+    return out

@@ -250,16 +250,23 @@ def _file_stats(abs_path: str) -> dict | None:
     statistics are absent or unsupported are omitted (⇒ never pruned on).
     Returns None when the footer is unreadable — the entry then simply
     carries no stats, which is always safe."""
+    return _file_footer(abs_path)[0]
+
+
+def _file_footer(abs_path: str) -> tuple[dict | None, int | None]:
+    """(stats, num_rows) from one parquet footer, or (None, None) when it
+    is unreadable. Split from _file_stats so commit paths can take the
+    file's row count from the same footer read instead of a second scan."""
     try:
         import pyarrow.parquet as pq
 
         md = pq.ParquetFile(abs_path).metadata
-        return _footer_stats(md)
+        return _footer_stats(md), md.num_rows
     except Exception:
         # best-effort CONTRACT: any stats failure (unreadable footer OR
         # malformed per-column statistics) degrades to "no stats", never
         # to a failed commit
-        return None
+        return None, None
 
 
 def _footer_stats(md) -> dict | None:
@@ -343,6 +350,22 @@ def _check_where(where: list) -> list:
             raise ValueError(
                 f"predicate must be (col, op, value) with op in "
                 f"{_PRUNE_OPS}, got {c!r}"
+            )
+        v = c[2]
+        # reject non-literal values HERE, at the caller's predicate, not
+        # later as an opaque F.lit error deep in the scan; bool is a
+        # valid Spark literal but prunes nothing (stats drop bools), and
+        # None is rejected outright because =/< etc. never match NULL —
+        # a silent always-empty filter is a bug in the caller
+        if v is None:
+            raise ValueError(
+                f"predicate value may not be None ({c!r}): comparison "
+                "operators never match NULL; filter nulls explicitly"
+            )
+        if not isinstance(v, (int, float, str, bool)):
+            raise ValueError(
+                f"predicate value must be a scalar literal "
+                f"(int/float/str/bool), got {type(v).__name__} in {c!r}"
             )
     return list(where)
 
@@ -511,21 +534,42 @@ def _write_data_files(
     rel = os.path.join(DATA_DIR, commit_id)
     out = os.path.join(table_dir, rel)
     df.write.mode("overwrite").parquet(out)
+    names = [
+        n
+        for n in sorted(os.listdir(out))
+        if n.endswith(".parquet") and not n.startswith((".", "_"))
+    ]
+    # footer reads are independent I/O — harvest them in a thread pool so
+    # a wide commit (hundreds of task files) doesn't serialize O(files)
+    # driver I/O inside the commit critical section / CAS conflict window
+    from concurrent.futures import ThreadPoolExecutor
+
+    if names:
+        with ThreadPoolExecutor(max_workers=min(16, len(names))) as pool:
+            footers = list(
+                pool.map(lambda n: _file_footer(os.path.join(out, n)), names)
+            )
+    else:
+        footers = []
     files = []
-    for n in sorted(os.listdir(out)):
-        if not n.endswith(".parquet") or n.startswith((".", "_")):
-            continue
+    rows = 0
+    rows_known = True
+    for n, (stats, n_rows) in zip(names, footers):
         fe = {
             "path": os.path.join(rel, n),
             "bytes": os.path.getsize(os.path.join(out, n)),
         }
-        stats = _file_stats(os.path.join(out, n))
         if stats:
             fe["stats"] = stats
+        if n_rows is None:
+            rows_known = False
+        else:
+            rows += n_rows
         files.append(fe)
-    rows = (
-        df.sparkSession.read.parquet(out).count() if files else 0
-    )
+    if not rows_known:
+        # a footer was unreadable for metadata purposes; fall back to the
+        # authoritative (slower) count of what actually landed
+        rows = df.sparkSession.read.parquet(out).count()
     return files, rows, rel
 
 
@@ -927,6 +971,15 @@ def _where_column(where: list):
     return expr
 
 
+def where_to_column(where: list):
+    """PUBLIC helper: validate a ``(col, op, value)`` triple list and
+    return the equivalent Spark Column (conjunction). This is the stable
+    surface for callers outside this module (e.g. the CLI's legacy-table
+    fallback) — the private _check_where/_where_column pair may be
+    renamed without notice; this function may not."""
+    return _where_column(_check_where(where))
+
+
 def snapshot_read(
     spark: SparkSession,
     table_dir: str,
@@ -1293,11 +1346,26 @@ def snapshot_cluster_report(
     }
     if not ranges:
         return out
-    overlaps = [
-        sum(1 for g in ranges if g[0] <= r[0] <= g[1]) for r in ranges
-    ]
-    out["max_overlap"] = max(overlaps)
-    out["avg_overlap"] = round(sum(overlaps) / len(overlaps), 3)
+    # stabbing count per file: how many ranges g contain the point
+    # r.min, i.e. g.min <= r.min <= g.max. Sort the mins and maxes once
+    # and answer each point with two binary searches — O(n log n), not
+    # the O(n^2) double loop this used to be; this runs inside the
+    # streaming maintenance tick, so it must stay cheap at ~800k files.
+    # Comparison-only (bisect), so strings work exactly like numbers.
+    import bisect
+
+    mins = sorted(r[0] for r in ranges)
+    maxes = sorted(r[1] for r in ranges)
+    total = 0
+    worst = 0
+    for r in ranges:
+        p = r[0]
+        n = bisect.bisect_right(mins, p) - bisect.bisect_left(maxes, p)
+        total += n
+        if n > worst:
+            worst = n
+    out["max_overlap"] = worst
+    out["avg_overlap"] = round(total / len(ranges), 3)
     return out
 
 

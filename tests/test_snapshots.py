@@ -961,6 +961,50 @@ class TestClusterMaintenance:
         # a column with no stats anywhere reports zeros, never divides
         assert S.snapshot_cluster_report(t, "nope")["files_with_stats"] == 0
 
+    def test_overlap_sweep_matches_brute_force(self):
+        """The O(n log n) bisect sweep in snapshot_cluster_report must
+        agree exactly with the definitional quadratic stabbing count —
+        including duplicate endpoints and fully-nested ranges."""
+        import random
+
+        rng = random.Random(8)
+        for _ in range(20):
+            ranges = []
+            for _ in range(rng.randrange(1, 40)):
+                a = rng.randrange(0, 30)
+                ranges.append((a, a + rng.randrange(0, 15)))
+            brute = [
+                sum(1 for g in ranges if g[0] <= r[0] <= g[1])
+                for r in ranges
+            ]
+            import bisect
+
+            mins = sorted(r[0] for r in ranges)
+            maxes = sorted(r[1] for r in ranges)
+            swept = [
+                bisect.bisect_right(mins, r[0])
+                - bisect.bisect_left(maxes, r[0])
+                for r in ranges
+            ]
+            assert swept == brute
+
+    def test_non_literal_predicate_value_rejected(self, spark, tmp_path):
+        """Unliteralizable values and None fail AT the predicate with a
+        clear error, not later inside F.lit or as a silent no-prune."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(
+            spark,
+            t,
+            spark.range(0, 10).selectExpr("id AS k", "string(id) AS v"),
+        )
+        with pytest.raises(ValueError, match="scalar literal"):
+            S.snapshot_read(spark, t, where=[("k", "=", [1, 2])])
+        with pytest.raises(ValueError, match="NULL"):
+            S.snapshot_read(spark, t, where=[("k", "=", None)])
+        # public helper validates the same way for non-snapshot callers
+        with pytest.raises(ValueError, match="scalar literal"):
+            S.where_to_column([("k", "=", {"a": 1})])
+
     def test_maintain_triggers_only_past_threshold(self, spark, tmp_path):
         t = str(tmp_path / "t")
         self._append_overlapping(spark, t, n=4)
