@@ -259,6 +259,256 @@ def insert_frames(
     return new_ds, new_fg, new_fr
 
 
+def insert_frames_atomic(
+    datasets: DataFrame,
+    frames_rows: DataFrame,
+    catalog_dir: str,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """insert_frames with the reference's FULL transaction scope: one
+    DataSet + one FramesGlobal + N Frames rows per dataset staged together
+    and published in ONE atomic catalog commit (snapcatalog.catalog_commit
+    — the single-hard-link analogue of db_operations.py:14-38's single
+    Postgres transaction). The torn windows insert_frames documents (a
+    crash between its three per-table commits) do not exist on this path:
+    readers resolving through the catalog tip see either none of the
+    upload's rows in any table or all of them in every table.
+
+    The three builders run against the SAME pinned catalog-tip views
+    inside the commit retry loop, so the cross-table surrogate-id chain
+    (ds id → frames_global.dataset_id → frames.frames_global_id) is
+    serializable exactly like the per-table builder path — a losing racer
+    rebuilds every table from the winner's tip. Replay converges: all
+    three deltas anti-join empty and no new version publishes."""
+    from imagingdb_spark import snapcatalog as C
+    from imagingdb_spark.api import serial_to_date_time
+    from imagingdb_spark.catalog import IMAGING_SCHEMAS
+
+    spark = datasets.sparkSession
+    w = Window.partitionBy(F.lit(0)).orderBy("dataset_serial")
+    wf = Window.partitionBy(F.lit(0)).orderBy("dataset_serial", "file_name")
+    ds_fields = [
+        "dataset_serial", "description", "microscope", "frames",
+        "date_time", "parent_id", "id",
+    ]
+    summary = frames_rows.groupBy("dataset_serial").agg(
+        F.count(F.lit(1)).alias("nbr_frames"),
+        F.countDistinct("slice_idx").alias("nbr_slices"),
+        F.countDistinct("channel_idx").alias("nbr_channels"),
+        F.countDistinct("time_idx").alias("nbr_timepoints"),
+        F.countDistinct("pos_idx").alias("nbr_positions"),
+    )
+    batch_serials = [
+        r[0] for r in datasets.select("dataset_serial").distinct().collect()
+    ]
+
+    def build(views: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        def view(name: str) -> DataFrame:
+            v = views.get(name)
+            return (
+                v
+                if v is not None
+                else spark.createDataFrame([], IMAGING_SCHEMAS[name])
+            )
+
+        ds_view, fg_view, fr_view = (
+            view("data_set"), view("frames_global"), view("frames")
+        )
+        rows = datasets.select(
+            "dataset_serial",
+            "description",
+            "microscope",
+            F.lit(True).alias("frames"),
+            serial_to_date_time(F.col("dataset_serial")).alias("date_time"),
+            normalize_parent(F.col("parent_dataset_id")).alias(
+                "parent_serial"
+            ),
+        )
+        rows = resolve_parent_ids(rows, ds_view)
+        mx = ds_view.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+        # anti-join HERE (not only in catalog_commit's guard) so the id
+        # mappings below are built from exactly the rows that will land
+        new_ds = (
+            rows.join(
+                ds_view.select("dataset_serial"), "dataset_serial",
+                "left_anti",
+            )
+            .withColumn(
+                "id", (F.row_number().over(w) + F.lit(mx)).cast("long")
+            )
+            .select(*ds_fields)
+        )
+        ds_ids = {
+            r["dataset_serial"]: r["id"]
+            for r in ds_view.filter(
+                F.col("dataset_serial").isin(batch_serials)
+            ).select("dataset_serial", "id").collect()
+        }
+        for r in new_ds.select("dataset_serial", "id").collect():
+            ds_ids[r["dataset_serial"]] = r["id"]
+        ds_map = spark.createDataFrame(
+            list(ds_ids.items()) or [],
+            "dataset_serial string, dataset_id long",
+        )
+        mxf = fg_view.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+        new_fg = (
+            datasets.join(summary, "dataset_serial")
+            .join(F.broadcast(ds_map), "dataset_serial")
+            .join(
+                fg_view.select("dataset_id"), "dataset_id", "left_anti"
+            )
+            .withColumn(
+                "id", (F.row_number().over(w) + F.lit(mxf)).cast("long")
+            )
+            .select(
+                "id",
+                F.col("nbr_frames").cast("int").alias("nbr_frames"),
+                "im_width", "im_height",
+                F.col("nbr_slices").cast("int").alias("nbr_slices"),
+                F.col("nbr_channels").cast("int").alias("nbr_channels"),
+                "im_colors",
+                F.col("nbr_timepoints").cast("int").alias("nbr_timepoints"),
+                F.col("nbr_positions").cast("int").alias("nbr_positions"),
+                "bit_depth", "storage_dir", "metadata_json", "dataset_id",
+            )
+        )
+        fg_ids = {
+            r["dataset_id"]: r["id"]
+            for r in fg_view.filter(
+                F.col("dataset_id").isin(list(ds_ids.values()) or [-1])
+            ).select("dataset_id", "id").collect()
+        }
+        for r in new_fg.select("dataset_id", "id").collect():
+            fg_ids[r["dataset_id"]] = r["id"]
+        serial_to_fg = spark.createDataFrame(
+            [(s, fg_ids[d]) for s, d in ds_ids.items() if d in fg_ids],
+            "dataset_serial string, frames_global_id long",
+        )
+        mxr = fr_view.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+        new_fr = (
+            frames_rows.join(F.broadcast(serial_to_fg), "dataset_serial")
+            .join(
+                fr_view.select("frames_global_id", "file_name"),
+                ["frames_global_id", "file_name"],
+                "left_anti",
+            )
+            .withColumn(
+                "id", (F.row_number().over(wf) + F.lit(mxr)).cast("long")
+            )
+            .select(
+                "id", "channel_idx", "slice_idx", "time_idx", "pos_idx",
+                "channel_name", "file_name", "sha256", "metadata_json",
+                "frames_global_id",
+            )
+        )
+        return {
+            "data_set": new_ds,
+            "frames_global": new_fg,
+            "frames": new_fr,
+        }
+
+    _, deltas = C.catalog_commit(
+        spark,
+        catalog_dir,
+        build,
+        keys={
+            "data_set": ["dataset_serial"],
+            "frames_global": ["dataset_id"],
+            "frames": ["frames_global_id", "file_name"],
+        },
+    )
+    return deltas["data_set"], deltas["frames_global"], deltas["frames"]
+
+
+def insert_file_atomic(
+    new_files: DataFrame, catalog_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """ingest.insert_file's two-table transaction (DataSet + FileGlobal,
+    db_operations.py:225-274) as ONE atomic catalog commit — the file-type
+    twin of insert_frames_atomic."""
+    from imagingdb_spark import snapcatalog as C
+    from imagingdb_spark.api import serial_to_date_time
+    from imagingdb_spark.catalog import IMAGING_SCHEMAS
+
+    spark = new_files.sparkSession
+    w = Window.partitionBy(F.lit(0)).orderBy("dataset_serial")
+    batch_serials = [
+        r[0] for r in new_files.select("dataset_serial").distinct().collect()
+    ]
+
+    def build(views: dict[str, DataFrame]) -> dict[str, DataFrame]:
+        def view(name: str) -> DataFrame:
+            v = views.get(name)
+            return (
+                v
+                if v is not None
+                else spark.createDataFrame([], IMAGING_SCHEMAS[name])
+            )
+
+        ds_view, fgl_view = view("data_set"), view("file_global")
+        rows = new_files.select(
+            "dataset_serial",
+            "description",
+            F.col("microscope"),
+            F.lit(False).alias("frames"),
+            serial_to_date_time(F.col("dataset_serial")).alias("date_time"),
+            normalize_parent(F.col("parent_dataset_id")).alias(
+                "parent_serial"
+            ),
+        )
+        rows = resolve_parent_ids(rows, ds_view)
+        mx = ds_view.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+        new_ds = (
+            rows.join(
+                ds_view.select("dataset_serial"), "dataset_serial",
+                "left_anti",
+            )
+            .withColumn(
+                "id", (F.row_number().over(w) + F.lit(mx)).cast("long")
+            )
+            .select(
+                "dataset_serial", "description", "microscope", "frames",
+                "date_time", "parent_id", "id",
+            )
+        )
+        ds_ids = {
+            r["dataset_serial"]: r["id"]
+            for r in ds_view.filter(
+                F.col("dataset_serial").isin(batch_serials)
+            ).select("dataset_serial", "id").collect()
+        }
+        for r in new_ds.select("dataset_serial", "id").collect():
+            ds_ids[r["dataset_serial"]] = r["id"]
+        ds_map = spark.createDataFrame(
+            list(ds_ids.items()) or [],
+            "dataset_serial string, dataset_id long",
+        )
+        mxf = fgl_view.agg(F.coalesce(F.max("id"), F.lit(0))).collect()[0][0]
+        new_fgl = (
+            new_files.select(
+                "dataset_serial", "storage_dir", "file_name",
+                "metadata_json", "sha256",
+            )
+            .join(F.broadcast(ds_map), "dataset_serial")
+            .join(fgl_view.select("dataset_id"), "dataset_id", "left_anti")
+            .withColumn(
+                "id", (F.row_number().over(w) + F.lit(mxf)).cast("long")
+            )
+            .select(
+                "id", "storage_dir", "file_name", "metadata_json",
+                "dataset_id", "sha256",
+            )
+        )
+        return {"data_set": new_ds, "file_global": new_fgl}
+
+    _, deltas = C.catalog_commit(
+        spark,
+        catalog_dir,
+        build,
+        keys={"data_set": ["dataset_serial"], "file_global": ["dataset_id"]},
+    )
+    return deltas["data_set"], deltas["file_global"]
+
+
 def upload_dataset(
     spark: SparkSession,
     manifest: DataFrame,
@@ -344,7 +594,13 @@ def upload_dataset(
     )
     gm = dict(DEFAULT_GLOBAL_META)
     gm.update(global_meta or {})
-    paths = paths or {}
+    # paths may be the per-table dict (plain parquet / SnapshotTarget) or
+    # ONE CatalogTarget routing every catalog insert through the atomic
+    # multi-table commit (the reference's full transaction scope)
+    from imagingdb_spark.ingest import CatalogTarget
+
+    atomic = paths if isinstance(paths, CatalogTarget) else None
+    paths = {} if atomic is not None or paths is None else paths
 
     if upload_type == "file":
         files = (
@@ -375,13 +631,18 @@ def upload_dataset(
                 overwrite=overwrite,
                 backend_factory=backend_factory,
             )
-            new_ds, new_fg = insert_file(
-                files.drop("payload"),
-                catalog["data_set"],
-                catalog["file_global"],
-                paths.get("data_set"),
-                paths.get("file_global"),
-            )
+            if atomic is not None:
+                new_ds, new_fg = insert_file_atomic(
+                    files.drop("payload"), atomic.catalog_dir
+                )
+            else:
+                new_ds, new_fg = insert_file(
+                    files.drop("payload"),
+                    catalog["data_set"],
+                    catalog["file_global"],
+                    paths.get("data_set"),
+                    paths.get("file_global"),
+                )
             return {"data_set": new_ds, "file_global": new_fg}
         finally:
             files.unpersist()
@@ -468,14 +729,21 @@ def upload_dataset(
             F.lit(gm["im_colors"]).cast("int").alias("im_colors"),
             F.lit(global_json).alias("metadata_json"),
         )
-        new_ds, new_fg, new_fr = insert_frames(
-            datasets,
-            framed.drop("storage_dir", "payload"),
-            catalog["data_set"],
-            catalog["frames_global"],
-            catalog["frames"],
-            paths,
-        )
+        if atomic is not None:
+            new_ds, new_fg, new_fr = insert_frames_atomic(
+                datasets,
+                framed.drop("storage_dir", "payload"),
+                atomic.catalog_dir,
+            )
+        else:
+            new_ds, new_fg, new_fr = insert_frames(
+                datasets,
+                framed.drop("storage_dir", "payload"),
+                catalog["data_set"],
+                catalog["frames_global"],
+                catalog["frames"],
+                paths,
+            )
         return {"data_set": new_ds, "frames_global": new_fg, "frames": new_fr}
     finally:
         framed.unpersist()

@@ -256,6 +256,26 @@ class SnapshotTarget:
         return f"SnapshotTarget({self.table_dir!r})"
 
 
+class CatalogTarget:
+    """Marker routing an upload's catalog inserts through ONE atomic
+    multi-table commit (snapcatalog.catalog_commit) instead of
+    per-table snapshot commits. Pass an instance AS the whole ``paths``
+    argument of flows.upload_dataset / insert_frames / insert_file to get
+    the reference's full transaction scope (db_operations.py:14-38 — one
+    Postgres transaction spans data_set + frames_global + frames): a
+    crash at ANY point leaves readers (snapcatalog.catalog_read) seeing
+    either no dataset or the whole dataset, because all tables' manifests
+    publish in one hard-link. The per-table SnapshotTarget path remains
+    for callers that want independent tables plus convergent torn-upload
+    repair."""
+
+    def __init__(self, catalog_dir: str):
+        self.catalog_dir = catalog_dir
+
+    def __repr__(self) -> str:
+        return f"CatalogTarget({self.catalog_dir!r})"
+
+
 def idempotent_append(
     new_rows,  # DataFrame | Callable[[DataFrame], DataFrame]
     existing: DataFrame,

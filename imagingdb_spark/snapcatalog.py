@@ -1,0 +1,396 @@
+"""Catalog-level ATOMIC multi-table commits over snapshot tables.
+
+The reference's upload path runs inside ONE Postgres transaction spanning
+data_set + frames_global + frames (db_operations.py:14-38, 150-223): a
+crash at any point rolls the whole insert back, so readers never see a
+dataset without its frames. The per-table snapshot format
+(imagingdb_spark/snapshots.py) gives each table that guarantee
+individually, but a flow committing three tables one after another still
+has torn windows between the commits — healed convergently on replay
+(flows._table_view), yet visible to a reader who arrives in the window.
+
+This module lifts the snapshot manifest ONE level to close that window
+outright: a catalog commit is a single JSON object mapping table name →
+that table's full manifest (the same group-ref manifest shape
+snapshots._next_manifest produces), published with the same dot-temp +
+fsync + hard-link put-if-absent discipline as a per-table manifest. The
+link is the only publication point for every table at once, so readers
+resolving through the catalog tip see either none of an upload's rows or
+all of them — in every table. This is the public Nessie/"multi-table
+transaction" catalog design re-expressed over the existing two-level
+manifest tree; per-table data and group files live in per-table subdirs
+(``<catalog_dir>/<table>/data``, ``.../_manifests/groups``) and are
+written by the SAME helpers the standalone format uses, so footer-stats
+pruning, group skipping, and geometric group coalescing all apply
+unchanged.
+
+Scale: a catalog commit object holds one manifest per table, each
+O(MAX_GROUPS) group refs — publishing is O(tables × groups) bytes
+regardless of live file count (the round-6 two-level-tree result carries
+over). Readers pay one extra tiny JSON read per catalog resolution.
+
+Layout:
+    <catalog_dir>/_commits/v00000001.json     atomic commit objects
+    <catalog_dir>/<table>/data/<uuid>/*.parquet
+    <catalog_dir>/<table>/_manifests/groups/g-*.json
+(per-table ``_manifests/v*.json`` chains are intentionally absent: the
+catalog chain IS the version history, one version per multi-table
+commit.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from imagingdb_spark import snapshots as S
+from imagingdb_spark.snapshots import SnapshotConflict
+
+COMMITS_DIR = "_commits"
+_FMT = "v{:08d}.json"
+
+
+def _cdir(catalog_dir: str) -> str:
+    return os.path.join(catalog_dir, COMMITS_DIR)
+
+
+def catalog_exists(catalog_dir: str) -> bool:
+    """True when at least one catalog commit has been published."""
+    return bool(catalog_versions(catalog_dir))
+
+
+def catalog_versions(catalog_dir: str) -> list[int]:
+    d = _cdir(catalog_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for n in os.listdir(d):
+        if n.startswith("v") and n.endswith(".json") and not n.startswith("."):
+            try:
+                out.append(int(n[1:-5]))
+            except ValueError:
+                continue
+    return sorted(out)
+
+
+def _read_commit(catalog_dir: str, version: int) -> dict:
+    with open(os.path.join(_cdir(catalog_dir), _FMT.format(version))) as f:
+        return json.load(f)
+
+
+def _publish_commit(catalog_dir: str, version: int, commit: dict) -> None:
+    """Atomic put-if-absent of one catalog version — byte-for-byte the
+    discipline of snapshots._publish: full JSON to a dot-temp in the same
+    directory, fsync, hard-link into the version slot (EEXIST = lost
+    race), drop the temp. THE one moment every table's new state becomes
+    visible together."""
+    d = _cdir(catalog_dir)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, f".tmp.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        json.dump(commit, f)
+        f.flush()
+        os.fsync(f.fileno())
+    try:
+        os.link(tmp, os.path.join(d, _FMT.format(version)))
+    except FileExistsError:
+        raise SnapshotConflict(
+            f"catalog version {version} of {catalog_dir} was committed "
+            "concurrently"
+        )
+    finally:
+        os.unlink(tmp)
+
+
+def catalog_manifest(catalog_dir: str, version: int | None = None) -> dict:
+    """One catalog commit object (latest, or pinned for time travel),
+    with the expire-race retry every snapshot reader uses."""
+    for _ in range(3):
+        vs = catalog_versions(catalog_dir)
+        if not vs:
+            raise FileNotFoundError(
+                f"{catalog_dir} has no committed catalog versions"
+            )
+        v = vs[-1] if version is None else version
+        if v not in vs:
+            raise FileNotFoundError(f"{catalog_dir} has no version {v}")
+        try:
+            return _read_commit(catalog_dir, v)
+        except FileNotFoundError:
+            if version is not None:
+                raise
+            continue
+    raise FileNotFoundError(
+        f"{catalog_dir}: tip kept expiring during resolution"
+    )
+
+
+def _table_dir(catalog_dir: str, name: str) -> str:
+    return os.path.join(catalog_dir, name)
+
+
+def _manifest_df(
+    spark: SparkSession,
+    catalog_dir: str,
+    name: str,
+    m: dict,
+    where: list | None = None,
+) -> DataFrame:
+    """DataFrame for one embedded table manifest — the snapshot_read body
+    over a manifest that came from a catalog commit instead of a
+    per-table version chain. Same group skipping, same footer-stats file
+    pruning, same re-applied residual filter (pruning is an optimization,
+    never the semantics)."""
+    tdir = _table_dir(catalog_dir, name)
+    files = S._resolve_pruned(tdir, m, where)
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    cond = S.where_to_column(where) if where else None
+    if not files:
+        df = spark.createDataFrame([], schema)
+        return df.filter(cond) if cond is not None else df
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(tdir, f["path"]) for f in files]
+    )
+    return df.filter(cond) if cond is not None else df
+
+
+def catalog_read(
+    spark: SparkSession,
+    catalog_dir: str,
+    name: str,
+    version: int | None = None,
+    where: list | None = None,
+) -> DataFrame:
+    """Catalog-isolated read of one table: resolve ONE catalog commit and
+    read the table's manifest out of it. Two reads of different tables at
+    the same pinned version are mutually consistent — the cross-table
+    guarantee snapshot_read alone cannot give."""
+    commit = catalog_manifest(catalog_dir, version)
+    if name not in commit["tables"]:
+        raise FileNotFoundError(
+            f"catalog {catalog_dir} v{commit['version']} has no table "
+            f"{name!r} (tables: {sorted(commit['tables'])})"
+        )
+    return _manifest_df(spark, catalog_dir, name, commit["tables"][name], where)
+
+
+def catalog_views(
+    spark: SparkSession,
+    catalog_dir: str,
+    schemas: dict[str, StructType],
+    version: int | None = None,
+) -> dict[str, DataFrame]:
+    """Every table of ``schemas`` as a DataFrame from ONE catalog
+    resolution — absent tables (or a catalog with no commits yet) come
+    back as typed empty frames, which is what the upload flow's builders
+    need on first run. All returned views are mutually consistent."""
+    try:
+        commit = catalog_manifest(catalog_dir, version)
+    except FileNotFoundError:
+        commit = {"tables": {}}
+    out = {}
+    for name, schema in schemas.items():
+        m = commit["tables"].get(name)
+        out[name] = (
+            _manifest_df(spark, catalog_dir, name, m)
+            if m is not None
+            else spark.createDataFrame([], schema)
+        )
+    return out
+
+
+def catalog_commit(
+    spark: SparkSession,
+    catalog_dir: str,
+    build,  # Callable[[dict[str, DataFrame | None]], dict[str, DataFrame]]
+    keys: dict[str, list[str]],
+    max_retries: int = 5,
+) -> tuple[int, dict[str, DataFrame]]:
+    """ONE atomic, serializable, idempotent append across MANY tables.
+
+    ``build(views)`` receives the current catalog-tip view of every table
+    seen so far (``None``-free: only tables present in the tip appear;
+    first-run callers see ``{}``) and returns ``{table: new_rows_df}``.
+    It is re-invoked against the EXACT tip inside every retry, so
+    cross-table derived values — surrogate ids allocated from one table
+    and baked into another's rows — recompute against the state the
+    commit actually publishes onto (the same builder discipline as
+    snapshot_idempotent_append_delta, lifted to the table set).
+
+    Per table, rows are deduplicated on ``keys[name]`` and anti-joined
+    against the tip view, so a replay (same upload re-run) or a lost
+    same-key race converges to an empty delta. When EVERY table's delta
+    is empty and no new table appears, nothing is published and the tip
+    version is returned unchanged.
+
+    Returns ``(version, {table: committed_delta_df})``. Crash SAFETY is
+    the point: data files and group files written before the publish link
+    are unreachable debris (catalog_vacuum's job), never visible state —
+    a reader through catalog_read sees the parent commit until the single
+    os.link lands, at which instant it sees every table's new state.
+    """
+    for _ in range(max_retries):
+        vs = catalog_versions(catalog_dir)
+        parent = vs[-1] if vs else 0
+        base = _read_commit(catalog_dir, parent) if parent else None
+        tables_base: dict[str, dict] = dict(base["tables"]) if base else {}
+        views = {
+            name: _manifest_df(spark, catalog_dir, name, m)
+            for name, m in tables_base.items()
+        }
+        new_rows = build(views)
+        unknown = set(new_rows) - set(keys)
+        if unknown:
+            raise ValueError(f"no key columns declared for tables {unknown}")
+        new_tables = dict(tables_base)
+        deltas: dict[str, DataFrame] = {}
+        created: dict[str, list[str]] = {}
+        datadirs: list[str] = []
+        total_new = 0
+        for name, rows_df in new_rows.items():
+            kcols = keys[name]
+            rows_df = rows_df.dropDuplicates(kcols)
+            schema = rows_df.schema
+            schema_json = S._canon_schema_json(schema)
+            bm = tables_base.get(name)
+            if bm is not None:
+                if S._canon_schema_json(bm["schema"]) != schema_json:
+                    raise ValueError(
+                        f"append schema differs from catalog tip for "
+                        f"table {name!r}"
+                    )
+                deduped = rows_df.join(
+                    views[name].select(*kcols), kcols, "left_anti"
+                )
+            else:
+                deduped = rows_df
+            tdir = _table_dir(catalog_dir, name)
+            os.makedirs(tdir, exist_ok=True)
+            files, n, rel_dir = S._write_data_files(deduped, tdir)
+            if n == 0:
+                shutil.rmtree(
+                    os.path.join(tdir, rel_dir), ignore_errors=True
+                )
+                deltas[name] = spark.createDataFrame([], schema)
+                if bm is None:
+                    # first appearance with an empty delta: record the
+                    # typed empty manifest so readers get the schema
+                    new_tables[name] = S._next_manifest(
+                        None, "append", [], 0, schema_json
+                    )
+                continue
+            cr: list[str] = []
+            base_groups, legacy_delta = S._base_delta(bm)
+            groups = S._child_groups(
+                tdir, base_groups, legacy_delta + files, cr
+            )
+            created[name] = cr
+            new_tables[name] = S._next_manifest(
+                bm,
+                "append",
+                groups,
+                (bm["rows"] if bm else 0) + n,
+                schema_json,
+            )
+            deltas[name] = spark.read.schema(schema).parquet(
+                *[os.path.join(tdir, f["path"]) for f in files]
+            )
+            datadirs.append(os.path.join(tdir, rel_dir))
+            total_new += n
+        if total_new == 0 and set(new_tables) == set(tables_base):
+            # fully converged replay: nothing written, nothing published
+            return parent, deltas
+        commit = {
+            "version": parent + 1,
+            "parent": parent,
+            "tables": new_tables,
+        }
+        try:
+            _publish_commit(catalog_dir, parent + 1, commit)
+            return parent + 1, deltas
+        except SnapshotConflict:
+            # lost the race: this attempt's groups and data dirs are
+            # dropped eagerly (no-debris discipline; vacuum is the crash
+            # backstop) and the builder re-runs against the winner's tip
+            for name, cr in created.items():
+                S._drop_groups(_table_dir(catalog_dir, name), cr)
+            for d in datadirs:
+                shutil.rmtree(d, ignore_errors=True)
+            continue
+    raise SnapshotConflict(
+        f"catalog commit to {catalog_dir} lost {max_retries} straight races"
+    )
+
+
+def catalog_expire(catalog_dir: str, keep_last: int = 1) -> list[int]:
+    """Drop catalog commit objects older than the newest ``keep_last``;
+    returns the expired version numbers. Data/group files they referenced
+    become vacuum candidates exactly like the per-table format."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = catalog_versions(catalog_dir)
+    drop = vs[:-keep_last]
+    for v in drop:
+        try:
+            os.unlink(os.path.join(_cdir(catalog_dir), _FMT.format(v)))
+        except FileNotFoundError:
+            pass
+    return drop
+
+
+def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
+    """Remove data files and group files not referenced by ANY retained
+    catalog version — the crash-path backstop for aborted/torn attempts
+    (whose writes are invisible by design). Returns removed paths
+    (relative to catalog_dir)."""
+    live_groups: dict[str, set[str]] = {}
+    live_files: dict[str, set[str]] = {}
+    for v in catalog_versions(catalog_dir):
+        try:
+            commit = _read_commit(catalog_dir, v)
+        except FileNotFoundError:
+            continue
+        for name, m in commit["tables"].items():
+            tdir = _table_dir(catalog_dir, name)
+            gset = live_groups.setdefault(name, set())
+            fset = live_files.setdefault(name, set())
+            if m.get("groups") is not None:
+                for g in m["groups"]:
+                    gset.add(g["name"])
+                for fe in S._resolve_pruned(tdir, m, None):
+                    fset.add(fe["path"])
+            else:  # legacy flat manifest shape (not produced here)
+                for fe in m.get("files", []):
+                    fset.add(fe["path"])
+    removed: list[str] = []
+    for name in os.listdir(catalog_dir):
+        tdir = _table_dir(catalog_dir, name)
+        if name == COMMITS_DIR or not os.path.isdir(tdir):
+            continue
+        gdir = S._gdir(tdir)
+        if os.path.isdir(gdir):
+            keep = live_groups.get(name, set())
+            for n in os.listdir(gdir):
+                if n.startswith("g-") and n not in keep:
+                    os.unlink(os.path.join(gdir, n))
+                    removed.append(os.path.join(name, "groups", n))
+        ddir = os.path.join(tdir, S.DATA_DIR)
+        if os.path.isdir(ddir):
+            keep = live_files.get(name, set())
+            for commit_id in os.listdir(ddir):
+                cdir = os.path.join(ddir, commit_id)
+                if not os.path.isdir(cdir):
+                    continue
+                for n in os.listdir(cdir):
+                    rel = os.path.join(S.DATA_DIR, commit_id, n)
+                    if rel not in keep:
+                        os.unlink(os.path.join(cdir, n))
+                        removed.append(os.path.join(name, rel))
+                if not os.listdir(cdir):
+                    os.rmdir(cdir)
+    return removed

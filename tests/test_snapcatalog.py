@@ -1,0 +1,331 @@
+"""Catalog-level atomic multi-table commits (imagingdb_spark/snapcatalog.py):
+the reference's full transaction scope — one Postgres transaction spanning
+data_set + frames_global + frames (db_operations.py:14-38, 150-223) — as a
+single hard-link publish over snapshot-table manifests. The per-table torn
+windows TestTornUploadHealing pins (kept as regression tests for the
+SnapshotTarget path) are UNREACHABLE here: a crash at any point leaves
+catalog readers seeing either no dataset or the whole dataset."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+from pyspark.sql import functions as F
+
+from imagingdb_spark import flows
+from imagingdb_spark import snapcatalog as C
+from imagingdb_spark.catalog import IMAGING_SCHEMAS
+from imagingdb_spark.ingest import CatalogTarget
+
+PAGE_BYTES = 64
+UP_SERIAL = "TEST-2005-06-09-20-00-00-1000"
+UP_SERIAL2 = "TEST-2005-06-10-20-00-00-1000"
+
+
+def _make_page_reader():
+    def reader(payload: bytes):
+        return [
+            payload[i : i + PAGE_BYTES]
+            for i in range(0, len(payload), PAGE_BYTES)
+        ]
+
+    return reader
+
+
+_fake_page_reader = _make_page_reader()
+
+
+def _src_file(tmp_path, name="stack.tif"):
+    payload = b"".join(
+        bytes([c * 16 + z]) * PAGE_BYTES for z in range(3) for c in range(2)
+    )
+    p = tmp_path / name
+    p.write_bytes(payload)
+    return str(p)
+
+
+def _upload(spark, src, tmp_path, cat_dir, serial=UP_SERIAL):
+    man = spark.createDataFrame(
+        [(serial, src, "Testing", "none")],
+        "dataset_serial string, file_name string, description string, "
+        "parent_dataset_id string",
+    )
+    cat = {n: spark.createDataFrame([], s) for n, s in IMAGING_SCHEMAS.items()}
+    return flows.upload_dataset(
+        spark,
+        man,
+        cat,
+        storage_root=str(tmp_path / "store"),
+        upload_type="frames",
+        page_reader=_fake_page_reader,
+        global_meta={
+            "im_width": 8, "im_height": 8, "nbr_channels": 2, "nbr_slices": 3,
+        },
+        paths=CatalogTarget(cat_dir),
+    )
+
+
+class TestCatalogCommitPrimitive:
+    """catalog_commit / catalog_read on plain toy tables."""
+
+    def _commit_pair(self, spark, cat, a_rows, b_rows):
+        def build(views):
+            return {
+                "ta": spark.createDataFrame(a_rows, "k long, v string"),
+                "tb": spark.createDataFrame(b_rows, "k long, w long"),
+            }
+
+        return C.catalog_commit(
+            spark, cat, build, keys={"ta": ["k"], "tb": ["k"]}
+        )
+
+    def test_commit_read_and_versions(self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+        v, deltas = self._commit_pair(
+            spark, cat, [(1, "a"), (2, "b")], [(1, 10)]
+        )
+        assert v == 1
+        assert deltas["ta"].count() == 2 and deltas["tb"].count() == 1
+        assert C.catalog_versions(cat) == [1]
+        assert sorted(
+            (r["k"], r["v"]) for r in C.catalog_read(spark, cat, "ta").collect()
+        ) == [(1, "a"), (2, "b")]
+        # second commit appends to both; version advances ONCE
+        v2, _ = self._commit_pair(spark, cat, [(3, "c")], [(2, 20)])
+        assert v2 == 2
+        assert C.catalog_read(spark, cat, "ta").count() == 3
+        assert C.catalog_read(spark, cat, "tb").count() == 2
+        # time travel: pinned version sees the OLD state of BOTH tables
+        assert C.catalog_read(spark, cat, "ta", version=1).count() == 2
+        assert C.catalog_read(spark, cat, "tb", version=1).count() == 1
+
+    def test_replay_converges_without_publishing(self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+        self._commit_pair(spark, cat, [(1, "a")], [(1, 10)])
+        v2, deltas = self._commit_pair(spark, cat, [(1, "a")], [(1, 10)])
+        assert v2 == 1  # tip unchanged: fully converged replay
+        assert deltas["ta"].count() == 0 and deltas["tb"].count() == 0
+        assert C.catalog_versions(cat) == [1]
+
+    def test_pruned_read_equals_filtered_scan(self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+
+        def build(views):
+            return {
+                "ta": spark.range(0, 100).selectExpr(
+                    "id AS k", "string(id) AS v"
+                ).repartition(4)
+            }
+
+        C.catalog_commit(spark, cat, build, keys={"ta": ["k"]})
+        got = sorted(
+            r["k"]
+            for r in C.catalog_read(
+                spark, cat, "ta", where=[("k", "<", 5)]
+            ).collect()
+        )
+        assert got == [0, 1, 2, 3, 4]
+
+    def test_concurrent_commits_serialize(self, spark, tmp_path):
+        """Two racing catalog commits of the SAME key: exactly one delta
+        lands, both callers converge on the same final state."""
+        cat = str(tmp_path / "cat")
+        results = {}
+
+        def run(tag):
+            def build(views):
+                return {
+                    "ta": spark.createDataFrame([(1, "x")], "k long, v string")
+                }
+
+            results[tag] = C.catalog_commit(
+                spark, cat, build, keys={"ta": ["k"]}
+            )
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(4)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert C.catalog_read(spark, cat, "ta").count() == 1
+        landed = sum(1 for v, d in results.values() if d["ta"].count() == 1)
+        assert landed == 1
+
+    def test_expire_and_vacuum(self, spark, tmp_path):
+        cat = str(tmp_path / "cat")
+        for i in range(3):
+            self._commit_pair(spark, cat, [(i, "x")], [(i, i)])
+        # make debris: a commit attempt that crashes before publishing
+        import imagingdb_spark.snapcatalog as SC
+
+        def build(views):
+            return {
+                "ta": spark.createDataFrame([(99, "z")], "k long, v string")
+            }
+
+        real = SC._publish_commit
+
+        def boom(*a, **kw):
+            raise RuntimeError("simulated crash at publish")
+
+        SC._publish_commit = boom
+        try:
+            with pytest.raises(RuntimeError):
+                C.catalog_commit(spark, cat, build, keys={"ta": ["k"]})
+        finally:
+            SC._publish_commit = real
+        assert C.catalog_read(spark, cat, "ta").count() == 3  # debris unseen
+        dropped = C.catalog_expire(cat, keep_last=1)
+        assert dropped == [1, 2]
+        removed = C.catalog_vacuum(spark, cat)
+        assert removed  # the crashed attempt's files went away
+        # tip still exactly readable after vacuum
+        assert C.catalog_read(spark, cat, "ta").count() == 3
+        assert C.catalog_read(spark, cat, "tb").count() == 3
+        with pytest.raises(FileNotFoundError):
+            C.catalog_manifest(cat, version=1)
+
+
+class TestAtomicUpload:
+    """flows.upload_dataset with a CatalogTarget: the e2e transaction."""
+
+    def test_upload_reads_complete_and_replay_converges(
+        self, spark, tmp_path
+    ):
+        cat_dir = str(tmp_path / "cat")
+        src = _src_file(tmp_path)
+        out = _upload(spark, src, tmp_path, cat_dir)
+        assert out["data_set"].count() == 1
+        assert out["frames_global"].count() == 1
+        assert out["frames"].count() == 6
+        # ONE catalog version holds all three tables consistently
+        assert C.catalog_versions(cat_dir) == [1]
+        ds = C.catalog_read(spark, cat_dir, "data_set").collect()
+        fg = C.catalog_read(spark, cat_dir, "frames_global").collect()
+        fr = C.catalog_read(spark, cat_dir, "frames").collect()
+        assert len(ds) == 1 and len(fg) == 1 and len(fr) == 6
+        assert fg[0]["dataset_id"] == ds[0]["id"]
+        assert all(r["frames_global_id"] == fg[0]["id"] for r in fr)
+        assert fg[0]["nbr_frames"] == 6
+        # replay: no new version, empty deltas
+        out2 = _upload(spark, src, tmp_path, cat_dir)
+        assert out2["data_set"].count() == 0
+        assert out2["frames"].count() == 0
+        assert C.catalog_versions(cat_dir) == [1]
+        # second dataset: version 2, ids allocated past the first
+        out3 = _upload(spark, src, tmp_path, cat_dir, serial=UP_SERIAL2)
+        assert out3["frames"].count() == 6
+        assert C.catalog_versions(cat_dir) == [1, 2]
+        ds2 = {
+            r["dataset_serial"]: r["id"]
+            for r in C.catalog_read(spark, cat_dir, "data_set").collect()
+        }
+        assert len(ds2) == 2 and len(set(ds2.values())) == 2
+
+    def test_crash_at_any_point_is_all_or_nothing(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """THE closing of the torn window: crash after 1, 2, or 3 tables'
+        data files are written — and at the publish link itself — and a
+        catalog reader sees NO trace of the upload each time."""
+        import imagingdb_spark.snapshots as S
+
+        cat_dir = str(tmp_path / "cat")
+        src = _src_file(tmp_path)
+
+        real_write = S._write_data_files
+        real_publish = C._publish_commit
+
+        def crash_after_n_tables(n):
+            calls = {"n": 0}
+
+            def crashing(df, table_dir):
+                if calls["n"] >= n:
+                    raise RuntimeError("simulated crash mid-transaction")
+                calls["n"] += 1
+                return real_write(df, table_dir)
+
+            return crashing
+
+        for n_ok in (0, 1, 2):
+            monkeypatch.setattr(
+                S, "_write_data_files", crash_after_n_tables(n_ok)
+            )
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                _upload(spark, src, tmp_path, cat_dir)
+            monkeypatch.setattr(S, "_write_data_files", real_write)
+            # NOTHING visible — not even the dataset row (contrast with
+            # TestTornUploadHealing, where the per-table path exposes it)
+            assert C.catalog_versions(cat_dir) == []
+
+        # crash at the publish link itself: still nothing visible
+        def boom(*a, **kw):
+            raise RuntimeError("simulated crash at publish")
+
+        monkeypatch.setattr(C, "_publish_commit", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            _upload(spark, src, tmp_path, cat_dir)
+        monkeypatch.setattr(C, "_publish_commit", real_publish)
+        assert C.catalog_versions(cat_dir) == []
+
+        # the re-run after the crash completes the WHOLE dataset at once
+        out = _upload(spark, src, tmp_path, cat_dir)
+        assert out["frames"].count() == 6
+        assert C.catalog_read(spark, cat_dir, "frames").count() == 6
+        # the crashed attempts' debris is vacuumable, tip unharmed
+        C.catalog_vacuum(spark, cat_dir)
+        assert C.catalog_read(spark, cat_dir, "frames").count() == 6
+
+    def test_concurrent_same_serial_uploads_land_one_dataset(
+        self, spark, tmp_path
+    ):
+        cat_dir = str(tmp_path / "cat")
+        src = _src_file(tmp_path)
+        outs = {}
+
+        def run(tag):
+            outs[tag] = _upload(spark, src, tmp_path, cat_dir)
+
+        ts = [threading.Thread(target=run, args=(i,)) for i in range(2)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        ds = C.catalog_read(spark, cat_dir, "data_set").collect()
+        fg = C.catalog_read(spark, cat_dir, "frames_global").collect()
+        fr = C.catalog_read(spark, cat_dir, "frames").collect()
+        assert len(ds) == 1 and len(fg) == 1 and len(fr) == 6
+        assert fg[0]["dataset_id"] == ds[0]["id"]
+        landed = sum(1 for o in outs.values() if o["data_set"].count() == 1)
+        assert landed == 1  # exactly one writer's delta is non-empty
+
+    def test_file_upload_atomic(self, spark, tmp_path):
+        cat_dir = str(tmp_path / "cat")
+        src = _src_file(tmp_path, "whole.bin")
+        man = spark.createDataFrame(
+            [(UP_SERIAL, src, "Testing", "none")],
+            "dataset_serial string, file_name string, description string, "
+            "parent_dataset_id string",
+        )
+        cat = {
+            n: spark.createDataFrame([], s) for n, s in IMAGING_SCHEMAS.items()
+        }
+        out = flows.upload_dataset(
+            spark,
+            man,
+            cat,
+            storage_root=str(tmp_path / "store"),
+            upload_type="file",
+            paths=CatalogTarget(cat_dir),
+        )
+        assert out["data_set"].count() == 1
+        assert out["file_global"].count() == 1
+        ds = C.catalog_read(spark, cat_dir, "data_set").collect()
+        fgl = C.catalog_read(spark, cat_dir, "file_global").collect()
+        assert ds[0]["frames"] is False
+        assert fgl[0]["dataset_id"] == ds[0]["id"]
+        # views helper: consistent dict with typed empties for the unused
+        views = C.catalog_views(spark, cat_dir, IMAGING_SCHEMAS)
+        assert views["frames"].count() == 0
+        assert views["file_global"].count() == 1
