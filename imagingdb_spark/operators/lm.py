@@ -938,11 +938,20 @@ def x_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: ONE corpus pass — per-(doc, lang, tok) counts feed the
     per-language vocabulary aggregate (vocab-sized shuffle), the
     language-total dim (broadcast), and the score join. The tercile is
-    an ntile window partitioned by lang; languages are few, so at 100 TB
-    the production swap is broadcast quantile CUTOFFS (computed from the
-    doc-count-sized score table) instead of a per-language global sort —
-    the registered form keeps exact ntile for oracle parity, and the
-    window input is already reduced to one row per document."""
+    NOT a per-language ntile window over the full corpus (one dominant
+    language — exactly the 100 TB Common-Crawl case — would funnel
+    almost every row through a single window task): the ROUNDED score
+    makes the per-(lang, score) histogram BOUNDED (≤ score-range × 10^4
+    distinct values per language, independent of document count), so the
+    exact ntile boundary ranks are derived from that histogram
+    driver-side, the only residual window runs over the handful of docs
+    TIED at a boundary score (partitioned by (lang, boundary value)),
+    and every document is bucketed map-side against broadcast cutoff
+    pairs (score, tiebreak doc_id). Output is row-identical to the
+    oracle's ntile(3) OVER (PARTITION BY lang ORDER BY avg_logprob DESC,
+    doc_id) — ntile's q/r group-size rule is reproduced exactly,
+    including tie splits (pinned by the oracle hash at sf0.01/sf1.0 and
+    a dominant-language unit test)."""
     d = table(spark, sf_dir, "documents")
     dt = (
         d.select(
@@ -970,19 +979,124 @@ def x_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + 0.0
             ).alias("avg_logprob")
         )
+    ).persist()  # histogram + boundary-tie scan + final bucketing
+    return ntile3_by_cutoffs(scored, "lang", "avg_logprob", "doc_id")
+
+
+def ntile3_by_cutoffs(
+    scored: DataFrame,
+    part: str,
+    score: str,
+    tiebreak: str,
+    decimals: int = 4,
+) -> DataFrame:
+    """head/middle/tail EXACTLY equal to ``ntile(3) OVER (PARTITION BY
+    part ORDER BY score DESC, tiebreak ASC)`` — computed WITHOUT a
+    per-partition window over the full input. Requires ``score`` to be
+    quantized to ``decimals`` places (so the per-partition histogram is
+    bounded) and ``tiebreak`` unique per row.
+
+    1. Quantize score to a LONG key (order-preserving, exact at
+       ``decimals``). Joining/grouping on the double itself would
+       trigger Spark's NormalizeFloatingNumbers rewrite UNDER the
+       cached plan and silently miss the cache — the float-join-key
+       pitfall; all keying below is integer.
+    2. Histogram (part, key) → counts: a bounded aggregate.
+    3. Driver: per partition with n rows, ntile's group sizes are
+       q = n//3 with the first (n mod 3) groups one larger; walk the
+       histogram (key desc) to the boundary VALUE each cut falls in and
+       the residual in-value rank k (1-based among that value's ties,
+       ordered by tiebreak asc).
+    4. The k-th tiebreak among each boundary value's ties comes from one
+       tie-sized aggregation over ONLY the boundary-value rows
+       (sort_array(collect_list)[k] per boundary — at most 2 boundaries
+       per partition, each array bounded by that single quantized
+       value's tie count, never corpus-sized).
+    5. Bucket every row map-side against the broadcast (key, tiebreak)
+       cutoff pairs: rank <= t1 ⇔ key > k1 OR (key = k1 AND
+       tiebreak <= d1); likewise t2."""
+    mult = 10 ** decimals
+    sk = F.round(F.col(score) * mult).cast("long")
+    keyed = scored.withColumn("__sk", sk)
+    hist = (
+        keyed.groupBy(part, "__sk")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .collect()
     )
-    w = Window.partitionBy("lang").orderBy(
-        F.col("avg_logprob").desc(), F.col("doc_id").asc()
+    by_part: dict = {}
+    for r in hist:
+        by_part.setdefault(r[part], []).append((r["__sk"], r["nd"]))
+    # boundary requests: (part, boundary_key, k_within_value, which)
+    requests = []
+    for p, vals in by_part.items():
+        vals.sort(key=lambda t: -t[0])  # key DESC — the ntile order
+        n = sum(nd for _, nd in vals)
+        q, rem = divmod(n, 3)
+        t1 = q + (1 if rem >= 1 else 0)
+        t2 = t1 + q + (1 if rem >= 2 else 0)
+        for which, t in (("t1", t1), ("t2", t2)):
+            if t <= 0:
+                continue  # empty upper bucket: no cutoff (n == 0 only)
+            cum = 0
+            for s, nd in vals:
+                if cum + nd >= t:
+                    requests.append((p, s, t - cum, which))
+                    break
+                cum += nd
+    spark = scored.sparkSession
+    if not requests:
+        return scored.select(
+            tiebreak, part, score, F.lit("head").alias("bucket")
+        )
+    part_type = dict(scored.dtypes)[part]
+    req_df = spark.createDataFrame(
+        [(p, int(s), int(k), w) for p, s, k, w in requests],
+        f"{part} {part_type}, __sk long, __k long, __which string",
     )
-    n3 = F.ntile(3).over(w)
-    return scored.select(
-        "doc_id",
-        "lang",
-        "avg_logprob",
-        F.when(n3 == 1, "head")
-        .when(n3 == 2, "middle")
-        .otherwise("tail")
-        .alias("bucket"),
+    cuts = (
+        keyed.join(F.broadcast(req_df), [part, "__sk"])
+        .groupBy(part, "__sk", "__k", "__which")
+        .agg(F.sort_array(F.collect_list(tiebreak)).alias("__ids"))
+        .select(
+            part,
+            "__sk",
+            "__which",
+            F.element_at("__ids", F.col("__k").cast("int")).alias(tiebreak),
+        )
+        .collect()
+    )
+    cut_map = {(r[part], r["__which"]): (r["__sk"], r[tiebreak]) for r in cuts}
+    cut_rows = []
+    for p in by_part:
+        s1, d1 = cut_map.get((p, "t1"), (None, None))
+        s2, d2 = cut_map.get((p, "t2"), (None, None))
+        cut_rows.append((p, s1, d1, s2, d2))
+    # tiebreak columns keep the input's type: build cutoffs from a typed
+    # schema so string/long doc ids both work
+    tb_type = dict(scored.dtypes)[tiebreak]
+    cut_df = spark.createDataFrame(
+        cut_rows,
+        f"{part} {part_type}, __k1 long, __d1 {tb_type}, "
+        f"__k2 long, __d2 {tb_type}",
+    )
+    db = F.col(tiebreak)
+    in_t1 = (sk > F.col("__k1")) | (
+        (sk == F.col("__k1")) & (db <= F.col("__d1"))
+    )
+    in_t2 = (sk > F.col("__k2")) | (
+        (sk == F.col("__k2")) & (db <= F.col("__d2"))
+    )
+    return (
+        scored.join(F.broadcast(cut_df), part)
+        .select(
+            tiebreak,
+            part,
+            score,
+            F.when(F.col("__k1").isNotNull() & in_t1, "head")
+            .when(F.col("__k2").isNotNull() & in_t2, "middle")
+            .otherwise("tail")
+            .alias("bucket"),
+        )
     )
 
 

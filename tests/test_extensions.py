@@ -2418,3 +2418,66 @@ class TestPerplexityBucket:
         # deterministic across rebuilds
         out2 = x_perplexity_bucket(spark, d).collect()
         assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+    def test_cutoff_bucketing_equals_ntile_window(self, spark):
+        """ntile3_by_cutoffs (the 100 TB path: bounded histogram +
+        broadcast cutoffs, NO per-language window over the corpus) must
+        be row-identical to the definitional ntile(3) window — across a
+        dominant language, heavy score TIES straddling both boundaries,
+        n % 3 in every residue class, and 1- and 2-row languages."""
+        import random
+
+        from pyspark.sql import Window
+
+        from imagingdb_spark.operators.lm import ntile3_by_cutoffs
+
+        rng = random.Random(81)
+        rows = []
+        did = 0
+        for lang, n in (("en", 97), ("fr", 12), ("de", 8), ("xx", 1), ("yy", 2)):
+            for _ in range(n):
+                # few distinct scores -> massive ties at the boundaries
+                rows.append((did, lang, float(rng.choice([-1.5, -2.0, -2.5]))))
+                did += 1
+        scored = spark.createDataFrame(
+            rows, "doc_id long, lang string, avg_logprob double"
+        )
+        w = Window.partitionBy("lang").orderBy(
+            F.col("avg_logprob").desc(), F.col("doc_id").asc()
+        )
+        n3 = F.ntile(3).over(w)
+        want = sorted(
+            map(
+                tuple,
+                scored.select(
+                    "doc_id",
+                    "lang",
+                    "avg_logprob",
+                    F.when(n3 == 1, "head")
+                    .when(n3 == 2, "middle")
+                    .otherwise("tail")
+                    .alias("bucket"),
+                ).collect(),
+            )
+        )
+        got = sorted(
+            map(
+                tuple,
+                ntile3_by_cutoffs(
+                    scored, "lang", "avg_logprob", "doc_id"
+                ).collect(),
+            )
+        )
+        assert got == want
+
+    def test_registered_plan_has_no_corpus_window(self, spark, tmp_path):
+        """The registered query's executed plan must contain NO Window
+        operator at all — the tie-split window runs only inside the
+        driver-side boundary pass over boundary-value docs."""
+        from imagingdb_spark.operators.lm import x_perplexity_bucket
+
+        rows = [(i, f"tok{i % 7} tok{i % 3} common", "en") for i in range(30)]
+        d = self._write(spark, tmp_path, rows)
+        df = x_perplexity_bucket(spark, d)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
