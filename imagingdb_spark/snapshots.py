@@ -222,7 +222,7 @@ def _read_group(table_dir: str, name: str) -> list[dict]:
 # truncate(16) lower/upper asymmetry.
 _STAT_STR_CAP = 64
 
-_PRUNE_OPS = ("=", "<", "<=", ">", ">=")
+_PRUNE_OPS = ("=", "<", "<=", ">", ">=", "in")
 
 
 def _stat_value(v):
@@ -329,6 +329,12 @@ def _comparable(a, b) -> bool:
 def _range_matches(op: str, value, mn, mx) -> bool:
     """Can ANY x with mn <= x <= mx satisfy ``x <op> value``? Missing
     bounds (None) are treated as unbounded on that side."""
+    if op == "in":
+        # the disjunction of per-value point checks: the file can be
+        # skipped only when EVERY listed value is provably outside the
+        # range — this is what makes a micro-batch's band/bucket set
+        # prunable at the manifest level (streaming gate index reads)
+        return any(_range_matches("=", v, mn, mx) for v in value)
     if op == "=":
         return (mn is None or not _comparable(mn, value) or value >= mn) and (
             mx is None or not _comparable(mx, value) or value <= mx
@@ -355,8 +361,25 @@ def _check_where(where: list) -> list:
         # reject non-literal values HERE, at the caller's predicate, not
         # later as an opaque F.lit error deep in the scan; bool is a
         # valid Spark literal but prunes nothing (stats drop bools), and
-        # None is rejected outright because =/< etc. never match NULL —
-        # a silent always-empty filter is a bug in the caller
+        # None is rejected outright because =/</in etc. never match NULL
+        # — a silent always-empty filter is a bug in the caller
+        if c[1] == "in":
+            if not isinstance(v, (list, tuple, set)) or not v:
+                raise ValueError(
+                    f"'in' predicate needs a non-empty list of scalar "
+                    f"literals, got {v!r}"
+                )
+            bad = [
+                x
+                for x in v
+                if x is None or not isinstance(x, (int, float, str, bool))
+            ]
+            if bad:
+                raise ValueError(
+                    f"'in' predicate values must be non-null scalar "
+                    f"literals, got {bad[:3]!r} in {c!r}"
+                )
+            continue
         if v is None:
             raise ValueError(
                 f"predicate value may not be None ({c!r}): comparison "
@@ -966,7 +989,10 @@ def _where_column(where: list):
     }
     expr = None
     for col, op, value in where:
-        term = ops[op](F.col(col), F.lit(value))
+        if op == "in":  # the value is a literal LIST, not one literal
+            term = F.col(col).isin(*list(value))
+        else:
+            term = ops[op](F.col(col), F.lit(value))
         expr = term if expr is None else (expr & term)
     return expr
 

@@ -848,9 +848,10 @@ def _present_id_sets(
     drop within-batch peers a no-crash run keeps)."""
     tagged = None
     for tag, path in tables:
-        t = spark.read.parquet(path).select(id_col).withColumn(
-            "tbl", F.lit(tag)
-        )
+        src = (
+            spark.read.parquet(path) if isinstance(path, str) else path
+        )  # a table entry may be a pre-built DataFrame (snapshot reads)
+        t = src.select(id_col).withColumn("tbl", F.lit(tag))
         tagged = t if tagged is None else tagged.unionByName(t)
     if resident is not None:
         corpus_path, current_batch = resident
@@ -1481,6 +1482,8 @@ def _streaming_fingerprint_gate(
     compact_every: int | None,
     append_partitions: int | None,
     max_distance: int,
+    index_format: str = "parquet",
+    index_target_bytes: int = 256 * 1024,
 ) -> StreamingQuery:
     """The shared engine behind the image (St10) and audio (St11) ingest
     gates: per micro-batch, (1) ``fingerprinted(batch_df)`` returns the
@@ -1504,8 +1507,24 @@ def _streaming_fingerprint_gate(
     replay drop within-batch near-dup peers a no-crash run keeps); a
     torn index BOOTSTRAP is detected by the _SUCCESS marker and rebuilt
     with overwrite; ``compact_every=N`` folds per-trigger fragments with
-    the crash-safe rewrite healed at trigger start."""
+    the crash-safe rewrite healed at trigger start.
+
+    ``index_format="snapshot"`` stores the band index as a SNAPSHOT table
+    instead of a plain parquet dir — the manifest-stats-pruned corpus
+    read (round-7 verdict item 5): per trigger, the index is read with
+    ``snapshot_read(..., where=[("bkey", "in", <batch band keys>)])``, so
+    once the maintenance compaction has clustered the index by ``bkey``
+    (band_idx*256 + band_value — 2048 distinct keys), a trigger opens
+    ONLY the manifest groups and files its batch's bands touch instead of
+    scanning every index file (tools/stream_bench_phash.py records
+    files_kept << files_total). Index appends become exactly-once via the
+    snapshot txn marker (one atomic commit per batch_id), the _SUCCESS
+    bootstrap probe disappears (manifests are atomic by construction),
+    and compaction is the transactional ``snapshot_compact`` clustered on
+    ``bkey``. Match results are identical in both formats (parity
+    test-pinned)."""
     from imagingdb_spark.multimodal import PHASH_BANDS, phash_band_col
+    from imagingdb_spark import snapshots as SN
 
     if max_distance >= PHASH_BANDS:
         # the batch path (phash_near_dups) enforces the same bound: the
@@ -1514,20 +1533,67 @@ def _streaming_fingerprint_gate(
         raise ValueError(
             f"band lookup is lossless only for distance < {PHASH_BANDS}"
         )
+    if index_format not in ("parquet", "snapshot"):
+        raise ValueError(f"index_format must be parquet|snapshot")
+    snap_idx = index_format == "snapshot"
     idx_bands_path = corpus_path + "_idx_bands"
+    _IDX_APP = f"fpgate-{id_col}"  # txn app id for exactly-once appends
 
     def _band_rows(hashed: DataFrame) -> DataFrame:
-        return hashed.select(
+        out = hashed.select(
             id_col, fp_col, F.explode(phash_band_col(fp_col)).alias("b")
         ).select(id_col, fp_col, "b.band_idx", "b.band_value")
+        if snap_idx:
+            # single integer cluster/prune/join key: 2048 distinct values
+            out = out.withColumn(
+                "bkey",
+                (F.col("band_idx") * 256 + F.col("band_value")).cast("long"),
+            )
+        return out
+
+    def _read_index(spark: SparkSession, batch_bkeys: list | None) -> DataFrame:
+        if not snap_idx:
+            return spark.read.parquet(idx_bands_path)
+        where = (
+            [("bkey", "in", batch_bkeys)] if batch_bkeys else None
+        )
+        return SN.snapshot_read(spark, idx_bands_path, where=where)
+
+    def _index_exists(spark: SparkSession) -> bool:
+        return (
+            SN.snapshot_exists(idx_bands_path)
+            if snap_idx
+            else _fs_exists(spark, idx_bands_path + "/_SUCCESS")
+        )
+
+    def _append_index(df: DataFrame, batch_id: int, mode: str = "append"):
+        if snap_idx:
+            # txn marker ONLY on appends (exactly-once per batch_id); a
+            # bootstrap/rebuild overwrite must NOT record the seq, or the
+            # same trigger's subsequent delta append would be skipped as
+            # its own replay
+            SN.snapshot_commit(
+                df.sparkSession,
+                idx_bands_path,
+                df,
+                mode=mode,
+                txn=(_IDX_APP, batch_id) if mode == "append" else None,
+            )
+        else:
+            df.write.mode(mode).parquet(idx_bands_path)
 
     def _present_sets(
         spark: SparkSession, batch_ids: DataFrame, batch_id: int
     ) -> dict[str, set]:
+        idx_src = (
+            SN.snapshot_read(spark, idx_bands_path)
+            if snap_idx
+            else idx_bands_path
+        )
         return _present_id_sets(
             spark,
             batch_ids,
-            [("c", corpus_path), ("b", idx_bands_path)],
+            [("c", corpus_path), ("b", idx_src)],
             id_col,
             resident=(corpus_path, batch_id),
         )
@@ -1542,7 +1608,10 @@ def _streaming_fingerprint_gate(
         from concurrent.futures import ThreadPoolExecutor
 
         spark = batch_df.sparkSession
-        for p in (corpus_path, idx_bands_path, matches_path):
+        plain_tables = [corpus_path, matches_path] + (
+            [] if snap_idx else [idx_bands_path]
+        )
+        for p in plain_tables:
             _heal_interrupted_compaction(p)
         batch = (
             fingerprinted(batch_df)
@@ -1561,37 +1630,50 @@ def _streaming_fingerprint_gate(
                 _co(
                     batch.withColumn("_gate_batch", F.lit(batch_id))
                 ).write.mode("append").parquet(corpus_path)
-                _co(_band_rows(batch)).write.mode("append").parquet(
-                    idx_bands_path
-                )
+                _append_index(_co(_band_rows(batch)), batch_id)
                 return
-            if not _fs_exists(spark, idx_bands_path + "/_SUCCESS"):
-                # pre-seeded corpus without an index, or a torn bootstrap:
-                # rebuild from the corpus's STORED hashes (no re-decode)
-                _band_rows(
-                    spark.read.parquet(corpus_path).select(id_col, fp_col)
-                ).write.mode("overwrite").parquet(idx_bands_path)
+            if not _index_exists(spark):
+                # pre-seeded corpus without an index, or a torn bootstrap
+                # (plain-parquet mode only — snapshot manifests cannot
+                # tear): rebuild from the corpus's STORED hashes
+                _append_index(
+                    _band_rows(
+                        spark.read.parquet(corpus_path).select(
+                            id_col, fp_col
+                        )
+                    ),
+                    batch_id,
+                    mode="overwrite",
+                )
             batch_ids = batch.select(id_col).distinct().persist()
             # present sets come FIRST (pre-append corpus state): they
             # feed the append screens AND the phantom-id screen below
             present = _present_sets(spark, batch_ids, batch_id)
             batch_id_set = {r[id_col] for r in batch_ids.collect()}
+            band_cols = ["bkey"] if snap_idx else ["band_idx", "band_value"]
             new_bands = _band_rows(batch.select(id_col, fp_col)).select(
                 F.col(id_col).alias(match_a),
                 F.col(fp_col).alias("new_fp"),
-                "band_idx",
-                "band_value",
+                *band_cols,
             )
-            corpus_bands = spark.read.parquet(idx_bands_path).select(
+            if snap_idx:
+                # the pruning key set for this trigger: batch-bounded
+                # (<= 8 * |batch| of 2048 possible values) — the manifest
+                # read opens only groups/files whose bkey ranges these
+                # touch once compaction has clustered the index on bkey
+                batch_bkeys = sorted(
+                    r["bkey"]
+                    for r in new_bands.select("bkey").distinct().collect()
+                )
+            else:
+                batch_bkeys = None
+            corpus_bands = _read_index(spark, batch_bkeys).select(
                 F.col(id_col).alias(match_b),
                 F.col(fp_col).alias("corpus_fp"),
-                "band_idx",
-                "band_value",
+                *band_cols,
             )
             pairs = (
-                corpus_bands.join(
-                    F.broadcast(new_bands), ["band_idx", "band_value"]
-                )
+                corpus_bands.join(F.broadcast(new_bands), band_cols)
                 .withColumn(
                     "hamming",
                     F.bit_count(
@@ -1639,15 +1721,16 @@ def _streaming_fingerprint_gate(
                     )
                     .write.mode("append")
                     .parquet(corpus_path),
-                    lambda: _co(
-                        _band_rows(
-                            _screen(spark, accepted, present["b"]).select(
-                                id_col, fp_col
+                    lambda: _append_index(
+                        _co(
+                            _band_rows(
+                                _screen(
+                                    spark, accepted, present["b"]
+                                ).select(id_col, fp_col)
                             )
-                        )
-                    )
-                    .write.mode("append")
-                    .parquet(idx_bands_path),
+                        ),
+                        batch_id,
+                    ),
                 ]
                 with ThreadPoolExecutor(max_workers=3) as pool:
                     for fut in [pool.submit(w) for w in writes]:
@@ -1658,9 +1741,20 @@ def _streaming_fingerprint_gate(
             if compact_every and batch_id > 0 and batch_id % compact_every == 0:
                 from imagingdb_spark.layout import compact_parquet
 
-                for p in (corpus_path, idx_bands_path, matches_path):
+                for p in plain_tables:
                     if _fs_exists(spark, p):
                         compact_parquet(spark, p)
+                if snap_idx and SN.snapshot_exists(idx_bands_path):
+                    # transactional small-file fold CLUSTERED on the
+                    # pruning key — this is what turns the per-trigger
+                    # where=("bkey","in",...) read into a files_kept <<
+                    # files_total manifest skip
+                    SN.snapshot_compact(
+                        spark,
+                        idx_bands_path,
+                        target_file_bytes=index_target_bytes,
+                        cluster_cols=["bkey"],
+                    )
         finally:
             batch.unpersist()
 
@@ -1680,6 +1774,8 @@ def streaming_phash_gate(
     compact_every: int | None = None,
     append_partitions: int | None = 8,
     max_distance: int | None = None,
+    index_format: str = "parquet",
+    index_target_bytes: int = 256 * 1024,
 ) -> StreamingQuery:
     """St10 — streaming IMAGE-ingest dedup gate: the multimodal twin of
     streaming_dedup_gate, instantiating _streaming_fingerprint_gate with
@@ -1717,6 +1813,8 @@ def streaming_phash_gate(
         max_distance=(
             PHASH_MAX_DISTANCE if max_distance is None else max_distance
         ),
+        index_format=index_format,
+        index_target_bytes=index_target_bytes,
     )
 
 
@@ -1736,6 +1834,7 @@ def streaming_afp_gate(
     compact_every: int | None = None,
     append_partitions: int | None = 8,
     max_distance: int | None = None,
+    index_format: str = "parquet",
 ) -> StreamingQuery:
     """St11 — streaming AUDIO-ingest dedup gate: the same engine as the
     image gate, instantiated with the Haitsma–Kalker-style fingerprint
@@ -1764,6 +1863,7 @@ def streaming_afp_gate(
         max_distance=(
             AFP_MAX_DISTANCE if max_distance is None else max_distance
         ),
+        index_format=index_format,
     )
 
 

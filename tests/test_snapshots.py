@@ -988,6 +988,35 @@ class TestClusterMaintenance:
             ]
             assert swept == brute
 
+    def test_in_predicate_prunes_and_matches_filter(self, spark, tmp_path):
+        """("col", "in", [v...]): skips files whose ranges exclude EVERY
+        listed value, keeps semantics identical to isin — the predicate
+        shape a streaming gate's per-trigger band set needs."""
+        t = str(tmp_path / "t")
+        for lo in (0, 100, 200):
+            S.snapshot_commit(
+                spark,
+                t,
+                spark.range(lo, lo + 100)
+                .selectExpr("id AS k", "string(id) AS v")
+                .coalesce(1),
+            )
+        plan = S.snapshot_scan_plan(t, [("k", "in", [5, 7])])
+        assert plan["files_kept"] == 1  # both values in the first file
+        plan2 = S.snapshot_scan_plan(t, [("k", "in", [5, 205])])
+        assert plan2["files_kept"] == 2
+        got = sorted(
+            r["k"]
+            for r in S.snapshot_read(
+                spark, t, where=[("k", "in", [5, 205, 999])]
+            ).collect()
+        )
+        assert got == [5, 205]
+        with pytest.raises(ValueError, match="non-empty list"):
+            S.snapshot_read(spark, t, where=[("k", "in", [])])
+        with pytest.raises(ValueError, match="scalar literals"):
+            S.snapshot_read(spark, t, where=[("k", "in", [1, None])])
+
     def test_non_literal_predicate_value_rejected(self, spark, tmp_path):
         """Unliteralizable values and None fail AT the predicate with a
         clear error, not later inside F.lit or as a silent no-prune."""

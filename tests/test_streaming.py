@@ -1634,6 +1634,122 @@ def test_phash_gate_compaction_mid_stream_preserves_results(spark, tmp_path):
     assert spark.read.parquet(str(tmp_path / "fcorp_a")).count() == n_before
 
 
+def test_phash_gate_snapshot_index_parity_and_pruning(spark, tmp_path):
+    """index_format="snapshot" (round-7 verdict item 5): the band index
+    lives in a snapshot table, per-trigger reads are manifest-pruned by
+    the batch's bkey set, appends are txn-marked exactly-once, and
+    compaction clusters on bkey. Must produce IDENTICAL corpus + match
+    content to the plain-parquet index, stay idempotent under replay,
+    and — after the clustering compaction — answer a batch-sized bkey
+    probe opening files_kept << files_total."""
+    import glob as _g
+    import shutil as _sh
+
+    from pyspark.sql import functions as F
+
+    from imagingdb_spark import snapshots as S
+    from imagingdb_spark.multimodal import PHASH_BANDS, synth_frames
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet").select(
+        "doc_id", "text"
+    )
+
+    def feed(batch_dir):
+        for i in range(4):
+            part = synth_frames(
+                docs.filter(F.col("doc_id") % 3 == i % 3)
+            )  # batch 3 replays batch 0
+            part.coalesce(1).write.parquet(
+                str(tmp_path / f"sstage_{batch_dir}_{i}")
+            )
+            src = _g.glob(
+                str(tmp_path / f"sstage_{batch_dir}_{i}" / "part-*.parquet")
+            )[0]
+            (tmp_path / batch_dir).mkdir(exist_ok=True)
+            _sh.move(src, str(tmp_path / batch_dir / f"b{i:02d}.parquet"))
+
+    def run(batch_dir, corpus, matches, ck, fmt, compact_every=2):
+        stream = (
+            spark.readStream.schema(
+                jobs.read_frames_stream(
+                    spark, str(tmp_path / batch_dir)
+                ).schema
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(tmp_path / batch_dir))
+        )
+        q = jobs.streaming_phash_gate(
+            stream, corpus, matches, str(tmp_path / ck),
+            compact_every=compact_every, index_format=fmt,
+            index_target_bytes=2048,  # force a many-file clustered layout
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    feed("sin_a")
+    feed("sin_b")
+    snap_corpus = str(tmp_path / "scorp_a")
+    run("sin_a", snap_corpus, str(tmp_path / "smat_a"), "sck_a", "snapshot")
+    run("sin_b", str(tmp_path / "scorp_b"), str(tmp_path / "smat_b"),
+        "sck_b", "parquet")
+
+    # content parity with the plain-parquet index run
+    ca = {
+        r["frame_id"]
+        for r in spark.read.parquet(snap_corpus).collect()
+    }
+    cb = {
+        r["frame_id"]
+        for r in spark.read.parquet(str(tmp_path / "scorp_b")).collect()
+    }
+    assert ca == cb and ca
+    ma = {
+        (r["new_frame"], r["corpus_frame"], r["hamming"])
+        for r in spark.read.parquet(str(tmp_path / "smat_a")).collect()
+    }
+    mb = {
+        (r["new_frame"], r["corpus_frame"], r["hamming"])
+        for r in spark.read.parquet(str(tmp_path / "smat_b")).collect()
+    }
+    assert ma == mb
+
+    # the snapshot index is 1:1 with the corpus (PHASH_BANDS rows each)
+    idx_dir = snap_corpus + "_idx_bands"
+    assert S.snapshot_exists(idx_dir)
+    idx = S.snapshot_read(spark, idx_dir)
+    per_frame = {
+        r["frame_id"]: r["n"]
+        for r in idx.groupBy("frame_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per_frame) == ca
+    assert all(n == PHASH_BANDS for n in per_frame.values())
+
+    # pruning evidence: after the bkey-clustered compaction, a
+    # batch-sized bkey probe must skip most files — and the pruned read
+    # must equal the full read filtered
+    probe = sorted(
+        r["bkey"] for r in idx.select("bkey").distinct().limit(12).collect()
+    )
+    plan = S.snapshot_scan_plan(idx_dir, [("bkey", "in", probe)])
+    assert plan["files_total"] > 4
+    assert plan["files_kept"] < plan["files_total"]
+    pruned = S.snapshot_read(
+        spark, idx_dir, where=[("bkey", "in", probe)]
+    ).count()
+    full = idx.filter(F.col("bkey").isin(probe)).count()
+    assert pruned == full
+
+    # replay over the final state (fresh checkpoint): nothing grows,
+    # and the index commits' txn markers admit no duplicate band rows
+    n_corpus = len(ca)
+    n_idx = idx.count()
+    run("sin_a", snap_corpus, str(tmp_path / "smat_a"), "sck_a2", "snapshot")
+    assert spark.read.parquet(snap_corpus).count() == n_corpus
+    assert S.snapshot_read(spark, idx_dir).count() == n_idx
+
+
 def test_dedup_gate_replay_after_torn_corpus_append(spark, tmp_path):
     """The INVERSE crash window of test_streaming_dedup_gate_heals_torn_
     index_append: the concurrent index appends landed but the corpus
