@@ -14,10 +14,13 @@ exactly that:
   (II/MM), BitsPerSample 8/16, SamplesPerPixel 1/3, strip-based storage
   (any RowsPerStrip), Compression 1 (none), 5 (LZW, TIFF §13 variant:
   MSB-first variable-width codes with early change), 8/32946 (Deflate,
-  stdlib zlib), and Predictor 2 (horizontal differencing, §14) — the
-  codecs real microscopy writers emit. Exotic codecs (JPEG, PackBits,
-  CCITT) still raise with a clear message and the injectable
-  page_reader seam covers them.
+  stdlib zlib), 6/7 (JPEG — old-style via the JPEGInterchangeFormat
+  full-stream tags, new-style per-strip streams with the shared
+  JPEGTables tag; baseline 8-bit, decoded by the pure-numpy codec in
+  imagingdb_spark/jpeg.py), and Predictor 2 (horizontal differencing,
+  §14) — the codecs real microscopy writers emit. The remaining exotica
+  (PackBits, CCITT, progressive/12-bit JPEG) still raise with a clear
+  message and the injectable page_reader seam covers them.
 - ``write_tiff``: emits a valid multi-page TIFF (little-endian, one
   strip per page; compression="none"/"lzw"/"deflate") — used by tests
   and as the synthetic-data twin.
@@ -36,17 +39,20 @@ import zlib
 
 import numpy as np
 
-# IFD tag ids (TIFF 6.0 §8)
+# IFD tag ids (TIFF 6.0 §8; 347/513/514 from TIFF TechNote 2)
 _WIDTH, _LENGTH, _BITS, _COMPRESSION = 256, 257, 258, 259
 _PHOTOMETRIC, _DESCRIPTION, _STRIP_OFFSETS = 262, 270, 273
 _SAMPLES, _ROWS_PER_STRIP, _STRIP_COUNTS = 277, 278, 279
 _PREDICTOR = 317
+_JPEG_TABLES, _JPEG_IF, _JPEG_IF_LEN = 347, 513, 514
 
 _COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD = 1, 5, 8, 32946
+_COMP_JPEG_OLD, _COMP_JPEG = 6, 7
 
 # field type → (struct code, byte size); the subset real writers use
-# (2 = ASCII, one byte per char incl. the NUL terminator)
-_TYPES = {1: ("B", 1), 2: ("B", 1), 3: ("H", 2), 4: ("I", 4)}
+# (2 = ASCII, one byte per char incl. the NUL terminator; 7 = UNDEFINED
+# raw bytes — the JPEGTables tag's type)
+_TYPES = {1: ("B", 1), 2: ("B", 1), 3: ("H", 2), 4: ("I", 4), 7: ("B", 1)}
 
 
 
@@ -163,9 +169,60 @@ def _decode_strips(strips: list[bytes], comp: int) -> bytes:
     if comp == _COMP_LZW:
         return b"".join(_lzw_decode(s) for s in strips)
     raise ValueError(
-        f"unsupported TIFF compression {comp} (built-in: none/LZW/Deflate); "
-        "inject a page_reader backed by tifffile for exotic codecs"
+        f"unsupported TIFF compression {comp} (built-in: none/LZW/Deflate/"
+        "baseline-JPEG); inject a page_reader backed by tifffile for "
+        "exotic codecs (PackBits, CCITT)"
     )
+
+
+def _decode_jpeg_page(
+    buf: bytes,
+    tags: dict[int, list[int]],
+    comp: int,
+    w: int,
+    h: int,
+    samples: int,
+    bits: int,
+) -> np.ndarray:
+    """One JPEG-compressed TIFF page (Compression 6 old-style / 7
+    new-style) → (H, W[, 3]) uint8 via the pure-numpy baseline decoder
+    (imagingdb_spark/jpeg.py). Old-style pages need the
+    JPEGInterchangeFormat (513/514) full-stream tags — the strip-soup
+    variant of Compression 6 that TechNote 2 deprecated still raises;
+    new-style strips are each a complete stream, with the optional
+    JPEGTables tag (347) folded into every strip's decoder state."""
+    from imagingdb_spark.jpeg import decode_jpeg
+
+    if bits != 8:
+        raise ValueError(
+            "JPEG-in-TIFF is 8-bit baseline only (12-bit/16-bit pages "
+            "need an injected page_reader)"
+        )
+    if comp == _COMP_JPEG_OLD:
+        if _JPEG_IF not in tags:
+            raise ValueError(
+                "old-style JPEG (Compression 6) without "
+                "JPEGInterchangeFormat is unsupported (TechNote 2 "
+                "deprecated it); inject a page_reader"
+            )
+        off = tags[_JPEG_IF][0]
+        ln = tags.get(_JPEG_IF_LEN, [len(buf) - off])[0]
+        page = decode_jpeg(buf[off : off + ln])
+    else:
+        tables = bytes(tags[_JPEG_TABLES]) if _JPEG_TABLES in tags else None
+        strips = [
+            decode_jpeg(buf[o : o + c], tables=tables)
+            for o, c in zip(tags[_STRIP_OFFSETS], tags[_STRIP_COUNTS])
+        ]
+        page = strips[0] if len(strips) == 1 else np.concatenate(strips, axis=0)
+    page = page[:h, :w]
+    got_samples = 1 if page.ndim == 2 else page.shape[2]
+    if page.shape[0] != h or page.shape[1] != w or got_samples != samples:
+        raise ValueError(
+            f"JPEG page decoded to {page.shape}, IFD says "
+            f"{h}x{w}x{samples}"
+        )
+    return page
 
 
 def _read_entry(buf: bytes, pos: int, bo: str) -> tuple[int, list[int]]:
@@ -215,6 +272,11 @@ def read_tiff_pages(payload: bytes) -> list[np.ndarray]:
                 f"unsupported TIFF page ({bits}-bit, {samples} samples); the "
                 "frame contract is 8/16-bit grayscale or RGB"
             )
+        if comp in (_COMP_JPEG, _COMP_JPEG_OLD):
+            pages.append(
+                _decode_jpeg_page(buf, tags, comp, w, h, samples, bits)
+            )
+            continue
         data = _decode_strips(
             [
                 buf[o : o + c]
@@ -284,7 +346,12 @@ def parse_ij_description(description: str | None) -> dict[str, int]:
     return out
 
 
-_WRITE_COMP = {"none": _COMP_NONE, "lzw": _COMP_LZW, "deflate": _COMP_DEFLATE}
+_WRITE_COMP = {
+    "none": _COMP_NONE,
+    "lzw": _COMP_LZW,
+    "deflate": _COMP_DEFLATE,
+    "jpeg": _COMP_JPEG,  # new-style: each strip a complete baseline stream
+}
 
 
 def write_tiff(
@@ -327,11 +394,18 @@ def write_tiff(
             raise TypeError(f"expected (H,W) or (H,W,3) page, got {im.shape}")
         h, w = im.shape[0], im.shape[1]
         bits = im.dtype.itemsize * 8
-        strip = im.astype(f"{bo}u{bits // 8}").tobytes()
-        if comp_tag == _COMP_LZW:
-            strip = _lzw_encode(strip)
-        elif comp_tag == _COMP_DEFLATE:
-            strip = zlib.compress(strip)
+        if comp_tag == _COMP_JPEG:
+            if bits != 8:
+                raise TypeError("compression='jpeg' is 8-bit only")
+            from imagingdb_spark.jpeg import encode_jpeg
+
+            strip = encode_jpeg(im, quality=95)
+        else:
+            strip = im.astype(f"{bo}u{bits // 8}").tobytes()
+            if comp_tag == _COMP_LZW:
+                strip = _lzw_encode(strip)
+            elif comp_tag == _COMP_DEFLATE:
+                strip = zlib.compress(strip)
         strip_off = len(out)
         out.extend(strip)
         entries = [
@@ -339,7 +413,16 @@ def write_tiff(
             _entry(_LENGTH, 4, [h]),
             _entry(_BITS, 3, [bits] * samples),
             _entry(_COMPRESSION, 3, [comp_tag]),
-            _entry(_PHOTOMETRIC, 3, [2 if samples == 3 else 1]),
+            # JPEG RGB strips carry YCbCr inside the JFIF stream (PM 6)
+            _entry(
+                _PHOTOMETRIC,
+                3,
+                [
+                    (6 if comp_tag == _COMP_JPEG else 2)
+                    if samples == 3
+                    else 1
+                ],
+            ),
             _entry(_STRIP_OFFSETS, 4, [strip_off]),
             _entry(_SAMPLES, 3, [samples]),
             _entry(_ROWS_PER_STRIP, 4, [h]),

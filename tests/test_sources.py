@@ -175,6 +175,43 @@ class TestSplitTiffPages:
             )
             assert r["sha256"] == hashlib.sha256(bytes(r["payload"])).hexdigest()
 
+    def test_default_reader_splits_jpeg_compressed_tiff(self, spark):
+        """A baseline-JPEG-compressed stack (TIFF Compression 7) clears
+        the DEFAULT reader end-to-end — the input class that previously
+        required an injected tifffile-backed page_reader. Lossy codec:
+        compare decoded frames within the q95 bound."""
+        from imagingdb_spark import png, tiff
+
+        rng2 = np.random.default_rng(5)
+        k = np.ones(5) / 5
+        pages = []
+        for _ in range(4):
+            a = rng2.integers(0, 256, size=(24, 16)).astype("float64")
+            a = np.apply_along_axis(
+                lambda x: np.convolve(x, k, mode="same"), 0, a
+            )
+            pages.append(
+                np.apply_along_axis(
+                    lambda x: np.convolve(x, k, mode="same"), 1, a
+                ).astype("uint8")
+            )
+        df = spark.createDataFrame(
+            [("stack.tif", tiff.write_tiff(pages, compression="jpeg"))],
+            "path string, content binary",
+        )
+        got = sorted(
+            sources.split_tiff_pages(df, nbr_channels=2, nbr_slices=2).collect(),
+            key=lambda r: r["page_idx"],
+        )
+        assert len(got) == 4
+        for i, r in enumerate(got):
+            frame = png.decode_png(bytes(r["payload"]))
+            assert frame.shape == pages[i].shape
+            assert (
+                int(np.abs(frame.astype(int) - pages[i].astype(int)).max())
+                <= 8
+            )
+
     def test_grid_indices_expression_matches_python(self, spark):
         df = spark.range(12).select(F.col("id").cast("int").alias("page"))
         got = df.select(

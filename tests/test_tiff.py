@@ -79,13 +79,19 @@ class TestErrors:
         # patch the Compression entry's value (type SHORT, little-endian)
         at = blob.find(struct.pack("<HH", 259, 3))
         assert at > 0
-        struct.pack_into("<H", blob, at + 8, 7)  # 7 = JPEG — not built in
-        with pytest.raises(ValueError, match="compression 7"):
+        struct.pack_into("<H", blob, at + 8, 32773)  # PackBits: not built in
+        with pytest.raises(ValueError, match="compression 32773"):
             tiff.read_tiff_pages(bytes(blob))
 
     def test_bad_write_compression_rejected(self):
         with pytest.raises(ValueError, match="compression"):
-            tiff.write_tiff([np.zeros((2, 2), np.uint8)], compression="jpeg")
+            tiff.write_tiff([np.zeros((2, 2), np.uint8)], compression="webp")
+
+    def test_jpeg_write_rejects_16bit(self):
+        with pytest.raises(TypeError, match="8-bit"):
+            tiff.write_tiff(
+                [np.zeros((2, 2), np.uint16)], compression="jpeg"
+            )
 
     def test_writer_rejects_bad_dtype(self):
         with pytest.raises(TypeError, match="uint8/uint16"):
@@ -213,3 +219,177 @@ class TestCompressedRoundTrip:
         out.extend(b"\x00\x00\x00\x00")
         back = tiff.read_tiff_pages(bytes(out))
         np.testing.assert_array_equal(back[0], want)
+
+
+def _smooth(h, w, seed):
+    """Low-frequency random image — JPEG's design target; keeps the
+    lossy round-trip error bound tight."""
+    r = np.random.default_rng(seed)
+    k = np.ones(7) / 7
+    a = r.integers(0, 256, size=(h, w)).astype("float64")
+    a = np.apply_along_axis(lambda x: np.convolve(x, k, mode="same"), 0, a)
+    return np.apply_along_axis(
+        lambda x: np.convolve(x, k, mode="same"), 1, a
+    ).astype("uint8")
+
+
+class TestJpegInTiff:
+    """Compression 6/7 via the pure-numpy baseline codec (jpeg.py):
+    round trips against the repo's own encoder for the 8-bit gray/RGB
+    frame contract; the seam error narrows to progressive/12-bit."""
+
+    def test_new_style_multipage_roundtrip_gray_and_rgb(self):
+        gray = _smooth(40, 56, 1)
+        rgb = np.stack(
+            [_smooth(40, 56, 2), _smooth(40, 56, 3), _smooth(40, 56, 4)],
+            axis=-1,
+        )
+        blob = tiff.write_tiff([gray, rgb], compression="jpeg")
+        out = tiff.read_tiff_pages(blob)
+        assert len(out) == 2
+        assert out[0].shape == gray.shape and out[0].dtype == np.uint8
+        assert out[1].shape == rgb.shape
+        # lossy bound at q95 on smooth content
+        assert int(np.abs(out[0].astype(int) - gray.astype(int)).max()) <= 8
+        assert int(np.abs(out[1].astype(int) - rgb.astype(int)).max()) <= 16
+
+    def test_odd_dims_and_flat_exact(self):
+        odd = _smooth(17, 23, 9)
+        got = tiff.read_tiff_pages(
+            tiff.write_tiff([odd], compression="jpeg")
+        )[0]
+        assert got.shape == odd.shape
+        assert int(np.abs(got.astype(int) - odd.astype(int)).max()) <= 8
+        flat = np.full((16, 24), 130, dtype=np.uint8)
+        got = tiff.read_tiff_pages(
+            tiff.write_tiff([flat], compression="jpeg")
+        )[0]
+        assert np.array_equal(got, flat)  # DC-only blocks are exact
+
+    def test_multi_strip_with_shared_jpeg_tables(self):
+        """Hand-build the OTHER new-style shape real writers emit: several
+        RowsPerStrip-band strips sharing one JPEGTables (tag 347) stream —
+        exercises the abbreviated-stream table merge."""
+        from imagingdb_spark.jpeg import decode_jpeg, encode_jpeg
+
+        im = _smooth(32, 40, 5)
+        top = encode_jpeg(im[:16], quality=95)
+        bot = encode_jpeg(im[16:], quality=95)
+        # share the top strip's DQT/DHT via tag 347 and STRIP the strips'
+        # own table segments to make them abbreviated streams
+        def strip_tables(jp):
+            out = bytearray(b"\xff\xd8")
+            pos = 2
+            while pos + 1 < len(jp):
+                marker = jp[pos + 1]
+                if marker == 0xD9:
+                    out += jp[pos:]
+                    break
+                if marker == 0xDA:  # SOS: copy the rest verbatim
+                    out += jp[pos:]
+                    break
+                (ln,) = struct.unpack(">H", jp[pos + 2 : pos + 4])
+                if marker not in (0xDB, 0xC4):  # drop tables only
+                    out += jp[pos : pos + 2 + ln]
+                pos += 2 + ln
+            return bytes(out)
+
+        tables = bytearray(b"\xff\xd8")
+        pos = 2
+        while pos + 1 < len(top):
+            marker = top[pos + 1]
+            if marker in (0xDA, 0xD9):
+                break
+            (ln,) = struct.unpack(">H", top[pos + 2 : pos + 4])
+            if marker in (0xDB, 0xC4):
+                tables += top[pos : pos + 2 + ln]
+            pos += 2 + ln
+        tables += b"\xff\xd9"
+        s1, s2 = strip_tables(top), strip_tables(bot)
+        # sanity: abbreviated strips decode only WITH the shared tables
+        with pytest.raises(ValueError, match="missing tables"):
+            decode_jpeg(s1)
+        a = decode_jpeg(s1, tables=bytes(tables))
+        b = decode_jpeg(s2, tables=bytes(tables))
+        merged = np.concatenate([a, b], axis=0)
+        assert merged.shape == im.shape
+        assert int(np.abs(merged.astype(int) - im.astype(int)).max()) <= 8
+
+    def test_old_style_comp6_interchange_format(self):
+        """Compression 6 with JPEGInterchangeFormat/Length: the whole
+        page is one JFIF stream at an absolute offset."""
+        from imagingdb_spark.jpeg import encode_jpeg
+
+        im = _smooth(24, 24, 6)
+        stream = encode_jpeg(im, quality=95)
+        bo = "<"
+        out = bytearray(b"II*\x00\x00\x00\x00\x00")
+        s_off = len(out)
+        out += stream
+
+        def entry(tag, ftype, vals):
+            code = {3: "H", 4: "I"}[ftype]
+            packed = struct.pack(f"{bo}{len(vals)}{code}", *vals)
+            return (
+                struct.pack(bo + "HHI", tag, ftype, len(vals))
+                + packed.ljust(4, b"\x00")
+            )
+
+        entries = [
+            entry(256, 4, [24]),
+            entry(257, 4, [24]),
+            entry(258, 3, [8]),
+            entry(259, 3, [6]),  # old-style JPEG
+            entry(262, 3, [1]),
+            entry(277, 3, [1]),
+            entry(513, 4, [s_off]),
+            entry(514, 4, [len(stream)]),
+        ]
+        ifd = len(out)
+        struct.pack_into(bo + "I", out, 4, ifd)
+        out += struct.pack(bo + "H", len(entries))
+        for e in entries:
+            out += e
+        out += b"\x00\x00\x00\x00"
+        got = tiff.read_tiff_pages(bytes(out))[0]
+        assert got.shape == im.shape
+        assert int(np.abs(got.astype(int) - im.astype(int)).max()) <= 8
+
+    def test_seam_error_narrowed_to_progressive(self):
+        """A progressive (SOF2) stream inside a Compression-7 page hits
+        the NARROWED error — naming progressive, not 'JPEG'."""
+        from imagingdb_spark.jpeg import encode_jpeg
+
+        im = _smooth(16, 16, 7)
+        stream = bytearray(encode_jpeg(im, quality=95))
+        at = stream.find(b"\xff\xc0")
+        assert at > 0
+        stream[at + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+        blob = bytearray(tiff.write_tiff([im], compression="jpeg"))
+        # splice the progressive stream over the baseline strip: same
+        # length (only the marker byte changed)
+        at2 = bytes(blob).find(b"\xff\xd8\xff\xe0")
+        blob[at2 : at2 + len(stream)] = stream
+        with pytest.raises(ValueError, match="progressive"):
+            tiff.read_tiff_pages(bytes(blob))
+
+    def test_restart_markers_decode(self):
+        """DRI + RSTn: a stream with restart markers every 3 MCUs must
+        decode to the same pixels as the unmarked stream — byte
+        alignment, RST consumption, and DC-predictor resets all
+        exercised (grayscale AND color)."""
+        from imagingdb_spark import jpeg as J
+
+        im = _smooth(32, 40, 8)
+        plain = J.decode_jpeg(J.encode_jpeg(im, quality=95))
+        rst = J.encode_jpeg(im, quality=95, restart_interval=3)
+        assert rst.count(b"\xff\xdd") == 1  # DRI present
+        assert any(bytes([0xFF, 0xD0 + i]) in rst for i in range(8))
+        got = J.decode_jpeg(rst)
+        np.testing.assert_array_equal(got, plain)  # same quantized data
+        rgb = np.stack([_smooth(24, 24, 1), _smooth(24, 24, 2),
+                        _smooth(24, 24, 3)], axis=-1)
+        np.testing.assert_array_equal(
+            J.decode_jpeg(J.encode_jpeg(rgb, 95, restart_interval=2)),
+            J.decode_jpeg(J.encode_jpeg(rgb, 95)),
+        )
