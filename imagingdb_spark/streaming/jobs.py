@@ -917,6 +917,8 @@ def streaming_dedup_gate(
     checkpoint_dir: str,
     compact_every: int | None = None,
     append_partitions: int | None = 8,
+    index_format: str = "parquet",
+    index_target_bytes: int = 256 * 1024,
 ) -> StreamingQuery:
     """Streaming crawl-ingest dedup gate — the continuous twin of
     x_dedup_incremental: per micro-batch, (1) exact-dedup the batch
@@ -970,30 +972,72 @@ def streaming_dedup_gate(
     triggers with layout.compact_parquet's crash-safe rewrite —
     ``_heal_interrupted_compaction`` at trigger start recovers every
     mid-swap crash window, so a compaction death never masquerades as a
-    missing corpus."""
+    missing corpus.
+
+    ``index_format="snapshot"`` stores BOTH index tables as snapshot
+    tables (the text twin of the fingerprint gates' pruned band index):
+    the prefix index is read per trigger with the batch's prefix-token
+    set (``("token", "in", ...)``), the tokset table with the candidate
+    corpus-doc set discovered from that pruned prefix read — so once the
+    periodic compaction has clustered the prefix index on ``token`` and
+    the tokset table on ``doc_id``, a trigger opens only the manifest
+    files its batch's tokens/candidates touch instead of scanning the
+    standing corpus' full indexes. Appends are exactly-once via txn
+    markers, the _SUCCESS bootstrap probe disappears, and compaction is
+    the transactional clustered rewrite. Match results are identical in
+    both formats (parity test-pinned); the two extra per-trigger driver
+    collects (batch prefix tokens, candidate doc ids) are batch- and
+    candidate-bounded respectively."""
     from imagingdb_spark.operators.dedup import (
         canonical_prefixes,
         canonical_toksets,
         incremental_match_indexed,
     )
+    from imagingdb_spark import snapshots as SN
 
+    if index_format not in ("parquet", "snapshot"):
+        raise ValueError("index_format must be parquet|snapshot")
+    snap_idx = index_format == "snapshot"
     idx_tokset_path = corpus_path + "_idx_tokset"
     idx_prefix_path = corpus_path + "_idx_prefix"
+    _TOK_APP, _PREF_APP = "dgate-tok", "dgate-pref"
 
-    def _write_index(toksets: DataFrame, mode: str) -> None:
-        toksets.write.mode(mode).parquet(idx_tokset_path)
-        canonical_prefixes(toksets).write.mode(mode).parquet(idx_prefix_path)
+    def _write_index(
+        toksets: DataFrame, mode: str, batch_id: int | None = None
+    ) -> None:
+        prefixes = canonical_prefixes(toksets)
+        if snap_idx:
+            spark = toksets.sparkSession
+            # txn markers ONLY on appends; a bootstrap/rebuild overwrite
+            # must not record the seq or the same trigger's delta append
+            # would be skipped as its own replay
+            SN.snapshot_commit(
+                spark, idx_tokset_path, toksets, mode=mode,
+                txn=(_TOK_APP, batch_id) if mode == "append" else None,
+            )
+            SN.snapshot_commit(
+                spark, idx_prefix_path, prefixes, mode=mode,
+                txn=(_PREF_APP, batch_id) if mode == "append" else None,
+            )
+        else:
+            toksets.write.mode(mode).parquet(idx_tokset_path)
+            prefixes.write.mode(mode).parquet(idx_prefix_path)
 
     def _present_sets(
         spark: SparkSession, batch: DataFrame, batch_id: int
     ) -> dict[str, set]:
+        if snap_idx:
+            tok_src = SN.snapshot_read(spark, idx_tokset_path)
+            pref_src = SN.snapshot_read(spark, idx_prefix_path)
+        else:
+            tok_src, pref_src = idx_tokset_path, idx_prefix_path
         return _present_id_sets(
             spark,
             batch.select("doc_id").distinct(),
             [
                 ("c", corpus_path),
-                ("t", idx_tokset_path),
-                ("p", idx_prefix_path),
+                ("t", tok_src),
+                ("p", pref_src),
             ],
             "doc_id",
             resident=(corpus_path, batch_id),
@@ -1009,7 +1053,10 @@ def streaming_dedup_gate(
         from concurrent.futures import ThreadPoolExecutor
 
         spark = batch_df.sparkSession
-        for p in (corpus_path, idx_tokset_path, idx_prefix_path, matches_path):
+        plain_tables = [corpus_path, matches_path] + (
+            [] if snap_idx else [idx_tokset_path, idx_prefix_path]
+        )
+        for p in plain_tables:
             _heal_interrupted_compaction(p)
         batch = (
             batch_df.withColumn("_h", F.sha2("text", 256))
@@ -1029,28 +1076,74 @@ def streaming_dedup_gate(
                 _co(
                     batch.withColumn("_gate_batch", F.lit(batch_id))
                 ).write.mode("append").parquet(corpus_path)
-                _write_index(canonical_toksets(batch), "append")
+                _write_index(canonical_toksets(batch), "append", batch_id)
                 return
             # the index is complete only if BOTH overwrite jobs finished:
             # a killed bootstrap leaves committed task files that READ
             # fine, so presence of the dir proves nothing — the _SUCCESS
-            # marker (written at job commit) does. Append jobs re-stamp
+            # marker (written at job commit) does (plain-parquet mode
+            # only; snapshot manifests cannot tear). Append jobs re-stamp
             # it; torn APPENDS are instead healed per-doc below (a doc's
             # rows land in one task file, so doc presence => doc
             # complete).
-            if not (
-                _fs_exists(spark, idx_tokset_path + "/_SUCCESS")
+            idx_complete = (
+                SN.snapshot_exists(idx_tokset_path)
+                and SN.snapshot_exists(idx_prefix_path)
+                if snap_idx
+                else _fs_exists(spark, idx_tokset_path + "/_SUCCESS")
                 and _fs_exists(spark, idx_prefix_path + "/_SUCCESS")
-            ):
+            )
+            if not idx_complete:
                 # pre-seeded corpus with no index yet — or a torn
                 # bootstrap: (re)derive BOTH with overwrite (idempotent)
                 _write_index(
                     canonical_toksets(spark.read.parquet(corpus_path)),
                     "overwrite",
                 )
-            corpus_tok = spark.read.parquet(idx_tokset_path)
-            corpus_prefix = spark.read.parquet(idx_prefix_path)
             batch_tok = canonical_toksets(batch).persist()
+            if snap_idx:
+                # prefix index pruned to the BATCH's prefix tokens: the
+                # manifest opens only files whose token ranges the batch
+                # touches (once compaction has clustered on token);
+                # tokset table pruned to the CANDIDATE corpus docs that
+                # pruned prefix read discovers. Both driver collects are
+                # batch-/candidate-bounded.
+                new_pref = canonical_prefixes(batch_tok)
+                ptoks = sorted(
+                    r["token"]
+                    for r in new_pref.select("token").distinct().collect()
+                )
+                corpus_prefix = SN.snapshot_read(
+                    spark,
+                    idx_prefix_path,
+                    where=[("token", "in", ptoks)] if ptoks else None,
+                )
+                cdocs = sorted(
+                    r["doc_id"]
+                    for r in corpus_prefix.join(
+                        F.broadcast(
+                            new_pref.select(
+                                "lang", "source", "token"
+                            ).distinct()
+                        ),
+                        ["lang", "source", "token"],
+                    )
+                    .select("doc_id")
+                    .distinct()
+                    .collect()
+                )
+                corpus_tok = (
+                    SN.snapshot_read(
+                        spark,
+                        idx_tokset_path,
+                        where=[("doc_id", "in", cdocs)],
+                    )
+                    if cdocs
+                    else spark.createDataFrame([], batch_tok.schema)
+                )
+            else:
+                corpus_tok = spark.read.parquet(idx_tokset_path)
+                corpus_prefix = spark.read.parquet(idx_prefix_path)
             # present sets come FIRST (pre-append corpus state): they
             # feed the append screens below AND the phantom-id screen
             batch_ids = batch.select("doc_id").distinct().persist()
@@ -1103,6 +1196,30 @@ def streaming_dedup_gate(
                 # with no append order, an index append can land without
                 # the corpus append, and only the screen keeps that
                 # replay from dropping within-batch near-dup peers.
+                def _put_tok():
+                    df = _co(_screen(spark, accepted_tok, present["t"]))
+                    if snap_idx:
+                        SN.snapshot_commit(
+                            spark, idx_tokset_path, df,
+                            txn=(_TOK_APP, batch_id),
+                        )
+                    else:
+                        df.write.mode("append").parquet(idx_tokset_path)
+
+                def _put_pref():
+                    df = _co(
+                        canonical_prefixes(
+                            _screen(spark, accepted_tok, present["p"])
+                        )
+                    )
+                    if snap_idx:
+                        SN.snapshot_commit(
+                            spark, idx_prefix_path, df,
+                            txn=(_PREF_APP, batch_id),
+                        )
+                    else:
+                        df.write.mode("append").parquet(idx_prefix_path)
+
                 writes = [
                     lambda: _co(pairs).write.mode("append").parquet(matches_path),
                     lambda: _co(
@@ -1112,16 +1229,8 @@ def streaming_dedup_gate(
                     )
                     .write.mode("append")
                     .parquet(corpus_path),
-                    lambda: _co(_screen(spark, accepted_tok, present["t"]))
-                    .write.mode("append")
-                    .parquet(idx_tokset_path),
-                    lambda: _co(
-                        canonical_prefixes(
-                            _screen(spark, accepted_tok, present["p"])
-                        )
-                    )
-                    .write.mode("append")
-                    .parquet(idx_prefix_path),
+                    _put_tok,
+                    _put_pref,
                 ]
                 with ThreadPoolExecutor(max_workers=4) as pool:
                     for fut in [pool.submit(w) for w in writes]:
@@ -1137,14 +1246,25 @@ def streaming_dedup_gate(
                 # covers a compaction that dies mid-swap)
                 from imagingdb_spark.layout import compact_parquet
 
-                for p in (
-                    corpus_path,
-                    idx_tokset_path,
-                    idx_prefix_path,
-                    matches_path,
-                ):
+                for p in plain_tables:
                     if _fs_exists(spark, p):
                         compact_parquet(spark, p)
+                if snap_idx:
+                    # transactional folds CLUSTERED on each table's
+                    # pruning key — what turns the per-trigger "in"
+                    # reads into manifest skips
+                    if SN.snapshot_exists(idx_prefix_path):
+                        SN.snapshot_compact(
+                            spark, idx_prefix_path,
+                            target_file_bytes=index_target_bytes,
+                            cluster_cols=["token"],
+                        )
+                    if SN.snapshot_exists(idx_tokset_path):
+                        SN.snapshot_compact(
+                            spark, idx_tokset_path,
+                            target_file_bytes=index_target_bytes,
+                            cluster_cols=["doc_id"],
+                        )
         finally:
             batch.unpersist()
 
