@@ -1024,11 +1024,22 @@ def streaming_dedup_gate(
             prefixes.write.mode(mode).parquet(idx_prefix_path)
 
     def _present_sets(
-        spark: SparkSession, batch: DataFrame, batch_id: int
+        spark: SparkSession,
+        batch: DataFrame,
+        batch_id: int,
+        batch_id_list: list | None = None,
     ) -> dict[str, set]:
         if snap_idx:
-            tok_src = SN.snapshot_read(spark, idx_tokset_path)
-            pref_src = SN.snapshot_read(spark, idx_prefix_path)
+            # prune the index sides of the present-set scan by the batch
+            # ids — the tokset table is doc_id-clustered after
+            # compaction, so this opens only the files the batch's ids
+            # could live in (the prefix table is token-clustered, so its
+            # doc_id stats span everything: correct, just unpruned)
+            where = (
+                [("doc_id", "in", batch_id_list)] if batch_id_list else None
+            )
+            tok_src = SN.snapshot_read(spark, idx_tokset_path, where=where)
+            pref_src = SN.snapshot_read(spark, idx_prefix_path, where=where)
         else:
             tok_src, pref_src = idx_tokset_path, idx_prefix_path
         return _present_id_sets(
@@ -1147,8 +1158,10 @@ def streaming_dedup_gate(
             # present sets come FIRST (pre-append corpus state): they
             # feed the append screens below AND the phantom-id screen
             batch_ids = batch.select("doc_id").distinct().persist()
-            present = _present_sets(spark, batch_ids, batch_id)
             batch_id_set = {r["doc_id"] for r in batch_ids.collect()}
+            present = _present_sets(
+                spark, batch_ids, batch_id, sorted(batch_id_set)
+            )
             raw_pairs = incremental_match_indexed(
                 batch_tok, corpus_prefix, corpus_tok
             ).filter(
@@ -1703,13 +1716,21 @@ def _streaming_fingerprint_gate(
             df.write.mode(mode).parquet(idx_bands_path)
 
     def _present_sets(
-        spark: SparkSession, batch_ids: DataFrame, batch_id: int
+        spark: SparkSession,
+        batch_ids: DataFrame,
+        batch_id: int,
+        batch_id_list: list | None = None,
     ) -> dict[str, set]:
-        idx_src = (
-            SN.snapshot_read(spark, idx_bands_path)
-            if snap_idx
-            else idx_bands_path
-        )
+        if snap_idx:
+            # prune the band-index side of the present-set scan by the
+            # batch's ids (correct regardless of clustering; skips files
+            # whose id ranges exclude the whole batch)
+            where = (
+                [(id_col, "in", batch_id_list)] if batch_id_list else None
+            )
+            idx_src = SN.snapshot_read(spark, idx_bands_path, where=where)
+        else:
+            idx_src = idx_bands_path
         return _present_id_sets(
             spark,
             batch_ids,
@@ -1768,8 +1789,10 @@ def _streaming_fingerprint_gate(
             batch_ids = batch.select(id_col).distinct().persist()
             # present sets come FIRST (pre-append corpus state): they
             # feed the append screens AND the phantom-id screen below
-            present = _present_sets(spark, batch_ids, batch_id)
             batch_id_set = {r[id_col] for r in batch_ids.collect()}
+            present = _present_sets(
+                spark, batch_ids, batch_id, sorted(batch_id_set)
+            )
             band_cols = ["bkey"] if snap_idx else ["band_idx", "band_value"]
             new_bands = _band_rows(batch.select(id_col, fp_col)).select(
                 F.col(id_col).alias(match_a),
