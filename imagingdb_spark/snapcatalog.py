@@ -386,11 +386,23 @@ def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
                 cdir = os.path.join(ddir, commit_id)
                 if not os.path.isdir(cdir):
                     continue
-                for n in os.listdir(cdir):
+                # only DATA files are vacuum candidates — _SUCCESS
+                # markers and .crc sidecars are bookkeeping, never
+                # manifest-referenced, and deleting a live commit's
+                # sidecars would make a clean table look dirty (same
+                # rule as snapshots.snapshot_vacuum)
+                data = [
+                    n
+                    for n in os.listdir(cdir)
+                    if n.endswith(".parquet") and not n.startswith((".", "_"))
+                ]
+                for n in data:
                     rel = os.path.join(S.DATA_DIR, commit_id, n)
                     if rel not in keep:
                         os.unlink(os.path.join(cdir, n))
                         removed.append(os.path.join(name, rel))
-                if not os.listdir(cdir):
-                    os.rmdir(cdir)
+                if not any(
+                    n.endswith(".parquet") for n in os.listdir(cdir)
+                ):
+                    shutil.rmtree(cdir, ignore_errors=True)
     return removed
