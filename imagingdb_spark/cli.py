@@ -76,9 +76,15 @@ def load_catalog(spark: SparkSession, catalog_dir: str) -> dict[str, DataFrame]:
     (``<catalog_dir>/<name>.parquet``) keep reading as before; a table
     that exists in neither form (fresh catalog) is an empty DataFrame
     with the declared schema — the `Base.metadata.create_all` analogue
-    (db_operations.py:29)."""
+    (db_operations.py:29). An ATOMIC catalog (written via
+    ingest.CatalogTarget — one multi-table commit object per upload)
+    resolves all four tables from ONE catalog tip, so the returned views
+    are mutually consistent by construction."""
+    from imagingdb_spark import snapcatalog as C
     from imagingdb_spark import snapshots as S
 
+    if C.catalog_exists(catalog_dir):
+        return C.catalog_views(spark, catalog_dir, IMAGING_SCHEMAS)
     out: dict[str, DataFrame] = {}
     for name, schema in IMAGING_SCHEMAS.items():
         p = Path(catalog_dir) / f"{name}.parquet"
@@ -114,9 +120,18 @@ def load_catalog_slice(
     fallback — so the found-serial fast path never resolves any table's
     full manifest file list (at ~800k entries that resolution is itself
     the cost this function exists to avoid)."""
+    from imagingdb_spark import snapcatalog as C
     from imagingdb_spark import snapshots as S
 
+    atomic = C.catalog_exists(catalog_dir)
+    commit = C.catalog_manifest(catalog_dir) if atomic else None
+
     def _full(name: str) -> DataFrame:
+        if atomic:
+            return C.read_table_at(
+                spark, catalog_dir, commit, name,
+                schema=IMAGING_SCHEMAS[name],
+            )
         p = Path(catalog_dir) / f"{name}.parquet"
         snap = Path(catalog_dir) / name
         if p.exists():
@@ -126,6 +141,13 @@ def load_catalog_slice(
         return spark.createDataFrame([], IMAGING_SCHEMAS[name])
 
     def _pruned(name: str, where: list) -> DataFrame:
+        if atomic:
+            # pruned read against the SAME pinned catalog tip every
+            # other table of this slice resolves from
+            return C.read_table_at(
+                spark, catalog_dir, commit, name, where,
+                schema=IMAGING_SCHEMAS[name],
+            )
         snap = Path(catalog_dir) / name
         legacy = Path(catalog_dir) / f"{name}.parquet"
         if not legacy.exists() and S.snapshot_exists(str(snap)):

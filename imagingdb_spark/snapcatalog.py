@@ -159,6 +159,31 @@ def _manifest_df(
     return df.filter(cond) if cond is not None else df
 
 
+def read_table_at(
+    spark: SparkSession,
+    catalog_dir: str,
+    commit: dict,
+    name: str,
+    where: list | None = None,
+    schema: StructType | None = None,
+) -> DataFrame:
+    """PUBLIC pinned-commit table read: resolve ``name`` out of an
+    already-fetched catalog commit object (catalog_manifest's return) —
+    the stable surface for callers that read SEVERAL tables of one tip
+    and need them mutually consistent without re-resolving per table
+    (e.g. the CLI's catalog slice). Absent tables return a typed empty
+    frame when ``schema`` is given, else raise."""
+    m = commit["tables"].get(name)
+    if m is None:
+        if schema is not None:
+            return spark.createDataFrame([], schema)
+        raise FileNotFoundError(
+            f"catalog {catalog_dir} v{commit.get('version')} has no table "
+            f"{name!r}"
+        )
+    return _manifest_df(spark, catalog_dir, name, m, where)
+
+
 def catalog_read(
     spark: SparkSession,
     catalog_dir: str,

@@ -300,6 +300,46 @@ class TestAtomicUpload:
         landed = sum(1 for o in outs.values() if o["data_set"].count() == 1)
         assert landed == 1  # exactly one writer's delta is non-empty
 
+    def test_cli_reads_atomic_catalog_and_slice_prunes(self, spark, tmp_path):
+        """cli.load_catalog / load_catalog_slice consume an atomic
+        catalog: all views resolve from ONE pinned commit, the slice
+        equals the filtered full views, and the e2e download flow works
+        over them unchanged."""
+        from imagingdb_spark import cli
+
+        cat_dir = str(tmp_path / "cat")
+        src = _src_file(tmp_path)
+        _upload(spark, src, tmp_path, cat_dir)
+        _upload(spark, src, tmp_path, cat_dir, serial=UP_SERIAL2)
+
+        full = cli.load_catalog(spark, cat_dir)
+        assert full["data_set"].count() == 2
+        assert full["frames"].count() == 12
+        assert full["file_global"].count() == 0  # typed empty, no error
+
+        sl = cli.load_catalog_slice(spark, cat_dir, UP_SERIAL)
+        assert [r["dataset_serial"] for r in sl["data_set"].collect()] == [
+            UP_SERIAL
+        ]
+        assert sl["frames"].count() == 6
+        ds_id = sl["data_set"].collect()[0]["id"]
+        assert all(
+            r["dataset_id"] == ds_id for r in sl["frames_global"].collect()
+        )
+        # absent serial falls back to the full views (error surface fires
+        # in the caller exactly as before)
+        missing = cli.load_catalog_slice(spark, cat_dir, "TEST-2099-01-01-00-00-00-0001")
+        assert missing["data_set"].count() == 2
+
+        # e2e download over the atomic catalog views
+        dest = tmp_path / "dl"
+        dest.mkdir()
+        storage_dir, names = flows.download_dataset(
+            spark, full, UP_SERIAL, str(dest),
+            storage_root=str(tmp_path / "store"),
+        )
+        assert len(names) == 6
+
     def test_file_upload_atomic(self, spark, tmp_path):
         cat_dir = str(tmp_path / "cat")
         src = _src_file(tmp_path, "whole.bin")
