@@ -116,6 +116,63 @@ def main() -> None:
                     "rows_match": True,
                 }
             )
+        # ---- text gate: token-keyed prefix index (unbounded key domain:
+        # pruning comes from range-clustered hash keys, not a fixed key
+        # space — the probe keeps ~(probe tokens)/(files) × total files)
+        from imagingdb_spark.operators.dedup import (
+            canonical_prefixes,
+            canonical_toksets,
+        )
+
+        pref_dir = str(work / "idx_prefix")
+        full_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+            "doc_id", "text", "lang", "source"
+        )
+        toksets = canonical_toksets(full_docs).persist()
+        n_docs = toksets.count()
+        S.snapshot_commit(spark, pref_dir, canonical_prefixes(toksets))
+        pref_bytes = S.snapshot_versions(pref_dir)[-1]["bytes"]
+        S.snapshot_compact(
+            spark,
+            pref_dir,
+            target_file_bytes=max(1, pref_bytes // 1024),
+            cluster_cols=["token"],
+        )
+        pref_total = S.snapshot_scan_plan(pref_dir, [("doc_id", ">=", 0)])[
+            "files_total"
+        ]
+        full_pref = S.snapshot_read(spark, pref_dir)
+        pref_probes = []
+        for p, size in enumerate(sizes):
+            batch = toksets.filter(
+                F.pmod(F.xxhash64(F.col("doc_id").cast("string")),
+                       F.lit(max(1, n_docs // size))) == p
+            )
+            ptoks = sorted(
+                r["token"]
+                for r in canonical_prefixes(batch)
+                .select("token")
+                .distinct()
+                .collect()
+            )
+            if not ptoks:
+                continue
+            plan = S.snapshot_scan_plan(pref_dir, [("token", "in", ptoks)])
+            n_pruned = S.snapshot_read(
+                spark, pref_dir, where=[("token", "in", ptoks)]
+            ).count()
+            n_full = full_pref.filter(F.col("token").isin(ptoks)).count()
+            assert n_pruned == n_full, (n_pruned, n_full)
+            pref_probes.append(
+                {
+                    "probe": p,
+                    "batch_docs": batch.count(),
+                    "n_tokens": len(ptoks),
+                    "files_total": plan["files_total"],
+                    "files_kept": plan["files_kept"],
+                    "rows_match": True,
+                }
+            )
         out = {
             "metric": "gate_index_manifest_pruning",
             "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
@@ -128,6 +185,11 @@ def main() -> None:
                 4,
             ),
             "probes": probes,
+            "prefix_index": {
+                "docs": n_docs,
+                "files_total": pref_total,
+                "probes": pref_probes,
+            },
         }
         line = json.dumps(out)
         print(line)
