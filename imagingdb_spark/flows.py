@@ -259,6 +259,24 @@ def insert_frames(
     return new_ds, new_fg, new_fr
 
 
+def _guard_legacy_catalog(catalog_dir: str) -> None:
+    """An atomic catalog commit must never SHADOW an existing catalog in
+    the same directory: catalog readers would silently lose every
+    pre-existing dataset (snapcatalog guards the per-table snapshot form
+    itself; this guards the legacy ``<name>.parquet`` form)."""
+    from imagingdb_spark.catalog import IMAGING_SCHEMAS
+
+    for name in IMAGING_SCHEMAS:
+        p = os.path.join(catalog_dir, f"{name}.parquet")
+        if os.path.exists(p):
+            raise ValueError(
+                f"{p} exists: this directory already holds a legacy "
+                "plain-parquet catalog; an atomic CatalogTarget commit "
+                "would shadow it. Use the per-table paths, or migrate "
+                "the catalog first."
+            )
+
+
 def insert_frames_atomic(
     datasets: DataFrame,
     frames_rows: DataFrame,
@@ -283,6 +301,7 @@ def insert_frames_atomic(
     from imagingdb_spark.api import serial_to_date_time
     from imagingdb_spark.catalog import IMAGING_SCHEMAS
 
+    _guard_legacy_catalog(catalog_dir)
     spark = datasets.sparkSession
     w = Window.partitionBy(F.lit(0)).orderBy("dataset_serial")
     wf = Window.partitionBy(F.lit(0)).orderBy("dataset_serial", "file_name")
@@ -429,6 +448,7 @@ def insert_file_atomic(
     from imagingdb_spark.api import serial_to_date_time
     from imagingdb_spark.catalog import IMAGING_SCHEMAS
 
+    _guard_legacy_catalog(catalog_dir)
     spark = new_files.sparkSession
     w = Window.partitionBy(F.lit(0)).orderBy("dataset_serial")
     batch_serials = [

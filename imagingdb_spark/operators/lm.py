@@ -980,7 +980,15 @@ def x_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_logprob")
         )
     ).persist()  # histogram + boundary-tie scan + final bucketing
-    return ntile3_by_cutoffs(scored, "lang", "avg_logprob", "doc_id")
+    out = ntile3_by_cutoffs(scored, "lang", "avg_logprob", "doc_id")
+    # the helper's eager histogram collect has materialized scored's
+    # cache by now, so the (much larger, token-level) dt cache is dead
+    # weight — release it. scored itself backs the returned lazy plan;
+    # the session's cache-clearing discipline (bench/selfcheck) or the
+    # caller's clearCache releases it, same contract as dedup.py's
+    # persisted shingle frames.
+    dt.unpersist()
+    return out
 
 
 def ntile3_by_cutoffs(
@@ -1025,6 +1033,13 @@ def ntile3_by_cutoffs(
     )
     by_part: dict = {}
     for r in hist:
+        if r["__sk"] is None:
+            # NULL scores have no defined place in ntile's DESC order
+            # across engines; refuse loudly instead of guessing
+            raise ValueError(
+                f"ntile3_by_cutoffs: NULL {score} in partition "
+                f"{r[part]!r} — filter or impute scores first"
+            )
         by_part.setdefault(r[part], []).append((r["__sk"], r["nd"]))
     # boundary requests: (part, boundary_key, k_within_value, which)
     requests = []
@@ -1053,12 +1068,20 @@ def ntile3_by_cutoffs(
         [(p, int(s), int(k), w) for p, s, k, w in requests],
         f"{part} {part_type}, __sk long, __k long, __which string",
     )
+    kb = keyed.alias("kb")
+    rq = F.broadcast(req_df).alias("rq")
     cuts = (
-        keyed.join(F.broadcast(req_df), [part, "__sk"])
-        .groupBy(part, "__sk", "__k", "__which")
-        .agg(F.sort_array(F.collect_list(tiebreak)).alias("__ids"))
+        kb.join(
+            rq,
+            # null-safe on the partition key (a NULL partition is a real
+            # ntile partition); __sk is never null (guarded above)
+            F.col(f"kb.{part}").eqNullSafe(F.col(f"rq.{part}"))
+            & (F.col("kb.__sk") == F.col("rq.__sk")),
+        )
+        .groupBy(f"kb.{part}", "kb.__sk", "rq.__k", "rq.__which")
+        .agg(F.sort_array(F.collect_list(f"kb.{tiebreak}")).alias("__ids"))
         .select(
-            part,
+            f"kb.{part}",
             "__sk",
             "__which",
             F.element_at("__ids", F.col("__k").cast("int")).alias(tiebreak),
@@ -1086,14 +1109,21 @@ def ntile3_by_cutoffs(
     in_t2 = (sk > F.col("__k2")) | (
         (sk == F.col("__k2")) & (db <= F.col("__d2"))
     )
+    # null-SAFE equi-join: a NULL partition value is its own ntile
+    # partition (the window's PARTITION BY groups NULLs together); a
+    # plain equi-join would silently DROP those rows
     return (
-        scored.join(F.broadcast(cut_df), part)
+        scored.alias("s")
+        .join(
+            F.broadcast(cut_df).alias("c"),
+            F.col(f"s.{part}").eqNullSafe(F.col(f"c.{part}")),
+        )
         .select(
-            tiebreak,
-            part,
-            score,
-            F.when(F.col("__k1").isNotNull() & in_t1, "head")
-            .when(F.col("__k2").isNotNull() & in_t2, "middle")
+            f"s.{tiebreak}",
+            f"s.{part}",
+            f"s.{score}",
+            F.when(F.col("c.__k1").isNotNull() & in_t1, "head")
+            .when(F.col("c.__k2").isNotNull() & in_t2, "middle")
             .otherwise("tail")
             .alias("bucket"),
         )

@@ -264,6 +264,22 @@ def catalog_commit(
         parent = vs[-1] if vs else 0
         base = _read_commit(catalog_dir, parent) if parent else None
         tables_base: dict[str, dict] = dict(base["tables"]) if base else {}
+        # refuse to SHADOW a standalone per-table snapshot table living in
+        # the same directory: a first atomic commit would silently hide
+        # its committed rows from every catalog reader and interleave new
+        # data files into its dirs — the caller must keep the per-table
+        # path or migrate explicitly
+        for name in keys:
+            if name not in tables_base and S.snapshot_exists(
+                _table_dir(catalog_dir, name)
+            ):
+                raise ValueError(
+                    f"{_table_dir(catalog_dir, name)} already holds a "
+                    "standalone snapshot table; an atomic catalog commit "
+                    "would shadow its rows. Keep the per-table path "
+                    "(SnapshotTarget) or migrate the table into a catalog "
+                    "commit first."
+                )
         views = {
             name: _manifest_df(spark, catalog_dir, name, m)
             for name, m in tables_base.items()
@@ -396,6 +412,12 @@ def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
     for name in os.listdir(catalog_dir):
         tdir = _table_dir(catalog_dir, name)
         if name == COMMITS_DIR or not os.path.isdir(tdir):
+            continue
+        if S.snapshot_exists(tdir):
+            # a standalone per-table snapshot table sharing the directory:
+            # its live set is defined by ITS manifest chain, which this
+            # vacuum does not read — never touch it (snapshot_vacuum owns
+            # that table's garbage)
             continue
         gdir = S._gdir(tdir)
         if os.path.isdir(gdir):

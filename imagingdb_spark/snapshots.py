@@ -326,15 +326,39 @@ def _comparable(a, b) -> bool:
     return isinstance(a, str) and isinstance(b, str)
 
 
+class _SortedIn(tuple):
+    """Marker for an 'in' value list _check_where pre-sorted and proved
+    homogeneous (all numeric sans bool/NaN, or all str) — the flag that
+    lets _range_matches answer each group/file with two bisects instead
+    of a linear scan. Manifest resolution evaluates the predicate once
+    per entry, so at ~800k entries × a few thousand batch tokens the
+    linear form would be 10^9 driver-side comparisons per read."""
+
+
+def _in_matches(vals, mn, mx) -> bool:
+    """Can ANY listed value fall inside [mn, mx]? (None = unbounded.)"""
+    if mn is None and mx is None:
+        return True
+    if isinstance(vals, _SortedIn):
+        ref = mn if mn is not None else mx
+        if not _comparable(ref, vals[0]):
+            return True  # class mismatch: stats cannot prune
+        import bisect
+
+        i = 0 if mn is None else bisect.bisect_left(vals, mn)
+        return i < len(vals) and (mx is None or vals[i] <= mx)
+    # mixed/unsortable list: the definitional disjunction of point checks
+    return any(_range_matches("=", v, mn, mx) for v in vals)
+
+
 def _range_matches(op: str, value, mn, mx) -> bool:
     """Can ANY x with mn <= x <= mx satisfy ``x <op> value``? Missing
     bounds (None) are treated as unbounded on that side."""
     if op == "in":
-        # the disjunction of per-value point checks: the file can be
-        # skipped only when EVERY listed value is provably outside the
-        # range — this is what makes a micro-batch's band/bucket set
-        # prunable at the manifest level (streaming gate index reads)
-        return any(_range_matches("=", v, mn, mx) for v in value)
+        # the file can be skipped only when EVERY listed value is
+        # provably outside the range — what makes a micro-batch's
+        # band/bucket set prunable at the manifest level
+        return _in_matches(value, mn, mx)
     if op == "=":
         return (mn is None or not _comparable(mn, value) or value >= mn) and (
             mx is None or not _comparable(mx, value) or value <= mx
@@ -351,6 +375,7 @@ def _range_matches(op: str, value, mn, mx) -> bool:
 
 
 def _check_where(where: list) -> list:
+    out: list = []
     for c in where:
         if len(c) != 3 or c[1] not in _PRUNE_OPS or not isinstance(c[0], str):
             raise ValueError(
@@ -364,7 +389,7 @@ def _check_where(where: list) -> list:
         # None is rejected outright because =/</in etc. never match NULL
         # — a silent always-empty filter is a bug in the caller
         if c[1] == "in":
-            if not isinstance(v, (list, tuple, set)) or not v:
+            if not isinstance(v, (list, tuple, set, _SortedIn)) or not v:
                 raise ValueError(
                     f"'in' predicate needs a non-empty list of scalar "
                     f"literals, got {v!r}"
@@ -379,6 +404,25 @@ def _check_where(where: list) -> list:
                     f"'in' predicate values must be non-null scalar "
                     f"literals, got {bad[:3]!r} in {c!r}"
                 )
+            # pre-sort homogeneous lists so pruning bisects instead of
+            # scanning (the _SortedIn contract); bools and NaNs make a
+            # list unprunable-by-order, so those keep the linear form
+            vals = list(dict.fromkeys(v))
+            clean = not any(
+                isinstance(x, bool) or (isinstance(x, float) and x != x)
+                for x in vals
+            )
+            num = all(isinstance(x, (int, float)) for x in vals)
+            strs = all(isinstance(x, str) for x in vals)
+            out.append(
+                (
+                    c[0],
+                    "in",
+                    _SortedIn(sorted(vals))
+                    if clean and (num or strs)
+                    else tuple(vals),
+                )
+            )
             continue
         if v is None:
             raise ValueError(
@@ -390,7 +434,8 @@ def _check_where(where: list) -> list:
                 f"predicate value must be a scalar literal "
                 f"(int/float/str/bool), got {type(v).__name__} in {c!r}"
             )
-    return list(where)
+        out.append((c[0], c[1], v))
+    return out
 
 
 def _file_matches(entry: dict, where: list) -> bool:

@@ -17,6 +17,8 @@ Kafka + a transactional sink without touching the aggregation code.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -781,6 +783,17 @@ ISIN_SCREEN_MAX = 100_000  # present-id screens above this size fall back
 #                            filter costs zero extra jobs)
 
 
+def _ckpt_token(checkpoint_dir: str) -> str:
+    """Stable 12-hex token of a checkpoint location, for txn app ids that
+    must survive restarts from the same checkpoint but differ across
+    fresh checkpoint locations (whose batch_ids restart at 0)."""
+    import hashlib
+
+    return hashlib.sha256(
+        os.path.abspath(checkpoint_dir).encode()
+    ).hexdigest()[:12]
+
+
 def _heal_interrupted_compaction(path: str) -> None:
     """Recover a table from a compaction that crashed mid-swap
     (layout.compact_parquet's windows): orphaned ``<path>.compact.*``
@@ -1000,7 +1013,16 @@ def streaming_dedup_gate(
     snap_idx = index_format == "snapshot"
     idx_tokset_path = corpus_path + "_idx_tokset"
     idx_prefix_path = corpus_path + "_idx_prefix"
-    _TOK_APP, _PREF_APP = "dgate-tok", "dgate-pref"
+    # txn app id KEYED TO THE CHECKPOINT: batch_ids restart at 0 in a
+    # fresh checkpoint location, and a fixed app id would make the replay
+    # guard (seq <= recorded) silently SKIP every index append of the new
+    # stream against a pre-existing index — permanent index loss for
+    # genuinely new docs. Restarts from the SAME checkpoint keep the same
+    # id (the replay protection those need); a wiped-but-same-path
+    # checkpoint re-delivers old content, which the per-doc screens
+    # already converge. This is Delta's "the writer owns appId" contract.
+    _ck = _ckpt_token(checkpoint_dir)
+    _TOK_APP, _PREF_APP = f"dgate-tok-{_ck}", f"dgate-pref-{_ck}"
 
     def _write_index(
         toksets: DataFrame, mode: str, batch_id: int | None = None
@@ -1670,7 +1692,10 @@ def _streaming_fingerprint_gate(
         raise ValueError(f"index_format must be parquet|snapshot")
     snap_idx = index_format == "snapshot"
     idx_bands_path = corpus_path + "_idx_bands"
-    _IDX_APP = f"fpgate-{id_col}"  # txn app id for exactly-once appends
+    # checkpoint-keyed txn app id — see streaming_dedup_gate's note: a
+    # fresh checkpoint restarts batch_ids at 0 and a fixed app id would
+    # skip the new stream's index appends as replays
+    _IDX_APP = f"fpgate-{id_col}-{_ckpt_token(checkpoint_dir)}"
 
     def _band_rows(hashed: DataFrame) -> DataFrame:
         out = hashed.select(

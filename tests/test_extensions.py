@@ -2470,6 +2470,52 @@ class TestPerplexityBucket:
         )
         assert got == want
 
+    def test_cutoffs_null_partition_and_null_score(self, spark):
+        """A NULL partition value is its own ntile partition (the window
+        groups NULLs together) — rows must not be dropped by the joins;
+        a NULL score is refused loudly (its DESC position is
+        engine-dependent)."""
+        from pyspark.sql import Window
+
+        from imagingdb_spark.operators.lm import ntile3_by_cutoffs
+
+        rows = [(i, None if i < 7 else "en", float(-(i % 3)) - 1.0)
+                for i in range(20)]
+        scored = spark.createDataFrame(
+            rows, "doc_id long, lang string, avg_logprob double"
+        )
+        w = Window.partitionBy("lang").orderBy(
+            F.col("avg_logprob").desc(), F.col("doc_id").asc()
+        )
+        n3 = F.ntile(3).over(w)
+        want = sorted(
+            map(
+                tuple,
+                scored.select(
+                    "doc_id", "lang", "avg_logprob",
+                    F.when(n3 == 1, "head").when(n3 == 2, "middle")
+                    .otherwise("tail").alias("bucket"),
+                ).collect(),
+            ),
+            key=str,
+        )
+        got = sorted(
+            map(
+                tuple,
+                ntile3_by_cutoffs(
+                    scored, "lang", "avg_logprob", "doc_id"
+                ).collect(),
+            ),
+            key=str,
+        )
+        assert got == want and len(got) == 20
+
+        bad = spark.createDataFrame(
+            [(1, "en", None)], "doc_id long, lang string, avg_logprob double"
+        )
+        with pytest.raises(ValueError, match="NULL"):
+            ntile3_by_cutoffs(bad, "lang", "avg_logprob", "doc_id")
+
     def test_registered_plan_has_no_corpus_window(self, spark, tmp_path):
         """The registered query's executed plan must contain NO Window
         operator at all — the tie-split window runs only inside the

@@ -152,6 +152,43 @@ class TestCatalogCommitPrimitive:
         landed = sum(1 for v, d in results.values() if d["ta"].count() == 1)
         assert landed == 1
 
+    def test_refuses_to_shadow_standalone_snapshot_table(
+        self, spark, tmp_path
+    ):
+        """A catalog dir already holding a per-table snapshot table (or a
+        legacy parquet catalog) must be REFUSED, not silently shadowed —
+        readers would otherwise lose every pre-existing row."""
+        from imagingdb_spark import flows
+        from imagingdb_spark import snapshots as S
+
+        cat = str(tmp_path / "cat")
+        S.snapshot_commit(
+            spark,
+            str(tmp_path / "cat" / "ta"),
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+        )
+
+        def build(views):
+            return {
+                "ta": spark.createDataFrame([(2, "b")], "k long, v string")
+            }
+
+        with pytest.raises(ValueError, match="shadow"):
+            C.catalog_commit(spark, cat, build, keys={"ta": ["k"]})
+        # standalone table untouched
+        assert S.snapshot_read(spark, str(tmp_path / "cat" / "ta")).count() == 1
+        # vacuum never touches the standalone table's files either
+        assert C.catalog_vacuum(spark, cat) == []
+        assert S.snapshot_read(spark, str(tmp_path / "cat" / "ta")).count() == 1
+        # legacy parquet catalogs refuse at the flow entry
+        leg = tmp_path / "legcat"
+        leg.mkdir()
+        spark.createDataFrame([], "id long").write.parquet(
+            str(leg / "data_set.parquet")
+        )
+        with pytest.raises(ValueError, match="legacy"):
+            flows._guard_legacy_catalog(str(leg))
+
     def test_expire_and_vacuum(self, spark, tmp_path):
         cat = str(tmp_path / "cat")
         for i in range(3):

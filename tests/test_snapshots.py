@@ -1017,6 +1017,26 @@ class TestClusterMaintenance:
         with pytest.raises(ValueError, match="scalar literals"):
             S.snapshot_read(spark, t, where=[("k", "in", [1, None])])
 
+    def test_in_bisect_matches_linear_definition(self):
+        """The _SortedIn bisect fast path must agree exactly with the
+        definitional any(=) disjunction for every bound shape — including
+        open bounds, out-of-range lists, and string domains."""
+        import random
+
+        rng = random.Random(88)
+        for _ in range(300):
+            vals = sorted({rng.randrange(0, 50) for _ in range(rng.randrange(1, 8))})
+            mn = rng.choice([None, rng.randrange(-5, 55)])
+            mx = rng.choice([None, rng.randrange(-5, 55)])
+            fast = S._in_matches(S._SortedIn(vals), mn, mx)
+            slow = any(S._range_matches("=", v, mn, mx) for v in vals)
+            assert fast == slow, (vals, mn, mx)
+        # strings too (comparison-only, same code path)
+        assert S._in_matches(S._SortedIn(["b", "m"]), "c", "k") is False
+        assert S._in_matches(S._SortedIn(["b", "f"]), "c", "k") is True
+        # class mismatch: stats cannot prune
+        assert S._in_matches(S._SortedIn([1, 2]), "a", "z") is True
+
     def test_non_literal_predicate_value_rejected(self, spark, tmp_path):
         """Unliteralizable values and None fail AT the predicate with a
         clear error, not later inside F.lit or as a silent no-prune."""
