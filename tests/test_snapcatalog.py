@@ -224,6 +224,100 @@ class TestCatalogCommitPrimitive:
             C.catalog_manifest(cat, version=1)
 
 
+class TestCatalogSoak:
+    """Randomized multi-writer soak at the CATALOG level — the
+    cross-table twin of tests/test_snapshots.py::TestMultiWriterSoak:
+    N committer threads (each appending to BOTH tables atomically) race
+    an expire+vacuum thread (behind the same reader-writer gate vacuum's
+    no-writes-in-flight contract requires). Invariants: the two tables
+    NEVER disagree on a commit (every k present in ta is present in tb —
+    cross-table atomicity under racing), no row lost, no duplicates,
+    every retained version's tables mutually consistent."""
+
+    @pytest.mark.parametrize("seed", [7, 29])
+    def test_soak_commits_vs_vacuum(self, spark, tmp_path, seed):
+        import random
+        import threading
+        import time as _time
+
+        from tests.test_snapshots import TestMultiWriterSoak
+
+        gate = TestMultiWriterSoak._RWGate()
+        cat = str(tmp_path / "cat")
+        stop = threading.Event()
+        errors: list[str] = []
+        committed: dict[int, list[int]] = {}
+        N, COMMITS_EACH, BATCH = 3, 6, 10
+
+        def committer(idx: int):
+            rng = random.Random(seed * 31 + idx)
+            committed[idx] = []
+            base = idx * 1_000_000
+            try:
+                for c in range(COMMITS_EACH):
+                    lo = base + c * BATCH
+                    ks = list(range(lo, lo + BATCH))
+
+                    def build(views, ks=ks):
+                        return {
+                            "ta": spark.createDataFrame(
+                                [(k, str(k)) for k in ks], "k long, v string"
+                            ),
+                            "tb": spark.createDataFrame(
+                                [(k, k * 2) for k in ks], "k long, w long"
+                            ),
+                        }
+
+                    gate.acquire_read()
+                    try:
+                        C.catalog_commit(
+                            spark, cat, build,
+                            keys={"ta": ["k"], "tb": ["k"]},
+                            max_retries=20,
+                        )
+                    finally:
+                        gate.release_read()
+                    committed[idx].extend(ks)
+                    _time.sleep(rng.uniform(0, 0.02))
+            except Exception as e:  # pragma: no cover
+                errors.append(f"committer{idx}: {e!r}")
+
+        def vacuumer():
+            rng = random.Random(seed * 37)
+            while not stop.is_set():
+                _time.sleep(rng.uniform(0.05, 0.15))
+                gate.acquire_write()
+                try:
+                    if C.catalog_exists(cat):
+                        C.catalog_expire(cat, keep_last=3)
+                        C.catalog_vacuum(spark, cat)
+                        for v in C.catalog_versions(cat):
+                            # retained versions stay mutually consistent
+                            na = C.catalog_read(spark, cat, "ta", v).count()
+                            nb = C.catalog_read(spark, cat, "tb", v).count()
+                            assert na == nb, (v, na, nb)
+                except Exception as e:  # pragma: no cover
+                    errors.append(f"vacuumer: {e!r}")
+                finally:
+                    gate.release_write()
+
+        ths = [threading.Thread(target=committer, args=(i,)) for i in range(N)]
+        vt = threading.Thread(target=vacuumer)
+        for t in ths:
+            t.start()
+        vt.start()
+        for t in ths:
+            t.join()
+        stop.set()
+        vt.join()
+        assert not errors, errors
+        want = sorted(k for ks in committed.values() for k in ks)
+        assert len(want) == N * COMMITS_EACH * BATCH
+        got_a = sorted(r["k"] for r in C.catalog_read(spark, cat, "ta").collect())
+        got_b = sorted(r["k"] for r in C.catalog_read(spark, cat, "tb").collect())
+        assert got_a == want and got_b == want  # atomic: tables agree
+
+
 class TestAtomicUpload:
     """flows.upload_dataset with a CatalogTarget: the e2e transaction."""
 
