@@ -92,171 +92,183 @@ ORACLE: dict[str, str] = {}
 # sweep's rows-only members (x_dedup_minhash, x_dedup_eval, x_pagerank)
 # stay at 51+: a rows-only driver row is the weakest check, and their
 # determinism/parity coverage lives in selfcheck + unit tests.
+# Round-8 rotation (VERDICT r7 item 2, applied):
+# - IN, implementation changed in round 8: x_perplexity_bucket (ntile
+#   window -> bounded-histogram broadcast cutoffs), the 11 queries on the
+#   shared single-evaluation verify tail / shingle repartition guard
+#   (x_dedup_jaccard/incremental/verified/minhash/eval/simhash,
+#   x_decontaminate, x_dedup_cluster/compact/retain/weights), and
+#   x_triangles/x_containment (unpersist barrier / restructured filter).
+# - IN for double-verification: the r7-new single-record queries
+#   (st_perplexity, st_heavy_hitters, st_quantiles, st_theta_overlap,
+#   x_ann_ivfpq).
+# - IN, stalest records + family holders: the nine r1+r2 doubles
+#   displaced in r7 (f_dates .. s_union — each family's oldest member)
+#   and 22 further r1+r2 / r2+r3-era rows not re-checked since round 3.
+# - OUT to 51+: every r7-window member whose code is unchanged since its
+#   fresh r7 green (x_phash_dedup .. x_merge_upsert).
 PRIORITY: list[str] = [
-    # --- NEW in round-7 second session: no driver record exists yet ---
-    "x_perplexity_bucket",  # D24: CCNet per-language perplexity terciles
-    "x_triangles",       # D25: degree-ordered basket triangle counting
-    "x_containment",     # D2i: asymmetric containment near-dup
-    "st_perplexity",     # St18: maintained-LM continuous quality monitor
-    # --- jaccard_ge sweep: impl+oracle changed in round-7 2nd session ---
-    "x_dedup_jaccard",   # D2a (exact integer threshold)
-    "x_dedup_incremental",  # D13 (both match paths)
-    "x_dedup_cluster",   # D12 (consumes jaccard; oracle embeds its SQL)
-    "x_dedup_compact",   # D12b (same)
-    # --- NEW in round 7: no driver record exists yet ---
-    "st_heavy_hitters",  # St15: continuous Misra-Gries heavy hitters
-    "st_quantiles",      # St16: continuous DDSketch quantiles
-    "x_ann_ivfpq",       # D3k: IVF x residual-PQ serving composition
-    "st_theta_overlap",  # St17: continuous KMV/theta set-algebra sketches
-    # --- r6 singles whose implementation ALSO changed in round 7 ---
-    "x_phash_dedup",     # D5c (groups checkpoint swap, ADVICE r6)
-    "x_audio_dedup",     # D5d (shares the phash engine)
-    "x_heavy_hitters",   # D4e (sketch partials now carry counters)
-    # --- double-verification: single-green-r6 rows ---
-    "x_embed_quantize",  # D3h (r6 was its first driver row)
-    "x_dedup_verified",  # D2b+ (r6 impl: lossless LSH u prefix)
-    "x_hard_negatives",  # D3g (r6 impl: cell-cogrouped miner)
-    "x_split_leakage",   # D20
-    "x_rebalance",       # D8e
-    "x_embed_pca",       # D3i rows-only
-    "x_dsir_select",     # D19
-    "x_pq_quantize",     # D3h+ rows-only
-    "x_substring_dedup", # D2h
-    "x_ann_pq",          # D3j rows-only
-    "x_dsir_resample",   # D19b
-    "x_scene_changes",   # D5e rows-only
-    "x_dedup_retain",    # D12d
-    "x_dedup_weights",   # D12f
-    "st_distinct_hll",   # St14/D21 rows-only
-    # --- oldest/weakest records: single green row ever ---
-    "x_gapfill",         # T1 (single green r3)
-    "o_natural_sort",    # O4 (single green r2)
-    "x_quality_filter",  # D10 (single green r2)
-    "st_join",           # St6 (single green r3)
-    "j_range",           # J+ (single green r1)
-    "a_approx_sketch",   # sketches rows-only (single clean r3)
-    "s_except",          # set ops (single green r1)
-    "x_lang_id",         # D4 (single green r1)
-    "x_fuzzy_join",      # D2 (single green r3)
-    "x_length_trim",     # D10 (single green r3)
-    "x_sample_weighted", # D8 (single green r3)
-    "x_unigram_logprob", # D17 (single green r3)
-    "w_lag_lead",        # W (single green r3)
-    "x_mad_outlier",     # A+ (single green r4)
-    "x_dedup_eval",      # D2 rows-only (single clean r5)
-    "x_pagerank",        # D12c rows-only (single clean r5)
-    "o_sort",            # O1 (single green r3)
-    "j_semi",            # J+ (single green r1)
-    "st_anomaly",        # D6 rows-only (single clean r2)
-    # --- family holder (the last r1+r2 double, f_dates, displaced by
-    #     st_perplexity — it holds two green rows on unchanged code) ---
-    "x_merge_upsert",    # S10 holder (r3+r6)
-    # --- position 51+: green driver rows on record; implementations +
-    #     unit tests intact. Ordered roughly by record freshness. ---
-    "f_dates",           # F3 (r1+r2)
-    "f_format",          # F2 (r1+r2) — displaced by the second-session
-    "j_two_way",         # J2 (r1+r2)    additions (3 new queries + the
-    "a_distinct",        # A2 (r1+r2)    4 jaccard_ge sweep members)
-    "w_topk_group",      # W (r1+r2)
-    "st_sliding",        # St2 (r1+r2)
-    "o_limit",           # O2 (r1+r2)
-    "f_equality",        # P3 (r1+r2)
-    "s_union",           # set ops (r1+r2) — displaced by the new
-    #                      st_theta_overlap; s_except holds in-window
-    "x_inverted_index",  # r5+r6
-    "x_token_ids",       # r5+r6
-    "x_novelty",         # r5+r6
-    "x_length_batches",  # r5+r6
-    "x_retrieval_batch", # r5+r6
-    "x_interp_linear",   # r5+r6
-    "x_bpe_train",       # clean r5+r6 (rows-only)
-    "x_bpe_encode",      # clean r5+r6 (rows-only)
-    "x_ann_eval",        # clean r5+r6 (rows-only)
-    "x_semdedup_eval",   # clean r5+r6 (rows-only)
-    "x_pipeline_audit",  # clean r5+r6 (rows-only)
-    "x_bm25",            # r4+r6
-    "x_cooccur_pmi",     # r4+r6
-    "x_funnel",          # r4+r6
-    "x_retention",       # r4+r6
-    "x_histogram",       # r4+r6
-    "x_rolling_zscore",  # r4+r6
-    "x_quality_norm",    # r4+r6
-    "x_semdedup",        # clean r4+r6 (rows-only)
-    "x_retrieval_metrics",  # r4+r6
-    "o_topk",            # r3+r6
-    "w_dense_rank",      # r3+r6
-    "w_range_frame",     # r3+r6
-    "x_shard_shuffle",   # r3+r6
-    "x_tfidf",           # r3+r6
-    "x_ann_ivf",         # clean r3+r6 (rows-only)
-    "x_pack_sequences",  # clean r3+r6 (rows-only)
-    "j_outer_count",     # r1+r6
-    "a_sum_avg",         # r1+r6
-    "f_not_exists",      # r1+r2+r6
-    "f_string_parse",    # r1+r3
-    "x_span_dedup",      # r4+r5
-    "a_geomean_udaf",    # r4+r5
-    "w_running",         # r3+r5
-    "w_rownum_page",     # r4+r5
-    "st_tumbling",       # r1+r5
-    "st_session",        # r2+r5
-    "st_topk_trend",     # r4+r5
-    "x_sessionize",      # r4+r5
-    "x_transition_matrix",  # r4+r5
-    "f_from_json",       # r2+r5
-    "f_json_extract",    # r2+r5
-    "f_array_ops",       # r2+r5
-    "j_json_filter",     # r2+r5
-    "j_asof",            # r1+r5
-    "j_temporal_lookup", # r4+r5
-    "a_count_distinct",  # r2+r5
-    "a_group_summary",   # r2+r5
-    "x_exact_quantiles", # r4+r5
-    "x_profile_stats",   # r4+r5
-    "x_incr_agg",        # r4+r5
-    "x_corr_matrix",     # r4+r5
-    "x_scd2_history",    # r4+r5
-    "x_table_diff",      # r4+r5
-    "x_cdc_apply",       # r4+r5
-    "x_domain_mix",      # r4+r5
-    "x_stratified",      # r4+r5
-    "x_token_budget",    # r4+r5
-    "x_source_cap",      # r4+r5
-    "x_bigram_logprob",  # r4+r5
-    "x_scrub",           # r4+r5
-    "x_sentences",       # r4+r5
-    "x_dedup_exact",     # r1+r3
-    "f_cast_coerce",     # r1+r3
-    "a_rollup",          # r1+r3
-    "f_substring",       # r1+r2+r3
-    "f_daterange",       # r1+r2+r3
-    "f_inlist",          # r1+r2+r3
-    "p_project",         # r1+r2+r3
-    "f_null_handling",   # r1+r2+r3
-    "j_three_way",       # r1+r2+r3
-    "a_count",           # r1+r2+r3
-    "x_text_stats",      # r2+r3
-    "x_split_hash",      # r2+r3
-    "x_dedup_embed",     # r2+r3
-    "x_topk_sim",        # r2+r3
-    "x_chunk_docs",      # r2+r3
-    "x_decontaminate",   # r2+r3
-    "x_repetition",      # r2+r3
-    "f_sha2",            # r1+r2
-    "f_validate_id",     # r1+r2
-    "j_self_parent",     # r1+r2
-    "x_dedup_minhash",   # D2 rows-only
-    "x_dedup_simhash",   # D2 rows-only
-    "x_ann_lsh",         # D3 rows-only
-    "x_token_freq",      # D4
-    "x_token_bpe",       # D4
-    "x_fingerprint",     # D4
-    "s_intersect",       # set ops
-    "f_json_multi",      # F5
-    "f_path_ops",        # F9
-    "a_cube",            # A+
-    "a_pivot",           # A+
-    "x_embed_stats",     # bonus profiling query
+    # --- round-8 window (first 50): r8-impl-changed + r7-new
+    #     double-verification + the stalest-record family holders ---
+    "x_perplexity_bucket",  # D24: r8 REWRITE (bounded-histogram cutoffs, zero windows)
+    "x_containment",  # D2i: r8 single-eval verify tail + r7-new double-verify
+    "x_triangles",  # D25: r8 unpersist barrier + r7-new double-verify
+    "st_perplexity",  # St18: r7-new, single driver record
+    "x_dedup_jaccard",  # D2a: r8 _jaccard_verified tail
+    "x_dedup_incremental",  # D13: r8 verify tail, both match paths
+    "x_dedup_verified",  # D2b+: r8 verify tail
+    "x_dedup_minhash",  # D2 rows-only: r8 verify tail + shingle repartition guard
+    "x_dedup_eval",  # D2 rows-only: consumes minhash + jaccard_ge truth
+    "x_dedup_simhash",  # D2c rows-only: shingle repartition guard
+    "x_decontaminate",  # D20: rides verified_pairs (r8 verify tail)
+    "x_dedup_cluster",  # D12: consumes jaccard pairs
+    "x_dedup_compact",  # D12b: same
+    "x_dedup_retain",  # D12d: same
+    "x_dedup_weights",  # D12f: same
+    "st_heavy_hitters",  # St15: r7-new double-verify
+    "st_quantiles",  # St16: r7-new double-verify
+    "st_theta_overlap",  # St17: r7-new double-verify
+    "x_ann_ivfpq",  # D3k: r7-new double-verify
+    "f_dates",  # F3 family holder (r1+r2 - stalest records)
+    "f_format",  # F2 (r1+r2)
+    "j_two_way",  # J2 family holder (r1+r2)
+    "a_distinct",  # A2 family holder (r1+r2)
+    "w_topk_group",  # W family holder (r1+r2)
+    "st_sliding",  # St2 family holder (r1+r2)
+    "o_limit",  # O2 family holder (r1+r2)
+    "f_equality",  # P3 family holder (r1+r2)
+    "s_union",  # set-ops family holder (r1+r2)
+    "f_sha2",  # F4 (r1+r2)
+    "f_validate_id",  # F6 (r1+r2)
+    "j_self_parent",  # J3 (r1+r2)
+    "x_ann_lsh",  # D3 rows-only (stale)
+    "x_token_freq",  # D4 (stale)
+    "x_token_bpe",  # D4 (stale)
+    "x_fingerprint",  # D4 (stale)
+    "s_intersect",  # set ops (stale)
+    "f_json_multi",  # F5 (stale)
+    "f_path_ops",  # F9 (stale)
+    "a_cube",  # A+ (stale)
+    "a_pivot",  # A+ (stale)
+    "x_embed_stats",  # profiling (stale)
+    "x_text_stats",  # D4 (r2+r3)
+    "x_split_hash",  # D8 (r2+r3)
+    "x_dedup_embed",  # D3 (r2+r3)
+    "x_topk_sim",  # D3 (r2+r3)
+    "x_chunk_docs",  # D9 (r2+r3)
+    "x_repetition",  # D4 (r2+r3)
+    "f_substring",  # P1 (r1+r2+r3)
+    "f_daterange",  # P2 (r1+r2+r3)
+    "f_inlist",  # P4 (r1+r2+r3)
+    # --- position 51+: displaced r7-window members — each now holds
+    #     a FRESH r7 green row on code unchanged since (impl + unit
+    #     tests + recorded rows intact; they only skip this round's
+    #     driver re-check) ---
+    "x_phash_dedup",  # r7 green
+    "x_audio_dedup",  # r7 green
+    "x_heavy_hitters",  # r7 green
+    "x_embed_quantize",  # r7 green
+    "x_hard_negatives",  # r7 green
+    "x_split_leakage",  # r7 green
+    "x_rebalance",  # r7 green
+    "x_embed_pca",  # r7 green
+    "x_dsir_select",  # r7 green
+    "x_pq_quantize",  # r7 green
+    "x_substring_dedup",  # r7 green
+    "x_ann_pq",  # r7 green
+    "x_dsir_resample",  # r7 green
+    "x_scene_changes",  # r7 green
+    "st_distinct_hll",  # r7 green
+    "x_gapfill",  # r7 green
+    "o_natural_sort",  # r7 green
+    "x_quality_filter",  # r7 green
+    "st_join",  # r7 green
+    "j_range",  # r7 green
+    "a_approx_sketch",  # r7 green
+    "s_except",  # r7 green
+    "x_lang_id",  # r7 green
+    "x_fuzzy_join",  # r7 green
+    "x_length_trim",  # r7 green
+    "x_sample_weighted",  # r7 green
+    "x_unigram_logprob",  # r7 green
+    "w_lag_lead",  # r7 green
+    "x_mad_outlier",  # r7 green
+    "x_pagerank",  # r7 green
+    "o_sort",  # r7 green
+    "j_semi",  # r7 green
+    "st_anomaly",  # r7 green
+    "x_merge_upsert",  # r7 green
+    # --- remaining tail, prior relative order (record annotations
+    #     in git history at the round-7 revision) ---
+    "x_inverted_index",
+    "x_token_ids",
+    "x_novelty",
+    "x_length_batches",
+    "x_retrieval_batch",
+    "x_interp_linear",
+    "x_bpe_train",
+    "x_bpe_encode",
+    "x_ann_eval",
+    "x_semdedup_eval",
+    "x_pipeline_audit",
+    "x_bm25",
+    "x_cooccur_pmi",
+    "x_funnel",
+    "x_retention",
+    "x_histogram",
+    "x_rolling_zscore",
+    "x_quality_norm",
+    "x_semdedup",
+    "x_retrieval_metrics",
+    "o_topk",
+    "w_dense_rank",
+    "w_range_frame",
+    "x_shard_shuffle",
+    "x_tfidf",
+    "x_ann_ivf",
+    "x_pack_sequences",
+    "j_outer_count",
+    "a_sum_avg",
+    "f_not_exists",
+    "f_string_parse",
+    "x_span_dedup",
+    "a_geomean_udaf",
+    "w_running",
+    "w_rownum_page",
+    "st_tumbling",
+    "st_session",
+    "st_topk_trend",
+    "x_sessionize",
+    "x_transition_matrix",
+    "f_from_json",
+    "f_json_extract",
+    "f_array_ops",
+    "j_json_filter",
+    "j_asof",
+    "j_temporal_lookup",
+    "a_count_distinct",
+    "a_group_summary",
+    "x_exact_quantiles",
+    "x_profile_stats",
+    "x_incr_agg",
+    "x_corr_matrix",
+    "x_scd2_history",
+    "x_table_diff",
+    "x_cdc_apply",
+    "x_domain_mix",
+    "x_stratified",
+    "x_token_budget",
+    "x_source_cap",
+    "x_bigram_logprob",
+    "x_scrub",
+    "x_sentences",
+    "x_dedup_exact",
+    "f_cast_coerce",
+    "a_rollup",
+    "p_project",
+    "f_null_handling",
+    "j_three_way",
+    "a_count",
 ]
 
 

@@ -43,61 +43,57 @@ def test_query_plans(spark, name):
     assert df.schema is not None and len(df.columns) > 0
 
 
-ROTATED_IN_R7 = [
-    # round-7 plan (VERDICT r6 item 3): queries with no driver record plus
-    # queries whose implementations changed this round (their last green
-    # rows predate current code)
-    "x_perplexity_bucket",  # NEW (2nd session): CCNet perplexity terciles
-    "x_triangles",        # NEW (2nd session): degree-ordered triangles
-    "x_containment",      # NEW (2nd session): asymmetric containment
-    "x_dedup_jaccard",    # jaccard_ge sweep (2nd session): impl+oracle
-    "x_dedup_incremental",  # jaccard_ge sweep
-    "x_dedup_cluster",    # jaccard_ge sweep (oracle embeds jaccard SQL)
-    "x_dedup_compact",    # jaccard_ge sweep
-    "st_perplexity",      # NEW (2nd session): maintained-LM monitor twin
-    "st_heavy_hitters",   # NEW: continuous Misra-Gries heavy hitters
-    "st_quantiles",       # NEW: continuous DDSketch quantiles
-    "x_ann_ivfpq",        # NEW: IVF x residual-PQ serving composition
-    "st_theta_overlap",   # NEW: continuous KMV/theta set-algebra sketches
-    "x_phash_dedup",      # impl touched r7: groups persist -> checkpoint
-    "x_audio_dedup",      # shares the phash engine
-    "x_heavy_hitters",    # impl touched r7: sketch partials carry counters
+ROTATED_IN_R8 = [
+    # round-8 plan (VERDICT r7 item 2): queries whose implementations
+    # changed this round (their last green rows predate current code)
+    "x_perplexity_bucket",  # ntile window -> bounded-histogram cutoffs
+    "x_containment",      # single-eval verify restructure
+    "x_triangles",        # unpersist barrier
+    "x_dedup_jaccard",    # shared _jaccard_verified tail
+    "x_dedup_incremental",  # verify tail, both match paths
+    "x_dedup_verified",   # verify tail
+    "x_dedup_minhash",    # verify tail + shingle repartition guard
+    "x_dedup_eval",       # consumes minhash + jaccard_ge truth
+    "x_dedup_simhash",    # shingle repartition guard
+    "x_decontaminate",    # rides verified_pairs
+    "x_dedup_cluster",    # consumes jaccard pairs
+    "x_dedup_compact",
+    "x_dedup_retain",
+    "x_dedup_weights",
 ]
 
-# single-green-r6 rows held in-window for double-verification
-HELD_R6_SINGLES = [
-    "x_embed_quantize", "x_dedup_verified", "x_hard_negatives",
-    "x_split_leakage", "x_rebalance", "x_embed_pca", "x_dsir_select",
-    "x_pq_quantize", "x_substring_dedup", "x_ann_pq", "x_dsir_resample",
-    "x_scene_changes", "x_dedup_retain", "x_dedup_weights",
-    "st_distinct_hll",
+# r7-new single-record queries held in-window for double-verification
+HELD_R7_SINGLES = [
+    "st_perplexity", "st_heavy_hitters", "st_quantiles",
+    "st_theta_overlap", "x_ann_ivfpq",
+]
+
+# stalest records: the r1+r2 doubles (one per operator family — the
+# family holders) plus r1+r2 / r2+r3-era rows unchecked since round 3
+STALE_HOLDERS = [
+    "f_dates", "f_format", "j_two_way", "a_distinct", "w_topk_group",
+    "st_sliding", "o_limit", "f_equality", "s_union",
+    "f_sha2", "f_validate_id", "j_self_parent", "x_ann_lsh",
+    "x_token_freq", "x_token_bpe", "x_fingerprint", "s_intersect",
+    "f_json_multi", "f_path_ops", "a_cube", "a_pivot", "x_embed_stats",
+    "x_text_stats", "x_split_hash", "x_dedup_embed", "x_topk_sim",
+    "x_chunk_docs", "x_repetition", "f_substring", "f_daterange",
+    "f_inlist",
 ]
 
 
 def test_category_coverage_inside_driver_window():
     """The driver's correctness harness checks only the FIRST ~50 registered
-    queries; the round-7 rotation (registry.PRIORITY) must keep (a) every
-    never-driver-checked and impl-changed query inside that window so it
-    gets a current CORRECTNESS row, (b) the single-green-r6 rows for
-    double-verification, and (c) the weakest-record queries (single green
-    ever / unchecked since round 2) plus the S10 family holder. Families
-    whose members all rotated out hold 2+ green rows each."""
+    queries; the round-8 rotation (registry.PRIORITY) must keep (a) every
+    impl-changed query inside that window so it gets a current CORRECTNESS
+    row, (b) the r7-new single-record queries for double-verification, and
+    (c) the stalest-record queries incl. one holder per operator family.
+    Everything displaced to 51+ holds a fresh r7 green row on unchanged
+    code."""
     window = list(registry.ordered_queries())[:50]
-    for name in ROTATED_IN_R7 + HELD_R6_SINGLES:
+    for name in ROTATED_IN_R8 + HELD_R7_SINGLES + STALE_HOLDERS:
         assert name in window, f"{name} fell outside the driver's 50-query window"
-    for name in [
-        # single-green-ever batch
-        "x_gapfill", "o_natural_sort", "x_quality_filter", "st_join",
-        "j_range", "a_approx_sketch", "s_except", "x_lang_id",
-        "x_fuzzy_join", "x_length_trim", "x_sample_weighted",
-        "x_unigram_logprob", "w_lag_lead", "x_mad_outlier", "x_dedup_eval",
-        "x_pagerank", "o_sort", "j_semi", "st_anomaly",
-        # S10 family holder (all seven r1+r2 doubles displaced to 51+ by
-        # the second-session additions — each holds two green rows on
-        # unchanged code)
-        "x_merge_upsert",
-    ]:
-        assert name in window, f"{name} fell outside the driver's 50-query window"
+    assert len(window) == len(set(window)) == 50
 
 
 def test_rotation_window_is_exactly_full():
