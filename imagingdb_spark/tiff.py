@@ -18,9 +18,10 @@ exactly that:
   full-stream tags, new-style per-strip streams with the shared
   JPEGTables tag; baseline 8-bit, decoded by the pure-numpy codec in
   imagingdb_spark/jpeg.py), and Predictor 2 (horizontal differencing,
-  §14) — the codecs real microscopy writers emit. The remaining exotica
-  (PackBits, CCITT, progressive/12-bit JPEG) still raise with a clear
-  message and the injectable page_reader seam covers them.
+  §14), and 32773 (PackBits RLE, §9) — the codecs real microscopy
+  writers emit. The remaining exotica (CCITT fax codecs,
+  progressive/12-bit JPEG) still raise with a clear message and the
+  injectable page_reader seam covers them.
 - ``write_tiff``: emits a valid multi-page TIFF (little-endian, one
   strip per page; compression="none"/"lzw"/"deflate") — used by tests
   and as the synthetic-data twin.
@@ -48,6 +49,7 @@ _JPEG_TABLES, _JPEG_IF, _JPEG_IF_LEN = 347, 513, 514
 
 _COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD = 1, 5, 8, 32946
 _COMP_JPEG_OLD, _COMP_JPEG = 6, 7
+_COMP_PACKBITS = 32773
 
 # field type → (struct code, byte size); the subset real writers use
 # (2 = ASCII, one byte per char incl. the NUL terminator; 7 = UNDEFINED
@@ -161,6 +163,51 @@ def _lzw_encode(data: bytes) -> bytes:
     return bytes(bits)
 
 
+def _packbits_decode(data: bytes) -> bytes:
+    """Apple PackBits RLE (TIFF 6.0 §9): n in 0..127 copies n+1 literal
+    bytes; n in -127..-1 repeats the next byte 1-n times; -128 is a
+    no-op."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        c = data[i]
+        i += 1
+        if c < 128:  # literal run of c+1
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:  # replicate next byte 257-c times
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+        # c == 128: no-op
+    return bytes(out)
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """PackBits encoder (runs never shorter than 3; literals batch up to
+    128) — the synthetic twin for round-trip tests, one row at a time so
+    runs never cross row boundaries (the spec's recommendation)."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        # find run length at i
+        j = i + 1
+        while j < n and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        # literal: until a >=3 run starts or 128 bytes
+        k = i
+        while k < n and k - i < 128:
+            if k + 2 < n and data[k] == data[k + 1] == data[k + 2]:
+                break
+            k += 1
+        out += bytes([k - i - 1]) + data[i:k]
+        i = k
+    return bytes(out)
+
+
 def _decode_strips(strips: list[bytes], comp: int) -> bytes:
     if comp == _COMP_NONE:
         return b"".join(strips)
@@ -168,10 +215,12 @@ def _decode_strips(strips: list[bytes], comp: int) -> bytes:
         return b"".join(zlib.decompress(s) for s in strips)
     if comp == _COMP_LZW:
         return b"".join(_lzw_decode(s) for s in strips)
+    if comp == _COMP_PACKBITS:
+        return b"".join(_packbits_decode(s) for s in strips)
     raise ValueError(
         f"unsupported TIFF compression {comp} (built-in: none/LZW/Deflate/"
-        "baseline-JPEG); inject a page_reader backed by tifffile for "
-        "exotic codecs (PackBits, CCITT)"
+        "PackBits/baseline-JPEG); inject a page_reader backed by tifffile "
+        "for the remaining exotica (CCITT fax codecs)"
     )
 
 
@@ -351,6 +400,7 @@ _WRITE_COMP = {
     "lzw": _COMP_LZW,
     "deflate": _COMP_DEFLATE,
     "jpeg": _COMP_JPEG,  # new-style: each strip a complete baseline stream
+    "packbits": _COMP_PACKBITS,
 }
 
 
@@ -406,6 +456,13 @@ def write_tiff(
                 strip = _lzw_encode(strip)
             elif comp_tag == _COMP_DEFLATE:
                 strip = zlib.compress(strip)
+            elif comp_tag == _COMP_PACKBITS:
+                # encode PER ROW so runs never cross row boundaries
+                row_bytes = w * samples * (bits // 8)
+                strip = b"".join(
+                    _packbits_encode(strip[r : r + row_bytes])
+                    for r in range(0, len(strip), row_bytes)
+                )
         strip_off = len(out)
         out.extend(strip)
         entries = [

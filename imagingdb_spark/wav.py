@@ -4,13 +4,14 @@ canonical uncompressed case, the same way png.py/tiff.py did for images.
 Public format (Microsoft/IBM RIFF WAVE, 1991): a RIFF container whose
 `fmt ` chunk describes the sample encoding and whose `data` chunk holds
 the samples. Supported here: PCM (format tag 1) at 8/16/32 bits and IEEE
-float (tag 3) at 32/64 bits, plus the ITU-T G.711 companded encodings —
+float (tag 3) at 32/64 bits, the ITU-T G.711 companded encodings —
 A-law (tag 6) and mu-law (tag 7), vectorized from the public CCITT
-reference arithmetic — any channel count, any sample rate. Block-stateful
-or frame-based codecs (IMA/MS ADPCM, MP3-in-WAV) raise with a clear
-message and go through the injectable decoder seam
-(multimodal.audio_features) instead — that seam is now permanent, and
-tests pin its error path.
+reference arithmetic — and IMA/DVI ADPCM (tag 0x11, 4-bit differential
+with per-block restart headers, mono/stereo) — any channel count, any
+sample rate. The remaining frame-based codecs (MS ADPCM tag 2,
+MP3-in-WAV) raise with a clear message and go through the injectable
+decoder seam (multimodal.audio_features) instead; tests pin that error
+path.
 
 Executor contract: pure functions of bytes, no state — safe inside
 mapInPandas batches.
@@ -73,6 +74,169 @@ def alaw_encode(x: np.ndarray) -> np.ndarray:
     return ((sign | (seg << 4) | mant) ^ 0x55).astype(np.uint8)
 
 
+# IMA/DVI ADPCM (WAV format tag 0x11; public spec: IMA Digital Audio
+# Pack, 1992): 4-bit differential coding with a per-block restart header
+# (predictor int16 + step index uint8 per channel), nibbles low-first,
+# stereo interleaved in 4-byte words per channel. The decode is
+# inherently sequential per block (state-carrying), so it runs as a
+# Python loop — clips decode inside mapInPandas one payload per call,
+# where block counts are small; the codec exists to close the input
+# class, not to be a hot path.
+
+_IMA_STEPS = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34,
+        37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143,
+        157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494,
+        544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552,
+        1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428,
+        4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487,
+        12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086,
+        29794, 32767,
+    ],
+    dtype=np.int32,
+)
+_IMA_INDEX = [-1, -1, -1, -1, 2, 4, 6, 8]
+
+
+def _ima_decode_nibbles(
+    nibbles, predictor: int, index: int
+) -> tuple[list[int], int]:
+    out = []
+    for b in nibbles:
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if b & 1:
+            diff += step >> 2
+        if b & 2:
+            diff += step >> 1
+        if b & 4:
+            diff += step
+        predictor = (
+            max(-32768, predictor - diff)
+            if b & 8
+            else min(32767, predictor + diff)
+        )
+        index = min(88, max(0, index + _IMA_INDEX[b & 7]))
+        out.append(predictor)
+    return out, index
+
+
+def ima_adpcm_decode(
+    data: bytes, channels: int, block_align: int
+) -> np.ndarray:
+    """IMA ADPCM data chunk → int16 samples, shape (n,) mono / (n, ch)."""
+    per_ch: list[list[int]] = [[] for _ in range(channels)]
+    for bstart in range(0, len(data) - (len(data) % block_align), block_align):
+        block = data[bstart : bstart + block_align]
+        preds, idxs = [], []
+        for c in range(channels):
+            p, i = struct.unpack_from("<hBx", block, c * 4)
+            preds.append(p)
+            idxs.append(min(88, max(0, i)))
+            per_ch[c].append(p)  # the header predictor IS sample 0
+        body = block[4 * channels :]
+        # nibble stream per channel: 4-byte words round-robin by channel
+        for w0 in range(0, len(body) - (len(body) % (4 * channels)),
+                        4 * channels):
+            for c in range(channels):
+                word = body[w0 + 4 * c : w0 + 4 * c + 4]
+                nibs = []
+                for byte in word:
+                    nibs.append(byte & 0x0F)
+                    nibs.append(byte >> 4)
+                decoded, idxs[c] = _ima_decode_nibbles(
+                    nibs, per_ch[c][-1], idxs[c]
+                )
+                per_ch[c].extend(decoded)
+    n = min(len(x) for x in per_ch)
+    if channels == 1:
+        return np.array(per_ch[0][:n], dtype=np.int16)
+    return np.stack(
+        [np.array(x[:n], dtype=np.int16) for x in per_ch], axis=1
+    )
+
+
+def ima_adpcm_encode(
+    samples_i16: np.ndarray, samples_per_block: int = 505
+) -> tuple[bytes, int, int]:
+    """int16 samples (mono (n,) or (n, ch)) → (data, block_align,
+    samples_per_block): the round-trip twin. samples_per_block counts the
+    header sample; mono default 505 → block_align 256."""
+    a = np.asarray(samples_i16, dtype=np.int16)
+    channels = 1 if a.ndim == 1 else a.shape[1]
+    if a.ndim == 1:
+        a = a[:, None]
+    spb = samples_per_block
+    if (spb - 1) % 8 != 0:
+        raise ValueError("samples_per_block must be 1 + multiple of 8")
+    words_per_block = (spb - 1) // 8
+    block_align = 4 * channels + 4 * channels * words_per_block
+    # pad to whole blocks (trailing repeats of the last sample)
+    n = a.shape[0]
+    n_blocks = (n + spb - 1) // spb
+    pad = n_blocks * spb - n
+    if pad:
+        a = np.vstack([a, np.repeat(a[-1:], pad, axis=0)])
+    out = bytearray()
+    idx = [0] * channels
+    for b in range(n_blocks):
+        seg = a[b * spb : (b + 1) * spb]
+        preds = [int(seg[0, c]) for c in range(channels)]
+        if b == 0:
+            # the per-block header re-seeds the decoder's step index, so
+            # the encoder may pick it freely: seed from the first block's
+            # median |delta| instead of 0, killing the slope-overload
+            # transient a cold index-0 start suffers on real signals
+            for c in range(channels):
+                d_med = float(
+                    np.median(np.abs(np.diff(seg[:, c].astype(np.int32))))
+                )
+                idx[c] = int(
+                    min(88, np.searchsorted(_IMA_STEPS, max(7.0, d_med)))
+                )
+        for c in range(channels):
+            out += struct.pack("<hBx", preds[c], idx[c])
+        nibs: list[list[int]] = [[] for _ in range(channels)]
+        for s in range(1, spb):
+            for c in range(channels):
+                step = int(_IMA_STEPS[idx[c]])
+                delta = int(seg[s, c]) - preds[c]
+                code = 0
+                if delta < 0:
+                    code = 8
+                    delta = -delta
+                if delta >= step:
+                    code |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    code |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    code |= 1
+                # reconstruct exactly like the decoder
+                diff = step >> 3
+                if code & 1:
+                    diff += step >> 2
+                if code & 2:
+                    diff += step >> 1
+                if code & 4:
+                    diff += step
+                preds[c] = (
+                    max(-32768, preds[c] - diff)
+                    if code & 8
+                    else min(32767, preds[c] + diff)
+                )
+                idx[c] = min(88, max(0, idx[c] + _IMA_INDEX[code & 7]))
+                nibs[c].append(code)
+        for w0 in range(words_per_block):
+            for c in range(channels):
+                chunk = nibs[c][w0 * 8 : w0 * 8 + 8]
+                for k in range(0, 8, 2):
+                    out.append(chunk[k] | (chunk[k + 1] << 4))
+    return bytes(out), block_align, spb
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
     """WAV bytes → (samples, sample_rate, n_channels). Samples are float64
     scaled to [-1, 1], shaped (n,) for mono or (n, channels) otherwise.
@@ -107,11 +271,15 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
         a = alaw_decode(np.frombuffer(data, np.uint8)) / 32768.0
     elif tag == 7 and bits == 8:  # G.711 mu-law
         a = mulaw_decode(np.frombuffer(data, np.uint8)) / 32768.0
+    elif tag == 0x11 and bits == 4:  # IMA/DVI ADPCM
+        s = ima_adpcm_decode(data, channels, fmt[4])
+        return s.astype(np.float64) / 32768.0, rate, channels
     else:
         raise ValueError(
             f"unsupported WAV encoding (format tag {tag}, {bits}-bit); "
-            "inject a soundfile-backed decoder for block-stateful codecs "
-            "(ADPCM/MP3) — permanent seam, see module docstring"
+            "inject a soundfile-backed decoder for the remaining "
+            "frame-based codecs (MS ADPCM, MP3-in-WAV) — see module "
+            "docstring"
         )
     if channels > 1:
         a = a[: len(a) - len(a) % channels].reshape(-1, channels)
@@ -133,8 +301,24 @@ def encode_wav(
     elif codec == "alaw":
         tag, bits = 6, 8
         raw = alaw_encode((flat * 32767.0).round().astype(np.int32)).tobytes()
+    elif codec == "adpcm":
+        i16 = (np.clip(a, -1.0, 1.0) * 32767.0).round().astype(np.int16)
+        raw, block, spb = ima_adpcm_encode(i16)
+        fmt_x = struct.pack(
+            "<HHIIHHHH",
+            0x11, channels, sample_rate,
+            sample_rate * block // spb, block, 4,
+            2,  # cbSize
+            spb,  # wSamplesPerBlock
+        )
+        chunks = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_x)) + fmt_x
+            + b"data" + struct.pack("<I", len(raw)) + raw
+        )
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
     elif codec != "pcm":
-        raise ValueError(f"unsupported codec {codec!r} (pcm/mulaw/alaw)")
+        raise ValueError(f"unsupported codec {codec!r} (pcm/mulaw/alaw/adpcm)")
     elif bits == 8:
         tag = 1
         raw = (flat * 127.0 + 128.0).round().astype(np.uint8).tobytes()

@@ -79,8 +79,8 @@ class TestErrors:
         # patch the Compression entry's value (type SHORT, little-endian)
         at = blob.find(struct.pack("<HH", 259, 3))
         assert at > 0
-        struct.pack_into("<H", blob, at + 8, 32773)  # PackBits: not built in
-        with pytest.raises(ValueError, match="compression 32773"):
+        struct.pack_into("<H", blob, at + 8, 3)  # CCITT G3: not built in
+        with pytest.raises(ValueError, match="compression 3"):
             tiff.read_tiff_pages(bytes(blob))
 
     def test_bad_write_compression_rejected(self):
@@ -231,6 +231,46 @@ def _smooth(h, w, seed):
     return np.apply_along_axis(
         lambda x: np.convolve(x, k, mode="same"), 1, a
     ).astype("uint8")
+
+
+class TestPackBits:
+    """Compression 32773 (PackBits RLE, TIFF 6.0 §9): round trips over
+    the frame contract plus the published known vector."""
+
+    def test_multipage_roundtrip(self):
+        pages = [
+            np.tile(np.arange(16, dtype=np.uint8), (8, 4)),
+            rng.integers(0, 255, size=(9, 13), endpoint=True).astype(np.uint8),
+            rng.integers(0, 65535, size=(5, 7), endpoint=True).astype(
+                np.uint16
+            ),
+            np.full((6, 40), 7, dtype=np.uint8),  # long runs
+        ]
+        back = tiff.read_tiff_pages(
+            tiff.write_tiff(pages, compression="packbits")
+        )
+        for want, got in zip(pages, back):
+            np.testing.assert_array_equal(want, got)
+
+    def test_known_vector(self):
+        """Apple's published PackBits example (TN1023)."""
+        enc = bytes(
+            [0xFE, 0xAA, 0x02, 0x80, 0x00, 0x2A, 0xFD, 0xAA, 0x03, 0x80,
+             0x00, 0x2A, 0x22, 0xF7, 0xAA]
+        )
+        want = bytes(
+            [0xAA] * 3 + [0x80, 0x00, 0x2A] + [0xAA] * 4
+            + [0x80, 0x00, 0x2A, 0x22] + [0xAA] * 10
+        )
+        assert tiff._packbits_decode(enc) == want
+        # the encoder round-trips the same payload (encoding may differ)
+        assert tiff._packbits_decode(tiff._packbits_encode(want)) == want
+
+    def test_runs_compress(self):
+        page = np.full((64, 64), 3, dtype=np.uint8)
+        assert len(
+            tiff.write_tiff([page], compression="packbits")
+        ) < len(tiff.write_tiff([page]))
 
 
 class TestJpegInTiff:

@@ -130,14 +130,57 @@ class TestG711:
         assert ch == 2 and back.shape == (1000, 2)
         assert np.max(np.abs(back - x)) < 0.02
 
-    def test_adpcm_seam_is_permanent(self):
-        """Block-stateful codecs stay behind the injectable seam — the
-        error path is the contract now (not a TODO)."""
+    def test_ms_adpcm_seam_is_permanent(self):
+        """The remaining frame-based codec (MS ADPCM, tag 2) stays behind
+        the injectable seam — the error path is the contract (IMA ADPCM
+        tag 0x11 decodes natively since round 8)."""
         blob = bytearray(wav.encode_wav(np.zeros(16), 8000))
         at = blob.find(b"fmt ")
-        struct.pack_into("<H", blob, at + 8, 17)  # 17 = IMA ADPCM
-        with pytest.raises(ValueError, match="ADPCM"):
+        struct.pack_into("<H", blob, at + 8, 2)  # 2 = MS ADPCM
+        with pytest.raises(ValueError, match="format tag 2"):
             wav.decode_wav(bytes(blob))
+
+
+class TestImaAdpcm:
+    """IMA/DVI ADPCM (tag 0x11): 4-bit differential, per-block restart
+    headers, mono + stereo — round-tripped against the repo's own
+    encoder (like G.711 and the TIFF codecs)."""
+
+    def _sig(self, n=4000, rate=8000):
+        t = np.arange(n) / rate
+        return 0.5 * np.sin(2 * np.pi * 50 * t) + 0.2 * np.sin(
+            2 * np.pi * 180 * t
+        )
+
+    def test_mono_roundtrip_within_adpcm_tolerance(self):
+        x = self._sig()
+        blob = wav.encode_wav(x, 8000, codec="adpcm")
+        got, rate, ch = wav.decode_wav(blob)
+        assert rate == 8000 and ch == 1
+        assert len(got) >= len(x)  # whole-block padding
+        assert float(np.abs(got[: len(x)] - x).max()) < 0.03
+        # ~4x smaller than 16-bit PCM (4 bits/sample + headers)
+        assert len(blob) < 0.3 * len(wav.encode_wav(x, 8000, bits=16))
+
+    def test_stereo_roundtrip_and_channel_independence(self):
+        x = self._sig()
+        st = np.stack([x, np.roll(x, 7) * 0.8], axis=1)
+        got, _, ch = wav.decode_wav(wav.encode_wav(st, 8000, codec="adpcm"))
+        assert ch == 2 and got.shape[1] == 2
+        assert float(np.abs(got[: len(st)] - st).max()) < 0.03
+
+    def test_decoder_state_rules(self):
+        """Nibble order (low first), predictor clamp, and index clamp per
+        the public IMA spec — a hand-decoded two-nibble byte."""
+        # index 0 -> step 7; nibble 0x7 => diff = 7>>3 + 7>>2 + 7>>1 = 4?
+        # diff = step>>3 (=0) +(b&1)*step>>2(=1)+(b&2)*step>>1(=3)+(b&4)*step(=7) -> 0+1+3+7=11
+        out, idx = wav._ima_decode_nibbles([0x7, 0x8], 100, 0)
+        assert out[0] == 111  # +11
+        assert idx >= 0
+        # nibble 0x8: sign bit only -> diff = step>>3, step after idx clamp
+        # saturation: predictor never leaves int16
+        out2, _ = wav._ima_decode_nibbles([0x7] * 50, 32000, 88)
+        assert max(out2) == 32767
 
 
 def test_audio_features_with_g711_payload(spark):
