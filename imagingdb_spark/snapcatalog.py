@@ -368,6 +368,50 @@ def catalog_commit(
     )
 
 
+def migrate_catalog(
+    spark: SparkSession,
+    src_dir: str,
+    dest_dir: str,
+    tables: dict[str, "StructType"],
+    keys: dict[str, list[str]],
+) -> int:
+    """Migrate a per-table catalog (standalone snapshot tables and/or
+    legacy ``<name>.parquet`` files under ``src_dir``) into a FRESH
+    atomic catalog at ``dest_dir`` — the actionable path behind
+    catalog_commit's refuse-to-shadow guard. Every table's current
+    content lands in ONE catalog commit (v1), so the destination starts
+    with the cross-table consistency guarantee already holding; absent
+    source tables become typed empty tables. The source is READ ONLY —
+    cut over by pointing writers at ``CatalogTarget(dest_dir)`` and
+    retiring the source when satisfied. Returns the committed version."""
+    import os as _os
+
+    if os.path.abspath(src_dir) == os.path.abspath(dest_dir):
+        raise ValueError(
+            "migration needs a fresh destination directory (the source's "
+            "per-table state must stay intact until cut-over)"
+        )
+    if catalog_exists(dest_dir):
+        raise ValueError(f"{dest_dir} already holds an atomic catalog")
+    from imagingdb_spark import snapshots as SN
+
+    def build(views):
+        out = {}
+        for name, schema in tables.items():
+            legacy = _os.path.join(src_dir, f"{name}.parquet")
+            snap = _os.path.join(src_dir, name)
+            if _os.path.exists(legacy):
+                out[name] = spark.read.schema(schema).parquet(legacy)
+            elif SN.snapshot_exists(snap):
+                out[name] = SN.snapshot_read(spark, snap)
+            else:
+                out[name] = spark.createDataFrame([], schema)
+        return out
+
+    v, _ = catalog_commit(spark, dest_dir, build, keys)
+    return v
+
+
 def catalog_expire(catalog_dir: str, keep_last: int = 1) -> list[int]:
     """Drop catalog commit objects older than the newest ``keep_last``;
     returns the expired version numbers. Data/group files they referenced

@@ -431,6 +431,63 @@ class TestAtomicUpload:
         landed = sum(1 for o in outs.values() if o["data_set"].count() == 1)
         assert landed == 1  # exactly one writer's delta is non-empty
 
+    def test_migrate_per_table_catalog_to_atomic(self, spark, tmp_path):
+        """migrate_catalog: an upload made onto per-table SnapshotTargets
+        moves into a fresh atomic catalog with identical content, uploads
+        continue there atomically, and the source stays intact."""
+        from imagingdb_spark.catalog import IMAGING_SCHEMAS
+        from imagingdb_spark.ingest import SnapshotTarget
+
+        src_dir = str(tmp_path / "old")
+        src = _src_file(tmp_path)
+        man = spark.createDataFrame(
+            [(UP_SERIAL, src, "Testing", "none")],
+            "dataset_serial string, file_name string, description string, "
+            "parent_dataset_id string",
+        )
+        cat = {
+            n: spark.createDataFrame([], s) for n, s in IMAGING_SCHEMAS.items()
+        }
+        flows.upload_dataset(
+            spark, man, cat,
+            storage_root=str(tmp_path / "store"),
+            upload_type="frames",
+            page_reader=_fake_page_reader,
+            global_meta={"im_width": 8, "im_height": 8,
+                         "nbr_channels": 2, "nbr_slices": 3},
+            paths={n: SnapshotTarget(f"{src_dir}/{n}")
+                   for n in IMAGING_SCHEMAS},
+        )
+        dest = str(tmp_path / "new")
+        keys = {
+            "data_set": ["dataset_serial"],
+            "frames_global": ["dataset_id"],
+            "frames": ["frames_global_id", "file_name"],
+            "file_global": ["dataset_id"],
+        }
+        v = C.migrate_catalog(spark, src_dir, dest, IMAGING_SCHEMAS, keys)
+        assert v == 1
+        assert C.catalog_read(spark, dest, "data_set").count() == 1
+        assert C.catalog_read(spark, dest, "frames").count() == 6
+        assert C.catalog_read(spark, dest, "file_global").count() == 0
+        # source untouched
+        from imagingdb_spark import snapshots as S
+
+        assert S.snapshot_read(spark, f"{src_dir}/frames").count() == 6
+        # uploads continue on the atomic catalog
+        out = _upload(spark, src, tmp_path, dest, serial=UP_SERIAL2)
+        assert out["frames"].count() == 6
+        assert C.catalog_read(spark, dest, "frames").count() == 12
+        # replaying the FIRST upload against the migrated catalog
+        # converges (content carried over)
+        out2 = _upload(spark, src, tmp_path, dest, serial=UP_SERIAL)
+        assert out2["data_set"].count() == 0
+        # same-dir migration and double-migration refused
+        with pytest.raises(ValueError, match="fresh destination"):
+            C.migrate_catalog(spark, src_dir, src_dir, IMAGING_SCHEMAS, keys)
+        with pytest.raises(ValueError, match="already holds"):
+            C.migrate_catalog(spark, src_dir, dest, IMAGING_SCHEMAS, keys)
+
     def test_cli_reads_atomic_catalog_and_slice_prunes(self, spark, tmp_path):
         """cli.load_catalog / load_catalog_slice consume an atomic
         catalog: all views resolve from ONE pinned commit, the slice
