@@ -19,7 +19,11 @@ exactly that:
   JPEGTables tag; baseline 8-bit, decoded by the pure-numpy codec in
   imagingdb_spark/jpeg.py), and Predictor 2 (horizontal differencing,
   §14), and 32773 (PackBits RLE, §9) — the codecs real microscopy
-  writers emit. The remaining exotica (CCITT fax codecs,
+  writers emit. Bilevel pages (BitsPerSample 1) decode natively too:
+  uncompressed packed bits and the CCITT fax family — Compression 2
+  (byte-aligned MH), 3 (Group 3 1-D), 4 (Group 4 / T.6 MMR) — via
+  imagingdb_spark/ccitt.py, expanded to uint8 0/255 through
+  PhotometricInterpretation. The remaining exotica (2-D-coded Group 3,
   progressive/12-bit JPEG) still raise with a clear message and the
   injectable page_reader seam covers them.
 - ``write_tiff``: emits a valid multi-page TIFF (little-endian, one
@@ -50,6 +54,8 @@ _JPEG_TABLES, _JPEG_IF, _JPEG_IF_LEN = 347, 513, 514
 _COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD = 1, 5, 8, 32946
 _COMP_JPEG_OLD, _COMP_JPEG = 6, 7
 _COMP_PACKBITS = 32773
+_COMP_CCITT_RLE, _COMP_G3, _COMP_G4 = 2, 3, 4
+_T4_OPTIONS, _T6_OPTIONS = 292, 293
 
 # field type → (struct code, byte size); the subset real writers use
 # (2 = ASCII, one byte per char incl. the NUL terminator; 7 = UNDEFINED
@@ -219,8 +225,8 @@ def _decode_strips(strips: list[bytes], comp: int) -> bytes:
         return b"".join(_packbits_decode(s) for s in strips)
     raise ValueError(
         f"unsupported TIFF compression {comp} (built-in: none/LZW/Deflate/"
-        "PackBits/baseline-JPEG); inject a page_reader backed by tifffile "
-        "for the remaining exotica (CCITT fax codecs)"
+        "PackBits/baseline-JPEG/CCITT fax); inject a page_reader backed "
+        "by tifffile for the remaining exotica"
     )
 
 
@@ -274,6 +280,61 @@ def _decode_jpeg_page(
     return page
 
 
+def _decode_fax_page(
+    buf: bytes, tags: dict[int, list[int]], comp: int, w: int, h: int
+) -> np.ndarray:
+    """One bilevel fax page (Compression 2/3/4) → (H, W) uint8 0/255.
+
+    Coding restarts at every strip boundary (TIFF 6.0 §10-11: strips are
+    independently decodable). True-in-the-bitmap means black; Photometric
+    0 (WhiteIsZero, the fax default) maps white→255/black→0, Photometric
+    1 inverts. Compression 3 supports the 1-D T4Options only; bit 0 set
+    (2-D-coded G3) raises — the injectable page_reader seam covers it.
+    """
+    from imagingdb_spark import ccitt
+
+    if comp == _COMP_G3 and tags.get(_T4_OPTIONS, [0])[0] & 1:
+        raise ValueError(
+            "2-D-coded Group 3 (T4Options bit 0) is unsupported; use "
+            "Compression 4 or inject a page_reader"
+        )
+    if comp == _COMP_G4 and tags.get(_T6_OPTIONS, [0])[0] & 2:
+        raise ValueError(
+            "T.6 uncompressed-mode option is unsupported; inject a "
+            "page_reader"
+        )
+    rows_per = tags.get(_ROWS_PER_STRIP, [h])[0]
+    parts = []
+    offs, cnts = tags[_STRIP_OFFSETS], tags[_STRIP_COUNTS]
+    for i, (o, c) in enumerate(zip(offs, cnts)):
+        nrows = min(rows_per, h - i * rows_per)
+        strip = buf[o : o + c]
+        if comp == _COMP_G4:
+            parts.append(ccitt.decode_g4(strip, w, nrows))
+        else:
+            parts.append(
+                ccitt.decode_g3_1d(
+                    strip, w, nrows, byte_aligned=comp == _COMP_CCITT_RLE
+                )
+            )
+    black = np.concatenate(parts, axis=0)
+    photometric = tags.get(_PHOTOMETRIC, [0])[0]
+    if photometric == 0:  # WhiteIsZero: white=255, black=0
+        return np.where(black, 0, 255).astype(np.uint8)
+    return np.where(black, 255, 0).astype(np.uint8)
+
+
+def _unpack_bilevel(data: bytes, w: int, h: int, photometric: int) -> np.ndarray:
+    """Uncompressed 1-bit page (rows padded to byte boundaries, MSB-first)
+    → (H, W) uint8 0/255 through PhotometricInterpretation."""
+    stride = (w + 7) // 8
+    raw = np.frombuffer(data, dtype=np.uint8, count=h * stride)
+    bits = np.unpackbits(raw.reshape(h, stride), axis=1)[:, :w]
+    if photometric == 0:  # WhiteIsZero: sample 0 is white
+        return np.where(bits == 0, 255, 0).astype(np.uint8)
+    return np.where(bits == 0, 0, 255).astype(np.uint8)
+
+
 def _read_entry(buf: bytes, pos: int, bo: str) -> tuple[int, list[int]]:
     """One 12-byte IFD entry → (tag, values)."""
     tag, ftype, count = struct.unpack(bo + "HHI", buf[pos : pos + 8])
@@ -316,6 +377,28 @@ def read_tiff_pages(payload: bytes) -> list[np.ndarray]:
         w, h = tags[_WIDTH][0], tags[_LENGTH][0]
         samples = tags.get(_SAMPLES, [1])[0]
         bits = tags.get(_BITS, [8])[0]
+        if bits == 1 and samples == 1:
+            # bilevel pages: fax-coded or packed-uncompressed, expanded to
+            # uint8 0/255 (the reference's tifffile path does the same —
+            # asarray() of a bilevel page yields a 2-D array)
+            if comp in (_COMP_CCITT_RLE, _COMP_G3, _COMP_G4):
+                pages.append(_decode_fax_page(buf, tags, comp, w, h))
+                continue
+            if comp == _COMP_NONE:
+                data = b"".join(
+                    buf[o : o + c]
+                    for o, c in zip(tags[_STRIP_OFFSETS], tags[_STRIP_COUNTS])
+                )
+                pages.append(
+                    _unpack_bilevel(
+                        data, w, h, tags.get(_PHOTOMETRIC, [0])[0]
+                    )
+                )
+                continue
+            raise ValueError(
+                f"unsupported bilevel TIFF compression {comp} "
+                "(built-in: none/CCITT-RLE/G3-1D/G4)"
+            )
         if bits not in (8, 16) or samples not in (1, 3):
             raise ValueError(
                 f"unsupported TIFF page ({bits}-bit, {samples} samples); the "
@@ -401,7 +484,36 @@ _WRITE_COMP = {
     "deflate": _COMP_DEFLATE,
     "jpeg": _COMP_JPEG,  # new-style: each strip a complete baseline stream
     "packbits": _COMP_PACKBITS,
+    # bilevel fax codecs: pages must be 2-D bool or uint8 {0,255};
+    # written with PhotometricInterpretation 0 (WhiteIsZero, fax default)
+    "ccitt_rle": _COMP_CCITT_RLE,
+    "ccitt_g3": _COMP_G3,
+    "ccitt_g4": _COMP_G4,
 }
+_FAX_COMPS = (_COMP_CCITT_RLE, _COMP_G3, _COMP_G4)
+
+
+def _encode_fax_page(im: np.ndarray, comp_tag: int) -> bytes:
+    """Bilevel page → fax strip. Input is bool (True=black under
+    WhiteIsZero) or uint8 where 255=white, 0=black."""
+    from imagingdb_spark import ccitt
+
+    if im.ndim != 2:
+        raise TypeError("fax compression is single-sample 2-D only")
+    if im.dtype == bool:
+        black = im
+    else:
+        vals = np.unique(im)
+        if not np.isin(vals, (0, 255)).all():
+            raise TypeError(
+                "fax pages must be bool or uint8 with values {0, 255}"
+            )
+        black = im == 0
+    if comp_tag == _COMP_G4:
+        return ccitt.encode_g4(black)
+    return ccitt.encode_g3_1d(
+        black, byte_aligned=comp_tag == _COMP_CCITT_RLE
+    )
 
 
 def write_tiff(
@@ -434,7 +546,12 @@ def write_tiff(
     prev_link = 4  # header slot pointing at the first IFD
     for page_idx, im in enumerate(pages):
         im = np.asarray(im)
-        if im.dtype not in (np.uint8, np.uint16):
+        if comp_tag in _FAX_COMPS:
+            if im.dtype != bool and im.dtype != np.uint8:
+                raise TypeError(
+                    f"fax pages are bool/uint8 only, got {im.dtype}"
+                )
+        elif im.dtype not in (np.uint8, np.uint16):
             raise TypeError(f"TIFF frames are uint8/uint16 only, got {im.dtype}")
         if im.ndim == 2:
             samples = 1
@@ -444,7 +561,10 @@ def write_tiff(
             raise TypeError(f"expected (H,W) or (H,W,3) page, got {im.shape}")
         h, w = im.shape[0], im.shape[1]
         bits = im.dtype.itemsize * 8
-        if comp_tag == _COMP_JPEG:
+        if comp_tag in _FAX_COMPS:
+            bits = 1
+            strip = _encode_fax_page(im, comp_tag)
+        elif comp_tag == _COMP_JPEG:
             if bits != 8:
                 raise TypeError("compression='jpeg' is 8-bit only")
             from imagingdb_spark.jpeg import encode_jpeg
@@ -470,14 +590,15 @@ def write_tiff(
             _entry(_LENGTH, 4, [h]),
             _entry(_BITS, 3, [bits] * samples),
             _entry(_COMPRESSION, 3, [comp_tag]),
-            # JPEG RGB strips carry YCbCr inside the JFIF stream (PM 6)
+            # JPEG RGB strips carry YCbCr inside the JFIF stream (PM 6);
+            # fax pages are WhiteIsZero (PM 0, the CCITT default)
             _entry(
                 _PHOTOMETRIC,
                 3,
                 [
                     (6 if comp_tag == _COMP_JPEG else 2)
                     if samples == 3
-                    else 1
+                    else (0 if comp_tag in _FAX_COMPS else 1)
                 ],
             ),
             _entry(_STRIP_OFFSETS, 4, [strip_off]),
@@ -485,6 +606,10 @@ def write_tiff(
             _entry(_ROWS_PER_STRIP, 4, [h]),
             _entry(_STRIP_COUNTS, 4, [len(strip)]),
         ]
+        if comp_tag == _COMP_G3:
+            entries.append(_entry(_T4_OPTIONS, 4, [0]))  # 1-D, no fill
+        elif comp_tag == _COMP_G4:
+            entries.append(_entry(_T6_OPTIONS, 4, [0]))
         if page_idx == 0 and description is not None:
             entries.append(
                 _entry(
