@@ -47,7 +47,11 @@ footer-derived min/max/null column stats and group refs carry merged
 ranges, so a predicate read (``snapshot_read(..., where=...)``) skips
 whole groups without opening them and prunes files before Spark ever
 sees a path — the Iceberg data-skipping design; ``snapshot_scan_plan``
-exposes the skip counters. Compaction
+exposes the skip counters. A second pruning stage covers the predicate
+class zone maps cannot: per-file bloom sidecars on configured
+high-cardinality columns answer ``=``/``in`` probes on UNCLUSTERED keys
+(imagingdb_spark/blooms.py — the table property rides the manifest like
+``txns``, so every writer keeps the index fresh). Compaction
 (``snapshot_compact``) is the transactional upgrade of
 layout.compact_parquet: a concurrent append can no longer be silently
 dropped — the compact commit detects the new parent and retries against
@@ -648,6 +652,7 @@ def _next_manifest(
     rows: int,
     schema_json: str,
     txn: tuple[str, int] | None = None,
+    blooms: list[str] | None = None,
 ) -> dict:
     """The ONE place a manifest is shaped. Every commit path goes through
     here so an added field cannot be propagated in one writer and
@@ -655,11 +660,20 @@ def _next_manifest(
     in particular, txns ALWAYS carry forward from the parent or replay
     protection would silently lapse after an interleaved write. The
     physical manifest carries group REFS only; _read_manifest resolves
-    them to the logical file list."""
+    them to the logical file list.
+
+    ``blooms`` is the bloom-index table property (imagingdb_spark/
+    blooms.py): None carries the parent's column list forward like txns
+    do; a list SETS it (empty list clears)."""
     txns = dict(base.get("txns", {})) if base else {}
     if txn is not None:
         txns[txn[0]] = txn[1]
-    return {
+    bcols = (
+        list(blooms)
+        if blooms is not None
+        else (base.get("blooms") if base else None)
+    )
+    m = {
         "version": (base["version"] if base else 0) + 1,
         "parent": base["version"] if base else 0,
         "mode": mode,
@@ -668,6 +682,34 @@ def _next_manifest(
         "schema": schema_json,
         "txns": txns,
     }
+    if bcols:
+        m["blooms"] = bcols
+    return m
+
+
+def _drop_sidecar(table_dir: str, rel_dir: str) -> None:
+    """Remove the bloom sidecar paired with an aborted commit's data dir
+    (vacuum would catch it eventually; abort paths drop it eagerly, same
+    discipline as the data delta itself)."""
+    from imagingdb_spark.blooms import BLOOM_DIR
+
+    shutil.rmtree(
+        os.path.join(table_dir, BLOOM_DIR, os.path.basename(rel_dir)),
+        ignore_errors=True,
+    )
+
+
+def _build_blooms(
+    spark: SparkSession,
+    table_dir: str,
+    rel_dir: str,
+    new_files: list[dict],
+    cols: list[str] | None,
+) -> None:
+    if cols:
+        from imagingdb_spark import blooms
+
+        blooms.build_sidecar(spark, table_dir, rel_dir, new_files, cols)
 
 
 def snapshot_commit(
@@ -678,6 +720,7 @@ def snapshot_commit(
     max_retries: int = 5,
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
+    bloom_columns: list[str] | None = None,
 ) -> int:
     """Commit df to the snapshot table as one atomic version; returns the
     committed version number. ``append`` adds to the live set and rebases
@@ -700,7 +743,15 @@ def snapshot_commit(
     is what a Structured Streaming foreachBatch sink needs: a replayed
     micro-batch (same batch_id after a crash, or a zombie executor's
     double-fire) lands zero duplicate rows even when rows have no natural
-    key to anti-join on."""
+    key to anti-join on.
+
+    ``bloom_columns`` sets the table's bloom-index property (see
+    imagingdb_spark/blooms.py): this and every LATER commit — any
+    writer: append, RMW, MERGE, compact — builds point-lookup bloom
+    sidecars for the listed columns, and ``=``/``in`` predicates in
+    ``snapshot_read(where=...)`` skip files the filters prove empty.
+    None (default) inherits the tip's property; ``[]`` clears it
+    (existing sidecars keep pruning until their files are rewritten)."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(table_dir, exist_ok=True)
@@ -718,7 +769,15 @@ def snapshot_commit(
 
     if _already(_tip_txns()):
         return _versions(table_dir)[-1]  # replay: nothing written at all
+    pre_vs = _versions(table_dir)
+    tip_blooms = (
+        _read_manifest_raw(table_dir, pre_vs[-1]).get("blooms")
+        if pre_vs
+        else None
+    )
+    eff_blooms = bloom_columns if bloom_columns is not None else tip_blooms
     new_files, new_rows, rel_dir = _write_data_files(df, table_dir)
+    _build_blooms(spark, table_dir, rel_dir, new_files, eff_blooms)
     schema_json = _canon_schema_json(df.schema)
     created: list[str] = []  # group files this attempt wrote
     for _ in range(max_retries):
@@ -733,6 +792,7 @@ def snapshot_commit(
             # another replica committed this txn between our check and
             # now: drop our identical delta and converge
             shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
+            _drop_sidecar(table_dir, rel_dir)
             return parent
         commit_schema = schema_json
         if mode == "append" and base:
@@ -752,6 +812,7 @@ def snapshot_commit(
                     shutil.rmtree(
                         os.path.join(table_dir, rel_dir), ignore_errors=True
                     )
+                    _drop_sidecar(table_dir, rel_dir)
                     raise ValueError(
                         f"append schema differs from {table_dir} tip "
                         f"v{parent}; additive widening needs "
@@ -767,7 +828,9 @@ def snapshot_commit(
         else:
             groups = _child_groups(table_dir, [], new_files, created)
             rows = new_rows
-        manifest = _next_manifest(base, mode, groups, rows, commit_schema, txn)
+        manifest = _next_manifest(
+            base, mode, groups, rows, commit_schema, txn, blooms=bloom_columns
+        )
         try:
             _publish(table_dir, parent + 1, manifest)
             return parent + 1
@@ -781,6 +844,7 @@ def snapshot_commit(
                     shutil.rmtree(
                         os.path.join(table_dir, rel_dir), ignore_errors=True
                     )
+                    _drop_sidecar(table_dir, rel_dir)
                     return _versions(table_dir)[-1]
                 raise
             # append rebase: re-read tip, relink the same data files
@@ -903,11 +967,16 @@ def snapshot_idempotent_append_delta(
             deduped = rows_df
         os.makedirs(table_dir, exist_ok=True)
         files, rows, rel_dir = _write_data_files(deduped, table_dir)
+        _build_blooms(
+            spark, table_dir, rel_dir, files,
+            base.get("blooms") if base else None,
+        )
         if rows == 0 and base is not None:
             # whole batch already present: converged, nothing to publish
             # (and the just-written empty delta dir is removed, not left
             # as vacuum debris)
             shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
+            _drop_sidecar(table_dir, rel_dir)
             return parent, spark.createDataFrame([], schema)
         base_groups, legacy_delta = _base_delta(base)
         groups = _child_groups(
@@ -986,6 +1055,12 @@ def _resolve_pruned(
             opened += 1
             entries.extend(_read_group(table_dir, g["name"]))
     kept = [fe for fe in entries if not where or _file_matches(fe, where)]
+    if where and kept:
+        # second pruning stage: bloom sidecars answer =/in probes on
+        # indexed columns that min/max could not (unclustered keys)
+        from imagingdb_spark import blooms
+
+        kept = blooms.prune_candidates(table_dir, kept, where, plan)
     if plan is not None:
         plan.update(
             files_total=total,
@@ -1160,11 +1235,15 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str) -> list[str]:
     never consults the clock)."""
     live: set[str] = set()
     live_groups: set[str] = set()
+    live_sidecars: set[str] = set()
     for v in _versions(table_dir):
         m = _read_manifest(table_dir, v)  # resolved: needs every path
         live.update(f["path"] for f in m["files"])
         if m["groups"] is not None:
             live_groups.update(g["name"] for g in m["groups"])
+        live_sidecars.update(
+            f["bloom"]["sc"] for f in m["files"] if f.get("bloom")
+        )
     deleted = []
     droot = os.path.join(table_dir, DATA_DIR)
     if os.path.isdir(droot):
@@ -1211,6 +1290,18 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str) -> list[str]:
             ):
                 os.unlink(os.path.join(gdir, n))
                 deleted.append(os.path.join(MANIFEST_DIR, GROUPS_DIR, n))
+    # bloom sidecar dirs no retained file entry references (aborted
+    # commits' debris, expired versions' indexes) — same set-difference
+    # rule; a live sidecar survives because its entries still probe it
+    from imagingdb_spark.blooms import BLOOM_DIR
+
+    broot = os.path.join(table_dir, BLOOM_DIR)
+    if os.path.isdir(broot):
+        for n in sorted(os.listdir(broot)):
+            rel = os.path.join(BLOOM_DIR, n)
+            if rel not in live_sidecars:
+                shutil.rmtree(os.path.join(broot, n), ignore_errors=True)
+                deleted.append(rel)
     return deleted
 
 
@@ -1259,6 +1350,7 @@ def snapshot_rmw(
             return tip  # replayed txn: the fold already happened
         out = transform(snapshot_read(spark, table_dir, version=tip))
         new_files, new_rows, rel_dir = _write_data_files(out, table_dir)
+        _build_blooms(spark, table_dir, rel_dir, new_files, m.get("blooms"))
         groups = _child_groups(table_dir, [], new_files, created)
         manifest = _next_manifest(
             m, mode, groups, new_rows, _canon_schema_json(out.schema), txn
@@ -1268,6 +1360,7 @@ def snapshot_rmw(
             return tip + 1
         except SnapshotConflict:
             shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
+            _drop_sidecar(table_dir, rel_dir)
             _drop_groups(table_dir, created)
             continue
     raise SnapshotConflict(
@@ -1352,12 +1445,13 @@ def snapshot_compact(
             .sortWithinPartitions("__z")
             .drop("__z")
         )
-    new_files, new_rows, _ = _write_data_files(df, table_dir)
+    new_files, new_rows, rel_dir = _write_data_files(df, table_dir)
     if new_rows != m["rows"]:
         raise RuntimeError(
             f"compaction rewrite of {table_dir} changed rows "
             f"({m['rows']} -> {new_rows}); nothing was published"
         )
+    _build_blooms(spark, table_dir, rel_dir, new_files, m.get("blooms"))
     created: list[str] = []
     groups = _child_groups(table_dir, [], new_files, created)
     manifest = _next_manifest(m, "compact", groups, new_rows, m["schema"])
@@ -1365,6 +1459,7 @@ def snapshot_compact(
         _publish(table_dir, tip + 1, manifest)  # SnapshotConflict on race
     except SnapshotConflict:
         _drop_groups(table_dir, created)
+        _drop_sidecar(table_dir, rel_dir)
         raise
     return tip + 1
 

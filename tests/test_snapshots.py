@@ -1260,3 +1260,186 @@ class TestSnapshotDiff:
         S.snapshot_expire(t, keep_last=1)
         with pytest.raises(FileNotFoundError):
             S.snapshot_diff(spark, t, 1, 2, "k", "v")
+
+
+class TestBloomIndex:
+    """Bloom sidecar point-lookup pruning (imagingdb_spark/blooms.py):
+    =/in file skipping on high-cardinality UNCLUSTERED keys, where the
+    min/max zone maps prune nothing."""
+
+    @staticmethod
+    def _sha(i: int) -> str:
+        import hashlib
+
+        return hashlib.sha256(str(i).encode()).hexdigest()
+
+    def _hash_table(self, spark, t, commits=4, per=200, files_per=4):
+        """Append-ordered table of sha-like keys: every file's [min, max]
+        spans nearly the whole hex range, so stats alone keep all."""
+        for c in range(commits):
+            df = spark.createDataFrame(
+                [(self._sha(c * per + i), c * per + i)
+                 for i in range(per)],
+                "h string, n long",
+            ).repartition(files_per)
+            S.snapshot_commit(
+                spark, t, df,
+                bloom_columns=["h"] if c == 0 else None,
+            )
+
+    def test_point_lookup_prunes_unclustered(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._hash_table(spark, t)
+        probe = self._sha(42)
+        plan = S.snapshot_scan_plan(t, [("h", "=", probe)])
+        # min/max alone keeps everything; blooms drop almost all of it
+        assert plan["files_total"] == 16
+        assert plan["files_bloom_dropped"] >= 12
+        assert 1 <= plan["files_kept"] <= 4
+        got = S.snapshot_read(spark, t, where=[("h", "=", probe)]).collect()
+        assert [(r["h"], r["n"]) for r in got] == [(probe, 42)]
+
+    def test_absent_key_reads_nothing(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._hash_table(spark, t, commits=2)
+        probe = "8" * 64  # mid-range: inside every file's [min, max]
+        plan = S.snapshot_scan_plan(t, [("h", "=", probe)])
+        assert plan["files_bloom_dropped"] >= 7  # blooms, not zone maps
+        assert plan["files_kept"] <= 1  # FP may keep a file, rarely
+        assert (
+            S.snapshot_read(spark, t, where=[("h", "=", probe)]).count()
+            == 0
+        )
+
+    def test_in_predicate_prunes(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._hash_table(spark, t)
+        keys = [self._sha(i) for i in (3, 777)]
+        plan = S.snapshot_scan_plan(t, [("h", "in", keys)])
+        assert plan["files_bloom_dropped"] >= 8
+        got = S.snapshot_read(spark, t, where=[("h", "in", keys)])
+        assert sorted(r["n"] for r in got.collect()) == [3, 777]
+
+    def test_property_inherited_by_rmw_and_compact(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._hash_table(spark, t, commits=2)
+        # compact rewrites every file; the property must rebuild sidecars
+        S.snapshot_compact(spark, t, target_file_bytes=4 * 1024)
+        probe = self._sha(5)
+        plan = S.snapshot_scan_plan(t, [("h", "=", probe)])
+        assert plan["files_bloom_dropped"] >= 1
+        got = S.snapshot_read(spark, t, where=[("h", "=", probe)])
+        assert got.count() == 1
+        # RMW (merge) keeps the index fresh too
+        upd = spark.createDataFrame(
+            [(self._sha(5), 9999)], "h string, n long"
+        )
+        S.snapshot_merge(spark, t, upd, key="h")
+        got = S.snapshot_read(spark, t, where=[("h", "=", probe)]).collect()
+        assert [(r["h"], r["n"]) for r in got] == [(probe, 9999)]
+        tip = S._read_manifest(t, S._versions(t)[-1])
+        assert all(f.get("bloom") for f in tip["files"])
+
+    def test_pruned_equals_unpruned(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._hash_table(spark, t, commits=3, per=100)
+        full = S.snapshot_read(spark, t)
+        for probe in [self._sha(0), self._sha(299), "8" * 64]:
+            want = sorted(
+                (r["h"], r["n"])
+                for r in full.filter(full.h == probe).collect()
+            )
+            got = sorted(
+                (r["h"], r["n"])
+                for r in S.snapshot_read(
+                    spark, t, where=[("h", "=", probe)]
+                ).collect()
+            )
+            assert got == want
+
+    def test_int_column(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        # ids hashed into unclustered order so min/max cannot prune
+        rows = [(((i * 2654435761) % 4096), i) for i in range(400)]
+        df = spark.createDataFrame(rows, "id long, n long").repartition(8)
+        S.snapshot_commit(spark, t, df, bloom_columns=["id"])
+        probe = rows[7][0]
+        plan = S.snapshot_scan_plan(t, [("id", "=", int(probe))])
+        assert plan["files_bloom_dropped"] >= 1
+        got = S.snapshot_read(spark, t, where=[("id", "=", int(probe))])
+        assert got.filter(got.n == 7).count() == 1
+
+    def test_missing_column_is_conservative(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(
+            spark, t,
+            spark.createDataFrame([(1, "a")], "k long, v string"),
+            bloom_columns=["h"],  # column the table does not have (yet)
+        )
+        assert S.snapshot_read(spark, t).count() == 1
+        plan = S.snapshot_scan_plan(t, [("k", "=", 1)])
+        assert plan["files_kept"] == plan["files_total"]
+
+    def test_clear_property_stops_building(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._hash_table(spark, t, commits=1)
+        df = spark.createDataFrame(
+            [(self._sha(9000), 9000)], "h string, n long"
+        )
+        S.snapshot_commit(spark, t, df, bloom_columns=[])
+        tip = S._read_manifest(t, S._versions(t)[-1])
+        assert "blooms" not in tip or not tip.get("blooms")
+        entries = tip["files"]
+        assert any(f.get("bloom") for f in entries)      # old files keep
+        assert not all(f.get("bloom") for f in entries)  # new one lacks
+        # old sidecars still prune; the new bloom-less file is kept
+        plan = S.snapshot_scan_plan(t, [("h", "=", "8" * 64)])
+        assert plan["files_kept"] <= 2
+
+    def test_vacuum_keeps_live_drops_orphan_sidecars(self, spark, tmp_path):
+        import os as _os
+
+        from imagingdb_spark.blooms import BLOOM_DIR
+
+        t = str(tmp_path / "t")
+        self._hash_table(spark, t, commits=2)
+        probe = self._sha(1)
+        S.snapshot_commit(
+            spark, t,
+            spark.createDataFrame([(probe, -1)], "h string, n long"),
+            mode="overwrite",
+        )
+        S.snapshot_expire(t, keep_last=1)
+        deleted = S.snapshot_vacuum(spark, t)
+        assert any(d.startswith(BLOOM_DIR) for d in deleted)
+        # the tip's own sidecar survives and still prunes
+        live = _os.listdir(_os.path.join(t, BLOOM_DIR))
+        assert len(live) == 1
+        got = S.snapshot_read(spark, t, where=[("h", "=", probe)])
+        assert got.count() == 1
+
+    def test_time_travel_uses_old_sidecars(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._hash_table(spark, t, commits=2)
+        v = S._versions(t)[-1]
+        S.snapshot_commit(
+            spark, t,
+            spark.createDataFrame([("zz", 1)], "h string, n long"),
+            mode="overwrite",
+        )
+        probe = self._sha(3)
+        got = S.snapshot_read(spark, t, version=v, where=[("h", "=", probe)])
+        assert got.count() == 1
+
+    def test_fpp_bound(self):
+        from imagingdb_spark import blooms as B
+
+        m, k, bits, n = B._build_filter(
+            [self._sha(i) for i in range(1000)]
+        )
+        assert n == 1000
+        fp = sum(
+            B._might_contain(m, k, bits, self._sha(100000 + i))
+            for i in range(5000)
+        )
+        assert fp / 5000 < 0.03  # sized for ~1%; generous margin

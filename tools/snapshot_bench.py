@@ -187,6 +187,56 @@ def main() -> None:
             pruning[f"synthetic_{n_entries}"] = _measure_pruning(
                 spark, t, (n_entries // 2) * 100 + 50
             )
+
+        # bloom sidecars: the UNCLUSTERED point-lookup case min/max cannot
+        # touch — sha-like keys appended over 32 commits x 4 files; every
+        # file's [min, max] spans the hex range, so stats keep all 128 and
+        # only the bloom stage prunes. Kept counts and probe latency must
+        # stay ~O(1) files as the commit count grows.
+        bloom: dict = {}
+        import hashlib
+
+        def _sha(i: int) -> str:
+            return hashlib.sha256(str(i).encode()).hexdigest()
+
+        t = os.path.join(root, "bloom")
+        per = 2000
+        for c in range(32):
+            rows = spark.range(c * per, (c + 1) * per).selectExpr(
+                "sha2(string(id), 256) as h", "id as n"
+            )
+            S.snapshot_commit(
+                spark, t, rows.repartition(4),
+                bloom_columns=["h"] if c == 0 else None,
+            )
+        probe_present = spark.range(777, 778).selectExpr(
+            "sha2(string(id), 256) as h"
+        ).collect()[0]["h"]
+        for label, probe in (
+            ("present", probe_present),
+            ("absent", "8" * 64),  # mid-range: inside every [min,max]
+        ):
+            where = [("h", "=", probe)]
+            plan_s = []
+            for _ in range(REPS):
+                t0 = time.time()
+                plan = S.snapshot_scan_plan(t, where)
+                plan_s.append(time.time() - t0)
+            row = {"plan_s": round(min(plan_s), 4), **plan}
+            t0 = time.time()
+            row["pruned_read_rows"] = S.snapshot_read(
+                spark, t, where=where
+            ).count()
+            row["pruned_read_s"] = round(time.time() - t0, 4)
+            bloom[label] = row
+        t0 = time.time()
+        full = S.snapshot_read(spark, t)
+        bloom["full_filter_read_rows"] = full.filter(
+            full.h == probe_present
+        ).count()
+        bloom["full_filter_read_s"] = round(time.time() - t0, 4)
+        assert bloom["present"]["pruned_read_rows"] == 1
+        assert bloom["absent"]["pruned_read_rows"] == 0
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
@@ -196,6 +246,7 @@ def main() -> None:
             "by_live_files": results,
             "synthetic_by_live_files": synth,
             "pruning": pruning,
+            "bloom": bloom,
         }
     )
     print(line)
