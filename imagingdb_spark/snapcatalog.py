@@ -235,6 +235,7 @@ def catalog_commit(
     build,  # Callable[[dict[str, DataFrame | None]], dict[str, DataFrame]]
     keys: dict[str, list[str]],
     max_retries: int = 5,
+    bloom_columns: dict[str, list[str]] | None = None,
 ) -> tuple[int, dict[str, DataFrame]]:
     """ONE atomic, serializable, idempotent append across MANY tables.
 
@@ -258,6 +259,11 @@ def catalog_commit(
     are unreachable debris (catalog_vacuum's job), never visible state —
     a reader through catalog_read sees the parent commit until the single
     os.link lands, at which instant it sees every table's new state.
+
+    ``bloom_columns`` maps table name -> indexed columns (the per-table
+    analog of snapshot_commit's parameter): this commit sets the
+    property on those tables' manifests and builds point-lookup bloom
+    sidecars for their new files; later commits inherit per table.
     """
     for _ in range(max_retries):
         vs = catalog_versions(catalog_dir)
@@ -312,6 +318,7 @@ def catalog_commit(
                 deduped = rows_df
             tdir = _table_dir(catalog_dir, name)
             os.makedirs(tdir, exist_ok=True)
+            boverride = (bloom_columns or {}).get(name)
             files, n, rel_dir = S._write_data_files(deduped, tdir)
             if n == 0:
                 shutil.rmtree(
@@ -322,9 +329,16 @@ def catalog_commit(
                     # first appearance with an empty delta: record the
                     # typed empty manifest so readers get the schema
                     new_tables[name] = S._next_manifest(
-                        None, "append", [], 0, schema_json
+                        None, "append", [], 0, schema_json,
+                        blooms=boverride,
                     )
                 continue
+            S._build_blooms(
+                spark, tdir, rel_dir, files,
+                boverride
+                if boverride is not None
+                else (bm.get("blooms") if bm else None),
+            )
             cr: list[str] = []
             base_groups, legacy_delta = S._base_delta(bm)
             groups = S._child_groups(
@@ -337,11 +351,12 @@ def catalog_commit(
                 groups,
                 (bm["rows"] if bm else 0) + n,
                 schema_json,
+                blooms=boverride,
             )
             deltas[name] = spark.read.schema(schema).parquet(
                 *[os.path.join(tdir, f["path"]) for f in files]
             )
-            datadirs.append(os.path.join(tdir, rel_dir))
+            datadirs.append((tdir, rel_dir))
             total_new += n
         if total_new == 0 and set(new_tables) == set(tables_base):
             # fully converged replay: nothing written, nothing published
@@ -360,8 +375,11 @@ def catalog_commit(
             # backstop) and the builder re-runs against the winner's tip
             for name, cr in created.items():
                 S._drop_groups(_table_dir(catalog_dir, name), cr)
-            for d in datadirs:
-                shutil.rmtree(d, ignore_errors=True)
+            for tdir, rel_dir in datadirs:
+                shutil.rmtree(
+                    os.path.join(tdir, rel_dir), ignore_errors=True
+                )
+                S._drop_sidecar(tdir, rel_dir)
             continue
     raise SnapshotConflict(
         f"catalog commit to {catalog_dir} lost {max_retries} straight races"
@@ -435,6 +453,7 @@ def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
     (relative to catalog_dir)."""
     live_groups: dict[str, set[str]] = {}
     live_files: dict[str, set[str]] = {}
+    live_sidecars: dict[str, set[str]] = {}
     for v in catalog_versions(catalog_dir):
         try:
             commit = _read_commit(catalog_dir, v)
@@ -444,11 +463,14 @@ def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
             tdir = _table_dir(catalog_dir, name)
             gset = live_groups.setdefault(name, set())
             fset = live_files.setdefault(name, set())
+            scset = live_sidecars.setdefault(name, set())
             if m.get("groups") is not None:
                 for g in m["groups"]:
                     gset.add(g["name"])
                 for fe in S._resolve_pruned(tdir, m, None):
                     fset.add(fe["path"])
+                    if fe.get("bloom"):
+                        scset.add(fe["bloom"]["sc"])
             else:  # legacy flat manifest shape (not produced here)
                 for fe in m.get("files", []):
                     fset.add(fe["path"])
@@ -496,4 +518,18 @@ def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
                     n.endswith(".parquet") for n in os.listdir(cdir)
                 ):
                     shutil.rmtree(cdir, ignore_errors=True)
+        # bloom sidecar dirs: same set-difference rule as the per-table
+        # vacuum — keep only dirs some retained entry still probes
+        from imagingdb_spark.blooms import BLOOM_DIR
+
+        broot = os.path.join(tdir, BLOOM_DIR)
+        if os.path.isdir(broot):
+            keep_sc = live_sidecars.get(name, set())
+            for n in os.listdir(broot):
+                rel = os.path.join(BLOOM_DIR, n)
+                if rel not in keep_sc:
+                    shutil.rmtree(
+                        os.path.join(broot, n), ignore_errors=True
+                    )
+                    removed.append(os.path.join(name, rel))
     return removed

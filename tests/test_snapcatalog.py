@@ -557,3 +557,77 @@ class TestAtomicUpload:
         views = C.catalog_views(spark, cat_dir, IMAGING_SCHEMAS)
         assert views["frames"].count() == 0
         assert views["file_global"].count() == 1
+
+
+class TestCatalogBloomIndex:
+    """Per-table bloom sidecars through the atomic catalog: the property
+    sets once, later commits inherit, pruned reads stay exact, vacuum
+    keeps only referenced sidecars (blooms.py + catalog_commit wiring)."""
+
+    @staticmethod
+    def _sha_rows(spark, lo, n):
+        return spark.range(lo, lo + n).selectExpr(
+            "sha2(string(id), 256) AS h", "id AS n"
+        ).repartition(4)
+
+    def _commit(self, spark, cat, lo, n, blooms=None):
+        def build(views):
+            return {"frames": self._sha_rows(spark, lo, n)}
+
+        return C.catalog_commit(
+            spark, cat, build, keys={"frames": ["h"]},
+            bloom_columns=blooms,
+        )
+
+    def test_point_probe_prunes_and_inherits(self, spark, tmp_path):
+        from imagingdb_spark import snapshots as S
+
+        cat = str(tmp_path / "cat")
+        self._commit(spark, cat, 0, 500, blooms={"frames": ["h"]})
+        for c in range(1, 4):  # later commits inherit the property
+            self._commit(spark, cat, c * 500, 500)
+        probe = spark.range(42, 43).selectExpr(
+            "sha2(string(id), 256) AS h"
+        ).collect()[0]["h"]
+        got = C.catalog_read(
+            spark, cat, "frames", where=[("h", "=", probe)]
+        ).collect()
+        assert [(r["h"], r["n"]) for r in got] == [(probe, 42)]
+        # planning proof: the tip manifest's entries carry blooms and a
+        # mid-range absent probe keeps ~no files (zone maps keep all)
+        v = C.catalog_versions(cat)[-1]
+        m = C._read_commit(cat, v)["tables"]["frames"]
+        tdir = C._table_dir(cat, "frames")
+        plan: dict = {}
+        kept = S._resolve_pruned(tdir, m, [("h", "=", "8" * 64)], plan)
+        assert plan["files_bloom_dropped"] >= plan["files_total"] - 1
+        assert len(kept) <= 1
+
+    def test_vacuum_keeps_live_drops_orphan(self, spark, tmp_path):
+        import os
+        import shutil
+
+        from imagingdb_spark.blooms import BLOOM_DIR
+
+        cat = str(tmp_path / "cat")
+        self._commit(spark, cat, 0, 300, blooms={"frames": ["h"]})
+        self._commit(spark, cat, 300, 300)
+        tdir = C._table_dir(cat, "frames")
+        broot = os.path.join(tdir, BLOOM_DIR)
+        # fabricate a crashed attempt's orphan sidecar dir
+        orphan = os.path.join(broot, "deadbeef")
+        os.makedirs(orphan)
+        open(os.path.join(orphan, "junk.parquet"), "wb").close()
+        removed = C.catalog_vacuum(spark, cat)
+        assert os.path.join(
+            "frames", BLOOM_DIR, "deadbeef"
+        ) in removed
+        assert not os.path.exists(orphan)
+        assert len(os.listdir(broot)) == 2  # both commits' live sidecars
+        probe = spark.range(301, 302).selectExpr(
+            "sha2(string(id), 256) AS h"
+        ).collect()[0]["h"]
+        got = C.catalog_read(
+            spark, cat, "frames", where=[("h", "=", probe)]
+        )
+        assert got.count() == 1

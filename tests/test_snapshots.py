@@ -1134,6 +1134,18 @@ class TestMultiWriterSoak:
         committed: dict[int, list[int]] = {}  # appender -> committed keys
         N_APPENDERS, COMMITS_EACH, BATCH = 3, 8, 25
 
+        # one seed soaks WITH the bloom index property on, so sidecar
+        # builds interleave with compaction rewrites and vacuum's sidecar
+        # set-difference — the cross-feature surface single tests miss
+        with_blooms = seed == 23
+        if with_blooms:
+            S.snapshot_commit(
+                spark, t,
+                spark.createDataFrame([(-1, "seed")], "k long, v string"),
+                bloom_columns=["v"],
+            )
+            committed[-1] = [-1]
+
         def appender(idx: int):
             rng = random.Random(seed * 101 + idx)
             committed[idx] = []
@@ -1213,7 +1225,9 @@ class TestMultiWriterSoak:
         # no lost rows, no duplicates: final content == union of exactly
         # what the appenders reported as committed
         want = sorted(k for ks in committed.values() for k in ks)
-        assert len(want) == N_APPENDERS * COMMITS_EACH * BATCH
+        assert len(want) == N_APPENDERS * COMMITS_EACH * BATCH + int(
+            with_blooms
+        )
         got = sorted(r["k"] for r in S.snapshot_read(spark, t).collect())
         assert got == want
         # every retained version readable after the dust settles, and
@@ -1233,6 +1247,31 @@ class TestMultiWriterSoak:
         assert sorted(
             r["k"] for r in S.snapshot_read(spark, t).collect()
         ) == want
+        if with_blooms:
+            # the index survived the interleaving: the property is still
+            # on the tip, a point probe prunes AND answers exactly, and
+            # the final vacuum left only sidecars live entries reference
+            import os as _os
+
+            from imagingdb_spark.blooms import BLOOM_DIR
+
+            tip = S._read_manifest(t, S._versions(t)[-1])
+            assert tip.get("blooms") == ["v"]
+            probe = str(want[len(want) // 2])
+            got = S.snapshot_read(
+                spark, t, where=[("v", "=", probe)]
+            ).collect()
+            assert [r["v"] for r in got] == [probe]
+            referenced = {
+                f["bloom"]["sc"]
+                for f in tip["files"]
+                if f.get("bloom")
+            }
+            on_disk = {
+                _os.path.join(BLOOM_DIR, n)
+                for n in _os.listdir(_os.path.join(t, BLOOM_DIR))
+            }
+            assert on_disk == referenced
 
 
 class TestSnapshotDiff:
