@@ -11,6 +11,10 @@ Pure-Python/numpy implementations of the public ITU-T specs:
 - **Group 3 one-dimensional** (TIFF Compression 3 with T4Options bit 0
   clear): each row is MH-coded, rows separated by EOL (eleven 0s + 1),
   fill bits tolerated (T4Options bit 2 / byte-aligned EOL).
+- **Group 3 two-dimensional** (T4Options bit 0 set): EOL + tag bit per
+  row selecting a 1-D MH row or a 2-D row coded against the previous
+  row with the T.6 mode set (T.4 §2.2.4); the encoder emits the K-factor
+  error-containment schedule, the decoder follows the tag bits.
 - **TIFF Compression 2** ("CCITT RLE", TIFF 6.0 §10): MH rows with no
   EOLs, each row starting on a byte boundary.
 - **Group 4 / MMR** (ITU-T T.6, TIFF Compression 4): 2-D coding against
@@ -21,8 +25,8 @@ Decoders return a boolean array with True = black; the TIFF layer maps it
 through PhotometricInterpretation (0 = WhiteIsZero, the fax default).
 Encoders exist as the synthetic round-trip twin (the repo's codec test
 discipline: no fixture binaries, every byte reproducible) and to let
-`write_tiff` emit fax pages. The uncompressed-mode extension (T.6 §2.2.5)
-and 2-D-coded Compression 3 raise with a clear message — the injectable
+`write_tiff` emit fax pages. Only the uncompressed-mode extensions
+(T.4 §A / T.6 §2.2.5) raise with a clear message — the injectable
 page_reader seam still covers those.
 
 Executor contract: pure functions of bytes, no module state mutation —
@@ -348,73 +352,162 @@ def _b1_b2(ref: list[int], a0: int, colour: int, width: int):
 
 
 def decode_g4(data: bytes, width: int, height: int) -> np.ndarray:
-    """T.6 MMR stream → (height, width) bool, True = black. EOFB (two
-    EOLs) is accepted but not required; the uncompressed-mode extension
-    raises."""
+    """T.6 MMR stream → (height, width) bool, True = black. Every row is
+    2-D-coded against the previous one (imaginary all-white line above
+    row 0). EOFB (two EOLs) is accepted but not required; the
+    uncompressed-mode extension raises."""
     br = _BitReader(data)
     ref: list[int] = []  # imaginary all-white line above row 0
     rows = []
     for _ in range(height):
-        cur: list[int] = []
-        a0, colour = -1, 0
-        while a0 < width:
-            b1, b2 = _b1_b2(ref, a0, colour, width)
-            # mode decode: V0=1, VL1=010, VR1=011, H=001, P=0001,
-            # VR2/VL2=00001x, VR3/VL3=000001x, extension/EOL below
-            if br.read(1):
-                a1 = b1  # V0
-                cur.append(a1)
-                a0, colour = a1, colour ^ 1
-                continue
-            if br.read(1):  # 01x → VR1/VL1
-                a1 = b1 + 1 if br.read(1) else b1 - 1
-                cur.append(a1)
-                a0, colour = a1, colour ^ 1
-                continue
-            if br.read(1):  # 001 → horizontal
-                start = 0 if a0 < 0 else a0
-                r1 = _decode_run(br, colour)
-                r2 = _decode_run(br, colour ^ 1)
-                cur.extend((start + r1, start + r1 + r2))
-                a0 = start + r1 + r2
-                continue
-            if br.read(1):  # 0001 → pass
-                a0 = b2
-                continue
-            if br.read(1):  # 00001x → VR2/VL2
-                a1 = b1 + 2 if br.read(1) else b1 - 2
-                cur.append(a1)
-                a0, colour = a1, colour ^ 1
-                continue
-            if br.read(1):  # 000001x → VR3/VL3
-                a1 = b1 + 3 if br.read(1) else b1 - 3
-                cur.append(a1)
-                a0, colour = a1, colour ^ 1
-                continue
-            if br.read(1):  # 0000001 → uncompressed-mode extension
-                raise ValueError(
-                    "T.6 uncompressed-mode extension is unsupported "
-                    "(inject a page_reader)"
-                )
-            # ≥7 zeros: EOL/EOFB territory — only valid after the last row
-            raise ValueError("unexpected EOL inside G4 image data")
-        if a0 != width or (cur and cur[-1] > width):
-            raise ValueError("G4 row overruns declared width")
-        row = np.zeros(width, dtype=bool)
-        pos, c = 0, False
-        for t in cur:
-            if t < pos:
-                raise ValueError("G4 transitions out of order (corrupt)")
-            if c:
-                row[pos:t] = True
-            pos, c = t, not c
-        if c:
-            row[pos:] = True
-        rows.append(row)
+        cur = _decode_2d_row(br, ref, width)
+        rows.append(_expand_transitions(cur, width))
         # drop trailing transitions at exactly `width` — they carry no
         # pixels and would break the parity convention for the next row
         ref = [t for t in cur if t < width]
     return np.stack(rows)
+
+
+def _decode_2d_row(
+    br: _BitReader, ref: list[int], width: int
+) -> list[int]:
+    """One 2-D-coded row against ``ref`` (shared by T.6 and T.4 2-D):
+    returns the row's transition list. Factored from decode_g4 so the
+    Group 3 2-D path reuses the exact mode decoder."""
+    cur: list[int] = []
+    a0, colour = -1, 0
+    while a0 < width:
+        b1, b2 = _b1_b2(ref, a0, colour, width)
+        if br.read(1):
+            a1 = b1  # V0
+            cur.append(a1)
+            a0, colour = a1, colour ^ 1
+            continue
+        if br.read(1):  # 01x → VR1/VL1
+            a1 = b1 + 1 if br.read(1) else b1 - 1
+            cur.append(a1)
+            a0, colour = a1, colour ^ 1
+            continue
+        if br.read(1):  # 001 → horizontal
+            start = 0 if a0 < 0 else a0
+            r1 = _decode_run(br, colour)
+            r2 = _decode_run(br, colour ^ 1)
+            cur.extend((start + r1, start + r1 + r2))
+            a0 = start + r1 + r2
+            continue
+        if br.read(1):  # 0001 → pass
+            a0 = b2
+            continue
+        if br.read(1):  # 00001x → VR2/VL2
+            a1 = b1 + 2 if br.read(1) else b1 - 2
+            cur.append(a1)
+            a0, colour = a1, colour ^ 1
+            continue
+        if br.read(1):  # 000001x → VR3/VL3
+            a1 = b1 + 3 if br.read(1) else b1 - 3
+            cur.append(a1)
+            a0, colour = a1, colour ^ 1
+            continue
+        if br.read(1):  # 0000001 → uncompressed-mode extension
+            raise ValueError(
+                "T.6 uncompressed-mode extension is unsupported "
+                "(inject a page_reader)"
+            )
+        raise ValueError("unexpected EOL inside 2-D image data")
+    if a0 != width or (cur and cur[-1] > width):
+        raise ValueError("2-D row overruns declared width")
+    return cur
+
+
+def _expand_transitions(cur: list[int], width: int) -> np.ndarray:
+    row = np.zeros(width, dtype=bool)
+    pos, c = 0, False
+    for t in cur:
+        if t < pos:
+            raise ValueError("transitions out of order (corrupt)")
+        if c:
+            row[pos:t] = True
+        pos, c = t, not c
+    if c:
+        row[pos:] = True
+    return row
+
+
+def decode_g3_2d(data: bytes, width: int, height: int) -> np.ndarray:
+    """Group 3 TWO-dimensional stream (TIFF Compression 3, T4Options bit
+    0 set) → (height, width) bool. Every row is preceded by EOL + one tag
+    bit — 1 selects a 1-D (MH) row, 0 a 2-D row coded against the
+    previous row with the T.6 modes (T.4 §2.2.4); fill bits before each
+    EOL are tolerated. The K factor is the ENCODER's error-containment
+    choice; the decoder just follows the tag bits."""
+    br = _BitReader(data)
+    ref: list[int] = []
+    rows = []
+    for _ in range(height):
+        if not _consume_eol(br):
+            raise ValueError("G3 2-D row must be preceded by EOL")
+        if br.read(1):  # tag: 1-D row
+            row = _decode_mh_row(br, width)
+            cur = _transitions(row)
+        else:
+            cur = _decode_2d_row(br, ref, width)
+            row = _expand_transitions(cur, width)
+        rows.append(row)
+        ref = [t for t in cur if t < width]
+    return np.stack(rows)
+
+
+def encode_g3_2d(black: np.ndarray, k: int = 4) -> bytes:
+    """T.4 2-D encoder twin: every K-th row 1-D (MH), the rest 2-D
+    against the previous row — the fax error-containment schedule (K=2
+    at standard / 4 at fine resolution; any K ≥ 1 decodes)."""
+    black = np.asarray(black, dtype=bool)
+    h, width = black.shape
+    out = _BitWriter()
+    ref: list[int] = []
+    for r in range(h):
+        out.write(1, _EOL_ZEROS + 1)  # EOL
+        if r % max(1, k) == 0:
+            out.write(1, 1)  # tag: 1-D
+            for run, colour in _runs(black[r]):
+                _encode_run(out, run, colour)
+            ref = _transitions(black[r])
+        else:
+            out.write(0, 1)  # tag: 2-D
+            ref = _encode_2d_row(out, black[r], ref, width)
+    return out.bytes()
+
+
+def _encode_2d_row(
+    out: "_BitWriter", row: np.ndarray, ref: list[int], width: int
+) -> list[int]:
+    """Emit one 2-D-coded row against ``ref``; returns the row's
+    transitions (the next row's reference). Factored from encode_g4."""
+    cur = _transitions(row)
+    a0, colour, i = -1, 0, 0
+    while a0 < width:
+        a1 = cur[i] if i < len(cur) else width
+        b1, b2 = _b1_b2(ref, a0, colour, width)
+        if b2 < a1:
+            out.write(*_MODE_P)
+            a0 = b2
+        elif abs(a1 - b1) <= 3:
+            d = a1 - b1
+            if d == 0:
+                out.write(*_MODE_V0)
+            elif d > 0:
+                out.write(*_MODE_VR[d - 1])
+            else:
+                out.write(*_MODE_VL[-d - 1])
+            a0, colour, i = a1, colour ^ 1, i + 1
+        else:
+            a2 = cur[i + 1] if i + 1 < len(cur) else width
+            start = 0 if a0 < 0 else a0
+            out.write(*_MODE_H)
+            _encode_run(out, a1 - start, colour)
+            _encode_run(out, a2 - a1, colour ^ 1)
+            a0, i = a2, i + 2
+    return cur
 
 
 def encode_g4(black: np.ndarray, eofb: bool = True) -> bytes:
@@ -426,31 +519,7 @@ def encode_g4(black: np.ndarray, eofb: bool = True) -> bytes:
     out = _BitWriter()
     ref: list[int] = []
     for r in range(h):
-        cur = _transitions(black[r])
-        a0, colour, i = -1, 0, 0
-        while a0 < width:
-            a1 = cur[i] if i < len(cur) else width
-            b1, b2 = _b1_b2(ref, a0, colour, width)
-            if b2 < a1:
-                out.write(*_MODE_P)
-                a0 = b2
-            elif abs(a1 - b1) <= 3:
-                d = a1 - b1
-                if d == 0:
-                    out.write(*_MODE_V0)
-                elif d > 0:
-                    out.write(*_MODE_VR[d - 1])
-                else:
-                    out.write(*_MODE_VL[-d - 1])
-                a0, colour, i = a1, colour ^ 1, i + 1
-            else:
-                a2 = cur[i + 1] if i + 1 < len(cur) else width
-                start = 0 if a0 < 0 else a0
-                out.write(*_MODE_H)
-                _encode_run(out, a1 - start, colour)
-                _encode_run(out, a2 - a1, colour ^ 1)
-                a0, i = a2, i + 2
-        ref = cur
+        ref = _encode_2d_row(out, black[r], ref, width)
     if eofb:
         out.write(1, _EOL_ZEROS + 1)
         out.write(1, _EOL_ZEROS + 1)

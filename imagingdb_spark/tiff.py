@@ -20,12 +20,13 @@ exactly that:
   imagingdb_spark/jpeg.py), and Predictor 2 (horizontal differencing,
   §14), and 32773 (PackBits RLE, §9) — the codecs real microscopy
   writers emit. Bilevel pages (BitsPerSample 1) decode natively too:
-  uncompressed packed bits and the CCITT fax family — Compression 2
-  (byte-aligned MH), 3 (Group 3 1-D), 4 (Group 4 / T.6 MMR) — via
-  imagingdb_spark/ccitt.py, expanded to uint8 0/255 through
-  PhotometricInterpretation. The remaining exotica (2-D-coded Group 3,
-  progressive/12-bit JPEG) still raise with a clear message and the
-  injectable page_reader seam covers them.
+  uncompressed packed bits and the FULL CCITT fax family — Compression
+  2 (byte-aligned MH), 3 (Group 3, both 1-D and 2-D per T4Options bit
+  0), 4 (Group 4 / T.6 MMR) — via imagingdb_spark/ccitt.py, expanded
+  to uint8 0/255 through PhotometricInterpretation. The remaining
+  exotica (fax uncompressed-mode options, progressive/12-bit JPEG)
+  still raise with a clear message and the injectable page_reader seam
+  covers them.
 - ``write_tiff``: emits a valid multi-page TIFF (little-endian, one
   strip per page; compression="none"/"lzw"/"deflate") — used by tests
   and as the synthetic-data twin.
@@ -293,10 +294,11 @@ def _decode_fax_page(
     """
     from imagingdb_spark import ccitt
 
-    if comp == _COMP_G3 and tags.get(_T4_OPTIONS, [0])[0] & 1:
+    g3_2d = comp == _COMP_G3 and bool(tags.get(_T4_OPTIONS, [0])[0] & 1)
+    if comp == _COMP_G3 and tags.get(_T4_OPTIONS, [0])[0] & 2:
         raise ValueError(
-            "2-D-coded Group 3 (T4Options bit 0) is unsupported; use "
-            "Compression 4 or inject a page_reader"
+            "Group 3 uncompressed mode (T4Options bit 1) is unsupported; "
+            "inject a page_reader"
         )
     if comp == _COMP_G4 and tags.get(_T6_OPTIONS, [0])[0] & 2:
         raise ValueError(
@@ -311,6 +313,8 @@ def _decode_fax_page(
         strip = buf[o : o + c]
         if comp == _COMP_G4:
             parts.append(ccitt.decode_g4(strip, w, nrows))
+        elif g3_2d:
+            parts.append(ccitt.decode_g3_2d(strip, w, nrows))
         else:
             parts.append(
                 ccitt.decode_g3_1d(
@@ -488,12 +492,13 @@ _WRITE_COMP = {
     # written with PhotometricInterpretation 0 (WhiteIsZero, fax default)
     "ccitt_rle": _COMP_CCITT_RLE,
     "ccitt_g3": _COMP_G3,
+    "ccitt_g3_2d": _COMP_G3,  # T.4 2-D rows; T4Options bit 0 set
     "ccitt_g4": _COMP_G4,
 }
 _FAX_COMPS = (_COMP_CCITT_RLE, _COMP_G3, _COMP_G4)
 
 
-def _encode_fax_page(im: np.ndarray, comp_tag: int) -> bytes:
+def _encode_fax_page(im: np.ndarray, comp_tag: int, g3_2d: bool) -> bytes:
     """Bilevel page → fax strip. Input is bool (True=black under
     WhiteIsZero) or uint8 where 255=white, 0=black."""
     from imagingdb_spark import ccitt
@@ -511,6 +516,8 @@ def _encode_fax_page(im: np.ndarray, comp_tag: int) -> bytes:
         black = im == 0
     if comp_tag == _COMP_G4:
         return ccitt.encode_g4(black)
+    if g3_2d:
+        return ccitt.encode_g3_2d(black)
     return ccitt.encode_g3_1d(
         black, byte_aligned=comp_tag == _COMP_CCITT_RLE
     )
@@ -563,7 +570,7 @@ def write_tiff(
         bits = im.dtype.itemsize * 8
         if comp_tag in _FAX_COMPS:
             bits = 1
-            strip = _encode_fax_page(im, comp_tag)
+            strip = _encode_fax_page(im, comp_tag, compression == "ccitt_g3_2d")
         elif comp_tag == _COMP_JPEG:
             if bits != 8:
                 raise TypeError("compression='jpeg' is 8-bit only")
@@ -607,7 +614,12 @@ def write_tiff(
             _entry(_STRIP_COUNTS, 4, [len(strip)]),
         ]
         if comp_tag == _COMP_G3:
-            entries.append(_entry(_T4_OPTIONS, 4, [0]))  # 1-D, no fill
+            # bit 0: 2-D coding; never fill bits / uncompressed mode
+            entries.append(
+                _entry(
+                    _T4_OPTIONS, 4, [1 if compression == "ccitt_g3_2d" else 0]
+                )
+            )
         elif comp_tag == _COMP_G4:
             entries.append(_entry(_T6_OPTIONS, 4, [0]))
         if page_idx == 0 and description is not None:

@@ -197,13 +197,24 @@ class TestTiffIntegration:
             out, np.where(img, 0, 255).astype(np.uint8)
         )
 
-    def test_2d_g3_raises(self):
+    def test_g3_2d_roundtrip_through_tiff(self):
+        img = _blocky(20, 50, seed=12)
+        blob = tiff.write_tiff([img], compression="ccitt_g3_2d")
+        out = tiff.read_tiff_pages(blob)[0]
+        np.testing.assert_array_equal(
+            out, np.where(img, 0, 255).astype(np.uint8)
+        )
+        # denser than the pure-1D coding on 2-D-coherent content
+        blob_1d = tiff.write_tiff([img], compression="ccitt_g3")
+        assert len(blob) < len(blob_1d)
+
+    def test_g3_uncompressed_mode_raises(self):
         tags = {
-            tiff._T4_OPTIONS: [1],
+            tiff._T4_OPTIONS: [2],
             tiff._STRIP_OFFSETS: [0],
             tiff._STRIP_COUNTS: [0],
         }
-        with pytest.raises(ValueError, match="2-D-coded Group 3"):
+        with pytest.raises(ValueError, match="uncompressed mode"):
             tiff._decode_fax_page(b"", tags, tiff._COMP_G3, 8, 1)
 
     def test_non_bilevel_page_rejected(self):
@@ -221,3 +232,36 @@ class TestTiffIntegration:
         np.testing.assert_array_equal(
             decoded, np.where(img, 0, 255).astype(np.uint8)
         )
+
+
+class TestG32D:
+    """T.4 two-dimensional coding (Compression 3 + T4Options bit 0):
+    EOL+tag-bit rows mixing 1-D MH and 2-D mode coding."""
+
+    @pytest.mark.parametrize("width", [1, 7, 8, 64, 333, 1728, 3000])
+    @pytest.mark.parametrize("k", [1, 2, 4, 100])
+    def test_roundtrip_widths_and_k(self, width, k):
+        img = _blocky(9, width, seed=width * 7 + k)
+        enc = ccitt.encode_g3_2d(img, k=k)
+        out = ccitt.decode_g3_2d(enc, width, 9)
+        np.testing.assert_array_equal(out, img)
+
+    def test_k1_is_all_1d(self):
+        # K=1: every row 1-D — stream must equal the EOL-delimited MH
+        # stream with a tag bit spliced after each EOL
+        img = _blocky(4, 40, seed=13)
+        enc = ccitt.encode_g3_2d(img, k=1)
+        np.testing.assert_array_equal(
+            ccitt.decode_g3_2d(enc, 40, 4), img
+        )
+
+    def test_dense_random(self):
+        img = rng.random((16, 37)) < 0.5
+        out = ccitt.decode_g3_2d(ccitt.encode_g3_2d(img), 37, 16)
+        np.testing.assert_array_equal(out, img)
+
+    def test_missing_eol_raises(self):
+        img = _blocky(3, 16, seed=14)
+        raw = ccitt.encode_g3_1d(img, byte_aligned=True)  # no EOLs
+        with pytest.raises(ValueError, match="EOL"):
+            ccitt.decode_g3_2d(raw, 16, 3)
