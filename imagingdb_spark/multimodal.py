@@ -83,6 +83,26 @@ def decode_png(payload: bytes, bit_depth: str) -> "np.ndarray":
     return im
 
 
+def decode_any(payload: bytes, bit_depth: str) -> "np.ndarray":
+    """Content-sniffing decoder for CRAWLED payloads: PNG / JPEG / TIFF
+    (first page) / BMP / GIF by magic bytes (webimg.decode_image), same
+    (payload, bit_depth) contract as decode_png so it drops into every
+    decoder seam (phash_frames, frame_features, thumbnails, the
+    streaming image gate). The catalog upload flows keep decode_png —
+    their storage format is pinned; this is for ingest paths where the
+    payload mix is whatever the crawler fetched and extensions lie.
+    bit_depth='' skips the drift check (crawl rows carry no catalog
+    declaration)."""
+    from imagingdb_spark import webimg
+
+    im = webimg.decode_image(payload)
+    if bit_depth and str(im.dtype) != bit_depth:
+        raise ValueError(
+            f"catalog bit_depth {bit_depth!r} != payload dtype {im.dtype}"
+        )
+    return im
+
+
 def serialize_im(im: "np.ndarray", file_format: str = ".png") -> bytes:
     """`serialize_im` (image_utils.py:5-19): frame array → storage bytes.
     Only PNG is supported codec-side; other formats raise TypeError like

@@ -1944,17 +1944,24 @@ def streaming_phash_gate(
     max_distance: int | None = None,
     index_format: str = "parquet",
     index_target_bytes: int = 256 * 1024,
+    decoder=None,
 ) -> StreamingQuery:
     """St10 — streaming IMAGE-ingest dedup gate: the multimodal twin of
     streaming_dedup_gate, instantiating _streaming_fingerprint_gate with
     the real PNG-decode + DCT pHash (multimodal.phash_frames) and the
-    frames identity key. Catches "same picture, different file" dups
+    frames identity key. ``decoder`` overrides the payload decoder —
+    pass multimodal.decode_any for a crawl feed whose payload mix is
+    PNG/JPEG/TIFF/BMP/GIF by magic bytes; the default stays the pinned
+    PNG storage format. Catches "same picture, different file" dups
     that payload-sha ingest (ingest.py's anti-join guard) cannot. Scale
     shape and crash discipline: see the engine docstring; at 100 TB the
     band index is band-value-bucketed at rest so the broadcast join
     prunes files."""
-    from imagingdb_spark.multimodal import PHASH_MAX_DISTANCE, phash_frames
+    from imagingdb_spark.multimodal import (
+        PHASH_MAX_DISTANCE, decode_png, phash_frames,
+    )
 
+    dec = decode_png if decoder is None else decoder
     id_cols = [
         "dataset_serial", "channel_idx", "slice_idx", "time_idx", "pos_idx"
     ]
@@ -1963,7 +1970,7 @@ def streaming_phash_gate(
         # decode+hash once, join the 8-byte hashes back onto the payload
         # rows by identity (broadcast: a micro-batch is tiny)
         return batch_df.join(
-            F.broadcast(phash_frames(batch_df)), id_cols
+            F.broadcast(phash_frames(batch_df, decoder=dec)), id_cols
         ).withColumn("frame_id", F.concat_ws("_", *id_cols))
 
     return _streaming_fingerprint_gate(
