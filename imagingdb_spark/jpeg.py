@@ -462,6 +462,7 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
     pos = 2
     comps: list[dict] = []
     h = w = 0
+    progressive = False
     n = len(data)
     while pos + 1 < n:
         if data[pos] != 0xFF:
@@ -469,7 +470,7 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
             continue
         marker = data[pos + 1]
         pos += 2
-        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+        if marker in (0x00, 0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
             break
@@ -477,7 +478,8 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
         body = data[pos + 2 : pos + ln]
         if marker in (0xDB, 0xC4, 0xDD):
             _parse_tables(data[pos - 2 : pos + ln], state)
-        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+        elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
+            progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise ValueError(
@@ -490,21 +492,34 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "progressive/arithmetic/hierarchical JPEG unsupported "
-                "(baseline sequential only); inject a page_reader"
+                "lossless/arithmetic/hierarchical JPEG unsupported; "
+                "inject a page_reader for exotic streams"
             )
         elif marker == 0xDA:  # SOS: entropy-coded data follows
             ns = body[0]
+            sel = []
             for si in range(ns):
                 cid, tt = body[1 + 2 * si : 3 + 2 * si]
                 for c in comps:
                     if c["id"] == cid:
                         c["dc"], c["ac"] = tt >> 4, tt & 0xF
-            return _decode_scan(data, pos + ln, state, comps, h, w)
+                        sel.append(c)
+            if not progressive:
+                return _decode_scan(data, pos + ln, state, comps, h, w)
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            aa = body[3 + 2 * ns]
+            if comps and "coefz" not in comps[0]:
+                _init_progressive(comps, h, w)
+            pos = _decode_prog_scan(
+                data, pos + ln, state, sel, aa >> 4, aa & 0xF, ss, se
+            )
+            continue
         pos += ln
+    if progressive and comps and "coefz" in comps[0]:
+        return _finish_progressive(comps, state, h, w)
     raise ValueError("JPEG stream has no SOS segment")
 
 
@@ -568,6 +583,15 @@ def _decode_scan(
                             dq.reshape(8, 8) * qt
                         )
             mcu_i += 1
+    return _assemble(comps, h, w, hmax, vmax)
+
+
+def _assemble(
+    comps: list[dict], h: int, w: int, hmax: int, vmax: int
+) -> np.ndarray:
+    """Dequantized coefficient blocks (c["coef"], float (N,8,8)) → pixel
+    array: IDCT, chroma upsample, crop, YCbCr→RGB — shared by the
+    sequential and progressive paths."""
     planes = []
     for c in comps:
         pix = _idct2(c["coef"]) + 128.0
@@ -593,3 +617,476 @@ def _decode_scan(
     return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
         np.uint8
     )
+
+
+# ---------------------------------------------------------------------------
+# Progressive decoder (T.81 Annex G: spectral selection + successive
+# approximation). Coefficients accumulate across scans in ZIGZAG order per
+# component; reconstruction happens once, at EOI.
+# ---------------------------------------------------------------------------
+
+
+def _init_progressive(comps: list[dict], h: int, w: int) -> None:
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if not all(1 <= c["h"] <= 2 and 1 <= c["v"] <= 2 for c in comps):
+        raise ValueError("JPEG sampling factors beyond 2 unsupported")
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    for c in comps:
+        # padded MCU-grid dims (interleaved DC scans) and the tighter
+        # per-component dims non-interleaved scans iterate (T.81 A.2.2)
+        c["bw"], c["bh"] = mcux * c["h"], mcuy * c["v"]
+        cw = (w * c["h"] + hmax - 1) // hmax
+        ch = (h * c["v"] + vmax - 1) // vmax
+        c["nbw"], c["nbh"] = (cw + 7) // 8, (ch + 7) // 8
+        c["coefz"] = np.zeros((c["bh"] * c["bw"], 64), dtype=np.int64)
+    comps[0]["_grid"] = (hmax, vmax, mcux, mcuy)
+
+
+def _finish_progressive(
+    comps: list[dict], state: dict, h: int, w: int
+) -> np.ndarray:
+    hmax, vmax, _, _ = comps[0]["_grid"]
+    for c in comps:
+        qt = state["quant"].get(c["tq"])
+        if qt is None:
+            raise ValueError("JPEG scan references missing tables")
+        nat = np.zeros_like(c["coefz"], dtype=np.float64)
+        nat[:, ZIGZAG] = c["coefz"]
+        c["coef"] = nat.reshape(-1, 8, 8) * qt
+    return _assemble(comps, h, w, hmax, vmax)
+
+
+def _refine_nonzero(rd: "_BitReader", coef, k: int, p1: int) -> None:
+    """One correction bit for an already-nonzero coefficient (G.1.2.3):
+    appends the bit at position Al when the approximation lacks it."""
+    if rd.bit() and (coef[k] & p1) == 0:
+        coef[k] += p1 if coef[k] > 0 else -p1
+
+
+def _ac_first_block(rd, act, coef, ss, se, al, eobrun) -> int:
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = _decode_huff(rd, act)
+        r, s = rs >> 4, rs & 0xF
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            eobrun = (1 << r) - 1
+            if r:
+                eobrun += rd.bits(r)
+            break
+        k += r
+        if k > se:
+            raise ValueError("JPEG AC run overflow")
+        coef[k] = _extend(rd.bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_block(rd, act, coef, ss, se, al, eobrun) -> int:
+    p1 = 1 << al
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = _decode_huff(rd, act)
+            r, s = rs >> 4, rs & 0xF
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += rd.bits(r)
+                    break
+                newval = 0  # ZRL: 16 zero-history positions
+            elif s == 1:
+                newval = p1 if rd.bit() else -p1
+            else:
+                raise ValueError("invalid AC refinement magnitude")
+            # advance past r zero-history positions, emitting correction
+            # bits for every nonzero-history coefficient passed over
+            while k <= se:
+                if coef[k]:
+                    _refine_nonzero(rd, coef, k, p1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if newval and k <= se:
+                coef[k] = newval
+            k += 1
+    if eobrun > 0:
+        # EOB region: only correction bits for remaining nonzeros
+        while k <= se:
+            if coef[k]:
+                _refine_nonzero(rd, coef, k, p1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _decode_prog_scan(
+    data: bytes,
+    pos: int,
+    state: dict,
+    sel: list[dict],
+    ah: int,
+    al: int,
+    ss: int,
+    se: int,
+) -> int:
+    """One progressive scan (DC or AC, first or refinement pass) into the
+    selected components' zigzag coefficient arrays; returns the byte
+    position where the entropy-coded data ends."""
+    rd = _BitReader(data, pos)
+    dri = state["dri"]
+
+    def _restart(unit_i: int) -> bool:
+        return bool(dri) and unit_i and unit_i % dri == 0
+
+    if ss == 0:  # DC scan
+        if se != 0:
+            raise ValueError("DC progressive scan must have Se=0")
+        pred = {c["id"]: 0 for c in sel}
+        dcts = {}
+        if ah == 0:
+            for c in sel:
+                dcts[c["id"]] = state["huff"].get((0, c["dc"]))
+                if dcts[c["id"]] is None:
+                    raise ValueError("JPEG scan references missing tables")
+
+        def _dc_one(c, bi):
+            coef = c["coefz"][bi]
+            if ah == 0:
+                size = _decode_huff(rd, dcts[c["id"]])
+                diff = _extend(rd.bits(size), size) if size else 0
+                pred[c["id"]] += diff
+                coef[0] = pred[c["id"]] << al
+            else:
+                coef[0] |= rd.bit() << al
+
+        if len(sel) > 1:  # interleaved, MCU order over the frame grid
+            mcux = sel[0]["bw"] // sel[0]["h"]
+            mcuy = sel[0]["bh"] // sel[0]["v"]
+            unit = 0
+            for my in range(mcuy):
+                for mx in range(mcux):
+                    if _restart(unit):
+                        if rd.align_to_marker() is None:
+                            raise ValueError("missing JPEG restart marker")
+                        pred = {c["id"]: 0 for c in sel}
+                    for c in sel:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                bi = (my * c["v"] + by) * c["bw"] + (
+                                    mx * c["h"] + bx
+                                )
+                                _dc_one(c, bi)
+                    unit += 1
+        else:  # non-interleaved: the component's own block raster
+            c = sel[0]
+            unit = 0
+            for row in range(c["nbh"]):
+                for col in range(c["nbw"]):
+                    if _restart(unit):
+                        if rd.align_to_marker() is None:
+                            raise ValueError("missing JPEG restart marker")
+                        pred = {c["id"]: 0 for c in sel}
+                    _dc_one(c, row * c["bw"] + col)
+                    unit += 1
+        return rd.pos
+
+    # AC scan: exactly one component, its own block raster (T.81 G.1.1)
+    if len(sel) != 1:
+        raise ValueError("progressive AC scan must have one component")
+    c = sel[0]
+    act = state["huff"].get((1, c["ac"]))
+    if act is None:
+        raise ValueError("JPEG scan references missing tables")
+    coefz = c["coefz"]
+    block_fn = _ac_first_block if ah == 0 else _ac_refine_block
+    eobrun = 0
+    unit = 0
+    for row in range(c["nbh"]):
+        for col in range(c["nbw"]):
+            if _restart(unit):
+                if rd.align_to_marker() is None:
+                    raise ValueError("missing JPEG restart marker")
+                eobrun = 0
+            eobrun = block_fn(
+                rd, act, coefz[row * c["bw"] + col], ss, se, al, eobrun
+            )
+            unit += 1
+    return rd.pos
+
+
+# ---------------------------------------------------------------------------
+# Progressive encoder twin (T.81 Annex G, Huffman): a libjpeg-style scan
+# script — DC first+refine, spectrally-split AC first passes, AC refine —
+# so every decoder path (EOBRUN, ZRL-in-refine, correction bits, restart
+# resets) has a first-party vector. Tables are built per stream as flat
+# fixed-length canonical codes over the symbols actually emitted (the
+# Annex K AC tables lack the EOBn symbols progressive needs).
+# ---------------------------------------------------------------------------
+
+
+def _pt(v: int, al: int) -> int:
+    """AC point transform: magnitude shift toward zero (G.1.2.1)."""
+    return v >> al if v >= 0 else -((-v) >> al)
+
+
+def _flat_table(symbols) -> tuple[list[int], list[int]]:
+    """All-one-length canonical table over the used symbols (≤ 2^L - 1 of
+    length L keeps the all-ones prefix reserved, F.1.4.4.1)."""
+    syms = sorted(set(symbols))
+    L = 2
+    while len(syms) > (1 << L) - 1:
+        L += 1
+    bits = [0] * 16
+    bits[L - 1] = len(syms)
+    return bits, syms
+
+
+def _enc_ac_first(tv: np.ndarray, ss: int, se: int, state: dict) -> list:
+    """One block's AC-first events; EOB runs batch across blocks via
+    state['eob'] (flushed by _flush_eob)."""
+    ev: list = []
+    nz = [k for k in range(ss, se + 1) if tv[k]]
+    if not nz:
+        state["eob"] += 1
+        if state["eob"] == 32767:
+            ev += _flush_eob(state)
+        return ev
+    ev += _flush_eob(state)
+    run = 0
+    for k in range(ss, se + 1):
+        v = int(tv[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            ev.append(("ac", 0xF0))
+            run -= 16
+        size = _category(v)
+        ev.append(("ac", (run << 4) | size))
+        ev.append(("b", _amp_bits(v, size), size))
+        run = 0
+    if nz[-1] < se:
+        state["eob"] += 1  # band ends in zeros: EOB covers this block
+    return ev
+
+
+def _flush_eob(state: dict) -> list:
+    n = state["eob"]
+    if not n:
+        return []
+    state["eob"] = 0
+    r = n.bit_length() - 1
+    ev = [("ac", r << 4)]
+    if r:
+        ev.append(("b", n - (1 << r), r))
+    ev += [("b", b, 1) for b in state.pop("eob_bits", [])]
+    state["eob_bits"] = []
+    return ev
+
+
+def _enc_ac_refine(tv: np.ndarray, ss: int, se: int, state: dict) -> list:
+    """One block's AC-refinement events (G.1.2.3 encoder side): newly
+    significant coefficients as (run,1) codes over ZERO-HISTORY runs,
+    correction bits for already-nonzero coefficients interleaved in
+    positional order, tails joining the batched EOB run."""
+    ev: list = []
+    # classify: None = zero-history zero, 'N' = newly significant,
+    # int bit = correction bit for a nonzero-history coefficient
+    kinds: list = []
+    for k in range(ss, se + 1):
+        t = int(tv[k])
+        if t == 0:
+            kinds.append(None)
+        elif abs(t) == 1:
+            kinds.append(("N", 1 if t > 0 else 0))
+        else:
+            kinds.append(abs(t) & 1)
+    if not any(isinstance(x, tuple) for x in kinds):
+        # no newly-significant coefficient: whole band joins the EOB run
+        state["eob"] += 1
+        state.setdefault("eob_bits", []).extend(
+            x for x in kinds if isinstance(x, int)
+        )
+        if state["eob"] == 32767:
+            ev += _flush_eob(state)
+        return ev
+    ev += _flush_eob(state)
+    i = 0
+    while i < len(kinds):
+        # find next newly-significant position
+        j = i
+        while j < len(kinds) and not isinstance(kinds[j], tuple):
+            j += 1
+        if j == len(kinds):
+            # tail after the last new coefficient → EOB region
+            tail_bits = [x for x in kinds[i:] if isinstance(x, int)]
+            state["eob"] += 1
+            state.setdefault("eob_bits", []).extend(tail_bits)
+            return ev
+        seg = kinds[i:j]
+        zrun = sum(1 for x in seg if x is None)
+        # split off ZRLs of exactly 16 zero-history positions each,
+        # carrying the correction bits interleaved within each span
+        p = 0
+        while zrun > 15:
+            ev.append(("ac", 0xF0))
+            seen = 0
+            while seen < 16:
+                if seg[p] is None:
+                    seen += 1
+                else:
+                    ev.append(("b", seg[p], 1))
+                p += 1
+            zrun -= 16
+        sign = kinds[j][1]
+        ev.append(("ac", (zrun << 4) | 1))
+        ev.append(("b", sign, 1))
+        ev += [("b", x, 1) for x in seg[p:] if isinstance(x, int)]
+        i = j + 1
+    return ev  # last new coefficient sat exactly at se: no EOB needed
+
+
+def encode_jpeg_progressive(
+    im: np.ndarray, quality: int = 90, restart_interval: int = 0
+) -> bytes:
+    """uint8 (H, W) or (H, W, 3) → progressive JFIF bytes (4:4:4). Scan
+    script: interleaved DC first (Al=1) + DC refine, per-component AC
+    spectral halves (1-5, 6-63) at Al=1, then AC full-band refinement to
+    Al=0 — the shape libjpeg's default progression uses, covering every
+    Annex G decoder path."""
+    if im.dtype != np.uint8:
+        raise ValueError("progressive twin is 8-bit only")
+    gray = im.ndim == 2
+    if not gray and (im.ndim != 3 or im.shape[2] != 3):
+        raise ValueError("expected (H, W) or (H, W, 3)")
+    h, w = im.shape[:2]
+    ql = _scale_q(_Q_LUMA, quality)
+    qc = _scale_q(_Q_CHROMA, quality)
+    if gray:
+        planes = [im.astype(np.float64)]
+    else:
+        r, g, b = (im[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    qts = [ql] + ([] if gray else [qc, qc])
+    zz = [
+        _encode_plane_blocks(np.clip(p, 0, 255), q)[0]
+        for p, q in zip(planes, qts)
+    ]
+    n_blocks = zz[0].shape[0]
+    ncomp = len(planes)
+
+    # ---- scan script ----
+    scans = [("dc_first", list(range(ncomp)), 0, 0, 0, 1),
+             ("dc_refine", list(range(ncomp)), 0, 0, 1, 0)]
+    for ci in range(ncomp):
+        scans += [
+            ("ac_first", [ci], 1, 5, 0, 1),
+            ("ac_first", [ci], 6, 63, 0, 1),
+            ("ac_refine", [ci], 1, 63, 1, 0),
+        ]
+
+    # ---- pass 1: event streams ----
+    all_events: list[list] = []
+    for kind, cis, ss, se, ah, al in scans:
+        ev: list = []
+        if kind == "dc_first":
+            pred = {ci: 0 for ci in cis}
+            for bi in range(n_blocks):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    ev.append(("rst",))
+                    pred = {ci: 0 for ci in cis}
+                for ci in cis:
+                    val = int(zz[ci][bi][0]) >> al
+                    diff = val - pred[ci]
+                    pred[ci] = val
+                    size = _category(diff)
+                    ev.append(("dc", size))
+                    if size:
+                        ev.append(("b", _amp_bits(diff, size), size))
+        elif kind == "dc_refine":
+            for bi in range(n_blocks):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    ev.append(("rst",))
+                for ci in cis:
+                    ev.append(("b", (int(zz[ci][bi][0]) >> al) & 1, 1))
+        else:
+            ci = cis[0]
+            state: dict = {"eob": 0, "eob_bits": []}
+            fn = _enc_ac_first if kind == "ac_first" else _enc_ac_refine
+            for bi in range(n_blocks):
+                if restart_interval and bi and bi % restart_interval == 0:
+                    ev += _flush_eob(state)
+                    ev.append(("rst",))
+                tv = np.array(
+                    [_pt(int(v), al) for v in zz[ci][bi]], dtype=np.int64
+                )
+                ev += fn(tv, ss, se, state)
+            ev += _flush_eob(state)
+        all_events.append(ev)
+
+    # ---- tables from the union of emitted symbols ----
+    dc_syms = [e[1] for ev in all_events for e in ev if e[0] == "dc"]
+    ac_syms = [e[1] for ev in all_events for e in ev if e[0] == "ac"]
+    dc_spec = _flat_table(dc_syms or [0])
+    ac_spec = _flat_table(ac_syms or [0])
+    dc_codes = _huff_codes(*dc_spec)
+    ac_codes = _huff_codes(*ac_spec)
+
+    # ---- pass 2: serialize ----
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xFFDB, b"\x00" + bytes(ql.reshape(64)[ZIGZAG].astype(np.uint8)))
+    if not gray:
+        out += seg(
+            0xFFDB, b"\x01" + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8))
+        )
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    out += seg(0xFFC2, sof)  # SOF2: progressive DCT
+    out += seg(0xFFC4, b"\x00" + bytes(dc_spec[0]) + bytes(dc_spec[1]))
+    out += seg(0xFFC4, b"\x10" + bytes(ac_spec[0]) + bytes(ac_spec[1]))
+    if restart_interval:
+        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+    for (kind, cis, ss, se, ah, al), ev in zip(scans, all_events):
+        sos = bytes([len(cis)])
+        for ci in cis:
+            sos += bytes([ci + 1, 0x00])  # dc table 0, ac table 0
+        sos += bytes([ss, se, (ah << 4) | al])
+        out += seg(0xFFDA, sos)
+        bw_ = _BitWriter()
+        rst = 0
+        for e in ev:
+            if e[0] == "rst":
+                bw_.flush()
+                bw_.out += bytes([0xFF, 0xD0 + (rst % 8)])
+                rst += 1
+            elif e[0] == "dc":
+                code, ln = dc_codes[e[1]]
+                bw_.put(code, ln)
+            elif e[0] == "ac":
+                code, ln = ac_codes[e[1]]
+                bw_.put(code, ln)
+            else:
+                bw_.put(e[1], e[2])
+        bw_.flush()
+        out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)

@@ -1,0 +1,104 @@
+"""Progressive JPEG (T.81 Annex G) — decoder + encoder twin in
+imagingdb_spark/jpeg.py. The strongest check is COEFFICIENT parity: the
+progressive and sequential encoders quantize identically, so decoding a
+progressive stream must reproduce the sequential decode BIT-FOR-BIT
+(any slip in EOBRUN, refinement bits, ZRL-in-refine, or scan bookkeeping
+breaks exact equality)."""
+
+import numpy as np
+import pytest
+
+from imagingdb_spark import jpeg
+
+rng = np.random.default_rng(20260818)
+
+
+def _smooth(h, w, seed, lo=0, hi=200):
+    r = np.random.default_rng(seed)
+    k = np.ones(5) / 5
+    base = r.integers(lo, hi, (h, w)).astype(float)
+    sm = np.apply_along_axis(lambda x: np.convolve(x, k, "same"), 0, base)
+    sm = np.apply_along_axis(lambda x: np.convolve(x, k, "same"), 1, sm)
+    return sm.astype(np.uint8)
+
+
+class TestProgressive:
+    @pytest.mark.parametrize(
+        "shape", [(8, 8), (17, 23), (40, 56), (64, 129)]
+    )
+    def test_gray_matches_sequential_exactly(self, shape):
+        im = _smooth(*shape, seed=shape[0] * 100 + shape[1])
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(im, 90))
+        seq = jpeg.decode_jpeg(jpeg.encode_jpeg(im, 90))
+        np.testing.assert_array_equal(prog, seq)
+
+    def test_rgb_matches_sequential_exactly(self):
+        im = np.stack(
+            [_smooth(33, 47, s) for s in (1, 2, 3)], axis=-1
+        )
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(im, 92))
+        seq = jpeg.decode_jpeg(jpeg.encode_jpeg(im, 92))
+        np.testing.assert_array_equal(prog, seq)
+
+    def test_quality_bound_vs_original(self):
+        im = _smooth(48, 48, 9)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(im, 95))
+        assert int(np.abs(out.astype(int) - im.astype(int)).max()) <= 8
+
+    def test_flat_image_exercises_long_eobruns(self):
+        # constant image: every AC band is empty → one maximal EOB run
+        # per scan; DC still varies nothing
+        im = np.full((64, 64), 130, dtype=np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(im, 90))
+        np.testing.assert_array_equal(out, np.full((64, 64), 130))
+
+    def test_sparse_blocks_mix_eob_and_data(self):
+        # mostly-flat image with a few busy blocks: EOBRUN interleaves
+        # with coded blocks, and refinement sees long zero-history runs
+        im = np.full((80, 80), 100, dtype=np.uint8)
+        im[16:24, 40:48] = _smooth(8, 8, 4, lo=0, hi=255)
+        im[64:72, 8:16] = rng.integers(0, 255, (8, 8)).astype(np.uint8)
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(im, 85))
+        seq = jpeg.decode_jpeg(jpeg.encode_jpeg(im, 85))
+        np.testing.assert_array_equal(prog, seq)
+
+    def test_noise_exercises_zrl_in_refine(self):
+        # pixel noise: high-frequency coefficients everywhere, many
+        # newly-significant coeffs per refinement pass incl. 16+ runs
+        im = rng.integers(0, 255, (48, 64)).astype(np.uint8)
+        prog = jpeg.decode_jpeg(jpeg.encode_jpeg_progressive(im, 75))
+        seq = jpeg.decode_jpeg(jpeg.encode_jpeg(im, 75))
+        np.testing.assert_array_equal(prog, seq)
+
+    @pytest.mark.parametrize("dri", [1, 3, 7])
+    def test_restart_markers(self, dri):
+        im = _smooth(40, 40, 11)
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(im, 90, restart_interval=dri)
+        )
+        seq = jpeg.decode_jpeg(jpeg.encode_jpeg(im, 90))
+        np.testing.assert_array_equal(prog, seq)
+
+    def test_rgb_restarts(self):
+        im = np.stack([_smooth(24, 31, s) for s in (5, 6, 7)], axis=-1)
+        prog = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_progressive(im, 90, restart_interval=2)
+        )
+        seq = jpeg.decode_jpeg(jpeg.encode_jpeg(im, 90))
+        np.testing.assert_array_equal(prog, seq)
+
+    def test_decode_image_dispatches_progressive(self):
+        from imagingdb_spark import webimg
+
+        im = _smooth(20, 20, 8)
+        blob = jpeg.encode_jpeg_progressive(im, 95)
+        assert webimg.sniff_format(blob) == "jpeg"
+        out = webimg.decode_image(blob)
+        assert out.shape == (20, 20)
+
+    def test_lossless_streams_still_rejected(self):
+        blob = bytearray(jpeg.encode_jpeg(_smooth(8, 8, 1)))
+        i = blob.index(b"\xff\xc0")
+        blob[i + 1] = 0xC3  # lossless sequential
+        with pytest.raises(ValueError, match="lossless"):
+            jpeg.decode_jpeg(bytes(blob))
