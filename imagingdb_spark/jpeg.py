@@ -197,7 +197,7 @@ def _amp_bits(v: int, size: int) -> int:
 
 
 def _encode_plane_blocks(
-    plane: np.ndarray, q: np.ndarray
+    plane: np.ndarray, q: np.ndarray, center: float = 128.0
 ) -> tuple[np.ndarray, int, int]:
     h, w = plane.shape
     bh, bw = (h + 7) // 8, (w + 7) // 8
@@ -205,7 +205,7 @@ def _encode_plane_blocks(
     blocks = (
         padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     )
-    coefs = _dct2(blocks.astype(np.float64) - 128.0)
+    coefs = _dct2(blocks.astype(np.float64) - center)
     quant = np.round(coefs / q).astype(np.int64)
     return quant.reshape(-1, 64)[:, ZIGZAG], bh, bw
 
@@ -481,11 +481,12 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
         elif marker in (0xC0, 0xC1, 0xC2):  # sequential / progressive
             progressive = marker == 0xC2
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
-            if prec != 8:
+            if prec not in (8, 12):
                 raise ValueError(
-                    f"{prec}-bit JPEG unsupported (baseline 8-bit only); "
+                    f"{prec}-bit JPEG unsupported (8/12-bit DCT only); "
                     "inject a page_reader for exotic streams"
                 )
+            state["prec"] = prec
             comps = []
             for ci in range(ncomp):
                 cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
@@ -583,18 +584,22 @@ def _decode_scan(
                             dq.reshape(8, 8) * qt
                         )
             mcu_i += 1
-    return _assemble(comps, h, w, hmax, vmax)
+    return _assemble(comps, h, w, hmax, vmax, state.get("prec", 8))
 
 
 def _assemble(
-    comps: list[dict], h: int, w: int, hmax: int, vmax: int
+    comps: list[dict], h: int, w: int, hmax: int, vmax: int, prec: int = 8
 ) -> np.ndarray:
     """Dequantized coefficient blocks (c["coef"], float (N,8,8)) → pixel
     array: IDCT, chroma upsample, crop, YCbCr→RGB — shared by the
-    sequential and progressive paths."""
+    sequential and progressive paths. ``prec`` sets the level shift and
+    output dtype (8 → uint8, 12 → uint16 clipped to 4095)."""
+    mid = float(1 << (prec - 1))
+    top = float((1 << prec) - 1)
+    dtype = np.uint8 if prec == 8 else np.uint16
     planes = []
     for c in comps:
-        pix = _idct2(c["coef"]) + 128.0
+        pix = _idct2(c["coef"]) + mid
         bh, bw_ = c["bh"], c["bw"]
         plane = (
             pix.reshape(bh, bw_, 8, 8)
@@ -607,15 +612,15 @@ def _assemble(
             plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
         planes.append(plane[:h, :w])
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.clip(np.round(planes[0]), 0, top).astype(dtype)
     if len(planes) != 3:
         raise ValueError(f"unsupported JPEG component count {len(planes)}")
     yy, cb, cr = planes
-    r = yy + 1.402 * (cr - 128.0)
-    g = yy - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
-    b = yy + 1.772 * (cb - 128.0)
-    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(
-        np.uint8
+    r = yy + 1.402 * (cr - mid)
+    g = yy - 0.344136 * (cb - mid) - 0.714136 * (cr - mid)
+    b = yy + 1.772 * (cb - mid)
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, top).astype(
+        dtype
     )
 
 
@@ -655,7 +660,7 @@ def _finish_progressive(
         nat = np.zeros_like(c["coefz"], dtype=np.float64)
         nat[:, ZIGZAG] = c["coefz"]
         c["coef"] = nat.reshape(-1, 8, 8) * qt
-    return _assemble(comps, h, w, hmax, vmax)
+    return _assemble(comps, h, w, hmax, vmax, state.get("prec", 8))
 
 
 def _refine_nonzero(rd: "_BitReader", coef, k: int, p1: int) -> None:
@@ -1088,5 +1093,118 @@ def encode_jpeg_progressive(
                 bw_.put(e[1], e[2])
         bw_.flush()
         out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# 12-bit extended sequential encoder twin (SOF1, precision 12). Annex K
+# Huffman tables stop at DC size 11 / AC size 10, so 12-bit streams build
+# flat per-stream tables exactly like the progressive twin.
+# ---------------------------------------------------------------------------
+
+
+def encode_jpeg_12bit(im: np.ndarray, quality: int = 90) -> bytes:
+    """uint16 (H, W) or (H, W, 3) with values < 4096 → 12-bit extended
+    sequential JFIF bytes (4:4:4). The medical/microscopy JPEG flavor
+    tifffile reads via its codec plugins; here it is the round-trip twin
+    for the TIFF 12-bit JPEG path."""
+    if im.dtype != np.uint16:
+        raise ValueError("12-bit JPEG twin takes uint16 (values < 4096)")
+    if int(im.max(initial=0)) > 4095:
+        raise ValueError("12-bit JPEG values must be < 4096")
+    gray = im.ndim == 2
+    if not gray and (im.ndim != 3 or im.shape[2] != 3):
+        raise ValueError("expected (H, W) or (H, W, 3)")
+    h, w = im.shape[:2]
+    # scale the 8-bit Annex K tables into the 12-bit range so quality
+    # keeps its usual meaning (quantizer steps grow 16x with the range)
+    ql = _scale_q(_Q_LUMA, quality) * 16
+    qc = _scale_q(_Q_CHROMA, quality) * 16
+    if gray:
+        planes = [im.astype(np.float64)]
+    else:
+        r, g, b = (im[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 2048.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 2048.0,
+        ]
+    qts = [ql] + ([] if gray else [qc, qc])
+    zz = [
+        _encode_plane_blocks(np.clip(p, 0, 4095), q, center=2048.0)[0]
+        for p, q in zip(planes, qts)
+    ]
+    n_blocks = zz[0].shape[0]
+    ncomp = len(planes)
+
+    # pass 1: events (sequential interleaved, one block per comp per MCU)
+    ev: list = []
+    pred = [0] * ncomp
+    for bi in range(n_blocks):
+        for ci in range(ncomp):
+            blk = zz[ci][bi]
+            diff = int(blk[0]) - pred[ci]
+            pred[ci] = int(blk[0])
+            size = _category(diff)
+            ev.append(("dc", size))
+            if size:
+                ev.append(("b", _amp_bits(diff, size), size))
+            run = 0
+            for k in range(1, 64):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ev.append(("ac", 0xF0))
+                    run -= 16
+                size = _category(v)
+                ev.append(("ac", (run << 4) | size))
+                ev.append(("b", _amp_bits(v, size), size))
+                run = 0
+            if run:
+                ev.append(("ac", 0x00))
+    dc_spec = _flat_table([e[1] for e in ev if e[0] == "dc"] or [0])
+    ac_spec = _flat_table([e[1] for e in ev if e[0] == "ac"] or [0])
+    dc_codes, ac_codes = _huff_codes(*dc_spec), _huff_codes(*ac_spec)
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")
+    # 16-bit DQT entries (Pq=1): 12-bit quantizers exceed one byte
+    out += seg(
+        0xFFDB,
+        b"\x10" + ql.reshape(64)[ZIGZAG].astype(">u2").tobytes(),
+    )
+    if not gray:
+        out += seg(
+            0xFFDB,
+            b"\x11" + qc.reshape(64)[ZIGZAG].astype(">u2").tobytes(),
+        )
+    sof = struct.pack(">BHHB", 12, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
+    out += seg(0xFFC1, sof)  # SOF1: extended sequential
+    out += seg(0xFFC4, b"\x00" + bytes(dc_spec[0]) + bytes(dc_spec[1]))
+    out += seg(0xFFC4, b"\x10" + bytes(ac_spec[0]) + bytes(ac_spec[1]))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += b"\x00\x3f\x00"
+    out += seg(0xFFDA, sos)
+    bw_ = _BitWriter()
+    for e in ev:
+        if e[0] == "dc":
+            code, ln = dc_codes[e[1]]
+            bw_.put(code, ln)
+        elif e[0] == "ac":
+            code, ln = ac_codes[e[1]]
+            bw_.put(code, ln)
+        else:
+            bw_.put(e[1], e[2])
+    bw_.flush()
+    out += bw_.out
     out += b"\xff\xd9"
     return bytes(out)

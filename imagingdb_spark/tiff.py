@@ -23,10 +23,11 @@ exactly that:
   uncompressed packed bits and the FULL CCITT fax family — Compression
   2 (byte-aligned MH), 3 (Group 3, both 1-D and 2-D per T4Options bit
   0), 4 (Group 4 / T.6 MMR) — via imagingdb_spark/ccitt.py, expanded
-  to uint8 0/255 through PhotometricInterpretation. The remaining
-  exotica (fax uncompressed-mode options, progressive/12-bit JPEG)
-  still raise with a clear message and the injectable page_reader seam
-  covers them.
+  to uint8 0/255 through PhotometricInterpretation. JPEG pages decode
+  baseline, progressive, and 12-bit extended sequential (stored
+  uint16). The remaining exotica (fax uncompressed-mode options,
+  arithmetic/lossless JPEG) still raise with a clear message and the
+  injectable page_reader seam covers them.
 - ``write_tiff``: emits a valid multi-page TIFF (little-endian, one
   strip per page; compression="none"/"lzw"/"deflate") — used by tests
   and as the synthetic-data twin.
@@ -249,10 +250,10 @@ def _decode_jpeg_page(
     JPEGTables tag (347) folded into every strip's decoder state."""
     from imagingdb_spark.jpeg import decode_jpeg
 
-    if bits != 8:
+    if bits not in (8, 12):
         raise ValueError(
-            "JPEG-in-TIFF is 8-bit baseline only (12-bit/16-bit pages "
-            "need an injected page_reader)"
+            "JPEG-in-TIFF supports 8-bit baseline/progressive and 12-bit "
+            "extended sequential; inject a page_reader otherwise"
         )
     if comp == _COMP_JPEG_OLD:
         if _JPEG_IF not in tags:
@@ -277,6 +278,11 @@ def _decode_jpeg_page(
         raise ValueError(
             f"JPEG page decoded to {page.shape}, IFD says "
             f"{h}x{w}x{samples}"
+        )
+    want = np.uint8 if bits == 8 else np.uint16
+    if page.dtype != want:
+        raise ValueError(
+            f"JPEG page decoded {page.dtype}, IFD says {bits}-bit"
         )
     return page
 
@@ -403,16 +409,18 @@ def read_tiff_pages(payload: bytes) -> list[np.ndarray]:
                 f"unsupported bilevel TIFF compression {comp} "
                 "(built-in: none/CCITT-RLE/G3-1D/G4)"
             )
+        if comp in (_COMP_JPEG, _COMP_JPEG_OLD):
+            # 12-bit extended-sequential pages are legal here (stored as
+            # uint16); the general strip path below stays 8/16-bit
+            pages.append(
+                _decode_jpeg_page(buf, tags, comp, w, h, samples, bits)
+            )
+            continue
         if bits not in (8, 16) or samples not in (1, 3):
             raise ValueError(
                 f"unsupported TIFF page ({bits}-bit, {samples} samples); the "
                 "frame contract is 8/16-bit grayscale or RGB"
             )
-        if comp in (_COMP_JPEG, _COMP_JPEG_OLD):
-            pages.append(
-                _decode_jpeg_page(buf, tags, comp, w, h, samples, bits)
-            )
-            continue
         data = _decode_strips(
             [
                 buf[o : o + c]
@@ -487,6 +495,7 @@ _WRITE_COMP = {
     "lzw": _COMP_LZW,
     "deflate": _COMP_DEFLATE,
     "jpeg": _COMP_JPEG,  # new-style: each strip a complete baseline stream
+    "jpeg12": _COMP_JPEG,  # 12-bit extended sequential, BitsPerSample 12
     "packbits": _COMP_PACKBITS,
     # bilevel fax codecs: pages must be 2-D bool or uint8 {0,255};
     # written with PhotometricInterpretation 0 (WhiteIsZero, fax default)
@@ -571,9 +580,16 @@ def write_tiff(
         if comp_tag in _FAX_COMPS:
             bits = 1
             strip = _encode_fax_page(im, comp_tag, compression == "ccitt_g3_2d")
+        elif comp_tag == _COMP_JPEG and compression == "jpeg12":
+            from imagingdb_spark.jpeg import encode_jpeg_12bit
+
+            bits = 12
+            strip = encode_jpeg_12bit(im, quality=95)
         elif comp_tag == _COMP_JPEG:
             if bits != 8:
-                raise TypeError("compression='jpeg' is 8-bit only")
+                raise TypeError(
+                    "compression='jpeg' is 8-bit; use 'jpeg12' for uint16"
+                )
             from imagingdb_spark.jpeg import encode_jpeg
 
             strip = encode_jpeg(im, quality=95)

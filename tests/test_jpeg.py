@@ -102,3 +102,55 @@ class TestProgressive:
         blob[i + 1] = 0xC3  # lossless sequential
         with pytest.raises(ValueError, match="lossless"):
             jpeg.decode_jpeg(bytes(blob))
+
+
+class Test12Bit:
+    """12-bit extended sequential (SOF1, precision 12) — the remaining
+    DCT flavor microscopy/medical TIFFs carry."""
+
+    def _im(self, h, w, seed):
+        r = np.random.default_rng(seed)
+        k = np.ones(5) / 5
+        base = r.integers(0, 3500, (h, w)).astype(float)
+        sm = np.apply_along_axis(lambda x: np.convolve(x, k, "same"), 0, base)
+        sm = np.apply_along_axis(lambda x: np.convolve(x, k, "same"), 1, sm)
+        return sm.astype(np.uint16)
+
+    def test_gray_roundtrip_quality(self):
+        im = self._im(40, 56, 1)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg_12bit(im, quality=95))
+        assert out.dtype == np.uint16 and out.shape == im.shape
+        # q95 error bound scales with the 16x range (8-bit bound was 8)
+        assert int(np.abs(out.astype(int) - im.astype(int)).max()) <= 128
+
+    def test_rgb_roundtrip(self):
+        im = np.stack(
+            [self._im(21, 33, s) for s in (2, 3, 4)], axis=-1
+        ).astype(np.uint16)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg_12bit(im, quality=95))
+        assert out.dtype == np.uint16 and out.shape == im.shape
+        assert int(np.abs(out.astype(int) - im.astype(int)).max()) <= 256
+
+    def test_tiff_jpeg12_page(self):
+        from imagingdb_spark import tiff
+
+        im = self._im(24, 31, 5)
+        out = tiff.read_tiff_pages(
+            tiff.write_tiff([im], compression="jpeg12")
+        )[0]
+        assert out.dtype == np.uint16
+        assert int(np.abs(out.astype(int) - im.astype(int)).max()) <= 128
+
+    def test_range_and_dtype_guards(self):
+        with pytest.raises(ValueError, match="4096"):
+            jpeg.encode_jpeg_12bit(
+                np.full((8, 8), 5000, dtype=np.uint16)
+            )
+        with pytest.raises(ValueError, match="uint16"):
+            jpeg.encode_jpeg_12bit(np.zeros((8, 8), dtype=np.uint8))
+        with pytest.raises(ValueError, match="unsupported"):
+            # 16-bit DCT precision stays behind the seam
+            blob = bytearray(jpeg.encode_jpeg_12bit(self._im(8, 8, 6)))
+            i = blob.index(b"\xff\xc1")
+            blob[i + 4] = 16
+            jpeg.decode_jpeg(bytes(blob))
