@@ -210,6 +210,82 @@ def _encode_plane_blocks(
     return quant.reshape(-1, 64)[:, ZIGZAG], bh, bw
 
 
+def _seg(marker: int, body: bytes) -> bytes:
+    return struct.pack(">HH", marker, len(body) + 2) + body
+
+
+def _ycbcr_planes(im: np.ndarray, mid: float) -> list[np.ndarray]:
+    """[Y] or [Y, Cb, Cr] float planes at the given chroma midpoint —
+    the one RGB→YCbCr conversion all three encoders share."""
+    if im.ndim == 2:
+        return [im.astype(np.float64)]
+    r, g, b = (im[..., i].astype(np.float64) for i in range(3))
+    return [
+        0.299 * r + 0.587 * g + 0.114 * b,
+        -0.168736 * r - 0.331264 * g + 0.5 * b + mid,
+        0.5 * r - 0.418688 * g - 0.081312 * b + mid,
+    ]
+
+
+def _seq_block_events(zz: list[np.ndarray], restart_interval: int) -> list:
+    """Sequential interleaved entropy events over 4:4:4 zigzag blocks:
+    ("dc", ci, size) / ("ac", ci, sym) / ("b", value, nbits) / ("rst",)
+    — the single DC-diff + AC run-length loop shared by the 8-bit and
+    12-bit encoders (the progressive twin has its own per-scan shape)."""
+    ev: list = []
+    ncomp = len(zz)
+    pred = [0] * ncomp
+    for bi in range(zz[0].shape[0]):
+        if restart_interval and bi and bi % restart_interval == 0:
+            ev.append(("rst",))
+            pred = [0] * ncomp
+        for ci in range(ncomp):
+            blk = zz[ci][bi]
+            diff = int(blk[0]) - pred[ci]
+            pred[ci] = int(blk[0])
+            size = _category(diff)
+            ev.append(("dc", ci, size))
+            if size:
+                ev.append(("b", _amp_bits(diff, size), size))
+            run = 0
+            for k in range(1, 64):
+                v = int(blk[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    ev.append(("ac", ci, 0xF0))
+                    run -= 16
+                size = _category(v)
+                ev.append(("ac", ci, (run << 4) | size))
+                ev.append(("b", _amp_bits(v, size), size))
+                run = 0
+            if run:
+                ev.append(("ac", ci, 0x00))
+    return ev
+
+
+def _write_events(ev: list, dc_codes: list[dict], ac_codes: list[dict]) -> bytes:
+    """Serialize an event stream against per-component code tables."""
+    bw_ = _BitWriter()
+    rst = 0
+    for e in ev:
+        if e[0] == "rst":
+            bw_.flush()  # byte-align (B.2.1.2)
+            bw_.out += bytes([0xFF, 0xD0 + (rst % 8)])
+            rst += 1
+        elif e[0] == "dc":
+            code, ln = dc_codes[e[1]][e[2]]
+            bw_.put(code, ln)
+        elif e[0] == "ac":
+            code, ln = ac_codes[e[1]][e[2]]
+            bw_.put(code, ln)
+        else:
+            bw_.put(e[1], e[2])
+    bw_.flush()
+    return bytes(bw_.out)
+
+
 def encode_jpeg(
     im: np.ndarray, quality: int = 90, restart_interval: int = 0
 ) -> bytes:
@@ -227,99 +303,53 @@ def encode_jpeg(
     h, w = im.shape[:2]
     ql = _scale_q(_Q_LUMA, quality)
     qc = _scale_q(_Q_CHROMA, quality)
-    if gray:
-        planes = [im.astype(np.float64)]
-    else:
-        r, g, b = (im[..., i].astype(np.float64) for i in range(3))
-        yy = 0.299 * r + 0.587 * g + 0.114 * b
-        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
-        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
-        planes = [yy, cb, cr]
+    planes = _ycbcr_planes(im, 128.0)
     qts = [ql] + ([] if gray else [qc, qc])
     zz = [
         _encode_plane_blocks(np.clip(p, 0, 255), q)[0]
         for p, q in zip(planes, qts)
     ]
-
     dc_tabs = [_huff_codes(*_DC_LUMA)] + (
         [] if gray else [_huff_codes(*_DC_CHROMA)] * 2
     )
     ac_tabs = [_huff_codes(*_AC_LUMA)] + (
         [] if gray else [_huff_codes(*_AC_CHROMA)] * 2
     )
-    bw_ = _BitWriter()
-    pred = [0] * len(planes)
-    n_blocks = zz[0].shape[0]
-    rst = 0
-    for bi in range(n_blocks):  # 4:4:4 -> MCU = one block per component
-        if restart_interval and bi and bi % restart_interval == 0:
-            bw_.flush()  # byte-align (B.2.1.2)
-            bw_.out += bytes([0xFF, 0xD0 + (rst % 8)])
-            rst += 1
-            pred = [0] * len(planes)
-        for ci in range(len(planes)):
-            blk = zz[ci][bi]
-            diff = int(blk[0]) - pred[ci]
-            pred[ci] = int(blk[0])
-            size = _category(diff)
-            code, ln = dc_tabs[ci][size]
-            bw_.put(code, ln)
-            if size:
-                bw_.put(_amp_bits(diff, size), size)
-            run = 0
-            for k in range(1, 64):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = ac_tabs[ci][0xF0]  # ZRL
-                    bw_.put(code, ln)
-                    run -= 16
-                size = _category(v)
-                code, ln = ac_tabs[ci][(run << 4) | size]
-                bw_.put(code, ln)
-                bw_.put(_amp_bits(v, size), size)
-                run = 0
-            if run:
-                code, ln = ac_tabs[ci][0x00]  # EOB
-                bw_.put(code, ln)
-    bw_.flush()
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
+    body = _write_events(
+        _seq_block_events(zz, restart_interval), dc_tabs, ac_tabs
+    )
 
     out = bytearray(b"\xff\xd8")  # SOI
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + bytes(ql.reshape(64)[ZIGZAG].astype(np.uint8)))
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + bytes(ql.reshape(64)[ZIGZAG].astype(np.uint8)))
     if not gray:
-        out += seg(
+        out += _seg(
             0xFFDB, b"\x01" + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8))
         )
     ncomp = 1 if gray else 3
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sof += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
-    out += seg(0xFFC0, sof)
+    out += _seg(0xFFC0, sof)
     for cls, tid, spec in (
         (0, 0, _DC_LUMA),
         (1, 0, _AC_LUMA),
         (0, 1, _DC_CHROMA),
         (1, 1, _AC_CHROMA),
     )[: 2 if gray else 4]:
-        out += seg(
+        out += _seg(
             0xFFC4,
             bytes([(cls << 4) | tid]) + bytes(spec[0]) + bytes(spec[1]),
         )
     if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         t = 0 if ci == 0 else 1
         sos += bytes([ci + 1, (t << 4) | t])
     sos += b"\x00\x3f\x00"
-    out += seg(0xFFDA, sos)
-    out += bw_.out
+    out += _seg(0xFFDA, sos)
+    out += body
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -414,6 +444,9 @@ def _parse_tables(data: bytes, state: dict) -> None:
             continue
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
+            pos -= 1
+            continue
         if marker in (0xD8, 0xD9, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         (ln,) = struct.unpack(">H", data[pos : pos + 2])
@@ -470,6 +503,9 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
             continue
         marker = data[pos + 1]
         pos += 2
+        if marker == 0xFF:  # fill byte before a marker (B.1.1.2)
+            pos -= 1
+            continue
         if marker in (0x00, 0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:
@@ -977,15 +1013,7 @@ def encode_jpeg_progressive(
     h, w = im.shape[:2]
     ql = _scale_q(_Q_LUMA, quality)
     qc = _scale_q(_Q_CHROMA, quality)
-    if gray:
-        planes = [im.astype(np.float64)]
-    else:
-        r, g, b = (im[..., i].astype(np.float64) for i in range(3))
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
-        ]
+    planes = _ycbcr_planes(im, 128.0)
     qts = [ql] + ([] if gray else [qc, qc])
     zz = [
         _encode_plane_blocks(np.clip(p, 0, 255), q)[0]
@@ -1052,30 +1080,27 @@ def encode_jpeg_progressive(
     ac_codes = _huff_codes(*ac_spec)
 
     # ---- pass 2: serialize ----
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
-
     out = bytearray(b"\xff\xd8")
-    out += seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    out += seg(0xFFDB, b"\x00" + bytes(ql.reshape(64)[ZIGZAG].astype(np.uint8)))
+    out += _seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xFFDB, b"\x00" + bytes(ql.reshape(64)[ZIGZAG].astype(np.uint8)))
     if not gray:
-        out += seg(
+        out += _seg(
             0xFFDB, b"\x01" + bytes(qc.reshape(64)[ZIGZAG].astype(np.uint8))
         )
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for ci in range(ncomp):
         sof += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
-    out += seg(0xFFC2, sof)  # SOF2: progressive DCT
-    out += seg(0xFFC4, b"\x00" + bytes(dc_spec[0]) + bytes(dc_spec[1]))
-    out += seg(0xFFC4, b"\x10" + bytes(ac_spec[0]) + bytes(ac_spec[1]))
+    out += _seg(0xFFC2, sof)  # SOF2: progressive DCT
+    out += _seg(0xFFC4, b"\x00" + bytes(dc_spec[0]) + bytes(dc_spec[1]))
+    out += _seg(0xFFC4, b"\x10" + bytes(ac_spec[0]) + bytes(ac_spec[1]))
     if restart_interval:
-        out += seg(0xFFDD, struct.pack(">H", restart_interval))
+        out += _seg(0xFFDD, struct.pack(">H", restart_interval))
     for (kind, cis, ss, se, ah, al), ev in zip(scans, all_events):
         sos = bytes([len(cis)])
         for ci in cis:
             sos += bytes([ci + 1, 0x00])  # dc table 0, ac table 0
         sos += bytes([ss, se, (ah << 4) | al])
-        out += seg(0xFFDA, sos)
+        out += _seg(0xFFDA, sos)
         bw_ = _BitWriter()
         rst = 0
         for e in ev:
@@ -1121,90 +1146,45 @@ def encode_jpeg_12bit(im: np.ndarray, quality: int = 90) -> bytes:
     # keeps its usual meaning (quantizer steps grow 16x with the range)
     ql = _scale_q(_Q_LUMA, quality) * 16
     qc = _scale_q(_Q_CHROMA, quality) * 16
-    if gray:
-        planes = [im.astype(np.float64)]
-    else:
-        r, g, b = (im[..., i].astype(np.float64) for i in range(3))
-        planes = [
-            0.299 * r + 0.587 * g + 0.114 * b,
-            -0.168736 * r - 0.331264 * g + 0.5 * b + 2048.0,
-            0.5 * r - 0.418688 * g - 0.081312 * b + 2048.0,
-        ]
+    planes = _ycbcr_planes(im, 2048.0)
     qts = [ql] + ([] if gray else [qc, qc])
     zz = [
         _encode_plane_blocks(np.clip(p, 0, 4095), q, center=2048.0)[0]
         for p, q in zip(planes, qts)
     ]
-    n_blocks = zz[0].shape[0]
     ncomp = len(planes)
 
-    # pass 1: events (sequential interleaved, one block per comp per MCU)
-    ev: list = []
-    pred = [0] * ncomp
-    for bi in range(n_blocks):
-        for ci in range(ncomp):
-            blk = zz[ci][bi]
-            diff = int(blk[0]) - pred[ci]
-            pred[ci] = int(blk[0])
-            size = _category(diff)
-            ev.append(("dc", size))
-            if size:
-                ev.append(("b", _amp_bits(diff, size), size))
-            run = 0
-            for k in range(1, 64):
-                v = int(blk[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    ev.append(("ac", 0xF0))
-                    run -= 16
-                size = _category(v)
-                ev.append(("ac", (run << 4) | size))
-                ev.append(("b", _amp_bits(v, size), size))
-                run = 0
-            if run:
-                ev.append(("ac", 0x00))
-    dc_spec = _flat_table([e[1] for e in ev if e[0] == "dc"] or [0])
-    ac_spec = _flat_table([e[1] for e in ev if e[0] == "ac"] or [0])
-    dc_codes, ac_codes = _huff_codes(*dc_spec), _huff_codes(*ac_spec)
-
-    def seg(marker: int, body: bytes) -> bytes:
-        return struct.pack(">HH", marker, len(body) + 2) + body
+    # pass 1: the shared sequential event stream; pass 2 builds flat
+    # tables over the symbols it used and serializes against them
+    ev = _seq_block_events(zz, restart_interval=0)
+    dc_spec = _flat_table([e[2] for e in ev if e[0] == "dc"] or [0])
+    ac_spec = _flat_table([e[2] for e in ev if e[0] == "ac"] or [0])
+    dc_codes = [_huff_codes(*dc_spec)] * ncomp
+    ac_codes = [_huff_codes(*ac_spec)] * ncomp
+    body = _write_events(ev, dc_codes, ac_codes)
 
     out = bytearray(b"\xff\xd8")
     # 16-bit DQT entries (Pq=1): 12-bit quantizers exceed one byte
-    out += seg(
+    out += _seg(
         0xFFDB,
         b"\x10" + ql.reshape(64)[ZIGZAG].astype(">u2").tobytes(),
     )
     if not gray:
-        out += seg(
+        out += _seg(
             0xFFDB,
             b"\x11" + qc.reshape(64)[ZIGZAG].astype(">u2").tobytes(),
         )
     sof = struct.pack(">BHHB", 12, h, w, ncomp)
     for ci in range(ncomp):
         sof += struct.pack("BBB", ci + 1, 0x11, 0 if ci == 0 else 1)
-    out += seg(0xFFC1, sof)  # SOF1: extended sequential
-    out += seg(0xFFC4, b"\x00" + bytes(dc_spec[0]) + bytes(dc_spec[1]))
-    out += seg(0xFFC4, b"\x10" + bytes(ac_spec[0]) + bytes(ac_spec[1]))
+    out += _seg(0xFFC1, sof)  # SOF1: extended sequential
+    out += _seg(0xFFC4, b"\x00" + bytes(dc_spec[0]) + bytes(dc_spec[1]))
+    out += _seg(0xFFC4, b"\x10" + bytes(ac_spec[0]) + bytes(ac_spec[1]))
     sos = bytes([ncomp])
     for ci in range(ncomp):
         sos += bytes([ci + 1, 0x00])
     sos += b"\x00\x3f\x00"
-    out += seg(0xFFDA, sos)
-    bw_ = _BitWriter()
-    for e in ev:
-        if e[0] == "dc":
-            code, ln = dc_codes[e[1]]
-            bw_.put(code, ln)
-        elif e[0] == "ac":
-            code, ln = ac_codes[e[1]]
-            bw_.put(code, ln)
-        else:
-            bw_.put(e[1], e[2])
-    bw_.flush()
-    out += bw_.out
+    out += _seg(0xFFDA, sos)
+    out += body
     out += b"\xff\xd9"
     return bytes(out)

@@ -499,14 +499,32 @@ def _phash_one(im: "np.ndarray") -> int:
 def phash_frames(
     frames: DataFrame,
     decoder: Callable[[bytes, str], "np.ndarray"] = decode_png,
+    on_error: str = "raise",
 ) -> DataFrame:
     """Per-frame 64-bit perceptual hash over the FRAME_SCHEMA contract:
     mapInPandas (Arrow-batched, no shuffle) decode → pHash, emitting the
     frame's identity columns + `phash`. Mirrors frame_features' shape; the
     decoder seam is the same injectable (real pure-numpy PNG by default).
 
+    ``on_error``: "raise" (default — catalog payloads are pinned-format,
+    a decode failure is drift and must surface) or "skip" — undecodable
+    rows are DROPPED from the hash output. Skip is the crawl-feed mode:
+    a fetched corpus inevitably contains truncated/alien payloads, and
+    one poisoned row must not crash-loop a streaming gate whose
+    micro-batch would otherwise retry the same offsets forever.
+
     Scale: embarrassingly parallel — payload bytes never leave the task,
     only the (identity, 8-byte hash) rows flow on."""
+    if on_error not in ("raise", "skip"):
+        raise ValueError(f"on_error must be raise|skip, got {on_error!r}")
+
+    def _hash(p, bd):
+        if on_error == "raise":
+            return _phash_one(decoder(p, bd))
+        try:
+            return _phash_one(decoder(p, bd))
+        except Exception:
+            return None
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -515,9 +533,12 @@ def phash_frames(
                 "time_idx", "pos_idx",
             ]].copy()
             out["phash"] = [
-                _phash_one(decoder(p, bd))
+                _hash(p, bd)
                 for p, bd in zip(pdf["payload"], pdf["bit_depth"])
             ]
+            if on_error == "skip":
+                out = out[out["phash"].notna()]
+                out["phash"] = out["phash"].astype("int64")
             yield out
 
     schema = (

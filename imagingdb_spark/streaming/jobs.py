@@ -1945,6 +1945,7 @@ def streaming_phash_gate(
     index_format: str = "parquet",
     index_target_bytes: int = 256 * 1024,
     decoder=None,
+    on_decode_error: str = "raise",
 ) -> StreamingQuery:
     """St10 — streaming IMAGE-ingest dedup gate: the multimodal twin of
     streaming_dedup_gate, instantiating _streaming_fingerprint_gate with
@@ -1952,7 +1953,12 @@ def streaming_phash_gate(
     frames identity key. ``decoder`` overrides the payload decoder —
     pass multimodal.decode_any for a crawl feed whose payload mix is
     PNG/JPEG/TIFF/BMP/GIF by magic bytes; the default stays the pinned
-    PNG storage format. Catches "same picture, different file" dups
+    PNG storage format. ``on_decode_error="skip"`` drops undecodable
+    rows instead of failing the micro-batch — REQUIRED for crawl feeds,
+    where one truncated payload would otherwise crash-loop the query on
+    the same offsets forever (skipped rows pass the gate unfingerprinted:
+    they land in matches never, in the corpus never — quarantine them
+    upstream if they must be kept). Catches "same picture, different file" dups
     that payload-sha ingest (ingest.py's anti-join guard) cannot. Scale
     shape and crash discipline: see the engine docstring; at 100 TB the
     band index is band-value-bucketed at rest so the broadcast join
@@ -1970,7 +1976,10 @@ def streaming_phash_gate(
         # decode+hash once, join the 8-byte hashes back onto the payload
         # rows by identity (broadcast: a micro-batch is tiny)
         return batch_df.join(
-            F.broadcast(phash_frames(batch_df, decoder=dec)), id_cols
+            F.broadcast(
+                phash_frames(batch_df, decoder=dec, on_error=on_decode_error)
+            ),
+            id_cols,
         ).withColumn("frame_id", F.concat_ws("_", *id_cols))
 
     return _streaming_fingerprint_gate(

@@ -360,9 +360,13 @@ def _read_entry(buf: bytes, pos: int, bo: str) -> tuple[int, list[int]]:
     return tag, list(struct.unpack(f"{bo}{count}{code}", raw))
 
 
-def read_tiff_pages(payload: bytes) -> list[np.ndarray]:
+def read_tiff_pages(
+    payload: bytes, max_pages: int | None = None
+) -> list[np.ndarray]:
     """Multi-page TIFF bytes → one ndarray per page: (H, W) grayscale or
-    (H, W, 3) RGB, dtype uint8/uint16 from BitsPerSample."""
+    (H, W, 3) RGB, dtype uint8/uint16 from BitsPerSample. ``max_pages``
+    stops the IFD walk early — a crawl path wanting only the cover frame
+    of a 500-page stack must not entropy-decode the other 499."""
     buf = bytes(payload)
     if buf[:4] == b"II*\x00":
         bo = "<"
@@ -372,7 +376,7 @@ def read_tiff_pages(payload: bytes) -> list[np.ndarray]:
         raise ValueError("not a TIFF payload (bad header)")
     (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
     pages: list[np.ndarray] = []
-    while ifd_off:
+    while ifd_off and (max_pages is None or len(pages) < max_pages):
         (n_entries,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
         tags: dict[int, list[int]] = {}
         for i in range(n_entries):

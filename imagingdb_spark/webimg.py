@@ -58,26 +58,34 @@ def sniff_format(payload: bytes) -> str | None:
 
 def decode_image(payload: bytes) -> np.ndarray:
     """Any supported payload → (H, W) or (H, W, 3) uint8/uint16 ndarray.
-    Multi-page TIFF yields its FIRST page (the gate treats a stack's
-    cover frame as the image); animated GIF its first frame."""
+    Multi-page TIFF yields its FIRST page without decoding the rest (the
+    gate treats a stack's cover frame as the image); animated GIF its
+    first frame. Malformed payloads of a recognized format always raise
+    ValueError (never struct.error/IndexError) so callers can catch ONE
+    exception class for per-row error isolation in crawl feeds."""
     payload = bytes(payload)
     fmt = sniff_format(payload)
-    if fmt == "png":
-        from imagingdb_spark import png
+    try:
+        if fmt == "png":
+            from imagingdb_spark import png
 
-        return png.decode_png(payload)
-    if fmt == "jpeg":
-        from imagingdb_spark import jpeg
+            return png.decode_png(payload)
+        if fmt == "jpeg":
+            from imagingdb_spark import jpeg
 
-        return jpeg.decode_jpeg(payload)
-    if fmt == "tiff":
-        from imagingdb_spark import tiff
+            return jpeg.decode_jpeg(payload)
+        if fmt == "tiff":
+            from imagingdb_spark import tiff
 
-        return tiff.read_tiff_pages(payload)[0]
-    if fmt == "bmp":
-        return decode_bmp(payload)
-    if fmt == "gif":
-        return decode_gif(payload)
+            return tiff.read_tiff_pages(payload, max_pages=1)[0]
+        if fmt == "bmp":
+            return decode_bmp(payload)
+        if fmt == "gif":
+            return decode_gif(payload)
+    except ValueError:
+        raise
+    except Exception as e:  # truncated/corrupt: struct.error, index, ...
+        raise ValueError(f"malformed {fmt} payload: {e}") from e
     raise ValueError(
         f"unsupported image payload ({fmt or 'unknown magic'}); native: "
         "png/jpeg/tiff/bmp/gif — inject a decoder for webp/avif/heic"
@@ -89,13 +97,14 @@ def decode_image(payload: bytes) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def _collapse_gray(rgb: np.ndarray) -> np.ndarray:
-    """(H, W, 3) whose channels are identical → (H, W); else unchanged."""
-    if rgb.ndim == 3 and (rgb[..., 0] == rgb[..., 1]).all() and (
-        rgb[..., 1] == rgb[..., 2]
-    ).all():
-        return np.ascontiguousarray(rgb[..., 0])
-    return rgb
+def _pal_map(pal: np.ndarray, idx: np.ndarray) -> np.ndarray:
+    """Palette-map index pixels; a fully-gray PALETTE collapses to
+    (H, W). The gate is the palette, never the pixel content — a
+    truecolor image that happens to be gray keeps its (H, W, 3) shape,
+    so a source's decoded ndim is stable across frames."""
+    if (pal[:, 0] == pal[:, 1]).all() and (pal[:, 1] == pal[:, 2]).all():
+        return np.ascontiguousarray(pal[:, 0][idx])
+    return pal[idx]
 
 
 def decode_bmp(payload: bytes) -> np.ndarray:
@@ -129,10 +138,10 @@ def decode_bmp(payload: bytes) -> np.ndarray:
             payload, dtype=np.uint8, count=n_colors * 4, offset=14 + hdr_size
         ).reshape(n_colors, 4)[:, :3][:, ::-1]  # BGRX → RGB
         idx = raw[:, :w]
-        return _collapse_gray(pal[idx])
+        return _pal_map(pal, idx)
     px = raw[:, : w * (bpp // 8)].reshape(h, w, bpp // 8)
-    rgb = px[:, :, 2::-1]  # BGR(A) → RGB
-    return _collapse_gray(np.ascontiguousarray(rgb))
+    rgb = px[:, :, 2::-1]  # BGR(A) → RGB: truecolor never collapses
+    return np.ascontiguousarray(rgb)
 
 
 def encode_bmp(im: np.ndarray) -> bytes:
@@ -277,7 +286,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
     if payload[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF payload")
     pos = 6
-    sw, sh, flags, _bg, _ar = struct.unpack_from("<HHBBB", payload, pos)
+    sw, sh, flags, bg, _ar = struct.unpack_from("<HHBBB", payload, pos)
     pos += 7
     gpal = None
     if flags & 0x80:
@@ -299,7 +308,7 @@ def decode_gif(payload: bytes) -> np.ndarray:
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
-        _x, _y, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
+        fx, fy, w, h, iflags = struct.unpack_from("<HHHHB", payload, pos)
         pos += 9
         pal = gpal
         if iflags & 0x80:
@@ -331,7 +340,30 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 out[start::step] = idx[src : src + n_rows]
                 src += n_rows
             idx = out
-        return _collapse_gray(pal[idx])
+        if (fx, fy, w, h) != (0, 0, sw, sh):
+            # frame smaller than the logical screen: composite onto the
+            # background-colored canvas at its declared offset — the
+            # IMAGE is the canvas, not the sub-rectangle (a PNG of the
+            # same picture decodes canvas-sized, and the pHash dedup
+            # guarantee depends on the shapes agreeing). Compose in RGB:
+            # the frame's (possibly local) palette and the global
+            # background index need not share a table.
+            bg_rgb = (
+                gpal[bg] if gpal is not None and bg < len(gpal)
+                else np.zeros(3, dtype=np.uint8)
+            )
+            canvas = np.empty((sh, sw, 3), dtype=np.uint8)
+            canvas[:] = bg_rgb
+            canvas[fy : fy + h, fx : fx + w] = pal[idx]
+            # same palette-gated (never content-gated) collapse rule
+            if (
+                (pal[:, 0] == pal[:, 1]).all()
+                and (pal[:, 1] == pal[:, 2]).all()
+                and bg_rgb[0] == bg_rgb[1] == bg_rgb[2]
+            ):
+                return np.ascontiguousarray(canvas[..., 0])
+            return canvas
+        return _pal_map(pal, idx)
     raise ValueError("GIF contains no image frame")
 
 

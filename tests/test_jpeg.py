@@ -154,3 +154,16 @@ class Test12Bit:
             i = blob.index(b"\xff\xc1")
             blob[i + 4] = 16
             jpeg.decode_jpeg(bytes(blob))
+
+
+class TestFillBytes:
+    def test_fill_bytes_before_markers(self):
+        """T.81 B.1.1.2: any marker may be preceded by 0xFF fill bytes;
+        real camera streams pad this way."""
+        im = _smooth(16, 16, 3)
+        blob = jpeg.encode_jpeg(im, 90)
+        i = blob.index(b"\xff\xc0")
+        padded = blob[:i] + b"\xff\xff\xff" + blob[i:]
+        np.testing.assert_array_equal(
+            jpeg.decode_jpeg(padded), jpeg.decode_jpeg(blob)
+        )

@@ -223,3 +223,80 @@ class TestCrawlDecoderSeam:
             multimodal.decode_any(payload, "uint16")
         # crawl rows carry no declaration: empty string skips the check
         assert multimodal.decode_any(payload, "").shape == (4, 4)
+
+
+class TestReviewFixes:
+    """Regressions for the round-8 review findings on the crawl seam."""
+
+    def test_truecolor_gray_content_keeps_3d_shape(self):
+        # collapse is PALETTE-gated, never content-gated: a 24-bit BMP
+        # whose pixels happen to be gray must stay (H, W, 3)
+        gray3 = np.repeat(
+            rng.integers(0, 255, (4, 6, 1), endpoint=True), 3, axis=2
+        ).astype(np.uint8)
+        out = webimg.decode_bmp(webimg.encode_bmp(gray3))
+        assert out.shape == (4, 6, 3)
+        # while an 8-bit GRAY-PALETTE BMP still collapses
+        g = gray3[..., 0]
+        assert webimg.decode_bmp(webimg.encode_bmp(g)).shape == (4, 6)
+
+    def test_gif_partial_frame_composites_onto_canvas(self):
+        img = rng.integers(0, 255, (4, 4), endpoint=True).astype(np.uint8)
+        blob = bytearray(webimg.encode_gif(img))
+        i = 6 + 7 + 768
+        assert blob[i] == 0x2C
+        # grow the logical screen to 10x10 and offset the frame to (3,2)
+        struct.pack_into("<HH", blob, 6, 10, 10)
+        blob[11] = 7  # background color index (gray palette → 7)
+        struct.pack_into("<HH", blob, i + 1, 3, 2)  # fx, fy
+        out = webimg.decode_gif(bytes(blob))
+        assert out.shape == (10, 10)
+        np.testing.assert_array_equal(out[2:6, 3:7], img)
+        assert (out != 7).sum() <= img.size  # background fills the rest
+
+    def test_malformed_payloads_raise_valueerror(self):
+        for payload in (
+            b"GIF89a",                      # truncated header
+            b"BM" + b"\x00" * 5,            # truncated BMP
+            b"\x89PNG\r\n\x1a\n" + b"junk",  # truncated PNG
+            b"II*\x00" + b"\xff" * 3,       # truncated TIFF
+        ):
+            with pytest.raises(ValueError):
+                webimg.decode_image(payload)
+
+    def test_tiff_first_page_only_decode(self):
+        from imagingdb_spark import tiff
+
+        pages = [
+            np.full((8, 8), 10, dtype=np.uint8),
+            np.full((8, 8), 20, dtype=np.uint8),
+        ]
+        blob = tiff.write_tiff(pages)
+        out = webimg.decode_image(blob)
+        np.testing.assert_array_equal(out, pages[0])
+        assert len(tiff.read_tiff_pages(blob, max_pages=1)) == 1
+        assert len(tiff.read_tiff_pages(blob)) == 2
+
+    def test_phash_skip_drops_only_poisoned_rows(self, spark):
+        from imagingdb_spark import multimodal, png
+
+        good = rng.integers(0, 255, (16, 16), endpoint=True).astype(np.uint8)
+        rows = [
+            ("DS-0", 0, 0, 0, 0, 16, 16, "uint8", png.encode_png(good)),
+            ("DS-1", 0, 0, 0, 1, 16, 16, "uint8", b"GIF89a"),  # truncated
+            ("DS-2", 0, 0, 0, 2, 16, 16, "uint8", b"not an image"),
+            ("DS-3", 0, 0, 0, 3, 16, 16, "uint8",
+             webimg.encode_bmp(good)),
+        ]
+        frames = spark.createDataFrame(rows, multimodal.FRAME_SCHEMA)
+        got = multimodal.phash_frames(
+            frames, decoder=multimodal.decode_any, on_error="skip"
+        ).collect()
+        assert sorted(r["pos_idx"] for r in got) == [0, 3]
+        hashes = {r["pos_idx"]: r["phash"] for r in got}
+        assert hashes[0] == hashes[3]  # same picture, different container
+        # default mode still surfaces the failure
+        with pytest.raises(Exception):
+            multimodal.phash_frames(
+                frames, decoder=multimodal.decode_any
+            ).collect()
