@@ -281,6 +281,7 @@ def insert_frames_atomic(
     datasets: DataFrame,
     frames_rows: DataFrame,
     catalog_dir: str,
+    bloom_columns: dict[str, list[str]] | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """insert_frames with the reference's FULL transaction scope: one
     DataSet + one FramesGlobal + N Frames rows per dataset staged together
@@ -434,12 +435,15 @@ def insert_frames_atomic(
             "frames_global": ["dataset_id"],
             "frames": ["frames_global_id", "file_name"],
         },
+        bloom_columns=bloom_columns,
     )
     return deltas["data_set"], deltas["frames_global"], deltas["frames"]
 
 
 def insert_file_atomic(
-    new_files: DataFrame, catalog_dir: str
+    new_files: DataFrame,
+    catalog_dir: str,
+    bloom_columns: dict[str, list[str]] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """ingest.insert_file's two-table transaction (DataSet + FileGlobal,
     db_operations.py:225-274) as ONE atomic catalog commit — the file-type
@@ -525,6 +529,7 @@ def insert_file_atomic(
         catalog_dir,
         build,
         keys={"data_set": ["dataset_serial"], "file_global": ["dataset_id"]},
+        bloom_columns=bloom_columns,
     )
     return deltas["data_set"], deltas["file_global"]
 
@@ -653,7 +658,9 @@ def upload_dataset(
             )
             if atomic is not None:
                 new_ds, new_fg = insert_file_atomic(
-                    files.drop("payload"), atomic.catalog_dir
+                    files.drop("payload"),
+                    atomic.catalog_dir,
+                    bloom_columns=atomic.bloom_columns,
                 )
             else:
                 new_ds, new_fg = insert_file(
@@ -754,6 +761,7 @@ def upload_dataset(
                 datasets,
                 framed.drop("storage_dir", "payload"),
                 atomic.catalog_dir,
+                bloom_columns=atomic.bloom_columns,
             )
         else:
             new_ds, new_fg, new_fr = insert_frames(

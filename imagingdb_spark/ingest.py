@@ -267,10 +267,23 @@ class CatalogTarget:
     either no dataset or the whole dataset, because all tables' manifests
     publish in one hard-link. The per-table SnapshotTarget path remains
     for callers that want independent tables plus convergent torn-upload
-    repair."""
+    repair.
 
-    def __init__(self, catalog_dir: str):
+    ``bloom_columns`` (table → columns) additionally sets the bloom
+    point-lookup index property on those catalog tables (blooms.py):
+    e.g. ``{"frames": ["sha256"]}`` makes every later
+    ``catalog_read(..., "frames", where=[("sha256", "=", h)])`` a
+    file-skipping probe — the Postgres-b-tree lookup shape
+    (db_operations.py filter_by sha256) on an append-ordered table
+    whose min/max stats cannot prune."""
+
+    def __init__(
+        self,
+        catalog_dir: str,
+        bloom_columns: dict[str, list[str]] | None = None,
+    ):
         self.catalog_dir = catalog_dir
+        self.bloom_columns = bloom_columns
 
     def __repr__(self) -> str:
         return f"CatalogTarget({self.catalog_dir!r})"

@@ -631,3 +631,62 @@ class TestCatalogBloomIndex:
             spark, cat, "frames", where=[("h", "=", probe)]
         )
         assert got.count() == 1
+
+
+class TestUploadBloomIndex:
+    """CatalogTarget(bloom_columns=...) end to end: an upload sets the
+    frames table's sha256 bloom index, and a later sha point lookup
+    through catalog_read prunes files (the reference's b-tree
+    filter_by(sha256=...) shape, db_operations.py)."""
+
+    def test_upload_then_sha_probe(self, spark, tmp_path):
+        from imagingdb_spark import snapshots as S
+
+        src = _src_file(tmp_path)
+        cat_dir = str(tmp_path / "cat")
+        man = spark.createDataFrame(
+            [(UP_SERIAL, src, "Testing", "none")],
+            "dataset_serial string, file_name string, description string, "
+            "parent_dataset_id string",
+        )
+        cat = {
+            n: spark.createDataFrame([], s)
+            for n, s in IMAGING_SCHEMAS.items()
+        }
+        flows.upload_dataset(
+            spark,
+            man,
+            cat,
+            storage_root=str(tmp_path / "store"),
+            upload_type="frames",
+            page_reader=_fake_page_reader,
+            global_meta={
+                "im_width": 8, "im_height": 8,
+                "nbr_channels": 2, "nbr_slices": 3,
+            },
+            paths=CatalogTarget(
+                cat_dir, bloom_columns={"frames": ["sha256"]}
+            ),
+        )
+        frames = C.catalog_read(spark, cat_dir, "frames")
+        sha = frames.select("sha256").first()["sha256"]
+        got = C.catalog_read(
+            spark, cat_dir, "frames", where=[("sha256", "=", sha)]
+        ).collect()
+        assert len(got) >= 1 and all(r["sha256"] == sha for r in got)
+        # the property is ON the frames manifest and entries carry blooms
+        v = C.catalog_versions(cat_dir)[-1]
+        m = C._read_commit(cat_dir, v)["tables"]["frames"]
+        assert m.get("blooms") == ["sha256"]
+        entries = S._resolve_pruned(
+            C._table_dir(cat_dir, "frames"), m, None
+        )
+        assert all(e.get("bloom") for e in entries)
+        # an absent sha probes to zero files (blooms, not zone maps)
+        plan: dict = {}
+        kept = S._resolve_pruned(
+            C._table_dir(cat_dir, "frames"), m,
+            [("sha256", "=", "8" * 64)], plan,
+        )
+        assert plan["files_bloom_dropped"] >= 1
+        assert not kept
