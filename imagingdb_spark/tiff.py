@@ -51,6 +51,7 @@ _WIDTH, _LENGTH, _BITS, _COMPRESSION = 256, 257, 258, 259
 _PHOTOMETRIC, _DESCRIPTION, _STRIP_OFFSETS = 262, 270, 273
 _SAMPLES, _ROWS_PER_STRIP, _STRIP_COUNTS = 277, 278, 279
 _PREDICTOR = 317
+_FILL_ORDER = 266
 _JPEG_TABLES, _JPEG_IF, _JPEG_IF_LEN = 347, 513, 514
 
 _COMP_NONE, _COMP_LZW, _COMP_DEFLATE, _COMP_DEFLATE_OLD = 1, 5, 8, 32946
@@ -287,6 +288,18 @@ def _decode_jpeg_page(
     return page
 
 
+_BITREV = np.packbits(
+    np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1)[:, ::-1],
+    axis=1,
+).ravel()
+
+
+def _reverse_bits(data: bytes) -> bytes:
+    """Per-byte bit reversal (FillOrder 2 → the MSB-first order every
+    decoder here expects)."""
+    return _BITREV[np.frombuffer(data, dtype=np.uint8)].tobytes()
+
+
 def _decode_fax_page(
     buf: bytes, tags: dict[int, list[int]], comp: int, w: int, h: int
 ) -> np.ndarray:
@@ -295,8 +308,10 @@ def _decode_fax_page(
     Coding restarts at every strip boundary (TIFF 6.0 §10-11: strips are
     independently decodable). True-in-the-bitmap means black; Photometric
     0 (WhiteIsZero, the fax default) maps white→255/black→0, Photometric
-    1 inverts. Compression 3 supports the 1-D T4Options only; bit 0 set
-    (2-D-coded G3) raises — the injectable page_reader seam covers it.
+    1 inverts. Compression 3 decodes both 1-D and 2-D T4Options rows;
+    FillOrder 2 (LSB-first bytes — common precisely in scanner fax
+    files) is bit-reversed before decode. Only the fax uncompressed-mode
+    options raise — the injectable page_reader seam covers them.
     """
     from imagingdb_spark import ccitt
 
@@ -312,11 +327,14 @@ def _decode_fax_page(
             "page_reader"
         )
     rows_per = tags.get(_ROWS_PER_STRIP, [h])[0]
+    reverse = tags.get(_FILL_ORDER, [1])[0] == 2
     parts = []
     offs, cnts = tags[_STRIP_OFFSETS], tags[_STRIP_COUNTS]
     for i, (o, c) in enumerate(zip(offs, cnts)):
         nrows = min(rows_per, h - i * rows_per)
         strip = buf[o : o + c]
+        if reverse:  # FillOrder 2: bits packed LSB-first within bytes
+            strip = _reverse_bits(strip)
         if comp == _COMP_G4:
             parts.append(ccitt.decode_g4(strip, w, nrows))
         elif g3_2d:
@@ -398,21 +416,23 @@ def read_tiff_pages(
             if comp in (_COMP_CCITT_RLE, _COMP_G3, _COMP_G4):
                 pages.append(_decode_fax_page(buf, tags, comp, w, h))
                 continue
-            if comp == _COMP_NONE:
-                data = b"".join(
+            # packed-bit pages under the general strip codecs reuse the
+            # same decoders as 8/16-bit pages (none/LZW/Deflate/PackBits)
+            data = _decode_strips(
+                [
                     buf[o : o + c]
                     for o, c in zip(tags[_STRIP_OFFSETS], tags[_STRIP_COUNTS])
-                )
-                pages.append(
-                    _unpack_bilevel(
-                        data, w, h, tags.get(_PHOTOMETRIC, [0])[0]
-                    )
-                )
-                continue
-            raise ValueError(
-                f"unsupported bilevel TIFF compression {comp} "
-                "(built-in: none/CCITT-RLE/G3-1D/G4)"
+                ],
+                comp,
             )
+            if tags.get(_FILL_ORDER, [1])[0] == 2:
+                data = _reverse_bits(data)
+            pages.append(
+                _unpack_bilevel(
+                    data, w, h, tags.get(_PHOTOMETRIC, [0])[0]
+                )
+            )
+            continue
         if comp in (_COMP_JPEG, _COMP_JPEG_OLD):
             # 12-bit extended-sequential pages are legal here (stored as
             # uint16); the general strip path below stays 8/16-bit

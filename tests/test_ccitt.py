@@ -265,3 +265,69 @@ class TestG32D:
         raw = ccitt.encode_g3_1d(img, byte_aligned=True)  # no EOLs
         with pytest.raises(ValueError, match="EOL"):
             ccitt.decode_g3_2d(raw, 16, 3)
+
+
+class TestFillOrderAndBilevelCodecs:
+    """Round-8 review fixes: FillOrder=2 fax streams and packed-bit
+    pages under the general strip codecs."""
+
+    def test_fillorder2_g4_page(self):
+        img = _blocky(10, 40, seed=21)
+        blob = bytearray(tiff.write_tiff([img], compression="ccitt_g4"))
+        # hand-reverse the strip bytes and declare FillOrder=2: the
+        # decoder must undo the LSB-first packing
+        pages = tiff.read_tiff_pages(bytes(blob))  # sanity: decodes MSB
+        enc = ccitt.encode_g4(img)
+        rev = tiff._reverse_bits(enc)
+        tags = {
+            tiff._STRIP_OFFSETS: [0],
+            tiff._STRIP_COUNTS: [len(rev)],
+            tiff._PHOTOMETRIC: [0],
+            tiff._FILL_ORDER: [2],
+        }
+        out = tiff._decode_fax_page(rev, tags, tiff._COMP_G4, 40, 10)
+        np.testing.assert_array_equal(out, pages[0])
+
+    @pytest.mark.parametrize("comp", [tiff._COMP_LZW, tiff._COMP_DEFLATE,
+                                      tiff._COMP_PACKBITS])
+    def test_bilevel_under_general_strip_codecs(self, comp):
+        import struct as _s
+        import zlib as _z
+
+        img = _blocky(6, 20, seed=22)
+        packed = np.packbits(img.astype(np.uint8), axis=1).tobytes()
+        if comp == tiff._COMP_LZW:
+            strip = tiff._lzw_encode(packed)
+        elif comp == tiff._COMP_DEFLATE:
+            strip = _z.compress(packed)
+        else:
+            strip = tiff._packbits_encode(packed)
+        # hand-build a minimal 1-bit single-page TIFF
+        out = bytearray(b"II*\x00\x00\x00\x00\x00")
+        strip_off = len(out)
+        out += strip
+
+        def entry(tag, ftype, vals):
+            code, size = tiff._TYPES[ftype]
+            packed_v = _s.pack(f"<{len(vals)}{code}", *vals)
+            return _s.pack("<HHI", tag, ftype, len(vals)) + packed_v.ljust(
+                4, b"\x00"
+            )
+
+        entries = [
+            entry(256, 4, [20]), entry(257, 4, [6]), entry(258, 3, [1]),
+            entry(259, 3, [comp]), entry(262, 3, [1]),  # BlackIsZero
+            entry(273, 4, [strip_off]), entry(277, 3, [1]),
+            entry(278, 4, [6]), entry(279, 4, [len(strip)]),
+        ]
+        ifd_off = len(out)
+        _s.pack_into("<I", out, 4, ifd_off)
+        out += _s.pack("<H", len(entries))
+        for e in sorted(e for e in entries):
+            out += e
+        out += b"\x00\x00\x00\x00"
+        got = tiff.read_tiff_pages(bytes(out))[0]
+        # PhotometricInterpretation 1: bit set (1) = 255
+        np.testing.assert_array_equal(
+            got, np.where(img, 255, 0).astype(np.uint8)
+        )

@@ -1474,11 +1474,111 @@ class TestBloomIndex:
         from imagingdb_spark import blooms as B
 
         m, k, bits, n = B._build_filter(
-            [self._sha(i) for i in range(1000)]
+            [self._sha(i) for i in range(1000)], "s"
         )
         assert n == 1000
         fp = sum(
-            B._might_contain(m, k, bits, self._sha(100000 + i))
+            B._might_contain(
+                m, k, bits, B._probe_encode(self._sha(100000 + i))[1]
+            )
             for i in range(5000)
         )
         assert fp / 5000 < 0.03  # sized for ~1%; generous margin
+
+
+class TestBloomSoundness:
+    """Round-8 review fixes: the false-ABSENCE hazards — NULL-coerced
+    int columns, cross-type probes, malformed sidecar rows — must all
+    degrade to KEEP, never to a silently dropped file."""
+
+    def test_int_column_with_nulls_still_finds_rows(self, spark):
+        import tempfile
+
+        from pyspark.sql import functions as F
+
+        with tempfile.TemporaryDirectory() as root:
+            t = f"{root}/t"
+            # one NULL makes pandas hand the bloom builder float64
+            df = spark.range(0, 200).selectExpr(
+                "CASE WHEN id = 7 THEN NULL "
+                "ELSE (id * 2654435761) % 100000 END AS key",
+                "id AS n",
+            ).repartition(4)
+            S.snapshot_commit(spark, t, df, bloom_columns=["key"])
+            probe = (42 * 2654435761) % 100000
+            got = S.snapshot_read(
+                spark, t, where=[("key", "=", int(probe))]
+            )
+            assert got.filter(got.n == 42).count() == 1
+            # and the filters are real: an IN-RANGE absent key prunes
+            # via blooms (out-of-range would be min/max's job)
+            present = {(i * 2654435761) % 100000 for i in range(200)}
+            absent = next(
+                v for v in range(50_000, 100_000) if v not in present
+            )
+            plan: dict = {}
+            m = S._read_manifest(t, S._versions(t)[-1])
+            S._resolve_pruned(t, m, [("key", "=", absent)], plan)
+            assert plan["files_bloom_dropped"] >= 1
+
+    def test_cross_type_probe_keeps_files(self, spark):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as root:
+            t = f"{root}/t"
+            df = spark.range(0, 100).selectExpr(
+                "(id * 2654435761) % 4096 AS key", "id AS n"
+            ).repartition(4)
+            S.snapshot_commit(spark, t, df, bloom_columns=["key"])
+            probe = int((5 * 2654435761) % 4096)
+            # STRING probe on the int column: Spark casts and matches;
+            # blooms must not prune on the mismatched encoding
+            got = S.snapshot_read(
+                spark, t, where=[("key", "=", str(probe))]
+            )
+            assert got.filter(got.n == 5).count() == 1
+            plan: dict = {}
+            m = S._read_manifest(t, S._versions(t)[-1])
+            S._resolve_pruned(t, m, [("key", "=", str(probe))], plan)
+            assert plan["files_bloom_dropped"] == 0  # kind mismatch: keep
+            # integral-float probe uses the int filter (Spark matches it)
+            got_f = S.snapshot_read(
+                spark, t, where=[("key", "=", float(probe))]
+            )
+            assert got_f.filter(got_f.n == 5).count() == 1
+
+    def test_float_column_never_indexed(self, spark):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as root:
+            t = f"{root}/t"
+            df = spark.range(0, 50).selectExpr(
+                "cast(id AS double) AS key", "id AS n"
+            ).repartition(2)
+            S.snapshot_commit(spark, t, df, bloom_columns=["key"])
+            m = S._read_manifest(t, S._versions(t)[-1])
+            # no entry carries a bloom for the double column
+            assert not any(
+                "key" in (f.get("bloom") or {}).get("cols", [])
+                for f in m["files"]
+            )
+            got = S.snapshot_read(spark, t, where=[("key", "=", 7)])
+            assert got.count() == 1
+
+    def test_malformed_sidecar_rows_keep(self):
+        from imagingdb_spark import blooms as B
+
+        data = B._probe_encode("x")[1]
+        assert B._might_contain(0, B._K, b"", data) is True       # m=0
+        assert B._might_contain(64, B._K, b"\xff", data) is True  # short
+        assert B._might_contain(64, 3, b"\xff" * 8, data) is True  # alien k
+
+    def test_unusable_filter_on_bad_value(self):
+        from imagingdb_spark import blooms as B
+
+        # a non-null value the kind cannot encode marks the filter
+        # unusable (m=0) instead of silently under-covering
+        m, k, bits, n = B._build_filter([1, "oops", 3], "i")
+        assert m == 0 and n == 0
+        m2, _, _, n2 = B._build_filter([1, None, 3.0], "i")
+        assert m2 > 0 and n2 == 2  # nulls skip, integral floats index

@@ -194,11 +194,6 @@ def main() -> None:
         # only the bloom stage prunes. Kept counts and probe latency must
         # stay ~O(1) files as the commit count grows.
         bloom: dict = {}
-        import hashlib
-
-        def _sha(i: int) -> str:
-            return hashlib.sha256(str(i).encode()).hexdigest()
-
         t = os.path.join(root, "bloom")
         per = 2000
         for c in range(32):
