@@ -6,12 +6,14 @@ Public format (Microsoft/IBM RIFF WAVE, 1991): a RIFF container whose
 the samples. Supported here: PCM (format tag 1) at 8/16/32 bits and IEEE
 float (tag 3) at 32/64 bits, the ITU-T G.711 companded encodings —
 A-law (tag 6) and mu-law (tag 7), vectorized from the public CCITT
-reference arithmetic — and IMA/DVI ADPCM (tag 0x11, 4-bit differential
-with per-block restart headers, mono/stereo) — any channel count, any
-sample rate. The remaining frame-based codecs (MS ADPCM tag 2,
-MP3-in-WAV) raise with a clear message and go through the injectable
-decoder seam (multimodal.audio_features) instead; tests pin that error
-path.
+reference arithmetic — IMA/DVI ADPCM (tag 0x11, 4-bit differential
+with per-block restart headers, mono/stereo), and MS ADPCM (tag 2,
+two-tap prediction from the 7 standard coefficient sets or a custom
+fmt-chunk table, per-block idelta adaptation, the reference
+algorithm's truncate-toward-zero arithmetic) — any channel count, any
+sample rate. Only MP3-in-WAV (tag 0x55) remains behind the injectable
+decoder seam (multimodal.audio_features) with its error path pinned
+by test — a full MPEG audio decoder is out of scope.
 
 Executor contract: pure functions of bytes, no state — safe inside
 mapInPandas batches.
@@ -237,6 +239,149 @@ def ima_adpcm_encode(
     return bytes(out), block_align, spb
 
 
+# MS ADPCM (WAV format tag 2; the Microsoft multimedia reference
+# algorithm, public): two-tap linear prediction from 7 standard
+# coefficient sets chosen per block, 4-bit signed residuals scaled by a
+# per-block idelta that adapts through a 16-entry table. The reference
+# arithmetic divides by 256 with C truncation toward zero — mirrored
+# exactly here (Python // floors, so negatives need the explicit form).
+
+_MS_COEF1 = [256, 512, 0, 192, 240, 460, 392]
+_MS_COEF2 = [0, -256, 0, 64, 0, -208, -232]
+_MS_ADAPT = [
+    230, 230, 230, 230, 307, 409, 512, 614,
+    768, 614, 512, 409, 307, 230, 230, 230,
+]
+
+
+def _trunc_div(x: int, d: int) -> int:
+    """C-style integer division (truncate toward zero)."""
+    return x // d if (x >= 0) == (d >= 0) else -((-x) // d)
+
+
+def ms_adpcm_decode(
+    data: bytes,
+    channels: int,
+    block_align: int,
+    coefs: list[tuple[int, int]] | None = None,
+) -> np.ndarray:
+    """MS ADPCM data chunk → int16 samples, (n,) mono / (n, ch).
+    ``coefs`` overrides the 7 standard predictor sets (the fmt chunk may
+    carry a custom table; indexes beyond it raise — corrupt stream)."""
+    table = coefs or list(zip(_MS_COEF1, _MS_COEF2))
+    per_ch: list[list[int]] = [[] for _ in range(channels)]
+    hdr = 7 * channels
+    for bstart in range(0, len(data) - (len(data) % block_align), block_align):
+        block = data[bstart : bstart + block_align]
+        pred_idx = list(block[:channels])
+        if any(p >= len(table) for p in pred_idx):
+            raise ValueError("MS ADPCM predictor index beyond coef table")
+        c1 = [table[p][0] for p in pred_idx]
+        c2 = [table[p][1] for p in pred_idx]
+        ideltas = [
+            struct.unpack_from("<h", block, channels + 2 * c)[0]
+            for c in range(channels)
+        ]
+        s1 = [
+            struct.unpack_from("<h", block, 3 * channels + 2 * c)[0]
+            for c in range(channels)
+        ]
+        s2 = [
+            struct.unpack_from("<h", block, 5 * channels + 2 * c)[0]
+            for c in range(channels)
+        ]
+        for c in range(channels):
+            per_ch[c].append(s2[c])  # s2 is the OLDER warm-up sample
+            per_ch[c].append(s1[c])
+        ch = 0
+        for byte in block[hdr:]:
+            for nib in (byte >> 4, byte & 0xF):  # high nibble first
+                sn = nib - 16 if nib >= 8 else nib
+                pred = _trunc_div(s1[ch] * c1[ch] + s2[ch] * c2[ch], 256)
+                pred = max(-32768, min(32767, pred + sn * ideltas[ch]))
+                s2[ch], s1[ch] = s1[ch], pred
+                ideltas[ch] = max(
+                    16, _trunc_div(_MS_ADAPT[nib] * ideltas[ch], 256)
+                )
+                per_ch[ch].append(pred)
+                ch = (ch + 1) % channels
+    n = min(len(x) for x in per_ch)
+    if channels == 1:
+        return np.array(per_ch[0][:n], dtype=np.int16)
+    return np.stack(
+        [np.array(x[:n], dtype=np.int16) for x in per_ch], axis=1
+    )
+
+
+def ms_adpcm_encode(
+    samples_i16: np.ndarray, samples_per_block: int = 500
+) -> tuple[bytes, int, int]:
+    """int16 samples → (data, block_align, samples_per_block): the
+    round-trip twin. Each block tries all 7 standard predictor sets and
+    keeps the least-error one (the reference encoder's discipline);
+    samples_per_block counts the two warm-up header samples."""
+    a = np.asarray(samples_i16, dtype=np.int16)
+    channels = 1 if a.ndim == 1 else a.shape[1]
+    if a.ndim == 1:
+        a = a[:, None]
+    spb = samples_per_block
+    if spb < 4 or (spb - 2) % 2:
+        raise ValueError("samples_per_block must be even and >= 4")
+    block_align = 7 * channels + (spb - 2) * channels // 2
+    n = a.shape[0]
+    n_blocks = (n + spb - 1) // spb
+    pad = n_blocks * spb - n
+    if pad:
+        a = np.vstack([a, np.repeat(a[-1:], pad, axis=0)])
+
+    def _encode_channel(seg, pidx):
+        c1, c2 = _MS_COEF1[pidx], _MS_COEF2[pidx]
+        s2, s1 = int(seg[0]), int(seg[1])
+        resid = np.abs(np.diff(seg.astype(np.int64)))
+        idelta = max(16, int(resid.mean()) // 4 if len(resid) else 16)
+        nibs, err = [], 0
+        d0 = idelta
+        for s in range(2, len(seg)):
+            pred = _trunc_div(s1 * c1 + s2 * c2, 256)
+            e = int(seg[s]) - pred
+            # nearest residual level (decoder adds sn*idelta verbatim)
+            sn = max(-8, min(7, int(round(e / idelta))))
+            nib = sn + 16 if sn < 0 else sn
+            rec = max(-32768, min(32767, pred + sn * idelta))
+            err += abs(int(seg[s]) - rec)
+            nibs.append(nib)
+            s2, s1 = s1, rec
+            idelta = max(16, _trunc_div(_MS_ADAPT[nib] * idelta, 256))
+        return err, d0, nibs
+
+    out = bytearray()
+    for b in range(n_blocks):
+        seg = a[b * spb : (b + 1) * spb]
+        best = []
+        for c in range(channels):
+            trials = [
+                (_encode_channel(seg[:, c], p), p) for p in range(7)
+            ]
+            (err, d0, nibs), p = min(trials, key=lambda t: t[0][0])
+            best.append((p, d0, nibs))
+        out += bytes(p for p, _, _ in best)
+        for _, d0, _ in best:
+            out += struct.pack("<h", d0)
+        for c in range(channels):
+            out += struct.pack("<h", int(seg[1, c]))  # sample1 (newer)
+        for c in range(channels):
+            out += struct.pack("<h", int(seg[0, c]))  # sample2 (older)
+        # nibbles round-robin by channel, high nibble first
+        stream = [
+            best[ch][2][k]
+            for k in range(spb - 2)
+            for ch in range(channels)
+        ]
+        for k in range(0, len(stream), 2):
+            out.append((stream[k] << 4) | stream[k + 1])
+    return bytes(out), block_align, spb
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
     """WAV bytes → (samples, sample_rate, n_channels). Samples are float64
     scaled to [-1, 1], shaped (n,) for mono or (n, channels) otherwise.
@@ -245,12 +390,14 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
     if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
         raise ValueError("not a WAV payload (bad RIFF/WAVE header)")
     pos, fmt, data = 12, None, None
+    fmt_body = b""
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]
         (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
         body = buf[pos + 8 : pos + 8 + size]
         if cid == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif cid == b"data":
             data = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -274,12 +421,24 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
     elif tag == 0x11 and bits == 4:  # IMA/DVI ADPCM
         s = ima_adpcm_decode(data, channels, fmt[4])
         return s.astype(np.float64) / 32768.0, rate, channels
+    elif tag == 2 and bits == 4:  # MS ADPCM
+        coefs = None
+        # fmt extension: cbSize@16, wSamplesPerBlock@18, wNumCoef@20,
+        # then (coef1, coef2) int16 pairs from 22
+        if len(fmt_body) >= 22:
+            (ncoef,) = struct.unpack_from("<H", fmt_body, 20)
+            if ncoef and len(fmt_body) >= 22 + 4 * ncoef:
+                coefs = [
+                    struct.unpack_from("<hh", fmt_body, 22 + 4 * i)
+                    for i in range(ncoef)
+                ]
+        s = ms_adpcm_decode(data, channels, fmt[4], coefs)
+        return s.astype(np.float64) / 32768.0, rate, channels
     else:
         raise ValueError(
             f"unsupported WAV encoding (format tag {tag}, {bits}-bit); "
             "inject a soundfile-backed decoder for the remaining "
-            "frame-based codecs (MS ADPCM, MP3-in-WAV) — see module "
-            "docstring"
+            "frame-based codecs (MP3-in-WAV) — see module docstring"
         )
     if channels > 1:
         a = a[: len(a) - len(a) % channels].reshape(-1, channels)
@@ -317,8 +476,32 @@ def encode_wav(
             + b"data" + struct.pack("<I", len(raw)) + raw
         )
         return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+    elif codec == "ms_adpcm":
+        i16 = (np.clip(a, -1.0, 1.0) * 32767.0).round().astype(np.int16)
+        raw, block, spb = ms_adpcm_encode(
+            i16 if channels == 1 else i16.reshape(-1, channels)
+        )
+        coef_tab = b"".join(
+            struct.pack("<hh", c1, c2)
+            for c1, c2 in zip(_MS_COEF1, _MS_COEF2)
+        )
+        fmt_x = struct.pack(
+            "<HHIIHHHHH",
+            2, channels, sample_rate,
+            sample_rate * block // spb, block, 4,
+            4 + len(coef_tab),  # cbSize: spb + ncoef + table
+            spb, 7,
+        ) + coef_tab
+        chunks = (
+            b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt_x)) + fmt_x
+            + b"data" + struct.pack("<I", len(raw)) + raw
+        )
+        return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
     elif codec != "pcm":
-        raise ValueError(f"unsupported codec {codec!r} (pcm/mulaw/alaw/adpcm)")
+        raise ValueError(
+            f"unsupported codec {codec!r} (pcm/mulaw/alaw/adpcm/ms_adpcm)"
+        )
     elif bits == 8:
         tag = 1
         raw = (flat * 127.0 + 128.0).round().astype(np.uint8).tobytes()

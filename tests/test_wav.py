@@ -51,7 +51,8 @@ class TestErrors:
             wav.decode_wav(b"not audio")
 
     def test_compressed_rejected(self):
-        fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM
+        # MP3-in-WAV (tag 0x55) is the remaining seam codec
+        fmt = struct.pack("<HHIIHH", 0x55, 1, 8000, 8000, 1, 0)
         chunks = (
             b"WAVE"
             + b"fmt " + struct.pack("<I", len(fmt)) + fmt
@@ -130,14 +131,14 @@ class TestG711:
         assert ch == 2 and back.shape == (1000, 2)
         assert np.max(np.abs(back - x)) < 0.02
 
-    def test_ms_adpcm_seam_is_permanent(self):
-        """The remaining frame-based codec (MS ADPCM, tag 2) stays behind
-        the injectable seam — the error path is the contract (IMA ADPCM
-        tag 0x11 decodes natively since round 8)."""
+    def test_mp3_seam_is_permanent(self):
+        """The remaining frame-based codec (MP3-in-WAV, tag 0x55) stays
+        behind the injectable seam — the error path is the contract
+        (IMA ADPCM and MS ADPCM both decode natively since round 8)."""
         blob = bytearray(wav.encode_wav(np.zeros(16), 8000))
         at = blob.find(b"fmt ")
-        struct.pack_into("<H", blob, at + 8, 2)  # 2 = MS ADPCM
-        with pytest.raises(ValueError, match="format tag 2"):
+        struct.pack_into("<H", blob, at + 8, 0x55)  # MPEG layer 3
+        with pytest.raises(ValueError, match="format tag 85"):
             wav.decode_wav(bytes(blob))
 
 
@@ -195,3 +196,79 @@ def test_audio_features_with_g711_payload(spark):
     assert r["n_samples"] == 2048 and r["n_windows"] == 4
     # log companding: coarser than 16-bit PCM but still tight at |x|<=0.5
     assert r["rms"] == pytest.approx(float(np.sqrt((a * a).mean())), abs=5e-3)
+
+
+class TestMsAdpcm:
+    """MS ADPCM (tag 2): two-tap prediction from the 7 standard
+    coefficient sets, per-block idelta adaptation — round-tripped
+    against the repo's own encoder; the reference algorithm's
+    truncate-toward-zero arithmetic is pinned by a hand-decoded block."""
+
+    def _sig(self, n=4000, rate=8000):
+        t = np.arange(n) / rate
+        return 0.5 * np.sin(2 * np.pi * 50 * t) + 0.2 * np.sin(
+            2 * np.pi * 180 * t
+        )
+
+    def test_mono_roundtrip_within_adpcm_tolerance(self):
+        x = self._sig()
+        blob = wav.encode_wav(x, 8000, codec="ms_adpcm")
+        got, rate, ch = wav.decode_wav(blob)
+        assert rate == 8000 and ch == 1
+        assert len(got) >= len(x)  # whole-block padding
+        assert float(np.abs(got[: len(x)] - x).max()) < 0.03
+        assert len(blob) < 0.3 * len(wav.encode_wav(x, 8000, bits=16))
+
+    def test_stereo_roundtrip(self):
+        x = self._sig()
+        st = np.stack([x, np.roll(x, 7) * 0.8], axis=1)
+        got, _, ch = wav.decode_wav(
+            wav.encode_wav(st, 8000, codec="ms_adpcm")
+        )
+        assert ch == 2 and got.shape[1] == 2
+        assert float(np.abs(got[: len(st)] - st).max()) < 0.03
+
+    def test_hand_decoded_block(self):
+        """One mono block decoded by hand against the reference
+        algorithm: predictor set 0 (c1=256, c2=0 — pure s1 carry),
+        idelta 16, warm-up samples 100 (s2) then 200 (s1)."""
+        block = bytearray()
+        block.append(0)                      # predictor set 0
+        block += struct.pack("<h", 16)       # idelta
+        block += struct.pack("<h", 200)      # sample1 (newer)
+        block += struct.pack("<h", 100)      # sample2 (older)
+        # nibbles: +3 then -2 (0xE): pred1 = 200*256//256 = 200,
+        # s = 200 + 3*16 = 248; idelta -> max(16, 230*16//256=14) = 16
+        # (adaptation entry for nibble 3 is 230);
+        # pred2 = 248, s = 248 - 2*16 = 216
+        block.append((3 << 4) | 0xE)
+        out = wav.ms_adpcm_decode(bytes(block), 1, len(block))
+        assert out.tolist() == [100, 200, 248, 216]
+
+    def test_predictor_choice_varies(self):
+        # a strongly linear ramp should select a two-tap predictor
+        # (set 1: c1=512, c2=-256 extrapolates lines exactly)
+        ramp = np.linspace(-0.9, 0.9, 2000)
+        blob = wav.encode_wav(ramp, 8000, codec="ms_adpcm")
+        got, _, _ = wav.decode_wav(blob)
+        assert float(np.abs(got[: len(ramp)] - ramp).max()) < 0.01
+
+    def test_custom_coef_table_in_fmt(self):
+        # decoder honors the fmt chunk's coefficient table: corrupt the
+        # table so set 0 halves the prediction; output must change
+        x = self._sig(800)
+        blob = bytearray(wav.encode_wav(x, 8000, codec="ms_adpcm"))
+        ref, _, _ = wav.decode_wav(bytes(blob))
+        at = blob.find(b"fmt ")
+        for i in range(7):  # halve EVERY coef1 so any chosen set shifts
+            c1 = struct.unpack_from("<h", blob, at + 8 + 22 + 4 * i)[0]
+            struct.pack_into(
+                "<h", blob, at + 8 + 22 + 4 * i, c1 // 2
+            )
+        mod, _, _ = wav.decode_wav(bytes(blob))
+        assert float(np.abs(ref - mod).max()) > 0.0
+
+    def test_bad_predictor_index_raises(self):
+        block = bytes([9]) + b"\x10\x00" + b"\x00\x00" * 2 + b"\x00"
+        with pytest.raises(ValueError, match="predictor index"):
+            wav.ms_adpcm_decode(block, 1, len(block))
