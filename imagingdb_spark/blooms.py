@@ -110,8 +110,13 @@ def _build_encode(v, kind: str) -> bytes | None | bool:
     if kind == "i":
         if isinstance(v, (int, np.integer)) and not isinstance(v, bool):
             return b"i:%d" % int(v)
-        # pandas coerces int64-with-nulls to float64: values stay integral
+        # pandas coerces int64-with-nulls to float64: values stay
+        # integral BUT only exact below 2^53 — a rounded key would index
+        # the wrong value and falsely prove the true key absent, so past
+        # the mantissa the filter must be marked unusable
         if isinstance(v, float) and float(v).is_integer():
+            if abs(v) >= 2.0**53:
+                return False
             return b"i:%d" % int(v)
         return False
     if kind == "s":
@@ -327,12 +332,15 @@ def prune_candidates(
         if plan is not None:
             plan["files_bloom_dropped"] = 0
         return entries
-    # pre-encode probe values once: (col) -> list of (kind, bytes)
-    enc: dict[str, list[tuple[str, bytes]]] = {
-        col: [e for e in map(_probe_encode, vals) if e is not None]
-        or [None]  # all-unencodable: sentinel meaning "cannot prune"
-        for col, vals in probes
-    }
+    # pre-encode probe values once: (col) -> list of (kind, bytes), or
+    # the None sentinel when ANY value is unencodable — Spark's coerced
+    # IN-list can match rows through values the bloom never probed
+    # (e.g. 2.5 against a string column matching '2.5'), so one
+    # unencodable member disables pruning for the whole conjunct
+    enc: dict[str, list] = {}
+    for col, vals in probes:
+        pairs = [_probe_encode(v) for v in vals]
+        enc[col] = [None] if any(p is None for p in pairs) else pairs
     by_sc: dict[str, list[str]] = {}
     for e in entries:
         b = e.get("bloom")

@@ -532,13 +532,18 @@ def phash_frames(
                 "dataset_serial", "channel_idx", "slice_idx",
                 "time_idx", "pos_idx",
             ]].copy()
-            out["phash"] = [
+            hashes = [
                 _hash(p, bd)
                 for p, bd in zip(pdf["payload"], pdf["bit_depth"])
             ]
             if on_error == "skip":
-                out = out[out["phash"].notna()]
-                out["phash"] = out["phash"].astype("int64")
+                keep = [i for i, h in enumerate(hashes) if h is not None]
+                out = out.iloc[keep]
+                hashes = [hashes[i] for i in keep]
+            # assign as int64 AFTER filtering: a mixed int/None column
+            # would pass through float64, whose 53-bit mantissa rounds
+            # 63-bit hashes and corrupts every surviving row
+            out["phash"] = pd.array(hashes, dtype="int64")
             yield out
 
     schema = (

@@ -269,8 +269,13 @@ def ms_adpcm_decode(
     ``coefs`` overrides the 7 standard predictor sets (the fmt chunk may
     carry a custom table; indexes beyond it raise — corrupt stream)."""
     table = coefs or list(zip(_MS_COEF1, _MS_COEF2))
-    per_ch: list[list[int]] = [[] for _ in range(channels)]
     hdr = 7 * channels
+    if block_align < hdr:
+        raise ValueError(
+            f"MS ADPCM block_align {block_align} shorter than the "
+            f"{hdr}-byte header (corrupt fmt chunk)"
+        )
+    per_ch: list[list[int]] = [[] for _ in range(channels)]
     for bstart in range(0, len(data) - (len(data) % block_align), block_align):
         block = data[bstart : bstart + block_align]
         pred_idx = list(block[:channels])

@@ -1582,3 +1582,47 @@ class TestBloomSoundness:
         assert m == 0 and n == 0
         m2, _, _, n2 = B._build_filter([1, None, 3.0], "i")
         assert m2 > 0 and n2 == 2  # nulls skip, integral floats index
+
+
+class TestBloomSoundnessRound2:
+    """Third review pass: float64-mantissa and coerced-IN-list hazards."""
+
+    def test_big_int_with_nulls_marks_filter_unusable(self):
+        from imagingdb_spark import blooms as B
+
+        # a 2^53+ key arriving float64-coerced (null in the batch) would
+        # index ROUNDED; the filter must refuse instead
+        big = float(9007199254740993)  # 2^53 + 1, rounds to 2^53
+        m, _, _, n = B._build_filter([1.0, big], "i")
+        assert m == 0
+        # below the mantissa, coerced ints index fine
+        m2, _, _, n2 = B._build_filter([1.0, 2.0**52], "i")
+        assert m2 > 0 and n2 == 2
+
+    def test_mixed_in_list_with_unencodable_member_keeps(self, spark):
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as root:
+            t = f"{root}/t"
+            df = spark.createDataFrame(
+                [("2.5", 1), ("abc", 2)], "s string, n long"
+            ).repartition(2)
+            S.snapshot_commit(spark, t, df, bloom_columns=["s"])
+            # 2.5 is unencodable for the bloom but Spark's coerced IN
+            # can match rows through it — no file may be pruned
+            plan: dict = {}
+            m = S._read_manifest(t, S._versions(t)[-1])
+            S._resolve_pruned(
+                t, m, [("s", "in", ["zzz", 2.5])], plan
+            )
+            assert plan["files_bloom_dropped"] == 0
+
+    def test_ms_adpcm_corrupt_block_align_raises_valueerror(self):
+        import pytest as _pytest
+
+        from imagingdb_spark import wav
+
+        with _pytest.raises(ValueError, match="block_align"):
+            wav.ms_adpcm_decode(b"\x00" * 32, 1, 0)
+        with _pytest.raises(ValueError, match="block_align"):
+            wav.ms_adpcm_decode(b"\x00" * 32, 2, 10)

@@ -295,6 +295,15 @@ class TestReviewFixes:
         assert sorted(r["pos_idx"] for r in got) == [0, 3]
         hashes = {r["pos_idx"]: r["phash"] for r in got}
         assert hashes[0] == hashes[3]  # same picture, different container
+        # and the surviving hashes are EXACT — a poisoned batch must not
+        # round the good rows' 63-bit hashes through a float64 column
+        clean = spark.createDataFrame(
+            [rows[0]], multimodal.FRAME_SCHEMA
+        )
+        want = multimodal.phash_frames(
+            clean, decoder=multimodal.decode_any
+        ).collect()[0]["phash"]
+        assert hashes[0] == want
         # default mode still surfaces the failure
         with pytest.raises(Exception):
             multimodal.phash_frames(
