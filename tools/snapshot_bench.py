@@ -189,49 +189,60 @@ def main() -> None:
             )
 
         # bloom sidecars: the UNCLUSTERED point-lookup case min/max cannot
-        # touch — sha-like keys appended over 32 commits x 4 files; every
-        # file's [min, max] spans the hex range, so stats keep all 128 and
-        # only the bloom stage prunes. Kept counts and probe latency must
-        # stay ~O(1) files as the commit count grows.
+        # touch — sha-like keys appended commit by commit (4 files each);
+        # every file's [min, max] spans the hex range, so stats keep ALL
+        # files and only the bloom stage prunes. The sweep grows the same
+        # table 8 → 32 → 96 commits and re-probes at each size: kept
+        # files must stay ~O(1) (FPP x files) while files_total grows —
+        # the b-tree-lookup shape at any table size.
         bloom: dict = {}
         t = os.path.join(root, "bloom")
         per = 2000
-        for c in range(32):
-            rows = spark.range(c * per, (c + 1) * per).selectExpr(
-                "sha2(string(id), 256) as h", "id as n"
-            )
-            S.snapshot_commit(
-                spark, t, rows.repartition(4),
-                bloom_columns=["h"] if c == 0 else None,
-            )
         probe_present = spark.range(777, 778).selectExpr(
             "sha2(string(id), 256) as h"
         ).collect()[0]["h"]
-        for label, probe in (
-            ("present", probe_present),
-            ("absent", "8" * 64),  # mid-range: inside every [min,max]
-        ):
-            where = [("h", "=", probe)]
-            plan_s = []
-            for _ in range(REPS):
-                t0 = time.time()
-                plan = S.snapshot_scan_plan(t, where)
-                plan_s.append(time.time() - t0)
-            row = {"plan_s": round(min(plan_s), 4), **plan}
-            t0 = time.time()
-            row["pruned_read_rows"] = S.snapshot_read(
-                spark, t, where=where
-            ).count()
-            row["pruned_read_s"] = round(time.time() - t0, 4)
-            bloom[label] = row
+        committed = 0
+        sweep = []
+        for n_commits in (8, 32, 96):
+            for c in range(committed, n_commits):
+                rows = spark.range(c * per, (c + 1) * per).selectExpr(
+                    "sha2(string(id), 256) as h", "id as n"
+                )
+                S.snapshot_commit(
+                    spark, t, rows.repartition(4),
+                    bloom_columns=["h"] if c == 0 else None,
+                )
+            committed = n_commits
+            point: dict = {"commits": n_commits}
+            for label, probe in (
+                ("present", probe_present),
+                ("absent", "8" * 64),  # mid-range: inside every [min,max]
+            ):
+                where = [("h", "=", probe)]
+                plan_s = []
+                for _ in range(REPS):
+                    t0 = time.time()
+                    plan = S.snapshot_scan_plan(t, where)
+                    plan_s.append(time.time() - t0)
+                point[label] = {"plan_s": round(min(plan_s), 4), **plan}
+            sweep.append(point)
+        bloom["sweep"] = sweep
+        t0 = time.time()
+        where = [("h", "=", probe_present)]
+        bloom["pruned_read_rows"] = S.snapshot_read(
+            spark, t, where=where
+        ).count()
+        bloom["pruned_read_s"] = round(time.time() - t0, 4)
         t0 = time.time()
         full = S.snapshot_read(spark, t)
         bloom["full_filter_read_rows"] = full.filter(
             full.h == probe_present
         ).count()
         bloom["full_filter_read_s"] = round(time.time() - t0, 4)
-        assert bloom["present"]["pruned_read_rows"] == 1
-        assert bloom["absent"]["pruned_read_rows"] == 0
+        assert bloom["pruned_read_rows"] == 1
+        for point in sweep:
+            assert point["absent"]["files_kept"] <= 2
+            assert point["present"]["files_kept"] <= 3
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
