@@ -496,6 +496,7 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
     comps: list[dict] = []
     h = w = 0
     progressive = False
+    lossless = False
     n = len(data)
     while pos + 1 < n:
         if data[pos] != 0xFF:
@@ -529,10 +530,27 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
                 comps.append(
                     {"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq}
                 )
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:  # lossless sequential (Annex H)
+            lossless = True
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if not 2 <= prec <= 16:
+                raise ValueError(f"bad lossless JPEG precision {prec}")
+            state["prec"] = prec
+            comps = []
+            for ci in range(ncomp):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled lossless JPEG unsupported (Annex H "
+                        "components are full-resolution here)"
+                    )
+                comps.append(
+                    {"id": cid, "h": 1, "v": 1, "tq": tq}
+                )
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise ValueError(
-                "lossless/arithmetic/hierarchical JPEG unsupported; "
+                "arithmetic/hierarchical JPEG unsupported; "
                 "inject a page_reader for exotic streams"
             )
         elif marker == 0xDA:  # SOS: entropy-coded data follows
@@ -544,6 +562,12 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
                     if c["id"] == cid:
                         c["dc"], c["ac"] = tt >> 4, tt & 0xF
                         sel.append(c)
+            if lossless:
+                ss = body[1 + 2 * ns]  # predictor selector (1-7)
+                al = body[3 + 2 * ns] & 0xF  # point transform
+                return _decode_lossless_scan(
+                    data, pos + ln, state, sel, h, w, ss, al
+                )
             if not progressive:
                 return _decode_scan(data, pos + ln, state, comps, h, w)
             ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
@@ -1186,5 +1210,173 @@ def encode_jpeg_12bit(im: np.ndarray, quality: int = 90) -> bytes:
     sos += b"\x00\x3f\x00"
     out += _seg(0xFFDA, sos)
     out += body
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Lossless JPEG (T.81 Annex H, Huffman) — the old-DICOM / medical transfer
+# syntax. Each sample is a Huffman-coded DIFFERENCE (DC-style category +
+# amplitude bits, plus the SSSS=16 "32768" special) from one of the 7
+# standard spatial predictors; arithmetic is modulo 2^16, reconstruction
+# is bit-exact. Restart markers are not supported in the lossless path
+# (the prediction-reset rules interact with row state; real medical
+# streams rarely carry them) and raise clearly.
+# ---------------------------------------------------------------------------
+
+
+def _predict(ra: int, rb: int, rc: int, sel: int) -> int:
+    if sel == 1:
+        return ra
+    if sel == 2:
+        return rb
+    if sel == 3:
+        return rc
+    if sel == 4:
+        return ra + rb - rc
+    if sel == 5:
+        return ra + ((rb - rc) >> 1)
+    if sel == 6:
+        return rb + ((ra - rc) >> 1)
+    if sel == 7:
+        return (ra + rb) >> 1
+    raise ValueError(f"bad lossless predictor selector {sel}")
+
+
+def _decode_lossless_scan(
+    data: bytes,
+    pos: int,
+    state: dict,
+    sel: list[dict],
+    h: int,
+    w: int,
+    pred_sel: int,
+    al: int,
+) -> np.ndarray:
+    prec = state["prec"]
+    if state.get("dri"):
+        raise ValueError(
+            "restart markers in lossless JPEG are unsupported; inject a "
+            "page_reader"
+        )
+    tables = []
+    for c in sel:
+        t = state["huff"].get((0, c["dc"]))
+        if t is None:
+            raise ValueError("JPEG scan references missing tables")
+        tables.append(t)
+    ncomp = len(sel)
+    default = 1 << (prec - 1 - al)
+    planes = np.zeros((ncomp, h, w), dtype=np.int32)
+    rd = _BitReader(data, pos)
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncomp):
+                size = _decode_huff(rd, tables[ci])
+                if size == 16:
+                    diff = 32768
+                elif size:
+                    diff = _extend(rd.bits(size), size)
+                else:
+                    diff = 0
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(planes[ci, 0, x - 1])
+                elif x == 0:
+                    pred = int(planes[ci, y - 1, 0])
+                else:
+                    pred = _predict(
+                        int(planes[ci, y, x - 1]),
+                        int(planes[ci, y - 1, x]),
+                        int(planes[ci, y - 1, x - 1]),
+                        pred_sel,
+                    )
+                planes[ci, y, x] = (pred + diff) & 0xFFFF
+    out = (planes << al).astype(np.uint16 if prec > 8 else np.uint8)
+    if ncomp == 1:
+        return out[0]
+    return np.moveaxis(out, 0, -1)
+
+
+def encode_jpeg_lossless(
+    im: np.ndarray, predictor: int = 4, point_transform: int = 0
+) -> bytes:
+    """uint8/uint16 (H, W[, 3]) → lossless JPEG (SOF3) — BIT-EXACT round
+    trip through decode_jpeg (masked by ``point_transform`` low bits if
+    nonzero). Components are kept full-resolution; samples are coded as
+    modulo-2^16 prediction differences over flat per-stream tables."""
+    im = np.asarray(im)
+    if im.dtype == np.uint8:
+        prec = 8
+    elif im.dtype == np.uint16:
+        prec = 16 if int(im.max(initial=0)) > 4095 else 12
+    else:
+        raise ValueError("lossless JPEG twin takes uint8/uint16")
+    if not 1 <= predictor <= 7:
+        raise ValueError("predictor must be 1-7")
+    gray = im.ndim == 2
+    if not gray and (im.ndim != 3 or im.shape[2] != 3):
+        raise ValueError("expected (H, W) or (H, W, 3)")
+    h, w = im.shape[:2]
+    ncomp = 1 if gray else 3
+    planes = (
+        im[None].astype(np.int32)
+        if gray
+        else np.moveaxis(im.astype(np.int32), -1, 0)
+    )
+    al = point_transform
+    if al:
+        planes = planes >> al
+    default = 1 << (prec - 1 - al)
+    ev: list = []
+    for y in range(h):
+        for x in range(w):
+            for ci in range(ncomp):
+                if y == 0 and x == 0:
+                    pred = default
+                elif y == 0:
+                    pred = int(planes[ci, 0, x - 1])
+                elif x == 0:
+                    pred = int(planes[ci, y - 1, 0])
+                else:
+                    pred = _predict(
+                        int(planes[ci, y, x - 1]),
+                        int(planes[ci, y - 1, x]),
+                        int(planes[ci, y - 1, x - 1]),
+                        predictor,
+                    )
+                diff = (int(planes[ci, y, x]) - pred + 32768) & 0xFFFF
+                diff -= 32768  # wrapped into [-32768, 32767]
+                if diff == -32768:
+                    ev.append(("dc", 16))  # the 32768 special: no bits
+                    continue
+                size = _category(diff)
+                ev.append(("dc", size))
+                if size:
+                    ev.append(("b", _amp_bits(diff, size), size))
+    spec = _flat_table([e[1] for e in ev if e[0] == "dc"] or [0])
+    codes = _huff_codes(*spec)
+    bw_ = _BitWriter()
+    for e in ev:
+        if e[0] == "dc":
+            code, ln = codes[e[1]]
+            bw_.put(code, ln)
+        else:
+            bw_.put(e[1], e[2])
+    bw_.flush()
+
+    out = bytearray(b"\xff\xd8")
+    sof = struct.pack(">BHHB", prec, h, w, ncomp)
+    for ci in range(ncomp):
+        sof += struct.pack("BBB", ci + 1, 0x11, 0)
+    out += _seg(0xFFC3, sof)  # SOF3: lossless sequential
+    out += _seg(0xFFC4, b"\x00" + bytes(spec[0]) + bytes(spec[1]))
+    sos = bytes([ncomp])
+    for ci in range(ncomp):
+        sos += bytes([ci + 1, 0x00])
+    sos += bytes([predictor, 0, al])
+    out += _seg(0xFFDA, sos)
+    out += bw_.out
     out += b"\xff\xd9"
     return bytes(out)

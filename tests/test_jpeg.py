@@ -96,11 +96,11 @@ class TestProgressive:
         out = webimg.decode_image(blob)
         assert out.shape == (20, 20)
 
-    def test_lossless_streams_still_rejected(self):
+    def test_arithmetic_streams_rejected(self):
         blob = bytearray(jpeg.encode_jpeg(_smooth(8, 8, 1)))
         i = blob.index(b"\xff\xc0")
-        blob[i + 1] = 0xC3  # lossless sequential
-        with pytest.raises(ValueError, match="lossless"):
+        blob[i + 1] = 0xC9  # arithmetic sequential
+        with pytest.raises(ValueError, match="arithmetic"):
             jpeg.decode_jpeg(bytes(blob))
 
 
@@ -167,3 +167,60 @@ class TestFillBytes:
         np.testing.assert_array_equal(
             jpeg.decode_jpeg(padded), jpeg.decode_jpeg(blob)
         )
+
+
+class TestLossless:
+    """Lossless JPEG (SOF3, T.81 Annex H) — the old-DICOM transfer
+    syntax. The contract is BIT-EXACT reconstruction, so every test
+    asserts full equality, not a tolerance."""
+
+    @pytest.mark.parametrize("pred", list(range(1, 8)))
+    def test_all_predictors_bit_exact(self, pred):
+        im = rng.integers(0, 255, (23, 31), endpoint=True).astype(np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(im, predictor=pred))
+        np.testing.assert_array_equal(out, im)
+
+    def test_16bit_and_12bit_gray(self):
+        g16 = rng.integers(0, 65535, (17, 19), endpoint=True).astype(
+            np.uint16
+        )
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(g16))
+        assert out.dtype == np.uint16
+        np.testing.assert_array_equal(out, g16)
+        g12 = rng.integers(0, 4095, (11, 13), endpoint=True).astype(
+            np.uint16
+        )
+        out12 = jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(g12))
+        np.testing.assert_array_equal(out12, g12)
+
+    def test_rgb_bit_exact(self):
+        im = rng.integers(0, 255, (9, 14, 3), endpoint=True).astype(np.uint8)
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(im, predictor=7))
+        np.testing.assert_array_equal(out, im)
+
+    def test_point_transform_masks_low_bits(self):
+        im = rng.integers(0, 255, (8, 8), endpoint=True).astype(np.uint8)
+        out = jpeg.decode_jpeg(
+            jpeg.encode_jpeg_lossless(im, point_transform=2)
+        )
+        np.testing.assert_array_equal(out, (im >> 2) << 2)
+
+    def test_smooth_content_compresses(self):
+        im = _smooth(64, 64, 21)
+        blob = jpeg.encode_jpeg_lossless(im, predictor=4)
+        assert len(blob) < im.size  # < 8 bits/sample on smooth content
+
+    def test_worst_case_diff_roundtrip(self):
+        # alternating extremes force the modulo-2^16 wrap and SSSS=16
+        im = np.zeros((4, 64), dtype=np.uint16)
+        im[:, 1::2] = 65535
+        out = jpeg.decode_jpeg(jpeg.encode_jpeg_lossless(im, predictor=1))
+        np.testing.assert_array_equal(out, im)
+
+    def test_magic_dispatch(self):
+        from imagingdb_spark import webimg
+
+        im = rng.integers(0, 255, (6, 6), endpoint=True).astype(np.uint8)
+        blob = jpeg.encode_jpeg_lossless(im)
+        assert webimg.sniff_format(blob) == "jpeg"
+        np.testing.assert_array_equal(webimg.decode_image(blob), im)
