@@ -563,6 +563,15 @@ def decode_jpeg(data: bytes, tables: bytes | None = None) -> np.ndarray:
                         c["dc"], c["ac"] = tt >> 4, tt & 0xF
                         sel.append(c)
             if lossless:
+                if len(sel) != len(comps):
+                    # a legal non-interleaved lossless stream (one scan
+                    # per component) would otherwise decode to just the
+                    # first component as a grayscale image — silent wrong
+                    # pixels; raise like the restart-marker guard does
+                    raise ValueError(
+                        "multi-scan lossless JPEG unsupported; "
+                        "inject a page_reader for exotic streams"
+                    )
                 ss = body[1 + 2 * ns]  # predictor selector (1-7)
                 al = body[3 + 2 * ns] & 0xF  # point transform
                 return _decode_lossless_scan(

@@ -1055,6 +1055,11 @@ def _resolve_pruned(
             opened += 1
             entries.extend(_read_group(table_dir, g["name"]))
     kept = [fe for fe in entries if not where or _file_matches(fe, where)]
+    if plan is not None:
+        # stable plan shape: the bloom counter is present even when the
+        # min/max stage already dropped every file (or where is None) —
+        # prune_candidates overwrites it when the bloom stage runs
+        plan["files_bloom_dropped"] = 0
     if where and kept:
         # second pruning stage: bloom sidecars answer =/in probes on
         # indexed columns that min/max could not (unclustered keys)
@@ -1587,4 +1592,181 @@ def snapshot_diff(
         snapshot_read(spark, table_dir, version=v_new),
         key,
         cmp,
+    )
+
+
+def snapshot_delete(
+    spark: SparkSession,
+    table_dir: str,
+    where: list,
+    max_retries: int = 5,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Targeted row-level DELETE on a snapshot table — the takedown /
+    opt-out primitive a training-data pipeline needs (GDPR erasure, DMCA
+    removal, poisoned-source excision) and the one mutation the format
+    lacked: ``snapshot_compact`` rewrites the whole corpus and MERGE
+    upserts but cannot surgically remove. The reference deletes dataset
+    rows through a Postgres transaction (/root/reference/imaging_db/
+    database/db_operations.py); at table scale the same all-or-nothing
+    contract has to hold over data FILES, which is this function.
+
+    ``where`` is the same conjunctive ``(col, op, value)`` triple list
+    snapshot_read takes. Execution is the copy-on-write DELETE of the
+    public Delta/Iceberg design, with BOTH pruning stages finding the
+    affected files before any data is read:
+
+    1. Manifest groups whose merged stats exclude the predicate are
+       carried into the child commit BY REFERENCE — never opened.
+    2. Within touched groups, file entries whose footer stats prove no
+       row matches are carried as entries (their bytes never move).
+    3. Bloom sidecars on indexed columns clear ``=``/``in`` probes on
+       unclustered keys — a sha256 takedown on a bloom-indexed corpus
+       rewrites 1–2 files out of hundreds (tools/SNAPSHOT_BENCH.json).
+    4. Only the surviving candidate files are read, filtered to the rows
+       the predicate does NOT match, and rewritten; zero-row outputs are
+       dropped from the manifest entirely.
+
+    The rewrite publishes as ONE atomic version (mode ``delete``) pinned
+    to the tip the candidates were resolved from: a concurrent commit
+    wins the version race and the delete re-resolves against the new tip
+    (re-running the prune — a delete's file set is a read-dependent
+    claim, so a blind relink would resurrect rows a racing writer just
+    added to a rewritten file's key range). A crash anywhere — data
+    write, sidecar build, group write, or the publish link itself —
+    leaves the pre-delete version exactly; debris is vacuum's.
+
+    Time travel keeps every retained pre-delete version readable (the
+    legal-hold window); ``snapshot_expire`` + ``snapshot_vacuum`` make
+    the erasure PHYSICAL — after they run, no retained manifest
+    references the rewritten files and the bytes are gone.
+
+    ``txn=(app_id, seq)`` gives the delete the same exactly-once replay
+    marker every other writer carries (a replayed seq is a no-op
+    returning the tip).
+
+    Returns the audit record the caller logs: ``{version, rows_deleted,
+    files_total, files_rewritten, files_kept, groups_kept_by_ref,
+    files_bloom_cleared}`` — ``version`` is the tip when nothing matched
+    (no empty commit is published). files_kept counts entries carried
+    through rewritten groups; groups_kept_by_ref counts refs never
+    opened."""
+    checked = _check_where(where)
+    if not checked:
+        raise ValueError(
+            "snapshot_delete needs a non-empty predicate; to truncate, "
+            "commit an empty overwrite instead"
+        )
+
+    def _already(m: dict) -> bool:
+        return txn is not None and txn[1] <= m.get("txns", {}).get(txn[0], -1)
+
+    created: list[str] = []
+    for _ in range(max_retries):
+        vs = _versions(table_dir)
+        if not vs:
+            raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+        tip = vs[-1]
+        m = _read_manifest_raw(table_dir, tip)
+        if "groups" not in m:
+            m["groups"] = None  # legacy flat manifest
+        if _already(m):
+            return {
+                "version": tip, "rows_deleted": 0, "files_total": None,
+                "files_rewritten": 0, "files_kept": 0,
+                "groups_kept_by_ref": None, "files_bloom_cleared": 0,
+            }
+        # --- stage 1+2: group-ref skip, then per-file stats skip -------
+        if m["groups"] is None:
+            ref_groups: list[dict] = []
+            touched = list(_read_manifest(table_dir, tip)["files"])
+            files_total = len(touched)
+        else:
+            ref_groups, touched = [], []
+            files_total = sum(g["n_files"] for g in m["groups"])
+            for g in m["groups"]:
+                if _group_matches(g, checked):
+                    touched.extend(_read_group(table_dir, g["name"]))
+                else:
+                    ref_groups.append(g)
+        keep = [fe for fe in touched if not _file_matches(fe, checked)]
+        cand = [fe for fe in touched if _file_matches(fe, checked)]
+        # --- stage 3: bloom sidecars clear =/in probes -----------------
+        bloom_cleared = 0
+        if cand:
+            from imagingdb_spark import blooms
+
+            survivors = blooms.prune_candidates(table_dir, cand, checked)
+            if len(survivors) < len(cand):
+                alive = {fe["path"] for fe in survivors}
+                keep.extend(fe for fe in cand if fe["path"] not in alive)
+                bloom_cleared = len(cand) - len(survivors)
+                cand = survivors
+        out = {
+            "rows_deleted": 0,
+            "files_total": files_total,
+            "files_rewritten": len(cand),
+            "files_kept": len(keep),
+            "groups_kept_by_ref": len(ref_groups) if m["groups"] is not None else None,
+            "files_bloom_cleared": bloom_cleared,
+        }
+        if not cand:
+            out.update(version=tip, files_rewritten=0)
+            return out  # predicate provably touches nothing: no commit
+        # --- stage 4: rewrite ONLY the candidate files -----------------
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        paths = [os.path.join(table_dir, fe["path"]) for fe in cand]
+        cand_rows = 0
+        for p in paths:
+            _, n = _file_footer(p)
+            if n is None:  # unreadable footer: authoritative slow count
+                cand_rows = spark.read.schema(schema).parquet(*paths).count()
+                break
+            cand_rows += n
+        from pyspark.sql import functions as F
+
+        cond = _where_column(checked)
+        # SQL DELETE semantics: remove rows where the predicate is TRUE;
+        # a NULL predicate (null-valued column under =) keeps the row —
+        # bare ~cond would silently delete them
+        survivors_df = (
+            spark.read.schema(schema)
+            .parquet(*paths)
+            .filter(~F.coalesce(cond, F.lit(False)))
+        )
+        new_files, new_rows, rel_dir = _write_data_files(
+            survivors_df, table_dir
+        )
+        rows_deleted = cand_rows - new_rows
+        if rows_deleted == 0:
+            # stats/bloom kept the files but no physical row matched:
+            # drop the no-op rewrite eagerly, publish nothing
+            shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
+            out.update(version=tip, files_rewritten=0, files_kept=len(keep) + len(cand))
+            return out
+        # empty task outputs carry no rows — keep them out of the manifest
+        # (the physical files are vacuum debris)
+        nonempty = []
+        for fe in new_files:
+            _, n = _file_footer(os.path.join(table_dir, fe["path"]))
+            if n != 0:
+                nonempty.append(fe)
+        _build_blooms(spark, table_dir, rel_dir, nonempty, m.get("blooms"))
+        groups = _child_groups(table_dir, ref_groups, keep + nonempty, created)
+        manifest = _next_manifest(
+            m, "delete", groups, m["rows"] - rows_deleted, m["schema"], txn
+        )
+        try:
+            _publish(table_dir, tip + 1, manifest)
+            out.update(version=tip + 1, rows_deleted=rows_deleted)
+            return out
+        except SnapshotConflict:
+            # read-dependent claim: re-resolve candidates against the
+            # winner's tip; this attempt's rewrite is dropped eagerly
+            shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
+            _drop_sidecar(table_dir, rel_dir)
+            _drop_groups(table_dir, created)
+            continue
+    raise SnapshotConflict(
+        f"delete from {table_dir} lost {max_retries} straight races"
     )

@@ -276,7 +276,14 @@ def ms_adpcm_decode(
             f"{hdr}-byte header (corrupt fmt chunk)"
         )
     per_ch: list[list[int]] = [[] for _ in range(channels)]
-    for bstart in range(0, len(data) - (len(data) % block_align), block_align):
+    # a trailing SHORT block (header present, fewer nibbles) still decodes
+    # — real-world encoders emit one when the stream length is not a
+    # multiple of samples_per_block; dropping it would lose tail samples
+    starts = list(range(0, len(data) - (len(data) % block_align), block_align))
+    tail = len(data) % block_align
+    if tail >= hdr:
+        starts.append(len(data) - tail)
+    for bstart in starts:
         block = data[bstart : bstart + block_align]
         pred_idx = list(block[:channels])
         if any(p >= len(table) for p in pred_idx):
@@ -396,6 +403,7 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
         raise ValueError("not a WAV payload (bad RIFF/WAVE header)")
     pos, fmt, data = 12, None, None
     fmt_body = b""
+    fact_len = None  # fact chunk: true per-channel sample count
     while pos + 8 <= len(buf):
         cid = buf[pos : pos + 4]
         (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
@@ -405,6 +413,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
             fmt_body = body
         elif cid == b"data":
             data = body
+        elif cid == b"fact" and size >= 4:
+            (fact_len,) = struct.unpack("<I", body[:4])
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -425,6 +435,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
         a = mulaw_decode(np.frombuffer(data, np.uint8)) / 32768.0
     elif tag == 0x11 and bits == 4:  # IMA/DVI ADPCM
         s = ima_adpcm_decode(data, channels, fmt[4])
+        if fact_len is not None:  # trim encoder block padding to the
+            s = s[:fact_len]      # true length the fact chunk records
         return s.astype(np.float64) / 32768.0, rate, channels
     elif tag == 2 and bits == 4:  # MS ADPCM
         coefs = None
@@ -438,6 +450,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
                     for i in range(ncoef)
                 ]
         s = ms_adpcm_decode(data, channels, fmt[4], coefs)
+        if fact_len is not None:
+            s = s[:fact_len]
         return s.astype(np.float64) / 32768.0, rate, channels
     else:
         raise ValueError(

@@ -295,16 +295,29 @@ def decode_gif(payload: bytes) -> np.ndarray:
             payload, dtype=np.uint8, count=n * 3, offset=pos
         ).reshape(n, 3)
         pos += n * 3
+    tidx = None  # GCE transparent-color index (applies to the next frame)
     while pos < len(payload):
         block = payload[pos]
         pos += 1
         if block == 0x3B:  # trailer
             break
         if block == 0x21:  # extension: label + sub-blocks
+            label = payload[pos]
             pos += 1
+            first_sub = None
             while payload[pos]:
-                pos += 1 + payload[pos]
+                ln = payload[pos]
+                if first_sub is None:
+                    first_sub = payload[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
             pos += 1
+            if label == 0xF9 and first_sub and len(first_sub) >= 4:
+                # Graphic Control Extension: packed flags byte bit 0 is
+                # the transparency flag, byte 3 the transparent index —
+                # ignoring it painted transparent pixels as the opaque
+                # palette color and broke the "same picture as PNG/BMP
+                # hashes identically" dedup guarantee
+                tidx = first_sub[3] if first_sub[0] & 1 else None
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected GIF block 0x{block:02x}")
@@ -340,21 +353,28 @@ def decode_gif(payload: bytes) -> np.ndarray:
                 out[start::step] = idx[src : src + n_rows]
                 src += n_rows
             idx = out
-        if (fx, fy, w, h) != (0, 0, sw, sh):
-            # frame smaller than the logical screen: composite onto the
+        transparent = tidx is not None and bool((idx == tidx).any())
+        if (fx, fy, w, h) != (0, 0, sw, sh) or transparent:
+            # frame smaller than the logical screen (composite onto the
             # background-colored canvas at its declared offset — the
-            # IMAGE is the canvas, not the sub-rectangle (a PNG of the
+            # IMAGE is the canvas, not the sub-rectangle: a PNG of the
             # same picture decodes canvas-sized, and the pHash dedup
-            # guarantee depends on the shapes agreeing). Compose in RGB:
-            # the frame's (possibly local) palette and the global
-            # background index need not share a table.
+            # guarantee depends on the shapes agreeing) and/or a GCE
+            # transparent index (transparent pixels show the background,
+            # not the opaque palette entry). Compose in RGB: the frame's
+            # (possibly local) palette and the global background index
+            # need not share a table.
             bg_rgb = (
                 gpal[bg] if gpal is not None and bg < len(gpal)
                 else np.zeros(3, dtype=np.uint8)
             )
             canvas = np.empty((sh, sw, 3), dtype=np.uint8)
             canvas[:] = bg_rgb
-            canvas[fy : fy + h, fx : fx + w] = pal[idx]
+            frame_rgb = pal[idx]
+            if transparent:
+                frame_rgb = frame_rgb.copy()
+                frame_rgb[idx == tidx] = bg_rgb
+            canvas[fy : fy + h, fx : fx + w] = frame_rgb
             # same palette-gated (never content-gated) collapse rule
             if (
                 (pal[:, 0] == pal[:, 1]).all()

@@ -224,3 +224,17 @@ class TestLossless:
         blob = jpeg.encode_jpeg_lossless(im)
         assert webimg.sniff_format(blob) == "jpeg"
         np.testing.assert_array_equal(webimg.decode_image(blob), im)
+
+
+class TestLosslessMultiScan:
+    def test_multi_scan_lossless_raises_not_silent(self):
+        """A non-interleaved lossless stream (SOS selecting fewer
+        components than the SOF declares) must raise, not decode the
+        first scan as a grayscale image (advice r8)."""
+        im = rng.integers(0, 255, (9, 14, 3), endpoint=True).astype(np.uint8)
+        blob = bytearray(jpeg.encode_jpeg_lossless(im, predictor=1))
+        at = blob.find(b"\xff\xda")
+        assert at > 0 and blob[at + 4] == 3  # ns: 3 interleaved comps
+        blob[at + 4] = 1  # pretend scan 1 of a per-component stream
+        with pytest.raises(ValueError, match="multi-scan lossless"):
+            jpeg.decode_jpeg(bytes(blob))

@@ -1626,3 +1626,253 @@ class TestBloomSoundnessRound2:
             wav.ms_adpcm_decode(b"\x00" * 32, 1, 0)
         with _pytest.raises(ValueError, match="block_align"):
             wav.ms_adpcm_decode(b"\x00" * 32, 2, 10)
+
+
+class TestPlanShapeStable:
+    def test_bloom_counter_present_when_stats_drop_everything(
+        self, spark, tmp_path
+    ):
+        """files_bloom_dropped is ALWAYS in the plan dict — even when
+        min/max pruning already dropped every file, so consumers never
+        KeyError on the stable plan shape (advice r8)."""
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(100)], "n long, s string"
+        )
+        S.snapshot_commit(spark, t, df, bloom_columns=["s"])
+        plan = S.snapshot_scan_plan(t, [("n", ">", 10_000)])
+        assert plan["files_kept"] == 0
+        assert plan["files_bloom_dropped"] == 0
+
+
+class TestSnapshotDelete:
+    """Targeted row-level delete (round-9 task 1): stats+bloom-pruned
+    copy-on-write file rewrite under one atomic commit — the takedown /
+    opt-out primitive. Reference parity: the dataset-removal transaction
+    scope of db_operations.py, lifted to data files."""
+
+    def _clustered(self, spark, t, n_commits=4, per=100):
+        """One commit per disjoint k-range, 2 files each — group stats
+        separate the ranges, so a narrow delete prunes whole groups."""
+        for c in range(n_commits):
+            df = spark.createDataFrame(
+                [(c * per + i, f"v{c * per + i}") for i in range(per)],
+                "k long, v string",
+            ).repartition(2)
+            S.snapshot_commit(spark, t, df)
+
+    def test_delete_is_exact_and_surgical(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t)
+        out = S.snapshot_delete(
+            spark, t, [("k", ">=", 150), ("k", "<", 160)]
+        )
+        assert out["rows_deleted"] == 10
+        assert out["files_total"] == 8
+        # only commit 1's group opened; its 2 files may both span the
+        # range (hash repartition) but at most 2 rewritten
+        assert out["files_rewritten"] <= 2
+        assert out["groups_kept_by_ref"] >= 3
+        got = sorted(r["k"] for r in S.snapshot_read(spark, t).collect())
+        assert got == [k for k in range(400) if not 150 <= k < 160]
+        # manifest bookkeeping: rows column matches reality
+        assert S.snapshot_versions(t)[-1]["rows"] == 390
+        # untouched files carried BY REFERENCE: their paths unchanged
+        old = {f["path"] for f in S._read_manifest(t, 4)["files"]}
+        new = {f["path"] for f in S._read_manifest(t, 5)["files"]}
+        assert len(old & new) >= 6  # >= files_total - files_rewritten
+
+    def test_time_travel_and_physical_erasure(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n_commits=2)
+        v_pre = S._versions(t)[-1]
+        out = S.snapshot_delete(spark, t, [("k", "=", 7)])
+        assert out["rows_deleted"] == 1
+        # legal-hold window: the pre-delete version still shows the row
+        assert (
+            S.snapshot_read(spark, t, version=v_pre)
+            .filter("k = 7").count() == 1
+        )
+        assert S.snapshot_read(spark, t).filter("k = 7").count() == 0
+        # physical erasure: expire + vacuum removes the rewritten file's
+        # bytes; the table reads identically after
+        rewritten = {
+            f["path"] for f in S._read_manifest(t, v_pre)["files"]
+        } - {f["path"] for f in S._read_manifest(t, v_pre + 1)["files"]}
+        assert rewritten
+        S.snapshot_expire(t, keep_last=1)
+        gone = S.snapshot_vacuum(spark, t)
+        assert rewritten <= set(gone)
+        assert S.snapshot_read(spark, t).count() == 199
+
+    def test_null_predicate_rows_survive(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(1, "a"), (2, None), (3, "a"), (4, "b")], "k long, v string"
+        ).coalesce(1)
+        S.snapshot_commit(spark, t, df)
+        out = S.snapshot_delete(spark, t, [("v", "=", "a")])
+        assert out["rows_deleted"] == 2
+        got = sorted(r["k"] for r in S.snapshot_read(spark, t).collect())
+        assert got == [2, 4]  # NULL predicate != TRUE: row 2 kept
+
+    def test_no_match_publishes_nothing(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n_commits=2)
+        tip = S._versions(t)[-1]
+        out = S.snapshot_delete(spark, t, [("k", ">=", 10_000)])
+        assert out["rows_deleted"] == 0 and out["files_rewritten"] == 0
+        assert out["version"] == tip
+        assert S._versions(t)[-1] == tip  # no empty commit
+        # stats kept a file but no physical row matched: same contract
+        out2 = S.snapshot_delete(
+            spark, t, [("k", ">=", 55), ("k", "<", 55)]
+        )
+        assert out2["rows_deleted"] == 0
+        assert S._versions(t)[-1] == tip
+
+    def test_whole_file_delete_drops_entries(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        # two single-file commits with disjoint ranges
+        for lo in (0, 100):
+            S.snapshot_commit(
+                spark, t,
+                spark.createDataFrame(
+                    [(lo + i, "x") for i in range(50)], "k long, v string"
+                ).coalesce(1),
+            )
+        out = S.snapshot_delete(spark, t, [("k", "<", 50)])
+        assert out["rows_deleted"] == 50
+        m = S._read_manifest(t, S._versions(t)[-1])
+        assert len(m["files"]) == 1  # zero-row rewrite never lands
+        assert m["rows"] == 50
+        assert S.snapshot_read(spark, t).count() == 50
+
+    def test_crash_at_every_point_leaves_old_version(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n_commits=2)
+        tip = S._versions(t)[-1]
+        before = _rows(S.snapshot_read(spark, t))
+        for target in ("_write_data_files", "_write_group", "_publish"):
+            real = getattr(S, target)
+
+            def boom(*a, **kw):
+                raise RuntimeError("simulated crash")
+
+            monkeypatch.setattr(S, target, boom)
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                S.snapshot_delete(spark, t, [("k", "=", 3)])
+            monkeypatch.setattr(S, target, real)
+            assert S._versions(t)[-1] == tip
+            assert _rows(S.snapshot_read(spark, t)) == before
+        # debris from the crashed attempts vacuums away; table unharmed
+        S.snapshot_vacuum(spark, t)
+        assert _rows(S.snapshot_read(spark, t)) == before
+        # and the post-crash retry completes the delete atomically
+        out = S.snapshot_delete(spark, t, [("k", "=", 3)])
+        assert out["rows_deleted"] == 1
+        assert S.snapshot_read(spark, t).filter("k = 3").count() == 0
+
+    def test_concurrent_append_forces_rebase(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n_commits=2)
+        real = S._publish
+        raced = {"done": False}
+
+        def racing_publish(table_dir, version, manifest):
+            if not raced["done"]:
+                raced["done"] = True
+                monkeypatch.setattr(S, "_publish", real)
+                # an append (including a k=3 row) lands first
+                S.snapshot_commit(
+                    spark, t,
+                    spark.createDataFrame(
+                        [(3, "late"), (900, "w")], "k long, v string"
+                    ).coalesce(1),
+                )
+                monkeypatch.setattr(S, "_publish", racing_publish)
+            return real(table_dir, version, manifest)
+
+        monkeypatch.setattr(S, "_publish", racing_publish)
+        out = S.snapshot_delete(spark, t, [("k", "=", 3)])
+        monkeypatch.setattr(S, "_publish", real)
+        # the retry re-resolved at the winner's tip: BOTH k=3 rows gone,
+        # the non-matching appended row survives
+        assert out["rows_deleted"] == 2
+        assert S.snapshot_read(spark, t).filter("k = 3").count() == 0
+        assert S.snapshot_read(spark, t).filter("k = 900").count() == 1
+
+    def test_txn_marker_replay_is_noop(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n_commits=2)
+        out1 = S.snapshot_delete(
+            spark, t, [("k", "=", 5)], txn=("eraser", 1)
+        )
+        assert out1["rows_deleted"] == 1
+        tip = out1["version"]
+        out2 = S.snapshot_delete(
+            spark, t, [("k", "=", 6)], txn=("eraser", 1)
+        )
+        assert out2["version"] == tip and out2["rows_deleted"] == 0
+        assert S.snapshot_read(spark, t).filter("k = 6").count() == 1
+        # a NEW seq proceeds
+        out3 = S.snapshot_delete(
+            spark, t, [("k", "=", 6)], txn=("eraser", 2)
+        )
+        assert out3["rows_deleted"] == 1
+
+    def test_bloom_pruned_takedown(self, spark, tmp_path):
+        import hashlib
+
+        t = str(tmp_path / "t")
+        sha = lambda i: hashlib.sha256(str(i).encode()).hexdigest()
+        for c in range(4):
+            df = spark.createDataFrame(
+                [(sha(c * 200 + i), c * 200 + i) for i in range(200)],
+                "h string, n long",
+            ).repartition(4)
+            S.snapshot_commit(
+                spark, t, df, bloom_columns=["h"] if c == 0 else None
+            )
+        out = S.snapshot_delete(spark, t, [("h", "=", sha(42))])
+        assert out["rows_deleted"] == 1
+        # unclustered sha keys: min/max keeps ~everything, blooms clear
+        # almost all of it — the takedown rewrites 1-2 of 16 files
+        assert out["files_total"] == 16
+        assert out["files_bloom_cleared"] >= 12
+        assert out["files_rewritten"] <= 3
+        assert S.snapshot_read(
+            spark, t, where=[("h", "=", sha(42))]
+        ).count() == 0
+        # sidecar refresh: the REWRITTEN files' blooms still answer
+        # point probes (delete another key that lived near the first)
+        out2 = S.snapshot_delete(spark, t, [("h", "=", sha(43))])
+        assert out2["rows_deleted"] == 1
+        assert out2["files_bloom_cleared"] >= 12
+
+    def test_delete_content_matches_filter_twin(self, spark, tmp_path):
+        """Oracle-style twin: post-delete table content == the source
+        minus the predicate, row for row (table_diff shows no drift)."""
+        from imagingdb_spark.operators.merge import table_diff
+
+        t = str(tmp_path / "t")
+        src = spark.createDataFrame(
+            [(i, f"v{i % 7}") for i in range(500)], "k long, v string"
+        )
+        S.snapshot_commit(spark, t, src.repartition(4))
+        S.snapshot_delete(spark, t, [("v", "=", "v3")])
+        want = src.filter("v <> 'v3'")
+        d = table_diff(
+            want, S.snapshot_read(spark, t), "k", "v"
+        ).filter("status <> 'unchanged'")
+        assert d.count() == 0
+
+    def test_empty_predicate_rejected(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n_commits=1)
+        with pytest.raises(ValueError, match="non-empty predicate"):
+            S.snapshot_delete(spark, t, [])

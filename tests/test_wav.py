@@ -272,3 +272,58 @@ class TestMsAdpcm:
         block = bytes([9]) + b"\x10\x00" + b"\x00\x00" * 2 + b"\x00"
         with pytest.raises(ValueError, match="predictor index"):
             wav.ms_adpcm_decode(block, 1, len(block))
+
+
+class TestAdpcmTails:
+    """Trailing-short-block decode and fact-chunk trimming (advice r8):
+    real-world encoders emit a final partial block and record the true
+    sample count in the fact chunk; neither may silently drop/pad."""
+
+    def test_ms_adpcm_partial_final_block_decodes(self):
+        full = bytearray()
+        full.append(0)                      # predictor set 0 (c1=256,c2=0)
+        full += struct.pack("<h", 16)       # idelta
+        full += struct.pack("<h", 200)      # sample1 (newer)
+        full += struct.pack("<h", 100)      # sample2 (older)
+        full.append((3 << 4) | 0xE)         # +3 then -2 nibbles
+        block_align = len(full)             # 8 bytes
+        short = bytearray()
+        short.append(0)
+        short += struct.pack("<h", 16)
+        short += struct.pack("<h", 300)
+        short += struct.pack("<h", 250)
+        # header only — 7 bytes < block_align, still carries 2 samples
+        out = wav.ms_adpcm_decode(bytes(full + short), 1, block_align)
+        assert out.tolist() == [100, 200, 248, 216, 250, 300]
+
+    def test_fact_chunk_trims_encoder_padding(self):
+        n = 777  # not a multiple of samples_per_block -> padded blocks
+        x = rng.uniform(-0.5, 0.5, size=n)
+        blob = wav.encode_wav(x, 8000, codec="adpcm")
+        padded, _, _ = wav.decode_wav(blob)
+        assert len(padded) > n  # whole-block padding without a fact chunk
+        at = blob.find(b"data")
+        fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", n)
+        spliced = bytearray(blob[:at] + fact + blob[at:])
+        struct.pack_into(
+            "<I", spliced, 4, struct.unpack_from("<I", spliced, 4)[0] + 12
+        )
+        trimmed, _, _ = wav.decode_wav(bytes(spliced))
+        assert len(trimmed) == n
+        np.testing.assert_array_equal(trimmed, padded[:n])
+
+    def test_ms_adpcm_fact_chunk_trims(self):
+        n = 505
+        x = rng.uniform(-0.5, 0.5, size=n)
+        blob = wav.encode_wav(x, 8000, codec="ms_adpcm")
+        padded, _, _ = wav.decode_wav(blob)
+        assert len(padded) > n
+        at = blob.find(b"data")
+        fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", n)
+        spliced = bytearray(blob[:at] + fact + blob[at:])
+        struct.pack_into(
+            "<I", spliced, 4, struct.unpack_from("<I", spliced, 4)[0] + 12
+        )
+        trimmed, _, _ = wav.decode_wav(bytes(spliced))
+        assert len(trimmed) == n
+        np.testing.assert_array_equal(trimmed, padded[:n])

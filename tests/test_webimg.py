@@ -309,3 +309,43 @@ class TestReviewFixes:
             multimodal.phash_frames(
                 frames, decoder=multimodal.decode_any
             ).collect()
+
+
+class TestGifTransparency:
+    """GIF89a Graphic Control Extension transparency (advice r8): a
+    transparent pixel shows the BACKGROUND color, not the opaque palette
+    entry — otherwise 'same picture, different container' dedup quietly
+    diverges for transparent GIFs."""
+
+    def _with_gce(self, blob: bytes, tidx: int, flag: int = 1) -> bytes:
+        ib = 6 + 7 + 768  # header + screen descriptor + 256-entry GCT
+        assert blob[ib] == 0x2C
+        gce = b"\x21\xf9\x04" + bytes([flag, 0, 0, tidx]) + b"\x00"
+        return blob[:ib] + gce + blob[ib:]
+
+    def test_transparent_pixels_become_background(self):
+        im = np.full((5, 7), 10, dtype=np.uint8)
+        im[2, 3] = im[4, 6] = 200
+        blob = self._with_gce(webimg.encode_gif(im), tidx=200)
+        out = webimg.decode_gif(blob)
+        want = im.copy()
+        want[im == 200] = 0  # bg index 0 -> gray palette value 0
+        assert out.shape == im.shape  # gray palette + gray bg collapse
+        np.testing.assert_array_equal(out, want)
+
+    def test_transparency_flag_off_keeps_opaque_decode(self):
+        im = np.full((5, 7), 10, dtype=np.uint8)
+        im[2, 3] = 200
+        blob = self._with_gce(webimg.encode_gif(im), tidx=200, flag=0)
+        np.testing.assert_array_equal(webimg.decode_gif(blob), im)
+
+    def test_transparent_gif_hashes_like_composited_png(self):
+        from imagingdb_spark import multimodal, png
+
+        im = np.full((16, 16), 77, dtype=np.uint8)
+        im[4:9, 6:11] = 190
+        blob = self._with_gce(webimg.encode_gif(im), tidx=190)
+        composited = im.copy()
+        composited[im == 190] = 0
+        assert multimodal._phash_one(webimg.decode_gif(blob)) == \
+            multimodal._phash_one(png.decode_png(png.encode_png(composited)))
