@@ -14,6 +14,7 @@ from imagingdb_spark.operators import (  # noqa: F401
     setops,
     similarity,
     sketches,
+    snapscan,
     sorts,
     streaming_batch,
     text,

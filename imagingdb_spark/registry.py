@@ -108,167 +108,180 @@ ORACLE: dict[str, str] = {}
 # - OUT to 51+: every r7-window member whose code is unchanged since its
 #   fresh r7 green (x_phash_dedup .. x_merge_upsert).
 PRIORITY: list[str] = [
-    # --- round-8 window (first 50): r8-impl-changed + r7-new
-    #     double-verification + the stalest-record family holders ---
-    "x_perplexity_bucket",  # D24: r8 REWRITE (bounded-histogram cutoffs, zero windows)
-    "x_containment",  # D2i: r8 single-eval verify tail + r7-new double-verify
-    "x_triangles",  # D25: r8 unpersist barrier + r7-new double-verify
-    "st_perplexity",  # St18: r7-new, single driver record
-    "x_dedup_jaccard",  # D2a: r8 _jaccard_verified tail
-    "x_dedup_incremental",  # D13: r8 verify tail, both match paths
-    "x_dedup_verified",  # D2b+: r8 verify tail
-    "x_dedup_minhash",  # D2 rows-only: r8 verify tail + shingle repartition guard
-    "x_dedup_eval",  # D2 rows-only: consumes minhash + jaccard_ge truth
-    "x_dedup_simhash",  # D2c rows-only: shingle repartition guard
-    "x_decontaminate",  # D20: rides verified_pairs (r8 verify tail)
-    "x_dedup_cluster",  # D12: consumes jaccard pairs
-    "x_dedup_compact",  # D12b: same
-    "x_dedup_retain",  # D12d: same
-    "x_dedup_weights",  # D12f: same
-    "st_heavy_hitters",  # St15: r7-new double-verify
-    "st_quantiles",  # St16: r7-new double-verify
-    "st_theta_overlap",  # St17: r7-new double-verify
-    "x_ann_ivfpq",  # D3k: r7-new double-verify
-    "f_dates",  # F3 family holder (r1+r2 - stalest records)
-    "f_format",  # F2 (r1+r2)
-    "j_two_way",  # J2 family holder (r1+r2)
-    "a_distinct",  # A2 family holder (r1+r2)
-    "w_topk_group",  # W family holder (r1+r2)
-    "st_sliding",  # St2 family holder (r1+r2)
-    "o_limit",  # O2 family holder (r1+r2)
-    "f_equality",  # P3 family holder (r1+r2)
-    "s_union",  # set-ops family holder (r1+r2)
-    "f_sha2",  # F4 (r1+r2)
-    "f_validate_id",  # F6 (r1+r2)
-    "j_self_parent",  # J3 (r1+r2)
-    "x_ann_lsh",  # D3 rows-only (stale)
-    "x_token_freq",  # D4 (stale)
-    "x_token_bpe",  # D4 (stale)
-    "x_fingerprint",  # D4 (stale)
-    "s_intersect",  # set ops (stale)
-    "f_json_multi",  # F5 (stale)
-    "f_path_ops",  # F9 (stale)
-    "a_cube",  # A+ (stale)
-    "a_pivot",  # A+ (stale)
-    "x_embed_stats",  # profiling (stale)
-    "x_text_stats",  # D4 (r2+r3)
-    "x_split_hash",  # D8 (r2+r3)
-    "x_dedup_embed",  # D3 (r2+r3)
-    "x_topk_sim",  # D3 (r2+r3)
-    "x_chunk_docs",  # D9 (r2+r3)
-    "x_repetition",  # D4 (r2+r3)
-    "f_substring",  # P1 (r1+r2+r3)
-    "f_daterange",  # P2 (r1+r2+r3)
-    "f_inlist",  # P4 (r1+r2+r3)
-    # --- position 51+: displaced r7-window members — each now holds
-    #     a FRESH r7 green row on code unchanged since (impl + unit
-    #     tests + recorded rows intact; they only skip this round's
-    #     driver re-check) ---
-    "x_phash_dedup",  # r7 green
-    "x_audio_dedup",  # r7 green
-    "x_heavy_hitters",  # r7 green
-    "x_embed_quantize",  # r7 green
-    "x_hard_negatives",  # r7 green
-    "x_split_leakage",  # r7 green
-    "x_rebalance",  # r7 green
-    "x_embed_pca",  # r7 green
-    "x_dsir_select",  # r7 green
-    "x_pq_quantize",  # r7 green
-    "x_substring_dedup",  # r7 green
-    "x_ann_pq",  # r7 green
-    "x_dsir_resample",  # r7 green
-    "x_scene_changes",  # r7 green
-    "st_distinct_hll",  # r7 green
-    "x_gapfill",  # r7 green
-    "o_natural_sort",  # r7 green
-    "x_quality_filter",  # r7 green
-    "st_join",  # r7 green
-    "j_range",  # r7 green
-    "a_approx_sketch",  # r7 green
-    "s_except",  # r7 green
-    "x_lang_id",  # r7 green
-    "x_fuzzy_join",  # r7 green
-    "x_length_trim",  # r7 green
-    "x_sample_weighted",  # r7 green
-    "x_unigram_logprob",  # r7 green
-    "w_lag_lead",  # r7 green
-    "x_mad_outlier",  # r7 green
-    "x_pagerank",  # r7 green
-    "o_sort",  # r7 green
-    "j_semi",  # r7 green
-    "st_anomaly",  # r7 green
-    "x_merge_upsert",  # r7 green
-    # --- remaining tail, prior relative order (record annotations
-    #     in git history at the round-7 revision) ---
-    "x_inverted_index",
-    "x_token_ids",
-    "x_novelty",
-    "x_length_batches",
-    "x_retrieval_batch",
-    "x_interp_linear",
+    # --- round-9 window (first 50) ---
+    # (a) new/impl-changed this round — each needs a CURRENT driver
+    #     record (r8 verdict item 8's "no record predating its
+    #     implementation" rule):
+    #     x_snapshot_scan (new, r9 task 3), x_perplexity_bucket (one-
+    #     pass ntile3 fold, task 7), st_perplexity (materialization
+    #     cut, task 6), x_triangles (sf10 spill bound, task 5),
+    #     x_dedup_incremental/x_dedup_minhash (bench-drift
+    #     reconciliation, task 4).
+    # (b) the STALEST driver records, ascending: every query whose last
+    #     green driver row is r3 (the r1/r2-window members unchecked by
+    #     the driver since — each holds archived sf1.0 selfcheck greens
+    #     r5-r8, but the driver record is the contract), then the full
+    #     r5 cohort, then the five r6 names the r8 verdict called out
+    #     (x_ann_ivf, x_pack_sequences, x_semdedup, x_bpe_train/encode).
+    "x_snapshot_scan",
+    "x_perplexity_bucket",
+    "st_perplexity",
+    "x_triangles",
+    "x_dedup_incremental",
+    "x_dedup_minhash",
+    "a_count",
+    "a_rollup",
+    "f_cast_coerce",
+    "f_null_handling",
+    "f_string_parse",
+    "j_three_way",
+    "p_project",
+    "x_dedup_exact",
+    "a_count_distinct",
+    "a_geomean_udaf",
+    "a_group_summary",
+    "f_array_ops",
+    "f_from_json",
+    "f_json_extract",
+    "j_asof",
+    "j_json_filter",
+    "j_temporal_lookup",
+    "st_session",
+    "st_topk_trend",
+    "st_tumbling",
+    "w_rownum_page",
+    "w_running",
+    "x_bigram_logprob",
+    "x_cdc_apply",
+    "x_corr_matrix",
+    "x_domain_mix",
+    "x_exact_quantiles",
+    "x_incr_agg",
+    "x_profile_stats",
+    "x_scd2_history",
+    "x_scrub",
+    "x_sentences",
+    "x_sessionize",
+    "x_source_cap",
+    "x_span_dedup",
+    "x_stratified",
+    "x_table_diff",
+    "x_token_budget",
+    "x_transition_matrix",
+    "x_ann_ivf",
+    "x_pack_sequences",
+    "x_semdedup",
     "x_bpe_train",
     "x_bpe_encode",
-    "x_ann_eval",
-    "x_semdedup_eval",
-    "x_pipeline_audit",
-    "x_bm25",
-    "x_cooccur_pmi",
-    "x_funnel",
-    "x_retention",
-    "x_histogram",
-    "x_rolling_zscore",
-    "x_quality_norm",
-    "x_semdedup",
-    "x_retrieval_metrics",
+    # --- 51+: displaced members, stalest first (each holds a green
+    #     driver row on code unchanged since it was recorded) ---
+    # last green r6:
+    "a_sum_avg",
+    "f_not_exists",
+    "j_outer_count",
     "o_topk",
     "w_dense_rank",
     "w_range_frame",
+    "x_ann_eval",
+    "x_bm25",
+    "x_cooccur_pmi",
+    "x_funnel",
+    "x_histogram",
+    "x_interp_linear",
+    "x_inverted_index",
+    "x_length_batches",
+    "x_novelty",
+    "x_pipeline_audit",
+    "x_quality_norm",
+    "x_retention",
+    "x_retrieval_batch",
+    "x_retrieval_metrics",
+    "x_rolling_zscore",
+    "x_semdedup_eval",
     "x_shard_shuffle",
     "x_tfidf",
-    "x_ann_ivf",
-    "x_pack_sequences",
-    "j_outer_count",
-    "a_sum_avg",
-    "f_not_exists",
-    "f_string_parse",
-    "x_span_dedup",
-    "a_geomean_udaf",
-    "w_running",
-    "w_rownum_page",
-    "st_tumbling",
-    "st_session",
-    "st_topk_trend",
-    "x_sessionize",
-    "x_transition_matrix",
-    "f_from_json",
-    "f_json_extract",
-    "f_array_ops",
-    "j_json_filter",
-    "j_asof",
-    "j_temporal_lookup",
-    "a_count_distinct",
-    "a_group_summary",
-    "x_exact_quantiles",
-    "x_profile_stats",
-    "x_incr_agg",
-    "x_corr_matrix",
-    "x_scd2_history",
-    "x_table_diff",
-    "x_cdc_apply",
-    "x_domain_mix",
-    "x_stratified",
-    "x_token_budget",
-    "x_source_cap",
-    "x_bigram_logprob",
-    "x_scrub",
-    "x_sentences",
-    "x_dedup_exact",
-    "f_cast_coerce",
-    "a_rollup",
-    "p_project",
-    "f_null_handling",
-    "j_three_way",
-    "a_count",
+    "x_token_ids",
+    # last green r7:
+    "a_approx_sketch",
+    "j_range",
+    "j_semi",
+    "o_natural_sort",
+    "o_sort",
+    "s_except",
+    "st_anomaly",
+    "st_distinct_hll",
+    "st_join",
+    "w_lag_lead",
+    "x_ann_pq",
+    "x_audio_dedup",
+    "x_dsir_resample",
+    "x_dsir_select",
+    "x_embed_pca",
+    "x_embed_quantize",
+    "x_fuzzy_join",
+    "x_gapfill",
+    "x_hard_negatives",
+    "x_heavy_hitters",
+    "x_lang_id",
+    "x_length_trim",
+    "x_mad_outlier",
+    "x_merge_upsert",
+    "x_pagerank",
+    "x_phash_dedup",
+    "x_pq_quantize",
+    "x_quality_filter",
+    "x_rebalance",
+    "x_sample_weighted",
+    "x_scene_changes",
+    "x_split_leakage",
+    "x_substring_dedup",
+    "x_unigram_logprob",
+    # last green r8 (freshest records, rotated out this round):
+    "a_cube",
+    "a_distinct",
+    "a_pivot",
+    "f_daterange",
+    "f_dates",
+    "f_equality",
+    "f_format",
+    "f_inlist",
+    "f_json_multi",
+    "f_path_ops",
+    "f_sha2",
+    "f_substring",
+    "f_validate_id",
+    "j_self_parent",
+    "j_two_way",
+    "o_limit",
+    "s_intersect",
+    "s_union",
+    "st_heavy_hitters",
+    "st_quantiles",
+    "st_sliding",
+    "st_theta_overlap",
+    "w_topk_group",
+    "x_ann_ivfpq",
+    "x_ann_lsh",
+    "x_chunk_docs",
+    "x_containment",
+    "x_decontaminate",
+    "x_dedup_cluster",
+    "x_dedup_compact",
+    "x_dedup_embed",
+    "x_dedup_eval",
+    "x_dedup_jaccard",
+    "x_dedup_retain",
+    "x_dedup_simhash",
+    "x_dedup_verified",
+    "x_dedup_weights",
+    "x_embed_stats",
+    "x_fingerprint",
+    "x_repetition",
+    "x_split_hash",
+    "x_text_stats",
+    "x_token_bpe",
+    "x_token_freq",
+    "x_topk_sim",
 ]
 
 

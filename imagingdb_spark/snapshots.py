@@ -1770,3 +1770,150 @@ def snapshot_delete(
     raise SnapshotConflict(
         f"delete from {table_dir} lost {max_retries} straight races"
     )
+
+
+def _added_entries(table_dir: str, prev: dict, cur: dict) -> list[dict]:
+    """File entries live in ``cur`` but not in ``prev``, by GROUP diff:
+    shared group refs contribute identically to both sides, so only
+    groups added/removed between the two manifests are ever opened —
+    O(changed groups), which for an append is the delta group (plus the
+    occasional coalescing merge), never the live file list. Legacy flat
+    manifests fall back to a full path-set diff."""
+    if prev.get("groups") is None or cur.get("groups") is None:
+        prev_paths = {
+            fe["path"]
+            for fe in _read_manifest(table_dir, prev["version"])["files"]
+        }
+        return [
+            fe
+            for fe in _read_manifest(table_dir, cur["version"])["files"]
+            if fe["path"] not in prev_paths
+        ]
+    prev_names = {g["name"] for g in prev["groups"]}
+    cur_names = {g["name"] for g in cur["groups"]}
+    removed_paths = {
+        fe["path"]
+        for g in prev["groups"]
+        if g["name"] not in cur_names
+        for fe in _read_group(table_dir, g["name"])
+    }
+    return [
+        fe
+        for g in cur["groups"]
+        if g["name"] not in prev_names
+        for fe in _read_group(table_dir, g["name"])
+        if fe["path"] not in removed_paths
+    ]
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table_dir: str,
+    since_version: int,
+    version: int | None = None,
+    ignore_deletes: bool = False,
+    ignore_changes: bool = False,
+    plan: dict | None = None,
+) -> DataFrame:
+    """Incremental changelog read — the rows ADDED to the table after
+    ``since_version`` (exclusive) up to ``version`` (default: the tip,
+    inclusive). This is the Delta/Iceberg streaming-source shape
+    (public design): a consumer keeps a cursor version and per poll
+    reads only the manifest GROUPS that commits after the cursor added,
+    so per-trigger manifest work is O(delta commits × changed groups) —
+    flat in the table's version count and live-file count, where
+    re-resolving the full manifest per trigger grows with live files.
+
+    Commit modes along the walk are handled by their data semantics:
+
+    - ``append`` — its delta files are emitted (the group diff is exact
+      even across coalescing merges: a merged group's old entries also
+      appear in the removed groups and cancel out).
+    - ``compact`` — skipped always: a compaction rewrites bytes but
+      changes no rows (dataChange=false in Delta terms).
+    - ``delete`` — skipped when ``ignore_deletes=True`` (its rewritten
+      files hold only pre-existing surviving rows, nothing new); raises
+      otherwise so a consumer that cannot tolerate removals fails loudly
+      — the Delta ``ignoreDeletes`` contract.
+    - ``overwrite`` / ``merge`` / ``rmw`` — raise unless
+      ``ignore_changes=True``, which emits the commit's full new file
+      set (rewritten rows may re-deliver — the Delta ``ignoreChanges``
+      contract; consumers must be idempotent, which the streaming gates
+      already are by doc-id screening).
+
+    Every manifest in ``(since_version, version]`` must still be
+    retained: expiring versions a consumer has not read yet breaks the
+    cursor, so retention must cover the maximum consumer lag (stated in
+    versions, like every retention contract in this module). A missing
+    manifest raises FileNotFoundError naming the gap.
+
+    The returned frame uses the END manifest's schema (the widest under
+    additive evolution); files written before a widening read the new
+    columns as NULL. ``plan`` (when given) collects {commits_walked,
+    groups_opened, files_added} — the observability seam the stream
+    bench asserts flatness against."""
+    end = _resolve_manifest_raw(table_dir, version)
+    end_v = end["version"]
+    if since_version > end_v:
+        raise ValueError(
+            f"since_version {since_version} is ahead of {table_dir} "
+            f"version {end_v}"
+        )
+    schema = StructType.fromJson(json.loads(end["schema"]))
+    entries: list[dict] = []
+    commits_walked = 0
+    groups_opened = 0
+    prev: dict | None = None
+    for v in range(since_version, end_v + 1):
+        if v == 0:
+            prev = {"version": 0, "groups": [], "files": []}
+            continue
+        try:
+            cur = _read_manifest_raw(table_dir, v)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"{table_dir} version {v} expired before it was consumed; "
+                "retention must cover the changelog cursor lag"
+            )
+        if "groups" not in cur:
+            cur["groups"] = None  # legacy flat manifest
+        if prev is None:  # v == since_version: the cursor baseline
+            prev = cur
+            continue
+        commits_walked += 1
+        mode = cur.get("mode")
+        if mode == "compact":
+            prev = cur
+            continue  # dataChange=false: bytes moved, rows identical
+        if mode == "delete":
+            if not ignore_deletes:
+                raise ValueError(
+                    f"{table_dir} v{v} is a delete commit; pass "
+                    "ignore_deletes=True if removals may be skipped"
+                )
+            prev = cur
+            continue  # rewritten files hold only surviving OLD rows
+        if mode not in ("append",) and not ignore_changes:
+            raise ValueError(
+                f"{table_dir} v{v} is a {mode!r} commit (rewrites "
+                "rows); pass ignore_changes=True to re-deliver them"
+            )
+        added = _added_entries(table_dir, prev, cur)
+        if cur["groups"] is not None and prev.get("groups") is not None:
+            groups_opened += len(
+                {g["name"] for g in cur["groups"]}
+                ^ {g["name"] for g in prev["groups"]}
+            )
+        entries.extend(added)
+        prev = cur
+    if plan is not None:
+        plan.update(
+            commits_walked=commits_walked,
+            groups_opened=groups_opened,
+            files_added=len(entries),
+        )
+    if not entries:
+        return spark.createDataFrame([], schema)
+    return spark.read.schema(schema).parquet(
+        *[os.path.join(table_dir, fe["path"]) for fe in entries]
+    )

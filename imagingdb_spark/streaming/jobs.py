@@ -413,11 +413,13 @@ def streaming_distinct_hll(
     registers). hll_estimates() is the read side."""
     from imagingdb_spark.operators.sketches import hll_merge, hll_partials
 
-    windowed = events.select(
-        F.date_trunc("hour", F.col("ts")).alias("window_start"),
-        *[c for c in group_cols if c != "window_start"],
-        F.col(key_col),
-    )
+    def _windowed(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.date_trunc("hour", F.col("ts")).alias("window_start"),
+            *[c for c in group_cols if c != "window_start"],
+            F.col(key_col),
+        )
+
     gcols = list(group_cols)
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -435,11 +437,8 @@ def streaming_distinct_hll(
             keep_versions,
         )
 
-    return (
-        windowed.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .start()
+    return _attach(
+        events, apply_batch, checkpoint_dir, "update", transform=_windowed
     )
 
 
@@ -508,12 +507,7 @@ def streaming_heavy_hitters(
             txn_app="mg-heavy-hitters",
         )
 
-    return (
-        docs.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .start()
-    )
+    return _attach(docs, apply_batch, checkpoint_dir, "update")
 
 
 def heavy_hitter_estimates(
@@ -579,12 +573,7 @@ def streaming_perplexity(
             txn_app="lm-perplexity",
         )
 
-    return (
-        docs.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .start()
-    )
+    return _attach(docs, apply_batch, checkpoint_dir, "update")
 
 
 def perplexity_scores(
@@ -642,12 +631,7 @@ def streaming_quantiles(
             txn_app="dd-quantiles",
         )
 
-    return (
-        events.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .start()
-    )
+    return _attach(events, apply_batch, checkpoint_dir, "update")
 
 
 def streaming_theta_sketch(
@@ -692,12 +676,7 @@ def streaming_theta_sketch(
             keep_versions,
         )
 
-    return (
-        events.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .start()
-    )
+    return _attach(events, apply_batch, checkpoint_dir, "update")
 
 
 def theta_overlap_estimates(
@@ -792,6 +771,146 @@ def _ckpt_token(checkpoint_dir: str) -> str:
     return hashlib.sha256(
         os.path.abspath(checkpoint_dir).encode()
     ).hexdigest()[:12]
+
+
+class SnapshotFeed:
+    """Changelog-driven micro-batch pump over a SNAPSHOT table — the
+    incremental-source shape Delta/Iceberg expose as a streaming source
+    (public design), here as a poll-step object so every gate and
+    monitor fold can consume a snapshot table's DELTAS instead of a file
+    stream. Per ``step()``: read the cursor, resolve the tip, hand
+    ``snapshots.snapshot_changes(cursor → tip)`` to the sink as ONE
+    micro-batch, then advance the cursor. Manifest work per trigger is
+    O(delta commits × changed groups) — flat in the table's version and
+    live-file count (tools/stream_bench_changes.py records the
+    flatness), where a full manifest re-resolution grows with live
+    files.
+
+    ``batch_id`` passed to the sink is the consumed TIP VERSION:
+    monotone across restarts by construction, so the gates' checkpoint-
+    keyed txn markers keep exactly-once appends, and the folds' replay
+    screens hold. The cursor advances AFTER the sink completes
+    (tmp+fsync+rename): a crash in between replays the same delta with
+    the same batch_id — precisely the at-least-once re-fire every sink
+    here already converges (per-doc screens, txn markers, idempotent
+    algebra).
+
+    Mirrors the StreamingQuery surface the tests drive
+    (``processAllAvailable``/``stop``) so a gate returns either
+    interchangeably. compaction commits are always skipped
+    (dataChange=false); delete commits are skipped by default
+    (``ignore_deletes`` — gates only ever ADD downstream state for new
+    rows); overwrite/merge/rmw commits raise unless
+    ``ignore_changes=True`` re-delivers their rewritten rows."""
+
+    def __init__(
+        self,
+        table_dir: str,
+        sink,
+        checkpoint_dir: str,
+        transform=None,
+        ignore_deletes: bool = True,
+        ignore_changes: bool = False,
+    ):
+        self.spark = SparkSession.getActiveSession()
+        if self.spark is None:
+            raise RuntimeError("SnapshotFeed needs an active SparkSession")
+        self.table_dir = table_dir
+        self.sink = sink
+        self.transform = transform
+        self.ignore_deletes = ignore_deletes
+        self.ignore_changes = ignore_changes
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        self._cursor_path = os.path.join(
+            checkpoint_dir, "snapshot_cursor.json"
+        )
+        self.last_plan: dict = {}
+
+    def cursor(self) -> int:
+        import json
+
+        try:
+            with open(self._cursor_path) as f:
+                return json.load(f)["version"]
+        except FileNotFoundError:
+            return 0
+
+    def _advance(self, v: int) -> None:
+        import json
+
+        tmp = self._cursor_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"version": v}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._cursor_path)
+
+    def step(self) -> int | None:
+        """Consume everything committed past the cursor as one
+        micro-batch; returns the new cursor version, or None when
+        already caught up (nothing runs)."""
+        from imagingdb_spark import snapshots as SN
+
+        cur = self.cursor()
+        vs = SN._versions(self.table_dir)
+        if not vs or vs[-1] <= cur:
+            return None
+        tip = vs[-1]
+        plan: dict = {}
+        delta = SN.snapshot_changes(
+            self.spark,
+            self.table_dir,
+            cur,
+            version=tip,
+            ignore_deletes=self.ignore_deletes,
+            ignore_changes=self.ignore_changes,
+            plan=plan,
+        )
+        self.last_plan = plan
+        if self.transform is not None:
+            delta = self.transform(delta)
+        self.sink(delta, tip)
+        self._advance(tip)
+        return tip
+
+    def processAllAvailable(self) -> None:  # noqa: N802 (query parity)
+        while self.step() is not None:
+            pass
+
+    def stop(self) -> None:  # noqa: B027 (query-surface parity no-op)
+        pass
+
+
+def _attach(
+    src,
+    sink,
+    checkpoint_dir: str,
+    output_mode: str = "update",
+    transform=None,
+    ignore_deletes: bool = True,
+    ignore_changes: bool = False,
+):
+    """ONE seam for every gate/fold's source: ``src`` is either a
+    streaming DataFrame (classic foreachBatch attach) or a snapshot-
+    table PATH (string — changelog-driven SnapshotFeed). The sink code
+    is byte-identical in both modes, which is what pins feed/stream
+    parity: there is no second implementation to drift."""
+    if isinstance(src, str):
+        return SnapshotFeed(
+            src,
+            sink,
+            checkpoint_dir,
+            transform=transform,
+            ignore_deletes=ignore_deletes,
+            ignore_changes=ignore_changes,
+        )
+    df = transform(src) if transform is not None else src
+    return (
+        df.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode(output_mode)
+        .start()
+    )
 
 
 def _heal_interrupted_compaction(path: str) -> None:
@@ -1303,12 +1422,7 @@ def streaming_dedup_gate(
         finally:
             batch.unpersist()
 
-    return (
-        docs.writeStream.foreachBatch(gate)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .start()
-    )
+    return _attach(docs, gate, checkpoint_dir, "append")
 
 
 VECS_RAW_SCHEMA = T.StructType(
@@ -1607,12 +1721,7 @@ def streaming_embedding_gate(
         finally:
             batch.unpersist()
 
-    return (
-        vecs.writeStream.foreachBatch(gate)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .start()
-    )
+    return _attach(vecs, gate, checkpoint_dir, "append")
 
 
 def read_frames_stream(spark: SparkSession, path: str) -> DataFrame:
@@ -1926,12 +2035,7 @@ def _streaming_fingerprint_gate(
         finally:
             batch.unpersist()
 
-    return (
-        stream.writeStream.foreachBatch(gate)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .start()
-    )
+    return _attach(stream, gate, checkpoint_dir, "append")
 
 
 def streaming_phash_gate(
@@ -2261,12 +2365,7 @@ def streaming_cdc_apply(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         cdc_apply_batch(batch_df, state_path, key)
 
-    return (
-        changes.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .start()
-    )
+    return _attach(changes, apply_batch, checkpoint_dir, "update")
 
 
 def streaming_cdc_apply_snapshot(
@@ -2303,9 +2402,4 @@ def streaming_cdc_apply_snapshot(
             keep_versions,
         )
 
-    return (
-        changes.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("update")
-        .start()
-    )
+    return _attach(changes, apply_batch, checkpoint_dir, "update")

@@ -2527,3 +2527,44 @@ class TestPerplexityBucket:
         df = x_perplexity_bucket(spark, d)
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
+
+
+class TestNtile3OnePass:
+    """Round-9 task 7: the boundary-tie resolution rides the returned
+    plan (one driver round-trip total) and the histogram collect is
+    width-guarded."""
+
+    def test_histogram_width_guard(self, spark):
+        from imagingdb_spark.operators.lm import ntile3_by_cutoffs
+
+        scored = spark.createDataFrame(
+            [(i, "en", -float(i) / 10_000) for i in range(60)],
+            "doc_id long, lang string, avg_logprob double",
+        )
+        with pytest.raises(ValueError, match="histogram exceeds 10"):
+            ntile3_by_cutoffs(
+                scored, "lang", "avg_logprob", "doc_id", max_hist_rows=10
+            )
+        # at the guard boundary it still works
+        out = ntile3_by_cutoffs(
+            scored, "lang", "avg_logprob", "doc_id", max_hist_rows=60
+        )
+        assert out.count() == 60
+
+    def test_single_action_after_histogram(self, spark):
+        """Building the bucketing plan costs exactly ONE Spark action —
+        the histogram collect; the boundary-tie aggregation is lazy (it
+        used to be a second collect). Counted via the SQL execution
+        store (job counts are AQE-stage-dependent)."""
+        from imagingdb_spark.operators.lm import ntile3_by_cutoffs
+
+        scored = spark.createDataFrame(
+            [(i, "en", -float(i % 5)) for i in range(40)],
+            "doc_id long, lang string, avg_logprob double",
+        )
+        store = spark._jsparkSession.sharedState().statusStore()
+        before = store.executionsCount()
+        df = ntile3_by_cutoffs(scored, "lang", "avg_logprob", "doc_id")
+        mid = store.executionsCount() - before
+        assert mid <= 1, f"plan construction ran {mid} actions (want 1)"
+        assert df.count() == 40

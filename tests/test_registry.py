@@ -43,55 +43,46 @@ def test_query_plans(spark, name):
     assert df.schema is not None and len(df.columns) > 0
 
 
-ROTATED_IN_R8 = [
-    # round-8 plan (VERDICT r7 item 2): queries whose implementations
-    # changed this round (their last green rows predate current code)
-    "x_perplexity_bucket",  # ntile window -> bounded-histogram cutoffs
-    "x_containment",      # single-eval verify restructure
-    "x_triangles",        # unpersist barrier
-    "x_dedup_jaccard",    # shared _jaccard_verified tail
-    "x_dedup_incremental",  # verify tail, both match paths
-    "x_dedup_verified",   # verify tail
-    "x_dedup_minhash",    # verify tail + shingle repartition guard
-    "x_dedup_eval",       # consumes minhash + jaccard_ge truth
-    "x_dedup_simhash",    # shingle repartition guard
-    "x_decontaminate",    # rides verified_pairs
-    "x_dedup_cluster",    # consumes jaccard pairs
-    "x_dedup_compact",
-    "x_dedup_retain",
-    "x_dedup_weights",
+R9_IMPL_CHANGED = [
+    # round-9 plan (VERDICT r8 item 8): new/changed queries whose last
+    # record would otherwise predate current code
+    "x_snapshot_scan",      # NEW: snapshot_read under the oracle (task 3)
+    "x_perplexity_bucket",  # one-pass ntile3 fold (task 7)
+    "st_perplexity",        # materialization cut (task 6)
+    "x_triangles",          # sf10 wedge-spill bound (task 5)
+    "x_dedup_incremental",  # bench-drift reconciliation (task 4)
+    "x_dedup_minhash",      # bench-drift reconciliation (task 4)
 ]
 
-# r7-new single-record queries held in-window for double-verification
-HELD_R7_SINGLES = [
-    "st_perplexity", "st_heavy_hitters", "st_quantiles",
-    "st_theta_overlap", "x_ann_ivfpq",
-]
-
-# stalest records: the r1+r2 doubles (one per operator family — the
-# family holders) plus r1+r2 / r2+r3-era rows unchecked since round 3
-STALE_HOLDERS = [
-    "f_dates", "f_format", "j_two_way", "a_distinct", "w_topk_group",
-    "st_sliding", "o_limit", "f_equality", "s_union",
-    "f_sha2", "f_validate_id", "j_self_parent", "x_ann_lsh",
-    "x_token_freq", "x_token_bpe", "x_fingerprint", "s_intersect",
-    "f_json_multi", "f_path_ops", "a_cube", "a_pivot", "x_embed_stats",
-    "x_text_stats", "x_split_hash", "x_dedup_embed", "x_topk_sim",
-    "x_chunk_docs", "x_repetition", "f_substring", "f_daterange",
-    "f_inlist",
+# stalest driver records, ascending: the r3-era rows (r1/r2-window
+# members unchecked by the driver since), the full r5 cohort, and the
+# five r6 names the r8 verdict called out
+R9_STALE = [
+    "a_count", "a_rollup", "f_cast_coerce", "f_null_handling",
+    "f_string_parse", "j_three_way", "p_project", "x_dedup_exact",
+    "a_count_distinct", "a_geomean_udaf", "a_group_summary",
+    "f_array_ops", "f_from_json", "f_json_extract", "j_asof",
+    "j_json_filter", "j_temporal_lookup", "st_session", "st_topk_trend",
+    "st_tumbling", "w_rownum_page", "w_running", "x_bigram_logprob",
+    "x_cdc_apply", "x_corr_matrix", "x_domain_mix", "x_exact_quantiles",
+    "x_incr_agg", "x_profile_stats", "x_scd2_history", "x_scrub",
+    "x_sentences", "x_sessionize", "x_source_cap", "x_span_dedup",
+    "x_stratified", "x_table_diff", "x_token_budget",
+    "x_transition_matrix",
+    "x_ann_ivf", "x_pack_sequences", "x_semdedup", "x_bpe_train",
+    "x_bpe_encode",
 ]
 
 
 def test_category_coverage_inside_driver_window():
-    """The driver's correctness harness checks only the FIRST ~50 registered
-    queries; the round-8 rotation (registry.PRIORITY) must keep (a) every
-    impl-changed query inside that window so it gets a current CORRECTNESS
-    row, (b) the r7-new single-record queries for double-verification, and
-    (c) the stalest-record queries incl. one holder per operator family.
-    Everything displaced to 51+ holds a fresh r7 green row on unchanged
-    code."""
+    """The driver's correctness harness checks only the FIRST ~50
+    registered queries; the round-9 rotation (registry.PRIORITY) must
+    keep (a) every new/impl-changed query inside that window so it gets
+    a current CORRECTNESS row and (b) the stalest-record queries.
+    Everything displaced to 51+ holds a green driver row on code
+    unchanged since it was recorded."""
     window = list(registry.ordered_queries())[:50]
-    for name in ROTATED_IN_R8 + HELD_R7_SINGLES + STALE_HOLDERS:
+    for name in R9_IMPL_CHANGED + R9_STALE:
         assert name in window, f"{name} fell outside the driver's 50-query window"
     assert len(window) == len(set(window)) == 50
 

@@ -1876,3 +1876,113 @@ class TestSnapshotDelete:
         self._clustered(spark, t, n_commits=1)
         with pytest.raises(ValueError, match="non-empty predicate"):
             S.snapshot_delete(spark, t, [])
+
+
+class TestSnapshotChanges:
+    """Incremental changelog source (round-9 task 2): rows added after a
+    cursor version, resolved from only the manifest groups the walked
+    commits changed — the Delta/Iceberg streaming-source shape."""
+
+    def test_appends_yield_exactly_the_delta(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a"), (2, "b")]))
+        S.snapshot_commit(spark, t, _mk(spark, [(3, "c")]))
+        v2 = S._versions(t)[-1]
+        S.snapshot_commit(spark, t, _mk(spark, [(4, "d"), (5, "e")]))
+        plan = {}
+        got = _rows(S.snapshot_changes(spark, t, v2, plan=plan))
+        assert got == [(4, "d"), (5, "e")]
+        assert plan["commits_walked"] == 1
+        # from zero: the whole table is the delta
+        assert _rows(S.snapshot_changes(spark, t, 0)) == [
+            (1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")]
+        # caught up: typed empty frame
+        tip = S._versions(t)[-1]
+        empty = S.snapshot_changes(spark, t, tip)
+        assert empty.count() == 0 and empty.columns == ["k", "v"]
+
+    def test_exact_across_group_coalescing(self, spark, tmp_path):
+        """Push the table past MAX_GROUPS so commits trigger coalescing
+        merges; the group diff must still yield exactly each commit's
+        rows (merged-away entries cancel against the removed groups)."""
+        t = str(tmp_path / "t")
+        cursors = []
+        for c in range(40):  # > MAX_GROUPS=32 -> several merges
+            cursors.append(S._versions(t)[-1] if c else 0)
+            S.snapshot_commit(
+                spark, t, _mk(spark, [(c, f"v{c}")]).coalesce(1)
+            )
+        for c in (0, 30, 35, 39):
+            got = _rows(
+                S.snapshot_changes(
+                    spark, t, cursors[c],
+                    version=cursors[c] + 1 if c else 1,
+                )
+            )
+            assert got == [(c, f"v{c}")]
+        # and a multi-commit window spanning a merge
+        got = _rows(S.snapshot_changes(spark, t, cursors[30]))
+        assert got == [(c, f"v{c}") for c in range(30, 40)]
+
+    def test_compact_is_data_change_false(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a"), (2, "b")]))
+        v1 = S._versions(t)[-1]
+        S.snapshot_compact(spark, t, target_file_bytes=1 << 30)
+        S.snapshot_commit(spark, t, _mk(spark, [(3, "c")]))
+        got = _rows(S.snapshot_changes(spark, t, v1))
+        assert got == [(3, "c")]  # the compaction's rewrite never leaks
+
+    def test_delete_and_overwrite_contracts(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(
+            spark, t, _mk(spark, [(1, "a"), (2, "b"), (3, "c")])
+        )
+        v1 = S._versions(t)[-1]
+        S.snapshot_delete(spark, t, [("k", "=", 2)])
+        S.snapshot_commit(spark, t, _mk(spark, [(9, "z")]))
+        with pytest.raises(ValueError, match="delete commit"):
+            S.snapshot_changes(spark, t, v1)
+        got = _rows(S.snapshot_changes(spark, t, v1, ignore_deletes=True))
+        assert got == [(9, "z")]  # delete's rewrite holds no NEW rows
+        # overwrite: raises by default, re-delivers under ignore_changes
+        S.snapshot_commit(
+            spark, t, _mk(spark, [(7, "q")]), mode="overwrite"
+        )
+        tip = S._versions(t)[-1]
+        with pytest.raises(ValueError, match="overwrite"):
+            S.snapshot_changes(spark, t, tip - 1, ignore_deletes=True)
+        got = _rows(
+            S.snapshot_changes(
+                spark, t, tip - 1, ignore_deletes=True, ignore_changes=True
+            )
+        )
+        assert got == [(7, "q")]
+
+    def test_expired_cursor_gap_raises(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        for i in range(4):
+            S.snapshot_commit(spark, t, _mk(spark, [(i, "x")]))
+        S.snapshot_expire(t, keep_last=1)
+        with pytest.raises(FileNotFoundError, match="expired before"):
+            S.snapshot_changes(spark, t, 1)
+
+    def test_manifest_work_flat_in_version_count(self, spark, tmp_path):
+        """THE scale claim: per-poll manifest work tracks the DELTA, not
+        the live file count — groups_opened stays bounded as the table
+        accretes versions (full resolution would grow linearly)."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(0, "v")]).coalesce(1))
+        opened = []
+        for c in range(1, 31):
+            cur = S._versions(t)[-1]
+            S.snapshot_commit(
+                spark, t, _mk(spark, [(c, "v")]).coalesce(1)
+            )
+            plan = {}
+            S.snapshot_changes(spark, t, cur, plan=plan)
+            opened.append(plan["groups_opened"])
+        # one delta group per poll, + occasional coalescing merges; never
+        # the live group/file count
+        assert max(opened[:5]) <= 3 and max(opened[-5:]) <= 4
+        assert sum(o for o in opened) < 60  # ~2/poll avg incl. merges

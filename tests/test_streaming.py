@@ -2170,3 +2170,142 @@ def test_streaming_catalog_maintenance_tick(spark, tmp_path):
     plan = S.snapshot_scan_plan(target, [("v", "=", 42)])
     assert plan["files_total"] > 1  # the tiny target forces a split
     assert plan["files_kept"] < plan["files_total"]
+
+
+class TestSnapshotFeed:
+    """Changelog-driven gates (round-9 task 2): the SAME gate sink fed
+    snapshot-table deltas via jobs.SnapshotFeed must produce byte-
+    identical results to the file-stream feed, with per-poll manifest
+    work flat in the table's version count."""
+
+    def _docs_split(self, spark):
+        from pyspark.sql import functions as F
+
+        docs = spark.read.parquet(SF_DIR + "/documents.parquet")
+        is_new = F.substring(
+            F.md5(F.col("doc_id").cast("string")), 1, 1
+        ).isin("0", "1")
+        return docs.filter(~is_new), docs.filter(is_new)
+
+    def test_dedup_gate_feed_matches_file_stream(self, spark, tmp_path):
+        from imagingdb_spark import snapshots as SN
+
+        corpus0, batch = self._docs_split(spark)
+        results = {}
+        for mode in ("stream", "feed"):
+            corpus_path = str(tmp_path / mode / "corpus")
+            matches_path = str(tmp_path / mode / "matches")
+            ck = str(tmp_path / mode / "ck")
+            corpus0.write.parquet(corpus_path)
+            if mode == "stream":
+                bp = str(tmp_path / "incoming")
+                batch.coalesce(1).write.parquet(bp)
+                src = spark.readStream.schema(jobs.DOCS_RAW_SCHEMA).parquet(bp)
+            else:
+                src = str(tmp_path / "feed_src")
+                SN.snapshot_commit(
+                    spark, src,
+                    batch.select("doc_id", "text", "lang", "source"),
+                )
+            q = jobs.streaming_dedup_gate(src, corpus_path, matches_path, ck)
+            q.processAllAvailable()
+            q.stop()
+            results[mode] = (
+                {
+                    (r["new_doc"], r["corpus_doc"])
+                    for r in spark.read.parquet(matches_path).collect()
+                },
+                spark.read.parquet(corpus_path).count(),
+            )
+        assert results["feed"] == results["stream"]
+        assert len(results["feed"][0]) > 0
+
+    def test_feed_multi_poll_cursor_and_replay(self, spark, tmp_path):
+        """Three commits consumed over two polls; a crash between sink
+        and cursor-advance replays the delta and converges (the gates'
+        idempotence screens), and a fresh feed object resumes from the
+        persisted cursor."""
+        from imagingdb_spark import snapshots as SN
+
+        src = str(tmp_path / "src")
+        seen = []
+
+        def sink(df, batch_id):
+            seen.append((batch_id, sorted(r["k"] for r in df.collect())))
+
+        ck = str(tmp_path / "ck")
+        feed = jobs.SnapshotFeed(src, sink, ck)
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+        SN.snapshot_commit(spark, src, mk([(1, "a")]))
+        assert feed.step() == 1
+        SN.snapshot_commit(spark, src, mk([(2, "b")]))
+        SN.snapshot_commit(spark, src, mk([(3, "c")]))
+        assert feed.step() == 3  # two commits, ONE micro-batch
+        assert feed.step() is None
+        assert seen == [(1, [1]), (3, [2, 3])]
+        # crash between sink and advance: delta replays, then converges
+        real_advance = feed._advance
+        feed._advance = lambda v: (_ for _ in ()).throw(
+            RuntimeError("crash before cursor write")
+        )
+        SN.snapshot_commit(spark, src, mk([(4, "d")]))
+        with pytest.raises(RuntimeError, match="crash before"):
+            feed.step()
+        feed._advance = real_advance
+        assert feed.step() == 4
+        assert seen[-2:] == [(4, [4]), (4, [4])]  # same batch_id both fires
+        # a NEW feed over the same checkpoint resumes, not replays
+        feed2 = jobs.SnapshotFeed(src, sink, ck)
+        assert feed2.cursor() == 4 and feed2.step() is None
+
+    def test_monitor_fold_feed_matches_stream(self, spark, tmp_path):
+        """The heavy-hitter fold consuming snapshot deltas equals the
+        file-stream fold's state (txn markers keep exactly-once with
+        version-valued batch ids)."""
+        from imagingdb_spark import snapshots as SN
+
+        docs = spark.read.parquet(SF_DIR + "/documents.parquet").select(
+            "doc_id", "text"
+        )
+        states = {}
+        for mode in ("stream", "feed"):
+            state = str(tmp_path / mode / "state")
+            ck = str(tmp_path / mode / "ck")
+            if mode == "stream":
+                bp = str(tmp_path / "in")
+                docs.coalesce(1).write.parquet(bp)
+                src = (
+                    spark.readStream.schema("doc_id long, text string")
+                    .parquet(bp)
+                )
+            else:
+                src = str(tmp_path / "fsrc")
+                SN.snapshot_commit(spark, src, docs)
+            q = jobs.streaming_heavy_hitters(src, state, ck)
+            q.processAllAvailable()
+            q.stop()
+            states[mode] = sorted(
+                (r["tok"], r["cnt"])
+                for r in SN.snapshot_read(spark, state).filter(
+                    "tok is not null"
+                ).collect()
+            )
+        assert states["feed"] == states["stream"]
+        assert len(states["feed"]) > 0
+
+    def test_feed_manifest_work_flat_in_versions(self, spark, tmp_path):
+        from imagingdb_spark import snapshots as SN
+
+        src = str(tmp_path / "src")
+        feed = jobs.SnapshotFeed(
+            src, lambda df, b: df.count(), str(tmp_path / "ck")
+        )
+        mk = lambda i: spark.createDataFrame(
+            [(i, "x")], "k long, v string"
+        ).coalesce(1)
+        opened = []
+        for i in range(25):
+            SN.snapshot_commit(spark, src, mk(i))
+            feed.step()
+            opened.append(feed.last_plan["groups_opened"])
+        assert max(opened[-5:]) <= 4  # flat: delta groups, not live files
