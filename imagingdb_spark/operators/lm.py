@@ -1273,8 +1273,14 @@ def st_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for b in range(4):
         part = lang_term_counts(d.filter(F.pmod("doc_id", F.lit(4)) == b))
         state = part if state is None else lm_merge_state(state, part)
-        # materialize each fold (the documented driver-loop exception:
-        # 4 rounds, vocab-sized state) — lazy chaining compounds the plan
-        # per fold and re-scans documents exponentially
-        state = state.localCheckpoint(eager=True)
+    # ONE materialization, after the whole fold chain (r9 task 6 — the
+    # per-fold localCheckpoint barrier was 4 full-lineage driver jobs
+    # and dominated the sf10 wall clock at n^0.83): each merge
+    # references its prior state exactly once, so the chained plan is 4
+    # vocab-keyed shuffles inside ONE job with each document quarter
+    # scanned once. The final checkpoint is still required — lm_score
+    # reads the state twice (totals dim + score join), and a vocab-sized
+    # materialization is cheaper than re-running the fold chain per
+    # reference.
+    state = state.localCheckpoint(eager=True)
     return lm_score(d, state)

@@ -1780,10 +1780,14 @@ def _added_entries(table_dir: str, prev: dict, cur: dict) -> list[dict]:
     occasional coalescing merge), never the live file list. Legacy flat
     manifests fall back to a full path-set diff."""
     if prev.get("groups") is None or cur.get("groups") is None:
-        prev_paths = {
-            fe["path"]
-            for fe in _read_manifest(table_dir, prev["version"])["files"]
-        }
+        prev_paths = (
+            set()
+            if prev["version"] == 0  # the since_version=0 baseline
+            else {
+                fe["path"]
+                for fe in _read_manifest(table_dir, prev["version"])["files"]
+            }
+        )
         return [
             fe
             for fe in _read_manifest(table_dir, cur["version"])["files"]

@@ -2568,3 +2568,42 @@ class TestNtile3OnePass:
         mid = store.executionsCount() - before
         assert mid <= 1, f"plan construction ran {mid} actions (want 1)"
         assert df.count() == 40
+
+
+class TestTrianglesBatchedClosing:
+    """Round-9 task 5: the closing join's edge-hash batching (spill
+    bound) must enumerate the identical triangle multiset."""
+
+    def test_batched_equals_single_shot(self, spark):
+        import random
+
+        from imagingdb_spark.operators.graph import triangle_counts
+
+        rng = random.Random(7)
+        edges = {(a, b) for a, b in (
+            sorted(rng.sample(range(60), 2)) for _ in range(500)
+        )}
+        df = spark.createDataFrame(sorted(edges), "u long, v long")
+        single = {
+            (r["node"], r["n_triangles"])
+            for r in triangle_counts(df).collect()
+        }
+        # cap sized to split this graph's ~10-15k wedge units into a
+        # handful of batches (each batch is a full Spark job — hundreds
+        # would dominate the suite's wall clock for no extra coverage)
+        batched = {
+            (r["node"], r["n_triangles"])
+            for r in triangle_counts(
+                df, max_closing_units=4000
+            ).collect()
+        }
+        assert batched == single and len(single) > 10
+
+    def test_registered_query_unchanged(self, spark):
+        from imagingdb_spark import registry
+
+        registry.load_all()
+        got = registry.QUERIES["x_triangles"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        assert len(got) == 20

@@ -1986,3 +1986,25 @@ class TestSnapshotChanges:
         # the live group/file count
         assert max(opened[:5]) <= 3 and max(opened[-5:]) <= 4
         assert sum(o for o in opened) < 60  # ~2/poll avg incl. merges
+
+
+class TestSnapshotChangesLegacy:
+    def test_changes_from_zero_over_legacy_flat_manifest(
+        self, spark, tmp_path
+    ):
+        """A legacy FLAT v1 (pre-tree inline files) walked from the
+        since_version=0 baseline: the path-set fallback must not try to
+        read a non-existent v0 manifest, and the migrated tree commits
+        after it diff exactly."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        m = S._read_manifest(t, 1)
+        flat = {k: v for k, v in m.items() if k != "groups"}
+        p = os.path.join(t, S.MANIFEST_DIR, S._FMT.format(1))
+        os.unlink(p)
+        with open(p, "w") as f:
+            json.dump(flat, f)
+        S.snapshot_commit(spark, t, _mk(spark, [(2, "b")]))  # migrates
+        assert _rows(S.snapshot_changes(spark, t, 0)) == [(1, "a"), (2, "b")]
+        # flat v1 as the cursor BASELINE: only the delta comes back
+        assert _rows(S.snapshot_changes(spark, t, 1)) == [(2, "b")]
