@@ -533,3 +533,156 @@ def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
                     )
                     removed.append(os.path.join(name, rel))
     return removed
+
+
+def catalog_delete(
+    spark: SparkSession,
+    catalog_dir: str,
+    where: dict[str, list],
+    max_retries: int = 5,
+) -> dict:
+    """Targeted row-level DELETE across MANY catalog tables, published as
+    ONE atomic catalog commit — the takedown primitive at the
+    reference's actual transaction scope: removing a dataset means its
+    data_set row, its frames_global row, AND its frames rows disappear
+    together (db_operations.py:14–38's single-Postgres-transaction
+    semantics), never a window where the dataset row is gone but its
+    frames still answer queries.
+
+    ``where`` maps table name → the same conjunctive ``(col, op, value)``
+    triple list ``snapshot_delete`` takes; each table's affected files
+    are found by the shared three-stage prune (group stats → footer
+    min/max → bloom sidecars) and only those files are rewritten minus
+    the matching rows (``snapshots._delete_rewrite`` — identical
+    semantics, including NULL-predicate rows surviving). The new
+    per-table manifests publish under one hard-link, so a crash at ANY
+    point — any table's rewrite, any group write, the publish itself —
+    leaves every table at the pre-delete version; a racing catalog
+    commit forces a full re-resolve of every table's candidates.
+
+    Returns ``{"version": v, "tables": {name: audit_dict}}`` with the
+    per-table audit ``snapshot_delete`` returns (rows_deleted,
+    files_rewritten, files_bloom_cleared, ...). When no table has a
+    physically matching row, nothing is published and the tip version
+    returns unchanged. Time travel keeps pre-delete catalog versions
+    readable; ``catalog_expire`` + ``catalog_vacuum`` make the erasure
+    physical."""
+    checked = {
+        name: S._check_where(w) for name, w in where.items()
+    }
+    for name, w in checked.items():
+        if not w:
+            raise ValueError(
+                f"catalog_delete needs a non-empty predicate for {name!r}"
+            )
+    for _ in range(max_retries):
+        vs = catalog_versions(catalog_dir)
+        if not vs:
+            raise FileNotFoundError(
+                f"{catalog_dir} has no committed catalog versions"
+            )
+        parent = vs[-1]
+        base = _read_commit(catalog_dir, parent)
+        tables_base: dict[str, dict] = dict(base["tables"])
+        missing = set(checked) - set(tables_base)
+        if missing:
+            raise ValueError(
+                f"catalog {catalog_dir} has no tables {sorted(missing)}"
+            )
+        new_tables = dict(tables_base)
+        outs: dict[str, dict] = {}
+        created_by: dict[str, list[str]] = {}
+        datadirs: list[tuple[str, str]] = []
+        changed = False
+        for name, w in checked.items():
+            m = dict(tables_base[name])
+            if "groups" not in m:
+                m["groups"] = None
+            tdir = _table_dir(catalog_dir, name)
+            cr: list[str] = []
+            manifest, rel_dir, out = S._delete_rewrite(
+                spark, tdir, m, w, cr
+            )
+            outs[name] = out
+            if manifest is not None:
+                new_tables[name] = manifest
+                created_by[name] = cr
+                datadirs.append((tdir, rel_dir))
+                changed = True
+        if not changed:
+            return {"version": parent, "tables": outs}
+        commit = {
+            "version": parent + 1,
+            "parent": parent,
+            "tables": new_tables,
+        }
+        try:
+            _publish_commit(catalog_dir, parent + 1, commit)
+            return {"version": parent + 1, "tables": outs}
+        except SnapshotConflict:
+            # a foreign commit won: deletes are read-dependent claims —
+            # drop every table's rewrite eagerly and re-resolve at the
+            # winner's tip
+            for name, cr in created_by.items():
+                S._drop_groups(_table_dir(catalog_dir, name), cr)
+            for tdir, rel_dir in datadirs:
+                shutil.rmtree(
+                    os.path.join(tdir, rel_dir), ignore_errors=True
+                )
+                S._drop_sidecar(tdir, rel_dir)
+            continue
+    raise SnapshotConflict(
+        f"catalog delete in {catalog_dir} lost {max_retries} straight races"
+    )
+
+
+def catalog_delete_dataset(
+    spark: SparkSession,
+    catalog_dir: str,
+    dataset_serial: str,
+) -> dict:
+    """Remove one dataset ACROSS the imaging FK chain as one atomic
+    multi-table delete — the reference's dataset-removal shape
+    (db_operations.py's data_set → frames_global/file_global → frames
+    relationships): resolve the serial's surrogate ids at the catalog
+    tip, then delete data_set by serial, frames_global / file_global by
+    ``dataset_id``, and frames by ``frames_global_id``, all published
+    under ONE commit — a reader never sees a dataset row without its
+    frames or vice versa. Tables absent from the catalog are skipped.
+
+    The id resolution rides OUTSIDE catalog_delete's retry loop, which
+    is safe because surrogate ids are append-only and immutable: a
+    racing commit can add rows but never re-map serial → id (same-serial
+    uploads converge idempotently), so re-resolving candidates at the
+    winner's tip inside the retry still targets the same ids. Raises
+    DatasetNotFoundError-shaped ValueError when the serial is unknown."""
+    tables = catalog_manifest(catalog_dir)["tables"]
+    if "data_set" not in tables:
+        raise ValueError(f"{catalog_dir} has no data_set table")
+    ds = catalog_read(spark, catalog_dir, "data_set")
+    ids = [
+        r["id"]
+        for r in ds.filter(
+            ds.dataset_serial == dataset_serial
+        ).select("id").collect()
+    ]
+    if not ids:
+        raise ValueError(
+            f"dataset {dataset_serial!r} not found in {catalog_dir}"
+        )
+    targets: dict[str, list] = {
+        "data_set": [("dataset_serial", "=", dataset_serial)]
+    }
+    if "frames_global" in tables:
+        targets["frames_global"] = [("dataset_id", "in", ids)]
+        fg = catalog_read(spark, catalog_dir, "frames_global")
+        fg_ids = [
+            r["id"]
+            for r in fg.filter(fg.dataset_id.isin(ids))
+            .select("id").collect()
+        ]
+        if fg_ids and "frames" in tables:
+            targets["frames"] = [("frames_global_id", "in", fg_ids)]
+    if "file_global" in tables:
+        targets["file_global"] = [("dataset_id", "in", ids)]
+    return catalog_delete(spark, catalog_dir, targets)

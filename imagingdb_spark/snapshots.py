@@ -1676,89 +1676,15 @@ def snapshot_delete(
                 "files_rewritten": 0, "files_kept": 0,
                 "groups_kept_by_ref": None, "files_bloom_cleared": 0,
             }
-        # --- stage 1+2: group-ref skip, then per-file stats skip -------
-        if m["groups"] is None:
-            ref_groups: list[dict] = []
-            touched = list(_read_manifest(table_dir, tip)["files"])
-            files_total = len(touched)
-        else:
-            ref_groups, touched = [], []
-            files_total = sum(g["n_files"] for g in m["groups"])
-            for g in m["groups"]:
-                if _group_matches(g, checked):
-                    touched.extend(_read_group(table_dir, g["name"]))
-                else:
-                    ref_groups.append(g)
-        keep = [fe for fe in touched if not _file_matches(fe, checked)]
-        cand = [fe for fe in touched if _file_matches(fe, checked)]
-        # --- stage 3: bloom sidecars clear =/in probes -----------------
-        bloom_cleared = 0
-        if cand:
-            from imagingdb_spark import blooms
-
-            survivors = blooms.prune_candidates(table_dir, cand, checked)
-            if len(survivors) < len(cand):
-                alive = {fe["path"] for fe in survivors}
-                keep.extend(fe for fe in cand if fe["path"] not in alive)
-                bloom_cleared = len(cand) - len(survivors)
-                cand = survivors
-        out = {
-            "rows_deleted": 0,
-            "files_total": files_total,
-            "files_rewritten": len(cand),
-            "files_kept": len(keep),
-            "groups_kept_by_ref": len(ref_groups) if m["groups"] is not None else None,
-            "files_bloom_cleared": bloom_cleared,
-        }
-        if not cand:
-            out.update(version=tip, files_rewritten=0)
-            return out  # predicate provably touches nothing: no commit
-        # --- stage 4: rewrite ONLY the candidate files -----------------
-        schema = StructType.fromJson(json.loads(m["schema"]))
-        paths = [os.path.join(table_dir, fe["path"]) for fe in cand]
-        cand_rows = 0
-        for p in paths:
-            _, n = _file_footer(p)
-            if n is None:  # unreadable footer: authoritative slow count
-                cand_rows = spark.read.schema(schema).parquet(*paths).count()
-                break
-            cand_rows += n
-        from pyspark.sql import functions as F
-
-        cond = _where_column(checked)
-        # SQL DELETE semantics: remove rows where the predicate is TRUE;
-        # a NULL predicate (null-valued column under =) keeps the row —
-        # bare ~cond would silently delete them
-        survivors_df = (
-            spark.read.schema(schema)
-            .parquet(*paths)
-            .filter(~F.coalesce(cond, F.lit(False)))
+        manifest, rel_dir, out = _delete_rewrite(
+            spark, table_dir, m, checked, created, txn
         )
-        new_files, new_rows, rel_dir = _write_data_files(
-            survivors_df, table_dir
-        )
-        rows_deleted = cand_rows - new_rows
-        if rows_deleted == 0:
-            # stats/bloom kept the files but no physical row matched:
-            # drop the no-op rewrite eagerly, publish nothing
-            shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
-            out.update(version=tip, files_rewritten=0, files_kept=len(keep) + len(cand))
-            return out
-        # empty task outputs carry no rows — keep them out of the manifest
-        # (the physical files are vacuum debris)
-        nonempty = []
-        for fe in new_files:
-            _, n = _file_footer(os.path.join(table_dir, fe["path"]))
-            if n != 0:
-                nonempty.append(fe)
-        _build_blooms(spark, table_dir, rel_dir, nonempty, m.get("blooms"))
-        groups = _child_groups(table_dir, ref_groups, keep + nonempty, created)
-        manifest = _next_manifest(
-            m, "delete", groups, m["rows"] - rows_deleted, m["schema"], txn
-        )
+        if manifest is None:
+            out["version"] = tip
+            return out  # nothing physically matched: no commit published
         try:
             _publish(table_dir, tip + 1, manifest)
-            out.update(version=tip + 1, rows_deleted=rows_deleted)
+            out["version"] = tip + 1
             return out
         except SnapshotConflict:
             # read-dependent claim: re-resolve candidates against the
@@ -1770,6 +1696,109 @@ def snapshot_delete(
     raise SnapshotConflict(
         f"delete from {table_dir} lost {max_retries} straight races"
     )
+
+
+def _delete_rewrite(
+    spark: SparkSession,
+    table_dir: str,
+    m: dict,
+    checked: list,
+    created: list[str],
+    txn: tuple[str, int] | None = None,
+) -> tuple[dict | None, str | None, dict]:
+    """The pruning + copy-on-write core shared by ``snapshot_delete`` and
+    the catalog-level ``snapcatalog.catalog_delete``: given a resolved
+    manifest ``m``, find the files the validated predicate could touch
+    (group stats → file stats → bloom sidecars), rewrite only those minus
+    the matching rows, and return ``(child manifest, rewrite rel_dir,
+    audit dict)`` — the caller owns publication (single-table version
+    link vs one atomic multi-table catalog commit) and the conflict
+    cleanup of ``rel_dir`` + ``created``. Manifest is None when no
+    physical row matched (the no-op rewrite is already dropped)."""
+    # --- stage 1+2: group-ref skip, then per-file stats skip -----------
+    if m["groups"] is None:
+        ref_groups: list[dict] = []
+        touched = list(
+            _read_manifest(table_dir, m["version"])["files"]
+            if "files" not in m
+            else m["files"]
+        )
+        files_total = len(touched)
+    else:
+        ref_groups, touched = [], []
+        files_total = sum(g["n_files"] for g in m["groups"])
+        for g in m["groups"]:
+            if _group_matches(g, checked):
+                touched.extend(_read_group(table_dir, g["name"]))
+            else:
+                ref_groups.append(g)
+    keep = [fe for fe in touched if not _file_matches(fe, checked)]
+    cand = [fe for fe in touched if _file_matches(fe, checked)]
+    # --- stage 3: bloom sidecars clear =/in probes ----------------------
+    bloom_cleared = 0
+    if cand:
+        from imagingdb_spark import blooms
+
+        survivors = blooms.prune_candidates(table_dir, cand, checked)
+        if len(survivors) < len(cand):
+            alive = {fe["path"] for fe in survivors}
+            keep.extend(fe for fe in cand if fe["path"] not in alive)
+            bloom_cleared = len(cand) - len(survivors)
+            cand = survivors
+    out = {
+        "rows_deleted": 0,
+        "files_total": files_total,
+        "files_rewritten": len(cand),
+        "files_kept": len(keep),
+        "groups_kept_by_ref": len(ref_groups) if m["groups"] is not None else None,
+        "files_bloom_cleared": bloom_cleared,
+    }
+    if not cand:
+        out["files_rewritten"] = 0
+        return None, None, out  # predicate provably touches nothing
+    # --- stage 4: rewrite ONLY the candidate files ----------------------
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    paths = [os.path.join(table_dir, fe["path"]) for fe in cand]
+    cand_rows = 0
+    for p in paths:
+        _, n = _file_footer(p)
+        if n is None:  # unreadable footer: authoritative slow count
+            cand_rows = spark.read.schema(schema).parquet(*paths).count()
+            break
+        cand_rows += n
+    from pyspark.sql import functions as F
+
+    cond = _where_column(checked)
+    # SQL DELETE semantics: remove rows where the predicate is TRUE;
+    # a NULL predicate (null-valued column under =) keeps the row —
+    # bare ~cond would silently delete them
+    survivors_df = (
+        spark.read.schema(schema)
+        .parquet(*paths)
+        .filter(~F.coalesce(cond, F.lit(False)))
+    )
+    new_files, new_rows, rel_dir = _write_data_files(survivors_df, table_dir)
+    rows_deleted = cand_rows - new_rows
+    if rows_deleted == 0:
+        # stats/bloom kept the files but no physical row matched:
+        # drop the no-op rewrite eagerly, publish nothing
+        shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
+        out.update(files_rewritten=0, files_kept=len(keep) + len(cand))
+        return None, None, out
+    # empty task outputs carry no rows — keep them out of the manifest
+    # (the physical files are vacuum debris)
+    nonempty = []
+    for fe in new_files:
+        _, n = _file_footer(os.path.join(table_dir, fe["path"]))
+        if n != 0:
+            nonempty.append(fe)
+    _build_blooms(spark, table_dir, rel_dir, nonempty, m.get("blooms"))
+    groups = _child_groups(table_dir, ref_groups, keep + nonempty, created)
+    manifest = _next_manifest(
+        m, "delete", groups, m["rows"] - rows_deleted, m["schema"], txn
+    )
+    out["rows_deleted"] = rows_deleted
+    return manifest, rel_dir, out
 
 
 def _added_entries(table_dir: str, prev: dict, cur: dict) -> list[dict]:

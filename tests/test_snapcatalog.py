@@ -690,3 +690,122 @@ class TestUploadBloomIndex:
         )
         assert plan["files_bloom_dropped"] >= 1
         assert not kept
+
+
+class TestCatalogDelete:
+    """Atomic multi-table row-level DELETE (round-9): removing a dataset
+    means its data_set + frames_global + frames rows disappear TOGETHER —
+    the reference's dataset-removal transaction scope
+    (db_operations.py:14-38) over the copy-on-write rewrite."""
+
+    def _two_datasets(self, spark, tmp_path):
+        cat_dir = str(tmp_path / "cat")
+        src = _src_file(tmp_path)
+        _upload(spark, src, tmp_path, cat_dir)
+        _upload(spark, src, tmp_path, cat_dir, serial=UP_SERIAL2)
+        return cat_dir
+
+    def test_dataset_removal_is_atomic_and_exact(self, spark, tmp_path):
+        cat_dir = self._two_datasets(spark, tmp_path)
+        pre_tip = C.catalog_versions(cat_dir)[-1]
+        out = C.catalog_delete_dataset(spark, cat_dir, UP_SERIAL)
+        assert out["version"] == pre_tip + 1
+        # every serial-bearing table dropped exactly this dataset's rows
+        assert out["tables"]["data_set"]["rows_deleted"] == 1
+        assert out["tables"]["frames"]["rows_deleted"] == 6
+        ds = C.catalog_read(spark, cat_dir, "data_set")
+        assert ds.filter(F.col("dataset_serial") == UP_SERIAL).count() == 0
+        assert ds.filter(F.col("dataset_serial") == UP_SERIAL2).count() == 1
+        # the FK chain is cut consistently: every surviving frames_global
+        # row joins a surviving data_set row, every frames row a
+        # surviving frames_global row
+        fg = C.catalog_read(spark, cat_dir, "frames_global")
+        assert out["tables"]["frames_global"]["rows_deleted"] == 1
+        assert fg.join(ds, fg.dataset_id == ds.id).count() == fg.count()
+        fr = C.catalog_read(spark, cat_dir, "frames")
+        assert fr.join(
+            fg, fr.frames_global_id == fg.id
+        ).count() == fr.count() == 6
+        # legal hold: the pre-delete version still shows the dataset
+        pre = C.catalog_manifest(cat_dir, version=pre_tip)
+        assert C.read_table_at(
+            spark, cat_dir, pre, "data_set"
+        ).filter(F.col("dataset_serial") == UP_SERIAL).count() == 1
+
+    def test_crash_at_publish_leaves_every_table(self, spark, tmp_path, monkeypatch):
+        cat_dir = self._two_datasets(spark, tmp_path)
+        before = {
+            t: C.catalog_read(spark, cat_dir, t).count()
+            for t in ("data_set", "frames", "frames_global")
+        }
+        tip = C.catalog_versions(cat_dir)[-1]
+        real = C._publish_commit
+
+        def boom(*a, **kw):
+            raise RuntimeError("simulated crash at catalog publish")
+
+        monkeypatch.setattr(C, "_publish_commit", boom)
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            C.catalog_delete_dataset(spark, cat_dir, UP_SERIAL)
+        monkeypatch.setattr(C, "_publish_commit", real)
+        assert C.catalog_versions(cat_dir)[-1] == tip
+        after = {
+            t: C.catalog_read(spark, cat_dir, t).count()
+            for t in ("data_set", "frames", "frames_global")
+        }
+        assert after == before
+        # debris vacuums; the retry completes the takedown atomically
+        C.catalog_vacuum(spark, cat_dir)
+        out = C.catalog_delete_dataset(spark, cat_dir, UP_SERIAL)
+        assert out["tables"]["frames"]["rows_deleted"] == 6
+
+    def test_no_match_publishes_nothing(self, spark, tmp_path):
+        cat_dir = self._two_datasets(spark, tmp_path)
+        tip = C.catalog_versions(cat_dir)[-1]
+        out = C.catalog_delete(
+            spark, cat_dir,
+            {"frames": [("channel_name", "=", "NOPE-0000")]},
+        )
+        assert out["version"] == tip
+        assert C.catalog_versions(cat_dir)[-1] == tip
+        with pytest.raises(ValueError, match="non-empty predicate"):
+            C.catalog_delete(spark, cat_dir, {"frames": []})
+        with pytest.raises(ValueError, match="no table"):
+            C.catalog_delete(
+                spark, cat_dir, {"nope": [("x", "=", 1)]}
+            )
+
+    def test_racing_commit_forces_full_rebase(self, spark, tmp_path, monkeypatch):
+        cat_dir = self._two_datasets(spark, tmp_path)
+        src = _src_file(tmp_path)
+        real = C._publish_commit
+        raced = {"done": False}
+        third = "TEST-2005-06-11-20-00-00-1000"
+
+        def racing(catalog_dir, version, commit):
+            if not raced["done"]:
+                raced["done"] = True
+                monkeypatch.setattr(C, "_publish_commit", real)
+                _upload(spark, src, tmp_path, cat_dir, serial=third)
+                monkeypatch.setattr(C, "_publish_commit", racing)
+            return real(catalog_dir, version, commit)
+
+        monkeypatch.setattr(C, "_publish_commit", racing)
+        out = C.catalog_delete_dataset(spark, cat_dir, UP_SERIAL)
+        monkeypatch.setattr(C, "_publish_commit", real)
+        assert out["tables"]["frames"]["rows_deleted"] == 6
+        ds = C.catalog_read(spark, cat_dir, "data_set")
+        serials = {r["dataset_serial"] for r in ds.collect()}
+        # the interleaved upload survived AND the takedown landed
+        assert serials == {UP_SERIAL2, third}
+
+    def test_physical_erasure_after_expire_vacuum(self, spark, tmp_path):
+        cat_dir = self._two_datasets(spark, tmp_path)
+        C.catalog_delete_dataset(spark, cat_dir, UP_SERIAL)
+        C.catalog_expire(cat_dir, keep_last=1)
+        C.catalog_vacuum(spark, cat_dir)
+        ds = C.catalog_read(spark, cat_dir, "data_set")
+        assert ds.filter(F.col("dataset_serial") == UP_SERIAL).count() == 0
+        assert ds.filter(F.col("dataset_serial") == UP_SERIAL2).count() == 1
+        fr = C.catalog_read(spark, cat_dir, "frames")
+        assert fr.count() == 6  # only the surviving dataset's frames
