@@ -2309,3 +2309,67 @@ class TestSnapshotFeed:
             feed.step()
             opened.append(feed.last_plan["groups_opened"])
         assert max(opened[-5:]) <= 4  # flat: delta groups, not live files
+
+
+def test_phash_gate_feed_matches_file_stream(spark, tmp_path):
+    """The image-ingest gate consuming snapshot-table changelog deltas
+    (jobs.SnapshotFeed) lands the identical corpus + match set as the
+    same frames fed through the file-stream source, across MULTIPLE
+    polls — the fingerprint-gate member of the feed-parity family."""
+    from pyspark.sql import functions as F
+
+    from imagingdb_spark import snapshots as SN
+    from imagingdb_spark.multimodal import synth_frames
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 120)
+    # batch 2 carries the SAME images under new identities (doc_id
+    # shifted): cross-trigger exact pHash matches by construction
+    batches = [
+        synth_frames(docs),
+        synth_frames(
+            docs.filter(F.col("doc_id") < 40).withColumn(
+                "doc_id", F.col("doc_id") + 10_000
+            )
+        ),
+    ]
+    results = {}
+    for mode in ("stream", "feed"):
+        corpus = str(tmp_path / mode / "corpus")
+        matches = str(tmp_path / mode / "matches")
+        ck = str(tmp_path / mode / "ck")
+        if mode == "stream":
+            bdir = tmp_path / "frames_in"
+            bdir.mkdir()
+            for i, b in enumerate(batches):
+                b.coalesce(1).write.parquet(str(tmp_path / f"fstage{i}"))
+                import glob as _g
+                import shutil as _sh
+
+                src = _g.glob(str(tmp_path / f"fstage{i}" / "part-*.parquet"))[0]
+                _sh.move(src, str(bdir / f"b{i:02d}.parquet"))
+            stream = (
+                spark.readStream.schema(batches[0].schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(bdir))
+            )
+            q = jobs.streaming_phash_gate(stream, corpus, matches, ck)
+            q.processAllAvailable()
+            q.stop()
+        else:
+            src_table = str(tmp_path / "frames_snap")
+            q = jobs.streaming_phash_gate(src_table, corpus, matches, ck)
+            for b in batches:  # one commit per poll: two real triggers
+                SN.snapshot_commit(spark, src_table, b)
+                q.processAllAvailable()
+            q.stop()
+        results[mode] = (
+            spark.read.parquet(corpus).count(),
+            {
+                (r["new_frame"], r["corpus_frame"])
+                for r in spark.read.parquet(matches).collect()
+            },
+        )
+    assert results["feed"] == results["stream"]
+    assert results["feed"][1]  # planted dups actually matched

@@ -246,6 +246,62 @@ def main() -> None:
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
+    # targeted DELETE (round-9): on a range-clustered corpus a narrow
+    # takedown must rewrite files_rewritten << files_total (stats carry
+    # whole groups by reference), and a bloom-indexed point takedown on
+    # an UNCLUSTERED key must clear almost every candidate file
+    delete: dict = {}
+    root2 = tempfile.mkdtemp(prefix="snapbench_del_")
+    try:
+        t = os.path.join(root2, "clustered")
+        for c in range(32):
+            seed = spark.range(c * 1000, (c + 1) * 1000).selectExpr(
+                "id as k", "string(id) as v"
+            )
+            S.snapshot_commit(spark, t, seed.repartitionByRange(4, "k"))
+        t0 = time.time()
+        out = S.snapshot_delete(
+            spark, t, [("k", ">=", 15_200), ("k", "<", 15_400)]
+        )
+        delete["clustered_range"] = {
+            "delete_s": round(time.time() - t0, 3),
+            "rows_deleted": out["rows_deleted"],
+            "files_total": out["files_total"],
+            "files_rewritten": out["files_rewritten"],
+            "groups_kept_by_ref": out["groups_kept_by_ref"],
+        }
+        assert out["rows_deleted"] == 200
+        assert out["files_rewritten"] <= 4  # one commit's range slice
+        t2 = os.path.join(root2, "bloomed")
+        import hashlib
+
+        for c in range(4):
+            seed = spark.createDataFrame(
+                [
+                    (hashlib.sha256(str(c * 2000 + i).encode()).hexdigest(),
+                     c * 2000 + i)
+                    for i in range(2000)
+                ],
+                "h string, n long",
+            ).repartition(8)
+            S.snapshot_commit(
+                spark, t2, seed, bloom_columns=["h"] if c == 0 else None
+            )
+        probe = hashlib.sha256(b"777").hexdigest()
+        t0 = time.time()
+        out2 = S.snapshot_delete(spark, t2, [("h", "=", probe)])
+        delete["bloom_point_takedown"] = {
+            "delete_s": round(time.time() - t0, 3),
+            "rows_deleted": out2["rows_deleted"],
+            "files_total": out2["files_total"],
+            "files_rewritten": out2["files_rewritten"],
+            "files_bloom_cleared": out2["files_bloom_cleared"],
+        }
+        assert out2["rows_deleted"] == 1
+        assert out2["files_rewritten"] <= 3
+    finally:
+        shutil.rmtree(root2, ignore_errors=True)
+
     line = json.dumps(
         {
             "metric": "snapshot_commit_cost",
@@ -253,6 +309,7 @@ def main() -> None:
             "synthetic_by_live_files": synth,
             "pruning": pruning,
             "bloom": bloom,
+            "delete": delete,
         }
     )
     print(line)
