@@ -1950,3 +1950,174 @@ def snapshot_changes(
     return spark.read.schema(schema).parquet(
         *[os.path.join(table_dir, fe["path"]) for fe in entries]
     )
+
+
+def snapshot_row_changes(
+    spark: SparkSession,
+    table_dir: str,
+    since_version: int,
+    version: int | None = None,
+    plan: dict | None = None,
+) -> DataFrame:
+    """ROW-level change-data-feed — the table's columns plus
+    ``_change_type`` ('insert' | 'delete') and ``_commit_version`` for
+    every row added or removed in ``(since_version, version]`` (the
+    Delta CDF shape, public design). This is what ``snapshot_changes``
+    (adds only) cannot express and what TAKEDOWN PROPAGATION needs: a
+    ``snapshot_delete`` on the corpus must reach every derived artifact
+    — gate indexes, embeddings, shards — and the deleted rows' keys are
+    exactly this feed's ``_change_type = 'delete'`` slice.
+
+    Cost is delta-proportional by construction:
+
+    - ``append`` — its added files (group diff) read as inserts.
+    - ``delete`` — the commit's removed files hold (kept + deleted)
+      rows and its added files hold exactly the kept rows (carried
+      entries cancel in the group diff), so the deleted rows are
+      ``read(removed) EXCEPT ALL read(added)`` — a multiset difference
+      over ONLY the files the delete physically rewrote, never the
+      carried-by-reference corpus. Duplicate physical rows delete one
+      occurrence per match, exactly like the rewrite did.
+    - ``compact`` — skipped (dataChange=false).
+    - ``overwrite``/``merge``/``rmw`` — raise: a full-rewrite commit has
+      no delta-proportional row diff; use ``snapshot_diff`` (keyed,
+      two-version) for those.
+
+    Rows read from pre-widening files align to the END schema (new
+    columns NULL). ``plan`` collects {commits_walked, files_read}."""
+    from pyspark.sql import functions as F
+
+    end = _resolve_manifest_raw(table_dir, version)
+    end_v = end["version"]
+    if since_version > end_v:
+        raise ValueError(
+            f"since_version {since_version} is ahead of {table_dir} "
+            f"version {end_v}"
+        )
+    end_schema = StructType.fromJson(json.loads(end["schema"]))
+
+    def _read(entries: list[dict], sch: StructType) -> DataFrame:
+        if not entries:
+            return spark.createDataFrame([], sch)
+        return spark.read.schema(sch).parquet(
+            *[os.path.join(table_dir, fe["path"]) for fe in entries]
+        )
+
+    def _aligned(df: DataFrame, sch: StructType, ctype: str, v: int) -> DataFrame:
+        cols = [
+            F.col(f.name) if f.name in sch.fieldNames()
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in end_schema.fields
+        ]
+        return df.select(
+            *cols,
+            F.lit(ctype).alias("_change_type"),
+            F.lit(v).alias("_commit_version"),
+        )
+
+    out: DataFrame | None = None
+    commits_walked = 0
+    files_read = 0
+    prev: dict | None = None
+    for v in range(since_version, end_v + 1):
+        if v == 0:
+            prev = {"version": 0, "groups": [], "files": []}
+            continue
+        try:
+            cur = _read_manifest_raw(table_dir, v)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"{table_dir} version {v} expired before it was consumed; "
+                "retention must cover the changelog cursor lag"
+            )
+        if "groups" not in cur:
+            cur["groups"] = None
+        if prev is None:
+            prev = cur
+            continue
+        commits_walked += 1
+        mode = cur.get("mode")
+        if mode == "compact":
+            prev = cur
+            continue
+        v_schema = StructType.fromJson(json.loads(cur["schema"]))
+        if mode == "append":
+            added = _added_entries(table_dir, prev, cur)
+            files_read += len(added)
+            frame = _aligned(_read(added, v_schema), v_schema, "insert", v)
+        elif mode == "delete":
+            added = _added_entries(table_dir, prev, cur)
+            removed = _added_entries(table_dir, cur, prev)
+            files_read += len(added) + len(removed)
+            deleted = _read(removed, v_schema).exceptAll(
+                _read(added, v_schema)
+            )
+            frame = _aligned(deleted, v_schema, "delete", v)
+        else:
+            raise ValueError(
+                f"{table_dir} v{v} is a {mode!r} commit — no "
+                "delta-proportional row diff exists for full rewrites; "
+                "use snapshot_diff(v_old, v_new, key, cmp) instead"
+            )
+        out = frame if out is None else out.unionByName(frame)
+        prev = cur
+    if plan is not None:
+        plan.update(commits_walked=commits_walked, files_read=files_read)
+    if out is None:
+        from pyspark.sql.types import IntegerType, StringType, StructField
+
+        return spark.createDataFrame(
+            [],
+            StructType(
+                list(end_schema.fields)
+                + [
+                    StructField("_change_type", StringType(), False),
+                    StructField("_commit_version", IntegerType(), False),
+                ]
+            ),
+        )
+    return out
+
+
+def propagate_deletes(
+    spark: SparkSession,
+    src_table: str,
+    since_version: int,
+    targets: dict[str, str],
+    version: int | None = None,
+) -> dict:
+    """Takedown PROPAGATION: push the keys deleted from ``src_table``
+    after ``since_version`` into every derived table — ``targets`` maps
+    ``derived_table_dir -> key_column`` (the column in the derived table
+    holding the source key named by the CDF's deleted rows' same-named
+    column). One ``snapshot_delete(dir, [(key, "in", ids)])`` per
+    target, each its own atomic commit; the deleted-key list is
+    collected driver-side (takedown batches are request-sized, not
+    corpus-sized — the same bounded-collect contract as the gates'
+    batch-id screens). Returns {"deleted_keys": n, "targets": {dir:
+    audit}} — targets untouched when nothing was deleted. Derived
+    tables indexed (bloom/clustered) on the key column turn each
+    propagation into the measured few-files rewrite."""
+    keys_needed = set(targets.values())
+    cdf = snapshot_row_changes(
+        spark, src_table, since_version, version=version
+    ).filter("_change_type = 'delete'")
+    out: dict = {"deleted_keys": 0, "targets": {}}
+    rows = (
+        cdf.select(*sorted(keys_needed)).distinct().collect()
+    )
+    if not rows:
+        return out
+    by_col = {
+        col: sorted({r[col] for r in rows if r[col] is not None})
+        for col in keys_needed
+    }
+    out["deleted_keys"] = len(rows)
+    for tdir, key in targets.items():
+        ids = by_col[key]
+        if not ids:
+            continue
+        out["targets"][tdir] = snapshot_delete(
+            spark, tdir, [(key, "in", ids)]
+        )
+    return out

@@ -2008,3 +2008,107 @@ class TestSnapshotChangesLegacy:
         assert _rows(S.snapshot_changes(spark, t, 0)) == [(1, "a"), (2, "b")]
         # flat v1 as the cursor BASELINE: only the delta comes back
         assert _rows(S.snapshot_changes(spark, t, 1)) == [(2, "b")]
+
+
+class TestRowChangesCDF:
+    """Row-level change-data-feed (round-9): inserts AND deletes, each
+    commit's rows read only from the files it touched — the feed that
+    propagates a corpus takedown into derived artifacts."""
+
+    def test_inserts_and_deletes_exact(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a"), (2, "b")]))
+        v1 = S._versions(t)[-1]
+        S.snapshot_commit(spark, t, _mk(spark, [(3, "c"), (4, "d")]))
+        S.snapshot_delete(spark, t, [("k", "<=", 3)])
+        plan = {}
+        cdf = S.snapshot_row_changes(spark, t, v1, plan=plan)
+        got = sorted(
+            (r["_change_type"], r["_commit_version"], r["k"], r["v"])
+            for r in cdf.collect()
+        )
+        assert got == [
+            ("delete", 3, 1, "a"),
+            ("delete", 3, 2, "b"),
+            ("delete", 3, 3, "c"),
+            ("insert", 2, 3, "c"),
+            ("insert", 2, 4, "d"),
+        ]
+        # delta-proportional: only the touched files were read
+        assert plan["files_read"] <= 8
+        # from zero: the whole history, inserts + deletes
+        all_cdf = S.snapshot_row_changes(spark, t, 0)
+        assert all_cdf.filter("_change_type = 'insert'").count() == 4
+        assert all_cdf.filter("_change_type = 'delete'").count() == 3
+
+    def test_duplicate_physical_rows_delete_multiset(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(
+            spark, t,
+            _mk(spark, [(1, "x"), (1, "x"), (1, "x"), (2, "y")]).coalesce(1),
+        )
+        tip = S._versions(t)[-1]
+        S.snapshot_delete(spark, t, [("k", "=", 1)])
+        cdf = S.snapshot_row_changes(spark, t, tip)
+        dels = cdf.filter("_change_type = 'delete'").collect()
+        assert sorted((r["k"], r["v"]) for r in dels) == [(1, "x")] * 3
+
+    def test_compact_skipped_overwrite_raises(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(spark, t, _mk(spark, [(1, "a")]))
+        v1 = S._versions(t)[-1]
+        S.snapshot_compact(spark, t, target_file_bytes=1 << 30)
+        S.snapshot_commit(spark, t, _mk(spark, [(2, "b")]))
+        got = sorted(
+            (r["_change_type"], r["k"])
+            for r in S.snapshot_row_changes(spark, t, v1).collect()
+        )
+        assert got == [("insert", 2)]
+        S.snapshot_commit(spark, t, _mk(spark, [(9, "z")]), mode="overwrite")
+        with pytest.raises(ValueError, match="no .*row diff|full rewrites"):
+            S.snapshot_row_changes(spark, t, v1).collect()
+
+    def test_takedown_propagates_to_derived_index(self, spark, tmp_path):
+        """THE composition round 9 exists for: snapshot_delete on the
+        corpus + the CDF's delete slice push the removal into a derived
+        (doc_id-keyed) index table, leaving it exactly what a rebuild
+        from the post-delete corpus would produce."""
+        corpus = str(tmp_path / "corpus")
+        idx = str(tmp_path / "idx")
+        docs = spark.createDataFrame(
+            [(i, f"tok{i % 7} tok{i % 3}", "en") for i in range(200)],
+            "doc_id long, text string, lang string",
+        )
+        S.snapshot_commit(spark, corpus, docs.repartition(4))
+        # derived index: one row per (doc_id, token)
+        from pyspark.sql import functions as F
+
+        index_rows = docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+        S.snapshot_commit(spark, idx, index_rows.repartition(4))
+        cursor = S._versions(corpus)[-1]
+        S.snapshot_delete(
+            spark, corpus, [("doc_id", ">=", 50), ("doc_id", "<", 70)]
+        )
+        out = S.propagate_deletes(
+            spark, corpus, cursor, {idx: "doc_id"}
+        )
+        assert out["deleted_keys"] == 20
+        assert out["targets"][idx]["rows_deleted"] == 40  # 2 tokens/doc
+        want = sorted(
+            (r["doc_id"], r["token"])
+            for r in index_rows.filter(
+                "doc_id < 50 or doc_id >= 70"
+            ).collect()
+        )
+        got = sorted(
+            (r["doc_id"], r["token"])
+            for r in S.snapshot_read(spark, idx).collect()
+        )
+        assert got == want
+        # nothing new deleted: propagation is a no-op from the new cursor
+        out2 = S.propagate_deletes(
+            spark, corpus, S._versions(corpus)[-1], {idx: "doc_id"}
+        )
+        assert out2["deleted_keys"] == 0 and out2["targets"] == {}
