@@ -2112,3 +2112,145 @@ class TestRowChangesCDF:
             spark, corpus, S._versions(corpus)[-1], {idx: "doc_id"}
         )
         assert out2["deleted_keys"] == 0 and out2["targets"] == {}
+
+
+class TestDeleteSoak:
+    """snapshot_delete racing concurrent appends + clustering
+    maintenance + expire/vacuum (the round-9 extension of the
+    multi-writer soak): the copy-on-write rewrite must never lose a
+    committed row it wasn't asked to delete, never resurrect a deleted
+    row, and keep every retained version exactly readable."""
+
+    def test_soak_appends_deletes_maintenance(self, spark, tmp_path):
+        import random
+        import threading
+        import time
+
+        from imagingdb_spark.snapshots import SnapshotConflict
+
+        seed = 31
+        t = str(tmp_path / "t")
+        gate = TestMultiWriterSoak._RWGate()
+        stop = threading.Event()
+        errors: list[str] = []
+        committed: dict[int, list[int]] = {}
+        deleted: list[int] = []
+        dlock = threading.Lock()
+        N_APPENDERS, COMMITS_EACH, BATCH = 3, 6, 25
+        S.snapshot_commit(
+            spark, t,
+            spark.createDataFrame([(-1, "seed")], "k long, v string"),
+        )
+        committed[-1] = [-1]
+
+        def appender(idx: int):
+            rng = random.Random(seed * 101 + idx)
+            committed[idx] = []
+            base = idx * 1_000_000
+            try:
+                for c in range(COMMITS_EACH):
+                    lo = base + c * BATCH
+                    df = (
+                        spark.range(lo, lo + BATCH)
+                        .selectExpr("id AS k", "string(id) AS v")
+                        .coalesce(1)
+                    )
+                    gate.acquire_read()
+                    try:
+                        S.snapshot_commit(spark, t, df, max_retries=30)
+                    finally:
+                        gate.release_read()
+                    committed[idx].extend(range(lo, lo + BATCH))
+                    time.sleep(rng.uniform(0, 0.02))
+            except Exception as e:  # pragma: no cover
+                errors.append(f"appender{idx}: {e!r}")
+
+        def deleter():
+            rng = random.Random(seed * 113)
+            while not stop.is_set():
+                time.sleep(rng.uniform(0.03, 0.1))
+                # target only keys CONFIRMED committed (recorded after
+                # their commit succeeded) and not already deleted
+                with dlock:
+                    pool = [
+                        k
+                        for ks in committed.values()
+                        for k in ks
+                        if k >= 0 and k not in deleted
+                    ]
+                    if len(pool) < 5:
+                        continue
+                    targets = sorted(rng.sample(pool, 3))
+                    deleted.extend(targets)
+                gate.acquire_read()
+                try:
+                    out = S.snapshot_delete(
+                        spark, t, [("k", "in", targets)], max_retries=30
+                    )
+                    if out["rows_deleted"] != len(targets):
+                        errors.append(
+                            f"deleter: asked {targets}, deleted "
+                            f"{out['rows_deleted']}"
+                        )
+                except Exception as e:  # pragma: no cover
+                    errors.append(f"deleter: {e!r}")
+                finally:
+                    gate.release_read()
+
+        def maintainer():
+            rng = random.Random(seed * 103)
+            while not stop.is_set():
+                time.sleep(rng.uniform(0.03, 0.1))
+                gate.acquire_read()
+                try:
+                    S.snapshot_maintain(
+                        spark, t, "k",
+                        max_avg_overlap=1.5, target_file_bytes=4096,
+                    )
+                except (SnapshotConflict, FileNotFoundError):
+                    pass
+                except Exception as e:  # pragma: no cover
+                    errors.append(f"maintainer: {e!r}")
+                finally:
+                    gate.release_read()
+
+        apps = [
+            threading.Thread(target=appender, args=(i,))
+            for i in range(N_APPENDERS)
+        ]
+        aux = [
+            threading.Thread(target=deleter),
+            threading.Thread(target=maintainer),
+        ]
+        for th in apps + aux:
+            th.start()
+        for th in apps:
+            th.join()
+        time.sleep(0.2)  # let the deleter land a final pass
+        stop.set()
+        for th in aux:
+            th.join()
+        assert not errors, errors
+        assert len(deleted) >= 3  # the soak actually exercised deletes
+
+        want = sorted(
+            k
+            for ks in committed.values()
+            for k in ks
+            if k not in set(deleted)
+        )
+        got = sorted(r["k"] for r in S.snapshot_read(spark, t).collect())
+        assert got == want
+        # every retained version exactly readable; final expire+vacuum
+        # (quiesced) keeps the tip intact — deleted rows stay gone,
+        # surviving rows stay present
+        for m in S.snapshot_versions(t):
+            assert (
+                S.snapshot_read(spark, t, version=m["version"]).count()
+                == m["rows"]
+            )
+        S.snapshot_expire(t, keep_last=1)
+        S.snapshot_vacuum(spark, t)
+        assert sorted(
+            r["k"] for r in S.snapshot_read(spark, t).collect()
+        ) == want

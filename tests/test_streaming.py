@@ -2373,3 +2373,65 @@ def test_phash_gate_feed_matches_file_stream(spark, tmp_path):
         )
     assert results["feed"] == results["stream"]
     assert results["feed"][1]  # planted dups actually matched
+
+
+def test_afp_gate_feed_matches_file_stream(spark, tmp_path):
+    """The audio-ingest gate over SnapshotFeed deltas equals the
+    file-stream feed — the third fingerprint-modality member of the
+    feed-parity family (one engine, so this pins the clip identity-key
+    path end to end)."""
+    from pyspark.sql import functions as F
+
+    from imagingdb_spark import snapshots as SN
+    from imagingdb_spark.multimodal import synth_clips
+
+    docs = spark.read.parquet(SF_DIR + "/documents.parquet").select(
+        "doc_id", "text"
+    ).filter(F.col("doc_id") < 80)
+    batches = [
+        synth_clips(docs),
+        synth_clips(
+            docs.filter(F.col("doc_id") < 25).withColumn(
+                "doc_id", F.col("doc_id") + 10_000
+            )
+        ),
+    ]
+    results = {}
+    for mode in ("stream", "feed"):
+        corpus = str(tmp_path / mode / "corpus")
+        matches = str(tmp_path / mode / "matches")
+        ck = str(tmp_path / mode / "ck")
+        if mode == "stream":
+            bdir = tmp_path / "clips_in"
+            bdir.mkdir()
+            import glob as _g
+            import shutil as _sh
+
+            for i, b in enumerate(batches):
+                b.coalesce(1).write.parquet(str(tmp_path / f"cstage{i}"))
+                src = _g.glob(str(tmp_path / f"cstage{i}" / "part-*.parquet"))[0]
+                _sh.move(src, str(bdir / f"b{i:02d}.parquet"))
+            stream = (
+                spark.readStream.schema(batches[0].schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(str(bdir))
+            )
+            q = jobs.streaming_afp_gate(stream, corpus, matches, ck)
+            q.processAllAvailable()
+            q.stop()
+        else:
+            src_table = str(tmp_path / "clips_snap")
+            q = jobs.streaming_afp_gate(src_table, corpus, matches, ck)
+            for b in batches:
+                SN.snapshot_commit(spark, src_table, b)
+                q.processAllAvailable()
+            q.stop()
+        results[mode] = (
+            spark.read.parquet(corpus).count(),
+            {
+                (r["new_clip"], r["corpus_clip"])
+                for r in spark.read.parquet(matches).collect()
+            },
+        )
+    assert results["feed"] == results["stream"]
+    assert results["feed"][1]  # cross-trigger matches actually landed
