@@ -538,7 +538,7 @@ def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
 def catalog_delete(
     spark: SparkSession,
     catalog_dir: str,
-    where: dict[str, list],
+    where,  # dict[str, list] | Callable[[dict[str, DataFrame]], dict]
     max_retries: int = 5,
 ) -> dict:
     """Targeted row-level DELETE across MANY catalog tables, published as
@@ -566,15 +566,30 @@ def catalog_delete(
     physically matching row, nothing is published and the tip version
     returns unchanged. Time travel keeps pre-delete catalog versions
     readable; ``catalog_expire`` + ``catalog_vacuum`` make the erasure
-    physical."""
-    checked = {
-        name: S._check_where(w) for name, w in where.items()
-    }
-    for name, w in checked.items():
-        if not w:
-            raise ValueError(
-                f"catalog_delete needs a non-empty predicate for {name!r}"
-            )
+    physical.
+
+    ``where`` may be a CALLABLE ``build(views) -> {table: triples}``: it
+    receives the catalog-tip view of every table and is re-invoked
+    against the EXACT tip inside every retry — required whenever the
+    predicates are DERIVED from table state (surrogate-id chains): a
+    racing commit can add child rows under the same parent, and
+    predicates baked from a stale tip would delete the parent while
+    publishing the new children as surviving orphans (the same builder
+    discipline as catalog_commit)."""
+    build = where if callable(where) else None
+
+    def _checked(w_map: dict) -> dict:
+        out = {name: S._check_where(w) for name, w in w_map.items()}
+        for name, w in out.items():
+            if not w:
+                raise ValueError(
+                    f"catalog_delete needs a non-empty predicate for "
+                    f"{name!r}"
+                )
+        return out
+
+    if build is None:
+        static_checked = _checked(where)
     for _ in range(max_retries):
         vs = catalog_versions(catalog_dir)
         if not vs:
@@ -584,6 +599,14 @@ def catalog_delete(
         parent = vs[-1]
         base = _read_commit(catalog_dir, parent)
         tables_base: dict[str, dict] = dict(base["tables"])
+        if build is not None:
+            views = {
+                name: _manifest_df(spark, catalog_dir, name, m)
+                for name, m in tables_base.items()
+            }
+            checked = _checked(build(views))
+        else:
+            checked = static_checked
         missing = set(checked) - set(tables_base)
         if missing:
             raise ValueError(
@@ -644,45 +667,51 @@ def catalog_delete_dataset(
     """Remove one dataset ACROSS the imaging FK chain as one atomic
     multi-table delete — the reference's dataset-removal shape
     (db_operations.py's data_set → frames_global/file_global → frames
-    relationships): resolve the serial's surrogate ids at the catalog
-    tip, then delete data_set by serial, frames_global / file_global by
-    ``dataset_id``, and frames by ``frames_global_id``, all published
-    under ONE commit — a reader never sees a dataset row without its
-    frames or vice versa. Tables absent from the catalog are skipped.
+    relationships): delete data_set by serial, frames_global /
+    file_global by ``dataset_id``, and frames by ``frames_global_id``,
+    all published under ONE commit — a reader never sees a dataset row
+    without its frames or vice versa. Tables absent from the catalog
+    are skipped.
 
-    The id resolution rides OUTSIDE catalog_delete's retry loop, which
-    is safe because surrogate ids are append-only and immutable: a
-    racing commit can add rows but never re-map serial → id (same-serial
-    uploads converge idempotently), so re-resolving candidates at the
-    winner's tip inside the retry still targets the same ids. Raises
-    DatasetNotFoundError-shaped ValueError when the serial is unknown."""
+    The id chain is resolved INSIDE catalog_delete's retry loop (the
+    builder form): a racing commit can add new frames_global/frames
+    rows under the same dataset between resolve and publish, and
+    predicates baked from a stale tip would delete the parent while
+    publishing the newcomers as surviving orphans — re-building against
+    the winner's tip re-captures them. Raises ValueError when the
+    serial is unknown."""
     tables = catalog_manifest(catalog_dir)["tables"]
     if "data_set" not in tables:
         raise ValueError(f"{catalog_dir} has no data_set table")
-    ds = catalog_read(spark, catalog_dir, "data_set")
-    ids = [
-        r["id"]
-        for r in ds.filter(
-            ds.dataset_serial == dataset_serial
-        ).select("id").collect()
-    ]
-    if not ids:
+    # presence check once, loudly, before any retry machinery
+    probe = catalog_read(spark, catalog_dir, "data_set")
+    if probe.filter(probe.dataset_serial == dataset_serial).limit(1).count() == 0:
         raise ValueError(
             f"dataset {dataset_serial!r} not found in {catalog_dir}"
         )
-    targets: dict[str, list] = {
-        "data_set": [("dataset_serial", "=", dataset_serial)]
-    }
-    if "frames_global" in tables:
-        targets["frames_global"] = [("dataset_id", "in", ids)]
-        fg = catalog_read(spark, catalog_dir, "frames_global")
-        fg_ids = [
+
+    def build(views: dict) -> dict:
+        ds = views["data_set"]
+        ids = [
             r["id"]
-            for r in fg.filter(fg.dataset_id.isin(ids))
+            for r in ds.filter(ds.dataset_serial == dataset_serial)
             .select("id").collect()
         ]
-        if fg_ids and "frames" in tables:
-            targets["frames"] = [("frames_global_id", "in", fg_ids)]
-    if "file_global" in tables:
-        targets["file_global"] = [("dataset_id", "in", ids)]
-    return catalog_delete(spark, catalog_dir, targets)
+        targets: dict[str, list] = {
+            "data_set": [("dataset_serial", "=", dataset_serial)]
+        }
+        if ids and "frames_global" in views:
+            targets["frames_global"] = [("dataset_id", "in", ids)]
+            fg = views["frames_global"]
+            fg_ids = [
+                r["id"]
+                for r in fg.filter(fg.dataset_id.isin(ids))
+                .select("id").collect()
+            ]
+            if fg_ids and "frames" in views:
+                targets["frames"] = [("frames_global_id", "in", fg_ids)]
+        if ids and "file_global" in views:
+            targets["file_global"] = [("dataset_id", "in", ids)]
+        return targets
+
+    return catalog_delete(spark, catalog_dir, build)

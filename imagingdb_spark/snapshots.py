@@ -2097,15 +2097,46 @@ def propagate_deletes(
     batch-id screens). Returns {"deleted_keys": n, "targets": {dir:
     audit}} — targets untouched when nothing was deleted. Derived
     tables indexed (bloom/clustered) on the key column turn each
-    propagation into the measured few-files rewrite."""
-    keys_needed = set(targets.values())
+    propagation into the measured few-files rewrite.
+
+    Windows are applied by their NET effect, not change-by-change: a
+    key deleted at v5 and re-inserted at v7 inside the same window is
+    LIVE at the tip, and its derived rows (which a changelog consumer
+    re-landed from v7's insert) must not be removed — so only keys
+    whose LAST change in the window is a delete propagate (the
+    version-ordered CDC rule, folded to one aggregate)."""
+    from pyspark.sql import functions as F
+
+    keys_needed = sorted(set(targets.values()))
     cdf = snapshot_row_changes(
         spark, src_table, since_version, version=version
-    ).filter("_change_type = 'delete'")
-    out: dict = {"deleted_keys": 0, "targets": {}}
-    rows = (
-        cdf.select(*sorted(keys_needed)).distinct().collect()
     )
+    last = (
+        cdf.groupBy(*keys_needed)
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_change_type") == "delete",
+                    F.col("_commit_version"),
+                )
+            ).alias("__del_v"),
+            F.max(
+                F.when(
+                    F.col("_change_type") == "insert",
+                    F.col("_commit_version"),
+                )
+            ).alias("__ins_v"),
+        )
+        .filter(
+            F.col("__del_v").isNotNull()
+            & (
+                F.col("__ins_v").isNull()
+                | (F.col("__del_v") > F.col("__ins_v"))
+            )
+        )
+    )
+    out: dict = {"deleted_keys": 0, "targets": {}}
+    rows = last.select(*keys_needed).distinct().collect()
     if not rows:
         return out
     by_col = {

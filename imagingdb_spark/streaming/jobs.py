@@ -396,7 +396,7 @@ def streaming_distinct_hll(
     group_cols: tuple[str, ...] = ("window_start", "event_type"),
     expire_every: int = 8,
     keep_versions: int = 4,
-) -> StreamingQuery:
+) -> "StreamingQuery | SnapshotFeed":
     """Continuous COUNT(DISTINCT) with BOUNDED state: per micro-batch,
     build mergeable HyperLogLog register partials per (hour, event_type)
     window (operators/sketches.py — sparse (group, reg_idx, max rank)
@@ -464,7 +464,7 @@ def streaming_heavy_hitters(
     k: int | None = None,
     expire_every: int = 8,
     keep_versions: int = 4,
-) -> StreamingQuery:
+) -> "StreamingQuery | SnapshotFeed":
     """Continuous heavy hitters with BOUNDED state (St15): per micro-batch,
     per-partition Misra–Gries partials over the batch's tokens + the exact
     batch total (operators/text.py mg_batch_partial), folded into a
@@ -540,7 +540,7 @@ def streaming_perplexity(
     checkpoint_dir: str,
     expire_every: int = 8,
     keep_versions: int = 4,
-) -> StreamingQuery:
+) -> "StreamingQuery | SnapshotFeed":
     """Continuous per-language LM maintenance (St18): per micro-batch,
     the batch's (lang, tok, c) unigram partials (operators/lm.py
     lang_term_counts — map-side combined, one vocab-sized shuffle) fold
@@ -597,7 +597,7 @@ def streaming_quantiles(
     group_cols: tuple[str, ...] = (),
     expire_every: int = 8,
     keep_versions: int = 4,
-) -> StreamingQuery:
+) -> "StreamingQuery | SnapshotFeed":
     """Continuous quantiles with BOUNDED state (St16): per micro-batch,
     DDSketch log-bucket partials per group (operators/sketches.py
     dd_partials — one projection + one map-side-combined sum, all JVM)
@@ -642,7 +642,7 @@ def streaming_theta_sketch(
     group_cols: tuple[str, ...] = ("event_type",),
     expire_every: int = 8,
     keep_versions: int = 4,
-) -> StreamingQuery:
+) -> "StreamingQuery | SnapshotFeed":
     """Continuous per-group KMV/theta sketches with BOUNDED state (St17):
     per micro-batch, the batch's k smallest distinct hash values per group
     (operators/sketches.py kmv_partials) folded into snapshot state via
@@ -826,36 +826,55 @@ class SnapshotFeed:
         )
         self.last_plan: dict = {}
 
-    def cursor(self) -> int:
+    def _state(self) -> dict:
         import json
 
         try:
             with open(self._cursor_path) as f:
-                return json.load(f)["version"]
+                return json.load(f)
         except FileNotFoundError:
-            return 0
+            return {"version": 0}
 
-    def _advance(self, v: int) -> None:
+    def cursor(self) -> int:
+        return self._state()["version"]
+
+    def _write_state(self, state: dict) -> None:
         import json
 
         tmp = self._cursor_path + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({"version": v}, f)
+            json.dump(state, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._cursor_path)
 
     def step(self) -> int | None:
-        """Consume everything committed past the cursor as one
-        micro-batch; returns the new cursor version, or None when
-        already caught up (nothing runs)."""
+        """Consume one micro-batch and return the new cursor version, or
+        None when already caught up (nothing runs).
+
+        The batch RANGE is pinned BEFORE the sink runs: the checkpoint
+        records {"inflight": [since, tip]} (tmp+fsync+rename), the sink
+        processes exactly that range with batch_id = that tip, and only
+        then does the cursor advance (clearing the pin). A crash between
+        sink and advance therefore replays the SAME range with the SAME
+        batch_id even when new commits landed in the meantime — without
+        the pin, a restart would widen the range to the new tip and a
+        txn-marker-screened fold (MG/DDSketch/LM: stored seq < new tip)
+        would double-count the already-applied delta. This is the same
+        offsets-then-commit two-file discipline a Structured Streaming
+        checkpoint uses."""
         from imagingdb_spark import snapshots as SN
 
-        cur = self.cursor()
-        vs = SN._versions(self.table_dir)
-        if not vs or vs[-1] <= cur:
-            return None
-        tip = vs[-1]
+        state = self._state()
+        cur = state["version"]
+        if "inflight" in state:
+            cur, tip = state["inflight"]  # crashed mid-batch: replay it
+        else:
+            vs = SN._versions(self.table_dir)
+            if not vs or vs[-1] <= cur:
+                return None
+            tip = vs[-1]
+            self._write_state({"version": cur, "inflight": [cur, tip]})
         plan: dict = {}
         delta = SN.snapshot_changes(
             self.spark,
@@ -870,7 +889,7 @@ class SnapshotFeed:
         if self.transform is not None:
             delta = self.transform(delta)
         self.sink(delta, tip)
-        self._advance(tip)
+        self._write_state({"version": tip})
         return tip
 
     def processAllAvailable(self) -> None:  # noqa: N802 (query parity)
@@ -879,6 +898,19 @@ class SnapshotFeed:
 
     def stop(self) -> None:  # noqa: B027 (query-surface parity no-op)
         pass
+
+    # --- StreamingQuery-surface parity: callers written against the
+    # gates' declared return type must not AttributeError on the feed ---
+    @property
+    def isActive(self) -> bool:  # noqa: N802
+        return False  # poll-driven: never running between step() calls
+
+    @property
+    def lastProgress(self) -> dict:  # noqa: N802
+        return dict(self.last_plan)
+
+    def awaitTermination(self, timeout=None) -> bool:  # noqa: N802
+        return True  # nothing runs in the background to wait for
 
 
 def _attach(
@@ -1051,7 +1083,7 @@ def streaming_dedup_gate(
     append_partitions: int | None = 8,
     index_format: str = "parquet",
     index_target_bytes: int = 256 * 1024,
-) -> StreamingQuery:
+) -> "StreamingQuery | SnapshotFeed":
     """Streaming crawl-ingest dedup gate — the continuous twin of
     x_dedup_incremental: per micro-batch, (1) exact-dedup the batch
     internally (content sha2, min doc_id keeper), (2) match survivors
@@ -1547,7 +1579,7 @@ def streaming_embedding_gate(
     probe: int | None = None,
     compact_every: int | None = None,
     append_partitions: int | None = 8,
-) -> StreamingQuery:
+) -> "StreamingQuery | SnapshotFeed":
     """Streaming ANN-gated embedding ingest — the EMBEDDING twin of
     streaming_dedup_gate (St9): per micro-batch, (1) exact-dedup the
     batch by vec_id, (2) mine cosine-≥-threshold matches against the
@@ -1748,7 +1780,7 @@ def _streaming_fingerprint_gate(
     max_distance: int,
     index_format: str = "parquet",
     index_target_bytes: int = 256 * 1024,
-) -> StreamingQuery:
+) -> "StreamingQuery | SnapshotFeed":
     """The shared engine behind the image (St10) and audio (St11) ingest
     gates: per micro-batch, (1) ``fingerprinted(batch_df)`` returns the
     batch rows with a string ``id_col`` and a 64-bit ``fp_col`` (decode
@@ -2050,7 +2082,7 @@ def streaming_phash_gate(
     index_target_bytes: int = 256 * 1024,
     decoder=None,
     on_decode_error: str = "raise",
-) -> StreamingQuery:
+) -> "StreamingQuery | SnapshotFeed":
     """St10 — streaming IMAGE-ingest dedup gate: the multimodal twin of
     streaming_dedup_gate, instantiating _streaming_fingerprint_gate with
     the real PNG-decode + DCT pHash (multimodal.phash_frames) and the
@@ -2123,7 +2155,7 @@ def streaming_afp_gate(
     append_partitions: int | None = 8,
     max_distance: int | None = None,
     index_format: str = "parquet",
-) -> StreamingQuery:
+) -> "StreamingQuery | SnapshotFeed":
     """St11 — streaming AUDIO-ingest dedup gate: the same engine as the
     image gate, instantiated with the Haitsma–Kalker-style fingerprint
     (multimodal.afp_clips, real RIFF decode + rfft band energies).
@@ -2351,7 +2383,7 @@ def streaming_cdc_apply(
     state_path: str,
     checkpoint_dir: str,
     key: str = "doc_id",
-) -> StreamingQuery:
+) -> "StreamingQuery | SnapshotFeed":
     """Continuous CDC replication: a stream of (key, seq, op, attrs)
     change rows maintains a keyed parquet snapshot with last-write-wins
     by seq and deletes — x_cdc_apply's semantics, one micro-batch at a
@@ -2375,7 +2407,7 @@ def streaming_cdc_apply_snapshot(
     key: str = "doc_id",
     expire_every: int = 8,
     keep_versions: int = 4,
-) -> StreamingQuery:
+) -> "StreamingQuery | SnapshotFeed":
     """streaming_cdc_apply with the state held in a SNAPSHOT table — the
     "at 100 TB the state is a table format whose MERGE replaces the swap"
     note above, closed in-repo: each micro-batch runs the same pure state

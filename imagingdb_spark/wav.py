@@ -129,7 +129,15 @@ def ima_adpcm_decode(
 ) -> np.ndarray:
     """IMA ADPCM data chunk → int16 samples, shape (n,) mono / (n, ch)."""
     per_ch: list[list[int]] = [[] for _ in range(channels)]
-    for bstart in range(0, len(data) - (len(data) % block_align), block_align):
+    # a trailing SHORT block (header present, fewer nibble words) still
+    # decodes — same real-world-encoder case as the MS ADPCM tail fix;
+    # the inner word loop already stops at the data that exists
+    hdr = 4 * channels
+    starts = list(range(0, len(data) - (len(data) % block_align), block_align))
+    tail = len(data) % block_align
+    if tail >= hdr:
+        starts.append(len(data) - tail)
+    for bstart in starts:
         block = data[bstart : bstart + block_align]
         preds, idxs = [], []
         for c in range(channels):

@@ -809,3 +809,76 @@ class TestCatalogDelete:
         assert ds.filter(F.col("dataset_serial") == UP_SERIAL2).count() == 1
         fr = C.catalog_read(spark, cat_dir, "frames")
         assert fr.count() == 6  # only the surviving dataset's frames
+
+
+class TestCatalogDeleteBuilder:
+    def test_builder_recaptures_racing_children(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Review fix (r9): predicates DERIVED from table state (the
+        frames-by-fg_id chain) must re-resolve inside the retry — a
+        racing commit that adds a child row under the parent being
+        deleted would otherwise leave that child as a permanent orphan."""
+        cat = str(tmp_path / "cat")
+
+        def build0(views):
+            return {
+                "parent": spark.createDataFrame(
+                    [(1, "S1"), (2, "S2")], "id long, serial string"
+                ),
+                "child": spark.createDataFrame(
+                    [(10, 1), (11, 2)], "cid long, parent_id long"
+                ),
+            }
+
+        C.catalog_commit(
+            spark, cat, build0, keys={"parent": ["id"], "child": ["cid"]}
+        )
+        real = C._publish_commit
+        raced = {"done": False}
+
+        def racing(catalog_dir, version, commit):
+            if not raced["done"]:
+                raced["done"] = True
+                monkeypatch.setattr(C, "_publish_commit", real)
+                C.catalog_commit(
+                    spark, cat,
+                    lambda v: {
+                        "child": spark.createDataFrame(
+                            [(12, 1)], "cid long, parent_id long"
+                        )
+                    },
+                    keys={"child": ["cid"]},
+                )
+                monkeypatch.setattr(C, "_publish_commit", racing)
+            return real(catalog_dir, version, commit)
+
+        def delete_builder(views):
+            p = views["parent"]
+            ids = [
+                r["id"] for r in p.filter(p.serial == "S1").collect()
+            ]
+            ch = views["child"]
+            cids = [
+                r["cid"]
+                for r in ch.filter(ch.parent_id.isin(ids)).collect()
+            ]
+            return {
+                "parent": [("serial", "=", "S1")],
+                "child": [("cid", "in", cids or [-1])],
+            }
+
+        monkeypatch.setattr(C, "_publish_commit", racing)
+        out = C.catalog_delete(spark, cat, delete_builder)
+        monkeypatch.setattr(C, "_publish_commit", real)
+        # the retry's re-built predicate captured the RACED-IN child 12
+        assert out["tables"]["child"]["rows_deleted"] == 2
+        kids = sorted(
+            (r["cid"], r["parent_id"])
+            for r in C.catalog_read(spark, cat, "child").collect()
+        )
+        assert kids == [(11, 2)]  # no orphan under the deleted parent
+        assert [
+            r["serial"]
+            for r in C.catalog_read(spark, cat, "parent").collect()
+        ] == ["S2"]

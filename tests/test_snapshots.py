@@ -2254,3 +2254,33 @@ class TestDeleteSoak:
         assert sorted(
             r["k"] for r in S.snapshot_read(spark, t).collect()
         ) == want
+
+
+class TestPropagateNetEffect:
+    def test_reinserted_key_does_not_propagate(self, spark, tmp_path):
+        """Review fix (r9): a key deleted then RE-INSERTED inside the
+        propagation window is live at the tip — its derived rows stay;
+        only keys whose last change is a delete propagate."""
+        corpus = str(tmp_path / "corpus")
+        idx = str(tmp_path / "idx")
+        docs = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(20)], "doc_id long, v string"
+        )
+        S.snapshot_commit(spark, corpus, docs.coalesce(2))
+        S.snapshot_commit(
+            spark, idx,
+            docs.selectExpr("doc_id", "v as token").coalesce(2),
+        )
+        cursor = S._versions(corpus)[-1]
+        # delete docs 5 and 6; re-insert doc 5 (opt-out reversed)
+        S.snapshot_delete(spark, corpus, [("doc_id", "in", [5, 6])])
+        S.snapshot_commit(
+            spark, corpus,
+            spark.createDataFrame([(5, "v5")], "doc_id long, v string"),
+        )
+        out = S.propagate_deletes(spark, corpus, cursor, {idx: "doc_id"})
+        assert out["deleted_keys"] == 1  # only doc 6 — doc 5 is live
+        left = sorted(
+            r["doc_id"] for r in S.snapshot_read(spark, idx).collect()
+        )
+        assert left == [d for d in range(20) if d != 6]

@@ -2244,14 +2244,18 @@ class TestSnapshotFeed:
         assert feed.step() is None
         assert seen == [(1, [1]), (3, [2, 3])]
         # crash between sink and advance: delta replays, then converges
-        real_advance = feed._advance
-        feed._advance = lambda v: (_ for _ in ()).throw(
-            RuntimeError("crash before cursor write")
-        )
+        real_write = feed._write_state
+
+        def crash_on_advance(state):
+            if "inflight" not in state:  # the post-sink cursor advance
+                raise RuntimeError("crash before cursor write")
+            real_write(state)
+
+        feed._write_state = crash_on_advance
         SN.snapshot_commit(spark, src, mk([(4, "d")]))
         with pytest.raises(RuntimeError, match="crash before"):
             feed.step()
-        feed._advance = real_advance
+        feed._write_state = real_write
         assert feed.step() == 4
         assert seen[-2:] == [(4, [4]), (4, [4])]  # same batch_id both fires
         # a NEW feed over the same checkpoint resumes, not replays
@@ -2435,3 +2439,66 @@ def test_afp_gate_feed_matches_file_stream(spark, tmp_path):
         )
     assert results["feed"] == results["stream"]
     assert results["feed"][1]  # cross-trigger matches actually landed
+
+
+class TestSnapshotFeedPinnedRange:
+    """Review fix (r9): the feed pins its (since, tip) range BEFORE the
+    sink runs, so a crash mid-batch replays the SAME range with the
+    SAME batch_id even when new commits landed in between — without the
+    pin, the widened range would re-fold the already-applied delta past
+    the txn-marker screen (stored seq < new tip)."""
+
+    def test_crash_then_new_commit_replays_pinned_range(
+        self, spark, tmp_path
+    ):
+        from imagingdb_spark import snapshots as SN
+
+        src = str(tmp_path / "src")
+        seen = []
+        crash = {"on": False}
+
+        def sink(df, batch_id):
+            keys = sorted(r["k"] for r in df.collect())
+            seen.append((batch_id, keys))
+            if crash["on"]:
+                crash["on"] = False
+                raise RuntimeError("simulated crash inside sink")
+
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+        feed = jobs.SnapshotFeed(src, sink, str(tmp_path / "ck"))
+        SN.snapshot_commit(spark, src, mk([(1, "a")]))
+        assert feed.step() == 1
+        SN.snapshot_commit(spark, src, mk([(2, "b")]))
+        crash["on"] = True
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            feed.step()
+        # a commit lands while the feed is down
+        SN.snapshot_commit(spark, src, mk([(3, "c")]))
+        # restart (fresh object, same checkpoint): the PINNED range
+        # replays first — batch_id 2 with ONLY v2's rows, then v3 alone
+        feed2 = jobs.SnapshotFeed(src, sink, str(tmp_path / "ck"))
+        assert feed2.step() == 2
+        assert feed2.step() == 3
+        assert feed2.step() is None
+        assert seen == [
+            (1, [1]), (2, [2]),          # pre-crash + crashed attempt
+            (2, [2]), (3, [3]),          # pinned replay, then the newcomer
+        ]
+
+    def test_query_surface_parity(self, spark, tmp_path):
+        from imagingdb_spark import snapshots as SN
+
+        src = str(tmp_path / "src")
+        SN.snapshot_commit(
+            spark, src,
+            spark.createDataFrame([(1, "t x y")], "doc_id long, text string"),
+        )
+        q = jobs.streaming_heavy_hitters(
+            src, str(tmp_path / "state"), str(tmp_path / "ck")
+        )
+        q.processAllAvailable()
+        # callers written against the declared StreamingQuery surface
+        assert q.awaitTermination(1) is True
+        assert q.isActive is False
+        assert isinstance(q.lastProgress, dict)
+        q.stop()

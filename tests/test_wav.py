@@ -327,3 +327,19 @@ class TestAdpcmTails:
         trimmed, _, _ = wav.decode_wav(bytes(spliced))
         assert len(trimmed) == n
         np.testing.assert_array_equal(trimmed, padded[:n])
+
+
+def test_ima_adpcm_partial_final_block_decodes():
+    """Review fix (r9): the trailing-short-block rule applies to IMA
+    ADPCM too — a header-bearing tail block contributes its samples
+    instead of being dropped."""
+    x = np.linspace(-0.4, 0.4, 1010)  # not a block multiple (spb=505)
+    i16 = (x * 32767.0).round().astype(np.int16)
+    data, block_align, spb = wav.ima_adpcm_encode(i16)
+    full = wav.ima_adpcm_decode(data, 1, block_align)
+    # append a header-only short block: its predictor IS one more sample
+    short = struct.pack("<hBx", 1234, 0)
+    out = wav.ima_adpcm_decode(data + short, 1, block_align)
+    assert len(out) == len(full) + 1
+    assert out[-1] == 1234
+    np.testing.assert_array_equal(out[:-1], full)
