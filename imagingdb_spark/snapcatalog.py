@@ -715,3 +715,111 @@ def catalog_delete_dataset(
         return targets
 
     return catalog_delete(spark, catalog_dir, build)
+
+
+def catalog_changes(
+    spark: SparkSession,
+    catalog_dir: str,
+    since_version: int,
+    version: int | None = None,
+    ignore_deletes: bool = False,
+    ignore_changes: bool = False,
+    plan: dict | None = None,
+) -> dict[str, DataFrame]:
+    """Multi-table incremental changelog: {table: rows ADDED} between
+    ``since_version`` (exclusive) and ``version`` (default tip,
+    inclusive) of the CATALOG chain — what a downstream mirror
+    following the whole catalog consumes instead of re-reading every
+    table per sync. Each table's delta resolves from only the manifest
+    GROUPS later commits changed (snapshots._added_entries — the same
+    group-diff as the per-table changelog, exact across coalescing
+    merges), so one poll is O(changed tables × changed groups)
+    regardless of catalog size. Because the deltas come from ONE
+    commit-object walk, they are mutually consistent: a dataset's
+    data_set/frames_global/frames rows appear in the SAME poll, never
+    split across two (the atomicity the catalog commit guarantees,
+    carried through to incremental readers).
+
+    Per-table modes follow the per-table changelog contracts:
+    delete-mode manifests (catalog_delete) are skipped under
+    ``ignore_deletes=True`` and raise otherwise; full-rewrite modes
+    raise unless ``ignore_changes`` re-delivers. Tables absent from the
+    returned dict had no additions. ``plan`` collects
+    {commits_walked, groups_opened, files_added}."""
+    vs = catalog_versions(catalog_dir)
+    if not vs:
+        raise FileNotFoundError(
+            f"{catalog_dir} has no committed catalog versions"
+        )
+    end_v = vs[-1] if version is None else version
+    if end_v not in vs:
+        raise FileNotFoundError(f"{catalog_dir} has no version {end_v}")
+    if since_version > end_v:
+        raise ValueError(
+            f"since_version {since_version} is ahead of catalog "
+            f"version {end_v}"
+        )
+    entries: dict[str, list] = {}
+    schemas: dict[str, str] = {}
+    commits_walked = 0
+    groups_opened = 0
+    prev_tables: dict[str, dict] = {}
+    for v in range(max(1, since_version), end_v + 1):
+        try:
+            commit = _read_commit(catalog_dir, v)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"{catalog_dir} catalog version {v} expired before it "
+                "was consumed; retention must cover the cursor lag"
+            )
+        if v == since_version:
+            prev_tables = commit["tables"]
+            continue
+        commits_walked += 1
+        for name, m in commit["tables"].items():
+            schemas[name] = m["schema"]
+            pm = prev_tables.get(name, {"version": 0, "groups": []})
+            if m.get("groups") == pm.get("groups"):
+                continue  # table untouched by this commit
+            mode = m.get("mode")
+            if mode == "compact":
+                continue
+            if mode == "delete":
+                if not ignore_deletes:
+                    raise ValueError(
+                        f"catalog {catalog_dir} v{v} deletes from "
+                        f"{name!r}; pass ignore_deletes=True if removals "
+                        "may be skipped (snapshot_row_changes-style CDF "
+                        "is per-table)"
+                    )
+                continue
+            if mode not in ("append",) and not ignore_changes:
+                raise ValueError(
+                    f"catalog {catalog_dir} v{v} rewrites {name!r} "
+                    f"({mode!r}); pass ignore_changes=True to re-deliver"
+                )
+            tdir = _table_dir(catalog_dir, name)
+            added = S._added_entries(tdir, pm, m)
+            if m.get("groups") is not None and pm.get("groups") is not None:
+                groups_opened += len(
+                    {g["name"] for g in m["groups"]}
+                    ^ {g["name"] for g in pm["groups"]}
+                )
+            entries.setdefault(name, []).extend(added)
+        prev_tables = commit["tables"]
+    if plan is not None:
+        plan.update(
+            commits_walked=commits_walked,
+            groups_opened=groups_opened,
+            files_added=sum(len(e) for e in entries.values()),
+        )
+    out: dict[str, DataFrame] = {}
+    for name, fes in entries.items():
+        if not fes:
+            continue
+        schema = StructType.fromJson(json.loads(schemas[name]))
+        tdir = _table_dir(catalog_dir, name)
+        out[name] = spark.read.schema(schema).parquet(
+            *[os.path.join(tdir, fe["path"]) for fe in fes]
+        )
+    return out

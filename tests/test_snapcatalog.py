@@ -882,3 +882,47 @@ class TestCatalogDeleteBuilder:
             r["serial"]
             for r in C.catalog_read(spark, cat, "parent").collect()
         ] == ["S2"]
+
+
+class TestCatalogChanges:
+    """Multi-table incremental changelog (round-9): one poll returns the
+    delta of EVERY table from one commit-object walk — a dataset's rows
+    land in the same poll across all three tables, never split."""
+
+    def test_one_poll_carries_the_whole_dataset(self, spark, tmp_path):
+        cat_dir = str(tmp_path / "cat")
+        src = _src_file(tmp_path)
+        _upload(spark, src, tmp_path, cat_dir)
+        cursor = C.catalog_versions(cat_dir)[-1]
+        _upload(spark, src, tmp_path, cat_dir, serial=UP_SERIAL2)
+        plan = {}
+        delta = C.catalog_changes(spark, cat_dir, cursor, plan=plan)
+        assert set(delta) == {"data_set", "frames_global", "frames"}
+        ds = delta["data_set"].collect()
+        assert [r["dataset_serial"] for r in ds] == [UP_SERIAL2]
+        assert delta["frames"].count() == 6
+        # the frames belong to THIS poll's dataset — mutual consistency
+        fg_ids = {r["id"] for r in delta["frames_global"].collect()}
+        assert {
+            r["frames_global_id"] for r in delta["frames"].collect()
+        } == fg_ids
+        assert plan["commits_walked"] == 1
+        # caught up: empty dict
+        tip = C.catalog_versions(cat_dir)[-1]
+        assert C.catalog_changes(spark, cat_dir, tip) == {}
+
+    def test_delete_contract_and_skip(self, spark, tmp_path):
+        cat_dir = str(tmp_path / "cat")
+        src = _src_file(tmp_path)
+        _upload(spark, src, tmp_path, cat_dir)
+        _upload(spark, src, tmp_path, cat_dir, serial=UP_SERIAL2)
+        cursor = C.catalog_versions(cat_dir)[-1]
+        C.catalog_delete_dataset(spark, cat_dir, UP_SERIAL)
+        with pytest.raises(ValueError, match="deletes from"):
+            C.catalog_changes(spark, cat_dir, cursor)
+        assert (
+            C.catalog_changes(
+                spark, cat_dir, cursor, ignore_deletes=True
+            )
+            == {}
+        )  # a delete commit adds no rows
