@@ -781,23 +781,11 @@ def catalog_changes(
             pm = prev_tables.get(name, {"version": 0, "groups": []})
             if m.get("groups") == pm.get("groups"):
                 continue  # table untouched by this commit
-            mode = m.get("mode")
-            if mode == "compact":
+            if S.changelog_mode_action(
+                m.get("mode"), ignore_deletes, ignore_changes,
+                f"catalog {catalog_dir} v{v} table {name!r}",
+            ) == "skip":
                 continue
-            if mode == "delete":
-                if not ignore_deletes:
-                    raise ValueError(
-                        f"catalog {catalog_dir} v{v} deletes from "
-                        f"{name!r}; pass ignore_deletes=True if removals "
-                        "may be skipped (snapshot_row_changes-style CDF "
-                        "is per-table)"
-                    )
-                continue
-            if mode not in ("append",) and not ignore_changes:
-                raise ValueError(
-                    f"catalog {catalog_dir} v{v} rewrites {name!r} "
-                    f"({mode!r}); pass ignore_changes=True to re-deliver"
-                )
             tdir = _table_dir(catalog_dir, name)
             added = S._added_entries(tdir, pm, m)
             if m.get("groups") is not None and pm.get("groups") is not None:

@@ -1839,6 +1839,36 @@ def _added_entries(table_dir: str, prev: dict, cur: dict) -> list[dict]:
     ]
 
 
+def changelog_mode_action(
+    mode: str | None,
+    ignore_deletes: bool,
+    ignore_changes: bool,
+    ctx: str,
+) -> str:
+    """ONE mode dispatch for every changelog walker (the per-table
+    snapshot_changes and the catalog-level snapcatalog.catalog_changes):
+    'skip' for dataChange=false commits and (under ignore_deletes)
+    delete rewrites, 'emit' for appends and (under ignore_changes)
+    full rewrites, loud ValueError otherwise. A new commit mode added
+    to the format is handled HERE or nowhere — two hand-rolled copies
+    of this block were a confirmed divergence hazard."""
+    if mode == "compact":
+        return "skip"  # bytes moved, rows identical
+    if mode == "delete":
+        if not ignore_deletes:
+            raise ValueError(
+                f"{ctx} is a delete commit; pass ignore_deletes=True "
+                "if removals may be skipped"
+            )
+        return "skip"  # rewritten files hold only surviving OLD rows
+    if mode != "append" and not ignore_changes:
+        raise ValueError(
+            f"{ctx} is a {mode!r} commit (rewrites rows); pass "
+            "ignore_changes=True to re-deliver them"
+        )
+    return "emit"
+
+
 def snapshot_changes(
     spark: SparkSession,
     table_dir: str,
@@ -1914,23 +1944,12 @@ def snapshot_changes(
             prev = cur
             continue
         commits_walked += 1
-        mode = cur.get("mode")
-        if mode == "compact":
+        if changelog_mode_action(
+            cur.get("mode"), ignore_deletes, ignore_changes,
+            f"{table_dir} v{v}",
+        ) == "skip":
             prev = cur
-            continue  # dataChange=false: bytes moved, rows identical
-        if mode == "delete":
-            if not ignore_deletes:
-                raise ValueError(
-                    f"{table_dir} v{v} is a delete commit; pass "
-                    "ignore_deletes=True if removals may be skipped"
-                )
-            prev = cur
-            continue  # rewritten files hold only surviving OLD rows
-        if mode not in ("append",) and not ignore_changes:
-            raise ValueError(
-                f"{table_dir} v{v} is a {mode!r} commit (rewrites "
-                "rows); pass ignore_changes=True to re-deliver them"
-            )
+            continue
         added = _added_entries(table_dir, prev, cur)
         if cur["groups"] is not None and prev.get("groups") is not None:
             groups_opened += len(
@@ -2104,46 +2123,68 @@ def propagate_deletes(
     LIVE at the tip, and its derived rows (which a changelog consumer
     re-landed from v7's insert) must not be removed — so only keys
     whose LAST change in the window is a delete propagate (the
-    version-ordered CDC rule, folded to one aggregate)."""
+    version-ordered CDC rule), computed PER KEY COLUMN (never per joint
+    tuple: a doc re-inserted under a different shard is live under
+    doc_id).
+
+    The key column must be ROW-IDENTIFYING in the source: every source
+    row sharing a key value must share its fate (doc_id qualifies; a
+    grouping column like shard_id does not — deleting ONE doc of a
+    shard would net-delete the shard key and wrongly take down derived
+    rows of its surviving docs)."""
     from pyspark.sql import functions as F
 
     keys_needed = sorted(set(targets.values()))
     cdf = snapshot_row_changes(
         spark, src_table, since_version, version=version
-    )
-    last = (
-        cdf.groupBy(*keys_needed)
-        .agg(
-            F.max(
-                F.when(
-                    F.col("_change_type") == "delete",
-                    F.col("_commit_version"),
+    ).persist()  # one pass per key COLUMN below
+    # the net effect is PER KEY COLUMN, never per joint tuple: a doc
+    # deleted as (doc_id=7, shard='A') and re-inserted as (doc_id=7,
+    # shard='B') is LIVE under doc_id — grouping by the tuple would see
+    # the (7,'A') delete unopposed and wrongly take down every doc_id=7
+    # derived row
+    by_col: dict = {}
+    null_keys: dict = {}
+    try:
+        for col in keys_needed:
+            last = (
+                cdf.groupBy(col)
+                .agg(
+                    F.max(
+                        F.when(
+                            F.col("_change_type") == "delete",
+                            F.col("_commit_version"),
+                        )
+                    ).alias("__del_v"),
+                    F.max(
+                        F.when(
+                            F.col("_change_type") == "insert",
+                            F.col("_commit_version"),
+                        )
+                    ).alias("__ins_v"),
                 )
-            ).alias("__del_v"),
-            F.max(
-                F.when(
-                    F.col("_change_type") == "insert",
-                    F.col("_commit_version"),
+                .filter(
+                    F.col("__del_v").isNotNull()
+                    & (
+                        F.col("__ins_v").isNull()
+                        | (F.col("__del_v") > F.col("__ins_v"))
+                    )
                 )
-            ).alias("__ins_v"),
-        )
-        .filter(
-            F.col("__del_v").isNotNull()
-            & (
-                F.col("__ins_v").isNull()
-                | (F.col("__del_v") > F.col("__ins_v"))
             )
-        )
-    )
-    out: dict = {"deleted_keys": 0, "targets": {}}
-    rows = last.select(*keys_needed).distinct().collect()
-    if not rows:
-        return out
-    by_col = {
-        col: sorted({r[col] for r in rows if r[col] is not None})
-        for col in keys_needed
+            vals = [r[col] for r in last.select(col).collect()]
+            # NULL keys (pre-widening rows read the new column as NULL)
+            # cannot be propagated by an IN predicate — surface them in
+            # the audit instead of silently overstating the push
+            null_keys[col] = sum(1 for v in vals if v is None)
+            by_col[col] = sorted(v for v in vals if v is not None)
+    finally:
+        cdf.unpersist()
+    out: dict = {
+        "deleted_keys": sum(len(v) for v in by_col.values()),
+        "targets": {},
     }
-    out["deleted_keys"] = len(rows)
+    if any(null_keys.values()):
+        out["null_keys"] = {c: n for c, n in null_keys.items() if n}
     for tdir, key in targets.items():
         ids = by_col[key]
         if not ids:

