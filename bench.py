@@ -58,6 +58,7 @@ HEADLINE = [
     "x_perplexity_bucket",  # CCNet per-language LM terciles
     "x_containment",    # asymmetric containment near-dup (prefix-indexed)
     "st_perplexity",    # maintained-LM quality monitor (batch-fold twin)
+    "x_snapshot_scan",  # manifest-resolved reads: time travel + stats + bloom
 ]
 
 

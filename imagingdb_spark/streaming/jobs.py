@@ -913,6 +913,77 @@ class SnapshotFeed:
         return True  # nothing runs in the background to wait for
 
 
+class CatalogFeed:
+    """SnapshotFeed's multi-table twin over a snapcatalog CATALOG: per
+    ``step()``, the sink receives ``({table: delta_df}, batch_id)`` for
+    everything committed past the cursor — resolved by
+    ``snapcatalog.catalog_changes``, so the per-table deltas are
+    MUTUALLY CONSISTENT (a dataset's data_set/frames_global/frames rows
+    arrive in one batch, never split). Same pinned-range checkpoint
+    discipline as SnapshotFeed: the (since, tip) range is written
+    before the sink runs and the cursor advances after, so a crash
+    mid-batch replays the same range with the same batch_id even when
+    new catalog commits landed in between."""
+
+    def __init__(
+        self,
+        catalog_dir: str,
+        sink,  # (dict[str, DataFrame], batch_id) -> None
+        checkpoint_dir: str,
+        ignore_deletes: bool = True,
+        ignore_changes: bool = False,
+    ):
+        self.spark = SparkSession.getActiveSession()
+        if self.spark is None:
+            raise RuntimeError("CatalogFeed needs an active SparkSession")
+        self.catalog_dir = catalog_dir
+        self.sink = sink
+        self.ignore_deletes = ignore_deletes
+        self.ignore_changes = ignore_changes
+        os.makedirs(checkpoint_dir, exist_ok=True)
+        self._cursor_path = os.path.join(
+            checkpoint_dir, "catalog_cursor.json"
+        )
+        self.last_plan: dict = {}
+
+    _state = SnapshotFeed._state
+    cursor = SnapshotFeed.cursor
+    _write_state = SnapshotFeed._write_state
+    processAllAvailable = SnapshotFeed.processAllAvailable
+    stop = SnapshotFeed.stop
+    isActive = SnapshotFeed.isActive
+    lastProgress = SnapshotFeed.lastProgress
+    awaitTermination = SnapshotFeed.awaitTermination
+
+    def step(self) -> int | None:
+        from imagingdb_spark import snapcatalog as C
+
+        state = self._state()
+        cur = state["version"]
+        if "inflight" in state:
+            cur, tip = state["inflight"]
+        else:
+            vs = C.catalog_versions(self.catalog_dir)
+            if not vs or vs[-1] <= cur:
+                return None
+            tip = vs[-1]
+            self._write_state({"version": cur, "inflight": [cur, tip]})
+        plan: dict = {}
+        deltas = C.catalog_changes(
+            self.spark,
+            self.catalog_dir,
+            cur,
+            version=tip,
+            ignore_deletes=self.ignore_deletes,
+            ignore_changes=self.ignore_changes,
+            plan=plan,
+        )
+        self.last_plan = plan
+        self.sink(deltas, tip)
+        self._write_state({"version": tip})
+        return tip
+
+
 def _attach(
     src,
     sink,

@@ -926,3 +926,42 @@ class TestCatalogChanges:
             )
             == {}
         )  # a delete commit adds no rows
+
+
+class TestCatalogFeed:
+    def test_multi_table_batches_and_pinned_replay(self, spark, tmp_path):
+        """CatalogFeed delivers mutually consistent per-table deltas per
+        poll and replays its pinned range with the same batch_id after a
+        crash, even when a new catalog commit landed meanwhile."""
+        from imagingdb_spark.streaming import jobs
+
+        cat_dir = str(tmp_path / "cat")
+        src = _src_file(tmp_path)
+        seen = []
+        crash = {"on": False}
+
+        def sink(deltas, batch_id):
+            seen.append(
+                (batch_id, {t: df.count() for t, df in sorted(deltas.items())})
+            )
+            if crash["on"]:
+                crash["on"] = False
+                raise RuntimeError("simulated crash inside sink")
+
+        feed = jobs.CatalogFeed(cat_dir, sink, str(tmp_path / "ck"))
+        _upload(spark, src, tmp_path, cat_dir)
+        assert feed.step() == 1
+        assert seen[0][1]["frames"] == 6  # the whole dataset in ONE batch
+        assert seen[0][1]["data_set"] == 1
+        _upload(spark, src, tmp_path, cat_dir, serial=UP_SERIAL2)
+        crash["on"] = True
+        with pytest.raises(RuntimeError, match="simulated crash"):
+            feed.step()
+        third = "TEST-2005-06-12-20-00-00-1000"
+        _upload(spark, src, tmp_path, cat_dir, serial=third)
+        feed2 = jobs.CatalogFeed(cat_dir, sink, str(tmp_path / "ck"))
+        assert feed2.step() == 2  # pinned replay: same range + batch_id
+        assert feed2.step() == 3
+        assert feed2.step() is None
+        assert [b for b, _ in seen] == [1, 2, 2, 3]
+        assert seen[2][1]["frames"] == 6  # replay = only the pinned delta
