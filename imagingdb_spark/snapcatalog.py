@@ -150,12 +150,9 @@ def _manifest_df(
     files = S._resolve_pruned(tdir, m, where)
     schema = StructType.fromJson(json.loads(m["schema"]))
     cond = S.where_to_column(where) if where else None
-    if not files:
-        df = spark.createDataFrame([], schema)
-        return df.filter(cond) if cond is not None else df
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(tdir, f["path"]) for f in files]
-    )
+    # DV-aware (entries carrying positional-delete refs read as their
+    # live rows) — catalog_delete(mode="dv") manifests read correctly
+    df = S._read_entries(spark, tdir, files, schema)
     return df.filter(cond) if cond is not None else df
 
 
@@ -454,6 +451,7 @@ def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
     live_groups: dict[str, set[str]] = {}
     live_files: dict[str, set[str]] = {}
     live_sidecars: dict[str, set[str]] = {}
+    live_dvs: dict[str, set[str]] = {}
     for v in catalog_versions(catalog_dir):
         try:
             commit = _read_commit(catalog_dir, v)
@@ -464,6 +462,7 @@ def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
             gset = live_groups.setdefault(name, set())
             fset = live_files.setdefault(name, set())
             scset = live_sidecars.setdefault(name, set())
+            dvset = live_dvs.setdefault(name, set())
             if m.get("groups") is not None:
                 for g in m["groups"]:
                     gset.add(g["name"])
@@ -471,6 +470,8 @@ def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
                     fset.add(fe["path"])
                     if fe.get("bloom"):
                         scset.add(fe["bloom"]["sc"])
+                    if fe.get("dv"):
+                        dvset.add(fe["dv"]["sc"])
             else:  # legacy flat manifest shape (not produced here)
                 for fe in m.get("files", []):
                     fset.add(fe["path"])
@@ -518,6 +519,18 @@ def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
                     n.endswith(".parquet") for n in os.listdir(cdir)
                 ):
                     shutil.rmtree(cdir, ignore_errors=True)
+        # positional-delete sidecar dirs: keep only dirs some retained
+        # entry still anti-applies (same rule as snapshot_vacuum)
+        dvroot = os.path.join(tdir, S.DELETES_DIR)
+        if os.path.isdir(dvroot):
+            keep_dv = live_dvs.get(name, set())
+            for n in os.listdir(dvroot):
+                rel = os.path.join(S.DELETES_DIR, n)
+                if rel not in keep_dv:
+                    shutil.rmtree(
+                        os.path.join(dvroot, n), ignore_errors=True
+                    )
+                    removed.append(os.path.join(name, rel))
         # bloom sidecar dirs: same set-difference rule as the per-table
         # vacuum — keep only dirs some retained entry still probes
         from imagingdb_spark.blooms import BLOOM_DIR
@@ -540,6 +553,7 @@ def catalog_delete(
     catalog_dir: str,
     where,  # dict[str, list] | Callable[[dict[str, DataFrame]], dict]
     max_retries: int = 5,
+    mode: str = "cow",
 ) -> dict:
     """Targeted row-level DELETE across MANY catalog tables, published as
     ONE atomic catalog commit — the takedown primitive at the
@@ -575,7 +589,15 @@ def catalog_delete(
     racing commit can add child rows under the same parent, and
     predicates baked from a stale tip would delete the parent while
     publishing the new children as surviving orphans (the same builder
-    discipline as catalog_commit)."""
+    discipline as catalog_commit).
+
+    ``mode`` picks the per-table execution strategy exactly like
+    ``snapshot_delete``: ``"cow"`` rewrites candidate files,
+    ``"dv"`` writes positional-delete sidecars anti-applied at read —
+    same atomic multi-table publish either way."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be cow|dv, got {mode!r}")
+    core = S._delete_dv if mode == "dv" else S._delete_rewrite
     build = where if callable(where) else None
 
     def _checked(w_map: dict) -> dict:
@@ -623,9 +645,7 @@ def catalog_delete(
                 m["groups"] = None
             tdir = _table_dir(catalog_dir, name)
             cr: list[str] = []
-            manifest, rel_dir, out = S._delete_rewrite(
-                spark, tdir, m, w, cr
-            )
+            manifest, rel_dir, out = core(spark, tdir, m, w, cr)
             outs[name] = out
             if manifest is not None:
                 new_tables[name] = manifest

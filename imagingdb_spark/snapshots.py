@@ -83,6 +83,10 @@ from pyspark.sql.types import StructType
 MANIFEST_DIR = "_manifests"
 GROUPS_DIR = "groups"  # manifest-group files, under MANIFEST_DIR
 DATA_DIR = "data"
+# positional-delete sidecars (merge-on-read DELETE; Iceberg v2 position
+# deletes / Delta deletion vectors, public design): parquet dirs of
+# (path, pos) rows, one dir per delete commit, referenced by file entries
+DELETES_DIR = "_deletes"
 _FMT = "v{:08d}.json"
 # Ref-list ceiling before geometric coalescing kicks in. 32 keeps the
 # per-commit manifest at a few KB while the merge schedule bounds total
@@ -712,6 +716,109 @@ def _build_blooms(
         blooms.build_sidecar(spark, table_dir, rel_dir, new_files, cols)
 
 
+# ---------------------------------------------------------------------------
+# Merge-on-read DELETE: positional-delete sidecars ("deletion vectors").
+# A DV delete commit rewrites NO data bytes — it writes one small parquet
+# sidecar of (path, pos) rows under _deletes/<uuid>/ and republishes the
+# touched file ENTRIES with a {"dv": {"sc": <rel sidecar dir>, "n": count}}
+# ref (untouched groups carry by reference, exactly like the CoW delete).
+# Every reader anti-applies the referenced positions via the parquet
+# source's _metadata.row_index (the physical row position within a file —
+# stable for immutable files, which manifest-referenced files are).
+# A later DV delete on the same file writes a MERGED sidecar (old ∪ new
+# positions), so each entry references exactly ONE authoritative DV.
+# snapshot_compact reads through the DVs and writes fresh entries, which
+# MATERIALIZES the deletes; expire+vacuum then reclaims unreferenced
+# sidecars by the same set-difference rule as data files and blooms.
+# This is the Iceberg-v2 position-delete / Delta deletion-vector shape
+# (public design): write cost O(deleted rows + pruned candidate scan)
+# instead of CoW's O(bytes of every touched file) — the difference between
+# a takedown on an UNCLUSTERED key rewriting most of a 100 TB table and it
+# appending a few KB of positions.
+
+
+def _dv_union(spark: SparkSession, table_dir: str, pairs: list) -> "DataFrame":
+    """One (path, pos) frame for [(rel_path, sidecar_rel_dir)] refs: each
+    sidecar read once, filtered to the paths that still reference it (a
+    merged sidecar may carry positions for files whose ref has since been
+    superseded or dropped)."""
+    from pyspark.sql import functions as F
+
+    by_sc: dict[str, list[str]] = {}
+    for p, sc in pairs:
+        by_sc.setdefault(sc, []).append(p)
+    pos = None
+    for sc, ps in sorted(by_sc.items()):
+        d = spark.read.parquet(os.path.join(table_dir, sc)).filter(
+            F.col("path").isin(ps)
+        )
+        pos = d if pos is None else pos.unionByName(d)
+    return pos
+
+
+def _rel_path_col():
+    """The manifest-relative path (data/<commit>/<name>) of each row's
+    source file, derived from the parquet source's _metadata.file_path —
+    the join key between data rows and DV sidecar rows. Commit dirs are
+    fresh uuids, so the last two path components identify a file no matter
+    where the table root lives."""
+    from pyspark.sql import functions as F
+
+    parts = F.split(F.col("_metadata.file_path"), "/")
+    return F.concat_ws(
+        "/", F.lit(DATA_DIR), F.element_at(parts, -2), F.element_at(parts, -1)
+    )
+
+
+def _read_entries(
+    spark: SparkSession,
+    table_dir: str,
+    entries: list[dict],
+    schema: StructType,
+) -> DataFrame:
+    """THE entry-list reader every consumer goes through: scan exactly the
+    entries' files and anti-apply their positional-delete sidecars. Tables
+    without DVs pay nothing (plain scan, no join); with DVs the sidecar
+    frame is broadcast (positions are delete-batch-sized by construction,
+    never corpus-sized) so the anti-join adds no shuffle to the scan."""
+    if not entries:
+        return spark.createDataFrame([], schema)
+    df = spark.read.schema(schema).parquet(
+        *[os.path.join(table_dir, fe["path"]) for fe in entries]
+    )
+    pairs = [(fe["path"], fe["dv"]["sc"]) for fe in entries if fe.get("dv")]
+    if not pairs:
+        return df
+    from pyspark.sql import functions as F
+
+    pos = (
+        _dv_union(spark, table_dir, pairs)
+        .withColumnRenamed("path", "__dv_path")
+        .withColumnRenamed("pos", "__dv_pos")
+    )
+    keyed = df.select(
+        "*",
+        _rel_path_col().alias("__dv_path"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    return keyed.join(
+        F.broadcast(pos), ["__dv_path", "__dv_pos"], "left_anti"
+    ).drop("__dv_path", "__dv_pos")
+
+
+def _write_dv_sidecar(
+    spark: SparkSession, table_dir: str, positions: DataFrame
+) -> str:
+    """Land a (path, pos) frame as one immutable sidecar parquet dir and
+    return its relative path. Crash debris (a sidecar no entry ever came
+    to reference) is vacuum's, same as data files."""
+    rel = os.path.join(DELETES_DIR, uuid.uuid4().hex)
+    positions.select("path", "pos").write.mode("overwrite").parquet(
+        os.path.join(table_dir, rel)
+    )
+    return rel
+
+
 def snapshot_commit(
     spark: SparkSession,
     table_dir: str,
@@ -1169,11 +1276,9 @@ def snapshot_read(
         )
     schema = StructType.fromJson(json.loads(m["schema"]))
     cond = _where_column(_check_where(where)) if where else None
-    if not files:
-        df = spark.createDataFrame([], schema)
-        return df.filter(cond) if cond is not None else df
-    paths = [os.path.join(table_dir, f["path"]) for f in files]
-    df = spark.read.schema(schema).parquet(*paths)
+    # DV-aware: files carrying positional-delete refs read minus their
+    # deleted positions (tables without DVs take the plain-scan path)
+    df = _read_entries(spark, table_dir, files, schema)
     return df.filter(cond) if cond is not None else df
 
 
@@ -1241,6 +1346,7 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str) -> list[str]:
     live: set[str] = set()
     live_groups: set[str] = set()
     live_sidecars: set[str] = set()
+    live_dvs: set[str] = set()
     for v in _versions(table_dir):
         m = _read_manifest(table_dir, v)  # resolved: needs every path
         live.update(f["path"] for f in m["files"])
@@ -1249,6 +1355,7 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str) -> list[str]:
         live_sidecars.update(
             f["bloom"]["sc"] for f in m["files"] if f.get("bloom")
         )
+        live_dvs.update(f["dv"]["sc"] for f in m["files"] if f.get("dv"))
     deleted = []
     droot = os.path.join(table_dir, DATA_DIR)
     if os.path.isdir(droot):
@@ -1295,6 +1402,16 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str) -> list[str]:
             ):
                 os.unlink(os.path.join(gdir, n))
                 deleted.append(os.path.join(MANIFEST_DIR, GROUPS_DIR, n))
+    # positional-delete sidecar dirs no retained entry references —
+    # crashed DV deletes' debris, and (the erasure endgame) DVs whose
+    # last referencing version expired after a compact materialized them
+    dvroot = os.path.join(table_dir, DELETES_DIR)
+    if os.path.isdir(dvroot):
+        for n in sorted(os.listdir(dvroot)):
+            rel = os.path.join(DELETES_DIR, n)
+            if rel not in live_dvs:
+                shutil.rmtree(os.path.join(dvroot, n), ignore_errors=True)
+                deleted.append(rel)
     # bloom sidecar dirs no retained file entry references (aborted
     # commits' debris, expired versions' indexes) — same set-difference
     # rule; a live sidecar survives because its entries still probe it
@@ -1601,6 +1718,7 @@ def snapshot_delete(
     where: list,
     max_retries: int = 5,
     txn: tuple[str, int] | None = None,
+    mode: str = "cow",
 ) -> dict:
     """Targeted row-level DELETE on a snapshot table — the takedown /
     opt-out primitive a training-data pipeline needs (GDPR erasure, DMCA
@@ -1645,18 +1763,37 @@ def snapshot_delete(
     marker every other writer carries (a replayed seq is a no-op
     returning the tip).
 
+    ``mode`` picks the execution strategy, never the semantics (both
+    publish one atomic ``delete`` commit with identical surviving rows):
+
+    - ``"cow"`` (default) — copy-on-write: candidate files are rewritten
+      minus the matching rows. Best when the key is clustered/bloomed
+      (few files touched) or when read-path purity matters (no sidecars
+      to anti-apply).
+    - ``"dv"`` — merge-on-read deletion vectors: candidate files stay
+      put; matching rows' physical positions land in a parquet sidecar
+      anti-applied at read (``_read_entries``). O(deleted rows) write
+      cost regardless of clustering — the takedown path for derived
+      tables NOT clustered on the key, where CoW would rewrite most
+      files. ``snapshot_compact`` materializes DVs (fresh entries carry
+      none); expire+vacuum makes the erasure physical either way.
+
     Returns the audit record the caller logs: ``{version, rows_deleted,
     files_total, files_rewritten, files_kept, groups_kept_by_ref,
     files_bloom_cleared}`` — ``version`` is the tip when nothing matched
     (no empty commit is published). files_kept counts entries carried
     through rewritten groups; groups_kept_by_ref counts refs never
-    opened."""
+    opened. ``mode="dv"`` adds ``files_dv``/``files_dropped`` and keeps
+    ``files_rewritten`` 0."""
+    if mode not in ("cow", "dv"):
+        raise ValueError(f"mode must be cow|dv, got {mode!r}")
     checked = _check_where(where)
     if not checked:
         raise ValueError(
             "snapshot_delete needs a non-empty predicate; to truncate, "
             "commit an empty overwrite instead"
         )
+    core = _delete_dv if mode == "dv" else _delete_rewrite
 
     def _already(m: dict) -> bool:
         return txn is not None and txn[1] <= m.get("txns", {}).get(txn[0], -1)
@@ -1676,7 +1813,7 @@ def snapshot_delete(
                 "files_rewritten": 0, "files_kept": 0,
                 "groups_kept_by_ref": None, "files_bloom_cleared": 0,
             }
-        manifest, rel_dir, out = _delete_rewrite(
+        manifest, rel_dir, out = core(
             spark, table_dir, m, checked, created, txn
         )
         if manifest is None:
@@ -1688,7 +1825,8 @@ def snapshot_delete(
             return out
         except SnapshotConflict:
             # read-dependent claim: re-resolve candidates against the
-            # winner's tip; this attempt's rewrite is dropped eagerly
+            # winner's tip; this attempt's rewrite (CoW data dir or DV
+            # sidecar dir — rel_dir points at whichever) drops eagerly
             shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
             _drop_sidecar(table_dir, rel_dir)
             _drop_groups(table_dir, created)
@@ -1698,23 +1836,14 @@ def snapshot_delete(
     )
 
 
-def _delete_rewrite(
-    spark: SparkSession,
-    table_dir: str,
-    m: dict,
-    checked: list,
-    created: list[str],
-    txn: tuple[str, int] | None = None,
-) -> tuple[dict | None, str | None, dict]:
-    """The pruning + copy-on-write core shared by ``snapshot_delete`` and
-    the catalog-level ``snapcatalog.catalog_delete``: given a resolved
-    manifest ``m``, find the files the validated predicate could touch
-    (group stats → file stats → bloom sidecars), rewrite only those minus
-    the matching rows, and return ``(child manifest, rewrite rel_dir,
-    audit dict)`` — the caller owns publication (single-table version
-    link vs one atomic multi-table catalog commit) and the conflict
-    cleanup of ``rel_dir`` + ``created``. Manifest is None when no
-    physical row matched (the no-op rewrite is already dropped)."""
+def _delete_candidates(
+    table_dir: str, m: dict, checked: list
+) -> tuple[list[dict], list[dict], list[dict], dict]:
+    """Stages 1–3 of every DELETE flavor — group-ref skip by merged stats,
+    per-file footer-stat skip, bloom-sidecar clearing of =/in probes —
+    shared by the copy-on-write and deletion-vector paths so the pruning
+    semantics cannot drift between them. Returns (groups carried by ref,
+    entries carried through touched groups, candidate entries, audit)."""
     # --- stage 1+2: group-ref skip, then per-file stats skip -----------
     if m["groups"] is None:
         ref_groups: list[dict] = []
@@ -1748,34 +1877,171 @@ def _delete_rewrite(
     out = {
         "rows_deleted": 0,
         "files_total": files_total,
-        "files_rewritten": len(cand),
+        "files_rewritten": len(cand) if cand else 0,
         "files_kept": len(keep),
-        "groups_kept_by_ref": len(ref_groups) if m["groups"] is not None else None,
+        "groups_kept_by_ref": (
+            len(ref_groups) if m["groups"] is not None else None
+        ),
         "files_bloom_cleared": bloom_cleared,
     }
+    return ref_groups, keep, cand, out
+
+
+def _delete_dv(
+    spark: SparkSession,
+    table_dir: str,
+    m: dict,
+    checked: list,
+    created: list[str],
+    txn: tuple[str, int] | None = None,
+) -> tuple[dict | None, str | None, dict]:
+    """The merge-on-read DELETE core (``snapshot_delete(mode="dv")``): the
+    same three pruning stages as the CoW path find the candidate files,
+    but instead of rewriting their bytes this scans ONLY the candidates
+    for matching rows' physical positions (``_metadata.row_index``),
+    writes one merged (old ∪ new positions) sidecar parquet under
+    ``_deletes/``, and republishes the touched entries with updated
+    ``dv`` refs — untouched groups carry by reference, data files never
+    move. Entries whose every row is dead drop out of the manifest
+    entirely. Write cost is O(deleted positions + pruned candidate scan);
+    on an UNCLUSTERED key where CoW must rewrite most files, this is the
+    difference between a corpus rewrite and a few KB of positions.
+    Returns ``(child manifest, sidecar rel_dir, audit)`` with the same
+    caller contract as ``_delete_rewrite`` (publication + conflict
+    cleanup are the caller's); the audit adds ``files_dv`` (entries whose
+    dv ref was written/updated) and ``files_dropped`` (fully-dead
+    entries removed)."""
+    ref_groups, keep, cand, out = _delete_candidates(table_dir, m, checked)
+    out["files_rewritten"] = 0
+    out["files_dv"] = 0
+    out["files_dropped"] = 0
     if not cand:
-        out["files_rewritten"] = 0
+        return None, None, out  # predicate provably touches nothing
+    from pyspark.sql import functions as F
+
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    cond = _where_column(checked)
+    scan = spark.read.schema(schema).parquet(
+        *[os.path.join(table_dir, fe["path"]) for fe in cand]
+    ).select(
+        "*",
+        _rel_path_col().alias("__dv_path"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    old_pairs = [(fe["path"], fe["dv"]["sc"]) for fe in cand if fe.get("dv")]
+    old_pos = None
+    if old_pairs:
+        old_pos = (
+            _dv_union(spark, table_dir, old_pairs)
+            .withColumnRenamed("path", "__dv_path")
+            .withColumnRenamed("pos", "__dv_pos")
+        )
+        # already-deleted positions must not re-match (and re-count)
+        scan = scan.join(
+            F.broadcast(old_pos), ["__dv_path", "__dv_pos"], "left_anti"
+        )
+    # SQL DELETE semantics: NULL predicate keeps the row (same rule as
+    # the CoW path)
+    hits = scan.filter(F.coalesce(cond, F.lit(False))).select(
+        F.col("__dv_path").alias("path"), F.col("__dv_pos").alias("pos")
+    )
+    merged = (
+        hits
+        if old_pos is None
+        else hits.unionByName(
+            old_pos.select(
+                F.col("__dv_path").alias("path"),
+                F.col("__dv_pos").alias("pos"),
+            )
+        )
+    )
+    rel = _write_dv_sidecar(spark, table_dir, merged)
+    # per-file authoritative counts from what actually landed; the
+    # collect is O(candidate files), never O(positions)
+    cnt = {
+        r["path"]: r["n"]
+        for r in spark.read.parquet(os.path.join(table_dir, rel))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    old_n = sum((fe.get("dv") or {}).get("n", 0) for fe in cand)
+    rows_deleted = sum(cnt.values()) - old_n
+    if rows_deleted == 0:
+        # stats/bloom kept the files but no physical row matched: drop
+        # the no-op sidecar eagerly, publish nothing
+        shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
+        out["files_kept"] = len(keep) + len(cand)
+        return None, None, out
+    new_cand: list[dict] = []
+    files_dv = 0
+    dropped = 0
+    for fe in cand:
+        n = cnt.get(fe["path"], 0)
+        if n == 0:  # bloom/stats false positive: entry rides unchanged
+            new_cand.append(fe)
+            continue
+        _, total = _file_footer(os.path.join(table_dir, fe["path"]))
+        if total is not None and n >= total:
+            dropped += 1  # every row dead: the entry leaves the manifest
+            continue
+        fe2 = dict(fe)
+        fe2["dv"] = {"sc": rel, "n": n}
+        new_cand.append(fe2)
+        files_dv += 1
+    groups = _child_groups(table_dir, ref_groups, keep + new_cand, created)
+    manifest = _next_manifest(
+        m, "delete", groups, m["rows"] - rows_deleted, m["schema"], txn
+    )
+    out.update(
+        rows_deleted=rows_deleted, files_dv=files_dv, files_dropped=dropped
+    )
+    return manifest, rel, out
+
+
+def _delete_rewrite(
+    spark: SparkSession,
+    table_dir: str,
+    m: dict,
+    checked: list,
+    created: list[str],
+    txn: tuple[str, int] | None = None,
+) -> tuple[dict | None, str | None, dict]:
+    """The pruning + copy-on-write core shared by ``snapshot_delete`` and
+    the catalog-level ``snapcatalog.catalog_delete``: given a resolved
+    manifest ``m``, find the files the validated predicate could touch
+    (group stats → file stats → bloom sidecars), rewrite only those minus
+    the matching rows, and return ``(child manifest, rewrite rel_dir,
+    audit dict)`` — the caller owns publication (single-table version
+    link vs one atomic multi-table catalog commit) and the conflict
+    cleanup of ``rel_dir`` + ``created``. Manifest is None when no
+    physical row matched (the no-op rewrite is already dropped)."""
+    ref_groups, keep, cand, out = _delete_candidates(table_dir, m, checked)
+    if not cand:
         return None, None, out  # predicate provably touches nothing
     # --- stage 4: rewrite ONLY the candidate files ----------------------
     schema = StructType.fromJson(json.loads(m["schema"]))
-    paths = [os.path.join(table_dir, fe["path"]) for fe in cand]
     cand_rows = 0
-    for p in paths:
-        _, n = _file_footer(p)
+    for fe in cand:
+        _, n = _file_footer(os.path.join(table_dir, fe["path"]))
         if n is None:  # unreadable footer: authoritative slow count
-            cand_rows = spark.read.schema(schema).parquet(*paths).count()
+            cand_rows = _read_entries(spark, table_dir, cand, schema).count()
             break
-        cand_rows += n
+        # LIVE rows only: positions an existing DV already deleted must
+        # not count as candidate rows (the rewrite below reads through
+        # the DVs, so they would otherwise inflate rows_deleted)
+        cand_rows += n - (fe.get("dv") or {}).get("n", 0)
     from pyspark.sql import functions as F
 
     cond = _where_column(checked)
     # SQL DELETE semantics: remove rows where the predicate is TRUE;
     # a NULL predicate (null-valued column under =) keeps the row —
-    # bare ~cond would silently delete them
-    survivors_df = (
-        spark.read.schema(schema)
-        .parquet(*paths)
-        .filter(~F.coalesce(cond, F.lit(False)))
+    # bare ~cond would silently delete them. Reading through _read_entries
+    # anti-applies existing DVs, so the rewrite MATERIALIZES them: the
+    # fresh entries carry no dv ref and the sidecars become vacuum debris
+    # once the pre-delete versions expire.
+    survivors_df = _read_entries(spark, table_dir, cand, schema).filter(
+        ~F.coalesce(cond, F.lit(False))
     )
     new_files, new_rows, rel_dir = _write_data_files(survivors_df, table_dir)
     rows_deleted = cand_rows - new_rows
@@ -1837,6 +2103,81 @@ def _added_entries(table_dir: str, prev: dict, cur: dict) -> list[dict]:
         for fe in _read_group(table_dir, g["name"])
         if fe["path"] not in removed_paths
     ]
+
+
+def _dv_changed(
+    table_dir: str, prev: dict, cur: dict
+) -> list[tuple[dict, dict | None, dict]]:
+    """[(cur entry, old dv ref | None, new dv ref)] for paths whose
+    positional-delete ref changed between two CONSECUTIVE manifests — the
+    row-diff companion of ``_added_entries`` for merge-on-read deletes,
+    by the same group diff (only groups in the symmetric difference are
+    opened). A path present on both sides with an unchanged dv, or with
+    no dv at all, contributes nothing."""
+
+    def _by_path(m: dict, other_names: set | None) -> dict:
+        if m.get("groups") is None:
+            if m["version"] == 0:
+                return {}
+            return {
+                fe["path"]: fe
+                for fe in _read_manifest(table_dir, m["version"])["files"]
+            }
+        return {
+            fe["path"]: fe
+            for g in m["groups"]
+            if other_names is None or g["name"] not in other_names
+            for fe in _read_group(table_dir, g["name"])
+        }
+
+    if prev.get("groups") is None or cur.get("groups") is None:
+        prev_e = _by_path(prev, None)
+        cur_e = _by_path(cur, None)
+    else:
+        prev_names = {g["name"] for g in prev["groups"]}
+        cur_names = {g["name"] for g in cur["groups"]}
+        prev_e = _by_path(prev, cur_names)
+        cur_e = _by_path(cur, prev_names)
+    out = []
+    for p, fe in cur_e.items():
+        old = (prev_e.get(p) or {}).get("dv")
+        new = fe.get("dv")
+        if p in prev_e and new and new != old:
+            out.append((fe, old, new))
+    return out
+
+
+def _dv_delta_rows(
+    spark: SparkSession,
+    table_dir: str,
+    changed: list[tuple[dict, dict | None, dict]],
+    schema: StructType,
+) -> DataFrame:
+    """The rows a DV delete commit deleted: data rows of the changed
+    entries at positions in (new dv ∖ old dv) — read from ONLY those
+    files, joined by physical position; delta-proportional like every
+    other changelog leg."""
+    from pyspark.sql import functions as F
+
+    new_pos = _dv_union(
+        spark, table_dir, [(fe["path"], new["sc"]) for fe, _o, new in changed]
+    )
+    old_pairs = [(fe["path"], old["sc"]) for fe, old, _n in changed if old]
+    if old_pairs:
+        new_pos = new_pos.exceptAll(_dv_union(spark, table_dir, old_pairs))
+    pos = new_pos.select(
+        F.col("path").alias("__dv_path"), F.col("pos").alias("__dv_pos")
+    )
+    data = spark.read.schema(schema).parquet(
+        *[os.path.join(table_dir, fe["path"]) for fe, _o, _n in changed]
+    ).select(
+        "*",
+        _rel_path_col().alias("__dv_path"),
+        F.col("_metadata.row_index").alias("__dv_pos"),
+    )
+    return data.join(
+        F.broadcast(pos), ["__dv_path", "__dv_pos"], "left_semi"
+    ).drop("__dv_path", "__dv_pos")
 
 
 def changelog_mode_action(
@@ -2016,11 +2357,11 @@ def snapshot_row_changes(
     end_schema = StructType.fromJson(json.loads(end["schema"]))
 
     def _read(entries: list[dict], sch: StructType) -> DataFrame:
-        if not entries:
-            return spark.createDataFrame([], sch)
-        return spark.read.schema(sch).parquet(
-            *[os.path.join(table_dir, fe["path"]) for fe in entries]
-        )
+        # DV-aware: entries carried with positional-delete refs read as
+        # their LIVE rows (e.g. a CoW delete's removed side on a table
+        # that had prior DV deletes — the already-dead rows must not
+        # resurface as newly deleted)
+        return _read_entries(spark, table_dir, entries, sch)
 
     def _aligned(df: DataFrame, sch: StructType, ctype: str, v: int) -> DataFrame:
         cols = [
@@ -2065,12 +2406,23 @@ def snapshot_row_changes(
             files_read += len(added)
             frame = _aligned(_read(added, v_schema), v_schema, "insert", v)
         elif mode == "delete":
+            # CoW leg: files physically removed minus files added hold
+            # the deleted rows. DV leg: entries whose positional-delete
+            # ref changed contribute the rows at (new ∖ old) positions.
+            # A dv-updated entry shares its path across the group diff,
+            # so the two legs partition the commit's deletions exactly.
             added = _added_entries(table_dir, prev, cur)
             removed = _added_entries(table_dir, cur, prev)
             files_read += len(added) + len(removed)
             deleted = _read(removed, v_schema).exceptAll(
                 _read(added, v_schema)
             )
+            dv_changed = _dv_changed(table_dir, prev, cur)
+            if dv_changed:
+                files_read += len(dv_changed)
+                deleted = deleted.unionByName(
+                    _dv_delta_rows(spark, table_dir, dv_changed, v_schema)
+                )
             frame = _aligned(deleted, v_schema, "delete", v)
         else:
             raise ValueError(

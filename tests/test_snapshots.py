@@ -1878,6 +1878,285 @@ class TestSnapshotDelete:
             S.snapshot_delete(spark, t, [])
 
 
+class TestSnapshotDeleteDV:
+    """Merge-on-read DELETE via positional-delete sidecars (round-10
+    task 2, the Iceberg-v2 position-delete / Delta deletion-vector
+    shape): snapshot_delete(mode="dv") writes (path, pos) parquet
+    sidecars instead of rewriting data files; reads anti-apply them;
+    compact materializes; vacuum reclaims."""
+
+    def _unclustered(self, spark, t, n_commits=4, per=100):
+        """Commits whose k values INTERLEAVE across every file (k % 4 ==
+        commit index): min/max stats never exclude a file, so a CoW
+        delete on k must rewrite ~every file — the degenerate case DV
+        exists for."""
+        for c in range(n_commits):
+            df = spark.createDataFrame(
+                [(c + 4 * i, f"v{c + 4 * i}") for i in range(per)],
+                "k long, v string",
+            ).repartition(2)
+            S.snapshot_commit(spark, t, df)
+
+    def test_equivalence_with_cow_on_identical_predicate(
+        self, spark, tmp_path
+    ):
+        """Same predicate, both modes, identical table content after —
+        mode picks the execution strategy, never the semantics."""
+        a, b = str(tmp_path / "cow"), str(tmp_path / "dv")
+        for t in (a, b):
+            self._unclustered(spark, t)
+        pred = [("k", ">=", 100), ("k", "<", 180)]
+        out_cow = S.snapshot_delete(spark, a, pred, mode="cow")
+        out_dv = S.snapshot_delete(spark, b, pred, mode="dv")
+        assert out_cow["rows_deleted"] == out_dv["rows_deleted"] == 80
+        assert _rows(S.snapshot_read(spark, a)) == _rows(
+            S.snapshot_read(spark, b)
+        )
+        # manifest row bookkeeping agrees on both paths
+        assert (
+            S.snapshot_versions(a)[-1]["rows"]
+            == S.snapshot_versions(b)[-1]["rows"]
+            == 320
+        )
+
+    def test_no_data_bytes_move_on_unclustered_key(self, spark, tmp_path):
+        """The write-amplification case (VERDICT missing #1): on an
+        interleaved key CoW rewrites every file; DV rewrites NONE — the
+        data file set is unchanged and only a positions sidecar lands."""
+        t = str(tmp_path / "t")
+        self._unclustered(spark, t)
+        pre = {f["path"] for f in S._read_manifest(t, 4)["files"]}
+        out = S.snapshot_delete(spark, t, [("k", "=", 201)], mode="dv")
+        assert out["rows_deleted"] == 1
+        assert out["files_rewritten"] == 0
+        assert out["files_dv"] == 1
+        m = S._read_manifest(t, 5)
+        assert {f["path"] for f in m["files"]} == pre  # bytes never moved
+        dv_entries = [f for f in m["files"] if f.get("dv")]
+        assert len(dv_entries) == 1 and dv_entries[0]["dv"]["n"] == 1
+        # the CoW twin on the same layout rewrites the k=201 file —
+        # write cost O(file bytes); dv cost is O(deleted positions)
+        assert S.snapshot_read(spark, t).filter("k = 201").count() == 0
+        assert S.snapshot_read(spark, t).count() == 399
+
+    def test_second_delete_merges_sidecars(self, spark, tmp_path):
+        """A later DV delete on the same file writes a MERGED sidecar
+        (old ∪ new positions): each entry references exactly one
+        authoritative DV, and both deletions hold."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(
+            spark, t,
+            _mk(spark, [(i, f"v{i}") for i in range(50)]).coalesce(1),
+        )
+        S.snapshot_delete(spark, t, [("k", "=", 3)], mode="dv")
+        S.snapshot_delete(spark, t, [("k", "=", 7)], mode="dv")
+        m = S._read_manifest(t, 3)
+        (fe,) = m["files"]
+        assert fe["dv"]["n"] == 2  # merged count
+        got = sorted(r["k"] for r in S.snapshot_read(spark, t).collect())
+        assert got == [k for k in range(50) if k not in (3, 7)]
+        # time travel: the intermediate version shows exactly one delete
+        assert S.snapshot_read(spark, t, version=2).count() == 49
+        assert S.snapshot_read(spark, t, version=1).count() == 50
+
+    def test_fully_dead_entry_leaves_manifest(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        for lo in (0, 100):
+            S.snapshot_commit(
+                spark, t,
+                _mk(spark, [(lo + i, "x") for i in range(50)]).coalesce(1),
+            )
+        out = S.snapshot_delete(spark, t, [("k", "<", 50)], mode="dv")
+        assert out["rows_deleted"] == 50
+        assert out["files_dropped"] == 1
+        m = S._read_manifest(t, S._versions(t)[-1])
+        assert len(m["files"]) == 1 and m["rows"] == 50
+        assert S.snapshot_read(spark, t).count() == 50
+
+    def test_null_predicate_rows_survive(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(
+            spark, t,
+            spark.createDataFrame(
+                [(1, "a"), (2, None), (3, "a"), (4, "b")],
+                "k long, v string",
+            ).coalesce(1),
+        )
+        out = S.snapshot_delete(spark, t, [("v", "=", "a")], mode="dv")
+        assert out["rows_deleted"] == 2
+        got = sorted(r["k"] for r in S.snapshot_read(spark, t).collect())
+        assert got == [2, 4]
+
+    def test_pruned_where_read_through_dv(self, spark, tmp_path):
+        """snapshot_read(where=...) composes with DVs: pruning picks the
+        files, the DV anti-applies, the residual filter re-applies —
+        the result is exactly the filtered post-delete table."""
+        t = str(tmp_path / "t")
+        self._unclustered(spark, t)
+        S.snapshot_delete(
+            spark, t, [("k", ">=", 40), ("k", "<", 60)], mode="dv"
+        )
+        got = sorted(
+            r["k"]
+            for r in S.snapshot_read(
+                spark, t, where=[("k", ">=", 30), ("k", "<", 70)]
+            ).collect()
+        )
+        assert got == [k for k in range(30, 70) if not 40 <= k < 60]
+
+    def test_cow_after_dv_materializes_on_touched_files(
+        self, spark, tmp_path
+    ):
+        """A CoW delete on a dv-bearing table reads THROUGH the DVs: its
+        rewritten files carry no dv ref and previously-deleted rows do
+        not resurrect."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(
+            spark, t,
+            _mk(spark, [(i, f"v{i}") for i in range(40)]).coalesce(1),
+        )
+        S.snapshot_delete(spark, t, [("k", "=", 5)], mode="dv")
+        out = S.snapshot_delete(spark, t, [("k", "=", 9)], mode="cow")
+        assert out["rows_deleted"] == 1
+        m = S._read_manifest(t, S._versions(t)[-1])
+        assert all(not f.get("dv") for f in m["files"])
+        got = sorted(r["k"] for r in S.snapshot_read(spark, t).collect())
+        assert got == [k for k in range(40) if k not in (5, 9)]
+
+    def test_compact_materializes_and_vacuum_reclaims(
+        self, spark, tmp_path
+    ):
+        t = str(tmp_path / "t")
+        self._unclustered(spark, t, n_commits=2)
+        out = S.snapshot_delete(spark, t, [("k", "<", 20)], mode="dv")
+        # interleaved keys: only k = c + 4i < 20 with c in {0,1} match
+        assert out["rows_deleted"] == 10
+        S.snapshot_compact(spark, t, target_file_bytes=1 << 30)
+        m = S._read_manifest(t, S._versions(t)[-1])
+        assert all(not f.get("dv") for f in m["files"])
+        assert S.snapshot_read(spark, t).count() == 190
+        S.snapshot_expire(t, keep_last=1)
+        gone = S.snapshot_vacuum(spark, t)
+        assert any(p.startswith(S.DELETES_DIR) for p in gone)
+        dvroot = os.path.join(t, S.DELETES_DIR)
+        assert not os.path.isdir(dvroot) or not os.listdir(dvroot)
+        assert S.snapshot_read(spark, t).count() == 190
+
+    def test_row_cdf_parity_with_cow(self, spark, tmp_path):
+        """snapshot_row_changes reads identical delete rows from a DV
+        commit and a CoW commit of the same predicate — the CDF is
+        strategy-blind, so takedown propagation works unchanged."""
+        a, b = str(tmp_path / "cow"), str(tmp_path / "dv")
+        for t in (a, b):
+            self._unclustered(spark, t, n_commits=2)
+        pred = [("k", ">=", 33), ("k", "<", 55)]
+        S.snapshot_delete(spark, a, pred, mode="cow")
+        S.snapshot_delete(spark, b, pred, mode="dv")
+        want = sorted(
+            (r["_change_type"], r["k"], r["v"])
+            for r in S.snapshot_row_changes(spark, a, 2).collect()
+        )
+        got = sorted(
+            (r["_change_type"], r["k"], r["v"])
+            for r in S.snapshot_row_changes(spark, b, 2).collect()
+        )
+        assert got == want and len(got) > 0
+
+    def test_propagation_through_dv_source(self, spark, tmp_path):
+        """propagate_deletes rides the CDF of a DV-deleted corpus into a
+        derived table, itself deleted with mode='dv' — the end-to-end
+        O(deleted rows) takedown chain."""
+        corpus, idx = str(tmp_path / "c"), str(tmp_path / "i")
+        docs = spark.createDataFrame(
+            [(i, f"t{i % 5}") for i in range(100)],
+            "doc_id long, token string",
+        )
+        S.snapshot_commit(spark, corpus, docs.repartition(3))
+        S.snapshot_commit(spark, idx, docs.repartition(3))
+        cursor = S._versions(corpus)[-1]
+        S.snapshot_delete(
+            spark, corpus, [("doc_id", "in", [4, 9, 14])], mode="dv"
+        )
+        out = S.propagate_deletes(spark, corpus, cursor, {idx: "doc_id"})
+        assert out["deleted_keys"] == 3
+        assert out["targets"][idx]["rows_deleted"] == 3
+        assert S.snapshot_read(spark, idx).filter(
+            "doc_id in (4, 9, 14)"
+        ).count() == 0
+
+    def test_crash_at_every_point_leaves_old_version(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = str(tmp_path / "t")
+        self._unclustered(spark, t, n_commits=2)
+        tip = S._versions(t)[-1]
+        before = _rows(S.snapshot_read(spark, t))
+        for target in ("_write_dv_sidecar", "_write_group", "_publish"):
+            real = getattr(S, target)
+
+            def boom(*a, **kw):
+                raise RuntimeError("simulated crash")
+
+            monkeypatch.setattr(S, target, boom)
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                # k=4 EXISTS in the interleaved data (k = c + 4i), so
+                # every crash point past the position scan is reached
+                S.snapshot_delete(spark, t, [("k", "=", 4)], mode="dv")
+            monkeypatch.setattr(S, target, real)
+            assert S._versions(t)[-1] == tip
+            assert _rows(S.snapshot_read(spark, t)) == before
+        S.snapshot_vacuum(spark, t)  # crashed sidecar debris reclaimed
+        assert _rows(S.snapshot_read(spark, t)) == before
+        out = S.snapshot_delete(spark, t, [("k", "=", 4)], mode="dv")
+        assert out["rows_deleted"] == 1
+
+    def test_concurrent_append_forces_rebase(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = str(tmp_path / "t")
+        self._unclustered(spark, t, n_commits=2)
+        real = S._publish
+        raced = {"done": False}
+
+        def racing_publish(table_dir, version, manifest):
+            if not raced["done"]:
+                raced["done"] = True
+                monkeypatch.setattr(S, "_publish", real)
+                S.snapshot_commit(
+                    spark, t,
+                    _mk(spark, [(4, "late"), (901, "w")]).coalesce(1),
+                )
+                monkeypatch.setattr(S, "_publish", racing_publish)
+            return real(table_dir, version, manifest)
+
+        monkeypatch.setattr(S, "_publish", racing_publish)
+        out = S.snapshot_delete(spark, t, [("k", "=", 4)], mode="dv")
+        monkeypatch.setattr(S, "_publish", real)
+        assert out["rows_deleted"] == 2  # retry re-resolved at new tip
+        assert S.snapshot_read(spark, t).filter("k = 4").count() == 0
+        assert S.snapshot_read(spark, t).filter("k = 901").count() == 1
+
+    def test_txn_marker_replay_is_noop(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._unclustered(spark, t, n_commits=1)
+        out1 = S.snapshot_delete(
+            spark, t, [("k", "=", 8)], txn=("dv-eraser", 1), mode="dv"
+        )
+        assert out1["rows_deleted"] == 1
+        out2 = S.snapshot_delete(
+            spark, t, [("k", "=", 12)], txn=("dv-eraser", 1), mode="dv"
+        )
+        assert out2["version"] == out1["version"]
+        assert out2["rows_deleted"] == 0
+        assert S.snapshot_read(spark, t).filter("k = 12").count() == 1
+
+    def test_bad_mode_rejected(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._unclustered(spark, t, n_commits=1)
+        with pytest.raises(ValueError, match="cow|dv"):
+            S.snapshot_delete(spark, t, [("k", "=", 1)], mode="mor")
+
+
 class TestSnapshotChanges:
     """Incremental changelog source (round-9 task 2): rows added after a
     cursor version, resolved from only the manifest groups the walked
@@ -2121,7 +2400,8 @@ class TestDeleteSoak:
     committed row it wasn't asked to delete, never resurrect a deleted
     row, and keep every retained version exactly readable."""
 
-    def test_soak_appends_deletes_maintenance(self, spark, tmp_path):
+    @pytest.mark.parametrize("dmode", ["cow", "dv"])
+    def test_soak_appends_deletes_maintenance(self, spark, tmp_path, dmode):
         import random
         import threading
         import time
@@ -2185,7 +2465,8 @@ class TestDeleteSoak:
                 gate.acquire_read()
                 try:
                     out = S.snapshot_delete(
-                        spark, t, [("k", "in", targets)], max_retries=30
+                        spark, t, [("k", "in", targets)],
+                        max_retries=30, mode=dmode,
                     )
                     if out["rows_deleted"] != len(targets):
                         errors.append(
