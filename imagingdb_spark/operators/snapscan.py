@@ -1,29 +1,35 @@
 """Snapshot-format reads under the DuckDB oracle (round-9 verdict item
-3): every other snapshot test pins the format by parity/crash-matrix
-tests, but until this module no REGISTERED query read THROUGH
-``snapshot_read`` — so manifest-tree resolution, group/file stats
-pruning, bloom keep-semantics, time travel, and the delete rewrite were
-outside the oracle's eye. ``x_snapshot_scan`` closes that: it builds a
-deterministic snapshot table FROM the documents parquet (two clustered
-append commits + one targeted ``snapshot_delete``), then answers three
+3; DV leg added round 10): every other snapshot test pins the format by
+parity/crash-matrix tests, but until this module no REGISTERED query
+read THROUGH ``snapshot_read`` — so manifest-tree resolution, group/file
+stats pruning, bloom keep-semantics, time travel, and the delete
+rewrite were outside the oracle's eye. ``x_snapshot_scan`` closes that:
+it builds a deterministic snapshot table FROM the documents parquet
+(two clustered append commits + one copy-on-write ``snapshot_delete`` +
+one merge-on-read ``snapshot_delete(mode="dv")``), then answers four
 legs through the manifest path, each of which DuckDB recomputes from
 the raw documents table:
 
 - ``pre``  — time travel to v2 (pre-delete) with a doc_id range
   predicate: exercises pinned-version resolution + group/file min-max
   pruning; oracle = the plain range filter.
-- ``post`` — the same range at the tip (post-delete): exercises the
+- ``post`` — the same range at v3 (post-CoW-delete): exercises the
   delete rewrite's manifest (carried-by-reference entries + rewritten
-  files); oracle = range filter minus the deleted language.
+  files); oracle = range filter minus the CoW-deleted language.
+- ``dv``   — the same range at the tip (v4, post-DV-delete): exercises
+  the positional-delete sidecar anti-apply (``_read_entries``'s
+  broadcast anti-join on path+row_index) composed with predicate
+  pruning; oracle = range filter minus BOTH deleted languages.
 - ``point`` — an ``=`` probe on an md5 column (high-cardinality,
   UNCLUSTERED — zone maps keep everything, only the bloom sidecars
-  skip): exercises bloom keep-semantics end to end; oracle = the md5
-  recomputed in SQL.
+  skip) at the DV-bearing tip: exercises bloom keep-semantics reading
+  THROUGH a deletion vector; oracle = the md5 recomputed in SQL.
 
-Any drift between the resolved file list and the predicate semantics —
-a group wrongly skipped, a bloom false-absence, a delete that dropped a
-carried file — shows up as a row/hash mismatch in the driver's
-CORRECTNESS record, not just a unit-test failure.
+Any drift between the resolved file list, the DV positions, and the
+predicate semantics — a group wrongly skipped, a bloom false-absence, a
+delete that dropped a carried file, a DV row resurfacing — shows up as
+a row/hash mismatch in the driver's CORRECTNESS record, not just a
+unit-test failure.
 
 Reference parity: the reference's dataset reads always go through the
 Postgres catalog then S3 (imaging_db/database/db_operations.py +
@@ -47,10 +53,11 @@ from imagingdb_spark.catalog import table
 from imagingdb_spark.registry import query
 from imagingdb_spark import snapshots as S
 
-# the three legs' constants — shared by the Spark path and the oracle SQL
+# the four legs' constants — shared by the Spark path and the oracle SQL
 _LO, _HI = 100, 400
-_DEL_LANG = "de"
-_PROBE_DOC = "137"  # md5(cast(doc_id as string)) probe; non-'de' at all SFs
+_DEL_LANG = "de"  # copy-on-write delete (v3)
+_DV_LANG = "fr"  # merge-on-read / deletion-vector delete (v4)
+_PROBE_DOC = "137"  # md5(cast(doc_id as string)) probe; never de/fr at any SF
 
 
 def _build(spark: SparkSession, sf_dir: str, t: str) -> None:
@@ -72,21 +79,34 @@ def _build(spark: SparkSession, sf_dir: str, t: str) -> None:
     S.snapshot_commit(spark, t, _clustered(first), bloom_columns=["h"])
     S.snapshot_commit(spark, t, _clustered(rest))
     S.snapshot_delete(spark, t, [("lang", "=", _DEL_LANG)])
+    # lang is UNCLUSTERED on the doc_id layout: CoW would rewrite ~every
+    # file; the DV commit writes positions only — the exact case the
+    # merge-on-read path exists for, now under the oracle
+    S.snapshot_delete(spark, t, [("lang", "=", _DV_LANG)], mode="dv")
 
 
 def _scan_table(spark: SparkSession, sf_dir: str) -> str:
     """Build-or-reuse the deterministic snapshot table for ``sf_dir``.
-    Reuse is validated by version count + tip row count (the build is
-    deterministic, so a valid table IS the right table); anything else
-    is wiped and rebuilt via a fresh-dir + rename swap so a crashed
-    build can never be mistaken for a finished one."""
-    tag = hashlib.sha256(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    t = os.path.join(tempfile.gettempdir(), f"imagingdb_snapscan_{tag}")
+    Reuse is validated by version count + tip row count, and the tmpdir
+    tag folds a SOURCE fingerprint (total documents rows) alongside the
+    path hash — a regenerated dataset at the same path with a different
+    shape can never be mistaken for the cached build (round-9 ADVICE).
+    Anything invalid is wiped and rebuilt via a fresh-dir + rename swap
+    so a crashed build can never be mistaken for a finished one."""
     docs = table(spark, sf_dir, "documents")
-    want_rows = docs.filter(F.col("lang") != _DEL_LANG).count()
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    want_rows = total - counts.get(_DEL_LANG, 0) - counts.get(_DV_LANG, 0)
+    tag = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}:{total}:dv".encode()
+    ).hexdigest()[:12]
+    t = os.path.join(tempfile.gettempdir(), f"imagingdb_snapscan_{tag}")
     if S.snapshot_exists(t):
         vs = S._versions(t)
-        if vs == [1, 2, 3] and S._read_manifest_raw(t, 3)["rows"] == want_rows:
+        if vs == [1, 2, 3, 4] and S._read_manifest_raw(t, 4)["rows"] == want_rows:
             return t
         shutil.rmtree(t, ignore_errors=True)
     build = f"{t}.build.{uuid.uuid4().hex}"
@@ -114,10 +134,15 @@ def _scan_table(spark: SparkSession, sf_dir: str) -> str:
     FROM d
     WHERE doc_id >= {_LO} AND doc_id < {_HI} AND lang <> '{_DEL_LANG}'
     UNION ALL
+    SELECT 'dv' AS ver, doc_id, lang, source
+    FROM d
+    WHERE doc_id >= {_LO} AND doc_id < {_HI}
+      AND lang NOT IN ('{_DEL_LANG}', '{_DV_LANG}')
+    UNION ALL
     SELECT 'point' AS ver, doc_id, lang, source
     FROM d
     WHERE md5(CAST(doc_id AS VARCHAR)) = md5('{_PROBE_DOC}')
-      AND lang <> '{_DEL_LANG}'
+      AND lang NOT IN ('{_DEL_LANG}', '{_DV_LANG}')
     """,
 )
 def x_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -125,10 +150,11 @@ def x_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     rng = [("doc_id", ">=", _LO), ("doc_id", "<", _HI)]
     probe = hashlib.md5(_PROBE_DOC.encode()).hexdigest()
     pre = S.snapshot_read(spark, t, version=2, where=rng)
-    post = S.snapshot_read(spark, t, where=rng)
+    post = S.snapshot_read(spark, t, version=3, where=rng)
+    dv = S.snapshot_read(spark, t, where=rng)
     point = S.snapshot_read(spark, t, where=[("h", "=", probe)])
     out = None
-    for ver, df in (("pre", pre), ("post", post), ("point", point)):
+    for ver, df in (("pre", pre), ("post", post), ("dv", dv), ("point", point)):
         leg = df.select(
             F.lit(ver).alias("ver"), "doc_id", "lang", "source"
         )

@@ -813,9 +813,12 @@ def _write_dv_sidecar(
     return its relative path. Crash debris (a sidecar no entry ever came
     to reference) is vacuum's, same as data files."""
     rel = os.path.join(DELETES_DIR, uuid.uuid4().hex)
-    positions.select("path", "pos").write.mode("overwrite").parquet(
-        os.path.join(table_dir, rel)
-    )
+    # one physical file: positions are delete-batch-sized (a few long+path
+    # rows per touched file), and every reader opens the whole sidecar —
+    # task-count parquet fragments would tax each subsequent read
+    positions.select("path", "pos").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(table_dir, rel))
     return rel
 
 

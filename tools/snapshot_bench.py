@@ -302,6 +302,65 @@ def main() -> None:
     finally:
         shutil.rmtree(root2, ignore_errors=True)
 
+    # merge-on-read deletion vectors vs copy-on-write on an UNCLUSTERED
+    # key (round-10): the predicate (k % 997 == 7) matches rows in ~every
+    # file of a doc_id-clustered corpus, so CoW must rewrite the whole
+    # data set while mode="dv" writes O(deleted rows) of positions — the
+    # write-amplification gap the sidecar design exists for. Also records
+    # the DV read tax (post-delete full read vs the pre-delete read).
+    dv_cmp: dict = {}
+    root3 = tempfile.mkdtemp(prefix="snapbench_dv_")
+    try:
+        def _mk_uncl(tname: str) -> str:
+            t = os.path.join(root3, tname)
+            for c in range(16):
+                seed = spark.range(c * 5000, (c + 1) * 5000).selectExpr(
+                    "id as k", "id % 997 as m", "repeat('x', 64) as pad"
+                )
+                S.snapshot_commit(spark, t, seed.repartitionByRange(4, "k"))
+            return t
+
+        def _du(path: str) -> int:
+            if not os.path.isdir(path):
+                return 0
+            return sum(
+                os.path.getsize(os.path.join(dp, f))
+                for dp, _dns, fs in os.walk(path)
+                for f in fs
+            )
+
+        pred = [("m", "=", 7)]
+        for mode in ("cow", "dv"):
+            t = _mk_uncl(mode)
+            data_before = _du(os.path.join(t, "data"))
+            t0 = time.time()
+            out = S.snapshot_delete(spark, t, pred, mode=mode)
+            el = round(time.time() - t0, 3)
+            data_written = _du(os.path.join(t, "data")) - data_before
+            sidecar_written = _du(os.path.join(t, S.DELETES_DIR))
+            t0 = time.time()
+            n = S.snapshot_read(spark, t).count()
+            read_s = round(time.time() - t0, 4)
+            assert n == 80_000 - out["rows_deleted"]
+            dv_cmp[mode] = {
+                "delete_s": el,
+                "rows_deleted": out["rows_deleted"],
+                "files_total": out["files_total"],
+                "files_rewritten": out["files_rewritten"],
+                "bytes_data_written": data_written,
+                "bytes_sidecar_written": sidecar_written,
+                "post_delete_read_s": read_s,
+            }
+        # the claim under test: DV write cost is orders below CoW here
+        assert dv_cmp["dv"]["files_rewritten"] == 0
+        assert dv_cmp["dv"]["bytes_data_written"] == 0
+        assert (
+            dv_cmp["dv"]["bytes_sidecar_written"]
+            < dv_cmp["cow"]["bytes_data_written"] / 10
+        )
+    finally:
+        shutil.rmtree(root3, ignore_errors=True)
+
     line = json.dumps(
         {
             "metric": "snapshot_commit_cost",
@@ -310,6 +369,7 @@ def main() -> None:
             "pruning": pruning,
             "bloom": bloom,
             "delete": delete,
+            "delete_dv_vs_cow_unclustered": dv_cmp,
         }
     )
     print(line)
