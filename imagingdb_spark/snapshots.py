@@ -2321,6 +2321,7 @@ def snapshot_row_changes(
     since_version: int,
     version: int | None = None,
     plan: dict | None = None,
+    key: str | None = None,
 ) -> DataFrame:
     """ROW-level change-data-feed — the table's columns plus
     ``_change_type`` ('insert' | 'delete') and ``_commit_version`` for
@@ -2342,9 +2343,17 @@ def snapshot_row_changes(
       carried-by-reference corpus. Duplicate physical rows delete one
       occurrence per match, exactly like the rewrite did.
     - ``compact`` — skipped (dataChange=false).
-    - ``overwrite``/``merge``/``rmw`` — raise: a full-rewrite commit has
-      no delta-proportional row diff; use ``snapshot_diff`` (keyed,
-      two-version) for those.
+    - ``overwrite``/``merge``/``rmw`` — with ``key`` given, the commit's
+      REWRITTEN files (removed vs added, the same group-diff core) are
+      keyed-diffed into the Delta CDF update channels:
+      ``update_preimage``/``update_postimage`` for keys present on both
+      sides whose rows changed, ``insert``/``delete`` for keys on one
+      side only; unchanged rows cancel in the multiset difference and
+      emit NOTHING — the output is change-proportional even though the
+      commit rewrote everything (this format's MERGE is a full rewrite,
+      so the read side is the rewritten file set; a file-level MERGE
+      would narrow it with no consumer change). Without ``key`` they
+      raise, as a keyless rewrite has no row identity to diff on.
 
     Rows read from pre-widening files align to the END schema (new
     columns NULL). ``plan`` collects {commits_walked, files_read}."""
@@ -2427,11 +2436,48 @@ def snapshot_row_changes(
                     _dv_delta_rows(spark, table_dir, dv_changed, v_schema)
                 )
             frame = _aligned(deleted, v_schema, "delete", v)
+        elif key is not None:
+            if key not in v_schema.fieldNames():
+                raise ValueError(
+                    f"{table_dir} v{v} has no column {key!r} to diff "
+                    f"a {mode!r} commit on"
+                )
+            added = _added_entries(table_dir, prev, cur)
+            removed = _added_entries(table_dir, cur, prev)
+            files_read += len(added) + len(removed)
+            # both sides read under THIS commit's schema (pre-widening
+            # files fill new columns with NULL); unchanged rows cancel
+            # in the multiset diff, so only changed keys survive
+            old_rows = _read(removed, v_schema)
+            new_rows = _read(added, v_schema)
+            gone = old_rows.exceptAll(new_rows)
+            fresh = new_rows.exceptAll(old_rows)
+            fresh_keys = fresh.select(key).distinct()
+            gone_keys = gone.select(key).distinct()
+            frame = (
+                _aligned(
+                    gone.join(fresh_keys, key, "left_semi"),
+                    v_schema, "update_preimage", v,
+                )
+                .unionByName(_aligned(
+                    fresh.join(gone_keys, key, "left_semi"),
+                    v_schema, "update_postimage", v,
+                ))
+                .unionByName(_aligned(
+                    gone.join(fresh_keys, key, "left_anti"),
+                    v_schema, "delete", v,
+                ))
+                .unionByName(_aligned(
+                    fresh.join(gone_keys, key, "left_anti"),
+                    v_schema, "insert", v,
+                ))
+            )
         else:
             raise ValueError(
-                f"{table_dir} v{v} is a {mode!r} commit — no "
-                "delta-proportional row diff exists for full rewrites; "
-                "use snapshot_diff(v_old, v_new, key, cmp) instead"
+                f"{table_dir} v{v} is a {mode!r} commit — a keyless "
+                "rewrite has no row identity to diff on; pass key=... "
+                "for CDF update images, or use snapshot_diff(v_old, "
+                "v_new, key, cmp)"
             )
         out = frame if out is None else out.unionByName(frame)
         prev = cur

@@ -801,7 +801,19 @@ class SnapshotFeed:
     (dataChange=false); delete commits are skipped by default
     (``ignore_deletes`` — gates only ever ADD downstream state for new
     rows); overwrite/merge/rmw commits raise unless
-    ``ignore_changes=True`` re-delivers their rewritten rows."""
+    ``ignore_changes=True`` re-delivers their rewritten rows.
+
+    ``upsert_key`` switches the feed onto the ROW-level CDF
+    (``snapshots.snapshot_row_changes(key=...)``) so a
+    ``snapshot_merge``-maintained source is consumed
+    change-proportionally instead of re-delivered whole
+    (``ignore_changes``'s blunt contract): per batch the sink receives
+    the table's columns plus ``_change_type`` ∈ {insert,
+    update_postimage, delete} and ``_commit_version`` (preimages are
+    dropped — a CDC sink applies new images and deletes; LWW by
+    ``_commit_version`` resolves multi-commit windows).
+    ``ignore_deletes``/``ignore_changes`` are not consulted in this
+    mode — every commit kind flows through the CDF's own semantics."""
 
     def __init__(
         self,
@@ -811,6 +823,7 @@ class SnapshotFeed:
         transform=None,
         ignore_deletes: bool = True,
         ignore_changes: bool = False,
+        upsert_key: str | None = None,
     ):
         self.spark = SparkSession.getActiveSession()
         if self.spark is None:
@@ -820,6 +833,7 @@ class SnapshotFeed:
         self.transform = transform
         self.ignore_deletes = ignore_deletes
         self.ignore_changes = ignore_changes
+        self.upsert_key = upsert_key
         os.makedirs(checkpoint_dir, exist_ok=True)
         self._cursor_path = os.path.join(
             checkpoint_dir, "snapshot_cursor.json"
@@ -876,15 +890,27 @@ class SnapshotFeed:
             tip = vs[-1]
             self._write_state({"version": cur, "inflight": [cur, tip]})
         plan: dict = {}
-        delta = SN.snapshot_changes(
-            self.spark,
-            self.table_dir,
-            cur,
-            version=tip,
-            ignore_deletes=self.ignore_deletes,
-            ignore_changes=self.ignore_changes,
-            plan=plan,
-        )
+        if self.upsert_key is not None:
+            from pyspark.sql import functions as F
+
+            delta = SN.snapshot_row_changes(
+                self.spark,
+                self.table_dir,
+                cur,
+                version=tip,
+                key=self.upsert_key,
+                plan=plan,
+            ).filter(F.col("_change_type") != "update_preimage")
+        else:
+            delta = SN.snapshot_changes(
+                self.spark,
+                self.table_dir,
+                cur,
+                version=tip,
+                ignore_deletes=self.ignore_deletes,
+                ignore_changes=self.ignore_changes,
+                plan=plan,
+            )
         self.last_plan = plan
         if self.transform is not None:
             delta = self.transform(delta)

@@ -2393,6 +2393,109 @@ class TestRowChangesCDF:
         assert out2["deleted_keys"] == 0 and out2["targets"] == {}
 
 
+class TestRowChangesUpdateImages:
+    """CDF update images (round-10 task 3): merge/rmw/overwrite commits
+    keyed-diff their rewritten files into the Delta CDF channels —
+    update_preimage/update_postimage for changed keys, insert/delete for
+    one-sided keys, NOTHING for untouched rows."""
+
+    def _base(self, spark, t):
+        S.snapshot_commit(
+            spark, t,
+            _mk(spark, [(i, f"old{i}") for i in range(20)]).repartition(2),
+        )
+
+    def test_merge_emits_update_images(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        src = _mk(spark, [(2, "NEW2"), (7, "NEW7"), (100, "ins100")])
+        S.snapshot_merge(spark, t, src, key="k")
+        cdf = S.snapshot_row_changes(spark, t, 1, key="k")
+        got = sorted(
+            (r["_change_type"], r["k"], r["v"]) for r in cdf.collect()
+        )
+        assert got == [
+            ("insert", 100, "ins100"),
+            ("update_postimage", 2, "NEW2"),
+            ("update_postimage", 7, "NEW7"),
+            ("update_preimage", 2, "old2"),
+            ("update_preimage", 7, "old7"),
+        ]
+        # parity with the two-version keyed diff: same key partition
+        diff = {
+            r["k"]: r["status"]
+            for r in S.snapshot_diff(spark, t, 1, 2, "k", "v").collect()
+        }
+        assert diff[100] == "added" and diff[2] == diff[7] == "changed"
+        assert sum(1 for s in diff.values() if s == "unchanged") == 18
+
+    def test_rmw_row_removal_emits_delete(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        S.snapshot_rmw(spark, t, lambda tip: tip.filter("k <> 3"))
+        got = sorted(
+            (r["_change_type"], r["k"])
+            for r in S.snapshot_row_changes(spark, t, 1, key="k").collect()
+        )
+        assert got == [("delete", 3)]
+
+    def test_feed_consumes_upserts_change_proportionally(
+        self, spark, tmp_path
+    ):
+        """An upserted source followed through the CDF delivers rows
+        proportional to the CHANGE (3 keys), not the table (20 keys) —
+        the ignore_changes contract re-delivers all 20."""
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        S.snapshot_merge(
+            spark, t, _mk(spark, [(5, "NEW5"), (200, "ins")]), key="k"
+        )
+        full_redeliver = S.snapshot_changes(
+            spark, t, 1, ignore_changes=True
+        ).count()
+        cdf_rows = (
+            S.snapshot_row_changes(spark, t, 1, key="k")
+            .filter("_change_type <> 'update_preimage'")
+            .count()
+        )
+        assert full_redeliver == 21  # the whole rewritten table
+        assert cdf_rows == 2  # just the changed keys' new images
+
+    def test_keyless_rewrite_still_raises(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        S.snapshot_merge(spark, t, _mk(spark, [(1, "x")]), key="k")
+        with pytest.raises(ValueError, match="no row identity|key="):
+            S.snapshot_row_changes(spark, t, 1).collect()
+
+    def test_missing_key_column_raises(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        S.snapshot_merge(spark, t, _mk(spark, [(1, "x")]), key="k")
+        with pytest.raises(ValueError, match="no column"):
+            S.snapshot_row_changes(spark, t, 1, key="nope").collect()
+
+    def test_mixed_window_all_channels(self, spark, tmp_path):
+        """Append + merge + DV delete in ONE window: inserts, update
+        images, and positional deletes coexist, each stamped with its
+        commit version."""
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        S.snapshot_commit(spark, t, _mk(spark, [(50, "app50")]))
+        S.snapshot_merge(spark, t, _mk(spark, [(4, "NEW4")]), key="k")
+        S.snapshot_delete(spark, t, [("k", "=", 9)], mode="dv")
+        got = sorted(
+            (r["_change_type"], r["_commit_version"], r["k"], r["v"])
+            for r in S.snapshot_row_changes(spark, t, 1, key="k").collect()
+        )
+        assert got == [
+            ("delete", 4, 9, "old9"),
+            ("insert", 2, 50, "app50"),
+            ("update_postimage", 3, 4, "NEW4"),
+            ("update_preimage", 3, 4, "old4"),
+        ]
+
+
 class TestDeleteSoak:
     """snapshot_delete racing concurrent appends + clustering
     maintenance + expire/vacuum (the round-9 extension of the

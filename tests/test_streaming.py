@@ -2315,6 +2315,110 @@ class TestSnapshotFeed:
         assert max(opened[-5:]) <= 4  # flat: delta groups, not live files
 
 
+class TestSnapshotFeedUpserts:
+    """SnapshotFeed(upsert_key=...) — the CDF-driven consumption of a
+    snapshot_merge-maintained source (round-10 task 3): the feed hands
+    the sink insert/update_postimage/delete rows with their commit
+    versions, and a CDC sink (LWW by _commit_version) keeps a mirror
+    exactly equal to the source through upserts AND deletes, reading
+    change-proportional deltas instead of re-delivered tables."""
+
+    def _mirror_sink(self, spark, mirror_path):
+        import os as _os
+
+        from pyspark.sql import functions as F
+
+        from imagingdb_spark.operators.merge import cdc_apply
+
+        def sink(delta, batch_id):
+            changes = delta.select(
+                "k",
+                F.col("_commit_version").cast("long").alias("seq"),
+                F.when(F.col("_change_type") == "delete", F.lit("D"))
+                .otherwise(F.lit("U"))
+                .alias("op"),
+                "v",
+            )
+            if _os.path.isdir(mirror_path):
+                base = spark.read.parquet(mirror_path)
+            else:
+                base = spark.createDataFrame([], "k long, v string")
+            out = cdc_apply(base, changes, "k").select("k", "v").collect()
+            spark.createDataFrame(
+                out or [], "k long, v string"
+            ).write.mode("overwrite").parquet(mirror_path)
+
+        return sink
+
+    def test_cdc_mirror_follows_merged_source(self, spark, tmp_path):
+        from imagingdb_spark import snapshots as SN
+
+        src = str(tmp_path / "src")
+        mirror = str(tmp_path / "mirror")
+        feed = jobs.SnapshotFeed(
+            src,
+            self._mirror_sink(spark, mirror),
+            str(tmp_path / "ck"),
+            upsert_key="k",
+        )
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+        SN.snapshot_commit(spark, src, mk([(i, f"v{i}") for i in range(10)]))
+        feed.processAllAvailable()
+        # upsert: change 2 keys, insert 1 — the delta is 3 keys, not 10
+        SN.snapshot_merge(
+            spark, src, mk([(3, "NEW3"), (7, "NEW7"), (42, "ins")]), key="k"
+        )
+        feed.processAllAvailable()
+        # merge-on-read delete flows through the same CDF
+        SN.snapshot_delete(spark, src, [("k", "=", 5)], mode="dv")
+        feed.processAllAvailable()
+        # a second upsert to a previously-updated key: LWW by version
+        SN.snapshot_merge(spark, src, mk([(3, "NEWER3")]), key="k")
+        feed.processAllAvailable()
+        want = sorted(
+            (r["k"], r["v"])
+            for r in SN.snapshot_read(spark, src).collect()
+        )
+        got = sorted(
+            (r["k"], r["v"])
+            for r in spark.read.parquet(mirror).collect()
+        )
+        assert got == want
+        assert dict(got)[3] == "NEWER3" and 5 not in dict(got)
+
+    def test_upsert_feed_replays_pinned_range(self, spark, tmp_path):
+        """A crash between sink and cursor-advance replays the SAME CDF
+        range with the same batch_id; the LWW sink converges."""
+        from imagingdb_spark import snapshots as SN
+
+        src = str(tmp_path / "src")
+        mirror = str(tmp_path / "mirror")
+        sink = self._mirror_sink(spark, mirror)
+        feed = jobs.SnapshotFeed(
+            src, sink, str(tmp_path / "ck"), upsert_key="k"
+        )
+        mk = lambda rows: spark.createDataFrame(rows, "k long, v string")
+        SN.snapshot_commit(spark, src, mk([(1, "a"), (2, "b")]))
+        feed.processAllAvailable()
+        SN.snapshot_merge(spark, src, mk([(2, "B2")]), key="k")
+        real_write = feed._write_state
+
+        def crash_on_advance(state):
+            if "inflight" not in state:
+                raise RuntimeError("crash before cursor write")
+            real_write(state)
+
+        feed._write_state = crash_on_advance
+        with pytest.raises(RuntimeError, match="crash before"):
+            feed.step()
+        feed._write_state = real_write
+        feed.processAllAvailable()  # replay the pinned range
+        got = sorted(
+            (r["k"], r["v"]) for r in spark.read.parquet(mirror).collect()
+        )
+        assert got == [(1, "a"), (2, "B2")]
+
+
 def test_phash_gate_feed_matches_file_stream(spark, tmp_path):
     """The image-ingest gate consuming snapshot-table changelog deltas
     (jobs.SnapshotFeed) lands the identical corpus + match set as the
