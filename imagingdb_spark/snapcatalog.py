@@ -831,3 +831,140 @@ def catalog_changes(
             *[os.path.join(tdir, fe["path"]) for fe in fes]
         )
     return out
+
+
+def catalog_row_changes(
+    spark: SparkSession,
+    catalog_dir: str,
+    since_version: int,
+    version: int | None = None,
+    keys: dict[str, str] | None = None,
+    plan: dict | None = None,
+) -> dict[str, DataFrame]:
+    """ROW-level change-data-feed across the WHOLE catalog from ONE
+    commit-object walk (round-10 task 4): ``{table: rows ± _change_type
+    + _commit_version}`` for every table whose rows changed in
+    ``(since_version, version]`` — the multi-table twin of
+    ``snapshots.snapshot_row_changes``, sharing its per-commit channel
+    core (``_commit_row_changes``) so the two feeds cannot drift.
+    ``_commit_version`` is the CATALOG version, so a dataset takedown's
+    data_set/frames_global/frames deletions carry the SAME version
+    stamp — mutually consistent by construction, never split across
+    polls (the asymmetry ``catalog_changes`` closed for adds, closed
+    here for row-level deletes/updates).
+
+    Per-table commit modes follow the per-table CDF contracts: appends
+    read as inserts, delete manifests (``catalog_delete``, either
+    strategy) yield their CoW+DV delete rows, compactions are skipped,
+    and full-rewrite manifests keyed-diff into update images when
+    ``keys[table]`` names the row identity (raise otherwise). ``plan``
+    collects {commits_walked, files_read}."""
+    keys = keys or {}
+    vs = catalog_versions(catalog_dir)
+    if not vs:
+        raise FileNotFoundError(
+            f"{catalog_dir} has no committed catalog versions"
+        )
+    end_v = vs[-1] if version is None else version
+    if end_v not in vs:
+        raise FileNotFoundError(f"{catalog_dir} has no version {end_v}")
+    if since_version > end_v:
+        raise ValueError(
+            f"since_version {since_version} is ahead of catalog "
+            f"version {end_v}"
+        )
+    end_tables = _read_commit(catalog_dir, end_v)["tables"]
+    end_schemas = {
+        name: StructType.fromJson(json.loads(m["schema"]))
+        for name, m in end_tables.items()
+    }
+    frames: dict[str, DataFrame] = {}
+    commits_walked = 0
+    files_read = 0
+    prev_tables: dict[str, dict] = {}
+    for v in range(max(1, since_version), end_v + 1):
+        try:
+            commit = _read_commit(catalog_dir, v)
+        except FileNotFoundError:
+            raise FileNotFoundError(
+                f"{catalog_dir} catalog version {v} expired before it "
+                "was consumed; retention must cover the cursor lag"
+            )
+        if v == since_version:
+            prev_tables = commit["tables"]
+            continue
+        commits_walked += 1
+        for name, m in commit["tables"].items():
+            pm = prev_tables.get(name, {"version": 0, "groups": []})
+            if m.get("groups") == pm.get("groups"):
+                continue  # table untouched by this commit
+            end_schema = end_schemas.get(name)
+            if end_schema is None:
+                continue  # not in the end commit: nothing to align to
+            frame, fr = S._commit_row_changes(
+                spark,
+                _table_dir(catalog_dir, name),
+                pm,
+                m,
+                end_schema,
+                v,
+                keys.get(name),
+                f"catalog {catalog_dir} v{v} table {name!r}",
+            )
+            files_read += fr
+            if frame is not None:
+                frames[name] = (
+                    frame
+                    if name not in frames
+                    else frames[name].unionByName(frame)
+                )
+        prev_tables = commit["tables"]
+    if plan is not None:
+        plan.update(commits_walked=commits_walked, files_read=files_read)
+    return frames
+
+
+def catalog_propagate_deletes(
+    spark: SparkSession,
+    catalog_dir: str,
+    since_version: int,
+    targets: dict[str, dict[str, str]],
+    version: int | None = None,
+    max_keys: int = 100_000,
+    on_overflow: str = "error",
+    mode: str = "cow",
+) -> dict:
+    """Takedown propagation from ONE mutually-consistent catalog feed
+    (round-10 task 4): ``targets`` maps SOURCE table name →
+    ``{derived_table_dir: key_column}``, and every derived standalone
+    snapshot table (gate indexes, shards, embeddings) receives the
+    net-deleted keys of its source table — harvested from a single
+    ``catalog_row_changes`` walk, so a ``catalog_delete_dataset``
+    takedown reaches every derived artifact from one feed instead of
+    per-table cursors that could observe the chain mid-commit. Replay
+    safe: re-running the same window re-computes the same net key sets
+    and each ``snapshot_delete`` finds nothing left to remove.
+
+    Same net-effect rule, bounded-collect guard (``max_keys`` /
+    ``on_overflow``), and delete-strategy choice (``mode``) as
+    ``snapshots.propagate_deletes`` — the application core is shared.
+    Returns ``{"sources": {table: {"deleted_keys": n, "targets":
+    {dir: audit}}}}``."""
+    cdf = catalog_row_changes(
+        spark, catalog_dir, since_version, version=version
+    )
+    out: dict = {"sources": {}}
+    for src, tmap in targets.items():
+        frame = cdf.get(src)
+        if frame is None:
+            out["sources"][src] = {"deleted_keys": 0, "targets": {}}
+            continue
+        frame = frame.persist()
+        try:
+            out["sources"][src] = S._apply_key_deletes(
+                spark, frame, tmap, max_keys, on_overflow, mode,
+                f"catalog_propagate_deletes {catalog_dir}:{src}",
+            )
+        finally:
+            frame.unpersist()
+    return out

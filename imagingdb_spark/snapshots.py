@@ -2315,6 +2315,121 @@ def snapshot_changes(
     )
 
 
+def _commit_row_changes(
+    spark: SparkSession,
+    table_dir: str,
+    prev: dict,
+    cur: dict,
+    end_schema: StructType,
+    stamp_v: int,
+    key: str | None,
+    ctx: str,
+) -> tuple[DataFrame | None, int]:
+    """ONE commit's row-level CDF — the per-mode channel semantics
+    shared by ``snapshot_row_changes`` (stamping table versions) and
+    ``snapcatalog.catalog_row_changes`` (stamping catalog versions), so
+    the two feeds cannot drift (the same single-seam rule as
+    ``changelog_mode_action``). Returns ``(aligned frame | None when
+    the commit changes no rows, files read)``; raises for keyless
+    rewrites. ``stamp_v`` lands in ``_commit_version``; ``ctx`` names
+    the commit in errors."""
+    from pyspark.sql import functions as F
+
+    mode = cur.get("mode")
+    if mode == "compact":
+        return None, 0
+    v_schema = StructType.fromJson(json.loads(cur["schema"]))
+
+    def _read(entries: list[dict]) -> DataFrame:
+        # DV-aware: entries carried with positional-delete refs read as
+        # their LIVE rows (e.g. a CoW delete's removed side on a table
+        # that had prior DV deletes — the already-dead rows must not
+        # resurface as newly deleted)
+        return _read_entries(spark, table_dir, entries, v_schema)
+
+    def _aligned(df: DataFrame, ctype: str) -> DataFrame:
+        cols = [
+            F.col(f.name) if f.name in v_schema.fieldNames()
+            else F.lit(None).cast(f.dataType).alias(f.name)
+            for f in end_schema.fields
+        ]
+        return df.select(
+            *cols,
+            F.lit(ctype).alias("_change_type"),
+            F.lit(stamp_v).alias("_commit_version"),
+        )
+
+    if mode == "append":
+        added = _added_entries(table_dir, prev, cur)
+        return _aligned(_read(added), "insert"), len(added)
+    if mode == "delete":
+        # CoW leg: files physically removed minus files added hold the
+        # deleted rows. DV leg: entries whose positional-delete ref
+        # changed contribute the rows at (new ∖ old) positions. A
+        # dv-updated entry shares its path across the group diff, so
+        # the two legs partition the commit's deletions exactly.
+        added = _added_entries(table_dir, prev, cur)
+        removed = _added_entries(table_dir, cur, prev)
+        files_read = len(added) + len(removed)
+        deleted = _read(removed).exceptAll(_read(added))
+        dv_changed = _dv_changed(table_dir, prev, cur)
+        if dv_changed:
+            files_read += len(dv_changed)
+            deleted = deleted.unionByName(
+                _dv_delta_rows(spark, table_dir, dv_changed, v_schema)
+            )
+        return _aligned(deleted, "delete"), files_read
+    if key is not None:
+        if key not in v_schema.fieldNames():
+            raise ValueError(
+                f"{ctx} has no column {key!r} to diff a {mode!r} commit on"
+            )
+        added = _added_entries(table_dir, prev, cur)
+        removed = _added_entries(table_dir, cur, prev)
+        # both sides read under THIS commit's schema (pre-widening files
+        # fill new columns with NULL); unchanged rows cancel in the
+        # multiset diff, so only changed keys survive
+        old_rows = _read(removed)
+        new_rows = _read(added)
+        gone = old_rows.exceptAll(new_rows)
+        fresh = new_rows.exceptAll(old_rows)
+        fresh_keys = fresh.select(key).distinct()
+        gone_keys = gone.select(key).distinct()
+        frame = (
+            _aligned(gone.join(fresh_keys, key, "left_semi"), "update_preimage")
+            .unionByName(
+                _aligned(fresh.join(gone_keys, key, "left_semi"), "update_postimage")
+            )
+            .unionByName(
+                _aligned(gone.join(fresh_keys, key, "left_anti"), "delete")
+            )
+            .unionByName(
+                _aligned(fresh.join(gone_keys, key, "left_anti"), "insert")
+            )
+        )
+        return frame, len(added) + len(removed)
+    raise ValueError(
+        f"{ctx} is a {mode!r} commit — a keyless rewrite has no row "
+        "identity to diff on; pass key=... for CDF update images, or "
+        "use snapshot_diff(v_old, v_new, key, cmp)"
+    )
+
+
+def _cdf_empty(spark: SparkSession, end_schema: StructType) -> DataFrame:
+    from pyspark.sql.types import IntegerType, StringType, StructField
+
+    return spark.createDataFrame(
+        [],
+        StructType(
+            list(end_schema.fields)
+            + [
+                StructField("_change_type", StringType(), False),
+                StructField("_commit_version", IntegerType(), False),
+            ]
+        ),
+    )
+
+
 def snapshot_row_changes(
     spark: SparkSession,
     table_dir: str,
@@ -2357,8 +2472,6 @@ def snapshot_row_changes(
 
     Rows read from pre-widening files align to the END schema (new
     columns NULL). ``plan`` collects {commits_walked, files_read}."""
-    from pyspark.sql import functions as F
-
     end = _resolve_manifest_raw(table_dir, version)
     end_v = end["version"]
     if since_version > end_v:
@@ -2367,26 +2480,6 @@ def snapshot_row_changes(
             f"version {end_v}"
         )
     end_schema = StructType.fromJson(json.loads(end["schema"]))
-
-    def _read(entries: list[dict], sch: StructType) -> DataFrame:
-        # DV-aware: entries carried with positional-delete refs read as
-        # their LIVE rows (e.g. a CoW delete's removed side on a table
-        # that had prior DV deletes — the already-dead rows must not
-        # resurface as newly deleted)
-        return _read_entries(spark, table_dir, entries, sch)
-
-    def _aligned(df: DataFrame, sch: StructType, ctype: str, v: int) -> DataFrame:
-        cols = [
-            F.col(f.name) if f.name in sch.fieldNames()
-            else F.lit(None).cast(f.dataType).alias(f.name)
-            for f in end_schema.fields
-        ]
-        return df.select(
-            *cols,
-            F.lit(ctype).alias("_change_type"),
-            F.lit(v).alias("_commit_version"),
-        )
-
     out: DataFrame | None = None
     commits_walked = 0
     files_read = 0
@@ -2408,94 +2501,152 @@ def snapshot_row_changes(
             prev = cur
             continue
         commits_walked += 1
-        mode = cur.get("mode")
-        if mode == "compact":
-            prev = cur
-            continue
-        v_schema = StructType.fromJson(json.loads(cur["schema"]))
-        if mode == "append":
-            added = _added_entries(table_dir, prev, cur)
-            files_read += len(added)
-            frame = _aligned(_read(added, v_schema), v_schema, "insert", v)
-        elif mode == "delete":
-            # CoW leg: files physically removed minus files added hold
-            # the deleted rows. DV leg: entries whose positional-delete
-            # ref changed contribute the rows at (new ∖ old) positions.
-            # A dv-updated entry shares its path across the group diff,
-            # so the two legs partition the commit's deletions exactly.
-            added = _added_entries(table_dir, prev, cur)
-            removed = _added_entries(table_dir, cur, prev)
-            files_read += len(added) + len(removed)
-            deleted = _read(removed, v_schema).exceptAll(
-                _read(added, v_schema)
-            )
-            dv_changed = _dv_changed(table_dir, prev, cur)
-            if dv_changed:
-                files_read += len(dv_changed)
-                deleted = deleted.unionByName(
-                    _dv_delta_rows(spark, table_dir, dv_changed, v_schema)
-                )
-            frame = _aligned(deleted, v_schema, "delete", v)
-        elif key is not None:
-            if key not in v_schema.fieldNames():
-                raise ValueError(
-                    f"{table_dir} v{v} has no column {key!r} to diff "
-                    f"a {mode!r} commit on"
-                )
-            added = _added_entries(table_dir, prev, cur)
-            removed = _added_entries(table_dir, cur, prev)
-            files_read += len(added) + len(removed)
-            # both sides read under THIS commit's schema (pre-widening
-            # files fill new columns with NULL); unchanged rows cancel
-            # in the multiset diff, so only changed keys survive
-            old_rows = _read(removed, v_schema)
-            new_rows = _read(added, v_schema)
-            gone = old_rows.exceptAll(new_rows)
-            fresh = new_rows.exceptAll(old_rows)
-            fresh_keys = fresh.select(key).distinct()
-            gone_keys = gone.select(key).distinct()
-            frame = (
-                _aligned(
-                    gone.join(fresh_keys, key, "left_semi"),
-                    v_schema, "update_preimage", v,
-                )
-                .unionByName(_aligned(
-                    fresh.join(gone_keys, key, "left_semi"),
-                    v_schema, "update_postimage", v,
-                ))
-                .unionByName(_aligned(
-                    gone.join(fresh_keys, key, "left_anti"),
-                    v_schema, "delete", v,
-                ))
-                .unionByName(_aligned(
-                    fresh.join(gone_keys, key, "left_anti"),
-                    v_schema, "insert", v,
-                ))
-            )
-        else:
-            raise ValueError(
-                f"{table_dir} v{v} is a {mode!r} commit — a keyless "
-                "rewrite has no row identity to diff on; pass key=... "
-                "for CDF update images, or use snapshot_diff(v_old, "
-                "v_new, key, cmp)"
-            )
-        out = frame if out is None else out.unionByName(frame)
+        frame, fr = _commit_row_changes(
+            spark, table_dir, prev, cur, end_schema, v, key,
+            f"{table_dir} v{v}",
+        )
+        files_read += fr
+        if frame is not None:
+            out = frame if out is None else out.unionByName(frame)
         prev = cur
     if plan is not None:
         plan.update(commits_walked=commits_walked, files_read=files_read)
     if out is None:
-        from pyspark.sql.types import IntegerType, StringType, StructField
+        return _cdf_empty(spark, end_schema)
+    return out
 
-        return spark.createDataFrame(
-            [],
-            StructType(
-                list(end_schema.fields)
-                + [
-                    StructField("_change_type", StringType(), False),
-                    StructField("_commit_version", IntegerType(), False),
-                ]
+
+def _net_delete_keys(cdf: DataFrame, col: str) -> DataFrame:
+    """Keys whose LAST change in the CDF window is a delete — the
+    version-ordered net-effect rule, per key COLUMN (never per joint
+    tuple: a doc re-inserted under a different shard is live under
+    doc_id). One aggregate over the CDF; returned as a one-column frame
+    so callers choose driver collect vs distributed anti-join.
+    ``update_postimage`` rows count as (re)inserts: an upserted key is
+    live."""
+    from pyspark.sql import functions as F
+
+    return (
+        cdf.groupBy(col)
+        .agg(
+            F.max(
+                F.when(
+                    F.col("_change_type") == "delete",
+                    F.col("_commit_version"),
+                )
+            ).alias("__del_v"),
+            F.max(
+                F.when(
+                    F.col("_change_type").isin("insert", "update_postimage"),
+                    F.col("_commit_version"),
+                )
+            ).alias("__ins_v"),
+        )
+        .filter(
+            F.col("__del_v").isNotNull()
+            & (
+                F.col("__ins_v").isNull()
+                | (F.col("__del_v") > F.col("__ins_v"))
+            )
+        )
+        .select(col)
+    )
+
+
+def _apply_key_deletes(
+    spark: SparkSession,
+    cdf: DataFrame,
+    targets: dict[str, str],
+    max_keys: int,
+    on_overflow: str,
+    mode: str,
+    ctx: str,
+) -> dict:
+    """The propagation core shared by ``propagate_deletes`` and
+    ``snapcatalog.catalog_propagate_deletes``: net-deleted keys per key
+    column from one CDF frame, pushed into every target table. Small
+    key sets (≤ ``max_keys`` per column) collect to the driver and run
+    the three-stage-pruned ``snapshot_delete(key IN ...)``; larger sets
+    either raise (``on_overflow="error"``, the guard the round-9 review
+    asked for — an unbounded collect could OOM the driver) or fall back
+    to a DISTRIBUTED anti-join rewrite per target under
+    ``snapshot_rmw`` (``on_overflow="rewrite"`` — full-table rewrite
+    cost, zero driver materialization). Each target's audit records the
+    ``path`` taken.
+
+    A target's key spec is either a column name shared by the CDF and
+    the derived table, or a ``(source_col, derived_col)`` pair when the
+    derived table renames it (frames_global.id → derived.fg_id)."""
+    from pyspark.sql import functions as F
+
+    if on_overflow not in ("error", "rewrite"):
+        raise ValueError(
+            f"on_overflow must be error|rewrite, got {on_overflow!r}"
+        )
+    specs = {
+        tdir: (spec if isinstance(spec, (tuple, list)) else (spec, spec))
+        for tdir, spec in targets.items()
+    }
+    by_col: dict = {}
+    frames: dict = {}
+    counts: dict = {}
+    null_keys: dict = {}
+    for col in sorted({src for src, _dst in specs.values()}):
+        last = _net_delete_keys(cdf, col)
+        row = last.agg(
+            F.count(F.lit(1)).alias("n"), F.count(col).alias("nn")
+        ).collect()[0]
+        # NULL keys (pre-widening rows read the new column as NULL)
+        # cannot be propagated by an IN predicate — surface them in the
+        # audit instead of silently overstating the push
+        null_keys[col] = row["n"] - row["nn"]
+        counts[col] = row["nn"]
+        if row["nn"] <= max_keys:
+            by_col[col] = sorted(
+                r[col]
+                for r in last.filter(F.col(col).isNotNull()).collect()
+            )
+        else:
+            by_col[col] = None  # overflow: never materialized on driver
+            frames[col] = last.filter(F.col(col).isNotNull())
+    out: dict = {
+        "deleted_keys": sum(counts.values()),
+        "targets": {},
+    }
+    if any(null_keys.values()):
+        out["null_keys"] = {c: n for c, n in null_keys.items() if n}
+    for tdir, (src_col, dst_col) in specs.items():
+        if counts[src_col] == 0:
+            continue
+        if by_col[src_col] is not None:
+            audit = snapshot_delete(
+                spark, tdir, [(dst_col, "in", by_col[src_col])], mode=mode
+            )
+            audit["path"] = "pruned_delete"
+            out["targets"][tdir] = audit
+            continue
+        if on_overflow == "error":
+            raise ValueError(
+                f"{ctx}: {counts[src_col]} deleted keys on {src_col!r} "
+                f"exceed max_keys={max_keys}; narrow the propagation "
+                "window, raise max_keys, or pass on_overflow='rewrite' "
+                "for a distributed anti-join rewrite"
+            )
+        kf = frames[src_col].withColumnRenamed(src_col, "__del_key")
+        v = snapshot_rmw(
+            spark,
+            tdir,
+            lambda tip, dst=dst_col, kf=kf: tip.join(
+                kf, tip[dst] == kf["__del_key"], "left_anti"
             ),
         )
+        m = _read_manifest_raw(tdir, v)
+        parent_rows = _read_manifest_raw(tdir, m["parent"])["rows"]
+        out["targets"][tdir] = {
+            "path": "antijoin_rewrite",
+            "version": v,
+            "rows_deleted": parent_rows - m["rows"],
+        }
     return out
 
 
@@ -2505,6 +2656,9 @@ def propagate_deletes(
     since_version: int,
     targets: dict[str, str],
     version: int | None = None,
+    max_keys: int = 100_000,
+    on_overflow: str = "error",
+    mode: str = "cow",
 ) -> dict:
     """Takedown PROPAGATION: push the keys deleted from ``src_table``
     after ``since_version`` into every derived table — ``targets`` maps
@@ -2532,65 +2686,23 @@ def propagate_deletes(
     row sharing a key value must share its fate (doc_id qualifies; a
     grouping column like shard_id does not — deleting ONE doc of a
     shard would net-delete the shard key and wrongly take down derived
-    rows of its surviving docs)."""
-    from pyspark.sql import functions as F
+    rows of its surviving docs).
 
-    keys_needed = sorted(set(targets.values()))
+    The driver collect is BOUNDED (round-10 task 5): a key column whose
+    net-deleted set exceeds ``max_keys`` never materializes on the
+    driver — ``on_overflow="error"`` (default) raises with the remedy;
+    ``on_overflow="rewrite"`` switches those targets to a distributed
+    anti-join rewrite under ``snapshot_rmw``. ``mode`` picks the
+    pruned-delete strategy for the in-bounds path (``"dv"`` for derived
+    tables not clustered on the key). Each target's audit carries the
+    ``path`` taken."""
     cdf = snapshot_row_changes(
         spark, src_table, since_version, version=version
-    ).persist()  # one pass per key COLUMN below
-    # the net effect is PER KEY COLUMN, never per joint tuple: a doc
-    # deleted as (doc_id=7, shard='A') and re-inserted as (doc_id=7,
-    # shard='B') is LIVE under doc_id — grouping by the tuple would see
-    # the (7,'A') delete unopposed and wrongly take down every doc_id=7
-    # derived row
-    by_col: dict = {}
-    null_keys: dict = {}
+    ).persist()  # one pass per key COLUMN in the shared core
     try:
-        for col in keys_needed:
-            last = (
-                cdf.groupBy(col)
-                .agg(
-                    F.max(
-                        F.when(
-                            F.col("_change_type") == "delete",
-                            F.col("_commit_version"),
-                        )
-                    ).alias("__del_v"),
-                    F.max(
-                        F.when(
-                            F.col("_change_type") == "insert",
-                            F.col("_commit_version"),
-                        )
-                    ).alias("__ins_v"),
-                )
-                .filter(
-                    F.col("__del_v").isNotNull()
-                    & (
-                        F.col("__ins_v").isNull()
-                        | (F.col("__del_v") > F.col("__ins_v"))
-                    )
-                )
-            )
-            vals = [r[col] for r in last.select(col).collect()]
-            # NULL keys (pre-widening rows read the new column as NULL)
-            # cannot be propagated by an IN predicate — surface them in
-            # the audit instead of silently overstating the push
-            null_keys[col] = sum(1 for v in vals if v is None)
-            by_col[col] = sorted(v for v in vals if v is not None)
+        return _apply_key_deletes(
+            spark, cdf, targets, max_keys, on_overflow, mode,
+            f"propagate_deletes from {src_table}",
+        )
     finally:
         cdf.unpersist()
-    out: dict = {
-        "deleted_keys": sum(len(v) for v in by_col.values()),
-        "targets": {},
-    }
-    if any(null_keys.values()):
-        out["null_keys"] = {c: n for c, n in null_keys.items() if n}
-    for tdir, key in targets.items():
-        ids = by_col[key]
-        if not ids:
-            continue
-        out["targets"][tdir] = snapshot_delete(
-            spark, tdir, [(key, "in", ids)]
-        )
-    return out

@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from imagingdb_spark import flows
 from imagingdb_spark import snapcatalog as C
+from imagingdb_spark import snapshots as S
 from imagingdb_spark.catalog import IMAGING_SCHEMAS
 from imagingdb_spark.ingest import CatalogTarget
 
@@ -926,6 +927,173 @@ class TestCatalogChanges:
             )
             == {}
         )  # a delete commit adds no rows
+
+
+class TestCatalogRowChanges:
+    """Catalog-level row CDF (round-10 task 4): one commit-object walk
+    yields per-table insert/delete/update rows stamped with the CATALOG
+    version — a takedown's whole FK chain in one mutually-consistent
+    feed."""
+
+    def test_takedown_chain_in_one_stamp(self, spark, tmp_path):
+        cat_dir = str(tmp_path / "cat")
+        src = _src_file(tmp_path)
+        _upload(spark, src, tmp_path, cat_dir)
+        _upload(spark, src, tmp_path, cat_dir, serial=UP_SERIAL2)
+        # the chain about to be deleted, read from the pre-delete tip
+        ds = C.catalog_read(spark, cat_dir, "data_set")
+        ds1 = [
+            r["id"]
+            for r in ds.filter(ds.dataset_serial == UP_SERIAL).collect()
+        ]
+        fg = C.catalog_read(spark, cat_dir, "frames_global")
+        fg1 = {r["id"] for r in fg.filter(fg.dataset_id.isin(ds1)).collect()}
+        cursor = C.catalog_versions(cat_dir)[-1]
+        C.catalog_delete_dataset(spark, cat_dir, UP_SERIAL)
+        plan = {}
+        cdf = C.catalog_row_changes(spark, cat_dir, cursor, plan=plan)
+        assert set(cdf) == {"data_set", "frames_global", "frames"}
+        stamps = set()
+        for name, df in cdf.items():
+            rows = df.collect()
+            assert {r["_change_type"] for r in rows} == {"delete"}
+            stamps.update(r["_commit_version"] for r in rows)
+        assert len(stamps) == 1  # ONE catalog version: mutually consistent
+        assert {
+            r["dataset_serial"] for r in cdf["data_set"].collect()
+        } == {UP_SERIAL}
+        assert {
+            r["frames_global_id"] for r in cdf["frames"].collect()
+        } == fg1
+        assert plan["commits_walked"] == 1
+
+    def test_appends_read_as_inserts(self, spark, tmp_path):
+        cat_dir = str(tmp_path / "cat")
+        src = _src_file(tmp_path)
+        _upload(spark, src, tmp_path, cat_dir)
+        cursor = C.catalog_versions(cat_dir)[-1]
+        _upload(spark, src, tmp_path, cat_dir, serial=UP_SERIAL2)
+        cdf = C.catalog_row_changes(spark, cat_dir, cursor)
+        assert {r["_change_type"] for r in cdf["frames"].collect()} == {
+            "insert"
+        }
+        assert cdf["frames"].count() == 6
+        # caught up: empty dict
+        tip = C.catalog_versions(cat_dir)[-1]
+        assert C.catalog_row_changes(spark, cat_dir, tip) == {}
+
+
+class TestCatalogPropagateDeletes:
+    """catalog_propagate_deletes (round-10 task 4): a dataset takedown
+    reaches DERIVED standalone snapshot tables from the one catalog
+    feed, replay-safe across crashes."""
+
+    def _setup(self, spark, tmp_path):
+        cat_dir = str(tmp_path / "cat")
+        src = _src_file(tmp_path)
+        _upload(spark, src, tmp_path, cat_dir)
+        _upload(spark, src, tmp_path, cat_dir, serial=UP_SERIAL2)
+        # derived artifact OUTSIDE the catalog: one row per frames_global
+        # id (a thumbnail/shard index shape)
+        derived = str(tmp_path / "derived_idx")
+        fg = C.catalog_read(spark, cat_dir, "frames_global")
+        S.snapshot_commit(
+            spark, derived,
+            fg.selectExpr("id as fg_id", "'thumb' as blob").repartition(2),
+        )
+        return cat_dir, derived
+
+    def test_propagation_parity_with_rebuild(self, spark, tmp_path):
+        cat_dir, derived = self._setup(spark, tmp_path)
+        cursor = C.catalog_versions(cat_dir)[-1]
+        C.catalog_delete_dataset(spark, cat_dir, UP_SERIAL)
+        out = C.catalog_propagate_deletes(
+            spark, cat_dir, cursor,
+            {"frames_global": {derived: ("id", "fg_id")}},
+        )
+        audit = out["sources"]["frames_global"]
+        assert audit["deleted_keys"] > 0
+        assert audit["targets"][derived]["path"] == "pruned_delete"
+        # parity: the derived table equals a rebuild from the tip
+        want = sorted(
+            r["id"]
+            for r in C.catalog_read(spark, cat_dir, "frames_global").collect()
+        )
+        got = sorted(
+            r["fg_id"] for r in S.snapshot_read(spark, derived).collect()
+        )
+        assert got == want and len(got) > 0
+        # replay the SAME window: net keys recompute, nothing re-deletes
+        out2 = C.catalog_propagate_deletes(
+            spark, cat_dir, cursor,
+            {"frames_global": {derived: ("id", "fg_id")}},
+        )
+        t2 = out2["sources"]["frames_global"]["targets"]
+        assert t2 == {} or t2[derived]["rows_deleted"] == 0
+
+    def test_crash_mid_propagation_replays_safely(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """Two derived targets; the second target's delete crashes; the
+        full propagation re-runs and converges — each target delete is
+        its own atomic commit, so partial progress is never torn."""
+        cat_dir, derived = self._setup(spark, tmp_path)
+        derived2 = str(tmp_path / "derived2")
+        fg = C.catalog_read(spark, cat_dir, "frames_global")
+        S.snapshot_commit(
+            spark, derived2,
+            fg.selectExpr("id as fg_id", "1 as w").repartition(2),
+        )
+        cursor = C.catalog_versions(cat_dir)[-1]
+        C.catalog_delete_dataset(spark, cat_dir, UP_SERIAL)
+        real = S.snapshot_delete
+        calls = {"n": 0}
+
+        def crashing_delete(*a, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2:
+                raise RuntimeError("simulated crash mid-propagation")
+            return real(*a, **kw)
+
+        monkeypatch.setattr(S, "snapshot_delete", crashing_delete)
+        targets = {
+            "frames_global": {derived: ("id", "fg_id"), derived2: ("id", "fg_id")}
+        }
+        with pytest.raises(RuntimeError, match="mid-propagation"):
+            C.catalog_propagate_deletes(spark, cat_dir, cursor, targets)
+        monkeypatch.setattr(S, "snapshot_delete", real)
+        C.catalog_propagate_deletes(spark, cat_dir, cursor, targets)
+        want = sorted(
+            r["id"]
+            for r in C.catalog_read(spark, cat_dir, "frames_global").collect()
+        )
+        for d, col in ((derived, "fg_id"), (derived2, "fg_id")):
+            got = sorted(
+                r[col] for r in S.snapshot_read(spark, d).collect()
+            )
+            assert got == want
+
+    def test_dv_mode_propagation(self, spark, tmp_path):
+        """mode='dv' pushes the takedown into the derived table as a
+        deletion vector: zero data files rewritten."""
+        cat_dir, derived = self._setup(spark, tmp_path)
+        cursor = C.catalog_versions(cat_dir)[-1]
+        C.catalog_delete_dataset(spark, cat_dir, UP_SERIAL)
+        out = C.catalog_propagate_deletes(
+            spark, cat_dir, cursor,
+            {"frames_global": {derived: ("id", "fg_id")}},
+            mode="dv",
+        )
+        audit = out["sources"]["frames_global"]["targets"][derived]
+        assert audit["files_rewritten"] == 0 and audit["files_dv"] >= 1
+        want = sorted(
+            r["id"]
+            for r in C.catalog_read(spark, cat_dir, "frames_global").collect()
+        )
+        got = sorted(
+            r["fg_id"] for r in S.snapshot_read(spark, derived).collect()
+        )
+        assert got == want
 
 
 class TestCatalogFeed:
