@@ -548,22 +548,34 @@ def triangle_counts(
         F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
     ).persist()
-    # wedge volume for BOTH join sides: each oriented edge ships N+(src)
-    # and N+(dst); Σ outdeg² covers the src side exactly and bounds the
-    # dst side (indeg·outdeg ≤ the same sum by rearrangement), so 2×
-    # the aggregate is the scratch estimate the batching decision uses.
-    # Counted from a narrow per-src COUNT over the (persisted) oriented
+    # wedge volume for BOTH join sides, each measured EXACTLY: every
+    # oriented edge ships N+(src) and N+(dst), so the src side is
+    # Σ_src outdeg(src)² and the dst side is Σ_edges outdeg(dst) —
+    # measured by joining the edges to the outdeg table on dst (one
+    # more cheap aggregate over the persisted edges) rather than
+    # assumed ≤ the src sum: on skewed orientations Σ indeg·outdeg can
+    # EXCEED Σ outdeg², and an under-split batching guard is exactly
+    # the 38 GB-scratch abort this exists to prevent (round-9 ADVICE).
+    # Counted from narrow per-src COUNTs over the (persisted) oriented
     # edges — never from the adjacency arrays themselves: materializing
     # those through the block manager cost 3× end-to-end at sf0.1 when
-    # this guard was first cached-array-based. The action also
-    # materializes oriented's cache, which the main job reuses.
-    units_row = (
-        oriented.groupBy("src")
-        .agg(F.count(F.lit(1)).alias("d"))
-        .agg(F.sum(F.col("d").cast("bigint") * F.col("d")).alias("w"))
-        .collect()
+    # this guard was first cached-array-based. The actions also
+    # materialize oriented's cache, which the main job reuses.
+    outdeg = oriented.groupBy("src").agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
     )
-    units = 2 * int(units_row[0]["w"] or 0)
+    src_units = int(
+        outdeg.agg(F.sum(F.col("d") * F.col("d")).alias("w"))
+        .collect()[0]["w"]
+        or 0
+    )
+    dst_units = int(
+        oriented.join(
+            outdeg.withColumnRenamed("src", "dst"), "dst"
+        ).agg(F.sum("d").alias("w")).collect()[0]["w"]
+        or 0
+    )
+    units = src_units + dst_units
     n_batches = max(1, math.ceil(units / max_closing_units))
     adj = oriented.groupBy("src").agg(
         F.array_sort(F.collect_list("dst")).alias("nbrs")

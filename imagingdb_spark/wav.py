@@ -402,6 +402,21 @@ def ms_adpcm_encode(
     return bytes(out), block_align, spb
 
 
+def _fact_trim(s: np.ndarray, fact_len: int | None, spb: int) -> np.ndarray:
+    """Apply the fact chunk's true-length trim ONLY when it is consistent
+    with the decoded ADPCM length — i.e. it removes at most one block's
+    worth of encoder padding (``len(s) - samples_per_block < fact_len <=
+    len(s)``). A corrupt fact value (0, or anything far below the
+    decoded length) would otherwise silently truncate the audio to
+    near-empty (round-9 ADVICE); such values are ignored and the decoded
+    length stands."""
+    if fact_len is None:
+        return s
+    if max(0, len(s) - max(spb, 0)) < fact_len <= len(s):
+        return s[:fact_len]
+    return s
+
+
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
     """WAV bytes → (samples, sample_rate, n_channels). Samples are float64
     scaled to [-1, 1], shaped (n,) for mono or (n, channels) otherwise.
@@ -443,8 +458,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
         a = mulaw_decode(np.frombuffer(data, np.uint8)) / 32768.0
     elif tag == 0x11 and bits == 4:  # IMA/DVI ADPCM
         s = ima_adpcm_decode(data, channels, fmt[4])
-        if fact_len is not None:  # trim encoder block padding to the
-            s = s[:fact_len]      # true length the fact chunk records
+        spb = ((fmt[4] - 4 * channels) * 2) // channels + 1
+        s = _fact_trim(s, fact_len, spb)
         return s.astype(np.float64) / 32768.0, rate, channels
     elif tag == 2 and bits == 4:  # MS ADPCM
         coefs = None
@@ -458,8 +473,8 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int, int]:
                     for i in range(ncoef)
                 ]
         s = ms_adpcm_decode(data, channels, fmt[4], coefs)
-        if fact_len is not None:
-            s = s[:fact_len]
+        spb = ((fmt[4] - 7 * channels) * 2) // channels + 2
+        s = _fact_trim(s, fact_len, spb)
         return s.astype(np.float64) / 32768.0, rate, channels
     else:
         raise ValueError(

@@ -312,6 +312,25 @@ class TestAdpcmTails:
         assert len(trimmed) == n
         np.testing.assert_array_equal(trimmed, padded[:n])
 
+    def test_corrupt_fact_chunk_is_ignored(self):
+        """Round-10 ADVICE: a bogus fact value (0, or far below the
+        decoded length) must NOT silently truncate the audio — the trim
+        applies only when it removes at most one block's padding."""
+        n = 777
+        x = rng.uniform(-0.5, 0.5, size=n)
+        blob = wav.encode_wav(x, 8000, codec="adpcm")
+        padded, _, _ = wav.decode_wav(blob)
+        at = blob.find(b"data")
+        for bogus in (0, 1, n // 2, len(padded) + 1):
+            fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", bogus)
+            spliced = bytearray(blob[:at] + fact + blob[at:])
+            struct.pack_into(
+                "<I", spliced, 4,
+                struct.unpack_from("<I", spliced, 4)[0] + 12,
+            )
+            got, _, _ = wav.decode_wav(bytes(spliced))
+            assert len(got) == len(padded)  # ignored, not truncated
+
     def test_ms_adpcm_fact_chunk_trims(self):
         n = 505
         x = rng.uniform(-0.5, 0.5, size=n)
