@@ -2070,6 +2070,162 @@ def _delete_rewrite(
     return manifest, rel_dir, out
 
 
+def snapshot_update(
+    spark: SparkSession,
+    table_dir: str,
+    where: list,
+    set_exprs: dict,
+    max_retries: int = 5,
+    txn: tuple[str, int] | None = None,
+) -> dict:
+    """Targeted row-level UPDATE — the third leg of the DML triple
+    (append/MERGE, DELETE, UPDATE) over the SAME three-stage pruning
+    core as ``snapshot_delete``: group stats → footer min/max → bloom
+    sidecars find the candidate files, ONLY those are rewritten with
+    ``set_exprs`` applied to predicate-matching rows (non-matching rows
+    carried verbatim), and the rewrite publishes as one atomic
+    ``update`` commit pinned to the tip the candidates were resolved
+    from — a racing commit forces a re-resolve, a crash anywhere leaves
+    the pre-update version exactly (the snapshot_delete discipline,
+    row-count-preserving instead of row-removing).
+
+    ``where`` is the conjunctive triple list every pruned operation
+    takes; SQL UPDATE semantics — a NULL predicate leaves the row
+    untouched. ``set_exprs`` maps column name → SQL expression string
+    (or Column); expressions may reference any column of the row and
+    are CAST to the column's existing type, so the table schema never
+    drifts. Rewritten files get fresh stats and bloom sidecars (an
+    update can move indexed values); existing deletion vectors on
+    touched files are read through and materialized, exactly like the
+    CoW delete. ``snapshot_row_changes(key=...)`` turns an update
+    commit into update_preimage/postimage rows read from ONLY the
+    rewritten files — delta-proportional because the commit itself is.
+
+    Returns ``{version, rows_updated, files_total, files_rewritten,
+    files_kept, groups_kept_by_ref, files_bloom_cleared}`` — the tip
+    version unchanged when no physical row matched."""
+    checked = _check_where(where)
+    if not checked:
+        raise ValueError("snapshot_update needs a non-empty predicate")
+    if not set_exprs:
+        raise ValueError("snapshot_update needs at least one SET expression")
+
+    def _already(m: dict) -> bool:
+        return txn is not None and txn[1] <= m.get("txns", {}).get(txn[0], -1)
+
+    created: list[str] = []
+    for _ in range(max_retries):
+        vs = _versions(table_dir)
+        if not vs:
+            raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+        tip = vs[-1]
+        m = _read_manifest_raw(table_dir, tip)
+        if "groups" not in m:
+            m["groups"] = None
+        if _already(m):
+            return {
+                "version": tip, "rows_updated": 0, "files_total": None,
+                "files_rewritten": 0, "files_kept": 0,
+                "groups_kept_by_ref": None, "files_bloom_cleared": 0,
+            }
+        manifest, rel_dir, out = _update_rewrite(
+            spark, table_dir, m, checked, set_exprs, created, txn
+        )
+        if manifest is None:
+            out["version"] = tip
+            return out
+        try:
+            _publish(table_dir, tip + 1, manifest)
+            out["version"] = tip + 1
+            return out
+        except SnapshotConflict:
+            shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
+            _drop_sidecar(table_dir, rel_dir)
+            _drop_groups(table_dir, created)
+            continue
+    raise SnapshotConflict(
+        f"update of {table_dir} lost {max_retries} straight races"
+    )
+
+
+def _update_rewrite(
+    spark: SparkSession,
+    table_dir: str,
+    m: dict,
+    checked: list,
+    set_exprs: dict,
+    created: list[str],
+    txn: tuple[str, int] | None = None,
+) -> tuple[dict | None, str | None, dict]:
+    """The UPDATE core: shared candidate pruning, then a row-count-
+    preserving rewrite of only the candidate files with the SET
+    expressions applied to matching rows. Caller contract identical to
+    ``_delete_rewrite`` (publication + conflict cleanup are the
+    caller's)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    ref_groups, keep, cand, out = _delete_candidates(table_dir, m, checked)
+    out["rows_updated"] = out.pop("rows_deleted")
+    if not cand:
+        return None, None, out
+    schema = StructType.fromJson(json.loads(m["schema"]))
+    bad = set(set_exprs) - set(schema.fieldNames())
+    if bad:
+        raise ValueError(
+            f"SET names columns {sorted(bad)} absent from {table_dir}"
+        )
+    cand_rows = 0
+    for fe in cand:
+        _, n = _file_footer(os.path.join(table_dir, fe["path"]))
+        if n is None:
+            cand_rows = _read_entries(spark, table_dir, cand, schema).count()
+            break
+        cand_rows += n - (fe.get("dv") or {}).get("n", 0)
+    cond = _where_column(checked)
+    upd = F.coalesce(cond, F.lit(False))  # NULL predicate: row untouched
+    src = _read_entries(spark, table_dir, cand, schema)
+    n_match = src.filter(upd).count()
+    if n_match == 0:
+        out.update(files_rewritten=0, files_kept=len(keep) + len(cand))
+        return None, None, out
+    by_type = {f.name: f.dataType for f in schema.fields}
+    cols = []
+    for f in schema.fields:
+        if f.name in set_exprs:
+            e = set_exprs[f.name]
+            e = e if isinstance(e, Column) else F.expr(str(e))
+            cols.append(
+                F.when(upd, e.cast(by_type[f.name]))
+                .otherwise(F.col(f.name))
+                .alias(f.name)
+            )
+        else:
+            cols.append(F.col(f.name))
+    new_files, new_rows, rel_dir = _write_data_files(
+        src.select(*cols), table_dir
+    )
+    if new_rows != cand_rows:
+        # row-count-preserving invariant: publish nothing, surface loudly
+        shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
+        raise RuntimeError(
+            f"update rewrite of {table_dir} changed candidate rows "
+            f"({cand_rows} -> {new_rows}); nothing was published"
+        )
+    nonempty = []
+    for fe in new_files:
+        _, n = _file_footer(os.path.join(table_dir, fe["path"]))
+        if n != 0:
+            nonempty.append(fe)
+    _build_blooms(spark, table_dir, rel_dir, nonempty, m.get("blooms"))
+    groups = _child_groups(table_dir, ref_groups, keep + nonempty, created)
+    manifest = _next_manifest(
+        m, "update", groups, m["rows"], m["schema"], txn
+    )
+    out["rows_updated"] = n_match
+    return manifest, rel_dir, out
+
+
 def _added_entries(table_dir: str, prev: dict, cur: dict) -> list[dict]:
     """File entries live in ``cur`` but not in ``prev``, by GROUP diff:
     shared group refs contribute identically to both sides, so only

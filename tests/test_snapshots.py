@@ -2393,6 +2393,241 @@ class TestRowChangesCDF:
         assert out2["deleted_keys"] == 0 and out2["targets"] == {}
 
 
+class TestSnapshotUpdate:
+    """Targeted row-level UPDATE (round-10 stretch): the DML triple's
+    third leg over the shared pruning core — candidate files only,
+    row-count-preserving, atomic, crash-safe."""
+
+    def _clustered(self, spark, t, n_commits=4, per=100):
+        for c in range(n_commits):
+            df = spark.createDataFrame(
+                [(c * per + i, f"v{c * per + i}", 1.0) for i in range(per)],
+                "k long, v string, w double",
+            ).repartition(2)
+            S.snapshot_commit(spark, t, df)
+
+    def test_update_matches_filter_twin(self, spark, tmp_path):
+        """Oracle-style twin: post-update content equals the source with
+        the same UPDATE applied via a plain withColumn expression."""
+        from imagingdb_spark.operators.merge import table_diff
+        from pyspark.sql import functions as F
+
+        t = str(tmp_path / "t")
+        src = spark.createDataFrame(
+            [(i, f"v{i % 7}", float(i)) for i in range(500)],
+            "k long, v string, w double",
+        )
+        S.snapshot_commit(spark, t, src.repartition(4))
+        out = S.snapshot_update(
+            spark, t, [("v", "=", "v3")],
+            {"w": "w * 10 + k", "v": "'updated'"},
+        )
+        assert out["rows_updated"] == src.filter("v = 'v3'").count()
+        cond = F.col("v") == "v3"
+        want = src.select(
+            "k",
+            F.when(cond, F.lit("updated")).otherwise(F.col("v")).alias("v"),
+            F.when(cond, F.col("w") * 10 + F.col("k"))
+            .otherwise(F.col("w"))
+            .alias("w"),
+        )
+        d = table_diff(
+            want.withColumn("cmp", F.concat_ws("|", "v", "w")),
+            S.snapshot_read(spark, t).withColumn(
+                "cmp", F.concat_ws("|", "v", "w")
+            ),
+            "k", "cmp",
+        ).filter("status <> 'unchanged'")
+        assert d.count() == 0
+        # row count and manifest bookkeeping preserved
+        assert S.snapshot_versions(t)[-1]["rows"] == 500
+
+    def test_update_is_surgical_on_clustered_key(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t)
+        out = S.snapshot_update(
+            spark, t, [("k", ">=", 150), ("k", "<", 160)],
+            {"v": "'redacted'"},
+        )
+        assert out["rows_updated"] == 10
+        assert out["files_rewritten"] <= 2
+        assert out["groups_kept_by_ref"] >= 3
+        got = S.snapshot_read(spark, t)
+        assert got.filter("v = 'redacted'").count() == 10
+        assert got.count() == 400
+        # untouched files carried BY REFERENCE
+        old = {f["path"] for f in S._read_manifest(t, 4)["files"]}
+        new = {f["path"] for f in S._read_manifest(t, 5)["files"]}
+        assert len(old & new) >= 6
+
+    def test_null_predicate_rows_untouched(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        S.snapshot_commit(
+            spark, t,
+            spark.createDataFrame(
+                [(1, "a", 1.0), (2, None, 2.0), (3, "a", 3.0)],
+                "k long, v string, w double",
+            ).coalesce(1),
+        )
+        out = S.snapshot_update(
+            spark, t, [("v", "=", "a")], {"w": "0.0"}
+        )
+        assert out["rows_updated"] == 2
+        got = {r["k"]: r["w"] for r in S.snapshot_read(spark, t).collect()}
+        assert got == {1: 0.0, 2: 2.0, 3: 0.0}
+
+    def test_no_match_publishes_nothing(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n_commits=2)
+        tip = S._versions(t)[-1]
+        out = S.snapshot_update(
+            spark, t, [("k", ">=", 10_000)], {"v": "'x'"}
+        )
+        assert out["rows_updated"] == 0 and out["version"] == tip
+        assert S._versions(t)[-1] == tip
+
+    def test_set_expr_casts_keep_schema(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n_commits=1)
+        before = S.snapshot_read(spark, t).schema
+        S.snapshot_update(spark, t, [("k", "=", 3)], {"w": "7"})  # int expr
+        after = S.snapshot_read(spark, t).schema
+        assert S._canon_schema_json(before) == S._canon_schema_json(after)
+        assert S.snapshot_read(spark, t).filter("k = 3").collect()[0]["w"] == 7.0
+
+    def test_unknown_set_column_raises(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n_commits=1)
+        with pytest.raises(ValueError, match="absent"):
+            S.snapshot_update(spark, t, [("k", "=", 1)], {"nope": "1"})
+
+    def test_crash_at_every_point_leaves_old_version(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n_commits=2)
+        tip = S._versions(t)[-1]
+        before = sorted(
+            (r["k"], r["v"]) for r in S.snapshot_read(spark, t).collect()
+        )
+        for target in ("_write_data_files", "_write_group", "_publish"):
+            real = getattr(S, target)
+
+            def boom(*a, **kw):
+                raise RuntimeError("simulated crash")
+
+            monkeypatch.setattr(S, target, boom)
+            with pytest.raises(RuntimeError, match="simulated crash"):
+                S.snapshot_update(spark, t, [("k", "=", 3)], {"v": "'z'"})
+            monkeypatch.setattr(S, target, real)
+            assert S._versions(t)[-1] == tip
+            got = sorted(
+                (r["k"], r["v"]) for r in S.snapshot_read(spark, t).collect()
+            )
+            assert got == before
+        out = S.snapshot_update(spark, t, [("k", "=", 3)], {"v": "'z'"})
+        assert out["rows_updated"] == 1
+
+    def test_concurrent_append_forces_rebase(
+        self, spark, tmp_path, monkeypatch
+    ):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n_commits=2)
+        real = S._publish
+        raced = {"done": False}
+
+        def racing_publish(table_dir, version, manifest):
+            if not raced["done"]:
+                raced["done"] = True
+                monkeypatch.setattr(S, "_publish", real)
+                S.snapshot_commit(
+                    spark, t,
+                    spark.createDataFrame(
+                        [(3, "late", 9.0)], "k long, v string, w double"
+                    ).coalesce(1),
+                )
+                monkeypatch.setattr(S, "_publish", racing_publish)
+            return real(table_dir, version, manifest)
+
+        monkeypatch.setattr(S, "_publish", racing_publish)
+        out = S.snapshot_update(spark, t, [("k", "=", 3)], {"v": "'z'"})
+        monkeypatch.setattr(S, "_publish", real)
+        # the retry re-resolved at the winner's tip: BOTH k=3 rows updated
+        assert out["rows_updated"] == 2
+        assert S.snapshot_read(spark, t).filter(
+            "k = 3 and v <> 'z'"
+        ).count() == 0
+
+    def test_txn_replay_is_noop(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n_commits=1)
+        out1 = S.snapshot_update(
+            spark, t, [("k", "=", 5)], {"v": "'u'"}, txn=("updater", 1)
+        )
+        out2 = S.snapshot_update(
+            spark, t, [("k", "=", 6)], {"v": "'u'"}, txn=("updater", 1)
+        )
+        assert out2["version"] == out1["version"]
+        assert out2["rows_updated"] == 0
+        assert S.snapshot_read(spark, t).filter("k = 6").collect()[0]["v"] != "u"
+
+    def test_update_through_dv_materializes(self, spark, tmp_path):
+        """An update on a dv-bearing file reads through the DV (deleted
+        rows never resurrect) and materializes it on the rewrite."""
+        t = str(tmp_path / "t")
+        S.snapshot_commit(
+            spark, t,
+            spark.createDataFrame(
+                [(i, "x", 0.0) for i in range(30)],
+                "k long, v string, w double",
+            ).coalesce(1),
+        )
+        S.snapshot_delete(spark, t, [("k", "=", 7)], mode="dv")
+        out = S.snapshot_update(spark, t, [("k", "=", 9)], {"v": "'y'"})
+        assert out["rows_updated"] == 1
+        m = S._read_manifest(t, S._versions(t)[-1])
+        assert all(not f.get("dv") for f in m["files"])
+        got = S.snapshot_read(spark, t)
+        assert got.count() == 29 and got.filter("k = 7").count() == 0
+        assert got.filter("k = 9").collect()[0]["v"] == "y"
+
+    def test_cdf_update_images_delta_proportional(self, spark, tmp_path):
+        """snapshot_row_changes(key=...) on an update commit reads ONLY
+        the rewritten files and emits pre/post images for exactly the
+        updated rows."""
+        t = str(tmp_path / "t")
+        self._clustered(spark, t)
+        cursor = S._versions(t)[-1]
+        S.snapshot_update(
+            spark, t, [("k", ">=", 250), ("k", "<", 253)], {"v": "'u'"}
+        )
+        plan = {}
+        cdf = S.snapshot_row_changes(spark, t, cursor, key="k", plan=plan)
+        got = sorted(
+            (r["_change_type"], r["k"]) for r in cdf.collect()
+        )
+        assert got == [
+            ("update_postimage", 250), ("update_postimage", 251),
+            ("update_postimage", 252),
+            ("update_preimage", 250), ("update_preimage", 251),
+            ("update_preimage", 252),
+        ]
+        # only the touched group's files read, never the corpus
+        assert plan["files_read"] <= 4
+
+    def test_changelog_contract_for_update_commits(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n_commits=1)
+        cursor = S._versions(t)[-1]
+        S.snapshot_update(spark, t, [("k", "=", 1)], {"v": "'z'"})
+        with pytest.raises(ValueError, match="update"):
+            S.snapshot_changes(spark, t, cursor)
+        redelivered = S.snapshot_changes(
+            spark, t, cursor, ignore_changes=True
+        )
+        assert redelivered.count() > 0  # the rewritten files re-deliver
+
+
 class TestRowChangesUpdateImages:
     """CDF update images (round-10 task 3): merge/rmw/overwrite commits
     keyed-diff their rewritten files into the Delta CDF channels —
