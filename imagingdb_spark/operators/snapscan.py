@@ -6,9 +6,9 @@ stats pruning, bloom keep-semantics, time travel, and the delete
 rewrite were outside the oracle's eye. ``x_snapshot_scan`` closes that:
 it builds a deterministic snapshot table FROM the documents parquet
 (two clustered append commits + one copy-on-write ``snapshot_delete`` +
-one merge-on-read ``snapshot_delete(mode="dv")``), then answers four
-legs through the manifest path, each of which DuckDB recomputes from
-the raw documents table:
+one merge-on-read ``snapshot_delete(mode="dv")`` + one targeted
+``snapshot_update``), then answers five legs through the manifest
+path, each of which DuckDB recomputes from the raw documents table:
 
 - ``pre``  — time travel to v2 (pre-delete) with a doc_id range
   predicate: exercises pinned-version resolution + group/file min-max
@@ -16,14 +16,19 @@ the raw documents table:
 - ``post`` — the same range at v3 (post-CoW-delete): exercises the
   delete rewrite's manifest (carried-by-reference entries + rewritten
   files); oracle = range filter minus the CoW-deleted language.
-- ``dv``   — the same range at the tip (v4, post-DV-delete): exercises
+- ``dv``   — the same range at v4 (post-DV-delete, pinned): exercises
   the positional-delete sidecar anti-apply (``_read_entries``'s
   broadcast anti-join on path+row_index) composed with predicate
   pruning; oracle = range filter minus BOTH deleted languages.
+- ``upd``  — the same range at the tip (v5, post-``snapshot_update``
+  redacting the sources of a third language): exercises the UPDATE
+  rewrite's manifest (carried entries + updated files) read through
+  the surviving DV refs; oracle = the dv leg with a CASE expression.
 - ``point`` — an ``=`` probe on an md5 column (high-cardinality,
   UNCLUSTERED — zone maps keep everything, only the bloom sidecars
-  skip) at the DV-bearing tip: exercises bloom keep-semantics reading
-  THROUGH a deletion vector; oracle = the md5 recomputed in SQL.
+  skip) at the DV+update-bearing tip: exercises bloom keep-semantics
+  reading THROUGH a deletion vector after an update rebuilt touched
+  files' sidecars; oracle = the md5 recomputed in SQL.
 
 Any drift between the resolved file list, the DV positions, and the
 predicate semantics — a group wrongly skipped, a bloom false-absence, a
@@ -53,10 +58,11 @@ from imagingdb_spark.catalog import table
 from imagingdb_spark.registry import query
 from imagingdb_spark import snapshots as S
 
-# the four legs' constants — shared by the Spark path and the oracle SQL
+# the five legs' constants — shared by the Spark path and the oracle SQL
 _LO, _HI = 100, 400
 _DEL_LANG = "de"  # copy-on-write delete (v3)
 _DV_LANG = "fr"  # merge-on-read / deletion-vector delete (v4)
+_UPD_LANG = "es"  # targeted UPDATE (v5): source -> 'redacted'
 _PROBE_DOC = "137"  # md5(cast(doc_id as string)) probe; never de/fr at any SF
 
 
@@ -83,6 +89,12 @@ def _build(spark: SparkSession, sf_dir: str, t: str) -> None:
     # file; the DV commit writes positions only — the exact case the
     # merge-on-read path exists for, now under the oracle
     S.snapshot_delete(spark, t, [("lang", "=", _DV_LANG)], mode="dv")
+    # the DML triple's third leg, on the same unclustered column — the
+    # rewrite reads THROUGH v4's deletion vectors and materializes them
+    # on the files it touches
+    S.snapshot_update(
+        spark, t, [("lang", "=", _UPD_LANG)], {"source": "'redacted'"}
+    )
 
 
 def _scan_table(spark: SparkSession, sf_dir: str) -> str:
@@ -101,12 +113,12 @@ def _scan_table(spark: SparkSession, sf_dir: str) -> str:
     total = sum(counts.values())
     want_rows = total - counts.get(_DEL_LANG, 0) - counts.get(_DV_LANG, 0)
     tag = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}:{total}:dv".encode()
+        f"{os.path.abspath(sf_dir)}:{total}:dv-upd".encode()
     ).hexdigest()[:12]
     t = os.path.join(tempfile.gettempdir(), f"imagingdb_snapscan_{tag}")
     if S.snapshot_exists(t):
         vs = S._versions(t)
-        if vs == [1, 2, 3, 4] and S._read_manifest_raw(t, 4)["rows"] == want_rows:
+        if vs == [1, 2, 3, 4, 5] and S._read_manifest_raw(t, 5)["rows"] == want_rows:
             return t
         shutil.rmtree(t, ignore_errors=True)
     build = f"{t}.build.{uuid.uuid4().hex}"
@@ -139,7 +151,16 @@ def _scan_table(spark: SparkSession, sf_dir: str) -> str:
     WHERE doc_id >= {_LO} AND doc_id < {_HI}
       AND lang NOT IN ('{_DEL_LANG}', '{_DV_LANG}')
     UNION ALL
-    SELECT 'point' AS ver, doc_id, lang, source
+    SELECT 'upd' AS ver, doc_id, lang,
+           CASE WHEN lang = '{_UPD_LANG}' THEN 'redacted' ELSE source END
+             AS source
+    FROM d
+    WHERE doc_id >= {_LO} AND doc_id < {_HI}
+      AND lang NOT IN ('{_DEL_LANG}', '{_DV_LANG}')
+    UNION ALL
+    SELECT 'point' AS ver, doc_id, lang,
+           CASE WHEN lang = '{_UPD_LANG}' THEN 'redacted' ELSE source END
+             AS source
     FROM d
     WHERE md5(CAST(doc_id AS VARCHAR)) = md5('{_PROBE_DOC}')
       AND lang NOT IN ('{_DEL_LANG}', '{_DV_LANG}')
@@ -151,10 +172,14 @@ def x_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = hashlib.md5(_PROBE_DOC.encode()).hexdigest()
     pre = S.snapshot_read(spark, t, version=2, where=rng)
     post = S.snapshot_read(spark, t, version=3, where=rng)
-    dv = S.snapshot_read(spark, t, where=rng)
+    dv = S.snapshot_read(spark, t, version=4, where=rng)
+    upd = S.snapshot_read(spark, t, where=rng)
     point = S.snapshot_read(spark, t, where=[("h", "=", probe)])
     out = None
-    for ver, df in (("pre", pre), ("post", post), ("dv", dv), ("point", point)):
+    for ver, df in (
+        ("pre", pre), ("post", post), ("dv", dv), ("upd", upd),
+        ("point", point),
+    ):
         leg = df.select(
             F.lit(ver).alias("ver"), "doc_id", "lang", "source"
         )
