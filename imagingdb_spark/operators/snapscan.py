@@ -167,6 +167,11 @@ def _scan_table(spark: SparkSession, sf_dir: str) -> str:
     """,
 )
 def x_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L12/L13/L14: snapshot-format reads under the oracle — five legs
+    through snapshot_read over a deterministic table built from
+    documents (time travel, CoW delete, deletion-vector delete,
+    targeted UPDATE, bloom point probe), each leg recomputed by DuckDB
+    from the raw parquet. See the module docstring for the leg map."""
     t = _scan_table(spark, sf_dir)
     rng = [("doc_id", ">=", _LO), ("doc_id", "<", _HI)]
     probe = hashlib.md5(_PROBE_DOC.encode()).hexdigest()

@@ -108,25 +108,127 @@ ORACLE: dict[str, str] = {}
 # - OUT to 51+: every r7-window member whose code is unchanged since its
 #   fresh r7 green (x_phash_dedup .. x_merge_upsert).
 PRIORITY: list[str] = [
-    # --- round-9 window (first 50) ---
-    # (a) new/impl-changed this round — each needs a CURRENT driver
-    #     record (r8 verdict item 8's "no record predating its
-    #     implementation" rule):
-    #     x_snapshot_scan (new, r9 task 3), x_perplexity_bucket (one-
-    #     pass ntile3 fold, task 7), st_perplexity (materialization
-    #     cut, task 6), x_triangles (sf10 spill bound, task 5),
-    #     x_dedup_incremental/x_dedup_minhash (bench-drift
-    #     reconciliation, task 4).
-    # (b) the STALEST driver records, ascending: every query whose last
-    #     green driver row is r3 (the r1/r2-window members unchecked by
-    #     the driver since — each holds archived sf1.0 selfcheck greens
-    #     r5-r8, but the driver record is the contract), then the full
-    #     r5 cohort, then the five r6 names the r8 verdict called out
-    #     (x_ann_ivf, x_pack_sequences, x_semdedup, x_bpe_train/encode).
+    # --- round-10 window (first 50; VERDICT r9 item 6, applied) ---
+    # (a) implementation changed in round 10 — x_snapshot_scan (now five
+    #     legs: DV delete + snapshot_update under the oracle) and
+    #     x_triangles (exact dst-side wedge-volume measurement replacing
+    #     the unsound 2*sum(outdeg^2) bound, round-10 ADVICE).
+    # (b) the stalest driver records, ascending: the full last-green-r6
+    #     block (25 names, positions 51-75 of the r9 list) and the first
+    #     23 of the last-green-r7 block.
     "x_snapshot_scan",
+    "x_triangles",
+    "a_sum_avg",
+    "f_not_exists",
+    "j_outer_count",
+    "o_topk",
+    "w_dense_rank",
+    "w_range_frame",
+    "x_ann_eval",
+    "x_bm25",
+    "x_cooccur_pmi",
+    "x_funnel",
+    "x_histogram",
+    "x_interp_linear",
+    "x_inverted_index",
+    "x_length_batches",
+    "x_novelty",
+    "x_pipeline_audit",
+    "x_quality_norm",
+    "x_retention",
+    "x_retrieval_batch",
+    "x_retrieval_metrics",
+    "x_rolling_zscore",
+    "x_semdedup_eval",
+    "x_shard_shuffle",
+    "x_tfidf",
+    "x_token_ids",
+    "a_approx_sketch",
+    "j_range",
+    "j_semi",
+    "o_natural_sort",
+    "o_sort",
+    "s_except",
+    "st_anomaly",
+    "st_distinct_hll",
+    "st_join",
+    "w_lag_lead",
+    "x_ann_pq",
+    "x_audio_dedup",
+    "x_dsir_resample",
+    "x_dsir_select",
+    "x_embed_pca",
+    "x_embed_quantize",
+    "x_fuzzy_join",
+    "x_gapfill",
+    "x_hard_negatives",
+    "x_heavy_hitters",
+    "x_lang_id",
+    "x_length_trim",
+    "x_mad_outlier",
+    # --- 51+: displaced members, stalest first (each holds a green
+    #     driver row on code unchanged since it was recorded) ---
+    # last green r7 (the 11 that did not fit the window):
+    "x_merge_upsert",
+    "x_pagerank",
+    "x_phash_dedup",
+    "x_pq_quantize",
+    "x_quality_filter",
+    "x_rebalance",
+    "x_sample_weighted",
+    "x_scene_changes",
+    "x_split_leakage",
+    "x_substring_dedup",
+    "x_unigram_logprob",
+    # last green r8:
+    "a_cube",
+    "a_distinct",
+    "a_pivot",
+    "f_daterange",
+    "f_dates",
+    "f_equality",
+    "f_format",
+    "f_inlist",
+    "f_json_multi",
+    "f_path_ops",
+    "f_sha2",
+    "f_substring",
+    "f_validate_id",
+    "j_self_parent",
+    "j_two_way",
+    "o_limit",
+    "s_intersect",
+    "s_union",
+    "st_heavy_hitters",
+    "st_quantiles",
+    "st_sliding",
+    "st_theta_overlap",
+    "w_topk_group",
+    "x_ann_ivfpq",
+    "x_ann_lsh",
+    "x_chunk_docs",
+    "x_containment",
+    "x_decontaminate",
+    "x_dedup_cluster",
+    "x_dedup_compact",
+    "x_dedup_embed",
+    "x_dedup_eval",
+    "x_dedup_jaccard",
+    "x_dedup_retain",
+    "x_dedup_simhash",
+    "x_dedup_verified",
+    "x_dedup_weights",
+    "x_embed_stats",
+    "x_fingerprint",
+    "x_repetition",
+    "x_split_hash",
+    "x_text_stats",
+    "x_token_bpe",
+    "x_token_freq",
+    "x_topk_sim",
+    # last green r9 (freshest records, rotated out this round):
     "x_perplexity_bucket",
     "st_perplexity",
-    "x_triangles",
     "x_dedup_incremental",
     "x_dedup_minhash",
     "a_count",
@@ -173,115 +275,6 @@ PRIORITY: list[str] = [
     "x_semdedup",
     "x_bpe_train",
     "x_bpe_encode",
-    # --- 51+: displaced members, stalest first (each holds a green
-    #     driver row on code unchanged since it was recorded) ---
-    # last green r6:
-    "a_sum_avg",
-    "f_not_exists",
-    "j_outer_count",
-    "o_topk",
-    "w_dense_rank",
-    "w_range_frame",
-    "x_ann_eval",
-    "x_bm25",
-    "x_cooccur_pmi",
-    "x_funnel",
-    "x_histogram",
-    "x_interp_linear",
-    "x_inverted_index",
-    "x_length_batches",
-    "x_novelty",
-    "x_pipeline_audit",
-    "x_quality_norm",
-    "x_retention",
-    "x_retrieval_batch",
-    "x_retrieval_metrics",
-    "x_rolling_zscore",
-    "x_semdedup_eval",
-    "x_shard_shuffle",
-    "x_tfidf",
-    "x_token_ids",
-    # last green r7:
-    "a_approx_sketch",
-    "j_range",
-    "j_semi",
-    "o_natural_sort",
-    "o_sort",
-    "s_except",
-    "st_anomaly",
-    "st_distinct_hll",
-    "st_join",
-    "w_lag_lead",
-    "x_ann_pq",
-    "x_audio_dedup",
-    "x_dsir_resample",
-    "x_dsir_select",
-    "x_embed_pca",
-    "x_embed_quantize",
-    "x_fuzzy_join",
-    "x_gapfill",
-    "x_hard_negatives",
-    "x_heavy_hitters",
-    "x_lang_id",
-    "x_length_trim",
-    "x_mad_outlier",
-    "x_merge_upsert",
-    "x_pagerank",
-    "x_phash_dedup",
-    "x_pq_quantize",
-    "x_quality_filter",
-    "x_rebalance",
-    "x_sample_weighted",
-    "x_scene_changes",
-    "x_split_leakage",
-    "x_substring_dedup",
-    "x_unigram_logprob",
-    # last green r8 (freshest records, rotated out this round):
-    "a_cube",
-    "a_distinct",
-    "a_pivot",
-    "f_daterange",
-    "f_dates",
-    "f_equality",
-    "f_format",
-    "f_inlist",
-    "f_json_multi",
-    "f_path_ops",
-    "f_sha2",
-    "f_substring",
-    "f_validate_id",
-    "j_self_parent",
-    "j_two_way",
-    "o_limit",
-    "s_intersect",
-    "s_union",
-    "st_heavy_hitters",
-    "st_quantiles",
-    "st_sliding",
-    "st_theta_overlap",
-    "w_topk_group",
-    "x_ann_ivfpq",
-    "x_ann_lsh",
-    "x_chunk_docs",
-    "x_containment",
-    "x_decontaminate",
-    "x_dedup_cluster",
-    "x_dedup_compact",
-    "x_dedup_embed",
-    "x_dedup_eval",
-    "x_dedup_jaccard",
-    "x_dedup_retain",
-    "x_dedup_simhash",
-    "x_dedup_verified",
-    "x_dedup_weights",
-    "x_embed_stats",
-    "x_fingerprint",
-    "x_repetition",
-    "x_split_hash",
-    "x_text_stats",
-    "x_token_bpe",
-    "x_token_freq",
-    "x_topk_sim",
 ]
 
 

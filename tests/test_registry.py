@@ -43,46 +43,42 @@ def test_query_plans(spark, name):
     assert df.schema is not None and len(df.columns) > 0
 
 
-R9_IMPL_CHANGED = [
-    # round-9 plan (VERDICT r8 item 8): new/changed queries whose last
-    # record would otherwise predate current code
-    "x_snapshot_scan",      # NEW: snapshot_read under the oracle (task 3)
-    "x_perplexity_bucket",  # one-pass ntile3 fold (task 7)
-    "st_perplexity",        # materialization cut (task 6)
-    "x_triangles",          # sf10 wedge-spill bound (task 5)
-    "x_dedup_incremental",  # bench-drift reconciliation (task 4)
-    "x_dedup_minhash",      # bench-drift reconciliation (task 4)
+R10_IMPL_CHANGED = [
+    # round-10 plan (VERDICT r9 item 6): queries whose implementation
+    # changed this round and so need a CURRENT driver record
+    "x_snapshot_scan",  # five legs now: DV delete + UPDATE under the oracle
+    "x_triangles",      # exact dst-side wedge-volume measurement (ADVICE)
 ]
 
-# stalest driver records, ascending: the r3-era rows (r1/r2-window
-# members unchecked by the driver since), the full r5 cohort, and the
-# five r6 names the r8 verdict called out
-R9_STALE = [
-    "a_count", "a_rollup", "f_cast_coerce", "f_null_handling",
-    "f_string_parse", "j_three_way", "p_project", "x_dedup_exact",
-    "a_count_distinct", "a_geomean_udaf", "a_group_summary",
-    "f_array_ops", "f_from_json", "f_json_extract", "j_asof",
-    "j_json_filter", "j_temporal_lookup", "st_session", "st_topk_trend",
-    "st_tumbling", "w_rownum_page", "w_running", "x_bigram_logprob",
-    "x_cdc_apply", "x_corr_matrix", "x_domain_mix", "x_exact_quantiles",
-    "x_incr_agg", "x_profile_stats", "x_scd2_history", "x_scrub",
-    "x_sentences", "x_sessionize", "x_source_cap", "x_span_dedup",
-    "x_stratified", "x_table_diff", "x_token_budget",
-    "x_transition_matrix",
-    "x_ann_ivf", "x_pack_sequences", "x_semdedup", "x_bpe_train",
-    "x_bpe_encode",
+# stalest driver records, ascending: the full last-green-r6 block the
+# r9 verdict named (25 queries, then at positions 51-75) plus the first
+# 23 of the last-green-r7 block
+R10_STALE = [
+    "a_sum_avg", "f_not_exists", "j_outer_count", "o_topk",
+    "w_dense_rank", "w_range_frame", "x_ann_eval", "x_bm25",
+    "x_cooccur_pmi", "x_funnel", "x_histogram", "x_interp_linear",
+    "x_inverted_index", "x_length_batches", "x_novelty",
+    "x_pipeline_audit", "x_quality_norm", "x_retention",
+    "x_retrieval_batch", "x_retrieval_metrics", "x_rolling_zscore",
+    "x_semdedup_eval", "x_shard_shuffle", "x_tfidf", "x_token_ids",
+    "a_approx_sketch", "j_range", "j_semi", "o_natural_sort", "o_sort",
+    "s_except", "st_anomaly", "st_distinct_hll", "st_join", "w_lag_lead",
+    "x_ann_pq", "x_audio_dedup", "x_dsir_resample", "x_dsir_select",
+    "x_embed_pca", "x_embed_quantize", "x_fuzzy_join", "x_gapfill",
+    "x_hard_negatives", "x_heavy_hitters", "x_lang_id", "x_length_trim",
+    "x_mad_outlier",
 ]
 
 
 def test_category_coverage_inside_driver_window():
     """The driver's correctness harness checks only the FIRST ~50
-    registered queries; the round-9 rotation (registry.PRIORITY) must
-    keep (a) every new/impl-changed query inside that window so it gets
-    a current CORRECTNESS row and (b) the stalest-record queries.
+    registered queries; the round-10 rotation (registry.PRIORITY) must
+    keep (a) every impl-changed query inside that window so it gets a
+    current CORRECTNESS row and (b) the stalest-record queries.
     Everything displaced to 51+ holds a green driver row on code
     unchanged since it was recorded."""
     window = list(registry.ordered_queries())[:50]
-    for name in R9_IMPL_CHANGED + R9_STALE:
+    for name in R10_IMPL_CHANGED + R10_STALE:
         assert name in window, f"{name} fell outside the driver's 50-query window"
     assert len(window) == len(set(window)) == 50
 
