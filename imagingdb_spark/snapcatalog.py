@@ -840,6 +840,7 @@ def catalog_row_changes(
     version: int | None = None,
     keys: dict[str, str] | None = None,
     plan: dict | None = None,
+    tables: list[str] | None = None,
 ) -> dict[str, DataFrame]:
     """ROW-level change-data-feed across the WHOLE catalog from ONE
     commit-object walk (round-10 task 4): ``{table: rows ± _change_type
@@ -858,7 +859,9 @@ def catalog_row_changes(
     strategy) yield their CoW+DV delete rows, compactions are skipped,
     and full-rewrite manifests keyed-diff into update images when
     ``keys[table]`` names the row identity (raise otherwise). ``plan``
-    collects {commits_walked, files_read}."""
+    collects {commits_walked, files_read}. ``tables`` restricts the
+    walk's group-diff work to the named tables (a consumer following
+    two of fifty tables must not pay the other forty-eight's churn)."""
     keys = keys or {}
     vs = catalog_versions(catalog_dir)
     if not vs:
@@ -895,6 +898,8 @@ def catalog_row_changes(
             continue
         commits_walked += 1
         for name, m in commit["tables"].items():
+            if tables is not None and name not in tables:
+                continue  # caller follows a subset: skip foreign churn
             pm = prev_tables.get(name, {"version": 0, "groups": []})
             if m.get("groups") == pm.get("groups"):
                 continue  # table untouched by this commit
@@ -933,6 +938,7 @@ def catalog_propagate_deletes(
     max_keys: int = 100_000,
     on_overflow: str = "error",
     mode: str = "cow",
+    keys: dict[str, str] | None = None,
 ) -> dict:
     """Takedown propagation from ONE mutually-consistent catalog feed
     (round-10 task 4): ``targets`` maps SOURCE table name →
@@ -948,10 +954,15 @@ def catalog_propagate_deletes(
     Same net-effect rule, bounded-collect guard (``max_keys`` /
     ``on_overflow``), and delete-strategy choice (``mode``) as
     ``snapshots.propagate_deletes`` — the application core is shared.
-    Returns ``{"sources": {table: {"deleted_keys": n, "targets":
+    ``keys`` maps source table → its row identity so windows containing
+    merge/rmw/update manifests diff into update images instead of
+    raising (a postimage counts as a re-insert). The CDF walk is
+    restricted to the SOURCE tables named in ``targets``. Returns
+    ``{"sources": {table: {"deleted_keys": n, "targets":
     {dir: audit}}}}``."""
     cdf = catalog_row_changes(
-        spark, catalog_dir, since_version, version=version
+        spark, catalog_dir, since_version, version=version,
+        keys=keys, tables=list(targets),
     )
     out: dict = {"sources": {}}
     for src, tmap in targets.items():

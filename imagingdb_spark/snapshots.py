@@ -261,6 +261,21 @@ def _file_stats(abs_path: str) -> dict | None:
     return _file_footer(abs_path)[0]
 
 
+def _footers(paths: list[str]) -> list[tuple[dict | None, int | None]]:
+    """_file_footer over many files in a thread pool — footer reads are
+    independent I/O and must not serialize on the driver inside a commit
+    critical section / CAS conflict window (the _write_data_files
+    discipline, shared by the DELETE/UPDATE candidate paths, whose
+    candidate set is O(all files) exactly in the unclustered-key case
+    DV mode exists for)."""
+    if not paths:
+        return []
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=min(16, len(paths))) as pool:
+        return list(pool.map(_file_footer, paths))
+
+
 def _file_footer(abs_path: str) -> tuple[dict | None, int | None]:
     """(stats, num_rows) from one parquet footer, or (None, None) when it
     is unreadable. Split from _file_stats so commit paths can take the
@@ -1979,12 +1994,13 @@ def _delete_dv(
     new_cand: list[dict] = []
     files_dv = 0
     dropped = 0
-    for fe in cand:
+    totals = _footers([os.path.join(table_dir, fe["path"]) for fe in cand])
+    for fe, (_s, total) in zip(cand, totals):
         n = cnt.get(fe["path"], 0)
-        if n == 0:  # bloom/stats false positive: entry rides unchanged
-            new_cand.append(fe)
+        if n == 0:  # bloom/stats false positive: entry rides unchanged —
+            new_cand.append(fe)  # audited under files_kept so the counts
+            out["files_kept"] += 1  # tile files_total
             continue
-        _, total = _file_footer(os.path.join(table_dir, fe["path"]))
         if total is not None and n >= total:
             dropped += 1  # every row dead: the entry leaves the manifest
             continue
@@ -2024,16 +2040,20 @@ def _delete_rewrite(
         return None, None, out  # predicate provably touches nothing
     # --- stage 4: rewrite ONLY the candidate files ----------------------
     schema = StructType.fromJson(json.loads(m["schema"]))
-    cand_rows = 0
-    for fe in cand:
-        _, n = _file_footer(os.path.join(table_dir, fe["path"]))
-        if n is None:  # unreadable footer: authoritative slow count
-            cand_rows = _read_entries(spark, table_dir, cand, schema).count()
-            break
+    cand_footers = _footers(
+        [os.path.join(table_dir, fe["path"]) for fe in cand]
+    )
+    if any(n is None for _s, n in cand_footers):
+        # an unreadable footer: authoritative slow count
+        cand_rows = _read_entries(spark, table_dir, cand, schema).count()
+    else:
         # LIVE rows only: positions an existing DV already deleted must
         # not count as candidate rows (the rewrite below reads through
         # the DVs, so they would otherwise inflate rows_deleted)
-        cand_rows += n - (fe.get("dv") or {}).get("n", 0)
+        cand_rows = sum(
+            n - (fe.get("dv") or {}).get("n", 0)
+            for fe, (_s, n) in zip(cand, cand_footers)
+        )
     from pyspark.sql import functions as F
 
     cond = _where_column(checked)
@@ -2056,11 +2076,16 @@ def _delete_rewrite(
         return None, None, out
     # empty task outputs carry no rows — keep them out of the manifest
     # (the physical files are vacuum debris)
-    nonempty = []
-    for fe in new_files:
-        _, n = _file_footer(os.path.join(table_dir, fe["path"]))
-        if n != 0:
-            nonempty.append(fe)
+    nonempty = [
+        fe
+        for fe, (_s, n) in zip(
+            new_files,
+            _footers(
+                [os.path.join(table_dir, fe["path"]) for fe in new_files]
+            ),
+        )
+        if n != 0
+    ]
     _build_blooms(spark, table_dir, rel_dir, nonempty, m.get("blooms"))
     groups = _child_groups(table_dir, ref_groups, keep + nonempty, created)
     manifest = _next_manifest(
@@ -2175,13 +2200,16 @@ def _update_rewrite(
         raise ValueError(
             f"SET names columns {sorted(bad)} absent from {table_dir}"
         )
-    cand_rows = 0
-    for fe in cand:
-        _, n = _file_footer(os.path.join(table_dir, fe["path"]))
-        if n is None:
-            cand_rows = _read_entries(spark, table_dir, cand, schema).count()
-            break
-        cand_rows += n - (fe.get("dv") or {}).get("n", 0)
+    upd_footers = _footers(
+        [os.path.join(table_dir, fe["path"]) for fe in cand]
+    )
+    if any(n is None for _s, n in upd_footers):
+        cand_rows = _read_entries(spark, table_dir, cand, schema).count()
+    else:
+        cand_rows = sum(
+            n - (fe.get("dv") or {}).get("n", 0)
+            for fe, (_s, n) in zip(cand, upd_footers)
+        )
     cond = _where_column(checked)
     upd = F.coalesce(cond, F.lit(False))  # NULL predicate: row untouched
     src = _read_entries(spark, table_dir, cand, schema)
@@ -2212,11 +2240,16 @@ def _update_rewrite(
             f"update rewrite of {table_dir} changed candidate rows "
             f"({cand_rows} -> {new_rows}); nothing was published"
         )
-    nonempty = []
-    for fe in new_files:
-        _, n = _file_footer(os.path.join(table_dir, fe["path"]))
-        if n != 0:
-            nonempty.append(fe)
+    nonempty = [
+        fe
+        for fe, (_s, n) in zip(
+            new_files,
+            _footers(
+                [os.path.join(table_dir, fe["path"]) for fe in new_files]
+            ),
+        )
+        if n != 0
+    ]
     _build_blooms(spark, table_dir, rel_dir, nonempty, m.get("blooms"))
     groups = _child_groups(table_dir, ref_groups, keep + nonempty, created)
     manifest = _next_manifest(
@@ -2815,6 +2848,7 @@ def propagate_deletes(
     max_keys: int = 100_000,
     on_overflow: str = "error",
     mode: str = "cow",
+    cdf_key: str | None = None,
 ) -> dict:
     """Takedown PROPAGATION: push the keys deleted from ``src_table``
     after ``since_version`` into every derived table — ``targets`` maps
@@ -2851,9 +2885,14 @@ def propagate_deletes(
     anti-join rewrite under ``snapshot_rmw``. ``mode`` picks the
     pruned-delete strategy for the in-bounds path (``"dv"`` for derived
     tables not clustered on the key). Each target's audit carries the
-    ``path`` taken."""
+    ``path`` taken.
+
+    ``cdf_key`` names the SOURCE table's row identity so windows
+    containing merge/rmw/update commits diff into update images instead
+    of raising (an update_postimage counts as a re-insert — the key is
+    live); without it such windows fail loudly, as the CDF documents."""
     cdf = snapshot_row_changes(
-        spark, src_table, since_version, version=version
+        spark, src_table, since_version, version=version, key=cdf_key
     ).persist()  # one pass per key COLUMN in the shared core
     try:
         return _apply_key_deletes(

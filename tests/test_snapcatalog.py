@@ -967,6 +967,23 @@ class TestCatalogRowChanges:
         } == fg1
         assert plan["commits_walked"] == 1
 
+    def test_tables_filter_skips_foreign_churn(self, spark, tmp_path):
+        """Review fix (r10): a consumer following a subset of tables
+        pays only that subset's group-diff work."""
+        cat_dir = str(tmp_path / "cat")
+        src = _src_file(tmp_path)
+        _upload(spark, src, tmp_path, cat_dir)
+        cursor = C.catalog_versions(cat_dir)[-1]
+        _upload(spark, src, tmp_path, cat_dir, serial=UP_SERIAL2)
+        plan = {}
+        cdf = C.catalog_row_changes(
+            spark, cat_dir, cursor, tables=["data_set"], plan=plan
+        )
+        assert set(cdf) == {"data_set"}
+        full_plan = {}
+        C.catalog_row_changes(spark, cat_dir, cursor, plan=full_plan)
+        assert plan["files_read"] < full_plan["files_read"]
+
     def test_appends_read_as_inserts(self, spark, tmp_path):
         cat_dir = str(tmp_path / "cat")
         src = _src_file(tmp_path)

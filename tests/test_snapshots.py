@@ -2929,6 +2929,43 @@ class TestPropagateBoundedCollect:
         assert out["targets"][idx]["rows_deleted"] == 400
 
 
+class TestPropagateThroughUpserts:
+    def test_cdf_key_lets_updated_windows_propagate(self, spark, tmp_path):
+        """Review fix (r10): a propagation window containing a
+        merge/update commit works when cdf_key names the source's row
+        identity — an upserted key counts as live (postimage =
+        re-insert), and the takedown still reaches the derived table."""
+        corpus = str(tmp_path / "corpus")
+        idx = str(tmp_path / "idx")
+        docs = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(30)], "doc_id long, v string"
+        )
+        S.snapshot_commit(spark, corpus, docs.coalesce(2))
+        S.snapshot_commit(
+            spark, idx, docs.selectExpr("doc_id", "v as tok").coalesce(2)
+        )
+        cursor = S._versions(corpus)[-1]
+        # window: delete 4 and 5, then UPSERT 5 back (live) + update 9
+        S.snapshot_delete(spark, corpus, [("doc_id", "in", [4, 5])])
+        S.snapshot_merge(
+            spark, corpus,
+            spark.createDataFrame([(5, "v5b")], "doc_id long, v string"),
+            key="doc_id",
+        )
+        S.snapshot_update(spark, corpus, [("doc_id", "=", 9)], {"v": "'u9'"})
+        # without the key the window fails loudly (merge commit inside)
+        with pytest.raises(ValueError, match="row identity|key="):
+            S.propagate_deletes(spark, corpus, cursor, {idx: "doc_id"})
+        out = S.propagate_deletes(
+            spark, corpus, cursor, {idx: "doc_id"}, cdf_key="doc_id"
+        )
+        assert out["deleted_keys"] == 1  # only doc 4: 5 re-upserted, 9 live
+        left = sorted(
+            r["doc_id"] for r in S.snapshot_read(spark, idx).collect()
+        )
+        assert left == [d for d in range(30) if d != 4]
+
+
 class TestPropagateNetEffect:
     def test_reinserted_key_does_not_propagate(self, spark, tmp_path):
         """Review fix (r9): a key deleted then RE-INSERTED inside the
