@@ -929,6 +929,53 @@ class TestCatalogChanges:
         )  # a delete commit adds no rows
 
 
+class TestCatalogDeleteDV:
+    def test_fk_chain_takedown_with_deletion_vectors(self, spark, tmp_path):
+        """catalog_delete_dataset's multi-table atomicity composed with
+        the DV strategy: catalog_delete(mode='dv') publishes one commit
+        whose per-table manifests carry dv refs instead of rewritten
+        files; reads anti-apply them and catalog vacuum reclaims."""
+        cat_dir = str(tmp_path / "cat")
+        src = _src_file(tmp_path)
+        _upload(spark, src, tmp_path, cat_dir)
+        _upload(spark, src, tmp_path, cat_dir, serial=UP_SERIAL2)
+        ds = C.catalog_read(spark, cat_dir, "data_set")
+        ids = [
+            r["id"]
+            for r in ds.filter(ds.dataset_serial == UP_SERIAL).collect()
+        ]
+        out = C.catalog_delete(
+            spark, cat_dir,
+            {
+                "data_set": [("dataset_serial", "=", UP_SERIAL)],
+                "frames_global": [("dataset_id", "in", ids)],
+            },
+            mode="dv",
+        )
+        for name in ("data_set", "frames_global"):
+            assert out["tables"][name]["rows_deleted"] > 0
+            assert out["tables"][name]["files_rewritten"] == 0
+        assert C.catalog_read(spark, cat_dir, "data_set").filter(
+            F.col("dataset_serial") == UP_SERIAL
+        ).count() == 0
+        assert C.catalog_read(spark, cat_dir, "frames_global").filter(
+            F.col("dataset_id").isin(ids)
+        ).count() == 0
+        # the survivor dataset is untouched
+        assert C.catalog_read(spark, cat_dir, "data_set").filter(
+            F.col("dataset_serial") == UP_SERIAL2
+        ).count() == 1
+        # time travel still shows the pre-delete rows; after expire+
+        # vacuum the sidecars for expired versions are reclaimed but the
+        # tip keeps anti-applying its own
+        C.catalog_expire(cat_dir, keep_last=1)
+        C.catalog_vacuum(spark, cat_dir)
+        assert C.catalog_read(spark, cat_dir, "data_set").filter(
+            F.col("dataset_serial") == UP_SERIAL
+        ).count() == 0
+        assert C.catalog_read(spark, cat_dir, "frames_global").count() > 0
+
+
 class TestCatalogRowChanges:
     """Catalog-level row CDF (round-10 task 4): one commit-object walk
     yields per-table insert/delete/update rows stamped with the CATALOG
