@@ -792,33 +792,44 @@ def _read_entries(
     schema: StructType,
 ) -> DataFrame:
     """THE entry-list reader every consumer goes through: scan exactly the
-    entries' files and anti-apply their positional-delete sidecars. Tables
-    without DVs pay nothing (plain scan, no join); with DVs the sidecar
-    frame is broadcast (positions are delete-batch-sized by construction,
-    never corpus-sized) so the anti-join adds no shuffle to the scan."""
+    entries' files and anti-apply their positional-delete sidecars. The
+    read tax is DELTA-proportional, not scan-proportional: entries with
+    no dv ref scan plain (whole-stage-codegen parquet, zero join — the
+    overwhelming majority of a 100 TB table after a takedown), and ONLY
+    the dv-bearing files' scan branch pays the broadcast anti-join on
+    (path, row_index) — positions are delete-batch-sized by
+    construction, never corpus-sized, so the broadcast is small and the
+    join adds no shuffle."""
     if not entries:
         return spark.createDataFrame([], schema)
-    df = spark.read.schema(schema).parquet(
-        *[os.path.join(table_dir, fe["path"]) for fe in entries]
-    )
-    pairs = [(fe["path"], fe["dv"]["sc"]) for fe in entries if fe.get("dv")]
-    if not pairs:
-        return df
+    plain = [fe for fe in entries if not fe.get("dv")]
+    dved = [fe for fe in entries if fe.get("dv")]
+
+    def _scan(fes: list[dict]) -> DataFrame:
+        return spark.read.schema(schema).parquet(
+            *[os.path.join(table_dir, fe["path"]) for fe in fes]
+        )
+
+    if not dved:
+        return _scan(plain)
     from pyspark.sql import functions as F
 
     pos = (
-        _dv_union(spark, table_dir, pairs)
+        _dv_union(
+            spark, table_dir, [(fe["path"], fe["dv"]["sc"]) for fe in dved]
+        )
         .withColumnRenamed("path", "__dv_path")
         .withColumnRenamed("pos", "__dv_pos")
     )
-    keyed = df.select(
+    keyed = _scan(dved).select(
         "*",
         _rel_path_col().alias("__dv_path"),
         F.col("_metadata.row_index").alias("__dv_pos"),
     )
-    return keyed.join(
+    live = keyed.join(
         F.broadcast(pos), ["__dv_path", "__dv_pos"], "left_anti"
     ).drop("__dv_path", "__dv_pos")
+    return live if not plain else _scan(plain).unionByName(live)
 
 
 def _write_dv_sidecar(
