@@ -471,7 +471,7 @@ def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
                     if fe.get("bloom"):
                         scset.add(fe["bloom"]["sc"])
                     if fe.get("dv"):
-                        dvset.add(fe["dv"]["sc"])
+                        dvset.update(S._dv_scs(fe["dv"]))
             else:  # legacy flat manifest shape (not produced here)
                 for fe in m.get("files", []):
                     fset.add(fe["path"])
@@ -594,7 +594,11 @@ def catalog_delete(
     ``mode`` picks the per-table execution strategy exactly like
     ``snapshot_delete``: ``"cow"`` rewrites candidate files,
     ``"dv"`` writes positional-delete sidecars anti-applied at read —
-    same atomic multi-table publish either way."""
+    same atomic multi-table publish either way. Unlike the single-table
+    path, a ``DVPositionsOverflow`` (accumulated positions past
+    ``snapshots.DV_MAX_POSITIONS``) SURFACES here instead of silently
+    switching one table of the batch to a different write strategy —
+    the multi-table mode is the caller's explicit choice."""
     if mode not in ("cow", "dv"):
         raise ValueError(f"mode must be cow|dv, got {mode!r}")
     core = S._delete_dv if mode == "dv" else S._delete_rewrite
@@ -905,7 +909,18 @@ def catalog_row_changes(
                 continue  # table untouched by this commit
             end_schema = end_schemas.get(name)
             if end_schema is None:
-                continue  # not in the end commit: nothing to align to
+                # a table that CHANGED in the window but is absent from
+                # the end commit has rows this feed cannot align or
+                # deliver — silently skipping would under-propagate
+                # takedowns (its delete rows never reach the consumer),
+                # so fail loudly; end the window before the drop, or
+                # after re-registering the table
+                raise ValueError(
+                    f"catalog {catalog_dir}: table {name!r} changed at "
+                    f"v{v} but is absent from the end commit v{end_v}; "
+                    "its changes cannot be emitted — end the CDF window "
+                    "at a commit that still carries the table"
+                )
             frame, fr = S._commit_row_changes(
                 spark,
                 _table_dir(catalog_dir, name),

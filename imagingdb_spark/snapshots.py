@@ -92,6 +92,40 @@ _FMT = "v{:08d}.json"
 # per-commit manifest at a few KB while the merge schedule bounds total
 # entry rewrites at O(log commits) per entry.
 MAX_GROUPS = 32
+# Column-name prefix the format reserves for its own read-path helper
+# columns (the DV anti-join keys __dv_path/__dv_pos). A user table that
+# carried one would collide with the select("*", ...) attachment in
+# _read_entries/_delete_dv and the subsequent join would resolve the
+# wrong column — rejected at schema canonicalization, the one seam every
+# writer's schema passes through.
+RESERVED_COL_PREFIX = "__dv_"
+# Total manifest-recorded DV positions above which _read_entries stops
+# broadcasting the sidecar union and falls back to a shuffled anti-join:
+# positions are delete-batch-sized in the common case, but nothing caps
+# a broad predicate delete or many accumulated commits, and a
+# corpus-scale broadcast would OOM the driver before the executors.
+# ~20M (path,pos) rows is a few hundred MB serialized — safely under
+# executor memory as a shuffle, far past sane broadcast territory.
+DV_BROADCAST_MAX_POSITIONS = 4_000_000
+# Rows per physical sidecar file a DV write targets: small deletes stay
+# the one-file fast path every reader opens cheaply; a corpus-scale
+# position set (broad predicate) spreads over tasks instead of funneling
+# through one coalesce(1) writer.
+DV_SIDECAR_ROWS_PER_FILE = 4_000_000
+# Accumulated-positions ceiling for a dv-mode delete (new hits + every
+# position the touched entries already carry). Past it the delete is a
+# corpus-scale mutation: the sidecar would tax every later scan more
+# than a rewrite costs once, so snapshot_delete falls back to
+# copy-on-write for that attempt (recorded in the audit) instead of
+# publishing a standing read tax.
+DV_MAX_POSITIONS = 50_000_000
+
+
+class DVPositionsOverflow(RuntimeError):
+    """A dv-mode delete matched more positions than ``dv_max_positions``
+    allows; the caller falls back to copy-on-write (snapshot_delete does
+    this automatically) or raises to the user (catalog_delete, where the
+    multi-table strategy is the caller's explicit choice)."""
 
 
 class SnapshotConflict(RuntimeError):
@@ -126,7 +160,18 @@ def _canon_schema_json(schema: StructType | str) -> str:
         return node
 
     raw = schema if isinstance(schema, str) else schema.json()
-    return json.dumps(_relax(json.loads(raw)), sort_keys=True)
+    parsed = json.loads(raw)
+    bad = [
+        f["name"]
+        for f in parsed.get("fields", [])
+        if f["name"].startswith(RESERVED_COL_PREFIX)
+    ]
+    if bad:
+        raise ValueError(
+            f"column names {bad} collide with the format's reserved "
+            f"{RESERVED_COL_PREFIX}* read-path helpers; rename them"
+        )
+    return json.dumps(_relax(parsed), sort_keys=True)
 
 
 def _merged_schema(base_json: str, new_json: str) -> str | None:
@@ -735,13 +780,27 @@ def _build_blooms(
 # Merge-on-read DELETE: positional-delete sidecars ("deletion vectors").
 # A DV delete commit rewrites NO data bytes — it writes one small parquet
 # sidecar of (path, pos) rows under _deletes/<uuid>/ and republishes the
-# touched file ENTRIES with a {"dv": {"sc": <rel sidecar dir>, "n": count}}
-# ref (untouched groups carry by reference, exactly like the CoW delete).
+# touched file ENTRIES with a {"dv": {"sc": <ref>, "n": count}} ref
+# (untouched groups carry by reference, exactly like the CoW delete).
 # Every reader anti-applies the referenced positions via the parquet
 # source's _metadata.row_index (the physical row position within a file —
 # stable for immutable files, which manifest-referenced files are).
-# A later DV delete on the same file writes a MERGED sidecar (old ∪ new
-# positions), so each entry references exactly ONE authoritative DV.
+# ``sc`` is a sidecar rel dir OR a CHAIN of them (the Iceberg delete-file
+# list shape): a later DV delete on the same file APPENDS its own
+# positions as a new sidecar instead of rewriting a merged one, so K
+# successive takedowns on a hot file cost O(total positions) across all
+# K, not O(K * positions). Readers union the chain (each sidecar read
+# once per scan); compaction materializes chains away, and
+# snapshot_maintain's DV-debt tick bounds how long they grow.
+
+
+def _dv_scs(ref: dict) -> list[str]:
+    """Sidecar rel-dir CHAIN of one dv ref — ``sc`` is a single dir
+    (common case, stored as str) or a list (repeat deletes on the same
+    file append rather than rewrite). The one normalization seam every
+    dv consumer uses."""
+    sc = ref["sc"]
+    return list(sc) if isinstance(sc, list) else [sc]
 # snapshot_compact reads through the DVs and writes fresh entries, which
 # MATERIALIZES the deletes; expire+vacuum then reclaims unreferenced
 # sidecars by the same set-difference rule as data files and blooms.
@@ -796,10 +855,15 @@ def _read_entries(
     read tax is DELTA-proportional, not scan-proportional: entries with
     no dv ref scan plain (whole-stage-codegen parquet, zero join — the
     overwhelming majority of a 100 TB table after a takedown), and ONLY
-    the dv-bearing files' scan branch pays the broadcast anti-join on
-    (path, row_index) — positions are delete-batch-sized by
-    construction, never corpus-sized, so the broadcast is small and the
-    join adds no shuffle."""
+    the dv-bearing files' scan branch pays the anti-join on
+    (path, row_index). Positions are delete-batch-sized in the common
+    case, so the join is a broadcast and adds no shuffle — but the
+    batch size is a convention, not an invariant (a broad predicate
+    delete or many accumulated commits can record corpus-scale
+    positions), so the manifest-recorded per-entry ``dv.n`` counts are
+    summed first and past ``DV_BROADCAST_MAX_POSITIONS`` the probe
+    falls back to a shuffled anti-join instead of a driver-size-bounded
+    broadcast."""
     if not entries:
         return spark.createDataFrame([], schema)
     plain = [fe for fe in entries if not fe.get("dv")]
@@ -816,35 +880,54 @@ def _read_entries(
 
     pos = (
         _dv_union(
-            spark, table_dir, [(fe["path"], fe["dv"]["sc"]) for fe in dved]
+            spark,
+            table_dir,
+            [(fe["path"], sc) for fe in dved for sc in _dv_scs(fe["dv"])],
         )
         .withColumnRenamed("path", "__dv_path")
         .withColumnRenamed("pos", "__dv_pos")
     )
+    n_pos = sum(fe["dv"].get("n", 0) for fe in dved)
+    if n_pos <= DV_BROADCAST_MAX_POSITIONS:
+        pos = F.broadcast(pos)
     keyed = _scan(dved).select(
         "*",
         _rel_path_col().alias("__dv_path"),
         F.col("_metadata.row_index").alias("__dv_pos"),
     )
     live = keyed.join(
-        F.broadcast(pos), ["__dv_path", "__dv_pos"], "left_anti"
+        pos, ["__dv_path", "__dv_pos"], "left_anti"
     ).drop("__dv_path", "__dv_pos")
     return live if not plain else _scan(plain).unionByName(live)
 
 
 def _write_dv_sidecar(
-    spark: SparkSession, table_dir: str, positions: DataFrame
+    spark: SparkSession,
+    table_dir: str,
+    positions: DataFrame,
+    n_positions: int | None = None,
 ) -> str:
     """Land a (path, pos) frame as one immutable sidecar parquet dir and
     return its relative path. Crash debris (a sidecar no entry ever came
-    to reference) is vacuum's, same as data files."""
+    to reference) is vacuum's, same as data files.
+
+    Small position sets (the takedown common case) land as ONE physical
+    file — every reader opens the whole sidecar, so task-count parquet
+    fragments would tax each subsequent read. Past
+    ``DV_SIDECAR_ROWS_PER_FILE`` (callers pass the measured
+    ``n_positions``) the write spreads over proportionally many tasks
+    instead of funneling a corpus-scale frame through one writer."""
     rel = os.path.join(DELETES_DIR, uuid.uuid4().hex)
-    # one physical file: positions are delete-batch-sized (a few long+path
-    # rows per touched file), and every reader opens the whole sidecar —
-    # task-count parquet fragments would tax each subsequent read
-    positions.select("path", "pos").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(os.path.join(table_dir, rel))
+    n_files = (
+        1
+        if n_positions is None
+        else max(1, -(-n_positions // DV_SIDECAR_ROWS_PER_FILE))
+    )
+    out = positions.select("path", "pos")
+    # coalesce narrows to the one-file fast path; a genuine spread needs
+    # repartition (coalesce cannot grow a 1-partition upstream)
+    out = out.coalesce(1) if n_files == 1 else out.repartition(n_files)
+    out.write.mode("overwrite").parquet(os.path.join(table_dir, rel))
     return rel
 
 
@@ -1384,7 +1467,9 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str) -> list[str]:
         live_sidecars.update(
             f["bloom"]["sc"] for f in m["files"] if f.get("bloom")
         )
-        live_dvs.update(f["dv"]["sc"] for f in m["files"] if f.get("dv"))
+        live_dvs.update(
+            sc for f in m["files"] if f.get("dv") for sc in _dv_scs(f["dv"])
+        )
     deleted = []
     droot = os.path.join(table_dir, DATA_DIR)
     if os.path.isdir(droot):
@@ -1748,6 +1833,7 @@ def snapshot_delete(
     max_retries: int = 5,
     txn: tuple[str, int] | None = None,
     mode: str = "cow",
+    dv_max_positions: int | None = DV_MAX_POSITIONS,
 ) -> dict:
     """Targeted row-level DELETE on a snapshot table — the takedown /
     opt-out primitive a training-data pipeline needs (GDPR erasure, DMCA
@@ -1805,7 +1891,18 @@ def snapshot_delete(
       cost regardless of clustering — the takedown path for derived
       tables NOT clustered on the key, where CoW would rewrite most
       files. ``snapshot_compact`` materializes DVs (fresh entries carry
-      none); expire+vacuum makes the erasure physical either way.
+      none); expire+vacuum makes the erasure physical either way. A
+      repeat dv delete on an already-touched file APPENDS to the
+      entry's sidecar chain — O(new positions), never a rewrite of the
+      accumulated set; ``snapshot_maintain``'s DV-debt tick bounds the
+      chains.
+
+    ``dv_max_positions`` (None disables) caps the table's ACCUMULATED
+    position debt under ``mode="dv"``: a delete whose new hits plus the
+    touched entries' existing positions would exceed it falls back to
+    copy-on-write for that attempt — a standing read tax that size
+    costs every later scan more than one rewrite costs once. The audit
+    records ``mode_used``.
 
     Returns the audit record the caller logs: ``{version, rows_deleted,
     files_total, files_rewritten, files_kept, groups_kept_by_ref,
@@ -1822,7 +1919,6 @@ def snapshot_delete(
             "snapshot_delete needs a non-empty predicate; to truncate, "
             "commit an empty overwrite instead"
         )
-    core = _delete_dv if mode == "dv" else _delete_rewrite
 
     def _already(m: dict) -> bool:
         return txn is not None and txn[1] <= m.get("txns", {}).get(txn[0], -1)
@@ -1842,9 +1938,30 @@ def snapshot_delete(
                 "files_rewritten": 0, "files_kept": 0,
                 "groups_kept_by_ref": None, "files_bloom_cleared": 0,
             }
-        manifest, rel_dir, out = core(
-            spark, table_dir, m, checked, created, txn
-        )
+        mode_used = mode
+        if mode == "dv":
+            try:
+                manifest, rel_dir, out = _delete_dv(
+                    spark, table_dir, m, checked, created, txn,
+                    dv_max_positions=dv_max_positions,
+                )
+            except DVPositionsOverflow:
+                # accumulated-position debt past the cap: the rewrite is
+                # the cheaper physical strategy — same semantics, same
+                # atomic commit, recorded in the audit (nothing landed
+                # before the raise, so there is no debris to drop)
+                manifest, rel_dir, out = _delete_rewrite(
+                    spark, table_dir, m, checked, created, txn
+                )
+                # keep the dv-mode audit contract for callers
+                out.setdefault("files_dv", 0)
+                out.setdefault("files_dropped", 0)
+                mode_used = "cow"
+        else:
+            manifest, rel_dir, out = _delete_rewrite(
+                spark, table_dir, m, checked, created, txn
+            )
+        out["mode_used"] = mode_used
         if manifest is None:
             out["version"] = tip
             return out  # nothing physically matched: no commit published
@@ -1923,18 +2040,31 @@ def _delete_dv(
     checked: list,
     created: list[str],
     txn: tuple[str, int] | None = None,
+    dv_max_positions: int | None = DV_MAX_POSITIONS,
 ) -> tuple[dict | None, str | None, dict]:
     """The merge-on-read DELETE core (``snapshot_delete(mode="dv")``): the
     same three pruning stages as the CoW path find the candidate files,
     but instead of rewriting their bytes this scans ONLY the candidates
     for matching rows' physical positions (``_metadata.row_index``),
-    writes one merged (old ∪ new positions) sidecar parquet under
+    writes THIS DELETE'S positions as one sidecar parquet under
     ``_deletes/``, and republishes the touched entries with updated
     ``dv`` refs — untouched groups carry by reference, data files never
     move. Entries whose every row is dead drop out of the manifest
-    entirely. Write cost is O(deleted positions + pruned candidate scan);
-    on an UNCLUSTERED key where CoW must rewrite most files, this is the
+    entirely. A repeat delete on an already-dv-bearing file APPENDS the
+    new sidecar to the entry's chain instead of rewriting a merged one
+    (the Iceberg delete-file-list shape), so K successive takedowns on
+    one hot file cost O(total positions) across all K; compaction and
+    the maintenance tick's DV-debt trigger bound chain length. Write
+    cost is O(deleted positions + pruned candidate scan); on an
+    UNCLUSTERED key where CoW must rewrite most files, this is the
     difference between a corpus rewrite and a few KB of positions.
+
+    ``dv_max_positions`` bounds the table's ACCUMULATED position debt:
+    when this delete's hits plus every position the touched entries
+    already carry exceed it, ``DVPositionsOverflow`` raises (before any
+    sidecar lands) — ``snapshot_delete`` catches it and falls back to
+    copy-on-write; the catalog path lets it surface.
+
     Returns ``(child manifest, sidecar rel_dir, audit)`` with the same
     caller contract as ``_delete_rewrite`` (publication + conflict
     cleanup are the caller's); the audit adds ``files_dv`` (entries whose
@@ -1957,66 +2087,79 @@ def _delete_dv(
         _rel_path_col().alias("__dv_path"),
         F.col("_metadata.row_index").alias("__dv_pos"),
     )
-    old_pairs = [(fe["path"], fe["dv"]["sc"]) for fe in cand if fe.get("dv")]
-    old_pos = None
+    old_pairs = [
+        (fe["path"], sc)
+        for fe in cand
+        if fe.get("dv")
+        for sc in _dv_scs(fe["dv"])
+    ]
     if old_pairs:
         old_pos = (
             _dv_union(spark, table_dir, old_pairs)
             .withColumnRenamed("path", "__dv_path")
             .withColumnRenamed("pos", "__dv_pos")
         )
-        # already-deleted positions must not re-match (and re-count)
-        scan = scan.join(
-            F.broadcast(old_pos), ["__dv_path", "__dv_pos"], "left_anti"
-        )
+        # already-deleted positions must not re-match (and re-count);
+        # prior positions are batch-sized per commit but unbounded in
+        # total, so the probe obeys the same broadcast ceiling as reads
+        old_total = sum((fe.get("dv") or {}).get("n", 0) for fe in cand)
+        if old_total <= DV_BROADCAST_MAX_POSITIONS:
+            old_pos = F.broadcast(old_pos)
+        scan = scan.join(old_pos, ["__dv_path", "__dv_pos"], "left_anti")
     # SQL DELETE semantics: NULL predicate keeps the row (same rule as
     # the CoW path)
     hits = scan.filter(F.coalesce(cond, F.lit(False))).select(
         F.col("__dv_path").alias("path"), F.col("__dv_pos").alias("pos")
     )
-    merged = (
-        hits
-        if old_pos is None
-        else hits.unionByName(
-            old_pos.select(
-                F.col("__dv_path").alias("path"),
-                F.col("__dv_pos").alias("pos"),
+    hits = hits.persist()
+    try:
+        # per-file authoritative counts BEFORE anything lands — the
+        # collect is O(candidate files), never O(positions), and a
+        # no-op or overflow is decided with zero bytes written
+        cnt = {
+            r["path"]: r["n"]
+            for r in hits.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        rows_deleted = sum(cnt.values())
+        if rows_deleted == 0:
+            # stats/bloom kept the files but no physical row matched
+            out["files_kept"] = len(keep) + len(cand)
+            return None, None, out
+        old_n = sum((fe.get("dv") or {}).get("n", 0) for fe in cand)
+        if dv_max_positions is not None and (
+            rows_deleted + old_n > dv_max_positions
+        ):
+            raise DVPositionsOverflow(
+                f"dv delete on {table_dir} would accumulate "
+                f"{rows_deleted + old_n} positions "
+                f"(> dv_max_positions={dv_max_positions}); a standing "
+                "read tax that size costs more than one copy-on-write "
+                "rewrite — use mode='cow'"
             )
-        )
-    )
-    rel = _write_dv_sidecar(spark, table_dir, merged)
-    # per-file authoritative counts from what actually landed; the
-    # collect is O(candidate files), never O(positions)
-    cnt = {
-        r["path"]: r["n"]
-        for r in spark.read.parquet(os.path.join(table_dir, rel))
-        .groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .collect()
-    }
-    old_n = sum((fe.get("dv") or {}).get("n", 0) for fe in cand)
-    rows_deleted = sum(cnt.values()) - old_n
-    if rows_deleted == 0:
-        # stats/bloom kept the files but no physical row matched: drop
-        # the no-op sidecar eagerly, publish nothing
-        shutil.rmtree(os.path.join(table_dir, rel), ignore_errors=True)
-        out["files_kept"] = len(keep) + len(cand)
-        return None, None, out
+        rel = _write_dv_sidecar(spark, table_dir, hits, rows_deleted)
+    finally:
+        hits.unpersist()
     new_cand: list[dict] = []
     files_dv = 0
     dropped = 0
     totals = _footers([os.path.join(table_dir, fe["path"]) for fe in cand])
     for fe, (_s, total) in zip(cand, totals):
-        n = cnt.get(fe["path"], 0)
-        if n == 0:  # bloom/stats false positive: entry rides unchanged —
-            new_cand.append(fe)  # audited under files_kept so the counts
-            out["files_kept"] += 1  # tile files_total
+        n_new = cnt.get(fe["path"], 0)
+        if n_new == 0:  # bloom/stats false positive: entry rides
+            new_cand.append(fe)  # unchanged — audited under files_kept
+            out["files_kept"] += 1  # so the counts tile files_total
             continue
-        if total is not None and n >= total:
+        old_ref = fe.get("dv")
+        n_total = n_new + (old_ref or {}).get("n", 0)
+        if total is not None and n_total >= total:
             dropped += 1  # every row dead: the entry leaves the manifest
             continue
+        chain = (_dv_scs(old_ref) if old_ref else []) + [rel]
         fe2 = dict(fe)
-        fe2["dv"] = {"sc": rel, "n": n}
+        fe2["dv"] = {"sc": chain[0] if len(chain) == 1 else chain,
+                     "n": n_total}
         new_cand.append(fe2)
         files_dv += 1
     groups = _child_groups(table_dir, ref_groups, keep + new_cand, created)
@@ -2359,15 +2502,50 @@ def _dv_delta_rows(
     """The rows a DV delete commit deleted: data rows of the changed
     entries at positions in (new dv ∖ old dv) — read from ONLY those
     files, joined by physical position; delta-proportional like every
-    other changelog leg."""
+    other changelog leg. Chain-appended refs (new chain ⊇ old chain —
+    what ``_delete_dv`` publishes) resolve the delta WITHOUT opening the
+    old sidecars at all: per-path positions are disjoint across a
+    chain's sidecars by construction (the delete scan anti-joins prior
+    positions), so the delta is exactly the appended sidecars' rows.
+    Refs rewritten some other way (a legacy merged sidecar) fall back to
+    the multiset difference."""
     from pyspark.sql import functions as F
 
-    new_pos = _dv_union(
-        spark, table_dir, [(fe["path"], new["sc"]) for fe, _o, new in changed]
-    )
-    old_pairs = [(fe["path"], old["sc"]) for fe, old, _n in changed if old]
-    if old_pairs:
-        new_pos = new_pos.exceptAll(_dv_union(spark, table_dir, old_pairs))
+    appended: list[tuple[str, str]] = []
+    rewritten: list[tuple[dict, dict | None, dict]] = []
+    for fe, old, new in changed:
+        old_scs = set(_dv_scs(old)) if old else set()
+        new_scs = _dv_scs(new)
+        if old_scs <= set(new_scs):
+            appended.extend(
+                (fe["path"], sc) for sc in new_scs if sc not in old_scs
+            )
+        else:
+            rewritten.append((fe, old, new))
+    new_pos = None
+    if appended:
+        new_pos = _dv_union(spark, table_dir, appended)
+    if rewritten:
+        rw_pos = _dv_union(
+            spark,
+            table_dir,
+            [
+                (fe["path"], sc)
+                for fe, _o, new in rewritten
+                for sc in _dv_scs(new)
+            ],
+        )
+        old_pairs = [
+            (fe["path"], sc)
+            for fe, old, _n in rewritten
+            if old
+            for sc in _dv_scs(old)
+        ]
+        if old_pairs:
+            rw_pos = rw_pos.exceptAll(_dv_union(spark, table_dir, old_pairs))
+        new_pos = rw_pos if new_pos is None else new_pos.unionByName(rw_pos)
+    if new_pos is None:  # every changed ref kept its chain (n-only drift)
+        return spark.createDataFrame([], schema)
     pos = new_pos.select(
         F.col("path").alias("__dv_path"), F.col("pos").alias("__dv_pos")
     )

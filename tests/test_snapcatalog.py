@@ -1046,6 +1046,34 @@ class TestCatalogRowChanges:
         tip = C.catalog_versions(cat_dir)[-1]
         assert C.catalog_row_changes(spark, cat_dir, tip) == {}
 
+    def test_table_dropped_mid_window_fails_loudly(self, spark, tmp_path):
+        """Round-10 ADVICE (low): a table that CHANGED in the window but
+        is absent from the end commit would silently under-propagate its
+        delete rows — the feed must raise, not skip."""
+        cat_dir = str(tmp_path / "cat")
+        src = _src_file(tmp_path)
+        _upload(spark, src, tmp_path, cat_dir)
+        cursor = C.catalog_versions(cat_dir)[-1]
+        _upload(spark, src, tmp_path, cat_dir, serial=UP_SERIAL2)
+        # hand-publish a commit that drops 'frames' (no public API drops
+        # tables; a migration or operator mistake can) — the feed over a
+        # window where frames changed then vanished must fail loudly
+        tip = C.catalog_versions(cat_dir)[-1]
+        commit = C._read_commit(cat_dir, tip)
+        commit2 = {
+            "version": tip + 1,
+            "parent": tip,
+            "tables": {
+                n: m for n, m in commit["tables"].items() if n != "frames"
+            },
+        }
+        C._publish_commit(cat_dir, tip + 1, commit2)
+        with pytest.raises(ValueError, match="absent from the end commit"):
+            C.catalog_row_changes(spark, cat_dir, cursor)
+        # a window that ends BEFORE the drop still reads clean
+        cdf = C.catalog_row_changes(spark, cat_dir, cursor, version=tip)
+        assert "frames" in cdf
+
 
 class TestCatalogPropagateDeletes:
     """catalog_propagate_deletes (round-10 task 4): a dataset takedown
