@@ -1604,31 +1604,288 @@ def snapshot_rmw(
     )
 
 
+def snapshot_apply_keyed(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key: str,
+    transform,
+    mode: str = "merge",
+    max_retries: int = 5,
+    max_keys: int = 100_000,
+    txn: tuple[str, int] | None = None,
+    plan: dict | None = None,
+) -> int:
+    """File-PRUNED keyed read-modify-write — the execution core of
+    ``snapshot_merge`` and the streaming CDC-apply sink, and the closer
+    of the format's last non-delta-proportional write path (round-11
+    task 1): instead of rewriting the whole table per change batch (the
+    ``snapshot_rmw`` shape), only the files that can contain the
+    batch's keys are rewritten.
+
+    ``transform(candidate_rows, source) -> DataFrame`` must be a pure
+    keyed transition with the PASS-THROUGH property: rows whose ``key``
+    is not among ``source``'s keys come back unchanged (merge_upsert
+    and the CDC LWW fold both qualify). Given that property, applying
+    it to the candidate slice equals applying it to the whole table,
+    because the carried-by-reference files PROVABLY contain none of the
+    batch's keys:
+
+    1. The batch's distinct keys drive the same three-stage prune as
+       DELETE/UPDATE (group stats → footer min/max → bloom sidecars,
+       the shared ``_delete_candidates`` core — a table clustered or
+       bloom-indexed on the merge key turns an upsert batch into a
+       few-files rewrite; the public Delta/Iceberg MERGE
+       candidate-pruning design).
+    2. Candidate files are read (through any deletion vectors,
+       materializing them), transformed with ``source``, and rewritten;
+       unmatched source keys land in the same fresh files as inserts.
+    3. Everything else carries by reference in the manifest — the
+       commit publishes pinned to the tip the candidates were resolved
+       from, so a racing commit forces a re-resolve + re-apply (a
+       keyed apply's file set is a read-dependent claim), and a crash
+       anywhere leaves the pre-apply version exactly.
+
+    The key set is collected driver-side BOUNDED by ``max_keys`` (the
+    ``propagate_deletes`` contract): a batch with more distinct keys
+    falls back to the full-rewrite ``snapshot_rmw`` path — at that
+    width most files are candidates anyway, and the fallback keeps the
+    driver out of the data path. NULL-key source rows prune nothing
+    (NULL matches no stored key under ``=``) and ride the transform as
+    inserts. ``snapshot_row_changes(key=...)`` diffs the commit from
+    ONLY the rewritten files, so the CDF is delta-proportional because
+    the commit itself now is.
+
+    An EMPTY source publishes nothing and returns the tip version.
+    ``txn=(app_id, seq)`` gives the apply the standard exactly-once
+    replay marker. ``plan`` (optional dict) collects the audit:
+    strategy, n_source_keys, files_total/files_rewritten/files_kept/
+    groups_kept_by_ref/files_bloom_cleared, rows_before/rows_after."""
+    from pyspark.sql import functions as F
+
+    if plan is None:
+        plan = {}
+    if key not in source.columns:
+        raise ValueError(f"source has no key column {key!r}")
+    # ONE job harvests the key set AND detects overflow: limit(max+1)
+    # bounds the collect structurally — the driver never holds more than
+    # max_keys+1 values no matter the batch width
+    sample = source.select(key).distinct().limit(max_keys + 1).collect()
+    plan["n_source_keys"] = sum(1 for r in sample if r[0] is not None)
+    if not sample:
+        plan["strategy"] = "noop"
+        vs = _versions(table_dir)
+        if not vs:
+            raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+        return vs[-1]
+    if len(sample) > max_keys:
+        # wide batch: most files are candidates anyway — full rewrite,
+        # zero driver materialization of the key set
+        plan["strategy"] = "rewrite"
+        plan["n_source_keys"] = None  # truncated at max_keys + 1
+        return snapshot_rmw(
+            spark,
+            table_dir,
+            lambda tip_df: transform(tip_df, source),
+            mode=mode,
+            max_retries=max_retries,
+            txn=txn,
+        )
+    plan["strategy"] = "pruned"
+    keys = sorted(r[0] for r in sample if r[0] is not None)
+    try:
+        checked = _check_where([(key, "in", keys)]) if keys else []
+    except ValueError:
+        # a key type the pruning predicate grammar cannot carry
+        # (date/decimal/binary): correctness over pruning — full rewrite
+        plan["strategy"] = "rewrite"
+        return snapshot_rmw(
+            spark,
+            table_dir,
+            lambda tip_df: transform(tip_df, source),
+            mode=mode,
+            max_retries=max_retries,
+            txn=txn,
+        )
+
+    def _already(m: dict) -> bool:
+        return txn is not None and txn[1] <= m.get("txns", {}).get(txn[0], -1)
+
+    created: list[str] = []
+    for _ in range(max_retries):
+        vs = _versions(table_dir)
+        if not vs:
+            raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+        tip = vs[-1]
+        m = _read_manifest_raw(table_dir, tip)
+        if "groups" not in m:
+            m["groups"] = None  # legacy flat manifest
+        if _already(m):
+            return tip  # replayed txn: the apply already happened
+        if checked:
+            ref_groups, keep, cand, audit = _delete_candidates(
+                table_dir, m, checked
+            )
+        else:  # only NULL keys: pure insert, nothing can match
+            if m["groups"] is None:  # legacy flat manifest: carry entries
+                ref_groups = []
+                keep = list(
+                    _read_manifest(table_dir, m["version"])["files"]
+                    if "files" not in m
+                    else m["files"]
+                )
+            else:
+                ref_groups, keep = list(m["groups"]), []
+            cand = []
+            audit = {
+                "files_total": (
+                    sum(g["n_files"] for g in m["groups"])
+                    if m["groups"] is not None
+                    else len(keep)
+                ),
+                "files_rewritten": 0, "files_kept": len(keep),
+                "groups_kept_by_ref": (
+                    len(m["groups"]) if m["groups"] is not None else None
+                ),
+                "files_bloom_cleared": 0,
+            }
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        cand_footers = _footers(
+            [os.path.join(table_dir, fe["path"]) for fe in cand]
+        )
+        if any(n is None for _s, n in cand_footers):
+            cand_live = _read_entries(spark, table_dir, cand, schema).count()
+        else:
+            cand_live = sum(
+                n - (fe.get("dv") or {}).get("n", 0)
+                for fe, (_s, n) in zip(cand, cand_footers)
+            )
+        cand_df = _read_entries(spark, table_dir, cand, schema)
+        out = transform(cand_df, source)
+        missing = set(schema.fieldNames()) - set(out.columns)
+        if missing:
+            raise ValueError(
+                f"keyed apply on {table_dir} dropped columns "
+                f"{sorted(missing)}; the transform must preserve the "
+                "table schema"
+            )
+        # manifest column order is strict: realign (a merge emits
+        # key-first) without changing the stored schema
+        out = out.select(*schema.fieldNames())
+        new_files, new_rows, rel_dir = _write_data_files(out, table_dir)
+        nonempty = [
+            fe
+            for fe, (_s, n) in zip(
+                new_files,
+                _footers(
+                    [os.path.join(table_dir, fe["path"]) for fe in new_files]
+                ),
+            )
+            if n != 0
+        ]
+        _build_blooms(spark, table_dir, rel_dir, nonempty, m.get("blooms"))
+        groups = _child_groups(table_dir, ref_groups, keep + nonempty, created)
+        manifest = _next_manifest(
+            m, mode, groups, m["rows"] - cand_live + new_rows,
+            m["schema"], txn,
+        )
+        try:
+            _publish(table_dir, tip + 1, manifest)
+            plan.update(audit)
+            plan.update(
+                files_rewritten=len(cand),
+                rows_before=m["rows"],
+                rows_after=m["rows"] - cand_live + new_rows,
+            )
+            return tip + 1
+        except SnapshotConflict:
+            # read-dependent claim: drop this attempt's rewrite eagerly
+            # and re-resolve candidates against the winner's tip
+            shutil.rmtree(os.path.join(table_dir, rel_dir), ignore_errors=True)
+            _drop_sidecar(table_dir, rel_dir)
+            _drop_groups(table_dir, created)
+            continue
+    raise SnapshotConflict(
+        f"keyed apply on {table_dir} lost {max_retries} straight races"
+    )
+
+
 def snapshot_merge(
     spark: SparkSession,
     table_dir: str,
     source: DataFrame,
     key: str,
     max_retries: int = 5,
+    strategy: str = "pruned",
+    max_keys: int = 100_000,
+    txn: tuple[str, int] | None = None,
+    plan: dict | None = None,
 ) -> int:
     """MERGE INTO a snapshot table (the operation merge.py's docstring and
     the CDC job defer to "a table format's MERGE"): source rows replace
     same-key tip rows, unmatched source rows insert, untouched tip rows
     carry through — operators.merge.merge_upsert's SCD-1 semantics under
-    snapshot_rmw's pinned-tip commit, so an interleaved commit is never
-    lost (it forces a re-merge instead).
+    a pinned-tip commit, so an interleaved commit is never lost (it
+    forces a re-merge instead).
 
-    Scale shape: identical to the batch merge (one key shuffle per side
-    of the full-outer join; bucket the table at rest to shuffle only the
-    change batch) plus one manifest publish."""
+    ``strategy="pruned"`` (default, round-11): only the files whose
+    stats/blooms say they can contain the batch's keys are rewritten —
+    ``snapshot_apply_keyed``'s three-stage prune; a narrow upsert on a
+    clustered or bloom-indexed key touches a few files of a 100 TB
+    table instead of rewriting it (the Delta/Iceberg MERGE file-pruning
+    design; reference anchor: the upsert transaction scope of
+    db_operations.py:150-223 at format scale). Batches wider than
+    ``max_keys`` distinct keys fall back automatically.
+    ``strategy="rewrite"`` forces the historical full-rewrite path
+    (one full-outer join against the whole live set) — kept for
+    equivalence testing and for callers that know the batch touches
+    everything.
+
+    Scale shape (pruned): one candidate-file scan + one key shuffle of
+    (candidate rows ∪ batch) for the full-outer join + one manifest
+    publish; the untouched corpus is never read, written, or shuffled."""
     from imagingdb_spark.operators.merge import merge_upsert
 
-    return snapshot_rmw(
+    if strategy not in ("pruned", "rewrite"):
+        raise ValueError(f"strategy must be pruned|rewrite, got {strategy!r}")
+    vs = _versions(table_dir)
+    if vs:
+        m = _read_manifest_raw(table_dir, vs[-1])
+        table_cols = set(
+            f["name"] for f in json.loads(m["schema"])["fields"]
+        )
+        if set(source.columns) != table_cols:
+            raise ValueError(
+                "merge source columns "
+                f"{sorted(source.columns)} != table columns "
+                f"{sorted(table_cols)}"
+            )
+
+    def _apply(tip_df: DataFrame, src: DataFrame) -> DataFrame:
+        return merge_upsert(tip_df, src, key).drop("action")
+
+    if strategy == "rewrite":
+        if plan is not None:
+            plan["strategy"] = "rewrite"
+        return snapshot_rmw(
+            spark,
+            table_dir,
+            lambda tip_df: _apply(tip_df, source),
+            mode="merge",
+            max_retries=max_retries,
+            txn=txn,
+        )
+    return snapshot_apply_keyed(
         spark,
         table_dir,
-        lambda tip_df: merge_upsert(tip_df, source, key).drop("action"),
+        source,
+        key,
+        _apply,
         mode="merge",
         max_retries=max_retries,
+        max_keys=max_keys,
+        txn=txn,
+        plan=plan,
     )
 
 

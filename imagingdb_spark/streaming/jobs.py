@@ -353,25 +353,41 @@ def _snapshot_state_step(
     expire_every: int,
     keep_versions: int,
     txn_app: str | None = None,
+    keyed: tuple[DataFrame, str] | None = None,
+    bloom_columns: list[str] | None = None,
 ) -> None:
     """One micro-batch against a snapshot-held state table — the shared
     plumbing of streaming_distinct_hll / streaming_heavy_hitters /
     streaming_quantiles / streaming_cdc_apply_snapshot (bootstrap,
-    pinned-tip RMW, periodic retention): seed an empty typed state on
-    first contact, apply the transform under snapshot_rmw, and every
-    ``expire_every`` batches expire to ``keep_versions`` manifests +
-    vacuum the unreferenced rewrites. Retention is safe here precisely
-    because foreachBatch serializes this writer and vacuum's no-writer
-    contract is therefore held by construction; without it the state
-    table accumulates one full-state copy per trigger forever.
+    pinned-tip apply, periodic retention): seed an empty typed state on
+    first contact, apply the transform, and every ``expire_every``
+    batches expire to ``keep_versions`` manifests + vacuum the
+    unreferenced rewrites. Retention is safe here precisely because
+    foreachBatch serializes this writer and vacuum's no-writer contract
+    is therefore held by construction; without it the state table
+    accumulates one full-state copy per trigger forever.
 
-    ``txn_app`` turns the fold exactly-once: the RMW carries
+    The apply runs under ``snapshot_rmw`` (full-state rewrite — right
+    for the sketch folds, whose state is register/counter-sized) unless
+    ``keyed=(batch_df, key)`` is given: then it rides
+    ``snapshots.snapshot_apply_keyed``, which rewrites ONLY the state
+    files that can contain the batch's keys (round-11: the CDC state is
+    corpus-keyed, so a narrow trigger against a wide standing state
+    must not rewrite the whole state per trigger — the same file-pruned
+    MERGE the batch path got). The transform must then have the
+    pass-through property (untouched keys come back unchanged), which
+    the CDC LWW fold has. ``bloom_columns`` rides the BOOTSTRAP commit
+    so every later keyed rewrite maintains point-probe blooms on the
+    key — what keeps the prune sharp when state files aren't clustered.
+
+    ``txn_app`` turns the fold exactly-once: the apply carries
     (txn_app, batch_id) and a replayed batch is skipped at the state
     table itself. REQUIRED for non-idempotent folds (Misra–Gries counter
     sums, quantile bucket sums); the HLL register max doesn't need it —
     replay convergence is its algebra — and leaving it off there keeps
     that property load-bearing and tested."""
     from imagingdb_spark.snapshots import (
+        snapshot_apply_keyed,
         snapshot_commit,
         snapshot_exists,
         snapshot_expire,
@@ -380,9 +396,21 @@ def _snapshot_state_step(
     )
 
     if not snapshot_exists(table_dir):
-        snapshot_commit(spark, table_dir, seed_df)
+        snapshot_commit(spark, table_dir, seed_df, bloom_columns=bloom_columns)
     txn = (txn_app, int(batch_id)) if txn_app is not None else None
-    snapshot_rmw(spark, table_dir, transform, mode=mode, txn=txn)
+    if keyed is not None:
+        source_df, key_col = keyed
+        snapshot_apply_keyed(
+            spark,
+            table_dir,
+            source_df,
+            key_col,
+            lambda cand, _src: transform(cand),
+            mode=mode,
+            txn=txn,
+        )
+    else:
+        snapshot_rmw(spark, table_dir, transform, mode=mode, txn=txn)
     if expire_every and batch_id > 0 and batch_id % expire_every == 0:
         snapshot_expire(table_dir, keep_last=keep_versions)
         snapshot_vacuum(spark, table_dir)
@@ -2509,12 +2537,19 @@ def streaming_cdc_apply_snapshot(
     "at 100 TB the state is a table format whose MERGE replaces the swap"
     note above, closed in-repo: each micro-batch runs the same pure state
     transition (_cdc_next_state — seq gate, LWW + deletes, last_seq kept
-    for untouched keys) under snapshots.snapshot_rmw, so every state
-    version is an atomic pinned-tip commit (readers never see a half-
-    applied batch; an interleaved commit forces a re-read + re-apply
-    instead of being lost) and the commit log is the replication audit
-    trail. Replayed batches gate to a content no-op — the extra 'cdc'
-    version they publish is harmless and visible in snapshot_versions."""
+    for untouched keys) as an atomic pinned-tip commit (readers never
+    see a half-applied batch; an interleaved commit forces a re-read +
+    re-apply instead of being lost) and the commit log is the
+    replication audit trail. Replayed batches gate to a content no-op —
+    the extra 'cdc' version they publish is harmless and visible in
+    snapshot_versions.
+
+    Round-11: the apply is FILE-PRUNED (snapshots.snapshot_apply_keyed
+    via the keyed route of _snapshot_state_step) — a trigger rewrites
+    only the state files that can contain its keys, with key blooms
+    maintained from the bootstrap commit on, so per-trigger write cost
+    is O(batch + candidate files), not O(standing state). The LWW fold
+    qualifies because untouched keys pass through unchanged."""
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
@@ -2529,6 +2564,8 @@ def streaming_cdc_apply_snapshot(
             int(batch_id),
             expire_every,
             keep_versions,
+            keyed=(batch_df, key),
+            bloom_columns=[key],
         )
 
     return _attach(changes, apply_batch, checkpoint_dir, "update")

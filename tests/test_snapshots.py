@@ -390,6 +390,253 @@ class TestMerge:
         assert S.snapshot_vacuum(spark, t) == []  # stale rewrite dropped eagerly
 
 
+class TestMergePruned:
+    """File-pruned MERGE INTO (round-11 task 1, the public Delta/Iceberg
+    MERGE candidate-pruning design): only files whose stats/blooms can
+    contain the batch's keys are rewritten; everything else carries by
+    reference. The full-rewrite path survives as strategy='rewrite' and
+    as the automatic wide-batch fallback."""
+
+    def _clustered(self, spark, t, n=320, files=8, bloom=False):
+        """One commit, range-clustered on k into `files` files so footer
+        stats carve the key space into prunable slices."""
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(n)], "k long, v string"
+        ).repartitionByRange(files, "k").sortWithinPartitions("k")
+        S.snapshot_commit(
+            spark, t, df, bloom_columns=["k"] if bloom else None
+        )
+
+    def test_equivalence_with_rewrite_strategy(self, spark, tmp_path):
+        """Same batch, both strategies, identical table content after —
+        strategy picks the physical plan, never the semantics. Covers
+        updates, inserts, duplicate source keys, and NULL source keys."""
+        a, b = str(tmp_path / "pr"), str(tmp_path / "rw")
+        for t in (a, b):
+            self._clustered(spark, t, n=100, files=4)
+        batch = spark.createDataFrame(
+            [(5, "UPD5"), (5, "UPD5b"), (200, "NEW200"), (None, "NULLK")],
+            "k long, v string",
+        )
+        S.snapshot_merge(spark, a, batch, "k", strategy="pruned")
+        S.snapshot_merge(spark, b, batch, "k", strategy="rewrite")
+
+        def rows(t):  # NULL-key-safe total order
+            return sorted(
+                ((r["k"] is None, r["k"]), r["v"])
+                for r in S.snapshot_read(spark, t).collect()
+            )
+
+        assert rows(a) == rows(b)
+        assert (
+            S.snapshot_versions(a)[-1]["rows"]
+            == S.snapshot_versions(b)[-1]["rows"]
+        )
+        assert S.snapshot_versions(a)[-1]["mode"] == "merge"
+
+    def test_narrow_upsert_rewrites_few_files(self, spark, tmp_path):
+        """The headline property: a 3-key upsert on a clustered key
+        rewrites 1 file of 8 and carries the rest by reference."""
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n=320, files=8)
+        plan = {}
+        v = S.snapshot_merge(
+            spark, t,
+            _mk(spark, [(10, "U10"), (11, "U11"), (1000, "NEW")]),
+            "k", plan=plan,
+        )
+        assert plan["strategy"] == "pruned"
+        assert plan["files_total"] == 8
+        assert plan["files_rewritten"] <= 2
+        assert plan["rows_after"] == 321
+        got = dict(_rows(S.snapshot_read(spark, t)))
+        assert got[10] == "U10" and got[11] == "U11" and got[1000] == "NEW"
+        assert got[300] == "v300"  # carried rows intact
+        assert len(got) == 321
+        # pre-merge version still time-travels
+        assert S.snapshot_read(spark, t, version=v - 1).count() == 320
+
+    def test_bloom_prunes_unclustered_merge_key(self, spark, tmp_path):
+        """On an UNCLUSTERED key zone maps keep everything; the bloom
+        sidecars are what hold files_rewritten down (delete's stage 3,
+        now on the merge path)."""
+        t = str(tmp_path / "t")
+        # interleaved k across files: min/max never excludes
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(400)], "k long, v string"
+        ).repartition(8)
+        S.snapshot_commit(spark, t, df, bloom_columns=["k"])
+        plan = {}
+        S.snapshot_merge(
+            spark, t, _mk(spark, [(7, "U7")]), "k", plan=plan
+        )
+        assert plan["files_bloom_cleared"] >= 6
+        assert plan["files_rewritten"] <= 2
+        got = dict(_rows(S.snapshot_read(spark, t)))
+        assert got[7] == "U7" and len(got) == 400
+
+    def test_insert_only_batch_touches_no_files(self, spark, tmp_path):
+        """A batch of brand-new keys outside every file's range prunes
+        ALL files: the merge appends one fresh file and rewrites zero."""
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n=100, files=4)
+        plan = {}
+        S.snapshot_merge(
+            spark, t, _mk(spark, [(900, "n1"), (901, "n2")]), "k",
+            plan=plan,
+        )
+        assert plan["files_rewritten"] == 0
+        assert plan["rows_after"] == 102
+        assert S.snapshot_read(spark, t).count() == 102
+
+    def test_merge_through_deletion_vectors(self, spark, tmp_path):
+        """Candidate files carrying DV refs read as live rows and the
+        rewrite materializes the DVs — dead rows never resurface."""
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n=40, files=2)
+        S.snapshot_delete(spark, t, [("k", "=", 3)], mode="dv")
+        S.snapshot_merge(spark, t, _mk(spark, [(5, "U5")]), "k")
+        got = dict(_rows(S.snapshot_read(spark, t)))
+        assert 3 not in got and got[5] == "U5" and len(got) == 39
+        # the rewritten candidate carries no dv ref anymore
+        m = S._read_manifest(t, S._versions(t)[-1])
+        low = [fe for fe in m["files"] if fe.get("dv")]
+        assert low == []
+        assert S.snapshot_versions(t)[-1]["rows"] == 39
+
+    def test_wide_batch_falls_back_to_rewrite(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n=50, files=2)
+        plan = {}
+        S.snapshot_merge(
+            spark, t,
+            _mk(spark, [(i, f"U{i}") for i in range(40)]),
+            "k", max_keys=10, plan=plan,
+        )
+        assert plan["strategy"] == "rewrite"
+        got = dict(_rows(S.snapshot_read(spark, t)))
+        assert got[0] == "U0" and got[45] == "v45" and len(got) == 50
+
+    def test_empty_source_publishes_nothing(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n=10, files=1)
+        plan = {}
+        v = S.snapshot_merge(
+            spark, t, _mk(spark, []), "k", plan=plan
+        )
+        assert v == 1 and plan["strategy"] == "noop"
+        assert S._versions(t) == [1]
+
+    def test_schema_mismatch_rejected_before_work(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n=10, files=1)
+        bad = spark.createDataFrame([(1, "x", 9)], "k long, v string, extra long")
+        with pytest.raises(ValueError, match="columns"):
+            S.snapshot_merge(spark, t, bad, "k")
+
+    def test_txn_replay_is_noop(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n=10, files=1)
+        v1 = S.snapshot_merge(
+            spark, t, _mk(spark, [(1, "A")]), "k", txn=("m", 7)
+        )
+        v2 = S.snapshot_merge(
+            spark, t, _mk(spark, [(2, "B")]), "k", txn=("m", 7)
+        )
+        assert v2 == v1
+        got = dict(_rows(S.snapshot_read(spark, t)))
+        assert got[1] == "A" and got[2] == "v2"  # replay applied nothing
+
+    def test_racing_append_forces_remerge(self, spark, tmp_path, monkeypatch):
+        """A commit landing between candidate resolution and publish
+        must survive: the pruned merge re-resolves at the winner's tip
+        (a merge's file set is a read-dependent claim)."""
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n=20, files=2)
+        real = S._publish
+        raced = {"done": False}
+
+        def racing_publish(table_dir, version, manifest):
+            if manifest["mode"] == "merge" and not raced["done"]:
+                raced["done"] = True
+                monkeypatch.setattr(S, "_publish", real)
+                S.snapshot_commit(
+                    spark, t, _mk(spark, [(500, "interleaved")])
+                )
+                monkeypatch.setattr(S, "_publish", racing_publish)
+            return real(table_dir, version, manifest)
+
+        monkeypatch.setattr(S, "_publish", racing_publish)
+        S.snapshot_merge(spark, t, _mk(spark, [(1, "U1")]), "k")
+        monkeypatch.setattr(S, "_publish", real)
+        got = dict(_rows(S.snapshot_read(spark, t)))
+        assert got[1] == "U1" and got[500] == "interleaved"
+        assert len(got) == 21
+        assert S.snapshot_vacuum(spark, t) == []  # stale attempt dropped
+
+    def test_crash_matrix_leaves_premerge_version(
+        self, spark, tmp_path, monkeypatch
+    ):
+        """A crash at the data write, bloom build, group write, or
+        publish leaves the pre-merge version exactly; debris is
+        vacuum's."""
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n=30, files=2, bloom=True)
+        before = _rows(S.snapshot_read(spark, t))
+        batch = _mk(spark, [(1, "U1"), (99, "NEW")])
+        for seam in ("_write_data_files", "_build_blooms",
+                     "_child_groups", "_publish"):
+            real = getattr(S, seam)
+
+            def boom(*a, _seam=seam, **kw):
+                raise RuntimeError(f"crash at {_seam}")
+
+            monkeypatch.setattr(S, seam, boom)
+            with pytest.raises(RuntimeError, match="crash at"):
+                S.snapshot_merge(spark, t, batch, "k")
+            monkeypatch.setattr(S, seam, real)
+            assert S._versions(t) == [1]
+            assert _rows(S.snapshot_read(spark, t)) == before
+        S.snapshot_vacuum(spark, t)
+        v = S.snapshot_merge(spark, t, batch, "k")  # heals
+        assert v == 2
+        got = dict(_rows(S.snapshot_read(spark, t)))
+        assert got[1] == "U1" and got[99] == "NEW" and len(got) == 31
+
+    def test_cdf_update_images_delta_proportional(self, spark, tmp_path):
+        """snapshot_row_changes(key=...) over 12 narrow merge commits
+        reads a bounded number of files per commit — delta-proportional
+        because the commits themselves now are — and still emits exact
+        update images."""
+        t = str(tmp_path / "t")
+        self._clustered(spark, t, n=640, files=16)
+        per_commit_files = []
+        for i in range(12):
+            plan = {}
+            S.snapshot_merge(
+                spark, t, _mk(spark, [(40 * i, f"u{i}")]), "k", plan=plan
+            )
+            per_commit_files.append(plan["files_rewritten"])
+        assert max(per_commit_files) <= 2  # every commit was surgical
+        cdf_plan = {}
+        cdf = S.snapshot_row_changes(
+            spark, t, since_version=1, key="k", plan=cdf_plan
+        )
+        rows = cdf.collect()
+        pre = sorted(
+            r["k"] for r in rows if r["_change_type"] == "update_preimage"
+        )
+        post = {
+            r["k"]: r["v"]
+            for r in rows
+            if r["_change_type"] == "update_postimage"
+        }
+        assert pre == [40 * i for i in range(12)]
+        assert post[80] == "u2"
+        # removed+added per commit ≈ 1 candidate + 1 rewrite ≤ 4 files
+        assert cdf_plan["files_read"] <= 12 * 4
+
+
 class TestPublishPrimitive:
     def test_true_thread_race_admits_exactly_one(self, tmp_path):
         """32 threads race the SAME version slot through the real

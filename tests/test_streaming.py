@@ -599,6 +599,68 @@ def test_streaming_cdc_apply_snapshot_matches_batch_twin(spark, tmp_path):
     assert got2 == want
 
 
+def test_streaming_cdc_apply_snapshot_is_file_pruned(spark, tmp_path):
+    """Round-11: a narrow trigger against a wide standing CDC state
+    rewrites only the files that can contain its keys (key blooms
+    maintained from the bootstrap on) — per-trigger write cost is
+    O(batch + candidates), not O(standing state)."""
+    from pyspark.sql import types as T
+
+    from imagingdb_spark import snapshots as S
+
+    table = str(tmp_path / "state_snap")
+    changes_path = str(tmp_path / "changes")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    # wide standing state, hand-bootstrapped as a clustered multi-file
+    # table (what a maintenance compact produces) with key blooms
+    state0 = spark.createDataFrame(
+        [(i, f"doc {i}", 1) for i in range(2_000)],
+        "doc_id long, text string, last_seq long",
+    ).repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
+    S.snapshot_commit(spark, table, state0, bloom_columns=["doc_id"])
+    batches = [
+        [(17, 2, "U", "doc 17 v2")],
+        [(1_203, 2, "U", "doc 1203 v2")],
+        [(17, 3, "D", None)],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(changes_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_path)
+    )
+    q = jobs.streaming_cdc_apply_snapshot(stream, table, str(tmp_path / "ck"))
+    q.processAllAvailable()
+    q.stop()
+    vs = S._versions(table)
+    tip = S._read_manifest(table, vs[-1])
+    assert len(tip["files"]) > 4  # the standing state is many files
+    # each NARROW commit rewrote at most a couple of candidate files
+    for v in vs[-3:]:
+        prev = S._read_manifest_raw(table, v - 1)
+        cur = S._read_manifest_raw(table, v)
+        assert len(S._added_entries(table, prev, cur)) <= 3
+        assert len(S._added_entries(table, cur, prev)) <= 3
+    got = {
+        r["doc_id"]: (r["text"], r["last_seq"])
+        for r in S.snapshot_read(spark, table).collect()
+    }
+    assert 17 not in got  # the delete won
+    assert got[1_203] == ("doc 1203 v2", 2)
+    assert got[5] == ("doc 5", 1)
+    assert len(got) == 1_999
+
+
 def test_streaming_cdc_apply_replay_idempotent(spark, tmp_path):
     """Applying the same micro-batch twice (at-least-once replay) must be
     a no-op, and a LATE change older than the state must lose."""
