@@ -2028,25 +2028,95 @@ def snapshot_cluster_report(
     return out
 
 
+def snapshot_dv_report(table_dir: str, version: int | None = None) -> dict:
+    """How much merge-on-read DELETE debt the live files carry — the
+    "when to materialize" signal the maintenance loop reads beside the
+    clustering overlap (round-11 task 2), from manifest entries only,
+    no data reads. Every dv-bearing file pays the positional anti-join
+    on each scan (measured worst case: ~6.5x on a metadata-cheap
+    aggregate when EVERY file carries one, tools/DV_BENCH.json), and
+    sidecar chains grow one link per repeat delete — both reclaimed by
+    one ``snapshot_compact``, which reads through the DVs and publishes
+    fresh dv-free entries. Returns {files_total, files_dv, dv_file_frac,
+    dv_positions, rows, dv_position_frac, max_chain}."""
+    for _ in range(3):
+        m = _resolve_manifest_raw(table_dir, version)
+        try:
+            entries = _resolve_pruned(table_dir, m, None)
+            break
+        except FileNotFoundError:
+            if version is not None:
+                raise
+            continue
+    else:
+        raise FileNotFoundError(
+            f"{table_dir}: tip kept expiring during resolution"
+        )
+    dved = [fe for fe in entries if fe.get("dv")]
+    positions = sum(fe["dv"].get("n", 0) for fe in dved)
+    rows = m.get("rows", 0)
+    return {
+        "files_total": len(entries),
+        "files_dv": len(dved),
+        "dv_file_frac": (
+            round(len(dved) / len(entries), 4) if entries else 0.0
+        ),
+        "dv_positions": positions,
+        "rows": rows,
+        "dv_position_frac": (
+            round(positions / (rows + positions), 4)
+            if rows + positions
+            else 0.0
+        ),
+        "max_chain": max(
+            (len(_dv_scs(fe["dv"])) for fe in dved), default=0
+        ),
+    }
+
+
 def snapshot_maintain(
     spark: SparkSession,
     table_dir: str,
     cluster_col: str,
     max_avg_overlap: float = 2.0,
     target_file_bytes: int = 128 * 1024 * 1024,
+    max_dv_file_frac: float = 0.2,
+    max_dv_chain: int = 4,
 ) -> int | None:
-    """One step of the table-maintenance loop: re-cluster on
-    ``cluster_col`` when point overlap says skipping has degraded past
-    ``max_avg_overlap``, else do nothing. Returns the compact commit's
-    version, or None when the layout is still good (the cheap common
-    case: one manifest resolution, no data touched). A SnapshotConflict
-    from a racing append propagates — the loop just runs again next
-    tick, exactly like the streaming gates' compaction discipline."""
+    """One step of the table-maintenance loop: transactionally rewrite
+    the table when EITHER health signal trips, else do nothing (the
+    cheap common case: two manifest resolutions, no data touched).
+
+    - **Clustering**: point overlap on ``cluster_col`` past
+      ``max_avg_overlap`` (stream appends land time-ordered; without
+      the tick a point lookup eventually opens every file).
+    - **DV debt** (round-11): the fraction of live files carrying
+      deletion vectors past ``max_dv_file_frac``, or any sidecar chain
+      longer than ``max_dv_chain``. Accumulated DVs tax every scan
+      (the measured all-files-DV worst case is ~6.5x) and chains add a
+      sidecar open per link; compaction materializes both away. Either
+      threshold can be disabled with None.
+
+    The rewrite is one ``snapshot_compact(cluster_cols=[cluster_col])``
+    — it re-clusters AND materializes DVs in the same atomic commit, so
+    whichever signal fired, both debts clear. Returns the compact
+    commit's version or None. A SnapshotConflict from a racing append
+    propagates — the loop just runs again next tick, exactly like the
+    streaming gates' compaction discipline."""
     report = snapshot_cluster_report(table_dir, cluster_col)
-    if (
-        report["files_with_stats"] < 2
-        or report["avg_overlap"] <= max_avg_overlap
-    ):
+    need_cluster = (
+        report["files_with_stats"] >= 2
+        and report["avg_overlap"] > max_avg_overlap
+    )
+    dv = snapshot_dv_report(table_dir)
+    need_dv = dv["files_dv"] > 0 and (
+        (
+            max_dv_file_frac is not None
+            and dv["dv_file_frac"] > max_dv_file_frac
+        )
+        or (max_dv_chain is not None and dv["max_chain"] > max_dv_chain)
+    )
+    if not (need_cluster or need_dv):
         return None
     return snapshot_compact(
         spark,

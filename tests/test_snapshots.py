@@ -2593,6 +2593,101 @@ class TestDVChainsAndGuards:
         assert not S.snapshot_exists(t)
 
 
+class TestDVDebtMaintenance:
+    """Round-11 task 2: the maintenance tick also fires on DELETION-
+    VECTOR debt (dv-file fraction / chain length), since accumulated DVs
+    tax every scan and snapshot_compact already materializes them."""
+
+    def _dv_laden(self, spark, t, n_files=8, per=100, deletes=6):
+        """Unclustered table where every delete leaves a dv ref on most
+        files (interleaved k), driving dv_file_frac toward 1."""
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(n_files * per)], "k long, v string"
+        ).repartition(n_files)
+        S.snapshot_commit(spark, t, df)
+        for i in range(deletes):
+            S.snapshot_delete(
+                spark, t,
+                [("k", ">=", i * 40), ("k", "<", i * 40 + 40)],
+                mode="dv",
+            )
+
+    def test_dv_report_counts(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._dv_laden(spark, t, deletes=2)
+        rep = S.snapshot_dv_report(t)
+        assert rep["files_total"] == 8
+        assert rep["files_dv"] >= 1
+        assert rep["dv_positions"] == 80
+        assert rep["rows"] == 720
+        assert rep["max_chain"] >= 1
+        assert 0 < rep["dv_file_frac"] <= 1
+        # a fresh table reports zero debt
+        t2 = str(tmp_path / "t2")
+        S.snapshot_commit(spark, t2, _mk(spark, [(1, "a")]))
+        rep2 = S.snapshot_dv_report(t2)
+        assert rep2["files_dv"] == 0 and rep2["max_chain"] == 0
+
+    def test_maintain_fires_on_dv_fraction_and_heals(self, spark, tmp_path):
+        """A table in the all-files-DV worst case heals in one tick:
+        compaction materializes every DV, the tip carries none, and the
+        rows are exactly the surviving set."""
+        t = str(tmp_path / "t")
+        self._dv_laden(spark, t, deletes=6)
+        rep = S.snapshot_dv_report(t)
+        assert rep["dv_file_frac"] > 0.2  # the worst-case regime
+        before = _rows(S.snapshot_read(spark, t))
+        v = S.snapshot_maintain(spark, t, "k", max_avg_overlap=1e9)
+        assert v is not None  # clustering didn't fire; DV debt did
+        healed = S.snapshot_dv_report(t)
+        assert healed["files_dv"] == 0 and healed["dv_positions"] == 0
+        assert _rows(S.snapshot_read(spark, t)) == before
+        # second tick: nothing left to do
+        assert S.snapshot_maintain(spark, t, "k", max_avg_overlap=1e9) is None
+
+    def test_maintain_fires_on_chain_length(self, spark, tmp_path):
+        """Repeat deletes on one hot file grow its sidecar chain; past
+        max_dv_chain the tick materializes even though the dv-file
+        fraction is tiny."""
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(800)], "k long, v string"
+        ).repartitionByRange(8, "k").sortWithinPartitions("k")
+        S.snapshot_commit(spark, t, df)
+        for i in range(6):  # all hits land in the low-k file
+            S.snapshot_delete(spark, t, [("k", "=", i)], mode="dv")
+        rep = S.snapshot_dv_report(t)
+        assert rep["max_chain"] == 6 and rep["dv_file_frac"] <= 0.2
+        v = S.snapshot_maintain(
+            spark, t, "k", max_avg_overlap=1e9, max_dv_file_frac=0.5,
+            max_dv_chain=4,
+        )
+        assert v is not None
+        assert S.snapshot_dv_report(t)["max_chain"] == 0
+        assert S.snapshot_read(spark, t).count() == 794
+
+    def test_below_thresholds_is_noop(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(800)], "k long, v string"
+        ).repartitionByRange(8, "k").sortWithinPartitions("k")
+        S.snapshot_commit(spark, t, df)
+        S.snapshot_delete(spark, t, [("k", "=", 3)], mode="dv")
+        assert (
+            S.snapshot_maintain(spark, t, "k", max_avg_overlap=1e9) is None
+        )
+        # disabling both dv thresholds never fires on dv debt
+        self_t = str(tmp_path / "t3")
+        self._dv_laden(spark, self_t, deletes=6)
+        assert (
+            S.snapshot_maintain(
+                spark, self_t, "k", max_avg_overlap=1e9,
+                max_dv_file_frac=None, max_dv_chain=None,
+            )
+            is None
+        )
+
+
 class TestSnapshotChanges:
     """Incremental changelog source (round-9 task 2): rows added after a
     cursor version, resolved from only the manifest groups the walked

@@ -143,6 +143,32 @@ def main() -> None:
             "files_dv": res["files_dv"],
             "files_total": res["files_total"],
         }
+        # round-11: the DV-debt maintenance tick heals the worst case —
+        # every file dv-bearing trips max_dv_file_frac, one compact
+        # materializes all DVs, and the read tax returns to ~1x
+        rep = S.snapshot_dv_report(t)
+        # keep the healed layout at the same ~16-file parallelism as the
+        # pre-tick table: the claim under test is the DV tax vanishing,
+        # not a 1-task-vs-16-task scan artifact
+        v = S.snapshot_maintain(
+            spark, t, "k", max_avg_overlap=1e9,
+            target_file_bytes=6 * 1024 * 1024,
+        )
+        assert v is not None and rep["dv_file_frac"] > 0.2
+        healed_rep = S.snapshot_dv_report(t)
+        assert healed_rep["files_dv"] == 0
+        S.snapshot_read(spark, t).agg(F.sum("k")).collect()  # warm
+        healed = min(_timed(S.snapshot_read(spark, t)) for _ in range(3))
+        out["read_tax_worst_healed_by_maintain"] = {
+            "pre_tick_dv_file_frac": rep["dv_file_frac"],
+            "healed_read_s": round(healed, 4),
+            "healed_ratio_vs_plain": round(healed / plain, 3),
+        }
+        if healed > 1.5 * plain:
+            out.setdefault("violations", []).append(
+                f"healed read {healed:.2f}s > 1.5x plain {plain:.2f}s "
+                "(expected ~1x after DV materialization)"
+            )
 
         # --- 2. write cost vs deleted rows -----------------------------
         wr = {}
