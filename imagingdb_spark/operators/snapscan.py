@@ -20,15 +20,24 @@ path, each of which DuckDB recomputes from the raw documents table:
   the positional-delete sidecar anti-apply (``_read_entries``'s
   broadcast anti-join on path+row_index) composed with predicate
   pruning; oracle = range filter minus BOTH deleted languages.
-- ``upd``  — the same range at the tip (v5, post-``snapshot_update``
-  redacting the sources of a third language): exercises the UPDATE
-  rewrite's manifest (carried entries + updated files) read through
-  the surviving DV refs; oracle = the dv leg with a CASE expression.
+- ``upd``  — the same range at v5 (post-``snapshot_update`` redacting
+  the sources of a third language): exercises the UPDATE rewrite's
+  manifest (carried entries + updated files) read through the
+  surviving DV refs; oracle = the dv leg with a CASE expression.
 - ``point`` — an ``=`` probe on an md5 column (high-cardinality,
   UNCLUSTERED — zone maps keep everything, only the bloom sidecars
-  skip) at the DV+update-bearing tip: exercises bloom keep-semantics
+  skip) at the DV+update-bearing v5: exercises bloom keep-semantics
   reading THROUGH a deletion vector after an update rebuilt touched
   files' sidecars; oracle = the md5 recomputed in SQL.
+- ``mrg`` — the tip (v6, post-``snapshot_merge`` with the round-11
+  file-PRUNED strategy): a content-addressed batch updates ~1/16 of
+  the surviving docs' sources and inserts a disjoint-id-space band;
+  the leg reads the update range AND the inserted band through the
+  merge commit's manifest (rewritten candidates + carried refs +
+  fresh insert files). Oracle = CASE over the raw docs plus the
+  recomputed insert band. Any pruning unsoundness — a candidate file
+  wrongly carried, an insert dropped, an update misplaced — lands
+  here as a row/hash mismatch.
 
 Any drift between the resolved file list, the DV positions, and the
 predicate semantics — a group wrongly skipped, a bloom false-absence, a
@@ -64,6 +73,7 @@ _DEL_LANG = "de"  # copy-on-write delete (v3)
 _DV_LANG = "fr"  # merge-on-read / deletion-vector delete (v4)
 _UPD_LANG = "es"  # targeted UPDATE (v5): source -> 'redacted'
 _PROBE_DOC = "137"  # md5(cast(doc_id as string)) probe; never de/fr at any SF
+_INS_OFFSET = 1_000_000  # merge leg (v6): inserted band's disjoint id space
 
 
 def _build(spark: SparkSession, sf_dir: str, t: str) -> None:
@@ -95,6 +105,29 @@ def _build(spark: SparkSession, sf_dir: str, t: str) -> None:
     S.snapshot_update(
         spark, t, [("lang", "=", _UPD_LANG)], {"source": "'redacted'"}
     )
+    # v6: file-pruned MERGE — a content-addressed batch (identical on
+    # both engines) updating ~1/16 of the SURVIVING docs and inserting
+    # a disjoint-id band; deleted languages are excluded from the
+    # update slice so the merge cannot resurrect taken-down rows
+    def _h1(prefix):
+        return F.substring(
+            F.md5(F.concat(F.lit(prefix), F.col("doc_id").cast("string"))),
+            1, 1,
+        )
+
+    upd = docs.filter(
+        (_h1("mu-") == "0") & ~F.col("lang").isin(_DEL_LANG, _DV_LANG)
+    ).select(
+        "doc_id", "lang", F.lit("merged").alias("source"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    ins = docs.filter(_h1("mi-") == "0").select(
+        (F.col("doc_id") + _INS_OFFSET).alias("doc_id"),
+        "lang",
+        F.lit("fresh").alias("source"),
+        F.md5((F.col("doc_id") + _INS_OFFSET).cast("string")).alias("h"),
+    )
+    S.snapshot_merge(spark, t, upd.unionByName(ins), "doc_id")
 
 
 def _scan_table(spark: SparkSession, sf_dir: str) -> str:
@@ -111,14 +144,23 @@ def _scan_table(spark: SparkSession, sf_dir: str) -> str:
         for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
     }
     total = sum(counts.values())
-    want_rows = total - counts.get(_DEL_LANG, 0) - counts.get(_DV_LANG, 0)
+    n_ins = docs.filter(
+        F.substring(
+            F.md5(F.concat(F.lit("mi-"), F.col("doc_id").cast("string"))),
+            1, 1,
+        )
+        == "0"
+    ).count()
+    want_rows = (
+        total - counts.get(_DEL_LANG, 0) - counts.get(_DV_LANG, 0) + n_ins
+    )
     tag = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}:{total}:dv-upd".encode()
+        f"{os.path.abspath(sf_dir)}:{total}:dv-upd-mrg".encode()
     ).hexdigest()[:12]
     t = os.path.join(tempfile.gettempdir(), f"imagingdb_snapscan_{tag}")
     if S.snapshot_exists(t):
         vs = S._versions(t)
-        if vs == [1, 2, 3, 4, 5] and S._read_manifest_raw(t, 5)["rows"] == want_rows:
+        if vs == [1, 2, 3, 4, 5, 6] and S._read_manifest_raw(t, 6)["rows"] == want_rows:
             return t
         shutil.rmtree(t, ignore_errors=True)
     build = f"{t}.build.{uuid.uuid4().hex}"
@@ -164,29 +206,201 @@ def _scan_table(spark: SparkSession, sf_dir: str) -> str:
     FROM d
     WHERE md5(CAST(doc_id AS VARCHAR)) = md5('{_PROBE_DOC}')
       AND lang NOT IN ('{_DEL_LANG}', '{_DV_LANG}')
+    UNION ALL
+    SELECT 'mrg' AS ver, doc_id, lang,
+           CASE WHEN substr(md5('mu-' || CAST(doc_id AS VARCHAR)), 1, 1)
+                     = '0' THEN 'merged'
+                WHEN lang = '{_UPD_LANG}' THEN 'redacted'
+                ELSE source END AS source
+    FROM d
+    WHERE doc_id >= {_LO} AND doc_id < {_HI}
+      AND lang NOT IN ('{_DEL_LANG}', '{_DV_LANG}')
+    UNION ALL
+    SELECT 'mrg' AS ver, doc_id + {_INS_OFFSET} AS doc_id, lang,
+           'fresh' AS source
+    FROM d
+    WHERE substr(md5('mi-' || CAST(doc_id AS VARCHAR)), 1, 1) = '0'
     """,
 )
 def x_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L12/L13/L14: snapshot-format reads under the oracle — five legs
-    through snapshot_read over a deterministic table built from
+    """L12/L13/L14/S10: snapshot-format reads under the oracle — six
+    legs through snapshot_read over a deterministic table built from
     documents (time travel, CoW delete, deletion-vector delete,
-    targeted UPDATE, bloom point probe), each leg recomputed by DuckDB
-    from the raw parquet. See the module docstring for the leg map."""
+    targeted UPDATE, bloom point probe, file-pruned MERGE), each leg
+    recomputed by DuckDB from the raw parquet. See the module
+    docstring for the leg map."""
     t = _scan_table(spark, sf_dir)
     rng = [("doc_id", ">=", _LO), ("doc_id", "<", _HI)]
     probe = hashlib.md5(_PROBE_DOC.encode()).hexdigest()
     pre = S.snapshot_read(spark, t, version=2, where=rng)
     post = S.snapshot_read(spark, t, version=3, where=rng)
     dv = S.snapshot_read(spark, t, version=4, where=rng)
-    upd = S.snapshot_read(spark, t, where=rng)
-    point = S.snapshot_read(spark, t, where=[("h", "=", probe)])
+    upd = S.snapshot_read(spark, t, version=5, where=rng)
+    point = S.snapshot_read(spark, t, version=5, where=[("h", "=", probe)])
+    mrg = S.snapshot_read(spark, t, where=rng).unionByName(
+        S.snapshot_read(spark, t, where=[("doc_id", ">=", _INS_OFFSET)])
+    )
     out = None
     for ver, df in (
         ("pre", pre), ("post", post), ("dv", dv), ("upd", upd),
-        ("point", point),
+        ("point", point), ("mrg", mrg),
     ):
         leg = df.select(
             F.lit(ver).alias("ver"), "doc_id", "lang", "source"
         )
         out = leg if out is None else out.unionByName(leg)
     return out
+
+
+# ---------------------------------------------------------------------------
+# x_catalog_scan: the ATOMIC MULTI-TABLE catalog read path under the same
+# oracle (round-11 task 4). x_snapshot_scan covers single-table manifest
+# reads; until this query, catalog_read / catalog_manifest — the
+# cross-table-consistent read the reference's Postgres catalog gives its
+# clients (db_operations.py's dataset + frames tables resolved in one
+# transaction) — had crash/race tests but no registered oracle query.
+
+_CAT_DEL_LANG = "zh"  # catalog-level DV takedown target (disjoint from
+#                       the snapscan legs' de/fr/es)
+
+
+def _catalog_table(spark: SparkSession, sf_dir: str) -> str:
+    """Build-or-reuse a deterministic two-table catalog from documents:
+    ``docs`` (doc_id, lang, source; clustered on doc_id) and ``meta``
+    (lang, n_docs) committed ATOMICALLY (catalog_commit v1), then one
+    atomic multi-table takedown of one language in deletion-vector mode
+    (catalog_delete v2) — the FK-chain erasure shape at catalog scope.
+    Same fingerprint + fresh-dir/rename caching discipline as
+    ``_scan_table``."""
+    from imagingdb_spark import snapcatalog as C
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    counts = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    total = sum(counts.values())
+    want_docs = total - counts.get(_CAT_DEL_LANG, 0)
+    tag = hashlib.sha256(
+        f"{os.path.abspath(sf_dir)}:{total}:cat-dv".encode()
+    ).hexdigest()[:12]
+    cat = os.path.join(tempfile.gettempdir(), f"imagingdb_catscan_{tag}")
+
+    def _valid(c: str) -> bool:
+        if C.catalog_versions(c) != [1, 2]:
+            return False
+        m = C.catalog_manifest(c, 2)["tables"].get("docs")
+        return m is not None and m["rows"] == want_docs
+
+    if C.catalog_exists(cat):
+        if _valid(cat):
+            return cat
+        shutil.rmtree(cat, ignore_errors=True)
+    build = f"{cat}.build.{uuid.uuid4().hex}"
+    try:
+        def _build_tables(views: dict) -> dict:
+            return {
+                "docs": docs.repartitionByRange(4, "doc_id")
+                .sortWithinPartitions("doc_id"),
+                "meta": docs.groupBy("lang").agg(
+                    F.count(F.lit(1)).alias("n_docs")
+                ),
+            }
+
+        C.catalog_commit(
+            spark, build, _build_tables,
+            keys={"docs": ["doc_id"], "meta": ["lang"]},
+        )
+        C.catalog_delete(
+            spark, build,
+            {
+                "docs": [("lang", "=", _CAT_DEL_LANG)],
+                "meta": [("lang", "=", _CAT_DEL_LANG)],
+            },
+            mode="dv",
+        )
+        try:
+            os.rename(build, cat)
+        except OSError:
+            shutil.rmtree(build, ignore_errors=True)
+    except BaseException:
+        shutil.rmtree(build, ignore_errors=True)
+        raise
+    return cat
+
+
+@query(
+    "x_catalog_scan",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, lang FROM documents)
+    SELECT 'docs_v1' AS ver, lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM d GROUP BY lang
+    UNION ALL
+    SELECT 'docs_v2' AS ver, lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM d WHERE lang <> '{_CAT_DEL_LANG}' GROUP BY lang
+    UNION ALL
+    SELECT 'meta_v1' AS ver, lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM d GROUP BY lang
+    UNION ALL
+    SELECT 'meta_v2' AS ver, lang, CAST(COUNT(*) AS BIGINT) AS n
+    FROM d WHERE lang <> '{_CAT_DEL_LANG}' GROUP BY lang
+    UNION ALL
+    SELECT 'probe_v2' AS ver, lang, doc_id AS n
+    FROM d
+    WHERE lang <> '{_CAT_DEL_LANG}' AND doc_id >= {_LO} AND doc_id < {_HI}
+    """,
+)
+def x_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L8/L11/S7: catalog-isolated reads under the oracle — five legs
+    through ``catalog_read`` over a two-table catalog built atomically
+    from documents and taken down (one language, both tables, ONE
+    atomic commit) in deletion-vector mode:
+
+    - ``docs_v1``/``meta_v1`` — time travel to the pre-takedown commit:
+      both tables must still answer with the full corpus (the
+      legal-hold window), mutually consistent from one pinned commit.
+    - ``docs_v2``/``meta_v2`` — the tip: the docs DV sidecars
+      anti-apply inside ``_manifest_df`` and the meta row is gone —
+      the whole chain disappeared in one version step.
+    - ``probe_v2`` — a row-level range read at the tip (one row per
+      surviving doc): a single resurfaced or over-deleted row flips
+      the value hash, catching positional DV errors aggregate legs
+      could mask.
+
+    DuckDB recomputes every leg from the raw parquet."""
+    from imagingdb_spark import snapcatalog as C
+
+    cat = _catalog_table(spark, sf_dir)
+    commit1 = C.catalog_manifest(cat, 1)
+    commit2 = C.catalog_manifest(cat, 2)
+
+    def _counts(ver: str, commit: dict) -> DataFrame:
+        return (
+            C.read_table_at(spark, cat, commit, "docs")
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+            .select(F.lit(ver).alias("ver"), "lang", "n")
+        )
+
+    def _meta(ver: str, commit: dict) -> DataFrame:
+        return C.read_table_at(spark, cat, commit, "meta").select(
+            F.lit(ver).alias("ver"),
+            "lang",
+            F.col("n_docs").cast("bigint").alias("n"),
+        )
+
+    probe = C.read_table_at(
+        spark, cat, commit2, "docs",
+        where=[("doc_id", ">=", _LO), ("doc_id", "<", _HI)],
+    ).select(
+        F.lit("probe_v2").alias("ver"),
+        "lang",
+        F.col("doc_id").cast("bigint").alias("n"),
+    )
+    return (
+        _counts("docs_v1", commit1)
+        .unionByName(_counts("docs_v2", commit2))
+        .unionByName(_meta("meta_v1", commit1))
+        .unionByName(_meta("meta_v2", commit2))
+        .unionByName(probe)
+    )

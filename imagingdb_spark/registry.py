@@ -108,15 +108,129 @@ ORACLE: dict[str, str] = {}
 # - OUT to 51+: every r7-window member whose code is unchanged since its
 #   fresh r7 green (x_phash_dedup .. x_merge_upsert).
 PRIORITY: list[str] = [
-    # --- round-10 window (first 50; VERDICT r9 item 6, applied) ---
-    # (a) implementation changed in round 10 — x_snapshot_scan (now five
-    #     legs: DV delete + snapshot_update under the oracle) and
-    #     x_triangles (exact dst-side wedge-volume measurement replacing
-    #     the unsound 2*sum(outdeg^2) bound, round-10 ADVICE).
-    # (b) the stalest driver records, ascending: the full last-green-r6
-    #     block (25 names, positions 51-75 of the r9 list) and the first
-    #     23 of the last-green-r7 block.
+    # --- round-11 window (first 50; VERDICT r10 item 5, applied) ---
+    # (a) no driver record: x_catalog_scan (new this round — the atomic
+    #     catalog read path under the oracle).
+    # (b) implementation changed in round 11: x_snapshot_scan (sixth
+    #     leg: file-pruned MERGE under the oracle).
+    # (c) merge-family doubles named by the verdict (snapshot_merge's
+    #     execution strategy changed; these queries share the merge
+    #     semantics even though their own operator code is unchanged):
+    #     x_merge_upsert, x_scd2_history, x_cdc_apply.
+    # (d) the stalest records, ascending: the last-green-r7 tail (10
+    #     names x_pagerank..x_unigram_logprob) and the first 35 of the
+    #     last-green-r8 block.
+    "x_catalog_scan",
     "x_snapshot_scan",
+    "x_merge_upsert",
+    "x_scd2_history",
+    "x_cdc_apply",
+    "x_pagerank",
+    "x_phash_dedup",
+    "x_pq_quantize",
+    "x_quality_filter",
+    "x_rebalance",
+    "x_sample_weighted",
+    "x_scene_changes",
+    "x_split_leakage",
+    "x_substring_dedup",
+    "x_unigram_logprob",
+    "a_cube",
+    "a_distinct",
+    "a_pivot",
+    "f_daterange",
+    "f_dates",
+    "f_equality",
+    "f_format",
+    "f_inlist",
+    "f_json_multi",
+    "f_path_ops",
+    "f_sha2",
+    "f_substring",
+    "f_validate_id",
+    "j_self_parent",
+    "j_two_way",
+    "o_limit",
+    "s_intersect",
+    "s_union",
+    "st_heavy_hitters",
+    "st_quantiles",
+    "st_sliding",
+    "st_theta_overlap",
+    "w_topk_group",
+    "x_ann_ivfpq",
+    "x_ann_lsh",
+    "x_chunk_docs",
+    "x_containment",
+    "x_decontaminate",
+    "x_dedup_cluster",
+    "x_dedup_compact",
+    "x_dedup_embed",
+    "x_dedup_eval",
+    "x_dedup_jaccard",
+    "x_dedup_retain",
+    "x_dedup_simhash",
+    # --- 51+: displaced members, stalest first (each holds a green
+    #     driver row on code unchanged since it was recorded) ---
+    # last green r8 (the 10 that did not fit the window):
+    "x_dedup_verified",
+    "x_dedup_weights",
+    "x_embed_stats",
+    "x_fingerprint",
+    "x_repetition",
+    "x_split_hash",
+    "x_text_stats",
+    "x_token_bpe",
+    "x_token_freq",
+    "x_topk_sim",
+    # last green r9:
+    "x_perplexity_bucket",
+    "st_perplexity",
+    "x_dedup_incremental",
+    "x_dedup_minhash",
+    "a_count",
+    "a_rollup",
+    "f_cast_coerce",
+    "f_null_handling",
+    "f_string_parse",
+    "j_three_way",
+    "p_project",
+    "x_dedup_exact",
+    "a_count_distinct",
+    "a_geomean_udaf",
+    "a_group_summary",
+    "f_array_ops",
+    "f_from_json",
+    "f_json_extract",
+    "j_asof",
+    "j_json_filter",
+    "j_temporal_lookup",
+    "st_session",
+    "st_topk_trend",
+    "st_tumbling",
+    "w_rownum_page",
+    "w_running",
+    "x_bigram_logprob",
+    "x_corr_matrix",
+    "x_domain_mix",
+    "x_exact_quantiles",
+    "x_incr_agg",
+    "x_profile_stats",
+    "x_scrub",
+    "x_sentences",
+    "x_sessionize",
+    "x_source_cap",
+    "x_span_dedup",
+    "x_stratified",
+    "x_table_diff",
+    "x_token_budget",
+    "x_transition_matrix",
+    "x_ann_ivf",
+    "x_pack_sequences",
+    "x_semdedup",
+    "x_bpe_train",
+    "x_bpe_encode",
+    # last green r10 (freshest records, rotated out this round):
     "x_triangles",
     "a_sum_avg",
     "f_not_exists",
@@ -166,115 +280,6 @@ PRIORITY: list[str] = [
     "x_lang_id",
     "x_length_trim",
     "x_mad_outlier",
-    # --- 51+: displaced members, stalest first (each holds a green
-    #     driver row on code unchanged since it was recorded) ---
-    # last green r7 (the 11 that did not fit the window):
-    "x_merge_upsert",
-    "x_pagerank",
-    "x_phash_dedup",
-    "x_pq_quantize",
-    "x_quality_filter",
-    "x_rebalance",
-    "x_sample_weighted",
-    "x_scene_changes",
-    "x_split_leakage",
-    "x_substring_dedup",
-    "x_unigram_logprob",
-    # last green r8:
-    "a_cube",
-    "a_distinct",
-    "a_pivot",
-    "f_daterange",
-    "f_dates",
-    "f_equality",
-    "f_format",
-    "f_inlist",
-    "f_json_multi",
-    "f_path_ops",
-    "f_sha2",
-    "f_substring",
-    "f_validate_id",
-    "j_self_parent",
-    "j_two_way",
-    "o_limit",
-    "s_intersect",
-    "s_union",
-    "st_heavy_hitters",
-    "st_quantiles",
-    "st_sliding",
-    "st_theta_overlap",
-    "w_topk_group",
-    "x_ann_ivfpq",
-    "x_ann_lsh",
-    "x_chunk_docs",
-    "x_containment",
-    "x_decontaminate",
-    "x_dedup_cluster",
-    "x_dedup_compact",
-    "x_dedup_embed",
-    "x_dedup_eval",
-    "x_dedup_jaccard",
-    "x_dedup_retain",
-    "x_dedup_simhash",
-    "x_dedup_verified",
-    "x_dedup_weights",
-    "x_embed_stats",
-    "x_fingerprint",
-    "x_repetition",
-    "x_split_hash",
-    "x_text_stats",
-    "x_token_bpe",
-    "x_token_freq",
-    "x_topk_sim",
-    # last green r9 (freshest records, rotated out this round):
-    "x_perplexity_bucket",
-    "st_perplexity",
-    "x_dedup_incremental",
-    "x_dedup_minhash",
-    "a_count",
-    "a_rollup",
-    "f_cast_coerce",
-    "f_null_handling",
-    "f_string_parse",
-    "j_three_way",
-    "p_project",
-    "x_dedup_exact",
-    "a_count_distinct",
-    "a_geomean_udaf",
-    "a_group_summary",
-    "f_array_ops",
-    "f_from_json",
-    "f_json_extract",
-    "j_asof",
-    "j_json_filter",
-    "j_temporal_lookup",
-    "st_session",
-    "st_topk_trend",
-    "st_tumbling",
-    "w_rownum_page",
-    "w_running",
-    "x_bigram_logprob",
-    "x_cdc_apply",
-    "x_corr_matrix",
-    "x_domain_mix",
-    "x_exact_quantiles",
-    "x_incr_agg",
-    "x_profile_stats",
-    "x_scd2_history",
-    "x_scrub",
-    "x_sentences",
-    "x_sessionize",
-    "x_source_cap",
-    "x_span_dedup",
-    "x_stratified",
-    "x_table_diff",
-    "x_token_budget",
-    "x_transition_matrix",
-    "x_ann_ivf",
-    "x_pack_sequences",
-    "x_semdedup",
-    "x_bpe_train",
-    "x_bpe_encode",
 ]
 
 
