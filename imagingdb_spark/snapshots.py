@@ -717,6 +717,7 @@ def _next_manifest(
     schema_json: str,
     txn: tuple[str, int] | None = None,
     blooms: list[str] | None = None,
+    cluster: list[str] | None = None,
 ) -> dict:
     """The ONE place a manifest is shaped. Every commit path goes through
     here so an added field cannot be propagated in one writer and
@@ -728,7 +729,10 @@ def _next_manifest(
 
     ``blooms`` is the bloom-index table property (imagingdb_spark/
     blooms.py): None carries the parent's column list forward like txns
-    do; a list SETS it (empty list clears)."""
+    do; a list SETS it (empty list clears). ``cluster`` is the DECLARED
+    clustering spec (round-11: the Iceberg hidden-partitioning step —
+    the sort/partition key lives in the table's metadata, not in call
+    sites), same inherit/set/clear contract."""
     txns = dict(base.get("txns", {})) if base else {}
     if txn is not None:
         txns[txn[0]] = txn[1]
@@ -736,6 +740,11 @@ def _next_manifest(
         list(blooms)
         if blooms is not None
         else (base.get("blooms") if base else None)
+    )
+    ccols = (
+        list(cluster)
+        if cluster is not None
+        else (base.get("cluster") if base else None)
     )
     m = {
         "version": (base["version"] if base else 0) + 1,
@@ -748,6 +757,8 @@ def _next_manifest(
     }
     if bcols:
         m["blooms"] = bcols
+    if ccols:
+        m["cluster"] = ccols
     return m
 
 
@@ -940,6 +951,7 @@ def snapshot_commit(
     txn: tuple[str, int] | None = None,
     merge_schema: bool = False,
     bloom_columns: list[str] | None = None,
+    cluster_cols: list[str] | None = None,
 ) -> int:
     """Commit df to the snapshot table as one atomic version; returns the
     committed version number. ``append`` adds to the live set and rebases
@@ -970,7 +982,15 @@ def snapshot_commit(
     sidecars for the listed columns, and ``=``/``in`` predicates in
     ``snapshot_read(where=...)`` skip files the filters prove empty.
     None (default) inherits the tip's property; ``[]`` clears it
-    (existing sidecars keep pruning until their files are rewritten)."""
+    (existing sidecars keep pruning until their files are rewritten).
+
+    ``cluster_cols`` DECLARES the table's clustering spec in the
+    manifest (round-11, the Iceberg hidden-partitioning step): the
+    commit does not re-lay the data out — it records the key the
+    maintenance loop clusters on, so ``snapshot_maintain(spark, dir)``
+    and ``snapshot_compact`` need no per-call-site key and readers can
+    ask ``snapshot_cluster_report(dir)`` how healthy the DECLARED
+    layout is. Same inherit/set/clear contract as ``bloom_columns``."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"mode must be append|overwrite, got {mode!r}")
     os.makedirs(table_dir, exist_ok=True)
@@ -1048,7 +1068,8 @@ def snapshot_commit(
             groups = _child_groups(table_dir, [], new_files, created)
             rows = new_rows
         manifest = _next_manifest(
-            base, mode, groups, rows, commit_schema, txn, blooms=bloom_columns
+            base, mode, groups, rows, commit_schema, txn,
+            blooms=bloom_columns, cluster=cluster_cols,
         )
         try:
             _publish(table_dir, parent + 1, manifest)
@@ -1910,7 +1931,13 @@ def snapshot_compact(
     same transactional commit. Streaming appends land time-ordered; the
     periodic clustered compact is what restores predicate pruning on the
     QUERY key — at 100 TB this is the difference between a point lookup
-    touching one file or every file the stream ever wrote."""
+    touching one file or every file the stream ever wrote.
+
+    Round-11: the spec is TABLE METADATA. ``cluster_cols=None``
+    (default) resolves the manifest's declared ``cluster`` property —
+    a compact can never accidentally destroy a declared layout because
+    the call site forgot the key; passing a list RECORDS it as the new
+    declaration (``[]`` unclusters and clears the property)."""
     import math
 
     vs = _versions(table_dir)
@@ -1918,6 +1945,8 @@ def snapshot_compact(
         raise FileNotFoundError(f"{table_dir} has no committed snapshots")
     tip = vs[-1]
     m = _read_manifest(table_dir, tip)
+    if cluster_cols is None:
+        cluster_cols = m.get("cluster")
     if not m["files"]:
         return tip  # nothing to compact
     total = sum(f["bytes"] for f in m["files"])
@@ -1947,7 +1976,9 @@ def snapshot_compact(
     _build_blooms(spark, table_dir, rel_dir, new_files, m.get("blooms"))
     created: list[str] = []
     groups = _child_groups(table_dir, [], new_files, created)
-    manifest = _next_manifest(m, "compact", groups, new_rows, m["schema"])
+    manifest = _next_manifest(
+        m, "compact", groups, new_rows, m["schema"], cluster=cluster_cols
+    )
     try:
         _publish(table_dir, tip + 1, manifest)  # SnapshotConflict on race
     except SnapshotConflict:
@@ -1958,7 +1989,7 @@ def snapshot_compact(
 
 
 def snapshot_cluster_report(
-    table_dir: str, col: str, version: int | None = None
+    table_dir: str, col: str | None = None, version: int | None = None
 ) -> dict:
     """How well the live files are clustered on ``col`` — the "when to
     re-cluster" signal a maintenance loop reads (the OPTIMIZE-scheduling
@@ -1974,7 +2005,12 @@ def snapshot_cluster_report(
     arithmetic). Returns {files_total, files_with_stats, max_overlap,
     avg_overlap}; files lacking stats on col are counted in files_total
     but excluded from the overlap measure (they match every predicate,
-    so they degrade skipping regardless of layout)."""
+    so they degrade skipping regardless of layout).
+
+    ``col=None`` (round-11) reads the manifest's DECLARED ``cluster``
+    spec and measures its primary column — callers need not re-state
+    the key the table already declares; raises if the table declares
+    none."""
     # same expire-race retry as snapshot_read/snapshot_scan_plan: a group
     # vacuumed between manifest and group reads must re-resolve, not leak
     # FileNotFoundError into the maintenance tick (which swallows only
@@ -1992,6 +2028,14 @@ def snapshot_cluster_report(
         raise FileNotFoundError(
             f"{table_dir}: tip kept expiring during resolution"
         )
+    if col is None:
+        spec = m.get("cluster")
+        if not spec:
+            raise ValueError(
+                f"{table_dir} declares no cluster spec; pass col=... or "
+                "declare one (snapshot_commit/compact cluster_cols)"
+            )
+        col = spec[0]
     ranges = []
     for fe in entries:
         s = (fe.get("stats") or {}).get(col)
@@ -2077,7 +2121,7 @@ def snapshot_dv_report(table_dir: str, version: int | None = None) -> dict:
 def snapshot_maintain(
     spark: SparkSession,
     table_dir: str,
-    cluster_col: str,
+    cluster_col: str | None = None,
     max_avg_overlap: float = 2.0,
     target_file_bytes: int = 128 * 1024 * 1024,
     max_dv_file_frac: float = 0.2,
@@ -2097,13 +2141,32 @@ def snapshot_maintain(
       sidecar open per link; compaction materializes both away. Either
       threshold can be disabled with None.
 
-    The rewrite is one ``snapshot_compact(cluster_cols=[cluster_col])``
-    — it re-clusters AND materializes DVs in the same atomic commit, so
-    whichever signal fired, both debts clear. Returns the compact
-    commit's version or None. A SnapshotConflict from a racing append
-    propagates — the loop just runs again next tick, exactly like the
-    streaming gates' compaction discipline."""
-    report = snapshot_cluster_report(table_dir, cluster_col)
+    ``cluster_col=None`` (round-11) maintains the manifest's DECLARED
+    ``cluster`` spec — the maintenance loop needs no per-call-site key
+    once the table declares one (the Iceberg hidden-partitioning
+    direction); raises if the table declares none.
+
+    The rewrite is one clustered ``snapshot_compact`` — it re-clusters
+    AND materializes DVs in the same atomic commit, so whichever signal
+    fired, both debts clear. Returns the compact commit's version or
+    None. A SnapshotConflict from a racing append propagates — the loop
+    just runs again next tick, exactly like the streaming gates'
+    compaction discipline."""
+    if cluster_col is None:
+        vs = _versions(table_dir)
+        if not vs:
+            raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+        spec = _read_manifest_raw(table_dir, vs[-1]).get("cluster")
+        if not spec:
+            raise ValueError(
+                f"{table_dir} declares no cluster spec; pass "
+                "cluster_col=... or declare one (snapshot_commit/compact "
+                "cluster_cols)"
+            )
+        cluster_cols = list(spec)
+    else:
+        cluster_cols = [cluster_col]
+    report = snapshot_cluster_report(table_dir, cluster_cols[0])
     need_cluster = (
         report["files_with_stats"] >= 2
         and report["avg_overlap"] > max_avg_overlap
@@ -2122,7 +2185,7 @@ def snapshot_maintain(
         spark,
         table_dir,
         target_file_bytes=target_file_bytes,
-        cluster_cols=[cluster_col],
+        cluster_cols=cluster_cols,
     )
 
 

@@ -2593,6 +2593,62 @@ class TestDVChainsAndGuards:
         assert not S.snapshot_exists(t)
 
 
+class TestClusterSpecMetadata:
+    """Round-11 stretch: the clustering key is TABLE METADATA (the
+    Iceberg hidden-partitioning step) — declared once, inherited by
+    every commit, honored by compact/maintain/report without per-call
+    keys, clearable explicitly."""
+
+    def _stream_ish(self, spark, t, declare=True):
+        for c in range(4):  # time-ordered appends: every file spans k
+            S.snapshot_commit(
+                spark, t,
+                spark.createDataFrame(
+                    [(c + 4 * i, f"v{c + 4 * i}") for i in range(50)],
+                    "k long, v string",
+                ).coalesce(1),
+                cluster_cols=["k"] if declare and c == 0 else None,
+            )
+
+    def test_declared_spec_inherits_across_commits(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._stream_ish(spark, t)
+        m = S._read_manifest_raw(t, 4)
+        assert m["cluster"] == ["k"]  # rode three later commits untouched
+
+    def test_compact_and_maintain_use_declared_spec(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._stream_ish(spark, t)
+        assert S.snapshot_cluster_report(t)["avg_overlap"] > 2  # degraded
+        v = S.snapshot_maintain(spark, t)  # no key at the call site
+        assert v is not None
+        assert S.snapshot_cluster_report(t)["avg_overlap"] <= 1.5
+        m = S._read_manifest_raw(t, v)
+        assert m["cluster"] == ["k"]  # the tick preserves the declaration
+        assert S.snapshot_read(spark, t).count() == 200
+        assert S.snapshot_maintain(spark, t) is None  # healthy now
+
+    def test_undeclared_table_requires_explicit_key(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._stream_ish(spark, t, declare=False)
+        with pytest.raises(ValueError, match="cluster spec"):
+            S.snapshot_maintain(spark, t)
+        with pytest.raises(ValueError, match="cluster spec"):
+            S.snapshot_cluster_report(t)
+        # explicit key still works exactly as before
+        assert S.snapshot_maintain(spark, t, "k") is not None
+
+    def test_compact_arg_records_and_empty_clears(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._stream_ish(spark, t, declare=False)
+        v = S.snapshot_compact(spark, t, cluster_cols=["k"])
+        assert S._read_manifest_raw(t, v)["cluster"] == ["k"]
+        v2 = S.snapshot_compact(spark, t, cluster_cols=[])
+        assert "cluster" not in S._read_manifest_raw(t, v2)
+        with pytest.raises(ValueError, match="cluster spec"):
+            S.snapshot_maintain(spark, t)
+
+
 class TestDVDebtMaintenance:
     """Round-11 task 2: the maintenance tick also fires on DELETION-
     VECTOR debt (dv-file fraction / chain length), since accumulated DVs
