@@ -139,18 +139,22 @@ def _scan_table(spark: SparkSession, sf_dir: str) -> str:
     Anything invalid is wiped and rebuilt via a fresh-dir + rename swap
     so a crashed build can never be mistaken for a finished one."""
     docs = table(spark, sf_dir, "documents")
-    counts = {
-        r["lang"]: r["n"]
-        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    total = sum(counts.values())
-    n_ins = docs.filter(
+    # ONE scan fingerprints the source: per-lang counts AND the merge
+    # leg's insert-slice size (a separate filter-count job would re-scan
+    # the whole table per invocation, cached build or not)
+    ins_slice = (
         F.substring(
             F.md5(F.concat(F.lit("mi-"), F.col("doc_id").cast("string"))),
             1, 1,
         )
         == "0"
-    ).count()
+    ).cast("long")
+    rows = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(ins_slice).alias("ins")
+    ).collect()
+    counts = {r["lang"]: r["n"] for r in rows}
+    total = sum(counts.values())
+    n_ins = sum(r["ins"] for r in rows)
     want_rows = (
         total - counts.get(_DEL_LANG, 0) - counts.get(_DV_LANG, 0) + n_ins
     )

@@ -901,6 +901,24 @@ def catalog_row_changes(
             prev_tables = commit["tables"]
             continue
         commits_walked += 1
+        # a commit that DROPS a followed table ends the feed's ability
+        # to deliver that table's implied deletions — even when the
+        # table received no row changes beforehand (the changed-then-
+        # dropped case is caught below at end-schema alignment; this
+        # closes the unchanged-then-dropped one, which would otherwise
+        # vanish from the feed silently)
+        gone = [
+            n
+            for n in prev_tables
+            if n not in commit["tables"]
+            and (tables is None or n in tables)
+        ]
+        if gone:
+            raise ValueError(
+                f"catalog {catalog_dir}: tables {sorted(gone)} dropped at "
+                f"v{v} — their rows' removal cannot be emitted as a row "
+                "feed; end the CDF window at a commit before the drop"
+            )
         for name, m in commit["tables"].items():
             if tables is not None and name not in tables:
                 continue  # caller follows a subset: skip foreign churn

@@ -1015,9 +1015,12 @@ def snapshot_commit(
         else None
     )
     eff_blooms = bloom_columns if bloom_columns is not None else tip_blooms
+    # canonicalize (and thereby validate: reserved __dv_* names fail
+    # here) BEFORE the data lands — a rejected schema must cost nothing
+    # and leave nothing behind
+    schema_json = _canon_schema_json(df.schema)
     new_files, new_rows, rel_dir = _write_data_files(df, table_dir)
     _build_blooms(spark, table_dir, rel_dir, new_files, eff_blooms)
-    schema_json = _canon_schema_json(df.schema)
     created: list[str] = []  # group files this attempt wrote
     for _ in range(max_retries):
         vs = _versions(table_dir)
@@ -1606,11 +1609,13 @@ def snapshot_rmw(
         if _already(m):
             return tip  # replayed txn: the fold already happened
         out = transform(snapshot_read(spark, table_dir, version=tip))
+        # validate (reserved __dv_* names fail here) before bytes land
+        out_schema_json = _canon_schema_json(out.schema)
         new_files, new_rows, rel_dir = _write_data_files(out, table_dir)
         _build_blooms(spark, table_dir, rel_dir, new_files, m.get("blooms"))
         groups = _child_groups(table_dir, [], new_files, created)
         manifest = _next_manifest(
-            m, mode, groups, new_rows, _canon_schema_json(out.schema), txn
+            m, mode, groups, new_rows, out_schema_json, txn
         )
         try:
             _publish(table_dir, tip + 1, manifest)
@@ -1688,46 +1693,45 @@ def snapshot_apply_keyed(
         plan = {}
     if key not in source.columns:
         raise ValueError(f"source has no key column {key!r}")
-    # ONE job harvests the key set AND detects overflow: limit(max+1)
+
+    def _rewrite_fallback() -> int:
+        plan["strategy"] = "rewrite"
+        return snapshot_rmw(
+            spark,
+            table_dir,
+            lambda tip_df: transform(tip_df, source),
+            mode=mode,
+            max_retries=max_retries,
+            txn=txn,
+        )
+
+    # ONE job harvests the key set AND detects overflow: limit(max+2)
     # bounds the collect structurally — the driver never holds more than
-    # max_keys+1 values no matter the batch width
-    sample = source.select(key).distinct().limit(max_keys + 1).collect()
-    plan["n_source_keys"] = sum(1 for r in sample if r[0] is not None)
+    # max_keys+2 values no matter the batch width. +2, not +1: NULL is
+    # at most one distinct value and does not count against the budget
+    # (null keys prune nothing), so the sample must have room for
+    # max_keys non-null keys AND a null AND one overflow witness.
+    sample = source.select(key).distinct().limit(max_keys + 2).collect()
+    keys = sorted(r[0] for r in sample if r[0] is not None)
+    plan["n_source_keys"] = len(keys)
     if not sample:
         plan["strategy"] = "noop"
         vs = _versions(table_dir)
         if not vs:
             raise FileNotFoundError(f"{table_dir} has no committed snapshots")
         return vs[-1]
-    if len(sample) > max_keys:
+    if len(keys) > max_keys:
         # wide batch: most files are candidates anyway — full rewrite,
         # zero driver materialization of the key set
-        plan["strategy"] = "rewrite"
-        plan["n_source_keys"] = None  # truncated at max_keys + 1
-        return snapshot_rmw(
-            spark,
-            table_dir,
-            lambda tip_df: transform(tip_df, source),
-            mode=mode,
-            max_retries=max_retries,
-            txn=txn,
-        )
+        plan["n_source_keys"] = None  # truncated at the sample bound
+        return _rewrite_fallback()
     plan["strategy"] = "pruned"
-    keys = sorted(r[0] for r in sample if r[0] is not None)
     try:
         checked = _check_where([(key, "in", keys)]) if keys else []
     except ValueError:
         # a key type the pruning predicate grammar cannot carry
         # (date/decimal/binary): correctness over pruning — full rewrite
-        plan["strategy"] = "rewrite"
-        return snapshot_rmw(
-            spark,
-            table_dir,
-            lambda tip_df: transform(tip_df, source),
-            mode=mode,
-            max_retries=max_retries,
-            txn=txn,
-        )
+        return _rewrite_fallback()
 
     def _already(m: dict) -> bool:
         return txn is not None and txn[1] <= m.get("txns", {}).get(txn[0], -1)
@@ -1915,6 +1919,7 @@ def snapshot_compact(
     table_dir: str,
     target_file_bytes: int = 128 * 1024 * 1024,
     cluster_cols: list[str] | None = None,
+    declare: bool = True,
 ) -> int:
     """Transactional small-file compaction: read the tip snapshot, rewrite
     it into ~target-sized files, and commit the rewrite AGAINST THAT TIP —
@@ -1937,7 +1942,11 @@ def snapshot_compact(
     (default) resolves the manifest's declared ``cluster`` property —
     a compact can never accidentally destroy a declared layout because
     the call site forgot the key; passing a list RECORDS it as the new
-    declaration (``[]`` unclusters and clears the property)."""
+    declaration (``[]`` unclusters and clears the property) unless
+    ``declare=False``, which clusters this rewrite physically but
+    leaves the declared metadata untouched (what a health tick given an
+    explicit ad-hoc key must do — recording is an intentional act, not
+    a side effect)."""
     import math
 
     vs = _versions(table_dir)
@@ -1977,7 +1986,8 @@ def snapshot_compact(
     created: list[str] = []
     groups = _child_groups(table_dir, [], new_files, created)
     manifest = _next_manifest(
-        m, "compact", groups, new_rows, m["schema"], cluster=cluster_cols
+        m, "compact", groups, new_rows, m["schema"],
+        cluster=cluster_cols if declare else None,
     )
     try:
         _publish(table_dir, tip + 1, manifest)  # SnapshotConflict on race
@@ -2152,11 +2162,11 @@ def snapshot_maintain(
     None. A SnapshotConflict from a racing append propagates — the loop
     just runs again next tick, exactly like the streaming gates'
     compaction discipline."""
+    vs = _versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+    spec = _read_manifest_raw(table_dir, vs[-1]).get("cluster")
     if cluster_col is None:
-        vs = _versions(table_dir)
-        if not vs:
-            raise FileNotFoundError(f"{table_dir} has no committed snapshots")
-        spec = _read_manifest_raw(table_dir, vs[-1]).get("cluster")
         if not spec:
             raise ValueError(
                 f"{table_dir} declares no cluster spec; pass "
@@ -2165,6 +2175,17 @@ def snapshot_maintain(
             )
         cluster_cols = list(spec)
     else:
+        # a health tick must never REWRITE the declaration as a side
+        # effect: an explicit key conflicting with a declared spec is a
+        # misconfiguration, surfaced loudly; on an undeclared table the
+        # compact clusters physically without implanting metadata
+        if spec and list(spec) != [cluster_col]:
+            raise ValueError(
+                f"{table_dir} declares cluster={list(spec)} but the "
+                f"maintenance call names {cluster_col!r}; omit "
+                "cluster_col to maintain the declaration, or re-declare "
+                "via snapshot_compact(cluster_cols=...)"
+            )
         cluster_cols = [cluster_col]
     report = snapshot_cluster_report(table_dir, cluster_cols[0])
     need_cluster = (
@@ -2186,6 +2207,7 @@ def snapshot_maintain(
         table_dir,
         target_file_bytes=target_file_bytes,
         cluster_cols=cluster_cols,
+        declare=bool(spec),  # never implant a declaration from a tick
     )
 
 
@@ -2939,6 +2961,15 @@ def _dv_delta_rows(
     pos = new_pos.select(
         F.col("path").alias("__dv_path"), F.col("pos").alias("__dv_pos")
     )
+    # the delta is one commit's positions — batch-sized in the common
+    # case, but a single legal commit can record up to dv_max_positions
+    # of them, so the semi-join obeys the same broadcast ceiling as
+    # every other DV probe (manifest-recorded counts, no extra job)
+    n_delta = sum(
+        new.get("n", 0) - (old or {}).get("n", 0) for _fe, old, new in changed
+    )
+    if n_delta <= DV_BROADCAST_MAX_POSITIONS:
+        pos = F.broadcast(pos)
     data = spark.read.schema(schema).parquet(
         *[os.path.join(table_dir, fe["path"]) for fe, _o, _n in changed]
     ).select(
@@ -2947,7 +2978,7 @@ def _dv_delta_rows(
         F.col("_metadata.row_index").alias("__dv_pos"),
     )
     return data.join(
-        F.broadcast(pos), ["__dv_path", "__dv_pos"], "left_semi"
+        pos, ["__dv_path", "__dv_pos"], "left_semi"
     ).drop("__dv_path", "__dv_pos")
 
 

@@ -1070,9 +1070,19 @@ class TestCatalogRowChanges:
         C._publish_commit(cat_dir, tip + 1, commit2)
         with pytest.raises(ValueError, match="absent from the end commit"):
             C.catalog_row_changes(spark, cat_dir, cursor)
+        # the UNCHANGED-then-dropped case must fail loudly too (review
+        # fix): a window where frames received no commits before the
+        # drop would otherwise never hit the end-schema alignment check
+        with pytest.raises(ValueError, match="dropped at"):
+            C.catalog_row_changes(spark, cat_dir, tip)
         # a window that ends BEFORE the drop still reads clean
         cdf = C.catalog_row_changes(spark, cat_dir, cursor, version=tip)
         assert "frames" in cdf
+        # a consumer NOT following the dropped table is unaffected
+        assert (
+            C.catalog_row_changes(spark, cat_dir, tip, tables=["data_set"])
+            == {}
+        )
 
 
 class TestCatalogPropagateDeletes:

@@ -2635,8 +2635,26 @@ class TestClusterSpecMetadata:
             S.snapshot_maintain(spark, t)
         with pytest.raises(ValueError, match="cluster spec"):
             S.snapshot_cluster_report(t)
-        # explicit key still works exactly as before
-        assert S.snapshot_maintain(spark, t, "k") is not None
+        # explicit key still works exactly as before — and the tick does
+        # NOT implant a declaration as a side effect (review fix)
+        v = S.snapshot_maintain(spark, t, "k")
+        assert v is not None
+        assert "cluster" not in S._read_manifest_raw(t, v)
+
+    def test_explicit_key_conflicting_with_declaration_raises(
+        self, spark, tmp_path
+    ):
+        """A health tick must never silently REWRITE the declared spec
+        (review fix): a conflicting explicit key is a misconfiguration,
+        surfaced loudly."""
+        t = str(tmp_path / "t")
+        self._stream_ish(spark, t)  # declares ["k"]
+        with pytest.raises(ValueError, match="declares cluster"):
+            S.snapshot_maintain(spark, t, "v")
+        # naming the declared key is fine and preserves the declaration
+        v = S.snapshot_maintain(spark, t, "k")
+        assert v is not None
+        assert S._read_manifest_raw(t, v)["cluster"] == ["k"]
 
     def test_compact_arg_records_and_empty_clears(self, spark, tmp_path):
         t = str(tmp_path / "t")

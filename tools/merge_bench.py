@@ -4,7 +4,7 @@ tools/MERGE_BENCH.json.
 Three claims, measured rather than asserted in prose:
 
 1. **A narrow upsert rewrites candidate files, not the table.** On a
-   range-clustered 5M-row / ~100-file table, a 500-key batch merged with
+   range-clustered 20M-row / 400-file table, a 500-key batch merged with
    strategy="pruned" rewrites a handful of files and carries the rest by
    reference; strategy="rewrite" (the pre-round-11 path) rewrites every
    file. files_rewritten / bytes written / wall are recorded for both.
@@ -87,7 +87,9 @@ def main() -> None:
             prev = S._read_manifest_raw(t, 1)
             res[strat] = {
                 "merge_s": el,
-                "files_total": 100,
+                "files_total": len(prev["files"])
+                if prev.get("files")
+                else sum(g["n_files"] for g in prev["groups"]),
                 "files_written": len(S._added_entries(t, prev, m)),
                 # entries of v1 gone at v2 = candidate files replaced
                 "files_replaced": len(S._added_entries(t, m, prev)),
