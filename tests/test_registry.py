@@ -43,42 +43,43 @@ def test_query_plans(spark, name):
     assert df.schema is not None and len(df.columns) > 0
 
 
-R10_IMPL_CHANGED = [
-    # round-10 plan (VERDICT r9 item 6): queries whose implementation
-    # changed this round and so need a CURRENT driver record
-    "x_snapshot_scan",  # five legs now: DV delete + UPDATE under the oracle
-    "x_triangles",      # exact dst-side wedge-volume measurement (ADVICE)
+R11_IMPL_CHANGED = [
+    # round-11 plan (VERDICT r10 item 5): queries new or whose
+    # implementation changed this round and so need a CURRENT record
+    "x_catalog_scan",   # new: atomic catalog reads under the oracle
+    "x_snapshot_scan",  # six legs now: file-pruned MERGE under the oracle
+    # merge-family doubles the verdict named (snapshot_merge's execution
+    # strategy changed; these share the merge semantics)
+    "x_merge_upsert", "x_scd2_history", "x_cdc_apply",
 ]
 
-# stalest driver records, ascending: the full last-green-r6 block the
-# r9 verdict named (25 queries, then at positions 51-75) plus the first
-# 23 of the last-green-r7 block
-R10_STALE = [
-    "a_sum_avg", "f_not_exists", "j_outer_count", "o_topk",
-    "w_dense_rank", "w_range_frame", "x_ann_eval", "x_bm25",
-    "x_cooccur_pmi", "x_funnel", "x_histogram", "x_interp_linear",
-    "x_inverted_index", "x_length_batches", "x_novelty",
-    "x_pipeline_audit", "x_quality_norm", "x_retention",
-    "x_retrieval_batch", "x_retrieval_metrics", "x_rolling_zscore",
-    "x_semdedup_eval", "x_shard_shuffle", "x_tfidf", "x_token_ids",
-    "a_approx_sketch", "j_range", "j_semi", "o_natural_sort", "o_sort",
-    "s_except", "st_anomaly", "st_distinct_hll", "st_join", "w_lag_lead",
-    "x_ann_pq", "x_audio_dedup", "x_dsir_resample", "x_dsir_select",
-    "x_embed_pca", "x_embed_quantize", "x_fuzzy_join", "x_gapfill",
-    "x_hard_negatives", "x_heavy_hitters", "x_lang_id", "x_length_trim",
-    "x_mad_outlier",
+# stalest driver records, ascending: the last-green-r7 tail (10 names)
+# plus the first 35 of the last-green-r8 block
+R11_STALE = [
+    "x_pagerank", "x_phash_dedup", "x_pq_quantize", "x_quality_filter",
+    "x_rebalance", "x_sample_weighted", "x_scene_changes",
+    "x_split_leakage", "x_substring_dedup", "x_unigram_logprob",
+    "a_cube", "a_distinct", "a_pivot", "f_daterange", "f_dates",
+    "f_equality", "f_format", "f_inlist", "f_json_multi", "f_path_ops",
+    "f_sha2", "f_substring", "f_validate_id", "j_self_parent",
+    "j_two_way", "o_limit", "s_intersect", "s_union", "st_heavy_hitters",
+    "st_quantiles", "st_sliding", "st_theta_overlap", "w_topk_group",
+    "x_ann_ivfpq", "x_ann_lsh", "x_chunk_docs", "x_containment",
+    "x_decontaminate", "x_dedup_cluster", "x_dedup_compact",
+    "x_dedup_embed", "x_dedup_eval", "x_dedup_jaccard", "x_dedup_retain",
+    "x_dedup_simhash",
 ]
 
 
 def test_category_coverage_inside_driver_window():
     """The driver's correctness harness checks only the FIRST ~50
-    registered queries; the round-10 rotation (registry.PRIORITY) must
-    keep (a) every impl-changed query inside that window so it gets a
-    current CORRECTNESS row and (b) the stalest-record queries.
+    registered queries; the round-11 rotation (registry.PRIORITY) must
+    keep (a) every new/impl-changed query inside that window so it gets
+    a current CORRECTNESS row and (b) the stalest-record queries.
     Everything displaced to 51+ holds a green driver row on code
     unchanged since it was recorded."""
     window = list(registry.ordered_queries())[:50]
-    for name in R10_IMPL_CHANGED + R10_STALE:
+    for name in R11_IMPL_CHANGED + R11_STALE:
         assert name in window, f"{name} fell outside the driver's 50-query window"
     assert len(window) == len(set(window)) == 50
 
