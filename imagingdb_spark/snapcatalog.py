@@ -452,6 +452,7 @@ def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
     live_files: dict[str, set[str]] = {}
     live_sidecars: dict[str, set[str]] = {}
     live_dvs: dict[str, set[str]] = {}
+    live_eqs: dict[str, set[str]] = {}
     for v in catalog_versions(catalog_dir):
         try:
             commit = _read_commit(catalog_dir, v)
@@ -463,6 +464,7 @@ def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
             fset = live_files.setdefault(name, set())
             scset = live_sidecars.setdefault(name, set())
             dvset = live_dvs.setdefault(name, set())
+            eqset = live_eqs.setdefault(name, set())
             if m.get("groups") is not None:
                 for g in m["groups"]:
                     gset.add(g["name"])
@@ -472,6 +474,8 @@ def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
                         scset.add(fe["bloom"]["sc"])
                     if fe.get("dv"):
                         dvset.update(S._dv_scs(fe["dv"]))
+                    if fe.get("eq"):
+                        eqset.update(S._eq_scs(fe["eq"]))
             else:  # legacy flat manifest shape (not produced here)
                 for fe in m.get("files", []):
                     fset.add(fe["path"])
@@ -529,6 +533,17 @@ def catalog_vacuum(spark: SparkSession, catalog_dir: str) -> list[str]:
                 if rel not in keep_dv:
                     shutil.rmtree(
                         os.path.join(dvroot, n), ignore_errors=True
+                    )
+                    removed.append(os.path.join(name, rel))
+        # equality-delete sidecar dirs: same set-difference rule
+        eqroot = os.path.join(tdir, S.EQDELETES_DIR)
+        if os.path.isdir(eqroot):
+            keep_eq = live_eqs.get(name, set())
+            for n in os.listdir(eqroot):
+                rel = os.path.join(S.EQDELETES_DIR, n)
+                if rel not in keep_eq:
+                    shutil.rmtree(
+                        os.path.join(eqroot, n), ignore_errors=True
                     )
                     removed.append(os.path.join(name, rel))
         # bloom sidecar dirs: same set-difference rule as the per-table

@@ -87,6 +87,10 @@ DATA_DIR = "data"
 # deletes / Delta deletion vectors, public design): parquet dirs of
 # (path, pos) rows, one dir per delete commit, referenced by file entries
 DELETES_DIR = "_deletes"
+# equality-delete sidecars (Iceberg v2 equality deletes, public design):
+# parquet dirs of one-column (key) rows, one dir per eqput commit,
+# referenced by the file entries the commit's key set could touch
+EQDELETES_DIR = "_eqdeletes"
 _FMT = "v{:08d}.json"
 # Ref-list ceiling before geometric coalescing kicks in. 32 keeps the
 # per-commit manifest at a few KB while the merge schedule bounds total
@@ -841,6 +845,74 @@ def _dv_union(spark: SparkSession, table_dir: str, pairs: list) -> "DataFrame":
     return pos
 
 
+def _eq_union(spark: SparkSession, table_dir: str, pairs: list) -> "DataFrame":
+    """One (path, key) frame for [(rel_path, sidecar_rel_dir)] equality-
+    delete refs: each sidecar read once, its delete keys expanded to the
+    referencing paths (a sidecar is commit-scoped and shared by every
+    candidate entry of its commit). Expanded size = Σ_entry ref.n by
+    construction — what the broadcast ceiling is checked against."""
+    from pyspark.sql import functions as F
+
+    by_sc: dict[str, list[str]] = {}
+    for p, sc in pairs:
+        by_sc.setdefault(sc, []).append(p)
+    out = None
+    for sc, ps in sorted(by_sc.items()):
+        keys = spark.read.parquet(os.path.join(table_dir, sc))
+        paths = spark.createDataFrame(
+            [(p,) for p in sorted(set(ps))], "path string"
+        )
+        d = keys.crossJoin(paths).select("path", "key")
+        out = d if out is None else out.unionByName(d)
+    return out
+
+
+def _eq_scs(ref: dict) -> list[str]:
+    """Sidecar chain of one equality-delete ref (same shape rule as
+    ``_dv_scs``: str for a single element, list for a chain)."""
+    sc = ref["sc"]
+    return list(sc) if isinstance(sc, list) else [sc]
+
+
+def _apply_eq_refs(
+    spark: SparkSession,
+    table_dir: str,
+    tagged: DataFrame,
+    entries: list[dict],
+) -> DataFrame:
+    """Anti-apply equality-delete refs to an already-``__dv_path``-tagged
+    scan of ``entries``: per ref column, rows whose (path, key) pair
+    appears in the union of the referencing entries' sidecar chains are
+    dead. NULL keys never match an equality delete (SQL join semantics —
+    delete keys are non-null by construction). Same broadcast ceiling as
+    the positional probe."""
+    from pyspark.sql import functions as F
+
+    by_col: dict[str, list[dict]] = {}
+    for fe in entries:
+        if fe.get("eq"):
+            by_col.setdefault(fe["eq"]["col"], []).append(fe)
+    for col, fes in sorted(by_col.items()):
+        pairs = [
+            (fe["path"], sc) for fe in fes for sc in _eq_scs(fe["eq"])
+        ]
+        eq = (
+            _eq_union(spark, table_dir, pairs)
+            .withColumnRenamed("path", "__eq_path")
+            .withColumnRenamed("key", "__eq_key")
+        )
+        n = sum(fe["eq"].get("n", 0) for fe in fes)
+        if n <= DV_BROADCAST_MAX_POSITIONS:
+            eq = F.broadcast(eq)
+        tagged = tagged.join(
+            eq,
+            (tagged["__dv_path"] == eq["__eq_path"])
+            & (tagged[col] == eq["__eq_key"]),
+            "left_anti",
+        )
+    return tagged
+
+
 def _rel_path_col():
     """The manifest-relative path (data/<commit>/<name>) of each row's
     source file, derived from the parquet source's _metadata.file_path —
@@ -877,38 +949,46 @@ def _read_entries(
     broadcast."""
     if not entries:
         return spark.createDataFrame([], schema)
-    plain = [fe for fe in entries if not fe.get("dv")]
-    dved = [fe for fe in entries if fe.get("dv")]
+    plain = [
+        fe for fe in entries if not fe.get("dv") and not fe.get("eq")
+    ]
+    refd = [fe for fe in entries if fe.get("dv") or fe.get("eq")]
 
     def _scan(fes: list[dict]) -> DataFrame:
         return spark.read.schema(schema).parquet(
             *[os.path.join(table_dir, fe["path"]) for fe in fes]
         )
 
-    if not dved:
+    if not refd:
         return _scan(plain)
     from pyspark.sql import functions as F
 
-    pos = (
-        _dv_union(
-            spark,
-            table_dir,
-            [(fe["path"], sc) for fe in dved for sc in _dv_scs(fe["dv"])],
-        )
-        .withColumnRenamed("path", "__dv_path")
-        .withColumnRenamed("pos", "__dv_pos")
-    )
-    n_pos = sum(fe["dv"].get("n", 0) for fe in dved)
-    if n_pos <= DV_BROADCAST_MAX_POSITIONS:
-        pos = F.broadcast(pos)
-    keyed = _scan(dved).select(
+    tagged = _scan(refd).select(
         "*",
         _rel_path_col().alias("__dv_path"),
         F.col("_metadata.row_index").alias("__dv_pos"),
     )
-    live = keyed.join(
-        pos, ["__dv_path", "__dv_pos"], "left_anti"
-    ).drop("__dv_path", "__dv_pos")
+    dved = [fe for fe in refd if fe.get("dv")]
+    if dved:
+        pos = (
+            _dv_union(
+                spark,
+                table_dir,
+                [
+                    (fe["path"], sc)
+                    for fe in dved
+                    for sc in _dv_scs(fe["dv"])
+                ],
+            )
+            .withColumnRenamed("path", "__dv_path")
+            .withColumnRenamed("pos", "__dv_pos")
+        )
+        n_pos = sum(fe["dv"].get("n", 0) for fe in dved)
+        if n_pos <= DV_BROADCAST_MAX_POSITIONS:
+            pos = F.broadcast(pos)
+        tagged = tagged.join(pos, ["__dv_path", "__dv_pos"], "left_anti")
+    tagged = _apply_eq_refs(spark, table_dir, tagged, refd)
+    live = tagged.drop("__dv_path", "__dv_pos")
     return live if not plain else _scan(plain).unionByName(live)
 
 
@@ -1483,6 +1563,7 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str) -> list[str]:
     live_groups: set[str] = set()
     live_sidecars: set[str] = set()
     live_dvs: set[str] = set()
+    live_eqs: set[str] = set()
     for v in _versions(table_dir):
         m = _read_manifest(table_dir, v)  # resolved: needs every path
         live.update(f["path"] for f in m["files"])
@@ -1493,6 +1574,9 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str) -> list[str]:
         )
         live_dvs.update(
             sc for f in m["files"] if f.get("dv") for sc in _dv_scs(f["dv"])
+        )
+        live_eqs.update(
+            sc for f in m["files"] if f.get("eq") for sc in _eq_scs(f["eq"])
         )
     deleted = []
     droot = os.path.join(table_dir, DATA_DIR)
@@ -1549,6 +1633,14 @@ def snapshot_vacuum(spark: SparkSession, table_dir: str) -> list[str]:
             rel = os.path.join(DELETES_DIR, n)
             if rel not in live_dvs:
                 shutil.rmtree(os.path.join(dvroot, n), ignore_errors=True)
+                deleted.append(rel)
+    # equality-delete sidecar dirs: same set-difference rule
+    eqroot = os.path.join(table_dir, EQDELETES_DIR)
+    if os.path.isdir(eqroot):
+        for n in sorted(os.listdir(eqroot)):
+            rel = os.path.join(EQDELETES_DIR, n)
+            if rel not in live_eqs:
+                shutil.rmtree(os.path.join(eqroot, n), ignore_errors=True)
                 deleted.append(rel)
     # bloom sidecar dirs no retained file entry references (aborted
     # commits' debris, expired versions' indexes) — same set-difference
@@ -1778,7 +1870,11 @@ def snapshot_apply_keyed(
         cand_footers = _footers(
             [os.path.join(table_dir, fe["path"]) for fe in cand]
         )
-        if any(n is None for _s, n in cand_footers):
+        if any(n is None for _s, n in cand_footers) or any(
+            fe.get("eq") for fe in cand
+        ):
+            # unreadable footer OR equality-delete refs (eq-dead rows
+            # are not per-file recorded): authoritative slow count
             cand_live = _read_entries(spark, table_dir, cand, schema).count()
         else:
             cand_live = sum(
@@ -1911,6 +2007,301 @@ def snapshot_merge(
         max_keys=max_keys,
         txn=txn,
         plan=plan,
+    )
+
+
+def _write_eq_sidecar(
+    spark: SparkSession,
+    table_dir: str,
+    keys: DataFrame,
+    n_keys: int,
+) -> str:
+    """Land a one-column (key) frame as one immutable equality-delete
+    sidecar dir and return its relative path — the eq twin of
+    ``_write_dv_sidecar``, same one-file fast path / spread-past-cap
+    write discipline, same crash-debris contract."""
+    rel = os.path.join(EQDELETES_DIR, uuid.uuid4().hex)
+    n_files = max(1, -(-n_keys // DV_SIDECAR_ROWS_PER_FILE))
+    out = keys.toDF("key")
+    out = out.coalesce(1) if n_files == 1 else out.repartition(n_files)
+    out.write.mode("overwrite").parquet(os.path.join(table_dir, rel))
+    return rel
+
+
+def snapshot_upsert_eq(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key: str,
+    deletes: DataFrame | None = None,
+    max_retries: int = 5,
+    max_keys: int = 100_000,
+    txn: tuple[str, int] | None = None,
+    plan: dict | None = None,
+) -> int:
+    """Row-replacing upsert via EQUALITY-DELETE sidecars (round-11
+    stretch; the Iceberg-v2 equality-delete shape, public design):
+    every table row whose ``key`` appears in ``source`` (or in the
+    optional ``deletes`` key frame) is superseded, and ``source``'s
+    rows land as fresh files — but NO standing data file is rewritten.
+    The commit writes (a) the batch as new data files, (b) one
+    ``_eqdeletes/`` sidecar holding the batch's key set, and (c)
+    republishes the CANDIDATE entries (same stats→footer→bloom prune as
+    every keyed mutation) with an ``eq`` ref appended to their chain;
+    readers anti-join those entries' rows on the key at scan time, and
+    compaction / the maintenance tick materializes refs away.
+
+    This is the streaming-upsert write shape the keyed APPLY cannot
+    reach: ``snapshot_apply_keyed`` rewrites candidate files per batch
+    (read + write of their bytes); this path's DATA WRITE is O(batch)
+    at any corpus size — the trigger cost a CDC sink wants. The honest
+    residual: manifest row counts stay EXACT (compaction's
+    row-preservation invariant depends on it), which costs ONE
+    key-column-pruned counting scan over the candidates per commit —
+    read-only, columnar, no shuffle of data rows.
+
+    Semantics note: this is ROW replacement (the CDC/LWW shape —
+    ``cdc_apply``'s update semantics), not ``merge_upsert``'s
+    column-level coalesce; a NULL attribute in ``source`` lands as
+    NULL. NULL-key source rows are pure inserts (NULL matches no stored
+    key). Duplicate source keys: all duplicates land (dedupe upstream —
+    the CDC sink reduces to the max-seq winner per key first).
+
+    Same commit discipline as every keyed mutation: pinned-tip publish
+    (a racing commit forces re-resolve), crash leaves the pre-upsert
+    version exactly, ``txn`` replays are no-ops, time travel +
+    expire/vacuum unchanged. Batches wider than ``max_keys`` distinct
+    keys fall back to the full-rewrite replace under ``snapshot_rmw``.
+    Returns the committed version; ``plan`` collects the audit."""
+    from pyspark.sql import functions as F
+
+    if plan is None:
+        plan = {}
+    if key not in source.columns:
+        raise ValueError(f"source has no key column {key!r}")
+    if deletes is not None and len(deletes.columns) != 1:
+        raise ValueError("deletes must be a one-column key frame")
+    vs0 = _versions(table_dir)
+    if vs0:
+        m0 = _read_manifest_raw(table_dir, vs0[-1])
+        table_cols = {f["name"] for f in json.loads(m0["schema"])["fields"]}
+        if set(source.columns) != table_cols:
+            raise ValueError(
+                f"upsert source columns {sorted(source.columns)} != "
+                f"table columns {sorted(table_cols)}"
+            )
+    key_src = source.select(F.col(key).alias("key"))
+    if deletes is not None:
+        key_src = key_src.unionByName(
+            deletes.toDF("key").select(F.col("key").cast(key_src.schema[0].dataType))
+        )
+    sample = key_src.distinct().limit(max_keys + 2).collect()
+    keys = sorted(r[0] for r in sample if r[0] is not None)
+    plan["n_keys"] = len(keys)
+    if not sample:
+        plan["strategy"] = "noop"
+        if not vs0:
+            raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+        return vs0[-1]
+
+    def _replace(tip_df: DataFrame) -> DataFrame:
+        kf = key_src.distinct().withColumnRenamed("key", "__del_key")
+        survivors = tip_df.join(
+            kf, tip_df[key] == F.col("__del_key"), "left_anti"
+        )
+        return survivors.unionByName(source)
+
+    if len(keys) > max_keys:
+        plan["strategy"] = "rewrite"
+        plan["n_keys"] = None  # truncated at the sample bound
+        return snapshot_rmw(
+            spark, table_dir, _replace, mode="eqput",
+            max_retries=max_retries, txn=txn,
+        )
+    plan["strategy"] = "eq"
+    try:
+        checked = _check_where([(key, "in", keys)]) if keys else []
+    except ValueError:
+        plan["strategy"] = "rewrite"
+        return snapshot_rmw(
+            spark, table_dir, _replace, mode="eqput",
+            max_retries=max_retries, txn=txn,
+        )
+
+    def _already(m: dict) -> bool:
+        return txn is not None and txn[1] <= m.get("txns", {}).get(txn[0], -1)
+
+    keys_df = (
+        spark.createDataFrame([(k,) for k in keys], ["__k"]) if keys else None
+    )
+    created: list[str] = []
+    for _ in range(max_retries):
+        vs = _versions(table_dir)
+        if not vs:
+            raise FileNotFoundError(f"{table_dir} has no committed snapshots")
+        tip = vs[-1]
+        m = _read_manifest_raw(table_dir, tip)
+        if "groups" not in m:
+            m["groups"] = None
+        if _already(m):
+            return tip
+        schema = StructType.fromJson(json.loads(m["schema"]))
+        if checked:
+            ref_groups, keep, cand, audit = _delete_candidates(
+                table_dir, m, checked
+            )
+        else:
+            if m["groups"] is None:
+                ref_groups = []
+                keep = list(
+                    _read_manifest(table_dir, m["version"])["files"]
+                    if "files" not in m
+                    else m["files"]
+                )
+            else:
+                ref_groups, keep = list(m["groups"]), []
+            cand = []
+            audit = {
+                "files_total": None, "files_rewritten": 0,
+                "files_kept": len(keep), "groups_kept_by_ref": None,
+                "files_bloom_cleared": 0,
+            }
+        # the one standing read: per-candidate-file live/matched counts,
+        # key column only, through every prior dv/eq ref — what keeps
+        # the manifest row count exact and finds fully-dead entries
+        cnt: dict[str, tuple[int, int]] = {}
+        if cand:
+            need = {key} | {
+                fe["eq"]["col"] for fe in cand if fe.get("eq")
+            }
+            tagged = spark.read.schema(schema).parquet(
+                *[os.path.join(table_dir, fe["path"]) for fe in cand]
+            ).select(
+                *[F.col(c) for c in sorted(need)],
+                _rel_path_col().alias("__dv_path"),
+                F.col("_metadata.row_index").alias("__dv_pos"),
+            )
+            dved = [fe for fe in cand if fe.get("dv")]
+            if dved:
+                pos = (
+                    _dv_union(
+                        spark, table_dir,
+                        [
+                            (fe["path"], sc)
+                            for fe in dved
+                            for sc in _dv_scs(fe["dv"])
+                        ],
+                    )
+                    .withColumnRenamed("path", "__dv_path")
+                    .withColumnRenamed("pos", "__dv_pos")
+                )
+                if sum(
+                    fe["dv"].get("n", 0) for fe in dved
+                ) <= DV_BROADCAST_MAX_POSITIONS:
+                    pos = F.broadcast(pos)
+                tagged = tagged.join(
+                    pos, ["__dv_path", "__dv_pos"], "left_anti"
+                )
+            tagged = _apply_eq_refs(spark, table_dir, tagged, cand)
+            hit = tagged.join(
+                F.broadcast(keys_df),
+                tagged[key] == F.col("__k"),
+                "left",
+            )
+            rows_cnt = (
+                hit.groupBy("__dv_path")
+                .agg(
+                    F.count(F.lit(1)).alias("live"),
+                    F.count("__k").alias("matched"),
+                )
+                .collect()
+            )
+            cnt = {r["__dv_path"]: (r["live"], r["matched"]) for r in rows_cnt}
+        rows_matched = sum(v[1] for v in cnt.values())
+        # batch lands as fresh files (column order realigned)
+        new_files, new_rows, rel_dir = _write_data_files(
+            source.select(*schema.fieldNames()), table_dir
+        )
+        nonempty = [
+            fe
+            for fe, (_s, n) in zip(
+                new_files,
+                _footers(
+                    [os.path.join(table_dir, fe["path"]) for fe in new_files]
+                ),
+            )
+            if n != 0
+        ]
+        if rows_matched == 0 and not nonempty:
+            # nothing deleted, nothing inserted: publish nothing
+            shutil.rmtree(
+                os.path.join(table_dir, rel_dir), ignore_errors=True
+            )
+            plan.update(audit)
+            plan.update(rows_replaced=0, files_eq=0, files_dropped=0)
+            return tip
+        _build_blooms(spark, table_dir, rel_dir, nonempty, m.get("blooms"))
+        eq_rel = None
+        new_cand: list[dict] = []
+        files_eq = 0
+        dropped = 0
+        for fe in cand:
+            live, matched = cnt.get(fe["path"], (0, 0))
+            if matched == 0:
+                new_cand.append(fe)  # candidate but no physical hit
+                continue
+            if matched >= live:
+                dropped += 1  # every live row superseded
+                continue
+            if eq_rel is None:
+                eq_rel = _write_eq_sidecar(
+                    spark, table_dir, keys_df, len(keys)
+                )
+            old = fe.get("eq")
+            chain = (_eq_scs(old) if old else []) + [eq_rel]
+            fe2 = dict(fe)
+            fe2["eq"] = {
+                "sc": chain[0] if len(chain) == 1 else chain,
+                "col": key,
+                "n": (old or {}).get("n", 0) + len(keys),
+            }
+            new_cand.append(fe2)
+            files_eq += 1
+        groups = _child_groups(
+            table_dir, ref_groups, keep + new_cand + nonempty, created
+        )
+        manifest = _next_manifest(
+            m, "eqput", groups, m["rows"] - rows_matched + new_rows,
+            m["schema"], txn,
+        )
+        # the commit knows its own key column — the CDF needs it even
+        # when no surviving entry carries a ref (a commit that only
+        # drops fully-superseded entries and adds batch files)
+        manifest["eq_col"] = key
+        try:
+            _publish(table_dir, tip + 1, manifest)
+            plan.update(audit)
+            plan.update(
+                rows_replaced=rows_matched,
+                rows_inserted=new_rows,
+                files_eq=files_eq,
+                files_dropped=dropped,
+                files_rewritten=0,
+            )
+            return tip + 1
+        except SnapshotConflict:
+            shutil.rmtree(
+                os.path.join(table_dir, rel_dir), ignore_errors=True
+            )
+            _drop_sidecar(table_dir, rel_dir)
+            if eq_rel is not None:
+                shutil.rmtree(
+                    os.path.join(table_dir, eq_rel), ignore_errors=True
+                )
+            _drop_groups(table_dir, created)
+            continue
+    raise SnapshotConflict(
+        f"eq upsert on {table_dir} lost {max_retries} straight races"
     )
 
 
@@ -2083,16 +2474,18 @@ def snapshot_cluster_report(
 
 
 def snapshot_dv_report(table_dir: str, version: int | None = None) -> dict:
-    """How much merge-on-read DELETE debt the live files carry — the
-    "when to materialize" signal the maintenance loop reads beside the
-    clustering overlap (round-11 task 2), from manifest entries only,
-    no data reads. Every dv-bearing file pays the positional anti-join
-    on each scan (measured worst case: ~6.5x on a metadata-cheap
-    aggregate when EVERY file carries one, tools/DV_BENCH.json), and
-    sidecar chains grow one link per repeat delete — both reclaimed by
-    one ``snapshot_compact``, which reads through the DVs and publishes
-    fresh dv-free entries. Returns {files_total, files_dv, dv_file_frac,
-    dv_positions, rows, dv_position_frac, max_chain}."""
+    """How much merge-on-read debt (positional DVs AND equality-delete
+    refs) the live files carry — the "when to materialize" signal the
+    maintenance loop reads beside the clustering overlap (round-11
+    task 2), from manifest entries only, no data reads. Every
+    ref-bearing file pays an anti-join on each scan (measured worst
+    case: ~6.5x on a metadata-cheap aggregate when EVERY file carries
+    one, tools/DV_BENCH.json), and sidecar chains grow one link per
+    repeat delete/upsert — all reclaimed by one ``snapshot_compact``,
+    which reads through the refs and publishes fresh ref-free entries.
+    Returns {files_total, files_dv, files_eq, files_ref, dv_file_frac
+    (ref-union fraction), dv_positions, eq_keys, rows,
+    dv_position_frac, max_chain}."""
     for _ in range(3):
         m = _resolve_manifest_raw(table_dir, version)
         try:
@@ -2107,15 +2500,20 @@ def snapshot_dv_report(table_dir: str, version: int | None = None) -> dict:
             f"{table_dir}: tip kept expiring during resolution"
         )
     dved = [fe for fe in entries if fe.get("dv")]
+    eqd = [fe for fe in entries if fe.get("eq")]
+    refd = [fe for fe in entries if fe.get("dv") or fe.get("eq")]
     positions = sum(fe["dv"].get("n", 0) for fe in dved)
     rows = m.get("rows", 0)
     return {
         "files_total": len(entries),
         "files_dv": len(dved),
+        "files_eq": len(eqd),
+        "files_ref": len(refd),  # union: what the scan tax tracks
         "dv_file_frac": (
-            round(len(dved) / len(entries), 4) if entries else 0.0
+            round(len(refd) / len(entries), 4) if entries else 0.0
         ),
         "dv_positions": positions,
+        "eq_keys": sum(fe["eq"].get("n", 0) for fe in eqd),
         "rows": rows,
         "dv_position_frac": (
             round(positions / (rows + positions), 4)
@@ -2123,7 +2521,9 @@ def snapshot_dv_report(table_dir: str, version: int | None = None) -> dict:
             else 0.0
         ),
         "max_chain": max(
-            (len(_dv_scs(fe["dv"])) for fe in dved), default=0
+            [len(_dv_scs(fe["dv"])) for fe in dved]
+            + [len(_eq_scs(fe["eq"])) for fe in eqd],
+            default=0,
         ),
     }
 
@@ -2193,7 +2593,7 @@ def snapshot_maintain(
         and report["avg_overlap"] > max_avg_overlap
     )
     dv = snapshot_dv_report(table_dir)
-    need_dv = dv["files_dv"] > 0 and (
+    need_dv = dv["files_ref"] > 0 and (
         (
             max_dv_file_frac is not None
             and dv["dv_file_frac"] > max_dv_file_frac
@@ -2518,6 +2918,9 @@ def _delete_dv(
         if old_total <= DV_BROADCAST_MAX_POSITIONS:
             old_pos = F.broadcast(old_pos)
         scan = scan.join(old_pos, ["__dv_path", "__dv_pos"], "left_anti")
+    # rows already dead by an EQUALITY-delete ref must not re-match (and
+    # re-count) either — same rule as the positional probe above
+    scan = _apply_eq_refs(spark, table_dir, scan, cand)
     # SQL DELETE semantics: NULL predicate keeps the row (same rule as
     # the CoW path)
     hits = scan.filter(F.coalesce(cond, F.lit(False))).select(
@@ -2609,8 +3012,11 @@ def _delete_rewrite(
     cand_footers = _footers(
         [os.path.join(table_dir, fe["path"]) for fe in cand]
     )
-    if any(n is None for _s, n in cand_footers):
-        # an unreadable footer: authoritative slow count
+    if any(n is None for _s, n in cand_footers) or any(
+        fe.get("eq") for fe in cand
+    ):
+        # unreadable footer OR equality-delete refs (eq-dead rows are
+        # not per-file recorded): authoritative slow count
         cand_rows = _read_entries(spark, table_dir, cand, schema).count()
     else:
         # LIVE rows only: positions an existing DV already deleted must
@@ -2769,7 +3175,9 @@ def _update_rewrite(
     upd_footers = _footers(
         [os.path.join(table_dir, fe["path"]) for fe in cand]
     )
-    if any(n is None for _s, n in upd_footers):
+    if any(n is None for _s, n in upd_footers) or any(
+        fe.get("eq") for fe in cand
+    ):
         cand_rows = _read_entries(spark, table_dir, cand, schema).count()
     else:
         cand_rows = sum(
@@ -2864,14 +3272,15 @@ def _added_entries(table_dir: str, prev: dict, cur: dict) -> list[dict]:
 
 
 def _dv_changed(
-    table_dir: str, prev: dict, cur: dict
+    table_dir: str, prev: dict, cur: dict, field: str = "dv"
 ) -> list[tuple[dict, dict | None, dict]]:
-    """[(cur entry, old dv ref | None, new dv ref)] for paths whose
-    positional-delete ref changed between two CONSECUTIVE manifests — the
-    row-diff companion of ``_added_entries`` for merge-on-read deletes,
-    by the same group diff (only groups in the symmetric difference are
-    opened). A path present on both sides with an unchanged dv, or with
-    no dv at all, contributes nothing."""
+    """[(cur entry, old ref | None, new ref)] for paths whose
+    merge-on-read ref (``field``: positional ``dv`` or equality ``eq``)
+    changed between two CONSECUTIVE manifests — the row-diff companion
+    of ``_added_entries`` for ref updates, by the same group diff (only
+    groups in the symmetric difference are opened). A path present on
+    both sides with an unchanged ref, or with no ref at all,
+    contributes nothing."""
 
     def _by_path(m: dict, other_names: set | None) -> dict:
         if m.get("groups") is None:
@@ -2898,8 +3307,8 @@ def _dv_changed(
         cur_e = _by_path(cur, prev_names)
     out = []
     for p, fe in cur_e.items():
-        old = (prev_e.get(p) or {}).get("dv")
-        new = fe.get("dv")
+        old = (prev_e.get(p) or {}).get(field)
+        new = fe.get(field)
         if p in prev_e and new and new != old:
             out.append((fe, old, new))
     return out
@@ -3004,6 +3413,17 @@ def changelog_mode_action(
                 "if removals may be skipped"
             )
         return "skip"  # rewritten files hold only surviving OLD rows
+    if mode == "eqput":
+        # equality-delete upsert = inserts (new files) + deletions
+        # (eq refs on carried entries): the adds-only walker can emit
+        # the inserts but must be told the deletions may be skipped
+        if not ignore_deletes:
+            raise ValueError(
+                f"{ctx} is an equality-delete upsert commit; pass "
+                "ignore_deletes=True to emit its inserts and skip its "
+                "deletions, or consume snapshot_row_changes for both"
+            )
+        return "emit"
     if mode != "append" and not ignore_changes:
         raise ValueError(
             f"{ctx} is a {mode!r} commit (rewrites rows); pass "
@@ -3178,6 +3598,91 @@ def _commit_row_changes(
                 _dv_delta_rows(spark, table_dir, dv_changed, v_schema)
             )
         return _aligned(deleted, "delete"), files_read
+    if mode == "eqput":
+        # equality-delete upsert: the commit ADDS the batch's files and
+        # appends an eq ref to candidate entries (paths unchanged — the
+        # group-diff companion _dv_changed(field="eq") finds them, the
+        # same way the delete branch finds positional-ref updates).
+        # Superseded rows = changed/dropped entries' PREV-live rows
+        # matching the delta sidecars' keys, read through their OLD
+        # refs; channel split against the added files is the same
+        # key-level classification as the keyed-rewrite branch.
+        added = _added_entries(table_dir, prev, cur)
+        dropped = _added_entries(table_dir, cur, prev)
+        eq_changed = _dv_changed(table_dir, prev, cur, field="eq")
+        files_read = len(added) + len(dropped) + len(eq_changed)
+        if not eq_changed and not dropped:
+            # pure-insert eqput (no key matched anything)
+            return _aligned(_read(added), "insert"), files_read
+        cols = {new["col"] for _fe, _old, new in eq_changed}
+        if len(cols) > 1:
+            raise ValueError(
+                f"{ctx}: eqput commit carries multiple eq key columns "
+                f"{sorted(cols)}"
+            )
+        # the commit records its key column; changed refs and the caller
+        # param are fallbacks (pre-field manifests)
+        kcol = cur.get("eq_col") or (cols.pop() if cols else key)
+        if kcol is None:
+            raise ValueError(
+                f"{ctx}: cannot resolve the eq key column; pass key=..."
+            )
+        from pyspark.sql import functions as F
+
+        delta_scs = sorted(
+            {
+                sc
+                for _fe, old, new in eq_changed
+                for sc in _eq_scs(new)
+                if sc not in (set(_eq_scs(old)) if old else set())
+            }
+        )
+        keys_df = None
+        for sc in delta_scs:
+            d = spark.read.parquet(os.path.join(table_dir, sc))
+            keys_df = d if keys_df is None else keys_df.unionByName(d)
+        prev_entries = [
+            (
+                {k: v for k, v in dict(fe).items() if k != "eq"}
+                | ({"eq": old} if old else {})
+            )
+            for fe, old, _new in eq_changed
+        ] + dropped
+        old_rows = _read(prev_entries)
+        if keys_df is not None:
+            keys_df = keys_df.select(F.col("key")).distinct()
+            gone = old_rows.join(
+                F.broadcast(keys_df),
+                old_rows[kcol] == F.col("key"),
+                "left_semi",
+            )
+        else:
+            gone = old_rows  # dropped entries only: every live row died
+        new_rows = _read(added)
+        # change-proportional like the keyed branch: identical (key,
+        # value) rows on both sides cancel
+        gone = gone.exceptAll(new_rows)
+        fresh = new_rows.exceptAll(old_rows)
+        fresh_keys = fresh.select(kcol).distinct()
+        gone_keys = gone.select(kcol).distinct()
+        frame = (
+            _aligned(
+                gone.join(fresh_keys, kcol, "left_semi"), "update_preimage"
+            )
+            .unionByName(
+                _aligned(
+                    fresh.join(gone_keys, kcol, "left_semi"),
+                    "update_postimage",
+                )
+            )
+            .unionByName(
+                _aligned(gone.join(fresh_keys, kcol, "left_anti"), "delete")
+            )
+            .unionByName(
+                _aligned(fresh.join(gone_keys, kcol, "left_anti"), "insert")
+            )
+        )
+        return frame, files_read
     if key is not None:
         if key not in v_schema.fieldNames():
             raise ValueError(

@@ -2532,6 +2532,7 @@ def streaming_cdc_apply_snapshot(
     key: str = "doc_id",
     expire_every: int = 8,
     keep_versions: int = 4,
+    strategy: str = "keyed",
 ) -> "StreamingQuery | SnapshotFeed":
     """streaming_cdc_apply with the state held in a SNAPSHOT table — the
     "at 100 TB the state is a table format whose MERGE replaces the swap"
@@ -2549,23 +2550,101 @@ def streaming_cdc_apply_snapshot(
     only the state files that can contain its keys, with key blooms
     maintained from the bootstrap commit on, so per-trigger write cost
     is O(batch + candidate files), not O(standing state). The LWW fold
-    qualifies because untouched keys pass through unchanged."""
+    qualifies because untouched keys pass through unchanged.
+
+    ``strategy="eq"`` (round-11 stretch) goes one step further onto
+    EQUALITY-DELETE sidecars (``snapshots.snapshot_upsert_eq``): a
+    trigger lands its winners as fresh files + one key sidecar and
+    rewrites NO standing data file at all — per-trigger DATA WRITE is
+    O(batch) at any state size, with the standing read reduced to the
+    seq gate's key+last_seq column probe over pruned candidates plus
+    the format's exact-row-count scan; readers merge at scan time and
+    the DV-debt maintenance tick materializes. Same batch-twin
+    semantics (LWW by seq + deletes, replays gate to no-ops, plus a
+    txn marker for exactly-once), different physical cost profile —
+    pick "eq" when triggers are frequent and wide relative to file
+    count, "keyed" when read purity between compactions matters."""
+    if strategy not in ("keyed", "eq"):
+        raise ValueError(f"strategy must be keyed|eq, got {strategy!r}")
+
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         if batch_df.isEmpty():
             return  # an empty trigger must not rewrite the whole state
         attrs = [c for c in batch_df.columns if c not in (key, "seq", "op")]
-        _snapshot_state_step(
+        if strategy == "keyed":
+            _snapshot_state_step(
+                spark,
+                table_dir,
+                _cdc_empty_state(spark, batch_df, key, attrs),
+                lambda state: _cdc_next_state(state, batch_df, key),
+                "cdc",
+                int(batch_id),
+                expire_every,
+                keep_versions,
+                keyed=(batch_df, key),
+                bloom_columns=[key],
+            )
+            return
+        from imagingdb_spark.snapshots import (
+            snapshot_commit,
+            snapshot_exists,
+            snapshot_expire,
+            snapshot_read,
+            snapshot_upsert_eq,
+            snapshot_vacuum,
+        )
+
+        if not snapshot_exists(table_dir):
+            snapshot_commit(
+                spark,
+                table_dir,
+                _cdc_empty_state(spark, batch_df, key, attrs),
+                bloom_columns=[key],
+            )
+        # LWW winner per key within the batch — cdc_apply's struct-max
+        # reduction (atomic winning ROW, deterministic tie-break)
+        latest = (
+            batch_df.groupBy(key)
+            .agg(F.max(F.struct("seq", "op", *attrs)).alias("__m"))
+            .select(
+                key,
+                F.col("__m.seq").alias("seq"),
+                F.col("__m.op").alias("op"),
+                *[F.col(f"__m.{a}").alias(a) for a in attrs],
+            )
+        )
+        # seq gate against the standing state: key+last_seq of PRUNED
+        # candidates only (bloom point probes from the bootstrap on)
+        keys = [
+            r[0]
+            for r in latest.select(key).distinct().collect()
+            if r[0] is not None
+        ]
+        if not keys:
+            return
+        state_ls = snapshot_read(
+            spark, table_dir, where=[(key, "in", keys)]
+        ).select(key, F.col("last_seq").alias("__ls"))
+        gated = (
+            latest.join(state_ls, key, "left")
+            .filter(F.col("__ls").isNull() | (F.col("seq") > F.col("__ls")))
+            .drop("__ls")
+        )
+        ups = gated.filter(F.col("op") != "D").select(
+            key, *attrs, F.col("seq").alias("last_seq")
+        )
+        dels = gated.filter(F.col("op") == "D").select(key)
+        snapshot_upsert_eq(
             spark,
             table_dir,
-            _cdc_empty_state(spark, batch_df, key, attrs),
-            lambda state: _cdc_next_state(state, batch_df, key),
-            "cdc",
-            int(batch_id),
-            expire_every,
-            keep_versions,
-            keyed=(batch_df, key),
-            bloom_columns=[key],
+            ups,
+            key,
+            deletes=dels,
+            txn=("cdc-eq", int(batch_id)),
         )
+        if expire_every and batch_id > 0 and batch_id % expire_every == 0:
+            snapshot_expire(table_dir, keep_last=keep_versions)
+            snapshot_vacuum(spark, table_dir)
 
     return _attach(changes, apply_batch, checkpoint_dir, "update")

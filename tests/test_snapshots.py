@@ -2593,6 +2593,213 @@ class TestDVChainsAndGuards:
         assert not S.snapshot_exists(t)
 
 
+class TestUpsertEq:
+    """Equality-delete upserts (round-11 stretch; Iceberg-v2 equality
+    deletes): a batch lands as fresh files + one key sidecar — NO
+    standing data file rewrites. Readers merge at scan time; compaction
+    and the DV-debt tick materialize; the CDF emits exact update
+    images from the delta sidecars."""
+
+    def _base(self, spark, t, n=100, files=4):
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(n)], "k long, v string"
+        ).repartitionByRange(files, "k").sortWithinPartitions("k")
+        S.snapshot_commit(spark, t, df, bloom_columns=["k"])
+
+    def test_no_standing_file_rewrites(self, spark, tmp_path):
+        """The headline property: the pre-upsert data files are carried
+        byte-identical; only batch files + a sidecar land."""
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        pre = {f["path"] for f in S._read_manifest(t, 1)["files"]}
+        plan = {}
+        v = S.snapshot_upsert_eq(
+            spark, t,
+            _mk(spark, [(5, "U5"), (200, "NEW")]), "k", plan=plan,
+        )
+        assert plan["strategy"] == "eq" and plan["files_rewritten"] == 0
+        assert plan["rows_replaced"] == 1 and plan["rows_inserted"] == 2
+        m = S._read_manifest(t, v)
+        assert pre <= {f["path"] for f in m["files"]}  # all carried
+        assert m["rows"] == 101
+        got = dict(_rows(S.snapshot_read(spark, t)))
+        assert got[5] == "U5" and got[200] == "NEW" and len(got) == 101
+        # time travel unharmed
+        assert S.snapshot_read(spark, t, version=1).count() == 100
+
+    def test_equivalence_with_keyed_apply_replace(self, spark, tmp_path):
+        """Same batches through eq upserts and through the LWW keyed
+        apply (row-replacement semantics on both): identical content."""
+        a, b = str(tmp_path / "eq"), str(tmp_path / "rw")
+        for t in (a, b):
+            self._base(spark, t)
+        batches = [
+            [(5, "U5"), (200, "NEW")],
+            [(5, "U5b"), (6, "U6")],
+        ]
+        for rows in batches:
+            src = _mk(spark, rows)
+            S.snapshot_upsert_eq(spark, a, src, "k")
+            S.snapshot_rmw(
+                spark, b,
+                lambda tip, src=src: tip.join(
+                    src.select("k"), "k", "left_anti"
+                ).unionByName(src),
+            )
+        assert _rows(S.snapshot_read(spark, a)) == _rows(
+            S.snapshot_read(spark, b)
+        )
+        assert (
+            S.snapshot_versions(a)[-1]["rows"]
+            == S.snapshot_read(spark, a).count()
+        )
+
+    def test_deletes_frame_and_chaining(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        S.snapshot_upsert_eq(spark, t, _mk(spark, [(5, "U5")]), "k")
+        S.snapshot_upsert_eq(
+            spark, t, _mk(spark, []), "k",
+            deletes=spark.createDataFrame([(7,), (8,)], "k long"),
+        )
+        got = dict(_rows(S.snapshot_read(spark, t)))
+        assert 7 not in got and 8 not in got and got[5] == "U5"
+        assert len(got) == 98
+        assert S._read_manifest_raw(t, 3)["rows"] == 98
+        rep = S.snapshot_dv_report(t)
+        assert rep["files_eq"] >= 1 and rep["max_chain"] >= 1
+
+    def test_composes_with_positional_dv(self, spark, tmp_path):
+        """A table carrying BOTH ref kinds (a dv takedown then an eq
+        upsert on the same file) reads exactly."""
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        S.snapshot_delete(spark, t, [("k", "=", 3)], mode="dv")
+        S.snapshot_upsert_eq(spark, t, _mk(spark, [(5, "U5")]), "k")
+        got = dict(_rows(S.snapshot_read(spark, t)))
+        assert 3 not in got and got[5] == "U5" and len(got) == 99
+        assert S._read_manifest_raw(t, 3)["rows"] == 99
+        # a dv delete THROUGH an eq ref must not re-count eq-dead rows:
+        # k<10 live rows = 0..9 minus dv-dead k3 minus superseded old k5,
+        # plus the batch file's new k5 row = 9 — never 10
+        out = S.snapshot_delete(spark, t, [("k", "<", 10)], mode="dv")
+        assert out["rows_deleted"] == 9
+        assert S._read_manifest_raw(t, 4)["rows"] == 90
+        assert S.snapshot_read(spark, t).count() == 90
+        assert S.snapshot_read(spark, t).filter("k < 10").count() == 0
+
+    def test_cow_delete_through_eq_refs_counts_exactly(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        S.snapshot_upsert_eq(spark, t, _mk(spark, [(5, "U5")]), "k")
+        out = S.snapshot_delete(spark, t, [("k", "<", 10)])
+        assert out["rows_deleted"] == 10  # incl. the new k=5, not the dead one
+        assert S._read_manifest_raw(t, 3)["rows"] == 90
+        assert S.snapshot_read(spark, t).count() == 90
+
+    def test_cdf_update_images_exact(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        S.snapshot_upsert_eq(spark, t, _mk(spark, [(5, "U5"), (200, "NEW")]), "k")
+        S.snapshot_upsert_eq(
+            spark, t, _mk(spark, []), "k",
+            deletes=spark.createDataFrame([(7,)], "k long"),
+        )
+        cdf = S.snapshot_row_changes(spark, t, 1)
+        rows = sorted(
+            (r["_commit_version"], r["_change_type"], r["k"], r["v"])
+            for r in cdf.collect()
+        )
+        assert rows == [
+            (2, "insert", 200, "NEW"),
+            (2, "update_postimage", 5, "U5"),
+            (2, "update_preimage", 5, "v5"),
+            (3, "delete", 7, "v7"),
+        ]
+        # re-upserting an identical row is change-proportional: silence
+        S.snapshot_upsert_eq(spark, t, _mk(spark, [(5, "U5")]), "k")
+        assert S.snapshot_row_changes(spark, t, 3).count() == 0
+
+    def test_compact_materializes_and_vacuum_reclaims(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        S.snapshot_upsert_eq(spark, t, _mk(spark, [(5, "U5")]), "k")
+        S.snapshot_upsert_eq(spark, t, _mk(spark, [(6, "U6")]), "k")
+        before = _rows(S.snapshot_read(spark, t))
+        v = S.snapshot_maintain(spark, t, "k", max_avg_overlap=1e9,
+                                max_dv_file_frac=0.0)
+        assert v is not None
+        assert S.snapshot_dv_report(t)["files_ref"] == 0
+        assert _rows(S.snapshot_read(spark, t)) == before
+        S.snapshot_expire(t, keep_last=1)
+        gone = S.snapshot_vacuum(spark, t)
+        assert any(p.startswith(S.EQDELETES_DIR) for p in gone)
+        assert _rows(S.snapshot_read(spark, t)) == before
+
+    def test_crash_and_race_leave_pre_version(self, spark, tmp_path, monkeypatch):
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        before = _rows(S.snapshot_read(spark, t))
+        batch = _mk(spark, [(5, "U5"), (300, "NEW")])
+        for seam in ("_write_data_files", "_write_eq_sidecar", "_publish"):
+            real = getattr(S, seam)
+
+            def boom(*a, _s=seam, **kw):
+                raise RuntimeError(f"crash at {_s}")
+
+            monkeypatch.setattr(S, seam, boom)
+            with pytest.raises(RuntimeError, match="crash at"):
+                S.snapshot_upsert_eq(spark, t, batch, "k")
+            monkeypatch.setattr(S, seam, real)
+            assert S._versions(t) == [1]
+            assert _rows(S.snapshot_read(spark, t)) == before
+        # racing append between resolve and publish forces re-resolve
+        real = S._publish
+        raced = {"done": False}
+
+        def racing_publish(table_dir, version, manifest):
+            if manifest["mode"] == "eqput" and not raced["done"]:
+                raced["done"] = True
+                monkeypatch.setattr(S, "_publish", real)
+                S.snapshot_commit(spark, t, _mk(spark, [(500, "late")]))
+                monkeypatch.setattr(S, "_publish", racing_publish)
+            return real(table_dir, version, manifest)
+
+        monkeypatch.setattr(S, "_publish", racing_publish)
+        S.snapshot_upsert_eq(spark, t, batch, "k")
+        monkeypatch.setattr(S, "_publish", real)
+        got = dict(_rows(S.snapshot_read(spark, t)))
+        assert got[5] == "U5" and got[300] == "NEW" and got[500] == "late"
+        assert len(got) == 102
+        S.snapshot_vacuum(spark, t)  # debris only; live rows unharmed
+        assert S.snapshot_read(spark, t).count() == 102
+
+    def test_txn_replay_is_noop(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._base(spark, t)
+        v1 = S.snapshot_upsert_eq(
+            spark, t, _mk(spark, [(1, "A")]), "k", txn=("eq", 9)
+        )
+        v2 = S.snapshot_upsert_eq(
+            spark, t, _mk(spark, [(2, "B")]), "k", txn=("eq", 9)
+        )
+        assert v2 == v1
+        got = dict(_rows(S.snapshot_read(spark, t)))
+        assert got[1] == "A" and got[2] == "v2"
+
+    def test_wide_batch_falls_back_to_rewrite(self, spark, tmp_path):
+        t = str(tmp_path / "t")
+        self._base(spark, t, n=50)
+        plan = {}
+        S.snapshot_upsert_eq(
+            spark, t, _mk(spark, [(i, f"U{i}") for i in range(40)]), "k",
+            max_keys=10, plan=plan,
+        )
+        assert plan["strategy"] == "rewrite"
+        got = dict(_rows(S.snapshot_read(spark, t)))
+        assert got[0] == "U0" and got[45] == "v45" and len(got) == 50
+
+
 class TestClusterSpecMetadata:
     """Round-11 stretch: the clustering key is TABLE METADATA (the
     Iceberg hidden-partitioning step) — declared once, inherited by

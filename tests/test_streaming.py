@@ -661,6 +661,137 @@ def test_streaming_cdc_apply_snapshot_is_file_pruned(spark, tmp_path):
     assert len(got) == 1_999
 
 
+def test_streaming_cdc_apply_snapshot_eq_strategy(spark, tmp_path):
+    """strategy='eq' (round-11 stretch): same LWW+deletes semantics as
+    the batch twin, but a trigger lands only its own files + one key
+    sidecar — NO standing data file is rewritten, so per-trigger data
+    bytes are O(batch) at any state size. Replays are exactly-once via
+    the txn marker; a fresh-checkpoint full replay converges."""
+    from pyspark.sql import types as T
+
+    from imagingdb_spark import snapshots as S
+    from imagingdb_spark.operators.merge import cdc_apply
+
+    table = str(tmp_path / "state_eq")
+    changes_path = str(tmp_path / "changes")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    batches = [
+        [(i, 1, "U", f"doc {i}") for i in range(1, 6)],
+        [(2, 2, "U", "doc 2 v2"), (2, 3, "U", "doc 2 v3"), (3, 2, "D", None)],
+        [(4, 4, "U", "doc 4 v4"), (5, 2, "D", None), (5, 3, "U", "doc 5 back")],
+    ]
+    for rows in batches:
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(changes_path)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_path)
+    )
+    q = jobs.streaming_cdc_apply_snapshot(
+        stream, table, str(tmp_path / "ck"), strategy="eq"
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r["doc_id"]: (r["text"], r["last_seq"])
+        for r in S.snapshot_read(spark, table).collect()
+    }
+    log = spark.createDataFrame([r for b in batches for r in b], schema)
+    empty_base = spark.createDataFrame([], "doc_id long, text string")
+    want = {
+        r["doc_id"]: (r["text"], r["last_seq"])
+        for r in cdc_apply(empty_base, log, "doc_id").collect()
+    }
+    assert got == want
+    # NO standing file was ever rewritten: every bootstrap/batch file
+    # still referenced at the tip, every upsert commit mode 'eqput'
+    modes = [m["mode"] for m in S.snapshot_versions(table)]
+    assert modes[0] == "append" and set(modes[1:]) <= {"eqput"}
+    # fresh-checkpoint full replay converges (content gating + markers)
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(changes_path)
+    )
+    q2 = jobs.streaming_cdc_apply_snapshot(
+        stream2, table, str(tmp_path / "ck2"), strategy="eq"
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got2 = {
+        r["doc_id"]: (r["text"], r["last_seq"])
+        for r in S.snapshot_read(spark, table).collect()
+    }
+    assert got2 == want
+
+
+def test_streaming_cdc_eq_trigger_writes_o_batch_bytes(spark, tmp_path):
+    """The physical claim: against a WIDE standing state, a narrow eq
+    trigger's data-dir growth is batch-sized — the keyed strategy
+    rewrites candidate files, the eq strategy rewrites none."""
+    import os as _os
+
+    from pyspark.sql import types as T
+
+    from imagingdb_spark import snapshots as S
+
+    def du(p):
+        return sum(
+            _os.path.getsize(_os.path.join(dp, f))
+            for dp, _d, fs in _os.walk(p)
+            for f in fs
+        ) if _os.path.isdir(p) else 0
+
+    table = str(tmp_path / "state_eq")
+    changes_path = str(tmp_path / "changes")
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("seq", T.LongType()),
+            T.StructField("op", T.StringType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
+    # wide standing state: 20k docs with fat payloads, 8 clustered files
+    state0 = spark.range(20_000).selectExpr(
+        "id as doc_id",
+        "repeat('x', 200) as text",
+        "cast(1 as bigint) as last_seq",
+    ).repartitionByRange(8, "doc_id").sortWithinPartitions("doc_id")
+    S.snapshot_commit(spark, table, state0, bloom_columns=["doc_id"])
+    pre_files = {f["path"] for f in S._read_manifest(table, 1)["files"]}
+    data_before = du(_os.path.join(table, "data"))
+    spark.createDataFrame(
+        [(17, 2, "U", "updated"), (9_999, 2, "D", None)], schema
+    ).coalesce(1).write.mode("append").parquet(changes_path)
+    stream = spark.readStream.schema(schema).parquet(changes_path)
+    q = jobs.streaming_cdc_apply_snapshot(
+        stream, table, str(tmp_path / "ck"), strategy="eq"
+    )
+    q.processAllAvailable()
+    q.stop()
+    grew = du(_os.path.join(table, "data")) - data_before
+    assert 0 < grew < 64 * 1024  # one tiny batch file, not a candidate rewrite
+    m = S._read_manifest(table, S._versions(table)[-1])
+    assert pre_files <= {f["path"] for f in m["files"]}  # all carried
+    got = {r["doc_id"] for r in S.snapshot_read(spark, table).filter(
+        "doc_id in (17, 9999)").collect()}
+    assert got == {17}
+    assert S.snapshot_read(spark, table).filter("doc_id = 17").collect()[0][
+        "text"
+    ] == "updated"
+    assert m["rows"] == 19_999
+
+
 def test_streaming_cdc_apply_replay_idempotent(spark, tmp_path):
     """Applying the same micro-batch twice (at-least-once replay) must be
     a no-op, and a LATE change older than the state must lose."""
