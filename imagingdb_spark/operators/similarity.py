@@ -553,15 +553,29 @@ def _ivf_centroids(e: DataFrame) -> np.ndarray:
     sample vectors with the smallest xxhash64(vec_id) (deterministic,
     spread uniformly); refinement is _lloyd_refine's pinned-order
     sufficient statistics (bit-deterministic run to run)."""
-    sample = e.filter(F.xxhash64("vec_id") % IVF_TRAIN_MOD == 0)
-    seeds = (
-        sample.orderBy(F.xxhash64("vec_id", F.lit(1)), "vec_id")
-        .limit(IVF_K)
-        .select("embedding")
-        .collect()
+    # The training sample is consumed IVF_ITER + 1 times (seed scan + one
+    # stats pass per Lloyd round); persist it so the corpus scan + filter
+    # runs once and rounds 2..N read the cached rows (guide §5: reuse that
+    # beats recompute — k-means iterations are the textbook case). The
+    # cache holds only (vec_id, embedding) of the ~1/IVF_TRAIN_MOD sample;
+    # partitioning (and therefore the pid-ordered stats fold) is identical
+    # cached or not, so training stays bit-deterministic.
+    sample = (
+        e.filter(F.xxhash64("vec_id") % IVF_TRAIN_MOD == 0)
+        .select("vec_id", "embedding")
+        .persist()
     )
-    centroids = np.asarray([r["embedding"] for r in seeds], dtype=np.float64)
-    return _lloyd_refine(sample, centroids[None, :, :], IVF_ITER)[0]
+    try:
+        seeds = (
+            sample.orderBy(F.xxhash64("vec_id", F.lit(1)), "vec_id")
+            .limit(IVF_K)
+            .select("embedding")
+            .collect()
+        )
+        centroids = np.asarray([r["embedding"] for r in seeds], dtype=np.float64)
+        return _lloyd_refine(sample, centroids[None, :, :], IVF_ITER)[0]
+    finally:
+        sample.unpersist()
 
 
 @query("x_ann_ivf")  # rows-only: k-means codebook not ANSI-SQL-expressible
@@ -1408,7 +1422,7 @@ def _pq_reconstruct(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
     ).reshape(n, -1)
 
 
-def _pq_codebooks(e: DataFrame, m: int = PQ_M) -> np.ndarray:
+def _pq_codebooks(e: DataFrame, m: int = PQ_M, dim: int | None = None) -> np.ndarray:
     """(m, PQ_K, dsub) k-means codebooks trained DISTRIBUTED on a
     deterministic sample — the _ivf_centroids discipline: ALL m subspace
     k-means run in the SAME _lloyd_refine pass per iteration
@@ -1418,28 +1432,45 @@ def _pq_codebooks(e: DataFrame, m: int = PQ_M) -> np.ndarray:
     PQ_K sample vectors with the smallest xxhash64(vec_id) — the same
     deterministic spread-uniform init IVF uses. Empty cells keep their
     previous centroid."""
-    dim = embedding_dim(e)
+    # dim: callers that already know the dimensionality (x_ann_ivfpq has
+    # the coarse centroids in hand) pass it and skip the LIMIT-1 probe job
+    # — which, for a residual input, would otherwise evaluate the residual
+    # pandas UDF just to measure an array length.
+    if dim is None:
+        dim = embedding_dim(e)
     dsub = dim // m
-    sample = e.filter(F.xxhash64("vec_id") % PQ_TRAIN_MOD == 0)
-    seeds = (
-        sample.orderBy(F.xxhash64("vec_id", F.lit(1)), "vec_id")
-        .limit(PQ_K)
-        .select("embedding")
-        .collect()
+    # Persist the sample across the seed scan + PQ_ITER Lloyd rounds (the
+    # _ivf_centroids discipline, same determinism argument). For a
+    # RESIDUAL input (x_ann_ivfpq trains on x − centroid via a pandas
+    # UDF), this also pins the residual computation to ONE evaluation
+    # instead of one per training pass.
+    sample = (
+        e.filter(F.xxhash64("vec_id") % PQ_TRAIN_MOD == 0)
+        .select("vec_id", "embedding")
+        .persist()
     )
-    if not seeds:
-        raise ValueError("PQ training sample is empty")
-    seed_m = np.asarray([r["embedding"] for r in seeds], dtype=np.float64)
-    if seed_m.shape[0] < PQ_K:
-        # tiny corpus: cycle the available seeds — duplicate centroids
-        # never move (empty cells keep their previous centroid), so this
-        # degrades to k-means with k = sample size, not a crash
-        reps = -(-PQ_K // seed_m.shape[0])
-        seed_m = np.tile(seed_m, (reps, 1))[:PQ_K]
-    codebooks = (
-        seed_m.reshape(PQ_K, m, dsub).transpose(1, 0, 2).copy()
-    )  # (m, K, dsub)
-    return _lloyd_refine(sample, codebooks, PQ_ITER)
+    try:
+        seeds = (
+            sample.orderBy(F.xxhash64("vec_id", F.lit(1)), "vec_id")
+            .limit(PQ_K)
+            .select("embedding")
+            .collect()
+        )
+        if not seeds:
+            raise ValueError("PQ training sample is empty")
+        seed_m = np.asarray([r["embedding"] for r in seeds], dtype=np.float64)
+        if seed_m.shape[0] < PQ_K:
+            # tiny corpus: cycle the available seeds — duplicate centroids
+            # never move (empty cells keep their previous centroid), so this
+            # degrades to k-means with k = sample size, not a crash
+            reps = -(-PQ_K // seed_m.shape[0])
+            seed_m = np.tile(seed_m, (reps, 1))[:PQ_K]
+        codebooks = (
+            seed_m.reshape(PQ_K, m, dsub).transpose(1, 0, 2).copy()
+        )  # (m, K, dsub)
+        return _lloyd_refine(sample, codebooks, PQ_ITER)
+    finally:
+        sample.unpersist()
 
 
 @query("x_pq_quantize")  # rows-only: k-means codebooks not ANSI-SQL-
@@ -1591,7 +1622,9 @@ def x_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pd.Series(list(x - centroids[cells]))
 
     e_res = e.withColumn("embedding", residual("embedding"))
-    codebooks = _pq_codebooks(e_res, m=PQ_ANN_M)  # (M, K, dsub) residual
+    codebooks = _pq_codebooks(
+        e_res, m=PQ_ANN_M, dim=centroids.shape[1]
+    )  # (M, K, dsub) residual
 
     qvec = _collect_probe(e)
     d2 = ((centroids - qvec) ** 2).sum(axis=1)

@@ -327,44 +327,54 @@ def x_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
     )
-    wlast = Window.partitionBy("user_id", "hour_ts").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    # ONE user_id exchange end to end (r11, guide §2.4): sort each user by
+    # (hour asc, recency desc) so the FIRST row of every hour group is that
+    # hour's last observation (lag-based group-edge test replaces the
+    # (user, hour)-partitioned row_number — no second exchange), then
+    # lead() finds the next observed hour and sequence() expands each
+    # observation over its own fill range [obs, next). The dense grid,
+    # the grid↔hourly join and the forward-fill window all disappear:
+    # forward fill IS "each slot in [obs, next) carries obs.value".
+    # Range semantics match the old grid exactly — the grid spanned
+    # [min, max] per user, every slot ≥ its user's first observation, and
+    # the last observation contributes only its own slot.
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("hour_ts").asc(), F.col("ts").desc(), F.col("event_id").desc()
     )
     hourly = (
-        by_hour.withColumn("rn", F.row_number().over(wlast))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "hour_ts", "value")
+        by_hour.withColumn("__prev_h", F.lag("hour_ts").over(w_user))
+        .filter(
+            F.col("__prev_h").isNull()
+            | (F.col("__prev_h") != F.col("hour_ts"))
+        )
+        .select("user_id", "hour_ts", "value", "ts", "event_id")
     )
-    grid = (
-        hourly.groupBy("user_id")
-        .agg(F.min("hour_ts").alias("hmin"), F.max("hour_ts").alias("hmax"))
+    # same partitioning and ordering as w_user: the filter preserves both,
+    # so this second Window stacks on the first without a new exchange
+    nxt_h = F.lead("hour_ts").over(w_user)
+    return (
+        hourly.withColumn("__next_h", nxt_h)
         .select(
             "user_id",
+            F.col("hour_ts").alias("__obs_h"),
+            "value",
             F.explode(
-                F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+                F.sequence(
+                    "hour_ts",
+                    F.coalesce(
+                        F.col("__next_h") - F.expr("INTERVAL 1 HOUR"),
+                        F.col("hour_ts"),
+                    ),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
             ).alias("hour_ts"),
         )
-    )
-    wfill = (
-        Window.partitionBy("user_id")
-        .orderBy("hour_ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    joined = grid.join(
-        hourly.withColumn("__obs", F.lit(True)), ["user_id", "hour_ts"], "left"
-    )
-    # struct is non-null iff the slot has its own observation; last() over
-    # it forward-fills the whole matched row, NULL value included
-    obs_row = F.when(
-        F.col("__obs").isNotNull(), F.struct(F.col("value").alias("v"))
-    )
-    return joined.select(
-        "user_id",
-        "hour_ts",
-        F.round(
-            F.last(obs_row, ignorenulls=True).over(wfill)["v"], 4
-        ).alias("filled_value"),
-        F.col("__obs").isNull().alias("is_gap"),
+        .select(
+            "user_id",
+            "hour_ts",
+            F.round("value", 4).alias("filled_value"),
+            (F.col("hour_ts") != F.col("__obs_h")).alias("is_gap"),
+        )
     )
 
 
@@ -621,76 +631,69 @@ def x_interp_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         "event_id",
     )
-    wlast = Window.partitionBy("user_id", "hour_ts").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
+    # ONE user_id exchange end to end — the x_gapfill r11 restructure
+    # (see there): lag-based per-hour dedup, then lead() hands each
+    # observation its successor (hour, value), and sequence() expands the
+    # fill range [obs, next). Between two observations, prev IS the range
+    # owner and nxt IS its lead — the forward/backward ignore-nulls frame
+    # pair collapses to per-row arithmetic; the dense grid, the join and
+    # both fill windows disappear. The observed slot itself passes
+    # through exactly (frac = 0 ⇒ prev.v); the last observation (lead
+    # NULL) contributes only its own slot, matching the old grid's
+    # [min, max] span.
+    w_user = Window.partitionBy("user_id").orderBy(
+        F.col("hour_ts").asc(), F.col("ts").desc(), F.col("event_id").desc()
     )
     hourly = (
-        by_hour.withColumn("rn", F.row_number().over(wlast))
-        .filter(F.col("rn") == 1)
-        .select("user_id", "hour_ts", "value")
+        by_hour.withColumn("__prev_h", F.lag("hour_ts").over(w_user))
+        .filter(
+            F.col("__prev_h").isNull()
+            | (F.col("__prev_h") != F.col("hour_ts"))
+        )
+        .select("user_id", "hour_ts", "value", "ts", "event_id")
     )
-    grid = (
-        hourly.groupBy("user_id")
-        .agg(F.min("hour_ts").alias("hmin"), F.max("hour_ts").alias("hmax"))
+    expanded = (
+        hourly.withColumn("__next_h", F.lead("hour_ts").over(w_user))
+        .withColumn("__next_v", F.lead("value").over(w_user))
         .select(
             "user_id",
+            F.col("hour_ts").alias("__obs_h"),
+            F.col("value").alias("__obs_v"),
+            "__next_h",
+            "__next_v",
             F.explode(
-                F.sequence("hmin", "hmax", F.expr("INTERVAL 1 HOUR"))
+                F.sequence(
+                    "hour_ts",
+                    F.coalesce(
+                        F.col("__next_h") - F.expr("INTERVAL 1 HOUR"),
+                        F.col("hour_ts"),
+                    ),
+                    F.expr("INTERVAL 1 HOUR"),
+                )
             ).alias("hour_ts"),
         )
-    )
-    j = grid.join(
-        hourly.withColumnRenamed("value", "obs_value").withColumn(
-            "matched", F.lit(1)
-        ),
-        ["user_id", "hour_ts"],
-        "left",
-    ).select(
-        "user_id",
-        "hour_ts",
-        F.when(
-            F.col("matched").isNotNull(),
-            F.struct(
-                F.col("hour_ts").alias("h"), F.col("obs_value").alias("v")
-            ),
-        ).alias("m"),
-    )
-    fwd = (
-        Window.partitionBy("user_id")
-        .orderBy("hour_ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    bwd = (
-        Window.partitionBy("user_id")
-        .orderBy("hour_ts")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
-    f = j.select(
-        "user_id",
-        "hour_ts",
-        "m",
-        F.last("m", ignorenulls=True).over(fwd).alias("prev"),
-        F.first("m", ignorenulls=True).over(bwd).alias("nxt"),
     )
     hours = lambda a, b: (  # noqa: E731
         F.unix_timestamp(b) - F.unix_timestamp(a)
     ) / 3600
-    frac = hours(F.col("prev.h"), F.col("hour_ts")) / hours(
-        F.col("prev.h"), F.col("nxt.h")
+    # identical arithmetic to the pre-r11 join shape: prev := the range's
+    # observation, nxt := its lead — same expression tree, same floats
+    frac = hours(F.col("__obs_h"), F.col("hour_ts")) / hours(
+        F.col("__obs_h"), F.col("__next_h")
     ).cast("double")
     val = (
-        F.when(F.col("nxt").isNull(), F.col("prev.v"))
-        .when(F.col("prev.h") == F.col("nxt.h"), F.col("prev.v"))
+        F.when(F.col("hour_ts") == F.col("__obs_h"), F.col("__obs_v"))
+        .when(F.col("__next_h").isNull(), F.col("__obs_v"))
         .otherwise(
-            F.col("prev.v") + (F.col("nxt.v") - F.col("prev.v")) * frac
+            F.col("__obs_v") + (F.col("__next_v") - F.col("__obs_v")) * frac
         )
     )
-    return f.select(
+    return expanded.select(
         "user_id",
         "hour_ts",
         # floor-based 4-decimal quantization — F.round would round the
         # shortest decimal repr and disagree with DuckDB at the .xxxx5
         # boundaries interpolation halves produce (see oracle comment)
         (F.floor(val * 10000.0 + 0.5) / 10000.0).alias("value_interp"),
-        F.col("m").isNull().alias("is_gap"),
+        (F.col("hour_ts") != F.col("__obs_h")).alias("is_gap"),
     )
