@@ -17,6 +17,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from decimal import Decimal
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -52,6 +54,64 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if c in df.columns and dict(df.dtypes)[c] == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df
+
+
+def values_df(spark: SparkSession, rows: list, schema_ddl: str) -> DataFrame:
+    """Small driver-local DataFrame as an inline VALUES table (LocalRelation).
+
+    ``spark.createDataFrame(python_rows)`` parallelizes a Python RDD over
+    the default parallelism: every materialization (e.g. the broadcast
+    build these frames exist for) runs a 32-task job whose tasks each pay
+    a Python-worker round trip — measured ~0.3-0.4 s of blocked time per
+    such job inside x_perplexity_bucket, ~2 s of its wall clock. An inline
+    table is a JVM LocalRelation: broadcast builds collect it driver-side
+    with NO job and NO Python workers (micro-bench: 696 ms -> 217 ms per
+    broadcast-join materialization).
+
+    ``schema_ddl`` uses simple comma-separated ``name type`` pairs (no
+    parameterized types). Values may be str/int/float/bool/None; each
+    column is cast to its declared type."""
+    fields = []
+    depth = 0
+    cur = ""
+    for ch in schema_ddl + ",":
+        if ch == "," and depth == 0:
+            name, typ = cur.strip().split(None, 1)
+            if "<" in typ:
+                raise ValueError(f"values_df: nested type {typ!r} unsupported")
+            fields.append((name, typ))
+            cur = ""
+        else:
+            depth += ch in "(<"
+            depth -= ch in ")>"
+            cur += ch
+    if not rows:
+        return spark.createDataFrame([], schema_ddl)
+
+    def lit(v, typ: str) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, int):
+            return f"{v}L"
+        if isinstance(v, float):
+            return f"CAST('{v!r}' AS DOUBLE)"
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, Decimal):
+            return f"CAST('{v}' AS {typ})"
+        raise TypeError(f"values_df: unsupported literal {type(v).__name__}")
+
+    vals = ", ".join(
+        "(" + ", ".join(lit(v, fields[i][1]) for i, v in enumerate(r)) + ")"
+        for r in rows
+    )
+    cols = ", ".join(
+        f"CAST(c{i} AS {typ}) AS {name}" for i, (name, typ) in enumerate(fields)
+    )
+    names = ", ".join(f"c{i}" for i in range(len(fields)))
+    return spark.sql(f"SELECT {cols} FROM VALUES {vals} AS T({names})")
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from imagingdb_spark.catalog import table
+from imagingdb_spark.catalog import table, values_df
 from imagingdb_spark.operators.text import tokens_col
 from imagingdb_spark.registry import query
 
@@ -37,7 +37,15 @@ def doc_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     must spark.catalog.clearCache() between queries (bench.py and
     tools/selfcheck.py already do — same contract as dedup.py's shingle
     table). explode happens map-side; the groupBy partial-aggregates
-    before the shuffle, so shuffle rows = Σ per-doc distinct terms."""
+    before the shuffle, so shuffle rows = Σ per-doc distinct terms.
+
+    The persist is LAZY: every caller immediately runs one driver-side
+    scalar collect off this frame (corpus totals — see the callers), and
+    that single job materializes the cache before any concurrent AQE
+    stage jobs hang off it. Without that discipline the lazily persisted
+    cache is raced — each concurrent stage job recomputes the unbuilt
+    partitions itself (round-11 event log: the documents parquet scanned
+    ~6x inside one x_tfidf execution)."""
     d = table(spark, sf_dir, "documents")
     return (
         d.select("doc_id", F.explode(tokens_col(F.col("text"))).alias("tok"))
@@ -97,16 +105,21 @@ def x_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: ONE corpus pass — the persisted per-doc term-count table
     feeds the vocabulary aggregate, the total-token scalar, and the score
-    join, so the corpus parquet is scanned exactly once. The unigram
-    table `v` is a vocabulary-sized aggregate; the scalar total rides a
-    constant-key broadcast hash join; the score join is a tok-equi-join
-    (AQE broadcasts the vocab side when it fits). No global sort, no
-    window."""
+    join, so the corpus parquet is scanned exactly once. The total-token
+    scalar is COLLECTED at build time (one driver round-trip whose job
+    doubles as the cache materialization — round 11; it used to ride a
+    scalar broadcast join, which cost an extra aggregate subquery job and
+    raced the lazy cache) and injected as a literal; the score join is a
+    tok-equi-join (AQE broadcasts the vocab side when it fits). No global
+    sort, no window."""
     dt = doc_term_counts(spark, sf_dir)
     v = dt.groupBy("tok").agg(F.sum("c").alias("cnt"))
-    total = dt.agg(F.sum("c").cast("double").alias("total"))
+    # exact integer sum -> cast double: same value the old scalar subquery
+    # computed; .first() also materializes dt's cache (see doc_term_counts)
+    total = float(dt.agg(F.sum("c")).first()[0])
     return (
-        attach_scalar(dt.join(v, "tok"), total)
+        dt.join(v, "tok")
+        .withColumn("total", F.lit(total))
         .groupBy("doc_id")
         .agg(
             F.sum("c").alias("n_tokens"),
@@ -180,22 +193,25 @@ def x_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     posting row by term; at 100 TB that's a corpus-sized exchange where
     the aggregate+broadcast shape moves only vocabulary-sized data.)"""
     dt = doc_term_counts(spark, sf_dir)
-    n = dt.agg(F.countDistinct("doc_id").cast("double").alias("n_docs"))
+    # collected at build time: the one driver round-trip doubles as the
+    # cache materialization (r11 — was a countDistinct broadcast subquery:
+    # an extra doc_id-distinct exchange + BNLJ at exec, and a cache race)
+    n_docs = float(dt.agg(F.countDistinct("doc_id")).first()[0])
     df_tab = dt.groupBy("tok").agg(
         F.count(F.lit(1)).cast("double").alias("df")
     )
     w_doc = Window.partitionBy("doc_id")
-    scored = attach_scalar(
-        dt.join(F.broadcast(df_tab), "tok").withColumn(
-            "n_tok", F.sum("c").over(w_doc).cast("double")
-        ),
-        n,
-    ).select(
-        "doc_id",
-        "tok",
-        ((F.col("c") / F.col("n_tok")) * F.log(F.col("n_docs") / F.col("df"))).alias(
-            "score"
-        ),
+    scored = (
+        dt.join(F.broadcast(df_tab), "tok")
+        .withColumn("n_tok", F.sum("c").over(w_doc).cast("double"))
+        .select(
+            "doc_id",
+            "tok",
+            (
+                (F.col("c") / F.col("n_tok"))
+                * F.log(F.lit(n_docs) / F.col("df"))
+            ).alias("score"),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("tok").asc())
     return (
@@ -274,20 +290,20 @@ def x_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     shares across all lm.py scorers."""
     dt = doc_term_counts(spark, sf_dir)
     dl = dt.groupBy("doc_id").agg(F.sum("c").alias("dl"))
-    s = dl.agg(
-        F.count(F.lit(1)).cast("double").alias("n_docs"),
-        F.sum("dl").cast("double").alias("tot"),
-    )
+    # (n_docs, tot) collected at build time — the job doubles as the dt
+    # cache materialization (r11; was a constant-key broadcast subquery)
+    n_docs_i, tot_i = dl.agg(
+        F.count(F.lit(1)), F.sum("dl")
+    ).first()
+    n_docs, tot = float(n_docs_i), float(tot_i)
     q = dt.filter(F.col("tok").isin(BM25_QUERY))
     df_ = q.groupBy("tok").agg(F.count(F.lit(1)).cast("double").alias("df"))
-    scored = attach_scalar(
-        q.join(F.broadcast(df_), "tok").join(dl, "doc_id"), s
-    )
+    scored = q.join(F.broadcast(df_), "tok").join(dl, "doc_id")
     idf = F.log(
-        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
+        (F.lit(n_docs) - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1
     )
     denom = F.col("c") + BM25_K1 * (
-        1 - BM25_B + BM25_B * F.col("dl") / (F.col("tot") / F.col("n_docs"))
+        1 - BM25_B + BM25_B * F.col("dl") / (F.lit(tot) / F.lit(n_docs))
     )
     contrib = idf * (F.col("c") * (BM25_K1 + 1)) / denom
     return scored.groupBy("doc_id").agg(
@@ -961,10 +977,22 @@ def x_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("doc_id", "lang", "tok")
         .agg(F.count(F.lit(1)).alias("c"))
-        .persist()  # feeds vocab agg + lang totals + score join: 1 scan
     )
-    v = dt.groupBy("lang", "tok").agg(F.sum("c").alias("cnt"))
-    tot = v.groupBy("lang").agg(F.sum("cnt").cast("double").alias("total"))
+    # dt feeds the vocab agg + the score join; v feeds the lang totals +
+    # the score join. Both persists are lazy: the ONE driver collect below
+    # (language totals — a handful of rows) materializes both caches in a
+    # single job, so no concurrent AQE stage job ever races an unbuilt
+    # cache (r11; the event log had shown the vocab aggregate evaluated
+    # twice — exchange reuse does not fire across cached-plan boundaries —
+    # and ~2 s of 32-task Python `parallelize` jobs from
+    # createDataFrame-built boundary frames, now VALUES LocalRelations).
+    dt = dt.persist()
+    v = dt.groupBy("lang", "tok").agg(F.sum("c").alias("cnt")).persist()
+    tot_rows = [
+        (r["lang"], float(r["t"]))
+        for r in v.groupBy("lang").agg(F.sum("cnt").alias("t")).collect()
+    ]
+    tot = values_df(spark, tot_rows, "lang string, total double")
     scored = (
         dt.join(v, ["lang", "tok"])
         .join(F.broadcast(tot), "lang")
@@ -982,12 +1010,13 @@ def x_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist()  # histogram + boundary-tie scan + final bucketing
     out = ntile3_by_cutoffs(scored, "lang", "avg_logprob", "doc_id")
     # the helper's eager histogram collect has materialized scored's
-    # cache by now, so the (much larger, token-level) dt cache is dead
-    # weight — release it. scored itself backs the returned lazy plan;
-    # the session's cache-clearing discipline (bench/selfcheck) or the
-    # caller's clearCache releases it, same contract as dedup.py's
-    # persisted shingle frames.
+    # cache by now, so the (much larger, token-level) dt cache and the
+    # vocab cache are dead weight — release them. scored itself backs the
+    # returned lazy plan; the session's cache-clearing discipline
+    # (bench/selfcheck) or the caller's clearCache releases it, same
+    # contract as dedup.py's persisted shingle frames.
     dt.unpersist()
+    v.unpersist()
     return out
 
 
@@ -1083,7 +1112,8 @@ def ntile3_by_cutoffs(
             tiebreak, part, score, F.lit("head").alias("bucket")
         )
     part_type = dict(scored.dtypes)[part]
-    req_df = spark.createDataFrame(
+    req_df = values_df(
+        spark,
         [(p, int(s), int(k), w) for p, s, k, w in requests],
         f"{part} {part_type}, __sk long, __k long, __which string",
     )
@@ -1111,8 +1141,8 @@ def ntile3_by_cutoffs(
     # job instead of a second driver collect. Partitions whose cutoffs
     # are absent (empty upper buckets) come from the histogram's
     # partition list (tiny, already on the driver).
-    parts_df = spark.createDataFrame(
-        [(p,) for p in by_part], f"{part} {part_type}"
+    parts_df = values_df(
+        spark, [(p,) for p in by_part], f"{part} {part_type}"
     )
     pivoted = (
         cuts_df.groupBy(part)
@@ -1207,7 +1237,15 @@ def lm_score(docs: DataFrame, state: DataFrame) -> DataFrame:
         .groupBy("doc_id", "lang", "tok")
         .agg(F.count(F.lit(1)).alias("dc"))
     )
-    tot = state.groupBy("lang").agg(F.sum("c").cast("double").alias("total"))
+    # language totals are a handful of rows over the (vocab-sized,
+    # checkpointed) state: collect them and join a VALUES LocalRelation
+    # instead of an aggregate broadcast subquery — one fewer exec-time
+    # job, byte-identical totals (exact integer sums cast to double)
+    tot_rows = [
+        (r["lang"], float(r["t"]))
+        for r in state.groupBy("lang").agg(F.sum("c").alias("t")).collect()
+    ]
+    tot = values_df(docs.sparkSession, tot_rows, "lang string, total double")
     return (
         dt.join(state, ["lang", "tok"])
         .join(F.broadcast(tot), "lang")

@@ -45,6 +45,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from imagingdb_spark.catalog import values_df
 from imagingdb_spark.registry import query
 
 HLL_P = 12                 # 2^12 = 4096 registers -> ~1.6% relative error
@@ -511,9 +512,12 @@ def kmv_overlaps(
     partial the estimate is EXACT (theta = 1, samples = whole
     populations) — pinned by test against a direct distinct intersection.
 
-    Plan shape: the sketch materializes ONCE (eager localCheckpoint — it
-    feeds the stats pass and both sides of the sample join; k rows per
-    group, never the corpus); per-group stats are a GROUPS-sized collect
+    Plan shape: the sketch materializes ONCE — persisted, with the stats
+    collect right below doubling as the cache build (r11: an eager
+    localCheckpoint plus a separate stats collect was two driver-blocking
+    jobs where one suffices; it feeds the stats pass and both sides of
+    the sample join; k rows per group, never the corpus); per-group
+    stats are a GROUPS-sized collect
     (a segment taxonomy, bounded like every dim collect in the repo), so
     the group-pair frame is built driver-side with its thetas and
     per-group estimates as literals — a non-equi g_a < g_b join would be
@@ -521,7 +525,7 @@ def kmv_overlaps(
     join is the equi-join of sample rows on u (k × groups rows)."""
     from decimal import Decimal
 
-    sketch = sketch.localCheckpoint(eager=True)
+    sketch = sketch.persist()
     spark = sketch.sparkSession
     stats = {
         r[group_col]: (int(r["n"]), int(r["theta_raw"]))
@@ -541,10 +545,11 @@ def kmv_overlaps(
                 (a, b, Decimal(th_pair),
                  th_pair / float(1 << 64), _est(a), _est(b))
             )
-    pairs = spark.createDataFrame(
+    pairs = values_df(
+        spark,
         pair_rows,
-        f"g_a string, g_b string, th_pair decimal(21,0), "
-        f"theta double, est_a double, est_b double",
+        "g_a string, g_b string, th_pair decimal(21,0), "
+        "theta double, est_a double, est_b double",
     )
     common_n = (
         sketch.select(F.col(group_col).alias("g_a"), "u")
