@@ -509,21 +509,25 @@ def x_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100).cast("bigint").alias("cents"),
     )
 
-    def partial(df: DataFrame) -> DataFrame:
-        return df.groupBy("event_type", "day").agg(
+    # Both partial states in ONE fact pass (r11, guide §2.4): the side
+    # flag joins the grouping key, so the state and increment partials
+    # are disjoint groups of a single map-side-combined aggregate — the
+    # old two-filter shape scanned the fact table twice and shuffled it
+    # twice. The merge step below still sums ACROSS the two sides per
+    # (event_type, day), so the mergeable-aggregate algebra the oracle
+    # verifies (merge of partials == aggregate of the union) is
+    # exercised unchanged.
+    partials = (
+        e.withColumn("__new", F.col("day") >= INCR_SPLIT_DAY)
+        .groupBy("__new", "event_type", "day")
+        .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("cents").alias("s_cents"),
         )
-
-    state = partial(e.filter(F.col("day") < INCR_SPLIT_DAY))
-    increment = partial(e.filter(F.col("day") >= INCR_SPLIT_DAY))
-    merged = (
-        state.unionByName(increment)
-        .groupBy("event_type", "day")
-        .agg(
-            F.sum("n_events").alias("n_events"),
-            F.sum("s_cents").alias("s_cents"),
-        )
+    )
+    merged = partials.groupBy("event_type", "day").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("s_cents").alias("s_cents"),
     )
     return merged.select(
         "event_type",

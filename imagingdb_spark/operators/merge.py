@@ -398,30 +398,24 @@ def x_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = lambda p: F.substring(  # noqa: E731
         F.md5(F.concat(F.lit(p), F.col("doc_id").cast("string"))), 1, 1
     )
+    # all three log epochs in ONE scan (r11, guide §2.4: the old
+    # three-filter union scanned the corpus three times): each doc emits
+    # the 0–3 log rows its content hashes select, via a map-side
+    # array-of-candidates explode. Row set identical by construction.
+    mk = lambda seq, op, txt: F.struct(  # noqa: E731
+        F.lit(seq).alias("seq"), F.lit(op).alias("op"), txt.alias("text")
+    )
+    cands = F.array(
+        F.when(h("cdc1-").isin(*"0123"), mk(1, "U", F.concat("text", F.lit(" v2")))),
+        F.when(h("cdc2-").isin(*"01"), mk(2, "D", F.lit(None).cast("string"))),
+        F.when(h("cdc3-") == "0", mk(3, "U", F.concat("text", F.lit(" v3")))),
+    )
     log = (
-        d.filter(h("cdc1-").isin(*"0123"))
-        .select(
+        d.select(
             "doc_id",
-            F.lit(1).alias("seq"),
-            F.lit("U").alias("op"),
-            F.concat("text", F.lit(" v2")).alias("text"),
+            F.explode(F.filter(cands, lambda c: c.isNotNull())).alias("__c"),
         )
-        .unionByName(
-            d.filter(h("cdc2-").isin(*"01")).select(
-                "doc_id",
-                F.lit(2).alias("seq"),
-                F.lit("D").alias("op"),
-                F.lit(None).cast("string").alias("text"),
-            )
-        )
-        .unionByName(
-            d.filter(h("cdc3-") == "0").select(
-                "doc_id",
-                F.lit(3).alias("seq"),
-                F.lit("U").alias("op"),
-                F.concat("text", F.lit(" v3")).alias("text"),
-            )
-        )
+        .select("doc_id", "__c.seq", "__c.op", "__c.text")
     )
     out = cdc_apply(d, log, key="doc_id")
     return out.select(

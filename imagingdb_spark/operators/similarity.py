@@ -28,6 +28,8 @@ not to Arrow-vectorized batch math over fixed-width numeric arrays.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession, Window
@@ -544,7 +546,19 @@ def _lloyd_refine(
     return codebooks
 
 
-def _ivf_centroids(e: DataFrame) -> np.ndarray:
+def _ivf_train_sample(e: DataFrame) -> DataFrame:
+    """The deterministic ~1/IVF_TRAIN_MOD training sample, PERSISTED —
+    callers that train several quantizers off the same sample (IVF×PQ)
+    share one cache and one materialization; partitioning is the scan's,
+    so the pid-ordered stats fold stays bit-deterministic."""
+    return (
+        e.filter(F.xxhash64("vec_id") % IVF_TRAIN_MOD == 0)
+        .select("vec_id", "embedding")
+        .persist()
+    )
+
+
+def _ivf_centroids(e: DataFrame, sample: DataFrame | None = None) -> np.ndarray:
     """K-means codebook trained DISTRIBUTED on a deterministic sample.
 
     Standard IVF practice (FAISS): the codebook is trained on a bounded
@@ -559,12 +573,12 @@ def _ivf_centroids(e: DataFrame) -> np.ndarray:
     # beats recompute — k-means iterations are the textbook case). The
     # cache holds only (vec_id, embedding) of the ~1/IVF_TRAIN_MOD sample;
     # partitioning (and therefore the pid-ordered stats fold) is identical
-    # cached or not, so training stays bit-deterministic.
-    sample = (
-        e.filter(F.xxhash64("vec_id") % IVF_TRAIN_MOD == 0)
-        .select("vec_id", "embedding")
-        .persist()
-    )
+    # cached or not, so training stays bit-deterministic. Callers may pass
+    # a pre-built _ivf_train_sample to share it across trainers (they own
+    # its lifecycle then).
+    own = sample is None
+    if own:
+        sample = _ivf_train_sample(e)
     try:
         seeds = (
             sample.orderBy(F.xxhash64("vec_id", F.lit(1)), "vec_id")
@@ -575,7 +589,8 @@ def _ivf_centroids(e: DataFrame) -> np.ndarray:
         centroids = np.asarray([r["embedding"] for r in seeds], dtype=np.float64)
         return _lloyd_refine(sample, centroids[None, :, :], IVF_ITER)[0]
     finally:
-        sample.unpersist()
+        if own:
+            sample.unpersist()
 
 
 @query("x_ann_ivf")  # rows-only: k-means codebook not ANSI-SQL-expressible
@@ -1422,7 +1437,12 @@ def _pq_reconstruct(codebooks: np.ndarray, codes: np.ndarray) -> np.ndarray:
     ).reshape(n, -1)
 
 
-def _pq_codebooks(e: DataFrame, m: int = PQ_M, dim: int | None = None) -> np.ndarray:
+def _pq_codebooks(
+    e: DataFrame,
+    m: int = PQ_M,
+    dim: int | None = None,
+    sample: DataFrame | None = None,
+) -> np.ndarray:
     """(m, PQ_K, dsub) k-means codebooks trained DISTRIBUTED on a
     deterministic sample — the _ivf_centroids discipline: ALL m subspace
     k-means run in the SAME _lloyd_refine pass per iteration
@@ -1443,12 +1463,17 @@ def _pq_codebooks(e: DataFrame, m: int = PQ_M, dim: int | None = None) -> np.nda
     # _ivf_centroids discipline, same determinism argument). For a
     # RESIDUAL input (x_ann_ivfpq trains on x − centroid via a pandas
     # UDF), this also pins the residual computation to ONE evaluation
-    # instead of one per training pass.
-    sample = (
-        e.filter(F.xxhash64("vec_id") % PQ_TRAIN_MOD == 0)
-        .select("vec_id", "embedding")
-        .persist()
-    )
+    # instead of one per training pass. Callers holding an equivalent
+    # pre-persisted sample (x_ann_ivfpq derives the residual sample from
+    # the SAME cached rows — PQ_TRAIN_MOD == IVF_TRAIN_MOD) pass it in
+    # and own its lifecycle.
+    own = sample is None
+    if own:
+        sample = (
+            e.filter(F.xxhash64("vec_id") % PQ_TRAIN_MOD == 0)
+            .select("vec_id", "embedding")
+            .persist()
+        )
     try:
         seeds = (
             sample.orderBy(F.xxhash64("vec_id", F.lit(1)), "vec_id")
@@ -1470,7 +1495,8 @@ def _pq_codebooks(e: DataFrame, m: int = PQ_M, dim: int | None = None) -> np.nda
         )  # (m, K, dsub)
         return _lloyd_refine(sample, codebooks, PQ_ITER)
     finally:
-        sample.unpersist()
+        if own:
+            sample.unpersist()
 
 
 @query("x_pq_quantize")  # rows-only: k-means codebooks not ANSI-SQL-
@@ -1611,22 +1637,48 @@ def x_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest the corpus is (cell, codes): 8 bytes/vector scanned instead of
     the float32 vectors — the ADC pass is I/O-bound on 1/64th the bytes."""
     e = table(spark, sf_dir, "embeddings")
-    centroids = _ivf_centroids(e)  # (IVF_K, dim) coarse quantizer
-    c_sq = (centroids * centroids).sum(axis=1)
+    # the probe fetch is independent of training: submit it from a driver
+    # thread so its tiny job back-fills the training jobs' idle tail
+    # (guide §2.6 — overlap independent jobs) instead of serializing a
+    # full scheduling round trip after them.
+    probe_pool = ThreadPoolExecutor(max_workers=1)
+    qvec_future = probe_pool.submit(_collect_probe, e)
+    # sample-sharing below is only sound while the two trainers draw the
+    # same deterministic rows
+    assert IVF_TRAIN_MOD == PQ_TRAIN_MOD
+    # ONE persisted training sample shared by BOTH trainers: the PQ
+    # sample is the residual projection of the SAME deterministic rows
+    # (PQ_TRAIN_MOD == IVF_TRAIN_MOD), so deriving it from the cached
+    # sample skips a second corpus scan+filter. Partitioning and row
+    # order equal the old scan→filter→project pipeline's, so the
+    # pid-ordered stats folds (and therefore the codebooks) are
+    # byte-identical.
+    sample = _ivf_train_sample(e)
+    try:
+        centroids = _ivf_centroids(e, sample=sample)  # (IVF_K, dim)
+        c_sq = (centroids * centroids).sum(axis=1)
 
-    # residual corpus for PQ training: x − nearest centroid, map-side
-    @F.pandas_udf("array<double>")
-    def residual(emb: pd.Series) -> pd.Series:
-        x = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
-        cells = np.argmin(-2.0 * (x @ centroids.T) + c_sq, axis=1)
-        return pd.Series(list(x - centroids[cells]))
+        # residual corpus for PQ training: x − nearest centroid, map-side
+        @F.pandas_udf("array<double>")
+        def residual(emb: pd.Series) -> pd.Series:
+            x = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
+            cells = np.argmin(-2.0 * (x @ centroids.T) + c_sq, axis=1)
+            return pd.Series(list(x - centroids[cells]))
 
-    e_res = e.withColumn("embedding", residual("embedding"))
-    codebooks = _pq_codebooks(
-        e_res, m=PQ_ANN_M, dim=centroids.shape[1]
-    )  # (M, K, dsub) residual
+        res_sample = sample.withColumn(
+            "embedding", residual("embedding")
+        ).persist()
+        try:
+            codebooks = _pq_codebooks(
+                e, m=PQ_ANN_M, dim=centroids.shape[1], sample=res_sample
+            )  # (M, K, dsub) residual
+        finally:
+            res_sample.unpersist()
+    finally:
+        sample.unpersist()
 
-    qvec = _collect_probe(e)
+    qvec = qvec_future.result()
+    probe_pool.shutdown()
     d2 = ((centroids - qvec) ** 2).sum(axis=1)
     probe_cells = [int(c) for c in np.argsort(d2)[:IVF_PROBE]]
     dsub = qvec.shape[0] // PQ_ANN_M
@@ -1682,9 +1734,15 @@ def x_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PQ_SHORTLIST)
         .select("vec_id")  # ids only: no float payload past this point
     )
+    # the shortlist is a BOUNDED constant (PQ_SHORTLIST ids): collect it
+    # and push an IN predicate INTO the parquet scan — the re-rank job
+    # then row-group-prunes on vec_id instead of building a broadcast
+    # relation for a join (one scheduling round trip less, and
+    # PushedFilters carries the point lookup; same rows by construction)
+    ids = [r["vec_id"] for r in shortlist.collect()]
     score = _cosine_vs_probe_udf(qvec)
     return (
-        e.join(F.broadcast(shortlist), "vec_id")  # point lookup by id
+        e.filter(F.col("vec_id").isin(ids))  # point lookup by id
         .select(
             "vec_id", "label",
             F.round(score("embedding"), 4).alias("cosine_sim"),
