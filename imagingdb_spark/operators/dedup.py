@@ -159,11 +159,19 @@ def shingle_frame(
     d: DataFrame,
     extra_cols: list[str] | None = None,
     k: int = SHINGLE_K,
+    with_sig: bool = False,
 ) -> DataFrame:
     """shingled_docs over an arbitrary (doc_id, text[, extra]) DataFrame.
     Callers that only need a SUBSET of docs must filter `d` BEFORE calling:
     mapInPandas is opaque to Catalyst, so a filter applied after it cannot
-    be pushed below the (CPU-heavy) shingling."""
+    be pushed below the (CPU-heavy) shingling.
+
+    with_sig=True additionally emits the MinHash signature (`sig`,
+    array<bigint> of MINHASH_N mins) computed IN THE SAME Arrow pass from
+    the same numpy shingle arrays — byte-identical to the standalone
+    signature UDF (exact integer uint64 arithmetic), but the shingle
+    arrays cross the JVM↔Python boundary once instead of twice (guide
+    §4.1: you control how many columns cross, and how often)."""
     extra = extra_cols or []
     # Shingling is CPU-heavy; a small parquet layout (one file → one
     # partition) would serialize it on a single core. Round-robin
@@ -179,6 +187,11 @@ def shingle_frame(
     out_fields = [src.schema["doc_id"]] + [src.schema[c] for c in extra]
     schema = T.StructType(
         out_fields + [T.StructField("shingles", T.ArrayType(T.LongType()))]
+        + (
+            [T.StructField("sig", T.ArrayType(T.LongType()))]
+            if with_sig
+            else []
+        )
     )
 
     def gen(batches):
@@ -188,7 +201,10 @@ def shingle_frame(
                 for t in pdf["text"]
             ]
             out = pdf[["doc_id", *extra]].copy()
-            out["shingles"] = _shingle_batch(toks, k)
+            sh = _shingle_batch(toks, k)
+            out["shingles"] = sh
+            if with_sig:
+                out["sig"] = _minhash_sig_arrays(sh)
             yield out
 
     return src.mapInPandas(gen, schema).filter(F.size("shingles") > 0)
@@ -480,17 +496,29 @@ def incremental_match(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
         "lang",
         "source",
         "is_new",
+        sz.alias("n"),
         F.explode(F.slice("toks_sorted", 1, p_len)).alias("token"),
     ).persist()  # feeds BOTH join sides — unpersisted, the whole
     # dfreq + sort pipeline would evaluate once per side
     new_pref = prefix.filter("is_new").select(
-        F.col("doc_id").alias("new_doc"), "lang", "source", "token"
+        F.col("doc_id").alias("new_doc"), "lang", "source", "token",
+        F.col("n").alias("n_new"),
     )
     corpus_pref = prefix.filter(~F.col("is_new")).select(
-        F.col("doc_id").alias("corpus_doc"), "lang", "source", "token"
+        F.col("doc_id").alias("corpus_doc"), "lang", "source", "token",
+        F.col("n").alias("n_corp"),
     )
+    # PPJoin LENGTH filter (lossless): J >= 4/5 forces
+    # 4·max(|A|,|B|) <= 5·min(|A|,|B|) — integer-exact, and the verify
+    # predicate (5i >= 4(a+b−i), i <= min(a,b)) already implies it, so
+    # the output is unchanged; candidates that can't pass never reach
+    # dropDuplicates + the tokset verify joins.
     cand = (
         corpus_pref.join(F.broadcast(new_pref), ["lang", "source", "token"])
+        .filter(
+            (4 * F.col("n_new") <= 5 * F.col("n_corp"))
+            & (4 * F.col("n_corp") <= 5 * F.col("n_new"))
+        )
         .select("new_doc", "corpus_doc")
         .dropDuplicates(["new_doc", "corpus_doc"])
     )
@@ -628,13 +656,16 @@ _MH_A = (np.arange(MINHASH_N, dtype=np.uint64) * np.uint64(2) + np.uint64(1)) * 
 _MH_B = (np.arange(MINHASH_N, dtype=np.uint64) + np.uint64(1)) * _P2
 
 
-def _minhash_sig_batch(sh: pd.Series) -> pd.Series:
+def _minhash_sig_arrays(sh) -> list[np.ndarray]:
     """MAP-SIDE MinHash signature: min over the doc's shingle hashes of N
     universal hashes, computed as one flat numpy pass per Arrow batch
     (np.minimum.reduceat over doc segments). Replaces the earlier
     explode → groupBy(doc_id).agg(N mins) form: same signatures family-wise,
     but ZERO shuffle — at 100 TB the old form shuffled docs × N × 8 bytes
-    and paid a stage barrier; this rides the shingle pass."""
+    and paid a stage barrier; this rides the shingle pass. ``sh`` is any
+    sequence of int64 shingle arrays (a pandas Series from the standalone
+    UDF, or the fresh numpy arrays inside shingle_frame's fused pass —
+    exact integer arithmetic, so both paths emit identical bytes)."""
     lens = np.fromiter((len(a) for a in sh), dtype=np.int64, count=len(sh))
     out = np.empty((len(sh), MINHASH_N), dtype=np.uint64)
     nonempty = lens > 0
@@ -650,16 +681,26 @@ def _minhash_sig_batch(sh: pd.Series) -> pd.Series:
             sub[:, i] = np.minimum.reduceat(allh * _MH_A[i] + _MH_B[i], starts)
         out[nonempty] = sub
     signed = out.view(np.int64)
-    return pd.Series(list(signed))
+    return list(signed)
+
+
+def _minhash_sig_batch(sh: pd.Series) -> pd.Series:
+    return pd.Series(_minhash_sig_arrays(sh))
 
 
 def _minhash_signatures(sh: DataFrame) -> DataFrame:
     """(doc_id, h0..h{N-1}): MinHash signature as N scalar columns, unpacked
     from the map-side array UDF — no shuffle anywhere in signature
-    generation. (The pandas_udf is wrapped here, not at module level: DDL
-    return-type parsing needs an active SparkSession.)"""
-    sig_udf = F.pandas_udf(_minhash_sig_batch, "array<bigint>")
-    sig = sh.select("doc_id", sig_udf("shingles").alias("sig"))
+    generation. A shingle frame built with ``with_sig=True`` already
+    carries the (byte-identical) signature from the fused Arrow pass;
+    use it directly so the shingle arrays don't make a second trip
+    through the Python boundary. (The pandas_udf is wrapped here, not at
+    module level: DDL return-type parsing needs an active SparkSession.)"""
+    if "sig" in sh.columns:
+        sig = sh.select("doc_id", "sig")
+    else:
+        sig_udf = F.pandas_udf(_minhash_sig_batch, "array<bigint>")
+        sig = sh.select("doc_id", sig_udf("shingles").alias("sig"))
     return sig.select(
         "doc_id",
         *[F.col("sig")[i].alias(f"h{i}") for i in range(MINHASH_N)],
@@ -760,7 +801,7 @@ def minhash_pairs(d: DataFrame) -> DataFrame:
     x_dedup_minhash (whole-table query) and pipelines.pretraining_pipeline
     (runs it on the quality-surviving subset). Same algorithm, same
     scale shape; see x_dedup_minhash's docstring."""
-    sh = shingle_frame(d).persist()
+    sh = shingle_frame(d, with_sig=True).persist()
     return _verify_shingle_pairs(_lsh_band_candidates(sh), sh)
 
 
@@ -775,7 +816,7 @@ def verified_pairs(d: DataFrame) -> DataFrame:
     construction — no longer corpus-dependent (VERDICT r5 item 1: sf1.0
     had measured LSH recall 0.9996; pure-LSH recall measurement now lives
     only in x_dedup_eval where it belongs)."""
-    sh = shingle_frame(d).persist()
+    sh = shingle_frame(d, with_sig=True).persist()
     cand = (
         _lsh_band_candidates(sh)
         .unionByName(_shingle_prefix_candidates(sh))
