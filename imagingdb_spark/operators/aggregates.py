@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import pandas as pd  # module-level so stringified UDAF hints resolve
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from imagingdb_spark.catalog import table
@@ -375,17 +375,22 @@ def x_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     (always a multiple of 7, so the double division is exact), and the
     count is a plain distinct — fully deterministic.
 
-    Scale shape: the cohort table is a per-user min aggregate (map-side
-    partial, shuffle one row per user) joined back to the fact on user_id
-    — a dimension-sized broadcast whenever users << events (AQE decides);
-    the retention cells are then a low-cardinality groupBy. No windows,
-    no global sort, the fact table is scanned once."""
+    Scale shape: the cohort week is min(ts) over a user_id WINDOW — the
+    fact table is scanned ONCE and shuffled ONCE (by user_id), where the
+    old per-user min aggregate + join-back shape scanned it twice and
+    shuffled it twice (r11, guide §2.4: the window reuses the exact rows
+    the join would have re-keyed). The retention cells are then a
+    low-cardinality groupBy. No global sort."""
     e = table(spark, sf_dir, "events")
-    u = e.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
-    )
+    w_user = Window.partitionBy("user_id")
     return (
-        e.join(u, "user_id")
+        e.select(
+            "user_id",
+            "ts",
+            F.date_trunc("week", F.min("ts").over(w_user)).alias(
+                "cohort_week"
+            ),
+        )
         .select(
             "user_id",
             "cohort_week",

@@ -463,7 +463,11 @@ def incremental_match(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
         F.array_distinct(
             F.transform(tokens_col(F.col("text")), lambda t: F.xxhash64(t))
         ).alias("tokset"),
-    ).persist()  # feeds prefix generation AND both verify sides
+    ).localCheckpoint(eager=True)  # feeds prefix generation AND both
+    # verify sides; EAGER (r11): the verify-side map stages launch at job
+    # start with no dependency on candidate generation and would race a
+    # lazy cache, re-running the tokenize per stage (the x_containment
+    # finding, same shape)
 
     ex = toks.select(
         "doc_id", "lang", "source", "is_new", F.explode("tokset").alias("token")
@@ -1694,6 +1698,11 @@ def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     already builds — and the prefix side is ~(1−t) of each doc's tokens;
     no block-quadratic pair generation anywhere."""
     d = table(spark, sf_dir, "documents")
+    # eager localCheckpoint, not a lazy persist (r11): the verify-side
+    # map stages (ta/tb below) have no dependency on the candidate
+    # stages, so they launch at job start and would race the unbuilt
+    # cache, re-running the tokenize+hash pass per stage; the checkpoint
+    # materializes it once before anything fans out.
     toks = d.select(
         "doc_id",
         "lang",
@@ -1701,10 +1710,7 @@ def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.transform(tokens_col(F.col("text")), lambda t: F.xxhash64(t))
         ).alias("tokset"),
-    ).filter(F.size("tokset") > 0).persist()
-    # callers running many queries per session must clearCache() after
-    # consuming (bench.py / tools/selfcheck.py do) — same contract as
-    # x_dedup_jaccard's token table.
+    ).filter(F.size("tokset") > 0).localCheckpoint(eager=True)
 
     ex = toks.select(
         "doc_id", "lang", "source", F.size("tokset").alias("n"),

@@ -447,6 +447,15 @@ def kmv_partials(
     u = (
         F.xxhash64(F.col(key_col)).cast("decimal(20,0)") + F.expr(_BIAS)
     ).alias("u")
+    # NOTE (r11 audit): the final per-group rank funnels each group's
+    # distinct keys through one window task. A salted two-level
+    # selection (rank within (group, pmod(u, S)) first, then the global
+    # rank over <= S·k survivors — lossless because a global top-k value
+    # is a top-k value of its salt slice) bounds that task's input at
+    # any scale; it was measured here and NOT adopted for the bench tree
+    # because it adds an exchange that costs more than the funnel saves
+    # at bench SF. Flip to it when a single group's distinct count
+    # approaches task memory.
     w = Window.partitionBy(*group_cols).orderBy("u")
     return (
         df.select(*group_cols, u)
