@@ -341,10 +341,11 @@ def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.transform(tokens_col(F.col("text")), lambda t: F.xxhash64(t))
         ).alias("tokset"),
-    ).persist()  # feeds candidate generation AND both verify sides.
-    # Lazy-returned DF ⇒ cannot unpersist here; callers running many queries
-    # in one session must spark.catalog.clearCache() after consuming
-    # (bench.py and tools/selfcheck.py do) or cached token tables accumulate.
+    ).localCheckpoint(eager=True)  # feeds candidate generation AND both
+    # verify sides; EAGER (r11): the verify-side map stages launch at job
+    # start with no dependency on candidate generation and would race a
+    # lazy cache, re-running the tokenize per stage (the x_containment
+    # finding, same shape).
 
     ex = toks.select("doc_id", "lang", "source", F.explode("tokset").alias("token"))
     dfreq = ex.groupBy("lang", "source", "token").agg(
