@@ -41,6 +41,15 @@ def get_spark(app_name: str = "imagingdb_spark", cpus: str | None = None) -> Spa
         .config("spark.sql.shuffle.partitions", str(cpus))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # NOTE (r11 A/B): coalescePartitions.parallelismFirst=false
+        # (size-based coalescing toward the advisory, the guide §9
+        # production setting) was measured here and REJECTED for the
+        # local tree: it coalesces this SF's few-MB shuffles to 1-2
+        # partitions and serializes CPU-heavy reduce stages
+        # (x_perplexity_bucket 1.19x, st_perplexity 1.09x interleaved).
+        # Default (parallelism-first) keeps reduce stages wide locally;
+        # at cluster scale partitions exceed the advisory and the two
+        # policies converge.
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
