@@ -21,8 +21,15 @@ STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
 
 def tokens_col(text: Column) -> Column:
-    """Shared token definition: lowercase, whitespace-split, no empties."""
-    return F.filter(F.split(F.lower(text), r"\s+"), lambda t: t != F.lit(""))
+    """Shared token definition: lowercase, whitespace-split, no empties.
+
+    array_remove, not a higher-order filter (r11, guide §4.2): the
+    lambda form is interpreted per element (no codegen) on every text
+    query's corpus pass, while array_remove is a codegen'd builtin.
+    Equivalent by construction: a `\\s+` split can only produce empty
+    strings at the array boundaries (leading/trailing whitespace or an
+    empty input), and array_remove drops every "" wherever it sits."""
+    return F.array_remove(F.split(F.lower(text), r"\s+"), "")
 
 
 @query(
