@@ -518,10 +518,11 @@ def x_incr_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     # flag joins the grouping key, so the state and increment partials
     # are disjoint groups of a single map-side-combined aggregate — the
     # old two-filter shape scanned the fact table twice and shuffled it
-    # twice. The merge step below still sums ACROSS the two sides per
-    # (event_type, day), so the mergeable-aggregate algebra the oracle
-    # verifies (merge of partials == aggregate of the union) is
-    # exercised unchanged.
+    # twice. The merge step below regroups the partials by
+    # (event_type, day) — structurally a merge of partials; because the
+    # split flag is a pure function of `day`, no group ever spans both
+    # sides, so the cross-side summation is exercised vacuously (true of
+    # the old two-filter shape as well — ADVICE r11).
     partials = (
         e.withColumn("__new", F.col("day") >= INCR_SPLIT_DAY)
         .groupBy("__new", "event_type", "day")

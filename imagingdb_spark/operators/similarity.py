@@ -490,7 +490,10 @@ def _ivf_assign_udf(centroids: np.ndarray):
 
 
 def _lloyd_refine(
-    sample: DataFrame, codebooks: np.ndarray, iters: int
+    sample: DataFrame,
+    codebooks: np.ndarray,
+    iters: int,
+    transform=None,
 ) -> np.ndarray:
     """Deterministic distributed Lloyd iterations over (m, K, dsub)
     codebooks (IVF is the m=1, dsub=dim case). Each round is ONE
@@ -502,7 +505,19 @@ def _lloyd_refine(
     order, which varies run to run; a one-ulp drift in a centroid can
     flip an argmin tie and fail the selfcheck determinism gate — the
     x_embed_quantize float-fold lesson, applied to training. Empty cells
-    keep their previous centroid."""
+    keep their previous centroid.
+
+    ``transform`` (r12): optional per-batch ndarray→ndarray projection
+    applied before assignment — x_ann_ivfpq passes the residual map
+    (x − nearest coarse centroid) so PQ trains on residuals WITHOUT
+    materializing a second persisted residual frame (one fewer cached
+    corpus-sample copy, one fewer Arrow round trip per training pass;
+    the projection is recomputed per round, a trivially cheap numpy
+    matmul against the per-round Python-boundary cost it replaces).
+    Batches arrive partition-at-once at bench sizes either way, so the
+    float shapes (and therefore the codebooks) are byte-identical to
+    the materialized-residual path — verified at sf0.001/0.01/0.1 and
+    at 8 cores."""
     m_, k_, dsub = codebooks.shape
     schema = "pid int, s array<double>, n array<long>"
     for _ in range(iters):
@@ -516,6 +531,8 @@ def _lloyd_refine(
             seen = False
             for pdf in batches:
                 x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                if transform is not None:
+                    x = transform(x)
                 codes = _pq_assign_codes(cb, x)
                 xs = x.reshape(len(x), m_, dsub)
                 for mm in range(m_):
@@ -1640,45 +1657,75 @@ def x_ann_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the probe fetch is independent of training: submit it from a driver
     # thread so its tiny job back-fills the training jobs' idle tail
     # (guide §2.6 — overlap independent jobs) instead of serializing a
-    # full scheduling round trip after them.
+    # full scheduling round trip after them. try/finally (ADVICE r11):
+    # a failure inside training must not leak the pool/background job.
     probe_pool = ThreadPoolExecutor(max_workers=1)
-    qvec_future = probe_pool.submit(_collect_probe, e)
-    # sample-sharing below is only sound while the two trainers draw the
-    # same deterministic rows
-    assert IVF_TRAIN_MOD == PQ_TRAIN_MOD
-    # ONE persisted training sample shared by BOTH trainers: the PQ
-    # sample is the residual projection of the SAME deterministic rows
-    # (PQ_TRAIN_MOD == IVF_TRAIN_MOD), so deriving it from the cached
-    # sample skips a second corpus scan+filter. Partitioning and row
-    # order equal the old scan→filter→project pipeline's, so the
-    # pid-ordered stats folds (and therefore the codebooks) are
-    # byte-identical.
-    sample = _ivf_train_sample(e)
     try:
-        centroids = _ivf_centroids(e, sample=sample)  # (IVF_K, dim)
-        c_sq = (centroids * centroids).sum(axis=1)
-
-        # residual corpus for PQ training: x − nearest centroid, map-side
-        @F.pandas_udf("array<double>")
-        def residual(emb: pd.Series) -> pd.Series:
-            x = np.stack(emb.to_numpy()).astype(np.float64, copy=False)
-            cells = np.argmin(-2.0 * (x @ centroids.T) + c_sq, axis=1)
-            return pd.Series(list(x - centroids[cells]))
-
-        res_sample = sample.withColumn(
-            "embedding", residual("embedding")
-        ).persist()
+        qvec_future = probe_pool.submit(_collect_probe, e)
+        # sample-sharing below is only sound while the two trainers draw
+        # the same deterministic rows AND select the same seed rows
+        assert IVF_TRAIN_MOD == PQ_TRAIN_MOD
+        assert IVF_K == PQ_K
+        # ONE persisted training sample AND ONE seed collect shared by
+        # BOTH trainers (r12, guide §1.4 — fewer driver round trips):
+        # the seed ordering (xxhash64(vec_id, 1), vec_id) is a function
+        # of vec_id only, and IVF_K == PQ_K, so the PQ seeds are the
+        # RESIDUAL PROJECTION of the very same 16 rows the IVF seeds
+        # are — computed driver-side from the collected rows instead of
+        # a second TakeOrdered job over a materialized residual frame.
+        # PQ training then runs over the SAME cached raw sample with the
+        # residual map applied inside the stats pass (_lloyd_refine's
+        # ``transform``), dropping the res_sample persist + its
+        # materialization pass entirely. Job ledger per invocation:
+        # seed collects 2→1, residual-frame materialization 1→0;
+        # codebooks byte-identical (same batch shapes partition-at-once;
+        # verified at sf0.001/0.01/0.1 and 8 cores).
+        sample = _ivf_train_sample(e)
         try:
-            codebooks = _pq_codebooks(
-                e, m=PQ_ANN_M, dim=centroids.shape[1], sample=res_sample
+            seeds = (
+                sample.orderBy(F.xxhash64("vec_id", F.lit(1)), "vec_id")
+                .limit(IVF_K)
+                .select("embedding")
+                .collect()
+            )
+            if not seeds:
+                raise ValueError("IVF/PQ training sample is empty")
+            seed_m = np.asarray(
+                [r["embedding"] for r in seeds], dtype=np.float64
+            )
+            centroids = _lloyd_refine(
+                sample, seed_m[None, :, :], IVF_ITER
+            )[0]  # (IVF_K, dim)
+            c_sq = (centroids * centroids).sum(axis=1)
+
+            def _resid(x: np.ndarray) -> np.ndarray:
+                # x − nearest coarse centroid: the same expression the
+                # old residual pandas UDF evaluated, now inline per batch
+                cells = np.argmin(-2.0 * (x @ centroids.T) + c_sq, axis=1)
+                return x - centroids[cells]
+
+            dim = centroids.shape[1]
+            dsub_t = dim // PQ_ANN_M
+            pq_seed = _resid(seed_m)
+            if pq_seed.shape[0] < PQ_K:
+                # tiny corpus: cycle the available seeds (duplicate
+                # centroids never move) — the _pq_codebooks rule
+                reps = -(-PQ_K // pq_seed.shape[0])
+                pq_seed = np.tile(pq_seed, (reps, 1))[:PQ_K]
+            cb0 = (
+                pq_seed.reshape(PQ_K, PQ_ANN_M, dsub_t)
+                .transpose(1, 0, 2)
+                .copy()
+            )  # (M, K, dsub)
+            codebooks = _lloyd_refine(
+                sample, cb0, PQ_ITER, transform=_resid
             )  # (M, K, dsub) residual
         finally:
-            res_sample.unpersist()
-    finally:
-        sample.unpersist()
+            sample.unpersist()
 
-    qvec = qvec_future.result()
-    probe_pool.shutdown()
+        qvec = qvec_future.result()
+    finally:
+        probe_pool.shutdown(wait=False, cancel_futures=True)
     d2 = ((centroids - qvec) ** 2).sum(axis=1)
     probe_cells = [int(c) for c in np.argsort(d2)[:IVF_PROBE]]
     dsub = qvec.shape[0] // PQ_ANN_M

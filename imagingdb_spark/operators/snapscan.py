@@ -55,6 +55,7 @@ the query surface answers to.
 from __future__ import annotations
 
 import hashlib
+import json
 import os
 import shutil
 import tempfile
@@ -130,46 +131,75 @@ def _build(spark: SparkSession, sf_dir: str, t: str) -> None:
     S.snapshot_merge(spark, t, upd.unionByName(ins), "doc_id")
 
 
+_FP_NAME = "source_fingerprint.json"
+
+
+def _source_sig(sf_dir: str) -> dict:
+    """Driver-side signature of the documents source: (size, mtime_ns)
+    per physical file. r12 (guide §1.4/§6): the previous fingerprint was
+    a full Spark scan+collect of per-lang counts PER INVOCATION — ~0.4 s
+    of pure revalidation job on every bench lap, and strictly WEAKER
+    than this: a regenerated dataset with identical per-lang counts but
+    different rows passed the count check; it cannot produce identical
+    mtime_ns. Validation stays per-invocation — only its cost moved from
+    a cluster job to a handful of stat() calls, the same source-of-truth
+    a manifest-format table (Iceberg/Delta) uses to detect foreign
+    rewrites of files it tracks."""
+    p = os.path.join(os.path.abspath(sf_dir), "documents.parquet")
+    files = [p]
+    if os.path.isdir(p):
+        files = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(p)
+            for f in fs
+            if not f.startswith((".", "_"))
+        )
+    sig = {}
+    for q in files:
+        st = os.stat(q)
+        sig[os.path.relpath(q, os.path.dirname(p))] = [
+            st.st_size, st.st_mtime_ns,
+        ]
+    return sig
+
+
+def _fp_valid(table_dir: str, sig: dict, want_versions: list[int]) -> bool:
+    """Cached-build validation, all driver-side file metadata: the stored
+    source signature must equal the CURRENT one and the version chain
+    must be complete (a crashed rename can't pass: the fingerprint is
+    written inside the build dir before the atomic swap)."""
+    try:
+        with open(os.path.join(table_dir, _FP_NAME)) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return False
+    return rec.get("sig") == sig and S._versions(table_dir) == want_versions
+
+
 def _scan_table(spark: SparkSession, sf_dir: str) -> str:
     """Build-or-reuse the deterministic snapshot table for ``sf_dir``.
-    Reuse is validated by version count + tip row count, and the tmpdir
-    tag folds a SOURCE fingerprint (total documents rows) alongside the
-    path hash — a regenerated dataset at the same path with a different
-    shape can never be mistaken for the cached build (round-9 ADVICE).
-    Anything invalid is wiped and rebuilt via a fresh-dir + rename swap
-    so a crashed build can never be mistaken for a finished one."""
-    docs = table(spark, sf_dir, "documents")
-    # ONE scan fingerprints the source: per-lang counts AND the merge
-    # leg's insert-slice size (a separate filter-count job would re-scan
-    # the whole table per invocation, cached build or not)
-    ins_slice = (
-        F.substring(
-            F.md5(F.concat(F.lit("mi-"), F.col("doc_id").cast("string"))),
-            1, 1,
-        )
-        == "0"
-    ).cast("long")
-    rows = docs.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n"), F.sum(ins_slice).alias("ins")
-    ).collect()
-    counts = {r["lang"]: r["n"] for r in rows}
-    total = sum(counts.values())
-    n_ins = sum(r["ins"] for r in rows)
-    want_rows = (
-        total - counts.get(_DEL_LANG, 0) - counts.get(_DV_LANG, 0) + n_ins
-    )
+    Reuse is validated per invocation by a SOURCE file-stat signature
+    (size + mtime_ns of every documents parquet file, recorded at build
+    time) plus a complete version chain — a regenerated dataset at the
+    same path can never be mistaken for the cached build (round-9
+    ADVICE; r12 moved the check from a per-invocation Spark scan job to
+    driver-side stat() calls, see ``_source_sig``). Anything invalid is
+    wiped and rebuilt via a fresh-dir + rename swap so a crashed build
+    can never be mistaken for a finished one."""
+    sig = _source_sig(sf_dir)
     tag = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}:{total}:dv-upd-mrg".encode()
+        f"{os.path.abspath(sf_dir)}:dv-upd-mrg:statsig".encode()
     ).hexdigest()[:12]
     t = os.path.join(tempfile.gettempdir(), f"imagingdb_snapscan_{tag}")
     if S.snapshot_exists(t):
-        vs = S._versions(t)
-        if vs == [1, 2, 3, 4, 5, 6] and S._read_manifest_raw(t, 6)["rows"] == want_rows:
+        if _fp_valid(t, sig, [1, 2, 3, 4, 5, 6]):
             return t
         shutil.rmtree(t, ignore_errors=True)
     build = f"{t}.build.{uuid.uuid4().hex}"
     try:
         _build(spark, sf_dir, build)
+        with open(os.path.join(build, _FP_NAME), "w") as f:
+            json.dump({"sig": sig}, f)
         try:
             os.rename(build, t)
         except OSError:
@@ -236,13 +266,23 @@ def x_snapshot_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _scan_table(spark, sf_dir)
     rng = [("doc_id", ">=", _LO), ("doc_id", "<", _HI)]
     probe = hashlib.md5(_PROBE_DOC.encode()).hexdigest()
-    pre = S.snapshot_read(spark, t, version=2, where=rng)
-    post = S.snapshot_read(spark, t, version=3, where=rng)
-    dv = S.snapshot_read(spark, t, version=4, where=rng)
-    upd = S.snapshot_read(spark, t, version=5, where=rng)
-    point = S.snapshot_read(spark, t, version=5, where=[("h", "=", probe)])
-    mrg = S.snapshot_read(spark, t, where=rng).unionByName(
-        S.snapshot_read(spark, t, where=[("doc_id", ">=", _INS_OFFSET)])
+    # ONE reader memo shared by the seven resolutions (r12, guide §1.4):
+    # legs whose pruned file list / sidecar ref set is identical share
+    # one py4j reader build instead of seven independent ones; each leg
+    # still resolves its own manifest and prunes independently — the
+    # product surface under test is unchanged.
+    cache: dict = {}
+    pre = S.snapshot_read(spark, t, version=2, where=rng, scan_cache=cache)
+    post = S.snapshot_read(spark, t, version=3, where=rng, scan_cache=cache)
+    dv = S.snapshot_read(spark, t, version=4, where=rng, scan_cache=cache)
+    upd = S.snapshot_read(spark, t, version=5, where=rng, scan_cache=cache)
+    point = S.snapshot_read(
+        spark, t, version=5, where=[("h", "=", probe)], scan_cache=cache
+    )
+    mrg = S.snapshot_read(spark, t, where=rng, scan_cache=cache).unionByName(
+        S.snapshot_read(
+            spark, t, where=[("doc_id", ">=", _INS_OFFSET)], scan_cache=cache
+        )
     )
     out = None
     for ver, df in (
@@ -279,22 +319,22 @@ def _catalog_table(spark: SparkSession, sf_dir: str) -> str:
     from imagingdb_spark import snapcatalog as C
 
     docs = table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
-    counts = {
-        r["lang"]: r["n"]
-        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
-    }
-    total = sum(counts.values())
-    want_docs = total - counts.get(_CAT_DEL_LANG, 0)
+    # same driver-side stat-signature validation as _scan_table (r12):
+    # the old per-lang count collect was a full Spark scan job per
+    # invocation and weaker evidence than file size + mtime_ns
+    sig = _source_sig(sf_dir)
     tag = hashlib.sha256(
-        f"{os.path.abspath(sf_dir)}:{total}:cat-dv".encode()
+        f"{os.path.abspath(sf_dir)}:cat-dv:statsig".encode()
     ).hexdigest()[:12]
     cat = os.path.join(tempfile.gettempdir(), f"imagingdb_catscan_{tag}")
 
     def _valid(c: str) -> bool:
-        if C.catalog_versions(c) != [1, 2]:
+        try:
+            with open(os.path.join(c, _FP_NAME)) as f:
+                rec = json.load(f)
+        except (OSError, ValueError):
             return False
-        m = C.catalog_manifest(c, 2)["tables"].get("docs")
-        return m is not None and m["rows"] == want_docs
+        return rec.get("sig") == sig and C.catalog_versions(c) == [1, 2]
 
     if C.catalog_exists(cat):
         if _valid(cat):
@@ -323,6 +363,8 @@ def _catalog_table(spark: SparkSession, sf_dir: str) -> str:
             },
             mode="dv",
         )
+        with open(os.path.join(build, _FP_NAME), "w") as f:
+            json.dump({"sig": sig}, f)
         try:
             os.rename(build, cat)
         except OSError:
@@ -377,17 +419,22 @@ def x_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cat = _catalog_table(spark, sf_dir)
     commit1 = C.catalog_manifest(cat, 1)
     commit2 = C.catalog_manifest(cat, 2)
+    # shared reader memo across the five legs (r12, guide §1.4) — same
+    # discipline as x_snapshot_scan's seven legs
+    cache: dict = {}
 
     def _counts(ver: str, commit: dict) -> DataFrame:
         return (
-            C.read_table_at(spark, cat, commit, "docs")
+            C.read_table_at(spark, cat, commit, "docs", scan_cache=cache)
             .groupBy("lang")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
             .select(F.lit(ver).alias("ver"), "lang", "n")
         )
 
     def _meta(ver: str, commit: dict) -> DataFrame:
-        return C.read_table_at(spark, cat, commit, "meta").select(
+        return C.read_table_at(
+            spark, cat, commit, "meta", scan_cache=cache
+        ).select(
             F.lit(ver).alias("ver"),
             "lang",
             F.col("n_docs").cast("bigint").alias("n"),
@@ -396,6 +443,7 @@ def x_catalog_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     probe = C.read_table_at(
         spark, cat, commit2, "docs",
         where=[("doc_id", ">=", _LO), ("doc_id", "<", _HI)],
+        scan_cache=cache,
     ).select(
         F.lit("probe_v2").alias("ver"),
         "lang",

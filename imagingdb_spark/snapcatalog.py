@@ -140,6 +140,7 @@ def _manifest_df(
     name: str,
     m: dict,
     where: list | None = None,
+    scan_cache: dict | None = None,
 ) -> DataFrame:
     """DataFrame for one embedded table manifest — the snapshot_read body
     over a manifest that came from a catalog commit instead of a
@@ -152,7 +153,7 @@ def _manifest_df(
     cond = S.where_to_column(where) if where else None
     # DV-aware (entries carrying positional-delete refs read as their
     # live rows) — catalog_delete(mode="dv") manifests read correctly
-    df = S._read_entries(spark, tdir, files, schema)
+    df = S._read_entries(spark, tdir, files, schema, scan_cache)
     return df.filter(cond) if cond is not None else df
 
 
@@ -163,6 +164,7 @@ def read_table_at(
     name: str,
     where: list | None = None,
     schema: StructType | None = None,
+    scan_cache: dict | None = None,
 ) -> DataFrame:
     """PUBLIC pinned-commit table read: resolve ``name`` out of an
     already-fetched catalog commit object (catalog_manifest's return) —
@@ -178,7 +180,7 @@ def read_table_at(
             f"catalog {catalog_dir} v{commit.get('version')} has no table "
             f"{name!r}"
         )
-    return _manifest_df(spark, catalog_dir, name, m, where)
+    return _manifest_df(spark, catalog_dir, name, m, where, scan_cache)
 
 
 def catalog_read(

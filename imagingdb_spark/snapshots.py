@@ -826,11 +826,25 @@ def _dv_scs(ref: dict) -> list[str]:
 # appending a few KB of positions.
 
 
-def _dv_union(spark: SparkSession, table_dir: str, pairs: list) -> "DataFrame":
+def _dv_union(
+    spark: SparkSession,
+    table_dir: str,
+    pairs: list,
+    scan_cache: dict | None = None,
+) -> "DataFrame":
     """One (path, pos) frame for [(rel_path, sidecar_rel_dir)] refs: each
     sidecar read once, filtered to the paths that still reference it (a
     merged sidecar may carry positions for files whose ref has since been
-    superseded or dropped)."""
+    superseded or dropped). ``scan_cache`` (r12, guide §1.4): an optional
+    per-CALLER memo — a multi-leg reader (x_snapshot_scan's seven reads)
+    passes one dict so identical sidecar unions are built once; each
+    DataFrameReader.parquet call is a py4j round trip + JVM file-index
+    build (~40-80 ms measured), pure driver time. Keys carry the exact
+    (pair-set) identity, so two legs share a frame ONLY when their
+    resolved refs are identical — never across differing dv chains."""
+    key = ("dv", tuple(sorted(pairs)))
+    if scan_cache is not None and key in scan_cache:
+        return scan_cache[key]
     from pyspark.sql import functions as F
 
     by_sc: dict[str, list[str]] = {}
@@ -842,15 +856,26 @@ def _dv_union(spark: SparkSession, table_dir: str, pairs: list) -> "DataFrame":
             F.col("path").isin(ps)
         )
         pos = d if pos is None else pos.unionByName(d)
+    if scan_cache is not None:
+        scan_cache[key] = pos
     return pos
 
 
-def _eq_union(spark: SparkSession, table_dir: str, pairs: list) -> "DataFrame":
+def _eq_union(
+    spark: SparkSession,
+    table_dir: str,
+    pairs: list,
+    scan_cache: dict | None = None,
+) -> "DataFrame":
     """One (path, key) frame for [(rel_path, sidecar_rel_dir)] equality-
     delete refs: each sidecar read once, its delete keys expanded to the
     referencing paths (a sidecar is commit-scoped and shared by every
     candidate entry of its commit). Expanded size = Σ_entry ref.n by
-    construction — what the broadcast ceiling is checked against."""
+    construction — what the broadcast ceiling is checked against.
+    ``scan_cache``: same exact-pair-set memo as ``_dv_union``."""
+    key = ("eq", tuple(sorted(pairs)))
+    if scan_cache is not None and key in scan_cache:
+        return scan_cache[key]
     from pyspark.sql import functions as F
 
     by_sc: dict[str, list[str]] = {}
@@ -864,6 +889,8 @@ def _eq_union(spark: SparkSession, table_dir: str, pairs: list) -> "DataFrame":
         )
         d = keys.crossJoin(paths).select("path", "key")
         out = d if out is None else out.unionByName(d)
+    if scan_cache is not None:
+        scan_cache[key] = out
     return out
 
 
@@ -879,6 +906,7 @@ def _apply_eq_refs(
     table_dir: str,
     tagged: DataFrame,
     entries: list[dict],
+    scan_cache: dict | None = None,
 ) -> DataFrame:
     """Anti-apply equality-delete refs to an already-``__dv_path``-tagged
     scan of ``entries``: per ref column, rows whose (path, key) pair
@@ -897,7 +925,7 @@ def _apply_eq_refs(
             (fe["path"], sc) for fe in fes for sc in _eq_scs(fe["eq"])
         ]
         eq = (
-            _eq_union(spark, table_dir, pairs)
+            _eq_union(spark, table_dir, pairs, scan_cache)
             .withColumnRenamed("path", "__eq_path")
             .withColumnRenamed("key", "__eq_key")
         )
@@ -932,6 +960,7 @@ def _read_entries(
     table_dir: str,
     entries: list[dict],
     schema: StructType,
+    scan_cache: dict | None = None,
 ) -> DataFrame:
     """THE entry-list reader every consumer goes through: scan exactly the
     entries' files and anti-apply their positional-delete sidecars. The
@@ -955,9 +984,22 @@ def _read_entries(
     refd = [fe for fe in entries if fe.get("dv") or fe.get("eq")]
 
     def _scan(fes: list[dict]) -> DataFrame:
-        return spark.read.schema(schema).parquet(
+        # memoized per caller-supplied cache (r12): two legs of one
+        # multi-read query resolving the SAME file list (same schema —
+        # the key carries both) share one reader/file-index build
+        key = (
+            "scan",
+            schema.json(),
+            tuple(sorted(fe["path"] for fe in fes)),
+        )
+        if scan_cache is not None and key in scan_cache:
+            return scan_cache[key]
+        df = spark.read.schema(schema).parquet(
             *[os.path.join(table_dir, fe["path"]) for fe in fes]
         )
+        if scan_cache is not None:
+            scan_cache[key] = df
+        return df
 
     if not refd:
         return _scan(plain)
@@ -979,6 +1021,7 @@ def _read_entries(
                     for fe in dved
                     for sc in _dv_scs(fe["dv"])
                 ],
+                scan_cache,
             )
             .withColumnRenamed("path", "__dv_path")
             .withColumnRenamed("pos", "__dv_pos")
@@ -987,7 +1030,7 @@ def _read_entries(
         if n_pos <= DV_BROADCAST_MAX_POSITIONS:
             pos = F.broadcast(pos)
         tagged = tagged.join(pos, ["__dv_path", "__dv_pos"], "left_anti")
-    tagged = _apply_eq_refs(spark, table_dir, tagged, refd)
+    tagged = _apply_eq_refs(spark, table_dir, tagged, refd, scan_cache)
     live = tagged.drop("__dv_path", "__dv_pos")
     return live if not plain else _scan(plain).unionByName(live)
 
@@ -1459,6 +1502,7 @@ def snapshot_read(
     table_dir: str,
     version: int | None = None,
     where: list | None = None,
+    scan_cache: dict | None = None,
 ) -> DataFrame:
     """Snapshot-isolated read: resolve ONE manifest (latest, or the pinned
     ``version`` for time travel) and read exactly its file list. An empty
@@ -1473,7 +1517,14 @@ def snapshot_read(
     still pushes it to the row-group level and the result is exactly the
     filtered full scan). At 100 TB this is the difference between planning
     over ~800k file entries and planning over the handful of groups and
-    files a selective predicate touches."""
+    files a selective predicate touches.
+
+    ``scan_cache`` (r12): optional per-CALLER dict memoizing reader
+    construction (file scans by exact path list + schema, dv/eq sidecar
+    unions by exact ref set). A query that issues several reads of one
+    table (x_snapshot_scan's seven legs) passes one dict so identical
+    resolutions share one py4j reader build; semantics are unchanged —
+    the memo key is the full identity of what would be constructed."""
     # group files resolve INSIDE the expire-race retry: a concurrent
     # expire+vacuum between the manifest read and the group read must
     # re-resolve (latest mode) exactly like a vanished manifest does
@@ -1494,7 +1545,7 @@ def snapshot_read(
     cond = _where_column(_check_where(where)) if where else None
     # DV-aware: files carrying positional-delete refs read minus their
     # deleted positions (tables without DVs take the plain-scan path)
-    df = _read_entries(spark, table_dir, files, schema)
+    df = _read_entries(spark, table_dir, files, schema, scan_cache)
     return df.filter(cond) if cond is not None else df
 
 
