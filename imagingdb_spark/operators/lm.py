@@ -20,12 +20,77 @@ family as text.py's quality/repetition filters.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from imagingdb_spark.catalog import eager_checkpoint, table, values_df
 from imagingdb_spark.operators.text import tokens_col
 from imagingdb_spark.registry import query
+
+
+def doc_tok_counts_arrow(d: DataFrame, cols: list[str]) -> DataFrame:
+    """(cols..., tok, c): per-document term counts computed MAP-SIDE in
+    ONE Arrow pass — no (doc, tok) exchange at all (r12, guide §2.4/§4.2).
+
+    The explode+groupBy shape this replaces re-keys every per-doc-distinct
+    token row by (doc, tok) hash even though each document's tokens are
+    already co-located in its own row — the exchange exists only because
+    Catalyst cannot see that locality. Counting inside an Arrow batch
+    keeps it: the output rows for one document are contiguous in their
+    task's partition, so a downstream per-doc aggregate (the score
+    passes) partial-aggregates to ONE row per document before its
+    exchange, and the vocabulary aggregate still map-side-combines as
+    before. Two corpus-scale exchanges become one doc-count-sized one.
+
+    Tokenization parity: ``t.lower().split()`` — the exact rule the
+    oracle-green dedup family's Arrow pass uses (str.split() drops
+    empties like array_remove(split(lower, '\\s+'), '') does; parity
+    with the DuckDB oracles is pinned by the value hashes of every
+    consumer at sf0.001/0.01/0.1). Counter iteration order is first
+    occurrence — deterministic.
+
+    Same parallelism guard as dedup.shingle_frame: a small parquet's
+    2-split scan would serialize the Python pass, so under-split local
+    inputs are repartitioned first (a no-op at cluster scale where the
+    scan already has thousands of splits)."""
+    from pyspark.sql import types as T
+
+    npart = d.sparkSession.sparkContext.defaultParallelism
+    src = d.select(*cols, "text")
+    if src.rdd.getNumPartitions() < npart:
+        src = src.repartition(npart)
+    schema = T.StructType(
+        [src.schema[c] for c in cols]
+        + [
+            T.StructField("tok", T.StringType()),
+            T.StructField("c", T.LongType()),
+        ]
+    )
+
+    def gen(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            counters = [
+                Counter(t.lower().split()) if isinstance(t, str) else Counter()
+                for t in pdf["text"]
+            ]
+            lens = np.fromiter(
+                (len(c) for c in counters), dtype=np.int64, count=len(counters)
+            )
+            idx = np.repeat(np.arange(len(counters)), lens)
+            out = pdf[cols].iloc[idx].reset_index(drop=True)
+            out["tok"] = [k for c in counters for k in c.keys()]
+            out["c"] = np.fromiter(
+                (v for c in counters for v in c.values()),
+                dtype=np.int64,
+                count=int(lens.sum()),
+            )
+            yield out
+
+    return src.mapInPandas(gen, schema)
 
 
 def doc_term_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -971,15 +1036,14 @@ def x_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
     including tie splits (pinned by the oracle hash at sf0.01/sf1.0 and
     a dominant-language unit test)."""
     d = table(spark, sf_dir, "documents")
-    dt = (
-        d.select(
-            "doc_id",
-            "lang",
-            F.explode(tokens_col(F.col("text"))).alias("tok"),
-        )
-        .groupBy("doc_id", "lang", "tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
+    # Per-doc term counts MAP-SIDE (r12, see doc_tok_counts_arrow): the
+    # old explode+groupBy(doc, lang, tok) shape paid a corpus-token-scale
+    # exchange to build dt AND a second one to regroup the score join's
+    # output by (doc_id, lang) — the Arrow pass keeps each document's
+    # rows contiguous, so with the vocabulary broadcast the score
+    # aggregate partial-combines to ONE row per document before its
+    # exchange. Two corpus-scale exchanges -> one doc-count-sized one.
+    dt = doc_tok_counts_arrow(d, ["doc_id", "lang"])
     # dt feeds the vocab agg + the score join; v feeds the lang totals +
     # the score join. Both persists are lazy: the ONE driver collect below
     # (language totals — a handful of rows) materializes both caches in a
@@ -995,8 +1059,12 @@ def x_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         for r in v.groupBy("lang").agg(F.sum("cnt").alias("t")).collect()
     ]
     tot = values_df(spark, tot_rows, "lang string, total double")
+    # F.broadcast(v) is deliberate, not AQE's call (guide §3.1): v is the
+    # per-language VOCABULARY — Heaps-law-sized, megabytes at 100 TB (the
+    # x_tfidf df_tab argument) — and only a broadcast preserves dt's
+    # map-side doc locality for the per-doc partial aggregation above.
     scored = (
-        dt.join(v, ["lang", "tok"])
+        dt.join(F.broadcast(v), ["lang", "tok"])
         .join(F.broadcast(tot), "lang")
         .groupBy("doc_id", "lang")
         .agg(
