@@ -108,23 +108,147 @@ ORACLE: dict[str, str] = {}
 # - OUT to 51+: every r7-window member whose code is unchanged since its
 #   fresh r7 green (x_phash_dedup .. x_merge_upsert).
 PRIORITY: list[str] = [
-    # --- round-11 window (first 50; VERDICT r10 item 5, applied) ---
-    # (a) no driver record: x_catalog_scan (new this round — the atomic
-    #     catalog read path under the oracle).
-    # (b) implementation changed in round 11: x_snapshot_scan (sixth
-    #     leg: file-pruned MERGE under the oracle).
-    # (c) merge-family doubles named by the verdict (snapshot_merge's
-    #     execution strategy changed; these queries share the merge
-    #     semantics even though their own operator code is unchanged):
-    #     x_merge_upsert, x_scd2_history, x_cdc_apply.
-    # (d) the stalest records, ascending: the last-green-r7 tail (10
-    #     names x_pagerank..x_unigram_logprob) and the first 35 of the
-    #     last-green-r8 block.
-    "x_catalog_scan",
+    # --- round-12 window (first 50; VERDICT r11 item 8, applied) ---
+    # Rule: no query's latest green driver record may predate its
+    # current implementation.
+    # (a) implementation changed in ROUND 12 (this optimization round):
+    #     x_token_ids (map-side ids), x_snapshot_scan/x_catalog_scan
+    #     (stat-signature build validation + shared reader memo),
+    #     x_ann_ivfpq (shared seed collect + inline residual training),
+    #     x_perplexity_bucket (Arrow map-side term counts + broadcast
+    #     vocab), st_perplexity / x_containment / x_dedup_incremental /
+    #     x_dedup_jaccard (eager_checkpoint helper swap), x_incr_agg
+    #     (comment-only, riding along), x_cdc_apply (merge-family holder
+    #     the r11 verdict named).
+    # (b) implementation changed in ROUND 11 with no post-change driver
+    #     record (their r11 rewrites landed after the r11 window was
+    #     fixed): x_gapfill/x_interp_linear (one-window gapfill),
+    #     j_temporal_lookup (map-side SCD-2 dim), x_retention (window
+    #     cohort), x_span_dedup (single-pass), x_dedup_minhash (fused
+    #     signature), x_tfidf/x_bm25 (scalar collect), x_dedup_verified
+    #     (rides verified_pairs' fused signature), and the tokenizing
+    #     queries riding the shared tokens_col array_remove rewrite
+    #     (x_text_stats .. x_pack_sequences below).
+    # (c) stalest records: the last-green-r8 tail (x_dedup_weights,
+    #     x_embed_stats, x_split_hash, x_topk_sim) and the head of the
+    #     last-green-r9 block.
+    "x_token_ids",
     "x_snapshot_scan",
+    "x_catalog_scan",
+    "x_ann_ivfpq",
+    "x_perplexity_bucket",
+    "st_perplexity",
+    "x_containment",
+    "x_dedup_incremental",
+    "x_dedup_jaccard",
+    "x_incr_agg",
+    "x_cdc_apply",
+    "x_gapfill",
+    "x_interp_linear",
+    "j_temporal_lookup",
+    "x_retention",
+    "x_span_dedup",
+    "x_dedup_minhash",
+    "x_tfidf",
+    "x_bm25",
+    "x_dedup_verified",
+    "x_text_stats",
+    "x_token_freq",
+    "x_lang_id",
+    "x_fingerprint",
+    "x_token_bpe",
+    "x_repetition",
+    "x_length_trim",
+    "x_quality_norm",
+    "x_heavy_hitters",
+    "x_length_batches",
+    "x_token_budget",
+    "x_bigram_logprob",
+    "x_inverted_index",
+    "x_dsir_select",
+    "x_dsir_resample",
+    "x_bpe_train",
+    "x_bpe_encode",
+    "x_pack_sequences",
+    "x_dedup_weights",
+    "x_embed_stats",
+    "x_split_hash",
+    "x_topk_sim",
+    "a_count",
+    "a_rollup",
+    "f_cast_coerce",
+    "f_null_handling",
+    "f_string_parse",
+    "j_three_way",
+    "p_project",
+    "x_dedup_exact",
+    # --- 51+: displaced members, stalest first (each holds a green
+    #     driver row on code unchanged since it was recorded) ---
+    "a_count_distinct",
+    "a_geomean_udaf",
+    "a_group_summary",
+    "f_array_ops",
+    "f_from_json",
+    "f_json_extract",
+    "j_asof",
+    "j_json_filter",
+    "st_session",
+    "st_topk_trend",
+    "st_tumbling",
+    "w_rownum_page",
+    "w_running",
+    "x_corr_matrix",
+    "x_domain_mix",
+    "x_exact_quantiles",
+    "x_profile_stats",
+    "x_scrub",
+    "x_sentences",
+    "x_sessionize",
+    "x_source_cap",
+    "x_stratified",
+    "x_table_diff",
+    "x_transition_matrix",
+    "x_ann_ivf",
+    "x_semdedup",
+    "x_triangles",
+    "a_sum_avg",
+    "f_not_exists",
+    "j_outer_count",
+    "o_topk",
+    "w_dense_rank",
+    "w_range_frame",
+    "x_ann_eval",
+    "x_cooccur_pmi",
+    "x_funnel",
+    "x_histogram",
+    "x_novelty",
+    "x_pipeline_audit",
+    "x_retrieval_batch",
+    "x_retrieval_metrics",
+    "x_rolling_zscore",
+    "x_semdedup_eval",
+    "x_shard_shuffle",
+    "a_approx_sketch",
+    "j_range",
+    "j_semi",
+    "o_natural_sort",
+    "o_sort",
+    "s_except",
+    "st_anomaly",
+    "st_distinct_hll",
+    "st_join",
+    "w_lag_lead",
+    "x_ann_pq",
+    "x_audio_dedup",
+    "x_embed_pca",
+    "x_embed_quantize",
+    "x_fuzzy_join",
+    "x_hard_negatives",
+    "x_mad_outlier",
+    # displaced round-11 window members (fresh r11 rows on code
+    # unchanged since CORRECTNESS_r11 recorded them):
     "x_merge_upsert",
     "x_scd2_history",
-    "x_cdc_apply",
     "x_pagerank",
     "x_phash_dedup",
     "x_pq_quantize",
@@ -158,128 +282,15 @@ PRIORITY: list[str] = [
     "st_sliding",
     "st_theta_overlap",
     "w_topk_group",
-    "x_ann_ivfpq",
     "x_ann_lsh",
     "x_chunk_docs",
-    "x_containment",
     "x_decontaminate",
     "x_dedup_cluster",
     "x_dedup_compact",
     "x_dedup_embed",
     "x_dedup_eval",
-    "x_dedup_jaccard",
     "x_dedup_retain",
     "x_dedup_simhash",
-    # --- 51+: displaced members, stalest first (each holds a green
-    #     driver row on code unchanged since it was recorded) ---
-    # last green r8 (the 10 that did not fit the window):
-    "x_dedup_verified",
-    "x_dedup_weights",
-    "x_embed_stats",
-    "x_fingerprint",
-    "x_repetition",
-    "x_split_hash",
-    "x_text_stats",
-    "x_token_bpe",
-    "x_token_freq",
-    "x_topk_sim",
-    # last green r9:
-    "x_perplexity_bucket",
-    "st_perplexity",
-    "x_dedup_incremental",
-    "x_dedup_minhash",
-    "a_count",
-    "a_rollup",
-    "f_cast_coerce",
-    "f_null_handling",
-    "f_string_parse",
-    "j_three_way",
-    "p_project",
-    "x_dedup_exact",
-    "a_count_distinct",
-    "a_geomean_udaf",
-    "a_group_summary",
-    "f_array_ops",
-    "f_from_json",
-    "f_json_extract",
-    "j_asof",
-    "j_json_filter",
-    "j_temporal_lookup",
-    "st_session",
-    "st_topk_trend",
-    "st_tumbling",
-    "w_rownum_page",
-    "w_running",
-    "x_bigram_logprob",
-    "x_corr_matrix",
-    "x_domain_mix",
-    "x_exact_quantiles",
-    "x_incr_agg",
-    "x_profile_stats",
-    "x_scrub",
-    "x_sentences",
-    "x_sessionize",
-    "x_source_cap",
-    "x_span_dedup",
-    "x_stratified",
-    "x_table_diff",
-    "x_token_budget",
-    "x_transition_matrix",
-    "x_ann_ivf",
-    "x_pack_sequences",
-    "x_semdedup",
-    "x_bpe_train",
-    "x_bpe_encode",
-    # last green r10 (freshest records, rotated out this round):
-    "x_triangles",
-    "a_sum_avg",
-    "f_not_exists",
-    "j_outer_count",
-    "o_topk",
-    "w_dense_rank",
-    "w_range_frame",
-    "x_ann_eval",
-    "x_bm25",
-    "x_cooccur_pmi",
-    "x_funnel",
-    "x_histogram",
-    "x_interp_linear",
-    "x_inverted_index",
-    "x_length_batches",
-    "x_novelty",
-    "x_pipeline_audit",
-    "x_quality_norm",
-    "x_retention",
-    "x_retrieval_batch",
-    "x_retrieval_metrics",
-    "x_rolling_zscore",
-    "x_semdedup_eval",
-    "x_shard_shuffle",
-    "x_tfidf",
-    "x_token_ids",
-    "a_approx_sketch",
-    "j_range",
-    "j_semi",
-    "o_natural_sort",
-    "o_sort",
-    "s_except",
-    "st_anomaly",
-    "st_distinct_hll",
-    "st_join",
-    "w_lag_lead",
-    "x_ann_pq",
-    "x_audio_dedup",
-    "x_dsir_resample",
-    "x_dsir_select",
-    "x_embed_pca",
-    "x_embed_quantize",
-    "x_fuzzy_join",
-    "x_gapfill",
-    "x_hard_negatives",
-    "x_heavy_hitters",
-    "x_lang_id",
-    "x_length_trim",
-    "x_mad_outlier",
 ]
 
 

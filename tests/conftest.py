@@ -116,6 +116,8 @@ def pytest_collection_modifyitems(config, items):
     if not slow:
         return
     for item in items:
-        base = _re.sub(r"\[.*\]$", "", item.nodeid)
-        if base in slow:
+        # exact node id first (single slow params of an otherwise-fast
+        # parametrized test), then the param-stripped base (every param
+        # of a slow test inherits the mark)
+        if item.nodeid in slow or _re.sub(r"\[.*\]$", "", item.nodeid) in slow:
             item.add_marker(pytest.mark.slow)

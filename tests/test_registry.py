@@ -43,43 +43,45 @@ def test_query_plans(spark, name):
     assert df.schema is not None and len(df.columns) > 0
 
 
-R11_IMPL_CHANGED = [
-    # round-11 plan (VERDICT r10 item 5): queries new or whose
-    # implementation changed this round and so need a CURRENT record
-    "x_catalog_scan",   # new: atomic catalog reads under the oracle
-    "x_snapshot_scan",  # six legs now: file-pruned MERGE under the oracle
-    # merge-family doubles the verdict named (snapshot_merge's execution
-    # strategy changed; these share the merge semantics)
-    "x_merge_upsert", "x_scd2_history", "x_cdc_apply",
+R12_IMPL_CHANGED = [
+    # round-12 plan (VERDICT r11 item 8): queries whose implementation
+    # changed in round 12 (this optimization round) or in round 11 AFTER
+    # the r11 window was fixed — each needs a CURRENT driver record so
+    # that no green row predates the code it vouches for.
+    # round-12 changes:
+    "x_token_ids", "x_snapshot_scan", "x_catalog_scan", "x_ann_ivfpq",
+    "x_perplexity_bucket", "st_perplexity", "x_containment",
+    "x_dedup_incremental", "x_dedup_jaccard", "x_incr_agg", "x_cdc_apply",
+    # round-11 rewrites without a post-change driver row:
+    "x_gapfill", "x_interp_linear", "j_temporal_lookup", "x_retention",
+    "x_span_dedup", "x_dedup_minhash", "x_tfidf", "x_bm25",
+    "x_dedup_verified",
+    # tokenizing queries riding the shared tokens_col rewrite (r11):
+    "x_text_stats", "x_token_freq", "x_lang_id", "x_fingerprint",
+    "x_token_bpe", "x_repetition", "x_length_trim", "x_quality_norm",
+    "x_heavy_hitters", "x_length_batches", "x_token_budget",
+    "x_bigram_logprob", "x_inverted_index", "x_dsir_select",
+    "x_dsir_resample", "x_bpe_train", "x_bpe_encode", "x_pack_sequences",
 ]
 
-# stalest driver records, ascending: the last-green-r7 tail (10 names)
-# plus the first 35 of the last-green-r8 block
-R11_STALE = [
-    "x_pagerank", "x_phash_dedup", "x_pq_quantize", "x_quality_filter",
-    "x_rebalance", "x_sample_weighted", "x_scene_changes",
-    "x_split_leakage", "x_substring_dedup", "x_unigram_logprob",
-    "a_cube", "a_distinct", "a_pivot", "f_daterange", "f_dates",
-    "f_equality", "f_format", "f_inlist", "f_json_multi", "f_path_ops",
-    "f_sha2", "f_substring", "f_validate_id", "j_self_parent",
-    "j_two_way", "o_limit", "s_intersect", "s_union", "st_heavy_hitters",
-    "st_quantiles", "st_sliding", "st_theta_overlap", "w_topk_group",
-    "x_ann_ivfpq", "x_ann_lsh", "x_chunk_docs", "x_containment",
-    "x_decontaminate", "x_dedup_cluster", "x_dedup_compact",
-    "x_dedup_embed", "x_dedup_eval", "x_dedup_jaccard", "x_dedup_retain",
-    "x_dedup_simhash",
+# stalest driver records, ascending: the last-green-r8 tail + the head
+# of the last-green-r9 block
+R12_STALE = [
+    "x_dedup_weights", "x_embed_stats", "x_split_hash", "x_topk_sim",
+    "a_count", "a_rollup", "f_cast_coerce", "f_null_handling",
+    "f_string_parse", "j_three_way", "p_project", "x_dedup_exact",
 ]
 
 
 def test_category_coverage_inside_driver_window():
     """The driver's correctness harness checks only the FIRST ~50
-    registered queries; the round-11 rotation (registry.PRIORITY) must
+    registered queries; the round-12 rotation (registry.PRIORITY) must
     keep (a) every new/impl-changed query inside that window so it gets
     a current CORRECTNESS row and (b) the stalest-record queries.
     Everything displaced to 51+ holds a green driver row on code
     unchanged since it was recorded."""
     window = list(registry.ordered_queries())[:50]
-    for name in R11_IMPL_CHANGED + R11_STALE:
+    for name in R12_IMPL_CHANGED + R12_STALE:
         assert name in window, f"{name} fell outside the driver's 50-query window"
     assert len(window) == len(set(window)) == 50
 
